@@ -1,24 +1,57 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — runs the headline queries on
+  * sys.env("SPARK_GRAFT_SF_DIR") and prints ONE JSON line.
+  *
+  * local[32] with 32 shuffle partitions (matches the container's CPU
+  * budget; at cluster scale the same plans run with
+  * spark.sql.shuffle.partitions sized to executor count × cores).
+  */
 object Bench {
+
+  /** Headline subset: the queries whose plans exercise the scan → join →
+    * aggregate → top-k spine plus the extension operators. */
+  def headline: Seq[String] = Seq(
+    "q1_agg", "j1_join_agg", "j10_star", "j9_multiway", "o1_topk",
+    "j6_expr_datekey", "w2_running_sum", "i2_incremental_antijoin",
+    "p6_not_in_anti", "u1_union_distinct"
+  ).filter(SparkEntry.queries.contains)
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .appName("graft-bench")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    // Warm the JVM + parquet footer caches once so per-query numbers
+    // measure the plan, not first-touch classloading.
+    Tables.lineitem(spark, sfDir).count()
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try {
+        // noop write: forces full evaluation of every column (count()
+        // alone would let Catalyst prune the plan to nothing)
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).sum
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,0 +1,501 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational operator inventory — one query per operator class of
+  * SURVEY.md §2, expressed over the TPC-H-ish test tables with a DuckDB
+  * oracle for each.
+  *
+  * Numeric determinism: double summation is order-dependent, and Spark's
+  * partial/final aggregation order differs from DuckDB's sequential scan.
+  * Every SUM/AVG over doubles therefore casts the per-row value to an
+  * exact DECIMAL first (per-row double arithmetic is IEEE-deterministic,
+  * so both engines round the same per-row value), sums exactly, and casts
+  * the final value back to double. This also holds at cluster scale where
+  * partial aggregation order is nondeterministic across executors.
+  *
+  * Scale notes are inline: every plan here is shuffle-minimal — filters
+  * and projections reach the parquet scan, small dimensions broadcast,
+  * top-k uses TakeOrderedAndProject (no global sort), and nothing
+  * collects to the driver.
+  */
+object Relational {
+
+  /** Exact sum of a double expression: cast each row to DECIMAL(18,s),
+    * sum exactly, return double. */
+  private def dsum(c: Column, scale: Int = 2): Column =
+    sum(c.cast(DecimalType(18, scale))).cast("double")
+
+  /** Exact average (sum/count both deterministic, final division in
+    * double on both engines). */
+  private def davg(c: Column, scale: Int = 2): Column =
+    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
+
+  private def sqlDsum(e: String, scale: Int = 2): String =
+    s"cast(sum(cast($e as decimal(18,$scale))) as double)"
+  private def sqlDavg(e: String, scale: Int = 2): String =
+    s"(cast(sum(cast($e as decimal(18,$scale))) as double) / count($e))"
+
+  val all: Seq[Q] = Seq(
+    // ----------------------------------------------------------------
+    // S2 — table scan with projection (column pruning reaches parquet)
+    Q("s2_scan",
+      Some("SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey"),
+      (s, d) => T.region(s, d)
+        .select("r_regionkey", "r_name")
+        .orderBy("r_regionkey")),
+
+    // S6 — row-literal source (reference: INSERT..VALUES fake rows,
+    // Olist DW.sql:294-312)
+    Q("s6_literals",
+      Some("SELECT * FROM (VALUES (1, 'alpha'), (2, 'beta'), (3, 'gamma')) AS t(id, name) ORDER BY id"),
+      (s, d) => {
+        import s.implicits._
+        Seq((1, "alpha"), (2, "beta"), (3, "gamma"))
+          .toDF("id", "name").orderBy("id")
+      }),
+
+    // P1 — projection + aliasing + per-row arithmetic
+    // (reference: SELECT x AS 'y', Olist DW.sql:144-145)
+    Q("p1_project",
+      Some("""SELECT l_orderkey AS okey, l_linenumber AS lnum,
+             |       l_extendedprice * (1 - l_discount) AS net
+             |FROM lineitem ORDER BY okey, lnum""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
+        .orderBy("okey", "lnum")),
+
+    // P2 — inequality filter on string (reference: != 'canceled',
+    // Olist DW.sql:155)
+    Q("p2_filter_neq",
+      Some("""SELECT o_orderkey, o_orderstatus FROM orders
+             |WHERE o_orderstatus <> 'F' ORDER BY o_orderkey""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderstatus") =!= "F")
+        .select("o_orderkey", "o_orderstatus")
+        .orderBy("o_orderkey")),
+
+    // P3/P4 — IS NOT NULL + conjunctive predicates
+    // (reference: Olist DW.sql:75,155,179)
+    Q("p4_conjunction",
+      Some("""SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+             |WHERE l_returnflag = 'R' AND l_quantity > 30
+             |  AND l_discount < 0.05 AND l_partkey IS NOT NULL
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_returnflag") === "R" && col("l_quantity") > 30 &&
+          col("l_discount") < 0.05 && col("l_partkey").isNotNull)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P5 — timestamp range predicate (reference:
+    // order_purchase_timestamp < '20190101', Olist DW.sql:155)
+    Q("p5_date_range",
+      Some("""SELECT l_orderkey, l_linenumber, l_shipdate FROM lineitem
+             |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+             |  AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+             |ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01 00:00:00").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-04-01 00:00:00").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_shipdate")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P6/J13 — NOT IN (subquery) as left-anti join (reference:
+    // Olist DW.sql:75; inputs non-null so anti-join ≡ NOT IN)
+    Q("p6_not_in_anti",
+      Some("""SELECT p_partkey FROM part
+             |WHERE p_partkey NOT IN (SELECT l_partkey FROM lineitem WHERE l_quantity > 49)
+             |ORDER BY p_partkey""".stripMargin),
+      (s, d) => T.part(s, d)
+        .join(T.lineitem(s, d).filter(col("l_quantity") > 49),
+          col("p_partkey") === col("l_partkey"), "left_anti")
+        .select("p_partkey")
+        .orderBy("p_partkey")),
+
+    // P7 — filter on aggregate output / HAVING (reference: DELETE WHERE
+    // avg_hrs_convert < 1, Olist DW.sql:183-184)
+    Q("p7_having",
+      Some("""SELECT l_suppkey, count(*) AS cnt FROM lineitem
+             |GROUP BY l_suppkey HAVING count(*) > 100
+             |ORDER BY l_suppkey""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_suppkey").agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") > 100)
+        .orderBy("l_suppkey")),
+
+    // ----------------------------------------------------------------
+    // A1/A2/A3/A6 — grouped aggregation spine (TPC-H Q1 shape; reference
+    // fact build Olist DW.sql:144-156). Flagship query.
+    Q("q1_agg",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  ${sqlDsum("l_quantity")} AS sum_qty,
+              |  ${sqlDsum("l_extendedprice")} AS sum_base_price,
+              |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+              |  ${sqlDavg("l_quantity")} AS avg_qty,
+              |  count(*) AS count_order
+              |FROM lineitem
+              |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+              |GROUP BY l_returnflag, l_linestatus
+              |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          dsum(col("l_quantity")).as("sum_qty"),
+          dsum(col("l_extendedprice")).as("sum_base_price"),
+          dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("sum_disc_price"),
+          davg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A2 — COUNT(col) null-skipping semantics (reference: COUNT(product_id)
+    // Olist DW.sql:145); nulls synthesized via nullif since testdata has none
+    Q("a2_count_nulls",
+      Some("""SELECT o_orderpriority,
+             |  count(*) AS n_all,
+             |  count(nullif(o_orderstatus, 'F')) AS n_not_f
+             |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_all"),
+          count(nullif(col("o_orderstatus"), lit("F"))).as("n_not_f"))
+        .orderBy("o_orderpriority")),
+
+    // A4/A5 — MIN/MAX + ROUND(SUM,2) (reference: Olist DW.sql:241,254,275)
+    Q("a4_min_max_round",
+      Some("""SELECT l_linestatus,
+             |  min(l_shipdate) AS first_ship, max(l_shipdate) AS last_ship,
+             |  cast(round(sum(cast(l_extendedprice as decimal(18,2))), 2) as double) AS total_price
+             |FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(min("l_shipdate").as("first_ship"), max("l_shipdate").as("last_ship"),
+          round(sum(col("l_extendedprice").cast(DecimalType(18, 2))), 2)
+            .cast("double").as("total_price"))
+        .orderBy("l_linestatus")),
+
+    // A7 — SELECT DISTINCT single column (reference: Olist DW.sql:73-75)
+    Q("a7_distinct",
+      Some("SELECT DISTINCT o_orderpriority FROM orders ORDER BY o_orderpriority"),
+      (s, d) => T.orders(s, d)
+        .select("o_orderpriority").distinct().orderBy("o_orderpriority")),
+
+    // A8 — SELECT DISTINCT multi-column (reference: Olist DW.sql:79-80)
+    Q("a8_distinct_multi",
+      Some("""SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+             |ORDER BY l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .select("l_returnflag", "l_linestatus").distinct()
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // A10 — surrogate-key assignment via row_number + offset (reference:
+    // CREATE SEQUENCE START WITH 1000, Olist DW.sql:55-57). Global window
+    // is fine ONLY on broadcast-sized dims; facts never get sequence keys.
+    Q("a10_surrogate_key",
+      Some("""SELECT n_name, 1000 + row_number() OVER (ORDER BY n_name) AS nation_key
+             |FROM nation ORDER BY n_name""".stripMargin),
+      (s, d) => T.nation(s, d)
+        .select(col("n_name"),
+          (lit(1000) + row_number().over(Window.orderBy("n_name"))).cast("long")
+            .as("nation_key"))
+        .orderBy("n_name")),
+
+    // ----------------------------------------------------------------
+    // J1 — big-big equi join + aggregate (reference: orders ⋈ order_items,
+    // Olist DW.sql:148). Shuffles both sides on the join key once; the
+    // aggregation reuses the join output without an extra exchange when
+    // grouped on the probe side's key space.
+    Q("j1_join_agg",
+      Some(s"""SELECT o_orderpriority,
+              |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+              |  count(*) AS n_items
+              |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+              |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
+
+    // J3 — broadcast join to tiny dim (reference: 71-row category dim,
+    // Olist DW.sql:150)
+    Q("j3_broadcast_dim",
+      Some("""SELECT r_name, count(*) AS n_nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      (s, d) => T.nation(s, d)
+        .join(broadcast(T.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name").agg(count(lit(1)).as("n_nations"))
+        .orderBy("r_name")),
+
+    // J6/F2 — expression join on derived yyyymmdd int key (reference:
+    // CONVERT(DATE,CONVERT(VARCHAR(8),date_key,112)) join,
+    // Olist DW.sql:153). We pre-compute the int key on both sides so
+    // Catalyst plans a plain equi-join on ints — the scale-safe rendering.
+    Q("j6_expr_datekey",
+      Some("""WITH dk AS (SELECT DISTINCT cast(strftime(o_orderdate, '%Y%m%d') as int) AS date_key
+             |           FROM orders)
+             |SELECT date_key, count(*) AS n_items
+             |FROM dk JOIN lineitem
+             |  ON cast(strftime(l_shipdate, '%Y%m%d') as int) = date_key
+             |GROUP BY date_key ORDER BY date_key""".stripMargin),
+      (s, d) => {
+        val dk = T.orders(s, d)
+          .select(date_format(col("o_orderdate"), "yyyyMMdd").cast("int").as("date_key"))
+          .distinct()
+        T.lineitem(s, d)
+          .select(date_format(col("l_shipdate"), "yyyyMMdd").cast("int").as("date_key"))
+          .join(broadcast(dk), "date_key")
+          .groupBy("date_key").agg(count(lit(1)).as("n_items"))
+          .orderBy("date_key")
+      }),
+
+    // J7 — composite-key equi join (reference: zip AND city,
+    // Olist DW.sql:154)
+    Q("j7_composite_key",
+      Some(s"""WITH a AS (SELECT l_returnflag AS rf, l_linestatus AS ls, count(*) AS cnt
+              |           FROM lineitem GROUP BY 1, 2),
+              |     b AS (SELECT l_returnflag AS rf, l_linestatus AS ls,
+              |                  ${sqlDsum("l_quantity")} AS qty
+              |           FROM lineitem GROUP BY 1, 2)
+              |SELECT a.rf, a.ls, a.cnt, b.qty FROM a
+              |JOIN b ON a.rf = b.rf AND a.ls = b.ls
+              |ORDER BY a.rf, a.ls""".stripMargin),
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val a = li.groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(count(lit(1)).as("cnt"))
+        val b = li.groupBy(col("l_returnflag").as("rf"), col("l_linestatus").as("ls"))
+          .agg(dsum(col("l_quantity")).as("qty"))
+        a.join(b, Seq("rf", "ls")).select("rf", "ls", "cnt", "qty")
+          .orderBy("rf", "ls")
+      }),
+
+    // J12 — left-semi join / EXISTS (reference: SSIS Lookup match path,
+    // Package.dtsx:123-280)
+    Q("j12_semi",
+      Some("""SELECT o_orderkey FROM orders
+             |WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_quantity > 45)
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .join(T.lineitem(s, d).filter(col("l_quantity") > 45),
+          col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .select("o_orderkey").orderBy("o_orderkey")),
+
+    // Generalized joins beyond the reference (SURVEY §2.3 note): outer
+    Q("j_left_outer",
+      Some("""SELECT n_name, count(c_custkey) AS n_cust
+             |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey
+             |GROUP BY n_name ORDER BY n_name""".stripMargin),
+      (s, d) => T.nation(s, d)
+        .join(T.customer(s, d), col("c_nationkey") === col("n_nationkey"), "left_outer")
+        .groupBy("n_name").agg(count(col("c_custkey")).as("n_cust"))
+        .orderBy("n_name")),
+
+    // Cross join (generalized; both sides tiny)
+    Q("j_cross",
+      Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+             |ORDER BY r_name, n_name""".stripMargin),
+      (s, d) => T.region(s, d).crossJoin(T.nation(s, d))
+        .select("r_name", "n_name").orderBy("r_name", "n_name")),
+
+    // J10 — star probe: fact ⋈ dims (reference: Olist DW.sql:232-234).
+    // customer/orders broadcast at dim scale; lineitem is the fact.
+    Q("j10_star",
+      Some(s"""SELECT c_mktsegment,
+              |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
+              |  count(*) AS n_items
+              |FROM customer
+              |JOIN orders ON o_custkey = c_custkey
+              |JOIN lineitem ON l_orderkey = o_orderkey
+              |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("c_mktsegment")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
+          count(lit(1)).as("n_items"))
+        .orderBy("c_mktsegment")),
+
+    // J9 — deep multi-way join (reference: leads⋈deals⋈sellers⋈items,
+    // Olist DW.sql:171-173): region⋈nation⋈supplier⋈lineitem
+    Q("j9_multiway",
+      Some(s"""SELECT r_name, n_name,
+              |  ${sqlDsum("l_extendedprice", 2)} AS total_price,
+              |  count(*) AS n_items
+              |FROM region
+              |JOIN nation ON n_regionkey = r_regionkey
+              |JOIN supplier ON s_nationkey = n_nationkey
+              |JOIN lineitem ON l_suppkey = s_suppkey
+              |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
+      (s, d) => T.region(s, d)
+        .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+        .join(T.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(T.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("r_name", "n_name")
+        .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")),
+
+    // ----------------------------------------------------------------
+    // O1 — global top-k by aggregate DESC (reference: TOP 5 ... ORDER BY
+    // SUM DESC, Olist DW.sql:217-226). Plans TakeOrderedAndProject — no
+    // full sort, safe at any scale.
+    Q("o1_topk",
+      Some(s"""SELECT s_name, ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue
+              |FROM supplier JOIN lineitem ON l_suppkey = s_suppkey
+              |GROUP BY s_name ORDER BY revenue DESC, s_name LIMIT 5""".stripMargin),
+      (s, d) => T.supplier(s, d)
+        .join(T.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"))
+        .orderBy(col("revenue").desc, col("s_name").asc)
+        .limit(5)),
+
+    // O2 — bottom-k ASC (reference: TOP 5 ... ORDER BY avg ASC,
+    // Olist DW.sql:266-271)
+    Q("o2_bottomk",
+      Some(s"""SELECT c_name, ${sqlDsum("o_totalprice")} AS total_spend
+              |FROM customer JOIN orders ON o_custkey = c_custkey
+              |GROUP BY c_name ORDER BY total_spend ASC, c_name LIMIT 5""".stripMargin),
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_name").agg(dsum(col("o_totalprice")).as("total_spend"))
+        .orderBy(col("total_spend").asc, col("c_name").asc)
+        .limit(5)),
+
+    // O3 — plain LIMIT (reference: TOP 10 *, Olist DW.sql:316-317;
+    // made deterministic by sorting first, as the tests do)
+    Q("o3_limit",
+      Some("""SELECT l_orderkey, l_linenumber FROM lineitem
+             |ORDER BY l_orderkey, l_linenumber LIMIT 10""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber")
+        .orderBy("l_orderkey", "l_linenumber").limit(10)),
+
+    // ----------------------------------------------------------------
+    // Set operations (SURVEY §2.7 — exposed beyond the reference)
+    Q("u1_union_distinct",
+      Some("""SELECT c_nationkey AS k FROM customer
+             |UNION SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin),
+      (s, d) => T.customer(s, d).select(col("c_nationkey").as("k"))
+        .union(T.supplier(s, d).select(col("s_nationkey").as("k")))
+        .distinct().orderBy("k")),
+
+    Q("u2_intersect",
+      Some("""SELECT c_nationkey AS k FROM customer
+             |INTERSECT SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin),
+      (s, d) => T.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersect(T.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+
+    Q("u3_except",
+      Some("""SELECT p_partkey AS k FROM part
+             |EXCEPT SELECT l_partkey FROM lineitem WHERE l_quantity > 45 ORDER BY k""".stripMargin),
+      (s, d) => T.part(s, d).select(col("p_partkey").as("k"))
+        .except(T.lineitem(s, d).filter(col("l_quantity") > 45)
+          .select(col("l_partkey").as("k")))
+        .orderBy("k")),
+
+    // ----------------------------------------------------------------
+    // F1/F8 — date truncation + year extraction (reference:
+    // CONVERT(DATE, ts) Olist DW.sql:153; t.Year = 2018 :224)
+    Q("f1_date_parts",
+      Some("""SELECT cast(year(o_orderdate) as int) AS yr,
+             |       cast(month(o_orderdate) as int) AS mo,
+             |       count(*) AS n_orders
+             |FROM orders WHERE year(o_orderdate) = 1997
+             |GROUP BY 1, 2 ORDER BY yr, mo""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .filter(year(col("o_orderdate")) === 1997)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy("yr", "mo")),
+
+    // F3 — T-SQL DATEDIFF(HOUR) boundary-crossing semantics (reference:
+    // Olist DW.sql:168,266): truncate both ends to the hour, then diff.
+    Q("f3_datediff_hour",
+      Some("""SELECT event_id,
+             |  date_diff('hour', date_trunc('hour', ts),
+             |            TIMESTAMP '2024-01-15 00:00:00') AS hrs_to_mid
+             |FROM events ORDER BY event_id""".stripMargin),
+      (s, d) => T.events(s, d)
+        .select(col("event_id"),
+          ((unix_timestamp(lit("2024-01-15 00:00:00").cast("timestamp")) -
+            unix_timestamp(date_trunc("hour", col("ts")))) / 3600)
+            .cast("long").as("hrs_to_mid"))
+        .orderBy("event_id")),
+
+    // F6 — case/whitespace normalization at compare boundaries
+    // (reference: SQL Server CI collation, SURVEY §7.4)
+    Q("f6_normalize",
+      Some("""SELECT DISTINCT lower(trim(o_orderpriority)) AS pri
+             |FROM orders ORDER BY pri""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .select(lower(trim(col("o_orderpriority"))).as("pri"))
+        .distinct().orderBy("pri")),
+
+    // ----------------------------------------------------------------
+    // W — window functions (SURVEY §2.5; free in Spark, exposed)
+    Q("w1_row_number",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  cast(row_number() OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) as bigint) AS rn
+             |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          row_number().over(
+            Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
+            .cast("long").as("rn"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    Q("w2_running_sum",
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |       OVER (PARTITION BY l_suppkey
+             |             ORDER BY l_shipdate, l_orderkey, l_linenumber) as double) AS running_qty
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+          sum(col("l_quantity").cast(DecimalType(18, 2)))
+            .over(Window.partitionBy("l_suppkey")
+              .orderBy("l_shipdate", "l_orderkey", "l_linenumber"))
+            .cast("double").as("running_qty"))
+        .orderBy("l_suppkey", "l_orderkey", "l_linenumber")),
+
+    // ----------------------------------------------------------------
+    // I1/I2 — incremental micro-batch: delta aggregation anti-joined
+    // against already-loaded date_keys, then appended (reference:
+    // Olist DW.sql:319-336 + SSIS Lookup/Conditional-Split,
+    // Package.dtsx:58-97). Late rows for an already-loaded date are
+    // dropped — faithful to the reference's dead UPDATE path.
+    Q("i2_incremental_antijoin",
+      Some("""WITH existing AS (
+             |  SELECT DISTINCT cast(strftime(l_shipdate, '%Y%m%d') as int) AS date_key
+             |  FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-06-15 12:00:00'),
+             |delta AS (
+             |  SELECT cast(strftime(l_shipdate, '%Y%m%d') as int) AS date_key,
+             |         count(*) AS n_rows
+             |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-06-15 12:00:00'
+             |  GROUP BY 1)
+             |SELECT d.date_key, d.n_rows FROM delta d
+             |WHERE d.date_key NOT IN (SELECT date_key FROM existing)
+             |ORDER BY d.date_key""".stripMargin),
+      (s, d) => {
+        val li = T.lineitem(s, d)
+        val cutoff = lit("1998-06-15 12:00:00").cast("timestamp")
+        val dateKey = date_format(col("l_shipdate"), "yyyyMMdd").cast("int")
+        val existing = li.filter(col("l_shipdate") < cutoff)
+          .select(dateKey.as("date_key")).distinct()
+        val delta = li.filter(col("l_shipdate") >= cutoff)
+          .groupBy(dateKey.as("date_key")).agg(count(lit(1)).as("n_rows"))
+        delta.join(broadcast(existing), Seq("date_key"), "left_anti")
+          .orderBy("date_key")
+      })
+  )
+}
