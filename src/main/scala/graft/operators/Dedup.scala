@@ -1,0 +1,232 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a training-data pipeline over the
+  * `documents` table: exact, normalized-exact, MinHash signatures,
+  * MinHash+LSH candidate pairs, SimHash, and blocked n-gram Jaccard.
+  *
+  * Design for 100 TB:
+  *  - exact / normalized dedup is one hash-shuffle groupBy on a 16-byte
+  *    digest (never on the full text);
+  *  - MinHash signatures are computed per-row with NO shuffle (array
+  *    expressions inside codegen), then LSH banding shuffles only
+  *    (doc_id, band_hash) pairs — the classic shingle→minhash→band→
+  *    bucket-join pipeline whose shuffle volume is O(docs × bands),
+  *    independent of document length;
+  *  - candidate verification joins back only the candidate pairs;
+  *  - n-gram Jaccard is *blocked* (here by `source`) — never an
+  *    unblocked O(n²) cross join.
+  *
+  * Every hash is MD5-derived so DuckDB reproduces results bit-for-bit
+  * (hex strings are uniformly distributed, so lexicographic MIN over
+  * md5(seed:token) is a valid minwise hash family).
+  */
+object Dedup {
+
+  /** Distinct whitespace tokens of a text column. */
+  def tokenSet(text: Column): Column = array_distinct(split(trim(text), "\\s+"))
+
+  /** Word n-gram shingles (1-based element_at, matching the SQL oracle). */
+  def shingles(toks: Column, n: Int): Column =
+    transform(sequence(lit(1), size(toks) - (n - 1)),
+      i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
+
+  /** MinHash signature value for seed `i`: lexicographic min of
+    * md5("i:" + element). */
+  def minhashSig(elems: Column, i: Int): Column =
+    array_min(transform(elems, e => md5(concat(lit(s"$i:"), e))))
+
+  /** LSH band hashes: md5 over `rows` consecutive signature columns. */
+  def bandHashes(sigCols: Seq[Column], rows: Int): Column =
+    array(sigCols.grouped(rows).map(g => md5(concat(g: _*))).toSeq: _*)
+
+  /** 32-bit SimHash of a weighted token multiset (hv = first 8 md5 hex
+    * chars as int; bit j set iff the weighted ±1 vote sum is positive). */
+  private def tokenHash(tk: Column): Column =
+    conv(substring(md5(tk), 1, 8), 16, 10).cast("long")
+
+  // ---------------------------------------------------------------
+  private val K_SIG = 8    // d3: 3-gram signature width
+  private val K_LSH = 16   // d4: unigram minhash width
+  private val BANDS = 2    // d4: 2 bands × 8 rows (selective — J^8 collision)
+  private val JACC_MIN = 0.9
+
+  /** Shared oracle CTE: distinct unigram tokens per doc. */
+  private val tokCte =
+    """tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tk
+      |        FROM documents)""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    // D1 — exact dedup: hash-groupBy on md5(text)
+    Q("d1_dedup_exact",
+      Some("""SELECT md5(text) AS h, min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .groupBy(md5(col("text")).as("h"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("h")),
+
+    // D2 — normalized dedup (whitespace/case-insensitive fingerprint)
+    Q("d2_dedup_normalized",
+      Some("""SELECT md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp,
+             |       min(doc_id) AS keep_id, count(*) AS n_copies
+             |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .groupBy(TextAnalysis.fingerprint(col("text")).as("fp"))
+        .agg(min("doc_id").as("keep_id"), count(lit(1)).as("n_copies"))
+        .orderBy("fp")),
+
+    // D3 — MinHash signatures over 3-gram shingles (per-row, no shuffle)
+    Q("d3_minhash_signature", {
+      val sigs = (0 until K_SIG).map(i => s"min(md5('$i:'||s)) AS sig$i").mkString(",\n  ")
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts FROM documents),
+              |sh AS (SELECT doc_id,
+              |         unnest(list_transform(range(1, len(ts) - 1),
+              |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])) AS s
+              |       FROM t WHERE len(ts) >= 3)
+              |SELECT doc_id, $sigs, count(DISTINCT s) AS n_shingles
+              |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+      },
+      (s, d) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val sh = shingles(toks, 3)
+        val sigCols = (0 until K_SIG).map(i => minhashSig(col("sh"), i).as(s"sig$i"))
+        T.documents(s, d)
+          .filter(size(toks) >= 3)
+          .select(col("doc_id"), sh.as("sh"))
+          .select(col("doc_id") +: sigCols :+
+            size(array_distinct(col("sh"))).cast("long").as("n_shingles"): _*)
+          .orderBy("doc_id")
+      }),
+
+    // D4 — MinHash + LSH near-dup pairs over unigram token sets:
+    // band collision → candidate pairs → exact Jaccard verification.
+    Q("d4_minhash_lsh_pairs", {
+      val sigs = (0 until K_LSH).map(i => s"min(md5('$i:'||tk)) AS s$i").mkString(",\n  ")
+      val rows = K_LSH / BANDS
+      val bandList = (0 until BANDS)
+        .map(b => "md5(" + (0 until rows).map(r => s"s${b * rows + r}").mkString("||") + ")")
+        .mkString("[", ", ", "]")
+      Some(s"""WITH $tokCte,
+              |sig AS (SELECT doc_id, $sigs FROM tok GROUP BY doc_id),
+              |band AS (SELECT doc_id, unnest($bandList) AS bh FROM sig),
+              |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+              |         FROM band a JOIN band b ON a.bh = b.bh AND a.doc_id < b.doc_id),
+              |inter AS (SELECT c.d1, c.d2, count(*) AS i
+              |          FROM cand c
+              |          JOIN tok t1 ON t1.doc_id = c.d1
+              |          JOIN tok t2 ON t2.doc_id = c.d2 AND t2.tk = t1.tk
+              |          GROUP BY c.d1, c.d2),
+              |sz AS (SELECT doc_id, count(*) AS n FROM tok GROUP BY doc_id)
+              |SELECT i.d1, i.d2,
+              |       cast(i.i as double) / (sa.n + sb.n - i.i) AS jacc
+              |FROM inter i
+              |JOIN sz sa ON sa.doc_id = i.d1
+              |JOIN sz sb ON sb.doc_id = i.d2
+              |WHERE cast(i.i as double) / (sa.n + sb.n - i.i) >= $JACC_MIN
+              |ORDER BY d1, d2""".stripMargin)
+      },
+      (s, d) => minHashLshPairs(T.documents(s, d), "doc_id", "text",
+        K_LSH, BANDS, JACC_MIN)),
+
+    // D5 — 32-bit SimHash per document (weighted token multiset)
+    Q("d5_simhash", {
+      val bits = (0 until 32)
+        .map(j => s"sum(CASE WHEN (hv >> $j) & 1 = 1 THEN w ELSE -w END) AS b$j")
+        .mkString(",\n  ")
+      val assemble = (0 until 32)
+        .map(j => s"(CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END)")
+        .mkString(" + ")
+      Some(s"""WITH t AS (SELECT doc_id, tk, count(*) AS w
+              |          FROM (SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\\s+')) AS tk
+              |                FROM documents) GROUP BY doc_id, tk),
+              |h AS (SELECT doc_id, w, ('0x' || substr(md5(tk), 1, 8))::BIGINT AS hv FROM t),
+              |bits AS (SELECT doc_id, $bits FROM h GROUP BY doc_id)
+              |SELECT doc_id, cast($assemble as bigint) AS simhash
+              |FROM bits ORDER BY doc_id""".stripMargin)
+      },
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val weighted = docs
+          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tk"))
+          .groupBy("doc_id", "tk").agg(count(lit(1)).as("w"))
+          .select(col("doc_id"), col("w"), tokenHash(col("tk")).as("hv"))
+        val bitCols = (0 until 32).map(j =>
+          sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, col("w"))
+            .otherwise(-col("w"))).as(s"b$j"))
+        val assembled = (0 until 32)
+          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _)
+        weighted.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+          .select(col("doc_id"), assembled.cast("long").as("simhash"))
+          .orderBy("doc_id")
+      }),
+
+    // D6 — blocked n-gram (bigram) Jaccard: pairwise only WITHIN a
+    // blocking key (`source`) — the scale-safe rendering of pairwise
+    // similarity (never an unblocked O(n²) cross join).
+    Q("d6_ngram_jaccard",
+      Some("""WITH bg AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(range(1, len(ts)),
+             |                  i -> ts[i] || ' ' || ts[i+1])) AS bgs
+             |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ts
+             |        FROM documents) WHERE len(ts) >= 2),
+             |ex AS (SELECT doc_id, source, unnest(bgs) AS g FROM bg),
+             |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2, a.source AS source
+             |         FROM bg a JOIN bg b ON a.source = b.source AND a.doc_id < b.doc_id),
+             |inter AS (SELECT c.d1, c.d2, c.source, count(*) AS i
+             |          FROM cand c
+             |          JOIN ex e1 ON e1.doc_id = c.d1
+             |          JOIN ex e2 ON e2.doc_id = c.d2 AND e2.g = e1.g
+             |          GROUP BY 1, 2, 3),
+             |sz AS (SELECT doc_id, len(bgs) AS n FROM bg)
+             |SELECT i.source, i.d1, i.d2,
+             |       cast(i.i as double) / (sa.n + sb.n - i.i) AS jacc
+             |FROM inter i JOIN sz sa ON sa.doc_id = i.d1 JOIN sz sb ON sb.doc_id = i.d2
+             |WHERE cast(i.i as double) / (sa.n + sb.n - i.i) >= 0.05
+             |ORDER BY source, d1, d2""".stripMargin),
+      (s, d) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val bg = T.documents(s, d)
+          .filter(size(toks) >= 2)
+          .select(col("doc_id"), col("source"),
+            array_distinct(shingles(toks, 2)).as("bgs"))
+        val a = bg.select(col("source"), col("doc_id").as("d1"), col("bgs").as("bg1"))
+        val b = bg.select(col("source"), col("doc_id").as("d2"), col("bgs").as("bg2"))
+        a.join(b, Seq("source")).filter(col("d1") < col("d2"))
+          .select(col("source"), col("d1"), col("d2"),
+            (size(array_intersect(col("bg1"), col("bg2"))).cast("double") /
+              size(array_union(col("bg1"), col("bg2")))).as("jacc"))
+          .filter(col("jacc") >= 0.05)
+          .orderBy("source", "d1", "d2")
+      })
+  )
+
+  /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard
+    * verification. Shuffles only (id, band_hash) in the banding stage
+    * and candidate ids in the verify stage. */
+  def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    require(k % bands == 0, "signature width must divide evenly into bands")
+    val rows = k / bands
+    val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("tks"))
+    val sigCols = (0 until k).map(i => minhashSig(col("tks"), i).as(s"s$i"))
+    val sig = toks.select((col("id") +: col("tks").as("tks") +: sigCols): _*)
+    val banded = sig.select(col("id"), col("tks"),
+      explode(bandHashes((0 until k).map(i => col(s"s$i")), rows)).as("bh"))
+    val lhs = banded.select(col("bh"), col("id").as("d1"), col("tks").as("tk1"))
+    val rhs = banded.select(col("bh"), col("id").as("d2"), col("tks").as("tk2"))
+    lhs.join(rhs, Seq("bh"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("tk1"), col("tk2")).distinct()
+      .select(col("d1"), col("d2"),
+        (size(array_intersect(col("tk1"), col("tk2"))).cast("double") /
+          size(array_union(col("tk1"), col("tk2")))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .orderBy("d1", "d2")
+  }
+}

@@ -1,0 +1,137 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a training-data pipeline, over the
+  * `documents` table: tokenization, quality scoring, language-ID
+  * heuristic, document fingerprinting. All are pure codegen'd column
+  * expressions (no UDFs) — they run inside whole-stage codegen and
+  * scale linearly with no shuffle (per-row only).
+  *
+  * Every query here has a DuckDB oracle: the heuristics are defined as
+  * deterministic closed-form expressions so the same formula is
+  * computable in ANSI SQL.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (the `\s+` split both engines agree on). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** Non-whitespace character count. */
+  def nonSpaceLen(text: Column): Column =
+    length(regexp_replace(text, "\\s", "")).cast("long")
+
+  /** Count of matches of a word-boundary alternation, e.g. stopwords. */
+  def wordHits(text: Column, words: Seq[String]): Column =
+    size(regexp_extract_all(text, lit("\\b(" + words.mkString("|") + ")\\b"), lit(1)))
+      .cast("long")
+
+  /** Whitespace-normalized lowercase MD5 fingerprint (rolling-hash class
+    * of SURVEY §2.10's fingerprinting requirement; MD5 chosen because it
+    * is bit-identical across engines). */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")))
+
+  // Stopword marker sets for the language-ID heuristic.
+  val enWords = Seq("the", "a", "of", "and", "to", "in")
+  val esWords = Seq("el", "la", "los", "de", "que", "y")
+  val deWords = Seq("der", "die", "und", "das", "ein", "ist")
+  val frWords = Seq("le", "les", "des", "et", "un", "est")
+
+  /** Han-script character count (CJK detector for zh). */
+  def hanCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("([\\x{4e00}-\\x{9fff}])"), lit(1))).cast("long")
+
+  val all: Seq[Q] = Seq(
+    // T1 — token counting (whitespace tokenizer) + length stats
+    Q("t1_token_stats",
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+             |  cast(length(regexp_replace(text, '\s', '', 'g')) as bigint) AS n_nonspace,
+             |  cast(length(regexp_replace(text, '\s', '', 'g')) as double)
+             |    / len(regexp_split_to_array(trim(text), '\s+')) AS avg_token_len
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val nTok = size(tokens(col("text"))).cast("long")
+        docs.select(col("doc_id"),
+          nTok.as("n_tokens"),
+          nonSpaceLen(col("text")).as("n_nonspace"),
+          (nonSpaceLen(col("text")).cast("double") / nTok).as("avg_token_len"))
+          .orderBy("doc_id")
+      }),
+
+    // T2 — quality scoring: length saturation × stopword density.
+    // Closed-form so the oracle reproduces it exactly.
+    Q("t2_quality_score",
+      Some("""SELECT doc_id, n_tokens, stop_cnt,
+             |  least(1.0, n_tokens / 50.0) * 0.5
+             |    + least(1.0, 5.0 * stop_cnt / n_tokens) * 0.5 AS quality
+             |FROM (
+             |  SELECT doc_id,
+             |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+             |    cast(len(regexp_extract_all(text, '\b(the|a|of|and|to|in)\b')) as bigint) AS stop_cnt
+             |  FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val base = docs.select(col("doc_id"),
+          size(tokens(col("text"))).cast("long").as("n_tokens"),
+          wordHits(col("text"), enWords).as("stop_cnt"))
+        base.select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
+          (least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
+            least(lit(1.0), lit(5.0) * col("stop_cnt") / col("n_tokens")) * 0.5)
+            .as("quality"))
+          .orderBy("doc_id")
+      }),
+
+    // T3 — language ID: stopword-count argmax + Han-script detector.
+    // Deterministic precedence zh > en > es > de > fr > und on ties.
+    Q("t3_lang_id",
+      Some(s"""SELECT doc_id, c_en, c_es, c_de, c_fr, c_zh,
+              |  CASE WHEN c_zh > 0 THEN 'zh'
+              |       WHEN c_en > 0 AND c_en >= greatest(c_es, c_de, c_fr) THEN 'en'
+              |       WHEN c_es > 0 AND c_es >= greatest(c_de, c_fr) THEN 'es'
+              |       WHEN c_de > 0 AND c_de >= c_fr THEN 'de'
+              |       WHEN c_fr > 0 THEN 'fr'
+              |       ELSE 'und' END AS pred_lang
+              |FROM (
+              |  SELECT doc_id,
+              |    cast(len(regexp_extract_all(text, '\\b(${enWords.mkString("|")})\\b')) as bigint) AS c_en,
+              |    cast(len(regexp_extract_all(text, '\\b(${esWords.mkString("|")})\\b')) as bigint) AS c_es,
+              |    cast(len(regexp_extract_all(text, '\\b(${deWords.mkString("|")})\\b')) as bigint) AS c_de,
+              |    cast(len(regexp_extract_all(text, '\\b(${frWords.mkString("|")})\\b')) as bigint) AS c_fr,
+              |    cast(len(regexp_extract_all(text, '([\\x{4e00}-\\x{9fff}])')) as bigint) AS c_zh
+              |  FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val base = docs.select(col("doc_id"),
+          wordHits(col("text"), enWords).as("c_en"),
+          wordHits(col("text"), esWords).as("c_es"),
+          wordHits(col("text"), deWords).as("c_de"),
+          wordHits(col("text"), frWords).as("c_fr"),
+          hanCount(col("text")).as("c_zh"))
+        base.select(col("doc_id"), col("c_en"), col("c_es"), col("c_de"),
+          col("c_fr"), col("c_zh"),
+          when(col("c_zh") > 0, "zh")
+            .when(col("c_en") > 0 && col("c_en") >= greatest(col("c_es"), col("c_de"), col("c_fr")), "en")
+            .when(col("c_es") > 0 && col("c_es") >= greatest(col("c_de"), col("c_fr")), "es")
+            .when(col("c_de") > 0 && col("c_de") >= col("c_fr"), "de")
+            .when(col("c_fr") > 0, "fr")
+            .otherwise("und").as("pred_lang"))
+          .orderBy("doc_id")
+      }),
+
+    // T4 — document fingerprint (normalized MD5)
+    Q("t4_fingerprint",
+      Some("""SELECT doc_id,
+             |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id"))
+  )
+}
