@@ -1,0 +1,177 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table
+  * (embedding: Array[Float], 64-dim, unit-norm).
+  *
+  * Scale design:
+  *  - e1 brute-force top-k: one broadcast of the query vector, one
+  *    map-side cosine per row, TakeOrderedAndProject for the top-k — no
+  *    shuffle of vectors, O(N·d) work evenly partitioned.
+  *  - e2/e3 LSH-bucketed ANN (the 100 TB path): random-hyperplane
+  *    signatures assign each vector to one of 2^P buckets per-row
+  *    (shuffle-free); a query then probes ONLY its bucket —
+  *    candidate set shrinks ~2^P× at the cost of recall. Buckets are a
+  *    partitioning key at scale (bucketBy/repartition on `bucket`).
+  *  - e5 per-label centroids: partial aggregation per (label, dim) —
+  *    the classic IVF coarse-quantizer build, all map-side combine.
+  *
+  * Hyperplanes are derived from MD5 (deterministic, seedless) and
+  * rounded to 6 decimals so the identical literals appear in both the
+  * DataFrame plan and the generated oracle SQL. Dot products in
+  * oracle-checked queries use exact DECIMAL accumulation
+  * (VectorFunctions.dotExact) — order-independent, so Spark and DuckDB
+  * agree bit-for-bit; e4 is the codegen'd double-accumulation hot path.
+  */
+object Similarity {
+
+  val DIM = 64
+  val N_PLANES = 8
+
+  /** Deterministic pseudo-random hyperplanes in [-1,1), rounded to 6
+    * decimals (decimal literals parse to identical doubles in Scala,
+    * Spark SQL, and DuckDB). */
+  lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until N_PLANES).map { p =>
+      (0 until DIM).map { j =>
+        val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
+          .take(4).map("%02x".format(_)).mkString
+        val v = java.lang.Long.parseLong(hex, 16).toDouble / 0xFFFFFFFFL.toDouble * 2.0 - 1.0
+        BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+    }
+  }
+
+  /** SQL VALUES list (p, j, v) for the planes — j is 1-based to match
+    * DuckDB's 1-based list positions. */
+  private def planesValues: String =
+    (for (p <- 0 until N_PLANES; j <- 0 until DIM)
+      yield s"($p,${j + 1},${planes(p)(j)})").mkString(", ")
+
+  /** Exact-decimal dot of the embedding against plane p (parity path). */
+  private def planeDot(emb: Column, p: Int): Column =
+    VectorFunctions.dotExact(emb, typedlit(planes(p)))
+
+  /** LSH bucket id (0 .. 2^N_PLANES-1) from hyperplane sign bits. */
+  def bucketOf(emb: Column): Column =
+    (0 until N_PLANES)
+      .map(p => when(planeDot(emb, p) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _).cast("long")
+
+  /** Oracle CTEs shared by e2/e3: positional unnest + plane join. */
+  private def bucketCtes: String =
+    s"""pl(p, j, v) AS (VALUES $planesValues),
+       |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |              unnest(range(1, len(embedding) + 1)) AS j
+       |       FROM embeddings),
+       |dots AS (SELECT e.vec_id, pl.p,
+       |                cast(sum(cast(e.x * pl.v as decimal(38,20))) as double) AS dp
+       |         FROM ex e JOIN pl ON pl.j = e.j GROUP BY e.vec_id, pl.p),
+       |bkt AS (SELECT vec_id,
+       |               cast(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) as bigint) AS bucket
+       |        FROM dots GROUP BY vec_id)""".stripMargin
+
+  /** Exact cosine between every vector and the query vector (vec_id=q)
+    * as an oracle CTE producing (vec_id, cosine). Embeddings are
+    * unit-norm but we still normalize — exactly, on both engines. */
+  private def cosineCte(q: Long): String =
+    s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $q),
+       |zp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
+       |              unnest(q.qe)::DOUBLE AS y
+       |       FROM embeddings e CROSS JOIN qv q),
+       |cs AS (SELECT vec_id,
+       |         round(cast(sum(cast(x * y as decimal(38,20))) as double) /
+       |         (sqrt(cast(sum(cast(x * x as decimal(38,20))) as double)) *
+       |          sqrt(cast(sum(cast(y * y as decimal(38,20))) as double))), 12) AS cosine
+       |       FROM zp GROUP BY vec_id)""".stripMargin
+
+  private val QUERY_ID = 0L
+  private val TOP_K = 10
+
+  /** Broadcast the query vector as a 1-row frame (never .collect()). */
+  private def withQueryVec(s: SparkSession, d: String): DataFrame = {
+    val e = T.embeddings(s, d)
+    e.crossJoin(broadcast(
+      e.filter(col("vec_id") === QUERY_ID).select(col("embedding").as("qe"))))
+  }
+
+  val all: Seq[Q] = Seq(
+    // E1 — brute-force cosine top-k (the exactness baseline)
+    Q("e1_cosine_topk",
+      Some(s"""WITH ${cosineCte(QUERY_ID)}
+              |SELECT vec_id, cosine FROM cs
+              |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin),
+      (s, d) => withQueryVec(s, d)
+        .select(col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(TOP_K)),
+
+    // E2 — hyperplane-LSH bucket assignment (per-row, shuffle-free)
+    Q("e2_lsh_buckets",
+      Some(s"""WITH $bucketCtes
+              |SELECT vec_id, bucket FROM bkt ORDER BY vec_id""".stripMargin),
+      (s, d) => T.embeddings(s, d)
+        .select(col("vec_id"), bucketOf(col("embedding")).as("bucket"))
+        .orderBy("vec_id")),
+
+    // E3 — ANN: probe ONLY the query vector's bucket, exact cosine on
+    // the shrunken candidate set (the IVF/LSH scale path)
+    Q("e3_ann_bucket_topk",
+      Some(s"""WITH $bucketCtes,
+              |${cosineCte(QUERY_ID)}
+              |SELECT c.vec_id, c.cosine, b.bucket FROM cs c
+              |JOIN bkt b ON b.vec_id = c.vec_id
+              |WHERE b.bucket = (SELECT bucket FROM bkt WHERE vec_id = $QUERY_ID)
+              |ORDER BY c.cosine DESC, c.vec_id LIMIT 5""".stripMargin),
+      (s, d) => {
+        val withBkt = withQueryVec(s, d)
+          .select(col("vec_id"), col("embedding"), col("qe"),
+            bucketOf(col("embedding")).as("bucket"))
+        withBkt
+          .filter(col("bucket") === bucketOf(col("qe")))
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"),
+            col("bucket"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(5)
+      }),
+
+    // E4 — brute-force top-k through the NATIVE codegen'd expression
+    // (hot path; no oracle — double accumulation order differs across
+    // engines. Cross-validated against e1 in SimilaritySpec.)
+    Q("e4_cosine_topk_native", None,
+      (s, d) => withQueryVec(s, d)
+        .select(col("vec_id"),
+          VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc)
+        .limit(TOP_K)),
+
+    // E5 — per-label centroids in long format (label, pos, centroid):
+    // the IVF coarse-quantizer build; partial-aggregates map-side.
+    Q("e5_label_centroids",
+      Some("""WITH ex AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+             |                   unnest(range(1, len(embedding) + 1)) AS pos
+             |            FROM embeddings)
+             |SELECT label, pos,
+             |       round(cast(sum(cast(x as decimal(38,20))) as double) / count(*), 12) AS centroid
+             |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin),
+      (s, d) => T.embeddings(s, d)
+        .select(col("label"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          col("x").cast("double").as("x"))
+        .groupBy("label", "pos")
+        .agg(round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 20)))
+          .cast("double") / count(lit(1)), 12).as("centroid"))
+        .orderBy("label", "pos"))
+  )
+}

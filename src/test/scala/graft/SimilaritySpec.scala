@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class SimilaritySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  test("native codegen cosine agrees with exact-decimal cosine to 1e-9") {
+    val e = Tables.embeddings(spark, sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qe"))
+    val joined = e.crossJoin(broadcast(q))
+    val both = joined.select(
+      VectorFunctions.cosineSim(spark, col("embedding"), col("qe")).as("fast"),
+      (VectorFunctions.dotExact(col("embedding"), col("qe")) /
+        (VectorFunctions.normExact(col("embedding")) *
+          VectorFunctions.normExact(col("qe")))).as("exact"))
+    val maxDiff = both.agg(max(abs(col("fast") - col("exact")))).head.getDouble(0)
+    assert(maxDiff < 1e-9, s"fast vs exact cosine drifted: $maxDiff")
+  }
+
+  test("cosine expression runs inside whole-stage codegen") {
+    val e = Tables.embeddings(spark, sf)
+    // scan + project only (no exchange, so no AQE wrapper hiding the spans)
+    val df = e.select(
+      VectorFunctions.cosineSim(spark, col("embedding"), col("embedding")).as("c"))
+    // whole-stage-codegen stages print as "*(n) Op" in the compact form
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen in plan:\n$plan")
+    assert(df.agg(min("c")).head.getDouble(0) > 0.999) // self-cosine ≈ 1
+  }
+
+  test("e4 native top-k picks the same ids as e1 exact top-k") {
+    val ids1 = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ids4 = SparkEntry.queries("e4_cosine_topk_native")(spark, sf)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ids1 == ids4)
+  }
+
+  test("lsh bucket probe returns a subset of brute-force candidates ranked identically") {
+    val e3 = SparkEntry.queries("e3_ann_bucket_topk")(spark, sf)
+    assert(e3.count() > 0)
+    // the query vector itself (cosine 1.0) must be in its own bucket
+    assert(e3.filter(col("vec_id") === 0).count() == 1)
+  }
+}
