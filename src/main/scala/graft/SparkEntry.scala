@@ -15,7 +15,8 @@ object SparkEntry {
   /** All query groups, each a Seq[Q] of (name, oracle, runner). */
   private def allQ: Seq[Q] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
-      operators.Dedup.all ++ operators.Similarity.all
+      operators.Dedup.all ++ operators.Similarity.all ++
+      operators.Multimodal.all ++ streaming.EventStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

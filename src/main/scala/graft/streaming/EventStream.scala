@@ -1,0 +1,127 @@
+package graft.streaming
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.streaming.{OutputMode, StreamingQuery, Trigger}
+
+/** Streaming / incremental processing over the `events` table.
+  *
+  * The reference's incremental ETL is micro-batch by nature (SURVEY
+  * §2.9); here both renderings exist:
+  *  - `st1`/`st2` run the SAME aggregation logic in batch mode with a
+  *    DuckDB oracle (windowed aggregation == groupBy on the tumbling
+  *    window; sessionization == gap-detection via window functions);
+  *  - `windowedStream` / `runAvailableNow` run it as a real Structured
+  *    Streaming query (watermark + windowed agg, Trigger.AvailableNow,
+  *    memory sink) — exercised in StreamingSpec, asserted equal to the
+  *    batch result. At scale the same code runs continuously with
+  *    `maxFilesPerTrigger` pacing and checkpointed state.
+  */
+object EventStream {
+
+  val SESSION_GAP_US: Long = 30L * 60 * 1000 * 1000 // 30 min in µs
+
+  /** Tumbling 1-hour aggregation as a batch plan (window() function —
+    * identical semantics to the streaming query). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+
+  /** Gap-based sessionization in batch form: a session breaks after
+    * ≥ 30 min of user inactivity. Output in epoch-µs longs (ns inputs
+    * truncate identically on both engines). */
+  def sessionize(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapped = events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .withColumn("prev_us", lag("us", 1).over(
+        Window.partitionBy("user_id").orderBy("us", "event_id")))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > SESSION_GAP_US, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum("is_new").over(Window.partitionBy("user_id")
+          .orderBy("us", "event_id")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    gapped.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_events"),
+        min("us").as("start_us"), max("us").as("end_us"))
+      .orderBy("user_id", "session_id")
+  }
+
+  /** The streaming rendering of hourlyAgg: file source + watermark +
+    * tumbling window. */
+  def windowedStream(spark: SparkSession, sfDir: String): DataFrame = {
+    // declare ts as LONG (raw nanos; spark.sql.legacy.parquet.nanosAsLong
+    // must be on) and convert to a µs timestamp in-plan
+    import org.apache.spark.sql.types._
+    val schema = StructType(T.events(spark, sfDir).schema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream
+      .schema(schema)
+      .parquet(s"$sfDir/{events}.parquet") // glob — file source needs a dir/glob
+      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** Drain the stream with Trigger.AvailableNow into a memory sink and
+    * return the result table name. */
+  def runAvailableNow(spark: SparkSession, sfDir: String, name: String): StreamingQuery = {
+    // the file stream source reads raw parquet (TIMESTAMP NANOS): read
+    // ts as long via the legacy conf, convert in-plan (see Tables.events)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q = windowedStream(spark, sfDir).writeStream
+      .outputMode(OutputMode.Complete())
+      .format("memory").queryName(name)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q
+  }
+
+  val all: Seq[Q] = Seq(
+    // ST1 — tumbling-window aggregation (streaming semantics, batch run)
+    Q("st1_window_agg",
+      Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,
+             |  count(*) AS n_events,
+             |  cast(sum(cast(value as decimal(18,6))) as double) AS total_value
+             |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin),
+      (s, d) => hourlyAgg(T.events(s, d)).orderBy("window_start", "event_type")),
+
+    // ST2 — sessionization by inactivity gap (stateful-streaming
+    // semantics; batch rendering via window functions)
+    Q("st2_sessionize",
+      Some(s"""WITH g AS (
+              |  SELECT user_id, event_id, epoch_us(ts) AS us,
+              |         lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+              |  FROM events),
+              |marked AS (
+              |  SELECT user_id, event_id, us,
+              |         CASE WHEN prev_us IS NULL OR us - prev_us > $SESSION_GAP_US
+              |              THEN 1 ELSE 0 END AS is_new
+              |  FROM g),
+              |sess AS (
+              |  SELECT user_id, us,
+              |         sum(is_new) OVER (PARTITION BY user_id ORDER BY us, event_id
+              |                           ROWS UNBOUNDED PRECEDING) AS session_id
+              |  FROM marked)
+              |SELECT user_id, cast(session_id as bigint) AS session_id,
+              |       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
+              |FROM sess GROUP BY user_id, session_id
+              |ORDER BY user_id, session_id""".stripMargin),
+      (s, d) => sessionize(T.events(s, d)))
+  )
+}

@@ -1,0 +1,110 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end warehouse build from fixtures + every SURVEY §5 scenario:
+  * dim hygiene, surrogate keys, fact semantics, OLTP-vs-DW report
+  * equivalence, incremental idempotence, catalog ops.
+  */
+class OlistWarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val src = OlistFixtures.sources(spark)
+  private lazy val base = {
+    val dir = java.nio.file.Files.createTempDirectory("olist_wh").toString
+    val wh = new Warehouse(spark, dir)
+    wh.build(src)
+    (dir, wh)
+  }
+  private def wh = base._2
+
+  test("product dim: header row filtered, distinct, keys contiguous from 1000") {
+    val p = wh.table("product").orderBy("product_key").collect()
+    val names = p.map(_.getAs[String]("product")).toSeq
+    assert(!names.exists(_.equalsIgnoreCase("product_category_name_english")))
+    assert(names.contains("car_accessories"), "new segment appended")
+    val keys = p.map(_.getAs[Long]("product_key")).toSeq
+    assert(keys == (1000L until (1000L + keys.size)).toSeq)
+    assert(names.distinct.size == names.size)
+  }
+
+  test("location dim: duplicates collapsed, normalized") {
+    val l = wh.table("location").collect()
+    assert(l.count(r => r.getAs[Int]("zip") == 1001) == 1) // dup geoloc collapsed
+    assert(l.forall(r => r.getAs[String]("city") == r.getAs[String]("city").toLowerCase))
+  }
+
+  test("orders fact: canceled + post-cutoff excluded, grain unique, CI city join held") {
+    val f = wh.table("orders_fact")
+    assert(f.filter(col("date_key") >= 20190101).count() == 0)
+    assert(f.filter(col("date_key") === 20180612).count() == 0) // canceled o4
+    assert(f.count() == f.select("date_key", "location_key", "product_key", "seller_id")
+      .distinct().count())
+    // seller_sp ('Sao Paulo') joined geolocation ('sao paulo') despite case
+    assert(f.filter(col("seller_id") === "seller_sp").count() > 0)
+  }
+
+  test("conversions fact: T-SQL truncating avg, negative-duration grain deleted, null origin dropped") {
+    val c = wh.table("conversions_fact").collect()
+    // mql1's two deals (5h, 6h boundary crossings) in one grain → avg 5
+    assert(c.exists(_.getAs[Long]("avg_hrs_convert") == 5L))
+    // mql5's negative-duration grain removed by the avg<1 delete
+    assert(c.forall(_.getAs[Long]("avg_hrs_convert") >= 1L))
+  }
+
+  test("report pair: top sellers by units, OLTP == DW") {
+    val oltp = Reports.topSellersByUnitsOltp(src("orders"), src("order_items"),
+      src("products"), src("category"), src("sellers"), 2018).collect()
+    val dw = Reports.topSellersByUnitsDw(wh.table("orders_fact"),
+      wh.table("time_period"), src("sellers"), 2018).collect()
+    assert(oltp.toSeq == dw.toSeq, s"\noltp=${oltp.toSeq}\ndw=${dw.toSeq}")
+  }
+
+  test("report pair: top sellers by revenue, OLTP == DW") {
+    val oltp = Reports.topSellersByRevenueOltp(src("orders"), src("order_items"),
+      src("sellers"), 2018).collect()
+    val dw = Reports.topSellersByRevenueDw(wh.table("orders_fact"),
+      wh.table("time_period"), src("sellers"), 2018).collect()
+    assert(oltp.toSeq == dw.toSeq, s"\noltp=${oltp.toSeq}\ndw=${dw.toSeq}")
+  }
+
+  test("report: fastest conversions runs on both shapes") {
+    val oltp = Reports.fastestConversionsOltp(src("leads"), src("closed_deals"),
+      src("sellers"), src("order_items")).collect()
+    val dw = Reports.fastestConversionsDw(wh.table("conversions_fact"),
+      wh.table("origin"), wh.table("time_period")).collect()
+    assert(oltp.nonEmpty && dw.nonEmpty)
+    // DW min-over-grains can only be ≤ the OLTP pooled average per group
+    val dwMin = dw.map(_.getAs[Long]("avg_hrs_convert")).min
+    val oltpMin = oltp.map(_.getAs[Long]("avg_hrs_convert")).min
+    assert(dwMin <= oltpMin)
+  }
+
+  test("incremental load: fake-2019 scenario — append once, re-run is a no-op, J7 drops geo-less seller") {
+    val before = wh.table("orders_fact").count()
+    val appended = IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01")
+    val newKeys = appended.select("date_key").collect().map(_.getInt(0)).sorted.toSeq
+    // f1..f5 load; f6's seller has no geolocation → J7 inner join drops it
+    assert(newKeys == Seq(20190101, 20190102, 20190103, 20190104, 20190105))
+    val mid = wh.table("orders_fact").count()
+    assert(mid == before + 5)
+    val second = IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01")
+    assert(second.count() == 0, "re-run must be a no-op (dead UPDATE path)")
+    assert(wh.table("orders_fact").count() == mid)
+  }
+
+  test("catalog ops: database create, table registration, introspection, rename") {
+    spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
+    assert(spark.catalog.databaseExists("olist_dw"))
+    assert(spark.catalog.tableExists("dw_orders_fact"))  // registered views
+    val cols = spark.catalog.listColumns("dw_product").collect().map(_.name).toSet
+    assert(cols == Set("product_key", "product"))        // S11 introspection
+    // S10 rename: re-register under a new name (temp views)
+    spark.table("dw_product").createOrReplaceTempView("dw_product_dim")
+    spark.catalog.dropTempView("dw_product")
+    assert(spark.catalog.tableExists("dw_product_dim"))
+    assert(!spark.catalog.tableExists("dw_product"))
+  }
+}
