@@ -91,14 +91,19 @@ object Dedup {
               |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
       },
       (s, d) => {
+        // explode + grouped mins: the shingle string is built and
+        // hashed ONCE per (doc, shingle) row — a fused array_min form
+        // would recompute the shingle array per signature column after
+        // CollapseProject inlining (measured 4× slower)
         val toks = split(trim(col("text")), "\\s+")
-        val sh = shingles(toks, 3)
-        val sigCols = (0 until K_SIG).map(i => minhashSig(col("sh"), i).as(s"sig$i"))
-        T.documents(s, d)
+        val exploded = T.documents(s, d)
           .filter(size(toks) >= 3)
-          .select(col("doc_id"), sh.as("sh"))
-          .select(col("doc_id") +: sigCols :+
-            size(array_distinct(col("sh"))).cast("long").as("n_shingles"): _*)
+          .select(col("doc_id"), explode(shingles(toks, 3)).as("sh"))
+        val sigAggs = (0 until K_SIG).map(i =>
+          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
+        exploded.groupBy("doc_id")
+          .agg(sigAggs.head, sigAggs.tail :+
+            count_distinct(col("sh")).as("n_shingles"): _*)
           .orderBy("doc_id")
       }),
 
@@ -190,17 +195,28 @@ object Dedup {
              |WHERE cast(i.i as double) / (sa.n + sb.n - i.i) >= 0.05
              |ORDER BY source, d1, d2""".stripMargin),
       (s, d) => {
+        // sparse formulation: explode grams once, self-join on
+        // (block, gram) so only pairs sharing ≥1 gram are ever
+        // materialized, then intersection counts via groupBy — no
+        // dense pairwise array shuffles (pairs with no shared gram
+        // cannot reach any positive threshold)
         val toks = split(trim(col("text")), "\\s+")
         val bg = T.documents(s, d)
           .filter(size(toks) >= 2)
           .select(col("doc_id"), col("source"),
             array_distinct(shingles(toks, 2)).as("bgs"))
-        val a = bg.select(col("source"), col("doc_id").as("d1"), col("bgs").as("bg1"))
-        val b = bg.select(col("source"), col("doc_id").as("d2"), col("bgs").as("bg2"))
-        a.join(b, Seq("source")).filter(col("d1") < col("d2"))
+        val sz = bg.select(col("doc_id"), size(col("bgs")).cast("long").as("n"))
+        val ex = bg.select(col("doc_id"), col("source"), explode(col("bgs")).as("g"))
+        val inter = ex.select(col("source"), col("doc_id").as("d1"), col("g"))
+          .join(ex.select(col("source"), col("doc_id").as("d2"), col("g")),
+            Seq("source", "g"))
+          .filter(col("d1") < col("d2"))
+          .groupBy("source", "d1", "d2").agg(count(lit(1)).as("i"))
+        inter
+          .join(sz.select(col("doc_id").as("d1"), col("n").as("n1")), Seq("d1"))
+          .join(sz.select(col("doc_id").as("d2"), col("n").as("n2")), Seq("d2"))
           .select(col("source"), col("d1"), col("d2"),
-            (size(array_intersect(col("bg1"), col("bg2"))).cast("double") /
-              size(array_union(col("bg1"), col("bg2")))).as("jacc"))
+            (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jacc"))
           .filter(col("jacc") >= 0.05)
           .orderBy("source", "d1", "d2")
       })
@@ -214,15 +230,24 @@ object Dedup {
     require(k % bands == 0, "signature width must divide evenly into bands")
     val rows = k / bands
     val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("tks"))
-    val sigCols = (0 until k).map(i => minhashSig(col("tks"), i).as(s"s$i"))
-    val sig = toks.select((col("id") +: col("tks").as("tks") +: sigCols): _*)
-    val banded = sig.select(col("id"), col("tks"),
+    // signatures via explode + grouped mins (hash each token once)
+    val sigAggs = (0 until k).map(i =>
+      min(md5(concat(lit(s"$i:"), col("tk")))).as(s"s$i"))
+    val sig = toks.select(col("id"), explode(col("tks")).as("tk"))
+      .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    // band join carries ONLY (band_hash, id) — never the token arrays.
+    // Shuffle width is 2 slim columns regardless of document size.
+    val banded = sig.select(col("id"),
       explode(bandHashes((0 until k).map(i => col(s"s$i")), rows)).as("bh"))
-    val lhs = banded.select(col("bh"), col("id").as("d1"), col("tks").as("tk1"))
-    val rhs = banded.select(col("bh"), col("id").as("d2"), col("tks").as("tk2"))
-    lhs.join(rhs, Seq("bh"))
+    val cand = banded.select(col("bh"), col("id").as("d1"))
+      .join(banded.select(col("bh"), col("id").as("d2")), Seq("bh"))
       .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("tk1"), col("tk2")).distinct()
+      .select("d1", "d2").distinct()
+    // exact-Jaccard verification: attach token sets to the (much
+    // smaller) candidate set only
+    cand
+      .join(toks.select(col("id").as("d1"), col("tks").as("tk1")), Seq("d1"))
+      .join(toks.select(col("id").as("d2"), col("tks").as("tk2")), Seq("d2"))
       .select(col("d1"), col("d2"),
         (size(array_intersect(col("tk1"), col("tk2"))).cast("double") /
           size(array_union(col("tk1"), col("tk2")))).as("jacc"))

@@ -1,0 +1,55 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Physical-plan assertions — the properties that keep these plans
+  * viable at 100 TB (SURVEY §4): filters and projections reach the
+  * parquet scan, dimension joins broadcast, top-k avoids a global sort,
+  * nothing falls back to cartesian products.
+  */
+class PlanQualitySpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf)
+      .queryExecution.executedPlan.toString
+
+  test("q1_agg: shipdate filter pushed to the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("p1_project: scan reads only the projected columns") {
+    val p = plan("p1_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse(
+      p.split("ReadSchema").lift(1).getOrElse(""))
+    assert(p.contains("l_orderkey") && !p.contains("l_tax"),
+      s"column pruning failed:\n$p")
+  }
+
+  test("j3_broadcast_dim: dimension side broadcasts") {
+    assert(plan("j3_broadcast_dim").contains("BroadcastHashJoin"))
+  }
+
+  test("j10_star: no shuffle-side cartesian, joins are hash joins") {
+    val p = plan("j10_star")
+    assert(!p.contains("CartesianProduct"))
+    assert(p.contains("Join"), p)
+  }
+
+  test("o1_topk: top-k plans TakeOrderedAndProject (no global sort)") {
+    assert(plan("o1_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("i2_incremental_antijoin: existing-keys side broadcasts into the anti-join") {
+    val p = plan("i2_incremental_antijoin")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("e1_cosine_topk: no shuffle of embedding vectors (broadcast query vector only)") {
+    val p = plan("e1_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+}
