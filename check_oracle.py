@@ -35,7 +35,7 @@ for name, sql in sorted(oracle.items()):
     for c in sp.columns:
         a, b = sp2[c], du2[c]
         if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
-            same = np.array_equal(a.to_numpy(dtype=float), b.to_numpy(dtype=float))
+            same = np.array_equal(a.to_numpy(dtype=float), b.to_numpy(dtype=float), equal_nan=True)
         elif "datetime" in str(a.dtype) or "datetime" in str(b.dtype):
             same = np.array_equal(a.to_numpy("datetime64[us]"), b.to_numpy("datetime64[us]"))
         else:

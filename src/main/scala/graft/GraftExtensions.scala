@@ -1,0 +1,35 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
+import graft.functions.{VectorAvg, VectorFunctions}
+
+/** SparkSessionExtensions entry point — wires the library's native
+  * Catalyst expressions into any session at build time:
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions).…
+  *   // or: spark.sql.extensions=graft.GraftExtensions
+  *
+  * After that, `cosine_sim`, `vec_dot`, and `vector_avg` resolve in SQL
+  * text and via call_function on every session of the cluster.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorFunctions.CosineSimilarity(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[VectorFunctions.VectorDot].getName, "vec_dot"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorFunctions.VectorDot(exprs(0), exprs(1))))
+    ext.injectFunction((
+      FunctionIdentifier("vector_avg"),
+      new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+        VectorAvg(exprs.head).toAggregateExpression()))
+  }
+}

@@ -99,6 +99,13 @@ object VectorFunctions {
       exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vec_dot",
       exprs => VectorDot(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction("vector_avg",
+      exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in")
+  }
+
+  def vectorAvg(spark: SparkSession, a: Column): Column = {
+    register(spark)
+    call_function("vector_avg", a)
   }
 
   def cosineSim(spark: SparkSession, a: Column, b: Column): Column = {

@@ -289,7 +289,112 @@ object Relational {
           col("o_orderkey") === col("l_orderkey"), "left_semi")
         .select("o_orderkey").orderBy("o_orderkey")),
 
-    // Generalized joins beyond the reference (SURVEY §2.3 note): outer
+    // Generalized joins beyond the reference (SURVEY §2.3 note): full outer
+    Q("j_full_outer",
+      Some("""SELECT coalesce(p.p_partkey, l.k) AS partkey, p.p_brand AS brand,
+             |       coalesce(l.n, 0) AS n_heavy_items
+             |FROM part p FULL JOIN (
+             |  SELECT l_partkey AS k, count(*) AS n FROM lineitem
+             |  WHERE l_quantity > 49 GROUP BY 1) l ON l.k = p.p_partkey
+             |ORDER BY partkey""".stripMargin),
+      (s, d) => {
+        val heavy = T.lineitem(s, d).filter(col("l_quantity") > 49)
+          .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("n"))
+        T.part(s, d).join(heavy, col("k") === col("p_partkey"), "full_outer")
+          .select(coalesce(col("p_partkey"), col("k")).as("partkey"),
+            col("p_brand").as("brand"),
+            coalesce(col("n"), lit(0L)).as("n_heavy_items"))
+          .orderBy("partkey")
+      }),
+
+    // F7 — implicit cross-type compare rendered as an explicit cast
+    // (reference: date_key > '20181231', int vs string, Olist DW.sql:353)
+    Q("f7_cross_type_cast",
+      Some("""SELECT o_orderpriority, count(*) AS n FROM orders
+             |WHERE o_orderkey > cast('1000' as bigint)
+             |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .filter(col("o_orderkey") > lit("1000").cast("long"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")),
+
+    // A11/A12 — ROLLUP / CUBE (beyond the reference; Spark natives)
+    Q("a11_rollup",
+      Some("""SELECT coalesce(r_name, '(ALL)') AS region,
+             |       coalesce(n_name, '(ALL)') AS nation, count(*) AS n
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY ROLLUP(r_name, n_name) ORDER BY region, nation""".stripMargin),
+      (s, d) => {
+        // via the SQL surface: DetectAmbiguousSelfJoin misattributes
+        // Dataset-tagged grouping columns after ROLLUP's Expand when the
+        // input is a join built with the Column API
+        T.nation(s, d).createOrReplaceTempView("v_nation")
+        T.region(s, d).createOrReplaceTempView("v_region")
+        s.sql("""SELECT coalesce(r_name, '(ALL)') AS region,
+                |       coalesce(n_name, '(ALL)') AS nation, count(*) AS n
+                |FROM v_nation JOIN v_region ON n_regionkey = r_regionkey
+                |GROUP BY ROLLUP(r_name, n_name)
+                |ORDER BY region, nation""".stripMargin)
+      }),
+
+    Q("a12_cube",
+      Some("""SELECT coalesce(l_returnflag, '(ALL)') AS rf,
+             |       coalesce(l_linestatus, '(ALL)') AS ls,
+             |       count(*) AS n
+             |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+             |ORDER BY rf, ls""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .cube("l_returnflag", "l_linestatus").agg(count(lit(1)).as("n"))
+        .select(coalesce(col("l_returnflag"), lit("(ALL)")).as("rf"),
+          coalesce(col("l_linestatus"), lit("(ALL)")).as("ls"), col("n"))
+        .orderBy("rf", "ls")),
+
+    // W3 — per-group top-k via ranked window + filter: the scale-safe
+    // top-k (each group ranks locally after one hash partition — never
+    // a global sort)
+    Q("w3_topk_per_group",
+      Some("""SELECT * FROM (
+             |  SELECT n_nationkey AS nation, c_custkey, c_acctbal,
+             |         cast(row_number() OVER (PARTITION BY n_nationkey
+             |              ORDER BY c_acctbal DESC, c_custkey) as bigint) AS rk
+             |  FROM customer JOIN nation ON c_nationkey = n_nationkey)
+             |WHERE rk <= 3 ORDER BY nation, rk""".stripMargin),
+      (s, d) => T.customer(s, d)
+        .join(broadcast(T.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_nationkey").as("nation"), col("c_custkey"), col("c_acctbal"),
+          row_number().over(Window.partitionBy("n_nationkey")
+            .orderBy(col("c_acctbal").desc, col("c_custkey").asc))
+            .cast("long").as("rk"))
+        .filter(col("rk") <= 3)
+        .orderBy("nation", "rk")),
+
+    // W4 — lag/lead offsets
+    Q("w4_lag_lead",
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  coalesce(lag(l_quantity) OVER w, -1.0) AS prev_qty,
+             |  coalesce(lead(l_quantity) OVER w, -1.0) AS next_qty
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+        T.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            coalesce(lag("l_quantity", 1).over(w), lit(-1.0)).as("prev_qty"),
+            coalesce(lead("l_quantity", 1).over(w), lit(-1.0)).as("next_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      }),
+
+    // A13 — approx_count_distinct (HLL; no oracle — algorithm-specific.
+    // Cross-checked against exact distinct counts in QueriesSpec.)
+    Q("a13_approx_count_distinct", None,
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
+          count_distinct(col("l_partkey")).as("exact_parts"))
+        .orderBy("l_returnflag")),
+
     Q("j_left_outer",
       Some("""SELECT n_name, count(c_custkey) AS n_cust
              |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey

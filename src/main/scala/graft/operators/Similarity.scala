@@ -172,6 +172,17 @@ object Similarity {
         .groupBy("label", "pos")
         .agg(round(sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 20)))
           .cast("double") / count(lit(1)), 12).as("centroid"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // E6 — the same centroids through the NATIVE VectorAvg
+    // TypedImperativeAggregate: no 64× posexplode inflation, one
+    // in-place buffer per group, map-side combine (the 100 TB path; no
+    // oracle — array output + double accumulation. Cross-validated
+    // against e5 in SimilaritySpec.)
+    Q("e6_centroids_native", None,
+      (s, d) => T.embeddings(s, d)
+        .groupBy("label")
+        .agg(VectorFunctions.vectorAvg(s, col("embedding")).as("centroid"))
+        .orderBy("label"))
   )
 }

@@ -40,6 +40,38 @@ class SimilaritySpec extends AnyFunSuite {
     assert(ids1 == ids4)
   }
 
+  test("native vector_avg centroids match the exact long-format centroids to 1e-9") {
+    val native = SparkEntry.queries("e6_centroids_native")(spark, sf)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
+    val exact = SparkEntry.queries("e5_label_centroids")(spark, sf)
+      .collect().groupBy(_.getInt(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(_.getLong(1)).map(_.getDouble(2)).toSeq
+      }
+    assert(native.keySet == exact.keySet)
+    val maxDiff = (for {
+      (l, ex) <- exact; (a, b) <- ex.zip(native(l))
+    } yield math.abs(a - b)).max
+    assert(maxDiff < 1e-9, s"centroid drift: $maxDiff")
+  }
+
+  test("vector functions resolve in SQL text after registration") {
+    graft.functions.VectorFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT cosine_sim(array(cast(1.0 as float), cast(0.0 as float)), " +
+        "array(cast(1.0 as float), cast(0.0 as float))) AS c").head.getDouble(0)
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+
+  test("approx_count_distinct within 5% of exact") {
+    val rows = SparkEntry.queries("a13_approx_count_distinct")(spark, sf).collect()
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_parts").toDouble
+      val exact = r.getAs[Long]("exact_parts").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05, s"approx too far: $r")
+    }
+  }
+
   test("lsh bucket probe returns a subset of brute-force candidates ranked identically") {
     val e3 = SparkEntry.queries("e3_ann_bucket_topk")(spark, sf)
     assert(e3.count() > 0)
