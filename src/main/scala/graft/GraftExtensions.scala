@@ -16,6 +16,7 @@ import graft.functions.{VectorAvg, VectorFunctions}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectResolutionRule(_ => graft.plans.DateKeyJoinRewrite)
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),
