@@ -93,6 +93,19 @@ object EventStream {
   }
 
   val all: Seq[Q] = Seq(
+    // F9 — semi-structured JSON property extraction from the event
+    // payload column (get_json_object is codegen'd; no UDF)
+    Q("f9_json_extract",
+      Some("""SELECT event_type,
+             |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+             |  count(*) AS n
+             |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
+      (s, d) => T.events(s, d)
+        .groupBy("event_type")
+        .agg(sum(get_json_object(col("props"), "$.k").cast("long")).as("sum_k"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
     // ST1 — tumbling-window aggregation (streaming semantics, batch run)
     Q("st1_window_agg",
       Some("""SELECT date_trunc('hour', ts) AS window_start, event_type,

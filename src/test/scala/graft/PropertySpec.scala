@@ -1,0 +1,48 @@
+package graft
+
+import graft.olist.{Dimensions, Schemas}
+import org.apache.spark.sql.Row
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import scala.jdk.CollectionConverters._
+
+/** Property tests (SURVEY §5): surrogate-key density/uniqueness over
+  * arbitrary dimension inputs, and idempotence of the incremental
+  * anti-join append over arbitrary delta windows. Raw ScalaCheck
+  * generators with fixed seeds (the scalatest bridge isn't in the
+  * offline dependency set).
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val nameGen = Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.mkString.take(12))
+  private def sample[T](g: Gen[T], seed: Long): T =
+    g.pureApply(org.scalacheck.Gen.Parameters.default, Seed(seed))
+
+  test("surrogate keys: dense from 1000, unique, one per distinct natural key") {
+    (1 to 10).foreach { i =>
+      val names = sample(Gen.listOfN(30, nameGen), 42L + i)
+      val cat = spark.createDataFrame(
+        names.map(n => Row(n, n)).asJava, Schemas.category)
+      val dim = Dimensions.product(cat).collect()
+      val keys = dim.map(_.getAs[Long]("product_key")).sorted.toSeq
+      assert(dim.length == names.distinct.size, s"iteration $i")
+      assert(keys == (1000L until (1000L + keys.size)).toSeq, s"iteration $i")
+    }
+  }
+
+  test("anti-join append: applying the same delta twice adds nothing") {
+    import spark.implicits._
+    (1 to 10).foreach { i =>
+      val cut = sample(Gen.chooseNum(1, 100), 7L * i)
+      val base = (1 to 100).map(j => (j % cut, j)).toDF("date_key", "v")
+      val existing = base.select("date_key").distinct()
+      val delta = (1 to 50).map(j => (j % (cut + 3), j)).toDF("date_key", "v")
+      val fresh = delta.join(existing, Seq("date_key"), "left_anti")
+      val existing2 = existing.union(fresh.select("date_key")).distinct()
+      val secondRun = delta.join(existing2, Seq("date_key"), "left_anti")
+      assert(secondRun.count() == 0, s"iteration $i (cut=$cut)")
+    }
+  }
+}
