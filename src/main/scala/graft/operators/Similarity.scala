@@ -174,6 +174,37 @@ object Similarity {
           .cast("double") / count(lit(1)), 12).as("centroid"))
         .orderBy("label", "pos")),
 
+    // E7 — IVF-style ANN: coarse-quantize with the VectorAvg centroids
+    // (one per label — the trained partition), assign every vector to
+    // its nearest centroid per-row, then probe ONLY the query's cell
+    // and rank by exact cosine. At scale the cell id is a partitioning
+    // key; the probe scans 1/k of the data. (No oracle — nearest-
+    // centroid assignment uses the native double-accumulation cosine.
+    // Recall vs brute force asserted in SimilaritySpec.)
+    Q("e7_ivf_ann_topk", None,
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val cents = emb.groupBy("label")
+          .agg(VectorFunctions.vectorAvg(s, col("embedding")).as("cvec"))
+          .select(col("label").as("cell"),
+            col("cvec").cast("array<float>").as("cvec"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+        val assigned = emb.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"),
+            col("cell"), VectorFunctions.cosineSim(s, col("embedding"), col("cvec")).as("sim"))
+          .withColumn("rk", row_number().over(w))
+          .filter(col("rk") === 1)
+          .select(col("vec_id"), col("embedding"), col("cell"))
+        val qCell = assigned.filter(col("vec_id") === QUERY_ID)
+          .select(col("embedding").as("qe"), col("cell").as("qcell"))
+        assigned.join(broadcast(qCell), col("cell") === col("qcell"))
+          .select(col("vec_id"), col("cell"),
+            VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(TOP_K)
+      }),
+
     // E6 — the same centroids through the NATIVE VectorAvg
     // TypedImperativeAggregate: no 64× posexplode inflation, one
     // in-place buffer per group, map-side combine (the 100 TB path; no

@@ -125,6 +125,32 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // T5 — TF-IDF over unigram terms: tf per (doc, term), df across
+    // the corpus, idf = ln((N+1)/(df+1)). Two aggregations, both
+    // hash-shuffled on slim keys; ln/round absorb cross-libm ulp drift.
+    Q("t5_tfidf",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term
+             |  FROM documents),
+             |tf AS (SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2),
+             |df AS (SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+             |n AS (SELECT count(DISTINCT doc_id) AS n FROM tok)
+             |SELECT tf.doc_id, tf.term,
+             |       round(tf.tf * ln((n.n + 1.0) / (df.df + 1.0)), 9) AS tfidf
+             |FROM tf JOIN df ON df.term = tf.term CROSS JOIN n
+             |ORDER BY tf.doc_id, tf.term""".stripMargin),
+      (s, d) => {
+        val tok = T.documents(s, d)
+          .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+        val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+        val df = tok.groupBy("term").agg(count_distinct(col("doc_id")).as("df"))
+        val n = tok.agg(count_distinct(col("doc_id")).as("n"))
+        tf.join(df, "term").crossJoin(broadcast(n))
+          .select(col("doc_id"), col("term"),
+            round(col("tf") * log((col("n") + 1.0) / (col("df") + 1.0)), 9).as("tfidf"))
+          .orderBy("doc_id", "term")
+      }),
+
     // T4 — document fingerprint (normalized MD5)
     Q("t4_fingerprint",
       Some("""SELECT doc_id,

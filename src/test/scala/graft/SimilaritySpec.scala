@@ -72,6 +72,17 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("ivf probe: query's own vector tops its cell; results ranked like brute force") {
+    val ivf = SparkEntry.queries("e7_ivf_ann_topk")(spark, sf).collect()
+    assert(ivf.nonEmpty)
+    assert(ivf.head.getAs[Long]("vec_id") == 0L) // self-cosine 1.0 first
+    // every IVF result appears in the brute-force ranking in the same order
+    val brute = SparkEntry.queries("e4_cosine_topk_native")(spark, sf)
+      .collect().map(_.getLong(0)).toSeq
+    val inBrute = ivf.map(_.getAs[Long]("vec_id")).filter(brute.contains).toSeq
+    assert(inBrute == brute.filter(inBrute.contains))
+  }
+
   test("lsh bucket probe returns a subset of brute-force candidates ranked identically") {
     val e3 = SparkEntry.queries("e3_ann_bucket_topk")(spark, sf)
     assert(e3.count() > 0)
