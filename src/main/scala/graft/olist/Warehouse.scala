@@ -14,8 +14,12 @@ import org.apache.spark.sql.functions._
   * tables are written partitioned by year (SURVEY §4: partition pruning
   * on the date axis; dims stay broadcast-sized and unpartitioned).
   */
-class Warehouse(spark: SparkSession, basePath: String) {
+class Warehouse(spark: SparkSession, basePath: String,
+    format: String = "parquet") {
   import Normalize.norm
+
+  require(Seq("parquet", "orc", "json", "csv").contains(format),
+    s"unsupported warehouse format: $format")
 
   /** Partition spec recorded at save time so appends lay files out
     * identically (a flat append into a partitioned directory corrupts
@@ -26,10 +30,12 @@ class Warehouse(spark: SparkSession, basePath: String) {
     * SELECT..INTO, Olist DW.sql:64-67 etc.). */
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
-    val w = df.write.mode("overwrite")
+    schemas(name) = df.schema
+    val w = df.write.mode("overwrite").format(format)
+      .option("header", "true") // no-op outside csv
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .parquet(s"$basePath/$name")
-    val back = spark.read.parquet(s"$basePath/$name")
+      .save(s"$basePath/$name")
+    val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
     back
   }
@@ -39,12 +45,21 @@ class Warehouse(spark: SparkSession, basePath: String) {
     * atomic per task — the moral equivalent of TABLOCK fast load. */
   def append(name: String, df: DataFrame): Unit = {
     val parts = partitioning.getOrElse(name, Nil)
-    val w = df.write.mode("append")
+    val w = df.write.mode("append").format(format)
+      .option("header", "true")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .parquet(s"$basePath/$name")
+      .save(s"$basePath/$name")
   }
 
-  def table(name: String): DataFrame = spark.read.parquet(s"$basePath/$name")
+  /** Schema recorded at save time — json/csv don't self-describe. */
+  private val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+
+  private def read(name: String): DataFrame = {
+    val r = spark.read.format(format).option("header", "true")
+    schemas.get(name).fold(r)(sc => r.schema(sc)).load(s"$basePath/$name")
+  }
+
+  def table(name: String): DataFrame = read(name)
 
   /** Build every dim + both facts from the given source tables.
     * Statement order mirrors the reference build (Olist DW.sql:39-184). */
