@@ -45,6 +45,7 @@ object Bench {
     // measure the plan, not first-touch classloading.
     Tables.lineitem(spark, sfDir).count()
 
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
@@ -53,14 +54,18 @@ object Bench {
         // alone would let Catalyst prune the plan to nothing)
         fn(spark, sfDir).write.format("noop").mode("overwrite").save()
       } catch { case e: Throwable =>
+        failed += name
         System.err.println(s"[bench] $name failed: ${e.getMessage}")
       }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
+    val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // a failed query makes the line loudly non-comparable instead of
+    // silently shrinking the total
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -35,9 +35,10 @@ case class VectorAvg(
       val arr = v.asInstanceOf[ArrayData]
       val n = arr.numElements()
       if (b.sums == null) b.sums = new Array[Double](n)
+      require(n == b.sums.length,
+        s"vector_avg: ragged input — expected ${b.sums.length} dims, got $n")
       var i = 0
-      val m = math.min(n, b.sums.length)
-      while (i < m) { b.sums(i) += arr.getFloat(i).toDouble; i += 1 }
+      while (i < n) { b.sums(i) += arr.getFloat(i).toDouble; i += 1 }
       b.count += 1
     }
     b
@@ -47,9 +48,10 @@ case class VectorAvg(
     if (o.sums != null) {
       if (b.sums == null) { b.sums = o.sums.clone(); b.count = o.count }
       else {
+        require(b.sums.length == o.sums.length,
+          s"vector_avg: ragged merge — ${b.sums.length} vs ${o.sums.length} dims")
         var i = 0
-        val m = math.min(b.sums.length, o.sums.length)
-        while (i < m) { b.sums(i) += o.sums(i); i += 1 }
+        while (i < b.sums.length) { b.sums(i) += o.sums(i); i += 1 }
         b.count += o.count
       }
     }

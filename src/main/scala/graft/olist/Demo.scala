@@ -67,6 +67,8 @@ object Demo {
     * header-row leak, canceled order, fake 2019 rows included). */
   private def writeSampleCsvs(dir: String): Unit = {
     val d = new java.io.File(dir); d.mkdirs()
+    // never clobber existing user data — populate only an empty dir
+    if (d.listFiles != null && d.listFiles.nonEmpty) return
     def w(name: String, content: String): Unit = {
       val f = new java.io.PrintWriter(s"$dir/$name.csv"); f.write(content.trim + "\n"); f.close()
     }

@@ -72,10 +72,12 @@ object Dimensions {
     * left-anti join + keyed append. Keys continue after the current max
     * (an agg over a broadcast-sized dim, not a collect of data rows). */
   def newSegments(closedDeals: DataFrame, productDim: DataFrame): DataFrame = {
-    val segs = closedDeals.select(col("business_segment").as("product"))
+    val segs = closedDeals
       .filter(col("business_segment").isNotNull)
+      .select(norm(col("business_segment")).as("product"))
       .distinct()
-      .join(productDim.select("product"), Seq("product"), "left_anti")
+      .join(productDim.select(norm(col("product")).as("product")),
+        Seq("product"), "left_anti")
     val maxKey = productDim.agg(max("product_key").as("mk"))
     segs.crossJoin(broadcast(maxKey))
       .select(

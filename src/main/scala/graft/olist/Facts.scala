@@ -61,7 +61,10 @@ object Facts {
     joined.groupBy(col("date_key"), col("year"), col("location_key"),
         col("product_key"), col("seller_id"))                    // A6
       .agg(
-        sum("price").as("sales_total"),                          // A1
+        // exact decimal sum → double: report-pair equality must not
+        // depend on double-add associativity across plan shapes
+        sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+          .cast("double").as("sales_total"),                     // A1
         count("product_id").as("units_sold"))                    // A2
   }
 

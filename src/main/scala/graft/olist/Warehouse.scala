@@ -31,6 +31,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
     schemas(name) = df.schema
+    writeMeta(name, partitionBy, df.schema)
     val w = df.write.mode("overwrite").format(format)
       .option("header", "true") // no-op outside csv
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
@@ -44,7 +45,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * INSERT..SELECT `Olist DW.sql:71-75`). Parquet append is bulk and
     * atomic per task — the moral equivalent of TABLOCK fast load. */
   def append(name: String, df: DataFrame): Unit = {
-    val parts = partitioning.getOrElse(name, Nil)
+    val parts = partitioning.getOrElseUpdate(name, loadMeta(name)._1)
     val w = df.write.mode("append").format(format)
       .option("header", "true")
     (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
@@ -55,8 +56,42 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
 
   private def read(name: String): DataFrame = {
+    val sc = schemas.getOrElseUpdate(name,
+      loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
     val r = spark.read.format(format).option("header", "true")
-    schemas.get(name).fold(r)(sc => r.schema(sc)).load(s"$basePath/$name")
+    (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
+  }
+
+  /** Table metadata persisted beside the data so a NEW Warehouse
+    * instance over an existing basePath (the cross-job incremental
+    * scenario) appends with the original partition layout and reads
+    * csv/json with the declared schema. */
+  private def metaPath(name: String) =
+    java.nio.file.Paths.get(s"$basePath/_graft_meta", s"$name.json")
+
+  private def writeMeta(name: String,
+      parts: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
+    java.nio.file.Files.createDirectories(metaPath(name).getParent)
+    val json = s"""{"partitionBy":[${parts.map("\"" + _ + "\"").mkString(",")}],
+                   |"schema":${schema.json}}""".stripMargin.replace("\n", "")
+    java.nio.file.Files.writeString(metaPath(name), json)
+  }
+
+  private def loadMeta(name: String)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val path = metaPath(name)
+    if (!java.nio.file.Files.exists(path)) (Nil, None)
+    else {
+      val json = java.nio.file.Files.readString(path)
+      val parts = "\"partitionBy\":\\[([^\\]]*)\\]".r
+        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
+      val schemaJson = json.substring(json.indexOf("\"schema\":") + 9).stripSuffix("}")
+      val schema = scala.util.Try(
+        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
+      (parts, schema)
+    }
   }
 
   def table(name: String): DataFrame = read(name)

@@ -78,7 +78,10 @@ object Multimodal {
         .select(col("doc_id"),
           octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
         .select(col("doc_id"), col("n"),
-          explode(sequence(lit(0L), floor((col("n") + 255) / 256) - 1)).as("frame_idx"))
+          // empty payload → zero frames (sequence(0,-1) would descend)
+          explode(when(col("n") > 0,
+            sequence(lit(0L), (floor((col("n") + 255) / 256) - 1).cast("long")))
+            .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
         .select(col("doc_id"), col("frame_idx"),
           least(lit(256L), col("n") - col("frame_idx") * 256).as("frame_len"))
         .orderBy("doc_id", "frame_idx"))
