@@ -20,17 +20,23 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorFunctions.CosineSimilarity(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"cosine_sim expects 2 arguments, got ${exprs.length}")
+        VectorFunctions.CosineSimilarity(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VectorFunctions.VectorDot].getName, "vec_dot"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorFunctions.VectorDot(exprs(0), exprs(1))))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 2, s"vec_dot expects 2 arguments, got ${exprs.length}")
+        VectorFunctions.VectorDot(exprs(0), exprs(1))
+      }))
     ext.injectFunction((
       FunctionIdentifier("vector_avg"),
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
-      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
-        VectorAvg(exprs.head).toAggregateExpression()))
+      (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {
+        require(exprs.length == 1, s"vector_avg expects 1 argument, got ${exprs.length}")
+        VectorAvg(exprs.head).toAggregateExpression()
+      }))
   }
 }

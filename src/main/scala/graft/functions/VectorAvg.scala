@@ -2,7 +2,7 @@ package graft.functions
 
 import java.nio.ByteBuffer
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.{ExpectsInputTypes, Expression}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
@@ -20,9 +20,12 @@ case class VectorAvg(
     child: Expression,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[VectorAvg.Buffer] {
+  extends TypedImperativeAggregate[VectorAvg.Buffer] with ExpectsInputTypes {
 
   override def children: Seq[Expression] = Seq(child)
+  // reject non-float arrays at analysis time — getFloat on a double
+  // array would silently read half-words
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
   override def nullable: Boolean = true
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

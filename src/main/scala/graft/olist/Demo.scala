@@ -28,7 +28,7 @@ object Demo {
 
     // S1 — CSV bulk import with declared schemas, never inferred
     def csv(name: String, schema: org.apache.spark.sql.types.StructType) =
-      spark.read.option("header", "true").schema(schema).csv(s"$csvDir/$name.csv")
+      graft.Sources.csv(spark, s"$csvDir/$name.csv", schema)
     val src = Map(
       "orders" -> csv("orders", Schemas.orders),
       "order_items" -> csv("order_items", Schemas.orderItems),

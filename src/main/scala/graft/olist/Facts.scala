@@ -63,8 +63,7 @@ object Facts {
       .agg(
         // exact decimal sum → double: report-pair equality must not
         // depend on double-add associativity across plan shapes
-        sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-          .cast("double").as("sales_total"),                     // A1
+        graft.Num.dsum(col("price")).as("sales_total"),          // A1
         count("product_id").as("units_sold"))                    // A2
   }
 

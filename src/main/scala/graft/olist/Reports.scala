@@ -55,8 +55,7 @@ object Reports {
       .filter(year(col("order_purchase_timestamp")) === yr)
       .join(broadcast(sellers.select("seller_id", "seller_state")), Seq("seller_id"))
       .groupBy(col("seller_id"), col("seller_state"))
-      .agg(round(sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
-        .cast("double").as("total_revenue"))
+      .agg(round(graft.Num.dsum(col("price")), 2).as("total_revenue"))
       .orderBy(col("total_revenue").desc, col("seller_id").asc)
       .limit(5)
 
@@ -68,8 +67,7 @@ object Reports {
         Seq("date_key"))
       .join(broadcast(sellers.select("seller_id", "seller_state")), Seq("seller_id"))
       .groupBy(col("seller_id"), col("seller_state"))
-      .agg(round(sum(col("sales_total").cast(org.apache.spark.sql.types.DecimalType(18, 2))), 2)
-        .cast("double").as("total_revenue"))
+      .agg(round(graft.Num.dsum(col("sales_total")), 2).as("total_revenue"))
       .orderBy(col("total_revenue").desc, col("seller_id").asc)
       .limit(5)
 

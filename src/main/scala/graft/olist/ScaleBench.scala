@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 /** Reference-scale throughput check: synthesizes Olist-proportioned
   * data (README.md:3 of the reference: ~100k orders, ~112k order_items,
-  * ~1M geolocation rows, Sep 2016–Oct 2018), builds the full warehouse,
+  * ~1M geolocation rows; order dates extended into Jan 2019 so the timed incremental window is non-empty), builds the full warehouse,
   * and times build + the six report queries. This is the direct
   * comparison point against the reference's single-node SQL Server
   * workload at identical scale.
@@ -41,13 +41,16 @@ object ScaleBench {
       (lit(-23.0) - pmod(col("id"), lit(100)) / 100.0).as("geolocation_lat"),
       (lit(-46.0) - pmod(col("id"), lit(100)) / 100.0).as("geolocation_lng"),
       concat(lit("city_"), pmod(col("id"), lit(1000))).as("geolocation_city"),
-      concat(lit("st"), pmod(col("id"), lit(27))).as("geolocation_state"))
+      // state derived from zip so (zip, city) determines one location —
+      // independent mods would give every zip up to 27 states and fan
+      // the composite-key location join 27x
+      concat(lit("st"), pmod(pmod(col("id"), lit(1000)), lit(27))).as("geolocation_state"))
 
     val sellers = spark.range(nSellers).select(
       concat(lit("s_"), col("id")).as("seller_id"),
       pmod(col("id"), lit(1000)).cast("int").as("seller_zip_code_prefix"),
       concat(lit("CITY_"), pmod(col("id"), lit(1000))).as("seller_city"), // CI join
-      concat(lit("st"), pmod(col("id"), lit(27))).as("seller_state"))
+      concat(lit("st"), pmod(pmod(col("id"), lit(1000)), lit(27))).as("seller_state"))
 
     val baseTs = to_timestamp(lit("2016-09-01 00:00:00"))
     val orders = spark.range(nOrders).select(
@@ -56,7 +59,7 @@ object ScaleBench {
       when(pmod(col("id"), lit(100)) === 0, "canceled")
         .when(pmod(col("id"), lit(100)) === 1, "shipped")
         .otherwise("delivered").as("order_status"),
-      (baseTs + make_interval(lit(0), lit(0), lit(0), lit(0), pmod(col("id"), lit(760L * 24)).cast("int")))
+      (baseTs + make_interval(lit(0), lit(0), lit(0), lit(0), pmod(col("id"), lit(880L * 24)).cast("int")))
         .as("order_purchase_timestamp"))
       .withColumn("order_approved_at", col("order_purchase_timestamp"))
       .withColumn("order_delivered_carrier_date", col("order_purchase_timestamp"))
@@ -143,8 +146,9 @@ object ScaleBench {
       src("sellers"), src("order_items")).collect())
     val (_, t6) = time(Reports.fastestConversionsDw(wh.table("conversions_fact"),
       wh.table("origin"), wh.table("time_period")).collect())
-    val (_, tInc) = time(IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01"))
-    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"orders":100000,"order_items":112000,"geolocation":1000000}""")
+    val (incRows, tInc) = time(
+      IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01").count())
+    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"incremental_rows":$incRows%d,"orders":100000,"order_items":112000,"geolocation":1000000}""")
     spark.stop()
   }
 }

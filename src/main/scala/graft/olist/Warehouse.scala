@@ -31,11 +31,13 @@ class Warehouse(spark: SparkSession, basePath: String,
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
     schemas(name) = df.schema
-    writeMeta(name, partitionBy, df.schema)
     val w = df.write.mode("overwrite").format(format)
       .option("header", "true") // no-op outside csv
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(s"$basePath/$name")
+    // meta only AFTER the data write succeeds — a failed write must not
+    // leave metadata describing data that never landed
+    writeMeta(name, partitionBy, df.schema)
     val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
     back
@@ -65,33 +67,35 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Table metadata persisted beside the data so a NEW Warehouse
     * instance over an existing basePath (the cross-job incremental
     * scenario) appends with the original partition layout and reads
-    * csv/json with the declared schema. */
-  private def metaPath(name: String) =
-    java.nio.file.Paths.get(s"$basePath/_graft_meta", s"$name.json")
+    * csv/json with the declared schema. Two plain files per table —
+    * no hand-rolled JSON parsing. */
+  private def metaDir = java.nio.file.Paths.get(s"$basePath/_graft_meta")
 
   private def writeMeta(name: String,
       parts: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
-    java.nio.file.Files.createDirectories(metaPath(name).getParent)
-    val json = s"""{"partitionBy":[${parts.map("\"" + _ + "\"").mkString(",")}],
-                   |"schema":${schema.json}}""".stripMargin.replace("\n", "")
-    java.nio.file.Files.writeString(metaPath(name), json)
+    java.nio.file.Files.createDirectories(metaDir)
+    java.nio.file.Files.writeString(metaDir.resolve(s"$name.partitions"),
+      parts.mkString("\n"))
+    java.nio.file.Files.writeString(metaDir.resolve(s"$name.schema.json"),
+      schema.json)
   }
 
   private def loadMeta(name: String)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
-    val path = metaPath(name)
-    if (!java.nio.file.Files.exists(path)) (Nil, None)
-    else {
-      val json = java.nio.file.Files.readString(path)
-      val parts = "\"partitionBy\":\\[([^\\]]*)\\]".r
-        .findFirstMatchIn(json).map(_.group(1)).getOrElse("")
-        .split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq
-      val schemaJson = json.substring(json.indexOf("\"schema\":") + 9).stripSuffix("}")
-      val schema = scala.util.Try(
-        org.apache.spark.sql.types.DataType.fromJson(schemaJson)
+    val pf = metaDir.resolve(s"$name.partitions")
+    val sf = metaDir.resolve(s"$name.schema.json")
+    val parts =
+      if (java.nio.file.Files.exists(pf))
+        java.nio.file.Files.readString(pf).split("\n").map(_.trim)
+          .filter(_.nonEmpty).toSeq
+      else Nil
+    val schema =
+      if (java.nio.file.Files.exists(sf))
+        scala.util.Try(org.apache.spark.sql.types.DataType
+          .fromJson(java.nio.file.Files.readString(sf))
           .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
-      (parts, schema)
-    }
+      else None
+    (parts, schema)
   }
 
   def table(name: String): DataFrame = read(name)

@@ -25,20 +25,7 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Relational {
 
-  /** Exact sum of a double expression: cast each row to DECIMAL(18,s),
-    * sum exactly, return double. */
-  private def dsum(c: Column, scale: Int = 2): Column =
-    sum(c.cast(DecimalType(18, scale))).cast("double")
-
-  /** Exact average (sum/count both deterministic, final division in
-    * double on both engines). */
-  private def davg(c: Column, scale: Int = 2): Column =
-    (sum(c.cast(DecimalType(18, scale))).cast("double") / count(c))
-
-  private def sqlDsum(e: String, scale: Int = 2): String =
-    s"cast(sum(cast($e as decimal(18,$scale))) as double)"
-  private def sqlDavg(e: String, scale: Int = 2): String =
-    s"(cast(sum(cast($e as decimal(18,$scale))) as double) / count($e))"
+  import graft.Num.{dsum, davg, sqlDsum, sqlDavg}
 
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------

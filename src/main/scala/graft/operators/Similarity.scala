@@ -233,8 +233,14 @@ object Similarity {
           .withColumn("rk", row_number().over(w))
           .filter(col("rk") === 1)
           .select(col("vec_id"), col("embedding"), col("cell"))
-        val qCell = assigned.filter(col("vec_id") === QUERY_ID)
-          .select(col("embedding").as("qe"), col("cell").as("qcell"))
+        // derive the query's cell from the single query row (NOT by
+        // re-evaluating the full assignment subtree a second time)
+        val qCell = emb.filter(col("vec_id") === QUERY_ID)
+          .crossJoin(broadcast(cents))
+          .select(col("embedding").as("qe"), col("cell"),
+            VectorFunctions.cosineSim(s, col("embedding"), col("cvec")).as("sim"))
+          .orderBy(col("sim").desc, col("cell").asc).limit(1)
+          .select(col("qe"), col("cell").as("qcell"))
         assigned.join(broadcast(qCell), col("cell") === col("qcell"))
           .select(col("vec_id"), col("cell"),
             VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))

@@ -29,8 +29,8 @@ object Skew {
   /** Two-phase salted aggregation for algebraic aggregates over skewed
     * group keys: partial-aggregate on (key, salt), then final-aggregate
     * on key. The hot key's partial state is built by `salts` tasks in
-    * parallel. `partials` maps each output column to its (partial,
-    * final) pair, e.g. count → (count, sum). */
+    * parallel. Hard-codes the sum+count pair (the composable partial/
+    * final shape generalizes to any algebraic aggregate). */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame =
     df.withColumn("_salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
