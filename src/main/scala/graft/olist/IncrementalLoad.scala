@@ -22,14 +22,42 @@ object IncrementalLoad {
   /** Returns the appended rows (empty when re-run — idempotent). */
   def run(wh: Warehouse, src: Map[String, DataFrame],
       since: String, until: String): DataFrame = {
-    val delta = Facts.ordersFact(
-      src("orders"), src("order_items"), src("products"), src("category"),
-      src("sellers"), wh.table("product"), wh.table("location"),
-      wh.table("time_period"), cutoff = until, since = Some(since))
+    val delta = deltaFact(wh, src, since, until)
     val existingKeys = wh.table("orders_fact")
       .select("date_key").distinct()
     val fresh = delta.join(broadcast(existingKeys), Seq("date_key"), "left_anti")
     wh.append("orders_fact", fresh)
     fresh
   }
+
+  /** The MERGE extension (SURVEY §7.4 #4): instead of dropping deltas
+    * for already-loaded date_keys, REPLACE those dates' rows with the
+    * recomputed aggregate — a date-key-grain upsert. Rendered as
+    * read-merge-overwrite (keep every existing row whose date_key is
+    * NOT in the delta, union the delta, rewrite the table). At cluster
+    * scale with a Delta/Iceberg sink this is a native MERGE INTO /
+    * replaceWhere touching only the affected partitions; plain Parquet
+    * pays a table rewrite, which is why the reference-faithful drop
+    * semantics stay the default. Returns the delta. */
+  def runUpsert(wh: Warehouse, src: Map[String, DataFrame],
+      since: String, until: String): DataFrame = {
+    val delta = deltaFact(wh, src, since, until)
+    val deltaKeys = delta.select("date_key").distinct()
+    val kept = wh.table("orders_fact")
+      .join(broadcast(deltaKeys), Seq("date_key"), "left_anti")
+    val merged = kept.unionByName(delta)
+    // materialize before overwriting the directory being read
+    val snapshot = merged.cache()
+    snapshot.count()
+    wh.save("orders_fact", snapshot, partitionBy = Seq("year"))
+    snapshot.unpersist()
+    delta
+  }
+
+  private def deltaFact(wh: Warehouse, src: Map[String, DataFrame],
+      since: String, until: String): DataFrame =
+    Facts.ordersFact(
+      src("orders"), src("order_items"), src("products"), src("category"),
+      src("sellers"), wh.table("product"), wh.table("location"),
+      wh.table("time_period"), cutoff = until, since = Some(since))
 }

@@ -95,6 +95,26 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh.table("orders_fact").count() == mid)
   }
 
+  test("upsert mode: late data for an already-loaded date REPLACES that date's rows") {
+    // fresh warehouse so this test owns its state
+    val dir = java.nio.file.Files.createTempDirectory("olist_upsert").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.build(src)
+    IncrementalLoad.run(wh2, src, "2019-01-01", "2019-02-01")
+    val before = wh2.table("orders_fact")
+      .filter(org.apache.spark.sql.functions.col("date_key") >= 20190101).count()
+    assert(before == 5)
+    // re-running in upsert mode replaces (not duplicates, not drops)
+    IncrementalLoad.runUpsert(wh2, src, "2019-01-01", "2019-02-01")
+    val after = wh2.table("orders_fact")
+      .filter(org.apache.spark.sql.functions.col("date_key") >= 20190101).count()
+    assert(after == 5, "upsert must replace, not append duplicates")
+    val total = wh2.table("orders_fact").count()
+    // pre-2019 rows untouched
+    assert(total == wh2.table("orders_fact")
+      .select("date_key", "location_key", "product_key", "seller_id").distinct().count())
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
