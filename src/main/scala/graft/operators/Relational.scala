@@ -361,11 +361,14 @@ object Relational {
              |  coalesce(lag(l_quantity) OVER w, -1.0) AS prev_qty,
              |  coalesce(lead(l_quantity) OVER w, -1.0) AS next_qty
              |FROM lineitem
-             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber)
+             |WINDOW w AS (PARTITION BY l_suppkey ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity)
              |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
       (s, d) => {
+        // (orderkey, linenumber) is NOT unique in the generated data —
+        // the lagged value itself is the final tiebreak, so tied rows
+        // with equal quantities are order-insensitive by construction
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
         T.lineitem(s, d)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             coalesce(lag("l_quantity", 1).over(w), lit(-1.0)).as("prev_qty"),
@@ -378,12 +381,12 @@ object Relational {
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  cast(sum(cast(l_quantity as decimal(18,2)))
              |       OVER (PARTITION BY l_suppkey
-             |             ORDER BY l_shipdate, l_orderkey, l_linenumber
+             |             ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
              |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) as double) AS mov_qty
              |FROM lineitem ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin),
       (s, d) => {
         val w = Window.partitionBy("l_suppkey")
-          .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+          .orderBy("l_shipdate", "l_orderkey", "l_linenumber", "l_quantity")
           .rowsBetween(-2, Window.currentRow)
         T.lineitem(s, d)
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),

@@ -29,6 +29,29 @@ class StreamingSpec extends AnyFunSuite {
     assert(stateful == windowed)
   }
 
+  test("streaming restart with a checkpoint does not reprocess committed input") {
+    import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+    val ckpt = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    def start(name: String) =
+      graft.streaming.EventStream.windowedStream(spark, sf).writeStream
+        .outputMode(OutputMode.Complete())
+        .format("memory").queryName(name)
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .start()
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val q1 = start("ckpt_run1"); q1.awaitTermination(120000)
+    val rows1 = spark.table("ckpt_run1").count()
+    assert(rows1 > 0)
+    // restart from the same checkpoint: source offsets are committed,
+    // so the run terminates having read nothing new
+    val q2 = start("ckpt_run2"); q2.awaitTermination(120000)
+    val progress = q2.lastProgress
+    assert(q2.exception.isEmpty)
+    assert(progress == null || progress.numInputRows == 0,
+      s"restart reprocessed input: ${Option(progress).map(_.numInputRows)}")
+  }
+
   test("sessionization: sessions partition each user's events, gaps respected") {
     val sess = EventStream.sessionize(Tables.events(spark, sf))
     val total = sess.agg(sum("n_events")).head.getLong(0)
