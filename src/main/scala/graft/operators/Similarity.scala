@@ -147,14 +147,20 @@ object Similarity {
       }),
 
     // E4 — brute-force top-k through the NATIVE codegen'd expression
-    // (hot path; no oracle — double accumulation order differs across
-    // engines. Cross-validated against e1 in SimilaritySpec.)
-    Q("e4_cosine_topk_native", None,
+    // (hot path). Oracle-checked at round-6 precision: the native double
+    // accumulation drifts < 1e-9 from the exact-decimal value
+    // (SimilaritySpec), so both engines agree on the 1e-6 grid; ranking
+    // happens on the UNROUNDED similarity before the limit.
+    Q("e4_cosine_topk_native",
+      Some(s"""WITH ${cosineCte(QUERY_ID)}
+              |SELECT vec_id, round(cosine, 6) AS cosine FROM cs
+              |ORDER BY cs.cosine DESC, vec_id LIMIT $TOP_K""".stripMargin),
       (s, d) => withQueryVec(s, d)
         .select(col("vec_id"),
-          VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
-        .orderBy(col("cosine").desc, col("vec_id").asc)
-        .limit(TOP_K)),
+          VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("sim"))
+        .orderBy(col("sim").desc, col("vec_id").asc)
+        .limit(TOP_K)
+        .select(col("vec_id"), round(col("sim"), 6).as("cosine"))),
 
     // E5 — per-label centroids in long format (label, pos, centroid):
     // the IVF coarse-quantizer build; partial-aggregates map-side.
@@ -249,14 +255,26 @@ object Similarity {
       }),
 
     // E6 — the same centroids through the NATIVE VectorAvg
-    // TypedImperativeAggregate: no 64× posexplode inflation, one
-    // in-place buffer per group, map-side combine (the 100 TB path; no
-    // oracle — array output + double accumulation. Cross-validated
-    // against e5 in SimilaritySpec.)
-    Q("e6_centroids_native", None,
+    // TypedImperativeAggregate: no 64× posexplode inflation during the
+    // aggregation, one in-place buffer per group, map-side combine (the
+    // 100 TB path). The OUTPUT unrolls the 640 centroid rows to scalar
+    // (label, pos, centroid) — array columns break the driver's
+    // row-sorting compare — and rounds to 6 decimals, absorbing the
+    // < 1e-9 double-vs-decimal accumulation drift so the exact-decimal
+    // oracle hash-matches.
+    Q("e6_centroids_native",
+      Some("""WITH ex AS (SELECT label, unnest(embedding)::DOUBLE AS x,
+             |                   unnest(range(1, len(embedding) + 1)) AS pos
+             |            FROM embeddings)
+             |SELECT label, pos,
+             |       round(cast(sum(cast(x as decimal(38,20))) as double) / count(*), 6) AS centroid
+             |FROM ex GROUP BY label, pos ORDER BY label, pos""".stripMargin),
       (s, d) => T.embeddings(s, d)
         .groupBy("label")
-        .agg(VectorFunctions.vectorAvg(s, col("embedding")).as("centroid"))
-        .orderBy("label"))
+        .agg(VectorFunctions.vectorAvg(s, col("embedding")).as("cvec"))
+        .select(col("label"), posexplode(col("cvec")).as(Seq("pos0", "c")))
+        .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
+          round(col("c"), 6).as("centroid"))
+        .orderBy("label", "pos"))
   )
 }

@@ -137,7 +137,10 @@ object EventStream {
     // payload column (get_json_object is codegen'd; no UDF)
     Q("f9_json_extract",
       Some("""SELECT event_type,
-             |  sum(cast(json_extract_string(props, '$.k') as bigint)) AS sum_k,
+             |  -- outer cast: DuckDB sum(BIGINT) widens to HUGEINT, which the
+             |  -- driver's pandas bridge renders as float64 and hash-mismatches
+             |  -- Spark's int64
+             |  cast(sum(cast(json_extract_string(props, '$.k') as bigint)) as bigint) AS sum_k,
              |  count(*) AS n
              |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin),
       (s, d) => T.events(s, d)

@@ -41,7 +41,11 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("native vector_avg centroids match the exact long-format centroids to 1e-9") {
-    val native = SparkEntry.queries("e6_centroids_native")(spark, sf)
+    // compare the UNROUNDED native aggregate against e5's exact-decimal
+    // values — the e6 query itself rounds to 6 for oracle parity
+    val native = Tables.embeddings(spark, sf)
+      .groupBy("label")
+      .agg(VectorFunctions.vectorAvg(spark, col("embedding")).as("cvec"))
       .collect().map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
     val exact = SparkEntry.queries("e5_label_centroids")(spark, sf)
       .collect().groupBy(_.getInt(0))
@@ -53,6 +57,16 @@ class SimilaritySpec extends AnyFunSuite {
       (l, ex) <- exact; (a, b) <- ex.zip(native(l))
     } yield math.abs(a - b)).max
     assert(maxDiff < 1e-9, s"centroid drift: $maxDiff")
+  }
+
+  test("e6 long-format output matches e5 on the round-6 grid") {
+    val e6 = SparkEntry.queries("e6_centroids_native")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val e5 = SparkEntry.queries("e5_label_centroids")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(e6.keySet == e5.keySet)
+    val maxDiff = e5.map { case (k, v) => math.abs(v - e6(k)) }.max
+    assert(maxDiff < 1e-6 + 1e-9, s"round-6 grid drift: $maxDiff")
   }
 
   test("vector functions resolve in SQL text after registration") {
