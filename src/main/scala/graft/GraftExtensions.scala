@@ -32,6 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         VectorFunctions.VectorDot(exprs(0), exprs(1))
       }))
     ext.injectFunction((
+      FunctionIdentifier("lsh_bucket"),
+      new ExpressionInfo(classOf[VectorFunctions.LshBucket].getName, "lsh_bucket"),
+      VectorFunctions.lshBucketBuilder _))
+    ext.injectFunction((
       FunctionIdentifier("vector_avg"),
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),
       (exprs: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) => {

