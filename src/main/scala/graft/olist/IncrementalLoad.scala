@@ -25,32 +25,39 @@ object IncrementalLoad {
     val delta = deltaFact(wh, src, since, until)
     val existingKeys = wh.table("orders_fact")
       .select("date_key").distinct()
+    // pin the result BEFORE the append mutates the table it anti-joins
+    // against — a lazy plan would re-evaluate to empty afterwards. The
+    // delta is watermark-bounded, so the materialization is small.
     val fresh = delta.join(broadcast(existingKeys), Seq("date_key"), "left_anti")
+      .localCheckpoint()
     wh.append("orders_fact", fresh)
     fresh
   }
 
   /** The MERGE extension (SURVEY §7.4 #4): instead of dropping deltas
     * for already-loaded date_keys, REPLACE those dates' rows with the
-    * recomputed aggregate — a date-key-grain upsert. Rendered as
-    * read-merge-overwrite (keep every existing row whose date_key is
-    * NOT in the delta, union the delta, rewrite the table). At cluster
-    * scale with a Delta/Iceberg sink this is a native MERGE INTO /
-    * replaceWhere touching only the affected partitions; plain Parquet
-    * pays a table rewrite, which is why the reference-faithful drop
-    * semantics stay the default. Returns the delta. */
+    * recomputed aggregate — a date-key-grain upsert. Scoped to the
+    * AFFECTED `year` partitions only: read back just those partitions
+    * (partition-pruned scan), drop the date_keys being replaced, union
+    * the delta, and dynamic-partition-overwrite — every other
+    * partition's files are left physically untouched (asserted
+    * byte-for-byte in OlistWarehouseSpec). A Delta/Iceberg sink would
+    * express the same thing as MERGE INTO / replaceWhere; this is the
+    * plain-Parquet rendering of it. Returns the delta. */
   def runUpsert(wh: Warehouse, src: Map[String, DataFrame],
       since: String, until: String): DataFrame = {
     val delta = deltaFact(wh, src, since, until)
     val deltaKeys = delta.select("date_key").distinct()
+    val affectedYears = delta.select("year").distinct()
+    // only the affected year partitions are read (semi-join prunes) and
+    // only they are rewritten (dynamic overwrite writes just these)
     val kept = wh.table("orders_fact")
+      .join(broadcast(affectedYears), Seq("year"), "left_semi")
       .join(broadcast(deltaKeys), Seq("date_key"), "left_anti")
-    val merged = kept.unionByName(delta)
-    // materialize before overwriting the directory being read
-    val snapshot = merged.cache()
-    snapshot.count()
-    wh.save("orders_fact", snapshot, partitionBy = Seq("year"))
-    snapshot.unpersist()
+    // materialize AND truncate lineage before overwriting the files the
+    // plan reads from; bounded by the affected partitions' size
+    val snapshot = kept.unionByName(delta).localCheckpoint()
+    wh.overwritePartitions("orders_fact", snapshot)
     delta
   }
 

@@ -13,13 +13,24 @@ import org.apache.spark.sql.functions._
   * At cluster scale `basePath` is a distributed store and the fact
   * tables are written partitioned by year (SURVEY §4: partition pruning
   * on the date axis; dims stay broadcast-sized and unpartitioned).
+  *
+  * With `database = Some("olist_dw")` the build lands in the session
+  * catalog instead (the moral equivalent of the reference's persistent
+  * `Olist_DW` database, `Olist DW.sql:39-51`): `CREATE DATABASE IF NOT
+  * EXISTS` (S9), managed `saveAsTable` per table, and `ANALYZE TABLE …
+  * COMPUTE STATISTICS` after every build step so the cost-based
+  * optimizer sees row counts / sizes (SURVEY §4 CBO row); dimension
+  * tables additionally get per-column NDV stats (the join-reorder and
+  * broadcast-threshold inputs).
   */
 class Warehouse(spark: SparkSession, basePath: String,
-    format: String = "parquet") {
+    format: String = "parquet", database: Option[String] = None) {
   import Normalize.norm
 
   require(Seq("parquet", "orc", "json", "csv").contains(format),
     s"unsupported warehouse format: $format")
+
+  database.foreach(db => spark.sql(s"CREATE DATABASE IF NOT EXISTS $db"))
 
   /** Partition spec recorded at save time so appends lay files out
     * identically (a flat append into a partitioned directory corrupts
@@ -33,11 +44,17 @@ class Warehouse(spark: SparkSession, basePath: String,
     schemas(name) = df.schema
     val w = df.write.mode("overwrite").format(format)
       .option("header", "true") // no-op outside csv
-    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
-      .save(s"$basePath/$name")
-    // meta only AFTER the data write succeeds — a failed write must not
-    // leave metadata describing data that never landed
-    writeMeta(name, partitionBy, df.schema)
+    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
+    database match {
+      case Some(db) =>
+        pw.saveAsTable(s"$db.$name")
+        analyze(db, name, columnStats = partitionBy.isEmpty)
+      case None =>
+        pw.save(s"$basePath/$name")
+        // meta only AFTER the data write succeeds — a failed write must
+        // not leave metadata describing data that never landed
+        writeMeta(name, partitionBy, df.schema)
+    }
     val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
     back
@@ -46,55 +63,126 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** S5/S7 append sink (reference: SSIS fast-load `Package.dtsx:281-445`;
     * INSERT..SELECT `Olist DW.sql:71-75`). Parquet append is bulk and
     * atomic per task — the moral equivalent of TABLOCK fast load. */
-  def append(name: String, df: DataFrame): Unit = {
+  def append(name: String, df: DataFrame): Unit = database match {
+    case Some(db) =>
+      // insertInto appends through the table definition (partition
+      // layout included) — positional, so align to the table's order
+      val target = spark.table(s"$db.$name")
+      df.select(target.columns.map(col): _*)
+        .write.mode("append").insertInto(s"$db.$name")
+      // keep CBO inputs fresh; dims (unpartitioned) refresh NDV too
+      analyze(db, name,
+        columnStats = partitioning.getOrElse(name, Nil).isEmpty)
+    case None =>
+      val parts = partitioning.getOrElseUpdate(name, loadMeta(name)._1)
+      val w = df.write.mode("append").format(format)
+        .option("header", "true")
+      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
+        .save(s"$basePath/$name")
+  }
+
+  /** Partition-scoped overwrite: replace ONLY the partitions present in
+    * `df`, leaving every other partition's files physically untouched
+    * (`partitionOverwriteMode=dynamic`). This is what makes the
+    * date-grain upsert a bounded rewrite instead of a full-table one —
+    * at 100 TB a daily delta touches one `year=` directory, not the
+    * table. */
+  def overwritePartitions(name: String, df: DataFrame): Unit = {
     val parts = partitioning.getOrElseUpdate(name, loadMeta(name)._1)
-    val w = df.write.mode("append").format(format)
-      .option("header", "true")
-    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-      .save(s"$basePath/$name")
+    require(parts.nonEmpty, s"overwritePartitions: $name is not partitioned")
+    withDynamicOverwrite {
+      database match {
+        case Some(db) =>
+          // insertInto is positional — align to the table's column order
+          val target = spark.table(s"$db.$name")
+          df.select(target.columns.map(col): _*)
+            .write.mode("overwrite").format(format).insertInto(s"$db.$name")
+          analyze(db, name, columnStats = false)
+        case None =>
+          df.write.mode("overwrite").format(format).option("header", "true")
+            .partitionBy(parts: _*).save(s"$basePath/$name")
+      }
+    }
+  }
+
+  private def withDynamicOverwrite[T](f: => T): T = {
+    val key = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "dynamic")
+    try f
+    finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
+  /** Table-level stats (rowCount + sizeInBytes) after every write;
+    * per-column NDV/min/max on the broadcast-sized dims — the inputs
+    * the cost-based optimizer uses for join reordering and broadcast
+    * decisions. Facts skip column stats (a full-column scan per build
+    * would dominate at 100 TB; the table-level row count is what AQE
+    * and the broadcast threshold need). */
+  private def analyze(db: String, name: String, columnStats: Boolean): Unit = {
+    spark.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS")
+    if (columnStats)
+      spark.sql(s"ANALYZE TABLE $db.$name COMPUTE STATISTICS FOR ALL COLUMNS")
   }
 
   /** Schema recorded at save time — json/csv don't self-describe. */
   private val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
 
-  private def read(name: String): DataFrame = {
-    val sc = schemas.getOrElseUpdate(name,
-      loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
-    val r = spark.read.format(format).option("header", "true")
-    (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
+  private def read(name: String): DataFrame = database match {
+    case Some(db) => spark.table(s"$db.$name")
+    case None =>
+      val sc = schemas.getOrElseUpdate(name,
+        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+      val r = spark.read.format(format).option("header", "true")
+      (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
   }
 
   /** Table metadata persisted beside the data so a NEW Warehouse
     * instance over an existing basePath (the cross-job incremental
     * scenario) appends with the original partition layout and reads
     * csv/json with the declared schema. Two plain files per table —
-    * no hand-rolled JSON parsing. */
-  private def metaDir = java.nio.file.Paths.get(s"$basePath/_graft_meta")
+    * no hand-rolled JSON parsing. Goes through the Hadoop FileSystem
+    * resolved from the basePath URI (NOT java.nio) so the meta lands
+    * beside the data on whatever store basePath names — HDFS, S3A, or
+    * local file:// — exactly like the data writes do. */
+  private def metaDir = new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta")
+
+  private def metaFs: org.apache.hadoop.fs.FileSystem =
+    metaDir.getFileSystem(spark.sessionState.newHadoopConf())
 
   private def writeMeta(name: String,
       parts: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
-    java.nio.file.Files.createDirectories(metaDir)
-    java.nio.file.Files.writeString(metaDir.resolve(s"$name.partitions"),
-      parts.mkString("\n"))
-    java.nio.file.Files.writeString(metaDir.resolve(s"$name.schema.json"),
-      schema.json)
+    val fs = metaFs
+    fs.mkdirs(metaDir)
+    def put(file: String, content: String): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(metaDir, file), true)
+      try out.write(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    put(s"$name.partitions", parts.mkString("\n"))
+    put(s"$name.schema.json", schema.json)
   }
 
   private def loadMeta(name: String)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
-    val pf = metaDir.resolve(s"$name.partitions")
-    val sf = metaDir.resolve(s"$name.schema.json")
-    val parts =
-      if (java.nio.file.Files.exists(pf))
-        java.nio.file.Files.readString(pf).split("\n").map(_.trim)
-          .filter(_.nonEmpty).toSeq
-      else Nil
-    val schema =
-      if (java.nio.file.Files.exists(sf))
-        scala.util.Try(org.apache.spark.sql.types.DataType
-          .fromJson(java.nio.file.Files.readString(sf))
-          .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption
-      else None
+    val fs = metaFs
+    def get(file: String): Option[String] = {
+      val p = new org.apache.hadoop.fs.Path(metaDir, file)
+      if (fs.exists(p)) {
+        val in = fs.open(p)
+        try Some(new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8))
+        finally in.close()
+      } else None
+    }
+    val parts = get(s"$name.partitions")
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val schema = get(s"$name.schema.json").flatMap(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
     (parts, schema)
   }
 

@@ -1,0 +1,75 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The persistent-catalog warehouse mode (reference: the real `Olist_DW`
+  * database, `Olist DW.sql:39-51`): the build lands as managed catalog
+  * tables via saveAsTable, every write is followed by `ANALYZE TABLE`
+  * so the cost-based optimizer has row counts (and per-column NDV on
+  * the dims), and reports run against `olist_dw.<table>` names.
+  */
+class CatalogWarehouseSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val src = OlistFixtures.sources(spark)
+  private val DB = "olist_dw"
+
+  private lazy val wh = {
+    val dir = java.nio.file.Files.createTempDirectory("olist_cat").toString
+    val w = new Warehouse(spark, dir, "parquet", database = Some(DB))
+    w.build(src)
+    w
+  }
+
+  test("build lands managed tables in the catalog database") {
+    wh // force the build
+    assert(spark.catalog.databaseExists(DB))
+    Seq("time_period", "product", "location", "origin", "lead_type",
+      "business_type", "orders_fact", "conversions_fact").foreach { t =>
+      assert(spark.catalog.tableExists(DB, t), s"missing $DB.$t")
+    }
+  }
+
+  test("ANALYZE statistics visible in DESCRIBE EXTENDED and in plan stats") {
+    wh
+    val desc = spark.sql(s"DESCRIBE EXTENDED $DB.orders_fact").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc.contains("Statistics"), s"no Statistics row in:\n$desc")
+    assert(desc("Statistics").contains("rows"), s"no row count: ${desc("Statistics")}")
+    // and the optimizer actually sees it (CBO reads catalog row counts)
+    val prev = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      val stats = spark.table(s"$DB.orders_fact").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.nonEmpty, "row count not propagated into plan stats")
+    } finally spark.conf.set("spark.sql.cbo.enabled", prev)
+  }
+
+  test("dimension column stats (NDV) recorded for CBO") {
+    wh
+    val d = spark.sql(s"DESCRIBE EXTENDED $DB.product product_key").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(d.get("distinct_count").exists(v => v != null && v != "NULL"),
+      s"no NDV for product_key:\n$d")
+  }
+
+  test("reports run against catalog-qualified tables") {
+    wh
+    val dw = Reports.topSellersByUnitsDw(spark.table(s"$DB.orders_fact"),
+      spark.table(s"$DB.time_period"), src("sellers"), 2018).collect()
+    assert(dw.nonEmpty)
+  }
+
+  test("incremental append + partition-scoped upsert work on catalog tables") {
+    wh
+    val before = spark.table(s"$DB.orders_fact").count()
+    val appended = IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01")
+    assert(spark.table(s"$DB.orders_fact").count() == before + appended.count())
+    // upsert replaces the loaded dates in place (no duplicates)
+    IncrementalLoad.runUpsert(wh, src, "2019-01-01", "2019-02-01")
+    val f = spark.table(s"$DB.orders_fact")
+    assert(f.filter(col("date_key") >= 20190101).count() == appended.count())
+    assert(f.count() == before + appended.count())
+  }
+}

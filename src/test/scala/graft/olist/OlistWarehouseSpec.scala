@@ -95,7 +95,7 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh.table("orders_fact").count() == mid)
   }
 
-  test("upsert mode: late data for an already-loaded date REPLACES that date's rows") {
+  test("upsert mode: late data REPLACES that date's rows; untouched partitions byte-identical") {
     // fresh warehouse so this test owns its state
     val dir = java.nio.file.Files.createTempDirectory("olist_upsert").toString
     val wh2 = new Warehouse(spark, dir)
@@ -104,6 +104,20 @@ class OlistWarehouseSpec extends AnyFunSuite {
     val before = wh2.table("orders_fact")
       .filter(org.apache.spark.sql.functions.col("date_key") >= 20190101).count()
     assert(before == 5)
+    // fingerprint every data file OUTSIDE the year=2019 partition
+    def untouchedFiles(): Map[String, (Long, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val root = java.nio.file.Paths.get(dir, "orders_fact")
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(java.nio.file.Files.isRegularFile(_))
+        .filterNot(_.toString.contains("year=2019"))
+        .filterNot(_.getFileName.toString.startsWith("_")) // commit markers
+        .map(p => root.relativize(p).toString ->
+          (java.nio.file.Files.size(p), java.nio.file.Files.getLastModifiedTime(p).toMillis))
+        .toMap
+    }
+    val filesBefore = untouchedFiles()
+    assert(filesBefore.nonEmpty)
     // re-running in upsert mode replaces (not duplicates, not drops)
     IncrementalLoad.runUpsert(wh2, src, "2019-01-01", "2019-02-01")
     val after = wh2.table("orders_fact")
@@ -113,6 +127,10 @@ class OlistWarehouseSpec extends AnyFunSuite {
     // pre-2019 rows untouched
     assert(total == wh2.table("orders_fact")
       .select("date_key", "location_key", "product_key", "seller_id").distinct().count())
+    // dynamic partition overwrite must NOT have rewritten other years:
+    // same file names, sizes, and mtimes
+    assert(untouchedFiles() == filesBefore,
+      "files outside the affected year partition were rewritten")
   }
 
   test("catalog ops: database create, table registration, introspection, rename") {

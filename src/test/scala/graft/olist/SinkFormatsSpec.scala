@@ -30,4 +30,19 @@ class SinkFormatsSpec extends AnyFunSuite {
       new Warehouse(spark, "/tmp/x", "avro")
     }
   }
+
+  test("explicit file:// URI basePath: meta travels through the Hadoop FileSystem") {
+    // csv doesn't self-describe — reading back NEEDS the _graft_meta
+    // schema file, so this exercises both the meta write and read over
+    // a scheme-qualified URI (the cluster-scale path shape)
+    val dir = java.nio.file.Files.createTempDirectory("olist_uri").toString
+    val wh = new Warehouse(spark, s"file://$dir", "csv")
+    wh.build(src)
+    assert(wh.table("orders_fact").count() == reference._1)
+    // a NEW instance over the same URI recovers partitioning + schema
+    // from meta alone (cross-job incremental scenario)
+    val wh2 = new Warehouse(spark, s"file://$dir", "csv")
+    assert(wh2.table("orders_fact").count() == reference._1)
+    assert(wh2.table("product").count() == reference._2)
+  }
 }
