@@ -114,6 +114,67 @@ object Similarity {
       e.filter(col("vec_id") === QUERY_ID).select(col("embedding").as("qe"))))
   }
 
+  /** Multi-table multi-probe ANN — the production LSH shape for a
+    * high-plane-count deployment (2^16–2^24 buckets at 100 TB):
+    *
+    *  - `tables` independent hyperplane families (slices of one
+    *    deterministic family), each assigning every vector one bucket —
+    *    ALL computed in a single scan (one fused LshBucket per table),
+    *    the way a real deployment precomputes and STORES them;
+    *  - per table, probe the query's bucket plus every bucket within
+    *    `radius` sign-bit flips (radius 1 → nPlanes+1 probes; radius 2
+    *    adds the C(nPlanes,2) two-flip buckets) — recovers recall lost
+    *    to near-boundary hyperplane signs;
+    *  - a candidate survives if ANY table probes it (union + distinct),
+    *    so miss probability decays geometrically in `tables`;
+    *  - exact ranking runs only on the candidate set.
+    *
+    * The probe lists are broadcast — the corpus is never re-shuffled; at
+    * scale each (table, bucket) is a partition-pruned lookup. */
+  def annMultiProbe(s: SparkSession, d: String, queryId: Long,
+      k: Int, nPlanes: Int, radius: Int, tables: Int): DataFrame =
+    annMultiProbe(s, T.embeddings(s, d), queryId, k, nPlanes, radius, tables)
+
+  def annMultiProbe(s: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, nPlanes: Int, radius: Int, tables: Int): DataFrame = {
+    require(radius >= 0 && radius <= 2, s"unsupported probe radius $radius")
+    require(tables >= 1 && nPlanes >= 1 && nPlanes <= 63,
+      "each table's bucket id must fit a long")
+    val family = planesFor(tables * nPlanes)
+    def planesOf(t: Int): Seq[Seq[Double]] =
+      family.slice(t * nPlanes, (t + 1) * nPlanes).map(_.toSeq)
+    // every table's bucket in ONE pass over the corpus (these would be
+    // stored columns / partition keys in a deployed index)
+    val withBkts = emb.select(
+      col("vec_id") +: col("embedding") +: (0 until tables).map(t =>
+        VectorFunctions.lshBucket(s, col("embedding"), planesOf(t)).as(s"b$t")): _*)
+    val longSide = withBkts.select(col("vec_id"),
+      expr(s"stack($tables, ${(0 until tables)
+        .map(t => s"$t, b$t").mkString(", ")}) AS (t, bucket)"))
+    val flips: Seq[Column] = lit(0L) +:
+      ((if (radius >= 1) (0 until nPlanes).map(p => lit(1L << p)) else Nil) ++
+        (if (radius >= 2)
+          for { p <- 0 until nPlanes; r <- p + 1 until nPlanes }
+            yield lit((1L << p) | (1L << r))
+        else Nil))
+    val qRow = emb.filter(col("vec_id") === queryId)
+    val probes = (0 until tables).map { t =>
+      qRow.select(lit(t).as("t"),
+        VectorFunctions.lshBucket(s, col("embedding"), planesOf(t)).as("qb"))
+        .select(col("t"), explode(array(flips: _*)).as("flip"), col("qb"))
+        .select(col("t"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
+    }.reduce(_ unionAll _)
+    val candidates = longSide.join(broadcast(probes), Seq("t", "bucket"))
+      .select("vec_id").distinct()
+    candidates
+      .join(withBkts.select("vec_id", "embedding"), Seq("vec_id"))
+      .crossJoin(broadcast(qRow.select(col("embedding").as("qe"))))
+      .select(col("vec_id"),
+        VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   val all: Seq[Q] = Seq(
     // E1 — brute-force cosine top-k (the exactness baseline)
     Q("e1_cosine_topk",

@@ -57,17 +57,47 @@ object EventStream {
   }
 
   case class Ev(user_id: Long, event_id: Long, us: Long)
-  case class SessState(nextSessionId: Long)
+  /** Streaming variant of Ev: keeps the watermarked `ts` column so the
+    * event-time watermark flows into flatMapGroupsWithState (Spark
+    * rejects EventTimeTimeout if the watermark attribute was projected
+    * away before the stateful operator). */
+  case class EvT(user_id: Long, event_id: Long, us: Long, ts: java.sql.Timestamp)
+  case class OpenSess(session_id: Long, start_us: Long, last_us: Long, n: Long)
+  case class SessState(nextSessionId: Long, open: Option[OpenSess])
   case class SessOut(user_id: Long, session_id: Long, n_events: Long,
       start_us: Long, end_us: Long)
 
-  /** Gap sessionization through the typed stateful-processing API
-    * (KeyValueGroupedDataset.flatMapGroupsWithState) — the custom-state
-    * extension point for semantics windows can't express. On a bounded
-    * run each user's events arrive in one group invocation; in a
-    * continuous stream the same function carries SessState across
-    * micro-batches with an EventTimeTimeout to flush idle sessions.
-    * Produces exactly the rows of `sessionize` (StreamingSpec). */
+  /** The incremental session-state transition shared by the batch and
+    * streaming renderings: fold one chunk of (sorted) events into the
+    * carried state, emitting every session CLOSED by a gap; the
+    * still-open session stays in the state. O(1) state per user —
+    * nothing about the past is retained beyond the open session. */
+  private def advance(uid: Long, events: Array[Ev], st: SessState,
+      out: scala.collection.mutable.ArrayBuffer[SessOut]): SessState = {
+    var nextId = st.nextSessionId
+    var open = st.open
+    events.foreach { e =>
+      open match {
+        case Some(o) if e.us - o.last_us <= SESSION_GAP_US =>
+          open = Some(o.copy(last_us = math.max(o.last_us, e.us), n = o.n + 1))
+        case Some(o) =>
+          out += SessOut(uid, o.session_id, o.n, o.start_us, o.last_us)
+          open = Some(OpenSess(nextId, e.us, e.us, 1)); nextId += 1
+        case None =>
+          open = Some(OpenSess(nextId, e.us, e.us, 1)); nextId += 1
+      }
+    }
+    SessState(nextId, open)
+  }
+
+  /** Gap sessionization through the typed stateful-processing API — the
+    * BOUNDED-GROUP rendering: on a batch run each user's events arrive
+    * in one group invocation, which is sorted in memory (bounded by the
+    * largest single user's event count; the window-function `sessionize`
+    * is the spill-safe batch path for skewed users). The open session is
+    * flushed at end-of-input since a bounded run has no more data.
+    * Produces exactly the rows of `sessionize` (StreamingSpec). For an
+    * unbounded stream use [[sessionizeStream]]. */
   def sessionizeStateful(spark: SparkSession, events: DataFrame)
       : org.apache.spark.sql.Dataset[SessOut] = {
     import spark.implicits._
@@ -79,20 +109,64 @@ object EventStream {
       .flatMapGroupsWithState[SessState, SessOut](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (uid: Long, it: Iterator[Ev], state: GroupState[SessState]) =>
-          val sorted = it.toIndexedSeq.sortBy(e => (e.us, e.event_id))
-          val firstId = state.getOption.map(_.nextSessionId).getOrElse(1L)
+          val sorted = it.toArray
+          scala.util.Sorting.stableSort(sorted,
+            (a: Ev, b: Ev) => a.us < b.us || (a.us == b.us && a.event_id < b.event_id))
           val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
-          var sid = firstId - 1; var start = 0L; var last = 0L; var n = 0L
-          sorted.foreach { e =>
-            if (n == 0 || e.us - last > SESSION_GAP_US) {
-              if (n > 0) out += SessOut(uid, sid, n, start, last)
-              sid += 1; start = e.us; n = 0
-            }
-            last = e.us; n += 1
-          }
-          if (n > 0) out += SessOut(uid, sid, n, start, last)
-          state.update(SessState(sid + 1))
+          val st = advance(uid, sorted,
+            state.getOption.getOrElse(SessState(1L, None)), out)
+          st.open.foreach(o =>
+            out += SessOut(uid, o.session_id, o.n, o.start_us, o.last_us))
+          state.update(SessState(st.nextSessionId, None))
           out.iterator
+      }
+  }
+
+  /** The CONTINUOUS-STREAM rendering: micro-batches fold into O(1)
+    * per-user state via [[advance]]; a session that spans micro-batch
+    * boundaries is merged, and an idle open session is flushed by an
+    * EventTimeTimeout once the watermark passes its last event + gap
+    * (no later event can extend it, by watermark contract). Per batch
+    * only that batch's events for the user are buffered/sorted — a hot
+    * user costs per-batch memory, never whole-history memory.
+    * Covered by a two-micro-batch run in StreamingSpec. */
+  def sessionizeStream(spark: SparkSession,
+      events: DataFrame): org.apache.spark.sql.Dataset[SessOut] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+    events
+      .withWatermark("ts", "30 minutes")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"),
+        col("ts"))
+      .as[EvT]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, SessOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, it: Iterator[EvT], state: GroupState[SessState]) =>
+          if (state.hasTimedOut) {
+            // watermark passed last_us + gap — the open session can
+            // never be extended; flush it, keep the id counter
+            val st = state.get
+            val out = st.open.map(o =>
+              SessOut(uid, o.session_id, o.n, o.start_us, o.last_us))
+            state.update(SessState(st.nextSessionId, None))
+            out.iterator
+          } else {
+            val batch = it.map(e => Ev(e.user_id, e.event_id, e.us)).toArray
+            scala.util.Sorting.stableSort(batch,
+              (a: Ev, b: Ev) => a.us < b.us || (a.us == b.us && a.event_id < b.event_id))
+            val out = scala.collection.mutable.ArrayBuffer.empty[SessOut]
+            val st = advance(uid, batch,
+              state.getOption.getOrElse(SessState(1L, None)), out)
+            state.update(st)
+            st.open.foreach { o =>
+              val flushAtMs = (o.last_us + SESSION_GAP_US) / 1000
+              // EventTimeTimeout must be beyond the current watermark
+              state.setTimeoutTimestamp(
+                math.max(flushAtMs, state.getCurrentWatermarkMs() + 1))
+            }
+            out.iterator
+          }
       }
   }
 

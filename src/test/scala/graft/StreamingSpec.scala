@@ -52,6 +52,46 @@ class StreamingSpec extends AnyFunSuite {
       s"restart reprocessed input: ${Option(progress).map(_.numInputRows)}")
   }
 
+  test("streaming sessionization carries state across micro-batches and flushes by timeout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L // µs
+    val min = 60L * 1000 * 1000
+    val source = MemoryStream[(Long, Long, Long)] // (user_id, event_id, us)
+    val events = source.toDF().toDF("user_id", "event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.sessionizeStream(spark, events).toDF.writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("sess_stream_out")
+      .start()
+    try {
+      // batch 1: user 1 opens a session (2 events, 5 min apart)
+      source.addData((1L, 1L, t0), (1L, 2L, t0 + 5 * min))
+      q.processAllAvailable()
+      assert(spark.table("sess_stream_out").count() == 0, "nothing closed yet")
+      // batch 2: t0+10min EXTENDS the session opened in batch 1 (state
+      // carried); t0+3h closes it by gap and opens session 2
+      source.addData((1L, 3L, t0 + 10 * min), (1L, 4L, t0 + 180 * min))
+      q.processAllAvailable()
+      val closed = spark.table("sess_stream_out").as[EventStream.SessOut].collect()
+      assert(closed.toSeq == Seq(
+        EventStream.SessOut(1L, 1L, 3L, t0, t0 + 10 * min)),
+        s"cross-batch merge failed: ${closed.toSeq}")
+      // batch 3: another user far in the future pushes the watermark past
+      // session 2's last+gap → EventTimeTimeout flushes it with no
+      // further events from user 1
+      source.addData((2L, 5L, t0 + 300 * min))
+      q.processAllAvailable()
+      val all = spark.table("sess_stream_out").as[EventStream.SessOut]
+        .collect().sortBy(s => (s.user_id, s.session_id))
+      assert(all.contains(
+        EventStream.SessOut(1L, 2L, 1L, t0 + 180 * min, t0 + 180 * min)),
+        s"timeout flush missing: ${all.toSeq}")
+    } finally q.stop()
+  }
+
   test("sessionization: sessions partition each user's events, gaps respected") {
     val sess = EventStream.sessionize(Tables.events(spark, sf))
     val total = sess.agg(sum("n_events")).head.getLong(0)
