@@ -16,7 +16,8 @@ object SparkEntry {
   private def allQ: Seq[Q] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
-      operators.Multimodal.all ++ streaming.EventStream.all
+      operators.Multimodal.all ++ operators.Temporal.all ++
+      streaming.EventStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

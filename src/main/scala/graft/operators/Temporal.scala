@@ -1,0 +1,94 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins over time-keyed tables.
+  *
+  * As-of join: for every left row, the single most recent right row
+  * with right.ts <= left.ts on the same key — the time-series /
+  * feature-backfill primitive ("the user's last purchase at or before
+  * this click"). Spark has no native ASOF JOIN, and the naive
+  * renderings die at scale: a correlated per-row lookup doesn't
+  * distribute, and an inequality join explodes to O(n·m) per key
+  * (BroadcastNestedLoopJoin). This is the scalable composition:
+  *
+  *   1. collapse the right side to one row per (key, ts) — caller does
+  *      this with an ordinary aggregate;
+  *   2. UNION both sides with a side tag (right sorts BEFORE left at
+  *      equal ts → inclusive as-of);
+  *   3. ONE hash partition on the key + per-partition sort on
+  *      (ts, tag); a running `last_value(..., ignoreNulls)` carries the
+  *      latest right payload forward past each left row;
+  *   4. keep the left rows.
+  *
+  * Exactly one shuffle on the join key — the same exchange a plain
+  * equi-join pays; no range explosion; skew bounded by per-key row
+  * count exactly like any windowed aggregation. DuckDB's native
+  * `ASOF LEFT JOIN` is the oracle.
+  */
+object Temporal {
+
+  /** Left columns are preserved; every right column except (key, ts)
+    * rides along as the as-of payload (null when no right row is at or
+    * before the left row's ts). Right must be unique per (key, ts) and
+    * payload names must not collide with left columns. */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      key: String, ts: String): DataFrame = {
+    val lCols = left.columns.toSeq
+    val rPayload = right.columns.toSeq.filterNot(c => c == key || c == ts)
+    require(lCols.intersect(rPayload).isEmpty,
+      s"as-of payload collides with left columns: ${lCols.intersect(rPayload)}")
+    val lType = left.select(struct(lCols.map(col): _*).as("s")).schema("s").dataType
+    val rType = right.select(struct(rPayload.map(col): _*).as("s")).schema("s").dataType
+    val l2 = left.select(col(key), col(ts).as("__ts"),
+      struct(lCols.map(col): _*).as("__l"),
+      lit(null).cast(rType).as("__r"), lit(1).as("__tag"))
+    val r2 = right.select(col(key), col(ts).as("__ts"),
+      lit(null).cast(lType).as("__l"),
+      struct(rPayload.map(col): _*).as("__r"), lit(0).as("__tag"))
+    val w = Window.partitionBy(key).orderBy(col("__ts"), col("__tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l2.unionByName(r2)
+      .withColumn("__asof", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(lCols.map(c => col(s"__l.$c").as(c)) ++
+        rPayload.map(c => col(s"__asof.$c").as(c)): _*)
+  }
+
+  val all: Seq[Q] = Seq(
+    // J14 — as-of join: each click joined to the user's most recent
+    // purchase at or before it (inclusive). Purchases are collapsed to
+    // one row per (user, instant) first — max() is order-independent,
+    // so no decimal detour is needed for parity.
+    Q("j14_asof_join",
+      Some("""WITH l AS (SELECT user_id, epoch_us(ts) AS us, event_id
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, epoch_us(ts) AS us,
+             |             max(event_id) AS p_event_id, max(value) AS p_value
+             |      FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
+             |SELECT l.event_id, l.user_id, l.us,
+             |       coalesce(r.p_event_id, -1) AS p_event_id,
+             |       coalesce(r.p_value, -1.0) AS p_value
+             |FROM l ASOF LEFT JOIN r
+             |  ON l.user_id = r.user_id AND l.us >= r.us
+             |ORDER BY l.event_id""".stripMargin),
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"), col("event_id"))
+        val purchases = ev.filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"),
+            col("event_id"), col("value"))
+          .groupBy("user_id", "us")
+          .agg(max("event_id").as("p_event_id"), max("value").as("p_value"))
+        asofJoin(clicks, purchases, "user_id", "us")
+          .select(col("event_id"), col("user_id"), col("us"),
+            coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
+            coalesce(col("p_value"), lit(-1.0)).as("p_value"))
+          .orderBy("event_id")
+      })
+  )
+}

@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.Temporal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+class TemporalSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  test("as-of join picks the latest right row at-or-before each left ts, per key") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, 100L, "l1"), // before any right row → null payload
+      (1L, 200L, "l2"), // exactly at r@200 → inclusive match
+      (1L, 350L, "l3"), // between r@200 and r@400 → r@200
+      (1L, 400L, "l4"), // at r@400
+      (2L, 500L, "l5")  // key with no right rows at all
+    ).toDF("k", "t", "lv")
+    val right = Seq((1L, 200L, "r200"), (1L, 400L, "r400"))
+      .toDF("k", "t", "rv")
+    val got = Temporal.asofJoin(left, right, "k", "t")
+      .orderBy("k", "t").collect()
+      .map(r => (r.getString(2), Option(r.getString(3)).getOrElse("-"))).toSeq
+    assert(got == Seq("l1" -> "-", "l2" -> "r200", "l3" -> "r200",
+      "l4" -> "r400", "l5" -> "-"))
+  }
+
+  test("as-of join plan: one hash exchange on the key, no nested-loop or cartesian join") {
+    val df = SparkEntry.queries("j14_asof_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in plan:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range explosion in plan:\n$plan")
+    // the as-of core is a window over ONE hashpartitioning exchange on
+    // user_id (further exchanges belong to the final global orderBy)
+    assert(plan.contains("hashpartitioning(user_id"), s"no key partition:\n$plan")
+    assert(df.count() > 0)
+  }
+
+  test("every click either matches a purchase at-or-before it or is marked unmatched") {
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("j14_asof_join")(spark, sf)
+    val ev = Tables.events(spark, sf)
+    val nClicks = ev.filter(col("event_type") === "click").count()
+    assert(out.count() == nClicks, "as-of must preserve left cardinality")
+    // matched payload ts can never be after the click (join contract):
+    // re-derive by joining back to the purchase event ids
+    val purch = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("p_event_id"), unix_micros(col("ts")).as("p_us"))
+    val bad = out.filter(col("p_event_id") =!= -1L)
+      .join(purch, Seq("p_event_id"))
+      .filter(col("p_us") > col("us"))
+    assert(bad.count() == 0, "matched a purchase AFTER the click")
+  }
+}
