@@ -58,6 +58,32 @@ object Temporal {
         rPayload.map(c => col(s"__asof.$c").as(c)): _*)
   }
 
+  /** Bounded range join: all (left, right) pairs on the same key with
+    * right.ts in (left.ts, left.ts + windowUs]. A naive inequality join
+    * plans as BroadcastNestedLoopJoin — O(n·m) per key. Because the
+    * range is BOUNDED, binning makes it an equi-join: timestamps are
+    * floored into windowUs-wide bins, each right row is replicated to
+    * its own bin and the previous one (the only two bins whose left
+    * rows can reach it), and the exact range predicate filters after
+    * the (key, bin) hash join. Cost: 2× replication of the right side
+    * and one hash shuffle — the standard interval-join rendering, and
+    * the same shape Structured Streaming uses for stream-stream range
+    * joins. Returns left columns + `r_ts` (null when unmatched, left
+    * semantics). */
+  def boundedRangeJoin(left: DataFrame, right: DataFrame, key: String,
+      lts: String, rts: String, windowUs: Long): DataFrame = {
+    val lBin = left.withColumn("__bin", floor(col(lts) / windowUs))
+    val rRep = right.select(col(key), col(rts).as("__rts"))
+      .withColumn("__bin0", floor(col("__rts") / windowUs))
+      .select(col(key), col("__rts"),
+        explode(array(col("__bin0"), col("__bin0") - 1)).as("__bin"))
+    lBin.join(rRep, Seq(key, "__bin"), "left")
+      .withColumn("r_ts",
+        when(col("__rts") > col(lts) && col("__rts") <= col(lts) + windowUs,
+          col("__rts")))
+      .drop("__bin", "__rts")
+  }
+
   val all: Seq[Q] = Seq(
     // J14 — as-of join: each click joined to the user's most recent
     // purchase at or before it (inclusive). Purchases are collapsed to
@@ -88,6 +114,32 @@ object Temporal {
           .select(col("event_id"), col("user_id"), col("us"),
             coalesce(col("p_event_id"), lit(-1L)).as("p_event_id"),
             coalesce(col("p_value"), lit(-1.0)).as("p_value"))
+          .orderBy("event_id")
+      }),
+
+    // J15 — bounded range join: errors within 5 minutes AFTER each
+    // click by the same user, counted per click (0 kept — left
+    // semantics). The oracle states the inequality join directly;
+    // the engine runs the binned equi-join rendering.
+    Q("j15_range_join",
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT user_id, epoch_us(ts) AS us
+             |      FROM events WHERE event_type = 'error')
+             |SELECT l.event_id, l.user_id, l.us, count(r.us) AS n_errors
+             |FROM l LEFT JOIN r ON r.user_id = l.user_id
+             |  AND r.us > l.us AND r.us <= l.us + 300000000
+             |GROUP BY 1, 2, 3 ORDER BY l.event_id""".stripMargin),
+      (s, d) => {
+        val windowUs = 300000000L // 5 min
+        val ev = T.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("user_id"), unix_micros(col("ts")).as("us"))
+        boundedRangeJoin(clicks, errors, "user_id", "us", "us", windowUs)
+          .groupBy("event_id", "user_id", "us")
+          .agg(count(col("r_ts")).as("n_errors"))
           .orderBy("event_id")
       })
   )

@@ -36,6 +36,31 @@ class TemporalSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("bounded range join counts exactly the rows in (t, t+W], bin edges included") {
+    import spark.implicits._
+    val W = 100L
+    val left = Seq((1L, 10L, 250L), (1L, 11L, 300L), (2L, 12L, 500L))
+      .toDF("k", "event_id", "t")
+    // matches for event 10 (t=250): 251..350 → {300, 350}; 250 excluded
+    // (exclusive lower), 351 excluded; event 11 (t=300): {350, 400};
+    // key 2 has nothing
+    val right = Seq((1L, 250L), (1L, 300L), (1L, 350L), (1L, 400L), (1L, 451L))
+      .toDF("k", "t")
+    val got = graft.operators.Temporal
+      .boundedRangeJoin(left, right, "k", "t", "t", W)
+      .groupBy("event_id").agg(count(col("r_ts")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
+  }
+
+  test("range join plans as a hash equi-join on (key, bin), never nested-loop") {
+    val df = SparkEntry.queries("j15_range_join")(spark, "/root/testdata/sf0.001")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"range explosion:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("every click either matches a purchase at-or-before it or is marked unmatched") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("j14_asof_join")(spark, sf)
