@@ -336,26 +336,32 @@ object Similarity {
           .groupBy("cell")
           .agg(array_sort(collect_list(struct(col("pos0"), col("c")))).as("pc"))
           .select(col("cell"), transform(col("pc"), _.getField("c")).as("cvec"))
+          // each centroid's exact norm ONCE (k rows), not once per
+          // (vector, cell) candidate
+          .select(col("cell"), col("cvec"),
+            VectorFunctions.normExact(col("cvec")).as("cnorm"))
+        // each vector's exact norm ONCE, hoisted out of the ×k cross join
+        val vecs = emb.select(col("vec_id"), col("embedding"),
+          VectorFunctions.normExact(col("embedding")).as("vnorm"))
         // nearest-centroid assignment via max_by: map-side partial
         // aggregation collapses the ×k candidate rows per vector — no
         // window shuffle-and-sort on vec_id
-        val assigned = emb.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("embedding"), col("cell"),
+        val assigned = vecs.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("embedding"), col("vnorm"), col("cell"),
             round(VectorFunctions.dotExact(col("embedding"), col("cvec")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("cvec"))), 12).as("sim"))
+              (col("vnorm") * col("cnorm")), 12).as("sim"))
           .groupBy("vec_id")
-          .agg(max_by(struct(col("cell"), col("embedding")),
+          .agg(max_by(struct(col("cell"), col("embedding"), col("vnorm")),
             struct(col("sim"), -col("cell"))).as("m"))
           .select(col("vec_id"), col("m.cell").as("cell"),
-            col("m.embedding").as("embedding"))
+            col("m.embedding").as("embedding"), col("m.vnorm").as("vnorm"))
         val qCell = assigned.filter(col("vec_id") === QUERY_ID)
-          .select(col("cell").as("qcell"), col("embedding").as("qe"))
+          .select(col("cell").as("qcell"), col("embedding").as("qe"),
+            col("vnorm").as("qnorm"))
         assigned.join(broadcast(qCell), col("cell") === col("qcell"))
           .select(col("vec_id"), col("cell"),
             round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+              (col("vnorm") * col("qnorm")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       }),
