@@ -52,4 +52,19 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("e7_ivf_ann_topk: argmax is a partial aggregation, not a per-row window sort") {
+    val p = plan("e7_ivf_ann_topk")
+    assert(!p.contains("Window"), s"window argmax crept back:\n$p")
+    assert(p.contains("BroadcastExchange"), s"centroids not broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("e2_lsh_buckets: bucket assignment stays inside whole-stage codegen") {
+    val p = plan("e2_lsh_buckets")
+    // the LshBucket projection must sit in a codegen'd stage over the
+    // scan — no Exchange before the bucket is computed
+    val beforeSort = p.split("Sort").head
+    assert(!beforeSort.contains("Exchange"), s"shuffle before bucketing:\n$p")
+  }
 }
