@@ -1,0 +1,69 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Deterministic, content-stable sampling and dataset splitting — the
+  * way a training-data pipeline carves train/val/test (or a p% sample)
+  * out of a corpus so that membership is a PURE FUNCTION of the row's
+  * id: reproducible across runs, engines, cluster sizes, and data
+  * relocation, with no RNG state to coordinate and no shuffle — a
+  * per-row codegen'd hash inside the scan stage. (Spark's `sample()` /
+  * `randomSplit()` are seeded per-partition and change membership when
+  * the file layout changes — unusable for stable corpus splits.)
+  *
+  * Bucket = first 8 hex digits of md5(id) as an integer mod `buckets`
+  * — uniform, and bit-identical in every engine with an md5 function
+  * (the repo-wide cross-engine hashing pattern).
+  */
+object Sampling {
+
+  /** Stable bucket in [0, buckets) from the row id. */
+  def hashBucket(id: Column, buckets: Int = 100): Column =
+    conv(substring(md5(id.cast("string")), 1, 8), 16, 10)
+      .cast("long") % buckets
+
+  /** 90/5/5 train/val/test split label. */
+  def splitLabel(id: Column): Column = {
+    val b = hashBucket(id)
+    when(b < 90, "train").when(b < 95, "val").otherwise("test")
+  }
+
+  /** DuckDB rendering of [[hashBucket]] (oracle side). */
+  def bucketSql(idExpr: String, buckets: Int = 100): String =
+    s"(('0x' || substr(md5(cast($idExpr as varchar)), 1, 8))::BIGINT % $buckets)"
+
+  val all: Seq[Q] = Seq(
+    // SP1 — deterministic 90/5/5 split: per-document label plus the
+    // per-split corpus accounting a pipeline run would log.
+    Q("sp1_hash_split",
+      Some(s"""SELECT split, count(*) AS n_docs,
+              |       cast(sum(length(text)) as bigint) AS total_chars
+              |FROM (SELECT text,
+              |        CASE WHEN ${bucketSql("doc_id")} < 90 THEN 'train'
+              |             WHEN ${bucketSql("doc_id")} < 95 THEN 'val'
+              |             ELSE 'test' END AS split
+              |      FROM documents)
+              |GROUP BY split ORDER BY split""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("text"), splitLabel(col("doc_id")).as("split"))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(length(col("text"))).cast("long").as("total_chars"))
+        .orderBy("split")),
+
+    // SP2 — stratified 10% sample: the same stable bucket filtered
+    // per-language, so every stratum is sampled at the same rate and a
+    // re-run (or a different engine) selects the SAME documents.
+    Q("sp2_stratified_sample",
+      Some(s"""SELECT lang, doc_id
+              |FROM documents
+              |WHERE ${bucketSql("doc_id")} < 10
+              |ORDER BY lang, doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .filter(hashBucket(col("doc_id")) < 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id"))
+  )
+}
