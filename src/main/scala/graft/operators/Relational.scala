@@ -413,6 +413,44 @@ object Relational {
             col("exact_parts") * 0.05, lit(1)).otherwise(lit(0)).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // A14 — exact percentiles (p50/p95) per group. Both engines use the
+    // type-7 (linear-interpolation) quantile definition; selection +
+    // one interpolation is not a summation, so no decimal detour is
+    // needed — round(…,6) absorbs last-ulp interpolation differences.
+    Q("a14_percentiles",
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS p50,
+             |  round(quantile_cont(l_extendedprice, 0.95), 6) AS p95
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("p50"),
+          round(expr("percentile(l_extendedprice, 0.95)"), 6).as("p95"))
+        .orderBy("l_returnflag")),
+
+    // A15 — pivot: order counts per market segment × order priority
+    // (T-SQL PIVOT's moral equivalent). The Spark side uses the native
+    // relational pivot with an EXPLICIT value list (no extra pass to
+    // discover the domain — required for a stable schema at scale);
+    // the oracle states the same thing as conditional aggregation.
+    Q("a15_pivot",
+      Some("""SELECT c_mktsegment,
+             |  sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS "1-URGENT",
+             |  sum(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS "2-HIGH",
+             |  sum(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS "3-MEDIUM",
+             |  sum(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS "4-NOT SPECIFIED",
+             |  sum(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS "5-LOW"
+             |FROM customer JOIN orders ON o_custkey = c_custkey
+             |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
+      (s, d) => T.customer(s, d)
+        .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_mktsegment")
+        .pivot("o_orderpriority", Seq("1-URGENT", "2-HIGH", "3-MEDIUM",
+          "4-NOT SPECIFIED", "5-LOW"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy("c_mktsegment")),
+
     Q("j_left_outer",
       Some("""SELECT n_name, count(c_custkey) AS n_cust
              |FROM nation LEFT JOIN customer ON c_nationkey = n_nationkey

@@ -64,6 +64,28 @@ object Sampling {
       (s, d) => T.documents(s, d)
         .filter(hashBucket(col("doc_id")) < 10)
         .select(col("lang"), col("doc_id"))
-        .orderBy("lang", "doc_id"))
+        .orderBy("lang", "doc_id")),
+
+    // SP3 — weighted dataset mixing: each stratum is kept at its own
+    // target rate (the "data recipe" step of a pretraining pipeline —
+    // upweight scarce languages, downsample the dominant one). Same
+    // stable-bucket membership, so the recipe reproduces exactly; the
+    // whole mix is one shuffle-free filter over the scan.
+    Q("sp3_weighted_mix",
+      Some(s"""SELECT lang, count(*) AS n_docs
+              |FROM documents
+              |WHERE ${bucketSql("doc_id")} <
+              |  CASE lang WHEN 'en' THEN 10 WHEN 'de' THEN 50
+              |            WHEN 'zh' THEN 100 ELSE 25 END
+              |GROUP BY lang ORDER BY lang""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .filter(hashBucket(col("doc_id")) <
+          when(col("lang") === "en", 10)
+            .when(col("lang") === "de", 50)
+            .when(col("lang") === "zh", 100)
+            .otherwise(25))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("lang"))
   )
 }
