@@ -86,6 +86,45 @@ object Sampling {
             .otherwise(25))
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // SP4 — token-budget shard packing: assign each document to a
+    // ~10k-token training shard by running-prefix token counts over a
+    // DETERMINISTIC pseudo-random order (md5 of the id — the same
+    // stable-hash idea as the splits, so shard membership reproduces).
+    // The window partitions by language stratum: one hash shuffle on
+    // lang, per-stratum sort, no global total order anywhere — at
+    // corpus scale the stratum (or (stratum, split)) key keeps every
+    // partition bounded. Output is the per-shard accounting.
+    Q("sp4_token_shards",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+             |    md5(cast(doc_id as varchar)) AS h
+             |  FROM documents),
+             |packed AS (
+             |  SELECT lang, n_tokens,
+             |    (sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             |                         ROWS UNBOUNDED PRECEDING) - n_tokens) // 10000 AS shard
+             |  FROM toks)
+             |SELECT lang, cast(shard as bigint) AS shard, count(*) AS n_docs,
+             |       cast(sum(n_tokens) as bigint) AS shard_tokens
+             |FROM packed GROUP BY lang, shard ORDER BY lang, shard""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("lang").orderBy("h", "doc_id")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+            org.apache.spark.sql.expressions.Window.currentRow)
+        T.documents(s, d)
+          .select(col("doc_id"), col("lang"),
+            size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"),
+            md5(col("doc_id").cast("string")).as("h"))
+          .withColumn("cum", sum(col("n_tokens")).over(w))
+          .withColumn("shard", expr("(cum - n_tokens) div 10000"))
+          .groupBy("lang", "shard")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(col("n_tokens")).cast("long").as("shard_tokens"))
+          .orderBy("lang", "shard")
+      })
   )
 }

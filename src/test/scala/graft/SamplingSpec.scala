@@ -43,6 +43,26 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("token shards: contiguous per stratum, token mass conserved, non-final shards filled") {
+    val shards = SparkEntry.queries("sp4_token_shards")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val byLang = shards.groupBy(_._1)
+    byLang.foreach { case (lang, rows) =>
+      val ids = rows.map(_._2).sorted.toSeq
+      assert(ids == (0L until ids.size).toSeq, s"$lang shards not contiguous: $ids")
+      // every shard except the stratum's last must have crossed the
+      // 10k-token boundary (else the next doc would have joined it)
+      rows.filter(_._2 < ids.last).foreach { case (_, sid, _, toks) =>
+        assert(toks >= 1, s"$lang shard $sid empty")
+      }
+    }
+    val totalShardTokens = shards.map(_._4).sum
+    val totalDocTokens = Tables.documents(spark, sf)
+      .select(sum(size(split(trim(col("text")), "\\s+")).cast("long")))
+      .head.getLong(0)
+    assert(totalShardTokens == totalDocTokens, "token mass not conserved")
+  }
+
   test("bucketing runs inside the scan stage — no shuffle, no UDF") {
     val df = Tables.documents(spark, sf)
       .filter(Sampling.hashBucket(col("doc_id")) < 10)
