@@ -35,21 +35,31 @@ object ScaleUp {
       write(raw(t), t))
 
     /** Union `copies` shifted replicas; each key column is offset by
-      * copy × (max+1) so replicas never cross-join each other. */
-    def replicate(df: DataFrame, keys: Seq[String]): DataFrame = {
-      val offsets = keys.map(k =>
-        k -> (df.agg(max(col(k))).head.getLong(0) + 1L)).toMap
+      * copy × its given stride so replicas never cross-join. */
+    def replicate(df: DataFrame, offsets: Map[String, Long]): DataFrame =
       (0 until copies).map { i =>
-        keys.foldLeft(df)((d, k) =>
-          d.withColumn(k, col(k) + lit(i * offsets(k))))
+        offsets.foldLeft(df) { case (d, (k, o)) =>
+          d.withColumn(k, col(k) + lit(i * o))
+        }
       }.reduce(_ unionByName _)
-    }
 
-    write(replicate(raw("orders"), Seq("o_orderkey")), "orders")
-    write(replicate(raw("lineitem"), Seq("l_orderkey")), "lineitem")
-    write(replicate(raw("events"), Seq("event_id", "user_id")), "events")
-    write(replicate(raw("documents"), Seq("doc_id")), "documents")
-    write(replicate(raw("embeddings"), Seq("vec_id")), "embeddings")
+    def maxOf(df: DataFrame, k: String): Long = df.agg(max(col(k))).head.getLong(0)
+
+    // the order key appears on BOTH orders and lineitem — one SHARED
+    // stride, or replica i's lineitems would point at wrong orders
+    val orders = raw("orders"); val lineitem = raw("lineitem")
+    val orderStride =
+      math.max(maxOf(orders, "o_orderkey"), maxOf(lineitem, "l_orderkey")) + 1L
+    write(replicate(orders, Map("o_orderkey" -> orderStride)), "orders")
+    write(replicate(lineitem, Map("l_orderkey" -> orderStride)), "lineitem")
+    val events = raw("events")
+    write(replicate(events, Map(
+      "event_id" -> (maxOf(events, "event_id") + 1L),
+      "user_id" -> (maxOf(events, "user_id") + 1L))), "events")
+    val docs = raw("documents")
+    write(replicate(docs, Map("doc_id" -> (maxOf(docs, "doc_id") + 1L))), "documents")
+    val emb = raw("embeddings")
+    write(replicate(emb, Map("vec_id" -> (maxOf(emb, "vec_id") + 1L))), "embeddings")
     println(s"wrote ${copies}x $src -> $out")
     spark.stop()
   }

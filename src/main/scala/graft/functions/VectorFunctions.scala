@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.{Column, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, Literal, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, ExpectsInputTypes, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions._
@@ -125,17 +125,22 @@ object VectorFunctions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val planesRef = ctx.addReferenceObj("lshPlanes", flat, "double[]")
+      // fresh names: several LshBucket instances can be inlined into
+      // ONE generated method (e.g. the multi-table projection), and a
+      // non-nullable child skips the scoping braces
+      val (n, bucket, dot, p, j) = (ctx.freshName("n"), ctx.freshName("bucket"),
+        ctx.freshName("dot"), ctx.freshName("p"), ctx.freshName("j"))
       nullSafeCodeGen(ctx, ev, a => s"""
-        |int n = Math.min($a.numElements(), $dim);
-        |long bucket = 0L;
-        |for (int p = 0; p < $nPlanes; p++) {
-        |  double dot = 0.0;
-        |  for (int j = 0; j < n; j++) {
-        |    dot += (double) $a.getFloat(j) * $planesRef[p * $dim + j];
+        |int $n = Math.min($a.numElements(), $dim);
+        |long $bucket = 0L;
+        |for (int $p = 0; $p < $nPlanes; $p++) {
+        |  double $dot = 0.0;
+        |  for (int $j = 0; $j < $n; $j++) {
+        |    $dot += (double) $a.getFloat($j) * $planesRef[$p * $dim + $j];
         |  }
-        |  if (dot > 0) bucket |= (1L << p);
+        |  if ($dot > 0) $bucket |= (1L << $p);
         |}
-        |${ev.value} = bucket;
+        |${ev.value} = $bucket;
         |""".stripMargin)
     }
 
@@ -143,19 +148,24 @@ object VectorFunctions {
       copy(child = newChild)
   }
 
-  /** Registry builder: the planes arrive as a foldable typedlit
-    * array<array<double>> literal and are unpacked at plan time into the
+  /** Registry builder: the planes arrive as any FOLDABLE
+    * array<array<double>> expression — a typedlit Literal from the
+    * Scala API, or `array(array(...))` written in SQL text (builders
+    * run before constant folding, so the SQL form is a CreateArray, not
+    * yet a Literal) — and are evaluated at plan time into the
     * expression's embedded constant (so codegen sees a plain double[]). */
   def lshBucketBuilder(exprs: Seq[Expression]): Expression = {
     require(exprs.length == 2, s"lsh_bucket expects 2 arguments, got ${exprs.length}")
-    val planes = exprs(1) match {
-      case Literal(ad: ArrayData, ArrayType(ArrayType(DoubleType, _), _)) =>
+    val planesExpr = exprs(1)
+    val planes = (planesExpr.foldable, planesExpr.dataType) match {
+      case (true, ArrayType(ArrayType(DoubleType, _), _)) =>
+        val ad = planesExpr.eval().asInstanceOf[ArrayData]
         (0 until ad.numElements()).map { p =>
           val row = ad.getArray(p)
           (0 until row.numElements()).map(row.getDouble).toSeq
         }.toSeq
-      case other => throw new IllegalArgumentException(
-        s"lsh_bucket planes must be a literal array<array<double>>, got $other")
+      case _ => throw new IllegalArgumentException(
+        s"lsh_bucket planes must be a foldable array<array<double>>, got $planesExpr")
     }
     LshBucket(exprs.head, planes)
   }

@@ -46,7 +46,9 @@ object IncrementalLoad {
     * plain-Parquet rendering of it. Returns the delta. */
   def runUpsert(wh: Warehouse, src: Map[String, DataFrame],
       since: String, until: String): DataFrame = {
-    val delta = deltaFact(wh, src, since, until)
+    // pin the delta aggregation ONCE — deltaKeys, affectedYears, and
+    // the merge union all read it, and the caller gets a stable result
+    val delta = deltaFact(wh, src, since, until).localCheckpoint()
     val deltaKeys = delta.select("date_key").distinct()
     val affectedYears = delta.select("year").distinct()
     // only the affected year partitions are read (semi-join prunes) and

@@ -71,15 +71,26 @@ class Warehouse(spark: SparkSession, basePath: String,
       df.select(target.columns.map(col): _*)
         .write.mode("append").insertInto(s"$db.$name")
       // keep CBO inputs fresh; dims (unpartitioned) refresh NDV too
-      analyze(db, name,
-        columnStats = partitioning.getOrElse(name, Nil).isEmpty)
+      analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
     case None =>
-      val parts = partitioning.getOrElseUpdate(name, loadMeta(name)._1)
+      val parts = partitionColsOf(name)
       val w = df.write.mode("append").format(format)
         .option("header", "true")
       (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
         .save(s"$basePath/$name")
   }
+
+  /** The table's partition columns as a NEW Warehouse instance over an
+    * existing store must see them: from the session catalog in database
+    * mode (the catalog IS the metadata there — `_graft_meta` is never
+    * written), from the persisted meta files otherwise. */
+  private def partitionColsOf(name: String): Seq[String] =
+    partitioning.getOrElseUpdate(name, database match {
+      case Some(db) =>
+        spark.catalog.listColumns(s"$db.$name").collect()
+          .filter(_.isPartition).map(_.name).toSeq
+      case None => loadMeta(name)._1
+    })
 
   /** Partition-scoped overwrite: replace ONLY the partitions present in
     * `df`, leaving every other partition's files physically untouched
@@ -88,7 +99,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * at 100 TB a daily delta touches one `year=` directory, not the
     * table. */
   def overwritePartitions(name: String, df: DataFrame): Unit = {
-    val parts = partitioning.getOrElseUpdate(name, loadMeta(name)._1)
+    val parts = partitionColsOf(name)
     require(parts.nonEmpty, s"overwritePartitions: $name is not partitioned")
     withDynamicOverwrite {
       database match {

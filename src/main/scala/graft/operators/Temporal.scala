@@ -68,8 +68,9 @@ object Temporal {
     * the (key, bin) hash join. Cost: 2× replication of the right side
     * and one hash shuffle — the standard interval-join rendering, and
     * the same shape Structured Streaming uses for stream-stream range
-    * joins. Returns left columns + `r_ts` (null when unmatched, left
-    * semantics). */
+    * joins. Returns the MATCHED PAIRS (inner semantics): left columns
+    * + `r_ts`, one row per (left row, in-range right row). Callers
+    * needing left semantics join back against the left side (j15). */
   def boundedRangeJoin(left: DataFrame, right: DataFrame, key: String,
       lts: String, rts: String, windowUs: Long): DataFrame = {
     val lBin = left.withColumn("__bin", floor(col(lts) / windowUs))
@@ -77,10 +78,9 @@ object Temporal {
       .withColumn("__bin0", floor(col("__rts") / windowUs))
       .select(col(key), col("__rts"),
         explode(array(col("__bin0"), col("__bin0") - 1)).as("__bin"))
-    lBin.join(rRep, Seq(key, "__bin"), "left")
-      .withColumn("r_ts",
-        when(col("__rts") > col(lts) && col("__rts") <= col(lts) + windowUs,
-          col("__rts")))
+    lBin.join(rRep, Seq(key, "__bin"))
+      .filter(col("__rts") > col(lts) && col("__rts") <= col(lts) + windowUs)
+      .withColumn("r_ts", col("__rts"))
       .drop("__bin", "__rts")
   }
 
@@ -137,9 +137,14 @@ object Temporal {
           .select(col("event_id"), col("user_id"), unix_micros(col("ts")).as("us"))
         val errors = ev.filter(col("event_type") === "error")
           .select(col("user_id"), unix_micros(col("ts")).as("us"))
-        boundedRangeJoin(clicks, errors, "user_id", "us", "us", windowUs)
-          .groupBy("event_id", "user_id", "us")
-          .agg(count(col("r_ts")).as("n_errors"))
+        // matched pairs → per-click counts, then LEFT join back so
+        // zero-error clicks stay in the result (the broadcast is the
+        // aggregated count frame, never the raw pairs)
+        val counts = boundedRangeJoin(clicks, errors, "user_id", "us", "us", windowUs)
+          .groupBy("event_id").agg(count(lit(1)).as("n_matched"))
+        clicks.join(counts, Seq("event_id"), "left")
+          .select(col("event_id"), col("user_id"), col("us"),
+            coalesce(col("n_matched"), lit(0L)).as("n_errors"))
           .orderBy("event_id")
       })
   )

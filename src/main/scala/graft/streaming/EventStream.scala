@@ -79,7 +79,10 @@ object EventStream {
     events.foreach { e =>
       open match {
         case Some(o) if e.us - o.last_us <= SESSION_GAP_US =>
-          open = Some(o.copy(last_us = math.max(o.last_us, e.us), n = o.n + 1))
+          // min() on start: a late-but-in-watermark event from a later
+          // micro-batch may precede the open session's first event
+          open = Some(o.copy(start_us = math.min(o.start_us, e.us),
+            last_us = math.max(o.last_us, e.us), n = o.n + 1))
         case Some(o) =>
           out += SessOut(uid, o.session_id, o.n, o.start_us, o.last_us)
           open = Some(OpenSess(nextId, e.us, e.us, 1)); nextId += 1
@@ -129,7 +132,15 @@ object EventStream {
     * (no later event can extend it, by watermark contract). Per batch
     * only that batch's events for the user are buffered/sorted — a hot
     * user costs per-batch memory, never whole-history memory.
-    * Covered by a two-micro-batch run in StreamingSpec. */
+    * Covered by a two-micro-batch run in StreamingSpec.
+    *
+    * State-retention trade-off: after a timeout flush the per-user
+    * entry keeps its session-id counter (a few bytes) so session ids
+    * stay monotone per user across idle periods — state grows with
+    * DISTINCT USERS, like any per-user counter. A deployment that
+    * can't afford that replaces the counter with a content-derived
+    * session identity (e.g. the session's start_us, unique per user)
+    * and calls state.remove() on flush — O(open sessions) state. */
   def sessionizeStream(spark: SparkSession,
       events: DataFrame): org.apache.spark.sql.Dataset[SessOut] = {
     import spark.implicits._

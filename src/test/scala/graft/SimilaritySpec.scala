@@ -102,6 +102,15 @@ class SimilaritySpec extends AnyFunSuite {
     assert(disagree == 0)
   }
 
+  test("lsh_bucket resolves from SQL text with an array literal (pre-folding builder)") {
+    graft.functions.VectorFunctions.register(spark)
+    val b = spark.sql(
+      "SELECT lsh_bucket(array(cast(1.0 as float), cast(-1.0 as float)), " +
+        "array(array(1.0d, 0.0d), array(0.0d, 1.0d))) AS b").head.getLong(0)
+    // plane 0 dot = 1 (>0 → bit 0), plane 1 dot = -1 (bit clear)
+    assert(b == 1L)
+  }
+
   test("native lsh bucket runs inside whole-stage codegen") {
     val df = Tables.embeddings(spark, sf).select(
       operators.Similarity.bucketOf(spark, col("embedding")).as("b"))

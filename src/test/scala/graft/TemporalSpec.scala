@@ -46,11 +46,18 @@ class TemporalSpec extends AnyFunSuite {
     // key 2 has nothing
     val right = Seq((1L, 250L), (1L, 300L), (1L, 350L), (1L, 400L), (1L, 451L))
       .toDF("k", "t")
-    val got = graft.operators.Temporal
+    val pairs = graft.operators.Temporal
       .boundedRangeJoin(left, right, "k", "t", "t", W)
-      .groupBy("event_id").agg(count(col("r_ts")).as("n"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == Map(10L -> 2L, 11L -> 2L, 12L -> 0L))
+      .select("event_id", "r_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // inner pairs: exactly the in-range matches, nothing for event 12
+    assert(pairs == Set((10L, 300L), (10L, 350L), (11L, 350L), (11L, 400L)))
+    // left semantics live in the query: zero-match clicks kept as 0
+    val sf = "/root/testdata/sf0.001"
+    val out = SparkEntry.queries("j15_range_join")(spark, sf)
+    val nClicks = Tables.events(spark, sf)
+      .filter(col("event_type") === "click").count()
+    assert(out.count() == nClicks, "left cardinality must be preserved")
   }
 
   test("range join plans as a hash equi-join on (key, bin), never nested-loop") {

@@ -72,4 +72,19 @@ class CatalogWarehouseSpec extends AnyFunSuite {
     assert(f.filter(col("date_key") >= 20190101).count() == appended.count())
     assert(f.count() == before + appended.count())
   }
+
+  // runs LAST: mutates the shared table through a fresh instance
+  test("a NEW Warehouse instance over the existing catalog db recovers partitioning from the catalog") {
+    wh // ensure built
+    val wh2 = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("olist_cat2").toString,
+      "parquet", database = Some(DB))
+    val before = spark.table(s"$DB.orders_fact").count()
+    // upsert through the fresh instance: partition columns must come
+    // from the catalog (no _graft_meta exists in database mode)
+    IncrementalLoad.runUpsert(wh2, src, "2019-01-01", "2019-02-01")
+    val f = spark.table(s"$DB.orders_fact")
+    assert(f.filter(col("date_key") >= 20190101).count() == 5)
+    assert(f.count() == before) // replaced in place, nothing duplicated
+  }
 }
