@@ -59,6 +59,38 @@ object Dedup {
     """tok AS (SELECT doc_id, unnest(list_distinct(regexp_split_to_array(trim(text), '\s+'))) AS tk
       |        FROM documents)""".stripMargin
 
+  /** Connected components over an undirected pair graph — the cluster-
+    * resolution step a production dedup runs AFTER pair discovery:
+    * near-dup relations are not transitive, so keep-one-per-pair drops
+    * too much or too little; the right unit is the component, keeping
+    * its min-id element as canonical. Min-label propagation: every
+    * node starts labeled with itself, each iteration joins labels
+    * across edges and takes the min, until a fixpoint. Iterations =
+    * graph diameter (near-dup clusters are shallow); each iteration is
+    * one hash join + one aggregation, lineage cut per round so the plan
+    * stays flat. The driver loop only ever sees a changed-row COUNT —
+    * no data is collected. Returns (id, comp). */
+  def connectedComponents(pairs: DataFrame,
+      src: String = "d1", dst: String = "d2"): DataFrame = {
+    val edges = pairs.select(col(src).as("esrc"), col(dst).as("edst"))
+      .unionByName(pairs.select(col(dst).as("esrc"), col(src).as("edst")))
+      .localCheckpoint()
+    var labels = edges.select(col("esrc").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val propagated = edges.join(labels, col("esrc") === col("id"))
+        .select(col("edst").as("id"), col("comp"))
+      val next = labels.unionByName(propagated)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint()
+      changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
+        .filter(col("comp") =!= col("prev")).count()
+      labels = next
+    }
+    labels
+  }
+
   val all: Seq[Q] = Seq(
     // D1 — exact dedup: hash-groupBy on md5(text)
     Q("d1_dedup_exact",
@@ -219,7 +251,29 @@ object Dedup {
             (col("i").cast("double") / (col("n1") + col("n2") - col("i"))).as("jacc"))
           .filter(col("jacc") >= 0.05)
           .orderBy("source", "d1", "d2")
-      })
+      }),
+
+    // D8 — dedup cluster resolution: connected components over the
+    // embedding near-dup pair graph (d7's pairs), each vector mapped to
+    // its component's min id (the canonical survivor). The oracle walks
+    // the same closure with a recursive CTE.
+    Q("d8_dedup_components",
+      Some(s"""WITH RECURSIVE ${Similarity.neardupPairsCtes},
+              |pairs AS (SELECT d1, d2 FROM sums
+              |          WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.2),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              |          UNION SELECT d2, d1 FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, m) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id)
+              |SELECT id AS vec_id, cast(min(m) as bigint) AS canonical_id
+              |FROM reach GROUP BY id ORDER BY vec_id""".stripMargin),
+      (s, d) => connectedComponents(
+        Similarity.neardupPairs(s, d).select("d1", "d2"))
+        .select(col("id").as("vec_id"), col("comp").cast("long").as("canonical_id"))
+        .orderBy("vec_id"))
   )
 
   /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard

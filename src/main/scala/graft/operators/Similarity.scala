@@ -175,6 +175,41 @@ object Similarity {
       .limit(k)
   }
 
+  /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
+    * only from shared LSH buckets, exact-decimal cosine verification.
+    * Shared by d7 (pair listing) and d8 (component resolution). */
+  def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    val withBucket = T.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"),
+        bucketOf(s, col("embedding")).as("bucket"))
+    val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
+      col("embedding").as("v1"))
+    val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
+      col("embedding").as("v2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(VectorFunctions.dotExact(col("v1"), col("v2")) /
+          (VectorFunctions.normExact(col("v1")) *
+            VectorFunctions.normExact(col("v2"))), 12).as("cosine"))
+      .filter(col("cosine") >= 0.2)
+  }
+
+  /** The d7 pair CTEs in oracle SQL form (ends with `sums`; select the
+    * thresholded pairs from it). */
+  def neardupPairsCtes: String =
+    s"""$bucketCtes,
+       |cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2
+       |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |px AS (SELECT c.d1, c.d2, e1.x AS x1, e2.x AS x2
+       |       FROM cand c
+       |       JOIN ex e1 ON e1.vec_id = c.d1
+       |       JOIN ex e2 ON e2.vec_id = c.d2 AND e2.j = e1.j),
+       |sums AS (SELECT d1, d2,
+       |           cast(sum(cast(x1 * x2 as decimal(38,20))) as double) AS dot,
+       |           cast(sum(cast(x1 * x1 as decimal(38,20))) as double) AS na,
+       |           cast(sum(cast(x2 * x2 as decimal(38,20))) as double) AS nb
+       |         FROM px GROUP BY d1, d2)""".stripMargin
+
   val all: Seq[Q] = Seq(
     // E1 — brute-force cosine top-k (the exactness baseline)
     Q("e1_cosine_topk",
@@ -259,38 +294,12 @@ object Similarity {
     // variant): candidates ONLY from shared LSH buckets (never an
     // unblocked O(n²) cross join), verified with exact-decimal cosine.
     Q("d7_embedding_neardup",
-      Some(s"""WITH $bucketCtes,
-              |cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2
-              |         FROM bkt a JOIN bkt b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
-              |px AS (SELECT c.d1, c.d2, e1.x AS x1, e2.x AS x2
-              |       FROM cand c
-              |       JOIN ex e1 ON e1.vec_id = c.d1
-              |       JOIN ex e2 ON e2.vec_id = c.d2 AND e2.j = e1.j),
-              |sums AS (SELECT d1, d2,
-              |           cast(sum(cast(x1 * x2 as decimal(38,20))) as double) AS dot,
-              |           cast(sum(cast(x1 * x1 as decimal(38,20))) as double) AS na,
-              |           cast(sum(cast(x2 * x2 as decimal(38,20))) as double) AS nb
-              |         FROM px GROUP BY d1, d2)
+      Some(s"""WITH $neardupPairsCtes
               |SELECT d1, d2, round(dot / (sqrt(na) * sqrt(nb)), 12) AS cosine
               |FROM sums
               |WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.2
               |ORDER BY d1, d2""".stripMargin),
-      (s, d) => {
-        val withBucket = T.embeddings(s, d)
-          .select(col("vec_id"), col("embedding"),
-            bucketOf(s, col("embedding")).as("bucket"))
-        val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
-          col("embedding").as("v1"))
-        val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
-          col("embedding").as("v2"))
-        a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
-          .select(col("d1"), col("d2"),
-            round(VectorFunctions.dotExact(col("v1"), col("v2")) /
-              (VectorFunctions.normExact(col("v1")) *
-                VectorFunctions.normExact(col("v2"))), 12).as("cosine"))
-          .filter(col("cosine") >= 0.2)
-          .orderBy("d1", "d2")
-      }),
+      (s, d) => neardupPairs(s, d).orderBy("d1", "d2")),
 
     // E7 — IVF-style ANN: coarse-quantize with per-label centroids (the
     // trained partition), assign every vector to its nearest centroid,
