@@ -152,6 +152,30 @@ object TextAnalysis {
       }),
 
     // T4 — document fingerprint (normalized MD5)
+    // T6 — BPE-ish subword counting: a GPT-2-style pretokenizer regex
+    // (contractions / letter runs / digit runs / punctuation runs, each
+    // optionally space-prefixed — no lookarounds, so Java regex and
+    // RE2 agree). The ratio to whitespace tokens is the
+    // tokens-per-word statistic a data pipeline budgets by.
+    Q("t6_bpe_token_count",
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_extract_all(text,
+             |    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) as bigint) AS n_bpe,
+             |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_ws,
+             |  round(cast(len(regexp_extract_all(text,
+             |    '''[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+')) as double)
+             |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS bpe_per_word
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val pat = "'[a-z]+| ?[A-Za-z]+| ?[0-9]+| ?[^\\sA-Za-z0-9]+"
+        val nBpe = size(regexp_extract_all(col("text"), lit(pat), lit(0))).cast("long")
+        val nWs = size(tokens(col("text"))).cast("long")
+        T.documents(s, d)
+          .select(col("doc_id"), nBpe.as("n_bpe"), nWs.as("n_ws"),
+            round(nBpe.cast("double") / nWs, 6).as("bpe_per_word"))
+          .orderBy("doc_id")
+      }),
+
     Q("t4_fingerprint",
       Some("""SELECT doc_id,
              |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
