@@ -181,6 +181,30 @@ object EventStream {
       }
   }
 
+  /** Stream-stream interval join — the continuous rendering of the
+    * batch bounded range join (`Temporal.boundedRangeJoin` / j15):
+    * right-stream rows within (left.ts, left.ts + window] on the same
+    * key. Both sides carry watermarks so Spark bounds the join state:
+    * a buffered left row is dropped once the right watermark passes its
+    * ts + window (no future match possible), and vice versa — state is
+    * O(in-flight window), not O(stream). Inner semantics, like the
+    * batch pair form. */
+  def intervalJoinStream(left: DataFrame, right: DataFrame,
+      key: String, windowMinutes: Int): DataFrame = {
+    val l = left.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col(key).as("l_key"), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"))
+    val r = right.withWatermark("ts", s"$windowMinutes minutes")
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"))
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts > l_ts AND
+         |r_ts <= l_ts + interval $windowMinutes minutes""".stripMargin))
+      .select(col("l_key").as("user_id"), col("l_event_id"),
+        col("r_event_id"), col("l_ts"), col("r_ts"))
+  }
+
   /** The streaming rendering of hourlyAgg: file source + watermark +
     * tumbling window. */
   def windowedStream(spark: SparkSession, sfDir: String): DataFrame = {

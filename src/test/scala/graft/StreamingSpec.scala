@@ -92,6 +92,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches across micro-batches with bounded state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val min = 60L * 1000 * 1000
+    def src() = MemoryStream[(Long, Long, Long)] // (user_id, event_id, us)
+    val clicks = src(); val errors = src()
+    def frame(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.intervalJoinStream(frame(clicks), frame(errors), "user_id", 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("ivj_out").start()
+    try {
+      // batch 1: a click; its matching error arrives in a LATER batch
+      clicks.addData((1L, 10L, t0))
+      q.processAllAvailable()
+      // batch 2: error 2 min after the click (in range) + one 10 min
+      // after (out of range) + a different user's error (no key match)
+      errors.addData((1L, 20L, t0 + 2 * min), (1L, 21L, t0 + 10 * min),
+        (2L, 22L, t0 + 1 * min))
+      q.processAllAvailable()
+      val got = spark.table("ivj_out")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 20L)), s"wrong matches: $got")
+    } finally q.stop()
+  }
+
   test("sessionization: sessions partition each user's events, gaps respected") {
     val sess = EventStream.sessionize(Tables.events(spark, sf))
     val total = sess.agg(sum("n_events")).head.getLong(0)
