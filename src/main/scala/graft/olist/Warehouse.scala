@@ -127,6 +127,43 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  /** Small-files compaction (the OPTIMIZE of a plain-Parquet warehouse):
+    * incremental appends accumulate one file per task per run, and at
+    * cluster scale the file-listing + task-scheduling overhead of ten
+    * thousand tiny files dominates scans. Rewrites each partition of a
+    * partitioned table into `filesPerPartition` files (repartitioning
+    * by the partition columns co-locates each partition's rows), or an
+    * unpartitioned table into that many files total. Contents are
+    * pinned (lineage cut) before the overwrite, so the rewrite is
+    * byte-stable: same rows, fewer files. */
+  def compact(name: String, filesPerPartition: Int = 1): Unit = {
+    val parts = partitionColsOf(name)
+    val snapshot = read(name).localCheckpoint()
+    if (parts.nonEmpty) {
+      // hash-split each partition's rows into ≤ filesPerPartition
+      // groups; the dynamic-partition writer emits one file per
+      // (task, partition value), so each partition lands in at most
+      // that many files
+      val splitter = pmod(hash(snapshot.columns.map(col): _*),
+        lit(math.max(filesPerPartition, 1)))
+      val byPart = snapshot.repartition(
+        (parts.map(col) :+ splitter): _*)
+      overwritePartitions(name, byPart)
+    } else {
+      val coalesced = snapshot.coalesce(math.max(filesPerPartition, 1))
+      database match {
+        case Some(db) =>
+          val target = spark.table(s"$db.$name")
+          coalesced.select(target.columns.map(col): _*)
+            .write.mode("overwrite").insertInto(s"$db.$name")
+          analyze(db, name, columnStats = true)
+        case None =>
+          coalesced.write.mode("overwrite").format(format)
+            .option("header", "true").save(s"$basePath/$name")
+      }
+    }
+  }
+
   /** Table-level stats (rowCount + sizeInBytes) after every write;
     * per-column NDV/min/max on the broadcast-sized dims — the inputs
     * the cost-based optimizer uses for join reordering and broadcast

@@ -413,6 +413,26 @@ object Relational {
             col("exact_parts") * 0.05, lit(1)).otherwise(lit(0)).as("approx_ok"))
         .orderBy("l_returnflag")),
 
+    // P8 — scalar subquery in a predicate: orders above the global
+    // average price. Catalyst plans the subquery once as a broadcast
+    // scalar (ReusedSubquery at scale), not per-row. The comparison
+    // runs against the exact-decimal average (order-independent) so
+    // both engines pick the identical row set.
+    Q("p8_scalar_subquery",
+      Some(s"""SELECT o_orderkey, o_totalprice FROM orders
+              |WHERE o_totalprice > (
+              |  SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+              |         / count(*) FROM orders)
+              |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("p8_orders")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM p8_orders
+                |WHERE o_totalprice > (
+                |  SELECT cast(sum(cast(o_totalprice as decimal(18,2))) as double)
+                |         / count(*) FROM p8_orders)
+                |ORDER BY o_orderkey""".stripMargin)
+      }),
+
     // A14 — exact percentiles (p50/p95) per group. Both engines use the
     // type-7 (linear-interpolation) quantile definition; selection +
     // one interpolation is not a summation, so no decimal detour is

@@ -133,6 +133,29 @@ class OlistWarehouseSpec extends AnyFunSuite {
       "files outside the affected year partition were rewritten")
   }
 
+  test("compact: repeated appends collapse to one file per partition, rows intact") {
+    val dir = java.nio.file.Files.createTempDirectory("olist_compact").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.build(src)
+    // accumulate small files the way daily increments do
+    IncrementalLoad.run(wh2, src, "2019-01-01", "2019-02-01")
+    val rows = wh2.table("orders_fact").count()
+    def dataFiles(): Seq[java.nio.file.Path] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "orders_fact"))
+        .iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet")).toSeq
+    }
+    val before = dataFiles().size
+    wh2.compact("orders_fact")
+    val byPartition = dataFiles()
+      .groupBy(_.getParent.getFileName.toString)
+    assert(byPartition.nonEmpty && byPartition.forall(_._2.size == 1),
+      s"partitions not compacted to one file: ${byPartition.view.mapValues(_.size).toMap}")
+    assert(dataFiles().size <= before)
+    assert(wh2.table("orders_fact").count() == rows, "compaction changed rows")
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
