@@ -32,6 +32,51 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("as-of join equals the naive per-row maximum over random keyed timelines") {
+    import spark.implicits._
+    (1 to 8).foreach { i =>
+      val lrows = sample(Gen.listOfN(60,
+        Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 500L))), 100L + i)
+        .zipWithIndex.map { case ((k, t), ix) => (k, t, ix.toLong) }
+      val rrowsRaw = sample(Gen.listOfN(40,
+        Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 500L))), 200L + i)
+      // right must be unique per (key, ts) — the documented contract
+      val rrows = rrowsRaw.distinct.groupBy(r => r).keys.toList
+        .zipWithIndex.map { case ((k, t), ix) => (k, t, 1000L + ix) }
+      val got = operators.Temporal.asofJoin(
+        lrows.toDF("k", "t", "lid"), rrows.toDF("k", "t", "rv"), "k", "t")
+        .collect().map(r => r.getAs[Long]("lid") ->
+          Option(r.getAs[java.lang.Long]("rv")).map(_.toLong)).toMap
+      lrows.foreach { case (k, t, lid) =>
+        val expect = rrows.filter(r => r._1 == k && r._2 <= t)
+          .sortBy(r => (r._2, r._3)).lastOption.map(_._3)
+        assert(got(lid) == expect, s"iteration $i left=($k,$t,$lid)")
+      }
+    }
+  }
+
+  test("bounded range join equals the naive filter over random keyed timelines") {
+    import spark.implicits._
+    val W = 50L
+    (1 to 8).foreach { i =>
+      val lrows = sample(Gen.listOfN(50,
+        Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 400L))), 300L + i)
+        .zipWithIndex.map { case ((k, t), ix) => (k, t, ix.toLong) }
+      val rrows = sample(Gen.listOfN(50,
+        Gen.zip(Gen.chooseNum(1L, 4L), Gen.chooseNum(0L, 400L))), 400L + i)
+      val got = operators.Temporal.boundedRangeJoin(
+        lrows.toDF("k", "t", "lid"), rrows.toDF("k", "t"), "k", "t", "t", W)
+        .select("lid", "r_ts").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val expect = (for {
+        (k, t, lid) <- lrows
+        (rk, rt) <- rrows
+        if rk == k && rt > t && rt <= t + W
+      } yield (lid, rt)).sorted
+      assert(got == expect, s"iteration $i")
+    }
+  }
+
   test("anti-join append: applying the same delta twice adds nothing") {
     import spark.implicits._
     (1 to 10).foreach { i =>
