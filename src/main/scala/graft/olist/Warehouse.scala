@@ -131,26 +131,33 @@ class Warehouse(spark: SparkSession, basePath: String,
     * incremental appends accumulate one file per task per run, and at
     * cluster scale the file-listing + task-scheduling overhead of ten
     * thousand tiny files dominates scans. Rewrites each partition of a
-    * partitioned table into `filesPerPartition` files (repartitioning
-    * by the partition columns co-locates each partition's rows), or an
-    * unpartitioned table into that many files total. Contents are
-    * pinned (lineage cut) before the overwrite, so the rewrite is
-    * byte-stable: same rows, fewer files. */
+    * partitioned table into ≤ `filesPerPartition` files, or an
+    * unpartitioned table into that many files total.
+    *
+    * Caller contract: EXCLUSIVE access for the duration — plain Parquet
+    * has no transaction log, so rows appended between the snapshot and
+    * the commit would be lost (a table-format sink — Delta/Iceberg —
+    * is what makes OPTIMIZE safe under concurrent ingestion).
+    * Durability: the partitioned rewrite goes through dynamic-overwrite
+    * staging (old files survive until job commit); the unpartitioned
+    * path-mode rewrite writes to a sibling temp directory and swaps by
+    * rename, so a mid-write failure leaves the original intact. */
   def compact(name: String, filesPerPartition: Int = 1): Unit = {
     val parts = partitionColsOf(name)
+    val n = math.max(filesPerPartition, 1)
     val snapshot = read(name).localCheckpoint()
     if (parts.nonEmpty) {
-      // hash-split each partition's rows into ≤ filesPerPartition
-      // groups; the dynamic-partition writer emits one file per
-      // (task, partition value), so each partition lands in at most
-      // that many files
-      val splitter = pmod(hash(snapshot.columns.map(col): _*),
-        lit(math.max(filesPerPartition, 1)))
-      val byPart = snapshot.repartition(
-        (parts.map(col) :+ splitter): _*)
+      // the dynamic-partition writer emits one file per (task,
+      // partition value): repartitioning by the partition columns alone
+      // → 1 file per partition; add a row-hash splitter only when more
+      // are wanted
+      val byPart =
+        if (n == 1) snapshot.repartition(parts.map(col): _*)
+        else snapshot.repartition((parts.map(col) :+
+          pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
       overwritePartitions(name, byPart)
     } else {
-      val coalesced = snapshot.coalesce(math.max(filesPerPartition, 1))
+      val coalesced = snapshot.coalesce(n)
       database match {
         case Some(db) =>
           val target = spark.table(s"$db.$name")
@@ -158,8 +165,19 @@ class Warehouse(spark: SparkSession, basePath: String,
             .write.mode("overwrite").insertInto(s"$db.$name")
           analyze(db, name, columnStats = true)
         case None =>
+          // write-then-swap: never delete the only copy before the
+          // replacement is fully on disk
+          val fs = metaFs
+          val dst = new org.apache.hadoop.fs.Path(s"$basePath/$name")
+          val tmp = new org.apache.hadoop.fs.Path(s"$basePath/.${name}__compacting")
+          val old = new org.apache.hadoop.fs.Path(s"$basePath/.${name}__precompact")
+          fs.delete(tmp, true)
           coalesced.write.mode("overwrite").format(format)
-            .option("header", "true").save(s"$basePath/$name")
+            .option("header", "true").save(tmp.toString)
+          fs.delete(old, true)
+          require(fs.rename(dst, old), s"compact: could not stage $dst aside")
+          require(fs.rename(tmp, dst), s"compact: could not move $tmp into place")
+          fs.delete(old, true)
       }
     }
   }

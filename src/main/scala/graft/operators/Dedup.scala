@@ -69,7 +69,10 @@ object Dedup {
     * graph diameter (near-dup clusters are shallow); each iteration is
     * one hash join + one aggregation, lineage cut per round so the plan
     * stays flat. The driver loop only ever sees a changed-row COUNT —
-    * no data is collected. Returns (id, comp). */
+    * no data is collected. Superseded per-round checkpoints are
+    * dereferenced as `labels` is reassigned and reclaimed by Spark's
+    * ContextCleaner; live state is one (id, comp) table — two longs
+    * per node — not the corpus. Returns (id, comp). */
   def connectedComponents(pairs: DataFrame,
       src: String = "d1", dst: String = "d2"): DataFrame = {
     val edges = pairs.select(col(src).as("esrc"), col(dst).as("edst"))

@@ -151,7 +151,6 @@ object TextAnalysis {
           .orderBy("doc_id", "term")
       }),
 
-    // T4 — document fingerprint (normalized MD5)
     // T6 — BPE-ish subword counting: a GPT-2-style pretokenizer regex
     // (contractions / letter runs / digit runs / punctuation runs, each
     // optionally space-prefixed — no lookarounds, so Java regex and
@@ -176,6 +175,7 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // T4 — document fingerprint (normalized MD5)
     Q("t4_fingerprint",
       Some("""SELECT doc_id,
              |  md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp

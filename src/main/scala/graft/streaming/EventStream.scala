@@ -190,19 +190,20 @@ object EventStream {
     * O(in-flight window), not O(stream). Inner semantics, like the
     * batch pair form. */
   def intervalJoinStream(left: DataFrame, right: DataFrame,
-      key: String, windowMinutes: Int): DataFrame = {
-    val l = left.withWatermark("ts", s"$windowMinutes minutes")
-      .select(col(key).as("l_key"), col("ts").as("l_ts"),
-        col("event_id").as("l_event_id"))
-    val r = right.withWatermark("ts", s"$windowMinutes minutes")
-      .select(col(key).as("r_key"), col("ts").as("r_ts"),
-        col("event_id").as("r_event_id"))
+      key: String, windowMinutes: Int,
+      ts: String = "ts", payload: String = "event_id"): DataFrame = {
+    val l = left.withWatermark(ts, s"$windowMinutes minutes")
+      .select(col(key).as("l_key"), col(ts).as("l_ts"),
+        col(payload).as(s"l_$payload"))
+    val r = right.withWatermark(ts, s"$windowMinutes minutes")
+      .select(col(key).as("r_key"), col(ts).as("r_ts"),
+        col(payload).as(s"r_$payload"))
     l.join(r, expr(
       s"""l_key = r_key AND
          |r_ts > l_ts AND
          |r_ts <= l_ts + interval $windowMinutes minutes""".stripMargin))
-      .select(col("l_key").as("user_id"), col("l_event_id"),
-        col("r_event_id"), col("l_ts"), col("r_ts"))
+      .select(col("l_key").as(key), col(s"l_$payload"),
+        col(s"r_$payload"), col("l_ts"), col("r_ts"))
   }
 
   /** The streaming rendering of hourlyAgg: file source + watermark +

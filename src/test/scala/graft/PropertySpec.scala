@@ -41,7 +41,7 @@ class PropertySpec extends AnyFunSuite {
       val rrowsRaw = sample(Gen.listOfN(40,
         Gen.zip(Gen.chooseNum(1L, 5L), Gen.chooseNum(0L, 500L))), 200L + i)
       // right must be unique per (key, ts) — the documented contract
-      val rrows = rrowsRaw.distinct.groupBy(r => r).keys.toList
+      val rrows = rrowsRaw.distinct
         .zipWithIndex.map { case ((k, t), ix) => (k, t, 1000L + ix) }
       val got = operators.Temporal.asofJoin(
         lrows.toDF("k", "t", "lid"), rrows.toDF("k", "t", "rv"), "k", "t")
