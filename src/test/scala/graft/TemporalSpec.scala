@@ -68,6 +68,20 @@ class TemporalSpec extends AnyFunSuite {
     assert(df.count() > 0)
   }
 
+  test("temporal ops handle empty sides: asof yields all-null payloads, range join yields no pairs, components yield no rows") {
+    import spark.implicits._
+    val left = Seq((1L, 100L, "l1")).toDF("k", "t", "lv")
+    val emptyRight = Seq.empty[(Long, Long, String)].toDF("k", "t", "rv")
+    val asof = graft.operators.Temporal.asofJoin(left, emptyRight, "k", "t")
+    assert(asof.count() == 1 && asof.filter(col("rv").isNull).count() == 1)
+    val range = graft.operators.Temporal
+      .boundedRangeJoin(left, emptyRight.drop("rv"), "k", "t", "t", 10L)
+    assert(range.count() == 0)
+    val comps = graft.operators.Dedup.connectedComponents(
+      Seq.empty[(Long, Long)].toDF("d1", "d2"))
+    assert(comps.count() == 0)
+  }
+
   test("every click either matches a purchase at-or-before it or is marked unmatched") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("j14_asof_join")(spark, sf)

@@ -154,6 +154,15 @@ class OlistWarehouseSpec extends AnyFunSuite {
       s"partitions not compacted to one file: ${byPartition.view.mapValues(_.size).toMap}")
     assert(dataFiles().size <= before)
     assert(wh2.table("orders_fact").count() == rows, "compaction changed rows")
+    // unpartitioned table goes through the write-then-swap path
+    val convRows = wh2.table("conversions_fact").count()
+    wh2.compact("conversions_fact")
+    assert(wh2.table("conversions_fact").count() == convRows)
+    import scala.jdk.CollectionConverters._
+    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
+      .iterator().asScala.map(_.getFileName.toString)
+      .filter(n => n.contains("__compacting") || n.contains("__precompact")).toSeq
+    assert(leftovers.isEmpty, s"swap staging dirs left behind: $leftovers")
   }
 
   test("catalog ops: database create, table registration, introspection, rename") {
