@@ -46,18 +46,32 @@ object Bench {
     Tables.lineitem(spark, sfDir).count()
 
     val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    // median of 3 runs inside one JVM: single-run numbers on the
+    // 0.3 s-floor queries swing ±30% with GC/scheduler noise, which
+    // masquerades as plan regressions round-over-round; the median is
+    // stable while still charging any real per-run work
+    val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
-      val t0 = System.nanoTime()
-      try {
-        // noop write: forces full evaluation of every column (count()
-        // alone would let Catalyst prune the plan to nothing)
-        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      } catch { case e: Throwable =>
-        failed += name
-        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+      val times = (1 to runsPer).flatMap { _ =>
+        val t0 = System.nanoTime()
+        try {
+          // noop write: forces full evaluation of every column (count()
+          // alone would let Catalyst prune the plan to nothing)
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
+          if (!failed.contains(name)) {
+            failed += name
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          }
+          None
+        }
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val median =
+        if (times.isEmpty) 0.0
+        else times.sorted.apply((times.size - 1) / 2)
+      name -> median
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
@@ -65,7 +79,7 @@ object Bench {
     val total = results.map(_._2).sum
     // a failed query makes the line loudly non-comparable instead of
     // silently shrinking the total
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

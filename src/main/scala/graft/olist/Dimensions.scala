@@ -18,8 +18,25 @@ object Dimensions {
 
   val KEY_START = 1000L
 
-  private def withKey(df: DataFrame, keyName: String, natKey: String): DataFrame =
-    df.select(
+  /** Hard ceiling for the surrogate-key window: the unpartitioned
+    * `row_number()` funnels ALL rows through one task, which is fine
+    * for a broadcast-sized dim and catastrophic for a fact. Enforced
+    * (not just documented) so a future caller can't silently
+    * single-task a 100 TB table — the count is one cheap slim-column
+    * job against an input that's about to be fully sorted anyway. */
+  val MAX_DIM_ROWS = 10000000L
+
+  private[graft] def requireDimSized(df: DataFrame, what: String): DataFrame = {
+    val n = df.count()
+    require(n <= MAX_DIM_ROWS,
+      s"$what has $n rows (> $MAX_DIM_ROWS): the surrogate-key window is " +
+        "dims-only — a global row_number() would single-task a table this " +
+        "size; use a grouping-key identity or zipWithIndex-style keys instead")
+    df
+  }
+
+  private[graft] def withKey(df: DataFrame, keyName: String, natKey: String): DataFrame =
+    requireDimSized(df, s"dim($keyName)").select(
       (row_number().over(Window.orderBy(natKey)) + (KEY_START - 1))
         .cast("long").as(keyName),
       col(natKey))
@@ -40,10 +57,11 @@ object Dimensions {
     * (Olist DW.sql:92-97). City normalized once here — the join side
     * normalizes too (F6 collation trap). */
   def location(geolocation: DataFrame): DataFrame = {
-    val distinctLoc = geolocation.select(
+    val distinctLoc = requireDimSized(geolocation.select(
       col("geolocation_zip_code_prefix").as("zip"),
       norm(col("geolocation_city")).as("city"),
-      norm(col("geolocation_state")).as("state")).distinct()
+      norm(col("geolocation_state")).as("state")).distinct(),
+      "dim(location_key)")
     distinctLoc.select(
       (row_number().over(Window.orderBy("zip", "city", "state")) + (KEY_START - 1))
         .cast("long").as("location_key"),

@@ -63,30 +63,59 @@ object Dedup {
     * resolution step a production dedup runs AFTER pair discovery:
     * near-dup relations are not transitive, so keep-one-per-pair drops
     * too much or too little; the right unit is the component, keeping
-    * its min-id element as canonical. Min-label propagation: every
-    * node starts labeled with itself, each iteration joins labels
-    * across edges and takes the min, until a fixpoint. Iterations =
-    * graph diameter (near-dup clusters are shallow); each iteration is
-    * one hash join + one aggregation, lineage cut per round so the plan
-    * stays flat. The driver loop only ever sees a changed-row COUNT —
-    * no data is collected. Superseded per-round checkpoints are
+    * its min-id element as canonical.
+    *
+    * Min-label propagation with pointer halving: every node starts
+    * labeled with itself; each round (a) takes the min label across
+    * edges, then (b) follows the label one extra hop (comp :=
+    * label(comp)), so label distance halves per round and a chain of
+    * depth D resolves in O(log D) rounds, not O(D) — an adversarial
+    * 100-deep component costs ~8 joins, not 100. Each round is two
+    * hash joins + one aggregation; the driver loop only ever sees a
+    * changed-row COUNT — no data is collected. Live state is one
+    * (id, comp) table — two longs per node — not the corpus.
+    *
+    * Durability: per-round lineage cuts go through the session's
+    * reliable checkpoint dir when one is configured
+    * (`sc.setCheckpointDir` — HDFS/object store on a cluster), so an
+    * hours-long 100 TB run survives executor loss; `localCheckpoint`
+    * (executor-pinned blocks, no recovery) is only the fallback for
+    * dev sessions that never set a dir. Superseded round state is
     * dereferenced as `labels` is reassigned and reclaimed by Spark's
-    * ContextCleaner; live state is one (id, comp) table — two longs
-    * per node — not the corpus. Returns (id, comp). */
+    * ContextCleaner. `maxIterations` bounds adversarial inputs; with
+    * halving, 50 rounds covers components ~2^50 deep. Returns
+    * (id, comp). */
   def connectedComponents(pairs: DataFrame,
-      src: String = "d1", dst: String = "d2"): DataFrame = {
-    val edges = pairs.select(col(src).as("esrc"), col(dst).as("edst"))
-      .unionByName(pairs.select(col(dst).as("esrc"), col(src).as("edst")))
-      .localCheckpoint()
-    var labels = edges.select(col("esrc").as("id")).distinct()
-      .withColumn("comp", col("id")).localCheckpoint()
+      src: String = "d1", dst: String = "d2",
+      maxIterations: Int = 50): DataFrame = {
+    val spark = pairs.sparkSession
+    val reliable = spark.sparkContext.getCheckpointDir.isDefined
+    def pin(df: DataFrame): DataFrame =
+      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val edges = pin(pairs.select(col(src).as("esrc"), col(dst).as("edst"))
+      .unionByName(pairs.select(col(dst).as("esrc"), col(src).as("edst"))))
+    var labels = pin(edges.select(col("esrc").as("id")).distinct()
+      .withColumn("comp", col("id")))
     var changed = 1L
+    var iter = 0
     while (changed > 0) {
+      iter += 1
+      if (iter > maxIterations)
+        throw new IllegalStateException(
+          s"connectedComponents: no fixpoint after $maxIterations rounds " +
+            "(component deeper than 2^rounds, or a non-converging input)")
       val propagated = edges.join(labels, col("esrc") === col("id"))
         .select(col("edst").as("id"), col("comp"))
-      val next = labels.unionByName(propagated)
+      val gathered = labels.unionByName(propagated)
         .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint()
+      // pointer halving: comp := label(comp). The label of a node is
+      // always an id inside the same component, so the invariant holds;
+      // a left join + coalesce keeps rows whose label has no own row
+      // yet this round.
+      val hop = gathered.select(col("id").as("comp"), col("comp").as("hop"))
+      val next = pin(gathered.join(hop, Seq("comp"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("hop"), col("comp"))).as("comp")))
       changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") =!= col("prev")).count()
       labels = next
@@ -281,9 +310,14 @@ object Dedup {
 
   /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard
     * verification. Shuffles only (id, band_hash) in the banding stage
-    * and candidate ids in the verify stage. */
+    * and candidate ids in the verify stage. A hot band bucket (a
+    * boilerplate-heavy corpus collapses many docs into one band hash)
+    * is split by [[Skew.boundedSelfPairs]] so no single task ever
+    * enumerates more than `maxBucket`² candidates — the pair set is
+    * unchanged, only its task layout. */
   def minHashLshPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int, bands: Int, threshold: Double): DataFrame = {
+      k: Int, bands: Int, threshold: Double,
+      maxBucket: Int = 1024): DataFrame = {
     require(k % bands == 0, "signature width must divide evenly into bands")
     val rows = k / bands
     val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("tks"))
@@ -296,9 +330,7 @@ object Dedup {
     // Shuffle width is 2 slim columns regardless of document size.
     val banded = sig.select(col("id"),
       explode(bandHashes((0 until k).map(i => col(s"s$i")), rows)).as("bh"))
-    val cand = banded.select(col("bh"), col("id").as("d1"))
-      .join(banded.select(col("bh"), col("id").as("d2")), Seq("bh"))
-      .filter(col("d1") < col("d2"))
+    val cand = Skew.boundedSelfPairs(banded, "bh", "id", maxBucket)
       .select("d1", "d2").distinct()
     // exact-Jaccard verification: attach token sets to the (much
     // smaller) candidate set only

@@ -177,16 +177,25 @@ object Similarity {
 
   /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
     * only from shared LSH buckets, exact-decimal cosine verification.
-    * Shared by d7 (pair listing) and d8 (component resolution). */
-  def neardupPairs(s: SparkSession, d: String): DataFrame = {
+    * Shared by d7 (pair listing) and d8 (component resolution).
+    *
+    * Hot-bucket guard: candidate ids come from [[Skew.boundedSelfPairs]]
+    * (per-task fan-out capped at maxBucket² even when a near-constant
+    * corpus collapses into one bucket — same pair set, skew-safe task
+    * layout); embeddings join back onto the candidate pairs only, so
+    * vectors are never replicated through the pair enumeration. */
+  def neardupPairs(s: SparkSession, d: String,
+      maxBucket: Int = 1024): DataFrame = {
     val withBucket = T.embeddings(s, d)
       .select(col("vec_id"), col("embedding"),
         bucketOf(s, col("embedding")).as("bucket"))
-    val a = withBucket.select(col("bucket"), col("vec_id").as("d1"),
-      col("embedding").as("v1"))
-    val b = withBucket.select(col("bucket"), col("vec_id").as("d2"),
-      col("embedding").as("v2"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+    val cand = Skew.boundedSelfPairs(
+      withBucket.select("bucket", "vec_id"), "bucket", "vec_id", maxBucket)
+    cand
+      .join(withBucket.select(col("vec_id").as("d1"), col("embedding").as("v1")),
+        Seq("d1"))
+      .join(withBucket.select(col("vec_id").as("d2"), col("embedding").as("v2")),
+        Seq("d2"))
       .select(col("d1"), col("d2"),
         round(VectorFunctions.dotExact(col("v1"), col("v2")) /
           (VectorFunctions.normExact(col("v1")) *

@@ -26,6 +26,48 @@ object Skew {
     probeSalted.join(buildSalted, Seq(key, "_salt")).drop("_salt")
   }
 
+  /** Exact hot-bucket-safe within-bucket pair enumeration — the guard
+    * for LSH/blocking self-joins. A naive self-join on the bucket key
+    * puts a hot bucket's entire O(n²) pair generation in ONE task: a
+    * near-constant corpus (boilerplate-heavy crawl at 100 TB) turns a
+    * single straggler task quadratic while 999 executors idle.
+    *
+    * This splits every bucket larger than `maxBucket` ids into
+    * m = ceil(n / maxBucket) chunks (deterministic hash of the id) and
+    * emits each of the m(m+1)/2 chunk pairs as its own join task —
+    * per-task work is bounded by maxBucket² and spreads across the
+    * cluster, while the output is EXACTLY the all-pairs set (each
+    * unordered pair appears once, oriented d1 < d2): same-chunk tasks
+    * keep the d1 < d2 half; cross-chunk tasks cover each pair exactly
+    * once (the (min,max) chunk task) and re-orient by id. Replication
+    * cost is m+1 slim (bucket, id, task) rows per input row — ids only,
+    * never payloads; callers join payloads back on the (much smaller)
+    * pair set.
+    *
+    * Input: (bucketCol, idCol) rows, one per member. Output:
+    * (bucketCol, d1, d2) with d1 < d2, all within-bucket pairs. */
+  def boundedSelfPairs(items: DataFrame, bucketCol: String, idCol: String,
+      maxBucket: Int): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket must be ≥ 2, got $maxBucket")
+    val sz = items.groupBy(col(bucketCol).as("_bk"))
+      .agg(count(lit(1)).as("_n"))
+    val t = items.select(col(bucketCol).as("_bk"), col(idCol).as("_id"))
+      .join(sz, Seq("_bk"))
+      .withColumn("_m", ceil(col("_n").cast("double") / maxBucket).cast("long"))
+      .withColumn("_c", pmod(xxhash64(col("_id")), col("_m")))
+    // each row serves as the "low" side of tasks (c, j≥c) and the
+    // "high" side of tasks (i≤c, c)
+    val low = t.select(col("_bk"), col("_id").as("d1"), col("_c").as("_i"),
+      explode(sequence(col("_c"), col("_m") - 1)).as("_j"))
+    val high = t.select(col("_bk"), col("_id").as("d2"),
+      explode(sequence(lit(0L), col("_c"))).as("_i"), col("_c").as("_j"))
+    low.join(high, Seq("_bk", "_i", "_j"))
+      .filter((col("_i") =!= col("_j")) || (col("d1") < col("d2")))
+      .select(col("_bk").as(bucketCol),
+        least(col("d1"), col("d2")).as("d1"),
+        greatest(col("d1"), col("d2")).as("d2"))
+  }
+
   /** Two-phase salted aggregation for algebraic aggregates over skewed
     * group keys: partial-aggregate on (key, salt), then final-aggregate
     * on key. The hot key's partial state is built by `salts` tasks in

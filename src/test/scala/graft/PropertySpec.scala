@@ -90,4 +90,63 @@ class PropertySpec extends AnyFunSuite {
       assert(secondRun.count() == 0, s"iteration $i (cut=$cut)")
     }
   }
+
+  test("connected components: 120-deep chain converges within 12 rounds (pointer halving)") {
+    import spark.implicits._
+    // plain min-label propagation needs ~120 rounds here; the halving
+    // path must resolve it in O(log 120) — the cap proves it
+    val chain = (0L until 120L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comps = operators.Dedup.connectedComponents(chain, maxIterations = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.size == 121)
+    assert(comps.values.forall(_ == 0L), "every chain node labels to the min id")
+  }
+
+  test("connected components: random edge sets match a naive union-find") {
+    import spark.implicits._
+    (1 to 6).foreach { i =>
+      val edges = sample(Gen.listOfN(80,
+        Gen.zip(Gen.chooseNum(0L, 60L), Gen.chooseNum(0L, 60L))), 300L + i)
+        .filter { case (a, b) => a != b }
+      // naive union-find ground truth
+      val parent = scala.collection.mutable.Map((0L to 60L).map(x => x -> x): _*)
+      def find(x: Long): Long =
+        if (parent(x) == x) x else { val r = find(parent(x)); parent(x) = r; r }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = edges.flatMap { case (a, b) => Seq(a, b) }.toSet
+      val expect = nodes.map(x => x -> find(x)).toMap
+      val got = operators.Dedup.connectedComponents(edges.toDF("d1", "d2"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expect, s"iteration $i")
+    }
+  }
+
+  test("connected components: iteration cap raises instead of looping forever") {
+    import spark.implicits._
+    val chain = (0L until 40L).map(i => (i, i + 1)).toDF("d1", "d2")
+    intercept[IllegalStateException] {
+      operators.Dedup.connectedComponents(chain, maxIterations = 1)
+    }
+  }
+
+  test("connected components: reliable checkpoints used when the session has a checkpoint dir") {
+    import spark.implicits._
+    // on a cluster this is HDFS/object storage — per-round state then
+    // survives executor loss, which localCheckpoint (executor-pinned
+    // blocks) does not. Set last in this suite: once set, the dir
+    // stays for the session (subsequent callers just also get the
+    // durable path).
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    val chain = (0L until 50L).map(i => (i, i + 1)).toDF("d1", "d2")
+    val comps = operators.Dedup.connectedComponents(chain)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comps.values.forall(_ == 0L))
+    val written = new java.io.File(dir).listFiles()
+    assert(written != null && written.nonEmpty,
+      "no reliable checkpoint state was written under the checkpoint dir")
+  }
 }

@@ -31,6 +31,63 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(direct == salted)
   }
 
+  test("boundedSelfPairs equals the naive all-pairs self-join on a hot bucket") {
+    import spark.implicits._
+    // one degenerate 100-id bucket (forces chunk-splitting at cap 10)
+    // plus a small bucket that stays single-chunk
+    val items = ((1 to 100).map(i => ("hot", i.toLong)) ++
+      (1 to 7).map(i => ("cold", 1000L + i))).toDF("bk", "id")
+    val got = Skew.boundedSelfPairs(items, "bk", "id", maxBucket = 10)
+      .select("bk", "d1", "d2").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val naive = items.select(col("bk"), col("id").as("d1"))
+      .join(items.select(col("bk"), col("id").as("d2")), Seq("bk"))
+      .filter(col("d1") < col("d2")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got.size == 100 * 99 / 2 + 7 * 6 / 2)
+    assert(got == naive)
+  }
+
+  test("boundedSelfPairs bounds per-task pair fan-out by maxBucket²") {
+    import spark.implicits._
+    val cap = 10
+    val n = 100
+    val items = (1 to n).map(i => ("hot", i.toLong)).toDF("bk", "id")
+    // recompute the helper's chunk assignment and group pairs by their
+    // (chunk_lo, chunk_hi) task: no task may hold more than cap² pairs
+    val m = math.ceil(n.toDouble / cap).toLong
+    val chunks = items.select(col("id"),
+      pmod(xxhash64(col("id")), lit(m)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val perTask = Skew.boundedSelfPairs(items, "bk", "id", cap).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2")))
+      .groupBy { case (a, b) =>
+        val (ca, cb) = (chunks(a), chunks(b))
+        (math.min(ca, cb), math.max(ca, cb))
+      }.map(_._2.length)
+    // chunk sizes are hash-balanced (binomial around n/m), so the exact
+    // per-task bound is max_chunk² = O(maxBucket²); 4× covers the
+    // balance slack at this small n and shrinks as n grows — the point
+    // is the task is NOT the whole bucket's n²/2
+    assert(perTask.max <= 4 * cap * cap,
+      s"a chunk-pair task holds ${perTask.max} pairs (> ${4 * cap * cap})")
+    assert(perTask.max < n * (n - 1) / 8,
+      "hot-bucket work not spread: one task still holds a quadratic share")
+    assert(perTask.size > 1, "hot bucket was not split across tasks")
+  }
+
+  test("surrogate-key guard: a fact-sized input is rejected before the window runs") {
+    val big = spark.range(graft.olist.Dimensions.MAX_DIM_ROWS + 1)
+      .select(col("id").cast("string").as("nat"))
+    val err = intercept[IllegalArgumentException] {
+      graft.olist.Dimensions.withKey(big, "k", "nat")
+    }
+    assert(err.getMessage.contains("dims-only"))
+    // and a dim-sized input still passes
+    val small = spark.range(50).select(col("id").cast("string").as("nat"))
+    assert(graft.olist.Dimensions.withKey(small, "k", "nat").count() == 50)
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val wdir = "/tmp/graft-test-warehouse"
     spark.conf.set("spark.sql.sources.bucketing.enabled", "true")
