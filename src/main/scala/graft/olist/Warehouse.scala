@@ -14,6 +14,13 @@ import org.apache.spark.sql.functions._
   * tables are written partitioned by year (SURVEY §4: partition pruning
   * on the date axis; dims stay broadcast-sized and unpartitioned).
   *
+  * Path-mode tables commit through a version manifest (the minimal
+  * transactional core of a table format): every write publishes a new
+  * immutable file-list version, reads resolve one version per
+  * DataFrame, and superseded files survive until [[vacuum]] — so
+  * compaction and partition upserts are snapshot-consistent for
+  * concurrent readers instead of exposing partial directory listings.
+  *
   * With `database = Some("olist_dw")` the build lands in the session
   * catalog instead (the moral equivalent of the reference's persistent
   * `Olist_DW` database, `Olist DW.sql:39-51`): `CREATE DATABASE IF NOT
@@ -38,20 +45,24 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val partitioning = scala.collection.mutable.Map.empty[String, Seq[String]]
 
   /** S4 CTAS-style sink + catalog registration (reference:
-    * SELECT..INTO, Olist DW.sql:64-67 etc.). */
+    * SELECT..INTO, Olist DW.sql:64-67 etc.). Path mode commits through
+    * the version manifest (see [[commitManifest]]): data files land
+    * first, the manifest swap is the atomic commit point, and readers
+    * pinned to the previous version keep a complete snapshot. */
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
     schemas(name) = df.schema
-    val w = df.write.mode("overwrite").format(format)
-      .option("header", "true") // no-op outside csv
-    val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
     database match {
       case Some(db) =>
+        val w = df.write.mode("overwrite").format(format)
+          .option("header", "true") // no-op outside csv
+        val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
         pw.saveAsTable(s"$db.$name")
         analyze(db, name, columnStats = partitionBy.isEmpty)
       case None =>
-        pw.save(s"$basePath/$name")
-        // meta only AFTER the data write succeeds — a failed write must
+        val files = stageWrite(name, df, partitionBy)
+        commitManifest(name, files) // overwrite: new snapshot is the new files
+        // meta only AFTER the data commit succeeds — a failed write must
         // not leave metadata describing data that never landed
         writeMeta(name, partitionBy, df.schema)
     }
@@ -74,10 +85,9 @@ class Warehouse(spark: SparkSession, basePath: String,
       analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
     case None =>
       val parts = partitionColsOf(name)
-      val w = df.write.mode("append").format(format)
-        .option("header", "true")
-      (if (parts.nonEmpty) w.partitionBy(parts: _*) else w)
-        .save(s"$basePath/$name")
+      val files = stageWrite(name, df, parts)
+      val old = currentManifest(name).map(_._2).getOrElse(Nil)
+      commitManifest(name, old ++ files)
   }
 
   /** The table's partition columns as a NEW Warehouse instance over an
@@ -101,20 +111,31 @@ class Warehouse(spark: SparkSession, basePath: String,
   def overwritePartitions(name: String, df: DataFrame): Unit = {
     val parts = partitionColsOf(name)
     require(parts.nonEmpty, s"overwritePartitions: $name is not partitioned")
-    withDynamicOverwrite {
-      database match {
-        case Some(db) =>
-          // insertInto is positional — align to the table's column order
-          val target = spark.table(s"$db.$name")
-          df.select(target.columns.map(col): _*)
-            .write.mode("overwrite").format(format).insertInto(s"$db.$name")
-          analyze(db, name, columnStats = false)
-        case None =>
-          df.write.mode("overwrite").format(format).option("header", "true")
-            .partitionBy(parts: _*).save(s"$basePath/$name")
+    database match {
+      case Some(db) => withDynamicOverwrite {
+        // insertInto is positional — align to the table's column order
+        val target = spark.table(s"$db.$name")
+        df.select(target.columns.map(col): _*)
+          .write.mode("overwrite").format(format).insertInto(s"$db.$name")
+        analyze(db, name, columnStats = false)
       }
+      case None =>
+        // manifest-level dynamic overwrite: the new snapshot keeps every
+        // file OUTSIDE the partitions present in the delta and swaps in
+        // the delta's files — untouched partitions' files are not even
+        // listed, let alone rewritten, and the swap is atomic
+        val files = stageWrite(name, df, parts)
+        val touched = files.map(partitionPrefix).toSet
+        val kept = currentManifest(name).map(_._2).getOrElse(Nil)
+          .filterNot(f => touched.contains(partitionPrefix(f)))
+        commitManifest(name, kept ++ files)
     }
   }
+
+  /** The partition-directory part of a manifest-relative file path
+    * ("year=2018/f.parquet" → "year=2018/"; unpartitioned → ""). */
+  private def partitionPrefix(rel: String): String =
+    rel.substring(0, rel.lastIndexOf('/') + 1)
 
   private def withDynamicOverwrite[T](f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
@@ -134,50 +155,84 @@ class Warehouse(spark: SparkSession, basePath: String,
     * partitioned table into ≤ `filesPerPartition` files, or an
     * unpartitioned table into that many files total.
     *
-    * Caller contract: EXCLUSIVE access for the duration — plain Parquet
-    * has no transaction log, so rows appended between the snapshot and
-    * the commit would be lost (a table-format sink — Delta/Iceberg —
-    * is what makes OPTIMIZE safe under concurrent ingestion).
-    * Durability: the partitioned rewrite goes through dynamic-overwrite
-    * staging (old files survive until job commit); the unpartitioned
-    * path-mode rewrite writes to a sibling temp directory and swaps by
-    * rename, so a mid-write failure leaves the original intact. */
+    * Path mode is snapshot-consistent: the rewrite lands as new data
+    * files and one atomic manifest swap, so a concurrent reader sees
+    * the pre-compaction snapshot or the post-compaction one, never a
+    * partial listing (and readers pinned to the old manifest keep
+    * working — superseded files survive until [[vacuum]]). Exclusive
+    * WRITER access is still the contract: rows appended between the
+    * snapshot read and the commit would be dropped by the replace.
+    * Catalog mode rewrites through insertInto (the session catalog owns
+    * that layout); it keeps the weaker exclusive-access contract. */
   def compact(name: String, filesPerPartition: Int = 1): Unit = {
     val parts = partitionColsOf(name)
     val n = math.max(filesPerPartition, 1)
-    val snapshot = read(name).localCheckpoint()
-    if (parts.nonEmpty) {
-      // the dynamic-partition writer emits one file per (task,
-      // partition value): repartitioning by the partition columns alone
-      // → 1 file per partition; add a row-hash splitter only when more
-      // are wanted
-      val byPart =
-        if (n == 1) snapshot.repartition(parts.map(col): _*)
-        else snapshot.repartition((parts.map(col) :+
-          pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
-      overwritePartitions(name, byPart)
-    } else {
-      val coalesced = snapshot.coalesce(n)
-      database match {
-        case Some(db) =>
-          val target = spark.table(s"$db.$name")
-          coalesced.select(target.columns.map(col): _*)
-            .write.mode("overwrite").insertInto(s"$db.$name")
-          analyze(db, name, columnStats = true)
-        case None =>
-          // write-then-swap: never delete the only copy before the
-          // replacement is fully on disk
-          val fs = metaFs
-          val dst = new org.apache.hadoop.fs.Path(s"$basePath/$name")
-          val tmp = new org.apache.hadoop.fs.Path(s"$basePath/.${name}__compacting")
-          val old = new org.apache.hadoop.fs.Path(s"$basePath/.${name}__precompact")
-          fs.delete(tmp, true)
-          coalesced.write.mode("overwrite").format(format)
-            .option("header", "true").save(tmp.toString)
-          fs.delete(old, true)
-          require(fs.rename(dst, old), s"compact: could not stage $dst aside")
-          require(fs.rename(tmp, dst), s"compact: could not move $tmp into place")
-          fs.delete(old, true)
+    database match {
+      case Some(db) =>
+        val snapshot = read(name).localCheckpoint()
+        val target = spark.table(s"$db.$name")
+        val shaped =
+          if (parts.nonEmpty) {
+            // the dynamic-partition writer emits one file per (task,
+            // partition value): repartitioning by the partition columns
+            // alone → 1 file per partition; a row-hash splitter only
+            // when more are wanted
+            val byPart =
+              if (n == 1) snapshot.repartition(parts.map(col): _*)
+              else snapshot.repartition((parts.map(col) :+
+                pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
+            byPart
+          } else snapshot.coalesce(n)
+        withDynamicOverwrite {
+          shaped.select(target.columns.map(col): _*)
+            .write.mode("overwrite").format(format).insertInto(s"$db.$name")
+        }
+        analyze(db, name, columnStats = parts.isEmpty)
+      case None =>
+        // the manifest pins the snapshot's exact file list, and nothing
+        // below deletes data files — the lazy read is safe to rewrite
+        // from, no localCheckpoint materialization needed
+        val snapshot = read(name)
+        val shaped =
+          if (parts.nonEmpty) {
+            if (n == 1) snapshot.repartition(parts.map(col): _*)
+            else snapshot.repartition((parts.map(col) :+
+              pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
+          } else snapshot.coalesce(n)
+        val files = stageWrite(name, shaped, parts)
+        commitManifest(name, files) // full replace: snapshot covers the table
+    }
+  }
+
+  /** Reclaims data files no longer referenced by the CURRENT manifest
+    * (superseded by save/overwritePartitions/compact) plus superseded
+    * manifest versions. Caller contract: run only after in-flight
+    * readers of older snapshots have drained — the retention window is
+    * the caller's policy, exactly as in production table formats. */
+  def vacuum(name: String): Unit = {
+    require(database.isEmpty, "vacuum applies to path-mode tables only")
+    val fs = metaFs
+    currentManifest(name).foreach { case (v, files) =>
+      val keep = files.toSet
+      val root = qualifiedPath(s"$basePath/$name")
+      val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+      val it = fs.listFiles(root, true)
+      while (it.hasNext) {
+        val f = it.next().getPath
+        val rel = relativeTo(root, f)
+        if (!keep.contains(rel) && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")) doomed += f
+      }
+      doomed.foreach(fs.delete(_, false))
+      // empty partition directories left behind by the deletes
+      fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+        if (!fs.listFiles(d.getPath, true).hasNext) fs.delete(d.getPath, true)
+      }
+      fs.listStatus(txnDir(name)).foreach { st =>
+        st.getPath.getName match {
+          case ManifestName(ver) if ver.toLong < v => fs.delete(st.getPath, false)
+          case _ => ()
+        }
       }
     }
   }
@@ -203,7 +258,139 @@ class Warehouse(spark: SparkSession, basePath: String,
       val sc = schemas.getOrElseUpdate(name,
         loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
       val r = spark.read.format(format).option("header", "true")
-      (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
+      val rs = if (sc.isEmpty) r else r.schema(sc)
+      currentManifest(name) match {
+        case Some((_, files)) if files.nonEmpty =>
+          // snapshot read: exactly the committed files, resolved at
+          // DataFrame creation — concurrent commits can't change or
+          // truncate what this reader sees. basePath keeps partition
+          // columns parsed from the k=v directory segments.
+          rs.option("basePath", s"$basePath/$name")
+            .load(files.map(f => s"$basePath/$name/$f"): _*)
+        case Some((_, _)) =>
+          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        case None => // pre-manifest store layout (or foreign directory)
+          rs.load(s"$basePath/$name")
+      }
+  }
+
+  // ----- version-manifest commit log (path mode) --------------------
+  //
+  // The minimal transactional core of a table format: a table's current
+  // snapshot is an immutable LIST OF FILES named by a manifest; writers
+  // stage data files first (invisible — readers only see listed files),
+  // then publish a new manifest version; the highest version wins.
+  // Readers resolve the manifest once per DataFrame, so every query runs
+  // against one consistent snapshot even while writers land new
+  // versions, and compaction/upsert never present a partial directory.
+  // Manifests live under _graft_meta (not the table dir) so the data
+  // directories hold data only. Single-writer-per-table remains the
+  // contract (the create-exclusive commit detects races rather than
+  // resolving them — production formats add a log store/lock service).
+
+  private val ManifestName = "v(\\d+)\\.manifest".r
+
+  private def txnDir(name: String) =
+    new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn/$name")
+
+  private def qualifiedPath(p: String): org.apache.hadoop.fs.Path =
+    metaFs.makeQualified(new org.apache.hadoop.fs.Path(p))
+
+  /** Path of `f` relative to directory `root` (same FileSystem). */
+  private def relativeTo(root: org.apache.hadoop.fs.Path,
+      f: org.apache.hadoop.fs.Path): String = {
+    val rootPath = root.toUri.getPath.stripSuffix("/") + "/"
+    val fp = f.toUri.getPath
+    require(fp.startsWith(rootPath), s"$f is not under $root")
+    fp.substring(rootPath.length)
+  }
+
+  /** Latest committed (version, file list) for the table, if any. */
+  private def currentManifest(name: String): Option[(Long, Seq[String])] = {
+    val fs = metaFs
+    val dir = txnDir(name)
+    if (!fs.exists(dir)) None
+    else {
+      val versions = fs.listStatus(dir).toSeq.flatMap { st =>
+        st.getPath.getName match {
+          case ManifestName(v) => Some(v.toLong -> st.getPath)
+          case _ => None
+        }
+      }
+      if (versions.isEmpty) None
+      else {
+        val (v, p) = versions.maxBy(_._1)
+        val in = fs.open(p)
+        val content =
+          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+          finally in.close()
+        Some(v -> content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+      }
+    }
+  }
+
+  /** Atomic commit: write the full file list to a hidden temp file,
+    * fsync/close, then rename to `v<N+1>.manifest`. Rename-no-overwrite
+    * is the commit point — it either publishes the complete manifest or
+    * fails (a concurrent committer of the same version loses the race
+    * loudly instead of corrupting the log). */
+  private def commitManifest(name: String, files: Seq[String]): Unit = {
+    val fs = metaFs
+    val dir = txnDir(name)
+    fs.mkdirs(dir)
+    val version = currentManifest(name).map(_._1).getOrElse(0L) + 1
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".v$version.manifest.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // durability before visibility; local checksum streams lack hsync
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.flush() }
+    } finally out.close()
+    val dst = new org.apache.hadoop.fs.Path(dir, s"v$version.manifest")
+    if (!fs.rename(tmp, dst)) {
+      fs.delete(tmp, false)
+      throw new IllegalStateException(
+        s"commit conflict on $name v$version: concurrent writer detected")
+    }
+  }
+
+  /** Writes `df` to a staging directory, then moves the data files into
+    * the table directory under transaction-unique names (a pure
+    * same-filesystem rename per file). Staged/moved files are invisible
+    * to readers until the manifest naming them is committed. Returns
+    * the moved files' paths relative to the table dir (partition
+    * directories included). */
+  private def stageWrite(name: String, df: DataFrame,
+      parts: Seq[String]): Seq[String] = {
+    val fs = metaFs
+    val txnId = java.util.UUID.randomUUID.toString.take(8)
+    val stage = qualifiedPath(s"$basePath/_graft_stage/$name-$txnId")
+    val w = df.write.mode("overwrite").format(format).option("header", "true")
+    (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).save(stage.toString)
+    val tableRoot = qualifiedPath(s"$basePath/$name")
+    val moved = scala.collection.mutable.ArrayBuffer.empty[String]
+    val it = fs.listFiles(stage, true)
+    while (it.hasNext) {
+      val f = it.next().getPath
+      val base = f.getName
+      if (!base.startsWith("_") && !base.startsWith(".")) {
+        val rel = relativeTo(stage, f)
+        val relDir = rel.stripSuffix(base).stripSuffix("/")
+        val destRel = (if (relDir.isEmpty) "" else s"$relDir/") + s"$txnId-$base"
+        val dest = new org.apache.hadoop.fs.Path(tableRoot, destRel)
+        fs.mkdirs(dest.getParent)
+        require(fs.rename(f, dest), s"stage move failed: $f -> $dest")
+        moved += destRel
+      }
+    }
+    fs.delete(stage, true)
+    // drop the shared staging parent when this was its last transaction
+    val stageParent = stage.getParent
+    if (fs.exists(stageParent) && fs.listStatus(stageParent).isEmpty)
+      fs.delete(stageParent, false)
+    moved.toSeq
   }
 
   /** Table metadata persisted beside the data so a NEW Warehouse

@@ -61,6 +61,27 @@ class CatalogWarehouseSpec extends AnyFunSuite {
     assert(dw.nonEmpty)
   }
 
+  test("filtered time dim dynamically prunes the year-partitioned fact scan") {
+    wh
+    // the mechanism that lets the star probe scan 1/Nth of a 100 TB
+    // fact: the partition column rides the join, so Catalyst plants a
+    // dynamicpruning subquery on the fact scan fed by the filtered
+    // (broadcast) dim — only matching year= directories are read.
+    // The dim filter is on `date`, NOT on year: a literal year filter
+    // would propagate to the fact statically through the join
+    // constraint (also good — but then there's nothing left for DPP
+    // to do); a date-range filter implies the year only at runtime.
+    val t = spark.table(s"$DB.time_period").alias("t")
+      .filter(col("date").between("2018-06-01", "2018-06-30"))
+    val f = spark.table(s"$DB.orders_fact").alias("f")
+    val q = f.join(broadcast(t), col("f.date_key") === col("t.date_key") &&
+        col("f.year") === col("t.year"))
+      .groupBy(col("t.month")).agg(sum("units_sold").as("units"))
+    val p = q.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"), s"no dynamic partition pruning:\n$p")
+    assert(q.collect().nonEmpty)
+  }
+
   test("incremental append + partition-scoped upsert work on catalog tables") {
     wh
     val before = spark.table(s"$DB.orders_fact").count()

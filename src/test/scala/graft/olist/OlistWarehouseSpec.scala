@@ -148,21 +148,54 @@ class OlistWarehouseSpec extends AnyFunSuite {
     }
     val before = dataFiles().size
     wh2.compact("orders_fact")
+    assert(wh2.table("orders_fact").count() == rows, "compaction changed rows")
+    // superseded files persist until vacuum (old-snapshot readers);
+    // vacuum then leaves exactly the compacted layout
+    wh2.vacuum("orders_fact")
     val byPartition = dataFiles()
       .groupBy(_.getParent.getFileName.toString)
     assert(byPartition.nonEmpty && byPartition.forall(_._2.size == 1),
       s"partitions not compacted to one file: ${byPartition.view.mapValues(_.size).toMap}")
     assert(dataFiles().size <= before)
-    assert(wh2.table("orders_fact").count() == rows, "compaction changed rows")
-    // unpartitioned table goes through the write-then-swap path
+    assert(wh2.table("orders_fact").count() == rows, "vacuum changed rows")
+    // unpartitioned table compacts through the same manifest commit
     val convRows = wh2.table("conversions_fact").count()
     wh2.compact("conversions_fact")
+    wh2.vacuum("conversions_fact")
     assert(wh2.table("conversions_fact").count() == convRows)
     import scala.jdk.CollectionConverters._
     val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
       .iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.contains("__compacting") || n.contains("__precompact")).toSeq
-    assert(leftovers.isEmpty, s"swap staging dirs left behind: $leftovers")
+      .filter(n => n.contains("_graft_stage")).toSeq
+    assert(leftovers.isEmpty, s"staging dirs left behind: $leftovers")
+  }
+
+  test("snapshot isolation: a reader pinned before compaction sees the old snapshot, never partial") {
+    val dir = java.nio.file.Files.createTempDirectory("olist_txn").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.build(src)
+    IncrementalLoad.run(wh2, src, "2019-01-01", "2019-02-01")
+    val rows = wh2.table("orders_fact").count()
+    // pin a reader to the current manifest version (resolved at
+    // DataFrame creation, exactly what a long-running concurrent query
+    // holds mid-compaction)
+    val pinnedBeforeCompact = wh2.table("orders_fact")
+    wh2.compact("orders_fact")
+    assert(pinnedBeforeCompact.count() == rows,
+      "pre-compaction reader lost rows mid-compaction")
+    // same guarantee across a partition upsert: pinned reader keeps the
+    // OLD values; a fresh read sees the new snapshot — never a mix
+    val pinned2019 = wh2.table("orders_fact")
+      .filter(org.apache.spark.sql.functions.col("date_key") >= 20190101)
+    val before2019 = pinned2019.count()
+    IncrementalLoad.runUpsert(wh2, src, "2019-01-01", "2019-02-01")
+    assert(pinned2019.count() == before2019,
+      "pre-upsert reader saw the upsert's partial state")
+    assert(wh2.table("orders_fact").count() == rows)
+    // and vacuum is what finally invalidates old snapshots (documented
+    // retention contract)
+    wh2.vacuum("orders_fact")
+    assert(wh2.table("orders_fact").count() == rows)
   }
 
   test("catalog ops: database create, table registration, introspection, rename") {
