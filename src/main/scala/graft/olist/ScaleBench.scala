@@ -125,7 +125,16 @@ object ScaleBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
-    val src = sources(spark).map { case (k, v) => k -> v.cache() }
+    // SPARK_GRAFT_OLIST_SCALE=10 → 1M orders / 10M geolocation: one
+    // decade above the reference dataset, same proportions. Row-count
+    // dims (products, deals) stay reference-sized — scaling a dim does
+    // not model the workload, it just breaks broadcastability.
+    val scale = sys.env.getOrElse("SPARK_GRAFT_OLIST_SCALE", "1").toLong
+    val (nOrders, nItems, nGeo) =
+      (100000 * scale, 112000 * scale, 1000000 * scale)
+    val src = sources(spark, nOrders = nOrders, nItems = nItems, nGeo = nGeo,
+      nSellers = 3000 * scale, nLeads = 8000 * scale)
+      .map { case (k, v) => k -> v.cache() }
     src.values.foreach(_.count()) // materialize generators outside the timing
 
     val whDir = java.nio.file.Files.createTempDirectory("olist_scale_wh").toString
@@ -148,7 +157,7 @@ object ScaleBench {
       wh.table("origin"), wh.table("time_period")).collect())
     val (incRows, tInc) = time(
       IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01").count())
-    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"incremental_rows":$incRows%d,"orders":100000,"order_items":112000,"geolocation":1000000}""")
+    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"incremental_rows":$incRows%d,"orders":$nOrders%d,"order_items":$nItems%d,"geolocation":$nGeo%d}""")
     spark.stop()
   }
 }

@@ -54,8 +54,7 @@ object Relational {
              |FROM lineitem ORDER BY okey, lnum""".stripMargin),
       (s, d) => T.lineitem(s, d)
         .select(col("l_orderkey").as("okey"), col("l_linenumber").as("lnum"),
-          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))
-        .orderBy("okey", "lnum")),
+          (col("l_extendedprice") * (lit(1) - col("l_discount"))).as("net"))),
 
     // P2 — inequality filter on string (reference: != 'canceled',
     // Olist DW.sql:155)
@@ -373,7 +372,6 @@ object Relational {
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             coalesce(lag("l_quantity", 1).over(w), lit(-1.0)).as("prev_qty"),
             coalesce(lead("l_quantity", 1).over(w), lit(-1.0)).as("next_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       }),
 
     // W5 — explicit ROWS frame (moving window)
@@ -392,7 +390,6 @@ object Relational {
           .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
             sum(col("l_quantity").cast(DecimalType(18, 2))).over(w)
               .cast("double").as("mov_qty"))
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber")
       }),
 
     // A13 — approx_count_distinct (HLL). The hashed output carries the
@@ -613,8 +610,7 @@ object Relational {
         .select(col("event_id"),
           ((unix_timestamp(lit("2024-01-15 00:00:00").cast("timestamp")) -
             unix_timestamp(date_trunc("hour", col("ts")))) / 3600)
-            .cast("long").as("hrs_to_mid"))
-        .orderBy("event_id")),
+            .cast("long").as("hrs_to_mid"))),
 
     // F6 — case/whitespace normalization at compare boundaries
     // (reference: SQL Server CI collation, SURVEY §7.4)
@@ -635,15 +631,15 @@ object Relational {
         .select(col("l_orderkey"), col("l_linenumber"),
           row_number().over(
             Window.partitionBy("l_orderkey").orderBy("l_linenumber"))
-            .cast("long").as("rn"))
-        .orderBy("l_orderkey", "l_linenumber")),
+            .cast("long").as("rn"))),
 
-    // No final global ORDER BY: the window's per-partition sort fully
-    // determines the VALUES, and the correctness compare row-sorts
-    // before hashing — a global sort of the entire output exists only
-    // to please human eyes and costs a full extra exchange+sort (4.8 s
-    // → 2.2 s at sf1). At 100 TB an output-wide total order is exactly
-    // the operator you never want.
+    // No final global ORDER BY on w1/w2/w4/w5 (nor p1/f3): the
+    // window's per-partition sort fully determines the VALUES, and the
+    // correctness compare row-sorts before hashing — a global sort of
+    // the entire output exists only to please human eyes and costs a
+    // full extra exchange+sort (4.8 s → 2.2 s at sf1 on w2 alone). At
+    // 100 TB an output-wide total order is exactly the operator you
+    // never want.
     Q("w2_running_sum",
       Some("""SELECT l_suppkey, l_orderkey, l_linenumber,
              |  cast(sum(cast(l_quantity as decimal(18,2)))

@@ -34,6 +34,23 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  // PII patterns — RE2-safe (no lookarounds/backrefs) so DuckDB's RE2
+  // and Java's regex agree match-for-match. Applied in a fixed order
+  // (email → IPv4 → phone) on both engines.
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phoneRe = "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b"
+
+  /** PII redaction: emails, IPv4 addresses, and US-style phone numbers
+    * replaced by typed placeholder tags. Pure per-row regexp chain —
+    * codegen'd, shuffle-free, the shape a 100 TB redaction pass needs. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, emailRe, "<EMAIL>"),
+        ipv4Re, "<IP>"),
+      phoneRe, "<PHONE>")
+
   // Stopword marker sets for the language-ID heuristic.
   val enWords = Seq("the", "a", "of", "and", "to", "in")
   val esWords = Seq("el", "la", "los", "de", "que", "y")
@@ -172,6 +189,52 @@ object TextAnalysis {
         T.documents(s, d)
           .select(col("doc_id"), nBpe.as("n_bpe"), nWs.as("n_ws"),
             round(nBpe.cast("double") / nWs, 6).as("bpe_per_word"))
+          .orderBy("doc_id")
+      }),
+
+    // T7 — PII redaction: counts per PII class on the original text +
+    // fingerprint of the redacted text (slim output; the redacted
+    // string itself is what a pipeline writes back — here hashed so the
+    // oracle compare stays narrow).
+    Q("t7_pii_redact",
+      Some(s"""SELECT doc_id,
+              |  cast(len(regexp_extract_all(text, '$emailRe')) as bigint) AS n_email,
+              |  cast(len(regexp_extract_all(text, '$ipv4Re')) as bigint) AS n_ip,
+              |  cast(len(regexp_extract_all(text, '$phoneRe')) as bigint) AS n_phone,
+              |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+              |    '$emailRe', '<EMAIL>', 'g'),
+              |    '$ipv4Re', '<IP>', 'g'),
+              |    '$phoneRe', '<PHONE>', 'g')) AS red_fp
+              |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          size(regexp_extract_all(col("text"), lit(emailRe), lit(0))).cast("long").as("n_email"),
+          size(regexp_extract_all(col("text"), lit(ipv4Re), lit(0))).cast("long").as("n_ip"),
+          size(regexp_extract_all(col("text"), lit(phoneRe), lit(0))).cast("long").as("n_phone"),
+          md5(redactPii(col("text"))).as("red_fp"))
+        .orderBy("doc_id")),
+
+    // T8 — within-document repetition ratio (duplicated-bigram
+    // fraction): the Gopher/C4-family quality signal that catches
+    // boilerplate and degenerate repetition. Per-row array math only.
+    Q("t8_repetition",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1]) AS bgs
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+             |        FROM documents)
+             |  WHERE len(ts) >= 2)
+             |SELECT doc_id, cast(len(bgs) as bigint) AS n_bigrams,
+             |  round(1.0 - cast(len(list_distinct(bgs)) as double) / len(bgs), 9) AS dup_ratio
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val bgs = Dedup.shingles(toks, 2)
+        T.documents(s, d)
+          .filter(size(toks) >= 2)
+          .select(col("doc_id"), size(bgs).cast("long").as("n_bigrams"),
+            round(lit(1.0) - size(array_distinct(bgs)).cast("double") / size(bgs), 9)
+              .as("dup_ratio"))
           .orderBy("doc_id")
       }),
 
