@@ -258,20 +258,59 @@ class Warehouse(spark: SparkSession, basePath: String,
       val sc = schemas.getOrElseUpdate(name,
         loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
       val r = spark.read.format(format).option("header", "true")
-      val rs = if (sc.isEmpty) r else r.schema(sc)
       currentManifest(name) match {
-        case Some((_, files)) if files.nonEmpty =>
-          // snapshot read: exactly the committed files, resolved at
-          // DataFrame creation — concurrent commits can't change or
-          // truncate what this reader sees. basePath keeps partition
-          // columns parsed from the k=v directory segments.
-          rs.option("basePath", s"$basePath/$name")
-            .load(files.map(f => s"$basePath/$name/$f"): _*)
-        case Some((_, _)) =>
-          spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+        case Some((_, files)) => fromFiles(name, files, sc)
         case None => // pre-manifest store layout (or foreign directory)
-          rs.load(s"$basePath/$name")
+          val r = spark.read.format(format).option("header", "true")
+          (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
       }
+  }
+
+  /** Snapshot reader over an explicit committed file list, resolved at
+    * DataFrame creation — concurrent commits can't change or truncate
+    * what this reader sees. basePath keeps partition columns parsed
+    * from the k=v directory segments. */
+  private def fromFiles(name: String, files: Seq[String],
+      sc: org.apache.spark.sql.types.StructType): DataFrame =
+    if (files.isEmpty)
+      spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+    else {
+      val r = spark.read.format(format).option("header", "true")
+      (if (sc.isEmpty) r else r.schema(sc))
+        .option("basePath", s"$basePath/$name")
+        .load(files.map(f => s"$basePath/$name/$f"): _*)
+    }
+
+  /** Committed versions of a path-mode table, ascending. */
+  def tableVersions(name: String): Seq[Long] = {
+    require(database.isEmpty, "tableVersions applies to path-mode tables only")
+    val fs = metaFs
+    val dir = txnDir(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(v) => Some(v.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** Time travel: the table AS OF a committed version. Every commit is
+    * an immutable file list, so any un-vacuumed version stays readable
+    * — the audit/debug/reproducibility read a training-data pipeline
+    * needs ("which snapshot did run X train on?"). */
+  def tableAt(name: String, version: Long): DataFrame = {
+    require(database.isEmpty, "tableAt applies to path-mode tables only")
+    val fs = metaFs
+    val p = new org.apache.hadoop.fs.Path(txnDir(name), s"v$version.manifest")
+    require(fs.exists(p),
+      s"$name has no committed version $version (vacuumed, or never existed); " +
+        s"available: ${tableVersions(name).mkString(", ")}")
+    val in = fs.open(p)
+    val content =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val files = content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    fromFiles(name, files, schemas.getOrElseUpdate(name,
+      loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
   }
 
   // ----- version-manifest commit log (path mode) --------------------

@@ -60,6 +60,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("runtime bloom filter: selective dim filter reaches the fact scan of a shuffle join") {
+    // the unpartitioned-fact sibling of dynamic partition pruning: when
+    // the dim side is too big to broadcast, Spark builds a bloom filter
+    // from the filtered dim and semi-filters the fact BEFORE its
+    // shuffle. Thresholds are production-sized, so shrink them to the
+    // test corpus; broadcast is disabled to force the shuffle-join shape
+    // this filter exists for.
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold")
+      .map(k => k -> conf.getOption(k))
+    try {
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
+      conf.set("spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0")
+      import org.apache.spark.sql.functions._
+      val li = Tables.lineitem(spark, sf)
+      val sup = Tables.supplier(spark, sf).filter(col("s_acctbal") > 9000)
+      val q = li.join(sup, col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_nationkey").agg(count(lit(1)).as("n"))
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("might_contain"), s"no runtime bloom filter:\n$p")
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
+
   test("e2_lsh_buckets: bucket assignment stays inside whole-stage codegen") {
     val p = plan("e2_lsh_buckets")
     // the LshBucket projection must sit in a codegen'd stage over the

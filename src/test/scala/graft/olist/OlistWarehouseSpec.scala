@@ -198,6 +198,33 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh2.table("orders_fact").count() == rows)
   }
 
+  test("time travel: tableAt reads any un-vacuumed committed version") {
+    val dir = java.nio.file.Files.createTempDirectory("olist_tt").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.build(src)
+    val v1 = wh2.tableVersions("orders_fact").max
+    val rowsV1 = wh2.table("orders_fact").count()
+    IncrementalLoad.run(wh2, src, "2019-01-01", "2019-02-01")
+    val v2 = wh2.tableVersions("orders_fact").max
+    assert(v2 > v1, "append did not commit a new version")
+    val rowsV2 = wh2.table("orders_fact").count()
+    assert(rowsV2 == rowsV1 + 5)
+    // as-of reads: the pre-append snapshot is still fully readable
+    assert(wh2.tableAt("orders_fact", v1).count() == rowsV1)
+    assert(wh2.tableAt("orders_fact", v2).count() == rowsV2)
+    wh2.compact("orders_fact")
+    // compaction commits a new version with identical rows
+    val v3 = wh2.tableVersions("orders_fact").max
+    assert(wh2.tableAt("orders_fact", v3).count() == rowsV2)
+    assert(wh2.tableAt("orders_fact", v1).count() == rowsV1,
+      "pre-compaction version unreadable before vacuum")
+    // vacuum retires superseded versions: only the latest survives
+    wh2.vacuum("orders_fact")
+    assert(wh2.tableVersions("orders_fact") == Seq(v3))
+    intercept[IllegalArgumentException] { wh2.tableAt("orders_fact", v1) }
+    assert(wh2.table("orders_fact").count() == rowsV2)
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
