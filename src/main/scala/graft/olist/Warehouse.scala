@@ -73,7 +73,13 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   /** S5/S7 append sink (reference: SSIS fast-load `Package.dtsx:281-445`;
     * INSERT..SELECT `Olist DW.sql:71-75`). Parquet append is bulk and
-    * atomic per task — the moral equivalent of TABLOCK fast load. */
+    * atomic per task — the moral equivalent of TABLOCK fast load.
+    *
+    * Path-mode schema evolution (add-column): a delta carrying NEW
+    * columns widens the table schema in the same commit — existing
+    * files simply lack the column and read as NULL (the columnar
+    * add-column semantics of production table formats, no rewrite of
+    * old data). Dropping or retyping columns is rejected loudly. */
   def append(name: String, df: DataFrame): Unit = database match {
     case Some(db) =>
       // insertInto appends through the table definition (partition
@@ -85,9 +91,41 @@ class Warehouse(spark: SparkSession, basePath: String,
       analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
     case None =>
       val parts = partitionColsOf(name)
-      val files = stageWrite(name, df, parts)
+      val current = schemas.getOrElseUpdate(name,
+        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
+      val widened =
+        if (current.isEmpty || current == df.schema) None
+        else {
+          val curByName = current.map(f => f.name -> f).toMap
+          df.schema.foreach { f =>
+            curByName.get(f.name).foreach { cf =>
+              require(cf.dataType == f.dataType,
+                s"append to $name cannot retype column ${f.name}: " +
+                  s"${cf.dataType} -> ${f.dataType}")
+            }
+          }
+          val missing = current.filterNot(f =>
+            df.schema.fieldNames.contains(f.name))
+          require(missing.isEmpty,
+            s"append to $name drops columns ${missing.map(_.name).mkString(", ")}; " +
+              "deltas must carry the full current schema (new columns may be added)")
+          val added = df.schema.filterNot(f => curByName.contains(f.name))
+          if (added.isEmpty) None
+          else Some(org.apache.spark.sql.types.StructType(current ++ added))
+        }
+      // column-align the delta to the (possibly widened) recorded
+      // order: csv maps columns positionally on read, and json/orc
+      // readers get one canonical layout
+      val aligned =
+        if (current.isEmpty) df
+        else df.select(widened.getOrElse(current).map(f => col(f.name)): _*)
+      val files = stageWrite(name, aligned, parts)
       val old = currentManifest(name).map(_._2).getOrElse(Nil)
       commitManifest(name, old ++ files)
+      widened.foreach { merged =>
+        schemas(name) = merged
+        writeMeta(name, parts, merged)
+      }
   }
 
   /** The table's partition columns as a NEW Warehouse instance over an
@@ -304,14 +342,47 @@ class Warehouse(spark: SparkSession, basePath: String,
     require(fs.exists(p),
       s"$name has no committed version $version (vacuumed, or never existed); " +
         s"available: ${tableVersions(name).mkString(", ")}")
-    val in = fs.open(p)
-    val content =
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-      finally in.close()
-    val files = content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val (files, _) = readManifestFile(p)
     fromFiles(name, files, schemas.getOrElseUpdate(name,
       loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
   }
+
+  /** Exactly-once streaming micro-batch append (path mode). Structured
+    * Streaming's foreachBatch is at-least-once: after a failure between
+    * the sink write and the checkpoint advance, the same batchId is
+    * REPLAYED. Committing the batch and its id in one atomic manifest
+    * swap makes the replay detectable — batchIds are monotonically
+    * increasing per query, so a single high-water mark per streamId in
+    * the manifest metadata suffices, and because metadata rides every
+    * subsequent commit, the guarantee survives compaction and upserts.
+    * Returns true iff the batch landed (false = duplicate replay). */
+  def appendStreamBatch(name: String, df: DataFrame, batchId: Long,
+      streamId: String = "stream"): Boolean = {
+    require(database.isEmpty, "appendStreamBatch applies to path-mode tables only")
+    val markKey = s"watermark.$streamId"
+    val prev = currentManifestFull(name)
+    val mark = prev.flatMap(_._3.get(markKey)).map(_.toLong)
+    if (mark.exists(_ >= batchId)) false
+    else {
+      val parts = partitionColsOf(name)
+      val files = stageWrite(name, df, parts)
+      val old = prev.map(_._2).getOrElse(Nil)
+      commitManifest(name, old ++ files, Map(markKey -> batchId.toString))
+      true
+    }
+  }
+
+  /** Drive a streaming DataFrame into a path-mode table with
+    * exactly-once rows via [[appendStreamBatch]]. */
+  def streamInto(name: String, stream: DataFrame, checkpoint: String,
+      streamId: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendStreamBatch(name, batch, id, streamId); ()
+      }
+      .start()
 
   // ----- version-manifest commit log (path mode) --------------------
   //
@@ -344,8 +415,29 @@ class Warehouse(spark: SparkSession, basePath: String,
     fp.substring(rootPath.length)
   }
 
-  /** Latest committed (version, file list) for the table, if any. */
-  private def currentManifest(name: String): Option[(Long, Seq[String])] = {
+  /** Manifest format: optional leading `#key:value` metadata lines
+    * (carried forward commit-to-commit; e.g. streaming high-water
+    * marks), then one data-file path per line. */
+  private def parseManifest(content: String): (Seq[String], Map[String, String]) = {
+    val lines = content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val (meta, files) = lines.partition(_.startsWith("#"))
+    (files, meta.map { m =>
+      val kv = m.drop(1).split(":", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap)
+  }
+
+  private def readManifestFile(p: org.apache.hadoop.fs.Path): (Seq[String], Map[String, String]) = {
+    val in = metaFs.open(p)
+    val content =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    parseManifest(content)
+  }
+
+  /** Latest committed (version, file list, metadata), if any. */
+  private def currentManifestFull(name: String)
+      : Option[(Long, Seq[String], Map[String, String])] = {
     val fs = metaFs
     val dir = txnDir(name)
     if (!fs.exists(dir)) None
@@ -359,30 +451,37 @@ class Warehouse(spark: SparkSession, basePath: String,
       if (versions.isEmpty) None
       else {
         val (v, p) = versions.maxBy(_._1)
-        val in = fs.open(p)
-        val content =
-          try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-          finally in.close()
-        Some(v -> content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq)
+        val (files, meta) = readManifestFile(p)
+        Some((v, files, meta))
       }
     }
   }
+
+  private def currentManifest(name: String): Option[(Long, Seq[String])] =
+    currentManifestFull(name).map { case (v, files, _) => (v, files) }
 
   /** Atomic commit: write the full file list to a hidden temp file,
     * fsync/close, then rename to `v<N+1>.manifest`. Rename-no-overwrite
     * is the commit point — it either publishes the complete manifest or
     * fails (a concurrent committer of the same version loses the race
     * loudly instead of corrupting the log). */
-  private def commitManifest(name: String, files: Seq[String]): Unit = {
+  private def commitManifest(name: String, files: Seq[String],
+      extraMeta: Map[String, String] = Map.empty): Unit = {
     val fs = metaFs
     val dir = txnDir(name)
     fs.mkdirs(dir)
-    val version = currentManifest(name).map(_._1).getOrElse(0L) + 1
+    val prev = currentManifestFull(name)
+    val version = prev.map(_._1).getOrElse(0L) + 1
+    // metadata (streaming marks etc.) survives every commit — a
+    // compaction must not forget which batches already landed
+    val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta
+    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" } ++ files)
+      .mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v$version.manifest.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
     try {
-      out.write(files.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       // durability before visibility; local checksum streams lack hsync
       try out.hsync()
       catch { case _: UnsupportedOperationException => out.flush() }

@@ -238,6 +238,38 @@ object TextAnalysis {
           .orderBy("doc_id")
       }),
 
+    // T9 — overlapping token-window chunking (the embedding/RAG prep
+    // step): 64-token windows, stride 48 (16-token overlap), short
+    // final/only windows kept — start positions run to n-(W-S) so the
+    // LAST window always covers the tail (a start cap of n-W+1 would
+    // silently drop up to S-1 trailing tokens per document). Per-row
+    // explode of slim (start) ints; chunk text hashed so the output
+    // stays narrow.
+    Q("t9_chunks", {
+      val (w, st) = (64, 48)
+      Some(s"""WITH t AS (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS ts
+              |           FROM documents),
+              |c AS (SELECT doc_id, ts,
+              |        unnest(range(1, greatest(1, len(ts) - ${w - st}) + 1, $st)) AS st
+              |      FROM t)
+              |SELECT doc_id, cast((st - 1) // $st as bigint) AS chunk_idx,
+              |  cast(len(ts[st : least(st + ${w - 1}, len(ts))]) as bigint) AS n_chunk_tokens,
+              |  md5(array_to_string(ts[st : least(st + ${w - 1}, len(ts))], ' ')) AS chunk_fp
+              |FROM c ORDER BY doc_id, chunk_idx""".stripMargin)
+      },
+      (s, d) => {
+        val (w, st) = (64, 48)
+        val toks = tokens(col("text"))
+        val starts = sequence(lit(1), greatest(lit(1), size(toks) - (w - st)), lit(st))
+        T.documents(s, d)
+          .select(col("doc_id"), toks.as("ts"), explode(starts).as("st"))
+          .select(col("doc_id"),
+            expr(s"CAST((st - 1) DIV $st AS BIGINT)").as("chunk_idx"),
+            size(slice(col("ts"), col("st"), lit(w))).cast("long").as("n_chunk_tokens"),
+            md5(concat_ws(" ", slice(col("ts"), col("st"), lit(w)))).as("chunk_fp"))
+          .orderBy("doc_id", "chunk_idx")
+      }),
+
     // T4 — document fingerprint (normalized MD5)
     Q("t4_fingerprint",
       Some("""SELECT doc_id,

@@ -28,6 +28,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(red(4L) == "no pii here, just 3.14 and v1.2 and year 2024")
   }
 
+  test("chunking covers every token: windows overlap by W-S and the tail is never dropped") {
+    import spark.implicits._
+    val (w, st) = (64, 48)
+    // doc lengths around the window/stride boundaries
+    val docs = Seq(1, 16, 17, 63, 64, 65, 112, 113, 150, 300).map { n =>
+      (n.toLong, (1 to n).map(i => s"tk$i").mkString(" "))
+    }.toDF("doc_id", "text")
+    val toks = TextAnalysis.tokens(col("text"))
+    val starts = sequence(lit(1), greatest(lit(1), size(toks) - (w - st)), lit(st))
+    val got = docs.select(col("doc_id"), explode(starts).as("s"))
+      .collect().groupBy(_.getLong(0))
+      .view.mapValues(_.map(_.getInt(1)).sorted.toSeq).toMap
+    got.foreach { case (n, ss) =>
+      assert(ss.head == 1, s"n=$n")
+      assert(ss == ss.indices.map(1 + _ * st), s"n=$n starts=$ss not stride-spaced")
+      assert(ss.last + w - 1 >= n, s"n=$n: tail tokens beyond ${ss.last + w - 1} dropped")
+      // no fully-redundant final window: its start stays within the doc
+      assert(ss.last <= math.max(1, n), s"n=$n")
+    }
+  }
+
   test("repetition ratio: fully repeated text scores high, unique text scores zero") {
     import spark.implicits._
     val docs = Seq(

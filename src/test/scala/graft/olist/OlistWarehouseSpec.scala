@@ -225,6 +225,78 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh2.table("orders_fact").count() == rowsV2)
   }
 
+  test("schema evolution: a delta with a new column widens the table; old rows read NULL") {
+    import spark.implicits._
+    Seq("parquet", "csv").foreach { fmt =>
+      val dir = java.nio.file.Files.createTempDirectory(s"olist_evo_$fmt").toString
+      val wh2 = new Warehouse(spark, dir, fmt)
+      wh2.save("events_log", Seq((1L, "a"), (2L, "b")).toDF("id", "v"))
+      // the delta carries a NEW trailing column — no rewrite of old data
+      wh2.append("events_log", Seq((3L, "c", 0.5)).toDF("id", "v", "score"))
+      val t = wh2.table("events_log")
+      assert(t.columns.toSeq == Seq("id", "v", "score"), s"[$fmt]")
+      assert(t.count() == 3, s"[$fmt]")
+      assert(t.filter(col("score").isNull).count() == 2, s"[$fmt] old rows must read NULL")
+      assert(t.filter(col("id") === 3).select("score").head.getDouble(0) == 0.5, s"[$fmt]")
+      // retype and drop are rejected loudly
+      intercept[IllegalArgumentException] {
+        wh2.append("events_log", Seq(("x", "c", 1.0)).toDF("id", "v", "score"))
+      }
+      intercept[IllegalArgumentException] {
+        wh2.append("events_log", Seq((4L, "d")).toDF("id", "v"))
+      }
+      // a fresh instance over the store recovers the widened schema from meta
+      val wh3 = new Warehouse(spark, dir, fmt)
+      assert(wh3.table("events_log").columns.toSeq == Seq("id", "v", "score"), s"[$fmt]")
+      assert(wh3.table("events_log").count() == 3, s"[$fmt]")
+    }
+  }
+
+  test("exactly-once streaming append: replayed batches are skipped, mark survives compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olist_stream").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.save("clicks", Seq((0L, "seed")).toDF("id", "v"))
+    val b0 = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    assert(wh2.appendStreamBatch("clicks", b0, batchId = 0))
+    assert(wh2.table("clicks").count() == 3)
+    // at-least-once replay of the same micro-batch: must be a no-op
+    assert(!wh2.appendStreamBatch("clicks", b0, batchId = 0))
+    assert(wh2.table("clicks").count() == 3)
+    assert(wh2.appendStreamBatch("clicks", Seq((3L, "c")).toDF("id", "v"), batchId = 1))
+    assert(wh2.table("clicks").count() == 4)
+    // the mark rides manifest metadata through a rewrite commit
+    wh2.compact("clicks")
+    assert(!wh2.appendStreamBatch("clicks", b0, batchId = 1),
+      "compaction must not forget which batches landed")
+    assert(wh2.table("clicks").count() == 4)
+    // independent streams keep independent marks
+    assert(wh2.appendStreamBatch("clicks", Seq((9L, "z")).toDF("id", "v"),
+      batchId = 0, streamId = "other"))
+    assert(wh2.table("clicks").count() == 5)
+  }
+
+  test("streamInto: a real Structured Streaming query lands rows exactly once") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("olist_sink").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.save("live_events", Seq((0L, 0L)).toDF("event_id", "uid"))
+    val mem = MemoryStream[(Long, Long)]
+    val ck = java.nio.file.Files.createTempDirectory("olist_sink_ck").toString
+    val q = wh2.streamInto("live_events",
+      mem.toDF().toDF("event_id", "uid"), ck)
+    try {
+      mem.addData((1L, 10L), (2L, 10L))
+      q.processAllAvailable()
+      mem.addData((3L, 20L))
+      q.processAllAvailable()
+      val got = wh2.table("live_events").collect().map(_.getLong(0)).sorted.toSeq
+      assert(got == Seq(0L, 1L, 2L, 3L))
+    } finally q.stop()
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
