@@ -51,6 +51,8 @@ object Bench {
     // masquerades as plan regressions round-over-round; the median is
     // stable while still charging any real per-run work
     val runsPer = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt
+    require(runsPer >= 1,
+      s"SPARK_GRAFT_BENCH_RUNS=$runsPer would time nothing and report 0.0s")
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val times = (1 to runsPer).flatMap { _ =>

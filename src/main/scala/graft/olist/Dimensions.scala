@@ -27,12 +27,16 @@ object Dimensions {
   val MAX_DIM_ROWS = 10000000L
 
   private[graft] def requireDimSized(df: DataFrame, what: String): DataFrame = {
-    val n = df.count()
-    require(n <= MAX_DIM_ROWS,
-      s"$what has $n rows (> $MAX_DIM_ROWS): the surrogate-key window is " +
+    // limit-probe: stops scanning shortly past the ceiling instead of
+    // counting a fact-sized input end to end
+    val probe = df.limit((MAX_DIM_ROWS + 1).toInt).count()
+    require(probe <= MAX_DIM_ROWS,
+      s"$what exceeds $MAX_DIM_ROWS rows: the surrogate-key window is " +
         "dims-only — a global row_number() would single-task a table this " +
         "size; use a grouping-key identity or zipWithIndex-style keys instead")
-    df
+    // pin the (now known dim-sized) input so the window reads the
+    // materialized rows instead of recomputing the scan + distinct
+    df.localCheckpoint()
   }
 
   private[graft] def withKey(df: DataFrame, keyName: String, natKey: String): DataFrame =

@@ -44,6 +44,18 @@ class Warehouse(spark: SparkSession, basePath: String,
     * partition discovery). */
   private val partitioning = scala.collection.mutable.Map.empty[String, Seq[String]]
 
+  /** Serializes read-modify-write manifest commits per table within
+    * this JVM, so concurrent writers in one application (e.g. two
+    * streams into the same table) cannot erase each other's commit
+    * between a manifest read and the version swap. CROSS-process
+    * writers remain single-writer-per-table by contract: the
+    * rename-no-overwrite commit detects same-version races on stores
+    * with atomic-exclusive rename (HDFS), it does not resolve them. */
+  private val commitLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private def withCommitLock[T](name: String)(f: => T): T =
+    commitLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+
   /** S4 CTAS-style sink + catalog registration (reference:
     * SELECT..INTO, Olist DW.sql:64-67 etc.). Path mode commits through
     * the version manifest (see [[commitManifest]]): data files land
@@ -61,9 +73,14 @@ class Warehouse(spark: SparkSession, basePath: String,
         analyze(db, name, columnStats = partitionBy.isEmpty)
       case None =>
         val files = stageWrite(name, df, partitionBy)
-        commitManifest(name, files) // overwrite: new snapshot is the new files
-        // meta only AFTER the data commit succeeds — a failed write must
-        // not leave metadata describing data that never landed
+        // overwrite: new snapshot is the new files; the schema rides the
+        // SAME atomic commit so no crash window can separate data from
+        // its definition, and tableAt reads each version with the
+        // schema it was committed under
+        withCommitLock(name) {
+          commitManifest(name, files, Map(SchemaMeta -> df.schema.json))
+        }
+        // side meta is bootstrap redundancy for pre-manifest readers
         writeMeta(name, partitionBy, df.schema)
     }
     val back = read(name)
@@ -91,42 +108,67 @@ class Warehouse(spark: SparkSession, basePath: String,
       analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
     case None =>
       val parts = partitionColsOf(name)
-      val current = schemas.getOrElseUpdate(name,
-        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
-      val widened =
-        if (current.isEmpty || current == df.schema) None
-        else {
-          val curByName = current.map(f => f.name -> f).toMap
-          df.schema.foreach { f =>
-            curByName.get(f.name).foreach { cf =>
-              require(cf.dataType == f.dataType,
-                s"append to $name cannot retype column ${f.name}: " +
-                  s"${cf.dataType} -> ${f.dataType}")
-            }
-          }
-          val missing = current.filterNot(f =>
-            df.schema.fieldNames.contains(f.name))
-          require(missing.isEmpty,
-            s"append to $name drops columns ${missing.map(_.name).mkString(", ")}; " +
-              "deltas must carry the full current schema (new columns may be added)")
-          val added = df.schema.filterNot(f => curByName.contains(f.name))
-          if (added.isEmpty) None
-          else Some(org.apache.spark.sql.types.StructType(current ++ added))
-        }
-      // column-align the delta to the (possibly widened) recorded
-      // order: csv maps columns positionally on read, and json/orc
-      // readers get one canonical layout
-      val aligned =
-        if (current.isEmpty) df
-        else df.select(widened.getOrElse(current).map(f => col(f.name)): _*)
+      val (aligned, widened) = alignDelta(name, df, allowWiden = true)
       val files = stageWrite(name, aligned, parts)
-      val old = currentManifest(name).map(_._2).getOrElse(Nil)
-      commitManifest(name, old ++ files)
+      withCommitLock(name) {
+        val old = currentManifest(name).map(_._2).getOrElse(Nil)
+        commitManifest(name, old ++ files,
+          widened.map(m => Map(SchemaMeta -> m.json)).getOrElse(Map.empty))
+      }
       widened.foreach { merged =>
         schemas(name) = merged
         writeMeta(name, parts, merged)
       }
   }
+
+  /** Validates a path-mode delta against the table's recorded schema
+    * and returns it column-aligned to the recorded order (csv maps
+    * columns positionally on read; json/orc get one canonical layout).
+    * With `allowWiden`, NEW columns extend the schema at the end
+    * (add-column evolution) and the widened schema is returned;
+    * otherwise the delta must carry exactly the current columns.
+    * Retypes and drops are always rejected. */
+  private def alignDelta(name: String, df: DataFrame, allowWiden: Boolean)
+      : (DataFrame, Option[org.apache.spark.sql.types.StructType]) = {
+    val current = tableSchema(name)
+    if (current.isEmpty || current == df.schema) (df, None)
+    else {
+      val curByName = current.map(f => f.name -> f).toMap
+      df.schema.foreach { f =>
+        curByName.get(f.name).foreach { cf =>
+          require(cf.dataType == f.dataType,
+            s"delta for $name cannot retype column ${f.name}: " +
+              s"${cf.dataType} -> ${f.dataType}")
+        }
+      }
+      val missing = current.filterNot(f => df.schema.fieldNames.contains(f.name))
+      require(missing.isEmpty,
+        s"delta for $name drops columns ${missing.map(_.name).mkString(", ")}; " +
+          "deltas must carry the full current schema")
+      val added = df.schema.filterNot(f => curByName.contains(f.name))
+      require(allowWiden || added.isEmpty,
+        s"delta for $name adds columns ${added.map(_.name).mkString(", ")}; " +
+          "only append() widens the schema")
+      val widened =
+        if (added.isEmpty) None
+        else Some(org.apache.spark.sql.types.StructType(current ++ added))
+      (df.select(widened.getOrElse(current).map(f => col(f.name)): _*), widened)
+    }
+  }
+
+  /** The table's current schema: the manifest's committed copy wins
+    * (versioned atomically with the data), then the in-memory cache,
+    * then side meta. */
+  private def tableSchema(name: String): org.apache.spark.sql.types.StructType =
+    currentManifestFull(name).flatMap(m => metaSchema(m._3)).getOrElse(
+      schemas.getOrElseUpdate(name,
+        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
+
+  private def metaSchema(meta: Map[String, String])
+      : Option[org.apache.spark.sql.types.StructType] =
+    meta.get(SchemaMeta).flatMap(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
 
   /** The table's partition columns as a NEW Warehouse instance over an
     * existing store must see them: from the session catalog in database
@@ -162,11 +204,14 @@ class Warehouse(spark: SparkSession, basePath: String,
         // file OUTSIDE the partitions present in the delta and swaps in
         // the delta's files — untouched partitions' files are not even
         // listed, let alone rewritten, and the swap is atomic
-        val files = stageWrite(name, df, parts)
+        val (aligned, _) = alignDelta(name, df, allowWiden = false)
+        val files = stageWrite(name, aligned, parts)
         val touched = files.map(partitionPrefix).toSet
-        val kept = currentManifest(name).map(_._2).getOrElse(Nil)
-          .filterNot(f => touched.contains(partitionPrefix(f)))
-        commitManifest(name, kept ++ files)
+        withCommitLock(name) {
+          val kept = currentManifest(name).map(_._2).getOrElse(Nil)
+            .filterNot(f => touched.contains(partitionPrefix(f)))
+          commitManifest(name, kept ++ files)
+        }
     }
   }
 
@@ -238,7 +283,8 @@ class Warehouse(spark: SparkSession, basePath: String,
               pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
           } else snapshot.coalesce(n)
         val files = stageWrite(name, shaped, parts)
-        commitManifest(name, files) // full replace: snapshot covers the table
+        // full replace: the snapshot covers the table
+        withCommitLock(name) { commitManifest(name, files) }
     }
   }
 
@@ -253,18 +299,21 @@ class Warehouse(spark: SparkSession, basePath: String,
     currentManifest(name).foreach { case (v, files) =>
       val keep = files.toSet
       val root = qualifiedPath(s"$basePath/$name")
-      val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
-      val it = fs.listFiles(root, true)
-      while (it.hasNext) {
-        val f = it.next().getPath
-        val rel = relativeTo(root, f)
-        if (!keep.contains(rel) && !f.getName.startsWith("_") &&
-          !f.getName.startsWith(".")) doomed += f
-      }
-      doomed.foreach(fs.delete(_, false))
-      // empty partition directories left behind by the deletes
-      fs.listStatus(root).filter(_.isDirectory).foreach { d =>
-        if (!fs.listFiles(d.getPath, true).hasNext) fs.delete(d.getPath, true)
+      // a zero-file snapshot never created the data dir: nothing to scan
+      if (fs.exists(root)) {
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val f = it.next().getPath
+          val rel = relativeTo(root, f)
+          if (!keep.contains(rel) && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".")) doomed += f
+        }
+        doomed.foreach(fs.delete(_, false))
+        // empty partition directories left behind by the deletes
+        fs.listStatus(root).filter(_.isDirectory).foreach { d =>
+          if (!fs.listFiles(d.getPath, true).hasNext) fs.delete(d.getPath, true)
+        }
       }
       fs.listStatus(txnDir(name)).foreach { st =>
         st.getPath.getName match {
@@ -293,12 +342,16 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def read(name: String): DataFrame = database match {
     case Some(db) => spark.table(s"$db.$name")
     case None =>
-      val sc = schemas.getOrElseUpdate(name,
-        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
-      val r = spark.read.format(format).option("header", "true")
-      currentManifest(name) match {
-        case Some((_, files)) => fromFiles(name, files, sc)
+      currentManifestFull(name) match {
+        case Some((_, files, meta)) =>
+          // the committed schema wins — it versioned atomically with
+          // the data (cache/side meta are bootstrap fallbacks)
+          val sc = metaSchema(meta).getOrElse(schemas.getOrElseUpdate(name,
+            loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
+          fromFiles(name, files, sc)
         case None => // pre-manifest store layout (or foreign directory)
+          val sc = schemas.getOrElseUpdate(name,
+            loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
           val r = spark.read.format(format).option("header", "true")
           (if (sc.isEmpty) r else r.schema(sc)).load(s"$basePath/$name")
       }
@@ -342,9 +395,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     require(fs.exists(p),
       s"$name has no committed version $version (vacuumed, or never existed); " +
         s"available: ${tableVersions(name).mkString(", ")}")
-    val (files, _) = readManifestFile(p)
-    fromFiles(name, files, schemas.getOrElseUpdate(name,
-      loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
+    val (files, vMeta) = readManifestFile(p)
+    // read the OLD version with the schema it was committed under — a
+    // later save() may have redefined column order or types
+    fromFiles(name, files, metaSchema(vMeta).getOrElse(
+      schemas.getOrElseUpdate(name,
+        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))))
   }
 
   /** Exactly-once streaming micro-batch append (path mode). Structured
@@ -355,20 +411,37 @@ class Warehouse(spark: SparkSession, basePath: String,
     * increasing per query, so a single high-water mark per streamId in
     * the manifest metadata suffices, and because metadata rides every
     * subsequent commit, the guarantee survives compaction and upserts.
-    * Returns true iff the batch landed (false = duplicate replay). */
+    * Only an exact replay of the LAST committed batch is skipped; a
+    * batchId BELOW the mark means the stream checkpoint was reset or
+    * two queries share a streamId — that is an error, not a silent
+    * skip (silence there would discard all data forever). Returns true
+    * iff the batch landed (false = duplicate replay). */
   def appendStreamBatch(name: String, df: DataFrame, batchId: Long,
       streamId: String = "stream"): Boolean = {
     require(database.isEmpty, "appendStreamBatch applies to path-mode tables only")
     val markKey = s"watermark.$streamId"
-    val prev = currentManifestFull(name)
-    val mark = prev.flatMap(_._3.get(markKey)).map(_.toLong)
-    if (mark.exists(_ >= batchId)) false
+    val check = currentManifestFull(name).flatMap(_._3.get(markKey)).map(_.toLong)
+    if (check.contains(batchId)) false // replay of the last committed batch
+    else if (check.exists(batchId < _))
+      throw new IllegalStateException(
+        s"appendStreamBatch($name, streamId=$streamId): batchId $batchId is " +
+          s"below the committed mark ${check.get} — stream checkpoint was " +
+          "reset or two queries share this streamId; use a fresh streamId")
     else {
       val parts = partitionColsOf(name)
-      val files = stageWrite(name, df, parts)
-      val old = prev.map(_._2).getOrElse(Nil)
-      commitManifest(name, old ++ files, Map(markKey -> batchId.toString))
-      true
+      val (aligned, _) = alignDelta(name, df, allowWiden = false)
+      val files = stageWrite(name, aligned, parts)
+      withCommitLock(name) {
+        // re-read under the lock: a concurrent writer may have committed
+        val prev = currentManifestFull(name)
+        val mark = prev.flatMap(_._3.get(markKey)).map(_.toLong)
+        if (mark.exists(_ >= batchId)) false
+        else {
+          commitManifest(name, prev.map(_._2).getOrElse(Nil) ++ files,
+            Map(markKey -> batchId.toString))
+          true
+        }
+      }
     }
   }
 
@@ -399,6 +472,9 @@ class Warehouse(spark: SparkSession, basePath: String,
   // resolving them — production formats add a log store/lock service).
 
   private val ManifestName = "v(\\d+)\\.manifest".r
+  /** Manifest metadata key carrying the committed schema (compact
+    * single-line JSON — safe in the `#key:value` line format). */
+  private val SchemaMeta = "schema"
 
   private def txnDir(name: String) =
     new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn/$name")

@@ -75,27 +75,42 @@ object Dedup {
     * changed-row COUNT — no data is collected. Live state is one
     * (id, comp) table — two longs per node — not the corpus.
     *
-    * Durability: per-round lineage cuts go through the session's
-    * reliable checkpoint dir when one is configured
-    * (`sc.setCheckpointDir` — HDFS/object store on a cluster), so an
-    * hours-long 100 TB run survives executor loss; `localCheckpoint`
-    * (executor-pinned blocks, no recovery) is only the fallback for
-    * dev sessions that never set a dir. Superseded round state is
-    * dereferenced as `labels` is reassigned and reclaimed by Spark's
-    * ContextCleaner. `maxIterations` bounds adversarial inputs; with
-    * halving, 50 rounds covers components ~2^50 deep. Returns
-    * (id, comp). */
+    * Durability: with a reliable checkpoint dir configured
+    * (`sc.setCheckpointDir` — HDFS/object store on a cluster), each
+    * round's state is written there as parquet and read back, cutting
+    * lineage onto storage that survives executor loss — and the
+    * SUPERSEDED round's files are deleted as soon as the next round
+    * lands (Spark's own reliable checkpoints are only reclaimed with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, default
+    * off, so an hours-long run would otherwise fill the store). Live
+    * footprint: the current round + edges; the final round and edges
+    * persist for the caller and are reclaimed with the checkpoint dir.
+    * `localCheckpoint` (executor-pinned blocks, no recovery) is the
+    * fallback for dev sessions that never set a dir. `maxIterations`
+    * bounds adversarial inputs; with halving, 50 rounds covers
+    * components ~2^50 deep. Returns (id, comp). */
   def connectedComponents(pairs: DataFrame,
       src: String = "d1", dst: String = "d2",
       maxIterations: Int = 50): DataFrame = {
     val spark = pairs.sparkSession
-    val reliable = spark.sparkContext.getCheckpointDir.isDefined
-    def pin(df: DataFrame): DataFrame =
-      if (reliable) df.checkpoint() else df.localCheckpoint()
+    val ckptRoot = spark.sparkContext.getCheckpointDir.map(d =>
+      new org.apache.hadoop.fs.Path(d,
+        s"graft-cc-${java.util.UUID.randomUUID.toString.take(8)}"))
+    def pin(df: DataFrame, tag: String): DataFrame = ckptRoot match {
+      case Some(root) =>
+        val p = new org.apache.hadoop.fs.Path(root, tag).toString
+        df.write.mode("overwrite").parquet(p)
+        spark.read.parquet(p)
+      case None => df.localCheckpoint()
+    }
+    def drop(tag: String): Unit = ckptRoot.foreach { root =>
+      root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(root, tag), true)
+    }
     val edges = pin(pairs.select(col(src).as("esrc"), col(dst).as("edst"))
-      .unionByName(pairs.select(col(dst).as("esrc"), col(src).as("edst"))))
+      .unionByName(pairs.select(col(dst).as("esrc"), col(src).as("edst"))), "edges")
     var labels = pin(edges.select(col("esrc").as("id")).distinct()
-      .withColumn("comp", col("id")))
+      .withColumn("comp", col("id")), "round-0")
     var changed = 1L
     var iter = 0
     while (changed > 0) {
@@ -115,10 +130,13 @@ object Dedup {
       val hop = gathered.select(col("id").as("comp"), col("comp").as("hop"))
       val next = pin(gathered.join(hop, Seq("comp"), "left")
         .select(col("id"),
-          least(col("comp"), coalesce(col("hop"), col("comp"))).as("comp")))
+          least(col("comp"), coalesce(col("hop"), col("comp"))).as("comp")),
+        s"round-$iter")
       changed = next.join(labels.withColumnRenamed("comp", "prev"), Seq("id"))
         .filter(col("comp") =!= col("prev")).count()
       labels = next
+      // previous round fully consumed (next materialized, delta counted)
+      drop(s"round-${iter - 1}")
     }
     labels
   }

@@ -274,6 +274,11 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh2.appendStreamBatch("clicks", Seq((9L, "z")).toDF("id", "v"),
       batchId = 0, streamId = "other"))
     assert(wh2.table("clicks").count() == 5)
+    // a batchId BELOW the mark = checkpoint reset: loud error, not a
+    // silent forever-skip
+    intercept[IllegalStateException] {
+      wh2.appendStreamBatch("clicks", b0, batchId = 0)
+    }
   }
 
   test("streamInto: a real Structured Streaming query lands rows exactly once") {
