@@ -206,6 +206,19 @@ object EventStream {
         col(s"r_$payload"), col("l_ts"), col("r_ts"))
   }
 
+  /** Streaming exact dedup — the continuous rendering of d1: emit the
+    * FIRST occurrence of each id, drop subsequent duplicates. The
+    * watermark bounds the dedup state: an id's fingerprint is retained
+    * only while a duplicate could still arrive inside the lateness
+    * window, then evicted — state is O(ids per window), not O(stream),
+    * which is what lets a dedup stream run forever at ingest scale.
+    * (Consequence, by design: a duplicate arriving AFTER its id's
+    * state was evicted is re-emitted — bounded state is the trade.) */
+  def dedupStream(events: DataFrame, idCol: String = "event_id",
+      ts: String = "ts", lateness: String = "1 hour"): DataFrame =
+    events.withWatermark(ts, lateness)
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** The streaming rendering of hourlyAgg: file source + watermark +
     * tumbling window. */
   def windowedStream(spark: SparkSession, sfDir: String): DataFrame = {

@@ -123,6 +123,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming dedup: first occurrence kept, duplicates dropped, state evicted by watermark") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val min = 60L * 1000 * 1000
+    val source = MemoryStream[(Long, Long)] // (event_id, us)
+    val events = source.toDF().toDF("event_id", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.dedupStream(events).writeStream
+      .outputMode(OutputMode.Append())
+      .format("memory").queryName("dedup_out").start()
+    def ids() = spark.table("dedup_out").select("event_id")
+      .collect().map(_.getLong(0)).toSeq.sorted
+    try {
+      // batch 1: ids 1, 2 (2 arrives twice IN the same batch)
+      source.addData((1L, t0), (2L, t0 + min), (2L, t0 + 2 * min))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L), s"in-batch dedup failed: ${ids()}")
+      // batch 2: a replay of id 1 within the lateness window + a new id
+      source.addData((1L, t0 + 3 * min), (3L, t0 + 4 * min))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 2L, 3L), s"cross-batch dedup failed: ${ids()}")
+      // batch 3: far-future event advances the watermark hours past
+      // ids 1-3, evicting their fingerprints (bounded state)...
+      source.addData((4L, t0 + 600 * min))
+      q.processAllAvailable()
+      // ...so a duplicate arriving after eviction is re-emitted — the
+      // documented trade of watermark-bounded dedup state
+      source.addData((1L, t0 + 601 * min))
+      q.processAllAvailable()
+      assert(ids() == Seq(1L, 1L, 2L, 3L, 4L),
+        s"post-eviction duplicate should re-emit: ${ids()}")
+    } finally q.stop()
+  }
+
   test("sessionization: sessions partition each user's events, gaps respected") {
     val sess = EventStream.sessionize(Tables.events(spark, sf))
     val total = sess.agg(sum("n_events")).head.getLong(0)
