@@ -220,6 +220,56 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def partitionPrefix(rel: String): String =
     rel.substring(0, rel.lastIndexOf('/') + 1)
 
+  /** Row-level MERGE (the Delta-style upsert) for path-mode partitioned
+    * tables: delta rows REPLACE target rows carrying the same key —
+    * wherever they live — and new keys are inserted. Only partitions
+    * that hold delta rows or matched keys are rewritten; everything
+    * else is untouched files in the new manifest.
+    *
+    * Handles the key-moves-partition case `overwritePartitions` cannot:
+    * when a delta row lands a key in a NEW partition, the key's old
+    * partition is also rewritten without it (even if that empties the
+    * partition entirely), so no stale duplicate survives. The affected
+    * partition list is collected to the driver — it is bounded by the
+    * partitions a delta touches (days/years), never by table size. */
+  def merge(name: String, delta: DataFrame, keys: Seq[String]): Unit = {
+    require(database.isEmpty, "merge applies to path-mode tables only")
+    val parts = partitionColsOf(name)
+    require(parts.nonEmpty, s"merge: $name is not partitioned")
+    require(keys.nonEmpty, "merge needs at least one key column")
+    require(keys.forall(!parts.contains(_)),
+      "merge keys must be non-partition columns (a partition value IS part of the key path)")
+    val (aligned, _) = alignDelta(name, delta, allowWiden = false)
+    val target = read(name)
+    val deltaKeys = aligned.select(keys.map(col): _*).distinct()
+    val affectedPartsDf = aligned.select(parts.map(col): _*)
+      .unionByName(target.join(broadcast(deltaKeys), keys, "left_semi")
+        .select(parts.map(col): _*))
+      .distinct()
+    val affectedParts = affectedPartsDf.collect()
+    if (affectedParts.nonEmpty) {
+      // hive-style partition dir prefixes of every affected partition —
+      // including ones the rewrite may leave EMPTY (key moved away)
+      val prefixSet = affectedParts.map { row =>
+        parts.indices.map { i =>
+          s"${parts(i)}=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(row.get(i)))
+        }.mkString("", "/", "/")
+      }.toSet
+      val keptRows = target
+        .join(broadcast(affectedPartsDf), parts)      // affected partitions only
+        .join(broadcast(deltaKeys), keys, "left_anti") // minus matched keys
+        .select(target.columns.map(col): _*)
+      val merged = keptRows.unionByName(aligned.select(target.columns.map(col): _*))
+      val files = stageWrite(name, merged, parts)
+      withCommitLock(name) {
+        val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
+          .filterNot(f => prefixSet.contains(partitionPrefix(f)))
+        commitManifest(name, keptFiles ++ files)
+      }
+    }
+  }
+
   private def withDynamicOverwrite[T](f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)

@@ -302,6 +302,50 @@ class OlistWarehouseSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("merge: matched keys replaced, new keys inserted, partition moves leave no stale copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olist_merge").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.save("kv",
+      Seq((1L, 2017, 10.0), (2L, 2018, 20.0), (3L, 2018, 30.0), (4L, 2019, 40.0))
+        .toDF("k", "year", "v"),
+      partitionBy = Seq("year"))
+    // fingerprint the untouched year=2017 partition's files
+    def files2017() = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "kv", "year=2017"))
+        .iterator().asScala.filter(java.nio.file.Files.isRegularFile(_))
+        .map(p => p.toString ->
+          java.nio.file.Files.getLastModifiedTime(p).toMillis).toMap
+    }
+    val before2017 = files2017()
+    // update k=2 in place; insert k=5; MOVE k=4 from 2019 to 2020
+    wh2.merge("kv",
+      Seq((2L, 2018, 21.0), (5L, 2019, 50.0), (4L, 2020, 41.0))
+        .toDF("k", "year", "v"),
+      keys = Seq("k"))
+    // partition columns come back appended after data columns — access
+    // by name, not position
+    val got = wh2.table("kv").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Int]("year"), r.getAs[Double]("v"))).toSet
+    assert(got == Set((1L, 2017, 10.0), (2L, 2018, 21.0), (3L, 2018, 30.0),
+      (5L, 2019, 50.0), (4L, 2020, 41.0)), s"wrong merge result: $got")
+    // the moved key left NO stale copy behind
+    assert(wh2.table("kv").filter(col("k") === 4L).count() == 1)
+    // untouched partition's files not rewritten
+    assert(files2017() == before2017, "untouched partition was rewritten")
+    // merging a delta that empties a partition removes it from the snapshot
+    wh2.merge("kv", Seq((5L, 2020, 51.0)).toDF("k", "year", "v"), keys = Seq("k"))
+    assert(wh2.table("kv").filter(col("year") === 2019).count() == 0,
+      "emptied partition still visible")
+    assert(wh2.table("kv").count() == 5)
+    // merge on a key that is a partition column is rejected
+    intercept[IllegalArgumentException] {
+      wh2.merge("kv", Seq((9L, 2020, 0.0)).toDF("k", "year", "v"),
+        keys = Seq("year"))
+    }
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
