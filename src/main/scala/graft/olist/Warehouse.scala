@@ -60,19 +60,32 @@ class Warehouse(spark: SparkSession, basePath: String,
     * SELECT..INTO, Olist DW.sql:64-67 etc.). Path mode commits through
     * the version manifest (see [[commitManifest]]): data files land
     * first, the manifest swap is the atomic commit point, and readers
-    * pinned to the previous version keep a complete snapshot. */
-  def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): DataFrame = {
+    * pinned to the previous version keep a complete snapshot.
+    *
+    * `clusterBy` sorts rows by the given columns WITHIN each output
+    * file (no extra shuffle): parquet/orc then record tight per-row-
+    * group min/max stats on those columns, so point/range filters skip
+    * whole row groups at scan time — the poor man's Z-ORDER, and the
+    * second lever (after partition pruning) that decides how little of
+    * 100 TB a selective query reads. The partition columns prefix the
+    * sort so the partitioned writer's own required ordering is already
+    * satisfied and doesn't re-sort away the clustering. */
+  def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
+      clusterBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
     schemas(name) = df.schema
+    val shaped =
+      if (clusterBy.isEmpty) df
+      else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
     database match {
       case Some(db) =>
-        val w = df.write.mode("overwrite").format(format)
+        val w = shaped.write.mode("overwrite").format(format)
           .option("header", "true") // no-op outside csv
         val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
         pw.saveAsTable(s"$db.$name")
         analyze(db, name, columnStats = partitionBy.isEmpty)
       case None =>
-        val files = stageWrite(name, df, partitionBy)
+        val files = stageWrite(name, shaped, partitionBy)
         // overwrite: new snapshot is the new files; the schema rides the
         // SAME atomic commit so no crash window can separate data from
         // its definition, and tableAt reads each version with the

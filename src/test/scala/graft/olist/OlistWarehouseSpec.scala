@@ -346,6 +346,26 @@ class OlistWarehouseSpec extends AnyFunSuite {
     }
   }
 
+  test("clustered save: rows arrive sorted within every data file (row-group skipping)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olist_clus").toString
+    val wh2 = new Warehouse(spark, dir)
+    val df = spark.range(100000).select(
+      (col("id") * 7919 % 100000).as("k"), col("id").as("v"),
+      (col("id") % 3).cast("int").as("year"))
+    wh2.save("clus", df, partitionBy = Seq("year"), clusterBy = Seq("k"))
+    assert(wh2.table("clus").count() == 100000)
+    import scala.jdk.CollectionConverters._
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "clus"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(dataFiles.nonEmpty)
+    dataFiles.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"file $f not clustered by k")
+    }
+  }
+
   test("catalog ops: database create, table registration, introspection, rename") {
     spark.sql("CREATE DATABASE IF NOT EXISTS olist_dw") // S9
     assert(spark.catalog.databaseExists("olist_dw"))
