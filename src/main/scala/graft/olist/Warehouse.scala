@@ -466,6 +466,31 @@ class Warehouse(spark: SparkSession, basePath: String,
         loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))))
   }
 
+  /** Rolls a table back to an earlier committed version by publishing
+    * that version's file list (and the schema it was committed under)
+    * as a NEW version — history stays linear and append-only, later
+    * un-vacuumed snapshots remain readable, and operational metadata
+    * (streaming high-water marks) carries forward rather than being
+    * resurrected from the past. The undo button the time-travel read
+    * implies. */
+  def restore(name: String, version: Long): Unit = {
+    require(database.isEmpty, "restore applies to path-mode tables only")
+    val fs = metaFs
+    val p = new org.apache.hadoop.fs.Path(txnDir(name), s"v$version.manifest")
+    require(fs.exists(p),
+      s"$name has no committed version $version to restore; " +
+        s"available: ${tableVersions(name).mkString(", ")}")
+    val (files, vMeta) = readManifestFile(p)
+    withCommitLock(name) {
+      commitManifest(name, files,
+        vMeta.get(SchemaMeta).map(SchemaMeta -> _).toMap)
+    }
+    vMeta.get(SchemaMeta).flatMap(j =>
+      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
+      .foreach(schemas(name) = _)
+  }
+
   /** Exactly-once streaming micro-batch append (path mode). Structured
     * Streaming's foreachBatch is at-least-once: after a failure between
     * the sink write and the checkpoint advance, the same batchId is

@@ -218,9 +218,18 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(wh2.tableAt("orders_fact", v3).count() == rowsV2)
     assert(wh2.tableAt("orders_fact", v1).count() == rowsV1,
       "pre-compaction version unreadable before vacuum")
+    // restore = publish an old version as the new head (append-only
+    // history: the rolled-back-over versions stay readable)
+    wh2.restore("orders_fact", v1)
+    assert(wh2.table("orders_fact").count() == rowsV1, "restore did not roll back")
+    assert(wh2.tableVersions("orders_fact").max > v3)
+    assert(wh2.tableAt("orders_fact", v3).count() == rowsV2,
+      "restore must not invalidate newer snapshots")
+    wh2.restore("orders_fact", v3) // roll forward again for the vacuum checks
     // vacuum retires superseded versions: only the latest survives
+    val head = wh2.tableVersions("orders_fact").max
     wh2.vacuum("orders_fact")
-    assert(wh2.tableVersions("orders_fact") == Seq(v3))
+    assert(wh2.tableVersions("orders_fact") == Seq(head))
     intercept[IllegalArgumentException] { wh2.tableAt("orders_fact", v1) }
     assert(wh2.table("orders_fact").count() == rowsV2)
   }
