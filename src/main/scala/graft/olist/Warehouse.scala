@@ -56,6 +56,29 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def withCommitLock[T](name: String)(f: => T): T =
     commitLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
 
+  /** Cluster spec recorded at save time — clustering is TABLE layout,
+    * not a per-write option: append/compact/merge must re-apply the
+    * sort or they silently destroy the row-group-skipping property. */
+  private val clustering = scala.collection.mutable.Map.empty[String, Seq[String]]
+
+  private def clusterColsOf(name: String): Seq[String] =
+    clustering.getOrElseUpdate(name, database match {
+      case Some(_) => Nil
+      case None =>
+        currentManifestFull(name).flatMap(_._3.get(ClusterMeta))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(loadMeta(name)._3)
+    })
+
+  /** Re-applies the table's recorded clustering to rows about to be
+    * written (partition columns prefix the sort so the partitioned
+    * writer's required ordering is satisfied without a re-sort). */
+  private def clustered(name: String, df: DataFrame, parts: Seq[String]): DataFrame = {
+    val cluster = clusterColsOf(name)
+    if (cluster.isEmpty) df
+    else df.sortWithinPartitions((parts ++ cluster).map(col): _*)
+  }
+
   /** S4 CTAS-style sink + catalog registration (reference:
     * SELECT..INTO, Olist DW.sql:64-67 etc.). Path mode commits through
     * the version manifest (see [[commitManifest]]): data files land
@@ -74,6 +97,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       clusterBy: Seq[String] = Nil): DataFrame = {
     partitioning(name) = partitionBy
     schemas(name) = df.schema
+    clustering(name) = clusterBy
     val shaped =
       if (clusterBy.isEmpty) df
       else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
@@ -91,10 +115,12 @@ class Warehouse(spark: SparkSession, basePath: String,
         // its definition, and tableAt reads each version with the
         // schema it was committed under
         withCommitLock(name) {
-          commitManifest(name, files, Map(SchemaMeta -> df.schema.json))
+          commitManifest(name, files, Map(SchemaMeta -> df.schema.json,
+            PartsMeta -> partitionBy.mkString(","),
+            ClusterMeta -> clusterBy.mkString(",")))
         }
         // side meta is bootstrap redundancy for pre-manifest readers
-        writeMeta(name, partitionBy, df.schema)
+        writeMeta(name, partitionBy, df.schema, clusterBy)
     }
     val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
@@ -122,7 +148,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     case None =>
       val parts = partitionColsOf(name)
       val (aligned, widened) = alignDelta(name, df, allowWiden = true)
-      val files = stageWrite(name, aligned, parts)
+      val files = stageWrite(name, clustered(name, aligned, parts), parts)
       withCommitLock(name) {
         val old = currentManifest(name).map(_._2).getOrElse(Nil)
         commitManifest(name, old ++ files,
@@ -130,7 +156,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       }
       widened.foreach { merged =>
         schemas(name) = merged
-        writeMeta(name, parts, merged)
+        writeMeta(name, parts, merged, clusterColsOf(name))
       }
   }
 
@@ -218,7 +244,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         // the delta's files — untouched partitions' files are not even
         // listed, let alone rewritten, and the swap is atomic
         val (aligned, _) = alignDelta(name, df, allowWiden = false)
-        val files = stageWrite(name, aligned, parts)
+        val files = stageWrite(name, clustered(name, aligned, parts), parts)
         val touched = files.map(partitionPrefix).toSet
         withCommitLock(name) {
           val kept = currentManifest(name).map(_._2).getOrElse(Nil)
@@ -252,30 +278,67 @@ class Warehouse(spark: SparkSession, basePath: String,
     require(keys.nonEmpty, "merge needs at least one key column")
     require(keys.forall(!parts.contains(_)),
       "merge keys must be non-partition columns (a partition value IS part of the key path)")
-    val (aligned, _) = alignDelta(name, delta, allowWiden = false)
-    val target = read(name)
-    val deltaKeys = aligned.select(keys.map(col): _*).distinct()
-    val affectedPartsDf = aligned.select(parts.map(col): _*)
-      .unionByName(target.join(broadcast(deltaKeys), keys, "left_semi")
-        .select(parts.map(col): _*))
-      .distinct()
-    val affectedParts = affectedPartsDf.collect()
-    if (affectedParts.nonEmpty) {
-      // hive-style partition dir prefixes of every affected partition —
-      // including ones the rewrite may leave EMPTY (key moved away)
-      val prefixSet = affectedParts.map { row =>
-        parts.indices.map { i =>
-          s"${parts(i)}=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-            .escapePathName(String.valueOf(row.get(i)))
-        }.mkString("", "/", "/")
-      }.toSet
-      val keptRows = target
-        .join(broadcast(affectedPartsDf), parts)      // affected partitions only
-        .join(broadcast(deltaKeys), keys, "left_anti") // minus matched keys
-        .select(target.columns.map(col): _*)
-      val merged = keptRows.unionByName(aligned.select(target.columns.map(col): _*))
-      val files = stageWrite(name, merged, parts)
-      withCommitLock(name) {
+    // directory-name reconstruction below covers int/long/string/date
+    // values (and null/empty via the hive default-partition name);
+    // timestamp renders differently on the path than String.valueOf
+    require(!tableSchema(name).exists(f => parts.contains(f.name) &&
+      f.dataType == org.apache.spark.sql.types.TimestampType),
+      s"merge: timestamp partition columns are not supported on $name")
+    // pin the delta once: its lineage would otherwise re-execute in the
+    // guard, the partition probe, and the rewrite — and a
+    // non-deterministic delta could make the dropped-prefix set
+    // disagree with the rows actually written (runUpsert pins for the
+    // same reason)
+    val (aligned0, _) = alignDelta(name, delta, allowWiden = false)
+    val aligned = aligned0.localCheckpoint()
+    // Delta-MERGE contract: at most one source row per key, keys non-null
+    val badKeys = aligned
+      .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 || keys.map(k => col(k).isNull).reduce(_ || _))
+      .limit(1).collect()
+    require(badKeys.isEmpty,
+      s"merge delta for $name has duplicate or null key rows " +
+        s"(e.g. ${badKeys.headOption.getOrElse("")}); one source row per key required")
+    // in-JVM writers serialize around the whole read-rewrite-commit:
+    // the kept rows are derived from the same snapshot the kept-file
+    // list is filtered from, so a concurrent append cannot land rows
+    // into an affected partition between the two and be erased
+    withCommitLock(name) {
+      val target = read(name)
+      val deltaKeys = aligned.select(keys.map(col): _*).distinct()
+      val affectedParts = aligned.select(parts.map(col): _*)
+        .unionByName(target.join(broadcast(deltaKeys), keys, "left_semi")
+          .select(parts.map(col): _*))
+        .distinct().collect()
+      if (affectedParts.nonEmpty) {
+        // hive-style partition dir prefixes of every affected partition —
+        // including ones the rewrite may leave EMPTY (key moved away).
+        // getPartitionPathString handles null/empty values the way the
+        // writer's path rendering does (__HIVE_DEFAULT_PARTITION__).
+        val prefixSet = affectedParts.map { row =>
+          parts.indices.map { i =>
+            val raw = row.get(i)
+            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+              .getPartitionPathString(parts(i),
+                if (raw == null) null else String.valueOf(raw))
+          }.mkString("", "/", "/")
+        }.toSet
+        // static frame from the already-collected rows (no lazy
+        // re-derivation), joined null-safely so null partition values
+        // select their partition too
+        val fieldByName = tableSchema(name).map(f => f.name -> f).toMap
+        val partsSchema = org.apache.spark.sql.types.StructType(
+          parts.map(fieldByName)) // in parts order, matching the projection
+        val affectedDf = spark.createDataFrame(
+          java.util.Arrays.asList(affectedParts: _*), partsSchema)
+        val keptRows = target
+          .join(broadcast(affectedDf),
+            parts.map(c => target(c) <=> affectedDf(c)).reduce(_ && _),
+            "left_semi")                                // affected partitions only
+          .join(broadcast(deltaKeys), keys, "left_anti") // minus matched keys
+          .select(target.columns.map(col): _*)
+        val merged = keptRows.unionByName(aligned.select(target.columns.map(col): _*))
+        val files = stageWrite(name, clustered(name, merged, parts), parts)
         val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
           .filterNot(f => prefixSet.contains(partitionPrefix(f)))
         commitManifest(name, keptFiles ++ files)
@@ -334,10 +397,13 @@ class Warehouse(spark: SparkSession, basePath: String,
             .write.mode("overwrite").format(format).insertInto(s"$db.$name")
         }
         analyze(db, name, columnStats = parts.isEmpty)
-      case None =>
-        // the manifest pins the snapshot's exact file list, and nothing
-        // below deletes data files — the lazy read is safe to rewrite
-        // from, no localCheckpoint materialization needed
+      case None => withCommitLock(name) {
+        // the whole snapshot-rewrite-commit holds the table's commit
+        // lock: the kept rows derive from the same manifest the replace
+        // supersedes, so an in-JVM concurrent append can't land between
+        // the snapshot read and the commit and be erased. The manifest
+        // pins the snapshot's exact file list and nothing below deletes
+        // data files — the lazy read is safe to rewrite from.
         val snapshot = read(name)
         val shaped =
           if (parts.nonEmpty) {
@@ -345,9 +411,11 @@ class Warehouse(spark: SparkSession, basePath: String,
             else snapshot.repartition((parts.map(col) :+
               pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
           } else snapshot.coalesce(n)
-        val files = stageWrite(name, shaped, parts)
+        // clustering is table layout: compaction must re-establish it
+        val files = stageWrite(name, clustered(name, shaped, parts), parts)
         // full replace: the snapshot covers the table
-        withCommitLock(name) { commitManifest(name, files) }
+        commitManifest(name, files)
+      }
     }
   }
 
@@ -482,13 +550,23 @@ class Warehouse(spark: SparkSession, basePath: String,
         s"available: ${tableVersions(name).mkString(", ")}")
     val (files, vMeta) = readManifestFile(p)
     withCommitLock(name) {
-      commitManifest(name, files,
-        vMeta.get(SchemaMeta).map(SchemaMeta -> _).toMap)
+      commitManifest(name, files, Seq(SchemaMeta, PartsMeta, ClusterMeta)
+        .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
     }
-    vMeta.get(SchemaMeta).flatMap(j =>
-      scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
-        .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
-      .foreach(schemas(name) = _)
+    // roll the in-memory + side-meta table DEFINITION back with the
+    // data: a later append must lay files out the way this version did,
+    // not the way the rolled-over head did
+    val restoredSchema = metaSchema(vMeta)
+    restoredSchema.foreach(schemas(name) = _)
+    val restoredParts = vMeta.get(PartsMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    restoredParts.foreach(partitioning(name) = _)
+    val restoredCluster = vMeta.get(ClusterMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    restoredCluster.foreach(clustering(name) = _)
+    if (restoredSchema.isDefined && restoredParts.isDefined)
+      writeMeta(name, restoredParts.get, restoredSchema.get,
+        restoredCluster.getOrElse(Nil))
   }
 
   /** Exactly-once streaming micro-batch append (path mode). Structured
@@ -518,7 +596,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     else {
       val parts = partitionColsOf(name)
       val (aligned, _) = alignDelta(name, df, allowWiden = false)
-      val files = stageWrite(name, aligned, parts)
+      val files = stageWrite(name, clustered(name, aligned, parts), parts)
       withCommitLock(name) {
         // re-read under the lock: a concurrent writer may have committed
         val prev = currentManifestFull(name)
@@ -560,9 +638,13 @@ class Warehouse(spark: SparkSession, basePath: String,
   // resolving them — production formats add a log store/lock service).
 
   private val ManifestName = "v(\\d+)\\.manifest".r
-  /** Manifest metadata key carrying the committed schema (compact
-    * single-line JSON — safe in the `#key:value` line format). */
+  /** Manifest metadata keys: the committed schema (compact single-line
+    * JSON — safe in the `#key:value` line format), the partition spec,
+    * and the cluster spec — all versioned atomically with the data so
+    * restore can roll the full table definition back. */
   private val SchemaMeta = "schema"
+  private val PartsMeta = "parts"
+  private val ClusterMeta = "cluster"
 
   private def txnDir(name: String) =
     new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn/$name")
@@ -708,8 +790,9 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def metaFs: org.apache.hadoop.fs.FileSystem =
     metaDir.getFileSystem(spark.sessionState.newHadoopConf())
 
-  private def writeMeta(name: String,
-      parts: Seq[String], schema: org.apache.spark.sql.types.StructType): Unit = {
+  private def writeMeta(name: String, parts: Seq[String],
+      schema: org.apache.spark.sql.types.StructType,
+      cluster: Seq[String] = Nil): Unit = {
     val fs = metaFs
     fs.mkdirs(metaDir)
     def put(file: String, content: String): Unit = {
@@ -719,10 +802,11 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
     put(s"$name.partitions", parts.mkString("\n"))
     put(s"$name.schema.json", schema.json)
+    put(s"$name.cluster", cluster.mkString("\n"))
   }
 
   private def loadMeta(name: String)
-      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType], Seq[String]) = {
     val fs = metaFs
     def get(file: String): Option[String] = {
       val p = new org.apache.hadoop.fs.Path(metaDir, file)
@@ -738,7 +822,9 @@ class Warehouse(spark: SparkSession, basePath: String,
     val schema = get(s"$name.schema.json").flatMap(j =>
       scala.util.Try(org.apache.spark.sql.types.DataType.fromJson(j)
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
-    (parts, schema)
+    val cluster = get(s"$name.cluster")
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (parts, schema, cluster)
   }
 
   def table(name: String): DataFrame = read(name)

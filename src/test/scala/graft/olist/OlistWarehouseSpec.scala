@@ -353,6 +353,31 @@ class OlistWarehouseSpec extends AnyFunSuite {
       wh2.merge("kv", Seq((9L, 2020, 0.0)).toDF("k", "year", "v"),
         keys = Seq("year"))
     }
+    // duplicate-key deltas are rejected (Delta-MERGE contract), not
+    // silently committed twice
+    intercept[IllegalArgumentException] {
+      wh2.merge("kv",
+        Seq((7L, 2020, 1.0), (7L, 2021, 2.0)).toDF("k", "year", "v"),
+        keys = Seq("k"))
+    }
+  }
+
+  test("merge: null partition values match their hive default partition, no stale copy") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("olist_merge_null").toString
+    val wh2 = new Warehouse(spark, dir)
+    wh2.save("kvn",
+      Seq((1L, Some(2018), 10.0), (2L, Option.empty[Int], 20.0))
+        .toDF("k", "year", "v"),
+      partitionBy = Seq("year"))
+    // update the null-partition row in place
+    wh2.merge("kvn", Seq((2L, Option.empty[Int], 21.0)).toDF("k", "year", "v"),
+      keys = Seq("k"))
+    val got = wh2.table("kvn").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"))).toSet
+    assert(got == Set((1L, 10.0), (2L, 21.0)),
+      s"null-partition merge left a stale or missing row: $got")
+    assert(wh2.table("kvn").count() == 2)
   }
 
   test("clustered save: rows arrive sorted within every data file (row-group skipping)") {
@@ -368,11 +393,25 @@ class OlistWarehouseSpec extends AnyFunSuite {
     val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "clus"))
       .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
     assert(dataFiles.nonEmpty)
-    dataFiles.foreach { f =>
-      val ks = spark.read.parquet(f.toString).select("k")
-        .collect().map(_.getLong(0)).toSeq
-      assert(ks == ks.sorted, s"file $f not clustered by k")
+    def assertClustered(label: String): Unit = {
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "clus"))
+        .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+      assert(files.nonEmpty, label)
+      files.foreach { f =>
+        val ks = spark.read.parquet(f.toString).select("k")
+          .collect().map(_.getLong(0)).toSeq
+        assert(ks == ks.sorted, s"$label: file $f not clustered by k")
+      }
     }
+    assertClustered("after save")
+    // clustering is TABLE layout: append and compact re-apply the sort
+    wh2.append("clus", spark.range(1000).select(
+      (col("id") * 31 % 1000 + 200000).as("k"), col("id").as("v"),
+      lit(1).as("year")))
+    wh2.compact("clus")
+    wh2.vacuum("clus")
+    assertClustered("after append+compact")
+    assert(wh2.table("clus").count() == 101000)
   }
 
   test("catalog ops: database create, table registration, introspection, rename") {
