@@ -42,7 +42,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Partition spec recorded at save time so appends lay files out
     * identically (a flat append into a partitioned directory corrupts
     * partition discovery). */
-  private val partitioning = scala.collection.mutable.Map.empty[String, Seq[String]]
+  private val partitioning = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
   /** Serializes read-modify-write manifest commits per table within
     * this JVM, so concurrent writers in one application (e.g. two
@@ -59,11 +59,19 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Cluster spec recorded at save time — clustering is TABLE layout,
     * not a per-write option: append/compact/merge must re-apply the
     * sort or they silently destroy the row-group-skipping property. */
-  private val clustering = scala.collection.mutable.Map.empty[String, Seq[String]]
+  private val clustering = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
   private def clusterColsOf(name: String): Seq[String] =
     clustering.getOrElseUpdate(name, database match {
-      case Some(_) => Nil
+      case Some(db) =>
+        // recorded as a table property so a NEW instance over the
+        // catalog recovers it like it recovers partition columns
+        scala.util.Try(
+          spark.sql(s"SHOW TBLPROPERTIES $db.$name('$ClusterProp')")
+            .collect().headOption.map(_.getString(1))
+            .filterNot(_.contains("does not have property"))).toOption.flatten
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
       case None =>
         currentManifestFull(name).flatMap(_._3.get(ClusterMeta))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
@@ -98,15 +106,16 @@ class Warehouse(spark: SparkSession, basePath: String,
     partitioning(name) = partitionBy
     schemas(name) = df.schema
     clustering(name) = clusterBy
-    val shaped =
-      if (clusterBy.isEmpty) df
-      else df.sortWithinPartitions((partitionBy ++ clusterBy).map(col): _*)
+    val shaped = clustered(name, df, partitionBy)
     database match {
       case Some(db) =>
         val w = shaped.write.mode("overwrite").format(format)
           .option("header", "true") // no-op outside csv
         val pw = if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w
         pw.saveAsTable(s"$db.$name")
+        if (clusterBy.nonEmpty)
+          spark.sql(s"ALTER TABLE $db.$name SET TBLPROPERTIES" +
+            s"('$ClusterProp'='${clusterBy.mkString(",")}')")
         analyze(db, name, columnStats = partitionBy.isEmpty)
       case None =>
         val files = stageWrite(name, shaped, partitionBy)
@@ -141,7 +150,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       // insertInto appends through the table definition (partition
       // layout included) — positional, so align to the table's order
       val target = spark.table(s"$db.$name")
-      df.select(target.columns.map(col): _*)
+      clustered(name, df, partitionColsOf(name))
+        .select(target.columns.map(col): _*)
         .write.mode("append").insertInto(s"$db.$name")
       // keep CBO inputs fresh; dims (unpartitioned) refresh NDV too
       analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
@@ -282,7 +292,8 @@ class Warehouse(spark: SparkSession, basePath: String,
     // values (and null/empty via the hive default-partition name);
     // timestamp renders differently on the path than String.valueOf
     require(!tableSchema(name).exists(f => parts.contains(f.name) &&
-      f.dataType == org.apache.spark.sql.types.TimestampType),
+      (f.dataType == org.apache.spark.sql.types.TimestampType ||
+        f.dataType == org.apache.spark.sql.types.TimestampNTZType)),
       s"merge: timestamp partition columns are not supported on $name")
     // pin the delta once: its lineage would otherwise re-execute in the
     // guard, the partition probe, and the rewrite — and a
@@ -290,7 +301,17 @@ class Warehouse(spark: SparkSession, basePath: String,
     // disagree with the rows actually written (runUpsert pins for the
     // same reason)
     val (aligned0, _) = alignDelta(name, delta, allowWiden = false)
-    val aligned = aligned0.localCheckpoint()
+    // the partitioned writer stores an EMPTY string partition value in
+    // the hive default partition, where it reads back as null —
+    // normalize the delta up front so the path prefixes, the null-safe
+    // partition probe, and the rows actually written all agree
+    val partTypes = tableSchema(name).map(f => f.name -> f.dataType).toMap
+    val emptyNormalized = parts.foldLeft(aligned0) { (d, pc) =>
+      if (partTypes.get(pc).contains(org.apache.spark.sql.types.StringType))
+        d.withColumn(pc, when(col(pc) === "", lit(null)).otherwise(col(pc)))
+      else d
+    }
+    val aligned = emptyNormalized.localCheckpoint()
     // Delta-MERGE contract: at most one source row per key, keys non-null
     val badKeys = aligned
       .groupBy(keys.map(col): _*).agg(count(lit(1)).as("_n"))
@@ -393,7 +414,7 @@ class Warehouse(spark: SparkSession, basePath: String,
             byPart
           } else snapshot.coalesce(n)
         withDynamicOverwrite {
-          shaped.select(target.columns.map(col): _*)
+          clustered(name, shaped, parts).select(target.columns.map(col): _*)
             .write.mode("overwrite").format(format).insertInto(s"$db.$name")
         }
         analyze(db, name, columnStats = parts.isEmpty)
@@ -468,7 +489,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   }
 
   /** Schema recorded at save time — json/csv don't self-describe. */
-  private val schemas = scala.collection.mutable.Map.empty[String, org.apache.spark.sql.types.StructType]
+  private val schemas = scala.collection.concurrent.TrieMap.empty[String, org.apache.spark.sql.types.StructType]
 
   private def read(name: String): DataFrame = database match {
     case Some(db) => spark.table(s"$db.$name")
@@ -549,6 +570,9 @@ class Warehouse(spark: SparkSession, basePath: String,
       s"$name has no committed version $version to restore; " +
         s"available: ${tableVersions(name).mkString(", ")}")
     val (files, vMeta) = readManifestFile(p)
+    require(vMeta.contains(SchemaMeta) && vMeta.contains(PartsMeta),
+      s"restore: version $version of $name predates table-definition " +
+        "metadata in the manifest — its layout cannot be rolled back safely")
     withCommitLock(name) {
       commitManifest(name, files, Seq(SchemaMeta, PartsMeta, ClusterMeta)
         .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
@@ -645,6 +669,8 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val SchemaMeta = "schema"
   private val PartsMeta = "parts"
   private val ClusterMeta = "cluster"
+  /** Catalog-mode home of the cluster spec (table property). */
+  private val ClusterProp = "graft.clusterBy"
 
   private def txnDir(name: String) =
     new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn/$name")

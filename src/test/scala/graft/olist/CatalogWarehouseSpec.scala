@@ -94,6 +94,37 @@ class CatalogWarehouseSpec extends AnyFunSuite {
     assert(f.count() == before + appended.count())
   }
 
+  test("catalog clustering: recorded as a table property and re-applied by compact") {
+    wh
+    import spark.implicits._
+    val whc = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("olist_cat_clus").toString,
+      "parquet", database = Some(DB))
+    whc.save("clus_cat", spark.range(50000).select(
+      (col("id") * 7919 % 50000).as("k"), col("id").as("v")),
+      clusterBy = Seq("k"))
+    // compaction through a FRESH instance must recover the cluster spec
+    // from the table property and keep files internally sorted
+    val whc2 = new Warehouse(spark, java.nio.file.Files
+      .createTempDirectory("olist_cat_clus2").toString, "parquet", database = Some(DB))
+    whc2.append("clus_cat", spark.range(1000).select(
+      (col("id") * 31 % 1000 + 100000).as("k"), col("id").as("v")))
+    whc2.compact("clus_cat")
+    val loc = spark.sql(s"DESCRIBE EXTENDED $DB.clus_cat").collect()
+      .find(_.getString(0) == "Location").map(_.getString(1)).get
+      .stripPrefix("file:")
+    import scala.jdk.CollectionConverters._
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(loc))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).toSeq
+    assert(files.nonEmpty)
+    files.foreach { f =>
+      val ks = spark.read.parquet(f.toString).select("k")
+        .collect().map(_.getLong(0)).toSeq
+      assert(ks == ks.sorted, s"catalog compact lost clustering in $f")
+    }
+    assert(spark.table(s"$DB.clus_cat").count() == 51000)
+  }
+
   // runs LAST: mutates the shared table through a fresh instance
   test("a NEW Warehouse instance over the existing catalog db recovers partitioning from the catalog") {
     wh // ensure built

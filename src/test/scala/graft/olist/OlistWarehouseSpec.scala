@@ -378,6 +378,20 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(got == Set((1L, 10.0), (2L, 21.0)),
       s"null-partition merge left a stale or missing row: $got")
     assert(wh2.table("kvn").count() == 2)
+    // string partition table: an EMPTY-string delta value aliases to the
+    // hive default partition (it reads back as null) — the merge must
+    // normalize it, not delete the default partition's unmatched rows
+    val wh3 = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("olist_merge_empty").toString)
+    wh3.save("kvs",
+      Seq((1L, Option.empty[String], 10.0), (2L, Option.empty[String], 20.0))
+        .toDF("k", "p", "v"),
+      partitionBy = Seq("p"))
+    wh3.merge("kvs", Seq((3L, "", 30.0)).toDF("k", "p", "v"), keys = Seq("k"))
+    val got3 = wh3.table("kvs").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[Double]("v"))).toSet
+    assert(got3 == Set((1L, 10.0), (2L, 20.0), (3L, 30.0)),
+      s"empty-string partition merge lost default-partition rows: $got3")
   }
 
   test("clustered save: rows arrive sorted within every data file (row-group skipping)") {
