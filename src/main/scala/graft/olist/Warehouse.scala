@@ -31,8 +31,10 @@ import org.apache.spark.sql.functions._
   * broadcast-threshold inputs).
   */
 class Warehouse(spark: SparkSession, basePath: String,
-    format: String = "parquet", database: Option[String] = None) {
+    format: String = "parquet", database: Option[String] = None,
+    lockAcquireMs: Long = 30000, lockStaleMs: Long = 600000) {
   import Normalize.norm
+  import Warehouse.{DataFile, ColRange}
 
   require(Seq("parquet", "orc", "json", "csv").contains(format),
     s"unsupported warehouse format: $format")
@@ -54,12 +56,109 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
   private def withCommitLock[T](name: String)(f: => T): T =
-    commitLocks.computeIfAbsent(name, _ => new Object).synchronized(f)
+    commitLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      val token = acquireTableLock(name)
+      try f finally releaseTableLock(name, token)
+    }
+
+  // ----- cross-process table lock -----------------------------------
+  //
+  // The in-JVM monitor above serializes writers inside ONE application;
+  // this file lock extends the guarantee across processes: a second
+  // driver (backfill job, compaction cron) commits through the same
+  // `_graft_meta/txn/<name>/_lock`. Acquisition is an atomic
+  // create-exclusive (O_CREAT|O_EXCL via java.nio on local filesystems,
+  // where Hadoop's RawLocalFileSystem create/rename both silently
+  // overwrite; FileSystem.create(overwrite=false) on HDFS-like stores,
+  // where it IS atomic). A crashed holder is detected by lock-file age
+  // (mtime, not content — content reads of a just-created lock can race)
+  // and taken over by renaming the stale lock to a tombstone first, so
+  // two takeover candidates cannot both think they cleared the way: only
+  // the one whose rename succeeds retries the create. `lockStaleMs` must
+  // exceed the longest commit (a merge's partition rewrite runs under
+  // the lock); the default 10 min is sized for that, not for append
+  // latency. Object stores without atomic create (S3 pre-conditional-
+  // put) need a real lock service — same contract as production table
+  // formats.
+  private def lockPath(name: String) =
+    new org.apache.hadoop.fs.Path(txnDir(name), "_lock")
+
+  private def tryCreateExclusive(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path, payload: Array[Byte]): Boolean =
+    try {
+      fs match {
+        case _: org.apache.hadoop.fs.LocalFileSystem |
+             _: org.apache.hadoop.fs.RawLocalFileSystem =>
+          val nio = java.nio.file.Paths.get(p.toUri.getPath)
+          try {
+            java.nio.file.Files.write(nio, payload,
+              java.nio.file.StandardOpenOption.CREATE_NEW,
+              java.nio.file.StandardOpenOption.WRITE)
+            true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException => false
+          }
+        case _ =>
+          val out = fs.create(p, false)
+          try out.write(payload) finally out.close()
+          true
+      }
+    } catch { case _: java.io.IOException => false }
+
+  /** Blocks until the table lock is held (returns the ownership token)
+    * or `lockAcquireMs` elapses (throws — a stuck writer should be
+    * loud, not silently skipped). */
+  private def acquireTableLock(name: String): String = {
+    val fs = metaFs
+    val dir = txnDir(name)
+    fs.mkdirs(dir)
+    val lock = lockPath(name)
+    val token = java.util.UUID.randomUUID.toString
+    val payload = token.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val deadline = System.currentTimeMillis + lockAcquireMs
+    while (true) {
+      if (tryCreateExclusive(fs, lock, payload)) return token
+      val stale =
+        try System.currentTimeMillis -
+          fs.getFileStatus(lock).getModificationTime > lockStaleMs
+        catch { case _: java.io.IOException => false } // vanished: retry create
+      if (stale) {
+        // tombstone-rename: exactly one takeover candidate wins the
+        // rename and proceeds to the create race; losers just loop
+        val tomb = new org.apache.hadoop.fs.Path(dir,
+          s"._lock.stale.${token.take(8)}")
+        try if (fs.rename(lock, tomb)) fs.delete(tomb, false)
+        catch { case _: java.io.IOException => () }
+      } else if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"could not acquire commit lock for $name within ${lockAcquireMs}ms " +
+            s"(held by another writer; lock: $lock)")
+      else Thread.sleep(50)
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Deletes the lock only if we still own it — if a (mis-sized)
+    * staleness takeover hijacked it mid-commit, the new owner's lock
+    * must survive. */
+  private def releaseTableLock(name: String, token: String): Unit = {
+    val fs = metaFs
+    val lock = lockPath(name)
+    try {
+      val in = fs.open(lock)
+      val held =
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8) == token
+        finally in.close()
+      if (held) fs.delete(lock, false)
+    } catch { case _: java.io.IOException => () } // taken over or gone
+  }
 
   /** Cluster spec recorded at save time — clustering is TABLE layout,
     * not a per-write option: append/compact/merge must re-apply the
     * sort or they silently destroy the row-group-skipping property. */
   private val clustering = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+  private val clusterKinds = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def clusterColsOf(name: String): Seq[String] =
     clustering.getOrElseUpdate(name, database match {
@@ -78,13 +177,54 @@ class Warehouse(spark: SparkSession, basePath: String,
           .getOrElse(loadMeta(name)._3)
     })
 
+  /** Cluster KIND (linear sort vs z-order interleave) — table layout
+    * like the column list, recovered the same way. Catalog mode is
+    * always linear (zorder is a path-mode layout). */
+  private def clusterKindOf(name: String): String =
+    clusterKinds.getOrElseUpdate(name, database match {
+      case Some(_) => LinearKind
+      case None =>
+        currentManifestFull(name).flatMap(_._3.get(ClusterKindMeta))
+          .orElse(loadMeta(name)._4)
+          .getOrElse(LinearKind)
+    })
+
   /** Re-applies the table's recorded clustering to rows about to be
-    * written (partition columns prefix the sort so the partitioned
-    * writer's required ordering is satisfied without a re-sort). */
+    * written.
+    *
+    * Linear: sort WITHIN each task by (partition cols ++ cluster cols)
+    * — no extra shuffle; row-group min/max stats on the cluster columns
+    * get tight, and with them the per-FILE stats the manifest records.
+    *
+    * Z-order: range-distribute by (partition cols, z) then sort by the
+    * same — one extra shuffle per write, but output files cover
+    * DISJOINT z-ranges, so the per-file min/max of EVERY z dimension is
+    * narrow and a predicate on any subset of the z columns skips files.
+    * Linear clustering only ever achieves that for its leading column.
+    * The z lanes are scaled by the written batch's own min/max (one
+    * driver-side bounds agg): batch-relative scaling only affects
+    * cross-batch LOCALITY, never correctness — skipping always compares
+    * against the real recorded column stats, not z-values. */
   private def clustered(name: String, df: DataFrame, parts: Seq[String]): DataFrame = {
     val cluster = clusterColsOf(name)
     if (cluster.isEmpty) df
-    else df.sortWithinPartitions((parts ++ cluster).map(col): _*)
+    else if (clusterKindOf(name) == ZOrderKind) {
+      require(!df.columns.contains(ZCol), s"column name $ZCol is reserved")
+      val keyed = df.withColumn(ZCol, graft.operators.ZOrder.zvalue(df, cluster))
+      val keys = (parts :+ ZCol).map(col)
+      // without an explicit count AQE sizes the range partitions to its
+      // advisory target (≈64 MB files) — the production default; AQE
+      // only ever merges ADJACENT ranges, so coalesced files still
+      // cover disjoint z-ranges and skipping is preserved. The session
+      // conf pins an exact file count when callers need one (tests,
+      // file-count SLAs).
+      val repartitioned =
+        spark.conf.getOption("graft.zorder.partitions").map(_.toInt) match {
+          case Some(n) => keyed.repartitionByRange(n, keys: _*)
+          case None => keyed.repartitionByRange(keys: _*)
+        }
+      repartitioned.sortWithinPartitions(keys: _*).drop(ZCol)
+    } else df.sortWithinPartitions((parts ++ cluster).map(col): _*)
   }
 
   /** S4 CTAS-style sink + catalog registration (reference:
@@ -100,12 +240,22 @@ class Warehouse(spark: SparkSession, basePath: String,
     * second lever (after partition pruning) that decides how little of
     * 100 TB a selective query reads. The partition columns prefix the
     * sort so the partitioned writer's own required ordering is already
-    * satisfied and doesn't re-sort away the clustering. */
+    * satisfied and doesn't re-sort away the clustering.
+    *
+    * `zorder = true` (path mode, ≥2 cluster columns) switches the
+    * layout to a bit-interleaved z-order over `clusterBy`: files cover
+    * disjoint z-ranges, so selective predicates on ANY of the cluster
+    * columns — not just the leading one — skip files via the manifest's
+    * per-file min/max stats (see [[scan]]). */
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil): DataFrame = {
+      clusterBy: Seq[String] = Nil, zorder: Boolean = false): DataFrame = {
+    require(!zorder || database.isEmpty, "zorder clustering is path-mode only")
+    require(!zorder || clusterBy.size >= 2,
+      "zorder needs at least two cluster columns (one column = linear clusterBy)")
     partitioning(name) = partitionBy
     schemas(name) = df.schema
     clustering(name) = clusterBy
+    clusterKinds(name) = if (zorder) ZOrderKind else LinearKind
     val shaped = clustered(name, df, partitionBy)
     database match {
       case Some(db) =>
@@ -126,10 +276,11 @@ class Warehouse(spark: SparkSession, basePath: String,
         withCommitLock(name) {
           commitManifest(name, files, Map(SchemaMeta -> df.schema.json,
             PartsMeta -> partitionBy.mkString(","),
-            ClusterMeta -> clusterBy.mkString(",")))
+            ClusterMeta -> clusterBy.mkString(","),
+            ClusterKindMeta -> clusterKinds(name)))
         }
         // side meta is bootstrap redundancy for pre-manifest readers
-        writeMeta(name, partitionBy, df.schema, clusterBy)
+        writeMeta(name, partitionBy, df.schema, clusterBy, clusterKinds(name))
     }
     val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
@@ -166,7 +317,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       }
       widened.foreach { merged =>
         schemas(name) = merged
-        writeMeta(name, parts, merged, clusterColsOf(name))
+        writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name))
       }
   }
 
@@ -255,10 +406,10 @@ class Warehouse(spark: SparkSession, basePath: String,
         // listed, let alone rewritten, and the swap is atomic
         val (aligned, _) = alignDelta(name, df, allowWiden = false)
         val files = stageWrite(name, clustered(name, aligned, parts), parts)
-        val touched = files.map(partitionPrefix).toSet
+        val touched = files.map(f => partitionPrefix(f.path)).toSet
         withCommitLock(name) {
           val kept = currentManifest(name).map(_._2).getOrElse(Nil)
-            .filterNot(f => touched.contains(partitionPrefix(f)))
+            .filterNot(f => touched.contains(partitionPrefix(f.path)))
           commitManifest(name, kept ++ files)
         }
     }
@@ -282,6 +433,50 @@ class Warehouse(spark: SparkSession, basePath: String,
     * partition list is collected to the driver — it is bounded by the
     * partitions a delta touches (days/years), never by table size. */
   def merge(name: String, delta: DataFrame, keys: Seq[String]): Unit = {
+    mergeImpl(name, delta, keys, Map.empty, None); ()
+  }
+
+  /** Exactly-once streaming MERGE micro-batch: [[merge]] semantics with
+    * the batch's id committed in the SAME manifest swap (the
+    * [[appendStreamBatch]] high-water-mark protocol — exact replay of
+    * the last committed batch is skipped, a batchId below the mark is a
+    * checkpoint reset and throws). An EMPTY delta still advances the
+    * mark with a files-unchanged commit, so a replayed empty batch
+    * cannot alias as "never ran". Returns true iff this call changed
+    * the table (false = duplicate replay). */
+  def mergeStreamBatch(name: String, delta: DataFrame, keys: Seq[String],
+      batchId: Long, streamId: String = "stream"): Boolean = {
+    val markKey = s"watermark.$streamId"
+    val pre = currentManifestFull(name).flatMap(_._3.get(markKey)).map(_.toLong)
+    if (pre.contains(batchId)) false
+    else if (pre.exists(batchId < _))
+      throw new IllegalStateException(
+        s"mergeStreamBatch($name, streamId=$streamId): batchId $batchId is " +
+          s"below the committed mark ${pre.get} — stream checkpoint was " +
+          "reset or two queries share this streamId; use a fresh streamId")
+    else mergeImpl(name, delta, keys, Map(markKey -> batchId.toString),
+      Some((markKey, batchId)))
+  }
+
+  /** Drive a streaming DataFrame of upserts into a path-mode
+    * partitioned table: the continuous CDC-apply shape (stream of
+    * latest-state rows keyed by `keys`), exactly-once via
+    * [[mergeStreamBatch]]. The stream must emit at most one row per key
+    * per micro-batch (aggregate upstream otherwise) — the same contract
+    * as batch [[merge]]. */
+  def streamMergeInto(name: String, stream: DataFrame, keys: Seq[String],
+      checkpoint: String, streamId: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        mergeStreamBatch(name, batch, keys, id, streamId); ()
+      }
+      .start()
+
+  private def mergeImpl(name: String, delta: DataFrame, keys: Seq[String],
+      extraMeta: Map[String, String], mark: Option[(String, Long)]): Boolean = {
     require(database.isEmpty, "merge applies to path-mode tables only")
     val parts = partitionColsOf(name)
     require(parts.nonEmpty, s"merge: $name is not partitioned")
@@ -325,6 +520,11 @@ class Warehouse(spark: SparkSession, basePath: String,
     // list is filtered from, so a concurrent append cannot land rows
     // into an affected partition between the two and be erased
     withCommitLock(name) {
+      // authoritative replay check under the lock (the pre-check raced)
+      val replayed = mark.exists { case (k, b) =>
+        currentManifestFull(name).flatMap(_._3.get(k)).map(_.toLong)
+          .exists(_ >= b) }
+      if (!replayed) {
       val target = read(name)
       val deltaKeys = aligned.select(keys.map(col): _*).distinct()
       val affectedParts = aligned.select(parts.map(col): _*)
@@ -361,9 +561,14 @@ class Warehouse(spark: SparkSession, basePath: String,
         val merged = keptRows.unionByName(aligned.select(target.columns.map(col): _*))
         val files = stageWrite(name, clustered(name, merged, parts), parts)
         val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
-          .filterNot(f => prefixSet.contains(partitionPrefix(f)))
-        commitManifest(name, keptFiles ++ files)
+          .filterNot(f => prefixSet.contains(partitionPrefix(f.path)))
+        commitManifest(name, keptFiles ++ files, extraMeta)
+      } else if (extraMeta.nonEmpty)
+        // empty streaming batch: advance the mark, files unchanged
+        commitManifest(name, currentManifest(name).map(_._2).getOrElse(Nil),
+          extraMeta)
       }
+      !replayed
     }
   }
 
@@ -449,7 +654,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     require(database.isEmpty, "vacuum applies to path-mode tables only")
     val fs = metaFs
     currentManifest(name).foreach { case (v, files) =>
-      val keep = files.toSet
+      val keep = files.map(_.path).toSet
       val root = qualifiedPath(s"$basePath/$name")
       // a zero-file snapshot never created the data dir: nothing to scan
       if (fs.exists(root)) {
@@ -500,7 +705,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           // the data (cache/side meta are bootstrap fallbacks)
           val sc = metaSchema(meta).getOrElse(schemas.getOrElseUpdate(name,
             loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil))))
-          fromFiles(name, files, sc)
+          fromFiles(name, files.map(_.path), sc)
         case None => // pre-manifest store layout (or foreign directory)
           val sc = schemas.getOrElseUpdate(name,
             loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))
@@ -550,7 +755,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     val (files, vMeta) = readManifestFile(p)
     // read the OLD version with the schema it was committed under — a
     // later save() may have redefined column order or types
-    fromFiles(name, files, metaSchema(vMeta).getOrElse(
+    fromFiles(name, files.map(_.path), metaSchema(vMeta).getOrElse(
       schemas.getOrElseUpdate(name,
         loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))))
   }
@@ -574,8 +779,9 @@ class Warehouse(spark: SparkSession, basePath: String,
       s"restore: version $version of $name predates table-definition " +
         "metadata in the manifest — its layout cannot be rolled back safely")
     withCommitLock(name) {
-      commitManifest(name, files, Seq(SchemaMeta, PartsMeta, ClusterMeta)
-        .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
+      commitManifest(name, files,
+        Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta)
+          .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
     }
     // roll the in-memory + side-meta table DEFINITION back with the
     // data: a later append must lay files out the way this version did,
@@ -588,9 +794,11 @@ class Warehouse(spark: SparkSession, basePath: String,
     val restoredCluster = vMeta.get(ClusterMeta)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     restoredCluster.foreach(clustering(name) = _)
+    val restoredKind = vMeta.get(ClusterKindMeta)
+    restoredKind.foreach(clusterKinds(name) = _)
     if (restoredSchema.isDefined && restoredParts.isDefined)
       writeMeta(name, restoredParts.get, restoredSchema.get,
-        restoredCluster.getOrElse(Nil))
+        restoredCluster.getOrElse(Nil), restoredKind.getOrElse(LinearKind))
   }
 
   /** Exactly-once streaming micro-batch append (path mode). Structured
@@ -669,6 +877,11 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val SchemaMeta = "schema"
   private val PartsMeta = "parts"
   private val ClusterMeta = "cluster"
+  private val ClusterKindMeta = "clusterKind"
+  private val LinearKind = "linear"
+  private val ZOrderKind = "zorder"
+  /** Reserved column name carrying the transient z-value during writes. */
+  private val ZCol = "_graft_zvalue"
   /** Catalog-mode home of the cluster spec (table property). */
   private val ClusterProp = "graft.clusterBy"
 
@@ -689,17 +902,51 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   /** Manifest format: optional leading `#key:value` metadata lines
     * (carried forward commit-to-commit; e.g. streaming high-water
-    * marks), then one data-file path per line. */
-  private def parseManifest(content: String): (Seq[String], Map[String, String]) = {
+    * marks), then one data-file line per file: the path, optionally
+    * followed by a TAB and a compact JSON object of per-column
+    * `{"col":["min","max"]}` stats (JSON string escaping keeps literal
+    * tabs out of the payload, so the first tab always delimits).
+    * Stats ride the file line — not the metadata block — because they
+    * share the file's lifecycle: a compaction that drops the file drops
+    * its stats in the same commit. Pathless old manifests parse fine. */
+  private def parseManifest(content: String): (Seq[DataFile], Map[String, String]) = {
     val lines = content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
     val (meta, files) = lines.partition(_.startsWith("#"))
-    (files, meta.map { m =>
+    (files.map(decodeFile), meta.map { m =>
       val kv = m.drop(1).split(":", 2)
       kv(0) -> (if (kv.length > 1) kv(1) else "")
     }.toMap)
   }
 
-  private def readManifestFile(p: org.apache.hadoop.fs.Path): (Seq[String], Map[String, String]) = {
+  private def encodeFile(f: DataFile): String =
+    if (f.stats.isEmpty) f.path
+    else {
+      val j = org.json4s.JObject(f.stats.toList.sortBy(_._1).map {
+        case (c, (mn, mx)) =>
+          c -> org.json4s.JArray(List(org.json4s.JString(mn), org.json4s.JString(mx)))
+      })
+      f.path + "\t" + org.json4s.jackson.JsonMethods.compact(
+        org.json4s.jackson.JsonMethods.render(j))
+    }
+
+  private def decodeFile(line: String): DataFile = {
+    val split = line.split("\t", 2)
+    if (split.length == 1) DataFile(split(0))
+    else {
+      val stats = scala.util.Try {
+        org.json4s.jackson.JsonMethods.parse(split(1)) match {
+          case org.json4s.JObject(fields) => fields.collect {
+            case (c, org.json4s.JArray(List(
+              org.json4s.JString(mn), org.json4s.JString(mx)))) => c -> (mn, mx)
+          }.toMap
+          case _ => Map.empty[String, (String, String)]
+        }
+      }.getOrElse(Map.empty[String, (String, String)])
+      DataFile(split(0), stats)
+    }
+  }
+
+  private def readManifestFile(p: org.apache.hadoop.fs.Path): (Seq[DataFile], Map[String, String]) = {
     val in = metaFs.open(p)
     val content =
       try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
@@ -709,7 +956,7 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   /** Latest committed (version, file list, metadata), if any. */
   private def currentManifestFull(name: String)
-      : Option[(Long, Seq[String], Map[String, String])] = {
+      : Option[(Long, Seq[DataFile], Map[String, String])] = {
     val fs = metaFs
     val dir = txnDir(name)
     if (!fs.exists(dir)) None
@@ -729,7 +976,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
-  private def currentManifest(name: String): Option[(Long, Seq[String])] =
+  private def currentManifest(name: String): Option[(Long, Seq[DataFile])] =
     currentManifestFull(name).map { case (v, files, _) => (v, files) }
 
   /** Atomic commit: write the full file list to a hidden temp file,
@@ -737,7 +984,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * is the commit point — it either publishes the complete manifest or
     * fails (a concurrent committer of the same version loses the race
     * loudly instead of corrupting the log). */
-  private def commitManifest(name: String, files: Seq[String],
+  private def commitManifest(name: String, files: Seq[DataFile],
       extraMeta: Map[String, String] = Map.empty): Unit = {
     val fs = metaFs
     val dir = txnDir(name)
@@ -747,8 +994,8 @@ class Warehouse(spark: SparkSession, basePath: String,
     // metadata (streaming marks etc.) survives every commit — a
     // compaction must not forget which batches already landed
     val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta
-    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" } ++ files)
-      .mkString("\n")
+    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" } ++
+      files.map(encodeFile)).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(dir,
       s".v$version.manifest.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
     val out = fs.create(tmp, true)
@@ -770,10 +1017,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     * the table directory under transaction-unique names (a pure
     * same-filesystem rename per file). Staged/moved files are invisible
     * to readers until the manifest naming them is committed. Returns
-    * the moved files' paths relative to the table dir (partition
-    * directories included). */
+    * the moved files (paths relative to the table dir, partition
+    * directories included), each carrying per-file min/max stats on the
+    * table's cluster columns — one extra columnar agg over JUST those
+    * columns of the files this write produced (see [[collectStats]]). */
   private def stageWrite(name: String, df: DataFrame,
-      parts: Seq[String]): Seq[String] = {
+      parts: Seq[String]): Seq[DataFile] = {
     val fs = metaFs
     val txnId = java.util.UUID.randomUUID.toString.take(8)
     val stage = qualifiedPath(s"$basePath/_graft_stage/$name-$txnId")
@@ -800,7 +1049,68 @@ class Warehouse(spark: SparkSession, basePath: String,
     val stageParent = stage.getParent
     if (fs.exists(stageParent) && fs.listStatus(stageParent).isEmpty)
       fs.delete(stageParent, false)
-    moved.toSeq
+    collectStats(name, moved.toSeq, df.schema)
+  }
+
+  /** Per-file min/max stats on the table's cluster columns for the
+    * files a write just produced. The stats scan reads ONLY the stat
+    * columns (columnar projection) of ONLY the new files — at 100 TB a
+    * daily append re-reads a few columns of the delta, never the table.
+    * Values are rendered to strings for the line-oriented manifest and
+    * compared back under the column's type (see [[statCompare]]); a
+    * file whose stat column is all-null carries no entry and is simply
+    * never skipped — the safe direction. */
+  private def collectStats(name: String, moved: Seq[String],
+      schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
+    val statCols = clusterColsOf(name).filter(schema.fieldNames.contains)
+    if (statCols.isEmpty || moved.isEmpty) moved.map(DataFile(_))
+    else {
+      val tableRoot = qualifiedPath(s"$basePath/$name")
+      val r = spark.read.format(format).option("header", "true").schema(schema)
+        .option("basePath", tableRoot.toString)
+        .load(moved.map(m => new org.apache.hadoop.fs.Path(tableRoot, m).toString): _*)
+      val aggs = statCols.flatMap(c =>
+        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+      val rows = r.groupBy(input_file_name().as("__file"))
+        .agg(aggs.head, aggs.tail: _*).collect()
+      // transaction-unique file names (txnId prefix + task part number)
+      // make the base name a safe join key back to the relative path
+      val byBase = rows.map { row =>
+        val base = row.getString(0).split('/').last
+        base -> statCols.flatMap { c =>
+          val mn = statString(row.getAs[Any](s"__mn_$c"))
+          val mx = statString(row.getAs[Any](s"__mx_$c"))
+          if (mn == null || mx == null) None else Some(c -> (mn, mx))
+        }.toMap
+      }.toMap
+      moved.map(m =>
+        DataFile(m, byBase.getOrElse(m.split('/').last, Map.empty)))
+    }
+  }
+
+  private def statString(v: Any): String = v match {
+    case null => null
+    case d: java.math.BigDecimal => d.toPlainString
+    case x => String.valueOf(x)
+  }
+
+  /** Orders two stat strings under the column's type. Only types whose
+    * rendered form round-trips unambiguously participate in skipping;
+    * anything else returns None and the file is kept. */
+  private def statCompare(dt: org.apache.spark.sql.types.DataType,
+      a: String, b: String): Option[Int] = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        scala.util.Try(java.lang.Long.compare(a.toLong, b.toLong)).toOption
+      case FloatType | DoubleType =>
+        scala.util.Try(java.lang.Double.compare(a.toDouble, b.toDouble)).toOption
+      case _: DecimalType =>
+        scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
+      // ISO renderings: lexicographic IS chronological order
+      case StringType | DateType => Some(a.compareTo(b))
+      case _ => None // timestamps render with varying fraction widths
+    }
   }
 
   /** Table metadata persisted beside the data so a NEW Warehouse
@@ -818,7 +1128,7 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   private def writeMeta(name: String, parts: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      cluster: Seq[String] = Nil): Unit = {
+      cluster: Seq[String] = Nil, clusterKind: String = LinearKind): Unit = {
     val fs = metaFs
     fs.mkdirs(metaDir)
     def put(file: String, content: String): Unit = {
@@ -829,10 +1139,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     put(s"$name.partitions", parts.mkString("\n"))
     put(s"$name.schema.json", schema.json)
     put(s"$name.cluster", cluster.mkString("\n"))
+    put(s"$name.clusterkind", clusterKind)
   }
 
   private def loadMeta(name: String)
-      : (Seq[String], Option[org.apache.spark.sql.types.StructType], Seq[String]) = {
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType],
+        Seq[String], Option[String]) = {
     val fs = metaFs
     def get(file: String): Option[String] = {
       val p = new org.apache.hadoop.fs.Path(metaDir, file)
@@ -850,10 +1162,73 @@ class Warehouse(spark: SparkSession, basePath: String,
         .asInstanceOf[org.apache.spark.sql.types.StructType]).toOption)
     val cluster = get(s"$name.cluster")
       .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
-    (parts, schema, cluster)
+    val kind = get(s"$name.clusterkind").map(_.trim).filter(_.nonEmpty)
+    (parts, schema, cluster, kind)
   }
 
   def table(name: String): DataFrame = read(name)
+
+  /** Stats-pruned scan: resolves the current snapshot, drops every data
+    * file whose recorded [min,max] on a constrained column cannot
+    * intersect the requested range, reads only the survivors, and
+    * re-applies the predicate to the rows (stats only bound what a file
+    * MIGHT contain — the residual filter is always applied, so the
+    * result is exact even with missing or stale-typed stats).
+    *
+    * This is the file-level data-skipping layer of the table format: at
+    * 100 TB, partition pruning picks the directories, these stats pick
+    * the files inside them, and parquet row-group stats (tight, because
+    * writes are clustered) prune inside each file. A selective range
+    * query on a clustered column touches a few files out of tens of
+    * thousands without any index structure. */
+  def scan(name: String, ranges: ColRange*): DataFrame = {
+    require(database.isEmpty, "scan applies to path-mode tables only")
+    val df = currentManifestFull(name) match {
+      case Some((_, files, meta)) =>
+        val sc = metaSchema(meta).getOrElse(tableSchema(name))
+        fromFiles(name, candidates(files, sc, ranges).map(_.path), sc)
+      case None => read(name) // pre-manifest layout: no stats, no pruning
+    }
+    ranges.foldLeft(df) { (d, r) =>
+      val lo = r.lower.map(v => col(r.column) >= lit(v))
+      val hi = r.upper.map(v => col(r.column) <= lit(v))
+      (lo ++ hi).foldLeft(d)(_ filter _)
+    }
+  }
+
+  /** (files a [[scan]] with these ranges would read, total files in the
+    * snapshot) — the observability hook the skipping specs assert on. */
+  def scanFileCounts(name: String, ranges: Seq[ColRange]): (Int, Int) = {
+    require(database.isEmpty, "scanFileCounts applies to path-mode tables only")
+    currentManifestFull(name) match {
+      case Some((_, files, meta)) =>
+        val sc = metaSchema(meta).getOrElse(tableSchema(name))
+        (candidates(files, sc, ranges).size, files.size)
+      case None => (0, 0)
+    }
+  }
+
+  /** Files whose stats admit rows in every requested range. A file with
+    * no stats for a column (pre-stats manifest, all-null file, or a
+    * column outside the cluster set) is always a candidate. */
+  private def candidates(files: Seq[DataFile],
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[ColRange]): Seq[DataFile] = {
+    val types = schema.map(f => f.name -> f.dataType).toMap
+    files.filter { f =>
+      ranges.forall { r =>
+        (f.stats.get(r.column), types.get(r.column)) match {
+          case (Some((mn, mx)), Some(dt)) =>
+            val loOk = r.lower.forall(l =>
+              statCompare(dt, mx, statString(l)).forall(_ >= 0))
+            val hiOk = r.upper.forall(u =>
+              statCompare(dt, mn, statString(u)).forall(_ <= 0))
+            loOk && hiOk
+          case _ => true
+        }
+      }
+    }
+  }
 
   /** Build every dim + both facts from the given source tables.
     * Statement order mirrors the reference build (Olist DW.sql:39-184). */
@@ -882,6 +1257,19 @@ class Warehouse(spark: SparkSession, basePath: String,
     // anti-filter rewrite
     save("conversions_fact", conv.filter(col("avg_hrs_convert") >= 1))
   }
+}
+
+object Warehouse {
+  /** One committed data file: manifest-relative path plus optional
+    * per-column (min, max) stats on the table's cluster columns,
+    * rendered as strings for the line-oriented manifest. */
+  final case class DataFile(path: String,
+      stats: Map[String, (String, String)] = Map.empty)
+
+  /** Inclusive range constraint for stats-based file skipping; `None`
+    * bounds are open. Equality = same value on both bounds. */
+  final case class ColRange(column: String,
+      lower: Option[Any] = None, upper: Option[Any] = None)
 }
 
 /** F6 — SQL Server's default collation is case-insensitive; Spark is

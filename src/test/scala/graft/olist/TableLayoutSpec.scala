@@ -1,0 +1,265 @@
+package graft.olist
+
+import graft.SparkTestSession
+import graft.olist.Warehouse.ColRange
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Round-5 table-format layers: per-file min/max stats + file skipping,
+  * z-order clustering, the cross-process commit lock, and streaming
+  * MERGE.
+  */
+class TableLayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  // ----- per-file stats + skipping ----------------------------------
+
+  test("scan: stats-pruned read skips files outside the range, result exact") {
+    val dir = tmp("wh_stats")
+    val wh = new Warehouse(spark, dir)
+    // 8 range-partitioned slices of k → 8 files with disjoint k ranges
+    val df = spark.range(80000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    val (readAll, total) = wh.scanFileCounts("t", Nil)
+    assert(total == 8 && readAll == 8)
+    // a 1/8th slice should hit ~1 file, never all of them
+    val (readFew, _) = wh.scanFileCounts("t",
+      Seq(ColRange("k", lower = Some(10000L), upper = Some(14999L))))
+    assert(readFew <= 2, s"expected ≤2 candidate files, got $readFew")
+    val got = wh.scan("t", ColRange("k", Some(10000L), Some(14999L)))
+      .agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got.getLong(0) == 5000)
+    assert(got.getLong(1) == (10000L until 15000L).map(_ * 3).sum)
+    // open-ended bound prunes too
+    val (readHi, _) = wh.scanFileCounts("t",
+      Seq(ColRange("k", lower = Some(75000L))))
+    assert(readHi <= 2)
+  }
+
+  test("scan: appended batches carry their own stats; residual filter stays exact") {
+    val dir = tmp("wh_stats_app")
+    val wh = new Warehouse(spark, dir)
+    import spark.implicits._
+    wh.save("t", Seq.range(0, 100).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+      .coalesce(1), clusterBy = Seq("k"))
+    wh.append("t", Seq.range(1000, 1100).map(i => (i.toLong, s"b$i")).toDF("k", "v")
+      .coalesce(1))
+    wh.append("t", Seq.range(2000, 2100).map(i => (i.toLong, s"c$i")).toDF("k", "v")
+      .coalesce(1))
+    val (read1, total) = wh.scanFileCounts("t",
+      Seq(ColRange("k", Some(1000L), Some(1099L))))
+    assert(total == 3 && read1 == 1, s"expected 1/3 files, got $read1/$total")
+    assert(wh.scan("t", ColRange("k", Some(1000L), Some(1050L))).count() == 51)
+    // stats survive compaction (recomputed for the rewritten files)
+    wh.compact("t", filesPerPartition = 3)
+    val (readC, totalC) = wh.scanFileCounts("t",
+      Seq(ColRange("k", Some(0L), Some(99L))))
+    assert(wh.scan("t", ColRange("k", Some(0L), Some(99L))).count() == 100)
+    assert(readC <= totalC)
+  }
+
+  test("scan: string column stats prune; unknown column never prunes") {
+    val dir = tmp("wh_stats_str")
+    val wh = new Warehouse(spark, dir)
+    import spark.implicits._
+    wh.save("s", Seq("apple", "avocado", "banana").map(w => (w, 1)).toDF("w", "n")
+      .coalesce(1), clusterBy = Seq("w"))
+    wh.append("s", Seq("melon", "peach", "plum").map(w => (w, 1)).toDF("w", "n")
+      .coalesce(1))
+    val (read1, total) = wh.scanFileCounts("s",
+      Seq(ColRange("w", Some("a"), Some("c"))))
+    assert(total == 2 && read1 == 1)
+    assert(wh.scan("s", ColRange("w", Some("a"), Some("c"))).count() == 3)
+    // a column with no recorded stats keeps every file (safe direction)
+    val (readN, _) = wh.scanFileCounts("s", Seq(ColRange("n", Some(0), Some(9))))
+    assert(readN == 2)
+  }
+
+  // ----- z-order ----------------------------------------------------
+
+  test("zorder: y-only predicate skips files; linear x-clustering cannot") {
+    import spark.implicits._
+    // 128×128 grid → both layouts write the same rows
+    val grid = spark.range(128L * 128L).select(
+      (col("id") % 128).as("x"), (col("id") / 128).cast("long").as("y"),
+      col("id").as("v"))
+
+    // pin the file count: at test scale AQE would (correctly) coalesce
+    // the whole grid into one advisory-sized file and leave nothing to skip
+    spark.conf.set("graft.zorder.partitions", "16")
+    val dirZ = tmp("wh_z")
+    val whZ = new Warehouse(spark, dirZ)
+    try whZ.save("g", grid, clusterBy = Seq("x", "y"), zorder = true)
+    finally spark.conf.unset("graft.zorder.partitions")
+
+    val dirL = tmp("wh_l")
+    val whL = new Warehouse(spark, dirL)
+    whL.save("g", grid.repartitionByRange(16, col("x")), clusterBy = Seq("x"))
+
+    val yRange = Seq(ColRange("y", Some(0L), Some(15L))) // 1/8th of y
+    val (zRead, zTotal) = whZ.scanFileCounts("g", yRange)
+    val (lRead, lTotal) = whL.scanFileCounts("g", yRange)
+    assert(zTotal > 4, s"zorder should have written several files, got $zTotal")
+    assert(lRead == lTotal, "x-sorted files all span the full y range")
+    assert(zRead < zTotal / 2,
+      s"zorder should skip most files on a y-only range: $zRead/$zTotal")
+
+    // 2-D box prunes harder than either 1-D range, and the rows are exact
+    val box = Seq(ColRange("x", Some(0L), Some(15L)), ColRange("y", Some(0L), Some(15L)))
+    val (boxRead, _) = whZ.scanFileCounts("g", box)
+    assert(boxRead <= zRead)
+    val rows = whZ.scan("g", box: _*).collect()
+    assert(rows.length == 16 * 16)
+    assert(rows.map(_.getAs[Long]("v")).sorted.toSeq ==
+      (for { y <- 0L until 16L; x <- 0L until 16L } yield y * 128 + x).sorted)
+  }
+
+  test("zorder: layout survives append and compact; restore rolls kind back") {
+    import spark.implicits._
+    spark.conf.set("graft.zorder.partitions", "8")
+    try zorderLifecycle()
+    finally spark.conf.unset("graft.zorder.partitions")
+  }
+
+  private def zorderLifecycle(): Unit = {
+    val dir = tmp("wh_z2")
+    val wh = new Warehouse(spark, dir)
+    val pts = spark.range(4096).select((col("id") % 64).as("x"),
+      (col("id") / 64).cast("long").as("y"), col("id").as("v"))
+    wh.save("p", pts, clusterBy = Seq("x", "y"), zorder = true)
+    val v1 = wh.tableVersions("p").max
+    // a fresh instance recovers the zorder spec from the manifest
+    val wh2 = new Warehouse(spark, dir)
+    wh2.append("p", spark.range(4096, 4224).select((col("id") % 64).as("x"),
+      (col("id") / 64 % 64).cast("long").as("y"), col("id").as("v")))
+    wh2.compact("p", filesPerPartition = 8)
+    assert(wh2.table("p").count() == 4224)
+    val yOnly = Seq(ColRange("y", Some(0L), Some(7L)))
+    val (r, t) = wh2.scanFileCounts("p", yOnly)
+    assert(r < t, s"compacted zorder table should still skip: $r/$t")
+    // restore to v1 brings the zorder kind back (exercises kind meta)
+    wh2.restore("p", v1)
+    assert(wh2.table("p").count() == 4096)
+    // a write after restore still lays out z-ordered and skips
+    wh2.append("p", spark.range(9000, 9128).select((col("id") % 64).as("x"),
+      (col("id") / 64 % 64).cast("long").as("y"), col("id").as("v")))
+    val (r2, t2) = wh2.scanFileCounts("p", yOnly)
+    assert(r2 < t2)
+  }
+
+  test("zorder: rejected in catalog mode and for a single column") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_zerr"))
+    intercept[IllegalArgumentException] {
+      wh.save("bad", Seq((1, 2)).toDF("x", "y"), clusterBy = Seq("x"), zorder = true)
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.ZOrder.zvalue(Seq((1, "a")).toDF("x", "s"), Seq("x", "s"))
+    }
+  }
+
+  // ----- cross-process commit lock ----------------------------------
+
+  test("commit lock: two Warehouse instances racing appends lose nothing") {
+    import spark.implicits._
+    val dir = tmp("wh_lock")
+    val whA = new Warehouse(spark, dir)
+    val whB = new Warehouse(spark, dir) // separate instance = separate JVM-lock
+    whA.save("t", Seq((0L, "seed")).toDF("k", "v").coalesce(1))
+    val perWriter = 8
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(pool)
+    def run(wh: Warehouse, tag: String) = scala.concurrent.Future {
+      (1 to perWriter).foreach { i =>
+        wh.append("t", Seq((i.toLong, s"$tag$i")).toDF("k", "v").coalesce(1))
+      }
+    }
+    val all = scala.concurrent.Future.sequence(Seq(run(whA, "a"), run(whB, "b")))
+    scala.concurrent.Await.result(all, scala.concurrent.duration.Duration("300s"))
+    pool.shutdown()
+    // every commit landed: no lost update between the two writers
+    assert(whA.table("t").count() == 1 + 2 * perWriter)
+    assert(whA.tableVersions("t").size == 1 + 2 * perWriter)
+  }
+
+  test("commit lock: stale lock is taken over; held lock times out loudly") {
+    import spark.implicits._
+    val dir = tmp("wh_lock2")
+    val wh = new Warehouse(spark, dir, lockAcquireMs = 800, lockStaleMs = 2000)
+    wh.save("t", Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val lock = java.nio.file.Paths.get(dir, "_graft_meta", "txn", "t", "_lock")
+    // a crashed writer's lock: old mtime → taken over, append proceeds
+    java.nio.file.Files.write(lock, "dead-beef".getBytes)
+    java.nio.file.Files.setLastModifiedTime(lock,
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis - 60000))
+    wh.append("t", Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    assert(wh.table("t").count() == 2)
+    assert(!java.nio.file.Files.exists(lock), "released after takeover")
+    // a LIVE lock (fresh mtime) blocks until the acquire deadline
+    java.nio.file.Files.write(lock, "other-writer".getBytes)
+    val ex = intercept[IllegalStateException] {
+      wh.append("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    }
+    assert(ex.getMessage.contains("commit lock"))
+    java.nio.file.Files.delete(lock)
+    wh.append("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    assert(wh.table("t").count() == 3)
+  }
+
+  // ----- streaming MERGE --------------------------------------------
+
+  test("mergeStreamBatch: exactly-once upsert marks — replay skips, reset throws") {
+    import spark.implicits._
+    val dir = tmp("wh_smerge")
+    val wh = new Warehouse(spark, dir)
+    wh.save("acct", Seq((1L, 2020, 10.0), (2L, 2021, 20.0))
+      .toDF("k", "year", "v"), partitionBy = Seq("year"))
+    val b0 = Seq((1L, 2020, 11.0), (3L, 2021, 30.0)).toDF("k", "year", "v")
+    assert(wh.mergeStreamBatch("acct", b0, Seq("k"), batchId = 0))
+    // replay of the same batch: no-op, table unchanged
+    val before = wh.table("acct").collect().toSet
+    assert(!wh.mergeStreamBatch("acct", b0, Seq("k"), batchId = 0))
+    assert(wh.table("acct").collect().toSet == before)
+    // empty batch still advances the mark
+    assert(wh.mergeStreamBatch("acct",
+      Seq.empty[(Long, Int, Double)].toDF("k", "year", "v"), Seq("k"), batchId = 1))
+    assert(!wh.mergeStreamBatch("acct",
+      Seq.empty[(Long, Int, Double)].toDF("k", "year", "v"), Seq("k"), batchId = 1))
+    // below the mark = checkpoint reset: loud failure
+    intercept[IllegalStateException] {
+      wh.mergeStreamBatch("acct", b0, Seq("k"), batchId = 0)
+    }
+    val rows = wh.table("acct").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Int]("year"), r.getAs[Double]("v"))).toSet
+    assert(rows == Set((1L, 2020, 11.0), (2L, 2021, 20.0), (3L, 2021, 30.0)))
+  }
+
+  test("streamMergeInto: a live stream of upserts, key moving partitions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("wh_smerge2")
+    val wh = new Warehouse(spark, dir)
+    wh.save("state", Seq((1L, 2020, "init")).toDF("k", "year", "v"),
+      partitionBy = Seq("year"))
+    val source = MemoryStream[(Long, Int, String)]
+    val q = wh.streamMergeInto("state",
+      source.toDF().toDF("k", "year", "v"), Seq("k"),
+      checkpoint = tmp("wh_smerge2_ckpt"))
+    try {
+      source.addData((1L, 2020, "updated"), (2L, 2021, "new"))
+      q.processAllAvailable()
+      // key 1 moves partition 2020 → 2022: old partition must drop it
+      source.addData((1L, 2022, "moved"))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = wh.table("state").collect().map(r =>
+      (r.getAs[Long]("k"), r.getAs[Int]("year"), r.getAs[String]("v"))).toSet
+    assert(rows == Set((1L, 2022, "moved"), (2L, 2021, "new")))
+  }
+}
