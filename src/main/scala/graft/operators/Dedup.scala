@@ -323,7 +323,36 @@ object Dedup {
       (s, d) => connectedComponents(
         Similarity.neardupPairs(s, d).select("d1", "d2"))
         .select(col("id").as("vec_id"), col("comp").cast("long").as("canonical_id"))
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // d9 — duplicate-cluster resolution policy: after components (d8),
+    // pick WHICH member of each near-dup cluster survives. Policy here:
+    // keep the highest id (deterministic; swap in quality score or
+    // length in production) and report cluster size — the "drop k-1 of
+    // every k duplicates" accounting a 100 TB dedup run reports. One
+    // groupBy over the slim (id, comp) pairs; no text ever shuffles.
+    Q("d9_cluster_canonical",
+      Some(s"""WITH RECURSIVE ${Similarity.neardupPairsCtes},
+              |pairs AS (SELECT d1, d2 FROM sums
+              |          WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= 0.2),
+              |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+              |          UNION SELECT d2, d1 FROM pairs),
+              |nodes AS (SELECT DISTINCT src AS id FROM edges),
+              |reach(id, m) AS (
+              |  SELECT id, id FROM nodes
+              |  UNION
+              |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id),
+              |comp AS (SELECT id, min(m) AS cluster FROM reach GROUP BY id)
+              |SELECT cast(cluster as bigint) AS cluster_id,
+              |  cast(max(id) as bigint) AS keep_id,
+              |  count(*) AS members
+              |FROM comp GROUP BY cluster ORDER BY cluster_id""".stripMargin),
+      (s, d) => connectedComponents(
+        Similarity.neardupPairs(s, d).select("d1", "d2"))
+        .groupBy(col("comp").cast("long").as("cluster_id"))
+        .agg(max(col("id")).cast("long").as("keep_id"),
+          count(lit(1)).as("members"))
+        .orderBy("cluster_id"))
   )
 
   /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard

@@ -681,6 +681,101 @@ object Relational {
           .groupBy(dateKey.as("date_key")).agg(count(lit(1)).as("n_rows"))
         delta.join(broadcast(existing), Seq("date_key"), "left_anti")
           .orderBy("date_key")
+      }),
+
+    // ----------------------------------------------------------------
+    // A16 — GROUPING SETS with grouping_id disambiguation (the general
+    // form behind a11 ROLLUP / a12 CUBE). One pass over the fact, both
+    // groupings from a single shuffle (Spark Expand), no union of
+    // separate aggregations. DuckDB's GROUPING(a,b) bit vector matches
+    // Spark's grouping_id() encoding (1 = column aggregated away).
+    Q("a16_grouping_sets",
+      Some(s"""SELECT l_returnflag, l_linestatus,
+              |  cast(grouping(l_returnflag, l_linestatus) as bigint) AS gid,
+              |  count(*) AS n, ${sqlDsum("l_quantity")} AS qty
+              |FROM lineitem
+              |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+              |ORDER BY gid, l_returnflag, l_linestatus""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n"), dsum(col("l_quantity")).as("qty"))
+        .orderBy("gid", "l_returnflag", "l_linestatus")),
+
+    // A17 — histogram binning: arithmetic bucketing folded into the
+    // grouped aggregation (the profiling query behind every "price
+    // distribution" dashboard). floor(x/width) on the identical IEEE
+    // double is deterministic on both engines; one shuffle on the
+    // slim bin key.
+    Q("a17_histogram",
+      Some(s"""SELECT cast(floor(l_extendedprice / 5000) as bigint) AS bin,
+              |  count(*) AS n, ${sqlDsum("l_extendedprice")} AS mass
+              |FROM lineitem GROUP BY 1 ORDER BY bin""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy(floor(col("l_extendedprice") / 5000).cast("long").as("bin"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_extendedprice")).as("mass"))
+        .orderBy("bin")),
+
+    // W6 — ntile / percent_rank / cume_dist: the quantile-bucketing
+    // window trio (training-data difficulty binning, decile reports).
+    // Ordering key (orderkey, linenumber) is unique per partition, so
+    // every rank function is deterministic; rank arithmetic is integer
+    // → one double division, identical on both engines.
+    Q("w6_ntile",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  cast(ntile(8) OVER w as int) AS tile,
+             |  percent_rank() OVER w AS pr,
+             |  cume_dist() OVER w AS cd
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_returnflag
+             |             ORDER BY l_orderkey, l_linenumber)""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber")
+        T.lineitem(s, d)
+          .select(col("l_orderkey"), col("l_linenumber"),
+            ntile(8).over(w).cast("int").as("tile"),
+            percent_rank().over(w).as("pr"),
+            cume_dist().over(w).as("cd"))
+      }),
+
+    // F10 — regexp extract + replace (log/text field parsing). Both
+    // engines return '' for a non-matching extract; DuckDB needs the
+    // explicit 'g' flag to match Spark's replace-all default. Patterns
+    // stay in the Java∩RE2 common dialect (no backrefs, no lookahead).
+    Q("f10_regexp",
+      Some("""SELECT doc_id,
+             |  regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+             |  regexp_replace(text, '[aeiou]', '', 'g') AS devoweled
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long_word"),
+          regexp_replace(col("text"), "[aeiou]", "").as("devoweled"))
+        .orderBy("doc_id")),
+
+    // J16 — salted skew join: the hot-key mitigation (Skew.saltedJoin
+    // scatters each probe row over 8 sub-keys, replicates the dim 8×)
+    // must return EXACTLY the plain join's aggregate — the oracle is
+    // the unsalted SQL. This is the shape that keeps one 30%-hot
+    // supplier key from pinning a single task at 100 TB.
+    Q("j16_skew_salted",
+      Some(s"""SELECT s_name, count(*) AS n,
+              |  ${sqlDsum("l_extendedprice")} AS revenue
+              |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              |GROUP BY s_name ORDER BY s_name""".stripMargin),
+      (s, d) => {
+        val probe = T.lineitem(s, d)
+          .select(col("l_suppkey").as("suppkey"), col("l_extendedprice"))
+        val build = T.supplier(s, d)
+          .select(col("s_suppkey").as("suppkey"), col("s_name"))
+        Skew.saltedJoin(probe, build, "suppkey", salts = 8)
+          .groupBy("s_name")
+          .agg(count(lit(1)).as("n"),
+            dsum(col("l_extendedprice")).as("revenue"))
+          .orderBy("s_name")
       })
   )
 }

@@ -125,6 +125,21 @@ object Sampling {
           .agg(count(lit(1)).as("n_docs"),
             sum(col("n_tokens")).cast("long").as("shard_tokens"))
           .orderBy("lang", "shard")
-      })
+      }),
+
+    // sp5 — deterministic global shuffle order: training pipelines need
+    // a reproducible random permutation of the corpus (shard assembly,
+    // curriculum ordering) that never depends on partition layout.
+    // md5(id) is a pure function of the row → the permutation is
+    // identical on any cluster size, and ORDER BY h LIMIT k is
+    // TakeOrderedAndProject (per-partition top-k + merge, no global
+    // sort) — the only order-by shape that survives 100 TB.
+    Q("sp5_shuffle",
+      Some("""SELECT o_orderkey, md5(cast(o_orderkey as varchar)) AS h
+             |FROM orders ORDER BY h LIMIT 1000""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          md5(col("o_orderkey").cast("string")).as("h"))
+        .orderBy("h").limit(1000))
   )
 }
