@@ -1073,18 +1073,22 @@ class Warehouse(spark: SparkSession, basePath: String,
         Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
       val rows = r.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
-      // transaction-unique file names (txnId prefix + task part number)
-      // make the base name a safe join key back to the relative path
-      val byBase = rows.map { row =>
-        val base = row.getString(0).split('/').last
-        base -> statCols.flatMap { c =>
+      // match each scanned file URI back to its manifest-relative path
+      // by path SUFFIX — base names alone are ambiguous (a partitioned
+      // write emits the same part-00000 name in every partition dir).
+      // A non-match (e.g. URI-encoded exotic partition values) leaves
+      // the file without stats: never skipped, the safe direction.
+      val statRows = rows.map { row =>
+        row.getString(0) -> statCols.flatMap { c =>
           val mn = statString(row.getAs[Any](s"__mn_$c"))
           val mx = statString(row.getAs[Any](s"__mx_$c"))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
-      }.toMap
-      moved.map(m =>
-        DataFile(m, byBase.getOrElse(m.split('/').last, Map.empty)))
+      }
+      moved.map { m =>
+        val hit = statRows.find(_._1.endsWith("/" + m))
+        DataFile(m, hit.map(_._2).getOrElse(Map.empty))
+      }
     }
   }
 
@@ -1244,11 +1248,15 @@ class Warehouse(spark: SparkSession, basePath: String,
     // (Olist DW.sql:71-75 — NOT IN + INSERT..SELECT as anti-join+append)
     append("product",
       Dimensions.newSegments(src("closed_deals"), table("product")))
+    // cluster the fact by date_key: files get tight date ranges, so the
+    // manifest's per-file stats let scan() skip files inside a year
+    // partition (and row-group stats prune inside each file) — the date
+    // axis is both the partition AND the clustering lever (SURVEY §4)
     save("orders_fact",
       Facts.ordersFact(src("orders"), src("order_items"), src("products"),
         src("category"), src("sellers"), table("product"), table("location"),
         table("time_period"), cutoff = "2019-01-01"),
-      partitionBy = Seq("year"))
+      partitionBy = Seq("year"), clusterBy = Seq("date_key"))
     val conv = Facts.conversionsFact(src("leads"), src("closed_deals"),
       src("sellers"), src("order_items"), table("origin"),
       table("lead_type"), table("business_type"), table("product"),

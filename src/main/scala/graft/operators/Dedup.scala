@@ -352,7 +352,43 @@ object Dedup {
         .groupBy(col("comp").cast("long").as("cluster_id"))
         .agg(max(col("id")).cast("long").as("keep_id"),
           count(lit(1)).as("members"))
-        .orderBy("cluster_id"))
+        .orderBy("cluster_id")),
+
+    // d10 — benchmark decontamination sweep: for every training
+    // document, count the distinct word 8-grams it shares with a held-
+    // out benchmark set (here: source 'src0' stands in for the eval
+    // suite) — the exact-substring contamination check every training
+    // corpus runs before a model sees it. Grams are md5'd BEFORE the
+    // join so the shuffle carries 16-byte digests, never 8-word
+    // strings, and the benchmark side (eval suites are small by
+    // construction) broadcasts — the corpus-side grams are filtered in
+    // the scan stage without ever being exchanged.
+    Q("d10_contamination",
+      Some("""WITH g AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(range(1, len(ts) - 6),
+             |                  i -> array_to_string(ts[i:i+7], ' '))) AS gs
+             |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ts
+             |        FROM documents) WHERE len(ts) >= 8),
+             |ex AS (SELECT doc_id, source, md5(unnest(gs)) AS h FROM g),
+             |bench AS (SELECT DISTINCT h FROM ex WHERE source = 'src0'),
+             |train AS (SELECT doc_id, h FROM ex WHERE source <> 'src0')
+             |SELECT t.doc_id, count(*) AS shared_grams
+             |FROM train t JOIN bench b ON t.h = b.h
+             |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = split(trim(col("text")), "\\s+")
+        val ex = T.documents(s, d)
+          .filter(size(toks) >= 8)
+          .select(col("doc_id"), col("source"),
+            explode(array_distinct(shingles(toks, 8))).as("gram"))
+          .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+        val bench = ex.filter(col("source") === "src0").select("h").distinct()
+        val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
+        train.join(broadcast(bench), Seq("h"))
+          .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard

@@ -97,4 +97,26 @@ class PlanQualitySpec extends AnyFunSuite {
     val beforeSort = p.split("Sort").head
     assert(!beforeSort.contains("Exchange"), s"shuffle before bucketing:\n$p")
   }
+
+  test("sp5_shuffle: deterministic global order plans TakeOrderedAndProject") {
+    // per-partition top-k + driver merge — the only ORDER BY .. LIMIT
+    // shape that survives a 100 TB corpus
+    assert(plan("sp5_shuffle").contains("TakeOrderedAndProject"))
+  }
+
+  test("a16_grouping_sets: one Expand pass, not a union of re-aggregations") {
+    val p = plan("a16_grouping_sets")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Union"), s"grouping sets fell back to a union:\n$p")
+  }
+
+  test("j16_skew_salted: the 8x-replicated dim still broadcasts") {
+    assert(plan("j16_skew_salted").contains("BroadcastHashJoin"))
+  }
+
+  test("d10_contamination: benchmark gram digests broadcast into the probe") {
+    // the corpus-side grams are filtered against the broadcast digest
+    // set in place — they are never exchanged
+    assert(plan("d10_contamination").contains("BroadcastHashJoin"))
+  }
 }

@@ -162,6 +162,20 @@ class TableLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("olist build: orders_fact date_key clustering file-skips a year range") {
+    val dir = tmp("wh_olist_skip")
+    val wh = new Warehouse(spark, dir)
+    wh.build(OlistFixtures.sources(spark))
+    val r2018 = Seq(ColRange("date_key", Some(20180101), Some(20181231)))
+    val (read, total) = wh.scanFileCounts("orders_fact", r2018)
+    assert(total >= 2, s"expected multiple fact files, got $total")
+    assert(read < total, s"date range should skip files: $read/$total")
+    val viaScan = wh.scan("orders_fact", r2018.head).count()
+    val viaFilter = wh.table("orders_fact")
+      .filter(col("date_key").between(20180101, 20181231)).count()
+    assert(viaScan == viaFilter && viaScan > 0)
+  }
+
   // ----- cross-process commit lock ----------------------------------
 
   test("commit lock: two Warehouse instances racing appends lose nothing") {
