@@ -122,18 +122,18 @@ class Warehouse(spark: SparkSession, basePath: String,
         try System.currentTimeMillis -
           fs.getFileStatus(lock).getModificationTime > lockStaleMs
         catch { case _: java.io.IOException => false } // vanished: retry create
-      if (stale) {
+      if (System.currentTimeMillis > deadline)
+        throw new IllegalStateException(
+          s"could not acquire commit lock for $name within ${lockAcquireMs}ms " +
+            s"(held by another writer; lock: $lock)")
+      else if (stale) {
         // tombstone-rename: exactly one takeover candidate wins the
         // rename and proceeds to the create race; losers just loop
         val tomb = new org.apache.hadoop.fs.Path(dir,
           s"._lock.stale.${token.take(8)}")
         try if (fs.rename(lock, tomb)) fs.delete(tomb, false)
         catch { case _: java.io.IOException => () }
-      } else if (System.currentTimeMillis > deadline)
-        throw new IllegalStateException(
-          s"could not acquire commit lock for $name within ${lockAcquireMs}ms " +
-            s"(held by another writer; lock: $lock)")
-      else Thread.sleep(50)
+      } else Thread.sleep(50)
     }
     throw new IllegalStateException("unreachable")
   }
@@ -159,6 +159,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * sort or they silently destroy the row-group-skipping property. */
   private val clustering = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
   private val clusterKinds = scala.collection.concurrent.TrieMap.empty[String, String]
+  private val bloomCols = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
 
   private def clusterColsOf(name: String): Seq[String] =
     clustering.getOrElseUpdate(name, database match {
@@ -175,6 +176,19 @@ class Warehouse(spark: SparkSession, basePath: String,
         currentManifestFull(name).flatMap(_._3.get(ClusterMeta))
           .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
           .getOrElse(loadMeta(name)._3)
+    })
+
+  /** Bloom-filter columns — the point-lookup complement of the min/max
+    * stats: high-cardinality columns (ids, digests) where every file
+    * spans the whole value space, so ranges prune nothing but a
+    * membership sketch prunes almost everything. Path-mode only. */
+  private def bloomColsOf(name: String): Seq[String] =
+    bloomCols.getOrElseUpdate(name, database match {
+      case Some(_) => Nil
+      case None =>
+        currentManifestFull(name).flatMap(_._3.get(BloomMeta))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(loadMeta(name)._5)
     })
 
   /** Cluster KIND (linear sort vs z-order interleave) — table layout
@@ -246,16 +260,28 @@ class Warehouse(spark: SparkSession, basePath: String,
     * layout to a bit-interleaved z-order over `clusterBy`: files cover
     * disjoint z-ranges, so selective predicates on ANY of the cluster
     * columns — not just the leading one — skip files via the manifest's
-    * per-file min/max stats (see [[scan]]). */
+    * per-file min/max stats (see [[scan]]).
+    *
+    * `bloomBy` (path mode) records a per-file bloom filter over each
+    * named column: the point-lookup complement of min/max stats for
+    * high-cardinality columns (ids, digests) where every file spans the
+    * whole value space. An equality [[scan]] on a bloom column reads
+    * only the files whose sketch admits the key — no sort, no index.
+    * Sketch size per file per column is `graft.bloom.bits` (default
+    * 2^17 ≈ 16 KB; size it against expected rows-per-file ×
+    * `graft.bloom.items` for the target false-positive rate). */
   def save(name: String, df: DataFrame, partitionBy: Seq[String] = Nil,
-      clusterBy: Seq[String] = Nil, zorder: Boolean = false): DataFrame = {
+      clusterBy: Seq[String] = Nil, zorder: Boolean = false,
+      bloomBy: Seq[String] = Nil): DataFrame = {
     require(!zorder || database.isEmpty, "zorder clustering is path-mode only")
     require(!zorder || clusterBy.size >= 2,
       "zorder needs at least two cluster columns (one column = linear clusterBy)")
+    require(bloomBy.isEmpty || database.isEmpty, "bloomBy is path-mode only")
     partitioning(name) = partitionBy
     schemas(name) = df.schema
     clustering(name) = clusterBy
     clusterKinds(name) = if (zorder) ZOrderKind else LinearKind
+    bloomCols(name) = bloomBy
     val shaped = clustered(name, df, partitionBy)
     database match {
       case Some(db) =>
@@ -277,10 +303,12 @@ class Warehouse(spark: SparkSession, basePath: String,
           commitManifest(name, files, Map(SchemaMeta -> df.schema.json,
             PartsMeta -> partitionBy.mkString(","),
             ClusterMeta -> clusterBy.mkString(","),
-            ClusterKindMeta -> clusterKinds(name)))
+            ClusterKindMeta -> clusterKinds(name),
+            BloomMeta -> bloomBy.mkString(",")))
         }
         // side meta is bootstrap redundancy for pre-manifest readers
-        writeMeta(name, partitionBy, df.schema, clusterBy, clusterKinds(name))
+        writeMeta(name, partitionBy, df.schema, clusterBy, clusterKinds(name),
+          bloomBy)
     }
     val back = read(name)
     back.createOrReplaceTempView(s"dw_$name")
@@ -317,7 +345,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       }
       widened.foreach { merged =>
         schemas(name) = merged
-        writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name))
+        writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name),
+          bloomColsOf(name))
       }
   }
 
@@ -780,7 +809,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         "metadata in the manifest — its layout cannot be rolled back safely")
     withCommitLock(name) {
       commitManifest(name, files,
-        Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta)
+        Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta, BloomMeta)
           .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
     }
     // roll the in-memory + side-meta table DEFINITION back with the
@@ -796,9 +825,13 @@ class Warehouse(spark: SparkSession, basePath: String,
     restoredCluster.foreach(clustering(name) = _)
     val restoredKind = vMeta.get(ClusterKindMeta)
     restoredKind.foreach(clusterKinds(name) = _)
+    val restoredBloom = vMeta.get(BloomMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    restoredBloom.foreach(bloomCols(name) = _)
     if (restoredSchema.isDefined && restoredParts.isDefined)
       writeMeta(name, restoredParts.get, restoredSchema.get,
-        restoredCluster.getOrElse(Nil), restoredKind.getOrElse(LinearKind))
+        restoredCluster.getOrElse(Nil), restoredKind.getOrElse(LinearKind),
+        restoredBloom.getOrElse(Nil))
   }
 
   /** Exactly-once streaming micro-batch append (path mode). Structured
@@ -878,6 +911,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val PartsMeta = "parts"
   private val ClusterMeta = "cluster"
   private val ClusterKindMeta = "clusterKind"
+  private val BloomMeta = "bloom"
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -918,31 +952,51 @@ class Warehouse(spark: SparkSession, basePath: String,
     }.toMap)
   }
 
+  private def minMaxJson(stats: Map[String, (String, String)]): org.json4s.JObject =
+    org.json4s.JObject(stats.toList.sortBy(_._1).map {
+      case (c, (mn, mx)) =>
+        c -> org.json4s.JArray(List(org.json4s.JString(mn), org.json4s.JString(mx)))
+    })
+
   private def encodeFile(f: DataFile): String =
-    if (f.stats.isEmpty) f.path
+    if (f.stats.isEmpty && f.blooms.isEmpty) f.path
     else {
-      val j = org.json4s.JObject(f.stats.toList.sortBy(_._1).map {
-        case (c, (mn, mx)) =>
-          c -> org.json4s.JArray(List(org.json4s.JString(mn), org.json4s.JString(mx)))
-      })
+      // flat {"col":["mn","mx"]} when there are only min/max stats
+      // (the common, compact case); {"m":{…},"b":{…}} once blooms
+      // join — decodeFile accepts both
+      val j: org.json4s.JValue =
+        if (f.blooms.isEmpty) minMaxJson(f.stats)
+        else org.json4s.JObject(List(
+          "m" -> minMaxJson(f.stats),
+          "b" -> org.json4s.JObject(f.blooms.toList.sortBy(_._1).map {
+            case (c, b64) => c -> org.json4s.JString(b64)
+          })))
       f.path + "\t" + org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(j))
     }
 
   private def decodeFile(line: String): DataFile = {
+    import org.json4s._
     val split = line.split("\t", 2)
     if (split.length == 1) DataFile(split(0))
     else {
-      val stats = scala.util.Try {
-        org.json4s.jackson.JsonMethods.parse(split(1)) match {
-          case org.json4s.JObject(fields) => fields.collect {
-            case (c, org.json4s.JArray(List(
-              org.json4s.JString(mn), org.json4s.JString(mx)))) => c -> (mn, mx)
-          }.toMap
-          case _ => Map.empty[String, (String, String)]
-        }
-      }.getOrElse(Map.empty[String, (String, String)])
-      DataFile(split(0), stats)
+      def minMax(fields: List[(String, JValue)]) = fields.collect {
+        case (c, JArray(List(JString(mn), JString(mx)))) => c -> (mn, mx)
+      }.toMap
+      scala.util.Try(org.json4s.jackson.JsonMethods.parse(split(1))) match {
+        case scala.util.Success(JObject(fields))
+            if fields.exists { case (k, v) =>
+              (k == "m" || k == "b") && v.isInstanceOf[JObject] } =>
+          val mm = fields.collectFirst { case ("m", JObject(f)) => minMax(f) }
+            .getOrElse(Map.empty[String, (String, String)])
+          val bf = fields.collectFirst { case ("b", JObject(f)) => f.collect {
+            case (c, JString(b64)) => c -> b64 }.toMap }
+            .getOrElse(Map.empty[String, String])
+          DataFile(split(0), mm, bf)
+        case scala.util.Success(JObject(fields)) =>
+          DataFile(split(0), minMax(fields))
+        case _ => DataFile(split(0))
+      }
     }
   }
 
@@ -1063,14 +1117,27 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def collectStats(name: String, moved: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
     val statCols = clusterColsOf(name).filter(schema.fieldNames.contains)
-    if (statCols.isEmpty || moved.isEmpty) moved.map(DataFile(_))
+    val bCols = bloomColsOf(name).filter(schema.fieldNames.contains)
+    if ((statCols.isEmpty && bCols.isEmpty) || moved.isEmpty)
+      moved.map(DataFile(_))
     else {
       val tableRoot = qualifiedPath(s"$basePath/$name")
       val r = spark.read.format(format).option("header", "true").schema(schema)
         .option("basePath", tableRoot.toString)
         .load(moved.map(m => new org.apache.hadoop.fs.Path(tableRoot, m).toString): _*)
+      // bloom sketch sizing knobs, per FILE — size bits against
+      // rows-per-file for the target false-positive rate, and remember
+      // every manifest line carries bits/8 bytes in base64
+      val items = spark.conf.getOption("graft.bloom.items")
+        .map(_.toLong).getOrElse(100000L)
+      val bits = spark.conf.getOption("graft.bloom.bits")
+        .map(_.toInt).getOrElse(1 << 17)
+      val bloomAgg = udaf(new graft.functions.BloomSketch.Agg(bits,
+        graft.functions.BloomSketch.optimalK(bits, items)),
+        org.apache.spark.sql.Encoders.scalaLong)
       val aggs = statCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c")))
+        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+        bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c"))
       val rows = r.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
       // match each scanned file URI back to its manifest-relative path
@@ -1079,15 +1146,21 @@ class Warehouse(spark: SparkSession, basePath: String,
       // A non-match (e.g. URI-encoded exotic partition values) leaves
       // the file without stats: never skipped, the safe direction.
       val statRows = rows.map { row =>
-        row.getString(0) -> statCols.flatMap { c =>
+        val mm = statCols.flatMap { c =>
           val mn = statString(row.getAs[Any](s"__mn_$c"))
           val mx = statString(row.getAs[Any](s"__mx_$c"))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
         }.toMap
+        val bf = bCols.flatMap { c =>
+          Option(row.getAs[Array[Byte]](s"__bf_$c")).map(b =>
+            c -> java.util.Base64.getEncoder.encodeToString(b))
+        }.toMap
+        (row.getString(0), mm, bf)
       }
       moved.map { m =>
         val hit = statRows.find(_._1.endsWith("/" + m))
-        DataFile(m, hit.map(_._2).getOrElse(Map.empty))
+        DataFile(m, hit.map(_._2).getOrElse(Map.empty),
+          hit.map(_._3).getOrElse(Map.empty))
       }
     }
   }
@@ -1107,7 +1180,13 @@ class Warehouse(spark: SparkSession, basePath: String,
     dt match {
       case ByteType | ShortType | IntegerType | LongType =>
         scala.util.Try(java.lang.Long.compare(a.toLong, b.toLong)).toOption
-      case FloatType | DoubleType =>
+      case FloatType =>
+        // compare in the FLOAT domain: file stats are floats whose
+        // rendered form round-trips to float exactly; rounding the
+        // bound to float can only keep extra files, never drop one
+        // whose true values straddle the original bound
+        scala.util.Try(java.lang.Float.compare(a.toFloat, b.toFloat)).toOption
+      case DoubleType =>
         scala.util.Try(java.lang.Double.compare(a.toDouble, b.toDouble)).toOption
       case _: DecimalType =>
         scala.util.Try(BigDecimal(a).compare(BigDecimal(b))).toOption
@@ -1132,7 +1211,8 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   private def writeMeta(name: String, parts: Seq[String],
       schema: org.apache.spark.sql.types.StructType,
-      cluster: Seq[String] = Nil, clusterKind: String = LinearKind): Unit = {
+      cluster: Seq[String] = Nil, clusterKind: String = LinearKind,
+      bloom: Seq[String] = Nil): Unit = {
     val fs = metaFs
     fs.mkdirs(metaDir)
     def put(file: String, content: String): Unit = {
@@ -1144,11 +1224,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     put(s"$name.schema.json", schema.json)
     put(s"$name.cluster", cluster.mkString("\n"))
     put(s"$name.clusterkind", clusterKind)
+    put(s"$name.bloom", bloom.mkString("\n"))
   }
 
   private def loadMeta(name: String)
       : (Seq[String], Option[org.apache.spark.sql.types.StructType],
-        Seq[String], Option[String]) = {
+        Seq[String], Option[String], Seq[String]) = {
     val fs = metaFs
     def get(file: String): Option[String] = {
       val p = new org.apache.hadoop.fs.Path(metaDir, file)
@@ -1167,7 +1248,9 @@ class Warehouse(spark: SparkSession, basePath: String,
     val cluster = get(s"$name.cluster")
       .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
     val kind = get(s"$name.clusterkind").map(_.trim).filter(_.nonEmpty)
-    (parts, schema, cluster, kind)
+    val bloom = get(s"$name.bloom")
+      .map(_.split("\n").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    (parts, schema, cluster, kind, bloom)
   }
 
   def table(name: String): DataFrame = read(name)
@@ -1214,14 +1297,19 @@ class Warehouse(spark: SparkSession, basePath: String,
 
   /** Files whose stats admit rows in every requested range. A file with
     * no stats for a column (pre-stats manifest, all-null file, or a
-    * column outside the cluster set) is always a candidate. */
+    * column outside the cluster/bloom sets) is always a candidate.
+    * An EQUALITY range (lower == upper) on a bloom column additionally
+    * tests the per-file sketch — a miss is definitive (blooms have no
+    * false negatives), a hit keeps the file and the residual filter
+    * settles it. */
   private def candidates(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[ColRange]): Seq[DataFile] = {
     val types = schema.map(f => f.name -> f.dataType).toMap
     files.filter { f =>
       ranges.forall { r =>
-        (f.stats.get(r.column), types.get(r.column)) match {
+        val dtOpt = types.get(r.column)
+        val mmOk = (f.stats.get(r.column), dtOpt) match {
           case (Some((mn, mx)), Some(dt)) =>
             val loOk = r.lower.forall(l =>
               statCompare(dt, mx, statString(l)).forall(_ >= 0))
@@ -1230,8 +1318,41 @@ class Warehouse(spark: SparkSession, basePath: String,
             loOk && hiOk
           case _ => true
         }
+        val bloomOk = (r.lower, r.upper, f.blooms.get(r.column), dtOpt) match {
+          case (Some(lo), Some(hi), Some(b64), Some(dt)) if lo == hi =>
+            xxhashOf(lo, dt) match {
+              case Some(h) => graft.functions.BloomSketch.mightContain(
+                java.util.Base64.getDecoder.decode(b64), h)
+              case None => true // un-hashable bound type: keep the file
+            }
+          case _ => true
+        }
+        mmOk && bloomOk
       }
     }
+  }
+
+  /** xxhash64 of `v` as the column type — MUST match what
+    * `bloom_filter_agg(xxhash64(col))` hashed on the executors, so the
+    * bound is coerced to the column's exact type first (hashing 42L
+    * and 42 give different digests). Unsupported types → None → no
+    * bloom pruning for that bound. */
+  private def xxhashOf(v: Any, dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    import org.apache.spark.sql.types._
+    val coerced: Option[Any] = scala.util.Try(dt match {
+      case ByteType => v.toString.toByte
+      case ShortType => v.toString.toShort
+      case IntegerType => v.toString.toInt
+      case LongType => v.toString.toLong
+      case FloatType => v.toString.toFloat
+      case DoubleType => v.toString.toDouble
+      case StringType => String.valueOf(v)
+      case _ => null
+    }).toOption.filter(_ != null)
+    coerced.flatMap(c => scala.util.Try(
+      new org.apache.spark.sql.catalyst.expressions.XxHash64(Seq(
+        org.apache.spark.sql.catalyst.expressions.Literal.create(c, dt)))
+        .eval(null).asInstanceOf[Long]).toOption)
   }
 
   /** Build every dim + both facts from the given source tables.
@@ -1269,10 +1390,12 @@ class Warehouse(spark: SparkSession, basePath: String,
 
 object Warehouse {
   /** One committed data file: manifest-relative path plus optional
-    * per-column (min, max) stats on the table's cluster columns,
-    * rendered as strings for the line-oriented manifest. */
+    * per-column (min, max) stats on the table's cluster columns and
+    * per-column bloom filters (base64 of Spark's sketch format) on the
+    * table's bloom columns, rendered for the line-oriented manifest. */
   final case class DataFile(path: String,
-      stats: Map[String, (String, String)] = Map.empty)
+      stats: Map[String, (String, String)] = Map.empty,
+      blooms: Map[String, String] = Map.empty)
 
   /** Inclusive range constraint for stats-based file skipping; `None`
     * bounds are open. Equality = same value on both bounds. */

@@ -162,6 +162,51 @@ class TableLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("bloom file skipping: point lookup on a digest column reads only its file") {
+    import spark.implicits._
+    val dir = tmp("wh_bloom")
+    val wh = new Warehouse(spark, dir)
+    // size the sketch to the actual per-file cardinality so the
+    // false-positive rate is negligible for the negative-lookup assert
+    spark.conf.set("graft.bloom.items", "6000")
+    try {
+      // hash-partitioned digests: every file spans the whole value
+      // space, so min/max stats are useless here — exactly the bloom case
+      val df = spark.range(20000).select(
+        md5(col("id").cast("string")).as("uid"), col("id").as("v"))
+        .repartition(4, col("uid"))
+      wh.save("b", df, bloomBy = Seq("uid"))
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString
+      val present = md5Hex("123")
+      val (read1, total) = wh.scanFileCounts("b",
+        Seq(ColRange("uid", Some(present), Some(present))))
+      assert(total == 4 && read1 == 1,
+        s"point lookup should read exactly its hash file: $read1/$total")
+      val row = wh.scan("b", ColRange("uid", Some(present), Some(present))).collect()
+      assert(row.length == 1 && row(0).getAs[Long]("v") == 123L)
+      // absent key: every sketch rejects — zero files read, zero rows
+      val absent = md5Hex("never-written")
+      val (read0, _) = wh.scanFileCounts("b",
+        Seq(ColRange("uid", Some(absent), Some(absent))))
+      assert(read0 == 0, s"absent key should read no files, got $read0")
+      assert(wh.scan("b", ColRange("uid", Some(absent), Some(absent))).count() == 0)
+      // blooms are per-write: appended files carry their own sketches
+      wh.append("b", spark.range(20000, 21000).select(
+        md5(col("id").cast("string")).as("uid"), col("id").as("v"))
+        .repartition(1, col("uid")))
+      val newKey = md5Hex("20500")
+      val (readN, totalN) = wh.scanFileCounts("b",
+        Seq(ColRange("uid", Some(newKey), Some(newKey))))
+      assert(totalN == 5 && readN == 1, s"append lookup: $readN/$totalN")
+      // a RANGE on the bloom column falls back to no pruning (safe)
+      val (readR, _) = wh.scanFileCounts("b",
+        Seq(ColRange("uid", Some("0"), Some("g"))))
+      assert(readR == 5)
+    } finally spark.conf.unset("graft.bloom.items")
+  }
+
   test("olist build: orders_fact date_key clustering file-skips a year range") {
     val dir = tmp("wh_olist_skip")
     val wh = new Warehouse(spark, dir)
