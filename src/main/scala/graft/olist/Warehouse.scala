@@ -304,7 +304,7 @@ class Warehouse(spark: SparkSession, basePath: String,
             PartsMeta -> partitionBy.mkString(","),
             ClusterMeta -> clusterBy.mkString(","),
             ClusterKindMeta -> clusterKinds(name),
-            BloomMeta -> bloomBy.mkString(",")))
+            BloomMeta -> bloomBy.mkString(",")), op = "save")
         }
         // side meta is bootstrap redundancy for pre-manifest readers
         writeMeta(name, partitionBy, df.schema, clusterBy, clusterKinds(name),
@@ -341,7 +341,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       withCommitLock(name) {
         val old = currentManifest(name).map(_._2).getOrElse(Nil)
         commitManifest(name, old ++ files,
-          widened.map(m => Map(SchemaMeta -> m.json)).getOrElse(Map.empty))
+          widened.map(m => Map(SchemaMeta -> m.json)).getOrElse(Map.empty),
+          op = "append")
       }
       widened.foreach { merged =>
         schemas(name) = merged
@@ -439,7 +440,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         withCommitLock(name) {
           val kept = currentManifest(name).map(_._2).getOrElse(Nil)
             .filterNot(f => touched.contains(partitionPrefix(f.path)))
-          commitManifest(name, kept ++ files)
+          commitManifest(name, kept ++ files, op = "overwrite-partitions")
         }
     }
   }
@@ -591,11 +592,12 @@ class Warehouse(spark: SparkSession, basePath: String,
         val files = stageWrite(name, clustered(name, merged, parts), parts)
         val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
           .filterNot(f => prefixSet.contains(partitionPrefix(f.path)))
-        commitManifest(name, keptFiles ++ files, extraMeta)
+        commitManifest(name, keptFiles ++ files, extraMeta,
+          op = if (mark.isDefined) "stream-merge" else "merge")
       } else if (extraMeta.nonEmpty)
         // empty streaming batch: advance the mark, files unchanged
         commitManifest(name, currentManifest(name).map(_._2).getOrElse(Nil),
-          extraMeta)
+          extraMeta, op = if (mark.isDefined) "stream-merge" else "merge")
       }
       !replayed
     }
@@ -669,7 +671,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         // clustering is table layout: compaction must re-establish it
         val files = stageWrite(name, clustered(name, shaped, parts), parts)
         // full replace: the snapshot covers the table
-        commitManifest(name, files)
+        commitManifest(name, files, op = "compact")
       }
     }
   }
@@ -758,6 +760,21 @@ class Warehouse(spark: SparkSession, basePath: String,
         .load(files.map(f => s"$basePath/$name/$f"): _*)
     }
 
+  /** Commit history of a path-mode table, ascending — the DESCRIBE
+    * HISTORY audit trail: which operation produced each version, when,
+    * and how many data files the snapshot holds. Reads each version's
+    * own manifest (op/timestamp overwrite per commit, so every manifest
+    * records what created it). Pre-history manifests report "unknown". */
+  def history(name: String): Seq[Warehouse.Commit] = {
+    require(database.isEmpty, "history applies to path-mode tables only")
+    tableVersions(name).map { v =>
+      val (files, meta) = readManifestFile(
+        new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
+      Warehouse.Commit(v, meta.getOrElse(OpMeta, "unknown"),
+        meta.getOrElse(TimeMeta, ""), files.size)
+    }
+  }
+
   /** Committed versions of a path-mode table, ascending. */
   def tableVersions(name: String): Seq[Long] = {
     require(database.isEmpty, "tableVersions applies to path-mode tables only")
@@ -810,7 +827,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     withCommitLock(name) {
       commitManifest(name, files,
         Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta, BloomMeta)
-          .flatMap(k => vMeta.get(k).map(k -> _)).toMap)
+          .flatMap(k => vMeta.get(k).map(k -> _)).toMap, op = "restore")
     }
     // roll the in-memory + side-meta table DEFINITION back with the
     // data: a later append must lay files out the way this version did,
@@ -869,7 +886,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         if (mark.exists(_ >= batchId)) false
         else {
           commitManifest(name, prev.map(_._2).getOrElse(Nil) ++ files,
-            Map(markKey -> batchId.toString))
+            Map(markKey -> batchId.toString), op = "stream-append")
           true
         }
       }
@@ -912,6 +929,8 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val ClusterMeta = "cluster"
   private val ClusterKindMeta = "clusterKind"
   private val BloomMeta = "bloom"
+  private val OpMeta = "op"
+  private val TimeMeta = "committedAt"
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -1039,15 +1058,19 @@ class Warehouse(spark: SparkSession, basePath: String,
     * fails (a concurrent committer of the same version loses the race
     * loudly instead of corrupting the log). */
   private def commitManifest(name: String, files: Seq[DataFile],
-      extraMeta: Map[String, String] = Map.empty): Unit = {
+      extraMeta: Map[String, String] = Map.empty,
+      op: String = "commit"): Unit = {
     val fs = metaFs
     val dir = txnDir(name)
     fs.mkdirs(dir)
     val prev = currentManifestFull(name)
     val version = prev.map(_._1).getOrElse(0L) + 1
     // metadata (streaming marks etc.) survives every commit — a
-    // compaction must not forget which batches already landed
-    val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta
+    // compaction must not forget which batches already landed; the op
+    // + timestamp overwrite per commit, so each version's manifest
+    // records what created IT (the audit trail history() reads)
+    val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
+      Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString)
     val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" } ++
       files.map(encodeFile)).mkString("\n")
     val tmp = new org.apache.hadoop.fs.Path(dir,
@@ -1401,6 +1424,10 @@ object Warehouse {
     * bounds are open. Equality = same value on both bounds. */
   final case class ColRange(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None)
+
+  /** One entry of a table's commit [[Warehouse.history]]. */
+  final case class Commit(version: Long, op: String,
+      committedAt: String, files: Int)
 }
 
 /** F6 — SQL Server's default collation is case-insensitive; Spark is

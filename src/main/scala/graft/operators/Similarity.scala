@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Q, Tables => T}
 import graft.functions.VectorFunctions
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table
@@ -405,6 +406,53 @@ object Similarity {
         .select(col("label"), posexplode(col("cvec")).as(Seq("pos0", "c")))
         .select(col("label"), (col("pos0") + 1).cast("long").as("pos"),
           round(col("c"), 6).as("centroid"))
-        .orderBy("label", "pos"))
+        .orderBy("label", "pos")),
+
+    // E8 — batched k-NN JOIN: top-3 neighbors for EVERY query in a
+    // query SET (the retrieval/labeling shape — "nearest training
+    // examples for each eval prompt"), not one query at a time.
+    // Candidates come from LSH bucket equality: the query table (small
+    // by construction) broadcasts with its buckets, the corpus is
+    // scanned once and never re-shuffled, and the per-query top-k
+    // window runs on the slim candidate set, not the corpus.
+    Q("e8_knn_join",
+      Some(s"""WITH $bucketCtes,
+              |q AS (SELECT b.vec_id AS qid, e.embedding AS qe, b.bucket
+              |      FROM bkt b JOIN embeddings e ON e.vec_id = b.vec_id
+              |      WHERE b.vec_id < 5),
+              |cand AS (SELECT q.qid, b.vec_id, q.qe, e.embedding
+              |         FROM q JOIN bkt b ON b.bucket = q.bucket
+              |         JOIN embeddings e ON e.vec_id = b.vec_id),
+              |zp AS (SELECT qid, vec_id, unnest(embedding)::DOUBLE AS x,
+              |              unnest(qe)::DOUBLE AS y
+              |       FROM cand),
+              |cs8 AS (SELECT qid, vec_id,
+              |          round(cast(sum(cast(x * y as decimal(38,20))) as double) /
+              |          (sqrt(cast(sum(cast(x * x as decimal(38,20))) as double)) *
+              |           sqrt(cast(sum(cast(y * y as decimal(38,20))) as double))), 12) AS cosine
+              |        FROM zp GROUP BY qid, vec_id)
+              |SELECT qid, vec_id, cosine FROM (
+              |  SELECT qid, vec_id, cosine, row_number() OVER (
+              |    PARTITION BY qid ORDER BY cosine DESC, vec_id) AS rn FROM cs8)
+              |WHERE rn <= 3 ORDER BY qid, vec_id""".stripMargin),
+      (s, d) => {
+        // native fused bucket (bucket-for-bucket ≡ the exact-decimal
+        // tier the SQL oracle renders — the e3 precedent)
+        val bkt = T.embeddings(s, d).select(col("vec_id"), col("embedding"),
+          bucketOf(s, col("embedding")).as("bucket"))
+        val q = bkt.filter(col("vec_id") < 5)
+          .select(col("vec_id").as("qid"), col("embedding").as("qe"), col("bucket"))
+        val w = Window.partitionBy("qid")
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+        bkt.join(broadcast(q), Seq("bucket"))
+          .select(col("qid"), col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") <= 3)
+          .select("qid", "vec_id", "cosine")
+          .orderBy("qid", "vec_id")
+      })
   )
 }

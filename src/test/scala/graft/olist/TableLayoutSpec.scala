@@ -270,6 +270,27 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 3)
   }
 
+  test("history: every commit records its operation, time, and file count") {
+    import spark.implicits._
+    val dir = tmp("wh_hist")
+    val wh = new Warehouse(spark, dir)
+    wh.save("h", Seq((1L, 2020, "a")).toDF("k", "year", "v").coalesce(1),
+      partitionBy = Seq("year"))
+    wh.append("h", Seq((2L, 2021, "b")).toDF("k", "year", "v").coalesce(1))
+    wh.merge("h", Seq((1L, 2020, "a2")).toDF("k", "year", "v"), keys = Seq("k"))
+    wh.compact("h")
+    wh.restore("h", 1)
+    val hist = wh.history("h")
+    assert(hist.map(_.version) == Seq(1L, 2L, 3L, 4L, 5L))
+    assert(hist.map(_.op) == Seq("save", "append", "merge", "compact", "restore"))
+    assert(hist.forall(_.committedAt.nonEmpty))
+    assert(hist.head.files == 1 && hist.last.files == 1)
+    // streaming commits tag their own ops
+    assert(wh.mergeStreamBatch("h",
+      Seq((3L, 2021, "c")).toDF("k", "year", "v"), Seq("k"), batchId = 0))
+    assert(wh.history("h").last.op == "stream-merge")
+  }
+
   // ----- streaming MERGE --------------------------------------------
 
   test("mergeStreamBatch: exactly-once upsert marks — replay skips, reset throws") {
