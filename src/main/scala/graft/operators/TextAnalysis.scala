@@ -277,6 +277,31 @@ object TextAnalysis {
              |FROM documents ORDER BY doc_id""".stripMargin),
       (s, d) => T.documents(s, d)
         .select(col("doc_id"), fingerprint(col("text")).as("fp"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // T10 — corpus heavy hitters: the top-k most frequent tokens with
+    // document frequency (vocabulary building / stopword discovery /
+    // boilerplate detection). One explode + one shuffle on the token
+    // string, top-k via TakeOrderedAndProject — no global sort. Ties
+    // break on the token so the cut is deterministic. At 100 TB the
+    // same plan holds because map-side partial aggregation collapses
+    // each partition's counts before the slim (token, counts) rows
+    // ever shuffle; a CountMinSketch variant for memory-bounded
+    // approximation is spec-checked in ScaleTechniquesSpec.
+    Q("t10_heavy_hitters",
+      Some("""WITH tok AS (
+             |  SELECT doc_id, unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS t
+             |  FROM documents)
+             |SELECT t AS token, count(*) AS n,
+             |  count(DISTINCT doc_id) AS doc_freq
+             |FROM tok GROUP BY t
+             |ORDER BY n DESC, token LIMIT 20""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("doc_freq"))
+        .orderBy(col("n").desc, col("token").asc)
+        .limit(20))
   )
 }

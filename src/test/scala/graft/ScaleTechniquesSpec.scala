@@ -105,4 +105,24 @@ class ScaleTechniquesSpec extends AnyFunSuite {
       s"bucketed join still shuffles:\n$plan")
     assert(j.count() == Tables.lineitem(spark, sf).count())
   }
+
+  test("count-min sketch: memory-bounded token counts never undercount, bounded overcount") {
+    // the approximation tier behind t10_heavy_hitters: at 100 TB the
+    // exact groupBy's key space (every distinct token) can itself be
+    // huge; a count-min sketch caps memory at width×depth counters with
+    // one-sided error ≤ eps·N
+    val toks = Tables.documents(spark, sf)
+      .select(explode(split(lower(trim(col("text"))), "\\s+")).as("token"))
+    val exact = toks.groupBy("token").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val total = exact.values.sum
+    val sketch = toks.stat.countMinSketch("token",
+      eps = 0.001, confidence = 0.99, seed = 42)
+    val slack = math.ceil(0.001 * total).toLong
+    exact.foreach { case (t, n) =>
+      val est = sketch.estimateCount(t)
+      assert(est >= n, s"count-min undercounted '$t': $est < $n")
+      assert(est <= n + slack, s"count-min overcounted '$t' beyond eps·N: $est > $n + $slack")
+    }
+  }
 }
