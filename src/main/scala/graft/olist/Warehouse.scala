@@ -681,21 +681,46 @@ class Warehouse(spark: SparkSession, basePath: String,
     * manifest versions. Caller contract: run only after in-flight
     * readers of older snapshots have drained — the retention window is
     * the caller's policy, exactly as in production table formats. */
-  def vacuum(name: String): Unit = {
+  def vacuum(name: String): Unit = vacuum(name, 0L, 1)
+
+  /** Retention-aware vacuum. `keepVersions` newest snapshots stay fully
+    * readable (their manifests AND every file any of them references
+    * survive — the time-travel/history retention window); unreferenced
+    * data files are deleted only when older than `graceMs`. The grace
+    * window is what makes vacuum safe to run beside live writers: a
+    * writer stages its files into the table directory BEFORE taking the
+    * commit lock, so a zero-grace vacuum racing an in-flight append
+    * could delete just-staged files its commit is about to name (the
+    * same reasoning as production table formats' modification-time
+    * retention checks). Size `graceMs` above the longest stage-to-
+    * commit gap — `lockStaleMs` is a sound default on a live table;
+    * the zero default matches single-writer maintenance windows. */
+  def vacuum(name: String, graceMs: Long, keepVersions: Int): Unit = {
     require(database.isEmpty, "vacuum applies to path-mode tables only")
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = metaFs
-    currentManifest(name).foreach { case (v, files) =>
-      val keep = files.map(_.path).toSet
+    currentManifest(name).foreach { _ =>
+      val versions = tableVersions(name)
+      val kept = versions.takeRight(keepVersions)
+      // union of every kept snapshot's file list — any of them must
+      // remain fully readable after the sweep
+      val keep = kept.flatMap { kv =>
+        readManifestFile(new org.apache.hadoop.fs.Path(
+          txnDir(name), s"v$kv.manifest"))._1.map(_.path)
+      }.toSet
+      val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
       // a zero-file snapshot never created the data dir: nothing to scan
       if (fs.exists(root)) {
         val doomed = scala.collection.mutable.ArrayBuffer.empty[org.apache.hadoop.fs.Path]
         val it = fs.listFiles(root, true)
         while (it.hasNext) {
-          val f = it.next().getPath
+          val st = it.next()
+          val f = st.getPath
           val rel = relativeTo(root, f)
           if (!keep.contains(rel) && !f.getName.startsWith("_") &&
-            !f.getName.startsWith(".")) doomed += f
+            !f.getName.startsWith(".") &&
+            (graceMs <= 0 || st.getModificationTime < cutoff)) doomed += f
         }
         doomed.foreach(fs.delete(_, false))
         // empty partition directories left behind by the deletes
@@ -703,9 +728,14 @@ class Warehouse(spark: SparkSession, basePath: String,
           if (!fs.listFiles(d.getPath, true).hasNext) fs.delete(d.getPath, true)
         }
       }
+      // only sweep BELOW the retention floor: a commit landing
+      // concurrently creates a version ABOVE it, which a not-in-kept
+      // predicate would have deleted — monotonic comparison can't
+      val floor = kept.head
       fs.listStatus(txnDir(name)).foreach { st =>
         st.getPath.getName match {
-          case ManifestName(ver) if ver.toLong < v => fs.delete(st.getPath, false)
+          case ManifestName(ver) if ver.toLong < floor =>
+            fs.delete(st.getPath, false)
           case _ => ()
         }
       }

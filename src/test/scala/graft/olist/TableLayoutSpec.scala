@@ -291,6 +291,36 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.history("h").last.op == "stream-merge")
   }
 
+  test("vacuum retention: kept versions stay readable, grace shields fresh files") {
+    import spark.implicits._
+    val dir = tmp("wh_vac")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", Seq((1L, "a")).toDF("k", "v").coalesce(1))          // v1
+    wh.save("t", Seq((2L, "b")).toDF("k", "v").coalesce(1))          // v2
+    wh.save("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))          // v3
+    // keep the two newest snapshots: v2 must survive and stay readable
+    wh.vacuum("t", graceMs = 0, keepVersions = 2)
+    assert(wh.tableVersions("t") == Seq(2L, 3L))
+    assert(wh.tableAt("t", 2).collect().map(_.getLong(0)).toSeq == Seq(2L))
+    assert(wh.table("t").collect().map(_.getLong(0)).toSeq == Seq(3L))
+    intercept[IllegalArgumentException] { wh.tableAt("t", 1) }
+    // a LONG grace window shields even unreferenced (fresh) files …
+    wh.save("t", Seq((4L, "d")).toDF("k", "v").coalesce(1))          // v4
+    wh.vacuum("t", graceMs = 3600000, keepVersions = 1)
+    assert(wh.tableVersions("t") == Seq(4L))                          // manifests trimmed
+    assert(wh.tableAt("t", 4).count() == 1)                           // current intact
+    import scala.jdk.CollectionConverters._
+    val dataFiles = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).size
+    assert(dataFiles >= 2, "grace window must shield fresh unreferenced files")
+    // … and zero grace reclaims them
+    wh.vacuum("t")
+    val after = java.nio.file.Files.walk(java.nio.file.Paths.get(dir, "t"))
+      .iterator().asScala.filter(_.toString.endsWith(".parquet")).size
+    assert(after == 1)
+    assert(wh.table("t").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
   // ----- streaming MERGE --------------------------------------------
 
   test("mergeStreamBatch: exactly-once upsert marks — replay skips, reset throws") {
