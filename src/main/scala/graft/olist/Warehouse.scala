@@ -233,7 +233,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       // conf pins an exact file count when callers need one (tests,
       // file-count SLAs).
       val repartitioned =
-        spark.conf.getOption("graft.zorder.partitions").map(_.toInt) match {
+        spark.conf.getOption("graft.layout.partitions").map(_.toInt) match {
           case Some(n) => keyed.repartitionByRange(n, keys: _*)
           case None => keyed.repartitionByRange(keys: _*)
         }
@@ -789,6 +789,101 @@ class Warehouse(spark: SparkSession, basePath: String,
         .option("basePath", s"$basePath/$name")
         .load(files.map(f => s"$basePath/$name/$f"): _*)
     }
+
+  /** Append-only change feed: the rows ADDED between two committed
+    * versions (exclusive `fromVersion`, inclusive `toVersion`),
+    * computed purely from manifest file-list diffs — no extra change
+    * files, no full-table diff. This is the incremental-consumer hook:
+    * a downstream job remembers the last version it processed and reads
+    * only the new files since.
+    *
+    * Sound ONLY across append-shaped commits (append / stream-append /
+    * mark-only stream-merge): a rewrite commit (merge, compact,
+    * overwrite-partitions, restore, save) re-stages surviving rows into
+    * new files, which a file-level diff would misreport as inserts —
+    * those commits throw instead of lying. Row-level CDF through
+    * rewrites needs change files written at commit time (the production
+    * table-format approach), intentionally out of scope. */
+  def tableChanges(name: String, fromVersion: Long, toVersion: Long): DataFrame = {
+    require(database.isEmpty, "tableChanges applies to path-mode tables only")
+    require(fromVersion <= toVersion,
+      s"tableChanges: fromVersion $fromVersion > toVersion $toVersion")
+    val appendOps = Set("append", "stream-append", "stream-merge", "merge")
+    val versions = tableVersions(name)
+      .filter(v => v > fromVersion && v <= toVersion)
+    val fs = metaFs
+    def manifest(v: Long) = readManifestFile(
+      new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
+    require(fs.exists(new org.apache.hadoop.fs.Path(txnDir(name),
+      s"v$fromVersion.manifest")) || fromVersion == 0,
+      s"tableChanges: version $fromVersion of $name is vacuumed or missing")
+    val base =
+      if (fromVersion == 0) Set.empty[String]
+      else manifest(fromVersion)._1.map(_.path).toSet
+    var seen = base
+    val added = scala.collection.mutable.ArrayBuffer.empty[String]
+    versions.foreach { v =>
+      val (files, meta) = manifest(v)
+      val op = meta.getOrElse(OpMeta, "unknown")
+      val paths = files.map(_.path).toSet
+      // the bootstrap save is append-shaped when nothing preceded it
+      val appendShaped = (appendOps.contains(op) ||
+        (op == "save" && seen.isEmpty)) && seen.subsetOf(paths)
+      require(appendShaped,
+        s"tableChanges: version $v of $name is a '$op' rewrite — file-level " +
+          "diffs only describe append-shaped commits; re-read the snapshot")
+      added ++= (paths -- seen)
+      seen = paths
+    }
+    fromFiles(name, added.toSeq, tableSchema(name))
+  }
+
+  /** Re-declare the table's layout (cluster columns, z-order, bloom
+    * columns) and rewrite the data to match — the OPTIMIZE/recluster
+    * command. The new spec commits with the compaction rewrite, so
+    * every subsequent append/merge lays files out the new way and the
+    * per-file stats/sketches in the manifest reflect the new columns. */
+  def recluster(name: String, clusterBy: Seq[String],
+      zorder: Boolean = false, bloomBy: Seq[String] = Nil,
+      filesPerPartition: Int = 1): Unit = {
+    require(database.isEmpty, "recluster applies to path-mode tables only")
+    require(!zorder || clusterBy.size >= 2,
+      "zorder needs at least two cluster columns")
+    clustering(name) = clusterBy
+    clusterKinds(name) = if (zorder) ZOrderKind else LinearKind
+    bloomCols(name) = bloomBy
+    withCommitLock(name) {
+      // piggyback the spec change on a commit that also rewrites the
+      // data: layout metadata and layout reality stay in step
+      val parts = partitionColsOf(name)
+      val snapshot = read(name)
+      val n = math.max(filesPerPartition, 1)
+      val shaped =
+        if (clusterBy.nonEmpty && !zorder) {
+          // RANGE-distribute on the cluster key so rewritten files
+          // cover disjoint ranges — that's what turns linear
+          // clustering into file-level skipping, not just row-group
+          // skipping (zorder does its own range distribution inside
+          // clustered()); same file-count knob as the zorder writes
+          val keys = (parts ++ clusterBy).map(col)
+          spark.conf.getOption("graft.layout.partitions").map(_.toInt) match {
+            case Some(np) => snapshot.repartitionByRange(np, keys: _*)
+            case None => snapshot.repartitionByRange(keys: _*)
+          }
+        } else if (parts.nonEmpty) {
+          if (n == 1) snapshot.repartition(parts.map(col): _*)
+          else snapshot.repartition((parts.map(col) :+
+            pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
+        } else snapshot.coalesce(n)
+      val files = stageWrite(name, clustered(name, shaped, parts), parts)
+      commitManifest(name, files, Map(
+        ClusterMeta -> clusterBy.mkString(","),
+        ClusterKindMeta -> clusterKinds(name),
+        BloomMeta -> bloomBy.mkString(",")), op = "recluster")
+    }
+    writeMeta(name, partitionColsOf(name), tableSchema(name), clusterBy,
+      clusterKinds(name), bloomBy)
+  }
 
   /** Commit history of a path-mode table, ascending — the DESCRIBE
     * HISTORY audit trail: which operation produced each version, when,

@@ -90,11 +90,11 @@ class TableLayoutSpec extends AnyFunSuite {
 
     // pin the file count: at test scale AQE would (correctly) coalesce
     // the whole grid into one advisory-sized file and leave nothing to skip
-    spark.conf.set("graft.zorder.partitions", "16")
+    spark.conf.set("graft.layout.partitions", "16")
     val dirZ = tmp("wh_z")
     val whZ = new Warehouse(spark, dirZ)
     try whZ.save("g", grid, clusterBy = Seq("x", "y"), zorder = true)
-    finally spark.conf.unset("graft.zorder.partitions")
+    finally spark.conf.unset("graft.layout.partitions")
 
     val dirL = tmp("wh_l")
     val whL = new Warehouse(spark, dirL)
@@ -120,9 +120,9 @@ class TableLayoutSpec extends AnyFunSuite {
 
   test("zorder: layout survives append and compact; restore rolls kind back") {
     import spark.implicits._
-    spark.conf.set("graft.zorder.partitions", "8")
+    spark.conf.set("graft.layout.partitions", "8")
     try zorderLifecycle()
-    finally spark.conf.unset("graft.zorder.partitions")
+    finally spark.conf.unset("graft.layout.partitions")
   }
 
   private def zorderLifecycle(): Unit = {
@@ -319,6 +319,57 @@ class TableLayoutSpec extends AnyFunSuite {
       .iterator().asScala.filter(_.toString.endsWith(".parquet")).size
     assert(after == 1)
     assert(wh.table("t").collect().map(_.getLong(0)).toSeq == Seq(4L))
+  }
+
+  test("tableChanges: manifest-diff change feed across appends; rewrites refuse") {
+    import spark.implicits._
+    val dir = tmp("wh_cdf")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))   // v1
+    wh.append("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))            // v2
+    wh.append("t", Seq((4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1)) // v3
+    val delta = wh.tableChanges("t", 1, 3).collect().map(_.getLong(0)).sorted
+    assert(delta.toSeq == Seq(3L, 4L, 5L))
+    // from version 0 the bootstrap save counts as the first insert batch
+    assert(wh.tableChanges("t", 0, 3).count() == 5)
+    // empty range → empty frame, schema intact
+    assert(wh.tableChanges("t", 3, 3).count() == 0)
+    // a rewrite commit in range is refused loudly, not misreported
+    wh.compact("t")                                                       // v4
+    val ex = intercept[IllegalArgumentException] {
+      wh.tableChanges("t", 3, 4).count()
+    }
+    assert(ex.getMessage.contains("rewrite"))
+    // appends after the rewrite diff cleanly again
+    wh.append("t", Seq((6L, "f")).toDF("k", "v").coalesce(1))            // v5
+    assert(wh.tableChanges("t", 4, 5).collect().map(_.getLong(0)).toSeq == Seq(6L))
+  }
+
+  test("recluster: re-layout turns an unskippable table into a skipping one") {
+    import spark.implicits._
+    val dir = tmp("wh_recl")
+    val wh = new Warehouse(spark, dir)
+    // unclustered hash-spread writes: no stats, nothing skips
+    val df = spark.range(40000).select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartition(8)
+    wh.save("t", df)
+    val range = Seq(ColRange("k", Some(0L), Some(4999L)))
+    val (r0, t0) = wh.scanFileCounts("t", range)
+    assert(t0 == 8 && r0 == 8, "no layout yet: every file is a candidate")
+    spark.conf.set("graft.layout.partitions", "8")
+    try wh.recluster("t", clusterBy = Seq("k"))
+    finally spark.conf.unset("graft.layout.partitions")
+    assert(wh.history("t").last.op == "recluster")
+    val (r1, t1) = wh.scanFileCounts("t", range)
+    assert(r1 < t1, s"reclustered range scan should skip: $r1/$t1")
+    assert(wh.scan("t", range.head).count() == 5000)
+    // the new layout sticks: an append sorts and carries stats too
+    wh.append("t", Seq.range(100000, 100100).map(i => (i.toLong, i * 2L))
+      .toDF("k", "v").coalesce(1))
+    val (r2, t2) = wh.scanFileCounts("t",
+      Seq(ColRange("k", Some(100000L), Some(100099L))))
+    assert(r2 == 1, s"append after recluster should carry stats: $r2/$t2")
+    assert(wh.table("t").count() == 40100)
   }
 
   // ----- streaming MERGE --------------------------------------------
