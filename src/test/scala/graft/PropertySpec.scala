@@ -149,4 +149,30 @@ class PropertySpec extends AnyFunSuite {
     assert(written != null && written.nonEmpty,
       "no reliable checkpoint state was written under the checkpoint dir")
   }
+
+  test("bloom sketch: no false negatives across partial-merge shapes; bounded false positives") {
+    import graft.functions.BloomSketch
+    val hashGen = Gen.listOfN(2000, Gen.long)
+    (1 to 5).foreach { i =>
+      val hashes = sample(hashGen, 77L + i).distinct
+      val bits = 1 << 16
+      val k = BloomSketch.optimalK(bits, hashes.size)
+      val agg = new BloomSketch.Agg(bits, k)
+      // split into 4 "partitions", reduce each, merge pairwise — the
+      // exact partial-aggregation shape Spark runs
+      val parts = hashes.grouped(math.max(1, hashes.size / 4)).toSeq
+        .map(p => p.foldLeft(agg.zero)(agg.reduce))
+      val sketch = agg.finish(parts.reduce(agg.merge))
+      // no false negatives, ever
+      hashes.foreach(h => assert(BloomSketch.mightContain(sketch, h),
+        s"iteration $i: inserted hash $h reported absent"))
+      // false-positive rate ≈ (1 - e^(-kn/m))^k ≈ 0.03% here; 2000
+      // probes → a couple of hits at most, never a broken filter
+      val absent = sample(hashGen, 990L + i).filterNot(hashes.contains)
+      val fp = absent.count(h => BloomSketch.mightContain(sketch, h))
+      assert(fp <= 20, s"iteration $i: implausible false-positive count $fp")
+    }
+    // garbage bytes keep the file (fail-safe direction), never throw
+    assert(graft.functions.BloomSketch.mightContain(Array[Byte](9, 9, 9), 42L))
+  }
 }
