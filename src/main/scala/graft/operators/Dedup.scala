@@ -177,10 +177,13 @@ object Dedup {
         // hashed ONCE per (doc, shingle) row — a fused array_min form
         // would recompute the shingle array per signature column after
         // CollapseProject inlining (measured 4× slower)
-        val toks = split(trim(col("text")), "\\s+")
+        // token array materialized before the shingle lambda — an
+        // inlined split re-evaluates inside every element_at (the d10
+        // lesson: 3 splits per position per row otherwise)
         val exploded = T.documents(s, d)
-          .filter(size(toks) >= 3)
-          .select(col("doc_id"), explode(shingles(toks, 3)).as("sh"))
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 3)
+          .select(col("doc_id"), explode(shingles(col("ts"), 3)).as("sh"))
         val sigAggs = (0 until K_SIG).map(i =>
           min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
         exploded.groupBy("doc_id")
@@ -282,11 +285,14 @@ object Dedup {
         // materialized, then intersection counts via groupBy — no
         // dense pairwise array shuffles (pairs with no shared gram
         // cannot reach any positive threshold)
-        val toks = split(trim(col("text")), "\\s+")
+        // token array materialized first (the d10 lesson — an inlined
+        // split re-evaluates inside every element_at of the lambda)
         val bg = T.documents(s, d)
-          .filter(size(toks) >= 2)
           .select(col("doc_id"), col("source"),
-            array_distinct(shingles(toks, 2)).as("bgs"))
+            split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 2)
+          .select(col("doc_id"), col("source"),
+            array_distinct(shingles(col("ts"), 2)).as("bgs"))
         val sz = bg.select(col("doc_id"), size(col("bgs")).cast("long").as("n"))
         val ex = bg.select(col("doc_id"), col("source"), explode(col("bgs")).as("g"))
         val inter = ex.select(col("source"), col("doc_id").as("d1"), col("g"))
@@ -377,12 +383,20 @@ object Dedup {
              |FROM train t JOIN bench b ON t.h = b.h
              |GROUP BY t.doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val toks = split(trim(col("text")), "\\s+")
+        // materialize the token array ONCE per row before shingling:
+        // inlining `split(...)` into the shingle lambda re-evaluates
+        // the regex split inside every element_at — 8 splits per gram
+        // position per row (measured 15.6 s → ~1 s at sf0.1). Per-doc
+        // gram dedup happens after hashing, on slim digests through
+        // the hash aggregate, never via quadratic array_distinct.
         val ex = T.documents(s, d)
-          .filter(size(toks) >= 8)
           .select(col("doc_id"), col("source"),
-            explode(array_distinct(shingles(toks, 8))).as("gram"))
+            split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(col("ts"), 8)).as("gram"))
           .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+          .distinct()
         val bench = ex.filter(col("source") === "src0").select("h").distinct()
         val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
         train.join(broadcast(bench), Seq("h"))

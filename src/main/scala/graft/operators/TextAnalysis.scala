@@ -228,13 +228,16 @@ object TextAnalysis {
              |  round(1.0 - cast(len(list_distinct(bgs)) as double) / len(bgs), 9) AS dup_ratio
              |FROM b ORDER BY doc_id""".stripMargin),
       (s, d) => {
-        val toks = tokens(col("text"))
-        val bgs = Dedup.shingles(toks, 2)
+        // tokens AND the bigram array materialized as columns — the
+        // bigram array is referenced three times in the projection and
+        // would otherwise be rebuilt (with its tokenization) for each
         T.documents(s, d)
-          .filter(size(toks) >= 2)
-          .select(col("doc_id"), size(bgs).cast("long").as("n_bigrams"),
-            round(lit(1.0) - size(array_distinct(bgs)).cast("double") / size(bgs), 9)
-              .as("dup_ratio"))
+          .select(col("doc_id"), tokens(col("text")).as("ts0"))
+          .filter(size(col("ts0")) >= 2)
+          .select(col("doc_id"), Dedup.shingles(col("ts0"), 2).as("bgs"))
+          .select(col("doc_id"), size(col("bgs")).cast("long").as("n_bigrams"),
+            round(lit(1.0) - size(array_distinct(col("bgs"))).cast("double") /
+              size(col("bgs")), 9).as("dup_ratio"))
           .orderBy("doc_id")
       }),
 
