@@ -45,4 +45,23 @@ class SinkFormatsSpec extends AnyFunSuite {
     assert(wh2.table("orders_fact").count() == reference._1)
     assert(wh2.table("product").count() == reference._2)
   }
+
+  test("stats file skipping is format-agnostic: a csv table prunes like parquet") {
+    // the stats agg reads the written files back through the table's
+    // own format reader, so skipping works even where the format has
+    // no native footers (csv) — the manifest IS the stats store
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.olist.Warehouse.ColRange
+    val dir = java.nio.file.Files.createTempDirectory("wh_csv_stats").toString
+    val wh = new Warehouse(spark, dir, "csv")
+    wh.save("t", Seq.range(0, 100).map(i => (i.toLong, s"a$i")).toDF("k", "v")
+      .coalesce(1), clusterBy = Seq("k"))
+    wh.append("t", Seq.range(1000, 1100).map(i => (i.toLong, s"b$i")).toDF("k", "v")
+      .coalesce(1))
+    val (read, total) = wh.scanFileCounts("t",
+      Seq(ColRange("k", Some(1000L), Some(1099L))))
+    assert(total == 2 && read == 1, s"csv stats skipping: $read/$total")
+    assert(wh.scan("t", ColRange("k", Some(1000L), Some(1050L))).count() == 51)
+  }
 }
