@@ -179,4 +179,16 @@ class SimilaritySpec extends AnyFunSuite {
     // the query vector itself (cosine 1.0) must be in its own bucket
     assert(e3.filter(col("vec_id") === 0).count() == 1)
   }
+
+  test("sq8 quantized ranking recovers the exact top-k (high recall, query first)") {
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val sq8rows = SparkEntry.queries("e9_sq8_topk")(spark, sf).collect()
+    val sq8 = sq8rows.map(_.getAs[Long]("vec_id")).toSet
+    assert((exact intersect sq8).size >= 8,
+      s"SQ8 recall@10 too low: exact=$exact sq8=$sq8")
+    // the query vector quantizes onto (nearly) itself: rank 1, cosine ≈ 1
+    assert(sq8rows.head.getAs[Long]("vec_id") == 0L)
+    assert(math.abs(sq8rows.head.getAs[Double]("qcosine") - 1.0) < 1e-3)
+  }
 }
