@@ -119,4 +119,12 @@ class PlanQualitySpec extends AnyFunSuite {
     // set in place — they are never exchanged
     assert(plan("d10_contamination").contains("BroadcastHashJoin"))
   }
+
+  test("e9_sq8_topk: bounds and query broadcast; rank is an aggregation, not a window") {
+    val p = plan("e9_sq8_topk")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(!p.contains("Window"), s"window crept into the sq8 rank:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
 }
