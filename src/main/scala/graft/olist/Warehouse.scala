@@ -838,6 +838,43 @@ class Warehouse(spark: SparkSession, basePath: String,
     fromFiles(name, added.toSeq, tableSchema(name))
   }
 
+  /** Checkpointed incremental consumption of [[tableChanges]]: reads
+    * the rows appended since the last successful call (tracked in a
+    * one-line state file under the consumer's own directory), hands
+    * them to `f`, and advances the checkpoint only AFTER `f` returns —
+    * crash before the advance replays the batch, so delivery is
+    * at-least-once and `f` should be idempotent (or write through a
+    * sink with its own exactly-once mark, e.g. [[appendStreamBatch]]).
+    * Returns the (fromVersion, toVersion] window processed, or None
+    * when there is nothing new. The polling shape of a downstream
+    * incremental pipeline — no long-lived query, resumable from any
+    * process. */
+  def consumeChanges(name: String, stateDir: String)
+      (f: DataFrame => Unit): Option[(Long, Long)] = {
+    require(database.isEmpty, "consumeChanges applies to path-mode tables only")
+    val fs = metaFs
+    val stateFile = new org.apache.hadoop.fs.Path(stateDir, s"$name.version")
+    val last: Long =
+      if (!fs.exists(stateFile)) 0L
+      else {
+        val in = fs.open(stateFile)
+        try new String(in.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+        finally in.close()
+      }
+    val head = tableVersions(name).lastOption.getOrElse(0L)
+    if (head <= last) None
+    else {
+      f(tableChanges(name, last, head))
+      fs.mkdirs(new org.apache.hadoop.fs.Path(stateDir))
+      val out = fs.create(stateFile, true)
+      try out.write(head.toString.getBytes(
+        java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+      Some((last, head))
+    }
+  }
+
   /** Re-declare the table's layout (cluster columns, z-order, bloom
     * columns) and rewrite the data to match — the OPTIMIZE/recluster
     * command. The new spec commits with the compaction rewrite, so

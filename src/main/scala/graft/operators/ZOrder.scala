@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.NumericType
+import org.apache.spark.sql.types.{DateType, NumericType}
 
 /** Z-order (Morton) interleave for multi-column clustering.
   *
@@ -29,18 +29,22 @@ object ZOrder {
     * far finer than any realistic file count. */
   val Bits = 16
 
-  /** The interleaved z-value column for `cols` (all numeric), scaled by
-    * `df`'s min/max. Null values sort with the minimum lane cell. */
+  /** The interleaved z-value column for `cols` (numeric or date — the
+    * date axis is the most common cluster key; it enters its lane as
+    * days-since-epoch), scaled by `df`'s min/max. Null values sort
+    * with the minimum lane cell. */
   def zvalue(df: DataFrame, cols: Seq[String]): Column = {
     require(cols.nonEmpty, "zvalue needs at least one column")
     cols.foreach { c =>
       val dt = df.schema(c).dataType
-      require(dt.isInstanceOf[NumericType],
-        s"zorder column $c must be numeric, got $dt")
+      require(dt.isInstanceOf[NumericType] || dt == DateType,
+        s"zorder column $c must be numeric or date, got $dt")
     }
+    def lane(c: String): Column =
+      if (df.schema(c).dataType == DateType) unix_date(col(c)).cast("double")
+      else col(c).cast("double")
     val aggs = cols.flatMap(c => Seq(
-      min(col(c).cast("double")).as(s"__mn_$c"),
-      max(col(c).cast("double")).as(s"__mx_$c")))
+      min(lane(c)).as(s"__mn_$c"), max(lane(c)).as(s"__mx_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).collect()(0)
     val maxCell = (1L << Bits) - 1
     val lanes: Seq[Column] = cols.zipWithIndex.map { case (c, _) =>
@@ -51,8 +55,7 @@ object ZOrder {
       val scaled =
         if (mx <= mn) lit(0L) // constant (or empty) column: one cell
         else least(greatest(
-          floor((col(c).cast("double") - lit(mn)) / lit(mx - mn) * maxCell)
-            .cast("long"),
+          floor((lane(c) - lit(mn)) / lit(mx - mn) * maxCell).cast("long"),
           lit(0L)), lit(maxCell))
       when(col(c).isNull, lit(0L)).otherwise(scaled)
     }

@@ -372,6 +372,59 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 40100)
   }
 
+  test("consumeChanges: checkpointed incremental consumer sees each batch once") {
+    import spark.implicits._
+    val dir = tmp("wh_consume")
+    val stateDir = tmp("wh_consume_state")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", Seq((1L, "a")).toDF("k", "v").coalesce(1))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+    def consume() = wh.consumeChanges("t", stateDir) { df =>
+      seen += df.collect().map(_.getLong(0)).sorted.toSeq
+    }
+    assert(consume() == Some((0L, 1L)))           // bootstrap save
+    assert(consume() == None)                     // nothing new
+    wh.append("t", Seq((2L, "b")).toDF("k", "v").coalesce(1))
+    wh.append("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))
+    assert(consume() == Some((1L, 3L)))           // both appends in one window
+    assert(seen.toSeq == Seq(Seq(1L), Seq(2L, 3L)))
+    // a fresh Warehouse instance (new process) resumes from the state file
+    val wh2 = new Warehouse(spark, dir)
+    wh2.append("t", Seq((4L, "d")).toDF("k", "v").coalesce(1))
+    assert(wh2.consumeChanges("t", stateDir)(df =>
+      seen += df.collect().map(_.getLong(0)).toSeq) == Some((3L, 4L)))
+    assert(seen.last == Seq(4L))
+    // a failing consumer does NOT advance the checkpoint: replay
+    wh2.append("t", Seq((5L, "e")).toDF("k", "v").coalesce(1))
+    intercept[RuntimeException] {
+      wh2.consumeChanges("t", stateDir)(_ => throw new RuntimeException("boom"))
+    }
+    assert(wh2.consumeChanges("t", stateDir)(df =>
+      seen += df.collect().map(_.getLong(0)).toSeq) == Some((4L, 5L)))
+    assert(seen.last == Seq(5L))
+  }
+
+  test("zorder on a date column: day lanes interleave and prune") {
+    import spark.implicits._
+    spark.conf.set("graft.layout.partitions", "8")
+    try {
+      val dir = tmp("wh_zdate")
+      val wh = new Warehouse(spark, dir)
+      // 64 days × 64 ids
+      val df = spark.range(4096).select(
+        date_add(lit("2024-01-01").cast("date"),
+          (col("id") % 64).cast("int")).as("d"),
+        (col("id") / 64).cast("long").as("uid"), col("id").as("v"))
+      wh.save("ev", df, clusterBy = Seq("d", "uid"), zorder = true)
+      val week = Seq(ColRange("d",
+        Some(java.sql.Date.valueOf("2024-01-01")),
+        Some(java.sql.Date.valueOf("2024-01-08"))))
+      val (r, t) = wh.scanFileCounts("ev", week)
+      assert(t > 4 && r < t, s"date-lane zorder should prune: $r/$t")
+      assert(wh.scan("ev", week.head).count() == 8 * 64)
+    } finally spark.conf.unset("graft.layout.partitions")
+  }
+
   // ----- streaming MERGE --------------------------------------------
 
   test("mergeStreamBatch: exactly-once upsert marks — replay skips, reset throws") {
