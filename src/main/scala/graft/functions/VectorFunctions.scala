@@ -177,16 +177,22 @@ object VectorFunctions {
 
   /** Register the native functions in the session's function registry so
     * they are usable as Columns via call_function and in SQL text.
-    * Idempotent. */
+    * Idempotent AND quiet: sessions built withExtensions(GraftExtensions)
+    * already carry these, and re-registering logs a "replacing" WARN per
+    * call — so only fill in names that are actually missing. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("cosine_sim",
-      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vec_dot",
-      exprs => VectorDot(exprs(0), exprs(1)), "built-in")
-    reg.createOrReplaceTempFunction("vector_avg",
-      exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in")
-    reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "built-in")
+    def ifMissing(name: String)(add: => Unit): Unit =
+      if (!reg.functionExists(
+          org.apache.spark.sql.catalyst.FunctionIdentifier(name))) add
+    ifMissing("cosine_sim")(reg.createOrReplaceTempFunction("cosine_sim",
+      exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in"))
+    ifMissing("vec_dot")(reg.createOrReplaceTempFunction("vec_dot",
+      exprs => VectorDot(exprs(0), exprs(1)), "built-in"))
+    ifMissing("vector_avg")(reg.createOrReplaceTempFunction("vector_avg",
+      exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in"))
+    ifMissing("lsh_bucket")(
+      reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "built-in"))
   }
 
   def vectorAvg(spark: SparkSession, a: Column): Column = {

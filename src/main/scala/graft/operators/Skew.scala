@@ -13,14 +13,28 @@ import org.apache.spark.sql.functions._
 object Skew {
 
   /** Salted equi-join: the probe side scatters each row into one of
-    * `salts` sub-keys (deterministically, from the full row hash); the
-    * build side replicates `salts`×. The hot key's rows spread over
-    * `salts` tasks instead of one. Build side must be replication-sized
-    * (a dimension), which is exactly the skewed-fact⋈dim case. */
+    * `salts` sub-keys; the build side replicates `salts`×. The hot key's
+    * rows spread over `salts` tasks instead of one. Build side must be
+    * replication-sized (a dimension), which is exactly the
+    * skewed-fact⋈dim case.
+    *
+    * The salt is a per-partition row counter, NOT a content hash:
+    * byte-identical duplicate rows of a hot key (the degenerate corpus
+    * salting exists for) would all hash to the same salt and still pin
+    * one task. The join result is salt-invariant — every probe row meets
+    * exactly the build replica carrying its salt — so the
+    * non-deterministic counter cannot change the output, only the task
+    * placement. */
+  /** The salt assignment: round-robins rows within each input partition
+    * (monotonically_increasing_id is partitionId<<33 + row index, so
+    * pmod by `salts` cycles through every salt). Independent of row
+    * content by construction. */
+  def saltExpr(salts: Int): Column =
+    pmod(monotonically_increasing_id(), lit(salts.toLong))
+
   def saltedJoin(probe: DataFrame, build: DataFrame, key: String,
       salts: Int): DataFrame = {
-    val probeSalted = probe.withColumn("_salt",
-      pmod(hash(probe.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    val probeSalted = probe.withColumn("_salt", saltExpr(salts))
     val buildSalted = build.withColumn("_salt",
       explode(sequence(lit(0), lit(salts - 1))))
     probeSalted.join(buildSalted, Seq(key, "_salt")).drop("_salt")
@@ -75,7 +89,9 @@ object Skew {
     * final shape generalizes to any algebraic aggregate). */
   def saltedSum(df: DataFrame, key: String, valueCol: String,
       salts: Int): DataFrame =
-    df.withColumn("_salt", pmod(hash(df.columns.map(col).toIndexedSeq: _*), lit(salts)))
+    // same per-row counter salt as saltedJoin (sum/count are algebraic,
+    // so the final aggregate is salt-invariant)
+    df.withColumn("_salt", saltExpr(salts))
       .groupBy(col(key), col("_salt"))
       .agg(sum(valueCol).as("_partial"), count(lit(1)).as("_pn"))
       .groupBy(col(key))

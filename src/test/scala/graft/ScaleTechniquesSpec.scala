@@ -20,6 +20,25 @@ class ScaleTechniquesSpec extends AnyFunSuite {
     assert(plain == salted)
   }
 
+  test("salt spreads byte-identical duplicate rows of a hot key") {
+    // the degenerate corpus salting exists for: one hot key, every row
+    // byte-identical. A content-hash salt maps them ALL to one salt
+    // (one task); the row-counter salt must spread them.
+    val salts = 8
+    val hot = spark.range(1000)
+      .select(lit(42L).as("suppkey"), lit("same-bytes").as("payload"))
+    val used = hot.withColumn("_salt", Skew.saltExpr(salts))
+      .select("_salt").distinct().count()
+    assert(used >= salts / 2,
+      s"constant-row probe used only $used of $salts salts — hot key still pins one task")
+    // and the join result is still salt-invariant on this worst case
+    import spark.implicits._
+    val dim = Seq((42L, "supplier-42")).toDF("suppkey", "s_name")
+    val joined = Skew.saltedJoin(hot, dim, "suppkey", salts)
+    assert(joined.count() == 1000)
+    assert(joined.select("s_name").distinct().as[String].collect().toSeq == Seq("supplier-42"))
+  }
+
   test("salted two-phase aggregation equals direct aggregation") {
     val li = Tables.lineitem(spark, sf)
     val direct = li.groupBy("l_suppkey")
