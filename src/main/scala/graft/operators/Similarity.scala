@@ -78,6 +78,29 @@ object Similarity {
       .map(p => when(planeDot(emb, p) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _).cast("long")
 
+  /** SQL VALUES list (t, p, j, v) for a multi-table family: table t
+    * uses planes [t*nPlanes, (t+1)*nPlanes) of planesFor(tables*nPlanes),
+    * p is the sign-bit position WITHIN the table, j is 1-based. */
+  private def multiTablePlanesValues(nPlanes: Int, tables: Int): String = {
+    val family = planesFor(tables * nPlanes)
+    (for (t <- 0 until tables; p <- 0 until nPlanes; j <- 0 until DIM)
+      yield s"($t,$p,${j + 1},${family(t * nPlanes + p)(j)})").mkString(", ")
+  }
+
+  /** Oracle CTEs for the multi-probe query (e10): per-table buckets on
+    * the exact-DECIMAL tier, mirroring bucketCtes with a table column. */
+  private def multiBucketCtes(nPlanes: Int, tables: Int): String =
+    s"""pl2(t, p, j, v) AS (VALUES ${multiTablePlanesValues(nPlanes, tables)}),
+       |ex2 AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |               unnest(range(1, len(embedding) + 1)) AS j
+       |        FROM embeddings),
+       |dots2 AS (SELECT e.vec_id, pl.t, pl.p,
+       |                 cast(sum(cast(e.x * pl.v as decimal(38,20))) as double) AS dp
+       |          FROM ex2 e JOIN pl2 pl ON pl.j = e.j GROUP BY e.vec_id, pl.t, pl.p),
+       |bkt2 AS (SELECT vec_id, t,
+       |                cast(sum(CASE WHEN dp > 0 THEN 1 << p ELSE 0 END) as bigint) AS bucket
+       |         FROM dots2 GROUP BY vec_id, t)""".stripMargin
+
   /** Oracle CTEs shared by e2/e3: positional unnest + plane join. */
   private def bucketCtes: String =
     s"""pl(p, j, v) AS (VALUES $planesValues),
@@ -136,8 +159,12 @@ object Similarity {
       k: Int, nPlanes: Int, radius: Int, tables: Int): DataFrame =
     annMultiProbe(s, T.embeddings(s, d), queryId, k, nPlanes, radius, tables)
 
-  def annMultiProbe(s: SparkSession, emb: DataFrame, queryId: Long,
-      k: Int, nPlanes: Int, radius: Int, tables: Int): DataFrame = {
+  /** The candidate set of [[annMultiProbe]] — distinct vec_ids any of
+    * the `tables` probe lists hits. Exposed so the oracle-parity query
+    * (e10) can rank the SAME candidates with exact-decimal cosine while
+    * the production path ranks natively. */
+  def multiProbeCandidates(s: SparkSession, emb: DataFrame, queryId: Long,
+      nPlanes: Int, radius: Int, tables: Int): DataFrame = {
     require(radius >= 0 && radius <= 2, s"unsupported probe radius $radius")
     require(tables >= 1 && nPlanes >= 1 && nPlanes <= 63,
       "each table's bucket id must fit a long")
@@ -165,10 +192,15 @@ object Similarity {
         .select(col("t"), explode(array(flips: _*)).as("flip"), col("qb"))
         .select(col("t"), col("qb").bitwiseXOR(col("flip")).as("bucket"))
     }.reduce(_ unionAll _)
-    val candidates = longSide.join(broadcast(probes), Seq("t", "bucket"))
+    longSide.join(broadcast(probes), Seq("t", "bucket"))
       .select("vec_id").distinct()
-    candidates
-      .join(withBkts.select("vec_id", "embedding"), Seq("vec_id"))
+  }
+
+  def annMultiProbe(s: SparkSession, emb: DataFrame, queryId: Long,
+      k: Int, nPlanes: Int, radius: Int, tables: Int): DataFrame = {
+    val qRow = emb.filter(col("vec_id") === queryId)
+    multiProbeCandidates(s, emb, queryId, nPlanes, radius, tables)
+      .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
       .crossJoin(broadcast(qRow.select(col("embedding").as("qe"))))
       .select(col("vec_id"),
         VectorFunctions.cosineSim(s, col("embedding"), col("qe")).as("cosine"))
@@ -507,6 +539,38 @@ object Similarity {
           .select(col("vec_id"),
             round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("qcosine"))
           .orderBy(col("qcosine").desc, col("vec_id").asc)
+          .limit(TOP_K)
+      }),
+
+    // E10 — multi-probe multi-table ANN (the high-plane-count production
+    // LSH shape): 2 independent 8-plane tables, probe radius 1 (query
+    // bucket + every 1-bit flip, 9 probes per table), candidates =
+    // union-distinct across tables, exact-decimal rank on the candidate
+    // set only. Buckets come from the fused native LshBucket expression;
+    // its bucket-for-bucket agreement with the exact-DECIMAL oracle tier
+    // is the asserted e2/e3 invariant (SimilaritySpec).
+    Q("e10_multiprobe_ann",
+      Some(s"""WITH ${multiBucketCtes(N_PLANES, 2)},
+              |flips(f) AS (VALUES ${(0L +: (0 until N_PLANES).map(1L << _))
+                .map(f => s"($f)").mkString(", ")}),
+              |probes AS (SELECT b.t, xor(b.bucket, f.f) AS bucket
+              |           FROM bkt2 b CROSS JOIN flips f WHERE b.vec_id = $QUERY_ID),
+              |cand10 AS (SELECT DISTINCT b.vec_id
+              |           FROM bkt2 b JOIN probes p ON p.t = b.t AND p.bucket = b.bucket),
+              |${cosineCte(QUERY_ID)}
+              |SELECT c.vec_id, s.cosine FROM cand10 c JOIN cs s ON s.vec_id = c.vec_id
+              |ORDER BY s.cosine DESC, c.vec_id LIMIT $TOP_K""".stripMargin),
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        multiProbeCandidates(s, emb, QUERY_ID, N_PLANES, radius = 1, tables = 2)
+          .join(emb.select("vec_id", "embedding"), Seq("vec_id"))
+          .crossJoin(broadcast(emb.filter(col("vec_id") === QUERY_ID)
+            .select(col("embedding").as("qe"))))
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       })
   )
