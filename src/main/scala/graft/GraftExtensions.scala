@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.ExpressionInfo
-import graft.functions.{VectorAvg, VectorFunctions}
+import graft.functions.{MinHashSigs, VectorAvg, VectorFunctions}
 
 /** SparkSessionExtensions entry point — wires the library's native
   * Catalyst expressions into any session at build time:
@@ -35,6 +35,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("lsh_bucket"),
       new ExpressionInfo(classOf[VectorFunctions.LshBucket].getName, "lsh_bucket"),
       VectorFunctions.lshBucketBuilder _))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      VectorFunctions.minhashSigsBuilder _))
     ext.injectFunction((
       FunctionIdentifier("vector_avg"),
       new ExpressionInfo(classOf[VectorAvg].getName, "vector_avg"),

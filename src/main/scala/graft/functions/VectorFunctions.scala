@@ -193,6 +193,22 @@ object VectorFunctions {
       exprs => VectorAvg(exprs.head).toAggregateExpression(), "built-in"))
     ifMissing("lsh_bucket")(
       reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "built-in"))
+    ifMissing("minhash_sigs")(
+      reg.createOrReplaceTempFunction("minhash_sigs", minhashSigsBuilder, "built-in"))
+  }
+
+  /** Registry builder: k arrives as a foldable int literal. */
+  def minhashSigsBuilder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 2, s"minhash_sigs expects 2 arguments, got ${exprs.length}")
+    val kExpr = exprs(1)
+    require(kExpr.foldable && kExpr.dataType == IntegerType,
+      s"minhash_sigs width must be a foldable int, got $kExpr")
+    MinHashSigs(exprs.head, kExpr.eval().asInstanceOf[Int])
+  }
+
+  def minhashSigs(spark: SparkSession, toks: Column, k: Int): Column = {
+    register(spark)
+    call_function("minhash_sigs", toks, lit(k))
   }
 
   def vectorAvg(spark: SparkSession, a: Column): Column = {

@@ -173,22 +173,25 @@ object Dedup {
               |FROM sh GROUP BY doc_id ORDER BY doc_id""".stripMargin)
       },
       (s, d) => {
-        // explode + grouped mins: the shingle string is built and
-        // hashed ONCE per (doc, shingle) row — a fused array_min form
-        // would recompute the shingle array per signature column after
-        // CollapseProject inlining (measured 4× slower)
-        // token array materialized before the shingle lambda — an
-        // inlined split re-evaluates inside every element_at (the d10
-        // lesson: 3 splits per position per row otherwise)
-        val exploded = T.documents(s, d)
+        // ONE fused pass per row (MinHashSigs): all K mins computed
+        // from the shingle array with no explode inflation and NO
+        // shuffle at all — signatures are a per-row map-side value, the
+        // way a 100 TB run stores them. The shingle array is
+        // materialized as a named column first (the lambda-CSE lesson),
+        // and `sigs`/`sh` are fanned out in a SEPARATE projection:
+        // CollapseProject keeps multi-referenced non-cheap aliases
+        // un-inlined, so each is computed once (plan-asserted in
+        // PlanQualitySpec).
+        val sigs = T.documents(s, d)
           .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 3)
-          .select(col("doc_id"), explode(shingles(col("ts"), 3)).as("sh"))
-        val sigAggs = (0 until K_SIG).map(i =>
-          min(md5(concat(lit(s"$i:"), col("sh")))).as(s"sig$i"))
-        exploded.groupBy("doc_id")
-          .agg(sigAggs.head, sigAggs.tail :+
-            count_distinct(col("sh")).as("n_shingles"): _*)
+          .select(col("doc_id"), shingles(col("ts"), 3).as("sh"))
+          .select(col("doc_id"),
+            graft.functions.VectorFunctions.minhashSigs(s, col("sh"), K_SIG).as("sigs"),
+            size(array_distinct(col("sh"))).cast("long").as("n_shingles"))
+        sigs.select(col("doc_id") +:
+          (0 until K_SIG).map(i => element_at(col("sigs"), i + 1).as(s"sig$i")) :+
+          col("n_shingles"): _*)
           .orderBy("doc_id")
       }),
 
@@ -418,15 +421,26 @@ object Dedup {
     require(k % bands == 0, "signature width must divide evenly into bands")
     val rows = k / bands
     val toks = docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("tks"))
-    // signatures via explode + grouped mins (hash each token once)
-    val sigAggs = (0 until k).map(i =>
-      min(md5(concat(lit(s"$i:"), col("tk")))).as(s"s$i"))
-    val sig = toks.select(col("id"), explode(col("tks")).as("tk"))
-      .groupBy("id").agg(sigAggs.head, sigAggs.tail: _*)
+    // ONE fused per-row pass (MinHashSigs) computes all k mins — the
+    // explode + grouped-min form shuffled every (doc, token) row just to
+    // rebuild per-doc state the row already had. `sigs` is an alias
+    // referenced k times by the band hashes below; CollapseProject keeps
+    // multi-referenced non-cheap aliases un-inlined, so the signature
+    // pass runs once per row (plan-asserted in PlanQualitySpec).
+    val sig = toks.select(col("id"),
+      graft.functions.VectorFunctions.minhashSigs(
+        docs.sparkSession, col("tks"), k).as("sigs"))
     // band join carries ONLY (band_hash, id) — never the token arrays.
     // Shuffle width is 2 slim columns regardless of document size.
+    // The explicit repartition on bh is the single materialization
+    // point: boundedSelfPairs consumes `banded` through several DAG
+    // branches (bucket sizing + both pair sides), and without a common
+    // Exchange each branch would re-run the whole signature pass over
+    // the corpus — ReuseExchange collapses them onto one computation,
+    // and every downstream consumer needs hash(bh) partitioning anyway.
     val banded = sig.select(col("id"),
-      explode(bandHashes((0 until k).map(i => col(s"s$i")), rows)).as("bh"))
+      explode(bandHashes((1 to k).map(i => element_at(col("sigs"), i)), rows)).as("bh"))
+      .repartition(col("bh"))
     val cand = Skew.boundedSelfPairs(banded, "bh", "id", maxBucket)
       .select("d1", "d2").distinct()
     // exact-Jaccard verification: attach token sets to the (much

@@ -63,8 +63,14 @@ object Skew {
   def boundedSelfPairs(items: DataFrame, bucketCol: String, idCol: String,
       maxBucket: Int): DataFrame = {
     require(maxBucket >= 2, s"maxBucket must be ≥ 2, got $maxBucket")
-    val sz = items.groupBy(col(bucketCol).as("_bk"))
-      .agg(count(lit(1)).as("_n"))
+    // count(_id), not count(1): ids are non-null by contract, so the
+    // counts are identical — but requiring _id keeps column pruning
+    // from shrinking this branch's scan below what the pair branches
+    // read, so all three consume ONE identical (reused) exchange when
+    // the caller materializes `items` behind a repartition (d4 does:
+    // its upstream is a full MinHash pass worth computing exactly once)
+    val sz = items.select(col(bucketCol).as("_bk"), col(idCol).as("_id"))
+      .groupBy("_bk").agg(count(col("_id")).as("_n"))
     val t = items.select(col(bucketCol).as("_bk"), col(idCol).as("_id"))
       .join(sz, Seq("_bk"))
       .withColumn("_m", ceil(col("_n").cast("double") / maxBucket).cast("long"))

@@ -120,6 +120,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(plan("d10_contamination").contains("BroadcastHashJoin"))
   }
 
+  test("d3_minhash_signature: ONE fused signature pass, no shuffle before the sort") {
+    val p = plan("d3_minhash_signature")
+    val occurrences = "minhash_sigs".r.findAllIn(p).length
+    assert(occurrences == 1,
+      s"minhash_sigs inlined $occurrences times (CollapseProject fan-out):\n$p")
+    // signatures are per-row now — no explode+groupBy aggregation left
+    assert(!p.contains("HashAggregate"), s"aggregate crept back into d3:\n$p")
+  }
+
+  test("d4_minhash_lsh_pairs: one executed signature pass (branches reuse the bh exchange)") {
+    // boundedSelfPairs consumes `banded` through several DAG branches;
+    // the repartition(bh) is the shared materialization point and AQE
+    // stage reuse collapses the branches at runtime — so judge the
+    // FINAL adaptive plan, not the pre-execution sketch
+    val df = SparkEntry.queries("d4_minhash_lsh_pairs")(spark, sf)
+    df.collect()
+    // judge only the executed section (the trailing "== Initial Plan =="
+    // dump is the pre-reuse sketch)
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    val computed = "minhash_sigs".r.findAllIn(p).length
+    assert(computed == 1,
+      s"signature pass executed $computed times (exchange not reused):\n$p")
+  }
+
   test("e9_sq8_topk: bounds and query broadcast; rank is an aggregation, not a window") {
     val p = plan("e9_sq8_topk")
     assert(p.contains("BroadcastHashJoin"), p)

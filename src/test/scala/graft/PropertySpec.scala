@@ -150,6 +150,32 @@ class PropertySpec extends AnyFunSuite {
       "no reliable checkpoint state was written under the checkpoint dir")
   }
 
+  test("fused MinHashSigs equals the md5 aggregate form on arbitrary token arrays") {
+    import org.apache.spark.sql.functions._
+    // the parity contract: element i of minhash_sigs(toks, k) ==
+    // min(md5('i:'||tok)) over non-null toks — raw-digest unsigned
+    // comparison picks the same minimum as lexicographic hex compare
+    val k = 16
+    val tokGen = Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)), Gen.const(""), Gen.const("düp £x")))
+    val docs = (1 to 40).map(i => (i.toLong, sample(tokGen, 7000 + i).toArray))
+    val df = spark.createDataFrame(docs).toDF("id", "toks")
+      .filter(size(col("toks")) >= 1)
+    val fused = df.select(col("id"),
+      graft.functions.VectorFunctions.minhashSigs(spark, col("toks"), k).as("sigs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    val aggRows = df.select(col("id"), explode(col("toks")).as("tk"))
+      .groupBy("id")
+      .agg(min(md5(concat(lit("0:"), col("tk")))).as("s0"),
+        (1 until k).map(i =>
+          min(md5(concat(lit(s"$i:"), col("tk")))).as(s"s$i")): _*)
+      .collect().map(r => r.getLong(0) -> (0 until k).map(i => r.getString(i + 1))).toMap
+    assert(fused.keySet == aggRows.keySet)
+    fused.foreach { case (id, sigs) =>
+      assert(sigs == aggRows(id), s"doc $id fused/aggregate signature mismatch")
+    }
+  }
+
   test("bloom sketch: no false negatives across partial-merge shapes; bounded false positives") {
     import graft.functions.BloomSketch
     val hashGen = Gen.listOfN(2000, Gen.long)
