@@ -603,6 +603,99 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  /** First-class predicate DELETE (reference: `Olist DW.sql:183-184,
+    * 287-292` runs DELETE twice during the build): removes the rows
+    * where `predicate` is TRUE and commits through the manifest with its
+    * own `delete` op stamp.
+    *
+    * File-level surgery, not a table rewrite:
+    *  - `hint` ranges (optional) bound the probe with the manifest's
+    *    per-file stats/blooms, exactly like [[scan]] — files the stats
+    *    prove clean are never even OPENED. The hint must be implied by
+    *    the predicate (every matching row falls inside the ranges);
+    *    rows outside it are silently kept, same contract as a partition
+    *    predicate on a production DELETE.
+    *  - one columnar probe over the candidate files (reading only the
+    *    predicate's columns) counts matched vs total rows per file;
+    *  - files with NO matching rows survive byte-identical in the new
+    *    snapshot; files where EVERY row matches are dropped with no
+    *    rewrite at all (the partition-aligned delete costs zero data
+    *    I/O); only files that straddle the predicate are rewritten
+    *    minus their matching rows, clustering re-applied.
+    *
+    * SQL NULL semantics: rows where the predicate evaluates NULL are
+    * KEPT (only TRUE deletes). The predicate must be deterministic — it
+    * is evaluated in both the probe and the rewrite.
+    *
+    * Change-feed behavior (defined, not implicit): a delete commit is a
+    * REWRITE, so [[tableChanges]] windows that cross it refuse loudly —
+    * file-level diffs would misreport surviving rows as inserts;
+    * consumers re-read the snapshot. Row-level deletion vectors / change
+    * files are the production extension, intentionally out of scope.
+    *
+    * Returns the per-class file counts and the number of rows removed.
+    * A no-match delete leaves the table version unchanged (no commit). */
+  def delete(name: String, predicate: org.apache.spark.sql.Column,
+      hint: Seq[ColRange] = Nil): Warehouse.DeleteResult = {
+    require(database.isEmpty, "delete applies to path-mode tables only")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"delete: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      val parts = partitionColsOf(name)
+      require(fromFiles(name, files.map(_.path), sc)
+          .select(predicate.as("__p")).queryExecution.analyzed
+          .expressions.forall(_.deterministic),
+        "delete predicate must be deterministic (it runs in the probe and the rewrite)")
+      val cands = candidates(files, sc, hint).map(_.path)
+      val probe =
+        if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else fromFiles(name, cands, sc)
+          .groupBy(input_file_name().as("__file"))
+          .agg(count(lit(1)).as("__total"),
+            count(when(predicate, lit(1))).as("__matched"))
+          .filter(col("__matched") > 0)
+          .collect()
+      // map probed URIs back to manifest-relative paths by suffix; a
+      // file we KNOW holds matching rows but cannot name would silently
+      // survive the delete — that direction must be loud
+      val matched: Map[String, (Long, Long)] = probe.map { r =>
+        val uri = r.getString(0)
+        val rel = cands.find(m => uri.endsWith("/" + m)).getOrElse(
+          throw new IllegalStateException(
+            s"delete: cannot resolve probed file $uri back to a manifest path"))
+        rel -> (r.getLong(1), r.getLong(2))
+      }.toMap
+      if (matched.isEmpty)
+        Warehouse.DeleteResult(0L, 0, 0, files.size)
+      else {
+        val droppedWhole = matched.collect {
+          case (p, (tot, m)) if m == tot => p }.toSet
+        val rewrite = matched.keySet -- droppedWhole
+        val rowsDeleted = matched.valuesIterator.map(_._2).sum
+        val rewritten =
+          if (rewrite.isEmpty) Nil
+          else {
+            // keep rows where the predicate is FALSE or NULL; the files
+            // being read stay physically present until vacuum, so the
+            // lazy read is safe to rewrite from (same reasoning as
+            // compact)
+            val keep = fromFiles(name, rewrite.toSeq, sc)
+              .filter(!(predicate <=> lit(true)))
+            stageWrite(name, clustered(name, keep, parts), parts)
+          }
+        val untouched = files.filterNot(f =>
+          droppedWhole.contains(f.path) || rewrite.contains(f.path))
+        commitManifest(name, untouched ++ rewritten, op = "delete")
+        Warehouse.DeleteResult(rowsDeleted, droppedWhole.size, rewrite.size,
+          untouched.size)
+      }
+    }
+  }
+
   private def withDynamicOverwrite[T](f: => T): T = {
     val key = "spark.sql.sources.partitionOverwriteMode"
     val prev = spark.conf.getOption(key)
@@ -1590,6 +1683,13 @@ object Warehouse {
   /** One entry of a table's commit [[Warehouse.history]]. */
   final case class Commit(version: Long, op: String,
       committedAt: String, files: Int)
+
+  /** Outcome of a predicate [[Warehouse.delete]]: rows removed, files
+    * dropped whole (every row matched — zero rewrite I/O), files
+    * rewritten without their matching rows, files untouched
+    * (byte-identical in the new snapshot). */
+  final case class DeleteResult(rowsDeleted: Long, filesDropped: Int,
+      filesRewritten: Int, filesUntouched: Int)
 }
 
 /** F6 — SQL Server's default collation is case-insensitive; Spark is

@@ -345,6 +345,64 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.tableChanges("t", 4, 5).collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  test("delete: untouched files stay byte-identical; whole-match files drop without rewrite") {
+    val dir = tmp("wh_del")
+    val wh = new Warehouse(spark, dir)
+    // 4 single-file partitions with disjoint k ranges (deterministic
+    // layout: b = k / 1000 is the partition value), clustered on k so
+    // the manifest stats admit pruning
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))
+    val root = java.nio.file.Paths.get(dir, "t")
+    def fileDigests(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fileDigests()
+    // b=1 covers k in [1000,2000): delete its whole range (dropped
+    // whole, no rewrite) plus a sliver of b=2 (rewritten); hint
+    // bounds the probe to the two files via the manifest stats
+    val res = wh.delete("t", col("k") >= 1000L && col("k") < 2100L,
+      hint = Seq(Warehouse.ColRange("k", Some(1000L), Some(2099L))))
+    assert(res.rowsDeleted == 1100, res.toString)
+    assert(res.filesDropped == 1, res.toString)
+    assert(res.filesRewritten == 1, res.toString)
+    assert(res.filesUntouched == 2, res.toString)
+    // the two untouched files are byte-identical on disk
+    val after = fileDigests()
+    val common = before.keySet intersect after.keySet
+    assert(common.size >= 2, s"expected >=2 surviving original files, got $common")
+    common.foreach(p => assert(before(p) == after(p), s"$p changed bytes"))
+    // rows: exactly the predicate's complement
+    val got = wh.table("t").agg(count(lit(1)), sum("k")).collect()(0)
+    assert(got.getLong(0) == 2900)
+    assert(got.getLong(1) == (0L until 4000L).filterNot(k => k >= 1000 && k < 2100).sum)
+    // history carries the op stamp; the change feed refuses to cross it
+    assert(wh.history("t").last.op == "delete")
+    val ex = intercept[IllegalArgumentException] { wh.tableChanges("t", 1, 2).count() }
+    assert(ex.getMessage.contains("rewrite"))
+    // NULL-predicate rows are kept (SQL DELETE semantics)
+    import spark.implicits._
+    wh.save("n", Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"), (3L, "z"))
+      .toDF("k", "v").coalesce(1))
+    val rn = wh.delete("n", col("k") > 0L)
+    assert(rn.rowsDeleted == 2 && wh.table("n").count() == 1)
+    assert(wh.table("n").select("v").as[String].collect().toSeq == Seq("y"))
+    // no-match delete: no commit, version unchanged
+    val v = wh.tableVersions("n").last
+    val r0 = wh.delete("n", col("k") === 999L)
+    assert(r0.rowsDeleted == 0 && wh.tableVersions("n").last == v)
+  }
+
   test("recluster: re-layout turns an unskippable table into a skipping one") {
     import spark.implicits._
     val dir = tmp("wh_recl")
