@@ -968,6 +968,25 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  /** Continuous read half of CDC: a Structured Streaming DataFrame over
+    * this table's commit feed — each committed append version becomes a
+    * micro-batch of exactly its added rows (offsets ARE manifest
+    * versions; see [[graft.streaming.ChangeFeedSource]]). Pair with
+    * `streamInto`/`streamMergeInto` on the write side for an
+    * exactly-once table-to-table pipeline. `startingVersion` is
+    * exclusive: 0 replays the full append history as the first batch;
+    * pass the current head for changes-from-now. */
+  def readChangeStream(name: String, startingVersion: Long = 0L): DataFrame = {
+    require(database.isEmpty, "readChangeStream applies to path-mode tables only")
+    spark.readStream
+      .format(classOf[graft.streaming.ChangeFeedProvider].getName)
+      .option("path", basePath)
+      .option("table", name)
+      .option("format", format)
+      .option("startingVersion", startingVersion.toString)
+      .load()
+  }
+
   /** Re-declare the table's layout (cluster columns, z-order, bloom
     * columns) and rewrite the data to match — the OPTIMIZE/recluster
     * command. The new spec commits with the compaction rewrite, so

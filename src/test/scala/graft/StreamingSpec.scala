@@ -52,6 +52,60 @@ class StreamingSpec extends AnyFunSuite {
       s"restart reprocessed input: ${Option(progress).map(_.numInputRows)}")
   }
 
+  test("change-feed source: live stream consumes commits exactly once across a restart") {
+    import graft.olist.Warehouse
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_cdcstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wh_cdcstream_ckpt").toString
+    val wh = new Warehouse(spark, dir)
+    wh.save("src", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))    // v1
+    wh.save("snk", Seq.empty[(Long, String)].toDF("k", "v"))
+    def start(trigger: Trigger) = wh.readChangeStream("src").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(trigger)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        wh.appendStreamBatch("snk", batch, id, "cdc"); ()
+      }
+      .start()
+    def sinkKeys() = wh.table("snk").select("k").as[Long].collect().sorted.toSeq
+    def await(expect: Seq[Long], q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val deadline = System.currentTimeMillis + 120000
+      while (sinkKeys() != expect && System.currentTimeMillis < deadline) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        Thread.sleep(100)
+      }
+      assert(sinkKeys() == expect, s"sink=${sinkKeys()} expected=$expect")
+    }
+    // phase 1: LIVE stream — the bootstrap batch, then commits landing
+    // while the query runs are each delivered as their own micro-batch
+    val q1 = start(Trigger.ProcessingTime(100))
+    await(Seq(1L, 2L), q1)
+    wh.append("src", Seq((3L, "c")).toDF("k", "v").coalesce(1))             // v2
+    await(Seq(1L, 2L, 3L), q1)
+    wh.append("src", Seq((4L, "d"), (5L, "e")).toDF("k", "v").coalesce(1))  // v3
+    await(Seq(1L, 2L, 3L, 4L, 5L), q1)
+    q1.stop()
+    // phase 2: commits land while the stream is DOWN; the restarted
+    // query picks up from the checkpointed version — nothing replayed,
+    // nothing missed (appendStreamBatch's mark would dedupe an engine
+    // replay of the last batch; exact row multiset proves exactly-once)
+    wh.append("src", Seq((6L, "f")).toDF("k", "v").coalesce(1))             // v4
+    val q2 = start(Trigger.AvailableNow())
+    q2.awaitTermination(120000)
+    assert(q2.exception.isEmpty, q2.exception.map(_.toString).getOrElse(""))
+    assert(sinkKeys() == Seq(1L, 2L, 3L, 4L, 5L, 6L))
+    // and the feed refuses to stream across a rewrite, loudly
+    wh.compact("src")                                                       // v5
+    wh.append("src", Seq((7L, "g")).toDF("k", "v").coalesce(1))             // v6
+    val q3 = start(Trigger.AvailableNow())
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q3.awaitTermination(120000)
+    }
+    assert(ex.getMessage.contains("rewrite"),
+      s"stream crossed a compact commit without refusing: ${ex.getMessage}")
+  }
+
   test("streaming sessionization carries state across micro-batches and flushes by timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
