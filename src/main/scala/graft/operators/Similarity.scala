@@ -208,6 +208,67 @@ object Similarity {
       .limit(k)
   }
 
+  // ---------------------------------------------------------------
+  // SQ8 stored-code index (the production shape of e9): quantize ONCE
+  // into a byte-array column + a one-row bounds table, rank from codes.
+
+  /** Per-dim quantization bounds packed into ONE broadcastable row
+    * (mns: array<double>, mxs: array<double>) — the "64-row bounds
+    * table" of an SQ8 index, built in a single pass. */
+  def sq8Bounds(emb: DataFrame): DataFrame =
+    emb.select(posexplode(col("embedding")).as(Seq("p0", "xf")))
+      .select(col("p0"), col("xf").cast("double").as("x"))
+      .groupBy("p0").agg(min("x").as("mn"), max("x").as("mx"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("p0"), col("mn"), col("mx")))).as("pk"))
+      .select(transform(col("pk"), _.getField("mn")).as("mns"),
+        transform(col("pk"), _.getField("mx")).as("mxs"))
+
+  /** The stored codes: every dimension compressed to one byte against
+    * its global [mn,mx] — `floor((x-mn)/(mx-mn)*255 + 0.5)` (half-up,
+    * the deterministic e9 quantizer), shifted by -128 into a signed
+    * byte. 4× memory cut per float32; this is the column a 100 TB
+    * deployment persists (see SimilaritySpec's warehouse round-trip). */
+  def sq8Codes(emb: DataFrame, bounds: DataFrame): DataFrame =
+    emb.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        transform(col("embedding"), (xf, i) => {
+          val x = xf.cast("double")
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          (when(mx > mn, floor((x - mn) / (mx - mn) * 255 + 0.5))
+            .otherwise(lit(0.0)).cast("int") - 128).cast("byte")
+        }).as("codes"))
+
+  /** Ranking FROM the stored codes — the query path that never touches
+    * the float corpus: dequantize each code row against the broadcast
+    * bounds (per-row, inside codegen; `mn + code·(mx-mn)/255` — the
+    * identical double expression the oracle renders) and rank by
+    * exact-decimal cosine. No positional explode of the corpus, no
+    * vec_id aggregation, no shuffle of vectors: scan → per-row score →
+    * TakeOrderedAndProject (plan-asserted). */
+  def sq8RankFromCodes(codes: DataFrame, bounds: DataFrame,
+      queryId: Long, k: Int): DataFrame = {
+    // dq materialized as a named column: dot and norm both reference it,
+    // and CollapseProject keeps multi-referenced non-cheap aliases
+    // un-inlined (the lambda-CSE lesson)
+    val deq = codes.crossJoin(broadcast(bounds))
+      .select(col("vec_id"),
+        transform(col("codes"), (c, i) => {
+          val mn = element_at(col("mns"), i + 1)
+          val mx = element_at(col("mxs"), i + 1)
+          mn + (c.cast("int") + 128).cast("double") * (mx - mn) / 255
+        }).as("dq"))
+    val q = deq.filter(col("vec_id") === queryId).select(col("dq").as("qdq"))
+    deq.crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("dq"), col("qdq")) /
+          (VectorFunctions.normExact(col("dq")) *
+            VectorFunctions.normExact(col("qdq"))), 12).as("qcosine"))
+      .orderBy(col("qcosine").desc, col("vec_id").asc)
+      .limit(k)
+  }
+
   /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
     * only from shared LSH buckets, exact-decimal cosine verification.
     * Shared by d7 (pair listing) and d8 (component resolution).
@@ -540,6 +601,41 @@ object Similarity {
             round(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))), 12).as("qcosine"))
           .orderBy(col("qcosine").desc, col("vec_id").asc)
           .limit(TOP_K)
+      }),
+
+    // E11 — SQ8 ranking over STORED codes (e9's own documented scale
+    // story made real): quantize once into byte codes + a one-row
+    // bounds table, then the query path touches ONLY codes and bounds —
+    // per-row dequantize inside codegen, no positional corpus explode,
+    // no vec_id aggregation, no shuffle of vectors. Scores are
+    // bit-identical to e9 (same floor/half-up quantizer, same double
+    // dequant expression, exact-decimal accumulation), so the oracle's
+    // integer-code CTE reproduces the ranking exactly.
+    Q("e11_sq8_stored_topk",
+      Some(s"""WITH ex11 AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+              |                     unnest(range(1, len(embedding) + 1)) AS j
+              |              FROM embeddings),
+              |bounds AS (SELECT j, min(x) AS mn, max(x) AS mx FROM ex11 GROUP BY j),
+              |codes AS (SELECT e.vec_id, e.j,
+              |            CASE WHEN b.mx > b.mn
+              |                 THEN cast(floor((e.x - b.mn) / (b.mx - b.mn) * 255 + 0.5) as int)
+              |                 ELSE 0 END AS code
+              |          FROM ex11 e JOIN bounds b ON b.j = e.j),
+              |dq AS (SELECT c.vec_id, c.j,
+              |              b.mn + c.code * (b.mx - b.mn) / 255 AS v
+              |       FROM codes c JOIN bounds b ON b.j = c.j),
+              |qd AS (SELECT j, v AS qv FROM dq WHERE vec_id = $QUERY_ID),
+              |sc AS (SELECT d.vec_id,
+              |         cast(sum(cast(d.v * q.qv as decimal(38,20))) as double) AS dot,
+              |         cast(sum(cast(d.v * d.v as decimal(38,20))) as double) AS na,
+              |         cast(sum(cast(q.qv * q.qv as decimal(38,20))) as double) AS nb
+              |       FROM dq d JOIN qd q ON q.j = d.j GROUP BY d.vec_id)
+              |SELECT vec_id, round(dot / (sqrt(na) * sqrt(nb)), 12) AS qcosine
+              |FROM sc ORDER BY qcosine DESC, vec_id LIMIT $TOP_K""".stripMargin),
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val bounds = sq8Bounds(emb)
+        sq8RankFromCodes(sq8Codes(emb, bounds), bounds, QUERY_ID, TOP_K)
       }),
 
     // E10 — multi-probe multi-table ANN (the high-plane-count production

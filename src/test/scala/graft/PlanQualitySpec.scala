@@ -144,6 +144,17 @@ class PlanQualitySpec extends AnyFunSuite {
       s"signature pass executed $computed times (exchange not reused):\n$p")
   }
 
+  test("e11_sq8_stored_topk: rank path never shuffles the corpus by vec_id") {
+    val p = plan("e11_sq8_stored_topk")
+    // e9's rank was a grouped aggregation over the 64× positional form;
+    // the stored-code path scores per row — the only exchanges are the
+    // 64-row bounds aggregation and broadcasts
+    assert(!p.contains("hashpartitioning(vec_id"),
+      s"vec_id shuffle crept into the stored-code rank:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("BroadcastExchange"), p)
+  }
+
   test("e9_sq8_topk: bounds and query broadcast; rank is an aggregation, not a window") {
     val p = plan("e9_sq8_topk")
     assert(p.contains("BroadcastHashJoin"), p)

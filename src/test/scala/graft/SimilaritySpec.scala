@@ -191,4 +191,33 @@ class SimilaritySpec extends AnyFunSuite {
     assert(sq8rows.head.getAs[Long]("vec_id") == 0L)
     assert(math.abs(sq8rows.head.getAs[Double]("qcosine") - 1.0) < 1e-3)
   }
+
+  test("sq8 stored codes: warehouse round-trip ranks identically; codes are bytes") {
+    import graft.olist.Warehouse
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val bounds = Similarity.sq8Bounds(emb)
+    val codes = Similarity.sq8Codes(emb, bounds)
+    // codes really are the compact stored form: array<tinyint>, dim-wide
+    assert(codes.schema("codes").dataType.asInstanceOf[
+      org.apache.spark.sql.types.ArrayType].elementType ==
+      org.apache.spark.sql.types.ByteType)
+    val direct = Similarity.sq8RankFromCodes(codes, bounds, 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // quantize ONCE into the warehouse; the query path reads ONLY the
+    // stored codes + bounds tables (the e9 scale story made real)
+    val dir = java.nio.file.Files.createTempDirectory("wh_sq8").toString
+    val wh = new Warehouse(spark, dir)
+    wh.save("emb_sq8_codes", codes)
+    wh.save("emb_sq8_bounds", bounds)
+    val stored = Similarity.sq8RankFromCodes(
+      wh.table("emb_sq8_codes"), wh.table("emb_sq8_bounds"), 0L, 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(stored == direct, s"stored-code rank drifted:\n$stored\nvs\n$direct")
+    // and the stored path preserves e9-grade recall vs the exact rank
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((exact intersect stored.map(_._1).toSet).size >= 8)
+    assert(stored.head._1 == 0L && math.abs(stored.head._2 - 1.0) < 1e-3)
+  }
 }
