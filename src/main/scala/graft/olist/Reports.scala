@@ -45,6 +45,22 @@ object Reports {
       .orderBy(col("total_units").desc, col("seller_id").asc)
       .limit(5)
 
+  /** [[topSellersByUnitsDw]] over a stats-pruned warehouse scan: the
+    * fact is clustered by date_key, so the manifest's per-file min/max
+    * lets [[Warehouse.scan]] drop every fact file outside the year
+    * BEFORE reading — at 100 TB partition pruning picks the `year=`
+    * directories and this layer picks the files inside them. Identical
+    * rows to the unpruned report (residual filter keeps scans exact);
+    * pair with [[Warehouse.scanFileCounts]] for the files-read/total
+    * observability the ScaleBench line reports. */
+  def yearRange(yr: Int): Warehouse.ColRange =
+    Warehouse.ColRange("date_key", Some(yr * 10000 + 101), Some(yr * 10000 + 1231))
+
+  def topSellersByUnitsDwPruned(wh: Warehouse, sellers: DataFrame,
+      yr: Int): DataFrame =
+    topSellersByUnitsDw(wh.scan("orders_fact", yearRange(yr)),
+      wh.table("time_period"), sellers, yr)
+
   /** OLTP top-5 sellers by revenue (Olist DW.sql:241-250). */
   def topSellersByRevenueOltp(orders: DataFrame, orderItems: DataFrame,
       sellers: DataFrame, yr: Int): DataFrame =

@@ -147,6 +147,12 @@ object ScaleBench {
       src("products"), src("category"), src("sellers"), 2018).collect())
     val (_, t2) = time(Reports.topSellersByUnitsDw(wh.table("orders_fact"),
       wh.table("time_period"), src("sellers"), 2018).collect())
+    // the same report through the file-skipping layer: manifest stats on
+    // the date_key clustering drop out-of-year fact files before the read
+    val (_, t2p) = time(Reports.topSellersByUnitsDwPruned(
+      wh, src("sellers"), 2018).collect())
+    val (factRead, factTotal) =
+      wh.scanFileCounts("orders_fact", Seq(Reports.yearRange(2018)))
     val (_, t3) = time(Reports.topSellersByRevenueOltp(src("orders"), src("order_items"),
       src("sellers"), 2018).collect())
     val (_, t4) = time(Reports.topSellersByRevenueDw(wh.table("orders_fact"),
@@ -157,7 +163,7 @@ object ScaleBench {
       wh.table("origin"), wh.table("time_period")).collect())
     val (incRows, tInc) = time(
       IncrementalLoad.run(wh, src, "2019-01-01", "2019-02-01").count())
-    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"incremental_rows":$incRows%d,"orders":$nOrders%d,"order_items":$nItems%d,"geolocation":$nGeo%d}""")
+    println(f"""{"metric":"olist_scale","build_s":$tBuild%.2f,"units_oltp_s":$t1%.2f,"units_dw_s":$t2%.2f,"units_dw_pruned_s":$t2p%.2f,"fact_files_read":$factRead%d,"fact_files_total":$factTotal%d,"revenue_oltp_s":$t3%.2f,"revenue_dw_s":$t4%.2f,"conv_oltp_s":$t5%.2f,"conv_dw_s":$t6%.2f,"incremental_s":$tInc%.2f,"incremental_rows":$incRows%d,"orders":$nOrders%d,"order_items":$nItems%d,"geolocation":$nGeo%d}""")
     spark.stop()
   }
 }

@@ -219,6 +219,12 @@ class TableLayoutSpec extends AnyFunSuite {
     val viaFilter = wh.table("orders_fact")
       .filter(col("date_key").between(20180101, 20181231)).count()
     assert(viaScan == viaFilter && viaScan > 0)
+    // the reference report through the pruned scan returns the same rows
+    val sellers = OlistFixtures.sources(spark)("sellers")
+    val pruned = Reports.topSellersByUnitsDwPruned(wh, sellers, 2018).collect().toSeq
+    val full = Reports.topSellersByUnitsDw(wh.table("orders_fact"),
+      wh.table("time_period"), sellers, 2018).collect().toSeq
+    assert(pruned == full && pruned.nonEmpty)
   }
 
   // ----- cross-process commit lock ----------------------------------
