@@ -627,11 +627,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     * KEPT (only TRUE deletes). The predicate must be deterministic — it
     * is evaluated in both the probe and the rewrite.
     *
-    * Change-feed behavior (defined, not implicit): a delete commit is a
-    * REWRITE, so [[tableChanges]] windows that cross it refuse loudly —
-    * file-level diffs would misreport surviving rows as inserts;
-    * consumers re-read the snapshot. Row-level deletion vectors / change
-    * files are the production extension, intentionally out of scope.
+    * Change-feed behavior: the removed rows are written as CHANGE FILES
+    * under `_graft_meta/changes/<table>/v<N>/` in the same transaction
+    * (orphaned harmlessly if the commit loses), so the row-level feed
+    * [[tableChangesRows]] can emit them as `delete` rows. The
+    * file-level [[tableChanges]] still refuses to cross a delete —
+    * file diffs cannot describe it.
     *
     * Returns the per-class file counts and the number of rows removed.
     * A no-match delete leaves the table version unchanged (no commit). */
@@ -689,11 +690,88 @@ class Warehouse(spark: SparkSession, basePath: String,
           }
         val untouched = files.filterNot(f =>
           droppedWhole.contains(f.path) || rewrite.contains(f.path))
+        // change files: the removed rows, staged under the version this
+        // commit will publish (we hold the lock, so current+1 is ours);
+        // one columnar pass over ONLY the matched files
+        val version = currentManifest(name).map(_._1).getOrElse(0L) + 1
+        fromFiles(name, matched.keySet.toSeq, sc)
+          .filter(predicate <=> lit(true))
+          .write.mode("overwrite").format(format).option("header", "true")
+          .save(changesDir(name, version).toString)
         commitManifest(name, untouched ++ rewritten, op = "delete")
         Warehouse.DeleteResult(rowsDeleted, droppedWhole.size, rewrite.size,
           untouched.size)
       }
     }
+  }
+
+  private def changesDir(name: String, version: Long) =
+    new org.apache.hadoop.fs.Path(
+      s"$basePath/_graft_meta/changes/$name/v$version")
+
+  /** Row-level change feed — the production extension of
+    * [[tableChanges]]: every row-visible commit in `(fromVersion,
+    * toVersion]` rendered as rows with a `_change_type` column.
+    *
+    *  - append-shaped commits → their added rows as `insert`
+    *  - `delete` commits → the change files written at commit time as
+    *    `delete`
+    *  - `compact` / `recluster` → NOTHING (they rewrite files but change
+    *    no row — the whole point of a row-level feed)
+    *  - rewrites that DO change rows without recording them (merge,
+    *    overwrite-partitions, restore, save-over) refuse loudly, as does
+    *    a pre-change-file delete commit
+    *
+    * Applying the feed in order to the `fromVersion` snapshot
+    * reproduces the `toVersion` snapshot as a multiset (spec-asserted).
+    * Delivery composes with [[consumeChanges]]-style checkpointing; the
+    * streaming source stays file-level (insert-only) by design. */
+  def tableChangesRows(name: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    require(database.isEmpty, "tableChangesRows applies to path-mode tables only")
+    require(fromVersion <= toVersion,
+      s"tableChangesRows: fromVersion $fromVersion > toVersion $toVersion")
+    val fs = metaFs
+    val sc = tableSchema(name)
+    val rowNeutral = Set("compact", "recluster")
+    def manifest(v: Long) = readManifestFile(
+      new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
+    val versions = tableVersions(name)
+      .filter(v => v > fromVersion && v <= toVersion)
+    var seen: Set[String] =
+      if (fromVersion == 0) Set.empty
+      else manifest(fromVersion)._1.map(_.path).toSet
+    val out = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    versions.foreach { v =>
+      val (vFiles, vMeta) = manifest(v)
+      val op = vMeta.getOrElse(OpMeta, "unknown")
+      val paths = vFiles.map(_.path).toSet
+      if (op == "delete") {
+        val dir = changesDir(name, v)
+        require(fs.exists(dir),
+          s"tableChangesRows: delete commit v$v of $name predates change " +
+            "files — re-read the snapshot")
+        out += spark.read.format(format).option("header", "true").schema(sc)
+          .load(dir.toString)
+          .withColumn("_change_type", lit("delete"))
+      } else if (rowNeutral.contains(op)) {
+        // file rewrite, identical rows: nothing to emit
+      } else {
+        val appendShaped = ((Set("append", "stream-append", "stream-merge",
+          "merge").contains(op) || (op == "save" && seen.isEmpty)) &&
+          seen.subsetOf(paths))
+        require(appendShaped,
+          s"tableChangesRows: version $v of $name is a '$op' rewrite with " +
+            "no recorded row changes; re-read the snapshot")
+        out += fromFiles(name, (paths -- seen).toSeq, sc)
+          .withColumn("_change_type", lit("insert"))
+      }
+      seen = paths
+    }
+    if (out.isEmpty)
+      fromFiles(name, Nil, sc).withColumn("_change_type", lit(""))
+        .filter(lit(false))
+    else out.reduce(_ unionByName _)
   }
 
   private def withDynamicOverwrite[T](f: => T): T = {
@@ -829,6 +907,8 @@ class Warehouse(spark: SparkSession, basePath: String,
         st.getPath.getName match {
           case ManifestName(ver) if ver.toLong < floor =>
             fs.delete(st.getPath, false)
+            // the version's row-level change files share its lifecycle
+            fs.delete(changesDir(name, ver.toLong), true)
           case _ => ()
         }
       }

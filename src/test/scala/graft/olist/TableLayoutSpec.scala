@@ -409,6 +409,40 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(r0.rowsDeleted == 0 && wh.tableVersions("n").last == v)
   }
 
+  test("tableChangesRows: row-level feed crosses deletes and compactions faithfully") {
+    import spark.implicits._
+    val dir = tmp("wh_cdfrows")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", (1L to 6L).map(k => (k, s"v$k")).toDF("k", "v").coalesce(2)) // v1
+    wh.append("t", Seq((7L, "v7"), (8L, "v8")).toDF("k", "v").coalesce(1))    // v2
+    val res = wh.delete("t", col("k") % 2 === 0)                              // v3
+    assert(res.rowsDeleted == 4)
+    wh.compact("t")                                                           // v4 (row-neutral)
+    wh.append("t", Seq((9L, "v9")).toDF("k", "v").coalesce(1))                // v5
+    val feed = wh.tableChangesRows("t", 0, 5)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    val inserts = feed.filter(_._2 == "insert").map(_._1).sorted
+    val deletes = feed.filter(_._2 == "delete").map(_._1).sorted
+    assert(inserts == (1L to 9L), s"inserts: $inserts")
+    assert(deletes == Seq(2L, 4L, 6L, 8L), s"deletes: $deletes")
+    // replaying the feed onto the empty v0 state reproduces the snapshot
+    val replayed = inserts.diff(deletes).sorted
+    val now = wh.table("t").select("k").as[Long].collect().sorted.toSeq
+    assert(replayed == now)
+    // a window over only the compact emits nothing (rows unchanged)
+    assert(wh.tableChangesRows("t", 3, 4).count() == 0)
+    // windows crossing a TRUE rewrite still refuse
+    wh.save("t", Seq((1L, "x")).toDF("k", "v"))                               // v6 save-over
+    val ex = intercept[IllegalArgumentException] {
+      wh.tableChangesRows("t", 5, 6).count()
+    }
+    assert(ex.getMessage.contains("rewrite"))
+    // vacuum below the retention floor reclaims change files with their
+    // manifests; the kept window still reads
+    wh.vacuum("t", 0L, 2)
+    assert(!new java.io.File(s"$dir/_graft_meta/changes/t/v3").exists())
+  }
+
   test("recluster: re-layout turns an unskippable table into a skipping one") {
     import spark.implicits._
     val dir = tmp("wh_recl")
