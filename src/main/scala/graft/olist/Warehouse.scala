@@ -592,6 +592,15 @@ class Warehouse(spark: SparkSession, basePath: String,
         val files = stageWrite(name, clustered(name, merged, parts), parts)
         val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
           .filterNot(f => prefixSet.contains(partitionPrefix(f.path)))
+        // row-level change files: the replaced pre-images leave, the
+        // delta rows arrive (a new key is a bare insert) — bounded by
+        // the delta, evaluated against the pre-commit snapshot
+        writeChangeFiles(name,
+          target.join(broadcast(deltaKeys), keys, "left_semi")
+            .select(target.columns.map(col): _*)
+            .withColumn(ChangeTypeCol, lit("delete"))
+          .unionByName(aligned.select(target.columns.map(col): _*)
+            .withColumn(ChangeTypeCol, lit("insert"))))
         commitManifest(name, keptFiles ++ files, extraMeta,
           op = if (mark.isDefined) "stream-merge" else "merge")
       } else if (extraMeta.nonEmpty)
@@ -693,11 +702,10 @@ class Warehouse(spark: SparkSession, basePath: String,
         // change files: the removed rows, staged under the version this
         // commit will publish (we hold the lock, so current+1 is ours);
         // one columnar pass over ONLY the matched files
-        val version = currentManifest(name).map(_._1).getOrElse(0L) + 1
-        fromFiles(name, matched.keySet.toSeq, sc)
-          .filter(predicate <=> lit(true))
-          .write.mode("overwrite").format(format).option("header", "true")
-          .save(changesDir(name, version).toString)
+        writeChangeFiles(name,
+          fromFiles(name, matched.keySet.toSeq, sc)
+            .filter(predicate <=> lit(true))
+            .withColumn(ChangeTypeCol, lit("delete")))
         commitManifest(name, untouched ++ rewritten, op = "delete")
         Warehouse.DeleteResult(rowsDeleted, droppedWhole.size, rewrite.size,
           untouched.size)
@@ -705,22 +713,39 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  private val ChangeTypeCol = "_change_type"
+
   private def changesDir(name: String, version: Long) =
     new org.apache.hadoop.fs.Path(
       s"$basePath/_graft_meta/changes/$name/v$version")
+
+  /** Stages a change frame (table columns + [[ChangeTypeCol]]) under the
+    * version the CURRENT commit-lock holder is about to publish. The
+    * change type is the partition column, so the files themselves carry
+    * only table rows and read back with the type parsed from the path.
+    * Orphaned harmlessly if the commit loses. */
+  private def writeChangeFiles(name: String, changes: DataFrame): Unit = {
+    val version = currentManifest(name).map(_._1).getOrElse(0L) + 1
+    changes.write.mode("overwrite").format(format).option("header", "true")
+      .partitionBy(ChangeTypeCol)
+      .save(changesDir(name, version).toString)
+  }
 
   /** Row-level change feed — the production extension of
     * [[tableChanges]]: every row-visible commit in `(fromVersion,
     * toVersion]` rendered as rows with a `_change_type` column.
     *
     *  - append-shaped commits → their added rows as `insert`
-    *  - `delete` commits → the change files written at commit time as
-    *    `delete`
+    *  - `delete` commits → the removed rows (change files written at
+    *    commit time) as `delete`
+    *  - `merge` / `stream-merge` commits → the replaced pre-image rows
+    *    as `delete` plus the delta rows as `insert` (an upsert of a new
+    *    key is a bare insert); mark-only empty batches emit nothing
     *  - `compact` / `recluster` → NOTHING (they rewrite files but change
     *    no row — the whole point of a row-level feed)
-    *  - rewrites that DO change rows without recording them (merge,
-    *    overwrite-partitions, restore, save-over) refuse loudly, as does
-    *    a pre-change-file delete commit
+    *  - rewrites that DO change rows without recording them
+    *    (overwrite-partitions, restore, save-over, pre-change-file
+    *    deletes/merges) refuse loudly
     *
     * Applying the feed in order to the `fromVersion` snapshot
     * reproduces the `toVersion` snapshot as a multiset (spec-asserted).
@@ -734,6 +759,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     val fs = metaFs
     val sc = tableSchema(name)
     val rowNeutral = Set("compact", "recluster")
+    val recorded = Set("delete", "merge", "stream-merge")
     def manifest(v: Long) = readManifestFile(
       new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
     val versions = tableVersions(name)
@@ -746,30 +772,30 @@ class Warehouse(spark: SparkSession, basePath: String,
       val (vFiles, vMeta) = manifest(v)
       val op = vMeta.getOrElse(OpMeta, "unknown")
       val paths = vFiles.map(_.path).toSet
-      if (op == "delete") {
+      if (recorded.contains(op)) {
         val dir = changesDir(name, v)
-        require(fs.exists(dir),
-          s"tableChangesRows: delete commit v$v of $name predates change " +
-            "files — re-read the snapshot")
-        out += spark.read.format(format).option("header", "true").schema(sc)
-          .load(dir.toString)
-          .withColumn("_change_type", lit("delete"))
+        if (fs.exists(dir))
+          out += spark.read.format(format).option("header", "true")
+            .schema(sc.add(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+            .load(dir.toString)
+        else require(paths == seen && op != "delete",
+          s"tableChangesRows: '$op' commit v$v of $name predates change " +
+            "files — re-read the snapshot") // mark-only commits change no rows
       } else if (rowNeutral.contains(op)) {
         // file rewrite, identical rows: nothing to emit
       } else {
-        val appendShaped = ((Set("append", "stream-append", "stream-merge",
-          "merge").contains(op) || (op == "save" && seen.isEmpty)) &&
-          seen.subsetOf(paths))
+        val appendShaped = ((Set("append", "stream-append").contains(op) ||
+          (op == "save" && seen.isEmpty)) && seen.subsetOf(paths))
         require(appendShaped,
           s"tableChangesRows: version $v of $name is a '$op' rewrite with " +
             "no recorded row changes; re-read the snapshot")
         out += fromFiles(name, (paths -- seen).toSeq, sc)
-          .withColumn("_change_type", lit("insert"))
+          .withColumn(ChangeTypeCol, lit("insert"))
       }
       seen = paths
     }
     if (out.isEmpty)
-      fromFiles(name, Nil, sc).withColumn("_change_type", lit(""))
+      fromFiles(name, Nil, sc).withColumn(ChangeTypeCol, lit(""))
         .filter(lit(false))
     else out.reduce(_ unionByName _)
   }

@@ -429,6 +429,21 @@ class TableLayoutSpec extends AnyFunSuite {
     val replayed = inserts.diff(deletes).sorted
     val now = wh.table("t").select("k").as[Long].collect().sorted.toSeq
     assert(replayed == now)
+    // MERGE records pre-image deletes + post-image inserts: upsert one
+    // existing key (5) and one new key (20) on a partitioned table
+    wh.save("m", Seq((1L, "a", 2018), (5L, "b", 2018), (9L, "c", 2019))
+      .toDF("k", "v", "year").coalesce(1), partitionBy = Seq("year"))     // m v1
+    wh.merge("m", Seq((5L, "B2", 2019), (20L, "new", 2019)).toDF("k", "v", "year"),
+      keys = Seq("k"))                                                    // m v2
+    val mfeed = wh.tableChangesRows("m", 1, 2)
+      .select("k", "v", "_change_type").as[(Long, String, String)]
+      .collect().toSeq.sorted
+    assert(mfeed == Seq((5L, "B2", "insert"), (5L, "b", "delete"),
+      (20L, "new", "insert")), s"merge feed: $mfeed")
+    // replay check over the merge window too
+    val mNow = wh.table("m").select("k", "v").as[(Long, String)]
+      .collect().toSeq.sorted
+    assert(mNow == Seq((1L, "a"), (5L, "B2"), (9L, "c"), (20L, "new")))
     // a window over only the compact emits nothing (rows unchanged)
     assert(wh.tableChangesRows("t", 3, 4).count() == 0)
     // windows crossing a TRUE rewrite still refuse
