@@ -43,16 +43,24 @@ object VectorFunctions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0, na = 0.0, nb = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double xi = (double) $a.getFloat(i);
-        |  double yi = (double) $b.getFloat(i);
-        |  dot += xi * yi; na += xi * xi; nb += yi * yi;
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        // freshName everywhere: two of these in one projection must not
+        // redefine each other's locals (janino rejects shadowing and the
+        // whole stage silently falls back to interpreted)
+        val (n, dot, na, nb, i, xi, yi) = (ctx.freshName("n"),
+          ctx.freshName("dot"), ctx.freshName("na"), ctx.freshName("nb"),
+          ctx.freshName("i"), ctx.freshName("xi"), ctx.freshName("yi"))
+        s"""
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0, $na = 0.0, $nb = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $xi = (double) $a.getFloat($i);
+        |  double $yi = (double) $b.getFloat($i);
+        |  $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
         |}
-        |${ev.value} = dot / (Math.sqrt(na) * Math.sqrt(nb));
-        |""".stripMargin)
+        |${ev.value} = $dot / (Math.sqrt($na) * Math.sqrt($nb));
+        |""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =
@@ -76,14 +84,18 @@ object VectorFunctions {
     }
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-      nullSafeCodeGen(ctx, ev, (a, b) => s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double dot = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  dot += (double) $a.getFloat(i) * (double) $b.getFloat(i);
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (n, dot, i) = (ctx.freshName("n"), ctx.freshName("dot"),
+          ctx.freshName("i"))
+        s"""
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $dot = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $dot += (double) $a.getFloat($i) * (double) $b.getFloat($i);
         |}
-        |${ev.value} = dot;
-        |""".stripMargin)
+        |${ev.value} = $dot;
+        |""".stripMargin
+      })
 
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): Expression =

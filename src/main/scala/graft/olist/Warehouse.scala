@@ -315,6 +315,41 @@ class Warehouse(spark: SparkSession, basePath: String,
     back
   }
 
+  /** Bucketed CTAS — the co-located-join layout (catalog mode only:
+    * Spark bucketing lives in the session catalog's table metadata).
+    * Two tables bucketed on the same key with the same bucket count
+    * sort-merge join with ZERO exchanges: at 100 TB this turns the
+    * nightly fact-to-fact join from a full dual shuffle into a local
+    * per-bucket merge, the single biggest repeated-join saving the
+    * layout layer can buy. `sortBy` pre-sorts each bucket file so the
+    * merge side of the join skips its sort too.
+    *
+    * The frame is repartitioned by the bucket expression first —
+    * Spark's bucket assignment is the same Murmur3 hash partitioning
+    * repartition uses, so each task owns exactly its bucket and writes
+    * ONE file per bucket instead of up to `buckets` files per task
+    * (the classic bucketed-write small-file explosion). */
+  def saveBucketed(name: String, df: DataFrame, buckets: Int,
+      bucketCols: Seq[String], sortCols: Seq[String] = Nil): DataFrame = {
+    val db = database.getOrElse(throw new IllegalArgumentException(
+      "saveBucketed requires catalog mode (bucketing is catalog metadata)"))
+    require(buckets > 0, "saveBucketed: buckets must be positive")
+    require(bucketCols.nonEmpty, "saveBucketed: no bucket columns")
+    partitioning(name) = Nil
+    schemas(name) = df.schema
+    val shaped = df.repartition(buckets, bucketCols.map(col): _*)
+    val w = shaped.write.mode("overwrite").format(format)
+      .option("header", "true")
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+    val sw =
+      if (sortCols.nonEmpty) w.sortBy(sortCols.head, sortCols.tail: _*) else w
+    sw.saveAsTable(s"$db.$name")
+    analyze(db, name, columnStats = true)
+    val back = spark.table(s"$db.$name")
+    back.createOrReplaceTempView(s"dw_$name")
+    back
+  }
+
   /** S5/S7 append sink (reference: SSIS fast-load `Package.dtsx:281-445`;
     * INSERT..SELECT `Olist DW.sql:71-75`). Parquet append is bulk and
     * atomic per task — the moral equivalent of TABLOCK fast load.
@@ -713,6 +748,109 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  /** First-class predicate UPDATE (reference: `Olist DW.sql` issues
+    * UPDATEs the SSIS flow renders dead — see SURVEY §2.9 I2; this is
+    * the live rendering): sets `assignments` on the rows where
+    * `predicate` is TRUE and commits through the manifest with its own
+    * `update` op stamp. The row-identity-free complement of [[merge]] —
+    * merge replaces rows BY KEY from a delta frame; update rewrites
+    * rows IN PLACE from expressions over the row itself.
+    *
+    * Same file-level surgery as [[delete]]: `hint` ranges bound the
+    * probe with per-file stats/blooms, one columnar probe finds the
+    * files that hold matching rows, and ONLY those files are rewritten
+    * (assignments applied where the predicate holds, other rows copied
+    * bit-for-bit); untouched files survive byte-identical. Unlike
+    * delete there is no zero-I/O class — a matched file always needs
+    * its new row images written.
+    *
+    * SQL UPDATE semantics, exactly:
+    *  - every assignment expression evaluates against the PRE-image row
+    *    (`SET a = b, b = a` swaps — assignments never see each other);
+    *  - each value is cast to the column's declared type: UPDATE never
+    *    changes the schema, only the rows;
+    *  - rows where the predicate evaluates NULL are untouched (only
+    *    TRUE updates);
+    *  - partition-column assignments are allowed and move the row's
+    *    file to its new partition directory (the rewrite re-runs the
+    *    table's partition + cluster layout).
+    *
+    * Change-feed behavior: the transaction writes the pre-image rows as
+    * `delete` and the post-image rows as `insert` change files, so
+    * replaying [[tableChangesRows]] across an update reproduces the
+    * snapshot — same contract as merge. The file-level [[tableChanges]]
+    * refuses to cross it, as for every rewrite.
+    *
+    * A no-match update leaves the table version unchanged (no commit). */
+  def update(name: String, predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column],
+      hint: Seq[ColRange] = Nil): Warehouse.UpdateResult = {
+    require(database.isEmpty, "update applies to path-mode tables only")
+    require(assignments.nonEmpty, "update: no assignments")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"update: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      val parts = partitionColsOf(name)
+      assignments.keys.foreach { c =>
+        require(sc.fieldNames.contains(c),
+          s"update: column $c is not in ${sc.fieldNames.mkString(", ")}") }
+      val typed: Map[String, org.apache.spark.sql.Column] =
+        assignments.map { case (c, e) => c -> e.cast(sc(c).dataType) }
+      val exprFrame = fromFiles(name, files.map(_.path).take(1), sc)
+      (predicate +: typed.values.toSeq).foreach { c =>
+        require(exprFrame.select(c.as("__e")).queryExecution.analyzed
+            .expressions.forall(_.deterministic),
+          "update predicate/assignments must be deterministic " +
+            "(they run in the probe and the rewrite)") }
+      // all assignments read the pre-image: ONE select, every output
+      // column an expression over the input row
+      def applyAssign(df: DataFrame): DataFrame =
+        df.select(sc.fieldNames.toSeq.map { c =>
+          typed.get(c) match {
+            case Some(e) => when(predicate, e).otherwise(col(c)).as(c)
+            case None    => col(c)
+          }
+        }: _*)
+      val cands = candidates(files, sc, hint).map(_.path)
+      val probe =
+        if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
+        else fromFiles(name, cands, sc)
+          .groupBy(input_file_name().as("__file"))
+          .agg(count(when(predicate, lit(1))).as("__matched"))
+          .filter(col("__matched") > 0)
+          .collect()
+      val matched: Map[String, Long] = probe.map { r =>
+        val uri = r.getString(0)
+        val rel = cands.find(m => uri.endsWith("/" + m)).getOrElse(
+          throw new IllegalStateException(
+            s"update: cannot resolve probed file $uri back to a manifest path"))
+        rel -> r.getLong(1)
+      }.toMap
+      if (matched.isEmpty)
+        Warehouse.UpdateResult(0L, 0, files.size)
+      else {
+        val touched = matched.keySet
+        val rowsUpdated = matched.valuesIterator.sum
+        val rewritten = stageWrite(name,
+          clustered(name, applyAssign(fromFiles(name, touched.toSeq, sc)),
+            parts), parts)
+        val untouched = files.filterNot(f => touched.contains(f.path))
+        val pre = fromFiles(name, touched.toSeq, sc)
+          .filter(predicate <=> lit(true))
+        writeChangeFiles(name,
+          pre.withColumn(ChangeTypeCol, lit("delete"))
+            .unionByName(applyAssign(pre)
+              .withColumn(ChangeTypeCol, lit("insert"))))
+        commitManifest(name, untouched ++ rewritten, op = "update")
+        Warehouse.UpdateResult(rowsUpdated, touched.size, untouched.size)
+      }
+    }
+  }
+
   private val ChangeTypeCol = "_change_type"
 
   private def changesDir(name: String, version: Long) =
@@ -759,7 +897,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     val fs = metaFs
     val sc = tableSchema(name)
     val rowNeutral = Set("compact", "recluster")
-    val recorded = Set("delete", "merge", "stream-merge")
+    val recorded = Set("delete", "update", "merge", "stream-merge")
     def manifest(v: Long) = readManifestFile(
       new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
     val versions = tableVersions(name)
@@ -778,7 +916,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           out += spark.read.format(format).option("header", "true")
             .schema(sc.add(ChangeTypeCol, org.apache.spark.sql.types.StringType))
             .load(dir.toString)
-        else require(paths == seen && op != "delete",
+        else require(paths == seen && op != "delete" && op != "update",
           s"tableChangesRows: '$op' commit v$v of $name predates change " +
             "files — re-read the snapshot") // mark-only commits change no rows
       } else if (rowNeutral.contains(op)) {
@@ -1091,6 +1229,143 @@ class Warehouse(spark: SparkSession, basePath: String,
       .option("format", format)
       .option("startingVersion", startingVersion.toString)
       .load()
+  }
+
+  private val MvBaseMeta = "mv.sourceTable"
+  private val MvVerMeta = "mv.sourceVersion"
+
+  /** Incrementally-maintained aggregate table — a materialized view
+    * over `base` grouped by `keys`, carrying `cnt` (group row count)
+    * and one `sum_<c>` per requested numeric column. The classic
+    * incremental-view-maintenance shape for distributive aggregates:
+    * AVG is `sum_<c>/cnt` at read time, and the refresh NEVER rescans
+    * the base table after bootstrap.
+    *
+    *  - **Bootstrap** (first call, or `full = true`): one aggregation
+    *    of the base snapshot pinned by its manifest, saved as the MV.
+    *  - **Refresh**: reads [[tableChangesRows]] over `(lastV, curV]` —
+    *    inserts contribute +1/+v, deletes −1/−v, so appends, deletes,
+    *    updates and merges all maintain the view. Groups whose count
+    *    reaches zero are REMOVED. The refreshed base version rides the
+    *    SAME manifest commit as the new MV rows (`mv.sourceVersion`
+    *    metadata), so a crash replays the whole refresh — exactly-once
+    *    without side state, the [[appendStreamBatch]] idea applied to
+    *    view maintenance.
+    *  - **File surgery**: only MV files that HOLD an affected key are
+    *    rewritten (one columnar key probe, stats/bloom candidates
+    *    apply if the MV is clustered on its keys); a refresh that
+    *    touches 3 groups of a billion-group view rewrites a file or
+    *    two, not the view.
+    *
+    * A base rewrite the row feed cannot describe (overwrite, restore,
+    * save-over) makes the refresh throw — pass `full = true` to
+    * re-bootstrap. Sum columns are coalesced to 0 for all-NULL groups
+    * (document-level deviation from SQL's NULL sum, chosen so the
+    * incremental combine is total). NULL group keys are maintained
+    * null-safely, like GROUP BY. */
+  def refreshAggregate(base: String, mv: String, keys: Seq[String],
+      sums: Seq[String] = Nil, full: Boolean = false,
+      bootstrapFiles: Int = 0): Warehouse.MvRefresh = {
+    require(database.isEmpty, "refreshAggregate applies to path-mode tables only")
+    require(keys.nonEmpty, "refreshAggregate needs at least one key column")
+    val baseSc = tableSchema(base)
+    (keys ++ sums).foreach(c => require(baseSc.fieldNames.contains(c),
+      s"refreshAggregate: $base has no column $c"))
+    sums.foreach(c => require(
+      baseSc(c).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"refreshAggregate: sum column $c is not numeric"))
+    def aggOf(rows: DataFrame): DataFrame =
+      rows.groupBy(keys.map(col): _*)
+        .agg(count(lit(1)).as("cnt"),
+          sums.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    val (curV, baseFiles, _) = currentManifestFull(base).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshAggregate: $base has no committed snapshot"))
+    val mvMeta0 = currentManifestFull(mv).map(_._3).getOrElse(Map.empty)
+    mvMeta0.get(MvBaseMeta).foreach(b => require(b == base,
+      s"refreshAggregate: $mv tracks table $b, not $base"))
+    val lastV = mvMeta0.get(MvVerMeta).map(_.toLong)
+    val stamp = Map(MvBaseMeta -> base, MvVerMeta -> curV.toString)
+    if (!full && lastV.contains(curV))
+      Warehouse.MvRefresh(curV, curV, 0L, 0, bootstrapped = false)
+    else if (full || lastV.isEmpty) {
+      // bootstrapFiles > 0 hash-partitions the view by its keys into a
+      // stable file count (so later refreshes rewrite one key's file,
+      // not a coalesced singleton); 0 = natural partitioning
+      val agg0 = aggOf(fromFiles(base, baseFiles.map(_.path), baseSc))
+      save(mv, if (bootstrapFiles > 0)
+        agg0.repartition(bootstrapFiles, keys.map(col): _*) else agg0)
+      withCommitLock(mv) {
+        commitManifest(mv, currentManifest(mv).map(_._2).getOrElse(Nil),
+          stamp, op = "mv-refresh")
+      }
+      Warehouse.MvRefresh(0L, curV, -1L, 0, bootstrapped = true)
+    } else withCommitLock(mv) {
+      val from = lastV.get
+      val feed = tableChangesRows(base, from, curV)
+      val sign = when(col(ChangeTypeCol) === "insert", lit(1L))
+        .otherwise(lit(-1L))
+      val delta = feed.groupBy(keys.map(col): _*)
+        .agg(sum(sign).as("cnt"),
+          sums.map(c => sum(sign * col(c)).as(s"sum_$c")): _*)
+        .localCheckpoint()
+      val changed = delta.count()
+      val (mvFiles, mvMeta) = currentManifestFull(mv) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalStateException(
+          s"refreshAggregate: $mv lost its snapshot")
+      }
+      if (changed == 0) {
+        // row-neutral base window (e.g. compactions): advance the mark
+        commitManifest(mv, mvFiles, stamp, op = "mv-refresh")
+        Warehouse.MvRefresh(from, curV, 0L, 0, bootstrapped = false)
+      } else {
+        val mvSc = metaSchema(mvMeta).getOrElse(tableSchema(mv))
+        val parts = partitionColsOf(mv)
+        val keyCond = (l: String, r: String) =>
+          keys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
+        // one columnar key probe: which MV files hold an affected key?
+        // (the file name is pinned in a projection directly over the
+        // scan — after a shuffle join input_file_name() is undefined)
+        val probe = fromFiles(mv, mvFiles.map(_.path), mvSc)
+          .select((keys.map(col) :+ input_file_name().as("__file")): _*)
+          .as("m")
+          .join(delta.select(keys.map(col): _*).as("d"),
+            keyCond("m", "d"), "left_semi")
+          .select("__file").distinct().collect()
+        val touched: Set[String] = probe.map { r =>
+          val uri = r.getString(0)
+          mvFiles.map(_.path).find(p => uri.endsWith("/" + p)).getOrElse(
+            throw new IllegalStateException(
+              s"refreshAggregate: cannot resolve probed file $uri"))
+        }.toSet
+        val touchedRows = fromFiles(mv, touched.toSeq, mvSc)
+        val keep = touchedRows.as("m")
+          .join(delta.select(keys.map(col): _*).as("d"),
+            keyCond("m", "d"), "left_anti")
+        val oldK = touchedRows.as("m")
+          .join(delta.select(keys.map(col): _*).as("d"),
+            keyCond("m", "d"), "left_semi")
+        val metric = (l: org.apache.spark.sql.Column,
+            r: org.apache.spark.sql.Column) =>
+          coalesce(l, lit(0)) + coalesce(r, lit(0))
+        val combined = oldK.as("o")
+          .join(delta.as("d"), keyCond("o", "d"), "full_outer")
+          .select(
+            keys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
+              ((metric(col("o.cnt"), col("d.cnt"))
+                .cast(mvSc("cnt").dataType).as("cnt")) +:
+                sums.map(c => metric(col(s"o.sum_$c"), col(s"d.sum_$c"))
+                  .cast(mvSc(s"sum_$c").dataType).as(s"sum_$c"))): _*)
+          .filter(col("cnt") > 0)
+        val rewritten = stageWrite(mv,
+          clustered(mv, keep.unionByName(combined), parts), parts)
+        val untouched = mvFiles.filterNot(f => touched.contains(f.path))
+        commitManifest(mv, untouched ++ rewritten, stamp, op = "mv-refresh")
+        Warehouse.MvRefresh(from, curV, changed, touched.size,
+          bootstrapped = false)
+      }
+    }
   }
 
   /** Re-declare the table's layout (cluster columns, z-order, bloom
@@ -1815,6 +2090,18 @@ object Warehouse {
     * (byte-identical in the new snapshot). */
   final case class DeleteResult(rowsDeleted: Long, filesDropped: Int,
       filesRewritten: Int, filesUntouched: Int)
+
+  /** Outcome of a predicate [[Warehouse.update]]: rows whose new image
+    * was written, files rewritten (every file holding a matching row),
+    * files untouched (byte-identical in the new snapshot). */
+  final case class UpdateResult(rowsUpdated: Long, filesRewritten: Int,
+      filesUntouched: Int)
+
+  /** Outcome of a [[Warehouse.refreshAggregate]]: the base-version
+    * window applied, groups whose aggregate changed (−1 on bootstrap),
+    * and MV files rewritten. */
+  final case class MvRefresh(fromVersion: Long, toVersion: Long,
+      keysChanged: Long, filesRewritten: Int, bootstrapped: Boolean)
 }
 
 /** F6 — SQL Server's default collation is case-insensitive; Spark is

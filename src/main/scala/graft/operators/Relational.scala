@@ -776,6 +776,153 @@ object Relational {
           .agg(count(lit(1)).as("n"),
             dsum(col("l_extendedprice")).as("revenue"))
           .orderBy("s_name")
+      }),
+
+    // F11 — time-spine gap fill: the missing-day densification every
+    // time-series report needs (daily order counts with 0 for silent
+    // days). The spine is sequence()+explode over the data's own
+    // min/max — two rows cross the driver-free 2-row bounds agg, the
+    // spine explodes distributed, and the daily counts join back on
+    // date. At 100 TB the spine side is tiny (one row per day) and
+    // broadcasts.
+    Q("f11_gap_fill",
+      Some("""WITH d AS (
+             |  SELECT cast(o_orderdate as date) AS day, count(*) AS n
+             |  FROM orders GROUP BY 1),
+             |b AS (SELECT min(day) AS lo, max(day) AS hi FROM d),
+             |spine AS (
+             |  SELECT cast(UNNEST(generate_series(cast(lo as timestamp),
+             |                                     cast(hi as timestamp),
+             |                                     INTERVAL 1 DAY)) as date) AS day
+             |  FROM b)
+             |SELECT s.day AS day, coalesce(d.n, 0) AS n_orders
+             |FROM spine s LEFT JOIN d ON s.day = d.day
+             |ORDER BY day""".stripMargin),
+      (s, d) => {
+        val daily = T.orders(s, d)
+          .groupBy(to_date(col("o_orderdate")).as("day"))
+          .agg(count(lit(1)).as("n"))
+        val spine = daily.agg(min("day").as("lo"), max("day").as("hi"))
+          .select(explode(sequence(col("lo"), col("hi"),
+            expr("interval 1 day"))).as("day"))
+        spine.join(daily, Seq("day"), "left")
+          .select(col("day"), coalesce(col("n"), lit(0L)).as("n_orders"))
+          .orderBy("day")
+      }),
+
+    // A18 — ordered string aggregation (LISTAGG/STRING_AGG): the
+    // collect side is per-group and order-normalized via array_sort,
+    // so the result is deterministic under any shuffle order — the
+    // only safe way to string_agg on a cluster.
+    Q("a18_string_agg",
+      Some("""SELECT r_name, string_agg(n_name, ',' ORDER BY n_name) AS nations
+             |FROM nation JOIN region ON n_regionkey = r_regionkey
+             |GROUP BY r_name ORDER BY r_name""".stripMargin),
+      (s, d) => T.nation(s, d)
+        .join(T.region(s, d),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(array_join(array_sort(collect_list(col("n_name"))), ",")
+          .as("nations"))
+        .orderBy("r_name")),
+
+    // A19 — conditional aggregation (SQL FILTER clause): one scan
+    // computing several differently-filtered aggregates — the
+    // single-pass alternative to N filtered subqueries.
+    Q("a19_filtered_agg",
+      Some(s"""SELECT o_orderpriority,
+              |  count(*) AS n_orders,
+              |  count(*) FILTER (WHERE o_orderstatus = 'F') AS n_finished,
+              |  cast(sum(cast(o_totalprice as decimal(18,2)))
+              |       FILTER (WHERE o_orderstatus = 'O') as double) AS open_value
+              |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("o_orderstatus") === "F", lit(1))).as("n_finished"),
+          sum(when(col("o_orderstatus") === "O",
+            col("o_totalprice")).cast(DecimalType(18, 2)))
+            .cast("double").as("open_value"))
+        .orderBy("o_orderpriority")),
+
+    // X1 — lateral explode / UNNEST: split part names into words and
+    // count them — the table-generating-function shape (flatMap in
+    // relational clothing). Top-k via TakeOrderedAndProject, ties
+    // broken by word for determinism.
+    Q("x1_explode_words",
+      Some("""SELECT word, count(*) AS n
+             |FROM (SELECT UNNEST(string_split(p_name, ' ')) AS word FROM part)
+             |GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin),
+      (s, d) => T.part(s, d)
+        .select(explode(split(col("p_name"), " ")).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("word")).limit(20)),
+
+    // W7 — RANGE-interval window frame: per-customer trailing-30-day
+    // spend, framed by VALUE (microseconds of order date), not row
+    // count — same-instant peers aggregate identically in any engine.
+    // Decimal-exact sum, cast back to double.
+    Q("w7_range_frame",
+      Some("""SELECT o_custkey, o_orderkey,
+             |  cast(sum(cast(o_totalprice as decimal(18,2))) OVER (
+             |    PARTITION BY o_custkey ORDER BY epoch_us(o_orderdate)
+             |    RANGE BETWEEN 2592000000000 PRECEDING AND CURRENT ROW) as double)
+             |    AS trailing_30d
+             |FROM orders ORDER BY o_custkey, o_orderkey""".stripMargin),
+      (s, d) => {
+        // parquet stores the date as TIMESTAMP_NTZ; the session TZ is
+        // pinned UTC everywhere, so the cast is the identity mapping
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(expr("unix_micros(cast(o_orderdate as timestamp))"))
+          .rangeBetween(-2592000000000L, Window.currentRow)
+        T.orders(s, d)
+          .select(col("o_custkey"), col("o_orderkey"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w)
+              .cast("double").as("trailing_30d"))
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+
+    // A20 — Pearson correlation from EXACT decimal moments: corr() in
+    // any engine accumulates doubles in partial-aggregation order, so
+    // two engines (or two runs of one cluster) disagree in the low
+    // bits. Computing the five moments as exact decimal sums and then
+    // doing ONE identical double evaluation of the closed form makes
+    // the statistic reproducible; round(6) absorbs the final-operation
+    // ulp (C++ may fuse a multiply-add the JVM keeps strict).
+    Q("a20_corr_exact",
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    count(*) AS n,
+             |    cast(sum(cast(l_quantity as decimal(28,6))) as double) AS sx,
+             |    cast(sum(cast(l_extendedprice as decimal(28,6))) as double) AS sy,
+             |    cast(sum(cast(l_quantity * l_extendedprice as decimal(28,6))) as double) AS sxy,
+             |    cast(sum(cast(l_quantity * l_quantity as decimal(28,6))) as double) AS sxx,
+             |    cast(sum(cast(l_extendedprice * l_extendedprice as decimal(28,6))) as double) AS syy
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  round((cast(n as double) * sxy - sx * sy) /
+             |        (sqrt(cast(n as double) * sxx - sx * sx) *
+             |         sqrt(cast(n as double) * syy - sy * sy)), 6) AS corr_qty_price
+             |FROM m ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val dec = DecimalType(28, 6)
+        val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sx"),
+          sum(col("l_extendedprice").cast(dec)).cast("double").as("sy"),
+          sum((col("l_quantity") * col("l_extendedprice")).cast(dec))
+            .cast("double").as("sxy"),
+          sum((col("l_quantity") * col("l_quantity")).cast(dec))
+            .cast("double").as("sxx"),
+          sum((col("l_extendedprice") * col("l_extendedprice")).cast(dec))
+            .cast("double").as("syy"))
+        val nd = col("n").cast("double")
+        m.select(col("l_returnflag"),
+          round((nd * col("sxy") - col("sx") * col("sy")) /
+            (sqrt(nd * col("sxx") - col("sx") * col("sx")) *
+              sqrt(nd * col("syy") - col("sy") * col("sy"))), 6)
+            .as("corr_qty_price"))
+          .orderBy("l_returnflag")
       })
   )
 }

@@ -125,6 +125,46 @@ class CatalogWarehouseSpec extends AnyFunSuite {
     assert(spark.table(s"$DB.clus_cat").count() == 51000)
   }
 
+  test("bucketed tables co-locate: fact-fact join has zero exchanges") {
+    wh // ensure the db exists
+    val big1 = spark.range(50000).toDF("id")
+      .select(col("id").as("k"), (col("id") % 97).as("a"))
+    val big2 = spark.range(50000).toDF("id")
+      .select(col("id").as("k"), (col("id") % 31).as("b"))
+    wh.saveBucketed("bk1", big1, 8, Seq("k"), sortCols = Seq("k"))
+    wh.saveBucketed("bk2", big2, 8, Seq("k"), sortCols = Seq("k"))
+    // one file per bucket: the repartition-before-bucketBy shape (not
+    // buckets × tasks files)
+    val loc = spark.sql(s"DESCRIBE EXTENDED $DB.bk1").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap.apply("Location")
+    val dataFiles = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(
+        new java.net.URI(loc))).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
+    }
+    assert(dataFiles.size == 8, s"expected 8 bucket files, got ${dataFiles.size}")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val j = spark.table(s"$DB.bk1").join(spark.table(s"$DB.bk2"), "k")
+        .groupBy("a").agg(count(lit(1)).as("n"), sum("b").as("sb"))
+      val joinSide = j.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+        .split("HashAggregate").last // below the agg: the join itself
+      assert(joinSide.contains("SortMergeJoin"), joinSide)
+      assert(!joinSide.contains("Exchange"),
+        s"bucketed join still shuffles:\n$joinSide")
+      // and the co-located plan returns exactly the plain-join result
+      val got = j.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = big1.join(big2, "k").groupBy("a")
+        .agg(count(lit(1)).as("n"), sum("b").as("sb")).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   // runs LAST: mutates the shared table through a fresh instance
   test("a NEW Warehouse instance over the existing catalog db recovers partitioning from the catalog") {
     wh // ensure built

@@ -589,4 +589,102 @@ class TableLayoutSpec extends AnyFunSuite {
       (r.getAs[Long]("k"), r.getAs[Int]("year"), r.getAs[String]("v"))).toSet
     assert(rows == Set((1L, 2022, "moved"), (2L, 2021, "new")))
   }
+
+  test("update: file surgery, pre-image SET semantics, feed replays it") {
+    import spark.implicits._
+    val dir = tmp("wh_upd")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))          // v1
+    val root = java.nio.file.Paths.get(dir, "t")
+    def fileDigests(): Map[String, String] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(root).iterator().asScala
+        .filter(p => java.nio.file.Files.isRegularFile(p) &&
+          !p.getFileName.toString.startsWith("_") &&
+          !p.getFileName.toString.startsWith("."))
+        .map { p =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+            .map("%02x".format(_)).mkString
+        }.toMap
+    }
+    val before = fileDigests()
+    // all of b=1 plus a sliver of b=2 match → exactly 2 files rewritten;
+    // the stats hint keeps the probe off the other two
+    val res = wh.update("t", col("k") >= 1000L && col("k") < 2100L,
+      Map("v" -> (col("v") + 100L)),
+      hint = Seq(Warehouse.ColRange("k", Some(1000L), Some(2099L))))       // v2
+    assert(res.rowsUpdated == 1100, res.toString)
+    assert(res.filesRewritten == 2, res.toString)
+    assert(res.filesUntouched == 2, res.toString)
+    val after = fileDigests()
+    val common = before.keySet intersect after.keySet
+    assert(common.size >= 2, s"expected >=2 surviving original files, got $common")
+    common.foreach(p => assert(before(p) == after(p), s"$p changed bytes"))
+    // values: matched rows shifted by exactly +100, count unchanged
+    val got = wh.table("t").agg(count(lit(1)), sum("v")).collect()(0)
+    assert(got.getLong(0) == 4000)
+    assert(got.getLong(1) == (0L until 4000L).map(_ % 7).sum + 100L * 1100)
+    assert(wh.history("t").last.op == "update")
+    // row-level feed: pre-images as deletes, post-images as inserts
+    val feed = wh.tableChangesRows("t", 1, 2)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(feed.count(_._3 == "delete") == 1100)
+    assert(feed.count(_._3 == "insert") == 1100)
+    assert(feed.find(r => r._1 == 1000L && r._3 == "delete").get._2 == 1000L % 7)
+    assert(feed.find(r => r._1 == 1000L && r._3 == "insert").get._2 == 1000L % 7 + 100)
+    // replaying the whole feed from v0 reproduces the snapshot multiset
+    val replay = wh.tableChangesRows("t", 0, 2)
+    val applied = replay.filter(col("_change_type") === "insert")
+      .select("k", "v").exceptAll(
+        replay.filter(col("_change_type") === "delete").select("k", "v"))
+    assert(applied.exceptAll(wh.table("t").select("k", "v")).count() == 0)
+    assert(wh.table("t").select("k", "v").exceptAll(applied).count() == 0)
+    // the file-level feed refuses to cross the rewrite
+    val ex = intercept[IllegalArgumentException] { wh.tableChanges("t", 1, 2).count() }
+    assert(ex.getMessage.contains("rewrite"))
+    // SET a=b, b=a swaps: every assignment reads the PRE-image
+    wh.save("s", Seq((1L, 10L, 20L)).toDF("k", "a", "b").coalesce(1))
+    wh.update("s", lit(true), Map("a" -> col("b"), "b" -> col("a")))
+    val s = wh.table("s").select("a", "b").as[(Long, Long)].collect()(0)
+    assert(s == ((20L, 10L)))
+    // values cast to the declared column type (schema never changes)
+    wh.update("s", lit(true), Map("a" -> lit(3.9)))
+    assert(wh.table("s").schema("a").dataType ==
+      org.apache.spark.sql.types.LongType)
+    assert(wh.table("s").select("a").as[Long].collect()(0) == 3L)
+    // NULL-predicate rows untouched; unknown column refused; no-match = no commit
+    wh.save("n", Seq[(java.lang.Long, String)]((1L, "x"), (null, "y"))
+      .toDF("k", "v").coalesce(1))
+    wh.update("n", col("k") > 0L, Map("v" -> lit("hit")))
+    assert(wh.table("n").orderBy("v").select("v").as[String].collect().toSeq ==
+      Seq("hit", "y"))
+    intercept[IllegalArgumentException] {
+      wh.update("n", lit(true), Map("nope" -> lit(1)))
+    }
+    val ver = wh.tableVersions("n").last
+    val r0 = wh.update("n", col("k") === 999L, Map("v" -> lit("never")))
+    assert(r0.rowsUpdated == 0 && wh.tableVersions("n").last == ver)
+  }
+
+  test("update: partition-column assignment moves rows across partitions") {
+    import spark.implicits._
+    val dir = tmp("wh_updpart")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", Seq((1L, "a", 2020), (2L, "b", 2020), (3L, "c", 2021))
+      .toDF("k", "v", "year").repartition(col("year")),
+      partitionBy = Seq("year"))
+    val res = wh.update("t", col("k") === 1L, Map("year" -> lit(2022)))
+    assert(res.rowsUpdated == 1)
+    val rows = wh.table("t").select("k", "year").as[(Long, Int)]
+      .collect().toSet
+    assert(rows == Set((1L, 2022), (2L, 2020), (3L, 2021)))
+    // the moved row physically lives under its new partition directory
+    val moved = wh.table("t").filter(col("year") === 2022)
+      .select(input_file_name()).as[String].collect()(0)
+    assert(moved.contains("year=2022"), moved)
+  }
 }
