@@ -58,7 +58,22 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def withCommitLock[T](name: String)(f: => T): T =
     commitLocks.computeIfAbsent(name, _ => new Object).synchronized {
       val token = acquireTableLock(name)
-      try f finally releaseTableLock(name, token)
+      // heartbeat: a rewrite running under the lock (merge/delete/
+      // update/compact of a big table) can outlive lockStaleMs;
+      // refreshing the mtime while genuinely alive keeps a slow commit
+      // from being mistaken for a crashed writer and hijacked mid-swap
+      val beat = new java.util.Timer(s"graft-lock-$name", true)
+      val period = math.max(lockStaleMs / 3, 1000L)
+      beat.schedule(new java.util.TimerTask {
+        override def run(): Unit =
+          try metaFs.setTimes(lockPath(name),
+            System.currentTimeMillis, -1)
+          catch { case _: java.io.IOException => () } // lock gone: noop
+      }, period, period)
+      try f finally {
+        beat.cancel()
+        releaseTableLock(name, token)
+      }
     }
 
   // ----- cross-process table lock -----------------------------------
@@ -371,7 +386,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       analyze(db, name, columnStats = partitionColsOf(name).isEmpty)
     case None =>
       val parts = partitionColsOf(name)
-      val (aligned, widened) = alignDelta(name, df, allowWiden = true)
+      val (aligned0, widened) = alignDelta(name, df, allowWiden = true)
+      val aligned = enforceChecks(name, aligned0)
       val files = stageWrite(name, clustered(name, aligned, parts), parts)
       withCommitLock(name) {
         val old = currentManifest(name).map(_._2).getOrElse(Nil)
@@ -384,6 +400,145 @@ class Warehouse(spark: SparkSession, basePath: String,
         writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name),
           bloomColsOf(name))
       }
+  }
+
+  /** Declare a row-level CHECK constraint on a path-mode table,
+    * enforced on every [[append]] (the fast-load path — reference: the
+    * SSIS data flow's per-column `errorRowDisposition`,
+    * `Package.dtsx:61,227,349`, which is exactly this knob: FailComponent
+    * vs IgnoreFailure vs redirect-to-error-output).
+    *
+    * `onViolation` dispositions (a row violates when the predicate
+    * evaluates FALSE — NULL passes, SQL CHECK semantics):
+    *  - `"fail"`       — the whole append throws, nothing commits
+    *                     (FailComponent);
+    *  - `"drop"`       — violating rows are silently filtered from the
+    *                     batch (IgnoreFailure);
+    *  - `"quarantine"` — violating rows land in `<table>_rejects` with
+    *                     the failing check's name and a timestamp (the
+    *                     SSIS error output as a table). The rejects
+    *                     write precedes the main commit, so a crashed
+    *                     append can leave quarantine rows for a batch
+    *                     that never landed (at-least-once diagnostics —
+    *                     the safe direction).
+    *
+    * The check rides the manifest metadata, so it survives every
+    * commit, applies from any Warehouse instance, shows in the audit
+    * trail (op `alter-check`), and time-travels with [[restore]].
+    * Declared order is evaluation order; a row's FIRST failing soft
+    * check decides where it goes. Merge/update/streaming writers are
+    * trusted (enforcement there would double-scan upsert deltas); the
+    * load boundary is the append path, as in the reference. */
+  def addCheck(name: String, check: String, exprSql: String,
+      onViolation: String = "fail"): Unit = {
+    require(database.isEmpty, "checks apply to path-mode tables only")
+    require(Seq("fail", "drop", "quarantine").contains(onViolation),
+      s"addCheck: unknown disposition '$onViolation'")
+    require(check.nonEmpty && !check.contains(":") && !check.contains("\n"),
+      "addCheck: check names must be non-empty, one line, colon-free")
+    // the predicate must resolve against the table schema NOW — a
+    // check that only explodes at append time is a booby trap
+    val sc = tableSchema(name)
+    val probe = spark.createDataFrame(
+      new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
+    require(probe.select(expr(exprSql).as("__c")).schema.head.dataType ==
+        org.apache.spark.sql.types.BooleanType,
+      s"addCheck: '$exprSql' is not a boolean predicate over ${sc.fieldNames.mkString(", ")}")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"addCheck: $name has no committed snapshot")
+      }
+      val existing = decodeChecks(meta).filterNot(_.name == check)
+      val updated = existing :+ Warehouse.Check(check, exprSql, onViolation)
+      commitManifest(name, files,
+        Map(ChecksMeta -> encodeChecks(updated)), op = "alter-check")
+    }
+  }
+
+  /** Remove a declared check (op `alter-check` in the audit trail). */
+  def dropCheck(name: String, check: String): Unit = {
+    require(database.isEmpty, "checks apply to path-mode tables only")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"dropCheck: $name has no committed snapshot")
+      }
+      val kept = decodeChecks(meta).filterNot(_.name == check)
+      commitManifest(name, files,
+        Map(ChecksMeta -> encodeChecks(kept)), op = "alter-check")
+    }
+  }
+
+  /** The table's declared checks, in evaluation order. */
+  def checks(name: String): Seq[Warehouse.Check] =
+    currentManifestFull(name).map(m => decodeChecks(m._3)).getOrElse(Nil)
+
+  private def encodeChecks(cs: Seq[Warehouse.Check]): String = {
+    import org.json4s.JsonDSL._
+    import org.json4s.jackson.JsonMethods
+    JsonMethods.compact(JsonMethods.render(cs.map(c =>
+      ("name" -> c.name) ~ ("expr" -> c.expr) ~ ("onViolation" -> c.onViolation))))
+  }
+
+  private def decodeChecks(meta: Map[String, String]): Seq[Warehouse.Check] =
+    meta.get(ChecksMeta).filter(_.nonEmpty).map { s =>
+      import org.json4s._
+      import org.json4s.jackson.JsonMethods
+      JsonMethods.parse(s) match {
+        case JArray(items) => items.collect {
+          case o: JObject =>
+            implicit val fmt: Formats = DefaultFormats
+            Warehouse.Check((o \ "name").extract[String],
+              (o \ "expr").extract[String],
+              (o \ "onViolation").extract[String])
+        }
+        case _ => Nil
+      }
+    }.getOrElse(Nil)
+
+  /** Applies the table's declared checks to an append batch: throws on
+    * a `fail` violation, filters `drop` rows, routes `quarantine` rows
+    * to `<name>_rejects`, returns the clean batch. One extra pass over
+    * the DELTA only (never the table) when checks exist; zero cost
+    * otherwise. */
+  private def enforceChecks(name: String, df: DataFrame): DataFrame = {
+    val cs = checks(name)
+    if (cs.isEmpty) df
+    else {
+      val pinned = df.localCheckpoint() // evaluated 2-3×: pin the lineage
+      val failing = cs.filter(_.onViolation == "fail")
+      if (failing.nonEmpty) {
+        val counts = pinned.select(failing.map(c =>
+          count(when(expr(c.expr) <=> lit(false), lit(1))).as(c.name)): _*)
+          .collect()(0)
+        failing.zipWithIndex.foreach { case (c, i) =>
+          if (counts.getLong(i) > 0)
+            throw new IllegalArgumentException(
+              s"append to $name rejected: check '${c.name}' " +
+                s"(${c.expr}) fails on ${counts.getLong(i)} row(s)")
+        }
+      }
+      val soft = cs.filterNot(_.onViolation == "fail")
+      if (soft.isEmpty) pinned
+      else {
+        val failCol = coalesce(soft.map(c =>
+          when(expr(c.expr) <=> lit(false), lit(c.name))): _*)
+        val qNames = soft.filter(_.onViolation == "quarantine").map(_.name)
+        if (qNames.nonEmpty) {
+          val rejects = s"${name}_rejects"
+          val viol = pinned.withColumn("_check", failCol)
+            .filter(col("_check").isin(qNames: _*))
+            .withColumn("_rejected_at",
+              lit(java.time.Instant.now.toString))
+          if (currentManifest(rejects).isEmpty) save(rejects, viol)
+          else append(rejects, viol)
+        }
+        pinned.filter(failCol.isNull)
+      }
+    }
   }
 
   /** Validates a path-mode delta against the table's recorded schema
@@ -709,7 +864,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       // survive the delete — that direction must be loud
       val matched: Map[String, (Long, Long)] = probe.map { r =>
         val uri = r.getString(0)
-        val rel = cands.find(m => uri.endsWith("/" + m)).getOrElse(
+        val rel = manifestPathOf(name, cands, uri).getOrElse(
           throw new IllegalStateException(
             s"delete: cannot resolve probed file $uri back to a manifest path"))
         rel -> (r.getLong(1), r.getLong(2))
@@ -825,7 +980,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           .collect()
       val matched: Map[String, Long] = probe.map { r =>
         val uri = r.getString(0)
-        val rel = cands.find(m => uri.endsWith("/" + m)).getOrElse(
+        val rel = manifestPathOf(name, cands, uri).getOrElse(
           throw new IllegalStateException(
             s"update: cannot resolve probed file $uri back to a manifest path"))
         rel -> r.getLong(1)
@@ -919,11 +1074,13 @@ class Warehouse(spark: SparkSession, basePath: String,
         else require(paths == seen && op != "delete" && op != "update",
           s"tableChangesRows: '$op' commit v$v of $name predates change " +
             "files — re-read the snapshot") // mark-only commits change no rows
-      } else if (rowNeutral.contains(op)) {
-        // file rewrite, identical rows: nothing to emit
+      } else if (rowNeutral.contains(op) || paths == seen) {
+        // file rewrite with identical rows, or a metadata-only commit
+        // (alter-check, clone-ref, mv mark): nothing to emit
       } else {
         val appendShaped = ((Set("append", "stream-append").contains(op) ||
-          (op == "save" && seen.isEmpty)) && seen.subsetOf(paths))
+          (Set("save", "clone").contains(op) && seen.isEmpty)) &&
+          seen.subsetOf(paths))
         require(appendShaped,
           s"tableChangesRows: version $v of $name is a '$op' rewrite with " +
             "no recorded row changes; re-read the snapshot")
@@ -1039,10 +1196,25 @@ class Warehouse(spark: SparkSession, basePath: String,
       val kept = versions.takeRight(keepVersions)
       // union of every kept snapshot's file list — any of them must
       // remain fully readable after the sweep
+      // files any registered clone still references must survive the
+      // source's vacuum: read each clone's live manifests and collect
+      // the entries that resolve into THIS table's directory
+      val cloneKeep: Set[String] = currentManifestFull(name)
+        .flatMap(_._3.get(ClonesMeta)).toSeq
+        .flatMap(_.split(",").filter(_.nonEmpty))
+        .flatMap { c =>
+          tableVersions(c).flatMap { cv =>
+            readManifestFile(new org.apache.hadoop.fs.Path(
+              txnDir(c), s"v$cv.manifest"))._1.map(_.path)
+          }
+        }
+        .collect { case pth if pth.startsWith(s"../$name/") =>
+          pth.stripPrefix(s"../$name/") }
+        .toSet
       val keep = kept.flatMap { kv =>
         readManifestFile(new org.apache.hadoop.fs.Path(
           txnDir(name), s"v$kv.manifest"))._1.map(_.path)
-      }.toSet
+      }.toSet ++ cloneKeep
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
       // a zero-file snapshot never created the data dir: nothing to scan
@@ -1121,11 +1293,37 @@ class Warehouse(spark: SparkSession, basePath: String,
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
     else {
-      val r = spark.read.format(format).option("header", "true")
-      (if (sc.isEmpty) r else r.schema(sc))
-        .option("basePath", s"$basePath/$name")
-        .load(files.map(f => s"$basePath/$name/$f"): _*)
+      // a shallow clone's manifest may reference files in SEVERAL
+      // physical table directories ("../src/…" entries next to its
+      // own); Spark's partition inference demands one consistent
+      // directory structure per load, so group the list by owning
+      // directory, scan each group against its own basePath, and union
+      def load(owner: String, fs: Seq[String]): DataFrame = {
+        val r = spark.read.format(format).option("header", "true")
+        (if (sc.isEmpty) r else r.schema(sc))
+          .option("basePath", s"$basePath/$owner")
+          .load(fs.map(f => s"$basePath/$name/$f"): _*)
+      }
+      files.groupBy(f => normalizedRel(name, f).takeWhile(_ != '/'))
+        .toSeq.sortBy(_._1)
+        .map { case (owner, fs) => load(owner, fs) }
+        .reduce(_ unionByName _)
     }
+
+  /** `name`-dir-relative manifest path with `..` segments resolved —
+    * "t/year=1/f" for a plain file, "src/f" for a clone-referenced
+    * one. Probes match `input_file_name()` URIs against this. */
+  private def normalizedRel(name: String, rel: String): String =
+    (name + "/" + rel).split("/").foldLeft(List.empty[String]) {
+      case (acc, "..") if acc.nonEmpty => acc.tail
+      case (acc, s) if s.nonEmpty && s != "." => s :: acc
+      case (acc, _) => acc
+    }.reverse.mkString("/")
+
+  /** Resolve a probed file URI back to its manifest path (clone-aware). */
+  private def manifestPathOf(name: String, cands: Seq[String],
+      uri: String): Option[String] =
+    cands.find(m => uri.endsWith("/" + normalizedRel(name, m)))
 
   /** Append-only change feed: the rows ADDED between two committed
     * versions (exclusive `fromVersion`, inclusive `toVersion`),
@@ -1163,9 +1361,11 @@ class Warehouse(spark: SparkSession, basePath: String,
       val (files, meta) = manifest(v)
       val op = meta.getOrElse(OpMeta, "unknown")
       val paths = files.map(_.path).toSet
-      // the bootstrap save is append-shaped when nothing preceded it
+      // the bootstrap save/clone is append-shaped when nothing preceded
+      // it; a metadata-only commit (alter-check, clone-ref) adds nothing
       val appendShaped = (appendOps.contains(op) ||
-        (op == "save" && seen.isEmpty)) && seen.subsetOf(paths)
+        (Set("save", "clone").contains(op) && seen.isEmpty) ||
+        paths == seen) && seen.subsetOf(paths)
       require(appendShaped,
         s"tableChanges: version $v of $name is a '$op' rewrite — file-level " +
           "diffs only describe append-shaped commits; re-read the snapshot")
@@ -1335,7 +1535,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           .select("__file").distinct().collect()
         val touched: Set[String] = probe.map { r =>
           val uri = r.getString(0)
-          mvFiles.map(_.path).find(p => uri.endsWith("/" + p)).getOrElse(
+          manifestPathOf(mv, mvFiles.map(_.path), uri).getOrElse(
             throw new IllegalStateException(
               s"refreshAggregate: cannot resolve probed file $uri"))
         }.toSet
@@ -1506,6 +1706,80 @@ class Warehouse(spark: SparkSession, basePath: String,
         restoredBloom.getOrElse(Nil))
   }
 
+  /** Zero-copy shallow clone: `dst` becomes a full table whose first
+    * manifest REFERENCES `src`'s data files (re-pointed `../src/…`
+    * entries, per-file stats and blooms carried along) — no data I/O,
+    * metadata only, at any size. Pass `version` to clone a historical
+    * snapshot (time-travel fork).
+    *
+    * The clone is a real table from then on: appends land in its own
+    * directory, DELETE/UPDATE rewrite only the files they touch (a
+    * rewritten file materializes into the clone, untouched ones keep
+    * pointing at the source), compact/recluster materialize it fully,
+    * and its own history/time-travel/restore work as usual. Writes to
+    * either table NEVER affect the other — the fork semantics of a
+    * production table format's CLONE.
+    *
+    * Vacuum safety, both directions: vacuuming the CLONE only sweeps
+    * its own directory (referenced source files live elsewhere);
+    * vacuuming the SOURCE keeps every file any registered clone's
+    * manifests still reference — the clone registers itself on the
+    * source (op `clone-ref`) in the same call. Cloning a clone keeps
+    * each file entry pointing at the directory that physically owns
+    * it, and registers on every owner. */
+  def cloneTable(src: String, dst: String,
+      version: Option[Long] = None): Unit = {
+    require(database.isEmpty, "cloneTable applies to path-mode tables only")
+    require(src != dst, "cloneTable: src and dst are the same table")
+    val fs = metaFs
+    val v = version.getOrElse(currentManifest(src).map(_._1).getOrElse(
+      throw new IllegalArgumentException(
+        s"cloneTable: $src has no committed snapshot")))
+    val p = new org.apache.hadoop.fs.Path(txnDir(src), s"v$v.manifest")
+    require(fs.exists(p), s"cloneTable: $src has no version $v " +
+      s"(available: ${tableVersions(src).mkString(", ")})")
+    val (files, srcMeta) = readManifestFile(p)
+    // each entry points at the directory that PHYSICALLY owns the file:
+    // plain paths gain one "../src/" hop; already-referencing paths
+    // (cloning a clone) are kept verbatim
+    val repointed = files.map(f =>
+      if (f.path.startsWith("../")) f else f.copy(path = s"../$src/${f.path}"))
+    val carried = Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta,
+      BloomMeta, ChecksMeta).flatMap(k => srcMeta.get(k).map(k -> _)).toMap
+    withCommitLock(dst) {
+      require(currentManifest(dst).isEmpty,
+        s"cloneTable: $dst already exists")
+      commitManifest(dst, repointed, carried, op = "clone")
+    }
+    // register dst on every table whose directory it references, so
+    // THEIR vacuums keep the shared files alive
+    val owners = repointed.map(_.path).collect {
+      case pth if pth.startsWith("../") => pth.drop(3).takeWhile(_ != '/')
+    }.distinct
+    owners.foreach { owner =>
+      withCommitLock(owner) {
+        val (_, ofs, ometa) = currentManifestFull(owner).getOrElse(
+          throw new IllegalStateException(
+            s"cloneTable: referenced table $owner has no snapshot"))
+        val clones = (ometa.getOrElse(ClonesMeta, "").split(",")
+          .filter(_.nonEmpty).toSeq :+ dst).distinct
+        commitManifest(owner, ofs,
+          Map(ClonesMeta -> clones.mkString(",")), op = "clone-ref")
+      }
+    }
+    // side meta bootstrap, same as save()
+    val sc = metaSchema(srcMeta).getOrElse(tableSchema(src))
+    val parts = srcMeta.get(PartsMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    val clus = srcMeta.get(ClusterMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq).getOrElse(Nil)
+    writeMeta(dst, parts, sc, clus,
+      srcMeta.getOrElse(ClusterKindMeta, LinearKind),
+      srcMeta.get(BloomMeta).map(_.split(",").map(_.trim)
+        .filter(_.nonEmpty).toSeq).getOrElse(Nil))
+    read(dst).createOrReplaceTempView(s"dw_$dst")
+  }
+
   /** Exactly-once streaming micro-batch append (path mode). Structured
     * Streaming's foreachBatch is at-least-once: after a failure between
     * the sink write and the checkpoint advance, the same batchId is
@@ -1586,6 +1860,8 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val BloomMeta = "bloom"
   private val OpMeta = "op"
   private val TimeMeta = "committedAt"
+  private val ChecksMeta = "checks"
+  private val ClonesMeta = "clones"
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -2102,6 +2378,11 @@ object Warehouse {
     * and MV files rewritten. */
   final case class MvRefresh(fromVersion: Long, toVersion: Long,
       keysChanged: Long, filesRewritten: Int, bootstrapped: Boolean)
+
+  /** A declared row-level CHECK constraint (see
+    * [[Warehouse.addCheck]]): violation = predicate FALSE, disposition
+    * one of fail | drop | quarantine. */
+  final case class Check(name: String, expr: String, onViolation: String)
 }
 
 /** F6 — SQL Server's default collation is case-insensitive; Spark is

@@ -923,6 +923,45 @@ object Relational {
               sqrt(nd * col("syy") - col("sy") * col("sy"))), 6)
             .as("corr_qty_price"))
           .orderBy("l_returnflag")
+      }),
+
+    // A21 — several COUNT(DISTINCT …) in one aggregation: Spark plans
+    // ONE Expand (each row replicated per distinct clause) feeding a
+    // two-level aggregate — the single-pass multi-distinct shape, not
+    // N self-joined subqueries.
+    Q("a21_multi_distinct",
+      Some("""SELECT o_orderpriority,
+             |  count(DISTINCT o_custkey) AS n_cust,
+             |  count(DISTINCT cast(o_orderdate as date)) AS n_days,
+             |  count(*) AS n_orders
+             |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(countDistinct(to_date(col("o_orderdate"))).as("n_days"),
+          countDistinct(col("o_custkey")).as("n_cust"),
+          count(lit(1)).as("n_orders"))
+        .select(col("o_orderpriority"), col("n_cust"), col("n_days"),
+          col("n_orders"))
+        .orderBy("o_orderpriority")),
+
+    // J18 — null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL
+    // keys MATCH each other instead of silently dropping out; the hash
+    // join hashes the null bucket like any other value (no special
+    // null-filter pass).
+    Q("j18_null_safe_join",
+      Some("""WITH a AS (SELECT NULLIF(o_orderstatus, 'O') AS s FROM orders),
+             |     b AS (SELECT DISTINCT NULLIF(o_orderstatus, 'O') AS s FROM orders)
+             |SELECT b.s AS s, count(*) AS n
+             |FROM a JOIN b ON a.s IS NOT DISTINCT FROM b.s
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val a = T.orders(s, d)
+          .select(expr("nullif(o_orderstatus, 'O')").as("s"))
+        val b = a.distinct().withColumnRenamed("s", "bs")
+        a.join(b, col("s") <=> col("bs"))
+          .groupBy("bs").agg(count(lit(1)).as("n"))
+          .select(col("bs").as("s"), col("n"))
+          .orderBy("s")
       })
   )
 }

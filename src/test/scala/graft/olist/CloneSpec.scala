@@ -1,0 +1,92 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shallow clone: `cloneTable` forks a table by manifest reference —
+  * zero data I/O — and the two tables then evolve independently, with
+  * vacuum on either side unable to break the other.
+  */
+class CloneSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def dataFilesUnder(dir: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val p = java.nio.file.Paths.get(dir)
+    if (!java.nio.file.Files.exists(p)) Nil
+    else java.nio.file.Files.walk(p).iterator().asScala
+      .filter(f => java.nio.file.Files.isRegularFile(f) &&
+        !f.getFileName.toString.startsWith("_") &&
+        !f.getFileName.toString.startsWith("."))
+      .map(_.toString).toSeq
+  }
+
+  test("clone is zero-copy, independent both ways, vacuum-safe") {
+    import spark.implicits._
+    val dir = tmp("wh_clone")
+    val wh = new Warehouse(spark, dir)
+    wh.save("src", spark.range(4000).select(col("id").as("k"),
+      (col("id") % 7).as("v"), (floor(col("id") / 2000) + 2020).as("year"))
+      .repartition(col("year")),
+      partitionBy = Seq("year"), clusterBy = Seq("k"))              // src v1
+    wh.cloneTable("src", "fork")
+    // zero data I/O: the clone's directory holds no data files
+    assert(dataFilesUnder(s"$dir/fork").isEmpty)
+    assert(wh.table("fork").count() == 4000)
+    // partition column survives the referenced read
+    assert(wh.table("fork").filter(col("year") === 2021).count() == 2000)
+    assert(wh.history("fork").last.op == "clone")
+    assert(wh.history("src").last.op == "clone-ref")
+
+    // append to the clone: lands in ITS directory, source unchanged
+    wh.append("fork", Seq((9001L, 1L, 2022L)).toDF("k", "v", "year")
+      .coalesce(1))
+    assert(wh.table("fork").count() == 4001)
+    assert(wh.table("src").count() == 4000)
+    assert(dataFilesUnder(s"$dir/fork").nonEmpty)
+
+    // delete on the clone: straddling source file materializes into the
+    // clone, source rows untouched
+    val res = wh.delete("fork", col("k") < 100L)
+    assert(res.rowsDeleted == 100)
+    assert(wh.table("fork").count() == 3901)
+    assert(wh.table("src").count() == 4000)
+
+    // update the SOURCE: the clone keeps reading its pinned snapshot
+    wh.update("src", col("k") === 200L, Map("v" -> lit(999L)))
+    assert(wh.table("src").filter(col("v") === 999L).count() == 1)
+    assert(wh.table("fork").filter(col("v") === 999L).count() == 0)
+
+    // aggressive source vacuum: files the clone references SURVIVE
+    wh.vacuum("src", graceMs = 0L, keepVersions = 1)
+    assert(wh.table("fork").count() == 3901)
+    assert(wh.table("src").count() == 4000)
+    // a fresh instance reads the clone the same way (side-meta bootstrap)
+    val wh2 = new Warehouse(spark, dir)
+    assert(wh2.table("fork").count() == 3901)
+  }
+
+  test("clone at a historical version; clone of a clone re-registers owners") {
+    import spark.implicits._
+    val dir = tmp("wh_clone2")
+    val wh = new Warehouse(spark, dir)
+    wh.save("src", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)) // v1
+    wh.append("src", Seq((3L, "c")).toDF("k", "v").coalesce(1))          // v2
+    wh.cloneTable("src", "old", version = Some(1L))
+    assert(wh.table("old").count() == 2)
+    assert(wh.table("src").count() == 3)
+    // clone of a clone: entries keep pointing at the physical owner
+    wh.cloneTable("old", "older")
+    assert(wh.table("older").count() == 2)
+    // …and the grandchild registered itself on the ORIGINAL owner, so
+    // the source's vacuum keeps the shared file alive for it
+    wh.vacuum("src", graceMs = 0L, keepVersions = 1)
+    assert(wh.table("older").count() == 2)
+    // an existing table refuses to be clobbered by a clone
+    intercept[IllegalArgumentException] { wh.cloneTable("src", "old") }
+  }
+}

@@ -255,7 +255,10 @@ class TableLayoutSpec extends AnyFunSuite {
   test("commit lock: stale lock is taken over; held lock times out loudly") {
     import spark.implicits._
     val dir = tmp("wh_lock2")
-    val wh = new Warehouse(spark, dir, lockAcquireMs = 800, lockStaleMs = 2000)
+    // staleMs far above any loaded-machine write stall: the live lock
+    // below must DEADLINE, not be mistaken for a crashed writer (the
+    // takeover case backdates its mtime 60 s, well past this too)
+    val wh = new Warehouse(spark, dir, lockAcquireMs = 800, lockStaleMs = 45000)
     wh.save("t", Seq((1L, "a")).toDF("k", "v").coalesce(1))
     val lock = java.nio.file.Paths.get(dir, "_graft_meta", "txn", "t", "_lock")
     // a crashed writer's lock: old mtime → taken over, append proceeds
