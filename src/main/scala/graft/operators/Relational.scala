@@ -962,6 +962,42 @@ object Relational {
           .groupBy("bs").agg(count(lit(1)).as("n"))
           .select(col("bs").as("s"), col("n"))
           .orderBy("s")
-      })
+      }),
+
+    // O4 — LIMIT/OFFSET pagination over a total order: the page-N
+    // fetch. Spark plans a single ordered limit of offset+limit rows
+    // and drops the prefix — no global materialization.
+    Q("o4_offset",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |ORDER BY o_orderkey LIMIT 10 OFFSET 100""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .select("o_orderkey", "o_totalprice")
+        .orderBy("o_orderkey")
+        .offset(100).limit(10)),
+
+    // P9 — LIKE / ILIKE pattern predicates (case-sensitive and -folded
+    // wildcard match), pushed as string predicates into the scan.
+    Q("p9_like_patterns",
+      Some("""SELECT p_partkey, p_name FROM part
+             |WHERE p_name ILIKE '%GREEN%' OR p_name LIKE '%blue%'
+             |ORDER BY p_partkey""".stripMargin),
+      (s, d) => T.part(s, d)
+        .filter(expr("p_name ILIKE '%GREEN%' OR p_name LIKE '%blue%'"))
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    // F13 — calendar month arithmetic: add_months clamps to month end
+    // (Jan 31 + 1 → Feb 29) identically in both engines, last_day for
+    // the period close — the fiscal-date toolkit.
+    Q("f13_month_arith",
+      Some("""SELECT o_orderkey,
+             |  cast(cast(o_orderdate as date) + INTERVAL 3 MONTH as date) AS due_date,
+             |  last_day(cast(o_orderdate as date)) AS month_end
+             |FROM orders ORDER BY o_orderkey""".stripMargin),
+      (s, d) => T.orders(s, d)
+        .select(col("o_orderkey"),
+          add_months(to_date(col("o_orderdate")), 3).as("due_date"),
+          last_day(to_date(col("o_orderdate"))).as("month_end"))
+        .orderBy("o_orderkey"))
   )
 }

@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.Curate
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The composed curation pipeline: every stage's effect verified on a
+  * corpus constructed to exercise it (low-quality rows, exact copies,
+  * near copies, one benchmark-contaminated document).
+  */
+class CurateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  // per-seed disjoint vocabulary (only the stopword filler is shared),
+  // so distinct seeds have near-zero token-set Jaccard
+  private def sentence(seed: Int, words: Int): String =
+    (0 until words).map(i => s"s${seed}word$i")
+      .mkString("the ", " of the ", " and to in a end")
+
+  test("curate: quality, exact, near, decontamination, sharding compose") {
+    import spark.implicits._
+    val base = (1L to 40L).map(i => (i, sentence(i.toInt, 60)))
+    val exactCopies = Seq((101L, sentence(5, 60)), (102L, sentence(5, 60)))
+    // near copy of doc 7: same 60 words plus a small tail
+    val nearCopy = Seq((201L, sentence(7, 60) + " tiny extra tail"))
+    val junk = Seq((301L, "short"), (302L, "xxxxx yyyyy"))
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated = Seq((401L,
+      sentence(9, 30) + " " + benchText + " " + sentence(10, 30)))
+    val docs = (base ++ exactCopies ++ nearCopy ++ junk ++ contaminated)
+      .toDF("doc_id", "text")
+    val bench = Seq((9001L, benchText)).toDF("doc_id", "text")
+
+    val (out, rep) = Curate.curate(docs, bench, minQuality = 0.3,
+      jaccard = 0.5, tokensPerShard = 500L)
+
+    assert(rep.input == 46)
+    // junk rows fail the quality gate, everything else passes
+    assert(rep.afterQuality == 44, rep.toString)
+    // 101/102 are byte-copies of doc 5: the smallest id survives
+    assert(rep.afterExact == 42, rep.toString)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids.contains(5L) && !ids.contains(101L) && !ids.contains(102L))
+    // 201 is a near-copy of 7: the component canonical (7) survives
+    assert(rep.afterNear == 41, rep.toString)
+    assert(ids.contains(7L) && !ids.contains(201L))
+    // 401 shares the benchmark 8-grams: decontaminated
+    assert(rep.afterDecontam == 40, rep.toString)
+    assert(!ids.contains(401L))
+    // split + shard assigned everywhere, deterministically
+    assert(out.filter(col("split").isNull || col("shard").isNull).count() == 0)
+    assert(rep.shards >= 1)
+    val (out2, rep2) = Curate.curate(docs, bench, minQuality = 0.3,
+      jaccard = 0.5, tokensPerShard = 500L)
+    assert(rep2 == rep)
+    assert(out2.select("doc_id", "split", "shard").exceptAll(
+      out.select("doc_id", "split", "shard")).count() == 0)
+  }
+
+  test("curate runs over the real documents table") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    // held-out bench = one source, train = the rest (the d10 framing)
+    val (out, rep) = Curate.curate(
+      docs.filter(col("source") =!= "src0"),
+      docs.filter(col("source") === "src0"))
+    assert(rep.input > 0 && rep.afterDecontam > 0)
+    assert(rep.input >= rep.afterQuality)
+    assert(rep.afterQuality >= rep.afterExact)
+    assert(rep.afterExact >= rep.afterNear)
+    assert(rep.afterNear >= rep.afterDecontam)
+    assert(out.columns.toSet.contains("shard"))
+  }
+}
