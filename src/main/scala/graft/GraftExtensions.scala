@@ -17,6 +17,11 @@ import graft.functions.{MinHashSigs, VectorAvg, VectorFunctions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => graft.plans.DateKeyJoinRewrite)
+    // SQL maintenance surface (DELETE/UPDATE/VACUUM/OPTIMIZE/DESCRIBE
+    // HISTORY/CLONE over warehouse tables); unmatched statements
+    // delegate to Spark's own parser untouched
+    ext.injectParser((session, delegate) =>
+      new graft.plans.GraftSqlParser(session, delegate))
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[VectorFunctions.CosineSimilarity].getName, "cosine_sim"),

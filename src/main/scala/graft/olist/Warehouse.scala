@@ -1706,6 +1706,19 @@ class Warehouse(spark: SparkSession, basePath: String,
         restoredBloom.getOrElse(Nil))
   }
 
+  /** True when `name` has a committed path-mode snapshot here (the
+    * predicate the SQL command surface uses to decide binding). */
+  def hasTable(name: String): Boolean =
+    database.isEmpty && currentManifest(name).nonEmpty
+
+  /** Bind this warehouse as the session's target for the SQL
+    * maintenance surface (DELETE/UPDATE/VACUUM/OPTIMIZE/DESCRIBE
+    * HISTORY/CLONE — see [[graft.plans.GraftSqlParser]]). The session
+    * must have been built `.withExtensions(new GraftExtensions)`. */
+  def enableSql(): this.type = {
+    graft.plans.GraftSqlParser.bind(spark, this); this
+  }
+
   /** Zero-copy shallow clone: `dst` becomes a full table whose first
     * manifest REFERENCES `src`'s data files (re-pointed `../src/…`
     * entries, per-file stats and blooms carried along) — no data I/O,

@@ -1,0 +1,174 @@
+package graft.plans
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.parser.ParserInterface
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.functions.expr
+import org.apache.spark.sql.types.{LongType, StringType}
+
+/** SQL surface for the warehouse's table-maintenance commands — the
+  * production-table-format pattern of a delegating parser extension
+  * (installed by [[graft.GraftExtensions]]): statements the Spark
+  * grammar either lacks or routes to v2-catalog paths are intercepted
+  * and executed through the session's bound [[graft.olist.Warehouse]];
+  * everything else falls through to the delegate untouched.
+  *
+  *   wh.enableSql()                                  // bind once
+  *   spark.sql("DELETE FROM t WHERE k % 2 = 0")      // file surgery
+  *   spark.sql("UPDATE t SET v = v + 1 WHERE k = 3")
+  *   spark.sql("VACUUM t RETAIN 3 VERSIONS")
+  *   spark.sql("OPTIMIZE t")
+  *   spark.sql("DESCRIBE HISTORY t")
+  *   spark.sql("CLONE t AS t2 [VERSION 4]")
+  *
+  * A statement only binds to the warehouse when the named table has a
+  * committed snapshot there — otherwise it delegates, so catalog
+  * tables keep Spark's own semantics. */
+class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
+    extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan =
+    command(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+
+  override def parseQuery(sqlText: String): LogicalPlan =
+    delegate.parseQuery(sqlText)
+  override def parseExpression(sqlText: String) =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String) =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String) =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String) =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String) =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String) =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String) =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  /** One registered warehouse per session (the `enableSql` binding). */
+  private val registry =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession,
+      graft.olist.Warehouse]()
+
+  def bind(session: SparkSession, wh: graft.olist.Warehouse): Unit =
+    registry.put(session, wh)
+
+  private def boundTable(session: SparkSession,
+      name: String): Option[graft.olist.Warehouse] =
+    Option(registry.get(session)).filter(_.hasTable(name))
+
+  private val Delete =
+    """(?is)^\s*DELETE\s+FROM\s+([\w]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val Update =
+    """(?is)^\s*UPDATE\s+([\w]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  private val Vacuum =
+    """(?is)^\s*VACUUM\s+([\w]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+  private val Optimize =
+    """(?is)^\s*OPTIMIZE\s+([\w]+)\s*;?\s*$""".r
+  private val History =
+    """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
+  private val Clone =
+    """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+
+  /** Split a SET clause on top-level commas (commas inside function
+    * calls or parenthesized expressions stay put). */
+  private def splitAssignments(s: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var depth = 0; var start = 0
+    s.zipWithIndex.foreach {
+      case ('(', _) => depth += 1
+      case (')', _) => depth -= 1
+      case (',', i) if depth == 0 => out += s.substring(start, i); start = i + 1
+      case _ => ()
+    }
+    out += s.substring(start)
+    out.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val Assign = """(?s)^\s*([\w]+)\s*=(.+)$""".r
+
+  private def cmd(session: SparkSession, out: Seq[Attribute])(
+      f: SparkSession => Seq[Row]): LogicalPlan =
+    GraftMaintenanceCommand(out)(f)
+
+  private def attrs(cols: (String, org.apache.spark.sql.types.DataType)*)
+      : Seq[Attribute] =
+    cols.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+
+  /** Try to parse `sqlText` as a warehouse maintenance command bound
+    * to this session's registered warehouse. None = delegate. */
+  def command(session: SparkSession, sqlText: String): Option[LogicalPlan] =
+    sqlText match {
+      case Delete(table, cond) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("rows_deleted" -> LongType,
+            "files_dropped" -> LongType, "files_rewritten" -> LongType)) { _ =>
+            val r = wh.delete(table, expr(cond))
+            Seq(Row(r.rowsDeleted, r.filesDropped.toLong,
+              r.filesRewritten.toLong))
+          }
+        }
+      case Update(table, sets, cond) =>
+        boundTable(session, table).map { wh =>
+          val assignments = splitAssignments(sets).map {
+            case Assign(c, e) => c -> expr(e)
+            case bad => throw new IllegalArgumentException(
+              s"UPDATE $table: cannot parse assignment '$bad'")
+          }.toMap
+          cmd(session, attrs("rows_updated" -> LongType,
+            "files_rewritten" -> LongType)) { _ =>
+            val r = wh.update(table, expr(cond), assignments)
+            Seq(Row(r.rowsUpdated, r.filesRewritten.toLong))
+          }
+        }
+      case Vacuum(table, retain) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            if (retain == null) wh.vacuum(table)
+            else wh.vacuum(table, graceMs = 0L, keepVersions = retain.toInt)
+            Seq(Row("OK"))
+          }
+        }
+      case Optimize(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.compact(table); Seq(Row("OK"))
+          }
+        }
+      case History(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("version" -> LongType, "operation" -> StringType,
+            "committed_at" -> StringType, "files" -> LongType)) { _ =>
+            wh.history(table).map(c =>
+              Row(c.version, c.op, c.committedAt, c.files.toLong))
+          }
+        }
+      case Clone(src, dst, version) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.cloneTable(src, dst, Option(version).map(_.toLong))
+            Seq(Row("OK"))
+          }
+        }
+      case _ => None
+    }
+}
+
+/** The runnable node every parsed maintenance command lowers to: the
+  * side effect runs through the bound warehouse at execution time (not
+  * parse time — EXPLAIN of a DELETE must not delete). */
+case class GraftMaintenanceCommand(
+    override val output: Seq[Attribute])(
+    body: SparkSession => Seq[Row]) extends LeafRunnableCommand {
+  override def run(session: SparkSession): Seq[Row] = body(session)
+  override def otherCopyArgs: Seq[AnyRef] = body :: Nil
+}

@@ -1,0 +1,75 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The SQL maintenance surface (GraftSqlParser via GraftExtensions):
+  * DELETE/UPDATE/VACUUM/OPTIMIZE/DESCRIBE HISTORY/CLONE statements
+  * execute through the bound warehouse; everything else still parses
+  * with Spark's own grammar.
+  */
+class SqlSurfaceSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("DELETE / UPDATE / DESCRIBE HISTORY / CLONE / OPTIMIZE / VACUUM as SQL") {
+    import spark.implicits._
+    val dir = tmp("wh_sql")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", spark.range(100).select(col("id").as("k"),
+      (col("id") % 10).as("v")).coalesce(2))
+
+    // DELETE: file surgery, result row reports the counts
+    val del = spark.sql("DELETE FROM t WHERE k >= 90").collect()(0)
+    assert(del.getAs[Long]("rows_deleted") == 10)
+    assert(wh.table("t").count() == 90)
+
+    // UPDATE with a multi-assignment SET (comma inside a function call
+    // must not split) and SQL pre-image semantics
+    val upd = spark.sql(
+      "UPDATE t SET v = v + 100, k = greatest(k, v) WHERE k < 3").collect()(0)
+    assert(upd.getAs[Long]("rows_updated") == 3)
+    assert(wh.table("t").filter(col("v") >= 100L).count() == 3)
+
+    // DESCRIBE HISTORY reads the audit trail
+    val hist = spark.sql("DESCRIBE HISTORY t")
+      .select("operation").as[String].collect().toSeq
+    assert(hist == Seq("save", "delete", "update"), hist.toString)
+
+    // CLONE .. AS .. VERSION: zero-copy historical fork
+    spark.sql("CLONE t AS t_v1 VERSION 1")
+    assert(wh.table("t_v1").count() == 100)
+
+    // OPTIMIZE compacts; VACUUM RETAIN sweeps old versions
+    spark.sql("OPTIMIZE t")
+    assert(wh.history("t").last.op == "compact")
+    spark.sql("VACUUM t RETAIN 1 VERSIONS")
+    assert(wh.tableVersions("t").size == 1)
+    // the clone still reads its pinned snapshot after the source vacuum
+    assert(wh.table("t_v1").count() == 100)
+
+    // EXPLAIN must not execute the side effect
+    val before = wh.table("t").count()
+    spark.sql("EXPLAIN DELETE FROM t WHERE k < 50").collect()
+    // (Spark EXPLAIN of a v1 command prints the plan without running it)
+    assert(wh.table("t").count() == before)
+  }
+
+  test("unbound tables and ordinary SQL delegate to Spark untouched") {
+    import spark.implicits._
+    val dir = tmp("wh_sql2")
+    new Warehouse(spark, dir).enableSql()
+    // plain queries still parse and run through Spark's grammar
+    assert(spark.sql("SELECT 1 + 1 AS two").as[Int].collect()(0) == 2)
+    // DELETE on a table the warehouse does not hold falls through to
+    // Spark, which rejects it for non-v2 relations — proving we
+    // delegated instead of hijacking
+    Seq((1, "a")).toDF("k", "v").createOrReplaceTempView("plain_view")
+    intercept[Exception] {
+      spark.sql("DELETE FROM plain_view WHERE k = 1").collect()
+    }
+  }
+}
