@@ -162,4 +162,29 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("Window"), s"window crept into the sq8 rank:\n$p")
     assert(p.contains("TakeOrderedAndProject"), p)
   }
+
+  test("j18_null_safe_join: <=> keys still hash-join (no nested loop)") {
+    val p = plan("j18_null_safe_join")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"null-safe join fell off the hash path:\n$p")
+  }
+
+  test("a21_multi_distinct: one Expand pass, no self-joins") {
+    val p = plan("a21_multi_distinct")
+    assert(p.contains("Expand"), p)
+    assert(!p.contains("Join"), s"multi-distinct planned a join:\n$p")
+  }
+
+  test("f11_gap_fill: daily counts broadcast to the exploded spine") {
+    val p = plan("f11_gap_fill")
+    assert(p.contains("BroadcastHashJoin"), s"spine join shuffled:\n$p")
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("x1_explode_words: top-k via TakeOrderedAndProject after the agg") {
+    val p = plan("x1_explode_words")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("Generate"), s"no explode Generate node:\n$p")
+  }
 }
