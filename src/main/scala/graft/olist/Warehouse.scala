@@ -850,7 +850,9 @@ class Warehouse(spark: SparkSession, basePath: String,
           .select(predicate.as("__p")).queryExecution.analyzed
           .expressions.forall(_.deterministic),
         "delete predicate must be deterministic (it runs in the probe and the rewrite)")
-      val cands = candidates(files, sc, hint).map(_.path)
+      // explicit hint ∪ ranges provably implied by the predicate itself
+      val cands = candidates(files, sc,
+        hint ++ derivedRanges(predicate)).map(_.path)
       val probe =
         if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else fromFiles(name, cands, sc)
@@ -970,7 +972,8 @@ class Warehouse(spark: SparkSession, basePath: String,
             case None    => col(c)
           }
         }: _*)
-      val cands = candidates(files, sc, hint).map(_.path)
+      val cands = candidates(files, sc,
+        hint ++ derivedRanges(predicate)).map(_.path)
       val probe =
         if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else fromFiles(name, cands, sc)
@@ -2269,6 +2272,20 @@ class Warehouse(spark: SparkSession, basePath: String,
     * tests the per-file sketch — a miss is definitive (blooms have no
     * false negatives), a hit keeps the file and the residual filter
     * settles it. */
+  /** Range constraints PROVABLY implied by a predicate, for stats/bloom
+    * file pruning: top-level conjuncts of the form `col <op> literal`
+    * (either operand order) become [[ColRange]] bounds; anything else —
+    * disjunctions, casts, function calls — contributes nothing, which
+    * is the safe direction (a missing range keeps files, never drops
+    * one). Strict comparisons use their literal as an inclusive bound:
+    * looser pruning, still sound. This is what lets a bare
+    * `delete(t, col("k") === 42)` probe only the files whose stats or
+    * blooms admit 42, with no manual hint. */
+  private[olist] def derivedRanges(
+      pred: org.apache.spark.sql.Column): Seq[ColRange] =
+    org.apache.spark.sql.GraftColumnShim.impliedRanges(pred)
+      .map { case (c, lo, hi) => ColRange(c, lo, hi) }
+
   private def candidates(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[ColRange]): Seq[DataFile] = {

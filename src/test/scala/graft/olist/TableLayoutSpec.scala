@@ -673,6 +673,24 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(r0.rowsUpdated == 0 && wh.tableVersions("n").last == ver)
   }
 
+  test("derivedRanges: predicate conjuncts become pruning bounds, only provable ones") {
+    val wh = new Warehouse(spark, tmp("wh_dr"))
+    val r = wh.derivedRanges(col("k") >= 5L && col("k") < 10L &&
+      col("v") === "x" && (col("a") > 1L || col("b") < 2L))
+    assert(r.contains(ColRange("k", Some(5L), None)))
+    assert(r.contains(ColRange("k", None, Some(10L))))
+    assert(r.contains(ColRange("v", Some("x"), Some("x"))))
+    // a disjunction implies NO per-column constraint: must not prune
+    assert(!r.exists(c => c.column == "a" || c.column == "b"))
+    // literal-on-the-left comparisons flip correctly
+    assert(wh.derivedRanges(lit(7L) > col("k")) ==
+      Seq(ColRange("k", None, Some(7L))))
+    assert(wh.derivedRanges(lit(7L) <= col("k")) ==
+      Seq(ColRange("k", Some(7L), None)))
+    // opaque predicates (function of a column) derive nothing
+    assert(wh.derivedRanges(col("k") % 2 === 0L).isEmpty)
+  }
+
   test("update: partition-column assignment moves rows across partitions") {
     import spark.implicits._
     val dir = tmp("wh_updpart")
