@@ -1434,6 +1434,26 @@ class Warehouse(spark: SparkSession, basePath: String,
       .load()
   }
 
+  /** ROW-level streaming change feed (`mode = rows` of the same
+    * source): each committed version arrives as one micro-batch of
+    * [[tableChangesRows]] rows — inserts plus the pre/post images of
+    * deletes, updates, and merges, tagged `_change_type` — so a
+    * downstream CDC-apply sees every row change continuously, not just
+    * appends. Only unrecorded rewrites (overwrite-partitions, restore,
+    * save-over) refuse the stream. */
+  def readRowChangeStream(name: String, startingVersion: Long = 0L): DataFrame = {
+    require(database.isEmpty,
+      "readRowChangeStream applies to path-mode tables only")
+    spark.readStream
+      .format(classOf[graft.streaming.ChangeFeedProvider].getName)
+      .option("path", basePath)
+      .option("table", name)
+      .option("format", format)
+      .option("mode", "rows")
+      .option("startingVersion", startingVersion.toString)
+      .load()
+  }
+
   private val MvBaseMeta = "mv.sourceTable"
   private val MvVerMeta = "mv.sourceVersion"
 

@@ -28,7 +28,8 @@ import org.apache.spark.sql.types.StructType
   * (`startingVersion`, or `"latest"` for changes-from-now).
   */
 class ChangeFeedSource(wh: Warehouse, table: String,
-    startingVersion: Long, tableSchema: StructType) extends Source {
+    startingVersion: Long, tableSchema: StructType,
+    rows: Boolean = false) extends Source {
 
   override def schema: StructType = tableSchema
 
@@ -46,7 +47,8 @@ class ChangeFeedSource(wh: Warehouse, table: String,
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
-      wh.tableChanges(table, from, versionOf(end)))
+      if (rows) wh.tableChangesRows(table, from, versionOf(end))
+      else wh.tableChanges(table, from, versionOf(end)))
   }
 
   override def stop(): Unit = ()
@@ -59,13 +61,19 @@ class ChangeFeedSource(wh: Warehouse, table: String,
   *    0 replays the full append history as the initial batch; `latest`
   *    resolves to the head at query start (changes-from-now)
   *  - `format` (default parquet): the warehouse's data file format
+  *  - `mode` (default `files`): `files` = append-only file-diff feed
+  *    (refuses rewrites); `rows` = the ROW-level feed — each batch is
+  *    `tableChangesRows` over its version window, so inserts AND the
+  *    pre/post images of deletes, updates, and merges stream through
+  *    with a `_change_type` column, and only unrecorded rewrites
+  *    (overwrite/restore/save-over) refuse. The full CDC read half.
   */
 class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
   private def resolve(sqlContext: SQLContext,
-      parameters: Map[String, String]): (Warehouse, String, Long) = {
+      parameters: Map[String, String]): (Warehouse, String, Long, Boolean) = {
     val base = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changes needs option 'path' (the warehouse basePath)"))
     val table = parameters.getOrElse("table", throw new IllegalArgumentException(
@@ -76,23 +84,38 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       case "latest" => wh.tableVersions(table).lastOption.getOrElse(0L)
       case n => n.toLong
     }
-    (wh, table, start)
+    val rows = parameters.getOrElse("mode", "files") match {
+      case "files" => false
+      case "rows" => true
+      case other => throw new IllegalArgumentException(
+        s"graft-changes: unknown mode '$other' (files | rows)")
+    }
+    (wh, table, start, rows)
+  }
+
+  private def feedSchema(wh: Warehouse, table: String,
+      declared: Option[StructType], rows: Boolean): StructType = {
+    val sc = declared.getOrElse {
+      val base = wh.table(table).schema
+      if (rows) base.add("_change_type", org.apache.spark.sql.types.StringType)
+      else base
+    }
+    require(sc.nonEmpty, s"graft-changes: table $table has no committed schema")
+    sc
   }
 
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (wh, table, _) = resolve(sqlContext, parameters)
-    val sc = schema.getOrElse(wh.table(table).schema)
-    require(sc.nonEmpty, s"graft-changes: table $table has no committed schema")
-    (shortName(), sc)
+    val (wh, table, _, rows) = resolve(sqlContext, parameters)
+    (shortName(), feedSchema(wh, table, schema, rows))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (wh, table, start) = resolve(sqlContext, parameters)
+    val (wh, table, start, rows) = resolve(sqlContext, parameters)
     new ChangeFeedSource(wh, table, start,
-      schema.getOrElse(wh.table(table).schema))
+      feedSchema(wh, table, schema, rows), rows)
   }
 }

@@ -223,4 +223,54 @@ class StreamingSpec extends AnyFunSuite {
       col("end_us") - col("start_us") >= col("n_events") * EventStream.SESSION_GAP_US)
     assert(bad.count() == 0)
   }
+
+  test("row-level change stream crosses deletes, updates, and compactions") {
+    import org.apache.spark.sql.streaming.Trigger
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_rowstream").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("wh_rowstream_ckpt").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    wh.save("src", Seq((1L, "a"), (2L, "b"), (3L, "c"))
+      .toDF("k", "v").coalesce(1))                                        // v1
+    wh.save("log", Seq.empty[(Long, String, String)]
+      .toDF("k", "v", "_change_type"))
+    def start(t: Trigger) = wh.readRowChangeStream("src").writeStream
+      .option("checkpointLocation", ckpt)
+      .trigger(t)
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        wh.appendStreamBatch("log", b, id, "cdc"); ()
+      }
+      .start()
+    def logCount() = wh.table("log").count()
+    def await(expect: Long, q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+      val deadline = System.currentTimeMillis + 120000
+      while (logCount() != expect && System.currentTimeMillis < deadline) {
+        assert(q.exception.isEmpty, q.exception.map(_.toString).getOrElse(""))
+        Thread.sleep(100)
+      }
+      assert(logCount() == expect, s"log=${logCount()} expected=$expect")
+    }
+    val q = start(Trigger.ProcessingTime(100))
+    await(3, q)                                   // bootstrap: 3 inserts
+    wh.delete("src", col("k") === 2L)             // v2 → 1 delete row
+    await(4, q)
+    wh.update("src", col("k") === 3L, Map("v" -> lit("C2")))
+    await(6, q)                                   // v3 → pre delete + post insert
+    wh.compact("src")                             // v4 → row-neutral: nothing
+    wh.append("src", Seq((4L, "d")).toDF("k", "v").coalesce(1))
+    await(7, q)                                   // v5 → 1 insert
+    q.stop()
+    // the streamed log REPLAYS to exactly the live snapshot
+    val log = wh.table("log")
+    val applied = log.filter(col("_change_type") === "insert").select("k", "v")
+      .exceptAll(log.filter(col("_change_type") === "delete").select("k", "v"))
+    val snap = wh.table("src").select("k", "v")
+    assert(applied.exceptAll(snap).count() == 0 &&
+      snap.exceptAll(applied).count() == 0,
+      s"replay=${applied.collect().toSeq} snapshot=${snap.collect().toSeq}")
+    // the update's images streamed with the right tags
+    val upd = log.filter(col("k") === 3L)
+      .select("v", "_change_type").as[(String, String)].collect().toSet
+    assert(upd == Set(("c", "insert"), ("c", "delete"), ("C2", "insert")))
+  }
 }
