@@ -201,4 +201,63 @@ class PropertySpec extends AnyFunSuite {
     // garbage bytes keep the file (fail-safe direction), never throw
     assert(graft.functions.BloomSketch.mightContain(Array[Byte](9, 9, 9), 42L))
   }
+
+  test("random CRUD sequences: table state and maintained MV always equal recompute") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    (1 to 3).foreach { run =>
+      val dir = java.nio.file.Files.createTempDirectory(s"wh_prop$run").toString
+      val wh = new graft.olist.Warehouse(spark, dir)
+      // model: a mutable reference map the warehouse must always match
+      var model = Map.empty[Long, (Long, Long)] // id -> (g, v)
+      var nextId = 0L
+      def rows(n: Int): Seq[(Long, Long, Long, Int)] =
+        (1 to n).map { _ =>
+          nextId += 1
+          (nextId, rnd.nextInt(6).toLong, rnd.nextInt(100).toLong, 2020)
+        }
+      val init = rows(40)
+      model ++= init.map(r => r._1 -> (r._2, r._3))
+      wh.save("b", init.toDF("id", "g", "v", "year").coalesce(2),
+        partitionBy = Seq("year"))
+      wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
+      (1 to 12).foreach { step =>
+        rnd.nextInt(4) match {
+          case 0 => // append a small batch
+            val b = rows(rnd.nextInt(5) + 1)
+            model ++= b.map(r => r._1 -> (r._2, r._3))
+            wh.append("b", b.toDF("id", "g", "v", "year").coalesce(1))
+          case 1 => // delete a random group
+            val g = rnd.nextInt(6).toLong
+            model = model.filterNot(_._2._1 == g)
+            wh.delete("b", col("g") === g)
+          case 2 => // shift a random group's values
+            val g = rnd.nextInt(6).toLong
+            model = model.map { case (id, (mg, mv)) =>
+              id -> (mg, if (mg == g) mv + 7 else mv) }
+            wh.update("b", col("g") === g, Map("v" -> (col("v") + 7L)))
+          case 3 => // merge: upsert one existing + one new id
+            val existing = if (model.nonEmpty)
+              Seq(model.keys.toSeq(rnd.nextInt(model.size))) else Nil
+            val fresh = rows(1)
+            val delta = existing.map(id => (id, rnd.nextInt(6).toLong,
+              rnd.nextInt(100).toLong, 2020)) ++ fresh
+            model ++= delta.map(r => r._1 -> (r._2, r._3))
+            wh.merge("b", delta.toDF("id", "g", "v", "year"), keys = Seq("id"))
+        }
+        wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
+        // table ≡ model
+        val got = wh.table("b").select("id", "g", "v")
+          .as[(Long, Long, Long)].collect()
+          .map(r => r._1 -> (r._2, r._3)).toMap
+        assert(got == model, s"run $run step $step: table drifted")
+        // MV ≡ recompute from the model
+        val expect = model.values.groupBy(_._1).map { case (g, vs) =>
+          (g, vs.size.toLong, vs.map(_._2).sum) }.toSet
+        val mv = wh.table("mv").as[(Long, Long, Long)].collect().toSet
+        assert(mv == expect, s"run $run step $step: MV drifted")
+      }
+    }
+  }
 }
