@@ -78,6 +78,14 @@ object GraftSqlParser {
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
   private val Clone =
     """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
+  // equality conjuncts of the ON clause
+  private val Merge =
+    ("""(?is)^\s*MERGE\s+INTO\s+([\w]+)\s+USING\s+([\w.]+)\s+ON\s+(.+?)\s+""" +
+      """WHEN\s+MATCHED\s+THEN\s+UPDATE\s+SET\s+\*\s+""" +
+      """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
+  private val OnKey =
+    """(?i)^\s*(?:[\w]+\.)?([\w]+)\s*=\s*(?:[\w]+\.)?([\w]+)\s*$""".r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -156,6 +164,22 @@ object GraftSqlParser {
         boundTable(session, src).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.cloneTable(src, dst, Option(version).map(_.toLong))
+            Seq(Row("OK"))
+          }
+        }
+      case Merge(table, source, on) =>
+        boundTable(session, table).map { wh =>
+          val keys = on.split("(?i)\\s+AND\\s+").toSeq.map {
+            case OnKey(l, r) =>
+              require(l.equalsIgnoreCase(r), s"MERGE INTO $table: ON " +
+                s"conjunct '$l = $r' must name the SAME column on both sides")
+              l
+            case bad => throw new IllegalArgumentException(
+              s"MERGE INTO $table: ON clause must be equality conjuncts " +
+                s"of shape t.col = s.col; cannot parse '$bad'")
+          }
+          cmd(session, attrs("status" -> StringType)) { s =>
+            wh.merge(table, s.table(source), keys)
             Seq(Row("OK"))
           }
         }

@@ -58,6 +58,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(wh.table("t").count() == before)
   }
 
+  test("MERGE INTO ... UPDATE SET * / INSERT * upserts through the warehouse") {
+    import spark.implicits._
+    val dir = tmp("wh_sqlmerge")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("m", Seq((1L, "a", 2020), (2L, "b", 2020)).toDF("k", "v", "year")
+      .coalesce(1), partitionBy = Seq("year"))
+    Seq((2L, "B2", 2021), (9L, "new", 2021)).toDF("k", "v", "year")
+      .createOrReplaceTempView("delta_src")
+    spark.sql("""MERGE INTO m USING delta_src ON m.k = delta_src.k
+                 WHEN MATCHED THEN UPDATE SET *
+                 WHEN NOT MATCHED THEN INSERT *""").collect()
+    val rows = wh.table("m").select("k", "v", "year")
+      .as[(Long, String, Int)].collect().toSet
+    assert(rows == Set((1L, "a", 2020), (2L, "B2", 2021), (9L, "new", 2021)))
+    assert(wh.history("m").last.op == "merge")
+    // a non-canonical ON clause is refused loudly, not mis-applied
+    intercept[Exception] {
+      spark.sql("""MERGE INTO m USING delta_src ON m.k = delta_src.year
+                   WHEN MATCHED THEN UPDATE SET *
+                   WHEN NOT MATCHED THEN INSERT *""").collect()
+    }
+  }
+
   test("unbound tables and ordinary SQL delegate to Spark untouched") {
     import spark.implicits._
     val dir = tmp("wh_sql2")
