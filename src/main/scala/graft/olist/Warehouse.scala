@@ -1562,27 +1562,29 @@ class Warehouse(spark: SparkSession, basePath: String,
             throw new IllegalStateException(
               s"refreshAggregate: cannot resolve probed file $uri"))
         }.toSet
+        // ONE full-outer join replaces keep(anti) + oldK(semi) +
+        // combine(outer): rows with no delta side pass through
+        // untouched, everything else gets the arithmetic — measured to
+        // matter, the refresh cost is dominated by fixed per-job
+        // overhead at small deltas (see BASELINE.md MvScale)
         val touchedRows = fromFiles(mv, touched.toSeq, mvSc)
-        val keep = touchedRows.as("m")
-          .join(delta.select(keys.map(col): _*).as("d"),
-            keyCond("m", "d"), "left_anti")
-        val oldK = touchedRows.as("m")
-          .join(delta.select(keys.map(col): _*).as("d"),
-            keyCond("m", "d"), "left_semi")
         val metric = (l: org.apache.spark.sql.Column,
             r: org.apache.spark.sql.Column) =>
           coalesce(l, lit(0)) + coalesce(r, lit(0))
-        val combined = oldK.as("o")
-          .join(delta.as("d"), keyCond("o", "d"), "full_outer")
+        val marked = delta.withColumn("__d", lit(1))
+        val rewritten0 = touchedRows.as("o")
+          .join(marked.as("d"), keyCond("o", "d"), "full_outer")
           .select(
             keys.map(k => coalesce(col(s"o.$k"), col(s"d.$k")).as(k)) ++
-              ((metric(col("o.cnt"), col("d.cnt"))
+              ((when(col("d.__d").isNull, col("o.cnt"))
+                .otherwise(metric(col("o.cnt"), col("d.cnt")))
                 .cast(mvSc("cnt").dataType).as("cnt")) +:
-                sums.map(c => metric(col(s"o.sum_$c"), col(s"d.sum_$c"))
+                sums.map(c => when(col("d.__d").isNull, col(s"o.sum_$c"))
+                  .otherwise(metric(col(s"o.sum_$c"), col(s"d.sum_$c")))
                   .cast(mvSc(s"sum_$c").dataType).as(s"sum_$c"))): _*)
           .filter(col("cnt") > 0)
         val rewritten = stageWrite(mv,
-          clustered(mv, keep.unionByName(combined), parts), parts)
+          clustered(mv, rewritten0, parts), parts)
         val untouched = mvFiles.filterNot(f => touched.contains(f.path))
         commitManifest(mv, untouched ++ rewritten, stamp, op = "mv-refresh")
         Warehouse.MvRefresh(from, curV, changed, touched.size,
