@@ -533,8 +533,14 @@ class Warehouse(spark: SparkSession, basePath: String,
             .filter(col("_check").isin(qNames: _*))
             .withColumn("_rejected_at",
               lit(java.time.Instant.now.toString))
-          if (currentManifest(rejects).isEmpty) save(rejects, viol)
-          else append(rejects, viol)
+          // serialize the save-or-append decision in-JVM: two racing
+          // appends must not both bootstrap (the second save would
+          // overwrite the first batch's quarantine rows)
+          commitLocks.computeIfAbsent(s"$rejects#bootstrap", _ => new Object)
+            .synchronized {
+              if (currentManifest(rejects).isEmpty) save(rejects, viol)
+              else append(rejects, viol)
+            }
         }
         pinned.filter(failCol.isNull)
       }

@@ -986,6 +986,38 @@ object Relational {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
 
+    // W8 — forward fill (LOCF): last non-null observation carried
+    // forward per key — last_value(IGNORE NULLS) over a growing frame,
+    // the imputation companion to the f11 gap-fill spine. NULLIF
+    // manufactures the gaps deterministically from real data.
+    Q("w8_forward_fill",
+      Some("""WITH g AS (
+             |  SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+             |         CASE WHEN l_linenumber % 3 = 0 THEN NULL
+             |              ELSE l_quantity END AS gappy
+             |  FROM lineitem)
+             |SELECT l_suppkey, l_orderkey, l_linenumber,
+             |  last_value(gappy IGNORE NULLS) OVER (
+             |    PARTITION BY l_suppkey
+             |    ORDER BY l_orderkey, l_linenumber, l_quantity
+             |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+             |FROM g ORDER BY l_suppkey, l_orderkey, l_linenumber, filled""".stripMargin),
+      (s, d) => {
+        // quantity joins the window order: the synthetic lineitem holds
+        // duplicate (orderkey, linenumber) rows, and a tied ROWS frame
+        // endpoint is engine-nondeterministic otherwise
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy("l_orderkey", "l_linenumber", "l_quantity")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        T.lineitem(s, d)
+          .withColumn("gappy",
+            when(col("l_linenumber") % 3 === 0, lit(null))
+              .otherwise(col("l_quantity")))
+          .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+            last(col("gappy"), ignoreNulls = true).over(w).as("filled"))
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "filled")
+      }),
+
     // F13 — calendar month arithmetic: add_months clamps to month end
     // (Jan 31 + 1 → Feb 29) identically in both engines, last_day for
     // the period close — the fiscal-date toolkit.
