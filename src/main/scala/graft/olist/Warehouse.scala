@@ -1737,6 +1737,62 @@ class Warehouse(spark: SparkSession, basePath: String,
         restoredBloom.getOrElse(Nil))
   }
 
+  /** Drop a path-mode table: data directory, manifest log, change
+    * files, and side meta, gone in that order (manifests last, so a
+    * concurrent reader that already resolved the head either reads a
+    * complete snapshot or fails loudly — never a silent partial one).
+    *
+    * Clone safety: refuses while any REGISTERED clone's manifests
+    * still reference this table's files (drop or materialize the
+    * clones first — `compact` materializes); a clone itself drops
+    * freely, its references die with it. */
+  def dropTable(name: String): Unit = {
+    require(database.isEmpty, "dropTable applies to path-mode tables only")
+    withCommitLock(name) {
+      val fs = metaFs
+      val holdouts = currentManifestFull(name).toSeq
+        .flatMap(_._3.get(ClonesMeta)).flatMap(_.split(",")).filter(_.nonEmpty)
+        .filter { c =>
+          tableVersions(c).exists { cv =>
+            readManifestFile(new org.apache.hadoop.fs.Path(
+              txnDir(c), s"v$cv.manifest"))._1
+              .exists(_.path.startsWith(s"../$name/"))
+          }
+        }
+      require(holdouts.isEmpty,
+        s"dropTable: clones still reference $name's files: " +
+          s"${holdouts.mkString(", ")} — drop or compact them first")
+      // a dropped CLONE deregisters from every owner it referenced, so
+      // owners' registries (walked by their vacuums) don't accumulate
+      // dead entries
+      val owners = tableVersions(name).flatMap { v =>
+        readManifestFile(new org.apache.hadoop.fs.Path(
+          txnDir(name), s"v$v.manifest"))._1.map(_.path)
+      }.collect { case p if p.startsWith("../") =>
+        p.drop(3).takeWhile(_ != '/') }.distinct
+      owners.foreach { owner =>
+        withCommitLock(owner) {
+          currentManifestFull(owner).foreach { case (_, ofs, ometa) =>
+            val kept = ometa.getOrElse(ClonesMeta, "").split(",")
+              .filter(_.nonEmpty).filterNot(_ == name)
+            commitManifest(owner, ofs,
+              Map(ClonesMeta -> kept.mkString(",")), op = "clone-ref")
+          }
+        }
+      }
+      fs.delete(qualifiedPath(s"$basePath/$name"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$basePath/_graft_meta/changes/$name"), true)
+      Seq("partitions", "schema.json", "cluster", "clusterkind", "bloom")
+        .foreach(sfx => fs.delete(
+          new org.apache.hadoop.fs.Path(metaDir, s"$name.$sfx"), false))
+      fs.delete(txnDir(name), true)
+    }
+    clustering.remove(name); clusterKinds.remove(name)
+    bloomCols.remove(name); partitioning.remove(name); schemas.remove(name)
+    spark.catalog.dropTempView(s"dw_$name")
+  }
+
   /** True when `name` has a committed path-mode snapshot here (the
     * predicate the SQL command surface uses to decide binding). */
   def hasTable(name: String): Boolean =

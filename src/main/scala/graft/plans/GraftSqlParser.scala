@@ -86,6 +86,8 @@ object GraftSqlParser {
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
   private val OnKey =
     """(?i)^\s*(?:[\w]+\.)?([\w]+)\s*=\s*(?:[\w]+\.)?([\w]+)\s*$""".r
+  private val Drop =
+    """(?is)^\s*DROP\s+TABLE\s+([\w]+)\s*;?\s*$""".r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -165,6 +167,12 @@ object GraftSqlParser {
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.cloneTable(src, dst, Option(version).map(_.toLong))
             Seq(Row("OK"))
+          }
+        }
+      case Drop(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.dropTable(table); Seq(Row("OK"))
           }
         }
       case Merge(table, source, on) =>

@@ -89,4 +89,27 @@ class CloneSpec extends AnyFunSuite {
     // an existing table refuses to be clobbered by a clone
     intercept[IllegalArgumentException] { wh.cloneTable("src", "old") }
   }
+
+  test("dropTable refuses while clones reference it; clones drop freely") {
+    import spark.implicits._
+    val dir = tmp("wh_drop")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("src", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    wh.cloneTable("src", "fork")
+    // the source is pinned by the clone's references
+    val ex = intercept[IllegalArgumentException] { wh.dropTable("src") }
+    assert(ex.getMessage.contains("fork"))
+    assert(wh.table("src").count() == 2)
+    // the clone itself drops freely (its references die with it)…
+    spark.sql("DROP TABLE fork").collect()
+    assert(!wh.hasTable("fork"))
+    // …deregistering from the source's clone registry as it goes
+    assert(wh.history("src").last.op == "clone-ref")
+    wh.vacuum("src", graceMs = 0L, keepVersions = 1) // no stale-walk blowup
+    // …and the source is then droppable, fully gone
+    wh.dropTable("src")
+    assert(!wh.hasTable("src"))
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(dir, "src")))
+    intercept[Exception] { wh.table("src").count() }
+  }
 }
