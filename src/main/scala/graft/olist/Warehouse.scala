@@ -1793,6 +1793,31 @@ class Warehouse(spark: SparkSession, basePath: String,
     spark.catalog.dropTempView(s"dw_$name")
   }
 
+  /** One-stop table inspection (the DESCRIBE DETAIL payload): current
+    * version, file count, layout (partition/cluster/zorder/bloom
+    * columns), declared checks, registered clones, and the tracked MV
+    * source if this table is one. Ordered key→value pairs. */
+  def describeDetail(name: String): Seq[(String, String)] = {
+    require(database.isEmpty, "describeDetail applies to path-mode tables only")
+    val (version, files, meta) = currentManifestFull(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"describeDetail: $name has no committed snapshot"))
+    Seq(
+      "version" -> version.toString,
+      "numFiles" -> files.size.toString,
+      "partitionColumns" -> partitionColsOf(name).mkString(","),
+      "clusterColumns" -> clusterColsOf(name).mkString(","),
+      "clusterKind" -> clusterKindOf(name),
+      "bloomColumns" -> bloomColsOf(name).mkString(","),
+      "checks" -> decodeChecks(meta).map(c =>
+        s"${c.name}:${c.onViolation}(${c.expr})").mkString("; "),
+      "clones" -> meta.getOrElse(ClonesMeta, ""),
+      "mvSource" -> meta.get(MvBaseMeta).map(b =>
+        s"$b@v${meta.getOrElse(MvVerMeta, "?")}").getOrElse(""),
+      "lastOperation" -> meta.getOrElse(OpMeta, ""),
+      "lastCommittedAt" -> meta.getOrElse(TimeMeta, ""))
+  }
+
   /** True when `name` has a committed path-mode snapshot here (the
     * predicate the SQL command surface uses to decide binding). */
   def hasTable(name: String): Boolean =

@@ -88,6 +88,10 @@ object GraftSqlParser {
     """(?i)^\s*(?:[\w]+\.)?([\w]+)\s*=\s*(?:[\w]+\.)?([\w]+)\s*$""".r
   private val Drop =
     """(?is)^\s*DROP\s+TABLE\s+([\w]+)\s*;?\s*$""".r
+  private val Detail =
+    """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w]+)\s*;?\s*$""".r
+  private val Restore =
+    """(?is)^\s*RESTORE\s+TABLE\s+([\w]+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -173,6 +177,18 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.dropTable(table); Seq(Row("OK"))
+          }
+        }
+      case Detail(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("key" -> StringType, "value" -> StringType)) {
+            _ => wh.describeDetail(table).map { case (k, v) => Row(k, v) }
+          }
+        }
+      case Restore(table, version) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.restore(table, version.toLong); Seq(Row("OK"))
           }
         }
       case Merge(table, source, on) =>

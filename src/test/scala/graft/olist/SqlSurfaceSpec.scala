@@ -81,6 +81,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE DETAIL and RESTORE TABLE round out the surface") {
+    import spark.implicits._
+    val dir = tmp("wh_sqldetail")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1),
+      clusterBy = Seq("k"))                                            // v1
+    wh.addCheck("t", "k_pos", "k > 0", onViolation = "drop")           // v2
+    wh.append("t", Seq((3L, "c")).toDF("k", "v").coalesce(1))          // v3
+    val detail = spark.sql("DESCRIBE DETAIL t").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(detail("version") == "3")
+    assert(detail("clusterColumns") == "k")
+    assert(detail("checks").contains("k_pos:drop"))
+    assert(detail("lastOperation") == "append")
+    spark.sql("RESTORE TABLE t TO VERSION 1").collect()
+    assert(wh.table("t").count() == 2)
+    assert(wh.history("t").last.op == "restore")
+  }
+
   test("unbound tables and ordinary SQL delegate to Spark untouched") {
     import spark.implicits._
     val dir = tmp("wh_sql2")
