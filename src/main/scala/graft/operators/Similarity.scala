@@ -269,6 +269,103 @@ object Similarity {
       .limit(k)
   }
 
+  // ----- product quantization (the 100 TB vector-compression tier) ---
+
+  /** Squared L2 between two double arrays, codegen'd builtins only. */
+  private def l2sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** PQ codebook training — `m` subspaces × `k` centroids via Lloyd
+    * iterations, entirely in DataFrame ops (no driver-side vectors):
+    * subvectors explode once, assignment is a broadcast-centroid argmin
+    * (min over a (distance, cid) struct — deterministic tie-break), the
+    * re-estimation is a positional mean. Init is the first `k` vectors
+    * by id — deterministic; an emptied cell keeps its previous
+    * centroid. Training touches the corpus `iters + 1` times and the
+    * codebook (m·k rows) stays broadcast-sized forever — at 100 TB one
+    * trains on a sample and encodes the rest, which is this same code
+    * over a sampled frame. Returns (sub, cid, c: array<double>). */
+  def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
+      iters: Int = 3): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    require(dim % m == 0, s"pqTrain: dim $dim not divisible by m=$m")
+    val dsub = dim / m
+    val subs = emb.select(col("vec_id"),
+      explode(array((0 until m).map(s0 => struct(lit(s0).as("sub"),
+        transform(slice(col("embedding"), s0 * dsub + 1, dsub),
+          _.cast("double")).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+      .localCheckpoint() // reused iters+2 times: pin, don't re-explode
+    val init = subs.filter(col("vec_id") < k)
+      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+        col("v").as("c"))
+    (1 to iters).foldLeft(init) { (cents, _) =>
+      val assigned = subs.join(broadcast(cents), Seq("sub"))
+        .groupBy("sub", "vec_id")
+        .agg(min(struct(l2sq(col("v"), col("c")).as("d2"),
+          col("cid"))).getField("cid").as("cid"))
+      val members = subs.join(assigned, Seq("sub", "vec_id"))
+        .select(col("sub"), col("cid"), posexplode(col("v")).as(Seq("p", "x")))
+        .groupBy("sub", "cid", "p").agg(avg("x").as("mx"))
+        .groupBy("sub", "cid")
+        .agg(transform(array_sort(collect_list(struct(col("p"), col("mx")))),
+          _.getField("mx")).as("cNew"))
+      cents.join(members, Seq("sub", "cid"), "left")
+        .select(col("sub"), col("cid"),
+          coalesce(col("cNew"), col("c")).as("c"))
+    }
+  }
+
+  /** Encode: every vector → `m` one-byte codes (nearest centroid per
+    * subspace, same deterministic argmin as training). 32× smaller
+    * than float32 at m=8 over 64 dims — the column a 100 TB corpus
+    * stores and scans. */
+  def pqCodes(emb: DataFrame, cents: DataFrame, m: Int = 8): DataFrame = {
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val dsub = dim / m
+    emb.select(col("vec_id"),
+      explode(array((0 until m).map(s0 => struct(lit(s0).as("sub"),
+        transform(slice(col("embedding"), s0 * dsub + 1, dsub),
+          _.cast("double")).as("v"))): _*)).as("sv"))
+      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
+      .join(broadcast(cents), Seq("sub"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(l2sq(col("v"), col("c")).as("d2"), col("cid")))
+        .getField("cid").as("cid"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
+        _.getField("cid").cast("byte")).as("codes"))
+  }
+
+  /** ADC ranking from stored codes: the query's m×k distance table
+    * (one row per (sub, cid) — codebook-sized, collected like the
+    * hyperplane constants) becomes a broadcast literal, and each
+    * corpus row's approximate distance is m table lookups summed —
+    * no float vectors touched, no shuffle, scan → score →
+    * TakeOrderedAndProject. */
+  def pqRank(codes: DataFrame, cents: DataFrame, queryVec: Seq[Double],
+      m: Int = 8, k: Int = 16, topK: Int = 10): DataFrame = {
+    val dsub = queryVec.size / m
+    val qlit = array(queryVec.map(lit): _*)
+    val table = cents.select(col("sub"), col("cid"),
+      l2sq(slice(qlit, col("sub") * dsub + 1, lit(dsub)),
+        col("c")).as("d2"))
+      .collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+        r.getAs[Double]("d2")))
+    val flat = Array.fill(m * k)(Double.MaxValue)
+    table.foreach { case (s0, c0, d) => flat(s0 * k + c0) = d }
+    val tlit = array(flat.toSeq.map(lit): _*)
+    codes
+      .select(col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s0) => element_at(tlit, s0 * k + c.cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
     * only from shared LSH buckets, exact-decimal cosine verification.
     * Shared by d7 (pair listing) and d8 (component resolution).
@@ -668,6 +765,23 @@ object Similarity {
                 VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
+      }),
+
+    // E12 — product-quantization ANN (rows-only: the Lloyd codebook is
+    // not SQL-expressible cross-engine): train m=8×k=16 codebooks,
+    // encode the corpus to 8 bytes per vector (32× under float32), rank
+    // by asymmetric distance — m table lookups per row against the
+    // broadcast query-to-centroid table. The query's own ADC is the
+    // per-subspace minimum by construction, so it ranks first — the
+    // built-in sanity invariant (asserted in SimilaritySpec).
+    Q("e12_pq_topk", None,
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val cents = pqTrain(emb).localCheckpoint()
+        val codes = pqCodes(emb, cents)
+        val q = emb.filter(col("vec_id") === QUERY_ID)
+          .select("embedding").first().getSeq[Float](0).map(_.toDouble)
+        pqRank(codes, cents, q, topK = TOP_K)
       })
   )
 }

@@ -220,4 +220,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert((exact intersect stored.map(_._1).toSet).size >= 8)
     assert(stored.head._1 == 0L && math.abs(stored.head._2 - 1.0) < 1e-3)
   }
+
+  test("pq: codes well-formed, copies collide, query's own ADC is the floor") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def vec(): Array[Float] = Array.fill(64)(rnd.nextFloat())
+    val base = (0L until 100L).map(i => (i, vec()))
+    val emb = (base :+ ((999L, base(5)._2.clone()))) // 999 = byte-copy of 5
+      .toDF("vec_id", "embedding")
+    val cents = Similarity.pqTrain(emb).localCheckpoint()
+    assert(cents.count() == 8 * 16)
+    val codes = Similarity.pqCodes(emb, cents).localCheckpoint()
+    // every vector: 8 codes, each in [0, 16)
+    assert(codes.count() == 101)
+    assert(codes.filter(size(col("codes")) =!= 8).count() == 0)
+    assert(codes.filter(exists(col("codes"),
+      c => c < 0 || c >= 16)).count() == 0)
+    // identical vectors encode identically
+    val c5 = codes.filter(col("vec_id") === 5L)
+      .select("codes").as[Seq[Byte]].collect()(0)
+    val c999 = codes.filter(col("vec_id") === 999L)
+      .select("codes").as[Seq[Byte]].collect()(0)
+    assert(c5 == c999)
+    // ADC of the query's own codes is the per-subspace minimum, so the
+    // query and its byte-copy occupy the top of the ranking
+    val q = base(5)._2.map(_.toDouble).toSeq
+    val top = Similarity.pqRank(codes, cents, q, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(top.take(2).map(_._1).toSet == Set(5L, 999L), top.toSeq.toString)
+    assert(top(0)._2 == top(1)._2) // identical codes, identical distance
+    assert(top.map(_._2).sorted.toSeq == top.map(_._2).toSeq) // ascending
+    // e12 on the real table: the query ranks first (the ADC floor)
+    val e12 = SparkEntry.queries("e12_pq_topk")(spark, sf).collect()
+    assert(e12.length == 10)
+    assert(e12.head.getLong(0) == 0L, e12.map(_.getLong(0)).toSeq.toString)
+  }
 }
