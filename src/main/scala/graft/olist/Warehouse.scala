@@ -1793,6 +1793,19 @@ class Warehouse(spark: SparkSession, basePath: String,
     spark.catalog.dropTempView(s"dw_$name")
   }
 
+  /** COUNT(*) from metadata alone: the sum of per-file row counts the
+    * manifest carries — no file opened, at any table size. None when
+    * any current file predates row-count stats (then a scan is the
+    * only honest answer). */
+  def countRows(name: String): Option[Long] = {
+    require(database.isEmpty, "countRows applies to path-mode tables only")
+    val files = currentManifest(name).map(_._2).getOrElse(
+      throw new IllegalArgumentException(
+        s"countRows: $name has no committed snapshot"))
+    val counts = files.map(_.stats.get(RowsKey).map(_._1.toLong))
+    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+  }
+
   /** One-stop table inspection (the DESCRIBE DETAIL payload): current
     * version, file count, layout (partition/cluster/zorder/bloom
     * columns), declared checks, registered clones, and the tracked MV
@@ -1805,6 +1818,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     Seq(
       "version" -> version.toString,
       "numFiles" -> files.size.toString,
+      "numRows" -> countRows(name).map(_.toString).getOrElse(""),
       "partitionColumns" -> partitionColsOf(name).mkString(","),
       "clusterColumns" -> clusterColsOf(name).mkString(","),
       "clusterKind" -> clusterKindOf(name),
@@ -1987,6 +2001,9 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val TimeMeta = "committedAt"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
+  /** Pseudo stat column carrying each file's row count; no real column
+    * is named like this, so [[candidates]] never consults it. */
+  private val RowsKey = "__rows"
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -2197,7 +2214,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
     val statCols = clusterColsOf(name).filter(schema.fieldNames.contains)
     val bCols = bloomColsOf(name).filter(schema.fieldNames.contains)
-    if ((statCols.isEmpty && bCols.isEmpty) || moved.isEmpty)
+    if (moved.isEmpty)
       moved.map(DataFile(_))
     else {
       val tableRoot = qualifiedPath(s"$basePath/$name")
@@ -2214,8 +2231,13 @@ class Warehouse(spark: SparkSession, basePath: String,
       val bloomAgg = udaf(new graft.functions.BloomSketch.Agg(bits,
         graft.functions.BloomSketch.optimalK(bits, items)),
         org.apache.spark.sql.Encoders.scalaLong)
-      val aggs = statCols.flatMap(c =>
-        Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+      // the row count ALWAYS rides along (one zero-column pass when no
+      // layout columns exist — parquet answers it from row-group
+      // metadata speed): countRows() and DESCRIBE DETAIL read the
+      // table's cardinality from the manifest without opening a file
+      val aggs = Seq(count(lit(1)).as("__nrows")) ++
+        statCols.flatMap(c =>
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
         bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c"))
       val rows = r.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
@@ -2225,11 +2247,12 @@ class Warehouse(spark: SparkSession, basePath: String,
       // A non-match (e.g. URI-encoded exotic partition values) leaves
       // the file without stats: never skipped, the safe direction.
       val statRows = rows.map { row =>
+        val n = row.getAs[Long]("__nrows").toString
         val mm = statCols.flatMap { c =>
           val mn = statString(row.getAs[Any](s"__mn_$c"))
           val mx = statString(row.getAs[Any](s"__mx_$c"))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
-        }.toMap
+        }.toMap + (RowsKey -> (n, n))
         val bf = bCols.flatMap { c =>
           Option(row.getAs[Array[Byte]](s"__bf_$c")).map(b =>
             c -> java.util.Base64.getEncoder.encodeToString(b))

@@ -92,6 +92,7 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val detail = spark.sql("DESCRIBE DETAIL t").collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(detail("version") == "3")
+    assert(detail("numRows") == "3") // from the manifest, no scan
     assert(detail("clusterColumns") == "k")
     assert(detail("checks").contains("k_pos:drop"))
     assert(detail("lastOperation") == "append")

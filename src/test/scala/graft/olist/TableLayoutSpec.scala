@@ -673,6 +673,27 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(r0.rowsUpdated == 0 && wh.tableVersions("n").last == ver)
   }
 
+  test("countRows: COUNT(*) from manifest metadata across the write lifecycle") {
+    import spark.implicits._
+    val dir = tmp("wh_cnt")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", spark.range(1000).toDF("k").coalesce(3))
+    assert(wh.countRows("t").contains(1000L))
+    wh.append("t", spark.range(1000, 1500).toDF("k").coalesce(2))
+    assert(wh.countRows("t").contains(1500L))
+    wh.delete("t", col("k") < 100L)
+    assert(wh.countRows("t").contains(1400L))
+    wh.update("t", col("k") === 200L, Map("k" -> lit(9999L)))
+    assert(wh.countRows("t").contains(1400L))
+    wh.compact("t")
+    assert(wh.countRows("t").contains(1400L))
+    // the metadata answer always equals the scan answer
+    assert(wh.countRows("t").contains(wh.table("t").count()))
+    // a shallow clone inherits the counts with the stats it references
+    wh.cloneTable("t", "t2")
+    assert(wh.countRows("t2").contains(1400L))
+  }
+
   test("derivedRanges: predicate conjuncts become pruning bounds, only provable ones") {
     val wh = new Warehouse(spark, tmp("wh_dr"))
     val r = wh.derivedRanges(col("k") >= 5L && col("k") < 10L &&
