@@ -306,5 +306,35 @@ object TextAnalysis {
         .agg(count(lit(1)).as("n"), count_distinct(col("doc_id")).as("doc_freq"))
         .orderBy(col("n").desc, col("token").asc)
         .limit(20))
+      ,
+
+    // T11 — character-entropy quality signal: low entropy flags
+    // repetitive/garbage text (keyboard mash, base64 blobs, repeated
+    // boilerplate score differently from prose). Frequencies are exact
+    // integer counts; p = n/total divides identical doubles in both
+    // engines, and round(6) absorbs the summation-order ulp.
+    Q("t11_char_entropy",
+      Some("""WITH ch AS (
+             |  SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS c
+             |  FROM documents),
+             |freq AS (SELECT doc_id, c, count(*)::DOUBLE AS n
+             |         FROM ch GROUP BY 1, 2),
+             |tot AS (SELECT doc_id, sum(n) AS t FROM freq GROUP BY 1)
+             |SELECT f.doc_id,
+             |  round(-sum((f.n / t.t) * ln(f.n / t.t)), 6) AS char_entropy
+             |FROM freq f JOIN tot t USING (doc_id)
+             |GROUP BY f.doc_id ORDER BY f.doc_id""".stripMargin),
+      (s, d) => {
+        val freq = T.documents(s, d)
+          .select(col("doc_id"),
+            explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("c"))
+          .groupBy("doc_id", "c").agg(count(lit(1)).cast("double").as("n"))
+        val tot = freq.groupBy("doc_id").agg(sum("n").as("t"))
+        freq.join(tot, Seq("doc_id"))
+          .groupBy("doc_id")
+          .agg(round(-sum((col("n") / col("t")) * log(col("n") / col("t"))), 6)
+            .as("char_entropy"))
+          .orderBy("doc_id")
+      })
   )
 }
