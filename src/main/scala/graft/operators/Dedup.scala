@@ -405,6 +405,43 @@ object Dedup {
         train.join(broadcast(bench), Seq("h"))
           .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
           .orderBy("doc_id")
+      }),
+
+    // D11 — sorted-neighborhood blocking: the classic entity-resolution
+    // complement to LSH banding. Sort each block (here: source) by a
+    // normalized key and score only ADJACENT rows — candidate volume is
+    // O(n·w) by construction instead of bucket-collision-dependent.
+    // The window partitions by block, so the sort is distributed (one
+    // partition per block, never a global single-partition sort); at
+    // 100 TB blocks come from range partitioning on the sort key.
+    Q("d11_sorted_neighborhood",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, lower(trim(text)) AS norm,
+             |         list_distinct(regexp_split_to_array(trim(text), '\s+')) AS tks
+             |  FROM documents),
+             |n AS (
+             |  SELECT doc_id AS d1, lead(doc_id) OVER w AS d2,
+             |         tks AS t1, lead(tks) OVER w AS t2
+             |  FROM t WINDOW w AS (PARTITION BY source ORDER BY norm, doc_id))
+             |SELECT d1, d2,
+             |  round(len(list_intersect(t1, t2))::DOUBLE /
+             |        len(list_distinct(list_concat(t1, t2))), 6) AS jacc
+             |FROM n WHERE d2 IS NOT NULL ORDER BY d1, d2""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("norm", "doc_id")
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            lower(trim(col("text"))).as("norm"),
+            tokenSet(col("text")).as("tks"))
+          .select(col("doc_id").as("d1"),
+            lead(col("doc_id"), 1).over(w).as("d2"),
+            col("tks").as("t1"), lead(col("tks"), 1).over(w).as("t2"))
+          .filter(col("d2").isNotNull)
+          .select(col("d1"), col("d2"),
+            round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
+              size(array_union(col("t1"), col("t2"))), 6).as("jacc"))
+          .orderBy("d1", "d2")
       })
   )
 
