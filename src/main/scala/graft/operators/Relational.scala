@@ -925,6 +925,43 @@ object Relational {
           .orderBy("l_returnflag")
       }),
 
+    // A22 — skewness from exact decimal moments: same reproducibility
+    // argument as a20 — native skewness() accumulates doubles in
+    // partial-agg order AND engines disagree on the sample adjustment,
+    // so both sides compute the population g1 from exact Σx, Σx², Σx³
+    // with one identical double evaluation, round(6) for the final ulp.
+    Q("a22_skewness_exact",
+      Some("""WITH m AS (
+             |  SELECT l_returnflag,
+             |    count(*) AS n,
+             |    cast(sum(cast(l_quantity as decimal(28,6))) as double) AS s1,
+             |    cast(sum(cast(l_quantity * l_quantity as decimal(28,6))) as double) AS s2,
+             |    cast(sum(cast(l_quantity * l_quantity * l_quantity as decimal(28,6))) as double) AS s3
+             |  FROM lineitem GROUP BY 1)
+             |SELECT l_returnflag,
+             |  round(((s3 - 3 * (s1 / cast(n as double)) * s2) / cast(n as double)
+             |          + 2 * (s1 / cast(n as double)) * (s1 / cast(n as double)) * (s1 / cast(n as double)))
+             |        / pow(s2 / cast(n as double)
+             |              - (s1 / cast(n as double)) * (s1 / cast(n as double)), 1.5), 6)
+             |    AS skew_qty
+             |FROM m ORDER BY l_returnflag""".stripMargin),
+      (s, d) => {
+        val dec = DecimalType(28, 6)
+        val q = col("l_quantity")
+        val m = T.lineitem(s, d).groupBy("l_returnflag").agg(
+          count(lit(1)).as("n"),
+          sum(q.cast(dec)).cast("double").as("s1"),
+          sum((q * q).cast(dec)).cast("double").as("s2"),
+          sum((q * q * q).cast(dec)).cast("double").as("s3"))
+        val nd = col("n").cast("double")
+        val mean = col("s1") / nd
+        m.select(col("l_returnflag"),
+          round(((col("s3") - lit(3) * mean * col("s2")) / nd
+            + lit(2) * mean * mean * mean) /
+            pow(col("s2") / nd - mean * mean, 1.5), 6).as("skew_qty"))
+          .orderBy("l_returnflag")
+      }),
+
     // A21 — several COUNT(DISTINCT …) in one aggregation: Spark plans
     // ONE Expand (each row replicated per distinct clause) feeding a
     // two-level aggregate — the single-pass multi-distinct shape, not

@@ -301,6 +301,40 @@ object EventStream {
               |       count(*) AS n_events, min(us) AS start_us, max(us) AS end_us
               |FROM sess GROUP BY user_id, session_id
               |ORDER BY user_id, session_id""".stripMargin),
-      (s, d) => sessionize(T.events(s, d)))
+      (s, d) => sessionize(T.events(s, d))),
+
+    // ST3 — conversion funnel: per-user ORDERED stage progression
+    // (first view → a later click → a later purchase), the product
+    // question every event pipeline answers. One grouped conditional-
+    // min pass per user (no joins, no window), then one global rollup
+    // of stage counts — two shuffles total, both on slim columns.
+    Q("st3_funnel",
+      Some("""WITH f AS (
+             |  SELECT user_id,
+             |    min(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+             |    min(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+             |    min(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_purchase
+             |  FROM events GROUP BY user_id)
+             |SELECT count(*) AS n_users,
+             |  count(CASE WHEN t_view IS NOT NULL THEN 1 END) AS stage_view,
+             |  count(CASE WHEN t_click > t_view THEN 1 END) AS stage_click,
+             |  count(CASE WHEN t_click > t_view AND t_purchase > t_click
+             |             THEN 1 END) AS stage_purchase
+             |FROM f""".stripMargin),
+      (s, d) => {
+        def firstOf(t: String) =
+          min(when(col("event_type") === t,
+            expr("unix_micros(ts)"))).as(s"t_$t")
+        T.events(s, d)
+          .groupBy("user_id")
+          .agg(firstOf("view"), firstOf("click"), firstOf("purchase"))
+          .agg(count(lit(1)).as("n_users"),
+            count(when(col("t_view").isNotNull, lit(1))).as("stage_view"),
+            count(when(col("t_click") > col("t_view"), lit(1)))
+              .as("stage_click"),
+            count(when(col("t_click") > col("t_view") &&
+              col("t_purchase") > col("t_click"), lit(1)))
+              .as("stage_purchase"))
+      })
   )
 }
