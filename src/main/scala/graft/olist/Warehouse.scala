@@ -61,20 +61,24 @@ class Warehouse(spark: SparkSession, basePath: String,
       // heartbeat: a rewrite running under the lock (merge/delete/
       // update/compact of a big table) can outlive lockStaleMs;
       // refreshing the mtime while genuinely alive keeps a slow commit
-      // from being mistaken for a crashed writer and hijacked mid-swap
-      val beat = new java.util.Timer(s"graft-lock-$name", true)
+      // from being mistaken for a crashed writer and hijacked mid-swap.
+      // One shared daemon timer per warehouse — no thread per commit.
       val period = math.max(lockStaleMs / 3, 1000L)
-      beat.schedule(new java.util.TimerTask {
+      val beat = new java.util.TimerTask {
         override def run(): Unit =
           try metaFs.setTimes(lockPath(name),
             System.currentTimeMillis, -1)
           catch { case _: java.io.IOException => () } // lock gone: noop
-      }, period, period)
+      }
+      heartbeatTimer.schedule(beat, period, period)
       try f finally {
         beat.cancel()
         releaseTableLock(name, token)
       }
     }
+
+  private lazy val heartbeatTimer =
+    new java.util.Timer("graft-lock-heartbeat", true)
 
   // ----- cross-process table lock -----------------------------------
   //
