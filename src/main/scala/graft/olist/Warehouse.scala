@@ -32,7 +32,7 @@ import org.apache.spark.sql.functions._
   */
 class Warehouse(spark: SparkSession, basePath: String,
     format: String = "parquet", database: Option[String] = None,
-    lockAcquireMs: Long = 30000, lockStaleMs: Long = 600000) {
+    lockAcquireMs: Long = 30000, val lockStaleMs: Long = 600000) {
   import Normalize.norm
   import Warehouse.{DataFile, ColRange}
 
@@ -65,10 +65,21 @@ class Warehouse(spark: SparkSession, basePath: String,
       // One shared daemon timer per warehouse — no thread per commit.
       val period = math.max(lockStaleMs / 3, 1000L)
       val beat = new java.util.TimerTask {
+        // ANY throwable escaping a TimerTask kills the shared daemon
+        // Timer thread, after which every schedule() on this warehouse
+        // throws — all commits would permanently fail. setTimes can
+        // throw beyond IOException (UnsupportedOperationException on
+        // several object-store filesystems), so swallow NonFatal; an
+        // FS that cannot refresh mtimes stops beating after the first
+        // failure (the takeover window then reverts to plain
+        // lockStaleMs — degraded, never fatal).
         override def run(): Unit =
           try metaFs.setTimes(lockPath(name),
             System.currentTimeMillis, -1)
-          catch { case _: java.io.IOException => () } // lock gone: noop
+          catch {
+            case _: java.io.IOException => () // lock gone: noop
+            case scala.util.control.NonFatal(_) => cancel()
+          }
       }
       heartbeatTimer.schedule(beat, period, period)
       try f finally {
@@ -537,14 +548,36 @@ class Warehouse(spark: SparkSession, basePath: String,
             .filter(col("_check").isin(qNames: _*))
             .withColumn("_rejected_at",
               lit(java.time.Instant.now.toString))
-          // serialize the save-or-append decision in-JVM: two racing
-          // appends must not both bootstrap (the second save would
-          // overwrite the first batch's quarantine rows)
-          commitLocks.computeIfAbsent(s"$rejects#bootstrap", _ => new Object)
-            .synchronized {
-              if (currentManifest(rejects).isEmpty) save(rejects, viol)
-              else append(rejects, viol)
+          // The save-or-append bootstrap decision must sit under the
+          // rejects table's CROSS-PROCESS commit lock, not just this
+          // JVM's monitor: two appends from different processes could
+          // both observe no snapshot and both save(), the second
+          // overwrite discarding the first batch's quarantine rows —
+          // losing the at-least-once diagnostics. Stage outside the
+          // lock (every writer does), decide inside it: whoever enters
+          // second sees the first's commit and appends.
+          val existed = currentManifest(rejects).isDefined
+          val (aligned, widened) =
+            if (existed) alignDelta(rejects, viol, allowWiden = true)
+            else (viol, None)
+          val staged = stageWrite(rejects, aligned, Nil)
+          withCommitLock(rejects) {
+            currentManifest(rejects) match {
+              case Some((_, old)) =>
+                commitManifest(rejects, old ++ staged,
+                  widened.map(m => Map(SchemaMeta -> m.json))
+                    .getOrElse(Map.empty), op = "append")
+              case None =>
+                commitManifest(rejects, staged,
+                  Map(SchemaMeta -> aligned.schema.json, PartsMeta -> "",
+                    ClusterMeta -> "", ClusterKindMeta -> LinearKind,
+                    BloomMeta -> ""), op = "save")
             }
+          }
+          schemas(rejects) = widened.getOrElse(aligned.schema)
+          partitioning(rejects) = Nil
+          writeMeta(rejects, Nil, widened.getOrElse(aligned.schema),
+            Nil, LinearKind, Nil)
         }
         pinned.filter(failCol.isNull)
       }
@@ -862,7 +895,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         "delete predicate must be deterministic (it runs in the probe and the rewrite)")
       // explicit hint ∪ ranges provably implied by the predicate itself
       val cands = candidates(files, sc,
-        hint ++ derivedRanges(predicate)).map(_.path)
+        hint ++ derivedRanges(predicate, sc)).map(_.path)
       val probe =
         if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else fromFiles(name, cands, sc)
@@ -983,7 +1016,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           }
         }: _*)
       val cands = candidates(files, sc,
-        hint ++ derivedRanges(predicate)).map(_.path)
+        hint ++ derivedRanges(predicate, sc)).map(_.path)
       val probe =
         if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
         else fromFiles(name, cands, sc)
@@ -1889,13 +1922,17 @@ class Warehouse(spark: SparkSession, basePath: String,
       if (f.path.startsWith("../")) f else f.copy(path = s"../$src/${f.path}"))
     val carried = Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta,
       BloomMeta, ChecksMeta).flatMap(k => srcMeta.get(k).map(k -> _)).toMap
-    withCommitLock(dst) {
-      require(currentManifest(dst).isEmpty,
-        s"cloneTable: $dst already exists")
-      commitManifest(dst, repointed, carried, op = "clone")
-    }
-    // register dst on every table whose directory it references, so
-    // THEIR vacuums keep the shared files alive
+    require(currentManifest(dst).isEmpty,
+      s"cloneTable: $dst already exists")
+    // register dst on every table whose directory it references BEFORE
+    // committing the clone's manifest, so THEIR vacuums keep the shared
+    // files alive. Order matters: a clone committed before registration
+    // leaves a window where a concurrent vacuum of the source sees no
+    // registered clone and deletes files the already-committed clone
+    // references — silently breaking it. The inverse failure (crash
+    // after registration, before the dst commit) only leaves a dangling
+    // registry entry, which is benign: vacuum keeps extra files, and
+    // dropTable re-verifies actual manifest references.
     val owners = repointed.map(_.path).collect {
       case pth if pth.startsWith("../") => pth.drop(3).takeWhile(_ != '/')
     }.distinct
@@ -1909,6 +1946,11 @@ class Warehouse(spark: SparkSession, basePath: String,
         commitManifest(owner, ofs,
           Map(ClonesMeta -> clones.mkString(",")), op = "clone-ref")
       }
+    }
+    withCommitLock(dst) {
+      require(currentManifest(dst).isEmpty,
+        s"cloneTable: $dst already exists")
+      commitManifest(dst, repointed, carried, op = "clone")
     }
     // side meta bootstrap, same as save()
     val sc = metaSchema(srcMeta).getOrElse(tableSchema(src))
@@ -2416,11 +2458,48 @@ class Warehouse(spark: SparkSession, basePath: String,
     * one). Strict comparisons use their literal as an inclusive bound:
     * looser pruning, still sound. This is what lets a bare
     * `delete(t, col("k") === 42)` probe only the files whose stats or
-    * blooms admit 42, with no manual hint. */
-  private[olist] def derivedRanges(
-      pred: org.apache.spark.sql.Column): Seq[ColRange] =
-    org.apache.spark.sql.GraftColumnShim.impliedRanges(pred)
-      .map { case (c, lo, hi) => ColRange(c, lo, hi) }
+    * blooms admit 42, with no manual hint.
+    *
+    * A bound is emitted ONLY when the literal's runtime type matches
+    * the column's declared type in `schema`. Spark's comparison
+    * COERCES mismatched operands (`int_col = '042'` is TRUE for 42;
+    * `date_col > '2020-1-1'` parses the string), but [[candidates]]
+    * compares the rendered literal under the column's type —
+    * lexicographic for string/date stats, exact-bytes xxhash for
+    * blooms — so a coerced literal could prune a file that holds
+    * matching rows and the delete/update would silently skip them.
+    * Type mismatch → no range for that conjunct (the safe direction),
+    * same as casts and function-of-column forms. */
+  private[olist] def derivedRanges(pred: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType): Seq[ColRange] = {
+    import org.apache.spark.sql.types._
+    def typeMatches(dt: DataType, v: Any): Boolean = (dt, v) match {
+      case (IntegerType, _: java.lang.Integer)      => true
+      case (LongType, _: java.lang.Long)            => true
+      case (ShortType, _: java.lang.Short)          => true
+      case (ByteType, _: java.lang.Byte)            => true
+      case (DoubleType, _: java.lang.Double)        => true
+      case (FloatType, _: java.lang.Float)          => true
+      case (StringType, _: String)                  => true
+      case (BooleanType, _: java.lang.Boolean)      => true
+      case (DateType, _: java.sql.Date)             => true
+      case (DateType, _: java.time.LocalDate)       => true
+      case (TimestampType, _: java.sql.Timestamp)   => true
+      case (TimestampType, _: java.time.Instant)    => true
+      case (_: DecimalType, _: java.math.BigDecimal) => true
+      case (_: DecimalType, _: BigDecimal)          => true
+      case _                                        => false
+    }
+    val types = schema.map(f => f.name -> f.dataType).toMap
+    org.apache.spark.sql.GraftColumnShim.impliedRanges(pred).flatMap {
+      case (c, lo, hi) =>
+        types.get(c) match {
+          case Some(dt) if (lo.toSeq ++ hi.toSeq).forall(typeMatches(dt, _)) =>
+            Some(ColRange(c, lo, hi))
+          case _ => None
+        }
+    }
+  }
 
   private def candidates(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType,

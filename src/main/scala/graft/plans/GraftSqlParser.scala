@@ -71,7 +71,8 @@ object GraftSqlParser {
   private val Update =
     """(?is)^\s*UPDATE\s+([\w]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
-    """(?is)^\s*VACUUM\s+([\w]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?\s*;?\s*$""".r
+    ("""(?is)^\s*VACUUM\s+([\w]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
+      """(?:\s+GRACE\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w]+)\s*;?\s*$""".r
   private val History =
@@ -144,11 +145,20 @@ object GraftSqlParser {
             Seq(Row(r.rowsUpdated, r.filesRewritten.toLong))
           }
         }
-      case Vacuum(table, retain) =>
+      case Vacuum(table, retain, grace) =>
         boundTable(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
-            if (retain == null) wh.vacuum(table)
-            else wh.vacuum(table, graceMs = 0L, keepVersions = retain.toInt)
+            // A SQL surface invites running VACUUM beside live writers
+            // (unlike the programmatic call, whose scaladoc scopes the
+            // zero-grace default to single-writer maintenance windows),
+            // so the SQL default is the documented sound grace —
+            // lockStaleMs, above the longest stage-to-commit gap.
+            // `GRACE 0 HOURS` is the explicit opt-in for immediate
+            // reclamation in a maintenance window.
+            val graceMs = Option(grace).map(_.toLong * 3600000L)
+              .getOrElse(wh.lockStaleMs)
+            wh.vacuum(table, graceMs,
+              keepVersions = Option(retain).map(_.toInt).getOrElse(1))
             Seq(Row("OK"))
           }
         }

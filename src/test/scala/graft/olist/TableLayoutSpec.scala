@@ -695,21 +695,54 @@ class TableLayoutSpec extends AnyFunSuite {
   }
 
   test("derivedRanges: predicate conjuncts become pruning bounds, only provable ones") {
+    import org.apache.spark.sql.types._
     val wh = new Warehouse(spark, tmp("wh_dr"))
+    val sc = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType), StructField("a", LongType),
+      StructField("b", LongType), StructField("d", DateType)))
     val r = wh.derivedRanges(col("k") >= 5L && col("k") < 10L &&
-      col("v") === "x" && (col("a") > 1L || col("b") < 2L))
+      col("v") === "x" && (col("a") > 1L || col("b") < 2L), sc)
     assert(r.contains(ColRange("k", Some(5L), None)))
     assert(r.contains(ColRange("k", None, Some(10L))))
     assert(r.contains(ColRange("v", Some("x"), Some("x"))))
     // a disjunction implies NO per-column constraint: must not prune
     assert(!r.exists(c => c.column == "a" || c.column == "b"))
     // literal-on-the-left comparisons flip correctly
-    assert(wh.derivedRanges(lit(7L) > col("k")) ==
+    assert(wh.derivedRanges(lit(7L) > col("k"), sc) ==
       Seq(ColRange("k", None, Some(7L))))
-    assert(wh.derivedRanges(lit(7L) <= col("k")) ==
+    assert(wh.derivedRanges(lit(7L) <= col("k"), sc) ==
       Seq(ColRange("k", Some(7L), None)))
     // opaque predicates (function of a column) derive nothing
-    assert(wh.derivedRanges(col("k") % 2 === 0L).isEmpty)
+    assert(wh.derivedRanges(col("k") % 2 === 0L, sc).isEmpty)
+    // COERCED literals derive nothing: Spark evaluates `k = '7'` as
+    // 7L = 7L (TRUE) but the stats/bloom probe would compare the string
+    // '7' under the column's type — pruning on it could skip files that
+    // hold matching rows. Mismatched literal type → no range.
+    assert(wh.derivedRanges(col("k") === "7", sc).isEmpty)
+    assert(wh.derivedRanges(col("k") === 7, sc).isEmpty) // Int vs LongType
+    assert(wh.derivedRanges(col("d") > "2020-1-1", sc).isEmpty)
+    assert(wh.derivedRanges(col("v") === 42L, sc).isEmpty)
+    // unknown column (not in the schema) derives nothing
+    assert(wh.derivedRanges(col("zz") === 1L, sc).isEmpty)
+    // exact-type matches still derive
+    assert(wh.derivedRanges(
+      col("d") === java.sql.Date.valueOf("2020-01-01"), sc).nonEmpty)
+  }
+
+  test("delete with a coerced literal predicate removes every matching row") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_coerce"))
+    // cluster + bloom on k so a (wrong) derived range would have stats
+    // and a sketch to prune against — the silent-survivor setup
+    wh.save("t", spark.range(0, 1000).toDF("k")
+        .withColumn("v", col("k").cast("string")).repartition(4),
+      clusterBy = Seq("k"), bloomBy = Seq("k"))
+    // '042' coerces to 42L in Spark's comparison; lexicographic stats or
+    // an exact-string bloom probe would never admit it
+    val res = wh.delete("t", col("k") === "042")
+    assert(res.rowsDeleted == 1L, res)
+    assert(wh.table("t").filter(col("k") === 42L).count() == 0)
+    assert(wh.table("t").count() == 999)
   }
 
   test("update: partition-column assignment moves rows across partitions") {
