@@ -32,7 +32,8 @@ import org.apache.spark.sql.functions._
   */
 class Warehouse(spark: SparkSession, basePath: String,
     format: String = "parquet", database: Option[String] = None,
-    lockAcquireMs: Long = 30000, val lockStaleMs: Long = 600000) {
+    lockAcquireMs: Long = 30000, val lockStaleMs: Long = 600000,
+    checkpointEvery: Int = 16) {
   import Normalize.norm
   import Warehouse.{DataFile, ColRange}
 
@@ -1099,8 +1100,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     val sc = tableSchema(name)
     val rowNeutral = Set("compact", "recluster")
     val recorded = Set("delete", "update", "merge", "stream-merge")
-    def manifest(v: Long) = readManifestFile(
-      new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
+    def manifest(v: Long) = stateAt(name, v)
     val versions = tableVersions(name)
       .filter(v => v > fromVersion && v <= toVersion)
     var seen: Set[String] =
@@ -1249,17 +1249,13 @@ class Warehouse(spark: SparkSession, basePath: String,
         .flatMap(_._3.get(ClonesMeta)).toSeq
         .flatMap(_.split(",").filter(_.nonEmpty))
         .flatMap { c =>
-          tableVersions(c).flatMap { cv =>
-            readManifestFile(new org.apache.hadoop.fs.Path(
-              txnDir(c), s"v$cv.manifest"))._1.map(_.path)
-          }
+          tableVersions(c).flatMap { cv => stateAt(c, cv)._1.map(_.path) }
         }
         .collect { case pth if pth.startsWith(s"../$name/") =>
           pth.stripPrefix(s"../$name/") }
         .toSet
       val keep = kept.flatMap { kv =>
-        readManifestFile(new org.apache.hadoop.fs.Path(
-          txnDir(name), s"v$kv.manifest"))._1.map(_.path)
+        stateAt(name, kv)._1.map(_.path)
       }.toSet ++ cloneKeep
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
@@ -1285,13 +1281,26 @@ class Warehouse(spark: SparkSession, basePath: String,
       // concurrently creates a version ABOVE it, which a not-in-kept
       // predicate would have deleted — monotonic comparison can't
       val floor = kept.head
+      // the floor version (and every kept delta above it) must stay
+      // resolvable after its ancestor records die: materialize a full
+      // checkpoint manifest AT the floor first if it only has a delta
+      // record. Idempotent — a lost rename just means another vacuum
+      // (or the original commit) already published it.
+      if (!fs.exists(manifestPath(name, floor))) {
+        val (fFiles, fMeta) = stateAt(name, floor)
+        writeRecord(txnDir(name), manifestPath(name, floor),
+          (metaLines(fMeta) ++ fFiles.map(encodeFile)).mkString("\n"))
+      }
       fs.listStatus(txnDir(name)).foreach { st =>
-        st.getPath.getName match {
-          case ManifestName(ver) if ver.toLong < floor =>
-            fs.delete(st.getPath, false)
-            // the version's row-level change files share its lifecycle
-            fs.delete(changesDir(name, ver.toLong), true)
-          case _ => ()
+        val doomedVer = st.getPath.getName match {
+          case ManifestName(ver) => Some(ver.toLong)
+          case DeltaName(ver) => Some(ver.toLong)
+          case _ => None
+        }
+        doomedVer.filter(_ < floor).foreach { ver =>
+          fs.delete(st.getPath, false)
+          // the version's row-level change files share its lifecycle
+          fs.delete(changesDir(name, ver), true)
         }
       }
     }
@@ -1392,11 +1401,8 @@ class Warehouse(spark: SparkSession, basePath: String,
     val appendOps = Set("append", "stream-append", "stream-merge", "merge")
     val versions = tableVersions(name)
       .filter(v => v > fromVersion && v <= toVersion)
-    val fs = metaFs
-    def manifest(v: Long) = readManifestFile(
-      new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
-    require(fs.exists(new org.apache.hadoop.fs.Path(txnDir(name),
-      s"v$fromVersion.manifest")) || fromVersion == 0,
+    def manifest(v: Long) = stateAt(name, v)
+    require(tableVersions(name).contains(fromVersion) || fromVersion == 0,
       s"tableChanges: version $fromVersion of $name is vacuumed or missing")
     val base =
       if (fromVersion == 0) Set.empty[String]
@@ -1691,8 +1697,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   def history(name: String): Seq[Warehouse.Commit] = {
     require(database.isEmpty, "history applies to path-mode tables only")
     tableVersions(name).map { v =>
-      val (files, meta) = readManifestFile(
-        new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest"))
+      val (files, meta) = stateAt(name, v)
       Warehouse.Commit(v, meta.getOrElse(OpMeta, "unknown"),
         meta.getOrElse(TimeMeta, ""), files.size)
     }
@@ -1701,13 +1706,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Committed versions of a path-mode table, ascending. */
   def tableVersions(name: String): Seq[Long] = {
     require(database.isEmpty, "tableVersions applies to path-mode tables only")
-    val fs = metaFs
-    val dir = txnDir(name)
-    if (!fs.exists(dir)) Nil
-    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
-      case ManifestName(v) => Some(v.toLong)
-      case _ => None
-    }).sorted
+    logVersions(name)
   }
 
   /** Time travel: the table AS OF a committed version. Every commit is
@@ -1716,12 +1715,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * needs ("which snapshot did run X train on?"). */
   def tableAt(name: String, version: Long): DataFrame = {
     require(database.isEmpty, "tableAt applies to path-mode tables only")
-    val fs = metaFs
-    val p = new org.apache.hadoop.fs.Path(txnDir(name), s"v$version.manifest")
-    require(fs.exists(p),
-      s"$name has no committed version $version (vacuumed, or never existed); " +
-        s"available: ${tableVersions(name).mkString(", ")}")
-    val (files, vMeta) = readManifestFile(p)
+    val (files, vMeta) = stateAt(name, version)
     // read the OLD version with the schema it was committed under — a
     // later save() may have redefined column order or types
     fromFiles(name, files.map(_.path), metaSchema(vMeta).getOrElse(
@@ -1738,12 +1732,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     * implies. */
   def restore(name: String, version: Long): Unit = {
     require(database.isEmpty, "restore applies to path-mode tables only")
-    val fs = metaFs
-    val p = new org.apache.hadoop.fs.Path(txnDir(name), s"v$version.manifest")
-    require(fs.exists(p),
-      s"$name has no committed version $version to restore; " +
-        s"available: ${tableVersions(name).mkString(", ")}")
-    val (files, vMeta) = readManifestFile(p)
+    val (files, vMeta) = stateAt(name, version)
     require(vMeta.contains(SchemaMeta) && vMeta.contains(PartsMeta),
       s"restore: version $version of $name predates table-definition " +
         "metadata in the manifest — its layout cannot be rolled back safely")
@@ -1791,9 +1780,7 @@ class Warehouse(spark: SparkSession, basePath: String,
         .flatMap(_._3.get(ClonesMeta)).flatMap(_.split(",")).filter(_.nonEmpty)
         .filter { c =>
           tableVersions(c).exists { cv =>
-            readManifestFile(new org.apache.hadoop.fs.Path(
-              txnDir(c), s"v$cv.manifest"))._1
-              .exists(_.path.startsWith(s"../$name/"))
+            stateAt(c, cv)._1.exists(_.path.startsWith(s"../$name/"))
           }
         }
       require(holdouts.isEmpty,
@@ -1803,8 +1790,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       // owners' registries (walked by their vacuums) don't accumulate
       // dead entries
       val owners = tableVersions(name).flatMap { v =>
-        readManifestFile(new org.apache.hadoop.fs.Path(
-          txnDir(name), s"v$v.manifest"))._1.map(_.path)
+        stateAt(name, v)._1.map(_.path)
       }.collect { case p if p.startsWith("../") =>
         p.drop(3).takeWhile(_ != '/') }.distinct
       owners.foreach { owner =>
@@ -1827,6 +1813,7 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
     clustering.remove(name); clusterKinds.remove(name)
     bloomCols.remove(name); partitioning.remove(name); schemas.remove(name)
+    snapshotCache.remove(name)
     spark.catalog.dropTempView(s"dw_$name")
   }
 
@@ -1907,14 +1894,10 @@ class Warehouse(spark: SparkSession, basePath: String,
       version: Option[Long] = None): Unit = {
     require(database.isEmpty, "cloneTable applies to path-mode tables only")
     require(src != dst, "cloneTable: src and dst are the same table")
-    val fs = metaFs
     val v = version.getOrElse(currentManifest(src).map(_._1).getOrElse(
       throw new IllegalArgumentException(
         s"cloneTable: $src has no committed snapshot")))
-    val p = new org.apache.hadoop.fs.Path(txnDir(src), s"v$v.manifest")
-    require(fs.exists(p), s"cloneTable: $src has no version $v " +
-      s"(available: ${tableVersions(src).mkString(", ")})")
-    val (files, srcMeta) = readManifestFile(p)
+    val (files, srcMeta) = stateAt(src, v)
     // each entry points at the directory that PHYSICALLY owns the file:
     // plain paths gain one "../src/" hop; already-referencing paths
     // (cloning a clone) are kept verbatim
@@ -2034,6 +2017,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   // resolving them — production formats add a log store/lock service).
 
   private val ManifestName = "v(\\d+)\\.manifest".r
+  private val DeltaName = "v(\\d+)\\.delta".r
   /** Manifest metadata keys: the committed schema (compact single-line
     * JSON — safe in the `#key:value` line format), the partition spec,
     * and the cluster spec — all versioned atomically with the data so
@@ -2146,24 +2130,103 @@ class Warehouse(spark: SparkSession, basePath: String,
     parseManifest(content)
   }
 
+  /** Parse a delta record: `#key:value` metadata lines (the FULL
+    * metadata map — meta is small and carrying it whole keeps every
+    * version's op/timestamp/schema self-contained), then one line per
+    * touched file: `-path` removes it from the prior state, `+path[TAB
+    * stats]` adds it. */
+  private def readDeltaFile(p: org.apache.hadoop.fs.Path)
+      : (Seq[DataFile], Seq[String], Map[String, String]) = {
+    val in = metaFs.open(p)
+    val content =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val lines = content.split("\n").map(_.trim).filter(_.nonEmpty).toSeq
+    val meta = lines.filter(_.startsWith("#")).map { m =>
+      val kv = m.drop(1).split(":", 2)
+      kv(0) -> (if (kv.length > 1) kv(1) else "")
+    }.toMap
+    val adds = lines.filter(_.startsWith("+")).map(l => decodeFile(l.drop(1)))
+    val removes = lines.filter(_.startsWith("-")).map(_.drop(1))
+    (adds, removes, meta)
+  }
+
+  private def manifestPath(name: String, v: Long) =
+    new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.manifest")
+  private def deltaPath(name: String, v: Long) =
+    new org.apache.hadoop.fs.Path(txnDir(name), s"v$v.delta")
+
+  /** All committed versions in the log, ascending — a version exists
+    * if EITHER record kind does (its delta commit record, or a full
+    * checkpoint manifest; a version can have both once vacuum
+    * materializes a lazy checkpoint at the retention floor). */
+  private def logVersions(name: String): Seq[Long] = {
+    val fs = metaFs
+    val dir = txnDir(name)
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).toSeq.flatMap(_.getPath.getName match {
+      case ManifestName(v) => Some(v.toLong)
+      case DeltaName(v) => Some(v.toLong)
+      case _ => None
+    }).distinct.sorted
+  }
+
+  /** Snapshot state at committed version `v`: the nearest full
+    * checkpoint at or below `v` replayed forward through the delta
+    * tail. Metadata comes from version `v`'s own record (every record
+    * carries the full map). This is the read side of the O(delta)
+    * commit log: a read costs one checkpoint + at most
+    * `checkpointEvery - 1` deltas, never the whole history. */
+  private def stateAt(name: String, v: Long)
+      : (Seq[DataFile], Map[String, String]) = {
+    val fs = metaFs
+    val versions = logVersions(name)
+    require(versions.contains(v),
+      s"$name has no committed version $v (vacuumed, or never existed); " +
+        s"available: ${versions.mkString(", ")}")
+    val ckpt = versions.filter(_ <= v).reverse
+      .find(cv => fs.exists(manifestPath(name, cv)))
+      .getOrElse(throw new IllegalStateException(
+        s"$name: no checkpoint manifest at or below v$v — log corrupted " +
+          "(vacuum materializes a checkpoint at the retention floor)"))
+    val (base, ckptMeta) = readManifestFile(manifestPath(name, ckpt))
+    val state = scala.collection.mutable.LinkedHashMap(
+      base.map(f => f.path -> f): _*)
+    var meta = ckptMeta
+    versions.filter(x => x > ckpt && x <= v).foreach { dv =>
+      val (adds, removes, dMeta) = readDeltaFile(deltaPath(name, dv))
+      removes.foreach(state.remove)
+      adds.foreach(f => state(f.path) = f)
+      meta = dMeta
+    }
+    // when v itself has both records (floor checkpoint), the delta is
+    // the commit record and its meta was already applied above; when v
+    // IS the chosen checkpoint, ckptMeta is v's meta. Either way `meta`
+    // is version v's.
+    (state.values.toSeq, meta)
+  }
+
+  /** Memoized head snapshot per table: (version, files, meta). The
+    * directory listing (cheap, vacuum-bounded) is still consulted on
+    * every read, so an external writer's commit invalidates the cache
+    * naturally; only the manifest/delta re-READS are saved. */
+  private val snapshotCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Long, Seq[DataFile], Map[String, String])]
+
   /** Latest committed (version, file list, metadata), if any. */
   private def currentManifestFull(name: String)
       : Option[(Long, Seq[DataFile], Map[String, String])] = {
-    val fs = metaFs
-    val dir = txnDir(name)
-    if (!fs.exists(dir)) None
+    val versions = logVersions(name)
+    if (versions.isEmpty) { snapshotCache.remove(name); None }
     else {
-      val versions = fs.listStatus(dir).toSeq.flatMap { st =>
-        st.getPath.getName match {
-          case ManifestName(v) => Some(v.toLong -> st.getPath)
-          case _ => None
-        }
-      }
-      if (versions.isEmpty) None
-      else {
-        val (v, p) = versions.maxBy(_._1)
-        val (files, meta) = readManifestFile(p)
-        Some((v, files, meta))
+      val latest = versions.last
+      snapshotCache.get(name) match {
+        case Some(hit @ (v, _, _)) if v == latest => Some(hit)
+        case _ =>
+          val (files, meta) = stateAt(name, latest)
+          val entry = (latest, files, meta)
+          snapshotCache(name) = entry
+          Some(entry)
       }
     }
   }
@@ -2171,11 +2234,39 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def currentManifest(name: String): Option[(Long, Seq[DataFile])] =
     currentManifestFull(name).map { case (v, files, _) => (v, files) }
 
-  /** Atomic commit: write the full file list to a hidden temp file,
-    * fsync/close, then rename to `v<N+1>.manifest`. Rename-no-overwrite
-    * is the commit point — it either publishes the complete manifest or
-    * fails (a concurrent committer of the same version loses the race
-    * loudly instead of corrupting the log). */
+  /** Write a fully-formed log record body atomically: hidden temp
+    * file, fsync/close, rename-no-overwrite to `dst`. The rename is
+    * the commit point — it either publishes the complete record or
+    * fails loudly. */
+  private def writeRecord(dir: org.apache.hadoop.fs.Path,
+      dst: org.apache.hadoop.fs.Path, body: String): Boolean = {
+    val fs = metaFs
+    val tmp = new org.apache.hadoop.fs.Path(dir,
+      s".${dst.getName}.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try {
+      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      // durability before visibility; local checksum streams lack hsync
+      try out.hsync()
+      catch { case _: UnsupportedOperationException => out.flush() }
+    } finally out.close()
+    if (!fs.rename(tmp, dst)) { fs.delete(tmp, false); false } else true
+  }
+
+  private def metaLines(meta: Map[String, String]): Seq[String] =
+    meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" }
+
+  /** Atomic commit of the next version. `files` is the DESIRED full
+    * snapshot (callers stay declarative), but what lands on disk is
+    * O(touched files), not O(table files): the new state is diffed
+    * against the previous snapshot by path (staged file names are
+    * transaction-unique and immutable, so path identity is file
+    * identity) and written as a `v<N>.delta` of adds/removes. Every
+    * `checkpointEvery`-th version (and v1) writes the full
+    * `v<N>.manifest` checkpoint instead, bounding read-side replay.
+    * Delta-vs-checkpoint is a pure function of the version number, so
+    * two racing committers of the same version always collide on the
+    * SAME filename — rename-no-overwrite keeps detecting the race. */
   private def commitManifest(name: String, files: Seq[DataFile],
       extraMeta: Map[String, String] = Map.empty,
       op: String = "commit"): Unit = {
@@ -2186,27 +2277,29 @@ class Warehouse(spark: SparkSession, basePath: String,
     val version = prev.map(_._1).getOrElse(0L) + 1
     // metadata (streaming marks etc.) survives every commit — a
     // compaction must not forget which batches already landed; the op
-    // + timestamp overwrite per commit, so each version's manifest
-    // records what created IT (the audit trail history() reads)
+    // + timestamp overwrite per commit, so each version's record
+    // names what created IT (the audit trail history() reads)
     val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
       Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString)
-    val body = (meta.toSeq.sorted.map { case (k, v) => s"#$k:$v" } ++
-      files.map(encodeFile)).mkString("\n")
-    val tmp = new org.apache.hadoop.fs.Path(dir,
-      s".v$version.manifest.${java.util.UUID.randomUUID.toString.take(8)}.tmp")
-    val out = fs.create(tmp, true)
-    try {
-      out.write(body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      // durability before visibility; local checksum streams lack hsync
-      try out.hsync()
-      catch { case _: UnsupportedOperationException => out.flush() }
-    } finally out.close()
-    val dst = new org.apache.hadoop.fs.Path(dir, s"v$version.manifest")
-    if (!fs.rename(tmp, dst)) {
-      fs.delete(tmp, false)
+    val isCheckpoint = version == 1L || version % checkpointEvery == 0L
+    val (dst, body) =
+      if (isCheckpoint)
+        (manifestPath(name, version),
+          (metaLines(meta) ++ files.map(encodeFile)).mkString("\n"))
+      else {
+        val prevFiles = prev.map(_._2).getOrElse(Nil)
+        val prevPaths = prevFiles.map(_.path).toSet
+        val newPaths = files.map(_.path).toSet
+        val adds = files.filterNot(f => prevPaths.contains(f.path))
+        val removes = prevFiles.map(_.path).filterNot(newPaths.contains)
+        (deltaPath(name, version),
+          (metaLines(meta) ++ removes.map("-" + _) ++
+            adds.map(f => "+" + encodeFile(f))).mkString("\n"))
+      }
+    if (!writeRecord(dir, dst, body))
       throw new IllegalStateException(
         s"commit conflict on $name v$version: concurrent writer detected")
-    }
+    snapshotCache(name) = (version, files, meta)
   }
 
   /** Writes `df` to a staging directory, then moves the data files into

@@ -729,6 +729,59 @@ class TableLayoutSpec extends AnyFunSuite {
       col("d") === java.sql.Date.valueOf("2020-01-01"), sc).nonEmpty)
   }
 
+  test("manifest log: commit bytes are O(touched files), not O(table files)") {
+    import spark.implicits._
+    val dir = tmp("wh_log")
+    val wh = new Warehouse(spark, dir, checkpointEvery = 5)
+    wh.save("t", spark.range(1000).toDF("k").repartition(8)) // v1: 8 files
+    (1 to 7).foreach { i =>                                  // v2..v8: 1 file each
+      wh.append("t", Seq(1000L + i).toDF("k").coalesce(1))
+    }
+    val txn = new java.io.File(s"$dir/_graft_meta/txn/t")
+    def size(n: String): Long = {
+      val f = new java.io.File(txn, n); assert(f.exists(), s"missing $n"); f.length
+    }
+    def lines(n: String): Seq[String] =
+      new String(java.nio.file.Files.readAllBytes(
+        new java.io.File(txn, n).toPath)).split("\n").toSeq
+    // v1 and v5 are full checkpoints; every other version is a delta
+    assert(size("v1.manifest") > 0 && size("v5.manifest") > 0)
+    (2L to 8L).filter(_ != 5L).foreach { v =>
+      assert(new java.io.File(txn, s"v$v.delta").exists(), s"v$v.delta")
+      assert(!new java.io.File(txn, s"v$v.manifest").exists(), s"v$v.manifest")
+    }
+    // a one-file append's commit record names exactly ONE file — commit
+    // bytes ride the delta, not the snapshot
+    val d8 = lines("v8.delta")
+    assert(d8.count(_.startsWith("+")) == 1, d8)
+    assert(!d8.exists(_.startsWith("-")))
+    assert(size("v8.delta") < size("v5.manifest"))
+    // replayed state is exact at every version
+    assert(wh.table("t").count() == 1007)
+    assert(wh.tableAt("t", 3).count() == 1002)
+    assert(wh.tableAt("t", 5).count() == 1004)
+    assert(wh.countRows("t").contains(1007L))
+    // a delete's record carries its removes/adds, not the survivors
+    wh.delete("t", col("k") === 1001L) // v9: drops v2's whole file
+    val d9 = lines("v9.delta")
+    assert(d9.count(_.startsWith("-")) == 1, d9)
+    assert(d9.count(_.startsWith("+")) == 0, d9)
+    assert(wh.table("t").count() == 1006)
+    assert(wh.history("t").size == 9)
+    assert(wh.history("t").last.op == "delete")
+    // vacuum with the floor on a DELTA version materializes a full
+    // checkpoint there so every kept version stays resolvable
+    wh.vacuum("t", 0L, keepVersions = 2)
+    assert(wh.tableVersions("t") == Seq(8L, 9L))
+    assert(new java.io.File(txn, "v8.manifest").exists())
+    assert(wh.tableAt("t", 8).count() == 1007)
+    assert(wh.table("t").count() == 1006)
+    // and the log keeps working past the sweep
+    wh.append("t", Seq(9999L).toDF("k").coalesce(1)) // v10: checkpoint
+    assert(new java.io.File(txn, "v10.manifest").exists())
+    assert(wh.table("t").count() == 1007)
+  }
+
   test("delete with a coerced literal predicate removes every matching row") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("wh_coerce"))
