@@ -26,9 +26,9 @@ object Sources {
     * Source ran its 7-way join SQL on the source server,
     * Package.dtsx:446-655). `query` executes remotely; only its result
     * crosses the wire. Partitioned reads via predicates for parallelism.
-    * (No database ships in this container — exercised on a cluster; the
-    * same plan over Parquet is the native rendering used everywhere
-    * else in this repo.) */
+    * Round-tripped against embedded Derby in JdbcSourceSpec; the same
+    * plan over Parquet is the native rendering used everywhere else in
+    * this repo. */
   def jdbc(spark: SparkSession, url: String, query: String,
       properties: Map[String, String] = Map.empty): DataFrame = {
     val r = spark.read.format("jdbc")

@@ -286,6 +286,16 @@ object Similarity {
     * codebook (m·k rows) stays broadcast-sized forever — at 100 TB one
     * trains on a sample and encodes the rest, which is this same code
     * over a sampled frame. Returns (sub, cid, c: array<double>). */
+  /** vec_id + L2-normalized embedding (unit length, doubles). On unit
+    * vectors ‖a−b‖² = 2 − 2·cos(a,b), so PQ's L2-trained codebooks and
+    * ADC distances rank by cosine — without this, varying vector norms
+    * make L2-nearest ≠ cosine-nearest and ANN recall collapses. */
+  def l2Normalized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
+      transform(col("embedding"), x =>
+        x.cast("double") / VectorFunctions.normExact(col("embedding")))
+        .as("embedding"))
+
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 3): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -768,20 +778,32 @@ object Similarity {
       }),
 
     // E12 — product-quantization ANN (rows-only: the Lloyd codebook is
-    // not SQL-expressible cross-engine): train m=8×k=16 codebooks,
-    // encode the corpus to 8 bytes per vector (32× under float32), rank
-    // by asymmetric distance — m table lookups per row against the
-    // broadcast query-to-centroid table. The query's own ADC is the
-    // per-subspace minimum by construction, so it ranks first — the
-    // built-in sanity invariant (asserted in SimilaritySpec).
+    // not SQL-expressible cross-engine): L2-normalize so PQ's L2
+    // geometry IS cosine ranking (‖a−b‖² = 2−2·cos on unit vectors),
+    // train m=8×k=16 codebooks, encode the corpus to 8 bytes per
+    // vector (32× under float32), ADC-rank by m broadcast-table
+    // lookups per row, then exact-cosine re-rank ONLY the top
+    // 5×TOP_K PQ candidates — the production two-stage ANN shape:
+    // the byte-code scan prunes, the float read touches 50 rows.
+    // Correctness story (no DuckDB oracle can train Lloyd):
+    // SimilaritySpec asserts recall@10 vs the exact e1 ranking on the
+    // real embeddings table, plus the ADC floor/code-shape invariants.
     Q("e12_pq_topk", None,
       (s, d) => {
         val emb = T.embeddings(s, d)
-        val cents = pqTrain(emb).localCheckpoint()
-        val codes = pqCodes(emb, cents)
-        val q = emb.filter(col("vec_id") === QUERY_ID)
-          .select("embedding").first().getSeq[Float](0).map(_.toDouble)
-        pqRank(codes, cents, q, topK = TOP_K)
+        val unit = l2Normalized(emb).localCheckpoint()
+        val cents = pqTrain(unit).localCheckpoint()
+        val codes = pqCodes(unit, cents)
+        val q = unit.filter(col("vec_id") === QUERY_ID)
+          .select("embedding").first().getSeq[Double](0)
+        val cands = pqRank(codes, cents, q, topK = 5 * TOP_K)
+        withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(TOP_K)
       })
   )
 }

@@ -256,4 +256,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(e12.length == 10)
     assert(e12.head.getLong(0) == 0L, e12.map(_.getLong(0)).toSeq.toString)
   }
+
+  test("pq: e12 ADC ranking preserves recall@10 against the exact e1 rank") {
+    // the independent correctness check the DuckDB oracle cannot give
+    // e12 (a Lloyd codebook is not SQL-expressible): the PQ-ranked
+    // top-10 on the real embeddings table must recover most of the
+    // EXACT cosine top-10 (the e9 precedent)
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val pq = SparkEntry.queries("e12_pq_topk")(spark, sf)
+      .collect().map(_.getLong(0)).toSet
+    val recall = (exact intersect pq).size
+    info(s"PQ recall@10 = $recall/10")
+    assert(recall >= 6, s"PQ recall@10 too low: exact=$exact pq=$pq")
+  }
 }
