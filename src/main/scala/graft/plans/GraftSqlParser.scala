@@ -32,7 +32,8 @@ class GraftSqlParser(session: SparkSession, delegate: ParserInterface)
   import GraftSqlParser._
 
   override def parsePlan(sqlText: String): LogicalPlan =
-    command(session, sqlText).getOrElse(delegate.parsePlan(sqlText))
+    command(session, sqlText).getOrElse(
+      delegate.parsePlan(rewriteTimeTravel(session, sqlText)))
 
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(sqlText)
@@ -118,6 +119,28 @@ object GraftSqlParser {
   private def attrs(cols: (String, org.apache.spark.sql.types.DataType)*)
       : Seq[Attribute] =
     cols.map { case (n, t) => AttributeReference(n, t, nullable = false)() }
+
+  private val VersionAsOf =
+    """(?i)\b([\w]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+
+  /** Read-side time travel: rewrite every `table VERSION AS OF n`
+    * reference bound to this session's warehouse into a temp view over
+    * [[graft.olist.Warehouse.tableAt]] (an immutable file list — the
+    * registration is metadata-only, so EXPLAIN of a time-travel query
+    * stays side-effect-free on the data). Unbound names pass through
+    * untouched, so catalog tables keep Spark's own AS OF semantics. */
+  private[plans] def rewriteTimeTravel(session: SparkSession,
+      sqlText: String): String =
+    VersionAsOf.replaceAllIn(sqlText, m => {
+      val (t, v) = (m.group(1), m.group(2).toLong)
+      boundTable(session, t) match {
+        case Some(wh) =>
+          val view = s"graft_tt_${t}_v$v"
+          wh.tableAt(t, v).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
 
   /** Try to parse `sqlText` as a warehouse maintenance command bound
     * to this session's registered warehouse. None = delegate. */

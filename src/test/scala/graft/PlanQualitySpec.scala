@@ -187,4 +187,25 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("Generate"), s"no explode Generate node:\n$p")
   }
+
+  test("path-mode small table auto-broadcasts without an explicit hint") {
+    // Catalyst's broadcast decision for a path-mode table rides the
+    // file-index size estimate of the manifest's exact file list — no
+    // catalog stats, no AQE runtime re-plan, no broadcast() hint needed
+    import org.apache.spark.sql.functions._
+    val wh = new graft.olist.Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("wh_cbo").toString)
+    wh.save("dim_small", spark.range(100).toDF("k")
+      .withColumn("label", concat(lit("g"), col("k") % 7)))
+    wh.save("fact_big", spark.range(200000)
+      .select((col("id") % 100).as("k"), (col("id") * 2).as("v")))
+    val joined = wh.table("fact_big").join(wh.table("dim_small"), "k")
+      .groupBy("label").agg(sum("v").as("sv"))
+    // assert on the INITIAL physical plan (pre-AQE), so the broadcast
+    // came from the size estimate, not an AQE runtime conversion
+    val p = joined.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"small path-mode dim did not auto-broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }

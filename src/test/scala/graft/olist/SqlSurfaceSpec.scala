@@ -58,6 +58,31 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(wh.table("t").count() == before)
   }
 
+  test("SELECT ... VERSION AS OF reads a historical snapshot via SQL") {
+    val dir = tmp("wh_sqltt")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("tt", spark.range(100).toDF("k").coalesce(2)) // v1
+    wh.delete("tt", col("k") >= 90)                       // v2
+    assert(spark.sql("SELECT count(*) AS c FROM tt VERSION AS OF 1")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.sql("SELECT count(*) AS c FROM tt VERSION AS OF 2")
+      .collect()(0).getLong(0) == 90)
+    assert(wh.table("tt").count() == 90)
+    // two versions of the same table in ONE statement (snapshot diff)
+    val gone = spark.sql(
+      """SELECT a.k FROM tt VERSION AS OF 1 a
+        |LEFT ANTI JOIN tt VERSION AS OF 2 b ON a.k = b.k""".stripMargin)
+    assert(gone.count() == 10)
+    // EXPLAIN of a time-travel read is side-effect-free
+    val before = wh.tableVersions("tt")
+    spark.sql("EXPLAIN SELECT * FROM tt VERSION AS OF 1").collect()
+    assert(wh.tableVersions("tt") == before)
+    // unknown version fails loudly
+    val e = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM tt VERSION AS OF 99"))
+    assert(e.getMessage.contains("no committed version"))
+  }
+
   test("MERGE INTO ... UPDATE SET * / INSERT * upserts through the warehouse") {
     import spark.implicits._
     val dir = tmp("wh_sqlmerge")
