@@ -325,17 +325,19 @@ class Warehouse(spark: SparkSession, basePath: String,
             s"('$ClusterProp'='${clusterBy.mkString(",")}')")
         analyze(db, name, columnStats = partitionBy.isEmpty)
       case None =>
-        val files = stageWrite(name, shaped, partitionBy)
+        val files = stageWrite(name, shaped, partitionBy, mapCols = false)
         // overwrite: new snapshot is the new files; the schema rides the
         // SAME atomic commit so no crash window can separate data from
         // its definition, and tableAt reads each version with the
-        // schema it was committed under
+        // schema it was committed under. A full rewrite resets the
+        // rename/drop column mapping — the new files ARE the schema.
         withCommitLock(name) {
           commitManifest(name, files, Map(SchemaMeta -> df.schema.json,
             PartsMeta -> partitionBy.mkString(","),
             ClusterMeta -> clusterBy.mkString(","),
             ClusterKindMeta -> clusterKinds(name),
-            BloomMeta -> bloomBy.mkString(",")), op = "save")
+            BloomMeta -> bloomBy.mkString(","),
+            ColMapMeta -> "", DroppedMeta -> ""), op = "save")
         }
         // side meta is bootstrap redundancy for pre-manifest readers
         writeMeta(name, partitionBy, df.schema, clusterBy, clusterKinds(name),
@@ -416,6 +418,106 @@ class Warehouse(spark: SparkSession, basePath: String,
         writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name),
           bloomColsOf(name))
       }
+  }
+
+  /** RENAME COLUMN, metadata-only at any table size: the column keeps
+    * its frozen PHYSICAL name inside every parquet file (old and
+    * future — appends map back before staging); only the logical name
+    * in the committed schema and the colmap change. Version-pinned:
+    * [[tableAt]] of a pre-rename version still shows the old name.
+    *
+    * Refused loudly for layout-bearing columns — partition, cluster,
+    * and bloom columns key directory names, per-file stats, and
+    * sketches by name — and for columns referenced by a CHECK
+    * constraint (its expression text would silently stop matching).
+    * The target name must be free: not a current column, not a dropped
+    * column's physical name (stale data exists in old files), not
+    * another column's physical name. */
+  def renameColumn(name: String, from: String, to: String): Unit = {
+    require(database.isEmpty, "renameColumn applies to path-mode tables only")
+    require(from != to, s"renameColumn: $from -> $to is a no-op")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"renameColumn: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      require(sc.fieldNames.contains(from),
+        s"renameColumn: no column $from in ${sc.fieldNames.mkString(", ")}")
+      requireRenameable(name, meta, from, "renameColumn")
+      val cm = colMapOf(meta)
+      require(!sc.fieldNames.contains(to),
+        s"renameColumn: column $to already exists")
+      require(!droppedOf(meta).contains(to) && !cm.valuesIterator.contains(to),
+        s"renameColumn: $to collides with a physical column name " +
+          "still present in data files")
+      val physical = cm.getOrElse(from, from)
+      val newMap = (cm - from) ++
+        (if (to == physical) Map.empty[String, String]
+         else Map(to -> physical))
+      val newSchema = org.apache.spark.sql.types.StructType(
+        sc.map(f => if (f.name == from) f.copy(name = to) else f))
+      commitManifest(name, files, Map(SchemaMeta -> newSchema.json,
+        ColMapMeta -> encodeColMap(newMap)), op = "rename-column")
+      schemas(name) = newSchema
+      writeMeta(name, partitionColsOf(name), newSchema, clusterColsOf(name),
+        clusterKindOf(name), bloomColsOf(name))
+    }
+    read(name).createOrReplaceTempView(s"dw_$name")
+  }
+
+  /** DROP COLUMN, metadata-only: the physical column stays in old
+    * files (columnar projection never reads it — zero cost), the
+    * schema and mapping forget it, and its physical name is tombstoned
+    * so a later add-column cannot silently resurrect stale data under
+    * the same name. Same layout-column refusals as [[renameColumn]];
+    * version-pinned like everything else in the manifest. */
+  def dropColumn(name: String, colName: String): Unit = {
+    require(database.isEmpty, "dropColumn applies to path-mode tables only")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"dropColumn: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      require(sc.fieldNames.contains(colName),
+        s"dropColumn: no column $colName in ${sc.fieldNames.mkString(", ")}")
+      require(sc.size > 1, s"dropColumn: $colName is $name's only column")
+      requireRenameable(name, meta, colName, "dropColumn")
+      val cm = colMapOf(meta)
+      val physical = cm.getOrElse(colName, colName)
+      val newSchema = org.apache.spark.sql.types.StructType(
+        sc.filterNot(_.name == colName))
+      commitManifest(name, files, Map(SchemaMeta -> newSchema.json,
+        ColMapMeta -> encodeColMap(cm - colName),
+        DroppedMeta -> (droppedOf(meta) + physical).toSeq.sorted
+          .mkString(",")), op = "drop-column")
+      schemas(name) = newSchema
+      writeMeta(name, partitionColsOf(name), newSchema, clusterColsOf(name),
+        clusterKindOf(name), bloomColsOf(name))
+    }
+    read(name).createOrReplaceTempView(s"dw_$name")
+  }
+
+  /** Shared rename/drop refusals: layout-bearing columns (partition
+    * directories, per-file stats, bloom sketches are all keyed by
+    * name) and columns referenced by CHECK expressions. */
+  private def requireRenameable(name: String, meta: Map[String, String],
+      colName: String, op: String): Unit = {
+    require(!partitionColsOf(name).contains(colName),
+      s"$op: $colName is a partition column of $name")
+    require(!clusterColsOf(name).contains(colName),
+      s"$op: $colName is a cluster column of $name (per-file stats key)")
+    require(!bloomColsOf(name).contains(colName),
+      s"$op: $colName is a bloom column of $name (sketches key by name)")
+    val referencing = decodeChecks(meta).filter(c =>
+      ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
+        .findFirstIn(c.expr).isDefined)
+    require(referencing.isEmpty,
+      s"$op: $colName is referenced by check(s) " +
+        s"${referencing.map(_.name).mkString(", ")} — drop them first")
   }
 
   /** Declare a row-level CHECK constraint on a path-mode table,
@@ -613,6 +715,20 @@ class Warehouse(spark: SparkSession, basePath: String,
       require(allowWiden || added.isEmpty,
         s"delta for $name adds columns ${added.map(_.name).mkString(", ")}; " +
           "only append() widens the schema")
+      // a NEW column must not shadow a physical name still present in
+      // old data files (a dropped column's tombstone, or a renamed
+      // column's frozen physical name) — the old files' stale values
+      // would silently resurface under the new column
+      if (added.nonEmpty) {
+        val meta = currentManifestFull(name).map(_._3).getOrElse(Map.empty)
+        val taken = droppedOf(meta) ++ colMapOf(meta).values
+        val shadowing = added.map(_.name).filter(taken.contains)
+        require(shadowing.isEmpty,
+          s"delta for $name adds column(s) ${shadowing.mkString(", ")} " +
+            "whose name matches a dropped or renamed column's physical " +
+            "data still present in old files — pick another name or " +
+            "rewrite the table (save)")
+      }
       val widened =
         if (added.isEmpty) None
         else Some(org.apache.spark.sql.types.StructType(current ++ added))
@@ -1342,12 +1458,25 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Snapshot reader over an explicit committed file list, resolved at
     * DataFrame creation — concurrent commits can't change or truncate
     * what this reader sees. basePath keeps partition columns parsed
-    * from the k=v directory segments. */
+    * from the k=v directory segments.
+    *
+    * `sc` is the LOGICAL schema; files are loaded under the version's
+    * column mapping (renamed columns live in parquet under their frozen
+    * physical names) and projected back to logical names. `colMapOpt`
+    * pins a historical version's mapping (tableAt); None reads the
+    * current one. */
   private def fromFiles(name: String, files: Seq[String],
-      sc: org.apache.spark.sql.types.StructType): DataFrame =
+      sc: org.apache.spark.sql.types.StructType,
+      colMapOpt: Option[Map[String, String]] = None): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
     else {
+      val colMap = colMapOpt.getOrElse(currentManifestFull(name)
+        .map(m => colMapOf(m._3)).getOrElse(Map.empty))
+      val phys =
+        if (colMap.isEmpty || sc.isEmpty) sc
+        else org.apache.spark.sql.types.StructType(sc.map(f =>
+          colMap.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
       // a shallow clone's manifest may reference files in SEVERAL
       // physical table directories ("../src/…" entries next to its
       // own); Spark's partition inference demands one consistent
@@ -1355,14 +1484,17 @@ class Warehouse(spark: SparkSession, basePath: String,
       // directory, scan each group against its own basePath, and union
       def load(owner: String, fs: Seq[String]): DataFrame = {
         val r = spark.read.format(format).option("header", "true")
-        (if (sc.isEmpty) r else r.schema(sc))
+        (if (phys.isEmpty) r else r.schema(phys))
           .option("basePath", s"$basePath/$owner")
           .load(fs.map(f => s"$basePath/$name/$f"): _*)
       }
-      files.groupBy(f => normalizedRel(name, f).takeWhile(_ != '/'))
+      val raw = files.groupBy(f => normalizedRel(name, f).takeWhile(_ != '/'))
         .toSeq.sortBy(_._1)
         .map { case (owner, fs) => load(owner, fs) }
         .reduce(_ unionByName _)
+      if (colMap.isEmpty || sc.isEmpty) raw
+      else raw.select(sc.map(f =>
+        col(colMap.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
 
   /** `name`-dir-relative manifest path with `..` segments resolved —
@@ -1716,11 +1848,13 @@ class Warehouse(spark: SparkSession, basePath: String,
   def tableAt(name: String, version: Long): DataFrame = {
     require(database.isEmpty, "tableAt applies to path-mode tables only")
     val (files, vMeta) = stateAt(name, version)
-    // read the OLD version with the schema it was committed under — a
-    // later save() may have redefined column order or types
+    // read the OLD version with the schema AND column mapping it was
+    // committed under — a later save() may have redefined column order
+    // or types, a later rename/drop changed the visible names
     fromFiles(name, files.map(_.path), metaSchema(vMeta).getOrElse(
       schemas.getOrElseUpdate(name,
-        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))))
+        loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))),
+      colMapOpt = Some(colMapOf(vMeta)))
   }
 
   /** Rolls a table back to an earlier committed version by publishing
@@ -1737,9 +1871,15 @@ class Warehouse(spark: SparkSession, basePath: String,
       s"restore: version $version of $name predates table-definition " +
         "metadata in the manifest — its layout cannot be rolled back safely")
     withCommitLock(name) {
+      // ColMap/Dropped ride the rollback too — a restore to a
+      // pre-rename version must surface the old logical names, and the
+      // keys are written even when absent in vMeta so a later rename's
+      // mapping is cleared rather than inherited
       commitManifest(name, files,
         Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta, BloomMeta)
-          .flatMap(k => vMeta.get(k).map(k -> _)).toMap, op = "restore")
+          .flatMap(k => vMeta.get(k).map(k -> _)).toMap ++
+          Map(ColMapMeta -> vMeta.getOrElse(ColMapMeta, ""),
+            DroppedMeta -> vMeta.getOrElse(DroppedMeta, "")), op = "restore")
     }
     // roll the in-memory + side-meta table DEFINITION back with the
     // data: a later append must lay files out the way this version did,
@@ -1904,7 +2044,8 @@ class Warehouse(spark: SparkSession, basePath: String,
     val repointed = files.map(f =>
       if (f.path.startsWith("../")) f else f.copy(path = s"../$src/${f.path}"))
     val carried = Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta,
-      BloomMeta, ChecksMeta).flatMap(k => srcMeta.get(k).map(k -> _)).toMap
+      BloomMeta, ChecksMeta, ColMapMeta, DroppedMeta)
+      .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
     require(currentManifest(dst).isEmpty,
       s"cloneTable: $dst already exists")
     // register dst on every table whose directory it references BEFORE
@@ -2031,6 +2172,44 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val TimeMeta = "committedAt"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
+  /** Column mapping (logical name → physical parquet name) for renamed
+    * columns, and the physical names of dropped columns. A column's
+    * PHYSICAL name is frozen at first write; RENAME only changes the
+    * logical name in this map (no file rewrite at any size), DROP only
+    * removes it from the visible schema. Both are version-pinned:
+    * tableAt reads an old version with its own schema + mapping. */
+  private val ColMapMeta = "colmap"
+  private val DroppedMeta = "droppedcols"
+
+  private def colMapOf(meta: Map[String, String]): Map[String, String] =
+    meta.get(ColMapMeta).filter(_.nonEmpty).map { js =>
+      org.json4s.jackson.JsonMethods.parse(js) match {
+        case org.json4s.JObject(fields) => fields.collect {
+          case (k, org.json4s.JString(v)) => k -> v }.toMap
+        case _ => Map.empty[String, String]
+      }
+    }.getOrElse(Map.empty)
+
+  private def encodeColMap(m: Map[String, String]): String =
+    org.json4s.jackson.JsonMethods.compact(org.json4s.jackson.JsonMethods
+      .render(org.json4s.JObject(m.toList.sortBy(_._1).map {
+        case (k, v) => k -> org.json4s.JString(v) })))
+
+  private def droppedOf(meta: Map[String, String]): Set[String] =
+    meta.get(DroppedMeta).map(_.split(",").filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty)
+
+  /** Rename the frame's renamed-logical columns back to their frozen
+    * physical names before staging, so every data file of a table
+    * carries ONE physical schema regardless of rename history. */
+  private def toPhysical(name: String, df: DataFrame): DataFrame = {
+    val cm = currentManifestFull(name).map(m => colMapOf(m._3))
+      .getOrElse(Map.empty)
+    cm.foldLeft(df) { case (d, (logical, physical)) =>
+      if (d.columns.contains(logical)) d.withColumnRenamed(logical, physical)
+      else d
+    }
+  }
   /** Pseudo stat column carrying each file's row count; no real column
     * is named like this, so [[candidates]] never consults it. */
   private val RowsKey = "__rows"
@@ -2310,8 +2489,11 @@ class Warehouse(spark: SparkSession, basePath: String,
     * directories included), each carrying per-file min/max stats on the
     * table's cluster columns — one extra columnar agg over JUST those
     * columns of the files this write produced (see [[collectStats]]). */
-  private def stageWrite(name: String, df: DataFrame,
-      parts: Seq[String]): Seq[DataFile] = {
+  private def stageWrite(name: String, df0: DataFrame,
+      parts: Seq[String], mapCols: Boolean = true): Seq[DataFile] = {
+    // renamed logical columns go to disk under their frozen physical
+    // names (save() resets the mapping and stages verbatim)
+    val df = if (mapCols) toPhysical(name, df0) else df0
     val fs = metaFs
     val txnId = java.util.UUID.randomUUID.toString.take(8)
     val stage = qualifiedPath(s"$basePath/_graft_stage/$name-$txnId")

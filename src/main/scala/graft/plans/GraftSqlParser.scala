@@ -94,6 +94,11 @@ object GraftSqlParser {
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w]+)\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w]+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
+  private val RenameCol =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+RENAME\s+COLUMN\s+([\w]+)""" +
+      """\s+TO\s+([\w]+)\s*;?\s*$""").r
+  private val DropCol =
+    """(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+DROP\s+COLUMN\s+([\w]+)\s*;?\s*$""".r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -222,6 +227,18 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.restore(table, version.toLong); Seq(Row("OK"))
+          }
+        }
+      case RenameCol(table, from, to) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.renameColumn(table, from, to); Seq(Row("OK"))
+          }
+        }
+      case DropCol(table, colName) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.dropColumn(table, colName); Seq(Row("OK"))
           }
         }
       case Merge(table, source, on) =>

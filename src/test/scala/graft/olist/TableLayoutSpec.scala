@@ -782,6 +782,67 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 1007)
   }
 
+  test("schema evolution: rename -> append -> time-travel; drop tombstones") {
+    import spark.implicits._
+    val dir = tmp("wh_coln")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", Seq((1L, "a", 10.0), (2L, "b", 20.0))
+      .toDF("k", "label", "score"))                       // v1
+    wh.renameColumn("t", "label", "tag")                  // v2 (metadata-only)
+    assert(wh.table("t").columns.toSeq == Seq("k", "tag", "score"))
+    assert(wh.table("t").filter(col("tag") === "a").count() == 1)
+    // append AFTER the rename: the delta speaks the new name, the file
+    // on disk keeps the frozen physical name
+    wh.append("t", Seq((3L, "c", 30.0)).toDF("k", "tag", "score")) // v3
+    assert(wh.table("t").select("k", "tag").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // time travel is version-pinned: v1 still shows the OLD name
+    assert(wh.tableAt("t", 1).columns.toSeq == Seq("k", "label", "score"))
+    assert(wh.tableAt("t", 1).filter(col("label") === "b").count() == 1)
+    assert(wh.tableAt("t", 3).columns.toSeq == Seq("k", "tag", "score"))
+    // delete/update work through the mapping (predicate on the NEW name)
+    assert(wh.delete("t", col("tag") === "c").rowsDeleted == 1)    // v4
+    wh.update("t", col("tag") === "a", Map("score" -> lit(11.0)))  // v5
+    assert(wh.table("t").filter(col("k") === 1L)
+      .select("score").as[Double].collect()(0) == 11.0)
+    // drop is logical; the physical tombstone blocks re-adding the name
+    wh.dropColumn("t", "score")                           // v6
+    assert(wh.table("t").columns.toSeq == Seq("k", "tag"))
+    val shadow = intercept[IllegalArgumentException](
+      wh.append("t", Seq((9L, "z", 99.9)).toDF("k", "tag", "score")))
+    assert(shadow.getMessage.contains("physical"))
+    // rename to a tombstoned physical name is refused too
+    assert(intercept[IllegalArgumentException](
+      wh.renameColumn("t", "tag", "score")).getMessage.contains("physical"))
+    // restore rolls the NAMES back with the data
+    wh.restore("t", 1)                                    // v7
+    assert(wh.table("t").columns.toSeq == Seq("k", "label", "score"))
+    assert(wh.table("t").count() == 2)
+    // SQL surface drives the same paths
+    spark.sql("ALTER TABLE t RENAME COLUMN label TO tag2")
+    assert(wh.table("t").columns.contains("tag2"))
+    spark.sql("ALTER TABLE t DROP COLUMN score")
+    assert(wh.table("t").columns.toSeq == Seq("k", "tag2"))
+  }
+
+  test("schema evolution refusals: layout and check columns keep their names") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_colref"))
+    wh.save("t", Seq((1L, 2020, "x", 5.0)).toDF("k", "year", "v", "s")
+      .repartition(col("year")),
+      partitionBy = Seq("year"), clusterBy = Seq("k"))
+    wh.addCheck("t", "s_pos", "s >= 0")
+    assert(intercept[IllegalArgumentException](
+      wh.renameColumn("t", "year", "yr")).getMessage.contains("partition"))
+    assert(intercept[IllegalArgumentException](
+      wh.dropColumn("t", "k")).getMessage.contains("cluster"))
+    assert(intercept[IllegalArgumentException](
+      wh.renameColumn("t", "s", "s2")).getMessage.contains("check"))
+    wh.dropCheck("t", "s_pos")
+    wh.renameColumn("t", "s", "s2") // allowed once the check is gone
+    assert(wh.table("t").columns.contains("s2"))
+  }
+
   test("delete with a coerced literal predicate removes every matching row") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("wh_coerce"))
