@@ -260,4 +260,57 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("two instances: disjoint-partition appends race, both land intact") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_race_app").toString
+    val wh1 = new graft.olist.Warehouse(spark, dir)
+    val wh2 = new graft.olist.Warehouse(spark, dir)
+    wh1.save("t", Seq((0L, 2019)).toDF("k", "year").repartition(col("year")),
+      partitionBy = Seq("year"))
+    val a = new Thread(() => wh1.append("t",
+      (1L to 500L).map((_, 2020)).toDF("k", "year")))
+    val b = new Thread(() => wh2.append("t",
+      (1001L to 1500L).map((_, 2021)).toDF("k", "year")))
+    a.start(); b.start(); a.join(); b.join()
+    // both writers' rows are fully present — neither commit erased the
+    // other's — and the log is a linear v1..v3
+    val byYear = wh1.table("t").groupBy("year").count()
+      .as[(Int, Long)].collect().toMap
+    assert(byYear == Map(2019 -> 1L, 2020 -> 500L, 2021 -> 500L), byYear)
+    assert(wh1.tableVersions("t") == Seq(1L, 2L, 3L))
+  }
+
+  test("two instances: DELETE racing an append yields one of the serial outcomes") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_race_del").toString
+    val wh1 = new graft.olist.Warehouse(spark, dir)
+    val wh2 = new graft.olist.Warehouse(spark, dir)
+    wh1.save("t", (0L until 100L).map(k => (k, k % 2)).toDF("k", "par")
+      .coalesce(4))
+    // overlapping work: the delete's predicate also matches half the
+    // delta the other writer is appending
+    val delta = (100L until 140L).map(k => (k, k % 2))
+    val a = new Thread(() => wh1.delete("t", col("par") === 0L))
+    val b = new Thread(() => wh2.append("t", delta.toDF("k", "par")))
+    a.start(); b.start(); a.join(); b.join()
+    val got = wh1.table("t").select("k").as[Long].collect().toSet
+    // serializable: the final state must equal ONE of the two serial
+    // histories — delete THEN append (delta survives whole) or append
+    // THEN delete (delta's par=0 rows die too). Anything else (partial
+    // delta, resurrected base evens) is a lost update.
+    val baseOdds = (0L until 100L).filter(_ % 2 == 1).toSet
+    val deltaAll = (100L until 140L).toSet
+    val deltaOdds = deltaAll.filter(_ % 2 == 1)
+    val deleteThenAppend = baseOdds ++ deltaAll
+    val appendThenDelete = baseOdds ++ deltaOdds
+    assert(got == deleteThenAppend || got == appendThenDelete,
+      s"non-serializable outcome: $got")
+    // the history shows both commits, in some order, on a linear log
+    val ops = wh1.history("t").map(_.op)
+    assert(ops.head == "save" && ops.toSet == Set("save", "delete", "append"))
+    assert(wh1.tableVersions("t") == Seq(1L, 2L, 3L))
+  }
 }

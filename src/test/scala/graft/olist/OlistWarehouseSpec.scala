@@ -46,6 +46,35 @@ class OlistWarehouseSpec extends AnyFunSuite {
     assert(f.filter(col("seller_id") === "seller_sp").count() > 0)
   }
 
+  test("conversions fact: negative-hours AVG truncates toward zero (T-SQL semantics)") {
+    // -3h and -4h in ONE grain: avg -3.5 must truncate toward zero to
+    // -3 (T-SQL integer division), NOT floor to -4 — the pre-delete
+    // domain guard for the P7 avg<1 cleanup (SURVEY §7.4 #3)
+    import java.sql.Timestamp
+    def ts(s: String) = Timestamp.valueOf(s)
+    import spark.implicits._
+    val leads = Seq(
+      ("m1", ts("2018-01-05 12:00:00"), "organic"),
+      ("m2", ts("2018-01-05 12:00:00"), "organic"))
+      .toDF("mql_id", "first_contact_date", "origin")
+    val deals = Seq(
+      ("m1", "s1", "seg", "lt", "bt", ts("2018-01-05 09:00:00")), // -3h
+      ("m2", "s1", "seg", "lt", "bt", ts("2018-01-05 08:00:00"))) // -4h
+      .toDF("mql_id", "seller_id", "business_segment", "lead_type",
+        "business_type", "won_date")
+    val sellers = Seq("s1").toDF("seller_id")
+    val items = Seq("s1").toDF("seller_id")
+    val fact = Facts.conversionsFact(leads, deals, sellers, items,
+      Seq(("organic", 1L)).toDF("origin", "origin_key"),
+      Seq(("lt", 1L)).toDF("lead_type", "lead_type_key"),
+      Seq(("bt", 1L)).toDF("business_type", "business_type_key"),
+      Seq(("seg", 1000L)).toDF("product", "product_key"),
+      Seq((20180105, java.sql.Date.valueOf("2018-01-05")))
+        .toDF("date_key", "date"))
+    val rows = fact.select("avg_hrs_convert").as[Long].collect().toSeq
+    assert(rows == Seq(-3L), s"expected toward-zero -3, got $rows")
+  }
+
   test("conversions fact: T-SQL truncating avg, negative-duration grain deleted, null origin dropped") {
     val c = wh.table("conversions_fact").collect()
     // mql1's two deals (5h, 6h boundary crossings) in one grain → avg 5
