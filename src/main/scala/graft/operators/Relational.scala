@@ -981,6 +981,35 @@ object Relational {
           col("n_orders"))
         .orderBy("o_orderpriority")),
 
+    // A23 — exact grouped MODE (most frequent value per group) with a
+    // deterministic tie-break: highest count wins, ties go to the
+    // LARGEST value (max over a (count, value) struct — one partial+
+    // final agg over the (group, value) counts, no window, no
+    // self-join; both engines' native mode() leaves ties unspecified,
+    // so the deterministic rendering is stated explicitly on both
+    // sides).
+    Q("a23_mode",
+      Some("""WITH c AS (SELECT l_returnflag,
+             |                  cast(month(cast(l_shipdate AS date)) AS BIGINT) AS ship_month,
+             |                  cast(count(*) AS BIGINT) AS n
+             |           FROM lineitem GROUP BY 1, 2),
+             |r AS (SELECT l_returnflag, ship_month, n,
+             |        row_number() OVER (PARTITION BY l_returnflag
+             |          ORDER BY n DESC, ship_month DESC) AS rk
+             |      FROM c)
+             |SELECT l_returnflag, ship_month AS mode_month, n AS n_rows
+             |FROM r WHERE rk = 1 ORDER BY l_returnflag""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy(col("l_returnflag"),
+          month(to_date(col("l_shipdate"))).cast("long").as("ship_month"))
+        .agg(count(lit(1)).as("n"))
+        .groupBy("l_returnflag")
+        .agg(max(struct(col("n"), col("ship_month"))).as("top"))
+        .select(col("l_returnflag"),
+          col("top.ship_month").as("mode_month"),
+          col("top.n").as("n_rows"))
+        .orderBy("l_returnflag")),
+
     // J18 — null-safe equality join (IS NOT DISTINCT FROM / <=>): NULL
     // keys MATCH each other instead of silently dropping out; the hash
     // join hashes the null bucket like any other value (no special

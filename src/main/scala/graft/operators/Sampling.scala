@@ -140,6 +140,44 @@ object Sampling {
       (s, d) => T.orders(s, d)
         .select(col("o_orderkey"),
           md5(col("o_orderkey").cast("string")).as("h"))
-        .orderBy("h").limit(1000))
+        .orderBy("h").limit(1000)),
+
+    // SP6 — per-user TEMPORAL holdout split: each user's last ~20% of
+    // events (by event time, event_id tie-break) become holdout, the
+    // rest train — the leakage-free split an evaluation pipeline needs
+    // (a hash split like sp1 leaks future behavior into training).
+    // Pure integer arithmetic on per-user ranks: deterministic in both
+    // engines, and the window hash-partitions by user — no global
+    // sort, scale-safe. Holdout events are provably AFTER that user's
+    // train events by construction.
+    Q("sp6_time_split",
+      Some("""WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS us
+             |           FROM events),
+             |r AS (SELECT user_id, us, event_id,
+             |        row_number() OVER (PARTITION BY user_id
+             |                           ORDER BY us, event_id) AS rn,
+             |        count(*) OVER (PARTITION BY user_id) AS cnt
+             |      FROM e)
+             |SELECT CASE WHEN rn * 5 <= cnt * 4 THEN 'train'
+             |            ELSE 'holdout' END AS split,
+             |       cast(count(*) AS BIGINT) AS n,
+             |       cast(count(DISTINCT user_id) AS BIGINT) AS n_users
+             |FROM r GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.expressions.Window
+        val e = T.events(s, d).select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"))
+        val byUser = Window.partitionBy("user_id")
+        // rn*5 <= cnt*4 ⇔ rn <= 0.8·cnt, in exact integer arithmetic
+        e.withColumn("rn",
+            row_number().over(byUser.orderBy(col("us"), col("event_id"))))
+          .withColumn("cnt", count(lit(1)).over(byUser))
+          .withColumn("split", when(col("rn") * 5 <= col("cnt") * 4, "train")
+            .otherwise("holdout"))
+          .groupBy("split")
+          .agg(count(lit(1)).as("n"),
+            countDistinct("user_id").as("n_users"))
+          .orderBy("split")
+      })
   )
 }

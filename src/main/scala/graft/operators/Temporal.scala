@@ -84,6 +84,32 @@ object Temporal {
       .drop("__bin", "__rts")
   }
 
+  /** Interval-overlap join: all (left, right) pairs on the same key
+    * whose intervals intersect — `l.s <= r.e AND r.s <= l.e`. The
+    * third temporal-join primitive after as-of (j14) and bounded range
+    * (j15): meeting/session/outage overlap queries. A naive inequality
+    * join is a nested loop; here each interval is replicated to every
+    * `binUs`-wide bin it touches and the join is a (key, bin)
+    * equi-join. A pair can share several bins, so it is emitted ONLY
+    * in the first bin both intervals occupy (`greatest(floor(l.s),
+    * floor(r.s))`) — exactly-once without a distinct shuffle.
+    * Replication factor = interval length / binUs + 1, so size binUs
+    * near the typical interval length. */
+  def intervalOverlapJoin(left: DataFrame, right: DataFrame, key: String,
+      ls: String, le: String, rs: String, re: String,
+      binUs: Long): DataFrame = {
+    require(binUs > 0, "intervalOverlapJoin: binUs must be positive")
+    def binned(df: DataFrame, s: String, e: String) =
+      df.withColumn("__bin",
+        explode(sequence(floor(col(s) / binUs), floor(col(e) / binUs))))
+    binned(left, ls, le)
+      .join(binned(right, rs, re), Seq(key, "__bin"))
+      .filter(col(ls) <= col(re) && col(rs) <= col(le))
+      .filter(col("__bin") ===
+        greatest(floor(col(ls) / binUs), floor(col(rs) / binUs)))
+      .drop("__bin")
+  }
+
   val all: Seq[Q] = Seq(
     // J14 — as-of join: each click joined to the user's most recent
     // purchase at or before it (inclusive). Purchases are collapsed to
@@ -145,6 +171,40 @@ object Temporal {
         clicks.join(counts, Seq("event_id"), "left")
           .select(col("event_id"), col("user_id"), col("us"),
             coalesce(col("n_matched"), lit(0L)).as("n_errors"))
+          .orderBy("event_id")
+      }),
+
+    // J17 — interval-overlap join: click activity windows [ts, ts+5m]
+    // overlapping error windows [ts, ts+1m] for the same user, one
+    // output row per click with ≥1 overlap (count + first error id).
+    // The oracle states the overlap inequality directly; the engine
+    // runs the binned equi-join with first-shared-bin dedup.
+    Q("j17_interval_overlap",
+      Some("""WITH l AS (SELECT event_id, user_id, epoch_us(ts) AS s,
+             |                  epoch_us(ts) + 300000000 AS e
+             |           FROM events WHERE event_type = 'click'),
+             |r AS (SELECT event_id AS r_id, user_id, epoch_us(ts) AS rs,
+             |             epoch_us(ts) + 60000000 AS re
+             |      FROM events WHERE event_type = 'error')
+             |SELECT l.event_id, cast(count(*) AS BIGINT) AS n_overlap,
+             |       min(r.r_id) AS first_error
+             |FROM l JOIN r ON l.user_id = r.user_id
+             |  AND l.s <= r.re AND r.rs <= l.e
+             |GROUP BY 1 ORDER BY 1""".stripMargin),
+      (s, d) => {
+        val ev = T.events(s, d)
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("event_id"), col("user_id"),
+            unix_micros(col("ts")).as("s"),
+            (unix_micros(col("ts")) + 300000000L).as("e"))
+        val errors = ev.filter(col("event_type") === "error")
+          .select(col("event_id").as("r_id"), col("user_id"),
+            unix_micros(col("ts")).as("rs"),
+            (unix_micros(col("ts")) + 60000000L).as("re"))
+        intervalOverlapJoin(clicks, errors, "user_id",
+          "s", "e", "rs", "re", binUs = 300000000L)
+          .groupBy("event_id")
+          .agg(count(lit(1)).as("n_overlap"), min("r_id").as("first_error"))
           .orderBy("event_id")
       })
   )

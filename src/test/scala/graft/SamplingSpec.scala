@@ -63,6 +63,40 @@ class SamplingSpec extends AnyFunSuite {
     assert(totalShardTokens == totalDocTokens, "token mass not conserved")
   }
 
+  test("temporal split: every user's holdout events are strictly after their train events") {
+    import org.apache.spark.sql.expressions.Window
+    import spark.implicits._
+    // the leakage-free property sp6 exists for: per user, no train
+    // event may be later (by the (us, event_id) order) than any
+    // holdout event
+    val e = Tables.events(spark, sf).select(col("event_id"), col("user_id"),
+      unix_micros(col("ts")).as("us"))
+    val byUser = Window.partitionBy("user_id")
+    val split = e
+      .withColumn("rn",
+        row_number().over(byUser.orderBy(col("us"), col("event_id"))))
+      .withColumn("cnt", count(lit(1)).over(byUser))
+      .withColumn("split", when(col("rn") * 5 <= col("cnt") * 4, "train")
+        .otherwise("holdout"))
+    val bounds = split.groupBy("user_id").agg(
+      max(when(col("split") === "train", struct(col("us"), col("event_id"))))
+        .as("last_train"),
+      min(when(col("split") === "holdout", struct(col("us"), col("event_id"))))
+        .as("first_holdout"))
+    val leaks = bounds.filter(col("last_train").isNotNull &&
+      col("first_holdout").isNotNull &&
+      !(col("last_train") < col("first_holdout"))).count()
+    assert(leaks == 0, s"$leaks users have train events after holdout")
+    // ~80/20 overall, and every multi-event user contributes to train
+    val frac = split.filter(col("split") === "train").count().toDouble /
+      split.count()
+    assert(frac > 0.7 && frac < 0.9, s"train fraction $frac")
+    assert(split.filter(col("cnt") >= 1 && col("split") === "train")
+      .select("user_id").distinct().count() ==
+      split.select("user_id").distinct().count(),
+      "a user has no train events at all")
+  }
+
   test("bucketing runs inside the scan stage — no shuffle, no UDF") {
     val df = Tables.documents(spark, sf)
       .filter(Sampling.hashBucket(col("doc_id")) < 10)

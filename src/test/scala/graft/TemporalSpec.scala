@@ -82,6 +82,39 @@ class TemporalSpec extends AnyFunSuite {
     assert(comps.count() == 0)
   }
 
+  test("interval overlap join equals the naive quadratic over random intervals, no dup pairs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // intervals up to 3 bins long: exercises multi-bin replication and
+    // the first-shared-bin dedup
+    def mk(n: Int, tag: String) = (0 until n).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      (s"$tag$i", rnd.nextInt(4).toLong, s, s + rnd.nextInt(300).toLong)
+    }
+    val l = mk(120, "L").toDF("lid", "k", "ls", "le")
+    val r = mk(120, "R").toDF("rid", "k", "rs", "re")
+    val got = Temporal.intervalOverlapJoin(l, r, "k",
+      "ls", "le", "rs", "re", binUs = 100L)
+      .select("lid", "rid").as[(String, String)].collect().toSeq
+    // exactly-once: no pair may be emitted twice despite shared bins
+    assert(got.size == got.distinct.size, "duplicate pairs emitted")
+    val naive = l.as[(String, Long, Long, Long)].collect().flatMap {
+      case (lid, lk, ls, le) =>
+        r.as[(String, Long, Long, Long)].collect().collect {
+          case (rid, rk, rs, re) if lk == rk && ls <= re && rs <= le =>
+            (lid, rid)
+        }
+    }.toSet
+    assert(got.toSet == naive, s"pair set drifted: " +
+      s"missing=${(naive -- got.toSet).take(5)} extra=${(got.toSet -- naive).take(5)}")
+    // and the plan is a hash equi-join on (key, bin), never nested-loop
+    val plan = Temporal.intervalOverlapJoin(l, r, "k",
+      "ls", "le", "rs", "re", binUs = 100L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan)
+  }
+
   test("every click either matches a purchase at-or-before it or is marked unmatched") {
     val sf = "/root/testdata/sf0.001"
     val out = SparkEntry.queries("j14_asof_join")(spark, sf)
