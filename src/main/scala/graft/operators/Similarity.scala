@@ -792,7 +792,7 @@ object Similarity {
       (s, d) => {
         val emb = T.embeddings(s, d)
         val unit = l2Normalized(emb).localCheckpoint()
-        val cents = pqTrain(unit).localCheckpoint()
+        val cents = pqTrain(unit, iters = 6).localCheckpoint()
         val codes = pqCodes(unit, cents)
         val q = unit.filter(col("vec_id") === QUERY_ID)
           .select("embedding").first().getSeq[Double](0)

@@ -268,6 +268,6 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet
     val recall = (exact intersect pq).size
     info(s"PQ recall@10 = $recall/10")
-    assert(recall >= 6, s"PQ recall@10 too low: exact=$exact pq=$pq")
+    assert(recall >= 7, s"PQ recall@10 too low: exact=$exact pq=$pq")
   }
 }
