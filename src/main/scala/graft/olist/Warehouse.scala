@@ -2359,20 +2359,22 @@ class Warehouse(spark: SparkSession, basePath: String,
   private def stateAt(name: String, v: Long)
       : (Seq[DataFile], Map[String, String]) = {
     val fs = metaFs
-    val versions = logVersions(name)
-    require(versions.contains(v),
+    require(versionExists(name, v),
       s"$name has no committed version $v (vacuumed, or never existed); " +
-        s"available: ${versions.mkString(", ")}")
-    val ckpt = versions.filter(_ <= v).reverse
-      .find(cv => fs.exists(manifestPath(name, cv)))
-      .getOrElse(throw new IllegalStateException(
-        s"$name: no checkpoint manifest at or below v$v — log corrupted " +
-          "(vacuum materializes a checkpoint at the retention floor)"))
+        s"available: ${logVersions(name).mkString(", ")}")
+    // versions are dense consecutive integers and every checkpointEvery-th
+    // one is a checkpoint, so the nearest checkpoint at or below v is a
+    // bounded backward probe — no directory listing on the read path
+    var ckpt = v
+    while (ckpt >= 1 && !fs.exists(manifestPath(name, ckpt))) ckpt -= 1
+    if (ckpt < 1) throw new IllegalStateException(
+      s"$name: no checkpoint manifest at or below v$v — log corrupted " +
+        "(vacuum materializes a checkpoint at the retention floor)")
     val (base, ckptMeta) = readManifestFile(manifestPath(name, ckpt))
     val state = scala.collection.mutable.LinkedHashMap(
       base.map(f => f.path -> f): _*)
     var meta = ckptMeta
-    versions.filter(x => x > ckpt && x <= v).foreach { dv =>
+    (ckpt + 1) to v foreach { dv =>
       val (adds, removes, dMeta) = readDeltaFile(deltaPath(name, dv))
       removes.foreach(state.remove)
       adds.foreach(f => state(f.path) = f)
@@ -2385,30 +2387,76 @@ class Warehouse(spark: SparkSession, basePath: String,
     (state.values.toSeq, meta)
   }
 
-  /** Memoized head snapshot per table: (version, files, meta). The
-    * directory listing (cheap, vacuum-bounded) is still consulted on
-    * every read, so an external writer's commit invalidates the cache
-    * naturally; only the manifest/delta re-READS are saved. */
+  /** Memoized head snapshot per table: (version, files, meta).
+    * Validation never trusts the cache blind: the log's versions are
+    * DENSE consecutive integers, so "is the cache current" is ONE
+    * existence probe of version+1 — an external writer's commit
+    * invalidates it naturally, at object-store point-read cost
+    * instead of a directory LIST per read. */
   private val snapshotCache = scala.collection.concurrent.TrieMap
     .empty[String, (Long, Seq[DataFile], Map[String, String])]
 
-  /** Latest committed (version, file list, metadata), if any. */
-  private def currentManifestFull(name: String)
-      : Option[(Long, Seq[DataFile], Map[String, String])] = {
-    val versions = logVersions(name)
-    if (versions.isEmpty) { snapshotCache.remove(name); None }
-    else {
-      val latest = versions.last
-      snapshotCache.get(name) match {
-        case Some(hit @ (v, _, _)) if v == latest => Some(hit)
-        case _ =>
-          val (files, meta) = stateAt(name, latest)
-          val entry = (latest, files, meta)
-          snapshotCache(name) = entry
-          Some(entry)
-      }
+  private def versionExists(name: String, v: Long): Boolean =
+    metaFs.exists(deltaPath(name, v)) || metaFs.exists(manifestPath(name, v))
+
+  /** Best-effort head hint (`_head` under the txn dir) written after
+    * every commit. A reader seeds its forward probe from it; a stale
+    * or missing hint only costs extra probes / a listing fallback,
+    * never a wrong answer — the probe always walks forward to the
+    * true head, and the head search never goes BACKWARD from a hint
+    * (a hint ahead of a vacuumed-then-recreated log falls back to the
+    * listing). */
+  private def headHintPath(name: String) =
+    new org.apache.hadoop.fs.Path(txnDir(name), "_head")
+
+  private def writeHeadHint(name: String, v: Long): Unit =
+    try {
+      val out = metaFs.create(headHintPath(name), true)
+      try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // hint only
+
+  /** The head version, or None for no table: seed from the cache or
+    * the hint, then probe forward while version+1 exists. Falls back
+    * to a full listing when no seed resolves to an existing version. */
+  private def headVersion(name: String): Option[Long] = {
+    val seed = snapshotCache.get(name).map(_._1).orElse {
+      try {
+        val p = headHintPath(name)
+        if (!metaFs.exists(p)) None
+        else {
+          val in = metaFs.open(p)
+          val s = try new String(in.readAllBytes(),
+            java.nio.charset.StandardCharsets.UTF_8).trim
+          finally in.close()
+          s.toLongOption
+        }
+      } catch { case scala.util.control.NonFatal(_) => None }
+    }.filter(v => v >= 1 && versionExists(name, v))
+    seed match {
+      case Some(v0) =>
+        var v = v0
+        while (versionExists(name, v + 1)) v += 1
+        Some(v)
+      case None => logVersions(name).lastOption
     }
   }
+
+  /** Latest committed (version, file list, metadata), if any. */
+  private def currentManifestFull(name: String)
+      : Option[(Long, Seq[DataFile], Map[String, String])] =
+    headVersion(name) match {
+      case None => snapshotCache.remove(name); None
+      case Some(latest) =>
+        snapshotCache.get(name) match {
+          case Some(hit @ (v, _, _)) if v == latest => Some(hit)
+          case _ =>
+            val (files, meta) = stateAt(name, latest)
+            val entry = (latest, files, meta)
+            snapshotCache(name) = entry
+            Some(entry)
+        }
+    }
 
   private def currentManifest(name: String): Option[(Long, Seq[DataFile])] =
     currentManifestFull(name).map { case (v, files, _) => (v, files) }
@@ -2479,6 +2527,7 @@ class Warehouse(spark: SparkSession, basePath: String,
       throw new IllegalStateException(
         s"commit conflict on $name v$version: concurrent writer detected")
     snapshotCache(name) = (version, files, meta)
+    writeHeadHint(name, version)
   }
 
   /** Writes `df` to a staging directory, then moves the data files into
