@@ -858,6 +858,24 @@ object Relational {
         .groupBy("word").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("word")).limit(20)),
 
+    // X2 — POSITIONAL explode (UNNEST WITH ORDINALITY): token + its
+    // 1-based position — the ordinality-preserving UDTF shape every
+    // sequence pipeline needs (n-gram positions, chunk offsets).
+    // Spark's posexplode is 0-based; +1 aligns with SQL ordinality.
+    Q("x2_posexplode",
+      Some("""SELECT p_partkey,
+             |  generate_subscripts(string_split(p_name, ' '), 1) AS pos,
+             |  unnest(string_split(p_name, ' ')) AS word
+             |FROM part WHERE p_partkey <= 50
+             |ORDER BY p_partkey, pos""".stripMargin),
+      (s, d) => T.part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          posexplode(split(col("p_name"), " ")).as(Seq("pos0", "word")))
+        .select(col("p_partkey"), (col("pos0") + 1).cast("long").as("pos"),
+          col("word"))
+        .orderBy("p_partkey", "pos")),
+
     // W7 — RANGE-interval window frame: per-customer trailing-30-day
     // spend, framed by VALUE (microseconds of order date), not row
     // count — same-instant peers aggregate identically in any engine.

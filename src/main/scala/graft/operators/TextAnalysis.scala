@@ -335,6 +335,27 @@ object TextAnalysis {
           .agg(round(-sum((col("n") / col("t")) * log(col("n") / col("t"))), 6)
             .as("char_entropy"))
           .orderBy("doc_id")
+      }),
+
+    // T12 — type-token ratio: distinct tokens / tokens, the classic
+    // lexical-diversity quality signal (low TTR = repetitive/generated
+    // boilerplate; complements t8's bigram repetition). Pure per-row
+    // array arithmetic — map-side only, no shuffle beyond the sort.
+    Q("t12_type_token",
+      Some("""SELECT doc_id,
+             |  cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+             |  cast(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) as bigint) AS n_types,
+             |  round(cast(len(list_distinct(regexp_split_to_array(trim(text), '\s+'))) as double)
+             |    / len(regexp_split_to_array(trim(text), '\s+')), 6) AS ttr
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val toks = tokens(col("text"))
+        val nTok = size(toks).cast("long")
+        val nTyp = size(array_distinct(toks)).cast("long")
+        T.documents(s, d).select(col("doc_id"),
+          nTok.as("n_tokens"), nTyp.as("n_types"),
+          round(nTyp.cast("double") / nTok, 6).as("ttr"))
+          .orderBy("doc_id")
       })
   )
 }
