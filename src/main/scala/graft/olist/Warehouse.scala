@@ -1330,6 +1330,73 @@ class Warehouse(spark: SparkSession, basePath: String,
     }
   }
 
+  /** Partition-scoped OPTIMIZE: compacts ONLY the partitions matching
+    * `partitionPredicate`, leaving every other file untouched
+    * byte-for-byte. THE compaction shape at 100 TB — yesterday's
+    * streaming partition accumulates small files while the other
+    * thousand partitions are already compact, and a full-table
+    * [[compact]] would rewrite all of them.
+    *
+    * The predicate may reference ONLY partition columns (it resolves
+    * against a frame holding exactly those — anything else fails
+    * loudly before any I/O; a data-column predicate here would DROP
+    * the non-matching rows of rewritten partitions). Matching files
+    * are found by parsing the k=v partition segments out of the
+    * manifest paths — no file footer is opened to decide; only the
+    * matched partitions' rows are read and rewritten. */
+  def compactWhere(name: String, partitionPredicate: org.apache.spark.sql.Column,
+      filesPerPartition: Int = 1): Warehouse.CompactResult = {
+    require(database.isEmpty, "compactWhere applies to path-mode tables only")
+    val parts = partitionColsOf(name)
+    require(parts.nonEmpty,
+      s"compactWhere: $name is not partitioned (use compact)")
+    val n = math.max(filesPerPartition, 1)
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"compactWhere: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      val rows: Seq[org.apache.spark.sql.Row] = files.map { f =>
+        val kv = f.path.split("/").dropRight(1).flatMap { seg =>
+          val i = seg.indexOf('=')
+          if (i <= 0) None
+          else Some(seg.substring(0, i) ->
+            java.net.URLDecoder.decode(seg.substring(i + 1), "UTF-8"))
+        }.toMap
+        org.apache.spark.sql.Row.fromSeq(f.path +: parts.map(p =>
+          kv.get(p).filterNot(_ == "__HIVE_DEFAULT_PARTITION__").orNull))
+      }
+      import scala.jdk.CollectionConverters._
+      val partSchema = org.apache.spark.sql.types.StructType(
+        org.apache.spark.sql.types.StructField("__path",
+          org.apache.spark.sql.types.StringType) +:
+          parts.map(p => org.apache.spark.sql.types.StructField(p,
+            org.apache.spark.sql.types.StringType)))
+      // cast the parsed strings to the DECLARED partition types, then
+      // resolve the predicate against ONLY these columns — a predicate
+      // naming a data column fails analysis here, loudly and early
+      val typed = spark.createDataFrame(rows.asJava, partSchema)
+        .select(col("__path") +: parts.map(p =>
+          col(p).cast(sc(p).dataType).as(p)): _*)
+      val matched = typed.filter(partitionPredicate)
+        .select("__path").collect().map(_.getString(0)).toSet
+      if (matched.isEmpty) Warehouse.CompactResult(0, 0, files.size)
+      else {
+        val snapshot = fromFiles(name, matched.toSeq, sc)
+        val shaped =
+          if (n == 1) snapshot.repartition(parts.map(col): _*)
+          else snapshot.repartition((parts.map(col) :+
+            pmod(hash(snapshot.columns.map(col): _*), lit(n))): _*)
+        val rewritten = stageWrite(name, clustered(name, shaped, parts), parts)
+        val untouched = files.filterNot(f => matched.contains(f.path))
+        commitManifest(name, untouched ++ rewritten, op = "compact")
+        Warehouse.CompactResult(matched.size, rewritten.size, untouched.size)
+      }
+    }
+  }
+
   /** Reclaims data files no longer referenced by the CURRENT manifest
     * (superseded by save/overwritePartitions/compact) plus superseded
     * manifest versions. Caller contract: run only after in-flight
@@ -2933,6 +3000,9 @@ object Warehouse {
     * dropped whole (every row matched — zero rewrite I/O), files
     * rewritten without their matching rows, files untouched
     * (byte-identical in the new snapshot). */
+  final case class CompactResult(filesCompacted: Int, filesWritten: Int,
+    filesUntouched: Int)
+
   final case class DeleteResult(rowsDeleted: Long, filesDropped: Int,
       filesRewritten: Int, filesUntouched: Int)
 

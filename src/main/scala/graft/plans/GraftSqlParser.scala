@@ -75,7 +75,7 @@ object GraftSqlParser {
     ("""(?is)^\s*VACUUM\s+([\w]+)(?:\s+RETAIN\s+(\d+)\s+VERSIONS)?""" +
       """(?:\s+GRACE\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val Optimize =
-    """(?is)^\s*OPTIMIZE\s+([\w]+)\s*;?\s*$""".r
+    """(?is)^\s*OPTIMIZE\s+([\w]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
   private val Clone =
@@ -190,10 +190,16 @@ object GraftSqlParser {
             Seq(Row("OK"))
           }
         }
-      case Optimize(table) =>
+      case Optimize(table, where) =>
         boundTable(session, table).map { wh =>
-          cmd(session, attrs("status" -> StringType)) { _ =>
-            wh.compact(table); Seq(Row("OK"))
+          cmd(session, attrs("status" -> StringType,
+            "files_compacted" -> LongType)) { _ =>
+            if (where == null) { wh.compact(table); Seq(Row("OK", -1L)) }
+            else {
+              // partition-scoped OPTIMIZE: rewrite only matching partitions
+              val r = wh.compactWhere(table, expr(where))
+              Seq(Row("OK", r.filesCompacted.toLong))
+            }
           }
         }
       case History(table) =>

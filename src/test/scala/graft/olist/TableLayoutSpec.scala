@@ -782,6 +782,39 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 1007)
   }
 
+  test("compactWhere: only matching partitions rewritten, others byte-identical") {
+    import spark.implicits._
+    val dir = tmp("wh_cw")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", Seq((0L, 2020)).toDF("k", "year").repartition(col("year")),
+      partitionBy = Seq("year"))
+    (1L to 4L).foreach(i => wh.append("t", Seq((i, 2020)).toDF("k", "year")))
+    (10L to 11L).foreach(i => wh.append("t", Seq((i, 2021)).toDF("k", "year")))
+    def filesOf(year: Int): Set[String] = wh.table("t")
+      .filter(col("year") === year).select(input_file_name())
+      .as[String].distinct().collect().toSet
+    assert(filesOf(2020).size == 5 && filesOf(2021).size == 2)
+    val before2021 = filesOf(2021)
+    val res = wh.compactWhere("t", col("year") === 2020)
+    assert(res.filesCompacted == 5 && res.filesWritten == 1, res)
+    // 2020 collapsed to one file; 2021's files are the SAME paths
+    assert(filesOf(2020).size == 1)
+    assert(filesOf(2021) == before2021, "untouched partition was rewritten")
+    assert(wh.table("t").select("k").as[Long].collect().toSet ==
+      (0L to 4L).toSet ++ Set(10L, 11L))
+    // a predicate naming a DATA column refuses before any I/O
+    intercept[org.apache.spark.sql.AnalysisException](
+      wh.compactWhere("t", col("k") > 0))
+    // no-match predicate commits nothing
+    val v = wh.tableVersions("t").last
+    assert(wh.compactWhere("t", col("year") === 1999).filesCompacted == 0)
+    assert(wh.tableVersions("t").last == v)
+    // SQL surface drives the same path
+    val row = spark.sql("OPTIMIZE t WHERE year = 2021").collect()(0)
+    assert(row.getAs[Long]("files_compacted") == 2L)
+    assert(filesOf(2021).size == 1)
+  }
+
   test("schema evolution: rename -> append -> time-travel; drop tombstones") {
     import spark.implicits._
     val dir = tmp("wh_coln")
