@@ -501,6 +501,65 @@ class Warehouse(spark: SparkSession, basePath: String,
     read(name).createOrReplaceTempView(s"dw_$name")
   }
 
+  /** Lossless numeric widenings the parquet vectorized reader promotes
+    * on the fly (Spark 4 type-widening support) — old narrow files stay
+    * readable under the widened schema with zero rewrite. */
+  private def canWiden(from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    (from, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+  }
+
+  /** WIDEN a column's type (int→long, float→double, …), metadata-only:
+    * the committed schema changes, old files keep their narrow
+    * physical type and the reader promotes per batch — no rewrite at
+    * any size. Version-pinned like rename: tableAt of an older version
+    * reads with the narrow type it was committed under. Refused for
+    * layout-bearing columns — bloom sketches hash the EXACT physical
+    * type (an int's and a long's digests differ, so widened probes
+    * would wrongly skip files), and partition/cluster metadata is
+    * keyed by the declared type. ORC lacks the reader-side promotion,
+    * so only parquet/csv/json tables widen. */
+  def widenColumn(name: String, colName: String,
+      to: org.apache.spark.sql.types.DataType): Unit = {
+    require(database.isEmpty, "widenColumn applies to path-mode tables only")
+    require(format != "orc",
+      "widenColumn: the ORC reader does not promote types on read")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"widenColumn: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      require(sc.fieldNames.contains(colName),
+        s"widenColumn: no column $colName in ${sc.fieldNames.mkString(", ")}")
+      val f = sc(colName)
+      require(canWiden(f.dataType, to),
+        s"widenColumn: ${f.dataType} -> $to is not a lossless widening " +
+          "(supported: byte/short/int -> wider integral, float -> double)")
+      require(!partitionColsOf(name).contains(colName) &&
+        !clusterColsOf(name).contains(colName) &&
+        !bloomColsOf(name).contains(colName),
+        s"widenColumn: $colName is a layout column of $name " +
+          "(partition/cluster/bloom metadata is keyed by the declared type)")
+      val newSchema = org.apache.spark.sql.types.StructType(
+        sc.map(x => if (x.name == colName) x.copy(dataType = to) else x))
+      commitManifest(name, files, Map(SchemaMeta -> newSchema.json),
+        op = "widen-column")
+      schemas(name) = newSchema
+      writeMeta(name, partitionColsOf(name), newSchema, clusterColsOf(name),
+        clusterKindOf(name), bloomColsOf(name))
+    }
+    read(name).createOrReplaceTempView(s"dw_$name")
+  }
+
   /** Shared rename/drop refusals: layout-bearing columns (partition
     * directories, per-file stats, bloom sketches are all keyed by
     * name) and columns referenced by CHECK expressions. */
@@ -700,9 +759,17 @@ class Warehouse(spark: SparkSession, basePath: String,
     if (current.isEmpty || current == df.schema) (df, None)
     else {
       val curByName = current.map(f => f.name -> f).toMap
+      val dByName = df.schema.map(f => f.name -> f).toMap
       df.schema.foreach { f =>
         curByName.get(f.name).foreach { cf =>
-          require(cf.dataType == f.dataType,
+          // equal, or a lossless widening in EITHER direction: a
+          // narrower delta upcasts into the table's type; a WIDER
+          // delta widens the table schema (append-only, like
+          // add-column). ORC lacks reader-side promotion, so only
+          // non-orc tables widen.
+          require(cf.dataType == f.dataType ||
+            canWiden(f.dataType, cf.dataType) ||
+            (allowWiden && format != "orc" && canWiden(cf.dataType, f.dataType)),
             s"delta for $name cannot retype column ${f.name}: " +
               s"${cf.dataType} -> ${f.dataType}")
         }
@@ -729,10 +796,31 @@ class Warehouse(spark: SparkSession, basePath: String,
             "data still present in old files — pick another name or " +
             "rewrite the table (save)")
       }
+      // target schema: current columns (types widened where the delta
+      // is wider) ++ added columns; deltas upcast into it
+      val retargeted = current.map { cf =>
+        dByName.get(cf.name) match {
+          case Some(f) if allowWiden && canWiden(cf.dataType, f.dataType) =>
+            cf.copy(dataType = f.dataType)
+          case _ => cf
+        }
+      }
+      val widenedCols = retargeted.zip(current).collect {
+        case (r, c) if r.dataType != c.dataType => r.name }
+      if (widenedCols.nonEmpty) {
+        val layout = (partitionColsOf(name) ++ clusterColsOf(name) ++
+          bloomColsOf(name)).toSet
+        val bad = widenedCols.filter(layout.contains)
+        require(bad.isEmpty,
+          s"delta for $name widens layout column(s) ${bad.mkString(", ")} — " +
+            "partition/cluster/bloom metadata is keyed by the declared type")
+      }
+      val target = org.apache.spark.sql.types.StructType(retargeted ++ added)
       val widened =
-        if (added.isEmpty) None
-        else Some(org.apache.spark.sql.types.StructType(current ++ added))
-      (df.select(widened.getOrElse(current).map(f => col(f.name)): _*), widened)
+        if (added.isEmpty && retargeted == current.toSeq) None
+        else Some(target)
+      (df.select(target.map(f =>
+        col(f.name).cast(f.dataType).as(f.name)): _*), widened)
     }
   }
 

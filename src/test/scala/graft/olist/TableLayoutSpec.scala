@@ -858,6 +858,45 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").columns.toSeq == Seq("k", "tag2"))
   }
 
+  test("schema evolution: type widening is metadata-only, old files promote on read") {
+    import org.apache.spark.sql.types._
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_widen"))
+    wh.save("t", Seq((1, 1.5f), (2, 2.5f)).toDF("k", "v"))   // v1: int, float
+    // explicit widen: no rewrite, just a schema commit
+    wh.widenColumn("t", "k", LongType)                        // v2
+    wh.widenColumn("t", "v", DoubleType)                      // v3
+    assert(wh.table("t").schema("k").dataType == LongType)
+    assert(wh.table("t").schema("v").dataType == DoubleType)
+    // old narrow files read fine under the widened schema
+    assert(wh.table("t").select("k").as[Long].collect().toSet == Set(1L, 2L))
+    // a delta wider than the PRE-widen type now fits
+    wh.append("t", Seq((5000000000L, 9.25)).toDF("k", "v"))   // v4
+    // a NARROW delta upcasts into the widened schema
+    wh.append("t", Seq((7, 0.5f)).toDF("k", "v"))             // v5
+    assert(wh.table("t").select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 5000000000L, 7L))
+    // time travel is version-pinned: v1 still reads with the narrow types
+    assert(wh.tableAt("t", 1).schema("k").dataType == IntegerType)
+    assert(wh.tableAt("t", 1).count() == 2)
+    // append-driven widening: a wider delta widens the schema by itself
+    val wh2 = new Warehouse(spark, tmp("wh_widen2"))
+    wh2.save("u", Seq((1, 10L)).toDF("a", "b"))
+    wh2.append("u", Seq((5000000000L, 20L)).toDF("a", "b"))
+    assert(wh2.table("u").schema("a").dataType == LongType)
+    assert(wh2.table("u").select("a").as[Long].collect().toSet ==
+      Set(1L, 5000000000L))
+    // refusals: lossy retype, layout column, non-numeric
+    intercept[IllegalArgumentException](
+      wh.widenColumn("t", "k", IntegerType)) // narrowing
+    val wh3 = new Warehouse(spark, tmp("wh_widen3"))
+    wh3.save("c", Seq((1, 2)).toDF("k", "v"), clusterBy = Seq("k"))
+    intercept[IllegalArgumentException](
+      wh3.widenColumn("c", "k", LongType))   // cluster col
+    intercept[IllegalArgumentException](     // widened delta on a cluster col
+      wh3.append("c", Seq((5000000000L, 3)).toDF("k", "v")))
+  }
+
   test("schema evolution refusals: layout and check columns keep their names") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("wh_colref"))
