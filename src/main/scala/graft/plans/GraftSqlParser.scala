@@ -99,6 +99,9 @@ object GraftSqlParser {
       """\s+TO\s+([\w]+)\s*;?\s*$""").r
   private val DropCol =
     """(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+DROP\s+COLUMN\s+([\w]+)\s*;?\s*$""".r
+  private val WidenCol =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+ALTER\s+COLUMN\s+([\w]+)""" +
+      """\s+TYPE\s+([\w]+)\s*;?\s*$""").r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -245,6 +248,13 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.dropColumn(table, colName); Seq(Row("OK"))
+          }
+        }
+      case WidenCol(table, colName, typeName) =>
+        boundTable(session, table).map { wh =>
+          val dt = session.sessionState.sqlParser.parseDataType(typeName)
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.widenColumn(table, colName, dt); Seq(Row("OK"))
           }
         }
       case Merge(table, source, on) =>

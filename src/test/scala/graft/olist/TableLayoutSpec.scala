@@ -880,10 +880,14 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.tableAt("t", 1).schema("k").dataType == IntegerType)
     assert(wh.tableAt("t", 1).count() == 2)
     // append-driven widening: a wider delta widens the schema by itself
-    val wh2 = new Warehouse(spark, tmp("wh_widen2"))
+    val wh2 = new Warehouse(spark, tmp("wh_widen2")).enableSql()
     wh2.save("u", Seq((1, 10L)).toDF("a", "b"))
     wh2.append("u", Seq((5000000000L, 20L)).toDF("a", "b"))
     assert(wh2.table("u").schema("a").dataType == LongType)
+    // SQL surface widens too
+    wh2.save("w", Seq((1, 2.5f)).toDF("a", "b"))
+    spark.sql("ALTER TABLE w ALTER COLUMN b TYPE DOUBLE")
+    assert(wh2.table("w").schema("b").dataType == DoubleType)
     assert(wh2.table("u").select("a").as[Long].collect().toSet ==
       Set(1L, 5000000000L))
     // refusals: lossy retype, layout column, non-numeric
