@@ -1759,15 +1759,17 @@ class Warehouse(spark: SparkSession, basePath: String,
     * exactly-once table-to-table pipeline. `startingVersion` is
     * exclusive: 0 replays the full append history as the first batch;
     * pass the current head for changes-from-now. */
-  def readChangeStream(name: String, startingVersion: Long = 0L): DataFrame = {
+  def readChangeStream(name: String, startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
     require(database.isEmpty, "readChangeStream applies to path-mode tables only")
-    spark.readStream
+    val r = spark.readStream
       .format(classOf[graft.streaming.ChangeFeedProvider].getName)
       .option("path", basePath)
       .option("table", name)
       .option("format", format)
       .option("startingVersion", startingVersion.toString)
-      .load()
+    maxVersionsPerTrigger.foldLeft(r)((acc, m) =>
+      acc.option("maxVersionsPerTrigger", m.toString)).load()
   }
 
   /** ROW-level streaming change feed (`mode = rows` of the same
@@ -1777,17 +1779,19 @@ class Warehouse(spark: SparkSession, basePath: String,
     * downstream CDC-apply sees every row change continuously, not just
     * appends. Only unrecorded rewrites (overwrite-partitions, restore,
     * save-over) refuse the stream. */
-  def readRowChangeStream(name: String, startingVersion: Long = 0L): DataFrame = {
+  def readRowChangeStream(name: String, startingVersion: Long = 0L,
+      maxVersionsPerTrigger: Option[Long] = None): DataFrame = {
     require(database.isEmpty,
       "readRowChangeStream applies to path-mode tables only")
-    spark.readStream
+    val r = spark.readStream
       .format(classOf[graft.streaming.ChangeFeedProvider].getName)
       .option("path", basePath)
       .option("table", name)
       .option("format", format)
       .option("mode", "rows")
       .option("startingVersion", startingVersion.toString)
-      .load()
+    maxVersionsPerTrigger.foldLeft(r)((acc, m) =>
+      acc.option("maxVersionsPerTrigger", m.toString)).load()
   }
 
   private val MvBaseMeta = "mv.sourceTable"

@@ -29,7 +29,8 @@ import org.apache.spark.sql.types.StructType
   */
 class ChangeFeedSource(wh: Warehouse, table: String,
     startingVersion: Long, tableSchema: StructType,
-    rows: Boolean = false) extends Source {
+    rows: Boolean = false,
+    maxVersionsPerTrigger: Option[Long] = None) extends Source {
 
   override def schema: StructType = tableSchema
 
@@ -39,16 +40,36 @@ class ChangeFeedSource(wh: Warehouse, table: String,
     case other => other.json.trim.toLong
   }
 
+  /** Last offset this source has published — the rate-limit cursor.
+    * Spark's planner calls getOffset before committing the previous
+    * batch, so the cap must advance from what WE last offered, not
+    * from the engine's committed offset (which trails by one batch). */
+  @volatile private var lastOffered: Long = startingVersion
+
   override def getOffset: Option[Offset] = {
     val head = wh.tableVersions(table).lastOption.getOrElse(0L)
-    if (head <= startingVersion) None else Some(LongOffset(head))
+    // backfill rate limit: a fresh subscriber of a long history gets
+    // maxVersionsPerTrigger commits per micro-batch instead of the
+    // whole log in one giant batch — the streaming-source admission
+    // control every production CDC source ships
+    val capped = maxVersionsPerTrigger match {
+      case Some(m) => math.min(head, math.max(lastOffered, startingVersion) + m)
+      case None => head
+    }
+    if (capped <= startingVersion) None
+    else { lastOffered = capped; Some(LongOffset(capped)) }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(versionOf).getOrElse(startingVersion)
+    val to = versionOf(end)
+    // restart recovery replays the last uncommitted window via
+    // getBatch before any getOffset call — advance the rate-limit
+    // cursor so the next offer never moves backward past it
+    if (to > lastOffered) lastOffered = to
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
-      if (rows) wh.tableChangesRows(table, from, versionOf(end))
-      else wh.tableChanges(table, from, versionOf(end)))
+      if (rows) wh.tableChangesRows(table, from, to)
+      else wh.tableChanges(table, from, to))
   }
 
   override def stop(): Unit = ()
@@ -67,13 +88,22 @@ class ChangeFeedSource(wh: Warehouse, table: String,
   *    pre/post images of deletes, updates, and merges stream through
   *    with a `_change_type` column, and only unrecorded rewrites
   *    (overwrite/restore/save-over) refuse. The full CDC read half.
+  *  - `maxVersionsPerTrigger` (default unlimited): backfill admission
+  *    control — at most this many commits per micro-batch, so a fresh
+  *    subscriber of a long history drains it in bounded batches
+  *    instead of one giant initial batch. Use a RUNNING trigger
+  *    (ProcessingTime) to drain a backlog under this cap:
+  *    `Trigger.AvailableNow` takes its end target from the first
+  *    offer, so it stops after one capped batch (the v1 Source API
+  *    has no admission-control handshake).
   */
 class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
 
   override def shortName(): String = "graft-changes"
 
   private def resolve(sqlContext: SQLContext,
-      parameters: Map[String, String]): (Warehouse, String, Long, Boolean) = {
+      parameters: Map[String, String])
+      : (Warehouse, String, Long, Boolean, Option[Long]) = {
     val base = parameters.getOrElse("path", throw new IllegalArgumentException(
       "graft-changes needs option 'path' (the warehouse basePath)"))
     val table = parameters.getOrElse("table", throw new IllegalArgumentException(
@@ -90,7 +120,12 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       case other => throw new IllegalArgumentException(
         s"graft-changes: unknown mode '$other' (files | rows)")
     }
-    (wh, table, start, rows)
+    val maxPerTrigger = parameters.get("maxVersionsPerTrigger").map { m =>
+      val v = m.toLong
+      require(v >= 1, s"graft-changes: maxVersionsPerTrigger must be >= 1, got $v")
+      v
+    }
+    (wh, table, start, rows, maxPerTrigger)
   }
 
   private def feedSchema(wh: Warehouse, table: String,
@@ -107,15 +142,15 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
   override def sourceSchema(sqlContext: SQLContext,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val (wh, table, _, rows) = resolve(sqlContext, parameters)
+    val (wh, table, _, rows, _) = resolve(sqlContext, parameters)
     (shortName(), feedSchema(wh, table, schema, rows))
   }
 
   override def createSource(sqlContext: SQLContext, metadataPath: String,
       schema: Option[StructType], providerName: String,
       parameters: Map[String, String]): Source = {
-    val (wh, table, start, rows) = resolve(sqlContext, parameters)
+    val (wh, table, start, rows, maxPerTrigger) = resolve(sqlContext, parameters)
     new ChangeFeedSource(wh, table, start,
-      feedSchema(wh, table, schema, rows), rows)
+      feedSchema(wh, table, schema, rows), rows, maxPerTrigger)
   }
 }
