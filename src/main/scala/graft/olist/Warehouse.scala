@@ -2016,6 +2016,83 @@ class Warehouse(spark: SparkSession, basePath: String,
       colMapOpt = Some(colMapOf(vMeta)))
   }
 
+  /** Commit metadata of ONE version — its own record's `#` block
+    * (delta preferred: the true commit record; a lazy floor checkpoint
+    * copies it verbatim). */
+  private def metaOfVersion(name: String,
+      v: Long): Map[String, String] = {
+    if (metaFs.exists(deltaPath(name, v))) readDeltaFile(deltaPath(name, v))._3
+    else readManifestFile(manifestPath(name, v))._2
+  }
+
+  /** Time travel by TIMESTAMP: the table as of the LATEST commit at or
+    * before `ts` (every commit stamps its wall-clock instant in the
+    * record). The Delta-style `TIMESTAMP AS OF` resolution: versions
+    * after `ts` exist but are not visible; a `ts` before the first
+    * commit refuses. */
+  def tableAtTime(name: String, ts: java.time.Instant): DataFrame = {
+    require(database.isEmpty, "tableAtTime applies to path-mode tables only")
+    val versions = tableVersions(name)
+    require(versions.nonEmpty, s"tableAtTime: $name has no committed snapshot")
+    val at = versions.reverse.find { v =>
+      metaOfVersion(name, v).get(TimeMeta)
+        .flatMap(s => scala.util.Try(java.time.Instant.parse(s)).toOption)
+        .exists(!_.isAfter(ts))
+    }.getOrElse(throw new IllegalArgumentException(
+      s"tableAtTime: $name has no version committed at or before $ts " +
+        s"(earliest: ${metaOfVersion(name, versions.head).getOrElse(TimeMeta, "?")})"))
+    tableAt(name, at)
+  }
+
+  /** What [[vacuum]] would delete, without deleting it: the
+    * table-dir-relative data files outside every kept snapshot (and
+    * past the grace window) plus the log records below the retention
+    * floor. The safety review before a destructive sweep. */
+  def vacuumPreview(name: String, graceMs: Long = 0L,
+      keepVersions: Int = 1): Seq[String] = {
+    require(database.isEmpty, "vacuumPreview applies to path-mode tables only")
+    require(keepVersions >= 1, "vacuum must keep at least the current version")
+    val fs = metaFs
+    currentManifest(name) match {
+      case None => Nil
+      case Some(_) =>
+        val versions = tableVersions(name)
+        val kept = versions.takeRight(keepVersions)
+        val cloneKeep: Set[String] = currentManifestFull(name)
+          .flatMap(_._3.get(ClonesMeta)).toSeq
+          .flatMap(_.split(",").filter(_.nonEmpty))
+          .flatMap { c =>
+            tableVersions(c).flatMap { cv => stateAt(c, cv)._1.map(_.path) }
+          }
+          .collect { case pth if pth.startsWith(s"../$name/") =>
+            pth.stripPrefix(s"../$name/") }
+          .toSet
+        val keep = kept.flatMap { kv =>
+          stateAt(name, kv)._1.map(_.path)
+        }.toSet ++ cloneKeep
+        val cutoff = System.currentTimeMillis - graceMs
+        val root = qualifiedPath(s"$basePath/$name")
+        val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
+        if (fs.exists(root)) {
+          val it = fs.listFiles(root, true)
+          while (it.hasNext) {
+            val st = it.next()
+            val f = st.getPath
+            val rel = relativeTo(root, f)
+            if (!keep.contains(rel) && !f.getName.startsWith("_") &&
+              !f.getName.startsWith(".") &&
+              (graceMs <= 0 || st.getModificationTime < cutoff)) doomed += rel
+          }
+        }
+        val floor = kept.head
+        val records = versions.filter(_ < floor).flatMap { v =>
+          Seq(deltaPath(name, v), manifestPath(name, v))
+            .filter(fs.exists).map(p => s"_graft_meta/txn/$name/${p.getName}")
+        }
+        (doomed.toSeq ++ records).sorted
+    }
+  }
+
   /** Rolls a table back to an earlier committed version by publishing
     * that version's file list (and the schema it was committed under)
     * as a NEW version — history stays linear and append-only, later

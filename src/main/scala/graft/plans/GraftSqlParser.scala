@@ -130,6 +130,14 @@ object GraftSqlParser {
 
   private val VersionAsOf =
     """(?i)\b([\w]+)\s+VERSION\s+AS\s+OF\s+(\d+)""".r
+  private val TimestampAsOf =
+    """(?i)\b([\w]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
+
+  private def parseInstant(s: String): java.time.Instant =
+    scala.util.Try(java.time.Instant.parse(s)).getOrElse(
+      java.sql.Timestamp.valueOf(
+        if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
+        else s + " 00:00:00").toInstant)
 
   /** Read-side time travel: rewrite every `table VERSION AS OF n`
     * reference bound to this session's warehouse into a temp view over
@@ -138,8 +146,8 @@ object GraftSqlParser {
     * stays side-effect-free on the data). Unbound names pass through
     * untouched, so catalog tables keep Spark's own AS OF semantics. */
   private[plans] def rewriteTimeTravel(session: SparkSession,
-      sqlText: String): String =
-    VersionAsOf.replaceAllIn(sqlText, m => {
+      sqlText: String): String = {
+    val byVersion = VersionAsOf.replaceAllIn(sqlText, m => {
       val (t, v) = (m.group(1), m.group(2).toLong)
       boundTable(session, t) match {
         case Some(wh) =>
@@ -149,6 +157,18 @@ object GraftSqlParser {
         case None => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
+    TimestampAsOf.replaceAllIn(byVersion, m => {
+      val t = m.group(1)
+      boundTable(session, t) match {
+        case Some(wh) =>
+          val ts = parseInstant(m.group(2))
+          val view = s"graft_tt_${t}_t${math.abs(ts.toEpochMilli)}"
+          wh.tableAtTime(t, ts).createOrReplaceTempView(view)
+          scala.util.matching.Regex.quoteReplacement(view)
+        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+      }
+    })
+  }
 
   /** Try to parse `sqlText` as a warehouse maintenance command bound
     * to this session's registered warehouse. None = delegate. */

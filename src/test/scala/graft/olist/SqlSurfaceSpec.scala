@@ -81,6 +81,40 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](
       spark.sql("SELECT * FROM tt VERSION AS OF 99"))
     assert(e.getMessage.contains("no committed version"))
+    // TIMESTAMP AS OF: v1's commit instant resolves to v1; now → head
+    val t1 = java.time.Instant.parse(
+      wh.history("tt").head.committedAt)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM tt TIMESTAMP AS OF '$t1'")
+      .collect()(0).getLong(0) == 100)
+    assert(spark.sql(
+      s"SELECT count(*) AS c FROM tt TIMESTAMP AS OF '${java.time.Instant.now}'")
+      .collect()(0).getLong(0) == 90)
+    // a timestamp before the first commit refuses
+    val e2 = intercept[IllegalArgumentException](
+      spark.sql("SELECT * FROM tt TIMESTAMP AS OF '2000-01-01'"))
+    assert(e2.getMessage.contains("at or before"))
+  }
+
+  test("vacuumPreview lists exactly what vacuum then deletes") {
+    val dir = tmp("wh_vprev")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", spark.range(100).toDF("k").coalesce(2))  // v1: 2 files
+    wh.save("t", spark.range(50).toDF("k").coalesce(1))   // v2: replace
+    val preview = wh.vacuumPreview("t", graceMs = 0L, keepVersions = 1)
+    // v1's two data files + v1's log record are doomed
+    assert(preview.count(_.endsWith(".parquet")) == 2, preview.toString)
+    assert(preview.exists(_.contains("v1.manifest")), preview.toString)
+    // preview is read-only: everything still present, v1 still readable
+    assert(wh.tableAt("t", 1).count() == 100)
+    // the real vacuum deletes exactly the previewed data files
+    wh.vacuum("t", 0L, 1)
+    val root = new java.io.File(s"$dir/t")
+    val left = Option(root.listFiles).getOrElse(Array.empty)
+      .filter(f => f.isFile && !f.getName.startsWith(".")).map(_.getName).toSet
+    preview.filter(_.endsWith(".parquet")).foreach(p =>
+      assert(!left.contains(p), s"$p survived vacuum"))
+    assert(wh.table("t").count() == 50)
   }
 
   test("MERGE INTO ... UPDATE SET * / INSERT * upserts through the warehouse") {
