@@ -1988,9 +1988,13 @@ class Warehouse(spark: SparkSession, basePath: String,
   def history(name: String): Seq[Warehouse.Commit] = {
     require(database.isEmpty, "history applies to path-mode tables only")
     tableVersions(name).map { v =>
-      val (files, meta) = stateAt(name, v)
+      // one meta-block read per version; replay only for pre-FilesMeta
+      // records (older logs)
+      val meta = metaOfVersion(name, v)
+      val nFiles = meta.get(FilesMeta).flatMap(_.toIntOption)
+        .getOrElse(stateAt(name, v)._1.size)
       Warehouse.Commit(v, meta.getOrElse(OpMeta, "unknown"),
-        meta.getOrElse(TimeMeta, ""), files.size)
+        meta.getOrElse(TimeMeta, ""), nFiles)
     }
   }
 
@@ -2406,6 +2410,9 @@ class Warehouse(spark: SparkSession, basePath: String,
   private val BloomMeta = "bloom"
   private val OpMeta = "op"
   private val TimeMeta = "committedAt"
+  /** Snapshot file count stamped into every record so history() reads
+    * one meta block per version instead of replaying each snapshot. */
+  private val FilesMeta = "files"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
   /** Column mapping (logical name → physical parquet name) for renamed
@@ -2743,7 +2750,8 @@ class Warehouse(spark: SparkSession, basePath: String,
     // + timestamp overwrite per commit, so each version's record
     // names what created IT (the audit trail history() reads)
     val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
-      Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString)
+      Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString,
+        FilesMeta -> files.size.toString)
     val isCheckpoint = version == 1L || version % checkpointEvery == 0L
     val (dst, body) =
       if (isCheckpoint)

@@ -782,6 +782,21 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 1007)
   }
 
+  test("head cache: a second instance's commit is visible to the first immediately") {
+    import spark.implicits._
+    val dir = tmp("wh_xvis")
+    val wh1 = new Warehouse(spark, dir)
+    val wh2 = new Warehouse(spark, dir)
+    wh1.save("t", Seq(1L, 2L).toDF("k").coalesce(1))
+    assert(wh1.table("t").count() == 2) // wh1 caches head v1
+    wh2.append("t", Seq(3L).toDF("k").coalesce(1)) // external commit v2
+    // wh1's next read must see v2 — the version+1 existence probe
+    // invalidates its cached head without any directory listing
+    assert(wh1.table("t").select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L))
+    assert(wh1.countRows("t").contains(3L))
+  }
+
   test("compactWhere: only matching partitions rewritten, others byte-identical") {
     import spark.implicits._
     val dir = tmp("wh_cw")
