@@ -356,6 +356,43 @@ object TextAnalysis {
           nTok.as("n_tokens"), nTyp.as("n_types"),
           round(nTyp.cast("double") / nTok, 6).as("ttr"))
           .orderBy("doc_id")
+      }),
+
+    // T13 — corpus character-bigram LM scoring: each document's mean
+    // log-probability of its OVERLAPPING char bigrams under the
+    // corpus-wide bigram distribution — the CCNet-style "score text by
+    // a cheap LM trained on the corpus itself" quality filter (low
+    // score = improbable character sequences: mojibake, binary spill,
+    // wrong-language text). Scale shape: the bigram vocabulary is
+    // bounded (charset²), so the model is one map-side-combined agg
+    // broadcast back — the corpus is scanned twice, shuffled never
+    // (beyond the bounded vocab agg). Exact integer counts; the same
+    // double ln(n/t) on both engines; round(6) absorbs summation-order
+    // ulp exactly as t11.
+    Q("t13_bigram_lm",
+      Some("""WITH bg AS (SELECT doc_id,
+             |  unnest(list_transform(range(1, length(text)),
+             |                        i -> substr(text, i, 2))) AS bg
+             |  FROM documents WHERE length(text) >= 2),
+             |c AS (SELECT bg, cast(count(*) AS BIGINT) AS n
+             |      FROM bg GROUP BY 1),
+             |t AS (SELECT cast(sum(n) AS DOUBLE) AS t FROM c)
+             |SELECT b.doc_id, round(avg(ln(c.n / t.t)), 6) AS lm_score
+             |FROM bg b JOIN c USING (bg), t
+             |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin),
+      (s, d) => {
+        val bg = T.documents(s, d)
+          .filter(length(col("text")) >= 2)
+          .select(col("doc_id"), explode(expr(
+            "transform(sequence(1, char_length(text) - 1), " +
+              "i -> substring(text, i, 2))")).as("bg"))
+        val counts = bg.groupBy("bg").agg(count(lit(1)).as("n"))
+        val tot = counts.agg(sum("n").cast("double").as("t"))
+        bg.join(broadcast(counts), "bg")
+          .crossJoin(broadcast(tot))
+          .groupBy("doc_id")
+          .agg(round(avg(log(col("n") / col("t"))), 6).as("lm_score"))
+          .orderBy("doc_id")
       })
   )
 }
