@@ -782,6 +782,38 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 1007)
   }
 
+  test("manifest log at depth: 60 commits, checkpoint cadence, vacuum, continue") {
+    import spark.implicits._
+    val dir = tmp("wh_deep")
+    val wh = new Warehouse(spark, dir, checkpointEvery = 16)
+    wh.save("t", Seq(1L).toDF("k").coalesce(1))                 // v1
+    (2L to 60L).foreach(i =>
+      wh.append("t", Seq(i).toDF("k").coalesce(1)))             // v2..v60
+    assert(wh.table("t").count() == 60)
+    assert(wh.countRows("t").contains(60L))
+    val txn = new java.io.File(s"$dir/_graft_meta/txn/t")
+    def names = txn.list.toSet
+    // checkpoints exactly on cadence: v1, v16, v32, v48; deltas elsewhere
+    assert(Seq(1, 16, 32, 48).forall(v => names.contains(s"v$v.manifest")))
+    assert((2 to 60).filterNot(Seq(16, 32, 48).contains(_))
+      .forall(v => !names.contains(s"v$v.manifest")), names.toString)
+    // any version replays exactly (checkpoint + bounded delta tail)
+    Seq(1L, 15L, 16L, 17L, 47L, 60L).foreach(v =>
+      assert(wh.tableAt("t", v).count() == v, s"v$v"))
+    // retention sweep: floor v56 (a delta) gains a materialized
+    // checkpoint; everything below dies; kept versions stay readable
+    wh.vacuum("t", 0L, keepVersions = 5)
+    assert(wh.tableVersions("t") == (56L to 60L))
+    assert(names.contains("v56.manifest"))
+    Seq(56L, 60L).foreach(v => assert(wh.tableAt("t", v).count() == v))
+    // and the log keeps appending + checkpointing past the sweep
+    (61L to 64L).foreach(i =>
+      wh.append("t", Seq(i).toDF("k").coalesce(1)))
+    assert(names.contains("v64.manifest")) // 64 = 4×16, on cadence
+    assert(wh.table("t").count() == 64)
+    assert(wh.history("t").size == 9)      // 56..64
+  }
+
   test("head cache: a second instance's commit is visible to the first immediately") {
     import spark.implicits._
     val dir = tmp("wh_xvis")
