@@ -90,6 +90,29 @@ class CloneSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { wh.cloneTable("src", "old") }
   }
 
+  test("clone carries the column mapping; both sides rename independently") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_clonecol"))
+    wh.save("s", Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1))
+    wh.renameColumn("s", "v", "w")          // physical name stays "v"
+    wh.cloneTable("s", "c")
+    // the clone shows the renamed logical name and reads the shared
+    // physical files through the carried mapping
+    assert(wh.table("c").columns.toSeq == Seq("k", "w"))
+    assert(wh.table("c").filter(col("w") === "a").count() == 1)
+    // clone-side rename diverges; the source keeps its name
+    wh.renameColumn("c", "w", "z")
+    assert(wh.table("c").columns.toSeq == Seq("k", "z"))
+    assert(wh.table("s").columns.toSeq == Seq("k", "w"))
+    // an append to the clone speaks "z", lands under the frozen
+    // physical name, and unions cleanly with the referenced files
+    wh.append("c", Seq((3L, "c3")).toDF("k", "z"))
+    assert(wh.table("c").select("k", "z").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c3")))
+    // source unaffected
+    assert(wh.table("s").count() == 2)
+  }
+
   test("dropTable refuses while clones reference it; clones drop freely") {
     import spark.implicits._
     val dir = tmp("wh_drop")
