@@ -69,6 +69,10 @@ object GraftSqlParser {
 
   private val Delete =
     """(?is)^\s*DELETE\s+FROM\s+([\w]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
+  // body = VALUES (...) or SELECT ... — anything the delegate can parse
+  // as a query; SQL INSERT maps columns POSITIONALLY to the table
+  private val Insert =
+    """(?is)^\s*INSERT\s+INTO\s+([\w]+)\s+((?:VALUES|SELECT)\b.+?)\s*;?\s*$""".r
   private val Update =
     """(?is)^\s*UPDATE\s+([\w]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
@@ -181,6 +185,25 @@ object GraftSqlParser {
             val r = wh.delete(table, expr(cond))
             Seq(Row(r.rowsDeleted, r.filesDropped.toLong,
               r.filesRewritten.toLong))
+          }
+        }
+      case Insert(table, body) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("rows_inserted" -> LongType)) { s =>
+            // the body re-parses as a plain query (VALUES or SELECT)
+            // at execution time — EXPLAIN of an INSERT stays
+            // side-effect-free like every other command here
+            val df = s.sql(body)
+            val target = wh.table(table).schema
+            require(df.schema.size == target.size,
+              s"INSERT INTO $table: ${df.schema.size} column(s) for " +
+                s"${target.size}-column table (${target.fieldNames.mkString(", ")})")
+            val positional = df.toDF(target.fieldNames.toIndexedSeq: _*)
+              .select(target.map(f =>
+                expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
+            val n = positional.count()
+            wh.append(table, positional)
+            Seq(Row(n))
           }
         }
       case Update(table, sets, cond) =>

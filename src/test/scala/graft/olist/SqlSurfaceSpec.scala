@@ -96,6 +96,34 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("at or before"))
   }
 
+  test("INSERT INTO ... VALUES / SELECT appends through the warehouse") {
+    import spark.implicits._
+    val dir = tmp("wh_sqlins")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("ti", Seq((1L, "a")).toDF("k", "v"))
+    // VALUES: positional, cast to the declared column types
+    val r = spark.sql("INSERT INTO ti VALUES (2, 'b'), (3, 'c')").collect()(0)
+    assert(r.getAs[Long]("rows_inserted") == 2L)
+    // INSERT ... SELECT from another bound table's view
+    wh.save("src2", Seq((10L, "x")).toDF("a", "b"))
+    spark.sql("INSERT INTO ti SELECT a, b FROM dw_src2")
+    assert(wh.table("ti").as[(Long, String)].collect().toSet ==
+      Set((1L, "a"), (2L, "b"), (3L, "c"), (10L, "x")))
+    // column-count mismatch refuses loudly
+    val e = intercept[Exception](
+      spark.sql("INSERT INTO ti VALUES (9)").collect())
+    assert(e.getMessage.contains("column"), e.getMessage)
+    // EXPLAIN of an INSERT inserts nothing
+    val before = wh.table("ti").count()
+    spark.sql("EXPLAIN INSERT INTO ti VALUES (99, 'z')").collect()
+    assert(wh.table("ti").count() == before)
+    // unbound tables keep Spark's own INSERT path (catalog table)
+    spark.sql("CREATE TABLE IF NOT EXISTS plain_ins(k INT) USING parquet")
+    spark.sql("INSERT INTO plain_ins VALUES (5)")
+    assert(spark.table("plain_ins").count() >= 1)
+    spark.sql("DROP TABLE plain_ins")
+  }
+
   test("vacuumPreview lists exactly what vacuum then deletes") {
     val dir = tmp("wh_vprev")
     val wh = new Warehouse(spark, dir)
