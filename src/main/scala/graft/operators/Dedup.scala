@@ -442,6 +442,42 @@ object Dedup {
             round(size(array_intersect(col("t1"), col("t2"))).cast("double") /
               size(array_union(col("t1"), col("t2"))), 6).as("jacc"))
           .orderBy("d1", "d2")
+      }),
+
+    // D12 — edit-distance scoring over sorted-neighborhood candidates:
+    // the string-metric tier of entity resolution (token Jaccard in d11
+    // misses transpositions and small in-word typos; Levenshtein sees
+    // them). Distance is computed on a fixed 40-char normalized key
+    // PREFIX, never the full document — edit distance is O(len²) per
+    // pair, so production ER always bounds the operand (sort key,
+    // title, canonical name). Candidate volume stays O(n) from the
+    // neighborhood adjacency; both engines' `levenshtein` is the
+    // character-level Wagner-Fischer distance, so the score itself is
+    // oracle-checked, not just the pairing.
+    Q("d12_edit_distance",
+      Some("""WITH t AS (
+             |  SELECT doc_id, source, lower(trim(text)) AS norm FROM documents),
+             |n AS (
+             |  SELECT doc_id AS d1, lead(doc_id) OVER w AS d2,
+             |         substr(norm, 1, 40) AS k1,
+             |         lead(substr(norm, 1, 40)) OVER w AS k2
+             |  FROM t WINDOW w AS (PARTITION BY source ORDER BY norm, doc_id))
+             |SELECT d1, d2, levenshtein(k1, k2) AS dist
+             |FROM n WHERE d2 IS NOT NULL ORDER BY d1, d2""".stripMargin),
+      (s, d) => {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("source").orderBy("norm", "doc_id")
+        T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            lower(trim(col("text"))).as("norm"))
+          .select(col("doc_id").as("d1"),
+            lead(col("doc_id"), 1).over(w).as("d2"),
+            substring(col("norm"), 1, 40).as("k1"),
+            lead(substring(col("norm"), 1, 40), 1).over(w).as("k2"))
+          .filter(col("d2").isNotNull)
+          .select(col("d1"), col("d2"),
+            levenshtein(col("k1"), col("k2")).cast("long").as("dist"))
+          .orderBy("d1", "d2")
       })
   )
 

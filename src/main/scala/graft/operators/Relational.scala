@@ -1114,6 +1114,30 @@ object Relational {
         .select(col("o_orderkey"),
           add_months(to_date(col("o_orderdate")), 3).as("due_date"),
           last_day(to_date(col("o_orderdate"))).as("month_end"))
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // P10 — CORRELATED scalar subquery: customers above their own
+    // nation's average balance (p8 is the uncorrelated form). Catalyst
+    // de-correlates this (RewriteCorrelatedScalarSubquery) into one
+    // per-nation aggregate + an equi-join — it never executes per-row,
+    // so the plan scales exactly like a groupBy + join. The average is
+    // the exact-decimal sum cast to double, then one identical double
+    // division in both engines (the p8 determinism pattern).
+    Q("p10_correlated_subquery",
+      Some("""SELECT c_custkey, c_nationkey, c_acctbal FROM customer c
+             |WHERE c_acctbal > (
+             |  SELECT cast(sum(cast(c2.c_acctbal AS decimal(18,2))) AS double)
+             |         / count(*)
+             |  FROM customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("p10_customer")
+        s.sql("""SELECT c_custkey, c_nationkey, c_acctbal FROM p10_customer c
+                |WHERE c_acctbal > (
+                |  SELECT cast(sum(cast(c2.c_acctbal AS decimal(18,2))) AS double)
+                |         / count(*)
+                |  FROM p10_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
+                |ORDER BY c_custkey""".stripMargin)
+      })
   )
 }

@@ -206,6 +206,99 @@ object Temporal {
           .groupBy("event_id")
           .agg(count(lit(1)).as("n_overlap"), min("r_id").as("first_error"))
           .orderBy("event_id")
+      }),
+
+    // I4 — SCD Type-2 dimension build (Kimball expire-and-insert): a
+    // change batch against the current dimension closes the matched
+    // rows' validity window and appends the new versions. The change
+    // batch here is derived deterministically from the data itself
+    // (high-balance customers move to a PREMIUM segment at t1) so the
+    // whole history is a pure function both engines can state. Set
+    // algebra only: ONE equi-join (change batch broadcast — change
+    // batches are always small next to the dimension) + a union; no
+    // window, no per-row lookups, nothing driver-side — the expire
+    // step at 100 TB is exactly this join. Open-ended validity is the
+    // standard 2200-01-01 sentinel (never NULL: point-in-time joins
+    // stay sargable and is_current derives from valid_to alone).
+    Q("i4_scd2_build",
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, 'PREMIUM' AS seg FROM customer
+             |  WHERE c_acctbal > 9000),
+             |hist AS (
+             |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+             |         TIMESTAMP '1995-01-01' AS valid_from,
+             |         CASE WHEN u.c_custkey IS NULL
+             |              THEN TIMESTAMP '2200-01-01'
+             |              ELSE TIMESTAMP '1998-01-01' END AS valid_to
+             |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+             |  UNION ALL
+             |  SELECT c_custkey, seg, TIMESTAMP '1998-01-01',
+             |         TIMESTAMP '2200-01-01' FROM upd)
+             |SELECT c_custkey, seg, valid_from, valid_to,
+             |       CASE WHEN valid_to = TIMESTAMP '2200-01-01' THEN 1 ELSE 0 END
+             |         AS is_current
+             |FROM hist ORDER BY c_custkey, valid_from""".stripMargin),
+      (s, d) => scd2Hist(T.customer(s, d))
+        .withColumn("is_current",
+          when(col("valid_to") === to_timestamp(lit("2200-01-01")), lit(1))
+            .otherwise(lit(0)))
+        .orderBy("c_custkey", "valid_from")),
+
+    // J19 — point-in-time dimension lookup: each fact row joined to the
+    // SCD2 version effective at its event time — key equality PLUS a
+    // half-open validity-range residual. This is an ordinary equi-join
+    // on the dimension key (broadcast here; shuffle hash at scale) with
+    // the range check as a post-join filter — per-key fan-out is the
+    // version count (small by construction), so no bin replication is
+    // needed, unlike the keyless range join in j15.
+    Q("j19_pit_lookup",
+      Some("""WITH upd AS (
+             |  SELECT c_custkey, 'PREMIUM' AS seg FROM customer
+             |  WHERE c_acctbal > 9000),
+             |hist AS (
+             |  SELECT c.c_custkey, c.c_mktsegment AS seg,
+             |         TIMESTAMP '1995-01-01' AS valid_from,
+             |         CASE WHEN u.c_custkey IS NULL
+             |              THEN TIMESTAMP '2200-01-01'
+             |              ELSE TIMESTAMP '1998-01-01' END AS valid_to
+             |  FROM customer c LEFT JOIN upd u ON c.c_custkey = u.c_custkey
+             |  UNION ALL
+             |  SELECT c_custkey, seg, TIMESTAMP '1998-01-01',
+             |         TIMESTAMP '2200-01-01' FROM upd)
+             |SELECT o.o_orderkey, o.o_custkey, h.seg AS seg_at_order
+             |FROM orders o JOIN hist h ON o.o_custkey = h.c_custkey
+             |  AND o.o_orderdate >= h.valid_from AND o.o_orderdate < h.valid_to
+             |ORDER BY o.o_orderkey""".stripMargin),
+      (s, d) => {
+        val hist = scd2Hist(T.customer(s, d))
+        T.orders(s, d).join(broadcast(hist),
+            col("o_custkey") === col("c_custkey") &&
+              col("o_orderdate") >= col("valid_from") &&
+              col("o_orderdate") < col("valid_to"))
+          .select(col("o_orderkey"), col("o_custkey"),
+            col("seg").as("seg_at_order"))
+          .orderBy("o_orderkey")
       })
   )
+
+  /** SCD2 history of the customer dimension: the deterministic change
+    * batch (acctbal > 9000 → PREMIUM at t1) expires its matched rows
+    * and appends the new versions. Columns: c_custkey, seg,
+    * valid_from, valid_to (2200-01-01 = open). */
+  private def scd2Hist(cust: DataFrame): DataFrame = {
+    val t0   = to_timestamp(lit("1995-01-01"))
+    val t1   = to_timestamp(lit("1998-01-01"))
+    val open = to_timestamp(lit("2200-01-01"))
+    val upd = cust.filter(col("c_acctbal") > 9000)
+      .select(col("c_custkey"), lit("PREMIUM").as("seg"))
+    val expired = cust
+      .join(broadcast(upd.select(col("c_custkey"), lit(1).as("__u"))),
+        Seq("c_custkey"), "left")
+      .select(col("c_custkey"), col("c_mktsegment").as("seg"),
+        t0.as("valid_from"),
+        when(col("__u").isNotNull, t1).otherwise(open).as("valid_to"))
+    val opened = upd.select(col("c_custkey"), col("seg"),
+      t1.as("valid_from"), open.as("valid_to"))
+    expired.unionByName(opened)
+  }
 }

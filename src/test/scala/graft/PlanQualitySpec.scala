@@ -208,4 +208,22 @@ class PlanQualitySpec extends AnyFunSuite {
       s"small path-mode dim did not auto-broadcast:\n$p")
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("j19_pit_lookup: SCD2 validity range is a hash-join residual, not a nested loop") {
+    // key equality carries the join; the [valid_from, valid_to) check
+    // must ride as a residual condition on the hash join — a
+    // BroadcastNestedLoopJoin here would be O(facts × versions)
+    val p = plan("j19_pit_lookup")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("NestedLoop"), s"range residual fell off the hash join:\n$p")
+  }
+
+  test("p10_correlated_subquery: de-correlates to one aggregate + join (no per-row subquery)") {
+    val p = plan("p10_correlated_subquery")
+    // RewriteCorrelatedScalarSubquery leaves an ordinary agg + join —
+    // no Subquery/DomainJoin artifacts survive to the physical plan
+    assert(p.contains("HashAggregate"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }
