@@ -2772,6 +2772,14 @@ class Warehouse(spark: SparkSession, basePath: String,
         s"commit conflict on $name v$version: concurrent writer detected")
     snapshotCache(name) = (version, files, meta)
     writeHeadHint(name, version)
+    // re-point the session's `dw_<name>` view at the snapshot just
+    // committed: the view is a fixed file list resolved at DataFrame
+    // creation, so without this every post-save mutation (append,
+    // DELETE/UPDATE file surgery, MERGE, RESTORE, compaction) leaves
+    // SQL readers on the pre-mutation snapshot — and a later vacuum
+    // turns that stale list into dangling reads. Every mutation route
+    // commits here, making this the one refresh point.
+    read(name).createOrReplaceTempView(s"dw_$name")
   }
 
   /** Writes `df` to a staging directory, then moves the data files into

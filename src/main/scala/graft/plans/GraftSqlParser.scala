@@ -73,6 +73,15 @@ object GraftSqlParser {
   // as a query; SQL INSERT maps columns POSITIONALLY to the table
   private val Insert =
     """(?is)^\s*INSERT\s+INTO\s+([\w]+)\s+((?:VALUES|SELECT)\b.+?)\s*;?\s*$""".r
+  // CTAS into the bound warehouse. Deliberately does NOT match a
+  // `USING <format>` clause — `CREATE TABLE t USING parquet AS …`
+  // keeps Spark's own catalog path, mirroring how a table format
+  // claims the formatless CTAS on sessions it is enabled for.
+  private val Ctas =
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+([\w]+)""" +
+      """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
+      """(?:\s+(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\))?""" +
+      """\s+AS\s+((?:SELECT|VALUES|WITH)\b.+?)\s*;?\s*$""").r
   private val Update =
     """(?is)^\s*UPDATE\s+([\w]+)\s+SET\s+(.+?)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   private val Vacuum =
@@ -204,6 +213,26 @@ object GraftSqlParser {
             val n = positional.count()
             wh.append(table, positional)
             Seq(Row(n))
+          }
+        }
+      case Ctas(orReplace, table, parts, kind, clusters, body) =>
+        // binds on the WAREHOUSE, not an existing table — CTAS is how
+        // the table comes to exist (the reference's `SELECT … INTO` /
+        // CREATE TABLE batch, Olist DW.sql); a session without
+        // enableSql delegates to Spark's grammar untouched
+        Option(registry.get(session)).map { wh =>
+          def cols(s: String): Seq[String] =
+            Option(s).toSeq.flatMap(_.split(",")).map(_.trim).filter(_.nonEmpty)
+          val isZ = kind != null && kind.equalsIgnoreCase("ZORDER")
+          cmd(session, attrs("status" -> StringType,
+            "rows_written" -> LongType)) { s =>
+            require(orReplace != null || !wh.hasTable(table),
+              s"CREATE TABLE $table: table exists " +
+                "(use CREATE OR REPLACE TABLE to overwrite)")
+            wh.save(table, s.sql(body), partitionBy = cols(parts),
+              clusterBy = cols(clusters), zorder = isZ)
+            val n = wh.countRows(table).getOrElse(-1L)
+            Seq(Row("OK", n))
           }
         }
       case Update(table, sets, cond) =>

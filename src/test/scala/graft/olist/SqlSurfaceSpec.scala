@@ -124,6 +124,47 @@ class SqlSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE plain_ins")
   }
 
+  test("CREATE TABLE AS SELECT runs the reference's batch shape in pure SQL") {
+    import spark.implicits._
+    val dir = tmp("wh_ctas")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("raw", Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "a", 30.0))
+      .toDF("id", "grp", "amt"))
+    // CTAS — the T-SQL `SELECT … INTO` / CREATE TABLE batch step
+    val r = spark.sql(
+      "CREATE TABLE staged AS SELECT id, grp, amt FROM dw_raw WHERE amt > 10")
+      .collect()(0)
+    assert(r.getAs[String]("status") == "OK")
+    assert(r.getAs[Long]("rows_written") == 2L)
+    assert(wh.hasTable("staged"))
+    // the new table is immediately queryable and maintainable via SQL
+    spark.sql("INSERT INTO staged VALUES (4, 'c', 40.0)")
+    spark.sql("UPDATE staged SET amt = amt + 1 WHERE grp = 'c'")
+    spark.sql("DELETE FROM staged WHERE id = 2")
+    assert(spark.sql("SELECT id, amt FROM dw_staged ORDER BY id")
+      .as[(Long, Double)].collect().toSeq == Seq((3L, 30.0), (4L, 41.0)))
+    // plain CREATE refuses on an existing table; OR REPLACE overwrites
+    val e = intercept[Exception](
+      spark.sql("CREATE TABLE staged AS SELECT 1 AS one").collect())
+    assert(e.getMessage.contains("exists"), e.getMessage)
+    spark.sql(
+      "CREATE OR REPLACE TABLE staged AS SELECT id FROM dw_raw")
+    assert(wh.table("staged").columns.toSeq == Seq("id"))
+    // EXPLAIN of a CTAS creates nothing
+    spark.sql("EXPLAIN CREATE TABLE ctas_phantom AS SELECT 1 AS one").collect()
+    assert(!wh.hasTable("ctas_phantom"))
+    // PARTITIONED BY / CLUSTER BY ride the CTAS into the layout
+    spark.sql("CREATE TABLE bygrp PARTITIONED BY (grp) CLUSTER BY (amt) " +
+      "AS SELECT grp, amt FROM dw_raw")
+    assert(new java.io.File(s"$dir/bygrp").listFiles()
+      .exists(f => f.getName.startsWith("grp=")))
+    // `USING <format>` CTAS keeps Spark's own catalog path
+    spark.sql("CREATE TABLE plain_ctas USING parquet AS SELECT 5 AS k")
+    assert(!wh.hasTable("plain_ctas") &&
+      spark.table("plain_ctas").count() == 1)
+    spark.sql("DROP TABLE plain_ctas")
+  }
+
   test("vacuumPreview lists exactly what vacuum then deletes") {
     val dir = tmp("wh_vprev")
     val wh = new Warehouse(spark, dir)
