@@ -2866,8 +2866,6 @@ class Warehouse(spark: SparkSession, basePath: String,
       // match each scanned file URI back to its manifest-relative path
       // by path SUFFIX — base names alone are ambiguous (a partitioned
       // write emits the same part-00000 name in every partition dir).
-      // A non-match (e.g. URI-encoded exotic partition values) leaves
-      // the file without stats: never skipped, the safe direction.
       val statRows = rows.map { row =>
         val n = row.getAs[Long]("__nrows").toString
         val mm = statCols.flatMap { c =>
@@ -2881,10 +2879,34 @@ class Warehouse(spark: SparkSession, basePath: String,
         }.toMap
         (row.getString(0), mm, bf)
       }
-      moved.map { m =>
-        val hit = statRows.find(_._1.endsWith("/" + m))
-        DataFile(m, hit.map(_._2).getOrElse(Map.empty),
-          hit.map(_._3).getOrElse(Map.empty))
+      val (hits, misses) = moved.partition(m =>
+        statRows.exists(_._1.endsWith("/" + m)))
+      val withStats = hits.map { m =>
+        val hit = statRows.find(_._1.endsWith("/" + m)).get
+        DataFile(m, hit._2, hit._3)
+      }
+      // a file absent from the groupBy is either EMPTY (a scan task
+      // whose rows all filtered out still writes a schema-only file —
+      // it contributes no group) or a suffix non-match (URI-encoded
+      // exotic partition values). Distinguish by re-counting just the
+      // missing files: verified-empty files are dropped from the
+      // commit AND from disk (nothing references them yet; committing
+      // them would bloat the manifest with dataless entries and leave
+      // countRows honestly answerless) — any rows at all means the
+      // matching failed, so keep every missing file WITHOUT stats:
+      // never skipped, the safe direction.
+      if (misses.isEmpty) withStats
+      else {
+        val missing = spark.read.format(format).option("header", "true")
+          .schema(schema).option("basePath", tableRoot.toString)
+          .load(misses.map(m =>
+            new org.apache.hadoop.fs.Path(tableRoot, m).toString): _*)
+        if (missing.count() == 0L) {
+          val fs = metaFs
+          misses.foreach(m =>
+            fs.delete(new org.apache.hadoop.fs.Path(tableRoot, m), false))
+          withStats
+        } else withStats ++ misses.map(DataFile(_))
       }
     }
   }

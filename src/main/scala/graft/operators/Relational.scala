@@ -1138,6 +1138,75 @@ object Relational {
                 |         / count(*)
                 |  FROM p10_customer c2 WHERE c2.c_nationkey = c.c_nationkey)
                 |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // U4/U5 — multiset (ALL) set operations: bag semantics keep
+    // duplicate counts — EXCEPT ALL subtracts multiplicities, INTERSECT
+    // ALL keeps the minimum. Spark plans both as per-side count
+    // aggregates + a generate (one shuffle on the value, no join
+    // explosion) — the same multiset-arithmetic shape DuckDB uses, so
+    // the row bags match exactly.
+    Q("u4_except_all",
+      Some("""SELECT l_partkey AS k FROM lineitem WHERE l_quantity > 44
+             |EXCEPT ALL SELECT p_partkey FROM part ORDER BY k""".stripMargin),
+      (s, d) => T.lineitem(s, d).filter(col("l_quantity") > 44)
+        .select(col("l_partkey").as("k"))
+        .exceptAll(T.part(s, d).select(col("p_partkey").as("k")))
+        .orderBy("k")),
+
+    Q("u5_intersect_all",
+      Some("""SELECT c_nationkey AS k FROM customer
+             |INTERSECT ALL SELECT s_nationkey FROM supplier ORDER BY k""".stripMargin),
+      (s, d) => T.customer(s, d).select(col("c_nationkey").as("k"))
+        .intersectAll(T.supplier(s, d).select(col("s_nationkey").as("k")))
+        .orderBy("k")),
+
+    // P11 — correlated EXISTS: the semi-join predicate form (p6 is the
+    // NOT-IN anti-join, p10 the correlated scalar). Catalyst rewrites
+    // EXISTS to a LEFT SEMI hash join on the correlation key — the
+    // subquery never executes per-row, so the plan scales exactly like
+    // a filtered join (plan-asserted in PlanQualitySpec).
+    Q("p11_exists_subquery",
+      Some("""SELECT c_custkey, c_name FROM customer c
+             |WHERE EXISTS (SELECT 1 FROM orders o
+             |              WHERE o.o_custkey = c.c_custkey
+             |                AND o.o_totalprice > 300000)
+             |ORDER BY c_custkey""".stripMargin),
+      (s, d) => {
+        T.customer(s, d).createOrReplaceTempView("p11_customer")
+        T.orders(s, d).createOrReplaceTempView("p11_orders")
+        s.sql("""SELECT c_custkey, c_name FROM p11_customer c
+                |WHERE EXISTS (SELECT 1 FROM p11_orders o
+                |              WHERE o.o_custkey = c.c_custkey
+                |                AND o.o_totalprice > 300000)
+                |ORDER BY c_custkey""".stripMargin)
+      }),
+
+    // W9 — FIRST_VALUE/LAST_VALUE over an explicit full-partition
+    // frame. The SQL default frame ends at CURRENT ROW, which makes
+    // last_value degenerate to the current row — both engines require
+    // UNBOUNDED FOLLOWING spelled out for the real per-group bookends.
+    // (l_orderkey, l_linenumber) is NOT unique in this data, so the
+    // projected column itself joins the sort key: the bookend VALUE is
+    // then deterministic in both engines no matter how deeper ties
+    // break.
+    Q("w9_first_last",
+      Some("""SELECT l_orderkey, l_linenumber,
+             |  first_value(l_extendedprice) OVER w AS first_price,
+             |  last_value(l_extendedprice) OVER w AS last_price
+             |FROM lineitem
+             |WINDOW w AS (PARTITION BY l_orderkey
+             |  ORDER BY l_linenumber, l_extendedprice
+             |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+             |ORDER BY l_orderkey, l_linenumber, first_price""".stripMargin),
+      (s, d) => {
+        val w = Window.partitionBy("l_orderkey")
+          .orderBy("l_linenumber", "l_extendedprice")
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        T.lineitem(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          first(col("l_extendedprice")).over(w).as("first_price"),
+          last(col("l_extendedprice")).over(w).as("last_price"))
+          .orderBy("l_orderkey", "l_linenumber", "first_price")
       })
   )
 }

@@ -78,7 +78,8 @@ object GraftSqlParser {
   // keeps Spark's own catalog path, mirroring how a table format
   // claims the formatless CTAS on sessions it is enabled for.
   private val Ctas =
-    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+([\w]+)""" +
+    ("""(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?TABLE\s+""" +
+      """(?:(IF\s+NOT\s+EXISTS)\s+)?([\w]+)""" +
       """(?:\s+PARTITIONED\s+BY\s*\(([^)]*)\))?""" +
       """(?:\s+(CLUSTER|ZORDER)\s+BY\s*\(([^)]*)\))?""" +
       """\s+AS\s+((?:SELECT|VALUES|WITH)\b.+?)\s*;?\s*$""").r
@@ -101,8 +102,12 @@ object GraftSqlParser {
       """WHEN\s+NOT\s+MATCHED\s+THEN\s+INSERT\s+\*\s*;?\s*$""").r
   private val OnKey =
     """(?i)^\s*(?:[\w]+\.)?([\w]+)\s*=\s*(?:[\w]+\.)?([\w]+)\s*$""".r
+  // IF EXISTS only changes behavior when the name is NOT bound here:
+  // boundTable already filters to committed tables, so a bound name
+  // drops either way and an unbound one delegates to Spark's grammar
+  // (whose IF EXISTS succeeds silently on a missing catalog table).
   private val Drop =
-    """(?is)^\s*DROP\s+TABLE\s+([\w]+)\s*;?\s*$""".r
+    """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)\s*;?\s*$""".r
   private val Detail =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w]+)\s*;?\s*$""".r
   private val Restore =
@@ -215,7 +220,7 @@ object GraftSqlParser {
             Seq(Row(n))
           }
         }
-      case Ctas(orReplace, table, parts, kind, clusters, body) =>
+      case Ctas(orReplace, ifNotExists, table, parts, kind, clusters, body) =>
         // binds on the WAREHOUSE, not an existing table — CTAS is how
         // the table comes to exist (the reference's `SELECT … INTO` /
         // CREATE TABLE batch, Olist DW.sql); a session without
@@ -226,13 +231,16 @@ object GraftSqlParser {
           val isZ = kind != null && kind.equalsIgnoreCase("ZORDER")
           cmd(session, attrs("status" -> StringType,
             "rows_written" -> LongType)) { s =>
-            require(orReplace != null || !wh.hasTable(table),
-              s"CREATE TABLE $table: table exists " +
-                "(use CREATE OR REPLACE TABLE to overwrite)")
-            wh.save(table, s.sql(body), partitionBy = cols(parts),
-              clusterBy = cols(clusters), zorder = isZ)
-            val n = wh.countRows(table).getOrElse(-1L)
-            Seq(Row("OK", n))
+            if (ifNotExists != null && wh.hasTable(table))
+              Seq(Row("SKIPPED", wh.countRows(table).getOrElse(-1L)))
+            else {
+              require(orReplace != null || !wh.hasTable(table),
+                s"CREATE TABLE $table: table exists " +
+                  "(use CREATE OR REPLACE TABLE to overwrite)")
+              wh.save(table, s.sql(body), partitionBy = cols(parts),
+                clusterBy = cols(clusters), zorder = isZ)
+              Seq(Row("OK", wh.countRows(table).getOrElse(-1L)))
+            }
           }
         }
       case Update(table, sets, cond) =>

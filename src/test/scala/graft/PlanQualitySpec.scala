@@ -226,4 +226,10 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("Join"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("p11_exists_subquery: EXISTS rewrites to a semi join, never per-row") {
+    val p = plan("p11_exists_subquery")
+    assert(p.contains("LeftSemi"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

@@ -163,6 +163,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(!wh.hasTable("plain_ctas") &&
       spark.table("plain_ctas").count() == 1)
     spark.sql("DROP TABLE plain_ctas")
+    // IF NOT EXISTS: no-op on an existing table, creates otherwise
+    val skip = spark.sql(
+      "CREATE TABLE IF NOT EXISTS staged AS SELECT 1 AS one").collect()(0)
+    assert(skip.getAs[String]("status") == "SKIPPED")
+    assert(wh.table("staged").columns.toSeq == Seq("id"))
+    spark.sql("CREATE TABLE IF NOT EXISTS fresh AS SELECT 1 AS one")
+    assert(wh.hasTable("fresh"))
+    // DROP TABLE IF EXISTS: drops a bound table, silent when unbound
+    spark.sql("DROP TABLE IF EXISTS fresh")
+    assert(!wh.hasTable("fresh"))
+    spark.sql("DROP TABLE IF EXISTS never_was")
   }
 
   test("vacuumPreview lists exactly what vacuum then deletes") {
