@@ -2241,6 +2241,15 @@ class Warehouse(spark: SparkSession, basePath: String,
   def hasTable(name: String): Boolean =
     database.isEmpty && currentManifest(name).nonEmpty
 
+  /** Re-point this session's `dw_<name>` view at the CURRENT committed
+    * snapshot (SQL: `REFRESH TABLE name`). Commits made through this
+    * instance re-point the view automatically (commitManifest); this
+    * exists for commits made by ANOTHER instance or process — the head
+    * probe makes them visible to new reads immediately, but a view
+    * registered before them keeps its older file list until refreshed. */
+  def refreshTable(name: String): Unit =
+    read(name).createOrReplaceTempView(s"dw_$name")
+
   /** Bind this warehouse as the session's target for the SQL
     * maintenance surface (DELETE/UPDATE/VACUUM/OPTIMIZE/DESCRIBE
     * HISTORY/CLONE — see [[graft.plans.GraftSqlParser]]). The session

@@ -1182,6 +1182,75 @@ object Relational {
                 |ORDER BY c_custkey""".stripMargin)
       }),
 
+    // A24 — approx_percentile: the mergeable-sketch quantile tier (the
+    // a13 pattern: the oracle checks the exact value plus a literal
+    // bound flag, since the sketch itself is engine-specific). At
+    // 100 TB exact percentiles shuffle every value to sort; the
+    // KLL-style sketch is one map-side pass + tiny merges, so it is
+    // the only per-group quantile that scales — this entry pins its
+    // error against the exact answer.
+    Q("a24_approx_percentile",
+      Some("""SELECT l_returnflag,
+             |  round(quantile_cont(l_extendedprice, 0.5), 6) AS exact_p50,
+             |  1 AS approx_ok
+             |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin),
+      (s, d) => T.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(expr("percentile(l_extendedprice, 0.5)"), 6).as("exact_p50"),
+          expr("approx_percentile(l_extendedprice, 0.5, 1000)").as("approx_p50"))
+        .select(col("l_returnflag"), col("exact_p50"),
+          when(abs(col("approx_p50") - col("exact_p50")) <=
+            abs(col("exact_p50")) * 0.05, lit(1)).otherwise(lit(0))
+            .as("approx_ok"))
+        .orderBy("l_returnflag")),
+
+    // X3 — one-pass column profiling: the pre-training data audit
+    // (null rates, distinct counts, numeric ranges) as ONE aggregate
+    // over the table, unpivoted to a row per column. Everything is a
+    // map-side-partial aggregate — profiling 100 TB costs one scan, no
+    // matter how many columns ride in the same pass.
+    Q("x3_column_profile",
+      Some("""SELECT col_name, n_null, n_distinct, round(mn, 6) AS vmin,
+             |       round(mx, 6) AS vmax
+             |FROM (
+             |  SELECT 'o_totalprice' AS col_name,
+             |         cast(sum(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+             |         cast(count(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+             |         min(o_totalprice) AS mn, max(o_totalprice) AS mx
+             |  FROM orders
+             |  UNION ALL
+             |  SELECT 'o_custkey',
+             |         cast(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+             |         cast(count(DISTINCT o_custkey) AS BIGINT),
+             |         cast(min(o_custkey) AS double),
+             |         cast(max(o_custkey) AS double)
+             |  FROM orders)
+             |ORDER BY col_name""".stripMargin),
+      (s, d) => {
+        val o = T.orders(s, d)
+        // ONE wide aggregate row, then stack() unpivots it — a single
+        // scan regardless of how many columns are profiled
+        val wide = o.agg(
+          sum(when(col("o_totalprice").isNull, 1).otherwise(0))
+            .cast("long").as("tp_null"),
+          count_distinct(col("o_totalprice")).as("tp_distinct"),
+          min(col("o_totalprice")).as("tp_min"),
+          max(col("o_totalprice")).as("tp_max"),
+          sum(when(col("o_custkey").isNull, 1).otherwise(0))
+            .cast("long").as("ck_null"),
+          count_distinct(col("o_custkey")).as("ck_distinct"),
+          min(col("o_custkey")).cast("double").as("ck_min"),
+          max(col("o_custkey")).cast("double").as("ck_max"))
+        wide.select(expr(
+          """stack(2,
+            |  'o_totalprice', tp_null, tp_distinct, tp_min, tp_max,
+            |  'o_custkey', ck_null, ck_distinct, ck_min, ck_max)
+            |  AS (col_name, n_null, n_distinct, mn, mx)""".stripMargin))
+          .select(col("col_name"), col("n_null"), col("n_distinct"),
+            round(col("mn"), 6).as("vmin"), round(col("mx"), 6).as("vmax"))
+          .orderBy("col_name")
+      }),
+
     // W9 — FIRST_VALUE/LAST_VALUE over an explicit full-partition
     // frame. The SQL default frame ends at CURRENT ROW, which makes
     // last_value degenerate to the current row — both engines require

@@ -110,6 +110,12 @@ object GraftSqlParser {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)\s*;?\s*$""".r
   private val Detail =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w]+)\s*;?\s*$""".r
+  // cross-instance freshness: commits made HERE re-point dw_<name>
+  // automatically (commitManifest), but another process's commits are
+  // only picked up when something re-reads the manifest — REFRESH is
+  // that explicit re-point for SQL readers
+  private val Refresh =
+    """(?is)^\s*REFRESH\s+TABLE\s+([\w]+)\s*;?\s*$""".r
   private val Restore =
     """(?is)^\s*RESTORE\s+TABLE\s+([\w]+)\s+TO\s+VERSION\s+(\d+)\s*;?\s*$""".r
   private val RenameCol =
@@ -310,6 +316,12 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("key" -> StringType, "value" -> StringType)) {
             _ => wh.describeDetail(table).map { case (k, v) => Row(k, v) }
+          }
+        }
+      case Refresh(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.refreshTable(table); Seq(Row("OK"))
           }
         }
       case Restore(table, version) =>

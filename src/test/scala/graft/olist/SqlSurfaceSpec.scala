@@ -176,6 +176,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS never_was")
   }
 
+  test("REFRESH TABLE picks up another instance's commits") {
+    import spark.implicits._
+    val dir = tmp("wh_refresh")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", Seq((1L, "a")).toDF("k", "v"))
+    // a SECOND warehouse instance over the same path commits an append;
+    // this instance's dw_t view predates that commit
+    val other = new Warehouse(spark, dir)
+    other.append("t", Seq((2L, "b")).toDF("k", "v"))
+    // other's commitManifest refreshed the (shared-session) view, so
+    // re-pin it to the FIRST instance's snapshot to model two sessions
+    wh.table("t").limit(1).createOrReplaceTempView("dw_t")
+    val refreshed = spark.sql("REFRESH TABLE t").collect()(0)
+    assert(refreshed.getAs[String]("status") == "OK")
+    assert(spark.sql("SELECT k FROM dw_t ORDER BY k").as[Long]
+      .collect().toSeq == Seq(1L, 2L))
+  }
+
   test("vacuumPreview lists exactly what vacuum then deletes") {
     val dir = tmp("wh_vprev")
     val wh = new Warehouse(spark, dir)
