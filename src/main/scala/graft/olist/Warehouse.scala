@@ -560,6 +560,54 @@ class Warehouse(spark: SparkSession, basePath: String,
     read(name).createOrReplaceTempView(s"dw_$name")
   }
 
+  /** PARTITION EVOLUTION, metadata-only: change the partition layout
+    * for FUTURE writes without touching a byte of existing data — at
+    * 100 TB, re-laying a table out (say day→(region,day) once one
+    * region dominates) must not mean rewriting 100 TB first. The
+    * commit updates only the layout metadata; files written before it
+    * keep their directory shape, and the snapshot reader groups the
+    * file list by each file's OWN scheme (see [[fromFiles]]) so mixed
+    * snapshots read correctly — every column lives either in a file's
+    * data or in its directory names, whichever its write-time layout
+    * chose.
+    *
+    * Operations that decide partition membership from file paths
+    * (overwritePartitions, merge, compactWhere) refuse on mixed
+    * layouts until a [[compact]] normalizes the files — the honest
+    * trade production formats make (evolve the spec now, rewrite
+    * lazily or never).
+    *
+    * Renamed columns are refused as partition keys: the directory
+    * names would be written under the frozen PHYSICAL name while the
+    * caller filters by the logical one. */
+  def repartitionTable(name: String, newPartitionBy: Seq[String]): Unit = {
+    require(database.isEmpty,
+      "repartitionTable applies to path-mode tables only " +
+        "(catalog-mode layout belongs to the session catalog)")
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"repartitionTable: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      val colMap = colMapOf(meta)
+      newPartitionBy.foreach { c =>
+        require(sc.fieldNames.contains(c),
+          s"repartitionTable: no column $c in ${sc.fieldNames.mkString(", ")}")
+        require(!colMap.contains(c),
+          s"repartitionTable: $c was renamed (physical name ${colMap(c)}) — " +
+            "partition directories key by physical name; rename it back " +
+            "or rewrite the table first")
+      }
+      commitManifest(name, files,
+        Map(PartsMeta -> newPartitionBy.mkString(",")), op = "repartition")
+      partitioning(name) = newPartitionBy
+      writeMeta(name, newPartitionBy, sc, clusterColsOf(name),
+        clusterKindOf(name), bloomColsOf(name))
+    }
+  }
+
   /** Shared rename/drop refusals: layout-bearing columns (partition
     * directories, per-file stats, bloom sketches are all keyed by
     * name) and columns referenced by CHECK expressions. */
@@ -872,6 +920,8 @@ class Warehouse(spark: SparkSession, basePath: String,
         // file OUTSIDE the partitions present in the delta and swaps in
         // the delta's files — untouched partitions' files are not even
         // listed, let alone rewritten, and the swap is atomic
+        requireUniformLayout("overwritePartitions", name,
+          currentManifest(name).map(_._2).getOrElse(Nil))
         val (aligned, _) = alignDelta(name, df, allowWiden = false)
         val files = stageWrite(name, clustered(name, aligned, parts), parts)
         val touched = files.map(f => partitionPrefix(f.path)).toSet
@@ -958,6 +1008,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       (f.dataType == org.apache.spark.sql.types.TimestampType ||
         f.dataType == org.apache.spark.sql.types.TimestampNTZType)),
       s"merge: timestamp partition columns are not supported on $name")
+    requireUniformLayout("merge", name,
+      currentManifest(name).map(_._2).getOrElse(Nil))
     // pin the delta once: its lineage would otherwise re-execute in the
     // guard, the partition probe, and the rewrite — and a
     // non-deterministic delta could make the dropped-prefix set
@@ -1446,6 +1498,7 @@ class Warehouse(spark: SparkSession, basePath: String,
           s"compactWhere: $name has no committed snapshot")
       }
       val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      requireUniformLayout("compactWhere", name, files)
       val rows: Seq[org.apache.spark.sql.Row] = files.map { f =>
         val kv = f.path.split("/").dropRight(1).flatMap { seg =>
           val i = seg.indexOf('=')
@@ -1634,23 +1687,58 @@ class Warehouse(spark: SparkSession, basePath: String,
           colMap.get(f.name).map(p => f.copy(name = p)).getOrElse(f)))
       // a shallow clone's manifest may reference files in SEVERAL
       // physical table directories ("../src/…" entries next to its
-      // own); Spark's partition inference demands one consistent
-      // directory structure per load, so group the list by owning
-      // directory, scan each group against its own basePath, and union
+      // own), and after [[repartitionTable]] ONE directory holds files
+      // under SEVERAL partition-dir layouts; Spark's partition
+      // inference demands one consistent directory structure per load,
+      // so group the list by (owning directory, partition scheme),
+      // scan each group against its own basePath, and union. Every
+      // group resolves the full logical column set — a column is in
+      // the data file whenever it was not a partition column at that
+      // file's write time, and in the directory names whenever it was.
       def load(owner: String, fs: Seq[String]): DataFrame = {
         val r = spark.read.format(format).option("header", "true")
         (if (phys.isEmpty) r else r.schema(phys))
           .option("basePath", s"$basePath/$owner")
           .load(fs.map(f => s"$basePath/$name/$f"): _*)
       }
-      val raw = files.groupBy(f => normalizedRel(name, f).takeWhile(_ != '/'))
-        .toSeq.sortBy(_._1)
-        .map { case (owner, fs) => load(owner, fs) }
+      val raw = files
+        .groupBy(f => (normalizedRel(name, f).takeWhile(_ != '/'), schemeOf(f)))
+        .toSeq.sortBy { case ((owner, scheme), _) =>
+          (owner, scheme.mkString(",")) }
+        .map { case ((owner, _), fs) => load(owner, fs) }
         .reduce(_ unionByName _)
       if (colMap.isEmpty || sc.isEmpty) raw
       else raw.select(sc.map(f =>
         col(colMap.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
+
+  /** Ordered partition keys a manifest-relative path was written
+    * under ("year=2018/month=1/f.parquet" → year, month; unpartitioned
+    * or clone-prefixed segments without '=' contribute nothing). This
+    * is each file's OWN layout — after [[repartitionTable]] it can
+    * differ from the table's current partition columns. */
+  private def schemeOf(rel: String): Seq[String] =
+    rel.split("/").dropRight(1).toSeq.flatMap { seg =>
+      val i = seg.indexOf('=')
+      if (i <= 0) None else Some(seg.substring(0, i))
+    }
+
+  /** Loud gate for operations that decide partition membership from
+    * file PATHS (dynamic partition overwrite, partition-move merge,
+    * partition-scoped compaction): every current file must carry
+    * exactly the table's current partition scheme, else an old-layout
+    * file silently escapes the path keying — the wrong-results
+    * direction. After [[repartitionTable]] these refuse until a
+    * [[compact]] rewrites the old-layout files into the new scheme. */
+  private def requireUniformLayout(op: String, name: String,
+      files: Seq[DataFile]): Unit = {
+    val want = partitionColsOf(name)
+    val off = files.filter(f => schemeOf(f.path) != want)
+    require(off.isEmpty,
+      s"$op: $name holds ${off.size} file(s) written under a different " +
+        s"partition layout than the current (${want.mkString(",")}) — " +
+        "run compact() first to rewrite them into the current scheme")
+  }
 
   /** `name`-dir-relative manifest path with `..` segments resolved —
     * "t/year=1/f" for a plain file, "src/f" for a clone-referenced

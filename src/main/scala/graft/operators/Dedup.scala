@@ -478,6 +478,48 @@ object Dedup {
           .select(col("d1"), col("d2"),
             levenshtein(col("k1"), col("k2")).cast("long").as("dist"))
           .orderBy("d1", "d2")
+      }),
+
+    // D13 — duplicated-SPAN detection: the span-level complement to the
+    // doc-level dedup family (the ExactSubstr idea of "Deduplicating
+    // Training Data Makes Language Models Better" at shingle
+    // granularity): a 20-token window appearing VERBATIM in ≥2 docs is
+    // boilerplate/template text a doc-level dedup never sees. Per doc:
+    // distinct windows and how many of them are cross-doc duplicated.
+    // Only 16-byte digests shuffle (d10's discipline) — once for the
+    // per-digest doc count, once for the per-doc rollup; text never
+    // leaves the map side.
+    Q("d13_dup_spans",
+      Some("""WITH g AS (
+             |  SELECT doc_id,
+             |    list_transform(range(1, len(ts) - 18),
+             |                   i -> array_to_string(ts[i:i+19], ' ')) AS gs
+             |  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+             |        FROM documents) WHERE len(ts) >= 20),
+             |w AS (SELECT DISTINCT doc_id, md5(unnest(gs)) AS h FROM g),
+             |dup AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2)
+             |SELECT w.doc_id,
+             |  cast(count(*) AS BIGINT) AS n_windows,
+             |  cast(sum(CASE WHEN d.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_dup_windows
+             |FROM w LEFT JOIN dup d ON w.h = d.h
+             |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val w = T.documents(s, d)
+          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 20)
+          .select(col("doc_id"), explode(shingles(col("ts"), 20)).as("gram"))
+          .select(col("doc_id"), md5(col("gram")).as("h"))
+          .distinct()
+        val dup = w.groupBy("h").agg(count(lit(1)).as("__docs"))
+          .filter(col("__docs") >= 2)
+          .select(col("h"), lit(1).as("__dup"))
+        w.join(dup, Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).cast("long").as("n_windows"),
+            sum(coalesce(col("__dup"), lit(0))).cast("long")
+              .as("n_dup_windows"))
+          .orderBy("doc_id")
       })
   )
 

@@ -126,6 +126,10 @@ object GraftSqlParser {
   private val WidenCol =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+ALTER\s+COLUMN\s+([\w]+)""" +
       """\s+TYPE\s+([\w]+)\s*;?\s*$""").r
+  // partition evolution: () = unpartition future writes
+  private val Repartition =
+    ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+PARTITION(?:ED)?\s+BY""" +
+      """\s*\(([^)]*)\)\s*;?\s*$""").r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -347,6 +351,13 @@ object GraftSqlParser {
           val dt = session.sessionState.sqlParser.parseDataType(typeName)
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.widenColumn(table, colName, dt); Seq(Row("OK"))
+          }
+        }
+      case Repartition(table, cols) =>
+        boundTable(session, table).map { wh =>
+          val parts = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.repartitionTable(table, parts); Seq(Row("OK"))
           }
         }
       case Merge(table, source, on) =>
