@@ -418,6 +418,53 @@ class Warehouse(spark: SparkSession, basePath: String,
         writeMeta(name, parts, merged, clusterColsOf(name), clusterKindOf(name),
           bloomColsOf(name))
       }
+      maybeAutoCompact(name, files.map(f => partitionPrefix(f.path)).toSet)
+  }
+
+  /** Opt-in small-file auto-compaction (the production "auto optimize"
+    * pattern): with `graft.autocompact.minFiles` set to N > 0, an
+    * [[append]] that leaves its target — the whole table when
+    * unpartitioned, each partition the append touched when
+    * partitioned — holding ≥ N files triggers an inline compaction of
+    * JUST that target. Bounded work rides the write that caused it, so
+    * a many-small-appends workload (the micro-batch shape) never
+    * degrades into a thousands-of-files scan; untouched partitions'
+    * files stay byte-identical.
+    *
+    * Best-effort maintenance, decided under the commit lock against
+    * the freshest snapshot: mixed write-time layouts (see
+    * [[repartitionTable]]) are skipped silently — the append must not
+    * fail over a maintenance nicety. NOTE: compaction is a rewrite
+    * commit, which an append-only change-feed consumer (tableChanges /
+    * the graft-changes source) refuses loudly — leave the knob unset
+    * on tables consumed as feeds (the row-level feed handles rewrites
+    * fine). */
+  private def maybeAutoCompact(name: String, touched: Set[String]): Unit = {
+    val minFiles = spark.conf.getOption("graft.autocompact.minFiles")
+      .map(_.toInt).getOrElse(0)
+    if (minFiles > 0) withCommitLock(name) {
+      currentManifestFull(name).foreach { case (_, cur, meta) =>
+        val parts = partitionColsOf(name)
+        val uniform = cur.forall(f => schemeOf(f.path) == parts)
+        val matched: Seq[String] =
+          if (!uniform) Nil
+          else if (parts.isEmpty) {
+            if (cur.size >= minFiles) cur.map(_.path) else Nil
+          } else cur.groupBy(f => partitionPrefix(f.path))
+            .filter { case (p, fs) => touched.contains(p) && fs.size >= minFiles }
+            .values.flatten.map(_.path).toSeq
+        if (matched.nonEmpty) {
+          val sc = metaSchema(meta).getOrElse(tableSchema(name))
+          val snapshot = fromFiles(name, matched, sc)
+          val shaped =
+            if (parts.isEmpty) snapshot.coalesce(1)
+            else snapshot.repartition(parts.map(col): _*)
+          val rewritten = stageWrite(name, clustered(name, shaped, parts), parts)
+          val untouchedFiles = cur.filterNot(f => matched.contains(f.path))
+          commitManifest(name, untouchedFiles ++ rewritten, op = "compact")
+        }
+      }
+    }
   }
 
   /** RENAME COLUMN, metadata-only at any table size: the column keeps
@@ -2082,7 +2129,8 @@ class Warehouse(spark: SparkSession, basePath: String,
       val nFiles = meta.get(FilesMeta).flatMap(_.toIntOption)
         .getOrElse(stateAt(name, v)._1.size)
       Warehouse.Commit(v, meta.getOrElse(OpMeta, "unknown"),
-        meta.getOrElse(TimeMeta, ""), nFiles)
+        meta.getOrElse(TimeMeta, ""), nFiles,
+        meta.get(RowsMeta).flatMap(_.toLongOption))
     }
   }
 
@@ -2510,6 +2558,7 @@ class Warehouse(spark: SparkSession, basePath: String,
   /** Snapshot file count stamped into every record so history() reads
     * one meta block per version instead of replaying each snapshot. */
   private val FilesMeta = "files"
+  private val RowsMeta = "rows"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
   /** Column mapping (logical name → physical parquet name) for renamed
@@ -2846,9 +2895,17 @@ class Warehouse(spark: SparkSession, basePath: String,
     // compaction must not forget which batches already landed; the op
     // + timestamp overwrite per commit, so each version's record
     // names what created IT (the audit trail history() reads)
+    // the snapshot's total row count rides the commit (sum of per-file
+    // counts — blank only when a current file predates row stats), so
+    // history()/DESCRIBE HISTORY answer "how many rows did this leave"
+    // without opening a file — the operation-metrics audit trail
+    val rowCounts = files.map(_.stats.get(RowsKey).map(_._1.toLong))
+    val rowsTotal =
+      if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum.toString
+      else ""
     val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
       Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString,
-        FilesMeta -> files.size.toString)
+        FilesMeta -> files.size.toString, RowsMeta -> rowsTotal)
     val isCheckpoint = version == 1L || version % checkpointEvery == 0L
     val (dst, body) =
       if (isCheckpoint)
@@ -3296,9 +3353,12 @@ object Warehouse {
   final case class ColRange(column: String,
       lower: Option[Any] = None, upper: Option[Any] = None)
 
-  /** One entry of a table's commit [[Warehouse.history]]. */
+  /** One entry of a table's commit [[Warehouse.history]]. `rows` is
+    * the snapshot's total row count after this commit (from the
+    * manifest's per-file counts — None only when a file in that
+    * snapshot predates row stats). */
   final case class Commit(version: Long, op: String,
-      committedAt: String, files: Int)
+      committedAt: String, files: Int, rows: Option[Long] = None)
 
   /** Outcome of a predicate [[Warehouse.delete]]: rows removed, files
     * dropped whole (every row matched — zero rewrite I/O), files

@@ -85,5 +85,35 @@ object Multimodal {
         .select(col("doc_id"), col("frame_idx"),
           least(lit(256L), col("n") - col("frame_idx") * 256).as("frame_len"))
         .orderBy("doc_id", "frame_idx"))
+    ,
+
+    // MM3 — ViT patch-grid arithmetic: how many 16×16 patches (and
+    // transformer tokens, +1 for CLS) each image contributes — the
+    // per-row token-budget math a vision-model ingest runs BEFORE any
+    // decode. Pure metadata arithmetic over the mm1 fake dims,
+    // map-side only; at scale this is the column that drives sp4-style
+    // shard packing for image batches.
+    Q("mm3_patch_grid",
+      Some("""WITH m AS (SELECT doc_id,
+             |  octet_length(encode(text)) % 64 + 1 AS w,
+             |  octet_length(encode(text)) // 64 % 64 + 1 AS h
+             |FROM documents)
+             |SELECT doc_id,
+             |  cast((w + 15) // 16 AS BIGINT) AS patches_x,
+             |  cast((h + 15) // 16 AS BIGINT) AS patches_y,
+             |  cast(((w + 15) // 16) * ((h + 15) // 16) + 1 AS BIGINT) AS seq_len
+             |FROM m ORDER BY doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"),
+          octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
+        .select(col("doc_id"),
+          (col("n") % 64 + 1).as("w"),
+          (floor(col("n") / 64) % 64 + 1).as("h"))
+        .select(col("doc_id"),
+          floor((col("w") + 15) / 16).cast("long").as("patches_x"),
+          floor((col("h") + 15) / 16).cast("long").as("patches_y"))
+        .withColumn("seq_len",
+          (col("patches_x") * col("patches_y") + 1).cast("long"))
+        .orderBy("doc_id"))
   )
 }

@@ -297,10 +297,14 @@ object GraftSqlParser {
         }
       case History(table) =>
         boundTable(session, table).map { wh =>
+          // rows = the snapshot's total row count after each commit
+          // (-1 when a file in that snapshot predates row stats)
           cmd(session, attrs("version" -> LongType, "operation" -> StringType,
-            "committed_at" -> StringType, "files" -> LongType)) { _ =>
+            "committed_at" -> StringType, "files" -> LongType,
+            "rows" -> LongType)) { _ =>
             wh.history(table).map(c =>
-              Row(c.version, c.op, c.committedAt, c.files.toLong))
+              Row(c.version, c.op, c.committedAt, c.files.toLong,
+                c.rows.getOrElse(-1L)))
           }
         }
       case Clone(src, dst, version) =>

@@ -232,4 +232,15 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.contains("LeftSemi"), p)
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("d13_dup_spans: document text never reaches an exchange") {
+    // windows hash to 16-byte digests map-side; both shuffles (the
+    // per-digest doc count and the per-doc rollup) carry digests and
+    // ids only — at 100 TB the text column must stay in the scan stage
+    val p = plan("d13_dup_spans")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    assert(!exchanges.exists(_.contains("text")),
+      s"text column crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
 }

@@ -34,10 +34,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(upd.getAs[Long]("rows_updated") == 3)
     assert(wh.table("t").filter(col("v") >= 100L).count() == 3)
 
-    // DESCRIBE HISTORY reads the audit trail
+    // DESCRIBE HISTORY reads the audit trail, row counts included
     val hist = spark.sql("DESCRIBE HISTORY t")
       .select("operation").as[String].collect().toSeq
     assert(hist == Seq("save", "delete", "update"), hist.toString)
+    val histRows = spark.sql("DESCRIBE HISTORY t")
+      .select("rows").as[Long].collect().toSeq
+    assert(histRows == Seq(100L, 90L, 90L), histRows.toString)
 
     // CLONE .. AS .. VERSION: zero-copy historical fork
     spark.sql("CLONE t AS t_v1 VERSION 1")
