@@ -178,6 +178,46 @@ object Sampling {
           .agg(count(lit(1)).as("n"),
             countDistinct("user_id").as("n_users"))
           .orderBy("split")
+      }),
+
+    // SP7 — temperature resampling: downsample dominant languages so
+    // the kept distribution flattens toward counts^alpha (the
+    // multilingual rebalancing of mC4/XLM-R). Keep rate per language =
+    // (cnt_min/cnt)^(1-alpha); alpha = 0.5 makes that a single sqrt —
+    // IEEE-correctly-rounded in BOTH engines, so the integer threshold
+    // floor(rate·10000) is bit-reproducible where a pow(x, 0.7) could
+    // straddle a last-ulp boundary. Membership is the same md5 bucket
+    // function as sp1-sp3: a pure function of doc_id, independent of
+    // partitioning. The smallest language keeps everything by
+    // construction. Counts frame is |langs| rows — broadcast; the
+    // corpus is filtered map-side.
+    Q("sp7_temperature_mix",
+      Some(s"""WITH c AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+              |m AS (SELECT min(cnt) AS cmin FROM c),
+              |r AS (SELECT lang, cnt,
+              |        cast(floor(sqrt(cast(cmin AS DOUBLE) / cnt) * 10000) AS BIGINT)
+              |          AS thresh
+              |      FROM c, m)
+              |SELECT d.lang,
+              |  cast(max(r.cnt) AS BIGINT) AS n_total,
+              |  cast(count(*) AS BIGINT) AS n_kept
+              |FROM documents d JOIN r ON d.lang = r.lang
+              |WHERE ${bucketSql("d.doc_id", 10000)} < r.thresh
+              |GROUP BY d.lang ORDER BY d.lang""".stripMargin),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val c = docs.groupBy("lang").agg(count(lit(1)).as("cnt"))
+        val cmin = c.agg(min("cnt").as("cmin"))
+        val r = c.crossJoin(broadcast(cmin))
+          .select(col("lang"), col("cnt"),
+            floor(sqrt(col("cmin").cast("double") / col("cnt")) * 10000)
+              .cast("long").as("thresh"))
+        docs.join(broadcast(r), "lang")
+          .filter(hashBucket(col("doc_id"), 10000) < col("thresh"))
+          .groupBy("lang")
+          .agg(max(col("cnt")).cast("long").as("n_total"),
+            count(lit(1)).as("n_kept"))
+          .orderBy("lang")
       })
   )
 }

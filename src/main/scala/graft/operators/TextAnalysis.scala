@@ -393,6 +393,36 @@ object TextAnalysis {
           .groupBy("doc_id")
           .agg(round(avg(log(col("n") / col("t"))), 6).as("lm_score"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // T14 — blocklist safety scoring: per-doc hit count against a term
+    // list plus the keep/drop flag — the safety-filter stage every
+    // training pipeline runs. The flag compares n_blocked·20 >
+    // n_tokens (an EXACT integer rendering of rate > 5%) so the
+    // decision is reproducible across engines with no float boundary;
+    // pure per-row array arithmetic, map-side only. At scale a real
+    // blocklist (thousands of terms) broadcasts and this same filter
+    // becomes an array_intersect against the broadcast set.
+    Q("t14_blocklist",
+      Some("""SELECT doc_id,
+             |  cast(len(ts) AS BIGINT) AS n_tokens,
+             |  cast(len(list_filter(ts,
+             |       t -> list_contains(['slow','big','merge'], t))) AS BIGINT)
+             |    AS n_blocked,
+             |  CASE WHEN len(list_filter(ts,
+             |       t -> list_contains(['slow','big','merge'], t))) * 20 > len(ts)
+             |       THEN 1 ELSE 0 END AS blocked
+             |FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ts
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => T.documents(s, d)
+        .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
+        .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+          size(filter(col("ts"),
+            t => t.isInCollection(Seq("slow", "big", "merge"))))
+            .cast("long").as("n_blocked"))
+        .withColumn("blocked",
+          when(col("n_blocked") * 20 > col("n_tokens"), 1).otherwise(0))
+        .orderBy("doc_id"))
   )
 }

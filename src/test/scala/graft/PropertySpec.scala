@@ -223,7 +223,7 @@ class PropertySpec extends AnyFunSuite {
         partitionBy = Seq("year"))
       wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
       (1 to 12).foreach { step =>
-        rnd.nextInt(4) match {
+        rnd.nextInt(5) match {
           case 0 => // append a small batch
             val b = rows(rnd.nextInt(5) + 1)
             model ++= b.map(r => r._1 -> (r._2, r._3))
@@ -244,7 +244,21 @@ class PropertySpec extends AnyFunSuite {
             val delta = existing.map(id => (id, rnd.nextInt(6).toLong,
               rnd.nextInt(100).toLong, 2020)) ++ fresh
             model ++= delta.map(r => r._1 -> (r._2, r._3))
-            wh.merge("b", delta.toDF("id", "g", "v", "year"), keys = Seq("id"))
+            def doMerge(): Unit = wh.merge("b",
+              delta.toDF("id", "g", "v", "year"), keys = Seq("id"))
+            // merge keys partition membership off file paths, so on a
+            // mixed write-time layout it refuses — the documented
+            // remediation is compact-then-retry
+            try doMerge() catch {
+              case e: IllegalArgumentException
+                  if e.getMessage.contains("different partition layout") =>
+                wh.compact("b"); doMerge()
+            }
+          case 4 => // partition evolution: metadata-only layout change —
+            // the MODEL does not change; visible rows must not either
+            // (merge requires SOME partitioning, so evolve year <-> g)
+            val layouts = Seq(Seq("year"), Seq("g"))
+            wh.repartitionTable("b", layouts(rnd.nextInt(layouts.size)))
         }
         wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
         // table ≡ model
