@@ -376,6 +376,55 @@ object Similarity {
       .limit(topK)
   }
 
+  /** IVF-PQ — the production ANN composition (e7's coarse cells ×
+    * e12's product-quantized ranking): a coarse quantizer restricts
+    * the search to the query's cell, ADC table lookups over STORED
+    * 8-byte codes rank inside it, and an exact re-rank of the
+    * overqueried candidates settles the final order. At 100 TB the
+    * cell id is a partition key and a query scans ONE partition's code
+    * column — 1/k of the corpus × 32× smaller rows than float32; no
+    * float vector outside the ≤ overquery·topK re-rank set is ever
+    * read. Cells are the nearest label centroid by cosine (the e7
+    * coarse partition) over the L2-normalized corpus, so PQ's L2 ADC
+    * ranks by cosine inside each cell. */
+  def annIvfPq(s: SparkSession, d: String, topK: Int = 10,
+      overquery: Int = 5, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+    val emb = T.embeddings(s, d)
+    val unit = l2Normalized(emb).localCheckpoint()
+    // coarse quantizer = Lloyd over the FULL unit vectors — pqTrain
+    // with m=1 IS k-means (one subspace covering the whole dimension),
+    // so the cells are geometric neighborhoods, not class labels; on
+    // unit vectors L2-nearest ≡ cosine-nearest
+    val coarse = pqTrain(unit, m = 1, k = nCells, iters = 3).localCheckpoint()
+    // cell assignment falls out of the same encoder: a 1-subspace code
+    // is one byte naming the nearest coarse centroid
+    val cellOf = pqCodes(unit, coarse, m = 1)
+      .select(col("vec_id"), element_at(col("codes"), 1).cast("int").as("cell"))
+    val codebook = pqTrain(unit, iters = 6).localCheckpoint()
+    val codes = pqCodes(unit, codebook).join(cellOf, "vec_id")
+    val q = unit.filter(col("vec_id") === QUERY_ID)
+      .select("embedding").first().getSeq[Double](0)
+    // multi-probe: the query's nProbe nearest cells (the IVF recall
+    // lever — a boundary query's neighbors straddle cells). nCells
+    // rows collected, like the codebook.
+    val qlit = array(q.map(lit): _*)
+    val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
+      .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    // ADC-rank ONLY the probed cells' stored codes, overquery,
+    // exact-cosine re-rank
+    val cands = pqRank(
+      codes.filter(col("cell").isin(probed: _*)).select("vec_id", "codes"),
+      codebook, q, topK = overquery * topK)
+    withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+
   /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
     * only from shared LSH buckets, exact-decimal cosine verification.
     * Shared by d7 (pair listing) and d8 (component resolution).
@@ -804,6 +853,14 @@ object Similarity {
                 VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
-      })
+      }),
+
+    // E13 — IVF-PQ, the full production composition (see [[annIvfPq]]):
+    // e7's coarse cells bound the scan to 1/k of the corpus, e12's
+    // stored codes rank it 32× smaller than float32, exact re-rank
+    // settles the top-k. Correctness story (no SQL oracle can train
+    // the codebook): SimilaritySpec asserts recall@10 vs the exact e1
+    // ranking, like e9/e12.
+    Q("e13_ivf_pq_topk", None, (s, d) => annIvfPq(s, d, topK = TOP_K))
   )
 }

@@ -270,4 +270,18 @@ class SimilaritySpec extends AnyFunSuite {
     info(s"PQ recall@10 = $recall/10")
     assert(recall >= 7, s"PQ recall@10 too low: exact=$exact pq=$pq")
   }
+
+  test("ivf-pq: e13 cell-bounded ADC ranking preserves recall@10 against exact e1") {
+    // the composition loses only what the coarse partition cuts away:
+    // same independent check as e12, with the query's own vector
+    // guaranteed recoverable (it is in its own cell by construction)
+    val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    val got = SparkEntry.queries("e13_ivf_pq_topk")(spark, sf).collect()
+    assert(got.head.getLong(0) == 0L, got.map(_.getLong(0)).toSeq.toString)
+    val recall = (exact intersect got.map(_.getLong(0)).toSet).size
+    info(s"IVF-PQ recall@10 = $recall/10")
+    assert(recall >= 6, s"IVF-PQ recall@10 too low: exact=$exact " +
+      s"got=${got.map(_.getLong(0)).toSet}")
+  }
 }
