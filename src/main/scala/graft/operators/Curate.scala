@@ -6,9 +6,10 @@ import org.apache.spark.sql.functions._
 
 /** End-to-end corpus curation — the composition the operator families
   * exist for: one call takes a raw documents table through the quality
-  * gate, exact and near dedup, benchmark decontamination, and
-  * split/shard assignment, each stage being an already-oracle-checked
-  * operator (t2, d2, d4+d8+d9, d10, sp1+sp4).
+  * gate, the blocklist safety gate, exact and near dedup, benchmark
+  * decontamination, temperature rebalancing, and split/shard
+  * assignment, each stage being an already-oracle-checked operator
+  * (t2, t14, d2, d4+d8+d9, d10, sp7, sp1+sp4).
   *
   * Scale shape, by construction of the stages it composes: the text
   * payload never enters a quadratic path (near-dup candidates are
@@ -23,19 +24,26 @@ import org.apache.spark.sql.functions._
   */
 object Curate {
 
-  /** Per-stage survivor counts of one [[curate]] run. */
+  /** Per-stage survivor counts of one [[curate]] run. Skipped stages
+    * (empty blocklist / no rebalance column) report the incoming
+    * count unchanged. */
   final case class Report(input: Long, afterQuality: Long,
-      afterExact: Long, afterNear: Long, afterDecontam: Long,
+      afterBlocklist: Long, afterExact: Long, afterNear: Long,
+      afterDecontam: Long, afterRebalance: Long,
       trainDocs: Long, shards: Long)
 
   /** Runs the full pipeline over `docs` (needs `doc_id` long + `text`
     * string). `benchDocs` is the held-out eval suite for the
-    * decontamination sweep (same shape). Returns the curated corpus —
-    * original columns + `n_tokens`, `quality`, `split`, `shard` — and
-    * the per-stage report. */
+    * decontamination sweep (same shape). `blocklist` terms arm the t14
+    * safety gate (docs over 5% blocked tokens drop — the exact-integer
+    * flag); `rebalanceBy` names a stratum column (e.g. `lang`) to arm
+    * the sp7 temperature resample after cleaning. Returns the curated
+    * corpus — original columns + `n_tokens`, `quality`, `split`,
+    * `shard` — and the per-stage report. */
   def curate(docs: DataFrame, benchDocs: DataFrame,
       minQuality: Double = 0.3, k: Int = 16, bands: Int = 4,
-      jaccard: Double = 0.6, tokensPerShard: Long = 4096L)
+      jaccard: Double = 0.6, tokensPerShard: Long = 4096L,
+      blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None)
       : (DataFrame, Report) = {
     val input = docs.count()
 
@@ -52,10 +60,21 @@ object Curate {
     val qualified = scored.filter(col("quality") >= minQuality)
     val nQuality = qualified.count()
 
+    // 1b — blocklist safety gate (t14): per-row term hits against the
+    // (broadcast-literal) list, keep/drop decided by the exact integer
+    // rendering of rate > 5% — no float boundary, map-side only
+    val safe =
+      if (blocklist.isEmpty) qualified
+      else qualified
+        .withColumn("__nb", size(filter(TextAnalysis.tokens(col("text")),
+          t => t.isInCollection(blocklist))).cast("long"))
+        .filter(!(col("__nb") * 20 > col("n_tokens"))).drop("__nb")
+    val nSafe = if (blocklist.isEmpty) nQuality else safe.count()
+
     // 2 — exact dedup on the d2 normalized fingerprint: smallest id
     // survives; one window over the 16-byte digest, text never shuffles
     val wFp = Window.partitionBy("fp").orderBy("doc_id")
-    val exactKeep = qualified
+    val exactKeep = safe
       .withColumn("fp", TextAnalysis.fingerprint(col("text")))
       .withColumn("rk", row_number().over(wFp))
       .filter(col("rk") === 1).drop("rk", "fp")
@@ -87,12 +106,31 @@ object Curate {
     val clean = nearKeep.join(dirty, Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 
+    // 4b — temperature rebalance (sp7): per-stratum keep rate
+    // sqrt(cnt_min/cnt) over md5 buckets — run AFTER cleaning so the
+    // strata counts reflect what dedup/decontamination left; the
+    // smallest stratum keeps everything by construction
+    val rebalanced = rebalanceBy match {
+      case None => clean
+      case Some(strat) =>
+        val cnts = clean.groupBy(strat).agg(count(lit(1)).as("__cnt"))
+        val cmin = cnts.agg(min("__cnt").as("__cmin"))
+        val rates = cnts.crossJoin(broadcast(cmin))
+          .select(col(strat),
+            floor(sqrt(col("__cmin").cast("double") / col("__cnt")) * 10000)
+              .cast("long").as("__th"))
+        clean.join(broadcast(rates), strat)
+          .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("__th"))
+          .drop("__th")
+    }
+    val nRebalanced = if (rebalanceBy.isEmpty) nClean else rebalanced.count()
+
     // 5 — deterministic split + token-budget shard packing (sp1 + sp4):
     // membership is a pure function of id; shards cut a per-split
     // md5-ordered prefix sum at the token budget
     val wShard = Window.partitionBy("split")
       .orderBy(md5(col("doc_id").cast("string")))
-    val out = clean
+    val out = rebalanced
       .withColumn("split", Sampling.splitLabel(col("doc_id")))
       .withColumn("shard",
         floor((sum("n_tokens").over(wShard) - col("n_tokens")) /
@@ -100,6 +138,7 @@ object Curate {
     val nTrain = out.filter(col("split") === "train").count()
     val nShards = out.select("split", "shard").distinct().count()
 
-    (out, Report(input, nQuality, nExact, nNear, nClean, nTrain, nShards))
+    (out, Report(input, nQuality, nSafe, nExact, nNear, nClean,
+      nRebalanced, nTrain, nShards))
   }
 }

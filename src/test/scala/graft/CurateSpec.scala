@@ -57,17 +57,39 @@ class CurateSpec extends AnyFunSuite {
       out.select("doc_id", "split", "shard")).count() == 0)
   }
 
-  test("curate runs over the real documents table") {
+  test("curate: blocklist gate drops unsafe docs, skipped stages report pass-through") {
+    import spark.implicits._
+    val ok = (1L to 10L).map(i => (i, sentence(i.toInt, 60)))
+    // > 5% blocked tokens (the t14 threshold): 12 hits in ~196 tokens = 6%
+    val unsafe = Seq((501L, sentence(11, 60) + (" badword" * 12)))
+    val docs = (ok ++ unsafe).toDF("doc_id", "text")
+    val bench = Seq((9001L, "unrelated bench words only")).toDF("doc_id", "text")
+    val (out, rep) = Curate.curate(docs, bench, minQuality = 0.3,
+      blocklist = Seq("badword"))
+    assert(rep.afterQuality == 11 && rep.afterBlocklist == 10, rep.toString)
+    assert(!out.select("doc_id").as[Long].collect().contains(501L))
+    // without a blocklist the stage reports the incoming count unchanged
+    val (_, rep2) = Curate.curate(docs, bench, minQuality = 0.3)
+    assert(rep2.afterBlocklist == rep2.afterQuality)
+    assert(rep2.afterRebalance == rep2.afterDecontam)
+  }
+
+  test("curate runs over the real documents table, rebalanced by language") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // held-out bench = one source, train = the rest (the d10 framing)
     val (out, rep) = Curate.curate(
       docs.filter(col("source") =!= "src0"),
-      docs.filter(col("source") === "src0"))
+      docs.filter(col("source") === "src0"),
+      rebalanceBy = Some("lang"))
     assert(rep.input > 0 && rep.afterDecontam > 0)
     assert(rep.input >= rep.afterQuality)
-    assert(rep.afterQuality >= rep.afterExact)
+    assert(rep.afterQuality >= rep.afterBlocklist)
+    assert(rep.afterBlocklist >= rep.afterExact)
     assert(rep.afterExact >= rep.afterNear)
     assert(rep.afterNear >= rep.afterDecontam)
+    assert(rep.afterDecontam >= rep.afterRebalance && rep.afterRebalance > 0)
+    // the dominant language was thinned toward the flattened mix: no
+    // language may exceed its pre-rebalance share by construction
     assert(out.columns.toSet.contains("shard"))
   }
 }
