@@ -90,6 +90,11 @@ object GraftSqlParser {
       """(?:\s+GRACE\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // Delta-familiar recluster forms; ZORDER needs >= 2 columns (one
+  // column is linear clustering — same rule as the programmatic API)
+  private val OptimizeCluster =
+    ("""(?is)^\s*OPTIMIZE\s+([\w]+)\s+(ZORDER|CLUSTER)\s+BY""" +
+      """\s*\(([^)]*)\)\s*;?\s*$""").r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
   private val Clone =
@@ -281,6 +286,14 @@ object GraftSqlParser {
             wh.vacuum(table, graceMs,
               keepVersions = Option(retain).map(_.toInt).getOrElse(1))
             Seq(Row("OK"))
+          }
+        }
+      case OptimizeCluster(table, kind, cols) =>
+        boundTable(session, table).map { wh =>
+          val cs = cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          val isZ = kind.equalsIgnoreCase("ZORDER")
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.recluster(table, cs, zorder = isZ); Seq(Row("OK"))
           }
         }
       case Optimize(table, where) =>

@@ -179,6 +179,24 @@ class SqlSurfaceSpec extends AnyFunSuite {
     spark.sql("DROP TABLE IF EXISTS never_was")
   }
 
+  test("OPTIMIZE ... ZORDER/CLUSTER BY reclusters via SQL") {
+    val dir = tmp("wh_ozb")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", spark.range(100).select(col("id").as("a"),
+      (col("id") * 7 % 13).as("b")))
+    spark.sql("OPTIMIZE t ZORDER BY (a, b)")
+    val detail = wh.describeDetail("t").toMap
+    assert(detail("clusterKind") == "zorder", detail.toString)
+    assert(detail("clusterColumns") == "a,b", detail.toString)
+    assert(wh.table("t").count() == 100)
+    spark.sql("OPTIMIZE t CLUSTER BY (a)")
+    assert(wh.describeDetail("t").toMap.apply("clusterKind") == "linear")
+    // one-column ZORDER refuses (linear clustering covers it)
+    val e = intercept[Exception](
+      spark.sql("OPTIMIZE t ZORDER BY (a)").collect())
+    assert(e.getMessage.contains("zorder"), e.getMessage)
+  }
+
   test("REFRESH TABLE picks up another instance's commits") {
     import spark.implicits._
     val dir = tmp("wh_refresh")
