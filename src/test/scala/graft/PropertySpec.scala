@@ -209,6 +209,10 @@ class PropertySpec extends AnyFunSuite {
     (1 to 3).foreach { run =>
       val dir = java.nio.file.Files.createTempDirectory(s"wh_prop$run").toString
       val wh = new graft.olist.Warehouse(spark, dir)
+      // run 3 also fuzzes auto-compaction: inline compact commits ride
+      // random appends and must never change visible rows or the MV
+      if (run == 3) spark.conf.set("graft.autocompact.minFiles", "6")
+      try {
       // model: a mutable reference map the warehouse must always match
       var model = Map.empty[Long, (Long, Long)] // id -> (g, v)
       var nextId = 0L
@@ -272,6 +276,7 @@ class PropertySpec extends AnyFunSuite {
         val mv = wh.table("mv").as[(Long, Long, Long)].collect().toSet
         assert(mv == expect, s"run $run step $step: MV drifted")
       }
+      } finally spark.conf.unset("graft.autocompact.minFiles")
     }
   }
 
