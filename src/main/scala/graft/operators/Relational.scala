@@ -1251,6 +1251,24 @@ object Relational {
           .orderBy("col_name")
       }),
 
+    // P12 — IN subquery: the membership form completing the subquery
+    // triple (p8/p10 scalar, p11 EXISTS, p6 the NOT-IN anti). Catalyst
+    // rewrites it to the same LEFT SEMI join as EXISTS — the subquery
+    // materializes once, never per-row.
+    Q("p12_in_subquery",
+      Some("""SELECT o_orderkey, o_totalprice FROM orders
+             |WHERE o_custkey IN (SELECT c_custkey FROM customer
+             |                    WHERE c_mktsegment = 'BUILDING')
+             |ORDER BY o_orderkey""".stripMargin),
+      (s, d) => {
+        T.orders(s, d).createOrReplaceTempView("p12_orders")
+        T.customer(s, d).createOrReplaceTempView("p12_customer")
+        s.sql("""SELECT o_orderkey, o_totalprice FROM p12_orders
+                |WHERE o_custkey IN (SELECT c_custkey FROM p12_customer
+                |                    WHERE c_mktsegment = 'BUILDING')
+                |ORDER BY o_orderkey""".stripMargin)
+      }),
+
     // W9 — FIRST_VALUE/LAST_VALUE over an explicit full-partition
     // frame. The SQL default frame ends at CURRENT ROW, which makes
     // last_value degenerate to the current row — both engines require
