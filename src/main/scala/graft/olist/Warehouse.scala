@@ -30,12 +30,14 @@ import org.apache.spark.sql.functions._
   * tables additionally get per-column NDV stats (the join-reorder and
   * broadcast-threshold inputs).
   */
-class Warehouse(spark: SparkSession, basePath: String,
+class Warehouse(val spark: SparkSession, basePath: String,
     format: String = "parquet", database: Option[String] = None,
     lockAcquireMs: Long = 30000, val lockStaleMs: Long = 600000,
     checkpointEvery: Int = 16) {
   import Normalize.norm
   import Warehouse.{DataFile, ColRange}
+
+  private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
 
   require(Seq("parquet", "orc", "json", "csv").contains(format),
     s"unsupported warehouse format: $format")
@@ -439,9 +441,12 @@ class Warehouse(spark: SparkSession, basePath: String,
     * the graft-changes source) refuses loudly — leave the knob unset
     * on tables consumed as feeds (the row-level feed handles rewrites
     * fine). */
-  private def maybeAutoCompact(name: String, touched: Set[String]): Unit = {
+  private def maybeAutoCompact(name: String, touched: Set[String]): Unit = try {
+    // best-effort means EXACTLY that: a malformed knob value or a
+    // cross-process commit conflict during the compaction's own commit
+    // must not make the append that already succeeded look failed
     val minFiles = spark.conf.getOption("graft.autocompact.minFiles")
-      .map(_.toInt).getOrElse(0)
+      .flatMap(_.trim.toIntOption).getOrElse(0)
     if (minFiles > 0) withCommitLock(name) {
       currentManifestFull(name).foreach { case (_, cur, meta) =>
         val parts = partitionColsOf(name)
@@ -465,6 +470,9 @@ class Warehouse(spark: SparkSession, basePath: String,
         }
       }
     }
+  } catch {
+    case scala.util.control.NonFatal(e) =>
+      log.warn(s"auto-compaction of $name skipped: ${e.getMessage}")
   }
 
   /** RENAME COLUMN, metadata-only at any table size: the column keeps
@@ -1662,16 +1670,24 @@ class Warehouse(spark: SparkSession, basePath: String,
         writeRecord(txnDir(name), manifestPath(name, floor),
           (metaLines(fMeta) ++ fFiles.map(encodeFile)).mkString("\n"))
       }
-      fs.listStatus(txnDir(name)).foreach { st =>
-        val doomedVer = st.getPath.getName match {
-          case ManifestName(ver) => Some(ver.toLong)
-          case DeltaName(ver) => Some(ver.toLong)
-          case _ => None
-        }
-        doomedVer.filter(_ < floor).foreach { ver =>
-          fs.delete(st.getPath, false)
-          // the version's row-level change files share its lifecycle
-          fs.delete(changesDir(name, ver), true)
+      // The record sweep destroys the floor's ancestors, so it may only
+      // run once the checkpoint is DURABLY published: a transiently
+      // failed rename (not already-exists — writeRecord is idempotent
+      // there) would otherwise leave floor..head permanently
+      // unresolvable. Skipping is safe — the data-file sweep above
+      // already ran, and the next vacuum retries the checkpoint.
+      if (fs.exists(manifestPath(name, floor))) {
+        fs.listStatus(txnDir(name)).foreach { st =>
+          val doomedVer = st.getPath.getName match {
+            case ManifestName(ver) => Some(ver.toLong)
+            case DeltaName(ver) => Some(ver.toLong)
+            case _ => None
+          }
+          doomedVer.filter(_ < floor).foreach { ver =>
+            fs.delete(st.getPath, false)
+            // the version's row-level change files share its lifecycle
+            fs.delete(changesDir(name, ver), true)
+          }
         }
       }
     }

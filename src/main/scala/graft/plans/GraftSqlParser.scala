@@ -172,33 +172,86 @@ object GraftSqlParser {
         if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
         else s + " 00:00:00").toInstant)
 
+  /** Spans of `s` that are string literals (single- or double-quoted,
+    * with `''`/backslash escapes), backtick-quoted identifiers, `--`
+    * line comments, or (nested) bracketed comments — regions where
+    * time-travel syntax is DATA, not syntax, and must never rewrite. */
+  private[plans] def protectedSpans(s: String): Seq[(Int, Int)] = {
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    val n = s.length
+    var i = 0
+    while (i < n) {
+      s.charAt(i) match {
+        case q @ ('\'' | '"') =>
+          val start = i; i += 1
+          var open = true
+          while (i < n && open) {
+            if (s.charAt(i) == '\\' && i + 1 < n) i += 2
+            else if (s.charAt(i) == q && i + 1 < n && s.charAt(i + 1) == q) i += 2
+            else if (s.charAt(i) == q) { open = false; i += 1 }
+            else i += 1
+          }
+          spans += ((start, i))
+        case '`' =>
+          val start = i; i += 1
+          while (i < n && s.charAt(i) != '`') i += 1
+          if (i < n) i += 1
+          spans += ((start, i))
+        case '-' if i + 1 < n && s.charAt(i + 1) == '-' =>
+          val start = i
+          while (i < n && s.charAt(i) != '\n') i += 1
+          spans += ((start, i))
+        case '/' if i + 1 < n && s.charAt(i + 1) == '*' =>
+          val start = i; i += 2
+          var depth = 1
+          while (i < n && depth > 0) {
+            if (i + 1 < n && s.charAt(i) == '/' && s.charAt(i + 1) == '*') {
+              depth += 1; i += 2
+            } else if (i + 1 < n && s.charAt(i) == '*' &&
+              s.charAt(i + 1) == '/') { depth -= 1; i += 2 }
+            else i += 1
+          }
+          spans += ((start, i))
+        case _ => i += 1
+      }
+    }
+    spans.toSeq
+  }
+
+  private def inSpan(spans: Seq[(Int, Int)], pos: Int): Boolean =
+    spans.exists { case (a, b) => pos >= a && pos < b }
+
   /** Read-side time travel: rewrite every `table VERSION AS OF n`
     * reference bound to this session's warehouse into a temp view over
     * [[graft.olist.Warehouse.tableAt]] (an immutable file list — the
     * registration is metadata-only, so EXPLAIN of a time-travel query
     * stays side-effect-free on the data). Unbound names pass through
-    * untouched, so catalog tables keep Spark's own AS OF semantics. */
+    * untouched, so catalog tables keep Spark's own AS OF semantics.
+    * Matches beginning inside a string literal, quoted identifier, or
+    * comment are data, not syntax — left byte-identical. */
   private[plans] def rewriteTimeTravel(session: SparkSession,
       sqlText: String): String = {
+    val vSpans = protectedSpans(sqlText)
     val byVersion = VersionAsOf.replaceAllIn(sqlText, m => {
       val (t, v) = (m.group(1), m.group(2).toLong)
       boundTable(session, t) match {
-        case Some(wh) =>
+        case Some(wh) if !inSpan(vSpans, m.start) =>
           val view = s"graft_tt_${t}_v$v"
           wh.tableAt(t, v).createOrReplaceTempView(view)
           scala.util.matching.Regex.quoteReplacement(view)
-        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
+    val tSpans = protectedSpans(byVersion)
     TimestampAsOf.replaceAllIn(byVersion, m => {
       val t = m.group(1)
       boundTable(session, t) match {
-        case Some(wh) =>
+        case Some(wh) if !inSpan(tSpans, m.start) =>
           val ts = parseInstant(m.group(2))
           val view = s"graft_tt_${t}_t${math.abs(ts.toEpochMilli)}"
           wh.tableAtTime(t, ts).createOrReplaceTempView(view)
           scala.util.matching.Regex.quoteReplacement(view)
-        case None => scala.util.matching.Regex.quoteReplacement(m.matched)
+        case _ => scala.util.matching.Regex.quoteReplacement(m.matched)
       }
     })
   }
@@ -230,9 +283,17 @@ object GraftSqlParser {
             val positional = df.toDF(target.fieldNames.toIndexedSeq: _*)
               .select(target.map(f =>
                 expr(s"`${f.name}`").cast(f.dataType).as(f.name)): _*)
-            val n = positional.count()
-            wh.append(table, positional)
-            Seq(Row(n))
+            // one materialization serves both the count and the append:
+            // a non-deterministic body (rand(), current_timestamp, a
+            // concurrently-changing source) must not insert rows that
+            // differ from the ones counted, and every INSERT paying
+            // double execution is pure waste
+            positional.persist()
+            try {
+              val n = positional.count()
+              wh.append(table, positional)
+              Seq(Row(n))
+            } finally positional.unpersist()
           }
         }
       case Ctas(orReplace, ifNotExists, table, parts, kind, clusters, body) =>

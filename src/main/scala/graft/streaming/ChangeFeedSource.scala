@@ -30,7 +30,8 @@ import org.apache.spark.sql.types.StructType
 class ChangeFeedSource(wh: Warehouse, table: String,
     startingVersion: Long, tableSchema: StructType,
     rows: Boolean = false,
-    maxVersionsPerTrigger: Option[Long] = None) extends Source {
+    maxVersionsPerTrigger: Option[Long] = None,
+    metadataPath: Option[String] = None) extends Source {
 
   override def schema: StructType = tableSchema
 
@@ -40,11 +41,48 @@ class ChangeFeedSource(wh: Warehouse, table: String,
     case other => other.json.trim.toLong
   }
 
+  /** The offer cursor must survive restarts: when the last batch was
+    * COMMITTED before a restart, Spark calls getOffset with no prior
+    * getBatch replay, so an in-memory-only cursor would re-base the cap
+    * on startingVersion and offer an offset BELOW the engine's committed
+    * one — Spark commits the regression and capped batches re-deliver
+    * already-committed versions. Durable scheme: one empty marker file
+    * `v<N>` per advance under the engine-provided metadataPath (the name
+    * IS the value, so a torn write can't corrupt it; load takes the max,
+    * so a crash between create and cleanup is harmless). Only capped
+    * feeds pay the I/O — without a cap the head is always offered and
+    * can't regress. */
+  private def cursorDir: Option[org.apache.hadoop.fs.Path] =
+    metadataPath.filter(_ => maxVersionsPerTrigger.isDefined)
+      .map(p => new org.apache.hadoop.fs.Path(p, "graft-offer"))
+
+  private def cursorFs(d: org.apache.hadoop.fs.Path) =
+    d.getFileSystem(wh.spark.sparkContext.hadoopConfiguration)
+
+  private def loadCursor(): Long = cursorDir.flatMap { d =>
+    val fs = cursorFs(d)
+    if (!fs.exists(d)) None
+    else fs.listStatus(d).toSeq
+      .flatMap(s => s.getPath.getName.stripPrefix("v").toLongOption)
+      .maxOption
+  }.getOrElse(startingVersion)
+
+  private def persistCursor(v: Long): Unit = cursorDir.foreach { d =>
+    val fs = cursorFs(d)
+    fs.mkdirs(d)
+    fs.create(new org.apache.hadoop.fs.Path(d, s"v$v"), true).close()
+    fs.listStatus(d).foreach { s =>
+      if (s.getPath.getName.stripPrefix("v").toLongOption.exists(_ < v))
+        fs.delete(s.getPath, false)
+    }
+  }
+
   /** Last offset this source has published — the rate-limit cursor.
     * Spark's planner calls getOffset before committing the previous
     * batch, so the cap must advance from what WE last offered, not
-    * from the engine's committed offset (which trails by one batch). */
-  @volatile private var lastOffered: Long = startingVersion
+    * from the engine's committed offset (which trails by one batch).
+    * Seeded from the durable marker on (re)construction. */
+  @volatile private var lastOffered: Long = loadCursor()
 
   override def getOffset: Option[Offset] = {
     val head = wh.tableVersions(table).lastOption.getOrElse(0L)
@@ -57,7 +95,10 @@ class ChangeFeedSource(wh: Warehouse, table: String,
       case None => head
     }
     if (capped <= startingVersion) None
-    else { lastOffered = capped; Some(LongOffset(capped)) }
+    else {
+      if (capped > lastOffered) { lastOffered = capped; persistCursor(capped) }
+      Some(LongOffset(capped))
+    }
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
@@ -66,7 +107,7 @@ class ChangeFeedSource(wh: Warehouse, table: String,
     // restart recovery replays the last uncommitted window via
     // getBatch before any getOffset call — advance the rate-limit
     // cursor so the next offer never moves backward past it
-    if (to > lastOffered) lastOffered = to
+    if (to > lastOffered) { lastOffered = to; persistCursor(to) }
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(
       if (rows) wh.tableChangesRows(table, from, to)
       else wh.tableChanges(table, from, to))
@@ -151,6 +192,7 @@ class ChangeFeedProvider extends StreamSourceProvider with DataSourceRegister {
       parameters: Map[String, String]): Source = {
     val (wh, table, start, rows, maxPerTrigger) = resolve(sqlContext, parameters)
     new ChangeFeedSource(wh, table, start,
-      feedSchema(wh, table, schema, rows), rows, maxPerTrigger)
+      feedSchema(wh, table, schema, rows), rows, maxPerTrigger,
+      Option(metadataPath).filter(_.nonEmpty))
   }
 }

@@ -146,6 +146,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(batchSizes.forall(_ <= 2), batchSizes.toString)
   }
 
+  test("change-feed rate-limit cursor survives restart: never re-offers below a committed offset") {
+    import graft.olist.Warehouse
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_cdccursor").toString
+    val meta = java.nio.file.Files.createTempDirectory("wh_cdccursor_meta").toString
+    val wh = new Warehouse(spark, dir)
+    wh.save("src", Seq((1L, "a")).toDF("k", "v").coalesce(1))          // v1
+    (2L to 6L).foreach(i =>
+      wh.append("src", Seq((i, "x")).toDF("k", "v").coalesce(1)))      // v2..v6
+    val schema = wh.table("src").schema
+    def mkSource() = new graft.streaming.ChangeFeedSource(wh, "src", 0L,
+      schema, maxVersionsPerTrigger = Some(2L), metadataPath = Some(meta))
+    def offer(s: graft.streaming.ChangeFeedSource): Long =
+      s.getOffset.get.json.trim.toLong
+    // first incarnation drains two capped offers: 2, then 4
+    val a = mkSource()
+    assert(offer(a) == 2L)
+    assert(offer(a) == 4L)
+    // the engine commits offset 4 and the process restarts WITHOUT an
+    // uncommitted batch to replay: getOffset is the first call on the
+    // new incarnation. An in-memory-only cursor would re-base the cap
+    // on startingVersion and offer 2 — below the committed 4 — so
+    // versions 3..4 would be delivered twice. The durable cursor must
+    // resume the cap from 4 and offer 6.
+    val b = mkSource()
+    val first = offer(b)
+    assert(first == 6L, s"offer regressed to $first after restart (committed 4)")
+  }
+
   test("streaming sessionization carries state across micro-batches and flushes by timeout") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -293,4 +293,44 @@ class SqlSurfaceSpec extends AnyFunSuite {
       spark.sql("DELETE FROM plain_view WHERE k = 1").collect()
     }
   }
+
+  test("time-travel syntax inside string literals and comments is data, not syntax") {
+    import spark.implicits._
+    val dir = tmp("wh_sqlttlit")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("ttl", spark.range(10).toDF("k").coalesce(1)) // v1
+    wh.delete("ttl", col("k") >= 5)                       // v2
+    // the literal must survive byte-identical — a naive regex rewrite
+    // would corrupt it into a temp-view name
+    val lit = spark.sql("SELECT 'ttl VERSION AS OF 1' AS s")
+      .as[String].collect()(0)
+    assert(lit == "ttl VERSION AS OF 1", lit)
+    // and a commented-out AS OF clause is inert while the live one fires
+    val mixed = spark.sql(
+      """SELECT count(*) AS c -- was: FROM ttl VERSION AS OF 1
+        |FROM ttl VERSION AS OF 2""".stripMargin).as[Long].collect()(0)
+    assert(mixed == 5, s"comment span leaked into the rewrite: $mixed")
+    val block = spark.sql(
+      "SELECT count(*) AS c FROM ttl VERSION AS OF 1 /* ttl VERSION AS OF 2 */")
+      .as[Long].collect()(0)
+    assert(block == 10, s"block-comment span leaked: $block")
+  }
+
+  test("INSERT INTO executes a non-deterministic body exactly once") {
+    import spark.implicits._
+    val dir = tmp("wh_sqlins1x")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t1x", Seq.empty[(Long, Long)].toDF("k", "v"))
+    // rand() makes every execution of the body a different row set: the
+    // reported count only equals the landed count if the frame was
+    // materialized ONCE for both (10k trials — independent draws
+    // collide with probability < 1%)
+    val reported = spark.sql(
+      "INSERT INTO t1x SELECT id, id FROM range(10000) WHERE rand() < 0.5")
+      .collect()(0).getAs[Long]("rows_inserted")
+    val landed = wh.table("t1x").count()
+    assert(reported == landed,
+      s"body ran twice: counted $reported, landed $landed")
+    assert(landed > 0)
+  }
 }
