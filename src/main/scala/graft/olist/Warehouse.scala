@@ -1742,8 +1742,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
     else {
-      val colMap = colMapOpt.getOrElse(currentManifestFull(name)
+      val manifest = currentManifestFull(name)
+      val colMap = colMapOpt.getOrElse(manifest
         .map(m => colMapOf(m._3)).getOrElse(Map.empty))
+      // per-file stats/blooms of the CURRENT snapshot, for read-path
+      // file skipping — files are immutable once committed, so current
+      // stats stay valid for any path they describe (a historical
+      // path absent here just reads unpruned)
+      val statsBy: Map[String, DataFile] =
+        manifest.map(_._2.iterator.map(df => df.path -> df).toMap)
+          .getOrElse(Map.empty)
       val phys =
         if (colMap.isEmpty || sc.isEmpty) sc
         else org.apache.spark.sql.types.StructType(sc.map(f =>
@@ -1758,22 +1766,67 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // group resolves the full logical column set — a column is in
       // the data file whenever it was not a partition column at that
       // file's write time, and in the directory names whenever it was.
-      def load(owner: String, fs: Seq[String]): DataFrame = {
-        val r = spark.read.format(format).option("header", "true")
-        (if (phys.isEmpty) r else r.schema(phys))
-          .option("basePath", s"$basePath/$owner")
-          .load(fs.map(f => s"$basePath/$name/$f"): _*)
-      }
-      val raw = files
+      val groups = files
         .groupBy(f => (normalizedRel(name, f).takeWhile(_ != '/'), schemeOf(f)))
         .toSeq.sortBy { case ((owner, scheme), _) =>
           (owner, scheme.mkString(",")) }
-        .map { case ((owner, _), fs) => load(owner, fs) }
+      // manifest row count reaches the CBO only when this read IS the
+      // whole current snapshot in one group (the common table read) —
+      // a subset or a unioned mixed layout has no per-group count
+      val cboRows: Option[Long] =
+        if (groups.size == 1 &&
+          manifest.exists(m => m._2.map(_.path).toSet == files.toSet))
+          manifest.flatMap(_._3.get(RowsMeta)).flatMap(_.toLongOption)
+        else None
+      def load(owner: String, fs: Seq[String]): DataFrame =
+        if (phys.isEmpty) {
+          // schema-less pre-manifest read: Spark's own inference path
+          spark.read.format(format).option("header", "true")
+            .option("basePath", s"$basePath/$owner")
+            .load(fs.map(f => s"$basePath/$name/$f"): _*)
+        } else {
+          val opts = Map("basePath" -> s"$basePath/$owner") ++
+            (if (format == "csv") Map("header" -> "true") else Map.empty)
+          val leaves = fs.map(f => qualifiedPath(
+            s"$basePath/${normalizedRel(name, f)}"))
+          val index = new org.apache.spark.sql.graft.PruningFileIndex(
+            spark, leaves, opts, phys, groupPruner(name, fs, statsBy, phys))
+          org.apache.spark.sql.graft.PruningFileIndex.relation(
+            spark, index, phys, format, opts, name,
+            catalogStats = cboRows.map(r =>
+              (BigInt(index.sizeInBytes), Some(BigInt(r)))))
+        }
+      val raw = groups.map { case ((owner, _), fs) => load(owner, fs) }
         .reduce(_ unionByName _)
       if (colMap.isEmpty || sc.isEmpty) raw
       else raw.select(sc.map(f =>
         col(colMap.getOrElse(f.name, f.name)).as(f.name)): _*)
     }
+
+  /** File-admission oracle for ONE [[fromFiles]] load group, keyed by
+    * the absolute paths Spark's listing reports. Given the ranges a
+    * query's pushed filters imply, admits exactly the files
+    * [[candidates]] would keep — stats straddle + bloom test — and
+    * every file the manifest has no stats for (absent entry, historical
+    * path, stat-free column): missing knowledge keeps files, never
+    * drops them. */
+  private def groupPruner(name: String, group: Seq[String],
+      statsBy: Map[String, DataFile],
+      phys: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Option[Any], Option[Any])] => (String => Boolean) = {
+    lazy val byAbs: Map[String, DataFile] = group.iterator.flatMap { f =>
+      statsBy.get(f).map(df =>
+        qualifiedPath(s"$basePath/${normalizedRel(name, f)}").toUri.getPath -> df)
+    }.toMap
+    triples => {
+      val ranges = triples.map { case (c, lo, hi) => ColRange(c, lo, hi) }
+      if (ranges.isEmpty) _ => true
+      else {
+        val ok = candidates(byAbs.values.toSeq, phys, ranges).map(_.path).toSet
+        abs => byAbs.get(abs).forall(df => ok(df.path))
+      }
+    }
+  }
 
   /** Ordered partition keys a manifest-relative path was written
     * under ("year=2018/month=1/f.parquet" → year, month; unpartitioned

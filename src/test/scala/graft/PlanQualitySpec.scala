@@ -233,6 +233,30 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("path-mode reads surface manifest row counts to the cost-based optimizer") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("wh_cbo").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    wh.save("t", spark.range(12345).toDF("k"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      // the manifest's per-commit row count — no ANALYZE, no scan —
+      // reaches plan statistics exactly
+      val stats = wh.table("t").queryExecution.optimizedPlan.stats
+      assert(stats.rowCount.contains(BigInt(12345)),
+        s"manifest rowCount missing from CBO stats: ${stats.rowCount}")
+      // EXPLAIN COST renders it (scientific notation — exactness is
+      // asserted on the stats object above)
+      val cost = wh.table("t").queryExecution.stringWithStats
+      assert(cost.contains("rowCount=1.23E+4"), cost.take(500))
+      // and it tracks commits: stats always describe the CURRENT snapshot
+      wh.delete("t", col("k") >= 12000L)
+      val after = wh.table("t").queryExecution.optimizedPlan.stats
+      assert(after.rowCount.contains(BigInt(12000)),
+        s"post-delete rowCount stale: ${after.rowCount}")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("d13_dup_spans: document text never reaches an exchange") {
     // windows hash to 16-byte digests map-side; both shuffles (the
     // per-digest doc count and the per-doc rollup) carry digests and

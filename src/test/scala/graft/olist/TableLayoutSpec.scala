@@ -982,6 +982,106 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 999)
   }
 
+  // ----- AUTOMATIC read-path file skipping --------------------------
+
+  /** Files a (possibly AQE-wrapped) executed plan actually opened,
+    * from the scan node's own metric — the ground truth the
+    * auto-skipping asserts run against. */
+  private def filesRead(df: org.apache.spark.sql.DataFrame): Long = {
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case qs: QueryStageExec => scans(qs.plan) // AQE stages hide their subtree
+      case s: FileSourceScanExec => Seq(s)
+      case other => other.children.flatMap(scans)
+    }
+    scans(df.queryExecution.executedPlan).map(_.metrics("numFiles").value).sum
+  }
+
+  test("auto skipping: plain SQL over dw_ views prunes files like scan(), no hint") {
+    val dir = tmp("wh_autoskip")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(80000).select(col("id").as("k"), (col("id") * 3).as("v"))
+      .repartitionByRange(8, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    // the oracle: what an explicit stats-pruned scan would read
+    val (expect, total) = wh.scanFileCounts("t",
+      Seq(ColRange("k", Some(10000L), Some(14999L))))
+    assert(total == 8 && expect <= 2, s"$expect/$total")
+    val q = spark.sql(
+      "SELECT count(*) AS c, sum(v) AS s FROM dw_t WHERE k BETWEEN 10000 AND 14999")
+    val row = q.collect()(0)
+    assert(row.getLong(0) == 5000)
+    assert(row.getLong(1) == (10000L until 15000L).map(_ * 3).sum)
+    assert(filesRead(q) == expect,
+      s"SQL read ${filesRead(q)} files, stats admit $expect of $total")
+    // the DataFrame API path prunes identically — same relation
+    val d = wh.table("t").filter(col("k") === 42L)
+    assert(d.count() == 1)
+    assert(filesRead(d) <= 2, s"${filesRead(d)} files for a point lookup")
+    // a cast on the COLUMN defeats provability: the read must fall back
+    // to every file rather than skip wrongly (the coerced-literal trap)
+    val c = spark.sql("SELECT count(*) AS c FROM dw_t WHERE CAST(k AS STRING) = '42'")
+    assert(c.collect()(0).getLong(0) == 1)
+    assert(filesRead(c) == total,
+      s"cast-wrapped predicate must not prune: ${filesRead(c)}/$total")
+  }
+
+  test("auto skipping: bloom point lookups and appends through plain SQL") {
+    val dir = tmp("wh_autoskip_bloom")
+    val wh = new Warehouse(spark, dir)
+    spark.conf.set("graft.bloom.items", "6000")
+    try {
+      // hash-partitioned digests: min/max stats are useless (every file
+      // spans the space) — only the per-file bloom sketch can skip
+      val df = spark.range(20000).select(
+        md5(col("id").cast("string")).as("uid"), col("id").as("v"))
+        .repartition(4, col("uid"))
+      wh.save("b", df, bloomBy = Seq("uid"))
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString
+      val present = md5Hex("123")
+      val q = spark.sql(s"SELECT v FROM dw_b WHERE uid = '$present'")
+      val rows = q.collect()
+      assert(rows.length == 1 && rows(0).getAs[Long]("v") == 123L)
+      assert(filesRead(q) == 1,
+        s"bloom lookup should open exactly its file: ${filesRead(q)}/4")
+      // absent key: every sketch rejects — zero files opened
+      val absent = md5Hex("never-written")
+      val q0 = spark.sql(s"SELECT v FROM dw_b WHERE uid = '$absent'")
+      assert(q0.collect().isEmpty)
+      assert(filesRead(q0) == 0, s"absent key opened ${filesRead(q0)} files")
+    } finally spark.conf.unset("graft.bloom.items")
+  }
+
+  test("auto skipping: partition pruning and stats pruning compose in one read") {
+    val dir = tmp("wh_autoskip_part")
+    val wh = new Warehouse(spark, dir)
+    // 2 year-partitions × 4 clustered slices each = 8 files
+    val df = spark.range(8000).select(
+      (lit(2020) + (col("id") % 2)).cast("int").as("year"),
+      col("id").as("k"), (col("id") * 7).as("v"))
+      .repartitionByRange(8, col("year"), col("k"))
+    wh.save("t", df, partitionBy = Seq("year"), clusterBy = Seq("k"))
+    val (_, total) = wh.scanFileCounts("t", Nil)
+    assert(total >= 8, s"setup wants ≥8 files, got $total")
+    // partition filter alone halves the file list (directory pruning);
+    // the k-range then drops clustered slices inside the partition
+    val q = spark.sql(
+      "SELECT count(*) AS c FROM dw_t WHERE year = 2020 AND k < 2000")
+    q.collect()
+    assert(filesRead(q) < total / 2,
+      s"partition+stats should prune below half: ${filesRead(q)}/$total")
+    // correctness against the unpruned rendering
+    val want = wh.table("t")
+      .filter(col("year") === 2020 && col("k") < 2000).count()
+    assert(spark.sql(
+      "SELECT count(*) AS c FROM dw_t WHERE year = 2020 AND k < 2000")
+      .collect()(0).getLong(0) == want)
+  }
+
   test("update: partition-column assignment moves rows across partitions") {
     import spark.implicits._
     val dir = tmp("wh_updpart")
