@@ -18,16 +18,31 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = table(s, d, "lineitem")
-  /** events.parquet stores TIMESTAMP(NANOS) which Spark's reader rejects;
-    * read nanos as long and convert to a microsecond timestamp (integer
-    * division — ns-since-epoch exceeds double's 2^53 mantissa). DuckDB
-    * reads the same column at ns precision; queries must only compare
-    * at ≥ microsecond granularity. */
+  /** events.parquet has stored `ts` two ways across driver testdata
+    * generations: TIMESTAMP(NANOS), which Spark's reader rejects (read
+    * nanos as long via the legacy conf and integer-divide to µs —
+    * ns-since-epoch exceeds double's 2^53 mantissa), or plain
+    * timestamp[us], which Spark reads as TIMESTAMP_NTZ. Both normalize
+    * here to a session-zone µs TIMESTAMP (sessions pin UTC, so the NTZ
+    * cast is value-preserving). DuckDB reads the same column natively;
+    * queries must only compare at ≥ microsecond granularity. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr(
-        "timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+    normalizeTs(table(s, d, "events"))
+  }
+
+  /** Normalize an events frame's `ts` to TimestampType µs regardless of
+    * the on-disk encoding (long nanos / NTZ µs / already LTZ). */
+  def normalizeTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions._
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

@@ -35,7 +35,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
     lockAcquireMs: Long = 30000, val lockStaleMs: Long = 600000,
     checkpointEvery: Int = 16) {
   import Normalize.norm
-  import Warehouse.{DataFile, ColRange}
+  import Warehouse.{DataFile, ColRange, DvRef}
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
 
@@ -1208,30 +1208,34 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // explicit hint ∪ ranges provably implied by the predicate itself
       val cands = candidates(files, sc,
         hint ++ derivedRanges(predicate, sc)).map(_.path)
-      val probe =
-        if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else fromFiles(name, cands, sc)
-          .groupBy(input_file_name().as("__file"))
-          .agg(count(lit(1)).as("__total"),
-            count(when(predicate, lit(1))).as("__matched"))
-          .filter(col("__matched") > 0)
-          .collect()
-      // map probed URIs back to manifest-relative paths by suffix; a
-      // file we KNOW holds matching rows but cannot name would silently
-      // survive the delete — that direction must be loud
-      val matched: Map[String, (Long, Long)] = probe.map { r =>
-        val uri = r.getString(0)
-        val rel = manifestPathOf(name, cands, uri).getOrElse(
-          throw new IllegalStateException(
-            s"delete: cannot resolve probed file $uri back to a manifest path"))
-        rel -> (r.getLong(1), r.getLong(2))
-      }.toMap
+      val matched: Map[String, (Long, Long)] = probeMatches(
+        "delete", name, cands, sc,
+        agg = Seq(count(lit(1)).as("__total"),
+          count(when(predicate, lit(1))).as("__matched")),
+        keepIf = _.getLong(2) > 0).map { case (p, r) =>
+        p -> (r.getLong(1), r.getLong(2)) }
       if (matched.isEmpty)
         Warehouse.DeleteResult(0L, 0, 0, files.size)
       else {
+        val byPath = files.map(f => f.path -> f).toMap
+        // per-file totals are LIVE rows (the probe read is DV-applied),
+        // so a file whose every remaining row matches drops whole even
+        // if an earlier DV already marked part of it
         val droppedWhole = matched.collect {
           case (p, (tot, m)) if m == tot => p }.toSet
-        val rewrite = matched.keySet -- droppedWhole
+        val straddling = matched.keySet -- droppedWhole
+        // deletion-vector policy: a straddling file whose matched
+        // fraction is small takes a DV (the data file survives
+        // byte-identical, only positions are committed) — the point-
+        // delete shape where rewriting a 1 GB file for one row is the
+        // wrong cost model; a file losing a big chunk is rewritten
+        // (its DV would be data-sized, and the rewrite also refreshes
+        // clustering)
+        val dvTargets =
+          if (!dvEnabled) Set.empty[String]
+          else straddling.filter { p =>
+            val (tot, m) = matched(p); m.toDouble / tot <= dvMaxFraction }
+        val rewrite = straddling -- dvTargets
         val rowsDeleted = matched.valuesIterator.map(_._2).sum
         val rewritten =
           if (rewrite.isEmpty) Nil
@@ -1244,8 +1248,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
               .filter(!(predicate <=> lit(true)))
             stageWrite(name, clustered(name, keep, parts), parts)
           }
+        val dvUpdated = writeDv(name, dvTargets.toSeq.sorted, sc, byPath,
+          predicate, newCount = p => matched(p)._2)
         val untouched = files.filterNot(f =>
-          droppedWhole.contains(f.path) || rewrite.contains(f.path))
+          droppedWhole.contains(f.path) || rewrite.contains(f.path) ||
+            dvTargets.contains(f.path))
         // change files: the removed rows, staged under the version this
         // commit will publish (we hold the lock, so current+1 is ours);
         // one columnar pass over ONLY the matched files
@@ -1253,12 +1260,117 @@ class Warehouse(val spark: SparkSession, basePath: String,
           fromFiles(name, matched.keySet.toSeq, sc)
             .filter(predicate <=> lit(true))
             .withColumn(ChangeTypeCol, lit("delete")))
-        commitManifest(name, untouched ++ rewritten, op = "delete")
+        commitManifest(name, untouched ++ rewritten ++ dvUpdated,
+          op = "delete")
         Warehouse.DeleteResult(rowsDeleted, droppedWhole.size, rewrite.size,
-          untouched.size)
+          untouched.size, dvTargets.size)
       }
     }
   }
+
+  /** Whether point DELETE/UPDATE may take the deletion-vector path:
+    * parquet only (positions ride the reader's `_metadata.row_index`),
+    * on by default, opt-out via `graft.dv.enabled=false`. */
+  private def dvEnabled: Boolean = format == "parquet" &&
+    spark.conf.getOption("graft.dv.enabled").forall(_.toBoolean)
+
+  /** Largest matched-rows fraction of a file's LIVE rows that still
+    * takes a DV instead of a rewrite (`graft.dv.maxFraction`). */
+  private def dvMaxFraction: Double =
+    spark.conf.getOption("graft.dv.maxFraction")
+      .flatMap(_.toDoubleOption).getOrElse(0.2)
+
+  /** Shared DELETE/UPDATE probe: one columnar pass over the candidate
+    * files aggregating `agg` per file, rows kept by `keepIf`, keyed
+    * back to manifest-relative paths. Parquet probes group on the
+    * positional [[DvFileCol]] (exact path identity, correct even after
+    * the DV anti-join where `input_file_name` sees join-task files);
+    * csv/json keep the URI-suffix resolution (those tables can carry
+    * no DVs). A probed file that cannot be named would silently
+    * survive the operation — that direction stays loud. */
+  private def probeMatches(op: String, name: String, cands: Seq[String],
+      sc: org.apache.spark.sql.types.StructType,
+      agg: Seq[org.apache.spark.sql.Column],
+      keepIf: org.apache.spark.sql.Row => Boolean)
+      : Map[String, org.apache.spark.sql.Row] =
+    if (cands.isEmpty) Map.empty
+    else if (format == "parquet") {
+      val relOf = cands.map(p => normalizedRel(name, p) -> p).toMap
+      fromFiles(name, cands, sc, withPos = true)
+        .groupBy(col(DvFileCol).as("__file"))
+        .agg(agg.head, agg.tail: _*)
+        .collect().filter(keepIf).map { r =>
+          val rel = r.getString(0)
+          relOf.getOrElse(rel, throw new IllegalStateException(
+            s"$op: cannot resolve probed file $rel back to a manifest path")
+          ) -> r
+        }.toMap
+    } else
+      fromFiles(name, cands, sc)
+        .groupBy(input_file_name().as("__file"))
+        .agg(agg.head, agg.tail: _*)
+        .collect().filter(keepIf).map { r =>
+          val uri = r.getString(0)
+          manifestPathOf(name, cands, uri).getOrElse(
+            throw new IllegalStateException(
+              s"$op: cannot resolve probed file $uri back to a manifest path")
+          ) -> r
+        }.toMap
+
+  /** Publishes ONE new DV sidecar covering `targets` (paths of the
+    * current snapshot) and returns their updated manifest entries: the
+    * sidecar holds each target's prior deleted positions (carried
+    * forward from its old DV — positions are ORIGINAL-file coordinates,
+    * so they union) plus the positions `predicate` matches among its
+    * live rows. Files NOT in `targets` keep referencing their old
+    * sidecars; vacuum drops a sidecar once no kept snapshot entry
+    * names it. */
+  private def writeDv(name: String, targets: Seq[String],
+      sc: org.apache.spark.sql.types.StructType,
+      byPath: Map[String, DataFile],
+      predicate: org.apache.spark.sql.Column,
+      newCount: String => Long): Seq[DataFile] =
+    if (targets.isEmpty) Nil
+    else {
+      val newPos = fromFiles(name, targets, sc, withPos = true)
+        .filter(predicate <=> lit(true))
+        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+      val carried = targets.filter(p => byPath(p).dv.isDefined)
+      val all =
+        if (carried.isEmpty) newPos
+        else {
+          val oldPaths = carried.flatMap(p => byPath(p).dv.map(_.path))
+            .distinct.map(p =>
+              qualifiedPath(s"$basePath/${normalizedRel(name, p)}").toString)
+          val rels = carried.map(p => normalizedRel(name, p))
+          newPos.unionByName(spark.read.schema(DvSchema).parquet(oldPaths: _*)
+            .where(col("file").isin(rels: _*)))
+        }
+      val fs = metaFs
+      val txnId = java.util.UUID.randomUUID.toString.take(8)
+      val stage = qualifiedPath(s"$basePath/_graft_stage/dv-$name-$txnId")
+      // one small file: DV cardinality is bounded by dvMaxFraction of
+      // the touched files' rows — the big-delete shape takes the
+      // rewrite path and never funnels through this coalesce
+      all.coalesce(1).write.mode("overwrite").parquet(stage.toString)
+      val part = fs.listStatus(stage).map(_.getPath)
+        .find(_.getName.startsWith("part-")).getOrElse(
+          throw new IllegalStateException(s"writeDv: no part file in $stage"))
+      val destRel = s"_dv/dv-$txnId.parquet"
+      val dest = new org.apache.hadoop.fs.Path(
+        qualifiedPath(s"$basePath/$name"), destRel)
+      fs.mkdirs(dest.getParent)
+      require(fs.rename(part, dest), s"writeDv: move failed: $part -> $dest")
+      fs.delete(stage, true)
+      val stageParent = stage.getParent
+      if (fs.exists(stageParent) && fs.listStatus(stageParent).isEmpty)
+        fs.delete(stageParent, false)
+      targets.map { p =>
+        val f = byPath(p)
+        f.copy(dv = Some(DvRef(destRel,
+          f.dv.map(_.rows).getOrElse(0L) + newCount(p))))
+      }
+    }
 
   /** First-class predicate UPDATE (reference: `Olist DW.sql` issues
     * UPDATEs the SSIS flow renders dead — see SURVEY §2.9 I2; this is
@@ -1329,28 +1441,42 @@ class Warehouse(val spark: SparkSession, basePath: String,
         }: _*)
       val cands = candidates(files, sc,
         hint ++ derivedRanges(predicate, sc)).map(_.path)
-      val probe =
-        if (cands.isEmpty) Array.empty[org.apache.spark.sql.Row]
-        else fromFiles(name, cands, sc)
-          .groupBy(input_file_name().as("__file"))
-          .agg(count(when(predicate, lit(1))).as("__matched"))
-          .filter(col("__matched") > 0)
-          .collect()
-      val matched: Map[String, Long] = probe.map { r =>
-        val uri = r.getString(0)
-        val rel = manifestPathOf(name, cands, uri).getOrElse(
-          throw new IllegalStateException(
-            s"update: cannot resolve probed file $uri back to a manifest path"))
-        rel -> r.getLong(1)
-      }.toMap
+      val matched: Map[String, (Long, Long)] = probeMatches(
+        "update", name, cands, sc,
+        agg = Seq(count(lit(1)).as("__total"),
+          count(when(predicate, lit(1))).as("__matched")),
+        keepIf = _.getLong(2) > 0).map { case (p, r) =>
+        p -> (r.getLong(1), r.getLong(2)) }
       if (matched.isEmpty)
         Warehouse.UpdateResult(0L, 0, files.size)
       else {
+        val byPath = files.map(f => f.path -> f).toMap
         val touched = matched.keySet
-        val rowsUpdated = matched.valuesIterator.sum
-        val rewritten = stageWrite(name,
-          clustered(name, applyAssign(fromFiles(name, touched.toSeq, sc)),
-            parts), parts)
+        // DV shape for updates (the production point-UPDATE): mark the
+        // OLD images deleted via a DV on the untouched data file, stage
+        // the NEW images as appended files — a one-row update of a 1 GB
+        // file writes one row, not 1 GB. Files losing a big fraction
+        // rewrite in place as before.
+        val dvTargets =
+          if (!dvEnabled) Set.empty[String]
+          else touched.filter { p =>
+            val (tot, m) = matched(p); m.toDouble / tot <= dvMaxFraction }
+        val rewriteSet = touched -- dvTargets
+        val rowsUpdated = matched.valuesIterator.map(_._2).sum
+        val rewritten =
+          if (rewriteSet.isEmpty) Nil
+          else stageWrite(name,
+            clustered(name,
+              applyAssign(fromFiles(name, rewriteSet.toSeq, sc)), parts),
+            parts)
+        val dvUpdated = writeDv(name, dvTargets.toSeq.sorted, sc, byPath,
+          predicate, newCount = p => matched(p)._2)
+        val appended =
+          if (dvTargets.isEmpty) Nil
+          else stageWrite(name,
+            clustered(name,
+              applyAssign(fromFiles(name, dvTargets.toSeq, sc)
+                .filter(predicate <=> lit(true))), parts), parts)
         val untouched = files.filterNot(f => touched.contains(f.path))
         val pre = fromFiles(name, touched.toSeq, sc)
           .filter(predicate <=> lit(true))
@@ -1358,8 +1484,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
           pre.withColumn(ChangeTypeCol, lit("delete"))
             .unionByName(applyAssign(pre)
               .withColumn(ChangeTypeCol, lit("insert"))))
-        commitManifest(name, untouched ++ rewritten, op = "update")
-        Warehouse.UpdateResult(rowsUpdated, touched.size, untouched.size)
+        commitManifest(name,
+          untouched ++ rewritten ++ dvUpdated ++ appended, op = "update")
+        Warehouse.UpdateResult(rowsUpdated, rewriteSet.size, untouched.size,
+          dvTargets.size)
       }
     }
   }
@@ -1441,7 +1569,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
         require(appendShaped,
           s"tableChangesRows: version $v of $name is a '$op' rewrite with " +
             "no recorded row changes; re-read the snapshot")
-        out += fromFiles(name, (paths -- seen).toSeq, sc)
+        // pin version v's DV state for the added files (freshly added
+        // files carry none) — the CURRENT manifest may have DV'd them
+        // since, and replay must still see every row inserted at v
+        out += fromFiles(name, (paths -- seen).toSeq, sc,
+          dvByOpt = Some(vFiles.iterator.flatMap(f =>
+            f.dv.map(f.path -> _)).toMap))
           .withColumn(ChangeTypeCol, lit("insert"))
       }
       seen = paths
@@ -1628,13 +1761,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
         .flatMap(_._3.get(ClonesMeta)).toSeq
         .flatMap(_.split(",").filter(_.nonEmpty))
         .flatMap { c =>
-          tableVersions(c).flatMap { cv => stateAt(c, cv)._1.map(_.path) }
+          tableVersions(c).flatMap { cv =>
+            stateAt(c, cv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq) }
         }
         .collect { case pth if pth.startsWith(s"../$name/") =>
           pth.stripPrefix(s"../$name/") }
         .toSet
+      // DV sidecars share their referencing entries' lifecycle: a
+      // sidecar survives while ANY kept snapshot's entry names it
       val keep = kept.flatMap { kv =>
-        stateAt(name, kv)._1.map(_.path)
+        stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
       }.toSet ++ cloneKeep
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
@@ -1735,16 +1871,35 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * column mapping (renamed columns live in parquet under their frozen
     * physical names) and projected back to logical names. `colMapOpt`
     * pins a historical version's mapping (tableAt); None reads the
-    * current one. */
+    * current one.
+    *
+    * Deletion vectors: files whose snapshot entry carries a [[DvRef]]
+    * are read minus their deleted positions — an anti-join of
+    * (file, row_index) against the referenced sidecars, applied ONLY
+    * when the read touches a DV'd file (clean tables pay nothing).
+    * `dvByOpt` pins a HISTORICAL version's dv state (tableAt, feed
+    * replay); None applies the current manifest's. `withPos` appends
+    * the [[DvFileCol]]/[[DvPosCol]] helper columns (the file's
+    * table-relative path and the row's ORIGINAL position in it) for
+    * the delete/update probes — parquet only. */
   private def fromFiles(name: String, files: Seq[String],
       sc: org.apache.spark.sql.types.StructType,
-      colMapOpt: Option[Map[String, String]] = None): DataFrame =
+      colMapOpt: Option[Map[String, String]] = None,
+      dvByOpt: Option[Map[String, DvRef]] = None,
+      withPos: Boolean = false): DataFrame =
     if (files.isEmpty)
       spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), sc)
     else {
       val manifest = currentManifestFull(name)
       val colMap = colMapOpt.getOrElse(manifest
         .map(m => colMapOf(m._3)).getOrElse(Map.empty))
+      val dvBy: Map[String, DvRef] = dvByOpt.getOrElse(manifest
+        .map(_._2.iterator.flatMap(f => f.dv.map(f.path -> _)).toMap)
+        .getOrElse(Map.empty))
+      val dvTouched = files.filter(dvBy.contains)
+      val needPos = withPos || dvTouched.nonEmpty
+      require(!needPos || sc.nonEmpty,
+        s"$name: positional read needs a declared schema")
       // per-file stats/blooms of the CURRENT snapshot, for read-path
       // file skipping — files are immutable once committed, so current
       // stats stay valid for any path they describe (a historical
@@ -1791,17 +1946,73 @@ class Warehouse(val spark: SparkSession, basePath: String,
             s"$basePath/${normalizedRel(name, f)}"))
           val index = new org.apache.spark.sql.graft.PruningFileIndex(
             spark, leaves, opts, phys, groupPruner(name, fs, statsBy, phys))
-          org.apache.spark.sql.graft.PruningFileIndex.relation(
+          val rel = org.apache.spark.sql.graft.PruningFileIndex.relation(
             spark, index, phys, format, opts, name,
             catalogStats = cboRows.map(r =>
               (BigInt(index.sizeInBytes), Some(BigInt(r)))))
+          // position columns ride the scan's hidden _metadata (parquet
+          // row_index), resolved per relation — they cannot be added
+          // after the union, so every group materializes them here
+          if (!needPos) rel
+          else rel.withColumn(DvFileCol, relPathCol)
+            .withColumn(DvPosCol, col("_metadata.row_index"))
         }
       val raw = groups.map { case ((owner, _), fs) => load(owner, fs) }
         .reduce(_ unionByName _)
-      if (colMap.isEmpty || sc.isEmpty) raw
-      else raw.select(sc.map(f =>
-        col(colMap.getOrElse(f.name, f.name)).as(f.name)): _*)
+      val undeleted =
+        if (dvTouched.isEmpty) raw
+        else {
+          // one sidecar read bounded to the touched files; the dv side
+          // is broadcast below a row bound (manifest knows its exact
+          // cardinality — no size guess), so the anti-join adds no
+          // shuffle of the data
+          val dvPaths = dvTouched.flatMap(dvBy.get).map(_.path).distinct
+            .map(p => qualifiedPath(s"$basePath/${normalizedRel(name, p)}").toString)
+          val rels = dvTouched.map(p => normalizedRel(name, p))
+          val dvRows = spark.read.schema(DvSchema).parquet(dvPaths: _*)
+            .where(col("file").isin(rels: _*))
+            .select(col("file").as("__gdv_f2"), col("pos").as("__gdv_p2"))
+          val dvTotal = dvTouched.flatMap(dvBy.get).map(_.rows).sum
+          val dvSide =
+            if (dvTotal <= spark.conf.getOption("graft.dv.broadcastRows")
+              .flatMap(_.toLongOption).getOrElse(4000000L)) broadcast(dvRows)
+            else dvRows
+          raw.join(dvSide,
+            raw(DvFileCol) === dvSide("__gdv_f2") &&
+              raw(DvPosCol) === dvSide("__gdv_p2"), "left_anti")
+        }
+      if (!needPos && (colMap.isEmpty || sc.isEmpty)) undeleted
+      else {
+        val logical = sc.map(f =>
+          col(colMap.getOrElse(f.name, f.name)).as(f.name))
+        val extra = if (withPos) Seq(col(DvFileCol), col(DvPosCol)) else Nil
+        undeleted.select(logical ++ extra: _*)
+      }
     }
+
+  /** Helper-column names a `withPos` [[fromFiles]] read appends. */
+  private val DvFileCol = "__gdv_file"
+  private val DvPosCol = "__gdv_pos"
+
+  private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("file",
+      org.apache.spark.sql.types.StringType, nullable = false),
+    org.apache.spark.sql.types.StructField("pos",
+      org.apache.spark.sql.types.LongType, nullable = false)))
+
+  /** The scanned row's file as a basePath-relative path (the same
+    * rendering [[normalizedRel]] gives a manifest entry), derived from
+    * `_metadata.file_path` by stripping the scheme and the warehouse
+    * root. Computed the same way at DV write and DV apply time, so the
+    * join key is stable even if the warehouse directory is relocated
+    * wholesale — and unlike a bare file NAME it cannot collide across
+    * partition directories (one write job reuses part-00000-<uuid> in
+    * every partition it touches). */
+  private def relPathCol: org.apache.spark.sql.Column = {
+    val prefix = qualifiedPath(basePath).toUri.getPath.stripSuffix("/") + "/"
+    regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9+.\\-]+:/+", "/")
+      .substr(lit(prefix.length + 1), lit(Int.MaxValue))
+  }
 
   /** File-admission oracle for ONE [[fromFiles]] load group, keyed by
     * the absolute paths Spark's listing reports. Given the ranges a
@@ -1915,7 +2126,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
       added ++= (paths -- seen)
       seen = paths
     }
-    fromFiles(name, added.toSeq, tableSchema(name))
+    // added files carry no DV at their add version (fresh names), and
+    // a delete inside the window refuses above — pin the empty DV
+    // state so a delete AFTER toVersion can't thin a historical batch
+    fromFiles(name, added.toSeq, tableSchema(name), dvByOpt = Some(Map.empty))
   }
 
   /** Checkpointed incremental consumption of [[tableChanges]]: reads
@@ -2092,17 +2306,26 @@ class Warehouse(val spark: SparkSession, basePath: String,
         val keyCond = (l: String, r: String) =>
           keys.map(k => col(s"$l.$k") <=> col(s"$r.$k")).reduce(_ && _)
         // one columnar key probe: which MV files hold an affected key?
-        // (the file name is pinned in a projection directly over the
-        // scan — after a shuffle join input_file_name() is undefined)
-        val probe = fromFiles(mv, mvFiles.map(_.path), mvSc)
-          .select((keys.map(col) :+ input_file_name().as("__file")): _*)
-          .as("m")
+        // (the file identity is pinned in a projection directly over
+        // the scan — after a shuffle join input_file_name() is
+        // undefined; parquet uses the positional path column, which
+        // also stays correct when the MV itself carries DVs)
+        val mvPaths = mvFiles.map(_.path)
+        val probeSrc =
+          if (format == "parquet")
+            fromFiles(mv, mvPaths, mvSc, withPos = true)
+              .select((keys.map(col) :+ col(DvFileCol).as("__file")): _*)
+          else fromFiles(mv, mvPaths, mvSc)
+            .select((keys.map(col) :+ input_file_name().as("__file")): _*)
+        val probe = probeSrc.as("m")
           .join(delta.select(keys.map(col): _*).as("d"),
             keyCond("m", "d"), "left_semi")
           .select("__file").distinct().collect()
+        val relOf = mvPaths.map(p => normalizedRel(mv, p) -> p).toMap
         val touched: Set[String] = probe.map { r =>
           val uri = r.getString(0)
-          manifestPathOf(mv, mvFiles.map(_.path), uri).getOrElse(
+          (if (format == "parquet") relOf.get(uri)
+           else manifestPathOf(mv, mvPaths, uri)).getOrElse(
             throw new IllegalStateException(
               s"refreshAggregate: cannot resolve probed file $uri"))
         }.toSet
@@ -2218,11 +2441,15 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val (files, vMeta) = stateAt(name, version)
     // read the OLD version with the schema AND column mapping it was
     // committed under — a later save() may have redefined column order
-    // or types, a later rename/drop changed the visible names
+    // or types, a later rename/drop changed the visible names — and
+    // the DV state of THAT version (a later delete's positions must
+    // not vanish from a historical read, nor an older one's reappear)
     fromFiles(name, files.map(_.path), metaSchema(vMeta).getOrElse(
       schemas.getOrElseUpdate(name,
         loadMeta(name)._2.getOrElse(org.apache.spark.sql.types.StructType(Nil)))),
-      colMapOpt = Some(colMapOf(vMeta)))
+      colMapOpt = Some(colMapOf(vMeta)),
+      dvByOpt = Some(files.iterator.flatMap(f =>
+        f.dv.map(f.path -> _)).toMap))
   }
 
   /** Commit metadata of ONE version — its own record's `#` block
@@ -2271,13 +2498,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
           .flatMap(_._3.get(ClonesMeta)).toSeq
           .flatMap(_.split(",").filter(_.nonEmpty))
           .flatMap { c =>
-            tableVersions(c).flatMap { cv => stateAt(c, cv)._1.map(_.path) }
+            tableVersions(c).flatMap { cv =>
+              stateAt(c, cv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq) }
           }
           .collect { case pth if pth.startsWith(s"../$name/") =>
             pth.stripPrefix(s"../$name/") }
           .toSet
         val keep = kept.flatMap { kv =>
-          stateAt(name, kv)._1.map(_.path)
+          stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
         }.toSet ++ cloneKeep
         val cutoff = System.currentTimeMillis - graceMs
         val root = qualifiedPath(s"$basePath/$name")
@@ -2365,7 +2593,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
         .flatMap(_._3.get(ClonesMeta)).flatMap(_.split(",")).filter(_.nonEmpty)
         .filter { c =>
           tableVersions(c).exists { cv =>
-            stateAt(c, cv)._1.exists(_.path.startsWith(s"../$name/"))
+            stateAt(c, cv)._1.exists(e =>
+              (e.path +: e.dv.map(_.path).toSeq)
+                .exists(_.startsWith(s"../$name/")))
           }
         }
       require(holdouts.isEmpty,
@@ -2412,7 +2642,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
       throw new IllegalArgumentException(
         s"countRows: $name has no committed snapshot"))
     val counts = files.map(_.stats.get(RowsKey).map(_._1.toLong))
-    if (counts.forall(_.isDefined)) Some(counts.flatten.sum) else None
+    if (counts.forall(_.isDefined))
+      Some(counts.flatten.sum - files.flatMap(_.dv).map(_.rows).sum)
+    else None
   }
 
   /** One-stop table inspection (the DESCRIBE DETAIL payload): current
@@ -2428,6 +2660,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       "version" -> version.toString,
       "numFiles" -> files.size.toString,
       "numRows" -> countRows(name).map(_.toString).getOrElse(""),
+      "numDeletionVectors" -> files.count(_.dv.isDefined).toString,
+      "numDvDeletedRows" -> files.flatMap(_.dv).map(_.rows).sum.toString,
       "partitionColumns" -> partitionColsOf(name).mkString(","),
       "clusterColumns" -> clusterColsOf(name).mkString(","),
       "clusterKind" -> clusterKindOf(name),
@@ -2495,8 +2729,15 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // each entry points at the directory that PHYSICALLY owns the file:
     // plain paths gain one "../src/" hop; already-referencing paths
     // (cloning a clone) are kept verbatim
-    val repointed = files.map(f =>
-      if (f.path.startsWith("../")) f else f.copy(path = s"../$src/${f.path}"))
+    val repointed = files.map { f0 =>
+      val f = if (f0.path.startsWith("../")) f0
+        else f0.copy(path = s"../$src/${f0.path}")
+      // a DV sidecar lives beside the data files it covers — repoint
+      // its reference the same way so the clone subtracts them too
+      f.copy(dv = f.dv.map(d =>
+        if (d.path.startsWith("../")) d
+        else d.copy(path = s"../$src/${d.path}")))
+    }
     val carried = Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta,
       BloomMeta, ChecksMeta, ColMapMeta, DroppedMeta)
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
@@ -2718,18 +2959,25 @@ class Warehouse(val spark: SparkSession, basePath: String,
     })
 
   private def encodeFile(f: DataFile): String =
-    if (f.stats.isEmpty && f.blooms.isEmpty) f.path
+    if (f.stats.isEmpty && f.blooms.isEmpty && f.dv.isEmpty) f.path
     else {
       // flat {"col":["mn","mx"]} when there are only min/max stats
-      // (the common, compact case); {"m":{…},"b":{…}} once blooms
-      // join — decodeFile accepts both
-      val j: org.json4s.JValue =
-        if (f.blooms.isEmpty) minMaxJson(f.stats)
-        else org.json4s.JObject(List(
-          "m" -> minMaxJson(f.stats),
-          "b" -> org.json4s.JObject(f.blooms.toList.sortBy(_._1).map {
-            case (c, b64) => c -> org.json4s.JString(b64)
-          })))
+      // (the common, compact case); {"m":{…},"b":{…},"d":{…}} once
+      // blooms or a deletion vector join — decodeFile accepts both.
+      // The dv is an OBJECT ({"p":path,"n":rows}), not an array, so it
+      // can never be mistaken for a flat stat of a column named "d"
+      import org.json4s._
+      val j: JValue =
+        if (f.blooms.isEmpty && f.dv.isEmpty) minMaxJson(f.stats)
+        else JObject(
+          List("m" -> (minMaxJson(f.stats): JValue)) ++
+          (if (f.blooms.isEmpty) Nil
+           else List("b" -> (JObject(f.blooms.toList.sortBy(_._1).map {
+             case (c, b64) => c -> (JString(b64): JValue)
+           }): JValue))) ++
+          f.dv.toList.map(d => "d" -> (JObject(List(
+            "p" -> (JString(d.path): JValue),
+            "n" -> (JString(d.rows.toString): JValue))): JValue)))
       f.path + "\t" + org.json4s.jackson.JsonMethods.compact(
         org.json4s.jackson.JsonMethods.render(j))
     }
@@ -2745,13 +2993,20 @@ class Warehouse(val spark: SparkSession, basePath: String,
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(split(1))) match {
         case scala.util.Success(JObject(fields))
             if fields.exists { case (k, v) =>
-              (k == "m" || k == "b") && v.isInstanceOf[JObject] } =>
+              (k == "m" || k == "b" || k == "d") && v.isInstanceOf[JObject] } =>
           val mm = fields.collectFirst { case ("m", JObject(f)) => minMax(f) }
             .getOrElse(Map.empty[String, (String, String)])
           val bf = fields.collectFirst { case ("b", JObject(f)) => f.collect {
             case (c, JString(b64)) => c -> b64 }.toMap }
             .getOrElse(Map.empty[String, String])
-          DataFile(split(0), mm, bf)
+          val dv = fields.collectFirst { case ("d", JObject(f)) =>
+            for {
+              p <- f.collectFirst { case ("p", JString(s)) => s }
+              n <- f.collectFirst { case ("n", JString(s)) => s.toLongOption }
+                .flatten
+            } yield DvRef(p, n)
+          }.flatten
+          DataFile(split(0), mm, bf, dv)
         case scala.util.Success(JObject(fields)) =>
           DataFile(split(0), minMax(fields))
         case _ => DataFile(split(0))
@@ -2970,7 +3225,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // without opening a file — the operation-metrics audit trail
     val rowCounts = files.map(_.stats.get(RowsKey).map(_._1.toLong))
     val rowsTotal =
-      if (rowCounts.forall(_.isDefined)) rowCounts.flatten.sum.toString
+      if (rowCounts.forall(_.isDefined))
+        (rowCounts.flatten.sum - files.flatMap(_.dv).map(_.rows).sum).toString
       else ""
     val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
       Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString,
@@ -2982,9 +3238,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
           (metaLines(meta) ++ files.map(encodeFile)).mkString("\n"))
       else {
         val prevFiles = prev.map(_._2).getOrElse(Nil)
-        val prevPaths = prevFiles.map(_.path).toSet
+        val prevByPath = prevFiles.map(f => f.path -> f).toMap
         val newPaths = files.map(_.path).toSet
-        val adds = files.filterNot(f => prevPaths.contains(f.path))
+        // ENTRY-level diff, not path-level: a DV delete changes a
+        // file's entry (new dv ref) while its path stays — the delta
+        // must carry the updated entry (+path replaces in replay)
+        val adds = files.filterNot(f => prevByPath.get(f.path).contains(f))
         val removes = prevFiles.map(_.path).filterNot(newPaths.contains)
         (deltaPath(name, version),
           (metaLines(meta) ++ removes.map("-" + _) ++
@@ -3410,12 +3669,22 @@ class Warehouse(val spark: SparkSession, basePath: String,
 
 object Warehouse {
   /** One committed data file: manifest-relative path plus optional
-    * per-column (min, max) stats on the table's cluster columns and
+    * per-column (min, max) stats on the table's cluster columns,
     * per-column bloom filters (base64 of Spark's sketch format) on the
-    * table's bloom columns, rendered for the line-oriented manifest. */
+    * table's bloom columns, and an optional deletion-vector reference
+    * marking rows of THIS file deleted without rewriting it. */
   final case class DataFile(path: String,
       stats: Map[String, (String, String)] = Map.empty,
-      blooms: Map[String, String] = Map.empty)
+      blooms: Map[String, String] = Map.empty,
+      dv: Option[DvRef] = None)
+
+  /** Deletion-vector reference on a [[DataFile]]: `path` names the
+    * sidecar parquet (table-dir-relative, like data paths) whose
+    * (file, pos) rows mark ORIGINAL row positions of the data file as
+    * deleted; `rows` is how many of them belong to this data file.
+    * The data file itself stays byte-identical — readers subtract the
+    * positions, [[Warehouse.compact]] materializes them away. */
+  final case class DvRef(path: String, rows: Long)
 
   /** Inclusive range constraint for stats-based file skipping; `None`
     * bounds are open. Equality = same value on both bounds. */
@@ -3437,13 +3706,14 @@ object Warehouse {
     filesUntouched: Int)
 
   final case class DeleteResult(rowsDeleted: Long, filesDropped: Int,
-      filesRewritten: Int, filesUntouched: Int)
+      filesRewritten: Int, filesUntouched: Int, filesDv: Int = 0)
 
   /** Outcome of a predicate [[Warehouse.update]]: rows whose new image
     * was written, files rewritten (every file holding a matching row),
-    * files untouched (byte-identical in the new snapshot). */
+    * files untouched (byte-identical in the new snapshot), and files
+    * handled as DV-delete + append of the new images (no rewrite). */
   final case class UpdateResult(rowsUpdated: Long, filesRewritten: Int,
-      filesUntouched: Int)
+      filesUntouched: Int, filesDv: Int = 0)
 
   /** Outcome of a [[Warehouse.refreshAggregate]]: the base-version
     * window applied, groups whose aggregate changed (−1 on bootstrap),

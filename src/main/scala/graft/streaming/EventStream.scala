@@ -222,17 +222,14 @@ object EventStream {
   /** The streaming rendering of hourlyAgg: file source + watermark +
     * tumbling window. */
   def windowedStream(spark: SparkSession, sfDir: String): DataFrame = {
-    // declare ts as LONG (raw nanos; spark.sql.legacy.parquet.nanosAsLong
-    // must be on) and convert to a µs timestamp in-plan
+    // declare the FILE schema (ts = long raw nanos under the legacy
+    // conf, or TIMESTAMP_NTZ µs in newer testdata) and normalize to a
+    // µs timestamp in-plan, exactly as the batch loader does
     import org.apache.spark.sql.types._
-    val schema = StructType(T.events(spark, sfDir).schema.map {
-      case f if f.name == "ts" => f.copy(dataType = LongType)
-      case f => f
-    })
-    spark.readStream
+    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    T.normalizeTs(spark.readStream
       .schema(schema)
-      .parquet(s"$sfDir/{events}.parquet") // glob — file source needs a dir/glob
-      .withColumn("ts", expr("timestamp_micros(CAST(ts DIV 1000 AS LONG))"))
+      .parquet(s"$sfDir/{events}.parquet")) // glob — file source needs a dir/glob
       .withWatermark("ts", "1 hour")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n_events"),

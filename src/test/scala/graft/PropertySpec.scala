@@ -206,12 +206,15 @@ class PropertySpec extends AnyFunSuite {
     import org.apache.spark.sql.functions._
     import spark.implicits._
     val rnd = new scala.util.Random(4242)
-    (1 to 3).foreach { run =>
+    (1 to 4).foreach { run =>
       val dir = java.nio.file.Files.createTempDirectory(s"wh_prop$run").toString
       val wh = new graft.olist.Warehouse(spark, dir)
       // run 3 also fuzzes auto-compaction: inline compact commits ride
       // random appends and must never change visible rows or the MV
       if (run == 3) spark.conf.set("graft.autocompact.minFiles", "6")
+      // run 4 forces nearly every delete/update through the
+      // deletion-vector path (files stay, positions subtract)
+      if (run == 4) spark.conf.set("graft.dv.maxFraction", "0.95")
       try {
       // model: a mutable reference map the warehouse must always match
       var model = Map.empty[Long, (Long, Long)] // id -> (g, v)
@@ -227,7 +230,7 @@ class PropertySpec extends AnyFunSuite {
         partitionBy = Seq("year"))
       wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
       (1 to 12).foreach { step =>
-        rnd.nextInt(5) match {
+        rnd.nextInt(6) match {
           case 0 => // append a small batch
             val b = rows(rnd.nextInt(5) + 1)
             model ++= b.map(r => r._1 -> (r._2, r._3))
@@ -263,6 +266,13 @@ class PropertySpec extends AnyFunSuite {
             // (merge requires SOME partitioning, so evolve year <-> g)
             val layouts = Seq(Seq("year"), Seq("g"))
             wh.repartitionTable("b", layouts(rnd.nextInt(layouts.size)))
+          case 5 => // point delete of one id: the deletion-vector shape
+            // (a fraction-of-one-file match) — or a no-op on a dead id
+            if (model.nonEmpty) {
+              val id = model.keys.toSeq(rnd.nextInt(model.size))
+              model -= id
+              wh.delete("b", col("id") === id)
+            }
         }
         wh.refreshAggregate("b", "mv", Seq("g"), Seq("v"))
         // table ≡ model
@@ -276,7 +286,10 @@ class PropertySpec extends AnyFunSuite {
         val mv = wh.table("mv").as[(Long, Long, Long)].collect().toSet
         assert(mv == expect, s"run $run step $step: MV drifted")
       }
-      } finally spark.conf.unset("graft.autocompact.minFiles")
+      } finally {
+        spark.conf.unset("graft.autocompact.minFiles")
+        spark.conf.unset("graft.dv.maxFraction")
+      }
     }
   }
 

@@ -354,7 +354,15 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.tableChanges("t", 4, 5).collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  /** Pin the classic rewrite path for surgery tests (DVs are covered
+    * by their own tests below). */
+  private def withoutDv[T](f: => T): T = {
+    spark.conf.set("graft.dv.enabled", "false")
+    try f finally spark.conf.unset("graft.dv.enabled")
+  }
+
   test("delete: untouched files stay byte-identical; whole-match files drop without rewrite") {
+    withoutDv {
     val dir = tmp("wh_del")
     val wh = new Warehouse(spark, dir)
     // 4 single-file partitions with disjoint k ranges (deterministic
@@ -410,6 +418,7 @@ class TableLayoutSpec extends AnyFunSuite {
     val v = wh.tableVersions("n").last
     val r0 = wh.delete("n", col("k") === 999L)
     assert(r0.rowsDeleted == 0 && wh.tableVersions("n").last == v)
+    }
   }
 
   test("tableChangesRows: row-level feed crosses deletes and compactions faithfully") {
@@ -594,6 +603,7 @@ class TableLayoutSpec extends AnyFunSuite {
   }
 
   test("update: file surgery, pre-image SET semantics, feed replays it") {
+    withoutDv {
     import spark.implicits._
     val dir = tmp("wh_upd")
     val wh = new Warehouse(spark, dir)
@@ -671,6 +681,7 @@ class TableLayoutSpec extends AnyFunSuite {
     val ver = wh.tableVersions("n").last
     val r0 = wh.update("n", col("k") === 999L, Map("v" -> lit("never")))
     assert(r0.rowsUpdated == 0 && wh.tableVersions("n").last == ver)
+    }
   }
 
   test("countRows: COUNT(*) from manifest metadata across the write lifecycle") {
@@ -1098,5 +1109,122 @@ class TableLayoutSpec extends AnyFunSuite {
     val moved = wh.table("t").filter(col("year") === 2022)
       .select(input_file_name()).as[String].collect()(0)
     assert(moved.contains("year=2022"), moved)
+  }
+
+  // ----- deletion vectors -------------------------------------------
+
+  private def dataDigests(dir: String, table: String): Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Paths.get(dir, table)
+    java.nio.file.Files.walk(root).iterator().asScala
+      .filter(p => java.nio.file.Files.isRegularFile(p) &&
+        !p.getFileName.toString.startsWith("_") &&
+        !p.getFileName.toString.startsWith(".") &&
+        !p.getParent.getFileName.toString.equals("_dv"))
+      .map { p =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        p.toString -> md.digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+      }.toMap
+  }
+
+  test("deletion vectors: point delete leaves every data file byte-identical") {
+    import spark.implicits._
+    val dir = tmp("wh_dv")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))        // v1
+    val before = dataDigests(dir, "t")
+    assert(before.size == 4)
+    // one-row delete: NO data file is rewritten or dropped — only a DV
+    val res = wh.delete("t", col("k") === 1500L)                          // v2
+    assert(res == Warehouse.DeleteResult(1L, 0, 0, 3, filesDv = 1), res.toString)
+    assert(dataDigests(dir, "t") == before, "a data file changed bytes")
+    // snapshot, metadata count, and SQL read all agree
+    assert(wh.table("t").count() == 3999)
+    assert(wh.table("t").filter(col("k") === 1500L).count() == 0)
+    assert(wh.countRows("t").contains(3999L))
+    assert(spark.sql("SELECT count(*) FROM dw_t").collect()(0).getLong(0) == 3999)
+    val detail = wh.describeDetail("t").toMap
+    assert(detail("numDeletionVectors") == "1" && detail("numDvDeletedRows") == "1")
+    // second delete on the SAME file unions positions into a fresh DV
+    val res2 = wh.delete("t", col("k") === 1501L || col("k") === 1502L)   // v3
+    assert(res2 == Warehouse.DeleteResult(2L, 0, 0, 3, filesDv = 1), res2.toString)
+    assert(dataDigests(dir, "t") == before, "a data file changed bytes")
+    assert(wh.table("t").count() == 3997)
+    assert(wh.describeDetail("t").toMap.apply("numDvDeletedRows") == "3")
+    // aggregate over the DV'd table is exact
+    assert(wh.table("t").agg(sum("k")).collect()(0).getLong(0) ==
+      (0L until 4000L).sum - 1500 - 1501 - 1502)
+    // time travel: v1 still shows every row, v2 exactly one missing
+    assert(wh.tableAt("t", 1).count() == 4000)
+    assert(wh.tableAt("t", 2).count() == 3999)
+    assert(wh.tableAt("t", 2).filter(col("k") === 1501L).count() == 1)
+    // row-level feed replay reconstructs the snapshot across DV deletes
+    val feed = wh.tableChangesRows("t", 0, 3)
+      .select("k", "_change_type").as[(Long, String)].collect().toSeq
+    assert(feed.count(_._2 == "delete") == 3)
+    val replayed = feed.filter(_._2 == "insert").map(_._1)
+      .diff(feed.filter(_._2 == "delete").map(_._1)).sorted
+    assert(replayed == wh.table("t").select("k").as[Long].collect().sorted.toSeq)
+    // a big delete on the same table still takes the rewrite/drop path
+    val res3 = wh.delete("t", col("k") >= 3000L)                          // v4
+    assert(res3.filesDropped == 1 && res3.filesDv == 0, res3.toString)
+    assert(wh.table("t").count() == 2997)
+    // compaction materializes the DVs away; counts survive
+    wh.compact("t")                                                      // v5
+    val d2 = wh.describeDetail("t").toMap
+    assert(d2("numDeletionVectors") == "0")
+    assert(wh.table("t").count() == 2997 && wh.countRows("t").contains(2997L))
+    // vacuum reclaims the now-unreferenced sidecars with the old files
+    wh.vacuum("t")
+    assert(!new java.io.File(s"$dir/t/_dv").exists() ||
+      new java.io.File(s"$dir/t/_dv").list().isEmpty)
+    assert(wh.table("t").count() == 2997)
+  }
+
+  test("deletion vectors: point update appends new images, old file untouched") {
+    import spark.implicits._
+    val dir = tmp("wh_dvupd")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", spark.range(2000).select(col("id").as("k"),
+      (col("id") % 7).as("v")).coalesce(2), clusterBy = Seq("k"))         // v1
+    val before = dataDigests(dir, "t")
+    val res = wh.update("t", col("k") === 42L, Map("v" -> lit(999L)))     // v2
+    assert(res.rowsUpdated == 1 && res.filesDv == 1 && res.filesRewritten == 0,
+      res.toString)
+    // the two original files are byte-identical; ONE new image file appended
+    val after = dataDigests(dir, "t")
+    assert(before.forall { case (p, h) => after.get(p).contains(h) })
+    assert(wh.table("t").count() == 2000)
+    assert(wh.table("t").filter(col("k") === 42L).select("v").as[Long]
+      .collect().toSeq == Seq(999L))
+    assert(wh.countRows("t").contains(2000L))
+    // feed: pre-image delete + post-image insert
+    val feed = wh.tableChangesRows("t", 1, 2)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSeq.sorted
+    assert(feed == Seq((42L, 42L % 7, "delete"), (42L, 999L, "insert")), feed)
+    // a DV'd file still prunes by its manifest stats on the read path
+    val pruned = wh.scan("t", ColRange("k", Some(1900L), Some(1950L)))
+    assert(pruned.count() == 51)
+  }
+
+  test("deletion vectors: clone subtracts the source's DV; vacuum keeps shared sidecars") {
+    import spark.implicits._
+    val dir = tmp("wh_dvclone")
+    val wh = new Warehouse(spark, dir)
+    wh.save("src", spark.range(1000).select(col("id").as("k")).coalesce(1),
+      clusterBy = Seq("k"))
+    wh.delete("src", col("k") === 7L)
+    wh.cloneTable("src", "cl")
+    assert(wh.table("cl").count() == 999)
+    assert(wh.table("cl").filter(col("k") === 7L).count() == 0)
+    // source vacuums aggressively: the clone still reads (data + DV kept)
+    wh.delete("src", col("k") === 8L)
+    wh.vacuum("src")
+    assert(wh.table("cl").count() == 999)
+    assert(wh.table("src").count() == 998)
   }
 }
