@@ -1540,6 +1540,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val rowNeutral = Set("compact", "recluster")
     val recorded = Set("delete", "update", "merge", "stream-merge")
     def manifest(v: Long) = stateAt(name, v)
+    val curMap = currentManifestFull(name).map(m => colMapOf(m._3))
+      .getOrElse(Map.empty)
     val versions = tableVersions(name)
       .filter(v => v > fromVersion && v <= toVersion)
     var seen: Set[String] =
@@ -1552,10 +1554,29 @@ class Warehouse(val spark: SparkSession, basePath: String,
       val paths = vFiles.map(_.path).toSet
       if (recorded.contains(op)) {
         val dir = changesDir(name, v)
-        if (fs.exists(dir))
-          out += spark.read.format(format).option("header", "true")
-            .schema(sc.add(ChangeTypeCol, org.apache.spark.sql.types.StringType))
+        if (fs.exists(dir)) {
+          // change files carry version v's LOGICAL column names and
+          // types; a later rename/widen must not null them out of the
+          // replay. Bridge by the FROZEN physical names: current
+          // logical -> physical (current colmap) -> v's logical (v's
+          // colmap, identity where never renamed), cast v's type up to
+          // the current one (widening), and surface the current names
+          // — the feed always speaks the reader's schema.
+          val vSc = metaSchema(vMeta).getOrElse(sc)
+          val vMap = colMapOf(vMeta)
+          val raw = spark.read.format(format).option("header", "true")
+            .schema(vSc.add(ChangeTypeCol,
+              org.apache.spark.sql.types.StringType))
             .load(dir.toString)
+          out += raw.select(sc.map { f =>
+            val phys = curMap.getOrElse(f.name, f.name)
+            val atV = vMap.collectFirst {
+              case (l, p) if p == phys => l }.getOrElse(phys)
+            if (vSc.fieldNames.contains(atV))
+              col(atV).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          } :+ col(ChangeTypeCol): _*)
+        }
         else require(paths == seen && op != "delete" && op != "update",
           s"tableChangesRows: '$op' commit v$v of $name predates change " +
             "files — re-read the snapshot") // mark-only commits change no rows
