@@ -5,12 +5,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata. The container has no codec
-  * libraries, so the DECODE step is a clearly-marked deterministic stub
-  * (`decodeStub`) — but everything Spark-side is real and tested: the
-  * binary schema, the batched per-partition processing shape (the Scala
-  * analogue of mapInPandas: one iterator in, one iterator out, no
-  * per-row setup cost), partitioning, and frame-sampling arithmetic.
+  * `binary` columns with typed metadata. IMAGE decode is REAL — the
+  * JDK ships PNG/BMP/GIF codecs (`javax.imageio`), so
+  * [[decodeImage]] reads actual rasters: width/height/channels/mean
+  * sample from the bytes, round-trip-tested against synthetically
+  * encoded images. Codecs the JVM lacks (audio/video) keep the
+  * clearly-marked deterministic stub (`decodeStub`) for the pipeline
+  * shape. Everything Spark-side is shared and tested either way: the
+  * binary schema, the batched per-partition processing shape (the
+  * Scala analogue of mapInPandas: one iterator in, one iterator out,
+  * no per-row setup cost), partitioning, and frame-sampling
+  * arithmetic.
   *
   * At 100 TB payloads dominate row width — the rules encoded here:
   * never shuffle payload columns (drop/meta-project before any join),
@@ -23,13 +28,14 @@ object Multimodal {
   case class MediaFeatures(doc_id: Long, n_bytes: Long, width: Int,
       height: Int, channels: Int, mean_byte: Double)
 
-  /** STUB decode: a real implementation would call an image codec here.
-    * The stub derives deterministic fake dimensions + a real byte-mean
-    * so the pipeline shape (batch iterator → features) is testable. */
+  /** STUB decode (audio/video lane — no JVM codec): deterministic fake
+    * dimensions + a real byte-mean so the pipeline shape (batch
+    * iterator → features) stays testable for payload kinds
+    * [[decodeImage]] cannot read. */
   def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.map { r =>
       val n = r.payload.length.toLong
-      // ??? — codec goes here; fake dims derived from byte length
+      // codec goes here for non-image media; fake dims from byte length
       val width = (n % 64 + 1).toInt
       val height = (n / 64 % 64 + 1).toInt
       var s = 0L; var i = 0
@@ -38,11 +44,70 @@ object Multimodal {
       MediaFeatures(r.doc_id, n, width, height, 3, mean)
     }
 
-  /** The mapPartitions pipeline over a binary payload column. */
+  /** REAL image decode, pure JVM (`javax.imageio` — PNG/BMP/GIF ship
+    * with the JDK): dimensions and band count from the decoded raster,
+    * mean over every sample of every band. Rows no installed codec
+    * accepts are DROPPED — curation semantics: undecodable media is
+    * filtered, countable as input-minus-output. Runs inside one
+    * partition task; payload bytes never cross a shuffle. */
+  def decodeImage(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.flatMap { r =>
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case _: java.io.IOException => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val raster = im.getRaster
+        val bands = raster.getNumBands
+        var s = 0L; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        MediaFeatures(r.doc_id, r.payload.length.toLong, w, h, bands,
+          s.toDouble / (w.toLong * h * bands))
+      }
+    }
+
+  /** Deterministic test/oracle image: a `w`×`h` 3-band image filled
+    * with the constant gray `docId % 256`, encoded through a REAL
+    * codec (`fmt` = png | bmp | gif). Decoding it must recover exactly
+    * (w, h, 3, gray) — the round trip the mm4 oracle checks. */
+  def syntheticImage(docId: Long, w: Int, h: Int,
+      fmt: String = "png"): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val g = (docId % 256).toInt
+    val rgb = (g << 16) | (g << 8) | g
+    var y = 0
+    while (y < h) {
+      var x = 0; while (x < w) { img.setRGB(x, y, rgb); x += 1 }; y += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, baos),
+      s"no JVM codec writes $fmt")
+    baos.toByteArray
+  }
+
+  /** The mapPartitions pipeline over a binary payload column (stub
+    * lane — arbitrary payloads). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
     media.select(col("doc_id"), col("payload")).as[MediaRow]
       .mapPartitions(decodeStub)
+  }
+
+  /** The same pipeline through the REAL image codec. */
+  def extractImageFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(decodeImage)
   }
 
   /** documents.text rendered as a binary payload (the test surrogate for
