@@ -2030,8 +2030,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * partition directories (one write job reuses part-00000-<uuid> in
     * every partition it touches). */
   private def relPathCol: org.apache.spark.sql.Column = {
+    // both sides must reduce to the same authority-free absolute path:
+    // the prefix comes from toUri.getPath (no scheme, no authority), so
+    // the regex must strip scheme AND authority from file_path —
+    // "s3://bucket/wh/t/f" → "/wh/t/f", "hdfs://nn:8020/wh/t/f" →
+    // "/wh/t/f", "file:/root/wh/t/f" and "file:///root/wh/t/f" →
+    // "/root/wh/t/f". (The old scheme-only strip kept the authority,
+    // breaking every bucket/namenode filesystem.)
     val prefix = qualifiedPath(basePath).toUri.getPath.stripSuffix("/") + "/"
-    regexp_replace(col("_metadata.file_path"), "^[a-zA-Z0-9+.\\-]+:/+", "/")
+    regexp_replace(col("_metadata.file_path"),
+      "^[a-zA-Z0-9+.\\-]+:(//[^/]*)?", "")
       .substr(lit(prefix.length + 1), lit(Int.MaxValue))
   }
 
@@ -2127,25 +2135,33 @@ class Warehouse(val spark: SparkSession, basePath: String,
     def manifest(v: Long) = stateAt(name, v)
     require(tableVersions(name).contains(fromVersion) || fromVersion == 0,
       s"tableChanges: version $fromVersion of $name is vacuumed or missing")
-    val base =
-      if (fromVersion == 0) Set.empty[String]
-      else manifest(fromVersion)._1.map(_.path).toSet
-    var seen = base
+    var seenFiles: Map[String, DataFile] =
+      if (fromVersion == 0) Map.empty
+      else manifest(fromVersion)._1.map(f => f.path -> f).toMap
     val added = scala.collection.mutable.ArrayBuffer.empty[String]
     versions.foreach { v =>
       val (files, meta) = manifest(v)
       val op = meta.getOrElse(OpMeta, "unknown")
-      val paths = files.map(_.path).toSet
+      val byPath = files.map(f => f.path -> f).toMap
+      val paths = byPath.keySet
+      val seen = seenFiles.keySet
       // the bootstrap save/clone is append-shaped when nothing preceded
-      // it; a metadata-only commit (alter-check, clone-ref) adds nothing
+      // it; a metadata-only commit (alter-check, clone-ref) adds
+      // nothing — but ONLY if the file ENTRIES are unchanged too: a
+      // pure-DV delete keeps every path while flipping dv refs, and a
+      // file-level diff cannot describe the rows it removed. Carried
+      // files must also be untouched under a genuine append (a commit
+      // that both appends and DVs an old file deletes rows).
+      val carriedUntouched =
+        seen.subsetOf(paths) && seen.forall(p => byPath(p) == seenFiles(p))
       val appendShaped = (appendOps.contains(op) ||
         (Set("save", "clone").contains(op) && seen.isEmpty) ||
-        paths == seen) && seen.subsetOf(paths)
+        byPath == seenFiles) && carriedUntouched
       require(appendShaped,
         s"tableChanges: version $v of $name is a '$op' rewrite — file-level " +
           "diffs only describe append-shaped commits; re-read the snapshot")
-      added ++= (paths -- seen)
-      seen = paths
+      added ++= files.map(_.path).filterNot(seen)
+      seenFiles = byPath
     }
     // added files carry no DV at their add version (fresh names), and
     // a delete inside the window refuses above — pin the empty DV

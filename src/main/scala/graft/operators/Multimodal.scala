@@ -52,10 +52,13 @@ object Multimodal {
     * partition task; payload bytes never cross a shuffle. */
   def decodeImage(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
     rows.flatMap { r =>
+      // NonFatal, not just IOException: codecs throw RuntimeExceptions
+      // (array/index errors) on crafted or truncated headers, and one
+      // bad payload must be dropped, not fail the whole partition task
       val img =
         try javax.imageio.ImageIO.read(
           new java.io.ByteArrayInputStream(r.payload))
-        catch { case _: java.io.IOException => null }
+        catch { case scala.util.control.NonFatal(_) => null }
       Option(img).map { im =>
         val w = im.getWidth; val h = im.getHeight
         val raster = im.getRaster
@@ -77,8 +80,10 @@ object Multimodal {
 
   /** Deterministic test/oracle image: a `w`×`h` 3-band image filled
     * with the constant gray `docId % 256`, encoded through a REAL
-    * codec (`fmt` = png | bmp | gif). Decoding it must recover exactly
-    * (w, h, 3, gray) — the round trip the mm4 oracle checks. */
+    * codec (`fmt` = png | bmp | gif). Decoding a png/bmp must recover
+    * exactly (w, h, 3, gray) — the round trip the mm4 oracle checks;
+    * gif decodes palette-indexed (1 band, index samples), so only its
+    * dimensions round-trip exactly (spec-asserted). */
   def syntheticImage(docId: Long, w: Int, h: Int,
       fmt: String = "png"): Array[Byte] = {
     val img = new java.awt.image.BufferedImage(w, h,
@@ -180,5 +185,34 @@ object Multimodal {
         .withColumn("seq_len",
           (col("patches_x") * col("patches_y") + 1).cast("long"))
         .orderBy("doc_id"))
+    ,
+
+    // MM4 — REAL image decode round trip, oracle-checked: each doc_id
+    // deterministically encodes a (doc_id%31+1)×(doc_id%17+1) constant-
+    // gray image through a real JVM codec (png/bmp alternating), and
+    // the decode lane recovers the dimensions, band count, and mean
+    // sample from the BYTES. Lossless codecs make the output a pure
+    // function of doc_id, so DuckDB predicts it arithmetically without
+    // decoding anything — a true hash-checked oracle over a decode
+    // path the oracle engine cannot run. Encode+decode stay inside one
+    // partition task; no payload crosses a shuffle.
+    Q("mm4_image_decode",
+      Some("""SELECT doc_id,
+             |  cast(doc_id % 31 + 1 AS INT) AS width,
+             |  cast(doc_id % 17 + 1 AS INT) AS height,
+             |  cast(3 AS INT) AS channels,
+             |  cast(doc_id % 256 AS DOUBLE) AS mean_byte
+             |FROM documents ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticImage(id,
+            (id % 31 + 1).toInt, (id % 17 + 1).toInt,
+            if (id % 2 == 0) "png" else "bmp")))
+        extractImageFeatures(s, media.toDF())
+          .select(col("doc_id"), col("width"), col("height"),
+            col("channels"), col("mean_byte"))
+          .orderBy("doc_id")
+      })
   )
 }

@@ -226,6 +226,11 @@ object EventStream {
     // conf, or TIMESTAMP_NTZ µs in newer testdata) and normalize to a
     // µs timestamp in-plan, exactly as the batch loader does
     import org.apache.spark.sql.types._
+    // self-sufficient on TIMESTAMP(NANOS)-generation testdata: the
+    // schema inference below needs the legacy conf set (Tables.events
+    // sets it for the batch path; direct callers of this function
+    // must not have to know that)
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
     T.normalizeTs(spark.readStream
       .schema(schema)

@@ -21,6 +21,47 @@ class MultimodalSpec extends AnyFunSuite {
     assert(m.getDouble(0) > 32 && m.getDouble(1) < 127)
   }
 
+  test("image decode round trip: png/bmp recover exact (w, h, 3, gray); gif recovers dims") {
+    for (fmt <- Seq("png", "bmp"); (id, w, h) <- Seq((7L, 5, 9), (300L, 31, 1), (0L, 1, 1), (511L, 16, 16))) {
+      val out = Multimodal.decodeImage(Iterator(
+        Multimodal.MediaRow(id, Multimodal.syntheticImage(id, w, h, fmt)))).toList
+      assert(out.size == 1, s"$fmt $id")
+      val f = out.head
+      assert(f.width == w && f.height == h, s"$fmt $id: ${f.width}x${f.height}")
+      assert(f.channels == 3, s"$fmt $id: ${f.channels} bands")
+      assert(f.mean_byte == (id % 256).toDouble, s"$fmt $id: mean ${f.mean_byte}")
+    }
+    // gif decodes palette-indexed: dimensions exact, band count 1
+    val g = Multimodal.decodeImage(Iterator(
+      Multimodal.MediaRow(9L, Multimodal.syntheticImage(9L, 12, 7, "gif")))).toList
+    assert(g.size == 1 && g.head.width == 12 && g.head.height == 7)
+    assert(g.head.channels == 1)
+  }
+
+  test("image decode: undecodable payloads are dropped, not fatal to the batch") {
+    val good1 = Multimodal.MediaRow(1L, Multimodal.syntheticImage(1L, 3, 3))
+    val good2 = Multimodal.MediaRow(2L, Multimodal.syntheticImage(2L, 4, 2, "bmp"))
+    val junk = Multimodal.MediaRow(3L, Array.tabulate[Byte](64)(i => (i * 37).toByte))
+    val truncated = Multimodal.MediaRow(4L, good1.payload.take(20)) // valid PNG magic, cut body
+    val empty = Multimodal.MediaRow(5L, Array.emptyByteArray)
+    val out = Multimodal.decodeImage(
+      Iterator(good1, junk, good2, truncated, empty)).toList
+    assert(out.map(_.doc_id) == List(1L, 2L),
+      s"curation semantics: only decodable rows survive, got $out")
+  }
+
+  test("mm4 distributed lane: decode output is the encoded function of doc_id") {
+    val out = SparkEntry.queries("mm4_image_decode")(spark, sf)
+    val docs = Tables.documents(spark, sf).count()
+    assert(out.count() == docs) // every synthetic image decodes; none dropped
+    val bad = out.filter(
+      col("width") =!= (col("doc_id") % 31 + 1).cast("int") ||
+      col("height") =!= (col("doc_id") % 17 + 1).cast("int") ||
+      col("channels") =!= 3 ||
+      col("mean_byte") =!= (col("doc_id") % 256).cast("double")).count()
+    assert(bad == 0)
+  }
+
   test("frame sampling: frame lengths reassemble to payload size") {
     val frames = SparkEntry.queries("mm2_frame_sample")(spark, sf)
     val sums = frames.groupBy("doc_id").agg(sum("frame_len").as("tot"))

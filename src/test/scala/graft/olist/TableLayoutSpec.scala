@@ -354,6 +354,33 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.tableChanges("t", 4, 5).collect().map(_.getLong(0)).toSeq == Seq(6L))
   }
 
+  test("tableChanges: a pure-DV delete refuses like a rewrite delete") {
+    import spark.implicits._
+    val dir = tmp("wh_cdf_dv")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", spark.range(1000).select(col("id").as("k"),
+      (col("id") % 7).as("v")).coalesce(1))                            // v1
+    wh.append("t", Seq((2000L, 1L)).toDF("k", "v").coalesce(1))        // v2
+    // point delete takes the DV path: path set UNCHANGED, rows gone
+    val res = wh.delete("t", col("k") === 3L)                          // v3
+    assert(res.filesDv == 1 && res.filesRewritten == 0, res.toString)
+    // the file-level feed must not report v3 as append-shaped — the
+    // manifest paths are identical but the dv refs changed, and a
+    // file diff cannot describe the deleted row
+    val ex = intercept[IllegalArgumentException] {
+      wh.tableChanges("t", 2, 3).count()
+    }
+    assert(ex.getMessage.contains("rewrite"), ex.getMessage)
+    // the window BEFORE the delete still diffs cleanly, and a delete
+    // AFTER toVersion cannot thin the historical batch (empty-DV pin)
+    assert(wh.tableChanges("t", 1, 2).collect().map(_.getLong(0)).toSeq == Seq(2000L))
+    assert(wh.tableChanges("t", 0, 2).count() == 1001)
+    // the row-level feed DOES cross it, via change files
+    val feed = wh.tableChangesRows("t", 2, 3)
+    assert(feed.filter(col("_change_type") === "delete")
+      .collect().map(_.getLong(0)).toSeq == Seq(3L))
+  }
+
   /** Pin the classic rewrite path for surgery tests (DVs are covered
     * by their own tests below). */
   private def withoutDv[T](f: => T): T = {
