@@ -58,38 +58,57 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * with atomic-exclusive rename (HDFS), it does not resolve them. */
   private val commitLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
-  private def withCommitLock[T](name: String)(f: => T): T =
-    commitLocks.computeIfAbsent(name, _ => new Object).synchronized {
+  private def withCommitLock[T](name: String)(f: => T): T = {
+    val tx = txnState.get()
+    if (tx != null) {
+      // the transaction already holds this table's monitor + file lock
+      // for its whole lifetime; re-acquiring would self-deadlock on the
+      // (non-reentrant) file lock. Undeclared tables refuse loudly —
+      // their locks are NOT held, so a commit there could interleave
+      // with another writer and break the all-or-nothing contract.
+      require(tx.tables.contains(name),
+        s"transaction over [${tx.tables.mkString(", ")}] cannot write " +
+          s"undeclared table '$name' — declare every table the body commits to")
+      f
+    } else commitLocks.computeIfAbsent(name, _ => new Object).synchronized {
       val token = acquireTableLock(name)
       // heartbeat: a rewrite running under the lock (merge/delete/
       // update/compact of a big table) can outlive lockStaleMs;
       // refreshing the mtime while genuinely alive keeps a slow commit
       // from being mistaken for a crashed writer and hijacked mid-swap.
       // One shared daemon timer per warehouse — no thread per commit.
-      val period = math.max(lockStaleMs / 3, 1000L)
-      val beat = new java.util.TimerTask {
-        // ANY throwable escaping a TimerTask kills the shared daemon
-        // Timer thread, after which every schedule() on this warehouse
-        // throws — all commits would permanently fail. setTimes can
-        // throw beyond IOException (UnsupportedOperationException on
-        // several object-store filesystems), so swallow NonFatal; an
-        // FS that cannot refresh mtimes stops beating after the first
-        // failure (the takeover window then reverts to plain
-        // lockStaleMs — degraded, never fatal).
-        override def run(): Unit =
-          try metaFs.setTimes(lockPath(name),
-            System.currentTimeMillis, -1)
-          catch {
-            case _: java.io.IOException => () // lock gone: noop
-            case scala.util.control.NonFatal(_) => cancel()
-          }
-      }
-      heartbeatTimer.schedule(beat, period, period)
+      val beat = startHeartbeat(name)
       try f finally {
         beat.cancel()
         releaseTableLock(name, token)
       }
     }
+  }
+
+  /** Schedules the lock-mtime heartbeat for `name` on the shared daemon
+    * timer; caller cancels the returned task when the lock is released. */
+  private def startHeartbeat(name: String): java.util.TimerTask = {
+    val period = math.max(lockStaleMs / 3, 1000L)
+    val beat = new java.util.TimerTask {
+      // ANY throwable escaping a TimerTask kills the shared daemon
+      // Timer thread, after which every schedule() on this warehouse
+      // throws — all commits would permanently fail. setTimes can
+      // throw beyond IOException (UnsupportedOperationException on
+      // several object-store filesystems), so swallow NonFatal; an
+      // FS that cannot refresh mtimes stops beating after the first
+      // failure (the takeover window then reverts to plain
+      // lockStaleMs — degraded, never fatal).
+      override def run(): Unit =
+        try metaFs.setTimes(lockPath(name),
+          System.currentTimeMillis, -1)
+        catch {
+          case _: java.io.IOException => () // lock gone: noop
+          case scala.util.control.NonFatal(_) => cancel()
+        }
+    }
+    heartbeatTimer.schedule(beat, period, period)
+    beat
+  }
 
   private lazy val heartbeatTimer =
     new java.util.Timer("graft-lock-heartbeat", true)
@@ -186,6 +205,149 @@ class Warehouse(val spark: SparkSession, basePath: String,
       if (held) fs.delete(lock, false)
     } catch { case _: java.io.IOException => () } // taken over or gone
   }
+
+  // ----- cross-table atomic transaction ------------------------------
+  //
+  // A fact+dim load that must be seen together gets a parent commit
+  // record both tables' manifests reference: every version committed
+  // inside `transaction` carries `#txn:<id>` in its metadata, and such
+  // a version is INVISIBLE to every reader until the parent marker
+  // `_graft_meta/_txn/<id>.committed` exists (one atomic
+  // rename-no-overwrite — the transaction's single commit point).
+  // Readers resolving a table head whose record is tagged with an
+  // uncommitted txn step back to the last visible version, so a racing
+  // reader either sees NO table's txn writes or ALL of them — never one
+  // side without the other. The transaction holds every declared
+  // table's commit lock for its whole lifetime (sorted acquisition, so
+  // two transactions over overlapping table sets cannot deadlock);
+  // body failure rolls the tagged tail records back and leaves every
+  // table at its pre-transaction version. A crash between table
+  // commits and the marker leaves tagged tails that readers skip and
+  // the next locked writer rolls back — all-or-nothing either way.
+
+  private final case class TxnState(id: String, tables: Seq[String],
+      preHeads: Map[String, Long])
+  private val txnState = new ThreadLocal[TxnState]
+  /** Positive-only cache: a committed marker never disappears. */
+  private val committedTxns =
+    scala.collection.concurrent.TrieMap.empty[String, Unit]
+
+  private def txnMarkerPath(id: String, state: String) =
+    new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/_txn/$id.$state")
+
+  /** Is a `#txn:`-tagged record visible: yes for the owning thread
+    * (a transaction reads its own uncommitted writes), else only once
+    * the parent committed marker exists. */
+  private def txnVisible(id: String): Boolean = {
+    val tx = txnState.get()
+    (tx != null && tx.id == id) || committedTxns.contains(id) || {
+      val ok = metaFs.exists(txnMarkerPath(id, "committed"))
+      if (ok) committedTxns.put(id, ())
+      ok
+    }
+  }
+
+  /** Roll back this table's tagged-but-uncommitted tail records (if
+    * any) down to the last visible version. Safe ONLY under the
+    * table's commit lock: a live transaction holds its tables' locks
+    * for its whole lifetime, so a tagged tail observed while holding
+    * the lock has no live owner. */
+  private def rollbackInvisibleTail(name: String): Unit =
+    headVersion(name).foreach { ph =>
+      var v = ph
+      while (v >= 1 && metaOfVersion(name, v).get(TxnMeta)
+          .exists(id => !txnVisible(id))) {
+        metaFs.delete(deltaPath(name, v), false)
+        metaFs.delete(manifestPath(name, v), false)
+        v -= 1
+      }
+      if (v != ph) {
+        snapshotCache.remove(name)
+        if (v >= 1) writeHeadHint(name, v)
+        else metaFs.delete(headHintPath(name), false)
+        log.warn(s"rolled back abandoned transaction tail of $name: " +
+          s"v${v + 1}..v$ph (no committed parent marker)")
+      }
+    }
+
+  /** Runs `body` as ONE atomic commit across `names`: every write the
+    * body performs on the declared tables becomes visible to readers
+    * together — at the moment the parent marker lands — or, on body
+    * failure, not at all (each table rolls back to its
+    * pre-transaction version). The body uses the normal API
+    * (`append`, `save`, `delete`, `merge`, …) and reads its own
+    * uncommitted writes; writes to undeclared tables refuse. Nested
+    * transactions refuse (no savepoint semantics to hide behind).
+    * Data files staged by a rolled-back body are unreferenced and
+    * reclaimed by vacuum, like any lost commit's. The session
+    * `dw_<table>` views refresh only at the outcome, so SQL readers
+    * never see a half-landed batch either. */
+  def transaction[T](names: Seq[String])(body: => T): T = {
+    require(database.isEmpty, "transaction applies to path-mode tables only")
+    require(names.nonEmpty, "transaction: declare at least one table")
+    require(txnState.get() == null,
+      "transaction: already inside a transaction (nesting unsupported)")
+    val tables = names.distinct.sorted // sorted ⇒ deadlock-free acquisition
+    def locked[A](ns: List[String])(g: => A): A = ns match {
+      case Nil => g
+      case h :: t =>
+        commitLocks.computeIfAbsent(h, _ => new Object).synchronized {
+          val token = acquireTableLock(h)
+          val beat = startHeartbeat(h)
+          try locked(t)(g)
+          finally { beat.cancel(); releaseTableLock(h, token) }
+        }
+    }
+    locked(tables.toList) {
+      // heal any crash-abandoned tail first, so preHeads are the true
+      // pre-transaction versions (we hold every declared lock)
+      tables.foreach(rollbackInvisibleTail)
+      val id = java.util.UUID.randomUUID.toString
+      val preHeads = tables.map(n =>
+        n -> headVersion(n).getOrElse(0L)).toMap
+      // intent marker (observability + abort audit; correctness rides
+      // solely on the committed marker's existence)
+      writeRecord(txnMarkerPath(id, "pending").getParent,
+        txnMarkerPath(id, "pending"),
+        (Seq(s"#txn:$id", s"#startedAt:${java.time.Instant.now}") ++
+          tables.map(n => s"${n}:${preHeads(n)}")).mkString("\n"))
+      txnState.set(TxnState(id, tables, preHeads))
+      try {
+        val result = body
+        // THE commit point: rename-no-overwrite publishes the marker,
+        // flipping every tagged version visible at once. Table records
+        // are already hsync'd (writeRecord), so ordering is durable.
+        if (!writeRecord(txnMarkerPath(id, "committed").getParent,
+          txnMarkerPath(id, "committed"),
+          (Seq(s"#txn:$id", s"#committedAt:${java.time.Instant.now}") ++
+            tables.map(n => s"${n}:${headVersion(n).getOrElse(0L)}"))
+            .mkString("\n")))
+          throw new IllegalStateException(
+            s"transaction $id: committed-marker collision — duplicate txn id?")
+        committedTxns.put(id, ())
+        txnState.remove()
+        metaFs.delete(txnMarkerPath(id, "pending"), false)
+        tables.foreach(refreshView)
+        result
+      } catch {
+        // txnState still set ⇒ the marker never landed: abort. (A
+        // failure AFTER the marker — view refresh, marker-file cleanup
+        // — is a committed transaction and must not roll back.)
+        case e: Throwable if txnState.get() != null =>
+          txnState.remove() // own tail is now invisible to us too
+          tables.foreach(rollbackInvisibleTail)
+          metaFs.delete(txnMarkerPath(id, "pending"), false)
+          tables.foreach(refreshView)
+          throw e
+      }
+    }
+  }
+
+  /** Re-point the session `dw_<name>` view at the current visible
+    * snapshot (no-op for a table with no visible version). */
+  private def refreshView(name: String): Unit =
+    if (currentManifest(name).isDefined)
+      read(name).createOrReplaceTempView(s"dw_$name")
 
   /** Cluster spec recorded at save time — clustering is TABLE layout,
     * not a per-write option: append/compact/merge must re-apply the
@@ -1205,9 +1367,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
           .select(predicate.as("__p")).queryExecution.analyzed
           .expressions.forall(_.deterministic),
         "delete predicate must be deterministic (it runs in the probe and the rewrite)")
-      // explicit hint ∪ ranges provably implied by the predicate itself
-      val cands = candidates(files, sc,
-        hint ++ derivedRanges(predicate, sc)).map(_.path)
+      // explicit hint ∪ ranges ∪ IN-lists provably implied by the
+      // predicate itself
+      val cands = candidatesWith(files, sc,
+        hint ++ derivedRanges(predicate, sc),
+        derivedInSets(predicate, sc)).map(_.path)
       val matched: Map[String, (Long, Long)] = probeMatches(
         "delete", name, cands, sc,
         agg = Seq(count(lit(1)).as("__total"),
@@ -1439,8 +1603,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
             case None    => col(c)
           }
         }: _*)
-      val cands = candidates(files, sc,
-        hint ++ derivedRanges(predicate, sc)).map(_.path)
+      val cands = candidatesWith(files, sc,
+        hint ++ derivedRanges(predicate, sc),
+        derivedInSets(predicate, sc)).map(_.path)
       val matched: Map[String, (Long, Long)] = probeMatches(
         "update", name, cands, sc,
         agg = Seq(count(lit(1)).as("__total"),
@@ -2044,25 +2209,27 @@ class Warehouse(val spark: SparkSession, basePath: String,
   }
 
   /** File-admission oracle for ONE [[fromFiles]] load group, keyed by
-    * the absolute paths Spark's listing reports. Given the ranges a
-    * query's pushed filters imply, admits exactly the files
-    * [[candidates]] would keep — stats straddle + bloom test — and
-    * every file the manifest has no stats for (absent entry, historical
-    * path, stat-free column): missing knowledge keeps files, never
-    * drops them. */
+    * the absolute paths Spark's listing reports. Given the ranges and
+    * IN-list value sets a query's pushed filters imply, admits exactly
+    * the files [[candidatesWith]] would keep — stats straddle + bloom
+    * test, per-value union for IN — and every file the manifest has no
+    * stats for (absent entry, historical path, stat-free column):
+    * missing knowledge keeps files, never drops them. */
   private def groupPruner(name: String, group: Seq[String],
       statsBy: Map[String, DataFile],
       phys: org.apache.spark.sql.types.StructType)
-      : Seq[(String, Option[Any], Option[Any])] => (String => Boolean) = {
+      : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])])
+        => (String => Boolean) = {
     lazy val byAbs: Map[String, DataFile] = group.iterator.flatMap { f =>
       statsBy.get(f).map(df =>
         qualifiedPath(s"$basePath/${normalizedRel(name, f)}").toUri.getPath -> df)
     }.toMap
-    triples => {
+    (triples, inSets) => {
       val ranges = triples.map { case (c, lo, hi) => ColRange(c, lo, hi) }
-      if (ranges.isEmpty) _ => true
+      if (ranges.isEmpty && inSets.isEmpty) _ => true
       else {
-        val ok = candidates(byAbs.values.toSeq, phys, ranges).map(_.path).toSet
+        val ok = candidatesWith(byAbs.values.toSeq, phys, ranges, inSets)
+          .map(_.path).toSet
         abs => byAbs.get(abs).forall(df => ok(df.path))
       }
     }
@@ -2463,10 +2630,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
-  /** Committed versions of a path-mode table, ascending. */
+  /** Committed versions of a path-mode table, ascending. Versions
+    * committed by a cross-table [[transaction]] whose parent marker has
+    * not landed are not committed yet — the (bounded) tagged tail is
+    * hidden, so time travel and the change feeds can never resolve a
+    * half-landed batch. */
   def tableVersions(name: String): Seq[Long] = {
     require(database.isEmpty, "tableVersions applies to path-mode tables only")
-    logVersions(name)
+    val all = logVersions(name)
+    var end = all.length
+    while (end > 0 && metaOfVersion(name, all(end - 1)).get(TxnMeta)
+        .exists(id => !txnVisible(id))) end -= 1
+    all.take(end)
   }
 
   /** Time travel: the table AS OF a committed version. Every commit is
@@ -2908,6 +3083,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private val RowsMeta = "rows"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
+  /** Cross-table transaction id a version was committed under; the
+    * version is invisible until `_graft_meta/_txn/<id>.committed`
+    * exists (see [[transaction]]). Never carried forward: untagged
+    * commits strip it. */
+  private val TxnMeta = "txn"
   /** Column mapping (logical name → physical parquet name) for renamed
     * columns, and the physical names of dropped columns. A column's
     * PHYSICAL name is frozen at first write; RENAME only changes the
@@ -3198,13 +3378,28 @@ class Warehouse(val spark: SparkSession, basePath: String,
     headVersion(name) match {
       case None => snapshotCache.remove(name); None
       case Some(latest) =>
-        snapshotCache.get(name) match {
-          case Some(hit @ (v, _, _)) if v == latest => Some(hit)
+        val entry = snapshotCache.get(name) match {
+          case Some(hit @ (v, _, _)) if v == latest => hit
           case _ =>
             val (files, meta) = stateAt(name, latest)
-            val entry = (latest, files, meta)
-            snapshotCache(name) = entry
-            Some(entry)
+            val e = (latest, files, meta)
+            snapshotCache(name) = e
+            e
+        }
+        // cross-table txn visibility: a head tagged with an uncommitted
+        // transaction is invisible (except to the owning thread) — step
+        // back to the last visible version. The walk is bounded by that
+        // one transaction's own commits on this table.
+        if (entry._3.get(TxnMeta).forall(txnVisible)) Some(entry)
+        else {
+          var v = entry._1 - 1
+          var res: Option[(Long, Seq[DataFile], Map[String, String])] = None
+          while (v >= 1 && res.isEmpty) {
+            val (fls, m) = stateAt(name, v)
+            if (m.get(TxnMeta).forall(txnVisible)) res = Some((v, fls, m))
+            else v -= 1
+          }
+          res // None: the table was born inside the pending transaction
         }
     }
 
@@ -3250,6 +3445,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val fs = metaFs
     val dir = txnDir(name)
     fs.mkdirs(dir)
+    val tx = txnState.get()
+    // a crash-abandoned cross-table txn leaves tagged tail records that
+    // visibility-filtered reads skip but that would collide with this
+    // commit's version number — heal them here, under the lock every
+    // caller holds (a live txn owns its tables' locks, so an invisible
+    // tail seen here is dead). Inside a transaction the tagged tail IS
+    // ours and must stand.
+    if (tx == null) rollbackInvisibleTail(name)
     val prev = currentManifestFull(name)
     val version = prev.map(_._1).getOrElse(0L) + 1
     // metadata (streaming marks etc.) survives every commit — a
@@ -3265,9 +3468,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
       if (rowCounts.forall(_.isDefined))
         (rowCounts.flatten.sum - files.flatMap(_.dv).map(_.rows).sum).toString
       else ""
-    val meta = prev.map(_._3).getOrElse(Map.empty) ++ extraMeta ++
+    val meta = prev.map(_._3).getOrElse(Map.empty) - TxnMeta ++ extraMeta ++
       Map(OpMeta -> op, TimeMeta -> java.time.Instant.now.toString,
-        FilesMeta -> files.size.toString, RowsMeta -> rowsTotal)
+        FilesMeta -> files.size.toString, RowsMeta -> rowsTotal) ++
+      (if (tx != null) Map(TxnMeta -> tx.id) else Map.empty)
     val isCheckpoint = version == 1L || version % checkpointEvery == 0L
     val (dst, body) =
       if (isCheckpoint)
@@ -3297,8 +3501,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // DELETE/UPDATE file surgery, MERGE, RESTORE, compaction) leaves
     // SQL readers on the pre-mutation snapshot — and a later vacuum
     // turns that stale list into dangling reads. Every mutation route
-    // commits here, making this the one refresh point.
-    read(name).createOrReplaceTempView(s"dw_$name")
+    // commits here, making this the one refresh point. Inside a
+    // cross-table transaction the refresh waits for the outcome —
+    // the session view must never expose a half-landed batch.
+    if (tx == null) read(name).createOrReplaceTempView(s"dw_$name")
   }
 
   /** Writes `df` to a staging directory, then moves the data files into
@@ -3587,10 +3793,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * matching rows and the delete/update would silently skip them.
     * Type mismatch → no range for that conjunct (the safe direction),
     * same as casts and function-of-column forms. */
-  private[olist] def derivedRanges(pred: org.apache.spark.sql.Column,
-      schema: org.apache.spark.sql.types.StructType): Seq[ColRange] = {
+  private def typeMatches(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Boolean = {
     import org.apache.spark.sql.types._
-    def typeMatches(dt: DataType, v: Any): Boolean = (dt, v) match {
+    (dt, v) match {
       case (IntegerType, _: java.lang.Integer)      => true
       case (LongType, _: java.lang.Long)            => true
       case (ShortType, _: java.lang.Short)          => true
@@ -3607,6 +3813,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
       case (_: DecimalType, _: BigDecimal)          => true
       case _                                        => false
     }
+  }
+
+  private[olist] def derivedRanges(pred: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType): Seq[ColRange] = {
     val types = schema.map(f => f.name -> f.dataType).toMap
     org.apache.spark.sql.GraftColumnShim.impliedRanges(pred).flatMap {
       case (c, lo, hi) =>
@@ -3615,6 +3825,38 @@ class Warehouse(val spark: SparkSession, basePath: String,
             Some(ColRange(c, lo, hi))
           case _ => None
         }
+    }
+  }
+
+  /** IN-list conjuncts provably implied by a DELETE/UPDATE predicate,
+    * filtered to value sets whose EVERY element matches the column's
+    * declared type — one coerced element and the whole conjunct is
+    * dropped (the comparison would coerce per row, the stats compare
+    * would not; pruning on it could silently skip matching rows). */
+  private[olist] def derivedInSets(pred: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Seq[Any])] = {
+    val types = schema.map(f => f.name -> f.dataType).toMap
+    org.apache.spark.sql.GraftColumnShim.impliedInSets(pred).filter {
+      case (c, vs) =>
+        types.get(c).exists(dt => vs.forall(typeMatches(dt, _)))
+    }
+  }
+
+  /** [[candidates]] extended with IN-list conjuncts: for each
+    * (column, values) pair a file survives when ANY value's
+    * point-range admits it (stats contain + bloom might-contain) —
+    * the union over values, intersected across conjuncts. Bounded
+    * work: |values| ≤ the walker's cap × files, each test O(1). */
+  private def candidatesWith(files: Seq[DataFile],
+      schema: org.apache.spark.sql.types.StructType,
+      ranges: Seq[ColRange],
+      inSets: Seq[(String, Seq[Any])]): Seq[DataFile] = {
+    val base = candidates(files, schema, ranges)
+    inSets.foldLeft(base) { case (acc, (c, vs)) =>
+      acc.filter(f => vs.exists(v =>
+        candidates(Seq(f), schema, Seq(ColRange(c, Some(v), Some(v))))
+          .nonEmpty))
     }
   }
 

@@ -34,7 +34,8 @@ class PruningFileIndex(
     leafPaths: Seq[Path],
     options: Map[String, String],
     fullSchema: StructType,
-    prune: Seq[(String, Option[Any], Option[Any])] => (String => Boolean))
+    prune: (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])])
+      => (String => Boolean))
   extends InMemoryFileIndex(
     PruningFileIndex.classic(session), leafPaths, options, Some(fullSchema)) {
 
@@ -47,9 +48,11 @@ class PruningFileIndex(
     val base = super.listFiles(partitionFilters, dataFilters)
     val total = base.iterator.map(_.files.size).sum
     val ranges = PruningFileIndex.impliedRanges(dataFilters)
-    if (ranges.isEmpty) { lastListing = Some((total, total)); base }
-    else {
-      val admit = prune(ranges)
+    val inSets = PruningFileIndex.impliedInSets(dataFilters)
+    if (ranges.isEmpty && inSets.isEmpty) {
+      lastListing = Some((total, total)); base
+    } else {
+      val admit = prune(ranges, inSets)
       val pruned = base.map { pd =>
         PartitionDirectory(pd.values,
           pd.files.filter(f => admit(f.getPath.toUri.getPath)))
@@ -103,6 +106,69 @@ object PruningFileIndex {
       case GreaterThanOrEqual(l: Literal, a: Attribute) => rng(a, l, lo = false, hi = true)
       case LessThan(l: Literal, a: Attribute) => rng(a, l, lo = true, hi = false)
       case LessThanOrEqual(l: Literal, a: Attribute) => rng(a, l, lo = true, hi = false)
+      case _ => Nil
+    }
+    filters.flatMap(walk)
+  }
+
+  /** Point-value SET constraints implied by analyzed filters — the
+    * second-most-common point-predicate shape after equality:
+    * `k IN (3, 7)`, its optimized `InSet` form (Spark converts IN to
+    * InSet above `spark.sql.optimizer.inSetConversionThreshold`), and
+    * an OR-of-equalities over ONE attribute. Semantics differ from
+    * [[impliedRanges]]: a file is admitted when ANY value's
+    * stats/bloom test admits it (union per value), and each returned
+    * (column, values) pair is one conjunct of the overall filter.
+    * Type exactness is structural, as for ranges: every element must
+    * be a literal of the attribute's own type, or the conjunct emits
+    * nothing (the safe, read-everything direction). NULL elements are
+    * dropped — `k IN (3, NULL)` is only ever TRUE via 3. Sets larger
+    * than `maxValues` emit nothing (bounds the per-file admission
+    * work; a 10k-element IN should scan, not run 10k bloom probes per
+    * file). */
+  def impliedInSets(filters: Seq[Expression],
+      maxValues: Int = 64): Seq[(String, Seq[Any])] = {
+    def ext(v: Any, a: Attribute): Option[Any] =
+      Option(CatalystTypeConverters.convertToScala(v, a.dataType))
+    // OR tree → (single attribute, values); None when any branch is
+    // not an equality on that same attribute
+    def eqValues(e: Expression): Option[(Attribute, Seq[Any])] = e match {
+      case Or(x, y) =>
+        for {
+          (ax, vx) <- eqValues(x)
+          (ay, vy) <- eqValues(y)
+          if ax.semanticEquals(ay)
+        } yield (ax, vx ++ vy)
+      case EqualTo(a: Attribute, l: Literal)
+        if l.dataType.sameType(a.dataType) => Some((a, Seq(l.value)))
+      case EqualTo(l: Literal, a: Attribute)
+        if l.dataType.sameType(a.dataType) => Some((a, Seq(l.value)))
+      case EqualNullSafe(a: Attribute, l: Literal)
+        if l.value != null && l.dataType.sameType(a.dataType) =>
+        Some((a, Seq(l.value)))
+      case EqualNullSafe(l: Literal, a: Attribute)
+        if l.value != null && l.dataType.sameType(a.dataType) =>
+        Some((a, Seq(l.value)))
+      case _ => None
+    }
+    def walk(e: Expression): Seq[(String, Seq[Any])] = e match {
+      case And(x, y) => walk(x) ++ walk(y)
+      case In(a: Attribute, list)
+        if list.nonEmpty && list.forall {
+          case l: Literal => l.dataType.sameType(a.dataType)
+          case _ => false
+        } =>
+        val vs = list.collect { case l: Literal if l.value != null =>
+          ext(l.value, a) }.flatten
+        if (vs.isEmpty || vs.size > maxValues) Nil else Seq((a.name, vs))
+      case InSet(a: Attribute, hset) =>
+        val vs = hset.iterator.filter(_ != null).flatMap(ext(_, a)).toSeq
+        if (vs.isEmpty || vs.size > maxValues) Nil else Seq((a.name, vs))
+      case o: Or =>
+        eqValues(o).toSeq.flatMap { case (a, raw) =>
+          val vs = raw.filter(_ != null).flatMap(ext(_, a))
+          if (vs.isEmpty || vs.size > maxValues) Nil else Seq((a.name, vs))
+        }
       case _ => Nil
     }
     filters.flatMap(walk)

@@ -1094,6 +1094,95 @@ class TableLayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.bloom.items")
   }
 
+  test("auto skipping: IN-lists and OR-of-equalities prune via stats and blooms") {
+    val dir = tmp("wh_autoskip_in")
+    val wh = new Warehouse(spark, dir)
+    spark.conf.set("graft.bloom.items", "6000")
+    try {
+      // range-clustered: 8 files with disjoint k ranges of 10000 each
+      val df = spark.range(80000).select(col("id").as("k"), (col("id") * 3).as("v"))
+        .repartitionByRange(8, col("k"))
+      wh.save("t", df, clusterBy = Seq("k"))
+      // IN over two distant slices: exactly their 2 files
+      val q = spark.sql("SELECT sum(v) AS s FROM dw_t WHERE k IN (5, 75000)")
+      assert(q.collect()(0).getLong(0) == 5L * 3 + 75000L * 3)
+      assert(filesRead(q) == 2, s"IN (2 slices) read ${filesRead(q)}/8 files")
+      // a long IN list still prunes through the optimizer's InSet form
+      // (default conversion threshold is 10)
+      val many = (0 until 20).map(i => i * 4000).mkString(", ")
+      val qm = spark.sql(s"SELECT count(*) AS c FROM dw_t WHERE k IN ($many)")
+      assert(qm.collect()(0).getLong(0) == 20)
+      assert(filesRead(qm) == 8, s"20-value IN spans all slices: ${filesRead(qm)}")
+      val few = Seq(5, 7, 11, 4001, 4003, 4005, 4007, 4009, 4011, 4013, 4015)
+      val qf = spark.sql(
+        s"SELECT count(*) AS c FROM dw_t WHERE k IN (${few.mkString(", ")})")
+      assert(qf.collect()(0).getLong(0) == few.size)
+      assert(filesRead(qf) == 1, s"11-value InSet one slice: ${filesRead(qf)}/8")
+      // OR of equalities prunes the same way
+      val qo = spark.sql(
+        "SELECT count(*) AS c FROM dw_t WHERE k = 5 OR k = 75000")
+      assert(qo.collect()(0).getLong(0) == 2)
+      assert(filesRead(qo) == 2, s"OR-of-eq read ${filesRead(qo)}/8")
+      // IN on a bloomBy column: only admitting files open, absent keys none
+      val db = spark.range(20000).select(
+        md5(col("id").cast("string")).as("uid"), col("id").as("v"))
+        .repartition(4, col("uid"))
+      wh.save("b", db, bloomBy = Seq("uid"))
+      def md5Hex(s: String): String =
+        java.security.MessageDigest.getInstance("MD5").digest(s.getBytes)
+          .map("%02x".format(_)).mkString
+      val qb = spark.sql(s"SELECT v FROM dw_b WHERE uid IN " +
+        s"('${md5Hex("123")}', '${md5Hex("124")}')")
+      assert(qb.collect().map(_.getLong(0)).sorted.toSeq == Seq(123L, 124L))
+      assert(filesRead(qb) <= 2, s"bloom IN opened ${filesRead(qb)}/4 files")
+      val q0 = spark.sql(s"SELECT v FROM dw_b WHERE uid IN " +
+        s"('${md5Hex("no-such-a")}', '${md5Hex("no-such-b")}')")
+      assert(q0.collect().isEmpty)
+      assert(filesRead(q0) == 0, s"absent IN keys opened ${filesRead(q0)} files")
+      // a cast around the column defeats provability: read everything
+      val qc = spark.sql(
+        "SELECT count(*) AS c FROM dw_t WHERE CAST(k AS STRING) IN ('5', '75000')")
+      assert(qc.collect()(0).getLong(0) == 2)
+      assert(filesRead(qc) == 8, s"cast-wrapped IN must not prune: ${filesRead(qc)}/8")
+    } finally spark.conf.unset("graft.bloom.items")
+  }
+
+  test("delete/update: IN-list predicates bound the probe to admitting files") {
+    withoutDv {
+      val dir = tmp("wh_del_in")
+      val wh = new Warehouse(spark, dir)
+      val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+        floor(col("id") / 1000).as("b")).repartition(col("b"))
+      wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))
+      def digests() = dataDigests(dir, "t")
+      val before = digests()
+      // two point deletes in ONE partition's range: only that file rewrites
+      val res = wh.delete("t", col("k").isin(1500L, 1501L))
+      assert(res.rowsDeleted == 2, res.toString)
+      assert(res.filesRewritten == 1 && res.filesUntouched == 3, res.toString)
+      val after = digests()
+      // all pre-delete files stay byte-identical on disk (the rewritten
+      // one's pre-image survives until vacuum; the rewrite lands as a
+      // NEW file), and exactly one new file appeared
+      val common = before.keySet intersect after.keySet
+      assert(common.size == 4, s"4 original files on disk, got ${common.size}")
+      common.foreach(p => assert(before(p) == after(p), s"$p changed"))
+      assert((after.keySet -- before.keySet).size == 1,
+        s"one rewrite output expected: ${after.keySet -- before.keySet}")
+      assert(wh.table("t").count() == 3998)
+      // OR-of-equalities updates through the same bounded probe
+      val ur = wh.update("t", col("k") === 2500L || col("k") === 2501L,
+        Map("v" -> lit(99L)))
+      assert(ur.rowsUpdated == 2 && ur.filesRewritten == 1, ur.toString)
+      assert(wh.table("t").filter(col("v") === 99L).count() == 2)
+      // type-mismatched IN value: conjunct dropped, correctness intact
+      // (falls back to probing every file, never skips a matching row)
+      val r2 = wh.delete("t", col("k").isin("3500", "3501"))
+      assert(r2.rowsDeleted == 2, r2.toString)
+      assert(wh.table("t").count() == 3996)
+    }
+  }
+
   test("auto skipping: partition pruning and stats pruning compose in one read") {
     val dir = tmp("wh_autoskip_part")
     val wh = new Warehouse(spark, dir)

@@ -1,0 +1,143 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Cross-table atomic transactions: a fact+dim batch lands together or
+  * not at all. The linearization point is the parent `.committed`
+  * marker; per-table records tagged with the txn id are invisible
+  * until it exists.
+  */
+class TransactionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  import spark.implicits._
+
+  test("transaction: fact+dim commit atomically; racing reader never sees one side alone") {
+    val dir = tmp("wh_txn")
+    val wh = new Warehouse(spark, dir)
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+
+    // reader races on a SEPARATE warehouse instance (fresh caches —
+    // the cross-process shape); reads fact FIRST, then dim. With the
+    // atomic marker, (fact=new, dim=old) is impossible: the flip
+    // happens at one instant, and fact is read before dim. A
+    // non-atomic commit (fact landed, dim not yet) shows exactly that
+    // forbidden pair for the whole inter-commit window.
+    val reader = new Warehouse(spark, dir)
+    @volatile var stop = false
+    @volatile var violation: Option[(Long, Long)] = None
+    val t = new Thread(() => {
+      while (!stop && violation.isEmpty) {
+        val f = reader.table("fact").count()
+        val d = reader.table("dim").count()
+        if (f > 1 && d == 1) violation = Some((f, d))
+      }
+    })
+    t.start()
+    try {
+      wh.transaction(Seq("fact", "dim")) {
+        wh.append("fact", Seq((2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1))
+        Thread.sleep(300) // widen the would-be partial-visibility window
+        wh.append("dim", Seq((2L, "b"), (3L, "c")).toDF("k", "name").coalesce(1))
+        Thread.sleep(200)
+        // own-reads: the transaction sees its uncommitted writes...
+        assert(wh.table("fact").count() == 3)
+        // ...while the racing reader must still see the old snapshot
+        assert(reader.table("fact").count() == 1,
+          "uncommitted txn write leaked to a concurrent reader")
+      }
+    } finally { stop = true; t.join() }
+    assert(violation.isEmpty,
+      s"reader observed fact without dim: $violation")
+    assert(wh.table("fact").count() == 3)
+    assert(wh.table("dim").count() == 3)
+    assert(reader.table("fact").count() == 3)
+    assert(reader.table("dim").count() == 3)
+    // history shows both commits, now visible
+    assert(wh.tableVersions("fact").size == 2)
+    assert(wh.tableVersions("dim").size == 2)
+  }
+
+  test("transaction: body failure rolls every table back; born-in-txn table vanishes") {
+    val dir = tmp("wh_txn_abort")
+    val wh = new Warehouse(spark, dir)
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    val ex = intercept[RuntimeException] {
+      wh.transaction(Seq("fact", "dim", "newt")) {
+        wh.append("fact", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+        wh.save("newt", Seq((9L, 9L)).toDF("a", "b").coalesce(1))
+        wh.append("dim", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+        throw new RuntimeException("boom")
+      }
+    }
+    assert(ex.getMessage == "boom")
+    // neither side landed; versions unchanged
+    assert(wh.table("fact").count() == 1)
+    assert(wh.table("dim").count() == 1)
+    assert(wh.tableVersions("fact") == Seq(1L))
+    assert(wh.tableVersions("dim") == Seq(1L))
+    // the table born inside the transaction does not exist
+    assert(wh.tableVersions("newt").isEmpty)
+    // the log is healthy: the next plain append takes the next version
+    wh.append("fact", Seq((5L, 50L)).toDF("k", "v").coalesce(1))
+    assert(wh.tableVersions("fact") == Seq(1L, 2L))
+    assert(wh.table("fact").count() == 2)
+    // SQL view never saw the aborted rows and still works
+    assert(spark.sql("SELECT count(*) FROM dw_fact").head.getLong(0) == 2)
+  }
+
+  test("transaction: writes to undeclared tables refuse; nesting refuses") {
+    val dir = tmp("wh_txn_decl")
+    val wh = new Warehouse(spark, dir)
+    wh.save("a", Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    wh.save("b", Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    val ex = intercept[IllegalArgumentException] {
+      wh.transaction(Seq("a")) {
+        wh.append("b", Seq((2L, 2L)).toDF("k", "v").coalesce(1))
+      }
+    }
+    assert(ex.getMessage.contains("undeclared"))
+    // the abort left b untouched and a's log clean
+    assert(wh.table("b").count() == 1)
+    assert(wh.tableVersions("a") == Seq(1L))
+    val ex2 = intercept[IllegalArgumentException] {
+      wh.transaction(Seq("a")) { wh.transaction(Seq("b")) { () } }
+    }
+    assert(ex2.getMessage.contains("nesting"))
+  }
+
+  test("transaction: crash-abandoned tail is invisible and healed by the next writer") {
+    val dir = tmp("wh_txn_crash")
+    val wh = new Warehouse(spark, dir)
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    wh.transaction(Seq("fact", "dim")) {
+      wh.append("fact", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+      wh.append("dim", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+    }
+    // simulate the crash-before-marker state: surgically remove the
+    // committed marker — tagged v2 records remain with no parent
+    val txnDir = new java.io.File(s"$dir/_graft_meta/_txn")
+    val markers = txnDir.listFiles().filter(_.getName.endsWith(".committed"))
+    assert(markers.length == 1)
+    markers.foreach(m => assert(m.delete()))
+    // a FRESH instance (no positive marker cache) must not see v2...
+    val wh2 = new Warehouse(spark, dir)
+    assert(wh2.table("fact").count() == 1)
+    assert(wh2.table("dim").count() == 1)
+    assert(wh2.tableVersions("fact") == Seq(1L))
+    // ...and its first write heals the dead tail, then lands as v2
+    wh2.append("fact", Seq((7L, 70L)).toDF("k", "v").coalesce(1))
+    assert(wh2.tableVersions("fact") == Seq(1L, 2L))
+    assert(wh2.table("fact").count() == 2)
+    assert(wh2.table("fact").filter(col("k") === 2L).count() == 0,
+      "aborted txn row resurrected by the healing append")
+  }
+}
