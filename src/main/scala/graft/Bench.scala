@@ -73,15 +73,22 @@ object Bench {
       val median =
         if (times.isEmpty) 0.0
         else times.sorted.apply((times.size - 1) / 2)
-      name -> median
+      (name, median, if (times.isEmpty) 0.0 else times.min)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
-      .mkString("{", ",", "}")
+    def render(xs: Seq[(String, Double)]): String =
+      xs.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+        .mkString("{", ",", "}")
+    val qs = render(results.map(r => (r._1, r._2)))
+    // second reading, same line: the per-query MINIMUM of the same
+    // runs — the noise-floor estimator. A host-variance round shows
+    // median ≫ min with uniform ratios; a real regression moves BOTH.
+    val qsMin = render(results.map(r => (r._1, r._3)))
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
+    val totalMin = results.map(_._3).sum
     // a failed query makes the line loudly non-comparable instead of
     // silently shrinking the total
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -2119,6 +2119,28 @@ class Warehouse(val spark: SparkSession, basePath: String,
           manifest.exists(m => m._2.map(_.path).toSet == files.toSet))
           manifest.flatMap(_._3.get(RowsMeta)).flatMap(_.toLongOption)
         else None
+      // column-level NDV for the same full-snapshot read: the UNION of
+      // per-file HLL sketches per indexed column — what join reordering
+      // and broadcast-threshold decisions key on. A column qualifies
+      // only when EVERY current file carries its sketch (a missing file
+      // would silently undercount). DV'd rows stay counted — NDV is an
+      // upper estimate, the safe direction for join cardinality.
+      val cboNdv: Map[String, BigInt] =
+        if (cboRows.isEmpty) Map.empty
+        else {
+          val mfs = manifest.map(_._2).getOrElse(Nil)
+          val cols = mfs.iterator.map(_.ndvs.keySet)
+            .reduceOption(_ intersect _).getOrElse(Set.empty)
+          cols.iterator.flatMap { c =>
+            scala.util.Try {
+              val u = new org.apache.datasketches.hll.Union(12)
+              mfs.foreach(f => u.update(
+                org.apache.datasketches.hll.HllSketch.heapify(
+                  java.util.Base64.getDecoder.decode(f.ndvs(c)))))
+              c -> BigInt(math.max(1L, math.round(u.getResult.getEstimate)))
+            }.toOption
+          }.toMap
+        }
       def load(owner: String, fs: Seq[String]): DataFrame =
         if (phys.isEmpty) {
           // schema-less pre-manifest read: Spark's own inference path
@@ -2135,7 +2157,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
           val rel = org.apache.spark.sql.graft.PruningFileIndex.relation(
             spark, index, phys, format, opts, name,
             catalogStats = cboRows.map(r =>
-              (BigInt(index.sizeInBytes), Some(BigInt(r)))))
+              (BigInt(index.sizeInBytes), Some(BigInt(r)))),
+            colNdv = cboNdv)
           // position columns ride the scan's hidden _metadata (parquet
           // row_index), resolved per relation — they cannot be added
           // after the union, so every group materializes them here
@@ -3176,22 +3199,28 @@ class Warehouse(val spark: SparkSession, basePath: String,
     })
 
   private def encodeFile(f: DataFile): String =
-    if (f.stats.isEmpty && f.blooms.isEmpty && f.dv.isEmpty) f.path
+    if (f.stats.isEmpty && f.blooms.isEmpty && f.dv.isEmpty &&
+      f.ndvs.isEmpty) f.path
     else {
       // flat {"col":["mn","mx"]} when there are only min/max stats
-      // (the common, compact case); {"m":{…},"b":{…},"d":{…}} once
-      // blooms or a deletion vector join — decodeFile accepts both.
-      // The dv is an OBJECT ({"p":path,"n":rows}), not an array, so it
-      // can never be mistaken for a flat stat of a column named "d"
+      // (the common, compact case); {"m":{…},"b":{…},"h":{…},"d":{…}}
+      // once blooms, HLL sketches, or a deletion vector join —
+      // decodeFile accepts both. The dv is an OBJECT
+      // ({"p":path,"n":rows}), not an array, so it can never be
+      // mistaken for a flat stat of a column named "d"
       import org.json4s._
+      def colMapJson(m: Map[String, String]): JValue =
+        JObject(m.toList.sortBy(_._1).map {
+          case (c, b64) => c -> (JString(b64): JValue) })
       val j: JValue =
-        if (f.blooms.isEmpty && f.dv.isEmpty) minMaxJson(f.stats)
+        if (f.blooms.isEmpty && f.dv.isEmpty && f.ndvs.isEmpty)
+          minMaxJson(f.stats)
         else JObject(
           List("m" -> (minMaxJson(f.stats): JValue)) ++
           (if (f.blooms.isEmpty) Nil
-           else List("b" -> (JObject(f.blooms.toList.sortBy(_._1).map {
-             case (c, b64) => c -> (JString(b64): JValue)
-           }): JValue))) ++
+           else List("b" -> colMapJson(f.blooms))) ++
+          (if (f.ndvs.isEmpty) Nil
+           else List("h" -> colMapJson(f.ndvs))) ++
           f.dv.toList.map(d => "d" -> (JObject(List(
             "p" -> (JString(d.path): JValue),
             "n" -> (JString(d.rows.toString): JValue))): JValue)))
@@ -3210,10 +3239,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
       scala.util.Try(org.json4s.jackson.JsonMethods.parse(split(1))) match {
         case scala.util.Success(JObject(fields))
             if fields.exists { case (k, v) =>
-              (k == "m" || k == "b" || k == "d") && v.isInstanceOf[JObject] } =>
+              (k == "m" || k == "b" || k == "h" || k == "d") &&
+                v.isInstanceOf[JObject] } =>
           val mm = fields.collectFirst { case ("m", JObject(f)) => minMax(f) }
             .getOrElse(Map.empty[String, (String, String)])
           val bf = fields.collectFirst { case ("b", JObject(f)) => f.collect {
+            case (c, JString(b64)) => c -> b64 }.toMap }
+            .getOrElse(Map.empty[String, String])
+          val hl = fields.collectFirst { case ("h", JObject(f)) => f.collect {
             case (c, JString(b64)) => c -> b64 }.toMap }
             .getOrElse(Map.empty[String, String])
           val dv = fields.collectFirst { case ("d", JObject(f)) =>
@@ -3223,7 +3256,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
                 .flatten
             } yield DvRef(p, n)
           }.flatten
-          DataFile(split(0), mm, bf, dv)
+          DataFile(split(0), mm, bf, dv, hl)
         case scala.util.Success(JObject(fields)) =>
           DataFile(split(0), minMax(fields))
         case _ => DataFile(split(0))
@@ -3582,10 +3615,30 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // layout columns exist — parquet answers it from row-group
       // metadata speed): countRows() and DESCRIBE DETAIL read the
       // table's cardinality from the manifest without opening a file
+      // per-file HLL distinct-count sketches on every indexed column
+      // (cluster ∪ bloom): mergeable, so the table's NDV for the
+      // cost-based optimizer is the UNION of per-file sketches — exact
+      // under compaction/appends, never a per-file sum. lgK=12 ≈ ±2.5%
+      // at ~2 KB per (file, column); rides the same single stats pass.
+      // hll_sketch_agg accepts only int/bigint/string/binary; every
+      // other type (date, timestamp, double, decimal, …) goes through
+      // a 64-bit xxhash fingerprint — distinct-preserving up to hash
+      // collisions, which are far below the sketch's own ±2.5%. The
+      // encoding is a pure function of the column TYPE, so per-file
+      // sketches of one column always union consistently.
+      val ndvCols = (statCols ++ bCols).distinct
+      def sketchable(c: String): org.apache.spark.sql.Column = {
+        import org.apache.spark.sql.types._
+        schema(c).dataType match {
+          case IntegerType | LongType | StringType | BinaryType => col(c)
+          case _ => xxhash64(col(c))
+        }
+      }
       val aggs = Seq(count(lit(1)).as("__nrows")) ++
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
-        bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c"))
+        bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c")) ++
+        ndvCols.map(c => hll_sketch_agg(sketchable(c), lit(12)).as(s"__h_$c"))
       val rows = r.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
       // match each scanned file URI back to its manifest-relative path
@@ -3602,13 +3655,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
           Option(row.getAs[Array[Byte]](s"__bf_$c")).map(b =>
             c -> java.util.Base64.getEncoder.encodeToString(b))
         }.toMap
-        (row.getString(0), mm, bf)
+        val hs = ndvCols.flatMap { c =>
+          Option(row.getAs[Array[Byte]](s"__h_$c")).map(b =>
+            c -> java.util.Base64.getEncoder.encodeToString(b))
+        }.toMap
+        (row.getString(0), mm, bf, hs)
       }
       val (hits, misses) = moved.partition(m =>
         statRows.exists(_._1.endsWith("/" + m)))
       val withStats = hits.map { m =>
         val hit = statRows.find(_._1.endsWith("/" + m)).get
-        DataFile(m, hit._2, hit._3)
+        DataFile(m, hit._2, hit._3, ndvs = hit._4)
       }
       // a file absent from the groupBy is either EMPTY (a scan task
       // whose rows all filtered out still writes a schema-only file —
@@ -3763,6 +3820,25 @@ class Warehouse(val spark: SparkSession, basePath: String,
         val sc = metaSchema(meta).getOrElse(tableSchema(name))
         (candidates(files, sc, ranges).size, files.size)
       case None => (0, 0)
+    }
+  }
+
+  /** DV observability for a (possibly pruned) read: of the files a
+    * scan over `ranges` admits, (admitted, admitted carrying a DV,
+    * DV'd positions those reads must subtract). The "how much deleted
+    * data am I still reading around" signal: when the third number is
+    * a meaningful fraction of a partition's rows, a scoped
+    * [[compactWhere]] folds the sidecars away and restores clean
+    * scans — without rewriting the rest of the table. */
+  def dvScanStats(name: String, ranges: Seq[ColRange] = Nil): (Int, Int, Long) = {
+    require(database.isEmpty, "dvScanStats applies to path-mode tables only")
+    currentManifestFull(name) match {
+      case Some((_, files, meta)) =>
+        val sc = metaSchema(meta).getOrElse(tableSchema(name))
+        val admitted = candidates(files, sc, ranges)
+        (admitted.size, admitted.count(_.dv.isDefined),
+          admitted.flatMap(_.dv).map(_.rows).sum)
+      case None => (0, 0, 0L)
     }
   }
 
@@ -3950,12 +4026,16 @@ object Warehouse {
   /** One committed data file: manifest-relative path plus optional
     * per-column (min, max) stats on the table's cluster columns,
     * per-column bloom filters (base64 of Spark's sketch format) on the
-    * table's bloom columns, and an optional deletion-vector reference
-    * marking rows of THIS file deleted without rewriting it. */
+    * table's bloom columns, per-column HLL distinct-count sketches
+    * (base64 DataSketches HLL — mergeable, so the TABLE's NDV is the
+    * union of per-file sketches, never a sum) on the indexed columns,
+    * and an optional deletion-vector reference marking rows of THIS
+    * file deleted without rewriting it. */
   final case class DataFile(path: String,
       stats: Map[String, (String, String)] = Map.empty,
       blooms: Map[String, String] = Map.empty,
-      dv: Option[DvRef] = None)
+      dv: Option[DvRef] = None,
+      ndvs: Map[String, String] = Map.empty)
 
   /** Deletion-vector reference on a [[DataFile]]: `path` names the
     * sidecar parquet (table-dir-relative, like data paths) whose

@@ -388,7 +388,7 @@ object Similarity {
     * coarse partition) over the L2-normalized corpus, so PQ's L2 ADC
     * ranks by cosine inside each cell. */
   def annIvfPq(s: SparkSession, d: String, topK: Int = 10,
-      overquery: Int = 5, nCells: Int = 8, nProbe: Int = 2): DataFrame = {
+      overquery: Int = 5, nCells: Int = 8, nProbe: Int = 3): DataFrame = {
     val emb = T.embeddings(s, d)
     val unit = l2Normalized(emb).localCheckpoint()
     // coarse quantizer = Lloyd over the FULL unit vectors — pqTrain

@@ -179,11 +179,14 @@ object PruningFileIndex {
     * parquet predicate pushdown, column pruning, partition pruning,
     * and whole-stage codegen on the standard FileSourceScanExec path.
     * `catalogStats` (sizeInBytes, rowCount), when present, surfaces
-    * manifest-derived statistics to the cost-based optimizer. */
+    * manifest-derived statistics to the cost-based optimizer;
+    * `colNdv` adds per-column distinct counts (manifest HLL unions) —
+    * the input join reordering and join-cardinality estimation need. */
   def relation(session: SparkSession, index: PruningFileIndex,
       fullSchema: StructType, format: String, options: Map[String, String],
       tableName: String,
-      catalogStats: Option[(BigInt, Option[BigInt])] = None): DataFrame = {
+      catalogStats: Option[(BigInt, Option[BigInt])] = None,
+      colNdv: Map[String, BigInt] = Map.empty): DataFrame = {
     val cs = classic(session)
     // files may legitimately lack declared columns (schema widening:
     // old files read NULL) — DataSource.resolveRelation reads under
@@ -207,13 +210,17 @@ object PruningFileIndex {
       case Some((bytes, rows)) =>
         import org.apache.spark.sql.catalyst.TableIdentifier
         import org.apache.spark.sql.catalyst.catalog._
+        val cstats = colNdv.collect {
+          case (c, ndv) if fullSchema.fieldNames.contains(c) =>
+            c -> CatalogColumnStat(distinctCount = Some(ndv))
+        }
         val ct = CatalogTable(
           identifier = TableIdentifier(tableName),
           tableType = CatalogTableType.EXTERNAL,
           storage = CatalogStorageFormat.empty,
           schema = fullSchema,
           provider = Some(format),
-          stats = Some(CatalogStatistics(bytes, rows)))
+          stats = Some(CatalogStatistics(bytes, rows, cstats)))
         LogicalRelation(rel, ct)
       case None => LogicalRelation(rel, isStreaming = false)
     }

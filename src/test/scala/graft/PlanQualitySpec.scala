@@ -257,6 +257,62 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("manifest HLL sketches give the CBO column NDVs; join reorder uses them") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = java.nio.file.Files.createTempDirectory("wh_ndv").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    // big: 100k rows, fk_mid has ~1000 distinct, fk_small ~10 distinct;
+    // the indexed (cluster) columns get per-file HLL sketches at commit
+    wh.save("big", spark.range(100000).select(col("id").as("k"),
+      (col("id") % 1000).as("fk_mid"), (col("id") % 10).as("fk_small"))
+      .repartition(4), clusterBy = Seq("fk_mid", "fk_small"))
+    wh.save("mid", spark.range(1000).select(col("id").as("mk"),
+      (col("id") * 2).as("mv")).coalesce(1), clusterBy = Seq("mk"))
+    // small holds only 3 of big's 10 fk_small values → joining it FIRST
+    // cuts big to ~30%; the mid join is key-preserving (100%)
+    wh.save("small", spark.range(3).select(col("id").as("sk"),
+      (col("id") * 5).as("sv")).coalesce(1), clusterBy = Seq("sk"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // the NDV union of per-file sketches reaches plan statistics
+      val st = wh.table("big").queryExecution.optimizedPlan.stats
+      val ndvMid = st.attributeStats.find(_._1.name == "fk_mid")
+        .flatMap(_._2.distinctCount)
+      assert(ndvMid.exists(n => n >= 900 && n <= 1100),
+        s"fk_mid NDV ~1000 expected, got $ndvMid")
+      val ndvSmall = st.attributeStats.find(_._1.name == "fk_small")
+        .flatMap(_._2.distinctCount)
+      assert(ndvSmall.exists(n => n >= 9 && n <= 11),
+        s"fk_small NDV ~10 expected, got $ndvSmall")
+      // written in the WORSE order (mid first); NDV-derived join
+      // cardinalities should flip the bottom join to (big ⋈ small)
+      def q = wh.table("big")
+        .join(wh.table("mid"), col("fk_mid") === col("mk"))
+        .join(wh.table("small"), col("fk_small") === col("sk"))
+      def rels(p: LogicalPlan): Set[String] = p.collect {
+        case l: LogicalRelation =>
+          l.catalogTable.map(_.identifier.table).getOrElse("?") }.toSet
+      val bottoms = q.queryExecution.optimizedPlan.collect {
+        case j: Join if rels(j).size == 2 => rels(j) }
+      assert(bottoms.contains(Set("big", "small")),
+        s"expected reorder to join small first, bottom joins: $bottoms")
+      assert(q.count() == 30000)
+      // sanity: with reordering off, the written order stands — the
+      // flip above really was the stats-driven optimizer at work
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val plain = q.queryExecution.optimizedPlan.collect {
+        case j: Join if rels(j).size == 2 => rels(j) }
+      assert(plain.contains(Set("big", "mid")),
+        s"without reorder the declared order stands: $plain")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("d13_dup_spans: document text never reaches an exchange") {
     // windows hash to 16-byte digests map-side; both shuffles (the
     // per-digest doc count and the per-doc rollup) carry digests and

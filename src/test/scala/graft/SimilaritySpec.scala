@@ -281,7 +281,9 @@ class SimilaritySpec extends AnyFunSuite {
     assert(got.head.getLong(0) == 0L, got.map(_.getLong(0)).toSeq.toString)
     val recall = (exact intersect got.map(_.getLong(0)).toSet).size
     info(s"IVF-PQ recall@10 = $recall/10")
-    assert(recall >= 6, s"IVF-PQ recall@10 too low: exact=$exact " +
+    // nProbe=3 of 8 cells measures 9/10 here; the floor matches e12's
+    // grade (an IVF restriction should cost ≤ the PQ ranking itself)
+    assert(recall >= 8, s"IVF-PQ recall@10 too low: exact=$exact " +
       s"got=${got.map(_.getLong(0)).toSet}")
   }
 }

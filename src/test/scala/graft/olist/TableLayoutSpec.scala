@@ -1300,6 +1300,50 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 2997)
   }
 
+  test("deletion vectors: compactWhere folds a hot partition's sidecars, others untouched") {
+    import spark.implicits._
+    val dir = tmp("wh_dvscoped")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))        // v1
+    // two separate point deletes → two sidecars on two partitions
+    assert(wh.delete("t", col("k") === 1500L).filesDv == 1)               // v2
+    assert(wh.delete("t", col("k") === 2500L).filesDv == 1)               // v3
+    def sidecars(): Int = Option(new java.io.File(s"$dir/t/_dv").list())
+      .map(_.count(!_.startsWith("."))).getOrElse(0) // skip .crc shadows
+    assert(sidecars() == 2)
+    // observability: the full scan reads 4 files, 2 of them DV'd, 2
+    // positions subtracted; a b=1-ranged scan sees only its own DV
+    assert(wh.dvScanStats("t") == ((4, 2, 2L)))
+    assert(wh.dvScanStats("t",
+      Seq(ColRange("k", Some(1000L), Some(1999L)))) == ((1, 1, 1L)))
+    val before = dataDigests(dir, "t")
+    // scoped compact of ONLY the hot partition materializes its DV
+    val cr = wh.compactWhere("t", col("b") === 1L)                        // v4
+    assert(cr.filesCompacted == 1 && cr.filesWritten == 1, cr.toString)
+    val after = dataDigests(dir, "t")
+    // every other partition's data file is byte-identical
+    (before.keySet intersect after.keySet).filterNot(_.contains("b=1"))
+      .foreach(p => assert(before(p) == after(p), s"$p changed bytes"))
+    assert(wh.dvScanStats("t") == ((4, 1, 1L)), "b=2's DV must survive")
+    assert(wh.table("t").count() == 3998)
+    // vacuum reclaims the b=1 sidecar (no kept snapshot references it);
+    // b=2's sidecar stays — its file still needs it
+    wh.vacuum("t")
+    assert(sidecars() == 1, s"expected 1 surviving sidecar, got ${sidecars()}")
+    assert(wh.table("t").count() == 3998)
+    assert(wh.table("t").filter(col("k").isin(1500L, 2500L)).count() == 0)
+    // compacting the second hot partition folds the last sidecar away
+    wh.compactWhere("t", col("b") === 2L)                                 // v5
+    wh.vacuum("t")
+    assert(sidecars() == 0, "all sidecars should fold away")
+    assert(wh.describeDetail("t").toMap.apply("numDeletionVectors") == "0")
+    assert(wh.dvScanStats("t") == ((4, 0, 0L)))
+    assert(wh.table("t").agg(sum("k")).collect()(0).getLong(0) ==
+      (0L until 4000L).sum - 1500 - 2500)
+  }
+
   test("deletion vectors: point update appends new images, old file untouched") {
     import spark.implicits._
     val dir = tmp("wh_dvupd")
