@@ -2111,24 +2111,29 @@ class Warehouse(val spark: SparkSession, basePath: String,
         .groupBy(f => (normalizedRel(name, f).takeWhile(_ != '/'), schemeOf(f)))
         .toSeq.sortBy { case ((owner, scheme), _) =>
           (owner, scheme.mkString(",")) }
-      // manifest row count reaches the CBO only when this read IS the
-      // whole current snapshot in one group (the common table read) —
-      // a subset or a unioned mixed layout has no per-group count
-      val cboRows: Option[Long] =
-        if (groups.size == 1 &&
-          manifest.exists(m => m._2.map(_.path).toSet == files.toSet))
-          manifest.flatMap(_._3.get(RowsMeta)).flatMap(_.toLongOption)
-        else None
-      // column-level NDV for the same full-snapshot read: the UNION of
-      // per-file HLL sketches per indexed column — what join reordering
-      // and broadcast-threshold decisions key on. A column qualifies
-      // only when EVERY current file carries its sketch (a missing file
-      // would silently undercount). DV'd rows stay counted — NDV is an
-      // upper estimate, the safe direction for join cardinality.
-      val cboNdv: Map[String, BigInt] =
-        if (cboRows.isEmpty) Map.empty
+      // per-GROUP plan statistics from per-file manifest entries: EVERY
+      // read — the full-snapshot table read, a stats-pruned scan()
+      // subset, a clone's mixed-directory union, the delete/update
+      // probe — carries rowCount/NDV for exactly the files IT loads,
+      // as long as each loaded file has manifest stats. Per-file row
+      // counts sum (minus each file's DV'd positions under the
+      // EFFECTIVE dv map, so time travel subtracts its own version's);
+      // per-file HLL sketches union — a subset's NDV comes from the
+      // subset's sketches, never scaled from the table's. One file
+      // without stats (historical path, pre-stats manifest) and the
+      // group reads stats-blind, the safe direction.
+      def groupRows(fs: Seq[String]): Option[Long] = {
+        val counts = fs.map(f => statsBy.get(f)
+          .flatMap(_.stats.get(RowsKey)).map(_._1.toLong))
+        if (counts.exists(_.isEmpty)) None
+        else Some(counts.flatten.sum -
+          fs.flatMap(dvBy.get).map(_.rows).sum)
+      }
+      def groupNdv(fs: Seq[String]): Map[String, BigInt] = {
+        val entries = fs.map(statsBy.get)
+        if (entries.exists(_.isEmpty)) Map.empty
         else {
-          val mfs = manifest.map(_._2).getOrElse(Nil)
+          val mfs = entries.flatten
           val cols = mfs.iterator.map(_.ndvs.keySet)
             .reduceOption(_ intersect _).getOrElse(Set.empty)
           cols.iterator.flatMap { c =>
@@ -2141,6 +2146,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
             }.toOption
           }.toMap
         }
+      }
       def load(owner: String, fs: Seq[String]): DataFrame =
         if (phys.isEmpty) {
           // schema-less pre-manifest read: Spark's own inference path
@@ -2154,11 +2160,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
             s"$basePath/${normalizedRel(name, f)}"))
           val index = new org.apache.spark.sql.graft.PruningFileIndex(
             spark, leaves, opts, phys, groupPruner(name, fs, statsBy, phys))
+          val gRows = groupRows(fs)
           val rel = org.apache.spark.sql.graft.PruningFileIndex.relation(
             spark, index, phys, format, opts, name,
-            catalogStats = cboRows.map(r =>
+            catalogStats = gRows.map(r =>
               (BigInt(index.sizeInBytes), Some(BigInt(r)))),
-            colNdv = cboNdv)
+            colNdv = if (gRows.isDefined) groupNdv(fs) else Map.empty)
           // position columns ride the scan's hidden _metadata (parquet
           // row_index), resolved per relation — they cannot be added
           // after the union, so every group materializes them here

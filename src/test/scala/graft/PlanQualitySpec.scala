@@ -257,6 +257,45 @@ class PlanQualitySpec extends AnyFunSuite {
     } finally spark.conf.unset("spark.sql.cbo.enabled")
   }
 
+  test("pruned, probed, and time-travel reads carry per-group manifest stats") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = java.nio.file.Files.createTempDirectory("wh_substats").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    // 4 single-file partitions with EXACT disjoint 1000-row k ranges
+    // (b = k / 1000 — deterministic, unlike range-partitioner sampling)
+    wh.save("t", spark.range(4000).select(col("id").as("k"),
+      (col("id") % 100).as("v"), floor(col("id") / 1000).as("b"))
+      .repartition(col("b")),
+      partitionBy = Seq("b"), clusterBy = Seq("k"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      def relStats(df: org.apache.spark.sql.DataFrame) =
+        df.queryExecution.optimizedPlan.collect {
+          case l: LogicalRelation => l.stats }
+      // a stats-pruned subset read: the relation's rowCount is the
+      // SUBSET's per-file sum, not the table total
+      val sub = wh.scan("t",
+        graft.olist.Warehouse.ColRange("k", Some(0L), Some(999L)))
+      val rc = relStats(sub).flatMap(_.rowCount)
+      assert(rc == Seq(BigInt(1000)), s"subset rowCount: $rc")
+      // a DV point delete updates the CURRENT count but time travel
+      // still plans with ITS version's count (pinned empty DV state)
+      wh.delete("t", col("k") === 42L)
+      val cur = relStats(wh.table("t")).flatMap(_.rowCount)
+      assert(cur == Seq(BigInt(3999)), s"post-DV rowCount: $cur")
+      val hist = relStats(wh.tableAt("t", 1)).flatMap(_.rowCount)
+      assert(hist == Seq(BigInt(4000)), s"v1 rowCount: $hist")
+      // subset NDV comes from the subset's own sketches
+      val st = sub.queryExecution.optimizedPlan.collect {
+        case l: LogicalRelation => l.stats }.head
+      val ndv = st.attributeStats.find(_._1.name == "k")
+        .flatMap(_._2.distinctCount)
+      assert(ndv.exists(n => n >= 950 && n <= 1050),
+        s"subset k NDV ~1000 expected, got $ndv")
+    } finally spark.conf.unset("spark.sql.cbo.enabled")
+  }
+
   test("manifest HLL sketches give the CBO column NDVs; join reorder uses them") {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
