@@ -226,7 +226,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
   // the next locked writer rolls back — all-or-nothing either way.
 
   private final case class TxnState(id: String, tables: Seq[String],
-      preHeads: Map[String, Long])
+      preHeads: Map[String, Long],
+      locks: List[(String, String, java.util.TimerTask)])
   private val txnState = new ThreadLocal[TxnState]
   /** Positive-only cache: a committed marker never disappears. */
   private val committedTxns =
@@ -270,6 +271,101 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
     }
 
+  /** Opens a cross-table transaction on THIS thread: acquires every
+    * declared table's commit lock (sorted — two transactions over
+    * overlapping sets cannot deadlock) and holds them until
+    * [[commitTransaction]]/[[rollbackTransaction]]. Every write this
+    * thread performs on the declared tables commits tagged and
+    * invisible until the parent marker lands. The explicit-scope form
+    * the statement-at-a-time SQL surface needs; prefer the scoped
+    * [[transaction]] from code. While open, OTHER writers to the
+    * declared tables wait on the file lock up to `lockAcquireMs` then
+    * fail loudly — size long transactions accordingly. */
+  def beginTransaction(names: Seq[String]): Unit = {
+    require(database.isEmpty, "transaction applies to path-mode tables only")
+    require(names.nonEmpty, "transaction: declare at least one table")
+    require(txnState.get() == null,
+      "transaction: already inside a transaction (nesting unsupported)")
+    val tables = names.distinct.sorted // sorted ⇒ deadlock-free acquisition
+    val held = scala.collection.mutable.ListBuffer
+      .empty[(String, String, java.util.TimerTask)]
+    try {
+      tables.foreach { n =>
+        val token = acquireTableLock(n)
+        held += ((n, token, startHeartbeat(n)))
+      }
+      // heal any crash-abandoned tail first, so preHeads are the true
+      // pre-transaction versions (we hold every declared lock)
+      tables.foreach(rollbackInvisibleTail)
+      val id = java.util.UUID.randomUUID.toString
+      val preHeads = tables.map(n =>
+        n -> headVersion(n).getOrElse(0L)).toMap
+      // intent marker (observability + abort audit; correctness rides
+      // solely on the committed marker's existence)
+      writeRecord(txnMarkerPath(id, "pending").getParent,
+        txnMarkerPath(id, "pending"),
+        (Seq(s"#txn:$id", s"#startedAt:${java.time.Instant.now}") ++
+          tables.map(n => s"${n}:${preHeads(n)}")).mkString("\n"))
+      txnState.set(TxnState(id, tables, preHeads, held.toList))
+    } catch {
+      case e: Throwable =>
+        txnState.remove()
+        held.foreach { case (n, token, beat) =>
+          beat.cancel(); releaseTableLock(n, token) }
+        throw e
+    }
+  }
+
+  private def releaseTxnLocks(tx: TxnState): Unit =
+    tx.locks.foreach { case (n, token, beat) =>
+      beat.cancel(); releaseTableLock(n, token) }
+
+  private def rollbackOpen(tx: TxnState): Unit = {
+    txnState.remove() // own tail is now invisible to us too
+    try {
+      tx.tables.foreach(rollbackInvisibleTail)
+      metaFs.delete(txnMarkerPath(tx.id, "pending"), false)
+      tx.tables.foreach(refreshView)
+    } finally releaseTxnLocks(tx)
+  }
+
+  /** THE commit point of the open transaction: one rename-no-overwrite
+    * publishes the parent marker, flipping every tagged version
+    * visible at once (table records are already hsync'd, so the
+    * ordering is durable). A marker-write failure rolls the whole
+    * transaction back — it never half-lands. */
+  def commitTransaction(): Unit = {
+    val tx = txnState.get()
+    require(tx != null, "commitTransaction: no open transaction")
+    val landed =
+      try writeRecord(txnMarkerPath(tx.id, "committed").getParent,
+        txnMarkerPath(tx.id, "committed"),
+        (Seq(s"#txn:${tx.id}", s"#committedAt:${java.time.Instant.now}") ++
+          tx.tables.map(n => s"${n}:${headVersion(n).getOrElse(0L)}"))
+          .mkString("\n"))
+      catch { case e: Throwable => rollbackOpen(tx); throw e }
+    if (!landed) {
+      rollbackOpen(tx)
+      throw new IllegalStateException(
+        s"transaction ${tx.id}: committed-marker collision — duplicate txn id?")
+    }
+    committedTxns.put(tx.id, ())
+    txnState.remove()
+    try {
+      metaFs.delete(txnMarkerPath(tx.id, "pending"), false)
+      tx.tables.foreach(refreshView)
+    } finally releaseTxnLocks(tx)
+  }
+
+  /** Aborts the open transaction: every declared table rolls back to
+    * its pre-transaction version (tables born inside vanish), staged
+    * data files are left for vacuum like any lost commit's. */
+  def rollbackTransaction(): Unit = {
+    val tx = txnState.get()
+    require(tx != null, "rollbackTransaction: no open transaction")
+    rollbackOpen(tx)
+  }
+
   /** Runs `body` as ONE atomic commit across `names`: every write the
     * body performs on the declared tables becomes visible to readers
     * together — at the moment the parent marker lands — or, on body
@@ -283,64 +379,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * `dw_<table>` views refresh only at the outcome, so SQL readers
     * never see a half-landed batch either. */
   def transaction[T](names: Seq[String])(body: => T): T = {
-    require(database.isEmpty, "transaction applies to path-mode tables only")
-    require(names.nonEmpty, "transaction: declare at least one table")
-    require(txnState.get() == null,
-      "transaction: already inside a transaction (nesting unsupported)")
-    val tables = names.distinct.sorted // sorted ⇒ deadlock-free acquisition
-    def locked[A](ns: List[String])(g: => A): A = ns match {
-      case Nil => g
-      case h :: t =>
-        commitLocks.computeIfAbsent(h, _ => new Object).synchronized {
-          val token = acquireTableLock(h)
-          val beat = startHeartbeat(h)
-          try locked(t)(g)
-          finally { beat.cancel(); releaseTableLock(h, token) }
-        }
-    }
-    locked(tables.toList) {
-      // heal any crash-abandoned tail first, so preHeads are the true
-      // pre-transaction versions (we hold every declared lock)
-      tables.foreach(rollbackInvisibleTail)
-      val id = java.util.UUID.randomUUID.toString
-      val preHeads = tables.map(n =>
-        n -> headVersion(n).getOrElse(0L)).toMap
-      // intent marker (observability + abort audit; correctness rides
-      // solely on the committed marker's existence)
-      writeRecord(txnMarkerPath(id, "pending").getParent,
-        txnMarkerPath(id, "pending"),
-        (Seq(s"#txn:$id", s"#startedAt:${java.time.Instant.now}") ++
-          tables.map(n => s"${n}:${preHeads(n)}")).mkString("\n"))
-      txnState.set(TxnState(id, tables, preHeads))
-      try {
-        val result = body
-        // THE commit point: rename-no-overwrite publishes the marker,
-        // flipping every tagged version visible at once. Table records
-        // are already hsync'd (writeRecord), so ordering is durable.
-        if (!writeRecord(txnMarkerPath(id, "committed").getParent,
-          txnMarkerPath(id, "committed"),
-          (Seq(s"#txn:$id", s"#committedAt:${java.time.Instant.now}") ++
-            tables.map(n => s"${n}:${headVersion(n).getOrElse(0L)}"))
-            .mkString("\n")))
-          throw new IllegalStateException(
-            s"transaction $id: committed-marker collision — duplicate txn id?")
-        committedTxns.put(id, ())
-        txnState.remove()
-        metaFs.delete(txnMarkerPath(id, "pending"), false)
-        tables.foreach(refreshView)
-        result
-      } catch {
-        // txnState still set ⇒ the marker never landed: abort. (A
-        // failure AFTER the marker — view refresh, marker-file cleanup
-        // — is a committed transaction and must not roll back.)
-        case e: Throwable if txnState.get() != null =>
-          txnState.remove() // own tail is now invisible to us too
-          tables.foreach(rollbackInvisibleTail)
-          metaFs.delete(txnMarkerPath(id, "pending"), false)
-          tables.foreach(refreshView)
+    beginTransaction(names)
+    val result =
+      try body
+      catch {
+        case e: Throwable =>
+          if (txnState.get() != null) rollbackTransaction()
           throw e
       }
-    }
+    commitTransaction()
+    result
   }
 
   /** Re-point the session `dw_<name>` view at the current visible
@@ -2129,24 +2177,19 @@ class Warehouse(val spark: SparkSession, basePath: String,
         else Some(counts.flatten.sum -
           fs.flatMap(dvBy.get).map(_.rows).sum)
       }
-      def groupNdv(fs: Seq[String]): Map[String, BigInt] = {
-        val entries = fs.map(statsBy.get)
-        if (entries.exists(_.isEmpty)) Map.empty
-        else {
-          val mfs = entries.flatten
-          val cols = mfs.iterator.map(_.ndvs.keySet)
-            .reduceOption(_ intersect _).getOrElse(Set.empty)
-          cols.iterator.flatMap { c =>
-            scala.util.Try {
-              val u = new org.apache.datasketches.hll.Union(12)
-              mfs.foreach(f => u.update(
-                org.apache.datasketches.hll.HllSketch.heapify(
-                  java.util.Base64.getDecoder.decode(f.ndvs(c)))))
-              c -> BigInt(math.max(1L, math.round(u.getResult.getEstimate)))
-            }.toOption
-          }.toMap
+      // memoized per (table, committed version, file subset): the HLL
+      // union costs O(files × columns) heapify work, and a DataFrame
+      // over the same snapshot subset is created far more often than
+      // the snapshot changes (sketches are immutable once committed,
+      // so a hit can never be stale)
+      def groupNdv(fs: Seq[String]): Map[String, BigInt] =
+        manifest.map(m => (name, m._1, fs.hashCode)) match {
+          case Some(key) => ndvCache.getOrElseUpdate(key, {
+            if (ndvCache.size > 256) ndvCache.clear() // bounded, not LRU
+            computeGroupNdv(fs, statsBy)
+          })
+          case None => computeGroupNdv(fs, statsBy)
         }
-      }
       def load(owner: String, fs: Seq[String]): DataFrame =
         if (phys.isEmpty) {
           // schema-less pre-manifest read: Spark's own inference path
@@ -2209,6 +2252,32 @@ class Warehouse(val spark: SparkSession, basePath: String,
   /** Helper-column names a `withPos` [[fromFiles]] read appends. */
   private val DvFileCol = "__gdv_file"
   private val DvPosCol = "__gdv_pos"
+
+  private val ndvCache = scala.collection.concurrent.TrieMap
+    .empty[(String, Long, Int), Map[String, BigInt]]
+
+  /** Union the per-file HLL sketches of `fs` per indexed column. A
+    * column qualifies only when EVERY file carries its sketch (a
+    * missing file would silently undercount). */
+  private def computeGroupNdv(fs: Seq[String],
+      statsBy: Map[String, DataFile]): Map[String, BigInt] = {
+    val entries = fs.map(statsBy.get)
+    if (entries.exists(_.isEmpty)) Map.empty
+    else {
+      val mfs = entries.flatten
+      val cols = mfs.iterator.map(_.ndvs.keySet)
+        .reduceOption(_ intersect _).getOrElse(Set.empty)
+      cols.iterator.flatMap { c =>
+        scala.util.Try {
+          val u = new org.apache.datasketches.hll.Union(12)
+          mfs.foreach(f => u.update(
+            org.apache.datasketches.hll.HllSketch.heapify(
+              java.util.Base64.getDecoder.decode(f.ndvs(c)))))
+          c -> BigInt(math.max(1L, math.round(u.getResult.getEstimate)))
+        }.toOption
+      }.toMap
+    }
+  }
 
   private val DvSchema = org.apache.spark.sql.types.StructType(Seq(
     org.apache.spark.sql.types.StructField("file",

@@ -135,6 +135,17 @@ object GraftSqlParser {
   private val Repartition =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+PARTITION(?:ED)?\s+BY""" +
       """\s*\(([^)]*)\)\s*;?\s*$""").r
+  // cross-table atomic transaction (T-SQL-flavored BEGIN TRAN accepted).
+  // Statement-at-a-time form of Warehouse.transaction: subsequent DML
+  // on the declared tables commits tagged-invisible until COMMIT's
+  // parent marker lands; ROLLBACK restores every pre-txn version.
+  private val BeginTxn =
+    ("""(?is)^\s*BEGIN\s+TRAN(?:SACTION)?\s+ON\s+""" +
+      """([\w]+(?:\s*,\s*[\w]+)*)\s*;?\s*$""").r
+  private val CommitTxn =
+    """(?is)^\s*COMMIT(?:\s+TRAN(?:SACTION)?)?\s*;?\s*$""".r
+  private val RollbackTxn =
+    """(?is)^\s*ROLLBACK(?:\s+TRAN(?:SACTION)?)?\s*;?\s*$""".r
 
   /** Split a SET clause on top-level commas (commas inside function
     * calls or parenthesized expressions stay put). */
@@ -260,6 +271,30 @@ object GraftSqlParser {
     * to this session's registered warehouse. None = delegate. */
   def command(session: SparkSession, sqlText: String): Option[LogicalPlan] =
     sqlText match {
+      case BeginTxn(tables) =>
+        // binds on the warehouse, not a table — declared tables may be
+        // born inside the transaction (CTAS); a session without
+        // enableSql delegates (and gets Spark's parse error)
+        Option(registry.get(session)).map { wh =>
+          val ts = tables.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+          cmd(session, attrs("status" -> StringType,
+            "tables" -> StringType)) { _ =>
+            wh.beginTransaction(ts)
+            Seq(Row("OPEN", ts.distinct.sorted.mkString(",")))
+          }
+        }
+      case CommitTxn() =>
+        Option(registry.get(session)).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.commitTransaction(); Seq(Row("COMMITTED"))
+          }
+        }
+      case RollbackTxn() =>
+        Option(registry.get(session)).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.rollbackTransaction(); Seq(Row("ROLLED_BACK"))
+          }
+        }
       case Delete(table, cond) =>
         boundTable(session, table).map { wh =>
           cmd(session, attrs("rows_deleted" -> LongType,

@@ -333,4 +333,42 @@ class SqlSurfaceSpec extends AnyFunSuite {
       s"body ran twice: counted $reported, landed $landed")
     assert(landed > 0)
   }
+
+  test("BEGIN TRANSACTION ... COMMIT / ROLLBACK: cross-table atomicity from SQL") {
+    val dir = tmp("wh_sqltxn")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("fact", spark.range(2).select(col("id").as("k"),
+      (col("id") * 10).as("v")).coalesce(1))
+    wh.save("dim", spark.range(2).select(col("id").as("k"),
+      concat(lit("n"), col("id")).as("name")).coalesce(1))
+    // open, write both sides, check invisibility mid-flight
+    assert(spark.sql("BEGIN TRANSACTION ON fact, dim")
+      .collect()(0).getString(0) == "OPEN")
+    spark.sql("INSERT INTO fact VALUES (2, 20), (3, 30)")
+    spark.sql("INSERT INTO dim SELECT 2 AS k, 'n2' AS name")
+    // session views refresh only at the outcome: SQL readers still see
+    // the pre-transaction snapshot of BOTH tables
+    assert(spark.sql("SELECT count(*) FROM dw_fact").head.getLong(0) == 2)
+    assert(spark.sql("SELECT count(*) FROM dw_dim").head.getLong(0) == 2)
+    // ...and a separate warehouse instance (fresh caches) sees neither
+    val reader = new Warehouse(spark, dir)
+    assert(reader.table("fact").count() == 2)
+    assert(reader.table("dim").count() == 2)
+    assert(spark.sql("COMMIT").collect()(0).getString(0) == "COMMITTED")
+    assert(spark.sql("SELECT count(*) FROM dw_fact").head.getLong(0) == 4)
+    assert(spark.sql("SELECT count(*) FROM dw_dim").head.getLong(0) == 3)
+    assert(reader.table("fact").count() == 4)
+    // ROLLBACK: both writes vanish, versions restored
+    spark.sql("BEGIN TRAN ON fact, dim")
+    spark.sql("DELETE FROM fact WHERE k = 0")
+    spark.sql("INSERT INTO dim VALUES (9, 'n9')")
+    assert(spark.sql("ROLLBACK").collect()(0).getString(0) == "ROLLED_BACK")
+    assert(wh.table("fact").count() == 4)
+    assert(wh.table("dim").count() == 3)
+    assert(spark.sql("SELECT count(*) FROM dw_dim").head.getLong(0) == 3)
+    // COMMIT with no open transaction refuses loudly (and BEGIN's
+    // side effect runs at execution: building the plan opened nothing)
+    val ex = intercept[Exception] { spark.sql("COMMIT").collect() }
+    assert(ex.getMessage.contains("no open transaction"), ex.getMessage)
+  }
 }
