@@ -113,6 +113,64 @@ class TransactionSpec extends AnyFunSuite {
     assert(ex2.getMessage.contains("nesting"))
   }
 
+  test("transaction: incremental consumers see the batch only after the marker") {
+    val dir = tmp("wh_txn_feed")
+    val wh = new Warehouse(spark, dir)
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    val state = tmp("feed_state")
+    // drain the bootstrap batches
+    assert(wh.consumeChanges("fact", state)(_ => ()).isDefined)
+    assert(wh.consumeChanges("dim", state)(_ => ()).isDefined)
+    wh.beginTransaction(Seq("fact", "dim"))
+    wh.append("fact", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+    wh.append("dim", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+    // a consumer polling mid-transaction sees NOTHING on either side:
+    // tagged versions are not committed yet (the CDC-atomicity half of
+    // the racing-reader property — same filter the streaming source's
+    // getOffset rides). Polling from a FRESH instance, as a real
+    // downstream job would.
+    val reader = new Warehouse(spark, dir)
+    assert(reader.consumeChanges("fact", state)(_ => ()).isEmpty)
+    assert(reader.consumeChanges("dim", state)(_ => ()).isEmpty)
+    wh.commitTransaction()
+    // after the marker both batches arrive, complete
+    var factRows = 0L; var dimRows = 0L
+    assert(reader.consumeChanges("fact", state)(df => factRows = df.count()).isDefined)
+    assert(reader.consumeChanges("dim", state)(df => dimRows = df.count()).isDefined)
+    assert(factRows == 1 && dimRows == 1, s"$factRows/$dimRows")
+  }
+
+  test("transaction: a racing plain writer on a declared table fails loudly, log stays linear") {
+    val dir = tmp("wh_txn_race")
+    // short acquisition timeout so the blocked writer's refusal is fast
+    val wh = new Warehouse(spark, dir, lockAcquireMs = 1500)
+    wh.save("t", Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    @volatile var writerError: Option[Throwable] = None
+    wh.transaction(Seq("t")) {
+      wh.append("t", Seq((2L, 2L)).toDF("k", "v").coalesce(1))
+      // a plain writer from ANOTHER thread (fresh instance — the
+      // cross-process shape) cannot sneak a commit between the txn's
+      // tagged versions: it waits on the table lock, then refuses
+      val other = new Thread(() => {
+        try new Warehouse(spark, dir, lockAcquireMs = 1500)
+          .append("t", Seq((99L, 99L)).toDF("k", "v").coalesce(1))
+        catch { case e: Throwable => writerError = Some(e) }
+      })
+      other.start(); other.join()
+    }
+    assert(writerError.exists(_.getMessage.contains("commit lock")),
+      s"racing writer should refuse on the lock, got: $writerError")
+    // the transaction committed cleanly; the interloper left no trace
+    assert(wh.table("t").count() == 2)
+    assert(wh.table("t").filter(col("k") === 99L).count() == 0)
+    assert(wh.tableVersions("t") == Seq(1L, 2L))
+    // and the table is writable again afterwards
+    new Warehouse(spark, dir).append("t",
+      Seq((3L, 3L)).toDF("k", "v").coalesce(1))
+    assert(wh.table("t").count() == 3)
+  }
+
   test("transaction: crash-abandoned tail is invisible and healed by the next writer") {
     val dir = tmp("wh_txn_crash")
     val wh = new Warehouse(spark, dir)
