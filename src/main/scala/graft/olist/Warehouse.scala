@@ -366,6 +366,47 @@ class Warehouse(val spark: SparkSession, basePath: String,
     rollbackOpen(tx)
   }
 
+  /** Reclaims cross-table transaction marker files
+    * (`_graft_meta/_txn/<id>.{committed,pending}`) that no log record
+    * of any table still references — the marker-lifecycle counterpart
+    * of per-table [[vacuum]]. A committed marker must outlive every
+    * record tagged with its id (time travel to a tagged version
+    * re-checks it), so referenced ids are collected from EVERY
+    * table's surviving records first; run AFTER per-table vacuums so
+    * freshly-dropped history releases its markers. Pending markers
+    * are observability-only (correctness rides on `.committed`), so
+    * an unreferenced one — a rolled-back or healed transaction's —
+    * always reclaims. Returns the number of markers deleted. */
+  def vacuumTxnMarkers(): Int = {
+    require(database.isEmpty, "vacuumTxnMarkers applies to path-mode warehouses")
+    val fs = metaFs
+    val markerDir = txnMarkerPath("x", "x").getParent
+    if (!fs.exists(markerDir)) 0
+    else {
+      // every id any surviving record of any table still carries
+      val logsRoot = new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn")
+      val referenced: Set[String] =
+        if (!fs.exists(logsRoot)) Set.empty
+        else fs.listStatus(logsRoot).iterator.filter(_.isDirectory)
+          .map(_.getPath.getName).flatMap { t =>
+            logVersions(t).iterator.flatMap(v =>
+              metaOfVersion(t, v).get(TxnMeta))
+          }.toSet
+      // an OPEN transaction's id is referenced even before its first
+      // commit — never reclaim the live txn's pending marker
+      val live = Option(txnState.get()).map(_.id).toSet
+      val dead = fs.listStatus(markerDir).iterator.map(_.getPath)
+        .filter { p =>
+          val n = p.getName
+          (n.endsWith(".committed") || n.endsWith(".pending")) &&
+            !referenced.contains(n.substring(0, n.lastIndexOf('.'))) &&
+            !live.contains(n.substring(0, n.lastIndexOf('.')))
+        }.toSeq
+      dead.foreach(fs.delete(_, false))
+      dead.size
+    }
+  }
+
   /** Runs `body` as ONE atomic commit across `names`: every write the
     * body performs on the declared tables becomes visible to readers
     * together — at the moment the parent marker lands — or, on body
@@ -3702,7 +3743,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // collisions, which are far below the sketch's own ±2.5%. The
       // encoding is a pure function of the column TYPE, so per-file
       // sketches of one column always union consistently.
-      val ndvCols = (statCols ++ bCols).distinct
+      // sizing knobs: `graft.ndv.lgk` trades manifest bytes for NDV
+      // precision (lgK=12 ≈ ±2.5% at ~2 KB/entry; a many-thousand-file
+      // table can drop to 10 ≈ ±5% at ~0.5 KB), `graft.ndv.enabled=
+      // false` skips sketching entirely. The driver-side Union(12)
+      // downsamples mixed-lgK sketches, so the knob can change
+      // between commits without invalidating older entries.
+      val ndvOn = spark.conf.getOption("graft.ndv.enabled")
+        .forall(_.toBoolean)
+      val ndvLgK = spark.conf.getOption("graft.ndv.lgk")
+        .flatMap(_.toIntOption).getOrElse(12).max(4).min(12)
+      val ndvCols =
+        if (ndvOn) (statCols ++ bCols).distinct else Nil
       def sketchable(c: String): org.apache.spark.sql.Column = {
         import org.apache.spark.sql.types._
         schema(c).dataType match {
@@ -3714,7 +3766,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
         bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c")) ++
-        ndvCols.map(c => hll_sketch_agg(sketchable(c), lit(12)).as(s"__h_$c"))
+        ndvCols.map(c =>
+          hll_sketch_agg(sketchable(c), lit(ndvLgK)).as(s"__h_$c"))
       val rows = r.groupBy(input_file_name().as("__file"))
         .agg(aggs.head, aggs.tail: _*).collect()
       // match each scanned file URI back to its manifest-relative path

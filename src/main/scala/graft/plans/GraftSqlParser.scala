@@ -144,6 +144,8 @@ object GraftSqlParser {
       """([\w]+(?:\s*,\s*[\w]+)*)\s*;?\s*$""").r
   private val CommitTxn =
     """(?is)^\s*COMMIT(?:\s+TRAN(?:SACTION)?)?\s*;?\s*$""".r
+  private val VacuumTxn =
+    """(?is)^\s*VACUUM\s+TRANSACTIONS\s*;?\s*$""".r
   private val RollbackTxn =
     """(?is)^\s*ROLLBACK(?:\s+TRAN(?:SACTION)?)?\s*;?\s*$""".r
 
@@ -293,6 +295,12 @@ object GraftSqlParser {
         Option(registry.get(session)).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.rollbackTransaction(); Seq(Row("ROLLED_BACK"))
+          }
+        }
+      case VacuumTxn() =>
+        Option(registry.get(session)).map { wh =>
+          cmd(session, attrs("markers_deleted" -> LongType)) { _ =>
+            Seq(Row(wh.vacuumTxnMarkers().toLong))
           }
         }
       case Delete(table, cond) =>

@@ -370,5 +370,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     // side effect runs at execution: building the plan opened nothing)
     val ex = intercept[Exception] { spark.sql("COMMIT").collect() }
     assert(ex.getMessage.contains("no open transaction"), ex.getMessage)
+    // VACUUM TRANSACTIONS reclaims only unreferenced markers (the
+    // committed txn's records are current history — marker stays)
+    spark.sql("VACUUM TRANSACTIONS").collect()
+    assert(new java.io.File(s"$dir/_graft_meta/_txn").list()
+      .exists(_.endsWith(".committed")),
+      "live marker must survive VACUUM TRANSACTIONS")
   }
 }

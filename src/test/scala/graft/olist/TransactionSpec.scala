@@ -171,6 +171,43 @@ class TransactionSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 3)
   }
 
+  test("vacuumTxnMarkers: reclaims markers once no kept record references them") {
+    val dir = tmp("wh_txn_markers")
+    val wh = new Warehouse(spark, dir)
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    wh.transaction(Seq("fact", "dim")) {
+      wh.append("fact", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+      wh.append("dim", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+    }
+    // a rolled-back txn leaves a pending marker (audit) — reclaimable
+    intercept[RuntimeException] {
+      wh.transaction(Seq("fact")) {
+        wh.append("fact", Seq((9L, 9L)).toDF("k", "v").coalesce(1))
+        throw new RuntimeException("boom")
+      }
+    }
+    def markers(): Set[String] =
+      Option(new java.io.File(s"$dir/_graft_meta/_txn").list())
+        .map(_.toSet.filter((n: String) => !n.startsWith("."))).getOrElse(Set.empty)
+    assert(markers().exists(_.endsWith(".committed")))
+    // the committed txn's v2 records still reference the id: kept
+    val n1 = wh.vacuumTxnMarkers()
+    assert(markers().exists(_.endsWith(".committed")),
+      s"live marker must survive (deleted $n1)")
+    // time travel to the tagged version still works through the marker
+    assert(wh.tableAt("fact", 2).count() == 2)
+    // drop the tagged history (keep only the current untagged head),
+    // then the marker has no referent and reclaims
+    wh.append("fact", Seq((3L, 30L)).toDF("k", "v").coalesce(1)) // v3, untagged
+    wh.append("dim", Seq((3L, "c")).toDF("k", "name").coalesce(1))
+    wh.vacuum("fact"); wh.vacuum("dim")
+    val n2 = wh.vacuumTxnMarkers()
+    assert(n2 >= 1, s"expected the dead markers reclaimed, got $n2")
+    assert(markers().isEmpty, markers().toString)
+    assert(wh.table("fact").count() == 3)
+  }
+
   test("transaction: crash-abandoned tail is invisible and healed by the next writer") {
     val dir = tmp("wh_txn_crash")
     val wh = new Warehouse(spark, dir)
