@@ -2042,11 +2042,24 @@ class Warehouse(val spark: SparkSession, basePath: String,
         .collect { case pth if pth.startsWith(s"../$name/") =>
           pth.stripPrefix(s"../$name/") }
         .toSet
+      // files referenced by a pending cross-table transaction's tagged
+      // tail (versions above the VISIBLE head — tableVersions filters
+      // them) must survive too: the transaction is mid-flight, its
+      // marker may still land, and reaping its staged-and-committed
+      // files would corrupt a commit that later becomes visible. A
+      // crash-abandoned tail holds its files only until the next
+      // locked writer heals the records — then they reclaim normally.
+      val taggedKeep: Set[String] = {
+        val visHead = versions.lastOption.getOrElse(0L)
+        logVersions(name).filter(_ > visHead).flatMap(v =>
+          stateAt(name, v)._1.flatMap(e =>
+            e.path +: e.dv.map(_.path).toSeq)).toSet
+      }
       // DV sidecars share their referencing entries' lifecycle: a
       // sidecar survives while ANY kept snapshot's entry names it
       val keep = kept.flatMap { kv =>
         stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
-      }.toSet ++ cloneKeep
+      }.toSet ++ cloneKeep ++ taggedKeep
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
       // a zero-file snapshot never created the data dir: nothing to scan
@@ -2791,6 +2804,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
   def tableAt(name: String, version: Long): DataFrame = {
     require(database.isEmpty, "tableAt applies to path-mode tables only")
     val (files, vMeta) = stateAt(name, version)
+    requireVisible("tableAt", name, version, vMeta)
     // read the OLD version with the schema AND column mapping it was
     // committed under — a later save() may have redefined column order
     // or types, a later rename/drop changed the visible names — and
@@ -2803,6 +2817,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
       dvByOpt = Some(files.iterator.flatMap(f =>
         f.dv.map(f.path -> _)).toMap))
   }
+
+  /** Explicit-version surfaces (time travel, restore, clone) must not
+    * resolve a version an uncommitted cross-table transaction
+    * committed — tableVersions hides the tagged tail, but a caller
+    * guessing the raw number would otherwise read (or worse, clone/
+    * restore-resurrect) data whose parent marker never landed. */
+  private def requireVisible(op: String, name: String, v: Long,
+      meta: Map[String, String]): Unit =
+    require(meta.get(TxnMeta).forall(txnVisible),
+      s"$op: version $v of $name belongs to an uncommitted cross-table " +
+        "transaction and is not readable until its marker lands")
 
   /** Commit metadata of ONE version — its own record's `#` block
     * (delta preferred: the true commit record; a lazy floor checkpoint
@@ -2892,6 +2917,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
   def restore(name: String, version: Long): Unit = {
     require(database.isEmpty, "restore applies to path-mode tables only")
     val (files, vMeta) = stateAt(name, version)
+    requireVisible("restore", name, version, vMeta)
     require(vMeta.contains(SchemaMeta) && vMeta.contains(PartsMeta),
       s"restore: version $version of $name predates table-definition " +
         "metadata in the manifest — its layout cannot be rolled back safely")
@@ -3078,6 +3104,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
       throw new IllegalArgumentException(
         s"cloneTable: $src has no committed snapshot")))
     val (files, srcMeta) = stateAt(src, v)
+    requireVisible("cloneTable", src, v, srcMeta)
     // each entry points at the directory that PHYSICALLY owns the file:
     // plain paths gain one "../src/" hop; already-referencing paths
     // (cloning a clone) are kept verbatim
@@ -4051,17 +4078,46 @@ class Warehouse(val spark: SparkSession, basePath: String,
   /** [[candidates]] extended with IN-list conjuncts: for each
     * (column, values) pair a file survives when ANY value's
     * point-range admits it (stats contain + bloom might-contain) —
-    * the union over values, intersected across conjuncts. Bounded
-    * work: |values| ≤ the walker's cap × files, each test O(1). */
+    * the union over values, intersected across conjuncts. The bloom
+    * sketch decodes ONCE per (file, conjunct), not per value — at a
+    * thousand files × a long IN list the per-pair base64 decode would
+    * dominate the listing. Bounded work: |values| ≤ the walker's cap
+    * × files, each test O(1). */
   private def candidatesWith(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[ColRange],
       inSets: Seq[(String, Seq[Any])]): Seq[DataFile] = {
     val base = candidates(files, schema, ranges)
-    inSets.foldLeft(base) { case (acc, (c, vs)) =>
-      acc.filter(f => vs.exists(v =>
-        candidates(Seq(f), schema, Seq(ColRange(c, Some(v), Some(v))))
-          .nonEmpty))
+    if (inSets.isEmpty) base
+    else {
+      val types = schema.map(f => f.name -> f.dataType).toMap
+      inSets.foldLeft(base) { case (acc, (c, vs)) =>
+        val dtOpt = types.get(c)
+        acc.filter { f =>
+          val bloom = f.blooms.get(c)
+            .map(java.util.Base64.getDecoder.decode)
+          vs.exists { v =>
+            // same point semantics as candidates(lower == upper):
+            // stats contain v, and the sketch does not reject it
+            val mmOk = (f.stats.get(c), dtOpt) match {
+              case (Some((mn, mx)), Some(dt)) =>
+                statCompare(dt, mx, statString(v)).forall(_ >= 0) &&
+                  statCompare(dt, mn, statString(v)).forall(_ <= 0)
+              case _ => true
+            }
+            val bloomOk = (bloom, dtOpt) match {
+              case (Some(b), Some(dt)) =>
+                xxhashOf(v, dt) match {
+                  case Some(h) =>
+                    graft.functions.BloomSketch.mightContain(b, h)
+                  case None => true // un-hashable type: keep the file
+                }
+              case _ => true
+            }
+            mmOk && bloomOk
+          }
+        }
+      }
     }
   }
 

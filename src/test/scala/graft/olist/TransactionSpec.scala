@@ -171,6 +171,34 @@ class TransactionSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 3)
   }
 
+  test("vacuum racing an open transaction keeps the tagged tail's files") {
+    val dir = tmp("wh_txn_vac")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", Seq((1L, 1L)).toDF("k", "v").coalesce(1))
+    wh.beginTransaction(Seq("t"))
+    try {
+      wh.append("t", Seq((2L, 2L)).toDF("k", "v").coalesce(1)) // v2, tagged
+      // an aggressive zero-grace vacuum from another instance while the
+      // transaction is open: the tagged commit's files are referenced
+      // only by an INVISIBLE record, and must still survive
+      val other = new Warehouse(spark, dir)
+      other.vacuum("t")
+      // explicit-version surfaces refuse the uncommitted version by
+      // raw number too (tableVersions already hides it)
+      val ex = intercept[IllegalArgumentException] {
+        other.tableAt("t", 2).count()
+      }
+      assert(ex.getMessage.contains("uncommitted"), ex.getMessage)
+      val ex2 = intercept[IllegalArgumentException] {
+        other.cloneTable("t", "t_leak", Some(2L))
+      }
+      assert(ex2.getMessage.contains("uncommitted"), ex2.getMessage)
+    } finally wh.commitTransaction()
+    // the commit that raced the vacuum reads back whole
+    assert(wh.table("t").count() == 2)
+    assert(new Warehouse(spark, dir).table("t").count() == 2)
+  }
+
   test("vacuumTxnMarkers: reclaims markers once no kept record references them") {
     val dir = tmp("wh_txn_markers")
     val wh = new Warehouse(spark, dir)
