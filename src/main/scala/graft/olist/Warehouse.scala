@@ -4047,15 +4047,35 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  /** Value-PRESERVING literal widening: an int literal on a bigint
+    * column compares, hashes (xxhash64 of 42L ≡ the stored column's),
+    * and renders identically after the upcast — unlike lossy coercions
+    * (string→int, string→date), which stay blocked. This is the lane
+    * SQL-text predicates live in: the parser types `42` as INT
+    * regardless of the column. */
+  private def widenLit(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (typeMatches(dt, v)) Some(v)
+    else (dt, v) match {
+      case (LongType, i: java.lang.Integer) => Some(i.longValue: java.lang.Long)
+      case (LongType, s: java.lang.Short) => Some(s.longValue: java.lang.Long)
+      case (IntegerType, s: java.lang.Short) => Some(s.intValue: java.lang.Integer)
+      case _ => None
+    }
+  }
+
   private[olist] def derivedRanges(pred: org.apache.spark.sql.Column,
       schema: org.apache.spark.sql.types.StructType): Seq[ColRange] = {
     val types = schema.map(f => f.name -> f.dataType).toMap
     org.apache.spark.sql.GraftColumnShim.impliedRanges(pred).flatMap {
       case (c, lo, hi) =>
-        types.get(c) match {
-          case Some(dt) if (lo.toSeq ++ hi.toSeq).forall(typeMatches(dt, _)) =>
-            Some(ColRange(c, lo, hi))
-          case _ => None
+        types.get(c).flatMap { dt =>
+          val wlo = lo.map(widenLit(dt, _))
+          val whi = hi.map(widenLit(dt, _))
+          if ((wlo.toSeq ++ whi.toSeq).forall(_.isDefined))
+            Some(ColRange(c, wlo.flatten, whi.flatten))
+          else None
         }
     }
   }
@@ -4069,9 +4089,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
       schema: org.apache.spark.sql.types.StructType)
       : Seq[(String, Seq[Any])] = {
     val types = schema.map(f => f.name -> f.dataType).toMap
-    org.apache.spark.sql.GraftColumnShim.impliedInSets(pred).filter {
+    org.apache.spark.sql.GraftColumnShim.impliedInSets(pred).flatMap {
       case (c, vs) =>
-        types.get(c).exists(dt => vs.forall(typeMatches(dt, _)))
+        types.get(c).flatMap { dt =>
+          val wv = vs.map(widenLit(dt, _))
+          if (wv.forall(_.isDefined)) Some((c, wv.flatten)) else None
+        }
     }
   }
 

@@ -12,6 +12,90 @@ object GraftColumnShim {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  // ----- catalyst-tree walkers (the `expr("…")` lane) ----------------
+  //
+  // functions.expr wraps the raw SQL text in a SqlExpression node, so
+  // the ColumnNode walkers below see an opaque leaf — the whole SQL
+  // DELETE/UPDATE surface (which builds its predicate via expr) would
+  // derive nothing and probe every file. Parse the text with the
+  // catalyst parser and walk the UNRESOLVED expression tree instead:
+  // same conjunct shapes, same type-exactness deferral (literal values
+  // convert to external Scala form; the warehouse-side type filter
+  // stays the gate).
+
+  private def extLit(l: catalyst.expressions.Literal): Option[Any] =
+    Option(catalyst.CatalystTypeConverters.convertToScala(l.value, l.dataType))
+
+  private def catName(e: catalyst.expressions.Expression): Option[String] =
+    e match {
+      case a: catalyst.analysis.UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+
+  private def catRanges(e: catalyst.expressions.Expression)
+      : Seq[(String, Option[Any], Option[Any])] = {
+    import catalyst.expressions._
+    def rng(a: Expression, l: Literal, lo: Boolean, hi: Boolean) =
+      (catName(a), extLit(l)) match {
+        case (Some(c), Some(v)) =>
+          Seq((c, if (lo) Some(v) else None, if (hi) Some(v) else None))
+        case _ => Nil
+      }
+    e match {
+      case And(x, y) => catRanges(x) ++ catRanges(y)
+      case EqualTo(a, l: Literal) => rng(a, l, lo = true, hi = true)
+      case EqualTo(l: Literal, a) => rng(a, l, lo = true, hi = true)
+      case EqualNullSafe(a, l: Literal) if l.value != null =>
+        rng(a, l, lo = true, hi = true)
+      case EqualNullSafe(l: Literal, a) if l.value != null =>
+        rng(a, l, lo = true, hi = true)
+      case GreaterThan(a, l: Literal) => rng(a, l, lo = true, hi = false)
+      case GreaterThanOrEqual(a, l: Literal) => rng(a, l, lo = true, hi = false)
+      case LessThan(a, l: Literal) => rng(a, l, lo = false, hi = true)
+      case LessThanOrEqual(a, l: Literal) => rng(a, l, lo = false, hi = true)
+      case GreaterThan(l: Literal, a) => rng(a, l, lo = false, hi = true)
+      case GreaterThanOrEqual(l: Literal, a) => rng(a, l, lo = false, hi = true)
+      case LessThan(l: Literal, a) => rng(a, l, lo = true, hi = false)
+      case LessThanOrEqual(l: Literal, a) => rng(a, l, lo = true, hi = false)
+      case _ => Nil
+    }
+  }
+
+  private def catInSets(e: catalyst.expressions.Expression)
+      : Seq[(String, Seq[Any])] = {
+    import catalyst.expressions._
+    def eqVals(x: Expression): Option[(String, Seq[Any])] = x match {
+      case Or(l, r) =>
+        for {
+          (cl, vl) <- eqVals(l); (cr, vr) <- eqVals(r); if cl == cr
+        } yield (cl, vl ++ vr)
+      case EqualTo(a, l: Literal) =>
+        for { c <- catName(a); v <- extLit(l) } yield (c, Seq(v))
+      case EqualTo(l: Literal, a) =>
+        for { c <- catName(a); v <- extLit(l) } yield (c, Seq(v))
+      case _ => None
+    }
+    e match {
+      case And(x, y) => catInSets(x) ++ catInSets(y)
+      case In(a, list) if list.nonEmpty && list.forall {
+        case _: Literal => true; case _ => false } =>
+        catName(a).map { c =>
+          (c, list.collect { case l: Literal if l.value != null => l }
+            .flatMap(extLit))
+        }.filter(_._2.nonEmpty).toSeq
+      case o: Or => eqVals(o).filter(_._2.nonEmpty).toSeq
+      case _ => Nil
+    }
+  }
+
+  private def parsedSql(n: internal.ColumnNode)
+      : Option[catalyst.expressions.Expression] = n match {
+    case s: internal.SqlExpression =>
+      scala.util.Try(catalyst.parser.CatalystSqlParser
+        .parseExpression(s.expression)).toOption
+    case _ => None
+  }
+
   /** Range constraints provably implied by the predicate: top-level
     * conjuncts of the form `col <op> literal` (either operand order)
     * as (column, lowerBound, upperBound) triples. Disjunctions, casts,
@@ -55,7 +139,7 @@ object GraftColumnShim {
               }
             case _ => Nil
           }
-        case _ => Nil
+        case other => parsedSql(other).toSeq.flatMap(catRanges)
       }
     walk(c.node)
   }
@@ -116,7 +200,7 @@ object GraftColumnShim {
           case ("or", _) => orValues(f).filter(_._2.nonEmpty).toSeq
           case _ => Nil
         }
-      case _ => Nil
+      case other => parsedSql(other).toSeq.flatMap(catInSets)
     }
     walk(c.node)
   }

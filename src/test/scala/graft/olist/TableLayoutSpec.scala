@@ -752,19 +752,49 @@ class TableLayoutSpec extends AnyFunSuite {
       Seq(ColRange("k", Some(7L), None)))
     // opaque predicates (function of a column) derive nothing
     assert(wh.derivedRanges(col("k") % 2 === 0L, sc).isEmpty)
-    // COERCED literals derive nothing: Spark evaluates `k = '7'` as
+    // LOSSY coercions derive nothing: Spark evaluates `k = '7'` as
     // 7L = 7L (TRUE) but the stats/bloom probe would compare the string
     // '7' under the column's type — pruning on it could skip files that
     // hold matching rows. Mismatched literal type → no range.
     assert(wh.derivedRanges(col("k") === "7", sc).isEmpty)
-    assert(wh.derivedRanges(col("k") === 7, sc).isEmpty) // Int vs LongType
     assert(wh.derivedRanges(col("d") > "2020-1-1", sc).isEmpty)
     assert(wh.derivedRanges(col("v") === 42L, sc).isEmpty)
+    // ...but value-PRESERVING widening derives: an Int literal on a
+    // Long column hashes and compares identically after the upcast —
+    // the lane every SQL-text predicate lives in (the parser types 42
+    // as INT regardless of the column)
+    assert(wh.derivedRanges(col("k") === 7, sc) ==
+      Seq(ColRange("k", Some(7L), Some(7L))))
     // unknown column (not in the schema) derives nothing
     assert(wh.derivedRanges(col("zz") === 1L, sc).isEmpty)
     // exact-type matches still derive
     assert(wh.derivedRanges(
       col("d") === java.sql.Date.valueOf("2020-01-01"), sc).nonEmpty)
+  }
+
+  test("derivedRanges/derivedInSets: SQL-text predicates (the expr lane) derive too") {
+    import org.apache.spark.sql.types._
+    import org.apache.spark.sql.functions.expr
+    val wh = new Warehouse(spark, tmp("wh_dr_sql"))
+    val sc = StructType(Seq(StructField("k", LongType),
+      StructField("v", StringType)))
+    // the SQL DELETE/UPDATE surface builds its predicate via expr():
+    // the parsed catalyst tree must yield the same provable bounds
+    val r = wh.derivedRanges(expr("k >= 5 AND k < 10 AND v = 'x'"), sc)
+    assert(r.contains(ColRange("k", Some(5L), None)), r.toString)
+    assert(r.contains(ColRange("k", None, Some(10L))), r.toString)
+    assert(r.contains(ColRange("v", Some("x"), Some("x"))), r.toString)
+    // IN lists and OR-of-equalities from SQL text
+    assert(wh.derivedInSets(expr("k IN (3, 7)"), sc) ==
+      Seq(("k", Seq(3L, 7L))))
+    assert(wh.derivedInSets(expr("k = 3 OR k = 7"), sc) ==
+      Seq(("k", Seq(3L, 7L))))
+    // lossy coercion still refuses through the SQL lane
+    assert(wh.derivedRanges(expr("k = '7'"), sc).isEmpty)
+    assert(wh.derivedInSets(expr("k IN ('3', '7')"), sc).isEmpty)
+    // opaque terms contribute nothing, conjuncts beside them still do
+    assert(wh.derivedRanges(expr("k % 2 = 0 AND k >= 5"), sc) ==
+      Seq(ColRange("k", Some(5L), None)))
   }
 
   test("manifest log: commit bytes are O(touched files), not O(table files)") {
