@@ -1351,10 +1351,20 @@ class Warehouse(val spark: SparkSession, basePath: String,
         currentManifestFull(name).flatMap(_._3.get(k)).map(_.toLong)
           .exists(_ >= b) }
       if (!replayed) {
-      val target = read(name)
+      val manifestFiles = currentManifest(name).map(_._2).getOrElse(Nil)
+      val sc = tableSchema(name)
+      val outCols = read(name).columns.toSeq
       val deltaKeys = aligned.select(keys.map(col): _*).distinct()
+      // stats/bloom-bounded probe: a file whose key-column stats admit
+      // no delta key cannot hold a matched row, so the "which
+      // partitions hold matched keys" scan opens only admitting files.
+      // On a key-clustered/bloom'd table a small CDC batch probes a
+      // handful of files instead of the table — the merge cost model
+      // that survives 100 TB. Missing stats keep files (safe).
+      val matchProbe = fromFiles(name,
+        mergeProbeCandidates(manifestFiles, sc, aligned, keys), sc)
       val affectedParts = aligned.select(parts.map(col): _*)
-        .unionByName(target.join(broadcast(deltaKeys), keys, "left_semi")
+        .unionByName(matchProbe.join(broadcast(deltaKeys), keys, "left_semi")
           .select(parts.map(col): _*))
         .distinct().collect()
       if (affectedParts.nonEmpty) {
@@ -1370,32 +1380,30 @@ class Warehouse(val spark: SparkSession, basePath: String,
                 if (raw == null) null else String.valueOf(raw))
           }.mkString("", "/", "/")
         }.toSet
-        // static frame from the already-collected rows (no lazy
-        // re-derivation), joined null-safely so null partition values
-        // select their partition too
-        val fieldByName = tableSchema(name).map(f => f.name -> f).toMap
-        val partsSchema = org.apache.spark.sql.types.StructType(
-          parts.map(fieldByName)) // in parts order, matching the projection
-        val affectedDf = spark.createDataFrame(
-          java.util.Arrays.asList(affectedParts: _*), partsSchema)
-        val keptRows = target
-          .join(broadcast(affectedDf),
-            parts.map(c => target(c) <=> affectedDf(c)).reduce(_ && _),
-            "left_semi")                                // affected partitions only
+        // the affected-partition restriction is a FILE-LIST selection:
+        // under the uniform layout asserted above, prefix membership is
+        // exactly partition membership (null/empty values included —
+        // prefixSet uses the writer's own path rendering), so the
+        // rewrite and pre-image reads open only affected partitions'
+        // files instead of semi-join-filtering a full-table scan
+        val affected = fromFiles(name,
+          manifestFiles.map(_.path)
+            .filter(p => prefixSet.contains(partitionPrefix(p))), sc)
+        val keptRows = affected
           .join(broadcast(deltaKeys), keys, "left_anti") // minus matched keys
-          .select(target.columns.map(col): _*)
-        val merged = keptRows.unionByName(aligned.select(target.columns.map(col): _*))
+          .select(outCols.map(col): _*)
+        val merged = keptRows.unionByName(aligned.select(outCols.map(col): _*))
         val files = stageWrite(name, clustered(name, merged, parts), parts)
-        val keptFiles = currentManifest(name).map(_._2).getOrElse(Nil)
+        val keptFiles = manifestFiles
           .filterNot(f => prefixSet.contains(partitionPrefix(f.path)))
         // row-level change files: the replaced pre-images leave, the
         // delta rows arrive (a new key is a bare insert) — bounded by
         // the delta, evaluated against the pre-commit snapshot
         writeChangeFiles(name,
-          target.join(broadcast(deltaKeys), keys, "left_semi")
-            .select(target.columns.map(col): _*)
+          affected.join(broadcast(deltaKeys), keys, "left_semi")
+            .select(outCols.map(col): _*)
             .withColumn(ChangeTypeCol, lit("delete"))
-          .unionByName(aligned.select(target.columns.map(col): _*)
+          .unionByName(aligned.select(outCols.map(col): _*)
             .withColumn(ChangeTypeCol, lit("insert"))))
         commitManifest(name, keptFiles ++ files, extraMeta,
           op = if (mark.isDefined) "stream-merge" else "merge")
@@ -1406,6 +1414,39 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
       !replayed
     }
+  }
+
+  /** Candidate files for a merge's matched-key probe, bounded by the
+    * delta's own key statistics: per key column, the delta's [min,
+    * max] becomes a stats range conjunct, and when the delta holds ≤64
+    * distinct values of a column they additionally probe the per-file
+    * bloom/point stats as an IN conjunct (per-column sets are sound —
+    * a matched row's every key column takes one of the delta's values
+    * for that column). An empty delta or a null bound contributes
+    * nothing; files without stats always stay candidates. */
+  /** Current snapshot's manifest entries (test seam). */
+  private[olist] def currentManifestFiles(name: String): Seq[DataFile] =
+    currentManifest(name).map(_._2).getOrElse(Nil)
+
+  private[olist] def mergeProbeCandidates(files: Seq[DataFile],
+      sc: org.apache.spark.sql.types.StructType,
+      aligned: DataFrame, keys: Seq[String]): Seq[String] = {
+    val aggs = keys.flatMap(k =>
+      Seq(min(col(k)).as(s"__mn_$k"), max(col(k)).as(s"__mx_$k")))
+    val r = aligned.agg(aggs.head, aggs.tail: _*).collect()(0)
+    val ranges = keys.flatMap { k =>
+      val mn = r.getAs[Any](s"__mn_$k"); val mx = r.getAs[Any](s"__mx_$k")
+      if (mn == null || mx == null) None
+      else Some(ColRange(k, Some(mn), Some(mx)))
+    }
+    val inSets = keys.flatMap { k =>
+      // limit(65): we only need to know whether the distinct count
+      // exceeds the cap, never the full set of a large delta
+      val vs = aligned.select(col(k)).distinct().limit(65)
+        .collect().map(_.get(0)).toSeq
+      if (vs.nonEmpty && vs.size <= 64) Some(k -> vs) else None
+    }
+    candidatesWith(files, sc, ranges, inSets).map(_.path)
   }
 
   /** First-class predicate DELETE (reference: `Olist DW.sql:183-184,

@@ -772,6 +772,41 @@ class TableLayoutSpec extends AnyFunSuite {
       col("d") === java.sql.Date.valueOf("2020-01-01"), sc).nonEmpty)
   }
 
+  test("merge: the matched-key probe opens only stat-admitting files") {
+    import spark.implicits._
+    val dir = tmp("wh_merge_probe")
+    val wh = new Warehouse(spark, dir)
+    // 4 single-file partitions with disjoint k ranges, clustered on k
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))
+    val files = wh.describeDetail("t").toMap.apply("numFiles").toInt
+    assert(files == 4)
+    // a CDC batch touching two keys in b=2's range: the probe admits
+    // exactly that one file
+    val delta = Seq((2500L, 99L, 2L), (2501L, 98L, 2L)).toDF("k", "v", "b")
+    val cands = wh.mergeProbeCandidates(
+      wh.currentManifestFiles("t"), wh.table("t").schema, delta, Seq("k"))
+    assert(cands.size == 1 && cands.head.contains("b=2"), cands.toString)
+    // a wide delta (keys spanning two files' ranges) admits both, not all
+    val wide = Seq((500L, 1L, 0L), (3500L, 1L, 3L)).toDF("k", "v", "b")
+    val wcands = wh.mergeProbeCandidates(
+      wh.currentManifestFiles("t"), wh.table("t").schema, wide, Seq("k"))
+    assert(wcands.size <= 4 && wcands.exists(_.contains("b=0")) &&
+      wcands.exists(_.contains("b=3")), wcands.toString)
+    // and the merge itself stays correct end-to-end: replaced keys,
+    // untouched partitions byte-identical
+    val before = dataDigests(dir, "t")
+    wh.merge("t", delta, Seq("k"))
+    val after = dataDigests(dir, "t")
+    (before.keySet intersect after.keySet)
+      .filterNot(_.contains("b=2"))
+      .foreach(p => assert(before(p) == after(p), s"$p changed bytes"))
+    assert(wh.table("t").count() == 4000)
+    assert(wh.table("t").filter(col("k") === 2500L).select("v")
+      .collect()(0).getLong(0) == 99L)
+  }
+
   test("derivedRanges/derivedInSets: SQL-text predicates (the expr lane) derive too") {
     import org.apache.spark.sql.types._
     import org.apache.spark.sql.functions.expr
