@@ -27,8 +27,18 @@ object Tables {
     * cast is value-preserving). DuckDB reads the same column natively;
     * queries must only compare at ≥ microsecond granularity. */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    normalizeTs(table(s, d, "events"))
+    // probe under the CURRENT conf first; only the TIMESTAMP(NANOS)
+    // generation (which the reader rejects outright) needs the legacy
+    // session conf — don't flip the shared session's parquet semantics
+    // for data that reads fine without it
+    val df =
+      try table(s, d, "events")
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          table(s, d, "events")
+      }
+    normalizeTs(df)
   }
 
   /** Normalize an events frame's `ts` to TimestampType µs regardless of

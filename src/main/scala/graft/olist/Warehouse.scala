@@ -385,23 +385,43 @@ class Warehouse(val spark: SparkSession, basePath: String,
     else {
       // every id any surviving record of any table still carries
       val logsRoot = new org.apache.hadoop.fs.Path(s"$basePath/_graft_meta/txn")
-      val referenced: Set[String] =
+      def referencedIds(): Set[String] =
         if (!fs.exists(logsRoot)) Set.empty
         else fs.listStatus(logsRoot).iterator.filter(_.isDirectory)
           .map(_.getPath.getName).flatMap { t =>
             logVersions(t).iterator.flatMap(v =>
               metaOfVersion(t, v).get(TxnMeta))
           }.toSet
+      val referenced = referencedIds()
       // an OPEN transaction's id is referenced even before its first
       // commit — never reclaim the live txn's pending marker
       val live = Option(txnState.get()).map(_.id).toSet
-      val dead = fs.listStatus(markerDir).iterator.map(_.getPath)
+      val candidates = fs.listStatus(markerDir).iterator.map(_.getPath)
         .filter { p =>
           val n = p.getName
           (n.endsWith(".committed") || n.endsWith(".pending")) &&
             !referenced.contains(n.substring(0, n.lastIndexOf('.'))) &&
             !live.contains(n.substring(0, n.lastIndexOf('.')))
         }.toSeq
+      // A concurrent transaction lands its tagged RECORDS before its
+      // MARKER, so any marker present in the listing above belongs to a
+      // transaction whose records were already on disk when the listing
+      // ran. The first log scan, however, ran BEFORE the listing and can
+      // miss exactly those records — deleting on its word alone would
+      // orphan a freshly committed transaction (its tagged versions turn
+      // invisible and the next writer's rollback drops them). A second
+      // scan, started AFTER the listing, necessarily sees every record of
+      // every listed marker's transaction — so candidates absent from it
+      // too are genuinely unreferenced.
+      val dead =
+        if (candidates.isEmpty) candidates
+        else {
+          val confirmed = referencedIds()
+          candidates.filter { p =>
+            val n = p.getName
+            !confirmed.contains(n.substring(0, n.lastIndexOf('.')))
+          }
+        }
       dead.foreach(fs.delete(_, false))
       dead.size
     }
@@ -2049,6 +2069,44 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * the caller's policy, exactly as in production table formats. */
   def vacuum(name: String): Unit = vacuum(name, 0L, 1)
 
+  /** The union keep-set a retention sweep must preserve, computed ONCE
+    * and shared by [[vacuum]] and [[vacuumPreview]] so the preview can
+    * never disagree with the sweep it previews:
+    *  - every kept snapshot's file list (+ DV sidecars — a sidecar
+    *    survives while ANY kept snapshot's entry names it): any kept
+    *    version must remain fully readable after the sweep;
+    *  - files any registered clone still references (each clone's live
+    *    manifests, entries resolving into THIS table's directory);
+    *  - files referenced by a pending cross-table transaction's tagged
+    *    tail (log versions above the VISIBLE head — `tableVersions`
+    *    filters them): the transaction is mid-flight, its marker may
+    *    still land, and reaping its staged-and-committed files would
+    *    corrupt a commit that later becomes visible. A crash-abandoned
+    *    tail holds its files only until the next locked writer heals
+    *    the records — then they reclaim normally. */
+  private def vacuumKeepSet(name: String, visibleVersions: Seq[Long],
+      kept: Seq[Long]): Set[String] = {
+    val cloneKeep: Set[String] = currentManifestFull(name)
+      .flatMap(_._3.get(ClonesMeta)).toSeq
+      .flatMap(_.split(",").filter(_.nonEmpty))
+      .flatMap { c =>
+        tableVersions(c).flatMap { cv =>
+          stateAt(c, cv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq) }
+      }
+      .collect { case pth if pth.startsWith(s"../$name/") =>
+        pth.stripPrefix(s"../$name/") }
+      .toSet
+    val taggedKeep: Set[String] = {
+      val visHead = visibleVersions.lastOption.getOrElse(0L)
+      logVersions(name).filter(_ > visHead).flatMap(v =>
+        stateAt(name, v)._1.flatMap(e =>
+          e.path +: e.dv.map(_.path).toSeq)).toSet
+    }
+    kept.flatMap { kv =>
+      stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
+    }.toSet ++ cloneKeep ++ taggedKeep
+  }
+
   /** Retention-aware vacuum. `keepVersions` newest snapshots stay fully
     * readable (their manifests AND every file any of them references
     * survive — the time-travel/history retention window); unreferenced
@@ -2068,39 +2126,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
     currentManifest(name).foreach { _ =>
       val versions = tableVersions(name)
       val kept = versions.takeRight(keepVersions)
-      // union of every kept snapshot's file list — any of them must
-      // remain fully readable after the sweep
-      // files any registered clone still references must survive the
-      // source's vacuum: read each clone's live manifests and collect
-      // the entries that resolve into THIS table's directory
-      val cloneKeep: Set[String] = currentManifestFull(name)
-        .flatMap(_._3.get(ClonesMeta)).toSeq
-        .flatMap(_.split(",").filter(_.nonEmpty))
-        .flatMap { c =>
-          tableVersions(c).flatMap { cv =>
-            stateAt(c, cv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq) }
-        }
-        .collect { case pth if pth.startsWith(s"../$name/") =>
-          pth.stripPrefix(s"../$name/") }
-        .toSet
-      // files referenced by a pending cross-table transaction's tagged
-      // tail (versions above the VISIBLE head — tableVersions filters
-      // them) must survive too: the transaction is mid-flight, its
-      // marker may still land, and reaping its staged-and-committed
-      // files would corrupt a commit that later becomes visible. A
-      // crash-abandoned tail holds its files only until the next
-      // locked writer heals the records — then they reclaim normally.
-      val taggedKeep: Set[String] = {
-        val visHead = versions.lastOption.getOrElse(0L)
-        logVersions(name).filter(_ > visHead).flatMap(v =>
-          stateAt(name, v)._1.flatMap(e =>
-            e.path +: e.dv.map(_.path).toSeq)).toSet
-      }
-      // DV sidecars share their referencing entries' lifecycle: a
-      // sidecar survives while ANY kept snapshot's entry names it
-      val keep = kept.flatMap { kv =>
-        stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
-      }.toSet ++ cloneKeep ++ taggedKeep
+      val keep = vacuumKeepSet(name, versions, kept)
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
       // a zero-file snapshot never created the data dir: nothing to scan
@@ -2278,7 +2304,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // the snapshot changes (sketches are immutable once committed,
       // so a hit can never be stale)
       def groupNdv(fs: Seq[String]): Map[String, BigInt] =
-        manifest.map(m => (name, m._1, fs.hashCode)) match {
+        manifest.map { m =>
+          val digest = java.security.MessageDigest.getInstance("MD5")
+            .digest(fs.sorted.mkString("\n")
+              .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+          (name, m._1, java.util.Base64.getEncoder.encodeToString(digest))
+        } match {
           case Some(key) => ndvCache.getOrElseUpdate(key, {
             if (ndvCache.size > 256) ndvCache.clear() // bounded, not LRU
             computeGroupNdv(fs, statsBy)
@@ -2348,8 +2379,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private val DvFileCol = "__gdv_file"
   private val DvPosCol = "__gdv_pos"
 
+  // keyed on a 128-bit digest of the sorted file subset, not the Seq's
+  // 32-bit hashCode — a hashCode collision between two subsets of the
+  // same snapshot would silently hand the CBO the wrong subset's NDVs
   private val ndvCache = scala.collection.concurrent.TrieMap
-    .empty[(String, Long, Int), Map[String, BigInt]]
+    .empty[(String, Long, String), Map[String, BigInt]]
 
   /** Union the per-file HLL sketches of `fs` per indexed column. A
     * column qualifies only when EVERY file carries its sketch (a
@@ -2912,19 +2946,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
       case Some(_) =>
         val versions = tableVersions(name)
         val kept = versions.takeRight(keepVersions)
-        val cloneKeep: Set[String] = currentManifestFull(name)
-          .flatMap(_._3.get(ClonesMeta)).toSeq
-          .flatMap(_.split(",").filter(_.nonEmpty))
-          .flatMap { c =>
-            tableVersions(c).flatMap { cv =>
-              stateAt(c, cv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq) }
-          }
-          .collect { case pth if pth.startsWith(s"../$name/") =>
-            pth.stripPrefix(s"../$name/") }
-          .toSet
-        val keep = kept.flatMap { kv =>
-          stateAt(name, kv)._1.flatMap(e => e.path +: e.dv.map(_.path).toSeq)
-        }.toSet ++ cloneKeep
+        val keep = vacuumKeepSet(name, versions, kept)
         val cutoff = System.currentTimeMillis - graceMs
         val root = qualifiedPath(s"$basePath/$name")
         val doomed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -3597,7 +3619,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
       case None => snapshotCache.remove(name); None
       case Some(latest) =>
         val entry = snapshotCache.get(name) match {
-          case Some(hit @ (v, _, _)) if v == latest => hit
+          // A cached head tagged with a transaction we can't see may be a
+          // DEAD entry: another process can roll the tagged tail back and
+          // recommit the SAME version number, and the version-only probe
+          // can't tell the new record from the one we cached. Trusting it
+          // would pin readers to the pre-txn snapshot (and writers to a
+          // stale prev-version) forever. Re-read the record from disk
+          // instead — while the foreign transaction is genuinely open
+          // that costs non-owner readers a replay per read, which is the
+          // price of not serving a rolled-back ghost.
+          case Some(hit @ (v, _, _)) if v == latest &&
+              hit._3.get(TxnMeta).forall(txnVisible) => hit
           case _ =>
             val (files, meta) = stateAt(name, latest)
             val e = (latest, files, meta)

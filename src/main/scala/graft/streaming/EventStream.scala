@@ -226,12 +226,22 @@ object EventStream {
     // conf, or TIMESTAMP_NTZ µs in newer testdata) and normalize to a
     // µs timestamp in-plan, exactly as the batch loader does
     import org.apache.spark.sql.types._
-    // self-sufficient on TIMESTAMP(NANOS)-generation testdata: the
-    // schema inference below needs the legacy conf set (Tables.events
-    // sets it for the batch path; direct callers of this function
-    // must not have to know that)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = spark.read.parquet(s"$sfDir/events.parquet").schema
+    // self-sufficient on TIMESTAMP(NANOS)-generation testdata — but
+    // without flipping the shared session's parquet semantics when the
+    // data doesn't need it: probe the footer under the CURRENT conf
+    // first, and only when that read refuses (the NANOS generation,
+    // which Spark rejects outright) enable the legacy nanos-as-long
+    // conf. There is no per-read option for it, and the stream's later
+    // microbatches read under the same session conf, so when it IS
+    // needed the session-wide setting is the only correct scope.
+    val eventsPath = s"$sfDir/events.parquet"
+    val schema =
+      try spark.read.parquet(eventsPath).schema
+      catch {
+        case scala.util.control.NonFatal(_) =>
+          spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          spark.read.parquet(eventsPath).schema
+      }
     T.normalizeTs(spark.readStream
       .schema(schema)
       .parquet(s"$sfDir/{events}.parquet")) // glob — file source needs a dir/glob
@@ -246,9 +256,7 @@ object EventStream {
   /** Drain the stream with Trigger.AvailableNow into a memory sink and
     * return the result table name. */
   def runAvailableNow(spark: SparkSession, sfDir: String, name: String): StreamingQuery = {
-    // the file stream source reads raw parquet (TIMESTAMP NANOS): read
-    // ts as long via the legacy conf, convert in-plan (see Tables.events)
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // windowedStream handles the TIMESTAMP(NANOS)-generation conf itself
     val q = windowedStream(spark, sfDir).writeStream
       .outputMode(OutputMode.Complete())
       .format("memory").queryName(name)

@@ -182,6 +182,11 @@ class TransactionSpec extends AnyFunSuite {
       // transaction is open: the tagged commit's files are referenced
       // only by an INVISIBLE record, and must still survive
       val other = new Warehouse(spark, dir)
+      // the preview must agree with the sweep: the tagged tail's files
+      // are in the keep-set, so nothing is doomed here
+      val previewed = other.vacuumPreview("t")
+      assert(previewed.isEmpty,
+        s"vacuumPreview listed kept (tagged-tail) files as doomed: $previewed")
       other.vacuum("t")
       // explicit-version surfaces refuse the uncommitted version by
       // raw number too (tableVersions already hides it)
