@@ -276,16 +276,6 @@ object Similarity {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
-  /** PQ codebook training — `m` subspaces × `k` centroids via Lloyd
-    * iterations, entirely in DataFrame ops (no driver-side vectors):
-    * subvectors explode once, assignment is a broadcast-centroid argmin
-    * (min over a (distance, cid) struct — deterministic tie-break), the
-    * re-estimation is a positional mean. Init is the first `k` vectors
-    * by id — deterministic; an emptied cell keeps its previous
-    * centroid. Training touches the corpus `iters + 1` times and the
-    * codebook (m·k rows) stays broadcast-sized forever — at 100 TB one
-    * trains on a sample and encodes the rest, which is this same code
-    * over a sampled frame. Returns (sub, cid, c: array<double>). */
   /** vec_id + L2-normalized embedding (unit length, doubles). On unit
     * vectors ‖a−b‖² = 2 − 2·cos(a,b), so PQ's L2-trained codebooks and
     * ADC distances rank by cosine — without this, varying vector norms
@@ -296,6 +286,38 @@ object Similarity {
         x.cast("double") / VectorFunctions.normExact(col("embedding")))
         .as("embedding"))
 
+  /** Codebook-training sample size: the classic ≈100 training points
+    * per centroid across the `m` codebooks, floored at 10k — bounded
+    * regardless of corpus size. */
+  def defaultSampleN(m: Int, k: Int): Int = math.max(100 * k * m, 10000)
+
+  /** Bounded deterministic training sample: the `n` vectors whose
+    * `md5(vec_id)` sorts first. The ordering is a pure function of the
+    * ids — layout- and partitioning-independent, reproducible across
+    * runs — and `orderBy.limit` plans as TakeOrderedAndProject (each
+    * partition keeps its local top-n, one bounded merge), so drawing
+    * the sample is ONE pass over the corpus with no full sort. The
+    * sample (and only the sample — never the corpus) is pinned with
+    * localCheckpoint because Lloyd iterates over it; at ≤n rows the
+    * pin is executor-trivial. This is what makes PQ/IVF training
+    * viable at 100 TB: the codebook needs ~100 points per centroid,
+    * not nine scans of the corpus. */
+  def trainingSample(unit: DataFrame, n: Int): DataFrame =
+    unit.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+      .limit(n)
+      .localCheckpoint()
+
+  /** PQ codebook training — `m` subspaces × `k` centroids via Lloyd
+    * iterations, entirely in DataFrame ops (no driver-side vectors):
+    * subvectors explode once, assignment is a broadcast-centroid argmin
+    * (min over a (distance, cid) struct — deterministic tie-break), the
+    * re-estimation is a positional mean. Init is the `k` smallest ids
+    * present — deterministic; an emptied cell keeps its previous
+    * centroid. Callers hand this a [[trainingSample]], never the
+    * corpus: Lloyd touches its input `iters + 1` times, which is fine
+    * over a bounded pinned sample and a scale-killer over 100 TB. The
+    * codebook (m·k rows) stays broadcast-sized forever. Returns
+    * (sub, cid, c: array<double>). */
   def pqTrain(emb: DataFrame, m: Int = 8, k: Int = 16,
       iters: Int = 3): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
@@ -307,8 +329,15 @@ object Similarity {
           _.cast("double")).as("v"))): _*)).as("sv"))
       .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
       .localCheckpoint() // reused iters+2 times: pin, don't re-explode
-    val init = subs.filter(col("vec_id") < k)
-      .select(col("sub"), col("vec_id").cast("int").as("cid"),
+    // init = the k smallest vec_ids PRESENT (collected — k rows, the
+    // codebook bound): the input may be a trainingSample whose ids are
+    // arbitrary, so "vec_id < k" would under-fill the codebook
+    val initIds = emb.select(col("vec_id")).orderBy(col("vec_id")).limit(k)
+      .collect().map(_.getLong(0))
+    val cidOf = map(initIds.zipWithIndex.flatMap { case (id, i) =>
+      Seq(lit(id), lit(i)) }.toSeq: _*)
+    val init = subs.filter(col("vec_id").isin(initIds.toSeq: _*))
+      .select(col("sub"), element_at(cidOf, col("vec_id")).as("cid"),
         col("v").as("c"))
     (1 to iters).foldLeft(init) { (cents, _) =>
       val assigned = subs.join(broadcast(cents), Seq("sub"))
@@ -327,25 +356,40 @@ object Similarity {
     }
   }
 
+  /** The per-subspace nearest-centroid argmin as a pure projection
+    * Column: the codebook (m·k rows — the same bounded collect pqRank's
+    * distance table does) becomes literals, and each subspace's code is
+    * `array_min` over k (distance, cid) structs — identical
+    * lexicographic tie-break to training's `min(struct(d2, cid))`.
+    * Whole-stage-codegen arithmetic, NO join, NO shuffle. */
+  private def codesCol(cents: Array[(Int, Int, Seq[Double])], m: Int,
+      dim: Int): Column = {
+    val dsub = dim / m
+    array((0 until m).map { s0 =>
+      val sv = transform(slice(col("embedding"), s0 * dsub + 1, dsub),
+        _.cast("double"))
+      val entries = cents.filter(_._1 == s0).sortBy(_._2).map {
+        case (_, cid, c) =>
+          struct(l2sq(sv, array(c.map(lit): _*)).as("d2"),
+            lit(cid).as("cid"))
+      }
+      array_min(array(entries.toSeq: _*)).getField("cid").cast("byte")
+    }: _*)
+  }
+
+  private def collectCents(cents: DataFrame): Array[(Int, Int, Seq[Double])] =
+    cents.collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+      r.getAs[scala.collection.Seq[Double]]("c").toVector: Seq[Double]))
+
   /** Encode: every vector → `m` one-byte codes (nearest centroid per
     * subspace, same deterministic argmin as training). 32× smaller
     * than float32 at m=8 over 64 dims — the column a 100 TB corpus
-    * stores and scans. */
+    * stores and scans. The encode is ONE shuffle-free projection pass
+    * over the corpus ([[codesCol]]) — the full-corpus
+    * explode→join→groupBy a naive encode would shuffle is gone. */
   def pqCodes(emb: DataFrame, cents: DataFrame, m: Int = 8): DataFrame = {
     val dim = emb.select(size(col("embedding"))).first().getInt(0)
-    val dsub = dim / m
-    emb.select(col("vec_id"),
-      explode(array((0 until m).map(s0 => struct(lit(s0).as("sub"),
-        transform(slice(col("embedding"), s0 * dsub + 1, dsub),
-          _.cast("double")).as("v"))): _*)).as("sv"))
-      .select(col("vec_id"), col("sv.sub").as("sub"), col("sv.v").as("v"))
-      .join(broadcast(cents), Seq("sub"))
-      .groupBy("vec_id", "sub")
-      .agg(min(struct(l2sq(col("v"), col("c")).as("d2"), col("cid")))
-        .getField("cid").as("cid"))
-      .groupBy("vec_id")
-      .agg(transform(array_sort(collect_list(struct(col("sub"), col("cid")))),
-        _.getField("cid").cast("byte")).as("codes"))
+    emb.select(col("vec_id"), codesCol(collectCents(cents), m, dim).as("codes"))
   }
 
   /** ADC ranking from stored codes: the query's m×k distance table
@@ -390,18 +434,25 @@ object Similarity {
   def annIvfPq(s: SparkSession, d: String, topK: Int = 10,
       overquery: Int = 5, nCells: Int = 8, nProbe: Int = 3): DataFrame = {
     val emb = T.embeddings(s, d)
-    val unit = l2Normalized(emb).localCheckpoint()
-    // coarse quantizer = Lloyd over the FULL unit vectors — pqTrain
-    // with m=1 IS k-means (one subspace covering the whole dimension),
-    // so the cells are geometric neighborhoods, not class labels; on
-    // unit vectors L2-nearest ≡ cosine-nearest
-    val coarse = pqTrain(unit, m = 1, k = nCells, iters = 3).localCheckpoint()
-    // cell assignment falls out of the same encoder: a 1-subspace code
-    // is one byte naming the nearest coarse centroid
-    val cellOf = pqCodes(unit, coarse, m = 1)
-      .select(col("vec_id"), element_at(col("codes"), 1).cast("int").as("cell"))
-    val codebook = pqTrain(unit, iters = 6).localCheckpoint()
-    val codes = pqCodes(unit, codebook).join(cellOf, "vec_id")
+    val unit = l2Normalized(emb)
+    // BOTH quantizers train on one bounded deterministic sample (sized
+    // for the finer of the two) — never the corpus. pqTrain with m=1 IS
+    // k-means (one subspace covering the whole dimension), so the cells
+    // are geometric neighborhoods, not class labels; on unit vectors
+    // L2-nearest ≡ cosine-nearest.
+    val sample = trainingSample(unit,
+      math.max(defaultSampleN(1, nCells), defaultSampleN(8, 16)))
+    val coarse = pqTrain(sample, m = 1, k = nCells, iters = 3).localCheckpoint()
+    val codebook = pqTrain(sample, iters = 6).localCheckpoint()
+    // encode cell + codes in ONE shuffle-free projection pass over the
+    // corpus: the coarse cell is a 1-subspace code (one byte naming the
+    // nearest coarse centroid), the PQ codes are the m-subspace argmin —
+    // both pure [[codesCol]] expressions over the same scan
+    val dim = unit.select(size(col("embedding"))).first().getInt(0)
+    val codes = unit.select(col("vec_id"),
+      element_at(codesCol(collectCents(coarse), 1, dim), 1)
+        .cast("int").as("cell"),
+      codesCol(collectCents(codebook), 8, dim).as("codes"))
     val q = unit.filter(col("vec_id") === QUERY_ID)
       .select("embedding").first().getSeq[Double](0)
     // multi-probe: the query's nProbe nearest cells (the IVF recall
@@ -840,8 +891,11 @@ object Similarity {
     Q("e12_pq_topk", None,
       (s, d) => {
         val emb = T.embeddings(s, d)
-        val unit = l2Normalized(emb).localCheckpoint()
-        val cents = pqTrain(unit, iters = 6).localCheckpoint()
+        val unit = l2Normalized(emb)
+        // codebook trains on a bounded deterministic sample — the
+        // corpus is touched exactly once, by the encode projection
+        val cents = pqTrain(trainingSample(unit, defaultSampleN(8, 16)),
+          iters = 6).localCheckpoint()
         val codes = pqCodes(unit, cents)
         val q = unit.filter(col("vec_id") === QUERY_ID)
           .select("embedding").first().getSeq[Double](0)
