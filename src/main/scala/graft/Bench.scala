@@ -24,7 +24,11 @@ object Bench {
     "p6_not_in_anti", "u1_union_distinct",
     "d1_dedup_exact", "d5_simhash", "t1_token_stats", "e2_lsh_buckets",
     "e4_cosine_topk_native", "st1_window_agg", "st2_sessionize",
-    "mm2_frame_sample"
+    "mm2_frame_sample",
+    // table-format read-path twins: identical probe, raw parquet vs
+    // the Warehouse manifest/pruning lane (setup memoized; the wh
+    // median must stay within ~1.5× of the raw one)
+    "b1_probe_raw", "b1_probe_wh"
   ).filter(SparkEntry.queries.contains)
 
   def main(args: Array[String]): Unit = {

@@ -17,7 +17,8 @@ object SparkEntry {
     operators.Relational.all ++ operators.TextAnalysis.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.Temporal.all ++
-      operators.Sampling.all ++ streaming.EventStream.all
+      operators.Sampling.all ++ operators.WarehouseBench.all ++
+      streaming.EventStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -495,6 +495,61 @@ class Warehouse(val spark: SparkSession, basePath: String,
           .getOrElse(loadMeta(name)._5)
     })
 
+  /** Declared extra stats columns — [[statsBy]]'s table-layout state,
+    * recovered from the manifest like the cluster/bloom lists. */
+  private val statsByDecl = scala.collection.concurrent.TrieMap.empty[String, Seq[String]]
+
+  private def statsColsOf(name: String): Seq[String] =
+    statsByDecl.getOrElseUpdate(name, database match {
+      case Some(_) => Nil
+      case None =>
+        currentManifestFull(name).flatMap(_._3.get(StatsByMeta))
+          .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+          .getOrElse(Nil)
+    })
+
+  /** Declare extra statistics columns for a path-mode table: every
+    * later write records min/max ranges AND an HLL NDV sketch for
+    * `cols` alongside the cluster/bloom stats, and THIS call re-collects
+    * stats for the current snapshot in one columnar pass (files keep
+    * their bytes and deletion vectors — only manifest entries change),
+    * so the declaration takes effect immediately.
+    *
+    * Why it exists: NDV sketches otherwise ride only the indexed
+    * (cluster ∪ bloom) columns, so a join on any other column plans
+    * stats-blind — the CBO's join reordering needs distinct counts for
+    * the keys actually joined on. Declaring the known join keys here is
+    * the ANALYZE-shaped fix; at 100 TB the one-time pass is the same
+    * cost as the ANALYZE every warehouse already schedules.
+    *
+    * `cols = Nil` clears the declaration (future writes stop sketching
+    * the extras; existing manifest entries keep theirs until rewritten). */
+  def statsBy(name: String, cols: Seq[String]): Unit = {
+    require(database.isEmpty, "statsBy applies to path-mode tables only")
+    withCommitLock(name) {
+      val files = currentManifest(name).map(_._2).getOrElse(
+        throw new IllegalArgumentException(
+          s"statsBy: $name has no committed snapshot"))
+      val sc = tableSchema(name)
+      val parts = partitionColsOf(name)
+      val bad = cols.filterNot(sc.fieldNames.contains)
+      require(bad.isEmpty,
+        s"statsBy: unknown column(s) ${bad.mkString(", ")} on $name")
+      require(cols.forall(!parts.contains(_)),
+        "statsBy: partition columns already prune by directory")
+      statsByDecl(name) = cols
+      // immediate re-analyze: one stats pass over the snapshot's own
+      // files (clone-borrowed ".." paths keep their old entries — their
+      // owner re-analyzes them); DV refs survive entry replacement
+      val (own, borrowed) = files.partition(!_.path.contains(".."))
+      val byPath = files.map(f => f.path -> f).toMap
+      val recollected = collectStats(name, own.map(_.path), sc)
+        .map(f => f.copy(dv = byPath(f.path).dv))
+      commitManifest(name, recollected ++ borrowed,
+        Map(StatsByMeta -> cols.mkString(",")), op = "statsby")
+    }
+  }
+
   /** Cluster KIND (linear sort vs z-order interleave) — table layout
     * like the column list, recovered the same way. Catalog mode is
     * always linear (zorder is a path-mode layout). */
@@ -945,6 +1000,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
       s"$op: $colName is a cluster column of $name (per-file stats key)")
     require(!bloomColsOf(name).contains(colName),
       s"$op: $colName is a bloom column of $name (sketches key by name)")
+    require(!statsColsOf(name).contains(colName),
+      s"$op: $colName is a declared stats column of $name " +
+        "(statsBy(name, cols) without it first)")
     val referencing = decodeChecks(meta).filter(c =>
       ("""\b""" + java.util.regex.Pattern.quote(colName) + """\b""").r
         .findFirstIn(c.expr).isDefined)
@@ -1375,31 +1433,104 @@ class Warehouse(val spark: SparkSession, basePath: String,
       val sc = tableSchema(name)
       val outCols = read(name).columns.toSeq
       val deltaKeys = aligned.select(keys.map(col): _*).distinct()
+      val opStamp = if (mark.isDefined) "stream-merge" else "merge"
       // stats/bloom-bounded probe: a file whose key-column stats admit
-      // no delta key cannot hold a matched row, so the "which
-      // partitions hold matched keys" scan opens only admitting files.
-      // On a key-clustered/bloom'd table a small CDC batch probes a
-      // handful of files instead of the table — the merge cost model
-      // that survives 100 TB. Missing stats keep files (safe).
-      val matchProbe = fromFiles(name,
-        mergeProbeCandidates(manifestFiles, sc, aligned, keys), sc)
-      val affectedParts = aligned.select(parts.map(col): _*)
-        .unionByName(matchProbe.join(broadcast(deltaKeys), keys, "left_semi")
-          .select(parts.map(col): _*))
-        .distinct().collect()
-      if (affectedParts.nonEmpty) {
-        // hive-style partition dir prefixes of every affected partition —
-        // including ones the rewrite may leave EMPTY (key moved away).
+      // no delta key cannot hold a matched row, so the matched-row
+      // scan opens only admitting files. On a key-clustered/bloom'd
+      // table a small CDC batch probes a handful of files instead of
+      // the table — the merge cost model that survives 100 TB.
+      // Missing stats keep files (safe). One columnar pass counts
+      // (live, matched) per candidate file; its result drives BOTH the
+      // cost-model choice below and the affected-file lists, so no
+      // second probe scan ever runs.
+      val matched: Map[String, (Long, Long)] = probeMatches(
+        "merge", name,
+        mergeProbeCandidates(manifestFiles, sc, aligned, keys), sc,
+        agg = Seq(count(lit(1)).as("__total"),
+          count(col("__dm")).as("__matched")),
+        keepIf = _.getLong(2) > 0,
+        xform = df => df.join(
+          broadcast(deltaKeys.withColumn("__dm", lit(1))),
+          keys, "left")).map { case (p, r) =>
+        p -> (r.getLong(1), r.getLong(2)) }
+      val deltaRows = aligned.count()
+      val matchedRows = matched.valuesIterator.map(_._2).sum
+      // live table rows from manifest stats (None = a pre-stats file)
+      val tableLive: Option[Long] = {
+        val cs = manifestFiles.map(_.stats.get(RowsKey).map(_._1.toLong))
+        if (cs.forall(_.isDefined))
+          Some(cs.flatten.sum - manifestFiles.flatMap(_.dv).map(_.rows).sum)
+        else None
+      }
+      // cost-model fork, delete's policy extended to upserts: a small
+      // CDC batch (matched + inserted rows a small fraction of the
+      // table) takes FILE surgery — matched rows leave via deletion
+      // vectors (or a file rewrite where the file loses a big chunk),
+      // the delta appends as new files, and every untouched file
+      // survives byte-identical. A large delta keeps the partition
+      // rewrite, which also refreshes clustering. O(delta) vs O(table)
+      // is the difference between a CDC trickle and a backfill.
+      val surgery = dvEnabled && tableLive.exists(t =>
+        t > 0 && (matchedRows + deltaRows).toDouble / t <=
+          mergeDvPathMaxFraction)
+      if (surgery && (deltaRows > 0 || matched.nonEmpty)) {
+        val byPath = manifestFiles.map(f => f.path -> f).toMap
+        // per-file totals are LIVE rows (the probe read is DV-applied)
+        val droppedWhole = matched.collect {
+          case (p, (tot, m)) if m == tot => p }.toSet
+        val straddling = matched.keySet -- droppedWhole
+        val dvTargets = straddling.filter { p =>
+          val (tot, m) = matched(p); m.toDouble / tot <= dvMaxFraction }
+        val rewrite = straddling -- dvTargets
+        val rewritten =
+          if (rewrite.isEmpty) Nil
+          else stageWrite(name, clustered(name,
+            fromFiles(name, rewrite.toSeq.sorted, sc)
+              .join(broadcast(deltaKeys), keys, "left_anti")
+              .select(outCols.map(col): _*), parts), parts)
+        val dvUpdated = writeDvPositions(name, dvTargets.toSeq.sorted,
+          byPath,
+          fromFiles(name, dvTargets.toSeq.sorted, sc, withPos = true)
+            .join(broadcast(deltaKeys), keys, "left_semi")
+            .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")),
+          newCount = p => matched(p)._2)
+        val deltaFiles =
+          if (deltaRows == 0) Nil
+          else stageWrite(name, clustered(name,
+            aligned.select(outCols.map(col): _*), parts), parts)
+        val untouched = manifestFiles.filterNot(f =>
+          droppedWhole.contains(f.path) || rewrite.contains(f.path) ||
+            dvTargets.contains(f.path))
+        // row-level change files: replaced pre-images leave, delta rows
+        // arrive — pre-images read from ONLY the matched files
+        val inserts = aligned.select(outCols.map(col): _*)
+          .withColumn(ChangeTypeCol, lit("insert"))
+        writeChangeFiles(name,
+          if (matched.isEmpty) inserts
+          else fromFiles(name, matched.keySet.toSeq.sorted, sc)
+            .join(broadcast(deltaKeys), keys, "left_semi")
+            .select(outCols.map(col): _*)
+            .withColumn(ChangeTypeCol, lit("delete"))
+            .unionByName(inserts))
+        commitManifest(name,
+          untouched ++ rewritten ++ dvUpdated ++ deltaFiles, extraMeta,
+          op = opStamp)
+      } else if (deltaRows > 0 || matched.nonEmpty) {
+        // hive-style partition dir prefixes of every affected partition:
+        // the delta's own partitions plus (via the uniform layout) the
+        // directories of files holding matched keys — including ones
+        // the rewrite may leave EMPTY (key moved away).
         // getPartitionPathString handles null/empty values the way the
         // writer's path rendering does (__HIVE_DEFAULT_PARTITION__).
-        val prefixSet = affectedParts.map { row =>
-          parts.indices.map { i =>
-            val raw = row.get(i)
-            org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-              .getPartitionPathString(parts(i),
-                if (raw == null) null else String.valueOf(raw))
-          }.mkString("", "/", "/")
-        }.toSet
+        val prefixSet = aligned.select(parts.map(col): _*).distinct()
+          .collect().map { row =>
+            parts.indices.map { i =>
+              val raw = row.get(i)
+              org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+                .getPartitionPathString(parts(i),
+                  if (raw == null) null else String.valueOf(raw))
+            }.mkString("", "/", "/")
+          }.toSet ++ matched.keySet.map(partitionPrefix)
         // the affected-partition restriction is a FILE-LIST selection:
         // under the uniform layout asserted above, prefix membership is
         // exactly partition membership (null/empty values included —
@@ -1426,7 +1557,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
           .unionByName(aligned.select(outCols.map(col): _*)
             .withColumn(ChangeTypeCol, lit("insert"))))
         commitManifest(name, keptFiles ++ files, extraMeta,
-          op = if (mark.isDefined) "stream-merge" else "merge")
+          op = opStamp)
       } else if (extraMeta.nonEmpty)
         // empty streaming batch: advance the mark, files unchanged
         commitManifest(name, currentManifest(name).map(_._2).getOrElse(Nil),
@@ -1594,6 +1725,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
     spark.conf.getOption("graft.dv.maxFraction")
       .flatMap(_.toDoubleOption).getOrElse(0.2)
 
+  /** Largest (matched + inserted) row fraction of the table that still
+    * takes MERGE's file-surgery path (DVs + delta append) instead of
+    * the partition rewrite (`graft.merge.dvPathMaxFraction`). Above it
+    * the rewrite amortizes better and refreshes clustering. */
+  private def mergeDvPathMaxFraction: Double =
+    spark.conf.getOption("graft.merge.dvPathMaxFraction")
+      .flatMap(_.toDoubleOption).getOrElse(0.05)
+
   /** Shared DELETE/UPDATE probe: one columnar pass over the candidate
     * files aggregating `agg` per file, rows kept by `keepIf`, keyed
     * back to manifest-relative paths. Parquet probes group on the
@@ -1605,12 +1744,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private def probeMatches(op: String, name: String, cands: Seq[String],
       sc: org.apache.spark.sql.types.StructType,
       agg: Seq[org.apache.spark.sql.Column],
-      keepIf: org.apache.spark.sql.Row => Boolean)
+      keepIf: org.apache.spark.sql.Row => Boolean,
+      xform: DataFrame => DataFrame = identity)
       : Map[String, org.apache.spark.sql.Row] =
     if (cands.isEmpty) Map.empty
     else if (format == "parquet") {
       val relOf = cands.map(p => normalizedRel(name, p) -> p).toMap
-      fromFiles(name, cands, sc, withPos = true)
+      xform(fromFiles(name, cands, sc, withPos = true))
         .groupBy(col(DvFileCol).as("__file"))
         .agg(agg.head, agg.tail: _*)
         .collect().filter(keepIf).map { r =>
@@ -1620,7 +1760,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
           ) -> r
         }.toMap
     } else
-      fromFiles(name, cands, sc)
+      xform(fromFiles(name, cands, sc))
         .groupBy(input_file_name().as("__file"))
         .agg(agg.head, agg.tail: _*)
         .collect().filter(keepIf).map { r =>
@@ -1645,10 +1785,22 @@ class Warehouse(val spark: SparkSession, basePath: String,
       predicate: org.apache.spark.sql.Column,
       newCount: String => Long): Seq[DataFile] =
     if (targets.isEmpty) Nil
-    else {
-      val newPos = fromFiles(name, targets, sc, withPos = true)
+    else writeDvPositions(name, targets, byPath,
+      fromFiles(name, targets, sc, withPos = true)
         .filter(predicate <=> lit(true))
-        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos"))
+        .select(col(DvFileCol).as("file"), col(DvPosCol).as("pos")),
+      newCount)
+
+  /** Position-level core of [[writeDv]]: `newPos` is a (file, pos)
+    * frame of ORIGINAL-row coordinates to mark deleted in `targets` —
+    * the DELETE path derives it from a predicate, the MERGE surgery
+    * path from a key semi-join. Publishing semantics are writeDv's. */
+  private def writeDvPositions(name: String, targets: Seq[String],
+      byPath: Map[String, DataFile],
+      newPos: DataFrame,
+      newCount: String => Long): Seq[DataFile] =
+    if (targets.isEmpty) Nil
+    else {
       val carried = targets.filter(p => byPath(p).dv.isDefined)
       val all =
         if (carried.isEmpty) newPos
@@ -2990,7 +3142,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // keys are written even when absent in vMeta so a later rename's
       // mapping is cleared rather than inherited
       commitManifest(name, files,
-        Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta, BloomMeta)
+        Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta, BloomMeta,
+            StatsByMeta)
           .flatMap(k => vMeta.get(k).map(k -> _)).toMap ++
           Map(ColMapMeta -> vMeta.getOrElse(ColMapMeta, ""),
             DroppedMeta -> vMeta.getOrElse(DroppedMeta, "")), op = "restore")
@@ -3011,6 +3164,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val restoredBloom = vMeta.get(BloomMeta)
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     restoredBloom.foreach(bloomCols(name) = _)
+    vMeta.get(StatsByMeta)
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .foreach(statsByDecl(name) = _)
     if (restoredSchema.isDefined && restoredParts.isDefined)
       writeMeta(name, restoredParts.get, restoredSchema.get,
         restoredCluster.getOrElse(Nil), restoredKind.getOrElse(LinearKind),
@@ -3107,6 +3263,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
       "clusterColumns" -> clusterColsOf(name).mkString(","),
       "clusterKind" -> clusterKindOf(name),
       "bloomColumns" -> bloomColsOf(name).mkString(","),
+      "statsColumns" -> statsColsOf(name).mkString(","),
       "checks" -> decodeChecks(meta).map(c =>
         s"${c.name}:${c.onViolation}(${c.expr})").mkString("; "),
       "clones" -> meta.getOrElse(ClonesMeta, ""),
@@ -3181,7 +3338,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
         else d.copy(path = s"../$src/${d.path}")))
     }
     val carried = Seq(SchemaMeta, PartsMeta, ClusterMeta, ClusterKindMeta,
-      BloomMeta, ChecksMeta, ColMapMeta, DroppedMeta)
+      BloomMeta, StatsByMeta, ChecksMeta, ColMapMeta, DroppedMeta)
       .flatMap(k => srcMeta.get(k).map(k -> _)).toMap
     require(currentManifest(dst).isEmpty,
       s"cloneTable: $dst already exists")
@@ -3269,7 +3426,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
   }
 
   /** Drive a streaming DataFrame into a path-mode table with
-    * exactly-once rows via [[appendStreamBatch]]. */
+    * exactly-once rows via [[appendStreamBatch]].
+    *
+    * Interaction with open [[transaction]]s — REFUSE, never defer: a
+    * micro-batch landing while another thread holds the table inside
+    * `BEGIN TRAN` waits on the commit lock up to `lockAcquireMs`, then
+    * fails the batch (and with it the streaming query) loudly. The
+    * batch's offsets were not committed to the sink, so restarting the
+    * query from the same checkpoint after the transaction closes
+    * re-drives the batch exactly once — no tag-and-defer limbo where a
+    * stream's rows would become retroactively visible (or vanish on
+    * rollback) at someone else's commit point. TransactionSpec pins
+    * this under a live MemoryStream. */
   def streamInto(name: String, stream: DataFrame, checkpoint: String,
       streamId: String = "stream"): org.apache.spark.sql.streaming.StreamingQuery =
     stream.writeStream
@@ -3305,6 +3473,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private val ClusterMeta = "cluster"
   private val ClusterKindMeta = "clusterKind"
   private val BloomMeta = "bloom"
+  /** Declared extra statistics columns ([[statsBy]]): min/max + HLL NDV
+    * ride the stats pass for these even though they are neither cluster
+    * nor bloom columns — the CBO-coverage knob for known join keys. */
+  private val StatsByMeta = "statsBy"
   private val OpMeta = "op"
   private val TimeMeta = "committedAt"
   /** Snapshot file count stamped into every record so history() reads
@@ -3809,7 +3981,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * never skipped — the safe direction. */
   private def collectStats(name: String, moved: Seq[String],
       schema: org.apache.spark.sql.types.StructType): Seq[DataFile] = {
-    val statCols = clusterColsOf(name).filter(schema.fieldNames.contains)
+    val statCols = (clusterColsOf(name) ++ statsColsOf(name)).distinct
+      .filter(schema.fieldNames.contains)
     val bCols = bloomColsOf(name).filter(schema.fieldNames.contains)
     if (moved.isEmpty)
       moved.map(DataFile(_))

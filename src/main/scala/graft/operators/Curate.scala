@@ -29,7 +29,7 @@ object Curate {
     * count unchanged. */
   final case class Report(input: Long, afterQuality: Long,
       afterBlocklist: Long, afterExact: Long, afterNear: Long,
-      afterDecontam: Long, afterRebalance: Long,
+      afterSpanDedup: Long, afterDecontam: Long, afterRebalance: Long,
       trainDocs: Long, shards: Long)
 
   /** Runs the full pipeline over `docs` (needs `doc_id` long + `text`
@@ -43,7 +43,8 @@ object Curate {
   def curate(docs: DataFrame, benchDocs: DataFrame,
       minQuality: Double = 0.3, k: Int = 16, bands: Int = 4,
       jaccard: Double = 0.6, tokensPerShard: Long = 4096L,
-      blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None)
+      blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None,
+      maxDupSpanFraction: Option[Double] = None)
       : (DataFrame, Report) = {
     val input = docs.count()
 
@@ -91,6 +92,26 @@ object Curate {
     val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
 
+    // 3b — verbatim-span gate (d13, opt-in): a document most of whose
+    // 20-token windows also appear in OTHER surviving documents is
+    // boilerplate near-dedup could not catch (templated pages sharing
+    // long spans without being pairwise-similar overall). Docs whose
+    // duplicated-window fraction exceeds the threshold drop; docs too
+    // short to window (< 20 tokens) have no row in the span stats and
+    // are kept — the safe direction. Runs AFTER near-dedup so a span
+    // duplicated only within an already-removed dup cluster does not
+    // count against its canonical survivor.
+    val spanKept = maxDupSpanFraction match {
+      case None => nearKeep
+      case Some(maxFrac) =>
+        val spanDrop = Dedup.dupSpanCounts(nearKeep, "doc_id", "text")
+          .filter(col("n_dup_windows").cast("double") / col("n_windows")
+            > maxFrac)
+          .select("doc_id")
+        nearKeep.join(spanDrop, Seq("doc_id"), "left_anti")
+    }
+    val nSpan = if (maxDupSpanFraction.isEmpty) nNear else spanKept.count()
+
     // 4 — decontamination: drop any document sharing a word-8-gram
     // with the benchmark set (d10 shape: md5 the grams BEFORE the
     // join, broadcast the small bench side)
@@ -100,10 +121,10 @@ object Curate {
       .select((cols :+ explode(Dedup.shingles(col("ts"), 8)).as("g")): _*)
       .select((cols :+ md5(col("g")).as("h")): _*)
     val benchGrams = grams(benchDocs, Nil).distinct()
-    val dirty = grams(nearKeep, Seq(col("doc_id")))
+    val dirty = grams(spanKept, Seq(col("doc_id")))
       .join(broadcast(benchGrams), Seq("h"))
       .select("doc_id").distinct()
-    val clean = nearKeep.join(dirty, Seq("doc_id"), "left_anti")
+    val clean = spanKept.join(dirty, Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 
     // 4b — temperature rebalance (sp7): per-stratum keep rate
@@ -138,7 +159,7 @@ object Curate {
     val nTrain = out.filter(col("split") === "train").count()
     val nShards = out.select("split", "shard").distinct().count()
 
-    (out, Report(input, nQuality, nSafe, nExact, nNear, nClean,
+    (out, Report(input, nQuality, nSafe, nExact, nNear, nSpan, nClean,
       nRebalanced, nTrain, nShards))
   }
 }

@@ -504,24 +504,35 @@ object Dedup {
              |    AS n_dup_windows
              |FROM w LEFT JOIN dup d ON w.h = d.h
              |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin),
-      (s, d) => {
-        val w = T.documents(s, d)
-          .select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
-          .filter(size(col("ts")) >= 20)
-          .select(col("doc_id"), explode(shingles(col("ts"), 20)).as("gram"))
-          .select(col("doc_id"), md5(col("gram")).as("h"))
-          .distinct()
-        val dup = w.groupBy("h").agg(count(lit(1)).as("__docs"))
-          .filter(col("__docs") >= 2)
-          .select(col("h"), lit(1).as("__dup"))
-        w.join(dup, Seq("h"), "left")
-          .groupBy("doc_id")
-          .agg(count(lit(1)).cast("long").as("n_windows"),
-            sum(coalesce(col("__dup"), lit(0))).cast("long")
-              .as("n_dup_windows"))
-          .orderBy("doc_id")
-      })
+      (s, d) => dupSpanCounts(T.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id"))
   )
+
+  /** Library API behind d13: per-document verbatim-span statistics.
+    * A document's text is windowed into `window`-token shingles; a
+    * window whose md5 digest appears in ≥ 2 documents is a duplicated
+    * span (boilerplate, licenses, templated text). Returns (doc_id,
+    * n_windows, n_dup_windows) for documents with at least `window`
+    * tokens — shorter docs have no windows and no row. Only 16-byte
+    * digests cross the shuffles; text stays map-side. */
+  def dupSpanCounts(docs: DataFrame, idCol: String, textCol: String,
+      window: Int = 20): DataFrame = {
+    val w = docs
+      .select(col(idCol).as("doc_id"),
+        split(trim(col(textCol)), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= window)
+      .select(col("doc_id"), explode(shingles(col("ts"), window)).as("gram"))
+      .select(col("doc_id"), md5(col("gram")).as("h"))
+      .distinct()
+    val dup = w.groupBy("h").agg(count(lit(1)).as("__docs"))
+      .filter(col("__docs") >= 2)
+      .select(col("h"), lit(1).as("__dup"))
+    w.join(dup, Seq("h"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_windows"),
+        sum(coalesce(col("__dup"), lit(0))).cast("long")
+          .as("n_dup_windows"))
+  }
 
   /** Library API — MinHash+LSH near-duplicate pairs with exact-Jaccard
     * verification. Shuffles only (id, band_hash) in the banding stage

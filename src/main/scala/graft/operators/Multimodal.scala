@@ -100,6 +100,136 @@ object Multimodal {
     baos.toByteArray
   }
 
+  /** Deterministic CONTENT image for the perceptual-hash lane: a
+    * (9·scale)×(8·scale) 3-band image of scale×scale constant-gray
+    * blocks, block (X,Y) holding `((docId+1)·(7X + 11Y + 13)) mod 256`.
+    * Lossless codecs (png/bmp) make every decoded pixel a pure function
+    * of (docId, X, Y), and the 9×8 box-average downsample recovers the
+    * block values EXACTLY — so [[dHash64]] over the decoded raster is
+    * arithmetic the mm5/d14 oracles predict without decoding anything
+    * (same trick as mm4's constant-gray round trip, extended to real
+    * image content so the hash has bit diversity). */
+  def syntheticPatternImage(docId: Long, scale: Int,
+      fmt: String = "png"): Array[Byte] = {
+    require(scale >= 1, s"scale must be >= 1, got $scale")
+    val img = new java.awt.image.BufferedImage(9 * scale, 8 * scale,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var yy = 0
+    while (yy < 8 * scale) {
+      var xx = 0
+      while (xx < 9 * scale) {
+        val g = (((docId + 1) * (7L * (xx / scale) + 11L * (yy / scale) + 13L))
+          % 256).toInt
+        img.setRGB(xx, yy, (g << 16) | (g << 8) | g)
+        xx += 1
+      }
+      yy += 1
+    }
+    val baos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(img, fmt, baos),
+      s"no JVM codec writes $fmt")
+    baos.toByteArray
+  }
+
+  /** 64-bit dHash (difference hash) of a decoded image: box-average
+    * the luma plane down to a 9×8 grid, then bit (y·8 + x) is set iff
+    * cell (x+1, y) is brighter than cell (x, y) — the horizontal
+    * gradient signature. Robust to uniform rescaling (the property the
+    * scale-1-vs-3 spec pins) and to small pixel noise; 64 bits pack
+    * into one long so banding and Hamming verification are integer
+    * arithmetic, never image bytes. Luma = (299R + 587G + 114B)/1000,
+    * so a gray image's luma IS its gray value — what makes the
+    * synthetic oracle exact. */
+  def dHash64(im: java.awt.image.BufferedImage): Long = {
+    val w = im.getWidth; val h = im.getHeight
+    val grid = Array.ofDim[Double](9, 8)
+    var gy = 0
+    while (gy < 8) {
+      var gx = 0
+      while (gx < 9) {
+        val x0 = gx * w / 9
+        val x1 = math.min(w, math.max(x0 + 1, (gx + 1) * w / 9))
+        val y0 = gy * h / 8
+        val y1 = math.min(h, math.max(y0 + 1, (gy + 1) * h / 8))
+        var s = 0L; var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = im.getRGB(x, y)
+            s += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+              114L * (rgb & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        grid(gx)(gy) = s.toDouble / (1000.0 * (x1 - x0) * (y1 - y0))
+        gx += 1
+      }
+      gy += 1
+    }
+    var bits = 0L; var y = 0
+    while (y < 8) {
+      var x = 0
+      while (x < 8) {
+        if (grid(x + 1)(y) > grid(x)(y)) bits |= 1L << (y * 8 + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Per-document perceptual hashes from REAL decode: (id, dhash).
+    * Undecodable payloads drop, like [[decodeImage]]. Payload bytes
+    * stay inside the partition task — only (id, 8-byte hash) rows come
+    * out, which is what every downstream stage shuffles. */
+  def imageDHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(_.flatMap { r =>
+        val img =
+          try javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.payload))
+          catch { case scala.util.control.NonFatal(_) => null }
+        Option(img).map(im => (r.doc_id, dHash64(im)))
+      }).toDF("id", "dhash")
+  }
+
+  /** Near-duplicate image pairs by dHash Hamming distance ≤ `maxDist`,
+    * via Hamming-ball banding — d5's SimHash machinery applied to the
+    * image lane. The 64-bit hash splits into `bands` equal slices; two
+    * hashes within distance < bands share at least one identical slice
+    * (pigeonhole), so bucketing on (slice index, slice value) has
+    * EXACT recall for maxDist ≤ bands−1 — this is not approximate.
+    * Shuffle carries only (band long, id); hot buckets (many identical
+    * images) split through [[graft.operators.Skew.boundedSelfPairs]]
+    * so no task enumerates more than maxBucket² candidates. Verify is
+    * one integer XOR+popcount per candidate pair. Output: (d1 < d2,
+    * dist), exactly the brute-force pair set. */
+  def dHashPairs(hashes: DataFrame, maxDist: Int = 3,
+      bands: Int = 4, maxBucket: Int = 1024): DataFrame = {
+    require(64 % bands == 0, s"bands must divide 64, got $bands")
+    require(maxDist < bands,
+      s"exact recall needs maxDist < bands (got $maxDist >= $bands)")
+    val width = 64 / bands
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    // band value in the low bits, band INDEX above them — one long key
+    val banded = hashes.select(col("id"),
+      explode(array((0 until bands).map(b =>
+        shiftrightunsigned(col("dhash"), b * width).bitwiseAND(lit(mask))
+          + lit(b.toLong << (width + 1))): _*)).as("bh"))
+      .repartition(col("bh"))
+    val cand = graft.operators.Skew
+      .boundedSelfPairs(banded, "bh", "id", maxBucket)
+      .select("d1", "d2").distinct()
+    cand
+      .join(hashes.select(col("id").as("d1"), col("dhash").as("h1")), Seq("d1"))
+      .join(hashes.select(col("id").as("d2"), col("dhash").as("h2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("dist"))
+      .filter(col("dist") <= maxDist)
+  }
+
   /** The mapPartitions pipeline over a binary payload column (stub
     * lane — arbitrary payloads). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
@@ -213,6 +343,73 @@ object Multimodal {
           .select(col("doc_id"), col("width"), col("height"),
             col("channels"), col("mean_byte"))
           .orderBy("doc_id")
+      }),
+
+    // MM5 — perceptual hash (dHash) through REAL decode, oracle-checked:
+    // each doc_id encodes a 9s×8s block-pattern image (s = id%3+1,
+    // png/bmp alternating) whose decoded 9×8 box-average grid is the
+    // pure function ((id+1)(7X+11Y+13)) mod 256 — so the 64 gradient
+    // bits are integer arithmetic DuckDB computes without any codec.
+    // Emitted as two 32-bit halves (lo = bits 0..31, hi = 32..63): both
+    // exact in a signed BIGINT, which one 2^63 term would not be.
+    Q("mm5_image_dhash",
+      Some("""WITH b AS (
+             |  SELECT doc_id, x, y,
+             |    CASE WHEN ((doc_id+1)*(7*(x+1) + 11*y + 13)) % 256 >
+             |              ((doc_id+1)*(7*x + 11*y + 13)) % 256
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM documents, range(0, 8) tx(x), range(0, 8) ty(y))
+             |SELECT doc_id,
+             |  cast(sum(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y*8+x))
+             |                ELSE 0 END) AS BIGINT) AS dhash_lo,
+             |  cast(sum(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y-4)*8+x))
+             |                ELSE 0 END) AS BIGINT) AS dhash_hi
+             |FROM b GROUP BY doc_id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticPatternImage(id,
+            (id % 3 + 1).toInt, if (id % 2 == 0) "png" else "bmp")))
+        imageDHashes(s, media.toDF())
+          .select(col("id").as("doc_id"),
+            col("dhash").bitwiseAND(lit(0xffffffffL)).as("dhash_lo"),
+            shiftrightunsigned(col("dhash"), 32).as("dhash_hi"))
+          .orderBy("doc_id")
+      }),
+
+    // D14 — image near-dup pairs: dHash Hamming ≤ 3 via 4-band
+    // pigeonhole banding (exact recall at this distance — the banded
+    // result IS the brute-force set, which is what lets DuckDB's
+    // all-pairs oracle hash-match it). The scale path is the banding:
+    // shuffle carries (16-bit band, id) only, hot buckets split by
+    // boundedSelfPairs; the oracle's O(n²) join exists only oracle-side.
+    Q("d14_image_neardup",
+      Some("""WITH b AS (
+             |  SELECT doc_id, x, y,
+             |    CASE WHEN ((doc_id+1)*(7*(x+1) + 11*y + 13)) % 256 >
+             |              ((doc_id+1)*(7*x + 11*y + 13)) % 256
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
+             |h AS (
+             |  SELECT doc_id,
+             |    cast(sum(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y*8+x))
+             |                  ELSE 0 END) AS BIGINT) AS lo,
+             |    cast(sum(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y-4)*8+x))
+             |                  ELSE 0 END) AS BIGINT) AS hi
+             |  FROM b GROUP BY doc_id)
+             |SELECT a.doc_id AS d1, c.doc_id AS d2,
+             |  cast(bit_count(xor(a.lo, c.lo)) +
+             |       bit_count(xor(a.hi, c.hi)) AS INT) AS dist
+             |FROM h a JOIN h c ON a.doc_id < c.doc_id
+             |WHERE bit_count(xor(a.lo, c.lo)) + bit_count(xor(a.hi, c.hi)) <= 3
+             |ORDER BY d1, d2""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticPatternImage(id,
+            (id % 3 + 1).toInt, if (id % 2 == 0) "png" else "bmp")))
+        dHashPairs(imageDHashes(s, media.toDF()), maxDist = 3)
+          .orderBy("d1", "d2")
       })
   )
 }

@@ -1,0 +1,81 @@
+package graft.operators
+
+import graft.{Q, Tables => T}
+import graft.Num.{dsum, sqlDsum}
+import graft.olist.Warehouse
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Table-format read-path benchmark twins.
+  *
+  * Every other headline query scans raw parquet, so the manifest
+  * layers the engine actually serves reads through — PruningFileIndex
+  * file skipping, per-file stats admission, DV anti-joins, manifest
+  * CatalogStatistics — were asserted correct but never TIMED round
+  * over round; a pruning-layer regression would be invisible to both
+  * the correctness board and the bench. These two queries are the
+  * same selective probe (one-year l_shipdate window → grouped
+  * aggregate) run twice: `b1_probe_raw` against the raw parquet
+  * directory, `b1_probe_wh` through a [[Warehouse]] table saved
+  * range-laid-out on the predicate column, so the manifest prunes
+  * most files before Spark ever lists them. The wh reading must stay
+  * within ~1.5× of its raw twin — pruning overhead is bounded metadata
+  * work — and at 100 TB it flips to the FASTER side (it opens a
+  * handful of files where raw listing scans the directory).
+  *
+  * Setup (one partitioned re-save of lineitem into a temp dir) is
+  * memoized per (session, sf dir) and paid on the FIRST run only; the
+  * bench's median-of-3 discards that run, so the recorded number is
+  * the steady-state read path. Both queries share one oracle SQL —
+  * the saved table holds exactly the source rows, which is itself a
+  * correctness check on the manifest read path at sf0.01.
+  */
+object WarehouseBench {
+
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[String, Warehouse]
+
+  /** The probe's one-year window (sf-independent: the synthetic ship
+    * dates span 1995–2001 at every scale factor — see TESTDATA.md). */
+  private val lo = "1998-01-01 00:00:00"
+  private val hi = "1998-12-31 23:59:59"
+
+  private def warehouse(s: SparkSession, d: String): Warehouse =
+    cache.getOrElseUpdate(d, {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_whbench").toString
+      val w = new Warehouse(s, dir)
+      // range layout on the predicate column: 8 files with disjoint
+      // l_shipdate spans, so per-file min/max stats admit ~1-2 files
+      // for a one-year window — the skipping the bench should observe
+      w.save("lineitem_b",
+        T.lineitem(s, d).repartitionByRange(8, col("l_shipdate")),
+        clusterBy = Seq("l_shipdate"))
+      w
+    })
+
+  private def probe(li: DataFrame): DataFrame =
+    li.filter(col("l_shipdate") >= lit(lo).cast("timestamp") &&
+        col("l_shipdate") <= lit(hi).cast("timestamp"))
+      .groupBy("l_returnflag")
+      .agg(dsum(col("l_quantity")).as("sum_qty"),
+        dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6)
+          .as("sum_disc_price"),
+        count(lit(1)).as("n_items"))
+      .orderBy("l_returnflag")
+
+  private val oracle =
+    s"""SELECT l_returnflag,
+       |  ${sqlDsum("l_quantity")} AS sum_qty,
+       |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS sum_disc_price,
+       |  count(*) AS n_items
+       |FROM lineitem
+       |WHERE l_shipdate >= TIMESTAMP '$lo' AND l_shipdate <= TIMESTAMP '$hi'
+       |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  val all: Seq[Q] = Seq(
+    Q("b1_probe_raw", Some(oracle), (s, d) => probe(T.lineitem(s, d))),
+    Q("b1_probe_wh", Some(oracle),
+      (s, d) => probe(warehouse(s, d).table("lineitem_b")))
+  )
+}

@@ -74,6 +74,39 @@ class CurateSpec extends AnyFunSuite {
     assert(rep2.afterRebalance == rep2.afterDecontam)
   }
 
+  test("curate: span-dedup gate drops boilerplate-heavy docs near-dedup cannot see") {
+    import spark.implicits._
+    def words(prefix: String, n: Int): String =
+      (0 until n).map(i => s"$prefix$i").mkString(" ")
+    val bpA = words("bpa", 30) // two 30-token boilerplate spans,
+    val bpB = words("bpb", 30) // each shared by exactly two docs
+    // X is mostly boilerplate (bpA + bpB + 5 unique): ~48% of its
+    // 20-token windows are verbatim-duplicated, but its Jaccard with Y
+    // or Z is ~0.25 — far below the near-dup threshold, invisible to
+    // MinHash. Y and Z carry one span each amid 55 unique words (~17%).
+    val docs = (
+      (1L to 8L).map(i => (i, sentence(i.toInt, 60))) ++ Seq(
+        (21L, words("xu", 5) + " " + bpA + " " + bpB),
+        (22L, words("yu", 55) + " " + bpA),
+        (23L, words("zu", 55) + " " + bpB),
+        // too short to window (10 stopword tokens): no span row, kept
+        (24L, "the of and to in a the of and to"))
+      ).toDF("doc_id", "text")
+    val bench = Seq((9001L, "unrelated bench words only")).toDF("doc_id", "text")
+    val (out, rep) = Curate.curate(docs, bench, minQuality = 0.1,
+      maxDupSpanFraction = Some(0.3))
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(!ids.contains(21L), s"boilerplate-heavy doc must drop: $rep")
+    assert(ids.contains(22L) && ids.contains(23L),
+      s"small-span docs stay: $rep")
+    assert(ids.contains(24L), "unwindowable short doc stays")
+    assert(rep.afterSpanDedup == rep.afterNear - 1, rep.toString)
+    // opt-out: the stage reports pass-through and X survives
+    val (out2, rep2) = Curate.curate(docs, bench, minQuality = 0.1)
+    assert(rep2.afterSpanDedup == rep2.afterNear)
+    assert(out2.select("doc_id").as[Long].collect().toSet.contains(21L))
+  }
+
   test("curate runs over the real documents table, rebalanced by language") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // held-out bench = one source, train = the rest (the d10 framing)

@@ -69,4 +69,58 @@ class MultimodalSpec extends AnyFunSuite {
       .select(col("doc_id"), octet_length(encode(col("text"), "UTF-8")).cast("long").as("n"))
     assert(sums.join(docs, "doc_id").filter(col("tot") =!= col("n")).count() == 0)
   }
+
+  /** The same gradient-bit arithmetic the mm5/d14 DuckDB oracles run. */
+  private def predictedDHash(id: Long): Long = {
+    def g(x: Long, y: Long): Long = ((id + 1) * (7 * x + 11 * y + 13)) % 256
+    var bits = 0L
+    for (y <- 0 until 8; x <- 0 until 8)
+      if (g(x + 1, y) > g(x, y)) bits |= 1L << (y * 8 + x)
+    bits
+  }
+
+  test("dHash64: decoded pattern images hash to the arithmetic prediction at every scale") {
+    for (id <- Seq(0L, 1L, 5L, 254L, 255L, 300L, 499L);
+         scale <- Seq(1, 2, 3); fmt <- Seq("png", "bmp")) {
+      val im = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+        Multimodal.syntheticPatternImage(id, scale, fmt)))
+      assert(Multimodal.dHash64(im) == predictedDHash(id),
+        s"id=$id scale=$scale fmt=$fmt")
+    }
+    // degenerate sizes don't crash: tiny images produce SOME stable hash
+    val tiny = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    assert(Multimodal.dHash64(tiny) == Multimodal.dHash64(tiny))
+  }
+
+  test("dHashPairs: planted near-dup found with its distance, far image rejected") {
+    import spark.implicits._
+    val h = predictedDHash(42L)
+    val near = h ^ (1L << 3) ^ (1L << 17)      // 2 bits flipped
+    val far = ~h                               // 64 bits away
+    val hashes = Seq((1L, h), (2L, near), (3L, far)).toDF("id", "dhash")
+    val pairs = Multimodal.dHashPairs(hashes, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSeq.sorted
+    assert(pairs == Seq((1L, 2L, 2)), s"got $pairs")
+  }
+
+  test("d14 banding equals brute force: exact recall at maxDist < bands") {
+    import spark.implicits._
+    val media = Tables.documents(spark, sf).select(col("doc_id")).as[Long]
+      .map(id => Multimodal.MediaRow(id, Multimodal.syntheticPatternImage(id,
+        (id % 3 + 1).toInt, if (id % 2 == 0) "png" else "bmp"))).toDF()
+    val hashes = Multimodal.imageDHashes(spark, media).localCheckpoint()
+    val banded = Multimodal.dHashPairs(hashes, maxDist = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    val a = hashes.select(col("id").as("d1"), col("dhash").as("h1"))
+    val b = hashes.select(col("id").as("d2"), col("dhash").as("h2"))
+    val brute = a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("int").as("dist"))
+      .filter(col("dist") <= 3)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(banded == brute,
+      s"banding must be exact: missing ${brute -- banded}, extra ${banded -- brute}")
+    assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
+  }
 }

@@ -352,6 +352,80 @@ class PlanQualitySpec extends AnyFunSuite {
     }
   }
 
+  test("statsBy: declared join keys get NDV sketches; CBO reorders on them") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    import org.apache.spark.sql.execution.datasources.LogicalRelation
+    val dir = java.nio.file.Files.createTempDirectory("wh_statsby").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    // the fk columns are NEITHER cluster nor bloom columns: without a
+    // declaration the table plans stats-blind on them
+    wh.save("bigs", spark.range(100000).select(col("id").as("k"),
+      (col("id") % 1000).as("fk_mid"), (col("id") % 10).as("fk_small"))
+      .repartition(4), clusterBy = Seq("k"))
+    wh.save("mids", spark.range(1000).select(col("id").as("mk"),
+      (col("id") * 2).as("mv")).coalesce(1), clusterBy = Seq("mk"))
+    wh.save("smalls", spark.range(3).select(col("id").as("sk"),
+      (col("id") * 5).as("sv")).coalesce(1), clusterBy = Seq("sk"))
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      // before the declaration: no distinct counts for the fk columns
+      val pre = wh.table("bigs").queryExecution.optimizedPlan.stats
+      assert(!pre.attributeStats.exists(s =>
+        s._1.name == "fk_small" && s._2.distinctCount.isDefined),
+        "fk_small should have no NDV before statsBy")
+      // declare the join keys: one re-analyze pass, no file rewritten
+      val filesBefore = wh.describeDetail("bigs").toMap.apply("numFiles")
+      wh.statsBy("bigs", Seq("fk_mid", "fk_small"))
+      val detail = wh.describeDetail("bigs").toMap
+      assert(detail("statsColumns") == "fk_mid,fk_small")
+      assert(detail("numFiles") == filesBefore)
+      assert(wh.history("bigs").last.op == "statsby")
+      val st = wh.table("bigs").queryExecution.optimizedPlan.stats
+      val ndvMid = st.attributeStats.find(_._1.name == "fk_mid")
+        .flatMap(_._2.distinctCount)
+      assert(ndvMid.exists(n => n >= 900 && n <= 1100),
+        s"fk_mid NDV ~1000 expected after statsBy, got $ndvMid")
+      val ndvSmall = st.attributeStats.find(_._1.name == "fk_small")
+        .flatMap(_._2.distinctCount)
+      assert(ndvSmall.exists(n => n >= 9 && n <= 11),
+        s"fk_small NDV ~10 expected after statsBy, got $ndvSmall")
+      // worse-order join flips to (bigs ⋈ smalls) under the new stats
+      def q = wh.table("bigs")
+        .join(wh.table("mids"), col("fk_mid") === col("mk"))
+        .join(wh.table("smalls"), col("fk_small") === col("sk"))
+      def rels(p: LogicalPlan): Set[String] = p.collect {
+        case l: LogicalRelation =>
+          l.catalogTable.map(_.identifier.table).getOrElse("?") }.toSet
+      val bottoms = q.queryExecution.optimizedPlan.collect {
+        case j: Join if rels(j).size == 2 => rels(j) }
+      assert(bottoms.contains(Set("bigs", "smalls")),
+        s"expected reorder to join smalls first, bottom joins: $bottoms")
+      assert(q.count() == 30000)
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "false")
+      val plain = q.queryExecution.optimizedPlan.collect {
+        case j: Join if rels(j).size == 2 => rels(j) }
+      assert(plain.contains(Set("bigs", "mids")),
+        s"without reorder the declared order stands: $plain")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      // a LATER append keeps sketching the declared columns: double the
+      // table through the normal write path, NDV stays ~the same (same
+      // value domain), so the declaration outlives the analyze call
+      wh.append("bigs", spark.range(100000).select(col("id").as("k"),
+        (col("id") % 1000).as("fk_mid"), (col("id") % 10).as("fk_small"))
+        .repartition(2))
+      val st2 = wh.table("bigs").queryExecution.optimizedPlan.stats
+      val ndv2 = st2.attributeStats.find(_._1.name == "fk_mid")
+        .flatMap(_._2.distinctCount)
+      assert(ndv2.exists(n => n >= 900 && n <= 1100),
+        s"appended files should carry fk_mid sketches too, got $ndv2")
+    } finally {
+      spark.conf.unset("spark.sql.cbo.enabled")
+      spark.conf.unset("spark.sql.cbo.joinReorder.enabled")
+    }
+  }
+
   test("d13_dup_spans: document text never reaches an exchange") {
     // windows hash to 16-byte digests map-side; both shuffles (the
     // per-digest doc count and the per-doc rollup) carry digests and

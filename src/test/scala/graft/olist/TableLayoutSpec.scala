@@ -1452,4 +1452,59 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("cl").count() == 999)
     assert(wh.table("src").count() == 998)
   }
+
+  test("deletion vectors: small CDC merge takes file surgery — DVs + delta append") {
+    import spark.implicits._
+    val dir = tmp("wh_dvmerge")
+    val wh = new Warehouse(spark, dir)
+    // 4 single-file partitions, 4000 rows, key-clustered
+    val df = spark.range(4000).select(col("id").as("k"), (col("id") % 7).as("v"),
+      floor(col("id") / 1000).as("b")).repartition(col("b"))
+    wh.save("t", df, partitionBy = Seq("b"), clusterBy = Seq("k"))        // v1
+    val before = dataDigests(dir, "t")
+    assert(before.size == 4)
+    // 10-row CDC batch: 6 updates spread over three partitions' key
+    // ranges + 4 inserts (one landing a brand-new partition value)
+    val delta = Seq(
+      (100L, 900L, 0L), (101L, 901L, 0L), (1500L, 902L, 1L),
+      (1501L, 903L, 1L), (2500L, 904L, 2L), (2501L, 905L, 2L),
+      (4100L, 906L, 4L), (4101L, 907L, 4L), (4102L, 908L, 0L),
+      (4103L, 909L, 1L)).toDF("k", "v", "b")
+    wh.merge("t", delta, Seq("k"))                                        // v2
+    // EVERY pre-merge data file survives byte-identical: replaced rows
+    // left via DVs, the delta landed as new files
+    val after = dataDigests(dir, "t")
+    before.foreach { case (p, d) =>
+      assert(after.get(p).contains(d), s"pre-merge file $p changed bytes") }
+    assert(after.size > before.size, "delta rows appended as new files")
+    val detail = wh.describeDetail("t").toMap
+    assert(detail("numDeletionVectors").toInt == 3, detail.toString)
+    assert(detail("numDvDeletedRows").toInt == 6, detail.toString)
+    // snapshot exact: 4000 + 4 inserts; updated keys show new values once
+    assert(wh.table("t").count() == 4004)
+    assert(wh.countRows("t").contains(4004L))
+    val got = wh.table("t").filter(col("k").isin(100L, 2501L, 4103L))
+      .select("k", "v").as[(Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((100L, 900L), (2501L, 905L), (4103L, 909L)), got.toString)
+    // row-level feed: pre-images leave as deletes, post-images arrive
+    val feed = wh.tableChangesRows("t", 1, 2)
+      .select("k", "v", "_change_type").as[(Long, Long, String)]
+      .collect().toSeq
+    assert(feed.count(_._3 == "insert") == 10)
+    assert(feed.count(_._3 == "delete") == 6)
+    assert(feed.filter(_._3 == "delete").map(_._1).sorted ==
+      Seq(100L, 101L, 1500L, 1501L, 2500L, 2501L))
+    assert(feed.filter(r => r._3 == "delete" && r._1 == 100L).head._2 ==
+      100L % 7, "pre-image carries the OLD value")
+    // a merge matching MOST of the table still takes the partition
+    // rewrite (fraction above graft.merge.dvPathMaxFraction)
+    val big = spark.range(3000).select(col("id").as("k"),
+      lit(-1L).as("v"), floor(col("id") / 1000).as("b"))
+    wh.merge("t", big, Seq("k"))                                          // v3
+    val d3 = wh.describeDetail("t").toMap
+    assert(d3("numDeletionVectors").toInt == 0,
+      s"big merge should rewrite, not DV: $d3")
+    assert(wh.table("t").count() == 4004)
+    assert(wh.table("t").filter(col("v") === -1L).count() == 3000)
+  }
 }

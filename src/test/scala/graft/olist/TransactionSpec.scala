@@ -268,4 +268,42 @@ class TransactionSpec extends AnyFunSuite {
     assert(wh2.table("fact").filter(col("k") === 2L).count() == 0,
       "aborted txn row resurrected by the healing append")
   }
+
+  test("streaming sink vs open transaction: batch refuses; restart after commit lands it exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = tmp("wh_txn_stream")
+    // short lock wait: the refusal is the lock timeout, not a hang
+    val wh = new Warehouse(spark, dir, lockAcquireMs = 1500)
+    wh.save("ev", Seq((1L, "base")).toDF("k", "v").coalesce(1))
+    val ckpt = tmp("wh_txn_stream_ckpt")
+    val source = MemoryStream[(Long, String)]
+    wh.beginTransaction(Seq("ev"))
+    val failed =
+      try {
+        // the txn's own (tagged, invisible-to-others) write
+        wh.append("ev", Seq((2L, "txn")).toDF("k", "v").coalesce(1))
+        // a streaming micro-batch from ANOTHER thread must refuse: it
+        // is not the transaction and cannot take the held lock
+        val q = wh.streamInto("ev", source.toDS().toDF("k", "v"), ckpt)
+        source.addData((10L, "stream"))
+        val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.processAllAvailable()
+          q.awaitTermination(30000)
+        }
+        assert(ex.getMessage.contains("commit lock") ||
+          Option(ex.getCause).exists(_.getMessage.contains("commit lock")),
+          s"expected the lock refusal, got: ${ex.getMessage}")
+        true
+      } finally wh.commitTransaction()
+    assert(failed)
+    // transaction closed: same checkpoint + same source re-drives the
+    // refused batch; the sink's batch-id mark makes it exactly-once
+    val q2 = wh.streamInto("ev", source.toDS().toDF("k", "v"), ckpt)
+    try q2.processAllAvailable() finally q2.stop()
+    val rows = wh.table("ev").collect()
+      .map(r => (r.getAs[Long]("k"), r.getAs[String]("v"))).toSeq
+    assert(rows.sorted == Seq((1L, "base"), (2L, "txn"), (10L, "stream")),
+      s"got $rows")
+  }
 }
