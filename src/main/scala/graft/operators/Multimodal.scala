@@ -230,6 +230,97 @@ object Multimodal {
       .filter(col("dist") <= maxDist)
   }
 
+  /** One decoded row of the fused profile pass: byte features, raster
+    * features, the perceptual hash, and the exact-byte digest — every
+    * signal the image-curation pipeline needs, produced in ONE decode
+    * so the payload is read (and decoded) exactly once. */
+  case class MediaProfile(doc_id: Long, n_bytes: Long, width: Int,
+      height: Int, channels: Int, mean_byte: Double, dhash: Long,
+      payload_md5: String)
+
+  /** Fused decode: [[decodeImage]]'s features + [[dHash64]] + the
+    * payload md5, one codec invocation per row; undecodable rows drop.
+    * Output rows are payload-free (~60 bytes) — this is the boundary
+    * where a 100 TB image corpus becomes a shuffle-sized table. */
+  def decodeProfile(rows: Iterator[MediaRow]): Iterator[MediaProfile] =
+    rows.flatMap { r =>
+      val img =
+        try javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(r.payload))
+        catch { case scala.util.control.NonFatal(_) => null }
+      Option(img).map { im =>
+        val w = im.getWidth; val h = im.getHeight
+        val raster = im.getRaster
+        val bands = raster.getNumBands
+        var s = 0L; var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            var b = 0
+            while (b < bands) { s += raster.getSample(x, y, b); b += 1 }
+            x += 1
+          }
+          y += 1
+        }
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(r.payload).map("%02x".format(_)).mkString
+        MediaProfile(r.doc_id, r.payload.length.toLong, w, h, bands,
+          s.toDouble / (w.toLong * h * bands), dHash64(im), digest)
+      }
+    }
+
+  def imageProfiles(spark: SparkSession, media: DataFrame): Dataset[MediaProfile] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(decodeProfile)
+  }
+
+  /** Per-stage survivor counts of one [[curateImages]] run. */
+  final case class ImageReport(input: Long, decoded: Long,
+      afterDims: Long, afterExact: Long, afterNear: Long)
+
+  /** End-to-end image-corpus curation — the multimodal sibling of
+    * [[Curate.curate]]: decode gate (undecodable payloads drop) →
+    * dimension gate (thumbnails/trackers below `minWidth`×`minHeight`
+    * drop) → exact byte dedup (payload md5, smallest id survives) →
+    * perceptual near-dedup (dHash pairs at Hamming ≤ `maxDist` via
+    * exact pigeonhole banding → connected components → the component's
+    * min id survives). Returns the surviving profile rows (payload-
+    * free: join payloads back by doc_id if needed) + the report.
+    *
+    * Scale shape: payloads are decoded once and never shuffled — the
+    * single decode pass emits ~60-byte profile rows, and that slim
+    * table is what the dedup stages (and the one localCheckpoint that
+    * keeps four downstream actions from re-decoding the corpus)
+    * operate on. Near-dup discovery shuffles (band, id) pairs only;
+    * hot buckets are task-bounded. */
+  def curateImages(media: DataFrame, minWidth: Int = 2, minHeight: Int = 2,
+      maxDist: Int = 3, bands: Int = 4, maxBucket: Int = 1024)
+      : (DataFrame, ImageReport) = {
+    val spark = media.sparkSession
+    val input = media.count()
+    val prof = imageProfiles(spark, media).toDF().localCheckpoint()
+    val decoded = prof.count()
+    val dims = prof.filter(col("width") >= minWidth &&
+      col("height") >= minHeight)
+    val afterDims = dims.count()
+    val wEx = org.apache.spark.sql.expressions.Window
+      .partitionBy("payload_md5").orderBy("doc_id")
+    val exact = dims
+      .withColumn("rk", org.apache.spark.sql.functions.row_number().over(wEx))
+      .filter(col("rk") === 1).drop("rk")
+    val afterExact = exact.count()
+    val pairs = dHashPairs(
+      exact.select(col("doc_id").as("id"), col("dhash")),
+      maxDist, bands, maxBucket)
+    val losers = Dedup.connectedComponents(pairs.select("d1", "d2"))
+      .filter(col("id") =!= col("comp"))
+      .select(col("id").as("doc_id"))
+    val out = exact.join(losers, Seq("doc_id"), "left_anti")
+    val afterNear = out.count()
+    (out, ImageReport(input, decoded, afterDims, afterExact, afterNear))
+  }
+
   /** The mapPartitions pipeline over a binary payload column (stub
     * lane — arbitrary payloads). */
   def extractFeatures(spark: SparkSession, media: DataFrame): Dataset[MediaFeatures] = {
@@ -410,6 +501,55 @@ object Multimodal {
             (id % 3 + 1).toInt, if (id % 2 == 0) "png" else "bmp")))
         dHashPairs(imageDHashes(s, media.toDF()), maxDist = 3)
           .orderBy("d1", "d2")
+      }),
+
+    // D15 — image near-dup CLUSTER RESOLUTION: d8's connected
+    // components over d14's pairs, so the full image-dedup composition
+    // (decode → dHash → banding → components → canonical) is
+    // oracle-checked end to end. DuckDB rebuilds the components with a
+    // recursive CTE over the arithmetic pair set; Spark runs the
+    // pointer-halving propagation over the banded pairs. Docs in no
+    // pair are their own (absent) cluster — both sides emit only
+    // paired docs, the d8 convention.
+    Q("d15_image_components",
+      Some("""WITH RECURSIVE b AS (
+             |  SELECT doc_id, x, y,
+             |    CASE WHEN ((doc_id+1)*(7*(x+1) + 11*y + 13)) % 256 >
+             |              ((doc_id+1)*(7*x + 11*y + 13)) % 256
+             |         THEN 1 ELSE 0 END AS bit
+             |  FROM documents, range(0, 8) tx(x), range(0, 8) ty(y)),
+             |h AS (
+             |  SELECT doc_id,
+             |    cast(sum(CASE WHEN y < 4 THEN bit * (1::BIGINT << (y*8+x))
+             |                  ELSE 0 END) AS BIGINT) AS lo,
+             |    cast(sum(CASE WHEN y >= 4 THEN bit * (1::BIGINT << ((y-4)*8+x))
+             |                  ELSE 0 END) AS BIGINT) AS hi
+             |  FROM b GROUP BY doc_id),
+             |pairs AS (
+             |  SELECT a.doc_id AS d1, c.doc_id AS d2
+             |  FROM h a JOIN h c ON a.doc_id < c.doc_id
+             |  WHERE bit_count(xor(a.lo, c.lo)) +
+             |        bit_count(xor(a.hi, c.hi)) <= 3),
+             |edges AS (SELECT d1 AS src, d2 AS dst FROM pairs
+             |          UNION SELECT d2, d1 FROM pairs),
+             |nodes AS (SELECT DISTINCT src AS id FROM edges),
+             |reach(id, m) AS (
+             |  SELECT id, id FROM nodes
+             |  UNION
+             |  SELECT e.dst, r.m FROM reach r JOIN edges e ON e.src = r.id)
+             |SELECT id AS doc_id, cast(min(m) as bigint) AS canonical_id
+             |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticPatternImage(id,
+            (id % 3 + 1).toInt, if (id % 2 == 0) "png" else "bmp")))
+        Dedup.connectedComponents(
+          dHashPairs(imageDHashes(s, media.toDF()), maxDist = 3)
+            .select("d1", "d2"))
+          .select(col("id").as("doc_id"),
+            col("comp").cast("long").as("canonical_id"))
+          .orderBy("doc_id")
       })
   )
 }

@@ -135,6 +135,13 @@ object GraftSqlParser {
   private val Repartition =
     ("""(?is)^\s*ALTER\s+TABLE\s+([\w]+)\s+PARTITION(?:ED)?\s+BY""" +
       """\s*\(([^)]*)\)\s*;?\s*$""").r
+  // Spark's own ANALYZE grammar, intercepted for bound tables: the
+  // column list becomes a statsBy declaration (min/max + HLL NDV ride
+  // every later write; the statement itself re-analyzes the current
+  // snapshot in one pass). Unbound tables keep Spark's catalog path.
+  private val Analyze =
+    ("""(?is)^\s*ANALYZE\s+TABLE\s+([\w]+)\s+COMPUTE\s+STATISTICS""" +
+      """\s+FOR\s+COLUMNS\s+([\w]+(?:\s*,\s*[\w]+)*)\s*;?\s*$""").r
   // cross-table atomic transaction (T-SQL-flavored BEGIN TRAN accepted).
   // Statement-at-a-time form of Warehouse.transaction: subsequent DML
   // on the declared tables commits tagged-invisible until COMMIT's
@@ -447,6 +454,14 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.refreshTable(table); Seq(Row("OK"))
+          }
+        }
+      case Analyze(table, cols) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.statsBy(table,
+              cols.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+            Seq(Row("OK"))
           }
         }
       case Restore(table, version) =>

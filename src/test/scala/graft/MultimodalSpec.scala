@@ -123,4 +123,26 @@ class MultimodalSpec extends AnyFunSuite {
       s"banding must be exact: missing ${brute -- banded}, extra ${banded -- brute}")
     assert(brute.nonEmpty, "test corpus should contain at least one near-dup pair")
   }
+
+  test("curateImages: decode, dimension, exact-byte, and perceptual gates compose") {
+    import spark.implicits._
+    // ids 0 and 1 hash within Hamming 2 of each other; 5 is far from
+    // both (measured in the dHash64 spec's arithmetic)
+    val p5 = Multimodal.syntheticPatternImage(5L, 1)
+    val media = Seq(
+      (0L, Multimodal.syntheticPatternImage(0L, 1)),   // canonical of {0,1}
+      (1L, Multimodal.syntheticPatternImage(1L, 2)),   // near-dup of 0
+      (5L, p5),                                        // survivor
+      (101L, p5),                                      // byte-copy of 5
+      (300L, Array.tabulate[Byte](64)(i => (i * 37).toByte)), // junk
+      (400L, Multimodal.syntheticImage(400L, 1, 1))    // 1×1 thumbnail
+    ).toDF("doc_id", "payload")
+    val (out, rep) = Multimodal.curateImages(media)
+    assert(rep == Multimodal.ImageReport(6, 5, 4, 3, 2), rep.toString)
+    val ids = out.select("doc_id").as[Long].collect().toSet
+    assert(ids == Set(0L, 5L), s"got $ids")
+    // survivors carry the full payload-free profile
+    assert(out.columns.toSet == Set("doc_id", "n_bytes", "width",
+      "height", "channels", "mean_byte", "dhash", "payload_md5"))
+  }
 }

@@ -279,6 +279,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(wh.history("t").last.op == "restore")
   }
 
+  test("ANALYZE TABLE FOR COLUMNS declares stats columns; unbound tables delegate") {
+    import spark.implicits._
+    val dir = tmp("wh_sqlanalyze")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("fct", (1L to 200L).map(i => (i, i % 7, s"v$i"))
+      .toDF("k", "fk", "v").coalesce(2), clusterBy = Seq("k"))
+    // fk is neither cluster nor bloom: stats-blind until declared
+    assert(wh.describeDetail("fct").toMap.apply("statsColumns") == "")
+    val st = spark.sql(
+      "ANALYZE TABLE fct COMPUTE STATISTICS FOR COLUMNS fk, v").collect()
+    assert(st.map(_.getString(0)).toSeq == Seq("OK"))
+    val detail = wh.describeDetail("fct").toMap
+    assert(detail("statsColumns") == "fk,v")
+    assert(wh.history("fct").last.op == "statsby")
+    // an UNBOUND table keeps Spark's own ANALYZE path (here: its
+    // unresolved-table error, not our statsBy require)
+    val ex = intercept[Exception] {
+      spark.sql(
+        "ANALYZE TABLE no_such_tbl COMPUTE STATISTICS FOR COLUMNS x")
+        .collect()
+    }
+    assert(!ex.getMessage.contains("statsBy"), ex.getMessage)
+  }
+
   test("unbound tables and ordinary SQL delegate to Spark untouched") {
     import spark.implicits._
     val dir = tmp("wh_sql2")
