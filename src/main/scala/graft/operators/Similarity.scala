@@ -520,6 +520,76 @@ object Similarity {
        |           cast(sum(cast(x2 * x2 as decimal(38,20))) as double) AS nb
        |         FROM px GROUP BY d1, d2)""".stripMargin
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540) — semantic
+    * deduplication: k-means-cluster the embedding space, then inside
+    * each cluster drop every vector that has a near-semantic twin
+    * (cosine ≥ tau) ranked ahead of it. Survivor rank follows the
+    * paper's diversity rule — within a similar pair the vector FARTHER
+    * from its cluster centroid survives (low centroid-similarity = the
+    * more informative example), exact-distance ties broken by vec_id.
+    * The drop decision is pairwise and parallel (v drops iff ANY
+    * better-ranked similar u exists, whether or not u itself drops),
+    * so the result is a pure function of the clustering — independent
+    * of evaluation order and partitioning.
+    *
+    * Scale shape: centroids train on a bounded deterministic sample
+    * ([[trainingSample]] — never the corpus), assignment + centroid
+    * distance come from ONE shuffle-free argmin projection (the
+    * codebook is literals), and the quadratic step enumerates pairs
+    * only WITHIN clusters through [[Skew.boundedSelfPairs]] — at
+    * 100 TB nClusters grows with the corpus so per-cluster volume
+    * stays bounded and nothing all-pairs the corpus. No SQL oracle
+    * (a Lloyd codebook is not SQL-expressible); SimilaritySpec pins
+    * the banded path EXACTLY equal to a naive within-cluster
+    * crossJoin reference and asserts planted-duplicate recall.
+    * Returns (vec_id, cluster, kept). */
+  def semanticAssign(emb: DataFrame, nClusters: Int = 8): DataFrame = {
+    val unit = l2Normalized(emb)
+    val sample = trainingSample(unit, defaultSampleN(1, nClusters))
+    val cents = collectCents(pqTrain(sample, m = 1, k = nClusters, iters = 3))
+    // nearest centroid as ONE projection: array_min over (d2, cid)
+    // structs — training's exact argmin and tie-break — keeping both
+    // the cell AND the centroid distance (the survivor rank) from a
+    // single shuffle-free pass. Returns (vec_id, embedding[unit],
+    // cluster, d2c).
+    val near = array_min(array(cents.sortBy(_._2).map { case (_, cid, c) =>
+      struct(l2sq(col("embedding"), array(c.map(lit): _*)).as("d2"),
+        lit(cid).as("cid"))
+    }.toSeq: _*))
+    unit.select(col("vec_id"), col("embedding"),
+      near.getField("cid").cast("int").as("cluster"),
+      near.getField("d2").as("d2c"))
+  }
+
+  def semanticDedup(emb: DataFrame, nClusters: Int = 8,
+      tau: Double = 0.95, maxCluster: Int = 4096): DataFrame = {
+    val assigned = semanticAssign(emb, nClusters)
+    val cand = Skew.boundedSelfPairs(
+      assigned.select("cluster", "vec_id"), "cluster", "vec_id", maxCluster)
+    // vectors join back onto candidate pairs only — embeddings are
+    // never replicated through the pair enumeration (d7's shape)
+    val sim = cand
+      .join(assigned.select(col("vec_id").as("d1"), col("embedding").as("v1"),
+        col("d2c").as("c1")), Seq("d1"))
+      .join(assigned.select(col("vec_id").as("d2"), col("embedding").as("v2"),
+        col("d2c").as("c2")), Seq("d2"))
+      // unit vectors: dot IS cosine
+      .withColumn("cosine",
+        round(VectorFunctions.dotExact(col("v1"), col("v2")), 12))
+      .filter(col("cosine") >= tau)
+    // the pair's loser = the vector CLOSER to its centroid (smaller
+    // exact d2), ties to the larger vec_id
+    val losers = sim.select(
+      when(col("c1") < col("c2") ||
+        (col("c1") === col("c2") && col("d1") > col("d2")), col("d1"))
+        .otherwise(col("d2")).as("vec_id")).distinct()
+    assigned.select("vec_id", "cluster")
+      .join(losers.withColumn("dropFlag", lit(1)), Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        when(col("dropFlag").isNotNull, 0).otherwise(1).as("kept"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(
     // E1 — brute-force cosine top-k (the exactness baseline)
     Q("e1_cosine_topk",
@@ -915,6 +985,15 @@ object Similarity {
     // settles the top-k. Correctness story (no SQL oracle can train
     // the codebook): SimilaritySpec asserts recall@10 vs the exact e1
     // ranking, like e9/e12.
-    Q("e13_ivf_pq_topk", None, (s, d) => annIvfPq(s, d, topK = TOP_K))
+    Q("e13_ivf_pq_topk", None, (s, d) => annIvfPq(s, d, topK = TOP_K)),
+
+    // D16 — SemDeDup semantic deduplication (rows-only: the Lloyd
+    // codebook is not SQL-expressible; SimilaritySpec pins the banded
+    // path ≡ a naive within-cluster crossJoin reference and planted-
+    // duplicate recall). tau=0.3 suits the synthetic corpus's cosine
+    // spread (max intra-corpus cosine ≈ 0.51); real text embeddings
+    // use the default 0.95.
+    Q("d16_semantic_dedup", None,
+      (s, d) => semanticDedup(T.embeddings(s, d), tau = 0.3))
   )
 }

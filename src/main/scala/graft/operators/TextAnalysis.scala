@@ -424,5 +424,82 @@ object TextAnalysis {
         .withColumn("blocked",
           when(col("n_blocked") * 20 > col("n_tokens"), 1).otherwise(0))
         .orderBy("doc_id"))
+      ,
+
+    // T15 — Gopher-style document quality rules (Rae et al. 2021,
+    // "Scaling Language Models", table A1): the rule-based pre-filter
+    // every LLM corpus runs before model-based scoring. Each rule is
+    // rendered as EXACT integer arithmetic (cross-multiplied ratios, no
+    // float boundary an engine could land on differently):
+    //   r_len      word count in [20, 80]
+    //   r_wordlen  mean word length in [3, 10]  ≡  3·w ≤ chars ≤ 10·w
+    //   r_alpha    ≥80% of words contain a letter  ≡  5·alpha ≥ 4·w
+    //   r_symbol   symbol-to-word ratio ('#'/'...') ≤ 0.1  ≡  10·sym ≤ w
+    //   r_stop     ≥2 DISTINCT stopwords present
+    // keep = conjunction (integer product). Pure per-row column
+    // arithmetic — map-side only, whole-stage codegen, linear at 100 TB.
+    Q("t15_gopher_rules",
+      Some("""WITH b AS (
+             |  SELECT doc_id,
+             |    regexp_split_to_array(trim(text), '\s+') AS ts,
+             |    cast(length(regexp_replace(text, '\s', '', 'g')) AS BIGINT) AS n_ns,
+             |    cast(len(regexp_extract_all(text, '#|\.\.\.')) AS BIGINT) AS n_sym,
+             |    cast(len(list_distinct(regexp_extract_all(text,
+             |        '\b(the|a|of|and|to|in)\b'))) AS BIGINT) AS n_stopkinds
+             |  FROM documents)
+             |SELECT doc_id,
+             |  cast(len(ts) AS BIGINT) AS n_words,
+             |  CASE WHEN len(ts) BETWEEN 20 AND 80 THEN 1 ELSE 0 END AS r_len,
+             |  CASE WHEN 3 * len(ts) <= n_ns AND n_ns <= 10 * len(ts)
+             |       THEN 1 ELSE 0 END AS r_wordlen,
+             |  CASE WHEN 5 * len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
+             |            >= 4 * len(ts) THEN 1 ELSE 0 END AS r_alpha,
+             |  CASE WHEN 10 * n_sym <= len(ts) THEN 1 ELSE 0 END AS r_symbol,
+             |  CASE WHEN n_stopkinds >= 2 THEN 1 ELSE 0 END AS r_stop,
+             |  (CASE WHEN len(ts) BETWEEN 20 AND 80 THEN 1 ELSE 0 END)
+             |    * (CASE WHEN 3 * len(ts) <= n_ns AND n_ns <= 10 * len(ts) THEN 1 ELSE 0 END)
+             |    * (CASE WHEN 5 * len(list_filter(ts, t -> regexp_matches(t, '[A-Za-z]')))
+             |            >= 4 * len(ts) THEN 1 ELSE 0 END)
+             |    * (CASE WHEN 10 * n_sym <= len(ts) THEN 1 ELSE 0 END)
+             |    * (CASE WHEN n_stopkinds >= 2 THEN 1 ELSE 0 END) AS keep
+             |FROM b ORDER BY doc_id""".stripMargin),
+      (s, d) => gopherRules(T.documents(s, d)).orderBy("doc_id"))
   )
+
+  /** The five t15 rule flags (1/0) over a text column, in board order.
+    * Repeated subtrees (the token split) are deduplicated by
+    * whole-stage codegen's subexpression elimination — one projection,
+    * map-side only. */
+  private def gopherFlags(text: Column): Seq[(String, Column)] = {
+    val ts = tokens(text)
+    val w = size(ts).cast("long")
+    val nNs = nonSpaceLen(text)
+    val nSym =
+      size(regexp_extract_all(text, lit("#|\\.\\.\\."), lit(0))).cast("long")
+    val nStop = size(array_distinct(regexp_extract_all(text,
+      lit("\\b(the|a|of|and|to|in)\\b"), lit(1)))).cast("long")
+    val nAlpha = size(filter(ts, t => t.rlike("[A-Za-z]"))).cast("long")
+    Seq(
+      "r_len" -> when(w.between(20, 80), 1).otherwise(0),
+      "r_wordlen" ->
+        when(lit(3) * w <= nNs && nNs <= lit(10) * w, 1).otherwise(0),
+      "r_alpha" -> when(lit(5) * nAlpha >= lit(4) * w, 1).otherwise(0),
+      "r_symbol" -> when(lit(10) * nSym <= w, 1).otherwise(0),
+      "r_stop" -> when(nStop >= 2, 1).otherwise(0))
+  }
+
+  /** The t15 rule evaluation over any (doc_id, text, …) frame — kept
+    * callable so specs (and pipelines) can score crafted documents. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val flags = gopherFlags(col("text"))
+    docs.select(col("doc_id") +:
+      size(tokens(col("text"))).cast("long").as("n_words") +:
+      (flags.map { case (n, c) => c.as(n) } :+
+        flags.map(_._2).reduce(_ * _).as("keep")): _*)
+  }
+
+  /** t15's conjunction as a single filter predicate — what a pipeline
+    * stage pushes straight onto the scan. */
+  def gopherKeep(text: Column): Column =
+    gopherFlags(text).map(_._2).reduce(_ * _) === 1
 }

@@ -345,6 +345,36 @@ object EventStream {
             count(when(col("t_click") > col("t_view") &&
               col("t_purchase") > col("t_click"), lit(1)))
               .as("stage_purchase"))
+      }),
+
+    // ST4 — stream-stream interval join, batch-rendered: clicks
+    // attributed to a SAME-USER view they followed within 12 hours —
+    // the attribution join every event pipeline runs. The runner is
+    // [[intervalJoinStream]] itself (withWatermark is a no-op on batch
+    // frames, the join condition is identical), so the EXACT plan the
+    // continuous query runs is what the oracle hash-checks here;
+    // StreamingSpec drives the same operator through two watermarked
+    // MemoryStreams and asserts batch ≡ streaming. Timestamps compare
+    // at µs granularity (the engines' shared precision).
+    Q("st4_interval_join",
+      Some("""SELECT l.user_id, l.event_id AS view_id, r.event_id AS click_id,
+             |  epoch_us(l.ts) AS view_us, epoch_us(r.ts) AS click_us
+             |FROM events l JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND l.event_type = 'view' AND r.event_type = 'click'
+             | AND epoch_us(r.ts) > epoch_us(l.ts)
+             | AND epoch_us(r.ts) <= epoch_us(l.ts) + 43200000000
+             |ORDER BY user_id, view_us, click_us, view_id, click_id""".stripMargin),
+      (s, d) => {
+        val ev = T.events(s, d)
+        intervalJoinStream(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", windowMinutes = 720)
+          .select(col("user_id"), col("l_event_id").as("view_id"),
+            col("r_event_id").as("click_id"),
+            expr("unix_micros(l_ts)").as("view_us"),
+            expr("unix_micros(r_ts)").as("click_us"))
+          .orderBy("user_id", "view_us", "click_us", "view_id", "click_id")
       })
   )
 }

@@ -320,4 +320,75 @@ class SimilaritySpec extends AnyFunSuite {
     assert(recall >= 8, s"IVF-PQ recall@10 too low: exact=$exact " +
       s"got=${got.map(_.getLong(0)).toSet}")
   }
+
+  test("semdedup: banded within-cluster path equals the naive crossJoin reference") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val tau = 0.3
+    val got = Similarity.semanticDedup(emb, tau = tau).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    // independent reference: same deterministic clustering, but pairs
+    // from a PLAIN self-join on cluster and the loser rule re-derived
+    // in driver-side Scala over collected rows
+    val assigned = Similarity.semanticAssign(emb).collect().map { r =>
+      (r.getLong(0), r.getInt(2), r.getDouble(3),
+        r.getSeq[Double](1).toArray)
+    }
+    val byCluster = assigned.groupBy(_._2)
+    val losers = scala.collection.mutable.Set[Long]()
+    for ((_, members) <- byCluster; Array(a, b) <- members.combinations(2)) {
+      // mirror dotExact + round(_, 12): per-product DECIMAL(38,20)
+      // rounding, exact decimal sum, cast to double, round to 12
+      val dec = a._4.zip(b._4).map { case (x, y) =>
+        BigDecimal(x * y).setScale(20, BigDecimal.RoundingMode.HALF_UP)
+      }.sum
+      val cos = BigDecimal(dec.toDouble)
+        .setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+      if (cos >= tau) {
+        // loser = closer to centroid (smaller d2c), ties to larger id
+        val loser =
+          if (a._3 < b._3 || (a._3 == b._3 && a._1 > b._1)) a._1 else b._1
+        losers += loser
+      }
+    }
+    val want = assigned.map { case (id, cl, _, _) =>
+      (id, cl, if (losers(id)) 0 else 1)
+    }.toSet
+    assert(got == want)
+    assert(got.exists(_._3 == 0), "tau=0.3 should drop at least one vector")
+    assert(got.exists(_._3 == 1))
+  }
+
+  test("semdedup: planted duplicate groups keep exactly one survivor") {
+    import graft.operators.Similarity
+    import spark.implicits._
+    // four well-separated directions in R^4, several members each with
+    // tiny distinct perturbations (still cosine ≈ 1 within a group),
+    // plus an exact-duplicate triple on the first axis
+    def v(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(4)(i => (if (i == axis) 1f else 0f) +
+        (if (i == (axis + 1) % 4) eps else 0f))
+    val rows =
+      Seq(0L -> v(0, 0f), 1L -> v(0, 0f), 2L -> v(0, 0f)) ++ // exact triple
+        Seq(10L -> v(1, 0f), 11L -> v(1, 0.01f)) ++           // near pair
+        Seq(20L -> v(2, 0f), 30L -> v(3, 0f))                 // singletons
+    val emb = rows.toDF("vec_id", "embedding")
+    val res = Similarity.semanticDedup(emb, nClusters = 4, tau = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    // each duplicate group keeps exactly one; singletons always keep
+    assert(res.count { case (id, k) => id <= 2 && k == 1 } == 1,
+      s"exact triple must keep exactly one: $res")
+    assert(Seq(10L, 11L).count(res(_) == 1) == 1,
+      s"near pair must keep exactly one: $res")
+    assert(res(20L) == 1 && res(30L) == 1, s"singletons must keep: $res")
+  }
+
+  test("semdedup: result is layout-independent and training never rescans the corpus") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val a = Similarity.semanticDedup(emb, tau = 0.3).collect().toSeq
+    val b = Similarity.semanticDedup(emb.repartition(7), tau = 0.3)
+      .collect().toSeq
+    assert(a == b, "semanticDedup must be partitioning-independent")
+  }
 }

@@ -246,6 +246,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st4: the batch rendering equals a streaming run over the same events") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    // the whole sf0.001 events table through a MemoryStream — the Q
+    // entry runs intervalJoinStream on batch frames, so this pins that
+    // the SAME operator produces the SAME pairs when actually streamed
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("us"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    val source = MemoryStream[(Long, Long, String, Long)]
+    val f = source.toDF().toDF("event_id", "user_id", "event_type", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.intervalJoinStream(
+      f.filter(col("event_type") === "view"),
+      f.filter(col("event_type") === "click"), "user_id", 720)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st4_stream_out").start()
+    try {
+      source.addData(rows.toIndexedSeq: _*)
+      q.processAllAvailable()
+      val got = spark.table("st4_stream_out")
+        .select("user_id", "l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      val want = SparkEntry.queries("st4_interval_join")(spark, sf)
+        .select("user_id", "view_id", "click_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+      assert(got == want, s"stream ${got.size} pairs vs batch ${want.size}")
+      assert(want.nonEmpty, "sf0.001 should produce at least one pair")
+    } finally q.stop()
+  }
+
   test("streaming dedup: first occurrence kept, duplicates dropped, state evicted by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -63,4 +63,32 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(1L) > 0.5, s"repetitive doc scored ${got(1L)}")
     assert(got(2L) == 0.0)
   }
+
+  test("gopher rules: each rule trips on its own violation, boundaries are exact") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: clean 30-word doc — every rule passes
+      1L -> (("the quick brown fox jumps over a lazy dog today " * 3).trim),
+      // 2: 5 words — fails r_len only, everything else healthy
+      2L -> "short doc with the a",
+      // 3: 25 one-char-ish words — mean length below 3 fails r_wordlen
+      3L -> (("a " * 24).trim + " the"),
+      // 4: 5 '#' symbols against 25 words — fails r_symbol (and r_stop:
+      //    no stopwords); r_alpha sits on its exact 80% boundary and passes
+      4L -> (("word " * 20).trim + " # # # # #"),
+      // 5: 20 numeric words — fails r_alpha and r_stop; r_len and
+      //    r_wordlen both sit on exact boundaries (20 words, mean 3)
+      5L -> ("123 " * 20).trim
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.gopherRules(docs).collect().map { r =>
+      r.getLong(0) -> (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5),
+        r.getInt(6), r.getInt(7))
+    }.toMap
+    // (r_len, r_wordlen, r_alpha, r_symbol, r_stop, keep)
+    assert(got(1L) == ((1, 1, 1, 1, 1, 1)), s"doc1: ${got(1L)}")
+    assert(got(2L) == ((0, 1, 1, 1, 1, 0)), s"doc2: ${got(2L)}")
+    assert(got(3L) == ((1, 0, 1, 1, 1, 0)), s"doc3: ${got(3L)}")
+    assert(got(4L) == ((1, 1, 1, 0, 0, 0)), s"doc4: ${got(4L)}")
+    assert(got(5L) == ((1, 1, 0, 1, 0, 0)), s"doc5: ${got(5L)}")
+  }
 }
