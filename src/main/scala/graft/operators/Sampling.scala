@@ -218,6 +218,95 @@ object Sampling {
           .agg(max(col("cnt")).cast("long").as("n_total"),
             count(lit(1)).as("n_kept"))
           .orderBy("lang")
-      })
+      }),
+
+    // SP8 — DSIR: Data Selection with Importance Resampling (Xie et
+    // al. 2023, arXiv:2302.03169) — the model-free way to tilt a raw
+    // corpus toward a target domain. Features are hashed word unigrams
+    // (1024 md5 buckets — the paper's hashed n-grams); the target
+    // distribution here is the corpus's own lang='en' slice standing in
+    // for the target domain. Per doc the log importance weight is
+    //   λ(d) = Σ_tokens ln p̂_target[b] − ln p̂_raw[b]
+    // with +1 Laplace smoothing, and selection is the paper's Gumbel
+    // top-k: key = λ + Gumbel noise derived DETERMINISTICALLY from
+    // md5(doc_id) (u = (h+0.5)/2^32, g = −ln(−ln u)), take the k =
+    // ⌈10%·N⌉ largest keys. Every per-token ln argument is a ratio of
+    // EXACT bigint products (< 2^53, so the double division is
+    // correctly rounded identically in both engines); the per-doc sum
+    // and the final key round(6) to absorb summation-order ulp — the
+    // t13 contract. Scale shape: both count tables broadcast (≤1024
+    // rows), the corpus is scanned twice (count, score) with one
+    // groupBy(doc_id) shuffle, and selection avoids any global window:
+    // the k-th (key, −id) boundary comes from a distributed
+    // TakeOrderedAndProject and broadcasts back as one row.
+    Q("sp8_dsir_select",
+      Some("""WITH tok AS (SELECT doc_id, lang,
+              |        unnest(regexp_split_to_array(trim(lower(text)), '\s+')) AS t
+              |      FROM documents),
+              |tb AS (SELECT doc_id, lang,
+              |        ('0x' || substr(md5(t), 1, 8))::BIGINT % 1024 AS b FROM tok),
+              |r AS (SELECT b, count(*) AS c_r FROM tb GROUP BY b),
+              |g AS (SELECT b, count(*) AS c_t FROM tb WHERE lang = 'en' GROUP BY b),
+              |tr AS (SELECT sum(c_r) AS t_r FROM r),
+              |tg AS (SELECT sum(c_t) AS t_t FROM g),
+              |terms AS (SELECT tb.doc_id,
+              |        ln(cast((coalesce(g.c_t, 0) + 1) * (tr.t_r + 1024) AS DOUBLE)
+              |           / ((r.c_r + 1) * (tg.t_t + 1024))) AS term
+              |      FROM tb JOIN r USING (b) LEFT JOIN g USING (b), tr, tg),
+              |d AS (SELECT doc_id, count(*) AS n_tokens, sum(term) AS lw
+              |      FROM terms GROUP BY doc_id),
+              |keyed AS (SELECT doc_id, n_tokens, round(lw, 6) AS logw,
+              |        round(lw - ln(-ln(
+              |          (('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT
+              |            + 0.5) / 4294967296)), 6) AS gkey
+              |      FROM d),
+              |rk AS (SELECT *, rank() OVER (ORDER BY gkey DESC, doc_id) AS rnk,
+              |        count(*) OVER () AS n FROM keyed)
+              |SELECT doc_id, n_tokens, logw, gkey,
+              |  CASE WHEN rnk <= cast(ceil(0.1 * n) AS BIGINT) THEN 1 ELSE 0 END
+              |    AS selected
+              |FROM rk ORDER BY doc_id""".stripMargin),
+      (s, d) => dsirSelect(T.documents(s, d), col("lang") === "en", 0.1)
+        .orderBy("doc_id"))
   )
+
+  /** SP8's library form: score every doc's log importance weight
+    * toward the `target` slice and Gumbel-top-k select `frac` of the
+    * corpus. See the Q entry's comment for the exact arithmetic
+    * contract. `docs` needs (doc_id, text) plus whatever `target`
+    * reads. */
+  def dsirSelect(docs: org.apache.spark.sql.DataFrame, target: Column,
+      frac: Double): org.apache.spark.sql.DataFrame = {
+    val B = 1024
+    val tb = docs.select(col("doc_id"), target.as("is_t"),
+      explode(split(trim(lower(col("text"))), "\\s+")).as("t"))
+      .select(col("doc_id"), col("is_t"),
+        (conv(substring(md5(col("t")), 1, 8), 16, 10).cast("long") % B).as("b"))
+    val r = tb.groupBy("b").agg(count(lit(1)).as("c_r"))
+    val g = tb.filter(col("is_t")).groupBy("b").agg(count(lit(1)).as("c_t"))
+    val tr = r.agg(sum("c_r").as("t_r"))
+    val tg = g.agg(sum("c_t").as("t_t"))
+    val terms = tb.join(broadcast(r), "b")
+      .join(broadcast(g), Seq("b"), "left")
+      .crossJoin(broadcast(tr)).crossJoin(broadcast(tg))
+      .select(col("doc_id"),
+        log(((coalesce(col("c_t"), lit(0L)) + 1) * (col("t_r") + B))
+          .cast("double") / ((col("c_r") + 1) * (col("t_t") + B))).as("term"))
+    val perDoc = terms.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("term").as("lw"))
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("double") + 0.5) / 4294967296.0
+    val keyed = perDoc.select(col("doc_id"), col("n_tokens"),
+      round(col("lw"), 6).as("logw"),
+      round(col("lw") - log(-log(u)), 6).as("gkey"))
+    // k-th boundary under (gkey desc, doc_id asc) — a distributed
+    // top-k heap, not a single-partition window
+    val k = math.max(1, math.ceil(frac * docs.count()).toInt)
+    val ord = struct(col("gkey").as("g"), (-col("doc_id")).as("nid"))
+    val boundary = keyed.orderBy(col("gkey").desc, col("doc_id")).limit(k)
+      .agg(min(ord).as("bnd"))
+    keyed.crossJoin(broadcast(boundary))
+      .select(col("doc_id"), col("n_tokens"), col("logw"), col("gkey"),
+        when(ord >= col("bnd"), 1).otherwise(0).as("selected"))
+  }
 }

@@ -463,7 +463,76 @@ object TextAnalysis {
              |    * (CASE WHEN 10 * n_sym <= len(ts) THEN 1 ELSE 0 END)
              |    * (CASE WHEN n_stopkinds >= 2 THEN 1 ELSE 0 END) AS keep
              |FROM b ORDER BY doc_id""".stripMargin),
-      (s, d) => gopherRules(T.documents(s, d)).orderBy("doc_id"))
+      (s, d) => gopherRules(T.documents(s, d)).orderBy("doc_id")),
+
+    // T16 — C4 line-level cleaning (Raffel et al. 2020, §2.2): the
+    // other half of rule-based filtering — Gopher (t15) judges the
+    // DOCUMENT, C4 edits its LINES. Per line: keep iff it ends in
+    // terminal punctuation, holds ≥5 words, and doesn't mention
+    // "javascript"; per doc: drop if it contains '{', "lorem ipsum",
+    // or keeps <3 lines. Everything is per-row array arithmetic over
+    // the split — map-side only, no explode, no shuffle; the cleaned
+    // text is rebuilt in original line order by array_join. On the
+    // synthetic corpus every doc is one terminal-punctuation-less line
+    // (n_kept=0) — the planted multi-line cases live in
+    // TextAnalysisSpec; the oracle still pins the counts and the
+    // reassembly byte-for-byte.
+    Q("t16_c4_line_filters",
+      Some("""WITH b AS (
+             |  SELECT doc_id, str_split(text, chr(10)) AS ls,
+             |    CASE WHEN contains(text, '{') THEN 1 ELSE 0 END AS has_brace,
+             |    CASE WHEN contains(lower(text), 'lorem ipsum') THEN 1 ELSE 0 END AS has_lorem
+             |  FROM documents),
+             |k AS (
+             |  SELECT doc_id, has_brace, has_lorem,
+             |    cast(len(ls) AS BIGINT) AS n_lines,
+             |    list_filter(ls, l ->
+             |      regexp_matches(l, '[.!?"]$')
+             |      AND len(regexp_split_to_array(trim(l), '\s+')) >= 5
+             |      AND NOT contains(lower(l), 'javascript')) AS kept
+             |  FROM b)
+             |SELECT doc_id, n_lines,
+             |  cast(len(kept) AS BIGINT) AS n_kept,
+             |  has_brace, has_lorem,
+             |  coalesce(array_to_string(kept, chr(10)), '') AS clean_text,
+             |  CASE WHEN len(kept) >= 3 AND has_brace = 0 AND has_lorem = 0
+             |       THEN 1 ELSE 0 END AS keep
+             |FROM k ORDER BY doc_id""".stripMargin),
+      (s, d) => c4LineClean(T.documents(s, d)).orderBy("doc_id")),
+
+    // T17 — hashed linear quality classifier (the fastText/CCNet
+    // model-based filter shape, Joulin et al. 2016): every token hashes
+    // into one of 4096 buckets (first 8 hex digits of md5 — the same
+    // cross-engine hash sp1/d3 use), the bucket indexes a weight table,
+    // and the document's score is the SUM of its token weights — hash,
+    // lookup, accumulate, exactly fastText inference. The weight here
+    // is a pure INTEGER function of the bucket (a Fibonacci-mix into
+    // [-1000,1000]) standing in for the trained table, so the score is
+    // exact bigint arithmetic with no float accumulation order to
+    // diverge on; `hashedLinearScore` takes any weight expression, so a
+    // real trained table broadcasts into the same shape (array lookup).
+    // Map-side only: aggregate() folds the token array in place — no
+    // explode, no shuffle, one codegen'd projection per row.
+    Q("t17_linear_classifier",
+      Some("""SELECT doc_id,
+             |  cast(len(ts) AS BIGINT) AS n_tokens,
+             |  cast(list_sum(list_transform(ts, t ->
+             |    ((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096)
+             |      * 2654435761) % 2001 - 1000)) AS BIGINT) AS score,
+             |  CASE WHEN list_sum(list_transform(ts, t ->
+             |    ((('0x' || substr(md5(t), 1, 8))::BIGINT % 4096)
+             |      * 2654435761) % 2001 - 1000)) > 0
+             |       THEN 1 ELSE 0 END AS keep
+             |FROM (SELECT doc_id,
+             |        regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |      FROM documents)
+             |ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val scored = hashedLinearScore(
+          T.documents(s, d), col("text"),
+          b => (b * lit(2654435761L)) % 2001 - 1000)
+        scored.orderBy("doc_id")
+      })
   )
 
   /** The five t15 rule flags (1/0) over a text column, in board order.
@@ -502,4 +571,52 @@ object TextAnalysis {
     * stage pushes straight onto the scan. */
   def gopherKeep(text: Column): Column =
     gopherFlags(text).map(_._2).reduce(_ * _) === 1
+
+  /** t16's per-line keep predicate (C4 §2.2): terminal punctuation,
+    * ≥5 words, no "javascript". `l` is one line. */
+  def c4LineKeep(l: Column): Column =
+    l.rlike("[.!?\"]$") &&
+      size(split(trim(l), "\\s+")) >= 5 &&
+      !lower(l).contains("javascript")
+
+  /** C4 line-level cleaning over any (doc_id, text, …) frame: line
+    * gates applied inside the row (filter over the split array — no
+    * explode), document gates ('{', "lorem ipsum", ≥3 kept lines), and
+    * the cleaned text reassembled in original line order. One map-side
+    * projection; at 100 TB this runs entirely inside the scan stage. */
+  def c4LineClean(docs: DataFrame): DataFrame = {
+    val ls = split(col("text"), "\n")
+    val kept = filter(ls, c4LineKeep(_))
+    val hasBrace = when(col("text").contains("{"), 1).otherwise(0)
+    val hasLorem =
+      when(lower(col("text")).contains("lorem ipsum"), 1).otherwise(0)
+    docs.select(
+      col("doc_id"),
+      size(ls).cast("long").as("n_lines"),
+      size(kept).cast("long").as("n_kept"),
+      hasBrace.as("has_brace"),
+      hasLorem.as("has_lorem"),
+      array_join(kept, "\n").as("clean_text"),
+      when(size(kept) >= 3 && hasBrace === 0 && hasLorem === 0, 1)
+        .otherwise(0).as("keep"))
+  }
+
+  /** t17's hash → weight-lookup → accumulate scoring over any
+    * (doc_id, text, …) frame. `weightOf` maps a bucket id in
+    * [0, 4096) to an integral weight — a pure expression here, an
+    * `element_at` into a broadcast literal array for a trained model;
+    * either way the fold stays inside one codegen'd projection
+    * (aggregate() over the token array — no explode, no shuffle). */
+  def hashedLinearScore(docs: DataFrame, text: Column,
+      weightOf: Column => Column): DataFrame = {
+    val ts = split(trim(lower(text)), "\\s+")
+    val bucket = (t: Column) =>
+      conv(substring(md5(t), 1, 8), 16, 10).cast("long") % 4096
+    val score = aggregate(ts, lit(0L), (acc, t) => acc + weightOf(bucket(t)))
+    docs.select(
+      col("doc_id"),
+      size(ts).cast("long").as("n_tokens"),
+      score.as("score"),
+      when(score > 0, 1).otherwise(0).as("keep"))
+  }
 }

@@ -206,6 +206,21 @@ object EventStream {
         col(s"r_$payload"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-static enrichment join — the lookup every event pipeline
+    * runs on ingest: each streaming event picks up its dimension
+    * attributes from a STATIC (batch) table. Spark plans the static
+    * side as a broadcast hash join probed per micro-batch — stateless
+    * (no watermark, no state store, append-mode-safe), so the join
+    * adds no streaming state at any throughput; the dimension refreshes
+    * by restarting the query (or routing through a `dw_` view the
+    * warehouse re-points on commit). Left join: an event with no
+    * dimension row passes through with nulls rather than vanishing —
+    * at ingest, dropping unmatched facts silently is the bug. */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      evKey: String, dimKey: String): DataFrame =
+    events.join(broadcast(dim), col(evKey) === col(dimKey), "left")
+      .drop(dimKey)
+
   /** Streaming exact dedup — the continuous rendering of d1: emit the
     * FIRST occurrence of each id, drop subsequent duplicates. The
     * watermark bounds the dedup state: an id's fingerprint is retained
@@ -364,7 +379,7 @@ object EventStream {
              | AND l.event_type = 'view' AND r.event_type = 'click'
              | AND epoch_us(r.ts) > epoch_us(l.ts)
              | AND epoch_us(r.ts) <= epoch_us(l.ts) + 43200000000
-             |ORDER BY user_id, view_us, click_us, view_id, click_id""".stripMargin),
+             |ORDER BY 1, 4, 5, 2, 3""".stripMargin),
       (s, d) => {
         val ev = T.events(s, d)
         intervalJoinStream(ev.filter(col("event_type") === "view"),
@@ -375,6 +390,33 @@ object EventStream {
             expr("unix_micros(l_ts)").as("view_us"),
             expr("unix_micros(r_ts)").as("click_us"))
           .orderBy("user_id", "view_us", "click_us", "view_id", "click_id")
+      }),
+
+    // ST5 — stream-static enrichment join: events pick up customer
+    // dimension attributes on ingest (broadcast probe, stateless),
+    // then roll up per market segment. The Q runs `enrichStream`
+    // itself batch-rendered — the same plan the continuous query
+    // executes per micro-batch; StreamingSpec drives it through a real
+    // MemoryStream and asserts row-for-row equality with this batch
+    // rendering. The unmatched-events lane (left join) is exercised by
+    // the spec's planted orphan key; on this data every event matches.
+    Q("st5_stream_static_enrich",
+      Some("""SELECT c.c_mktsegment AS segment,
+             |  count(*) AS n_events,
+             |  cast(sum(cast(e.value as decimal(18,6))) as double) AS total_value
+             |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+             |GROUP BY 1 ORDER BY segment""".stripMargin),
+      (s, d) => {
+        import org.apache.spark.sql.types.DecimalType
+        val enriched = enrichStream(T.events(s, d),
+          T.customer(s, d).select(col("c_custkey"), col("c_mktsegment")),
+          "user_id", "c_custkey")
+        enriched.select(col("c_mktsegment").as("segment"), col("value"))
+          .groupBy("segment")
+          .agg(count(lit(1)).as("n_events"),
+            sum(col("value").cast(DecimalType(18, 6))).cast("double")
+              .as("total_value"))
+          .orderBy("segment")
       })
   )
 }

@@ -106,4 +106,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(!plan.contains("BatchEvalPython") && !plan.contains("SQLAppliedFunction"),
       s"udf in plan:\n$plan")
   }
+
+  test("dsir: target-vocabulary docs outweigh off-target docs and exactly ⌈frac·N⌉ are selected") {
+    import spark.implicits._
+    // target slice speaks {alpha beta gamma}; the raw rest speaks
+    // {xray yankee zulu}; two UNLABELED probes speak one vocabulary
+    // each — DSIR must rank the target-sounding probe far higher
+    val docs = (
+      (0 until 20).map(i => (i.toLong, "alpha beta gamma alpha beta", "en")) ++
+      (20 until 80).map(i => (i.toLong, "xray yankee zulu xray yankee", "xx")) ++
+      Seq((100L, "alpha beta gamma beta alpha", "xx"),
+          (101L, "xray yankee zulu yankee zulu", "xx"))
+    ).toDF("doc_id", "text", "lang")
+    val got = Sampling.dsirSelect(docs, col("lang") === "en", 0.25)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(2), r.getInt(4)))).toMap
+    assert(got(100L)._1 > got(101L)._1 + 1.0,
+      s"target-vocab probe not favored: ${got(100L)._1} vs ${got(101L)._1}")
+    val nSel = got.values.count(_._2 == 1)
+    assert(nSel == math.ceil(0.25 * 82).toInt, s"selected $nSel")
+    // determinism: a repartitioned rerun selects the same set
+    val again = Sampling.dsirSelect(docs.repartition(7), col("lang") === "en", 0.25)
+      .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
+    assert(got.view.mapValues(_._2).toMap == again)
+  }
 }

@@ -282,6 +282,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("st5: stream-static enrichment joins each micro-batch against the broadcast dim, orphans pass through") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val sf = "/root/testdata/sf0.001"
+    val dim = Tables.customer(spark, sf)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val rows = Tables.events(spark, sf)
+      .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val source = MemoryStream[(Long, Long, Long)]
+    val f = source.toDF().toDF("event_id", "user_id", "us")
+    val q = EventStream.enrichStream(f, dim, "user_id", "c_custkey")
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("st5_stream_out").start()
+    try {
+      // two micro-batches: the real events, then a planted orphan key
+      // no customer row matches — the left join must emit it with null
+      val (a, b) = rows.splitAt(rows.length / 2)
+      source.addData(a.toIndexedSeq: _*); q.processAllAvailable()
+      source.addData(b.toIndexedSeq: _*)
+      source.addData((999999L, 888888L, 0L)); q.processAllAvailable()
+      val got = spark.table("st5_stream_out")
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      val want = EventStream.enrichStream(
+        Tables.events(spark, sf)
+          .select(col("event_id"), col("user_id"), expr("unix_micros(ts)").as("us")),
+        dim, "user_id", "c_custkey")
+        .select("event_id", "c_mktsegment").collect()
+        .map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+      assert(got - 999999L == want, "streamed enrichment diverges from batch")
+      assert(got(999999L).isEmpty, "orphan event lost or matched")
+      assert(want.values.forall(_.nonEmpty), "every real event should match a customer")
+    } finally q.stop()
+  }
+
   test("streaming dedup: first occurrence kept, duplicates dropped, state evicted by watermark") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode

@@ -91,4 +91,83 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(4L) == ((1, 1, 1, 0, 0, 0)), s"doc4: ${got(4L)}")
     assert(got(5L) == ((1, 1, 0, 1, 0, 0)), s"doc5: ${got(5L)}")
   }
+
+  test("c4 line filters: line gates edit, doc gates drop, reassembly keeps order") {
+    import spark.implicits._
+    val docs = Seq(
+      // 1: three clean lines + one no-terminal + one short + one js →
+      //    kept 3 of 6, doc survives, order preserved
+      1L -> Seq(
+        "The first sentence has enough words here.",
+        "no terminal punctuation on this line",
+        "Too short.",
+        "A second good line with many words too!",
+        "Uses javascript for the menu bar today.",
+        "And a third fine line rounds it out?").mkString("\n"),
+      // 2: only two good lines → n_kept < 3 drops the doc
+      2L -> Seq(
+        "A good line with plenty of words here.",
+        "Another good line with plenty of words.").mkString("\n"),
+      // 3: brace anywhere kills the doc even with 3 good lines
+      3L -> Seq(
+        "A good line with plenty of words here.",
+        "Another good line with plenty of words.",
+        "function() { return 1; } is fine prose?",
+        "And a third fine line rounds it out.").mkString("\n"),
+      // 4: boilerplate marker kills the doc
+      4L -> Seq(
+        "A good line with plenty of words here.",
+        "Lorem Ipsum dolor sit amet consectetur adipiscing.",
+        "Another good line with plenty of words.").mkString("\n")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.c4LineClean(docs).collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getInt(3),
+        r.getInt(4), r.getString(5), r.getInt(6)))
+    }.toMap
+    val (n1, k1, b1, lo1, ct1, keep1) = got(1L)
+    assert((n1, k1, b1, lo1, keep1) == ((6L, 3L, 0, 0, 1)))
+    assert(ct1 == Seq(
+      "The first sentence has enough words here.",
+      "A second good line with many words too!",
+      "And a third fine line rounds it out?").mkString("\n"))
+    assert(got(2L)._2 == 2L && got(2L)._6 == 0)
+    assert(got(3L)._3 == 1 && got(3L)._6 == 0)
+    assert(got(4L)._4 == 1 && got(4L)._6 == 0)
+  }
+
+  test("hashed linear classifier: score is the exact sum of per-token weights and a trained-table lookup fits the same shape") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "alpha beta gamma",
+      2L -> "alpha alpha alpha alpha",
+      3L -> "Alpha ALPHA alpha" // case-folded before hashing
+    ).toDF("doc_id", "text")
+    val weightOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      b => (b * lit(2654435761L)) % 2001 - 1000
+    val got = TextAnalysis.hashedLinearScore(docs, col("text"), weightOf)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // per-token weight computed independently of the array fold
+    def w(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      ((java.lang.Long.parseLong(hex, 16) % 4096) * 2654435761L) % 2001 - 1000
+    }
+    assert(got(1L) == ((3L, w("alpha") + w("beta") + w("gamma"))))
+    assert(got(2L) == ((4L, 4 * w("alpha"))))
+    assert(got(3L) == ((3L, 3 * w("alpha"))))
+    // a "trained" weight table broadcasts as a literal array lookup —
+    // same fold, weights now data not formula
+    val table = Array.tabulate(4096)(i => ((i * 31) % 7 - 3).toLong)
+    val lookup: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      b => element_at(typedLit(table.toSeq), (b + 1).cast("int"))
+    val got2 = TextAnalysis.hashedLinearScore(docs, col("text"), lookup)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    def w2(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+      table((java.lang.Long.parseLong(hex, 16) % 4096).toInt)
+    }
+    assert(got2(1L) == w2("alpha") + w2("beta") + w2("gamma"))
+    assert(got2(2L) == 4 * w2("alpha"))
+  }
 }
