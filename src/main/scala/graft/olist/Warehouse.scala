@@ -2146,6 +2146,68 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  /** Size-tiered bin-packing OPTIMIZE (Delta's `OPTIMIZE` policy,
+    * rows as the size currency): rewrites ONLY files below
+    * `minFileRows` live rows, packing each partition's small files
+    * into ⌈Σrows/targetRows⌉ outputs, and leaves every already-compact
+    * file byte-identical — where [[compact]] rewrites the whole table
+    * and [[compactWhere]] whole partitions, this touches exactly the
+    * accumulated append/merge debris. At 100 TB this is the ONLY
+    * affordable steady-state compaction: its I/O is O(small-file
+    * bytes), a pure function of the debris, not the table.
+    *
+    * Live rows = the manifest's committed per-file count minus its DV
+    * rows, so a small file whose deletion vector has hollowed it out
+    * qualifies and the fold happens here (DV sidecars reclaim at the
+    * next vacuum). A lone small file with no DV is left in place —
+    * rewriting it buys nothing. Files predating row stats are skipped
+    * (a full [[compact]] handles them). Same snapshot-consistency
+    * contract as [[compact]]: new files + one atomic manifest swap
+    * under the commit lock. */
+  def compactSmall(name: String, targetRows: Long,
+      minFileRows: Long): Warehouse.CompactResult = {
+    require(database.isEmpty, "compactSmall applies to path-mode tables only")
+    require(minFileRows > 0 && targetRows >= minFileRows,
+      s"compactSmall: need 0 < minFileRows ≤ targetRows")
+    val parts = partitionColsOf(name)
+    withCommitLock(name) {
+      val (files, meta) = currentManifestFull(name) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalArgumentException(
+          s"compactSmall: $name has no committed snapshot")
+      }
+      val sc = metaSchema(meta).getOrElse(tableSchema(name))
+      requireUniformLayout("compactSmall", name, files)
+      val live = (f: Warehouse.DataFile) => f.stats.get(RowsKey)
+        .map(_._1.toLong - f.dv.map(_.rows).getOrElse(0L))
+      val cand = files.flatMap { f =>
+        live(f) match {
+          case Some(r) if r < minFileRows =>
+            Some((f.path.split("/").dropRight(1).mkString("/"), f, r))
+          case _ => None
+        }
+      }
+      // a group compacts only when it nets fewer files or folds a DV
+      val groups = cand.groupBy(_._1).filter { case (_, g) =>
+        g.size >= 2 || g.exists(_._2.dv.nonEmpty)
+      }
+      if (groups.isEmpty) Warehouse.CompactResult(0, 0, files.size)
+      else {
+        val doomed = groups.valuesIterator.flatten.map(_._2.path).toSet
+        val newFiles = groups.toSeq.sortBy(_._1).flatMap { case (_, g) =>
+          val bins = math.max(1L,
+            (g.map(_._3).sum + targetRows - 1) / targetRows).toInt
+          val df = fromFiles(name, g.map(_._2.path), sc)
+          stageWrite(name,
+            clustered(name, df.repartition(bins), parts), parts)
+        }
+        val untouched = files.filterNot(f => doomed.contains(f.path))
+        commitManifest(name, untouched ++ newFiles, op = "compact")
+        Warehouse.CompactResult(doomed.size, newFiles.size, untouched.size)
+      }
+    }
+  }
+
   /** Partition-scoped OPTIMIZE: compacts ONLY the partitions matching
     * `partitionPredicate`, leaving every other file untouched
     * byte-for-byte. THE compaction shape at 100 TB — yesterday's

@@ -268,7 +268,47 @@ object Sampling {
               |FROM rk ORDER BY doc_id""".stripMargin),
       (s, d) => dsirSelect(T.documents(s, d), col("lang") === "en", 0.1)
         .orderBy("doc_id"))
+  ,
+
+    // SP9 — per-source quota cap: "at most N documents per domain",
+    // the over-represented-domain guard every web-scale recipe applies
+    // (C4 caps pages per host; RefinedWeb caps per registered domain).
+    // Within each source the keep set is the N docs with the SMALLEST
+    // stable hash key — membership is a pure function of (doc_id,
+    // source, N): reproducible across runs, layouts, and engines, and
+    // adding documents to a source never evicts more than the overflow.
+    // Rank = row_number over (hash key, doc_id) partitioned by source —
+    // ONE shuffle on the group key; each group sorts independently
+    // (the w3 per-group-top-k shape). A pathologically hot domain sorts
+    // in one task — the mitigation at 100 TB is the same two-level
+    // trick sp3 uses: pre-filter with an approximate hash-rate gate
+    // (cap/count) before the exact rank, which this composes with.
+    Q("sp9_source_cap",
+      Some(s"""SELECT doc_id, source, rk,
+              |  CASE WHEN rk <= 15 THEN 1 ELSE 0 END AS kept
+              |FROM (SELECT doc_id, source,
+              |        row_number() OVER (PARTITION BY source
+              |          ORDER BY ('0x' || substr(md5(cast(doc_id AS varchar)), 1, 8))::BIGINT,
+              |            doc_id) AS rk
+              |      FROM documents)
+              |ORDER BY doc_id""".stripMargin),
+      (s, d) => sourceCap(T.documents(s, d), col("source"), 15)
+        .orderBy("doc_id"))
   )
+
+  /** SP9's library form: deterministic at-most-`cap` rows per group.
+    * Returns (doc_id, source, rk, kept); filter `kept = 1` to apply. */
+  def sourceCap(docs: org.apache.spark.sql.DataFrame, by: Column,
+      cap: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rk = row_number()
+      .over(Window.partitionBy(by).orderBy(key.asc, col("doc_id").asc))
+    docs.select(col("doc_id"), by.as("source"))
+      .withColumn("rk", rk)
+      .withColumn("kept", when(col("rk") <= cap, 1).otherwise(0))
+  }
 
   /** SP8's library form: score every doc's log importance weight
     * toward the `target` slice and Gumbel-top-k select `frac` of the

@@ -994,6 +994,86 @@ object Similarity {
     // spread (max intra-corpus cosine ≈ 0.51); real text embeddings
     // use the default 0.95.
     Q("d16_semantic_dedup", None,
-      (s, d) => semanticDedup(T.embeddings(s, d), tau = 0.3))
+      (s, d) => semanticDedup(T.embeddings(s, d), tau = 0.3)),
+
+    // E14 — hybrid retrieval: BM25 (t18's sparse lane) ∪ dense cosine
+    // (e1's lane), fused by reciprocal-rank fusion (Cormack et al.'s
+    // rrf, the standard hybrid-search combiner: score = Σ 1/(60+rank)).
+    // The scale split is deliberate: candidate GENERATION is the
+    // distributed part (BM25 = two map-side scans + a single-row stats
+    // broadcast; dense = one scan into TakeOrderedAndProject) and each
+    // lane hands over only its top-50 (id, rank) rows, so the fusion —
+    // rank windows + a full-outer join + re-sort — touches ≤100 rows
+    // regardless of corpus size. RRF is also why the float contract is
+    // easy: scores are 1/(60+r) over EXACT integer ranks (both engines
+    // rank by the same round(6)/round(12) keys with id tie-breaks), two
+    // correctly-rounded divisions and one sum in fixed order — no libm,
+    // bit-identical, no rounding needed on the fused score.
+    Q("e14_rrf_fusion",
+      Some(s"""WITH ${cosineCte(QUERY_ID)},
+              |sr AS (SELECT doc_id,
+              |         cast(row_number() OVER (ORDER BY score DESC, doc_id)
+              |           AS INT) AS r
+              |       FROM (${TextAnalysis.bm25OracleSql(
+                        TextAnalysis.bm25Query, RRF_POOL)})),
+              |dr AS (SELECT vec_id,
+              |         cast(row_number() OVER (ORDER BY cosine DESC, vec_id)
+              |           AS INT) AS r
+              |       FROM (SELECT vec_id, cosine FROM cs
+              |             ORDER BY cosine DESC, vec_id LIMIT $RRF_POOL))
+              |SELECT coalesce(s.doc_id, d.vec_id) AS doc_id,
+              |  s.r AS bm25_rank, d.r AS cos_rank,
+              |  (coalesce(cast(1.0 AS DOUBLE)/(60 + s.r), cast(0.0 AS DOUBLE)) +
+              |   coalesce(cast(1.0 AS DOUBLE)/(60 + d.r), cast(0.0 AS DOUBLE)))
+              |    AS rrf
+              |FROM sr s FULL JOIN dr d ON s.doc_id = d.vec_id
+              |ORDER BY rrf DESC, doc_id LIMIT $TOP_K""".stripMargin),
+      (s, d) => {
+        val sparse = TextAnalysis
+          .bm25TopK(T.documents(s, d), TextAnalysis.bm25Query, RRF_POOL)
+          .withColumn("r", row_number()
+            .over(Window.orderBy(col("score").desc, col("doc_id"))))
+          .select("doc_id", "r")
+        val dense = withQueryVec(s, d)
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc).limit(RRF_POOL)
+          .withColumn("r", row_number()
+            .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+          .select("vec_id", "r")
+        rrfFuse(Seq(sparse, dense), k = TOP_K)
+          .select(col("id").as("doc_id"), col("r0").as("bm25_rank"),
+            col("r1").as("cos_rank"), col("rrf"))
+      })
   )
+
+  /** Candidate-pool depth each retrieval lane feeds into the fusion.
+    * (`lazy`: referenced from `all`'s eager Q registrations above —
+    * a plain val declared after `all` would still be 0 there.) */
+  private lazy val RRF_POOL = 50
+
+  /** Reciprocal-rank fusion over N ranked candidate lists. Each input
+    * is a 2-column frame (id, 1-based rank) ALREADY truncated to its
+    * pool — so every join here is over pool-bounded row counts (the
+    * lists' top-k), never the corpus; the heavy lifting happened in
+    * whatever produced the ranks. Ids missing from a list contribute 0
+    * for that list (full-outer fold). Output: (id, r0…rN-1, rrf),
+    * top-`k` by (rrf desc, id). */
+  def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
+    require(ranked.nonEmpty, "rrfFuse: need at least one ranked list")
+    val named = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col(df.columns(0)).as("id"), col(df.columns(1)).as(s"r$i"))
+    }
+    val joined = named.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
+    val rrf = named.indices
+      .map(i => coalesce(lit(1.0) / (lit(c) + col(s"r$i")), lit(0.0)))
+      .reduce(_ + _)
+    joined
+      .select(col("id") +: named.indices.map(i => col(s"r$i")) :+
+        rrf.as("rrf"): _*)
+      .orderBy(col("rrf").desc, col("id").asc)
+      .limit(k)
+  }
 }

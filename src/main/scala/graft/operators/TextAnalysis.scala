@@ -532,8 +532,182 @@ object TextAnalysis {
           T.documents(s, d), col("text"),
           b => (b * lit(2654435761L)) % 2001 - 1000)
         scored.orderBy("doc_id")
+      }),
+
+    // T18 — BM25 top-k retrieval (Robertson & Walker 1994; the
+    // Okapi/Lucene ranking function): the retrieval primitive a
+    // training-data pipeline uses for decontamination lookups, quality
+    // probes, and RAG corpus search. Corpus statistics (N, Σdl, per-term
+    // df) are ONE aggregate broadcast back as a single row; each doc's
+    // score is then a map-side projection (tf from the token array, no
+    // explode), and the top-k is a TakeOrderedAndProject — at 100 TB:
+    // two map-side scans, one single-row broadcast, no wide shuffle.
+    // Cross-engine float contract (the t13 rules): idf's argument is a
+    // ratio of exact bigints — ln((2N+2)/(2df+1)) is algebraically
+    // (N+1)/(df+0.5) — the length norm starts from the exact Σdl/N
+    // division, terms sum in FIXED query order (left fold, not a
+    // grouped aggregate), and round(6) absorbs libm ulp differences.
+    Q("t18_bm25_topk",
+      Some(bm25OracleSql(bm25Query, 10)),
+      (s, d) => bm25TopK(T.documents(s, d), bm25Query, 10)),
+
+    // T19 — TRAINED hashed linear classifier: the training half of
+    // t17's fastText-shaped filter, run entirely in the engine.
+    // Full-batch logistic regression over hashed unigram counts
+    // (4096 md5 buckets + bias), gradient descent with the weights
+    // BROADCAST as one array literal per iteration and the gradient
+    // coming back as ONE ≤4097-row aggregation (map-side combine) —
+    // no parameter server, no driver-side data. Per-doc residuals are
+    // QUANTIZED to 1e-6 fixed point before the per-bucket sum, so the
+    // gradient is exact long arithmetic — training is bit-reproducible
+    // across partitionings and cluster sizes (asserted in
+    // TextAnalysisSpec). The label here is a planted linear concept
+    // (3·tf(vector) + 2·tf(stream) − tf(slow) > 1) the model must
+    // recover; the spec asserts ≥95% train accuracy and layout
+    // independence. Rows-only: a gradient-descent run is not
+    // SQL-expressible in DuckDB (the e12/d16 precedent).
+    Q("t19_trained_classifier", None,
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val w = trainHashedClassifier(docs, plantedConcept(col("text")),
+          iters = 30, lr = 2.0)
+        scoreWithWeights(docs, col("text"), w).orderBy("doc_id")
       })
   )
+
+  /** The linear concept t19 trains against: a fixed integer-weighted
+    * combination of token counts, so separability is by construction. */
+  def plantedConcept(text: Column): Column = {
+    val ts = tokens(lower(text))
+    val cnt = (t: String) => size(filter(ts, x => x === t)).cast("long")
+    lit(3) * cnt("vector") + lit(2) * cnt("stream") - cnt("slow") > 1
+  }
+
+  private def tokenBuckets(text: Column, buckets: Int): Column =
+    transform(split(trim(lower(text)), "\\s+"),
+      t => conv(substring(md5(t), 1, 8), 16, 10).cast("long") % buckets)
+
+  /** Full-batch logistic-regression training over hashed unigram
+    * counts. Returns `buckets + 1` doubles (bias last). Each iteration
+    * is ONE scan of the cached tokenized form plus a ≤(buckets+1)-row
+    * shuffle; the collect is bounded by the model size, never the data.
+    * Residuals quantize to 1e-6 fixed point so per-bucket gradient
+    * sums are exact longs — bit-identical under any partitioning. */
+  def trainHashedClassifier(docs: DataFrame, label: Column,
+      iters: Int = 30, lr: Double = 0.5,
+      buckets: Int = 4096): Array[Double] = {
+    val prep = docs
+      .select(label.cast("int").cast("double").as("y"),
+        tokenBuckets(col("text"), buckets).as("bs"))
+      .cache()
+    val n = prep.count().toDouble
+    val w = Array.fill(buckets + 1)(0.0)
+    for (_ <- 0 until iters) {
+      val wLit = typedlit(w.toSeq)
+      val score = col("w_bias") +
+        aggregate(col("bs"), lit(0.0),
+          (acc, b) => acc + element_at(wLit, (b + 1).cast("int")))
+      val p = lit(1.0) / (lit(1.0) + exp(-score))
+      // rq = round((p − y)·1e6) as exact fixed point; bucket −1 = bias.
+      val grads = prep
+        .withColumn("w_bias", lit(w(buckets)))
+        .select(round((p - col("y")) * 1e6, 0).cast("long").as("rq"),
+          concat(col("bs"), array(lit(-1L))).as("bs"))
+        .select(col("rq"), explode(col("bs")).as("b"))
+        .groupBy("b").agg(sum("rq").as("g"))
+        .collect()
+      grads.foreach { r =>
+        val b = r.getLong(0); val g = r.getLong(1) / 1e6
+        val i = if (b < 0) buckets else b.toInt
+        w(i) -= lr * g / n
+      }
+    }
+    prep.unpersist()
+    w
+  }
+
+  /** Score a frame with trained [[trainHashedClassifier]] weights —
+    * t17's fold with the broadcast model array (bias last). */
+  def scoreWithWeights(docs: DataFrame, text: Column,
+      w: Array[Double]): DataFrame = {
+    val buckets = w.length - 1
+    val wLit = typedlit(w.toSeq)
+    val score = lit(w(buckets)) +
+      aggregate(tokenBuckets(text, buckets), lit(0.0),
+        (acc, b) => acc + element_at(wLit, (b + 1).cast("int")))
+    docs.select(col("doc_id"), round(score, 6).as("score"),
+      when(score > 0, 1).otherwise(0).as("keep"))
+  }
+
+  /** The fixed literal query t18 scores — terms chosen from the
+    * synthetic vocabulary with distinct document frequencies.
+    * (`lazy`: referenced from `all`'s Q registrations, which run during
+    * object init BEFORE this val would be assigned — a plain val is
+    * still null there.) */
+  lazy val bm25Query: Seq[String] = Seq("vector", "stream", "merge")
+
+  /** BM25 top-k retrieval over any (doc_id, text, …) frame for a fixed
+    * literal query. k1=1.2, b=0.75 (the Lucene defaults). Stats pass +
+    * scoring pass, both map-side; the stats row broadcasts. */
+  def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
+    val ts = tokens(lower(col("text")))
+    val base = docs.select(
+      col("doc_id") +: size(ts).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(ts, x => x === t)).cast("long").as(s"tf$i")
+        }: _*)
+    val stats = base.agg(
+      count(lit(1)).as("n"),
+      sum(col("dl")).as("sum_dl") +:
+        terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
+    val scored = base.crossJoin(broadcast(stats))
+    // Shared subexpressions — identical nesting to the oracle SQL.
+    val avgdl = col("sum_dl").cast("double") / col("n")
+    val lenNorm =
+      lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+    val termScore = (i: Int) =>
+      log((lit(2) * col("n") + 2).cast("double") /
+        (lit(2) * col(s"df$i") + 1)) *
+        ((col(s"tf$i") * lit(2.2)) / (col(s"tf$i") + lenNorm))
+    val score = terms.indices.map(termScore).reduce(_ + _)
+    scored
+      .select(col("doc_id"), col("dl"), round(score, 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** DuckDB rendering of [[bm25TopK]] over `documents` — the same
+    * expression shapes in the same order, so every double operation is
+    * IEEE-identical and round(6) only has libm-ln ulps to absorb. */
+  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"cast(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(",\n    ")
+    val dfCols = terms.indices.map(i =>
+      s"cast(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n    ")
+    val termSql = terms.indices.map(i =>
+      s"(ln(cast(2*n + 2 AS DOUBLE) / (2*df$i + 1)) * " +
+        s"((tf$i * cast(2.2 AS DOUBLE)) / (tf$i + " +
+        "(cast(1.2 AS DOUBLE) * (cast(0.25 AS DOUBLE) + " +
+        "cast(0.75 AS DOUBLE) * (dl / (cast(sum_dl AS DOUBLE) / n)))))))")
+      .reduce((a, b) => s"($a + $b)")
+    s"""WITH base AS (
+       |  SELECT doc_id, cast(len(ts) AS BIGINT) AS dl,
+       |    $tfCols
+       |  FROM (SELECT doc_id,
+       |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |        FROM documents)),
+       |stats AS (
+       |  SELECT cast(count(*) AS BIGINT) AS n,
+       |    cast(sum(dl) AS BIGINT) AS sum_dl,
+       |    $dfCols
+       |  FROM base)
+       |SELECT doc_id, dl, round($termSql, 6) AS score
+       |FROM base, stats
+       |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
+  }
 
   /** The five t15 rule flags (1/0) over a text column, in board order.
     * Repeated subtrees (the token split) are deduplicated by

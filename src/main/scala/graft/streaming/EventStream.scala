@@ -206,6 +206,36 @@ object EventStream {
         col(s"r_$payload"), col("l_ts"), col("r_ts"))
   }
 
+  /** Stream-stream LEFT OUTER interval join — [[intervalJoinStream]]
+    * plus the unmatched-left lane: a left event with no right match
+    * inside the window still emits (with nulls) once BOTH watermarks
+    * pass the point where a match could still arrive — the
+    * "views that never converted" stream an attribution pipeline
+    * needs, which the inner join silently drops. State is the same
+    * watermark-bounded two-sided buffer as the inner join (Spark holds
+    * left rows only until their join window closes); batch-rendered,
+    * the identical operator is a plain left join, which is what the
+    * oracle checks and what the final streaming result converges to
+    * (StreamingSpec drives the null-emission timing through two
+    * MemoryStreams). */
+  def leftOuterIntervalJoinStream(left: DataFrame, right: DataFrame,
+      key: String, windowMinutes: Int,
+      ts: String = "ts", payload: String = "event_id"): DataFrame = {
+    val l = left.withWatermark(ts, s"$windowMinutes minutes")
+      .select(col(key).as("l_key"), col(ts).as("l_ts"),
+        col(payload).as(s"l_$payload"))
+    val r = right.withWatermark(ts, s"$windowMinutes minutes")
+      .select(col(key).as("r_key"), col(ts).as("r_ts"),
+        col(payload).as(s"r_$payload"))
+    l.join(r, expr(
+      s"""l_key = r_key AND
+         |r_ts > l_ts AND
+         |r_ts <= l_ts + interval $windowMinutes minutes""".stripMargin),
+      "left_outer")
+      .select(col("l_key").as(key), col(s"l_$payload"),
+        col(s"r_$payload"), col("l_ts"), col("r_ts"))
+  }
+
   /** Stream-static enrichment join — the lookup every event pipeline
     * runs on ingest: each streaming event picks up its dimension
     * attributes from a STATIC (batch) table. Spark plans the static
@@ -417,6 +447,40 @@ object EventStream {
             sum(col("value").cast(DecimalType(18, 6))).cast("double")
               .as("total_value"))
           .orderBy("segment")
+      }),
+
+    // ST6 — stream-stream LEFT OUTER interval join: every view, with
+    // its within-12h same-user clicks OR nulls — st4 plus the
+    // views-that-never-converted lane (the rows an inner attribution
+    // join silently drops, and the side a funnel's drop-off analysis
+    // actually needs). The runner is [[leftOuterIntervalJoinStream]]
+    // batch-rendered — identical plan modulo streaming state, and the
+    // final converged streaming result IS the batch left join;
+    // StreamingSpec pins the subtle half: the null row for an
+    // unmatched view emits only after BOTH watermarks pass its join
+    // window. Oracle note: the right side's type filter lives in the
+    // ON clause and the left's in WHERE — on a left join those are
+    // semantically different positions, matching the stream shape.
+    Q("st6_outer_interval_join",
+      Some("""SELECT l.user_id, l.event_id AS view_id, r.event_id AS click_id,
+             |  epoch_us(l.ts) AS view_us, epoch_us(r.ts) AS click_us
+             |FROM events l LEFT JOIN events r
+             |  ON l.user_id = r.user_id
+             | AND r.event_type = 'click'
+             | AND epoch_us(r.ts) > epoch_us(l.ts)
+             | AND epoch_us(r.ts) <= epoch_us(l.ts) + 43200000000
+             |WHERE l.event_type = 'view'
+             |ORDER BY 1, 4, 5, 2, 3""".stripMargin),
+      (s, d) => {
+        val ev = T.events(s, d)
+        leftOuterIntervalJoinStream(ev.filter(col("event_type") === "view"),
+          ev.filter(col("event_type") === "click"),
+          "user_id", windowMinutes = 720)
+          .select(col("user_id"), col("l_event_id").as("view_id"),
+            col("r_event_id").as("click_id"),
+            expr("unix_micros(l_ts)").as("view_us"),
+            expr("unix_micros(r_ts)").as("click_us"))
+          .orderBy("user_id", "view_us", "click_us", "view_id", "click_id")
       })
   )
 }

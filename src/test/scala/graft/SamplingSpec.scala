@@ -130,4 +130,34 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getInt(4)).toMap
     assert(got.view.mapValues(_._2).toMap == again)
   }
+
+  test("source cap: at most N kept per group, under-cap groups untouched, membership is layout-stable and monotone under growth") {
+    import spark.implicits._
+    val docs = ((0 until 40).map(i => (i.toLong, s"d$i", "big")) ++
+      (100 until 103).map(i => (i.toLong, s"d$i", "small")))
+      .toDF("doc_id", "text", "source")
+    val got = Sampling.sourceCap(docs, col("source"), 15)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getInt(2), r.getInt(3))))
+    val kept = got.filter(_._2._3 == 1)
+    assert(kept.count(_._2._1 == "big") == 15)
+    assert(kept.count(_._2._1 == "small") == 3) // under cap: all kept
+    // ranks are a permutation of 1..groupSize
+    assert(got.filter(_._2._1 == "big").map(_._2._2).sorted.toSeq == (1 to 40))
+    // layout independence
+    val again = Sampling.sourceCap(docs.repartition(5), col("source"), 15)
+      .collect().map(r => r.getLong(0) -> r.getInt(3)).toMap
+    assert(got.map(kv => kv._1 -> kv._2._3).toMap == again)
+    // monotone under growth: adding docs to a group never evicts more
+    // than the overflow — keys already in the top-N stay unless a new
+    // doc hashes below them; with the SAME first 40 ids plus 10 more,
+    // the kept set is the 15 smallest keys of the union
+    val grown = ((0 until 50).map(i => (i.toLong, s"d$i", "big")))
+      .toDF("doc_id", "text", "source")
+    val keptBefore = kept.filter(_._2._1 == "big").map(_._1).toSet
+    val keptAfter = Sampling.sourceCap(grown, col("source"), 15)
+      .collect().filter(_.getInt(3) == 1).map(_.getLong(0)).toSet
+    assert((keptBefore intersect keptAfter).size >= 5)
+    assert(keptAfter.size == 15)
+  }
 }

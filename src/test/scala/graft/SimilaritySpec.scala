@@ -391,4 +391,31 @@ class SimilaritySpec extends AnyFunSuite {
       .collect().toSeq
     assert(a == b, "semanticDedup must be partitioning-independent")
   }
+
+  test("rrf fusion: closed-form scores, both-list docs beat single-list tops, missing ranks contribute zero") {
+    import spark.implicits._
+    // list A ranks 1..4 = docs 10,11,12,13; list B ranks 1..4 = 20,12,11,21
+    val a = Seq((10L, 1), (11L, 2), (12L, 3), (13L, 4)).toDF("id", "r")
+    val b = Seq((20L, 1), (12L, 2), (11L, 3), (21L, 4)).toDF("id", "r")
+    val got = operators.Similarity.rrfFuse(Seq(a, b), k = 10)
+      .collect()
+      .map(r => (r.getLong(0),
+        (if (r.isNullAt(1)) -1 else r.getInt(1),
+          if (r.isNullAt(2)) -1 else r.getInt(2), r.getDouble(3))))
+      .toMap
+    def s(r: Int) = 1.0 / (60 + r)
+    assert(got(11L) == ((2, 3, s(2) + s(3))))
+    assert(got(12L) == ((3, 2, s(3) + s(2))))
+    assert(got(10L) == ((1, -1, s(1) + 0.0))) // A-only: B term is zero
+    assert(got(20L) == ((-1, 1, 0.0 + s(1)))) // B-only
+    assert(got.size == 6)
+    // docs in BOTH lists outrank every single-list doc, even rank-1s
+    val order = operators.Similarity.rrfFuse(Seq(a, b), k = 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(order.take(2).toSet == Set(11L, 12L), order.toString)
+    // 11 and 12 tie exactly (symmetric ranks) → id tie-break
+    assert(order.take(2) == Seq(11L, 12L))
+    // k truncates after the fused sort
+    assert(operators.Similarity.rrfFuse(Seq(a, b), k = 3).count() == 3)
+  }
 }

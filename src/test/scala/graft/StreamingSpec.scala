@@ -473,4 +473,42 @@ class StreamingSpec extends AnyFunSuite {
     assert(batch.filter(col("_change_type") === "insert").count() == 6)
     assert(batch.filter(col("_change_type") === "delete").count() == 2)
   }
+
+  test("left-outer interval join: matches emit promptly, the null row only after both watermarks close its window") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val t0 = 1700000000000000L
+    val min = 60L * 1000 * 1000
+    def src() = MemoryStream[(Long, Long, Long)] // (user_id, event_id, us)
+    val views = src(); val clicks = src()
+    def frame(m: MemoryStream[(Long, Long, Long)]) =
+      m.toDF().toDF("user_id", "event_id", "us")
+        .withColumn("ts", timestamp_micros(col("us")))
+    val q = EventStream.leftOuterIntervalJoinStream(
+      frame(views), frame(clicks), "user_id", 5)
+      .writeStream.outputMode(OutputMode.Append())
+      .format("memory").queryName("loj_out").start()
+    try {
+      // two views; only user 1's will ever see a click
+      views.addData((1L, 10L, t0), (2L, 11L, t0))
+      q.processAllAvailable()
+      clicks.addData((1L, 20L, t0 + 2 * min))
+      q.processAllAvailable()
+      def got(): Set[(Long, Option[Long])] = spark.table("loj_out")
+        .select("l_event_id", "r_event_id").collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSet
+      // the match emits promptly; the unmatched view is STILL HELD —
+      // a click for it could arrive until the watermark passes t0+5min
+      assert(got() == Set((10L, Some(20L))), s"early emit: ${got()}")
+      // advance BOTH watermarks past the window end: the held view
+      // emits its null row exactly once
+      views.addData((9L, 90L, t0 + 100 * min))
+      clicks.addData((9L, 91L, t0 + 100 * min))
+      q.processAllAvailable()
+      assert(got() == Set((10L, Some(20L)), (11L, None)), got().toString)
+    } finally q.stop()
+  }
 }

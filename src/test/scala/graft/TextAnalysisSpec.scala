@@ -170,4 +170,63 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got2(1L) == w2("alpha") + w2("beta") + w2("gamma"))
     assert(got2(2L) == 4 * w2("alpha"))
   }
+
+  test("bm25: scores match the closed form, rank by relevance, zero-match docs score zero") {
+    import spark.implicits._
+    val docs = Seq(
+      1L -> "cat cat cat dog",   // heavy on 'cat'
+      2L -> "cat bird",          // one 'cat', short
+      3L -> "dog bird fish owl", // no query terms
+      4L -> "cat dog bird fish owl ray hen fox elk ant bee cow" // long, one 'cat'
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25TopK(docs, Seq("cat"), 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // closed form: N=4, sum_dl=22, df=3
+    val n = 4.0; val avgdl = 22.0 / 4
+    def s(tf: Long, dl: Long): Double = {
+      val idf = math.log((2 * n + 2) / (2 * 3 + 1))
+      val raw = idf * ((tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * (dl / avgdl))))
+      BigDecimal(raw).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    // ranking: tf=3 short doc first, then tf=1 short, then tf=1 long, then 0
+    assert(got.map(_._1).toSeq == Seq(1L, 2L, 4L, 3L))
+    assert(got(0)._3 == s(3, 4) && got(1)._3 == s(1, 2) && got(2)._3 == s(1, 12))
+    assert(got(3)._3 == 0.0)
+    // multi-term: terms sum; a doc matching both beats either alone
+    val docs2 = Seq(1L -> "cat dog pad", 2L -> "cat pad pad", 3L -> "dog pad pad")
+      .toDF("doc_id", "text")
+    val top = TextAnalysis.bm25TopK(docs2, Seq("cat", "dog"), 1).collect()
+    assert(top.head.getLong(0) == 1L)
+  }
+
+  test("trained classifier: recovers a planted linear concept and training is layout-independent") {
+    import spark.implicits._
+    // corpus where the concept (3·cnt(vector)+2·cnt(stream)−cnt(slow) > 1)
+    // splits ~half/half, with filler vocabulary for hash-collision noise
+    val vocab = Seq("table", "join", "scan", "row", "batch", "merge")
+    val docs = (0L until 120L).map { i =>
+      val filler = (0 to (i % 5).toInt).map(j => vocab(((i + j) % 6).toInt))
+      val pos = i % 4 match {
+        case 0 => Seq("vector")                    // 3 > 1 → true
+        case 1 => Seq("stream", "slow")            // 2-1=1 → false
+        case 2 => Seq("vector", "stream", "slow")  // 4 > 1 → true
+        case _ => Seq("slow")                      // -1 → false
+      }
+      i -> (filler ++ pos).mkString(" ")
+    }.toDF("doc_id", "text")
+    val w = TextAnalysis.trainHashedClassifier(
+      docs, TextAnalysis.plantedConcept(col("text")), iters = 30, lr = 2.0)
+    val scored = TextAnalysis.scoreWithWeights(docs, col("text"), w)
+    val acc = scored
+      .join(docs.select(col("doc_id"),
+        TextAnalysis.plantedConcept(col("text")).cast("int").as("y")), "doc_id")
+      .filter(col("keep") === col("y")).count().toDouble / 120
+    assert(acc >= 0.95, s"train accuracy $acc")
+    // layout independence: fixed-point gradient sums make training
+    // bit-identical under any partitioning
+    val w2 = TextAnalysis.trainHashedClassifier(
+      docs.repartition(7), TextAnalysis.plantedConcept(col("text")),
+      iters = 30, lr = 2.0)
+    assert(w.toSeq == w2.toSeq)
+  }
 }

@@ -1507,4 +1507,49 @@ class TableLayoutSpec extends AnyFunSuite {
     assert(wh.table("t").count() == 4004)
     assert(wh.table("t").filter(col("v") === -1L).count() == 3000)
   }
+
+  test("compactSmall: bin-packs only small files; compact files keep their paths; DV'd stragglers fold") {
+    import spark.implicits._
+    val dir = tmp("wh_csm")
+    val wh = new Warehouse(spark, dir)
+    // year=2020: one 100-row file + four 3-row append files;
+    // year=2021: one 100-row file and no debris
+    wh.save("t", (0L until 100L).map(i => (i, 2020)).toDF("k", "year")
+      .coalesce(1), partitionBy = Seq("year"))
+    wh.append("t", (1000L until 1100L).map(i => (i, 2021))
+      .toDF("k", "year").coalesce(1))
+    (0 until 4).foreach(b => wh.append("t",
+      (100L + 3 * b until 103L + 3 * b).map(i => (i, 2020))
+        .toDF("k", "year").coalesce(1)))
+    def serving(year: Int): Set[String] = wh.table("t")
+      .filter(col("year") === year).select(input_file_name())
+      .as[String].distinct().collect().toSet
+    assert(serving(2020).size == 5 && serving(2021).size == 1)
+    val big20 = serving(2020).filter(f =>
+      wh.table("t").filter(input_file_name() === f).count() == 100)
+    val before21 = serving(2021)
+    val res = wh.compactSmall("t", targetRows = 100L, minFileRows = 50L)
+    // only 2020's four 3-row files pack (12 rows → 1 bin); both
+    // 100-row files and their paths survive untouched
+    assert(res.filesCompacted == 4 && res.filesWritten == 1 &&
+      res.filesUntouched == 2, res.toString)
+    assert(serving(2021) == before21)
+    assert(serving(2020).size == 2 && big20.subsetOf(serving(2020)))
+    assert(wh.table("t").count() == 212 && wh.countRows("t").contains(212L))
+    assert(wh.history("t").last.op == "compact")
+    // a lone small file with no DV is left alone — idempotent
+    val v = wh.tableVersions("t").last
+    val res2 = wh.compactSmall("t", 100L, 50L)
+    assert(res2.filesCompacted == 0 && wh.tableVersions("t").last == v)
+    // hollow the straggler with a DV (2 of 12 rows ≤ dvMaxFraction) —
+    // now folding the lone small file pays and it compacts
+    val del = wh.delete("t", col("k").isin(100L, 101L))
+    assert(del.rowsDeleted == 2 && del.filesDv == 1, del.toString)
+    val res3 = wh.compactSmall("t", 100L, 50L)
+    assert(res3.filesCompacted == 1 && res3.filesWritten == 1, res3.toString)
+    assert(wh.table("t").count() == 210 && wh.countRows("t").contains(210L))
+    assert(wh.describeDetail("t").toMap.apply("numDeletionVectors") == "0")
+    // guard-rails: target below min refuses; catalog mode refuses
+    intercept[IllegalArgumentException](wh.compactSmall("t", 10L, 50L))
+  }
 }
