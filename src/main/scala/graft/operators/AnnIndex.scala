@@ -1,0 +1,135 @@
+package graft.operators
+
+import graft.functions.VectorFunctions
+import graft.olist.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintained IVF-PQ index — the piece that turns e13's
+  * one-shot query into infrastructure a 100 TB corpus can actually
+  * operate: train ONCE on a bounded sample, persist the codebooks and
+  * the encoded corpus as ordinary warehouse tables, then keep the index
+  * current by encoding ONLY appended vectors with the STORED codebooks.
+  * Without this, every query (or every ingest batch) re-trains Lloyd
+  * and re-encodes the whole corpus — O(corpus) work to serve one probe.
+  * With it:
+  *
+  *   - `build`   one sample-bounded training + ONE full encode pass,
+  *               amortized over the index's lifetime;
+  *   - `refresh` anti-join finds the un-encoded delta, one projection
+  *               pass encodes it, `append` commits it — O(delta);
+  *   - `query`   reads ONLY the probed cells' files: the codes table is
+  *               PARTITIONED BY cell, so the `cell IN (…)` probe prunes
+  *               at the manifest before any I/O, then ADC-ranks 8-byte
+  *               codes and exact-re-ranks ≤ overquery·topK vectors.
+  *
+  * The codebook is deliberately FROZEN at build time: incremental
+  * encode with a stored codebook is exactly what FAISS/Milvus et al.
+  * do (and the spec's invariant — incremental ≡ batch encode under the
+  * same codebook — depends on it). Distribution drift degrades recall,
+  * never correctness (the exact re-rank stays exact); the remedy is a
+  * rebuild, which is still one sample + one pass.
+  *
+  * Table layout for index `idx`:
+  *   `<idx>_coarse`   (sub=0, cid, c: array<double>)   nCells rows
+  *   `<idx>_codebook` (sub, cid, c: array<double>)     m·k rows
+  *   `<idx>_codes`    (vec_id, cell, codes) partitioned by cell
+  */
+object AnnIndex {
+
+  import Similarity.{codesCol, collectCents, l2sq, l2Normalized,
+    trainingSample, defaultSampleN, pqTrain, pqRank}
+
+  /** Encode cell + codes for `unit` (L2-normalized vectors) in one
+    * shuffle-free projection pass against stored codebooks. `dim`
+    * comes from the caller (corpus at build, CODEBOOK at refresh — so
+    * an empty delta never needs a row to infer the width from). */
+  private def encode(unit: DataFrame, coarse: DataFrame,
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    unit.select(col("vec_id"),
+      element_at(codesCol(collectCents(coarse), 1, dim), 1)
+        .cast("int").as("cell"),
+      codesCol(collectCents(codebook), m, dim).as("codes"))
+  }
+
+  /** Train both quantizers on one bounded deterministic sample of
+    * `source` (vec_id, embedding), encode the corpus once, and persist
+    * all three tables. Returns the number of vectors indexed. */
+  def build(wh: Warehouse, idx: String, source: DataFrame,
+      nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
+    val unit = l2Normalized(source)
+    val sample = trainingSample(unit,
+      math.max(defaultSampleN(1, nCells), defaultSampleN(m, k)))
+    val coarse = pqTrain(sample, m = 1, k = nCells, iters = 3)
+      .localCheckpoint()
+    val codebook = pqTrain(sample, m = m, k = k, iters = 6)
+      .localCheckpoint()
+    wh.save(s"${idx}_coarse", coarse)
+    wh.save(s"${idx}_codebook", codebook)
+    val codes = encode(unit, coarse, codebook, m, dimOf(unit))
+    wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
+    wh.countRows(s"${idx}_codes")
+      .getOrElse(wh.table(s"${idx}_codes").count())
+  }
+
+  private def dimOf(unit: DataFrame): Int =
+    unit.select(size(col("embedding"))).first().getInt(0)
+
+  /** Bring the index up to date with `source`: vectors whose ids are
+    * not yet in the codes table are encoded with the STORED codebooks
+    * (no retraining — codebooks are two bounded reads) and appended.
+    * The delta discovery is one anti-join on ids — the codes side
+    * reads only its vec_id column — and the encode touches only delta
+    * rows. Returns how many vectors were added. */
+  def refresh(wh: Warehouse, idx: String, source: DataFrame): Long = {
+    val have = wh.table(s"${idx}_codes").select("vec_id")
+    val delta = source.join(have, Seq("vec_id"), "left_anti")
+    if (delta.isEmpty) 0L
+    else {
+      val codebook = wh.table(s"${idx}_codebook")
+      val (m, dsub) = {
+        val r = codebook.agg(max(col("sub")), max(size(col("c")))).first()
+        (r.getInt(0) + 1, r.getInt(1))
+      }
+      val before = wh.countRows(s"${idx}_codes").getOrElse(0L)
+      wh.append(s"${idx}_codes", encode(l2Normalized(delta),
+        wh.table(s"${idx}_coarse"), codebook, m, m * dsub))
+      wh.countRows(s"${idx}_codes").getOrElse(before) - before
+    }
+  }
+
+  /** IVF-PQ probe over the STORED index: nProbe nearest coarse cells
+    * (codebook-bounded read), `cell IN (probed)` partition-prunes the
+    * codes table at the manifest, ADC ranks the surviving codes, and
+    * the exact cosine re-rank over ≤ overquery·topK ids settles the
+    * order. `source` supplies the float vectors only for the query row
+    * and the re-rank set. */
+  def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
+      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3): DataFrame = {
+    val unit = l2Normalized(source)
+    val q = unit.filter(col("vec_id") === queryId)
+      .select("embedding").first().getSeq[Double](0)
+    val qlit = array(q.map(lit): _*)
+    val coarse = wh.table(s"${idx}_coarse")
+    val codebook = wh.table(s"${idx}_codebook")
+    val k = codebook.agg(countDistinct(col("cid"))).first().getLong(0).toInt
+    val m = codebook.agg(max(col("sub"))).first().getInt(0) + 1
+    val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
+      .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
+      .collect().map(_.getInt(0)).toSeq
+    val cands = pqRank(
+      wh.table(s"${idx}_codes").filter(col("cell").isin(probed: _*))
+        .select("vec_id", "codes"),
+      codebook, q, m = m, k = k, topK = overquery * topK)
+    val qvec = unit.filter(col("vec_id") === queryId)
+      .select(col("embedding").as("qe"))
+    source.join(cands.select("vec_id"), "vec_id")
+      .crossJoin(broadcast(qvec))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .limit(topK)
+  }
+}

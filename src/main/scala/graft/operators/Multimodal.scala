@@ -341,6 +341,119 @@ object Multimodal {
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
 
+  // ── audio lane ──────────────────────────────────────────────────────
+  // REAL codec here too: the JDK ships a RIFF/WAV reader+writer
+  // (`javax.sound.sampled`, headless-safe), so the audio lane parses
+  // actual WAV containers — format fields come from the decoded header,
+  // samples from the PCM body — not from trusting the synthesizer.
+  // Features are the speech-pipeline front-end's first stage (VAD /
+  // silence trimming / quality gating before any model): per-frame
+  // zero-crossing count, absolute-amplitude sum, RMS energy. The float
+  // contract is the cheapest in the repo: zc/sum_abs are exact integer
+  // arithmetic; rms is ONE correctly-rounded IEEE division feeding ONE
+  // correctly-rounded IEEE sqrt (the sp7 precedent) — bit-identical in
+  // any engine, round(6) purely defensive.
+
+  /** One frame's features. `n` = samples in the frame (tail frames are
+    * short), `zc` = sign changes between consecutive samples WITHIN the
+    * frame, `sum_abs` = Σ|x|, `rms` = √(Σx²/n). */
+  case class AudioFrame(doc_id: Long, frame_idx: Long, n: Long,
+      zc: Long, sum_abs: Long, rms: Double)
+
+  /** Samples per analysis frame (mirrors mm2's 256-byte video frames). */
+  val AudioFrameLen = 256
+
+  /** Deterministic test/oracle PCM: doc `d` holds
+    * 512 + (d%3)·256 + (d%5)·16 samples with
+    * x_i = ((d+1)(7i+13) + i²) mod 65536 − 32768 — 16-bit range by
+    * construction, sign-diverse (so zc is nontrivial), and pure
+    * arithmetic DuckDB replays without any codec. */
+  def syntheticPcm(docId: Long): Array[Short] = {
+    val n = (512 + (docId % 3) * 256 + (docId % 5) * 16).toInt
+    Array.tabulate(n) { i =>
+      (((docId + 1) * (7L * i + 13) + i.toLong * i) % 65536 - 32768).toShort
+    }
+  }
+
+  /** [[syntheticPcm]] sealed in a REAL WAV container (16 kHz mono
+    * 16-bit signed little-endian PCM) through the JDK's RIFF writer. */
+  def syntheticWav(docId: Long): Array[Byte] = {
+    import javax.sound.sampled._
+    val pcm = syntheticPcm(docId)
+    val bytes = new Array[Byte](pcm.length * 2)
+    var i = 0
+    while (i < pcm.length) {
+      bytes(2 * i) = (pcm(i) & 0xff).toByte
+      bytes(2 * i + 1) = ((pcm(i) >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new AudioFormat(16000f, 16, 1, true, false)
+    val ais = new AudioInputStream(
+      new java.io.ByteArrayInputStream(bytes), fmt, pcm.length.toLong)
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, baos)
+    baos.toByteArray
+  }
+
+  /** REAL audio decode + frame featurization, per-partition batch shape
+    * (the decodeImage contract): parse the WAV container via the JDK's
+    * `AudioSystem`, take format truth from the HEADER (16-bit signed
+    * PCM only — the synthesizer's format, and the common interchange
+    * format; anything else or unparseable is DROPPED, curation
+    * semantics), then one pass over the samples per frame. Payload
+    * bytes never cross a shuffle — only frame features leave the
+    * partition. */
+  def decodeAudio(rows: Iterator[MediaRow]): Iterator[AudioFrame] =
+    rows.flatMap { r =>
+      import javax.sound.sampled._
+      val parsed =
+        try {
+          val ais = AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.payload))
+          val f = ais.getFormat
+          if (f.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+            f.getSampleSizeInBits == 16 && f.getChannels == 1)
+            Some((ais.readAllBytes(), f.isBigEndian))
+          else None
+        } catch { case scala.util.control.NonFatal(_) => None }
+      parsed.toSeq.flatMap { case (body, bigEndian) =>
+        val n = body.length / 2
+        val pcm = new Array[Int](n)
+        var i = 0
+        while (i < n) {
+          val lo = body(2 * i) & 0xff; val hi = body(2 * i + 1) & 0xff
+          pcm(i) =
+            if (bigEndian) ((body(2 * i) << 8) | (body(2 * i + 1) & 0xff))
+            else ((body(2 * i + 1) << 8) | lo)
+          i += 1
+        }
+        (0 until (n + AudioFrameLen - 1) / AudioFrameLen).map { f =>
+          val lo = f * AudioFrameLen
+          val hi = math.min(lo + AudioFrameLen, n)
+          var zc = 0L; var sumAbs = 0L; var sumSq = 0L
+          var j = lo
+          while (j < hi) {
+            val x = pcm(j)
+            if (j > lo && ((pcm(j - 1) < 0) != (x < 0))) zc += 1
+            sumAbs += math.abs(x)
+            sumSq += x.toLong * x
+            j += 1
+          }
+          val cnt = hi - lo
+          AudioFrame(r.doc_id, f.toLong, cnt.toLong, zc, sumAbs,
+            math.sqrt(sumSq.toDouble / cnt))
+        }
+      }
+    }
+
+  /** The audio pipeline: (doc_id, payload) → per-frame features. */
+  def extractAudioFrames(spark: SparkSession,
+      media: DataFrame): Dataset[AudioFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(decodeAudio)
+  }
+
   val all: Seq[Q] = Seq(
     // MM1 — binary metadata extraction (payload stays columnar; only
     // byte-level metadata is computed — no decode in the oracle path)
@@ -550,6 +663,45 @@ object Multimodal {
           .select(col("id").as("doc_id"),
             col("comp").cast("long").as("canonical_id"))
           .orderBy("doc_id")
+      }),
+
+    // MM6 — REAL audio decode round trip, oracle-checked: each doc_id
+    // synthesizes deterministic 16-bit PCM, seals it in a real WAV
+    // container (JDK RIFF writer), and the decode lane re-parses the
+    // container and computes per-frame zero-crossings / Σ|x| / RMS
+    // from the BODY bytes. The samples are pure arithmetic of
+    // (doc_id, i), so DuckDB predicts every feature without a codec —
+    // mm4's trick, extended to the audio modality. zc/sum_abs are
+    // exact integers; rms is one IEEE division + one IEEE sqrt.
+    Q("mm6_audio_frames",
+      Some(s"""WITH d AS (SELECT doc_id,
+              |    512 + (doc_id % 3) * 256 + (doc_id % 5) * 16 AS ns
+              |  FROM documents),
+              |idx AS (SELECT doc_id, unnest(range(0, ns)) AS i FROM d),
+              |s AS (SELECT doc_id, i,
+              |        ((doc_id + 1) * (7 * i + 13) + i * i) % 65536
+              |          - 32768 AS x,
+              |        i // $AudioFrameLen AS frame_idx
+              |      FROM idx),
+              |p AS (SELECT *, lag(x) OVER (PARTITION BY doc_id, frame_idx
+              |        ORDER BY i) AS prev FROM s)
+              |SELECT doc_id, frame_idx,
+              |  cast(count(*) AS BIGINT) AS n,
+              |  cast(sum(CASE WHEN prev IS NOT NULL
+              |                 AND ((prev < 0) != (x < 0))
+              |                THEN 1 ELSE 0 END) AS BIGINT) AS zc,
+              |  cast(sum(abs(x)) AS BIGINT) AS sum_abs,
+              |  round(sqrt(cast(sum(x * x) AS DOUBLE) / count(*)), 6) AS rms
+              |FROM p GROUP BY doc_id, frame_idx
+              |ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticWav(id)))
+        extractAudioFrames(s, media.toDF())
+          .toDF()
+          .withColumn("rms", round(col("rms"), 6))
+          .orderBy("doc_id", "frame_idx")
       })
   )
 }

@@ -272,7 +272,7 @@ object Similarity {
   // ----- product quantization (the 100 TB vector-compression tier) ---
 
   /** Squared L2 between two double arrays, codegen'd builtins only. */
-  private def l2sq(a: Column, b: Column): Column =
+  private[operators] def l2sq(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0.0), (acc, v) => acc + v)
 
@@ -362,7 +362,7 @@ object Similarity {
     * `array_min` over k (distance, cid) structs — identical
     * lexicographic tie-break to training's `min(struct(d2, cid))`.
     * Whole-stage-codegen arithmetic, NO join, NO shuffle. */
-  private def codesCol(cents: Array[(Int, Int, Seq[Double])], m: Int,
+  private[operators] def codesCol(cents: Array[(Int, Int, Seq[Double])], m: Int,
       dim: Int): Column = {
     val dsub = dim / m
     array((0 until m).map { s0 =>
@@ -377,7 +377,7 @@ object Similarity {
     }: _*)
   }
 
-  private def collectCents(cents: DataFrame): Array[(Int, Int, Seq[Double])] =
+  private[operators] def collectCents(cents: DataFrame): Array[(Int, Int, Seq[Double])] =
     cents.collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
       r.getAs[scala.collection.Seq[Double]]("c").toVector: Seq[Double]))
 

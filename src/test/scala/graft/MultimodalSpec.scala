@@ -145,4 +145,78 @@ class MultimodalSpec extends AnyFunSuite {
     assert(out.columns.toSet == Set("doc_id", "n_bytes", "width",
       "height", "channels", "mean_byte", "dhash", "payload_md5"))
   }
+
+  test("audio: WAV round trip recovers header + exact frame features; junk and non-16-bit payloads drop; big-endian accepted") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    // header truth: the container really is 16 kHz mono 16-bit PCM LE
+    val wav = Multimodal.syntheticWav(7L)
+    val ais = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val f = ais.getFormat
+    assert(f.getSampleRate == 16000f && f.getChannels == 1 &&
+      f.getSampleSizeInBits == 16 && !f.isBigEndian &&
+      f.getEncoding == AudioFormat.Encoding.PCM_SIGNED)
+    // decode lane vs direct per-frame reference over the raw PCM
+    def ref(d: Long): Seq[(Long, Long, Long, Long, Double)] = {
+      val xs = Multimodal.syntheticPcm(d).map(_.toInt)
+      xs.grouped(Multimodal.AudioFrameLen).zipWithIndex.map {
+        case (fr, i) =>
+          val zc = fr.sliding(2).count(p =>
+            p.length == 2 && ((p(0) < 0) != (p(1) < 0)))
+          (i.toLong, fr.length.toLong, zc.toLong,
+            fr.map(x => math.abs(x).toLong).sum,
+            math.sqrt(fr.map(x => x.toLong * x).sum.toDouble / fr.length))
+      }.toSeq
+    }
+    for (d <- Seq(0L, 1L, 4L, 7L)) { // covers tail-frame and no-tail docs
+      val got = Multimodal.decodeAudio(Iterator(
+        Multimodal.MediaRow(d, Multimodal.syntheticWav(d)))).toSeq
+        .map(a => (a.frame_idx, a.n, a.zc, a.sum_abs, a.rms))
+      assert(got == ref(d), s"doc $d")
+    }
+    // junk bytes and an 8-bit WAV both drop; the good row survives
+    val eight = {
+      val fmt8 = new AudioFormat(16000f, 8, 1, true, false)
+      val body = Array.tabulate[Byte](64)(i => i.toByte)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(body), fmt8, 64L),
+        AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val mixed = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticWav(1L)),
+      Multimodal.MediaRow(2L, Array[Byte](1, 2, 3, 4)),
+      Multimodal.MediaRow(3L, eight))
+    val surv = Multimodal.decodeAudio(mixed.iterator).map(_.doc_id).toSet
+    assert(surv == Set(1L))
+    // big-endian PCM containers decode to the same features
+    val be = {
+      val pcm = Multimodal.syntheticPcm(4L)
+      val bytes = new Array[Byte](pcm.length * 2)
+      pcm.indices.foreach { i =>
+        bytes(2 * i) = ((pcm(i) >> 8) & 0xff).toByte
+        bytes(2 * i + 1) = (pcm(i) & 0xff).toByte
+      }
+      val fmtBE = new AudioFormat(16000f, 16, 1, true, true)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(new AudioInputStream(
+        new java.io.ByteArrayInputStream(bytes), fmtBE, pcm.length.toLong),
+        AudioFileFormat.Type.AIFF, baos)
+      baos.toByteArray
+    }
+    val gotBE = Multimodal.decodeAudio(Iterator(
+      Multimodal.MediaRow(4L, be))).toSeq
+      .map(a => (a.frame_idx, a.n, a.zc, a.sum_abs, a.rms))
+    assert(gotBE == ref(4L), "big-endian container must decode identically")
+    // distributed shape: features only, payloads never in the output
+    val media = Seq(1L, 2L).toDF("doc_id")
+      .as[Long].map(id => Multimodal.MediaRow(id, Multimodal.syntheticWav(id)))
+    val out = Multimodal.extractAudioFrames(spark, media.toDF())
+    assert(out.columns.toSet ==
+      Set("doc_id", "frame_idx", "n", "zc", "sum_abs", "rms"))
+    // doc1: 784 samples → 4 frames; doc2: 1056 samples → 5 frames
+    assert(out.count() == 9)
+  }
 }
