@@ -773,6 +773,23 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // must not make the append that already succeeded look failed
     val minFiles = spark.conf.getOption("graft.autocompact.minFiles")
       .flatMap(_.trim.toIntOption).getOrElse(0)
+    // size-tiered mode (`graft.autocompact.targetRows` = R > 0): only
+    // files below R LIVE rows (committed minus DV — compactSmall's
+    // currency) count toward the trigger and only THEY rewrite; a
+    // partition's already-compact files keep their paths on every
+    // append. This is the steady-state shape at 100 TB — without it a
+    // hot partition re-rewrites its big files on every Nth micro-batch,
+    // O(partition) write amplification for O(debris) worth of mess.
+    // The folded file grows across triggers until it crosses R, then
+    // ages out of the small set and stops being touched. Files
+    // predating row stats count as small (they're legacy debris).
+    // Knob unset → the original whole-target rewrite, unchanged.
+    val targetRows = spark.conf.getOption("graft.autocompact.targetRows")
+      .flatMap(_.trim.toLongOption).getOrElse(0L)
+    val small: Warehouse.DataFile => Boolean = f =>
+      targetRows <= 0 || f.stats.get(RowsKey)
+        .map(_._1.toLong - f.dv.map(_.rows).getOrElse(0L))
+        .forall(_ < targetRows)
     if (minFiles > 0) withCommitLock(name) {
       currentManifestFull(name).foreach { case (_, cur, meta) =>
         val parts = partitionColsOf(name)
@@ -780,8 +797,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
         val matched: Seq[String] =
           if (!uniform) Nil
           else if (parts.isEmpty) {
-            if (cur.size >= minFiles) cur.map(_.path) else Nil
+            val c = cur.filter(small)
+            if (c.size >= minFiles) c.map(_.path) else Nil
           } else cur.groupBy(f => partitionPrefix(f.path))
+            .map { case (p, fs) => (p, fs.filter(small)) }
             .filter { case (p, fs) => touched.contains(p) && fs.size >= minFiles }
             .values.flatten.map(_.path).toSeq
         if (matched.nonEmpty) {

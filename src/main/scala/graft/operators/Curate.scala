@@ -7,9 +7,9 @@ import org.apache.spark.sql.functions._
 /** End-to-end corpus curation — the composition the operator families
   * exist for: one call takes a raw documents table through the quality
   * gate, the blocklist safety gate, exact and near dedup, benchmark
-  * decontamination, temperature rebalancing, and split/shard
-  * assignment, each stage being an already-oracle-checked operator
-  * (t2, t14, d2, d4+d8+d9, d10, sp7, sp1+sp4).
+  * decontamination, per-source capping, temperature rebalancing, and
+  * split/shard assignment, each stage being an already-oracle-checked
+  * operator (t2, t14, d2, d4+d8+d9, d10, sp9, sp7, sp1+sp4).
   *
   * Scale shape, by construction of the stages it composes: the text
   * payload never enters a quadratic path (near-dup candidates are
@@ -29,8 +29,8 @@ object Curate {
     * count unchanged. */
   final case class Report(input: Long, afterQuality: Long,
       afterBlocklist: Long, afterExact: Long, afterNear: Long,
-      afterSpanDedup: Long, afterDecontam: Long, afterRebalance: Long,
-      trainDocs: Long, shards: Long)
+      afterSpanDedup: Long, afterDecontam: Long, afterSourceCap: Long,
+      afterRebalance: Long, trainDocs: Long, shards: Long)
 
   /** Runs the full pipeline over `docs` (needs `doc_id` long + `text`
     * string). `benchDocs` is the held-out eval suite for the
@@ -44,7 +44,8 @@ object Curate {
       minQuality: Double = 0.3, k: Int = 16, bands: Int = 4,
       jaccard: Double = 0.6, tokensPerShard: Long = 4096L,
       blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None,
-      maxDupSpanFraction: Option[Double] = None)
+      maxDupSpanFraction: Option[Double] = None,
+      maxPerSource: Option[(String, Int)] = None)
       : (DataFrame, Report) = {
     val input = docs.count()
 
@@ -127,24 +128,43 @@ object Curate {
     val clean = spanKept.join(dirty, Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 
+    // 4c — per-source quota cap (sp9, opt-in): at most N surviving
+    // docs per source/domain — the over-represented-domain guard (C4
+    // caps pages per host, RefinedWeb per registered domain). Runs
+    // AFTER dedup/decontamination so the cap counts real survivors,
+    // BEFORE temperature rebalance so strata counts reflect the capped
+    // corpus. Keep set = the N smallest stable hash keys per source —
+    // membership a pure function of (id, source, N), one shuffle on
+    // the group key.
+    val capped = maxPerSource match {
+      case None => clean
+      case Some((srcCol, cap)) =>
+        val keep = Sampling.sourceCap(
+          clean.select(col("doc_id"), col(srcCol).as("source")),
+          col("source"), cap)
+          .filter(col("kept") === 1).select("doc_id")
+        clean.join(keep, Seq("doc_id"), "left_semi")
+    }
+    val nCapped = if (maxPerSource.isEmpty) nClean else capped.count()
+
     // 4b — temperature rebalance (sp7): per-stratum keep rate
     // sqrt(cnt_min/cnt) over md5 buckets — run AFTER cleaning so the
     // strata counts reflect what dedup/decontamination left; the
     // smallest stratum keeps everything by construction
     val rebalanced = rebalanceBy match {
-      case None => clean
+      case None => capped
       case Some(strat) =>
-        val cnts = clean.groupBy(strat).agg(count(lit(1)).as("__cnt"))
+        val cnts = capped.groupBy(strat).agg(count(lit(1)).as("__cnt"))
         val cmin = cnts.agg(min("__cnt").as("__cmin"))
         val rates = cnts.crossJoin(broadcast(cmin))
           .select(col(strat),
             floor(sqrt(col("__cmin").cast("double") / col("__cnt")) * 10000)
               .cast("long").as("__th"))
-        clean.join(broadcast(rates), strat)
+        capped.join(broadcast(rates), strat)
           .filter(Sampling.hashBucket(col("doc_id"), 10000) < col("__th"))
           .drop("__th")
     }
-    val nRebalanced = if (rebalanceBy.isEmpty) nClean else rebalanced.count()
+    val nRebalanced = if (rebalanceBy.isEmpty) nCapped else rebalanced.count()
 
     // 5 — deterministic split + token-budget shard packing (sp1 + sp4):
     // membership is a pure function of id; shards cut a per-split
@@ -160,6 +180,6 @@ object Curate {
     val nShards = out.select("split", "shard").distinct().count()
 
     (out, Report(input, nQuality, nSafe, nExact, nNear, nSpan, nClean,
-      nRebalanced, nTrain, nShards))
+      nCapped, nRebalanced, nTrain, nShards))
   }
 }

@@ -294,7 +294,62 @@ object Sampling {
               |ORDER BY doc_id""".stripMargin),
       (s, d) => sourceCap(T.documents(s, d), col("source"), 15)
         .orderBy("doc_id"))
+  ,
+
+    // SP10 — sequence packing: map each document onto the fixed-length
+    // context windows (ctx = 2048 tokens) a pretraining dataloader
+    // cuts from the concatenated token stream — GPT-style packing,
+    // where documents CROSS window boundaries rather than pad (sp4 is
+    // the shard ACCOUNTING; this is the doc → (sequence, offset)
+    // map the loader actually indexes by). Stream order is the same
+    // stable (md5, id) permutation as sp4/sp5, and the stream is
+    // per-LANGUAGE (window partitioned by lang): one hash shuffle on
+    // the stratum key, per-stratum running sums, no global total
+    // order — the same property that makes sp4 scale. Every output
+    // column is exact integer arithmetic: start_tok = prefix sum −
+    // own tokens, first/last window by integer division, n_seqs the
+    // difference — no float anywhere.
+    Q("sp10_pack",
+      Some("""WITH toks AS (
+             |  SELECT doc_id, lang,
+             |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
+             |    md5(cast(doc_id as varchar)) AS h
+             |  FROM documents),
+             |packed AS (
+             |  SELECT doc_id, lang, n_tokens,
+             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |  FROM toks)
+             |SELECT doc_id, lang, n_tokens, start_tok,
+             |  start_tok // 2048 AS first_seq,
+             |  (start_tok + n_tokens - 1) // 2048 AS last_seq,
+             |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_seqs
+             |FROM packed ORDER BY doc_id""".stripMargin),
+      (s, d) => packSequences(T.documents(s, d), col("lang"), 2048)
+        .orderBy("doc_id"))
   )
+
+  /** SP10's library form: doc → context-window placement within each
+    * group's deterministic (md5, id) token stream. Returns (doc_id,
+    * lang, n_tokens, start_tok, first_seq, last_seq, n_seqs). Assumes
+    * every doc has ≥1 token (the tokenizer never emits 0 for nonempty
+    * text; empty docs should be filtered upstream). */
+  def packSequences(docs: org.apache.spark.sql.DataFrame, by: Column,
+      ctx: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(by)
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"), by.as("lang"),
+        size(split(trim(col("text")), "\\s+")).cast("long").as("n_tokens"))
+      .withColumn("start_tok",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("first_seq", expr(s"start_tok div $ctx"))
+      .withColumn("last_seq",
+        expr(s"(start_tok + n_tokens - 1) div $ctx"))
+      .withColumn("n_seqs", col("last_seq") - col("first_seq") + 1)
+  }
 
   /** SP9's library form: deterministic at-most-`cap` rows per group.
     * Returns (doc_id, source, rk, kept); filter `kept = 1` to apply. */

@@ -125,4 +125,29 @@ class CurateSpec extends AnyFunSuite {
     // language may exceed its pre-rebalance share by construction
     assert(out.columns.toSet.contains("shard"))
   }
+
+  test("curate: per-source cap keeps at most N survivors per source, under-cap sources untouched") {
+    import spark.implicits._
+    // 30 clean docs from "big", 4 from "small" — all pass every gate
+    val docs = ((1L to 30L).map(i => (i, sentence(i.toInt, 60), "big")) ++
+      (101L to 104L).map(i => (i, sentence(i.toInt, 60), "small")))
+      .toDF("doc_id", "text", "source")
+    val bench = Seq((9001L, "quux1 quux2 quux3 quux4 quux5 quux6 quux7 quux8"))
+      .toDF("doc_id", "text")
+    val (out, rep) = Curate.curate(docs, bench,
+      maxPerSource = Some(("source", 10)))
+    assert(rep.afterDecontam == 34, rep.toString)
+    assert(rep.afterSourceCap == 14, rep.toString)
+    val bySrc = out.groupBy("source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bySrc("big") == 10 && bySrc("small") == 4, bySrc.toString)
+    // determinism: same corpus, same cap -> same survivor ids
+    val (out2, _) = Curate.curate(docs.repartition(5), bench,
+      maxPerSource = Some(("source", 10)))
+    assert(out.select("doc_id").collect().map(_.getLong(0)).toSet ==
+      out2.select("doc_id").collect().map(_.getLong(0)).toSet)
+    // cap off: nothing capped, report passes counts through
+    val (_, rep2) = Curate.curate(docs, bench)
+    assert(rep2.afterSourceCap == rep2.afterDecontam)
+  }
 }

@@ -160,4 +160,37 @@ class SamplingSpec extends AnyFunSuite {
     assert((keptBefore intersect keptAfter).size >= 5)
     assert(keptAfter.size == 15)
   }
+
+  test("sequence packing: contiguous per-group token stream, spans counted exactly, layout-independent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c", "en"), (2L, ("w " * 100).trim, "en"),
+      (3L, "x y", "en"), (4L, "p q r s", "pt"), (5L, ("z " * 70).trim, "pt"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.packSequences(docs, col("lang"), 64)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // per group: starts are a contiguous prefix-sum chain (no gaps, no
+    // overlap) and the chain covers exactly the group's token total
+    for (lang <- Seq("en", "pt")) {
+      val g = got.values.filter(_._1 == lang).toSeq.sortBy(_._3)
+      assert(g.head._3 == 0L)
+      g.sliding(2).foreach {
+        case Seq(a, b) => assert(a._3 + a._2 == b._3, s"$lang gap: $a -> $b")
+        case _ =>
+      }
+    }
+    // window arithmetic: doc 2 has 100 tokens in ctx=64 — wherever its
+    // start lands it spans ceil arithmetic exactly
+    got.values.foreach { case (_, n, start, first, last, nseq) =>
+      assert(first == start / 64 && last == (start + n - 1) / 64 &&
+        nseq == last - first + 1)
+    }
+    assert(got(2L)._6 >= 2) // 100 tokens never fit one 64-token window
+    // layout independence: same placement after repartition
+    val again = Sampling.packSequences(docs.repartition(7), col("lang"), 64)
+      .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
+    assert(got.view.mapValues(_._3).toMap == again)
+  }
 }

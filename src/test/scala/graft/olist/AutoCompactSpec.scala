@@ -81,4 +81,41 @@ class AutoCompactSpec extends AnyFunSuite {
       assert(wh.table("t").count() == 4L)
     }
   }
+
+  test("size-tiered mode: only sub-target debris counts and rewrites; the big file keeps its path across triggers") {
+    import spark.implicits._
+    val dir = tmp("wh_ac_tier")
+    val wh = new Warehouse(spark, dir)
+    withConf("graft.autocompact.minFiles", "3") {
+      withConf("graft.autocompact.targetRows", "50") {
+        // one 100-row file (>= target: never "small") + debris appends
+        wh.save("t", (0L until 100L).map(i => (i, "x")).toDF("k", "v")
+          .coalesce(1))
+        def files(): Set[String] = wh.table("t")
+          .select(input_file_name()).distinct()
+          .collect().map(_.getString(0)).toSet
+        val big = files()
+        assert(big.size == 1)
+        // two small appends: 2 small files < minFiles=3 -> no trigger
+        (1L to 2L).foreach(i => wh.append("t",
+          Seq((1000 + i, s"d$i")).toDF("k", "v")))
+        assert(files().size == 3)
+        // third small append crosses the threshold: the three debris
+        // files fold into one, the big file keeps its exact path
+        wh.append("t", Seq((1003L, "d3")).toDF("k", "v"))
+        val after = files()
+        assert(after.size == 2, s"expected big+folded, got ${after.size}")
+        assert(big.subsetOf(after), "the compact file must keep its path")
+        assert(wh.table("t").count() == 103L)
+        assert(wh.countRows("t") == Some(103L))
+        // the folded debris file is itself below target -> it re-enters
+        // the small set with the NEXT debris wave; big still untouched
+        (1L to 2L).foreach(i => wh.append("t",
+          Seq((2000 + i, s"e$i")).toDF("k", "v")))
+        val again = files()
+        assert(again.size == 2 && big.subsetOf(again))
+        assert(wh.table("t").count() == 105L)
+      }
+    }
+  }
 }
