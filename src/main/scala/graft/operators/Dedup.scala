@@ -506,6 +506,62 @@ object Dedup {
              |GROUP BY w.doc_id ORDER BY doc_id""".stripMargin),
       (s, d) => dupSpanCounts(T.documents(s, d), "doc_id", "text")
         .orderBy("doc_id"))
+  ,
+
+    // D17 — contamination FRACTION + drop decision: d10 counts a
+    // training doc's benchmark-shared 8-grams; the decision a corpus
+    // release actually publishes (the FineWeb/Llama-style report) is
+    // the per-doc RATIO shared/total with a threshold. Every train doc
+    // appears (zero-overlap docs report 0 — the left join d10's inner
+    // join drops), the fraction is one correctly-rounded division of
+    // two exact bigints, and the drop flag is the exact-integer
+    // rendering 20·shared > total ≡ ratio > 5% — no float boundary in
+    // the decision (the t14/t15 discipline). Same scale shape as d10:
+    // digests-only shuffle, bench side broadcast.
+    Q("d17_contamination_frac",
+      Some("""WITH g AS (
+             |  SELECT doc_id, source,
+             |    list_distinct(list_transform(range(1, len(ts) - 6),
+             |                  i -> array_to_string(ts[i:i+7], ' '))) AS gs
+             |  FROM (SELECT doc_id, source, regexp_split_to_array(trim(text), '\s+') AS ts
+             |        FROM documents) WHERE len(ts) >= 8),
+             |ex AS (SELECT doc_id, source, md5(unnest(gs)) AS h FROM g),
+             |bench AS (SELECT DISTINCT h FROM ex WHERE source = 'src0'),
+             |train AS (SELECT doc_id, h FROM ex WHERE source <> 'src0'),
+             |st AS (SELECT t.doc_id,
+             |         cast(count(*) AS BIGINT) AS n_grams,
+             |         cast(sum(CASE WHEN b.h IS NOT NULL THEN 1 ELSE 0 END)
+             |           AS BIGINT) AS shared_grams
+             |       FROM train t LEFT JOIN bench b ON t.h = b.h
+             |       GROUP BY t.doc_id)
+             |SELECT doc_id, n_grams, shared_grams,
+             |  round(cast(shared_grams AS DOUBLE) / n_grams, 6) AS frac,
+             |  CASE WHEN shared_grams * 20 > n_grams THEN 1 ELSE 0 END
+             |    AS drop_doc
+             |FROM st ORDER BY doc_id""".stripMargin),
+      (s, d) => {
+        val ex = T.documents(s, d)
+          .select(col("doc_id"), col("source"),
+            split(trim(col("text")), "\\s+").as("ts"))
+          .filter(size(col("ts")) >= 8)
+          .select(col("doc_id"), col("source"),
+            explode(shingles(col("ts"), 8)).as("gram"))
+          .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
+          .distinct()
+        val bench = ex.filter(col("source") === "src0").select("h").distinct()
+        val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
+        train.join(broadcast(bench.withColumn("__b", lit(1))), Seq("h"), "left")
+          .groupBy("doc_id")
+          .agg(count(lit(1)).as("n_grams"),
+            sum(when(col("__b").isNotNull, 1L).otherwise(0L))
+              .as("shared_grams"))
+          .select(col("doc_id"), col("n_grams"), col("shared_grams"),
+            round(col("shared_grams").cast("double") / col("n_grams"), 6)
+              .as("frac"),
+            when(col("shared_grams") * 20 > col("n_grams"), 1).otherwise(0)
+              .as("drop_doc"))
+          .orderBy("doc_id")
+      })
   )
 
   /** Library API behind d13: per-document verbatim-span statistics.
