@@ -98,6 +98,28 @@ object AnnIndex {
     }
   }
 
+  /** Continuous index maintenance: drive a stream of (vec_id,
+    * embedding, …) rows into [[refresh]] per micro-batch — the
+    * embedding-ingest shape (new documents embed upstream, their
+    * vectors land here, the index stays queryable throughout).
+    * Exactly-once WITHOUT a batch-id high-water mark: foreachBatch is
+    * at-least-once, but refresh's anti-join makes re-encoding a
+    * replayed batch a NO-OP (its ids are already in the codes table) —
+    * idempotence by construction, so the at-least-once sink composes
+    * to exactly-once index CONTENT. The codebook stays frozen; drift
+    * is a rebuild decision, not an ingest-path one. */
+  def streamRefresh(wh: Warehouse, idx: String, stream: DataFrame,
+      checkpoint: String): org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch {
+        (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+            _: Long) =>
+          refresh(wh, idx, batch.toDF()); ()
+      }
+      .start()
+
   /** IVF-PQ probe over the STORED index: nProbe nearest coarse cells
     * (codebook-bounded read), `cell IN (probed)` partition-prunes the
     * codes table at the manifest, ADC ranks the surviving codes, and

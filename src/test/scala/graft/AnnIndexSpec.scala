@@ -74,4 +74,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert((exact intersect got).size >= 8,
       s"post-refresh recall too low: exact=$exact got=$got")
   }
+
+  test("streamRefresh: micro-batches extend the index exactly once; replayed rows are no-ops; index queryable throughout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val wh = new Warehouse(spark, tmp("ann_idx3"))
+    val emb = Tables.embeddings(spark, sf).cache()
+    AnnIndex.build(wh, "ann", emb.filter(col("vec_id") < 400))
+    val rows = emb.filter(col("vec_id") >= 400)
+      .collect().map(r => (r.getLong(0),
+        r.getSeq[Float](1), r.getInt(2))).toSeq
+    val src = MemoryStream[(Long, Seq[Float], Int)]
+    val q = AnnIndex.streamRefresh(wh, "ann",
+      src.toDF().toDF("vec_id", "embedding", "label")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      tmp("ann_ckpt"))
+    try {
+      val (b1, b2) = rows.splitAt(50)
+      src.addData(b1: _*); q.processAllAvailable()
+      assert(wh.table("ann_codes").count() == 450)
+      src.addData(b2: _*); q.processAllAvailable()
+      assert(wh.table("ann_codes").count() == 500)
+      // a replayed batch (at-least-once delivery) encodes nothing new
+      val v = wh.tableVersions("ann_codes").last
+      src.addData(b1: _*); q.processAllAvailable()
+      assert(wh.table("ann_codes").count() == 500)
+      assert(wh.tableVersions("ann_codes").last == v,
+        "replay must not commit")
+      // and the maintained index answers with the recall floor
+      val exact = SparkEntry.queries("e1_cosine_topk")(spark, sf)
+        .collect().map(_.getLong(0)).toSet
+      val got = AnnIndex.query(wh, "ann", emb, queryId = 0L)
+        .collect().map(_.getLong(0)).toSet
+      assert((exact intersect got).size >= 8)
+    } finally { q.stop(); emb.unpersist() }
+  }
 }
