@@ -436,4 +436,43 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("text")),
       s"text column crossed an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("e14_rrf_fusion: document text never shuffles; both lanes and the fused top-k are TakeOrderedAndProject-or-bounded") {
+    // candidate generation is the distributed part: BM25 = map-side
+    // scoring + single-row stats broadcast, dense = TakeOrderedAndProject;
+    // fusion ranks/joins pool-bounded rows. The corpus text column must
+    // never leave the scan stage.
+    val p = plan("e14_rrf_fusion")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("sp10_pack: one hash shuffle on the stratum key; text never shuffles; no single-partition window") {
+    val p = plan("sp10_pack")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.exists(_.contains("lang")),
+      s"expected the per-language window shuffle:\n$p")
+    assert(!exchanges.exists(_.contains("text")),
+      s"text crossed an exchange:\n${exchanges.mkString("\n")}")
+    assert(!exchanges.exists(_.contains("SinglePartition")),
+      s"global window crept in:\n${exchanges.mkString("\n")}")
+  }
+
+  test("d17_contamination_frac: bench digests broadcast; text stays in the scan stage") {
+    val p = plan("d17_contamination_frac")
+    assert(p.contains("BroadcastExchange"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(!exchanges.exists(_.contains("text")),
+      s"text crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
+
+  test("mm6_audio_frames: payload bytes never cross an exchange (features only)") {
+    val p = plan("mm6_audio_frames")
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p) // the final deterministic ordering
+    assert(!exchanges.exists(_.contains("payload")),
+      s"payload crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
 }
