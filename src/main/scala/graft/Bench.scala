@@ -28,7 +28,10 @@ object Bench {
     // table-format read-path twins: identical probe, raw parquet vs
     // the Warehouse manifest/pruning lane (setup memoized; the wh
     // median must stay within ~1.5× of the raw one)
-    "b1_probe_raw", "b1_probe_wh"
+    "b1_probe_raw", "b1_probe_wh",
+    // round-10 lanes: hybrid retrieval (BM25 + dense + fusion),
+    // sequence packing, per-doc contamination fraction
+    "e14_rrf_fusion", "sp10_pack", "d17_contamination_frac"
   ).filter(SparkEntry.queries.contains)
 
   def main(args: Array[String]): Unit = {

@@ -125,9 +125,20 @@ object AnnIndex {
     * codes table at the manifest, ADC ranks the surviving codes, and
     * the exact cosine re-rank over ≤ overquery·topK ids settles the
     * order. `source` supplies the float vectors only for the query row
-    * and the re-rank set. */
+    * and the re-rank set.
+    *
+    * `filter` (vector-DB "filtered search", the standard metadata
+    * predicate: `lang = 'en' AND label = 3`): evaluated on `source`,
+    * reduced to an id allowlist, and semi-joined onto the probed
+    * cells' codes BEFORE the ADC top-k — so the k results all satisfy
+    * the predicate rather than being filtered away after the fact
+    * (post-filtering returns < k whenever the predicate is selective).
+    * Only ids cross the allowlist join; with a selective predicate
+    * raise nProbe — matching vectors may live outside the query's
+    * nearest cells. */
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
-      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3): DataFrame = {
+      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val unit = l2Normalized(source)
     val q = unit.filter(col("vec_id") === queryId)
       .select("embedding").first().getSeq[Double](0)
@@ -139,9 +150,15 @@ object AnnIndex {
     val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
       .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
       .collect().map(_.getInt(0)).toSeq
-    val cands = pqRank(
-      wh.table(s"${idx}_codes").filter(col("cell").isin(probed: _*))
-        .select("vec_id", "codes"),
+    val probedCodes = wh.table(s"${idx}_codes")
+      .filter(col("cell").isin(probed: _*))
+      .select("vec_id", "codes")
+    val admissible = filter match {
+      case None => probedCodes
+      case Some(pred) => probedCodes.join(
+        source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
+    }
+    val cands = pqRank(admissible,
       codebook, q, m = m, k = k, topK = overquery * topK)
     val qvec = unit.filter(col("vec_id") === queryId)
       .select(col("embedding").as("qe"))

@@ -110,4 +110,35 @@ class AnnIndexSpec extends AnyFunSuite {
       assert((exact intersect got).size >= 8)
     } finally { q.stop(); emb.unpersist() }
   }
+
+  test("filtered search: predicate applied inside the probe; full k results, all satisfying it; exact under full probe") {
+    val wh = new Warehouse(spark, tmp("ann_idx4"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    // post-filtering would return < k here: only ~1/10 of the corpus
+    // has this label, so most of an unfiltered top-10 fails it
+    val got = AnnIndex.query(wh, "ann", emb, queryId = 0L,
+      nProbe = 8, filter = Some(col("label") === 3))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10, s"filtered search must still fill k: ${got.length}")
+    val labels = emb.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got.forall(r => labels.contains(r._1)),
+      "a result escaped the predicate")
+    // with every cell probed the admissible set fits inside
+    // overquery*topK, so the exact re-rank sees ALL of it — the result
+    // IS the brute-force filtered ranking computed straight off the
+    // source, not an approximation
+    import graft.functions.VectorFunctions
+    val qe = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val brute = emb.filter(col("label") === 3).crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == brute.toSeq, s"got=${got.toSeq} brute=${brute.toSeq}")
+  }
 }
