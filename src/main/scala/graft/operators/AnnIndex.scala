@@ -80,7 +80,14 @@ object AnnIndex {
     * (no retraining — codebooks are two bounded reads) and appended.
     * The delta discovery is one anti-join on ids — the codes side
     * reads only its vec_id column — and the encode touches only delta
-    * rows. Returns how many vectors were added. */
+    * rows. Returns how many vectors were added.
+    *
+    * Single-maintainer contract (the warehouse's single-writer rule,
+    * one level up): two refreshers racing on the same index would each
+    * anti-join the same snapshot, encode the same delta, and both
+    * append it — duplicate code rows. One maintainer per index; a
+    * streaming deployment gets this for free from [[streamRefresh]]'s
+    * serialized micro-batches. */
   def refresh(wh: Warehouse, idx: String, source: DataFrame): Long = {
     val have = wh.table(s"${idx}_codes").select("vec_id")
     val delta = source.join(have, Seq("vec_id"), "left_anti")
