@@ -34,12 +34,26 @@ object Tables {
     val df =
       try table(s, d, "events")
       catch {
-        case scala.util.control.NonFatal(_) =>
+        // flip the session conf ONLY for the specific rejection the
+        // conf exists to cure — a missing file or transient FS error
+        // must neither be masked by a second identical failure nor
+        // leave the shared session decoding every later
+        // TIMESTAMP(NANOS) column as raw longs as a side effect
+        case scala.util.control.NonFatal(e)
+            if isNanosRejection(e) =>
           s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           table(s, d, "events")
       }
     normalizeTs(df)
   }
+
+  /** The one failure the legacy conf cures: Spark's parquet reader
+    * rejecting INT64 TIMESTAMP(NANOS) ("Illegal Parquet type …
+    * TIMESTAMP(NANOS…"). Matched anywhere on the cause chain. */
+  private[graft] def isNanosRejection(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(8)
+      .exists(t => Option(t.getMessage)
+        .exists(_.toUpperCase.contains("NANOS")))
 
   /** Normalize an events frame's `ts` to TimestampType µs regardless of
     * the on-disk encoding (long nanos / NTZ µs / already LTZ). */

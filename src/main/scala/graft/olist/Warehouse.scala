@@ -527,9 +527,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
   def statsBy(name: String, cols: Seq[String]): Unit = {
     require(database.isEmpty, "statsBy applies to path-mode tables only")
     withCommitLock(name) {
-      val files = currentManifest(name).map(_._2).getOrElse(
-        throw new IllegalArgumentException(
-          s"statsBy: $name has no committed snapshot"))
+      val (files, meta) = currentManifestFull(name)
+        .map(t => (t._2, t._3)).getOrElse(
+          throw new IllegalArgumentException(
+            s"statsBy: $name has no committed snapshot"))
       val sc = tableSchema(name)
       val parts = partitionColsOf(name)
       val bad = cols.filterNot(sc.fieldNames.contains)
@@ -537,6 +538,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
         s"statsBy: unknown column(s) ${bad.mkString(", ")} on $name")
       require(cols.forall(!parts.contains(_)),
         "statsBy: partition columns already prune by directory")
+      // stats columns are layout-bearing (requireRenameable blocks
+      // rename-after-declare); the mirror refusal — a PREVIOUSLY
+      // renamed column cannot be declared: files store it under its
+      // frozen physical name, so both this re-analyze and every
+      // append-time collectStats (which works on the physical schema)
+      // would silently see nothing and hand the CBO empty sketches.
+      val renamed = cols.filter(c =>
+        colMapOf(meta).get(c).exists(_ != c))
+      require(renamed.isEmpty,
+        s"statsBy: ${renamed.mkString(", ")} on $name was renamed " +
+          "(physical name differs) — stats collection keys by physical " +
+          "column name; declare before renaming, or rename back")
       statsByDecl(name) = cols
       // immediate re-analyze: one stats pass over the snapshot's own
       // files (clone-borrowed ".." paths keep their old entries — their

@@ -90,7 +90,12 @@ object AnnIndex {
     * serialized micro-batches. */
   def refresh(wh: Warehouse, idx: String, source: DataFrame): Long = {
     val have = wh.table(s"${idx}_codes").select("vec_id")
+    // dedup WITHIN the batch too: the anti-join only screens against
+    // committed ids, so a producer retry landing the same vec_id twice
+    // in one batch would otherwise append two code rows (ids are
+    // immutable content here — duplicates are replays, never updates)
     val delta = source.join(have, Seq("vec_id"), "left_anti")
+      .dropDuplicates("vec_id")
     if (delta.isEmpty) 0L
     else {
       val codebook = wh.table(s"${idx}_codebook")
@@ -152,8 +157,11 @@ object AnnIndex {
     val qlit = array(q.map(lit): _*)
     val coarse = wh.table(s"${idx}_coarse")
     val codebook = wh.table(s"${idx}_codebook")
-    val k = codebook.agg(countDistinct(col("cid"))).first().getLong(0).toInt
-    val m = codebook.agg(max(col("sub"))).first().getInt(0) + 1
+    // one bounded read answers both codebook dimensions — the serving
+    // path should not pay two driver jobs over the same m·k rows
+    val km = codebook.agg(countDistinct(col("cid")), max(col("sub"))).first()
+    val k = km.getLong(0).toInt
+    val m = km.getInt(1) + 1
     val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
       .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
       .collect().map(_.getInt(0)).toSeq
@@ -167,10 +175,11 @@ object AnnIndex {
     }
     val cands = pqRank(admissible,
       codebook, q, m = m, k = k, topK = overquery * topK)
-    val qvec = unit.filter(col("vec_id") === queryId)
-      .select(col("embedding").as("qe"))
+    // the query vector was already collected once (q) — re-rank against
+    // it as a literal array rather than re-deriving a one-row frame and
+    // paying a second collect + broadcast join on the serving path
     source.join(cands.select("vec_id"), "vec_id")
-      .crossJoin(broadcast(qvec))
+      .withColumn("qe", qlit)
       .select(col("vec_id"),
         round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
           (VectorFunctions.normExact(col("embedding")) *

@@ -563,16 +563,30 @@ object Similarity {
 
   def semanticDedup(emb: DataFrame, nClusters: Int = 8,
       tau: Double = 0.95, maxCluster: Int = 4096): DataFrame = {
+    // the corpus-wide argmin projection runs ONCE: its SLIM output
+    // (vec_id, cluster, d2c — ~24 B/row, never the vectors) is pinned
+    // and reused by the pair enumeration, both pair sides, and the
+    // final keep-set; referencing the unpinned frame four times would
+    // re-run the k·dim argmin scan in every branch of the plan. The
+    // candidate sides re-read embeddings through the plain
+    // normalization projection over the scan — a cheap pass, and the
+    // vectors themselves are never pinned.
     val assigned = semanticAssign(emb, nClusters)
+      .select("vec_id", "cluster", "d2c").localCheckpoint()
+    val unit = l2Normalized(emb)
     val cand = Skew.boundedSelfPairs(
       assigned.select("cluster", "vec_id"), "cluster", "vec_id", maxCluster)
     // vectors join back onto candidate pairs only — embeddings are
     // never replicated through the pair enumeration (d7's shape)
     val sim = cand
-      .join(assigned.select(col("vec_id").as("d1"), col("embedding").as("v1"),
-        col("d2c").as("c1")), Seq("d1"))
-      .join(assigned.select(col("vec_id").as("d2"), col("embedding").as("v2"),
-        col("d2c").as("c2")), Seq("d2"))
+      .join(unit.select(col("vec_id").as("d1"), col("embedding").as("v1")),
+        Seq("d1"))
+      .join(unit.select(col("vec_id").as("d2"), col("embedding").as("v2")),
+        Seq("d2"))
+      .join(assigned.select(col("vec_id").as("d1"), col("d2c").as("c1")),
+        Seq("d1"))
+      .join(assigned.select(col("vec_id").as("d2"), col("d2c").as("c2")),
+        Seq("d2"))
       // unit vectors: dot IS cosine
       .withColumn("cosine",
         round(VectorFunctions.dotExact(col("v1"), col("v2")), 12))

@@ -32,8 +32,13 @@ import org.apache.spark.sql.functions._
   */
 object WarehouseBench {
 
-  private val cache =
-    scala.collection.concurrent.TrieMap.empty[String, Warehouse]
+  // keyed by (session, sf dir): a Warehouse holds its SparkSession, so
+  // a dir-only key would hand a later session a Warehouse bound to an
+  // earlier (possibly stopped) one. The on-disk table is rebuilt per
+  // session — cheap at bench scale, and each entry's temp dir is only
+  // reachable through its own session's Warehouse.
+  private val cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
 
   /** The probe's one-year window (sf-independent: the synthetic ship
     * dates span 1995–2001 at every scale factor — see TESTDATA.md). */
@@ -41,7 +46,7 @@ object WarehouseBench {
   private val hi = "1998-12-31 23:59:59"
 
   private def warehouse(s: SparkSession, d: String): Warehouse =
-    cache.getOrElseUpdate(d, {
+    cache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files
         .createTempDirectory("graft_whbench").toString
       val w = new Warehouse(s, dir)

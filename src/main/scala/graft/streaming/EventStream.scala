@@ -283,7 +283,11 @@ object EventStream {
     val schema =
       try spark.read.parquet(eventsPath).schema
       catch {
-        case scala.util.control.NonFatal(_) =>
+        // only the NANOS rejection flips the conf — any other failure
+        // (missing file, FS error) must surface as itself, not mutate
+        // the shared session's parquet semantics first
+        case scala.util.control.NonFatal(e)
+            if graft.Tables.isNanosRejection(e) =>
           spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           spark.read.parquet(eventsPath).schema
       }

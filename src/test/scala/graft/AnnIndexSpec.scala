@@ -141,4 +141,17 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
     assert(got.toSeq == brute.toSeq, s"got=${got.toSeq} brute=${brute.toSeq}")
   }
+
+  test("refresh dedups within one batch: a replayed id landing twice appends a single code row") {
+    val wh = new Warehouse(spark, tmp("ann_idx5"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb.filter(col("vec_id") < 400))
+    // delta carrying vec_id 450 twice (producer retry inside the batch)
+    val dup = emb.filter(col("vec_id") >= 400)
+      .union(emb.filter(col("vec_id") === 450L))
+    assert(AnnIndex.refresh(wh, "ann", dup) == 100)
+    assert(wh.table("ann_codes").count() == 500)
+    assert(wh.table("ann_codes")
+      .filter(col("vec_id") === 450L).count() == 1)
+  }
 }

@@ -475,4 +475,20 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exchanges.exists(_.contains("payload")),
       s"payload crossed an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("statsBy refuses a previously-renamed column (stats key by physical name)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("wh_statsby_rn").toString
+    val wh = new graft.olist.Warehouse(spark, dir)
+    wh.save("t", Seq((1L, 2L)).toDF("a", "b"))
+    wh.renameColumn("t", "a", "fk")
+    // declaring the renamed column would silently collect nothing: the
+    // immediate re-analyze reads files storing the frozen physical
+    // name, and append-time collectStats filters on the physical
+    // schema — refuse loudly instead
+    val ex = intercept[IllegalArgumentException](wh.statsBy("t", Seq("fk")))
+    assert(ex.getMessage.contains("renamed"), ex.getMessage)
+    // the un-renamed column still declares fine
+    wh.statsBy("t", Seq("b"))
+  }
 }
