@@ -662,7 +662,20 @@ object TextAnalysis {
         terms.indices.map(i =>
           sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i")): _*)
     val scored = base.crossJoin(broadcast(stats))
-    // Shared subexpressions — identical nesting to the oracle SQL.
+    scored
+      .select(col("doc_id"), col("dl"),
+        round(bm25ScoreExpr(terms.size), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** The BM25 score as ONE column expression over a frame shaped
+    * (dl, tf0…tfN-1, n, sum_dl, df0…dfN-1), every input a LONG. Shared
+    * by [[bm25TopK]] (tf from the token array) and the stored inverted
+    * index ([[TextIndex]], tf from postings) so both produce
+    * BIT-IDENTICAL doubles: same subexpression nesting, same fixed
+    * left-fold term order — identical nesting to the oracle SQL. */
+  def bm25ScoreExpr(nTerms: Int): Column = {
     val avgdl = col("sum_dl").cast("double") / col("n")
     val lenNorm =
       lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
@@ -670,11 +683,7 @@ object TextAnalysis {
       log((lit(2) * col("n") + 2).cast("double") /
         (lit(2) * col(s"df$i") + 1)) *
         ((col(s"tf$i") * lit(2.2)) / (col(s"tf$i") + lenNorm))
-    val score = terms.indices.map(termScore).reduce(_ + _)
-    scored
-      .select(col("doc_id"), col("dl"), round(score, 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(k)
+    (0 until nTerms).map(termScore).reduce(_ + _)
   }
 
   /** DuckDB rendering of [[bm25TopK]] over `documents` — the same

@@ -1,0 +1,138 @@
+package graft.operators
+
+import graft.olist.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintained INVERTED index — the sparse-retrieval twin of
+  * [[AnnIndex]]: t18's BM25 recomputes corpus statistics and scans
+  * every document's tokens per query, which is the right shape for a
+  * one-shot batch sweep and the wrong one for serving many queries.
+  * This stores the classic search-engine decomposition as ordinary
+  * warehouse tables and keeps it current incrementally:
+  *
+  *   `<idx>_postings` (term, doc_id, tf, dl)  term-clustered + term
+  *                     bloom sketches — a query's `term IN (…)` scan
+  *                     file-skips to the handful of files holding its
+  *                     terms' postings (dl is denormalized in, so
+  *                     scoring needs NO join against a lengths table)
+  *   `<idx>_doclen`   (doc_id, dl)            membership list — drives
+  *                     refresh's anti-join and the stats increment
+  *   `<idx>_df`       (term, df)              document frequencies
+  *   `<idx>_stats`    (n, sum_dl)             one row
+  *
+  * Unlike the ANN index (frozen codebook — refresh preserves encode
+  * equivalence, recall drifts), BM25 has no trained state: refresh
+  * updates df/stats EXACTLY, so an incrementally-maintained index is
+  * bit-identical to one built from scratch — the spec asserts full
+  * equality, not a floor. Scoring reuses [[TextAnalysis.bm25ScoreExpr]]
+  * so a stored-index query reproduces t18's doubles bit-for-bit.
+  *
+  * Single-maintainer contract as [[AnnIndex.refresh]].
+  */
+object TextIndex {
+
+  /** Per-(doc, term) postings with the doc length carried along —
+    * tf/dl from the same tokenizer as [[TextAnalysis.bm25TopK]]. */
+  private def analyzed(docs: DataFrame): DataFrame =
+    docs
+      .select(col("doc_id"),
+        TextAnalysis.tokens(lower(col("text"))).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
+        explode(col("ts")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Tokenize + invert `docs` (doc_id, text, …) into the four index
+    * tables. `nFiles` range-splits the postings by term so each file
+    * covers a disjoint term range (min/max skipping) with a bloom
+    * sketch for point admission. Returns docs indexed. */
+  def build(wh: Warehouse, idx: String, docs: DataFrame,
+      nFiles: Int = 8): Long = {
+    val post = analyzed(docs).localCheckpoint() // feeds all four tables
+    wh.save(s"${idx}_postings",
+      post.select("term", "doc_id", "tf", "dl")
+        .repartitionByRange(nFiles, col("term")),
+      clusterBy = Seq("term"), bloomBy = Seq("term"))
+    wh.save(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
+    wh.save(s"${idx}_df",
+      post.groupBy("term").agg(count(lit(1)).as("df")))
+    val s = post.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), sum("dl").as("sum_dl")).first()
+    wh.save(s"${idx}_stats", statsFrame(docs, s.getLong(0), s.getLong(1)))
+    s.getLong(0)
+  }
+
+  private def statsFrame(shape: DataFrame, n: Long,
+      sumDl: Long): DataFrame = {
+    val spark = shape.sparkSession
+    import spark.implicits._
+    Seq((n, sumDl)).toDF("n", "sum_dl")
+  }
+
+  /** Index every document not yet in the membership list: O(delta)
+    * tokenize + append, an ADDITIVE df upsert, and an incremented
+    * stats row. df and stats stay EXACT, so incremental ≡ from-scratch
+    * build, bit-for-bit. Returns docs added. */
+  def refresh(wh: Warehouse, idx: String, docs: DataFrame): Long = {
+    val have = wh.table(s"${idx}_doclen").select("doc_id")
+    val delta = docs.join(have, Seq("doc_id"), "left_anti")
+      .dropDuplicates("doc_id")
+    if (delta.isEmpty) 0L
+    else {
+      val post = analyzed(delta).localCheckpoint() // delta-sized
+      wh.append(s"${idx}_postings",
+        post.select("term", "doc_id", "tf", "dl"))
+      wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
+      // additive df upsert: the vocabulary table is bounded (terms,
+      // not documents), so the full-outer fold + rewrite is O(vocab) —
+      // never O(corpus)
+      val dfDelta = post.groupBy("term").agg(count(lit(1)).as("df_add"))
+      val merged = wh.table(s"${idx}_df")
+        .join(dfDelta, Seq("term"), "full_outer")
+        .select(col("term"),
+          (coalesce(col("df"), lit(0L)) +
+            coalesce(col("df_add"), lit(0L))).as("df"))
+      wh.save(s"${idx}_df", merged)
+      val d = post.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)), sum("dl")).first()
+      val old = wh.table(s"${idx}_stats").first()
+      wh.save(s"${idx}_stats", statsFrame(docs,
+        old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
+      d.getLong(0)
+    }
+  }
+
+  /** BM25 top-k over the STORED index: `term IN (…)` file-skips the
+    * postings scan (term-range stats + bloom admission), the ≤|terms|
+    * df rows and the 1-row stats collect as literals, per-doc term
+    * scores pivot into FIXED-ORDER columns, and
+    * [[TextAnalysis.bm25ScoreExpr]] reproduces t18's arithmetic
+    * bit-for-bit. One shuffle (the per-doc pivot over matched postings
+    * only); documents matching no term score 0 and are absent. */
+  def query(wh: Warehouse, idx: String, terms: Seq[String],
+      k: Int): DataFrame = {
+    val st = wh.table(s"${idx}_stats").first()
+    val dfs = wh.table(s"${idx}_df")
+      .filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val matched = wh.table(s"${idx}_postings")
+      .filter(col("term").isin(terms: _*))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf$i")
+    }
+    val withStats = matched.groupBy("doc_id", "dl")
+      .agg(tfCols.head, tfCols.tail: _*)
+      .withColumn("n", lit(st.getLong(0)))
+      .withColumn("sum_dl", lit(st.getLong(1)))
+    val withDfs = terms.zipWithIndex.foldLeft(withStats) {
+      case (df0, (t, i)) =>
+        df0.withColumn(s"df$i", lit(dfs.getOrElse(t, 0L)))
+    }
+    withDfs
+      .select(col("doc_id"), col("dl"),
+        round(TextAnalysis.bm25ScoreExpr(terms.size), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(k)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import graft.olist.Warehouse
+import graft.olist.Warehouse.ColRange
+import graft.operators.{TextAnalysis, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Warehouse-maintained inverted index: stored-BM25 ≡ t18's scan-time
+  * BM25 bit-for-bit, exact incremental maintenance, term-pruned
+  * postings reads. */
+class TextIndexSpec extends AnyFunSuite {
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private val terms = TextAnalysis.bm25Query
+
+  test("stored-index query reproduces bm25TopK bit-for-bit on every matching document") {
+    val wh = new Warehouse(spark, tmp("ti1"))
+    val docs = Tables.documents(spark, sf)
+    assert(TextIndex.build(wh, "ti", docs) == docs.count())
+    // t18 ranks ALL docs (zero scores included); the index only holds
+    // matching docs — compare the positive-score prefix exactly
+    val scan = TextAnalysis.bm25TopK(docs, terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 > 0.0).toSeq
+    assert(scan.nonEmpty, "corpus must contain the query terms")
+    val stored = TextIndex.query(wh, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 > 0.0).toSeq
+    assert(stored == scan,
+      s"stored-index scores diverged:\nscan  =$scan\nstored=$stored")
+  }
+
+  test("refresh is exact: incrementally-maintained index answers identically to a from-scratch build") {
+    val wh = new Warehouse(spark, tmp("ti2"))
+    val whFull = new Warehouse(spark, tmp("ti2f"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") < 300))
+    assert(TextIndex.refresh(wh, "ti", docs) ==
+      docs.filter(col("doc_id") >= 300).count())
+    TextIndex.build(whFull, "ti", docs)
+    // df and stats are exact (no trained state), so the two indexes
+    // must agree on every score, not just a recall floor
+    val inc = TextIndex.query(wh, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val full = TextIndex.query(whFull, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(inc == full, s"inc=$inc\nfull=$full")
+    // idempotent: nothing new → no commits anywhere
+    val vs = Seq("ti_postings", "ti_doclen", "ti_df", "ti_stats")
+      .map(t => wh.tableVersions(t).last)
+    assert(TextIndex.refresh(wh, "ti", docs) == 0L)
+    assert(Seq("ti_postings", "ti_doclen", "ti_df", "ti_stats")
+      .map(t => wh.tableVersions(t).last) == vs)
+    // within-batch duplicate docs index once
+    val dup = docs.filter(col("doc_id") === 1L)
+    val wh3 = new Warehouse(spark, tmp("ti3"))
+    TextIndex.build(wh3, "ti", docs.filter(col("doc_id") > 1L))
+    assert(TextIndex.refresh(wh3, "ti", dup.union(dup)) == 1L)
+    assert(wh3.table("ti_doclen").filter(col("doc_id") === 1L).count() == 1)
+  }
+
+  test("postings reads are term-pruned: a point term admits a fraction of the files") {
+    val wh = new Warehouse(spark, tmp("ti4"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs, nFiles = 8)
+    val (all, total) = wh.scanFileCounts("ti_postings", Nil)
+    assert(total >= 4, s"expected several postings files, got $total")
+    // range-clustered by term: a single-term probe survives min/max +
+    // bloom admission in only a couple of files
+    val (few, _) = wh.scanFileCounts("ti_postings",
+      Seq(ColRange("term", Some(terms.head), Some(terms.head))))
+    assert(few <= math.max(2, total / 2),
+      s"term probe read $few of $total files")
+    assert(all == total)
+  }
+}
