@@ -132,6 +132,33 @@ object AnnIndex {
       }
       .start()
 
+  /** Hybrid retrieval over the STORED indexes — e14's composition
+    * served from infrastructure instead of per-query corpus scans: the
+    * sparse lane probes [[TextIndex]] (term-pruned postings), the
+    * dense lane probes this index (cell-pruned codes), and
+    * [[Similarity.rrfFuse]] combines the two pool-bounded rank lists.
+    * Every corpus-sized structure involved is pre-built and
+    * incrementally maintained; a query touches its terms' postings
+    * files, its probe cells' code files, and ≤ 2·pool fusion rows. */
+  def hybridQuery(wh: Warehouse, annIdx: String, textIdx: String,
+      source: DataFrame, terms: Seq[String], queryId: Long,
+      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextIndex.query(wh, textIdx, terms, pool)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "r")
+    val dense = query(wh, annIdx, source, queryId,
+      topK = pool, overquery = overquery, nProbe = nProbe)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select("vec_id", "r")
+    Similarity.rrfFuse(Seq(sparse, dense), k = topK)
+      .select(col("id").as("doc_id"), col("r0").as("bm25_rank"),
+        col("r1").as("cos_rank"), col("rrf"))
+  }
+
   /** IVF-PQ probe over the STORED index: nProbe nearest coarse cells
     * (codebook-bounded read), `cell IN (probed)` partition-prunes the
     * codes table at the manifest, ADC ranks the surviving codes, and

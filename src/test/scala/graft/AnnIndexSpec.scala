@@ -154,4 +154,40 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(wh.table("ann_codes")
       .filter(col("vec_id") === 450L).count() == 1)
   }
+
+  test("hybridQuery: stored sparse + dense lanes fuse to the scan-time composition under a full probe") {
+    import org.apache.spark.sql.expressions.Window
+    val wh = new Warehouse(spark, tmp("ann_hyb"))
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    operators.TextIndex.build(wh, "ti", docs)
+    val terms = operators.TextAnalysis.bm25Query
+    val got = AnnIndex.hybridQuery(wh, "ann", "ti", emb, terms,
+      queryId = 0L, topK = 10, nProbe = 8, overquery = 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    // reference: the same fusion built from the SCAN-TIME lanes —
+    // bm25TopK's positive prefix and the exact dense ranking (the full
+    // probe + deep overquery make the stored dense lane exact too)
+    val sparse = operators.TextAnalysis.bm25TopK(docs, terms, 50)
+      .filter(col("score") > 0.0)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "r")
+    import graft.functions.VectorFunctions
+    val qe = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val dense = emb.crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(50)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select("vec_id", "r")
+    val expect = Similarity.rrfFuse(Seq(sparse, dense), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expect, s"got=$got\nexpect=$expect")
+  }
 }
