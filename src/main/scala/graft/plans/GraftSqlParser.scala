@@ -20,6 +20,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("UPDATE t SET v = v + 1 WHERE k = 3")
   *   spark.sql("VACUUM t RETAIN 3 VERSIONS")
   *   spark.sql("OPTIMIZE t")
+  *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
   *
@@ -90,6 +91,11 @@ object GraftSqlParser {
       """(?:\s+GRACE\s+(\d+)\s+HOURS)?\s*;?\s*$""").r
   private val Optimize =
     """(?is)^\s*OPTIMIZE\s+([\w]+)(?:\s+WHERE\s+(.+?))?\s*;?\s*$""".r
+  // size-tiered OPTIMIZE (compactSmall): only files under MIN live rows
+  // rewrite, packed to ~TARGET-row outputs — the steady-state form
+  private val OptimizeSmall =
+    ("""(?is)^\s*OPTIMIZE\s+([\w]+)\s+SMALL\s+TARGET\s+(\d+)""" +
+      """\s+MIN\s+(\d+)\s*;?\s*$""").r
   // Delta-familiar recluster forms; ZORDER needs >= 2 columns (one
   // column is linear clustering — same rule as the programmatic API)
   private val OptimizeCluster =
@@ -405,6 +411,14 @@ object GraftSqlParser {
           val isZ = kind.equalsIgnoreCase("ZORDER")
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.recluster(table, cs, zorder = isZ); Seq(Row("OK"))
+          }
+        }
+      case OptimizeSmall(table, target, minRows) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType,
+            "files_compacted" -> LongType)) { _ =>
+            val r = wh.compactSmall(table, target.toLong, minRows.toLong)
+            Seq(Row("OK", r.filesCompacted.toLong))
           }
         }
       case Optimize(table, where) =>

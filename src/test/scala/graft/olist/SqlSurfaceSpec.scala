@@ -401,4 +401,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .exists(_.endsWith(".committed")),
       "live marker must survive VACUUM TRANSACTIONS")
   }
+
+  test("OPTIMIZE t SMALL TARGET n MIN m runs the size-tiered compaction") {
+    import spark.implicits._
+    val dir = tmp("sql_opt_small")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    wh.save("t", (0L until 100L).map(i => (i, "x")).toDF("k", "v")
+      .coalesce(1))
+    (1L to 3L).foreach(i => wh.append("t",
+      Seq((1000 + i, s"d$i")).toDF("k", "v")))
+    def files(): Set[String] = wh.table("t").select(input_file_name())
+      .distinct().collect().map(_.getString(0)).toSet
+    val big = files().filter(f => wh.table("t")
+      .filter(input_file_name() === f).count() == 100)
+    val r = spark.sql("OPTIMIZE t SMALL TARGET 100 MIN 50").collect()
+    assert(r.head.getString(0) == "OK" && r.head.getLong(1) == 3L,
+      r.mkString(","))
+    // debris folded into one file; the big file kept its path
+    assert(files().size == 2 && big.subsetOf(files()))
+    assert(wh.table("t").count() == 103)
+  }
 }
