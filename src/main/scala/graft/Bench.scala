@@ -31,7 +31,11 @@ object Bench {
     "b1_probe_raw", "b1_probe_wh",
     // round-10 lanes: hybrid retrieval (BM25 + dense + fusion),
     // sequence packing, per-doc contamination fraction
-    "e14_rrf_fusion", "sp10_pack", "d17_contamination_frac"
+    "e14_rrf_fusion", "sp10_pack", "d17_contamination_frac",
+    // retrieval SERVING twins: scan-time BM25 vs the stored inverted
+    // index, and the stored IVF-PQ probe (index builds memoized —
+    // median-of-3 discards the build run)
+    "b2_bm25_raw", "b2_bm25_wh", "b3_ann_wh"
   ).filter(SparkEntry.queries.contains)
 
   def main(args: Array[String]): Unit = {

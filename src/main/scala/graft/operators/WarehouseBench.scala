@@ -81,6 +81,54 @@ object WarehouseBench {
   val all: Seq[Q] = Seq(
     Q("b1_probe_raw", Some(oracle), (s, d) => probe(T.lineitem(s, d))),
     Q("b1_probe_wh", Some(oracle),
-      (s, d) => probe(warehouse(s, d).table("lineitem_b")))
+      (s, d) => probe(warehouse(s, d).table("lineitem_b"))),
+
+    // b2 — the RETRIEVAL serving twins: t18's scan-time BM25 (stats +
+    // scoring recomputed per query) vs the SAME query served from the
+    // stored TextIndex (term-pruned postings, stored df/stats).
+    // TextIndexSpec proves the two produce bit-identical scores on
+    // matching docs, so only no-match tail padding can differ —
+    // rows-only here (b2_bm25_raw carries t18's oracle). Index build
+    // is memoized per (session, sf) like the b1 warehouse; the
+    // median-of-3 discards the build run.
+    Q("b2_bm25_raw", Some(TextAnalysis.bm25OracleSql(
+        TextAnalysis.bm25Query, 10)),
+      (s, d) => TextAnalysis.bm25TopK(T.documents(s, d),
+        TextAnalysis.bm25Query, 10)),
+    Q("b2_bm25_wh", None, (s, d) =>
+      TextIndex.query(textIndexed(s, d), "ti_b",
+        TextAnalysis.bm25Query, 10)),
+
+    // b3 — the ANN serving twin: e4's native brute-force cosine vs the
+    // stored IVF-PQ probe (cell-pruned codes + ADC + exact re-rank).
+    // Rows-only (approximate ranking, recall floors spec-asserted in
+    // AnnIndexSpec); the number tracks the SERVING path — probe +
+    // partition-pruned scan + bounded re-rank — round over round.
+    Q("b3_ann_wh", None, (s, d) =>
+      AnnIndex.query(annIndexed(s, d), "ann_b", T.embeddings(s, d),
+        queryId = 0L))
   )
+
+  private val tiCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+  private val annCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def textIndexed(s: SparkSession, d: String): Warehouse =
+    tiCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_tibench").toString
+      val w = new Warehouse(s, dir)
+      TextIndex.build(w, "ti_b", T.documents(s, d))
+      w
+    })
+
+  private def annIndexed(s: SparkSession, d: String): Warehouse =
+    annCache.getOrElseUpdate((s, d), {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_annbench").toString
+      val w = new Warehouse(s, dir)
+      AnnIndex.build(w, "ann_b", T.embeddings(s, d))
+      w
+    })
 }
