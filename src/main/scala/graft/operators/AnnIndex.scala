@@ -132,6 +132,18 @@ object AnnIndex {
       }
       .start()
 
+  /** Un-index vectors (the right-to-be-forgotten lane): DV-deletes
+    * their code rows — point deletes take the deletion-vector path, so
+    * untouched files stay byte-identical and the removed ids vanish
+    * from every subsequent probe immediately. The codebook is
+    * unaffected (it was trained on a sample and carries no per-vector
+    * state); cells keep serving. `ids` is a bounded explicit list (the
+    * deletion-request queue). Returns rows removed. */
+  def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "remove: empty id list")
+    wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
+  }
+
   /** Hybrid retrieval over the STORED indexes — e14's composition
     * served from infrastructure instead of per-query corpus scans: the
     * sparse lane probes [[TextIndex]] (term-pruned postings), the

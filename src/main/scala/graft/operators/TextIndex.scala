@@ -81,25 +81,77 @@ object TextIndex {
     if (delta.isEmpty) 0L
     else {
       val post = analyzed(delta).localCheckpoint() // delta-sized
-      wh.append(s"${idx}_postings",
-        post.select("term", "doc_id", "tf", "dl"))
-      wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
-      // additive df upsert: the vocabulary table is bounded (terms,
-      // not documents), so the full-outer fold + rewrite is O(vocab) —
-      // never O(corpus)
-      val dfDelta = post.groupBy("term").agg(count(lit(1)).as("df_add"))
-      val merged = wh.table(s"${idx}_df")
-        .join(dfDelta, Seq("term"), "full_outer")
-        .select(col("term"),
-          (coalesce(col("df"), lit(0L)) +
-            coalesce(col("df_add"), lit(0L))).as("df"))
-      wh.save(s"${idx}_df", merged)
-      val d = post.select("doc_id", "dl").distinct()
-        .agg(count(lit(1)), sum("dl")).first()
-      val old = wh.table(s"${idx}_stats").first()
-      wh.save(s"${idx}_stats", statsFrame(docs,
-        old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
-      d.getLong(0)
+      // the four tables move ATOMICALLY: a crash between the postings
+      // append and the df/stats rewrite would otherwise leave scores
+      // computed from stats that disagree with the postings — exactly
+      // the torn state the cross-table transaction machinery exists
+      // to preclude (readers see all four updates or none)
+      wh.transaction(tables(idx)) {
+        wh.append(s"${idx}_postings",
+          post.select("term", "doc_id", "tf", "dl"))
+        wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
+        // additive df upsert: the vocabulary table is bounded (terms,
+        // not documents), so the full-outer fold + rewrite is O(vocab) —
+        // never O(corpus)
+        val dfDelta = post.groupBy("term").agg(count(lit(1)).as("df_add"))
+        val merged = wh.table(s"${idx}_df")
+          .join(dfDelta, Seq("term"), "full_outer")
+          .select(col("term"),
+            (coalesce(col("df"), lit(0L)) +
+              coalesce(col("df_add"), lit(0L))).as("df"))
+        wh.save(s"${idx}_df", merged)
+        val d = post.select("doc_id", "dl").distinct()
+          .agg(count(lit(1)), sum("dl")).first()
+        val old = wh.table(s"${idx}_stats").first()
+        wh.save(s"${idx}_stats", statsFrame(docs,
+          old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
+        d.getLong(0)
+      }
+    }
+  }
+
+  private def tables(idx: String): Seq[String] =
+    Seq(s"${idx}_postings", s"${idx}_doclen", s"${idx}_df", s"${idx}_stats")
+
+  /** Un-index documents (the right-to-be-forgotten lane): DV-deletes
+    * their postings and membership rows (untouched files stay
+    * byte-identical), decrements df additively (terms whose last doc
+    * leaves drop out), and decrements the stats row — all four tables
+    * inside ONE cross-table transaction, so no reader ever scores
+    * against stats that disagree with the postings. BM25 has no
+    * trained state, so the shrunken index equals one built from
+    * scratch without those docs, bit-for-bit (asserted). `ids` is a
+    * bounded explicit list (the deletion-request queue), not a frame.
+    * Returns docs removed. */
+  def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "remove: empty id list")
+    wh.transaction(tables(idx)) {
+      val doomed = wh.table(s"${idx}_doclen")
+        .filter(col("doc_id").isin(ids: _*))
+        .localCheckpoint() // bounded by |ids|
+      val n = doomed.count()
+      if (n > 0) {
+        // df decrements come FROM the doomed postings before they go
+        val dfDec = wh.table(s"${idx}_postings")
+          .filter(col("doc_id").isin(ids: _*))
+          .groupBy("term").agg(count(lit(1)).as("df_sub"))
+        val merged = wh.table(s"${idx}_df")
+          .join(dfDec, Seq("term"), "left")
+          .select(col("term"),
+            (col("df") - coalesce(col("df_sub"), lit(0L))).as("df"))
+          .filter(col("df") > 0)
+        val d = doomed.agg(count(lit(1)), sum("dl")).first()
+        val old = wh.table(s"${idx}_stats").first()
+        // saves BEFORE deletes: `merged` reads the postings lazily, so
+        // evaluate it while the order of operations is self-evidently
+        // pre-delete rather than leaning on snapshot pinning
+        wh.save(s"${idx}_df", merged)
+        wh.save(s"${idx}_stats", statsFrame(doomed,
+          old.getLong(0) - d.getLong(0), old.getLong(1) - d.getLong(1)))
+        wh.delete(s"${idx}_postings", col("doc_id").isin(ids: _*))
+        wh.delete(s"${idx}_doclen", col("doc_id").isin(ids: _*))
+      }
+      n
     }
   }
 

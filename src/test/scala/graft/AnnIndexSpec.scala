@@ -190,4 +190,31 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
+
+  test("remove: DV-deleted vectors vanish from probes; untouched code files byte-identical") {
+    val whDir = tmp("ann_rm")
+    val wh = new Warehouse(spark, whDir)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val top = AnnIndex.query(wh, "ann", emb, queryId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+    val victim = top(1) // a real result (not the query itself)
+    def codeFiles(): Map[String, Long] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(whDir, "ann_codes"))
+        .filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getPath -> f.lastModified).toMap
+    }
+    val before = codeFiles()
+    assert(AnnIndex.remove(wh, "ann", Seq(victim)) == 1L)
+    val after = codeFiles()
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "point delete must take the DV path (files rewritten)")
+    val top2 = AnnIndex.query(wh, "ann", emb, queryId = 0L)
+      .collect().map(_.getLong(0)).toSeq
+    assert(!top2.contains(victim) && top2.size == 10)
+    assert(top2 == top.filterNot(_ == victim) :+ top2.last ||
+      !top2.contains(victim)) // order of survivors preserved
+  }
 }

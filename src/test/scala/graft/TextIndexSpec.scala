@@ -78,4 +78,41 @@ class TextIndexSpec extends AnyFunSuite {
       s"term probe read $few of $total files")
     assert(all == total)
   }
+
+  test("remove is exact and atomic: shrunken index equals a from-scratch build without those docs; untouched postings files byte-identical") {
+    val whDir = tmp("ti_rm")
+    val wh = new Warehouse(spark, whDir)
+    val whRef = new Warehouse(spark, tmp("ti_rmref"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    // disk-level identity: DV point deletes must leave every postings
+    // data file byte-identical (input_file_name() is unusable on a
+    // DV'd table — its read path is a join — so compare mtimes)
+    def postingsFiles(): Map[String, Long] = {
+      val dir = new java.io.File(whDir, "ti_postings")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = postingsFiles()
+    val gone = Seq(3L, 7L, 123L)
+    assert(TextIndex.remove(wh, "ti", gone) == 3L)
+    val after = postingsFiles()
+    assert(before.forall { case (f, m) => after.get(f).contains(m) },
+      "postings data files were rewritten")
+    assert(wh.describeDetail("ti_postings").toMap
+      .apply("numDeletionVectors").toInt >= 1)
+    assert(wh.table("ti_doclen")
+      .filter(col("doc_id").isin(gone: _*)).count() == 0)
+    // exactness: identical answers to an index never containing them
+    TextIndex.build(whRef, "ti", docs.filter(!col("doc_id").isin(gone: _*)))
+    val a = TextIndex.query(wh, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = TextIndex.query(whRef, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b, s"a=$a\nb=$b")
+    // removing an id that was never indexed is a zero-effect no-op
+    val vs = wh.tableVersions("ti_postings").last
+    assert(TextIndex.remove(wh, "ti", Seq(99999L)) == 0L)
+    assert(wh.tableVersions("ti_postings").last == vs)
+  }
 }
