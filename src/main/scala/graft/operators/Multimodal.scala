@@ -454,6 +454,98 @@ object Multimodal {
       .mapPartitions(decodeAudio)
   }
 
+  // ── video lane ──────────────────────────────────────────────────────
+  // REAL container here too: YUV4MPEG2 (y4m) is the raw-frame
+  // mezzanine format video tooling interchanges (a plain-text header +
+  // uncompressed planes) — parseable with zero codecs, which is
+  // exactly the tier a JVM-only engine can own. Compressed codecs
+  // (h264 et al.) stay behind [[decodeStub]]; a production deployment
+  // swaps that one function for a JNI/ffmpeg binding while every
+  // Spark-side contract in this file (batch iterator shape, payload
+  // never shuffles, features-only output) is already exercised by the
+  // real y4m path.
+
+  /** One decoded video frame's features: dimensions from the HEADER,
+    * mean luma over the frame's plane from the BODY. */
+  case class VideoFrame(doc_id: Long, frame_idx: Long, width: Int,
+      height: Int, mean_luma: Double)
+
+  /** Deterministic test/oracle clip: a Cmono y4m with
+    * w = 4+(d mod 3), h = 3+(d mod 2), 2+(d mod 3) frames, and
+    * luma(f, y, x) = ((d+1)(x + 7y + 13f) + 5) mod 256 — header and
+    * every plane byte a pure function of doc_id, so frame features
+    * are arithmetic DuckDB replays without parsing anything. */
+  def syntheticY4m(docId: Long): Array[Byte] = {
+    val w = (4 + docId % 3).toInt; val h = (3 + docId % 2).toInt
+    val frames = (2 + docId % 3).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(s"YUV4MPEG2 W$w H$h F25:1 Ip A1:1 Cmono\n"
+      .getBytes("US-ASCII"))
+    for (f <- 0 until frames) {
+      out.write("FRAME\n".getBytes("US-ASCII"))
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          out.write((((docId + 1) * (x + 7L * y + 13L * f) + 5) % 256).toInt)
+          x += 1
+        }
+        y += 1
+      }
+    }
+    out.toByteArray
+  }
+
+  /** REAL y4m parse + frame featurization, per-partition batch shape:
+    * dimensions come from the container HEADER (W/H tags; only the
+    * codec-free Cmono layout is owned — C420 et al. would need chroma
+    * plane math this lane doesn't claim), frames from the FRAME-
+    * delimited planes. Truncated tails yield their complete frames
+    * only; unparseable payloads drop (curation semantics). */
+  def decodeVideo(rows: Iterator[MediaRow]): Iterator[VideoFrame] =
+    rows.flatMap { r =>
+      val header =
+        try {
+          val nl = r.payload.indexOf('\n'.toByte)
+          if (nl < 0) None
+          else {
+            val line = new String(r.payload, 0, nl, "US-ASCII")
+            val tags = line.split(" ")
+            if (!line.startsWith("YUV4MPEG2") ||
+              !tags.exists(_ == "Cmono")) None
+            else for {
+              w <- tags.find(_.startsWith("W")).map(_.drop(1).toInt)
+              h <- tags.find(_.startsWith("H")).map(_.drop(1).toInt)
+              if w > 0 && h > 0
+            } yield (w, h, nl + 1)
+          }
+        } catch { case scala.util.control.NonFatal(_) => None }
+      header.toSeq.flatMap { case (w, h, body) =>
+        val marker = "FRAME\n".getBytes("US-ASCII")
+        val plane = w * h
+        Iterator.unfold((body, 0L)) { case (pos, idx) =>
+          val hasMarker = pos + marker.length <= r.payload.length &&
+            marker.indices.forall(i => r.payload(pos + i) == marker(i))
+          val start = pos + marker.length
+          if (!hasMarker || start + plane > r.payload.length) None
+          else {
+            var s = 0L; var i = 0
+            while (i < plane) { s += (r.payload(start + i) & 0xff); i += 1 }
+            Some((VideoFrame(r.doc_id, idx, w, h, s.toDouble / plane),
+              (start + plane, idx + 1)))
+          }
+        }.toSeq
+      }
+    }
+
+  /** The video pipeline: (doc_id, payload) → per-frame features. */
+  def extractVideoFrames(spark: SparkSession,
+      media: DataFrame): Dataset[VideoFrame] = {
+    import spark.implicits._
+    media.select(col("doc_id"), col("payload")).as[MediaRow]
+      .mapPartitions(decodeVideo)
+  }
+
   val all: Seq[Q] = Seq(
     // MM1 — binary metadata extraction (payload stays columnar; only
     // byte-level metadata is computed — no decode in the oracle path)
@@ -701,6 +793,39 @@ object Multimodal {
         extractAudioFrames(s, media.toDF())
           .toDF()
           .withColumn("rms", round(col("rms"), 6))
+          .orderBy("doc_id", "frame_idx")
+      }),
+
+    // MM7 — REAL video-container parse, oracle-checked: each doc_id
+    // synthesizes a Cmono YUV4MPEG2 clip (raw mezzanine frames — the
+    // codec-free tier a JVM engine can own) and the decode lane
+    // re-parses the container: dimensions from the header tags, frame
+    // boundaries from the FRAME markers, mean luma from the plane
+    // bytes. Every byte is arithmetic of (doc_id, f, y, x), so DuckDB
+    // predicts all of it parser-free — mm4/mm6's trick on the third
+    // modality. Completes the triple: image = real JDK codec, audio =
+    // real RIFF/WAV container, video = real y4m container.
+    Q("mm7_video_frames",
+      Some("""WITH d AS (SELECT doc_id, 4 + (doc_id % 3) AS w,
+             |    3 + (doc_id % 2) AS h, 2 + (doc_id % 3) AS nf
+             |  FROM documents),
+             |f AS (SELECT doc_id, w, h, unnest(range(0, nf)) AS fi FROM d),
+             |yy AS (SELECT doc_id, w, h, fi, unnest(range(0, h)) AS y FROM f),
+             |px AS (SELECT doc_id, w, h, fi, y,
+             |         unnest(range(0, w)) AS x FROM yy)
+             |SELECT doc_id, fi AS frame_idx,
+             |  cast(w AS INT) AS width, cast(h AS INT) AS height,
+             |  round(cast(sum(((doc_id + 1) * (x + 7 * y + 13 * fi) + 5)
+             |      % 256) AS DOUBLE) / (w * h), 6) AS mean_luma
+             |FROM px GROUP BY doc_id, fi, w, h
+             |ORDER BY doc_id, frame_idx""".stripMargin),
+      (s, d) => {
+        import s.implicits._
+        val media = T.documents(s, d).select(col("doc_id")).as[Long]
+          .map(id => MediaRow(id, syntheticY4m(id)))
+        extractVideoFrames(s, media.toDF())
+          .toDF()
+          .withColumn("mean_luma", round(col("mean_luma"), 6))
           .orderBy("doc_id", "frame_idx")
       })
   )

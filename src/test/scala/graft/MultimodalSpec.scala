@@ -219,4 +219,39 @@ class MultimodalSpec extends AnyFunSuite {
     // doc1: 784 samples → 4 frames; doc2: 1056 samples → 5 frames
     assert(out.count() == 9)
   }
+
+  test("video: y4m round trip recovers header dims + exact frame lumas; truncated tail yields complete frames; junk and chroma formats drop") {
+    // header truth + per-frame mean from the plane bytes
+    def ref(d: Long): Seq[(Long, Int, Int, Double)] = {
+      val w = (4 + d % 3).toInt; val h = (3 + d % 2).toInt
+      (0 until (2 + d % 3).toInt).map { f =>
+        val s = (for (y <- 0 until h; x <- 0 until w)
+          yield ((d + 1) * (x + 7L * y + 13L * f) + 5) % 256).sum
+        (f.toLong, w, h, s.toDouble / (w * h))
+      }
+    }
+    for (d <- Seq(0L, 1L, 5L)) {
+      val got = Multimodal.decodeVideo(Iterator(
+        Multimodal.MediaRow(d, Multimodal.syntheticY4m(d)))).toSeq
+        .map(v => (v.frame_idx, v.width, v.height, v.mean_luma))
+      assert(got == ref(d), s"doc $d")
+    }
+    // truncated mid-frame: only the complete frames survive
+    val full = Multimodal.syntheticY4m(2L) // 6x3 px, 4 frames
+    val cut = full.take(full.length - 5)
+    val gotCut = Multimodal.decodeVideo(Iterator(
+      Multimodal.MediaRow(2L, cut))).toSeq
+    assert(gotCut.size == ref(2L).size - 1, s"got ${gotCut.size}")
+    assert(gotCut.map(v => (v.frame_idx, v.width, v.height, v.mean_luma))
+      == ref(2L).dropRight(1))
+    // junk and a chroma-subsampled header both drop
+    val c420 = ("YUV4MPEG2 W4 H4 F25:1 Ip A1:1 C420\n" + "FRAME\n")
+      .getBytes("US-ASCII") ++ Array.fill[Byte](24)(1)
+    val mixed = Seq(
+      Multimodal.MediaRow(1L, Multimodal.syntheticY4m(1L)),
+      Multimodal.MediaRow(2L, Array[Byte](9, 9, 9)),
+      Multimodal.MediaRow(3L, c420))
+    assert(Multimodal.decodeVideo(mixed.iterator).map(_.doc_id).toSet
+      == Set(1L))
+  }
 }
