@@ -57,7 +57,12 @@ object AnnIndex {
     * all three tables. Returns the number of vectors indexed. */
   def build(wh: Warehouse, idx: String, source: DataFrame,
       nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
-    val unit = l2Normalized(source)
+    require(!source.isEmpty,
+      "build: empty source — the codebooks train on data; bootstrap an " +
+        "ANN index from its first real batch, not from nothing")
+    // within-batch dedup (refresh's contract): a duplicated vec_id
+    // would store duplicate code rows and surface twice in a top-k
+    val unit = l2Normalized(source.dropDuplicates("vec_id"))
     val sample = trainingSample(unit,
       math.max(defaultSampleN(1, nCells), defaultSampleN(m, k)))
     val coarse = pqTrain(sample, m = 1, k = nCells, iters = 3)
@@ -68,6 +73,9 @@ object AnnIndex {
     wh.save(s"${idx}_codebook", codebook)
     val codes = encode(unit, coarse, codebook, m, dimOf(unit))
     wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
+    // right-to-be-forgotten tombstones: ids remove()d stay out even
+    // when later refresh sources still carry them
+    wh.save(s"${idx}_gone", source.select("vec_id").limit(0))
     wh.countRows(s"${idx}_codes")
       .getOrElse(wh.table(s"${idx}_codes").count())
   }
@@ -93,8 +101,11 @@ object AnnIndex {
     // dedup WITHIN the batch too: the anti-join only screens against
     // committed ids, so a producer retry landing the same vec_id twice
     // in one batch would otherwise append two code rows (ids are
-    // immutable content here — duplicates are replays, never updates)
+    // immutable content here — duplicates are replays, never updates).
+    // Tombstoned ids stay out: a remove() must not be silently undone
+    // by the next refresh whose source still carries the vector.
     val delta = source.join(have, Seq("vec_id"), "left_anti")
+      .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti")
       .dropDuplicates("vec_id")
     if (delta.isEmpty) 0L
     else {
@@ -141,7 +152,14 @@ object AnnIndex {
     * deletion-request queue). Returns rows removed. */
   def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "remove: empty id list")
-    wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
+    wh.transaction(Seq(s"${idx}_codes", s"${idx}_gone")) {
+      val spark0 = wh.table(s"${idx}_gone").sparkSession
+      import spark0.implicits._
+      wh.append(s"${idx}_gone",
+        ids.distinct.toDF("vec_id")
+          .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti"))
+      wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
+    }
   }
 
   /** Hybrid retrieval over the STORED indexes — e14's composition

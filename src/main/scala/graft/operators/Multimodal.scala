@@ -516,23 +516,37 @@ object Multimodal {
             else for {
               w <- tags.find(_.startsWith("W")).map(_.drop(1).toInt)
               h <- tags.find(_.startsWith("H")).map(_.drop(1).toInt)
-              if w > 0 && h > 0
+              // corrupt/hostile headers must DROP, not crash the task:
+              // w·h beyond the payload can't hold one frame anyway, and
+              // bounding it here keeps every later index in safe Int
+              // range (a 50000×50000 header would overflow w*h)
+              if w > 0 && h > 0 && w.toLong * h <= r.payload.length
             } yield (w, h, nl + 1)
           }
         } catch { case scala.util.control.NonFatal(_) => None }
       header.toSeq.flatMap { case (w, h, body) =>
-        val marker = "FRAME\n".getBytes("US-ASCII")
+        val marker = "FRAME".getBytes("US-ASCII")
         val plane = w * h
-        Iterator.unfold((body, 0L)) { case (pos, idx) =>
-          val hasMarker = pos + marker.length <= r.payload.length &&
-            marker.indices.forall(i => r.payload(pos + i) == marker(i))
-          val start = pos + marker.length
-          if (!hasMarker || start + plane > r.payload.length) None
+        // frame header = "FRAME" + optional per-frame params up to the
+        // newline (legal y4m — tools emit e.g. "FRAME Ip\n")
+        def frameBodyStart(pos: Int): Option[Int] =
+          if (pos + marker.length > r.payload.length ||
+            !marker.indices.forall(i => r.payload(pos + i) == marker(i)))
+            None
           else {
-            var s = 0L; var i = 0
-            while (i < plane) { s += (r.payload(start + i) & 0xff); i += 1 }
-            Some((VideoFrame(r.doc_id, idx, w, h, s.toDouble / plane),
-              (start + plane, idx + 1)))
+            var i = pos + marker.length
+            while (i < r.payload.length && r.payload(i) != '\n'.toByte)
+              i += 1
+            if (i < r.payload.length) Some(i + 1) else None
+          }
+        Iterator.unfold((body, 0L)) { case (pos, idx) =>
+          frameBodyStart(pos) match {
+            case Some(start) if start.toLong + plane <= r.payload.length =>
+              var s = 0L; var i = 0
+              while (i < plane) { s += (r.payload(start + i) & 0xff); i += 1 }
+              Some((VideoFrame(r.doc_id, idx, w, h, s.toDouble / plane),
+                (start + plane, idx + 1)))
+            case _ => None
           }
         }.toSeq
       }

@@ -36,6 +36,7 @@ object TextIndex {
     * tf/dl from the same tokenizer as [[TextAnalysis.bm25TopK]]. */
   private def analyzed(docs: DataFrame): DataFrame =
     docs
+      .filter(col("text").isNotNull) // un-tokenizable: not indexable
       .select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
@@ -49,7 +50,11 @@ object TextIndex {
     * sketch for point admission. Returns docs indexed. */
   def build(wh: Warehouse, idx: String, docs: DataFrame,
       nFiles: Int = 8): Long = {
-    val post = analyzed(docs).localCheckpoint() // feeds all four tables
+    // same within-batch dedup as refresh: a duplicated doc would
+    // otherwise double its tf while dl/df/n stay singular. NULL-text
+    // docs are not indexable (analyzed drops them) — filter upstream.
+    val post = analyzed(docs.dropDuplicates("doc_id"))
+      .localCheckpoint() // feeds all the tables
     wh.save(s"${idx}_postings",
       post.select("term", "doc_id", "tf", "dl")
         .repartitionByRange(nFiles, col("term")),
@@ -57,9 +62,15 @@ object TextIndex {
     wh.save(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
     wh.save(s"${idx}_df",
       post.groupBy("term").agg(count(lit(1)).as("df")))
+    // the right-to-be-forgotten tombstone list: ids remove()d stay
+    // out even when later refresh sources still carry them
+    wh.save(s"${idx}_gone", post.select("doc_id").limit(0))
     val s = post.select("doc_id", "dl").distinct()
       .agg(count(lit(1)).as("n"), sum("dl").as("sum_dl")).first()
-    wh.save(s"${idx}_stats", statsFrame(docs, s.getLong(0), s.getLong(1)))
+    // empty bootstrap (build now, stream refreshes in later) leaves
+    // sum null — an empty index is a legitimate starting state
+    val sumDl = if (s.isNullAt(1)) 0L else s.getLong(1)
+    wh.save(s"${idx}_stats", statsFrame(docs, s.getLong(0), sumDl))
     s.getLong(0)
   }
 
@@ -76,7 +87,9 @@ object TextIndex {
     * build, bit-for-bit. Returns docs added. */
   def refresh(wh: Warehouse, idx: String, docs: DataFrame): Long = {
     val have = wh.table(s"${idx}_doclen").select("doc_id")
-    val delta = docs.join(have, Seq("doc_id"), "left_anti")
+    val delta = docs.filter(col("text").isNotNull)
+      .join(have, Seq("doc_id"), "left_anti")
+      .join(wh.table(s"${idx}_gone"), Seq("doc_id"), "left_anti")
       .dropDuplicates("doc_id")
     if (delta.isEmpty) 0L
     else {
@@ -111,7 +124,8 @@ object TextIndex {
   }
 
   private def tables(idx: String): Seq[String] =
-    Seq(s"${idx}_postings", s"${idx}_doclen", s"${idx}_df", s"${idx}_stats")
+    Seq(s"${idx}_postings", s"${idx}_doclen", s"${idx}_df",
+      s"${idx}_stats", s"${idx}_gone")
 
   /** Un-index documents (the right-to-be-forgotten lane): DV-deletes
     * their postings and membership rows (untouched files stay
@@ -129,7 +143,17 @@ object TextIndex {
       val doomed = wh.table(s"${idx}_doclen")
         .filter(col("doc_id").isin(ids: _*))
         .localCheckpoint() // bounded by |ids|
-      val n = doomed.count()
+      // EVERY requested id is tombstoned — a deletion request must
+      // also block the id from re-entering via a later refresh whose
+      // source still carries the doc (without this, remove() is
+      // silently undone by the next maintenance cycle)
+      val spark0 = doomed.sparkSession
+      import spark0.implicits._
+      wh.append(s"${idx}_gone",
+        ids.distinct.toDF("doc_id")
+          .join(wh.table(s"${idx}_gone"), Seq("doc_id"), "left_anti"))
+      val d = doomed.agg(count(lit(1)), sum("dl")).first()
+      val n = d.getLong(0)
       if (n > 0) {
         // df decrements come FROM the doomed postings before they go
         val dfDec = wh.table(s"${idx}_postings")
@@ -140,7 +164,6 @@ object TextIndex {
           .select(col("term"),
             (col("df") - coalesce(col("df_sub"), lit(0L))).as("df"))
           .filter(col("df") > 0)
-        val d = doomed.agg(count(lit(1)), sum("dl")).first()
         val old = wh.table(s"${idx}_stats").first()
         // saves BEFORE deletes: `merged` reads the postings lazily, so
         // evaluate it while the order of operations is self-evidently

@@ -112,26 +112,30 @@ object WarehouseBench {
         queryId = 0L))
   )
 
+  // one memoizer shape for every serving-path warehouse: keyed per
+  // (session, sf dir) — see the cache comment above — with the setup
+  // paid on first use only
+  private def memoized(cache: scala.collection.concurrent.TrieMap[
+        (SparkSession, String), Warehouse],
+      prefix: String)(setup: Warehouse => Unit)(
+      s: SparkSession, d: String): Warehouse =
+    cache.getOrElseUpdate((s, d), {
+      val w = new Warehouse(s, java.nio.file.Files
+        .createTempDirectory(prefix).toString)
+      setup(w)
+      w
+    })
+
   private val tiCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Warehouse]
   private val annCache = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), Warehouse]
 
   private def textIndexed(s: SparkSession, d: String): Warehouse =
-    tiCache.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_tibench").toString
-      val w = new Warehouse(s, dir)
-      TextIndex.build(w, "ti_b", T.documents(s, d))
-      w
-    })
+    memoized(tiCache, "graft_tibench")(
+      w => TextIndex.build(w, "ti_b", T.documents(s, d)))(s, d)
 
   private def annIndexed(s: SparkSession, d: String): Warehouse =
-    annCache.getOrElseUpdate((s, d), {
-      val dir = java.nio.file.Files
-        .createTempDirectory("graft_annbench").toString
-      val w = new Warehouse(s, dir)
-      AnnIndex.build(w, "ann_b", T.embeddings(s, d))
-      w
-    })
+    memoized(annCache, "graft_annbench")(
+      w => AnnIndex.build(w, "ann_b", T.embeddings(s, d)))(s, d)
 }

@@ -214,7 +214,13 @@ class AnnIndexSpec extends AnyFunSuite {
     val top2 = AnnIndex.query(wh, "ann", emb, queryId = 0L)
       .collect().map(_.getLong(0)).toSeq
     assert(!top2.contains(victim) && top2.size == 10)
-    assert(top2 == top.filterNot(_ == victim) :+ top2.last ||
-      !top2.contains(victim)) // order of survivors preserved
+    // survivors keep their exact order; one newcomer fills the tail
+    assert(top2.take(9) == top.filterNot(_ == victim), top2.toString)
+    assert(!top.contains(top2.last))
+    // the tombstone outlives maintenance: a refresh whose source STILL
+    // carries the removed vector must not resurrect it
+    assert(AnnIndex.refresh(wh, "ann", emb) == 0L)
+    assert(AnnIndex.query(wh, "ann", emb, queryId = 0L)
+      .collect().map(_.getLong(0)).toSeq == top2)
   }
 }

@@ -253,5 +253,18 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.MediaRow(3L, c420))
     assert(Multimodal.decodeVideo(mixed.iterator).map(_.doc_id).toSet
       == Set(1L))
+    // per-frame params are legal y4m: "FRAME Ip\n" parses like "FRAME\n"
+    val withParams = new String(Multimodal.syntheticY4m(1L), "ISO-8859-1")
+      .replace("FRAME\n", "FRAME Ip\n").getBytes("ISO-8859-1")
+    val gp = Multimodal.decodeVideo(Iterator(
+      Multimodal.MediaRow(1L, withParams))).toSeq
+      .map(v => (v.frame_idx, v.width, v.height, v.mean_luma))
+    assert(gp == ref(1L), "frame params must not hide frames")
+    // a hostile header (dims that overflow Int when multiplied) DROPS
+    // instead of crashing the task
+    val hostile = ("YUV4MPEG2 W50000 H50000 F25:1 Ip A1:1 Cmono\n" +
+      "FRAME\n").getBytes("US-ASCII") ++ Array.fill[Byte](64)(7)
+    assert(Multimodal.decodeVideo(Iterator(
+      Multimodal.MediaRow(9L, hostile))).isEmpty)
   }
 }

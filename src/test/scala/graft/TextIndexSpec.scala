@@ -115,4 +115,35 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.remove(wh, "ti", Seq(99999L)) == 0L)
     assert(wh.tableVersions("ti_postings").last == vs)
   }
+
+  test("tombstones survive maintenance; empty bootstrap then refresh equals a from-scratch build") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("ti_tomb"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    val gone = Seq(3L, 7L)
+    TextIndex.remove(wh, "ti", gone)
+    // a refresh whose source still carries the removed docs must not
+    // resurrect them — and finds nothing else to do
+    assert(TextIndex.refresh(wh, "ti", docs) == 0L)
+    assert(wh.table("ti_doclen")
+      .filter(col("doc_id").isin(gone: _*)).count() == 0)
+    // empty bootstrap: create-now-fill-later is a legitimate lifecycle
+    val wh2 = new Warehouse(spark, tmp("ti_boot"))
+    assert(TextIndex.build(wh2, "ti",
+      docs.filter(col("doc_id") < 0)) == 0L)
+    assert(TextIndex.refresh(wh2, "ti", docs) == docs.count())
+    val whRef = new Warehouse(spark, tmp("ti_bootref"))
+    TextIndex.build(whRef, "ti", docs)
+    val a = TextIndex.query(wh2, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = TextIndex.query(whRef, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+    // null-text docs are not indexable and do NOT churn refresh
+    val withNull = docs.unionByName(
+      Seq((90001L, null.asInstanceOf[String], "en", "srcx", 0L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars"))
+    assert(TextIndex.refresh(wh2, "ti", withNull) == 0L)
+  }
 }
