@@ -21,6 +21,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("VACUUM t RETAIN 3 VERSIONS")
   *   spark.sql("OPTIMIZE t")
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
+  *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, REFRESH … FROM
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
   *
@@ -103,6 +104,15 @@ object GraftSqlParser {
       """\s*\(([^)]*)\)\s*;?\s*$""").r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
+  // retrieval-index DDL: SEARCH = the TextIndex inverted index,
+  // VECTOR = the AnnIndex IVF-PQ index; both build FROM a bound table
+  // and maintain incrementally via REFRESH
+  private val CreateIdx =
+    ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR)\s+INDEX\s+([\w]+)""" +
+      """\s+ON\s+([\w]+)\s*;?\s*$""").r
+  private val RefreshIdx =
+    ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR)\s+INDEX\s+([\w]+)""" +
+      """\s+FROM\s+([\w]+)\s*;?\s*$""").r
   private val Clone =
     """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
   // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
@@ -431,6 +441,30 @@ object GraftSqlParser {
               val r = wh.compactWhere(table, expr(where))
               Seq(Row("OK", r.filesCompacted.toLong))
             }
+          }
+        }
+      case CreateIdx(kind, idx, src) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
+            _ =>
+              val n =
+                if (kind.equalsIgnoreCase("SEARCH"))
+                  graft.operators.TextIndex.build(wh, idx, wh.table(src))
+                else
+                  graft.operators.AnnIndex.build(wh, idx, wh.table(src))
+              Seq(Row("OK", n))
+          }
+        }
+      case RefreshIdx(kind, idx, src) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
+            _ =>
+              val n =
+                if (kind.equalsIgnoreCase("SEARCH"))
+                  graft.operators.TextIndex.refresh(wh, idx, wh.table(src))
+                else
+                  graft.operators.AnnIndex.refresh(wh, idx, wh.table(src))
+              Seq(Row("OK", n))
           }
         }
       case History(table) =>

@@ -422,4 +422,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(files().size == 2 && big.subsetOf(files()))
     assert(wh.table("t").count() == 103)
   }
+
+  test("CREATE/REFRESH SEARCH and VECTOR INDEX build and maintain the stored retrieval indexes") {
+    import spark.implicits._
+    val dir = tmp("sql_idx")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs.filter(col("doc_id") < 300))
+    val r = spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    assert(r.head.getString(0) == "OK" && r.head.getLong(1) == 300L)
+    // stored query answers; then REFRESH picks up appended docs only
+    val terms = graft.operators.TextAnalysis.bm25Query
+    assert(graft.operators.TextIndex.query(wh, "ti", terms, 10).count() == 10)
+    wh.append("docs", docs.filter(col("doc_id") >= 300))
+    val r2 = spark.sql("REFRESH SEARCH INDEX ti FROM docs").collect()
+    assert(r2.head.getLong(1) == docs.count() - 300)
+    // exactness against the scan-time form over the full corpus
+    val scan = graft.operators.TextAnalysis.bm25TopK(docs, terms, 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getDouble(2))).toSeq
+    val stored = graft.operators.TextIndex.query(wh, "ti", terms, 10)
+      .collect().map(r0 => (r0.getLong(0), r0.getDouble(2))).toSeq
+    assert(stored == scan)
+    // vector lane: same DDL shape over the embeddings table
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("vectors", emb.filter(col("vec_id") < 400))
+    val v = spark.sql("CREATE VECTOR INDEX ann ON vectors").collect()
+    assert(v.head.getLong(1) == 400L)
+    wh.append("vectors", emb.filter(col("vec_id") >= 400))
+    val v2 = spark.sql("REFRESH VECTOR INDEX ann FROM vectors").collect()
+    assert(v2.head.getLong(1) == 100L)
+    assert(graft.operators.AnnIndex
+      .query(wh, "ann", emb, queryId = 0L).count() == 10)
+  }
 }
