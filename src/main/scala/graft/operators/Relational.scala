@@ -876,6 +876,28 @@ object Relational {
           col("word"))
         .orderBy("p_partkey", "pos")),
 
+    // X4 — UNPIVOT/melt: wide → long reshaping (the feature-table →
+    // (entity, metric, value) flattening every ML feature store and
+    // reporting layer does). Spark's native unpivot (Dataset.unpivot,
+    // an Expand under the hood — one pass, no join/union-of-selects);
+    // measure columns pre-cast to one type as both engines require.
+    Q("x4_unpivot",
+      Some("""SELECT p_partkey, metric, value FROM (
+             |  UNPIVOT (SELECT p_partkey,
+             |             cast(p_retailprice AS DOUBLE) AS retailprice,
+             |             cast(p_size AS DOUBLE) AS size
+             |           FROM part WHERE p_partkey <= 50)
+             |  ON retailprice, size INTO NAME metric VALUE value)
+             |ORDER BY p_partkey, metric""".stripMargin),
+      (s, d) => T.part(s, d)
+        .filter(col("p_partkey") <= 50)
+        .select(col("p_partkey"),
+          col("p_retailprice").cast("double").as("retailprice"),
+          col("p_size").cast("double").as("size"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("retailprice"), col("size")), "metric", "value")
+        .orderBy("p_partkey", "metric")),
+
     // W7 — RANGE-interval window frame: per-customer trailing-30-day
     // spend, framed by VALUE (microseconds of order date), not row
     // count — same-instant peers aggregate identically in any engine.
