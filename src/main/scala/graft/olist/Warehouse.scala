@@ -4309,6 +4309,25 @@ class Warehouse(val spark: SparkSession, basePath: String,
 
   /** (files a [[scan]] with these ranges would read, total files in the
     * snapshot) — the observability hook the skipping specs assert on. */
+  /** Pruning introspection for an arbitrary predicate — the planner's
+    * "how many files would this touch" answer, from manifest stats
+    * alone (no file opened): derives range AND IN-list conjuncts from
+    * the predicate exactly the way DELETE/UPDATE/MERGE do, then counts
+    * admitted vs total files. SQL form: `DESCRIBE PRUNING t WHERE …`.
+    * A predicate deriving NO conjuncts truthfully reports all files —
+    * the same read a full scan would do. */
+  def pruningPreviewFor(name: String,
+      predicate: org.apache.spark.sql.Column): (Int, Int) = {
+    require(database.isEmpty, "pruningPreviewFor is path-mode only")
+    currentManifestFull(name) match {
+      case Some((_, files, meta)) =>
+        val sc = metaSchema(meta).getOrElse(tableSchema(name))
+        (candidatesWith(files, sc, derivedRanges(predicate, sc),
+          derivedInSets(predicate, sc)).size, files.size)
+      case None => (0, 0)
+    }
+  }
+
   def scanFileCounts(name: String, ranges: Seq[ColRange]): (Int, Int) = {
     require(database.isEmpty, "scanFileCounts applies to path-mode tables only")
     currentManifestFull(name) match {

@@ -22,6 +22,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("OPTIMIZE t")
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
   *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, REFRESH … FROM
+  *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
   *
@@ -104,6 +105,11 @@ object GraftSqlParser {
       """\s*\(([^)]*)\)\s*;?\s*$""").r
   private val History =
     """(?is)^\s*DESCRIBE\s+HISTORY\s+([\w]+)\s*;?\s*$""".r
+  // file-skipping introspection: how many files a predicate admits,
+  // answered from manifest stats alone
+  private val Pruning =
+    ("""(?is)^\s*DESCRIBE\s+PRUNING\s+([\w]+)""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   // retrieval-index DDL: SEARCH = the TextIndex inverted index,
   // VECTOR = the AnnIndex IVF-PQ index; both build FROM a bound table
   // and maintain incrementally via REFRESH
@@ -441,6 +447,14 @@ object GraftSqlParser {
               val r = wh.compactWhere(table, expr(where))
               Seq(Row("OK", r.filesCompacted.toLong))
             }
+          }
+        }
+      case Pruning(table, where) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("files_read" -> LongType,
+            "files_total" -> LongType)) { _ =>
+            val (c, t) = wh.pruningPreviewFor(table, expr(where))
+            Seq(Row(c.toLong, t.toLong))
           }
         }
       case CreateIdx(kind, idx, src) =>

@@ -455,4 +455,25 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(graft.operators.AnnIndex
       .query(wh, "ann", emb, queryId = 0L).count() == 10)
   }
+
+  test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
+    import spark.implicits._
+    val dir = tmp("sql_prune_desc")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    wh.save("t", spark.range(80000).select(col("id").as("k"),
+      (col("id") * 3).as("v")).repartitionByRange(8, col("k")),
+      clusterBy = Seq("k"))
+    def counts(sql: String): (Long, Long) = {
+      val r = spark.sql(sql).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val (all, total) = counts("DESCRIBE PRUNING t WHERE v >= 0")
+    assert(total == 8 && all == 8) // underivable conjunct: full scan truth
+    val (few, _) =
+      counts("DESCRIBE PRUNING t WHERE k >= 10000 AND k <= 14999")
+    assert(few <= 2, s"range admitted $few of 8")
+    val (pt, _) = counts("DESCRIBE PRUNING t WHERE k IN (5, 70001)")
+    assert(pt <= 2, s"IN-list admitted $pt of 8")
+  }
 }
