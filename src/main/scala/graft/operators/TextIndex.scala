@@ -186,13 +186,25 @@ object TextIndex {
     * bit-for-bit. One shuffle (the per-doc pivot over matched postings
     * only); documents matching no term score 0 and are absent. */
   def query(wh: Warehouse, idx: String, terms: Seq[String],
-      k: Int): DataFrame = {
+      k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
     val st = wh.table(s"${idx}_stats").first()
     val dfs = wh.table(s"${idx}_df")
       .filter(col("term").isin(terms: _*))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val matched = wh.table(s"${idx}_postings")
+    // docFilter (filtered search, the AnnIndex.query(filter=…) twin):
+    // a (doc_id, …) allowlist frame semi-joined onto the matched
+    // postings BEFORE scoring, so the k results all satisfy it —
+    // post-filtering would under-fill k under any selective predicate.
+    // Corpus statistics stay GLOBAL (df/N describe the corpus, not the
+    // slice — the standard filtered-search semantics: same scores,
+    // restricted candidates).
+    val base = wh.table(s"${idx}_postings")
       .filter(col("term").isin(terms: _*))
+    val matched = docFilter match {
+      case None => base
+      case Some(allow) =>
+        base.join(allow.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"tf$i")
     }

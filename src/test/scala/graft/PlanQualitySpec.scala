@@ -491,4 +491,15 @@ class PlanQualitySpec extends AnyFunSuite {
     // the un-renamed column still declares fine
     wh.statsBy("t", Seq("b"))
   }
+
+  test("b2_bm25_wh: stored-index query shuffles only (doc_id, dl, tf*) partials; top-k is TakeOrderedAndProject") {
+    val p = plan("b2_bm25_wh")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    val exchanges = p.linesIterator.filter(_.contains("Exchange")).toSeq
+    assert(exchanges.nonEmpty, p)
+    // the pivot's partial aggregation folds terms away map-side — no
+    // term strings (and certainly no document text) cross a shuffle
+    assert(!exchanges.exists(e => e.contains("term") || e.contains("text")),
+      s"strings crossed an exchange:\n${exchanges.mkString("\n")}")
+  }
 }

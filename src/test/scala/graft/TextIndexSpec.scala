@@ -146,4 +146,22 @@ class TextIndexSpec extends AnyFunSuite {
         .toDF("doc_id", "text", "lang", "source", "n_chars"))
     assert(TextIndex.refresh(wh2, "ti", withNull) == 0L)
   }
+
+  test("filtered search: allowlist restricts candidates, scores stay global-corpus BM25, k fills") {
+    val wh = new Warehouse(spark, tmp("ti_filter"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    val allow = docs.filter(col("lang") === "en").select("doc_id")
+    val allowed = allow.collect().map(_.getLong(0)).toSet
+    val got = TextIndex.query(wh, "ti", terms, 10, Some(allow))
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+    assert(got.length == 10)
+    assert(got.forall(r => allowed.contains(r._1)), "escaped the filter")
+    // scores are the GLOBAL-corpus scores (df/N unchanged): the
+    // filtered ranking is exactly the unfiltered one restricted
+    val global = TextIndex.query(wh, "ti", terms, 1000)
+      .collect().map(r => (r.getLong(0), r.getDouble(2)))
+      .filter(r => allowed.contains(r._1)).take(10).toSeq
+    assert(got.toSeq == global, s"got=${got.toSeq}\nexp=$global")
+  }
 }
