@@ -164,4 +164,26 @@ class TextIndexSpec extends AnyFunSuite {
       .filter(r => allowed.contains(r._1)).take(10).toSeq
     assert(got.toSeq == global, s"got=${got.toSeq}\nexp=$global")
   }
+
+  test("maintenance lifecycle: remove -> OPTIMIZE SMALL folds the DV debris; answers unchanged throughout") {
+    val wh = new Warehouse(spark, tmp("ti_lifecycle"))
+    wh.enableSql()
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    TextIndex.remove(wh, "ti", Seq(3L, 7L, 123L))
+    val answer = TextIndex.query(wh, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(wh.describeDetail("ti_postings").toMap
+      .apply("numDeletionVectors").toInt >= 1)
+    // fold the hollowed files: size-tiered compaction rewrites only
+    // DV-carrying/small postings files, then the sidecars are gone
+    spark.sql("OPTIMIZE ti_postings SMALL TARGET 100000 MIN 100000")
+    assert(wh.describeDetail("ti_postings").toMap
+      .apply("numDeletionVectors").toInt == 0)
+    val after = TextIndex.query(wh, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(after == answer, "compaction changed answers")
+    // and maintenance keeps composing: refresh still finds nothing
+    assert(TextIndex.refresh(wh, "ti", docs) == 0L)
+  }
 }
