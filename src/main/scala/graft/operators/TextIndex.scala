@@ -18,7 +18,13 @@ import org.apache.spark.sql.functions._
   *                     scoring needs NO join against a lengths table)
   *   `<idx>_doclen`   (doc_id, dl)            membership list — drives
   *                     refresh's anti-join and the stats increment
-  *   `<idx>_df`       (term, df)              document frequencies
+  *   `<idx>_df`       (term, df)              document-frequency
+  *                     SEGMENTS (LSM-style): refresh/remove APPEND
+  *                     additive rows (negative on removal) instead of
+  *                     rewriting the vocabulary — maintenance is
+  *                     O(delta vocab); a query sums its ≤|terms|
+  *                     segment rows (term-clustered + bloomed, so the
+  *                     read file-skips like the postings)
   *   `<idx>_stats`    (n, sum_dl)             one row
   *
   * Unlike the ANN index (frozen codebook — refresh preserves encode
@@ -61,7 +67,9 @@ object TextIndex {
       clusterBy = Seq("term"), bloomBy = Seq("term"))
     wh.save(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
     wh.save(s"${idx}_df",
-      post.groupBy("term").agg(count(lit(1)).as("df")))
+      post.groupBy("term").agg(count(lit(1)).as("df"))
+        .repartitionByRange(nFiles, col("term")),
+      clusterBy = Seq("term"), bloomBy = Seq("term"))
     // the right-to-be-forgotten tombstone list: ids remove()d stay
     // out even when later refresh sources still carry them
     wh.save(s"${idx}_gone", post.select("doc_id").limit(0))
@@ -103,16 +111,13 @@ object TextIndex {
         wh.append(s"${idx}_postings",
           post.select("term", "doc_id", "tf", "dl"))
         wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
-        // additive df upsert: the vocabulary table is bounded (terms,
-        // not documents), so the full-outer fold + rewrite is O(vocab) —
-        // never O(corpus)
-        val dfDelta = post.groupBy("term").agg(count(lit(1)).as("df_add"))
-        val merged = wh.table(s"${idx}_df")
-          .join(dfDelta, Seq("term"), "full_outer")
-          .select(col("term"),
-            (coalesce(col("df"), lit(0L)) +
-              coalesce(col("df_add"), lit(0L))).as("df"))
-        wh.save(s"${idx}_df", merged)
+        // additive df SEGMENT append (the LSM trade): O(delta vocab)
+        // written, nothing rewritten — the query sums segments per
+        // term, and OPTIMIZE SMALL folds old segments when they
+        // accumulate. A full-outer fold + rewrite here would be
+        // O(vocab) per refresh, the one remaining corpus-shaped cost.
+        wh.append(s"${idx}_df",
+          post.groupBy("term").agg(count(lit(1)).as("df")))
         val d = post.select("doc_id", "dl").distinct()
           .agg(count(lit(1)), sum("dl")).first()
         val old = wh.table(s"${idx}_stats").first()
@@ -155,20 +160,17 @@ object TextIndex {
       val d = doomed.agg(count(lit(1)), sum("dl")).first()
       val n = d.getLong(0)
       if (n > 0) {
-        // df decrements come FROM the doomed postings before they go
+        // df decrements = NEGATIVE segments from the doomed postings,
+        // appended before they go — O(removed docs' vocab)
         val dfDec = wh.table(s"${idx}_postings")
           .filter(col("doc_id").isin(ids: _*))
-          .groupBy("term").agg(count(lit(1)).as("df_sub"))
-        val merged = wh.table(s"${idx}_df")
-          .join(dfDec, Seq("term"), "left")
-          .select(col("term"),
-            (col("df") - coalesce(col("df_sub"), lit(0L))).as("df"))
-          .filter(col("df") > 0)
+          .groupBy("term")
+          .agg((-count(lit(1))).as("df")).localCheckpoint()
         val old = wh.table(s"${idx}_stats").first()
-        // saves BEFORE deletes: `merged` reads the postings lazily, so
-        // evaluate it while the order of operations is self-evidently
-        // pre-delete rather than leaning on snapshot pinning
-        wh.save(s"${idx}_df", merged)
+        // the decrement segments are checkpointed (they read the
+        // doomed postings), so appending them before the delete needs
+        // no snapshot-pinning subtlety
+        wh.append(s"${idx}_df", dfDec)
         wh.save(s"${idx}_stats", statsFrame(doomed,
           old.getLong(0) - d.getLong(0), old.getLong(1) - d.getLong(1)))
         wh.delete(s"${idx}_postings", col("doc_id").isin(ids: _*))
@@ -188,8 +190,13 @@ object TextIndex {
   def query(wh: Warehouse, idx: String, terms: Seq[String],
       k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
     val st = wh.table(s"${idx}_stats").first()
+    // segment sum per query term: ≤|terms| distinct terms' rows read
+    // (term-pruned like the postings), summed here — a term whose
+    // segments net to ≤0 no longer exists
     val dfs = wh.table(s"${idx}_df")
       .filter(col("term").isin(terms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // docFilter (filtered search, the AnnIndex.query(filter=…) twin):
     // a (doc_id, …) allowlist frame semi-joined onto the matched

@@ -186,4 +186,36 @@ class TextIndexSpec extends AnyFunSuite {
     // and maintenance keeps composing: refresh still finds nothing
     assert(TextIndex.refresh(wh, "ti", docs) == 0L)
   }
+
+  test("df segments: refresh and remove append, never rewrite the vocabulary table") {
+    val whDir = tmp("ti_seg")
+    val wh = new Warehouse(spark, whDir)
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") < 300))
+    def dfFiles(): Map[String, Long] = {
+      val dir = new java.io.File(whDir, "ti_df")
+      dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> f.lastModified).toMap
+    }
+    val before = dfFiles()
+    TextIndex.refresh(wh, "ti", docs)
+    val afterRefresh = dfFiles()
+    assert(before.forall { case (f, m) => afterRefresh.get(f).contains(m) },
+      "refresh rewrote df files - the segment design appends only")
+    assert(afterRefresh.size > before.size)
+    TextIndex.remove(wh, "ti", Seq(5L))
+    val afterRemove = dfFiles()
+    assert(afterRefresh.forall { case (f, m) =>
+      afterRemove.get(f).contains(m) }, "remove rewrote df files")
+    // a term whose segments net to zero stops existing: all docs that
+    // contain it removed -> its score contribution is gone (query path
+    // drops df <= 0 terms); spot-check via a full-query equality
+    val whRef = new Warehouse(spark, tmp("ti_segref"))
+    TextIndex.build(whRef, "ti", docs.filter(col("doc_id") =!= 5L))
+    val a = TextIndex.query(wh, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    val b = TextIndex.query(whRef, "ti", terms, 20)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
+    assert(a == b)
+  }
 }
