@@ -15,6 +15,7 @@ object SparkEntry {
   /** All query groups, each a Seq[Q] of (name, oracle, runner). */
   private def allQ: Seq[Q] =
     operators.Relational.all ++ operators.TextAnalysis.all ++
+      operators.Bpe.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.Temporal.all ++
       operators.Sampling.all ++ operators.WarehouseBench.all ++

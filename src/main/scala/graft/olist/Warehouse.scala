@@ -3038,6 +3038,188 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  private val MvDimMeta = "mv.joinDim"
+  private val MvDimVerMeta = "mv.joinDimVersion"
+
+  /** Incrementally-maintained JOIN view — the denormalization MV every
+    * warehouse serves reports from: `mv` materializes
+    * `fact INNER JOIN dim ON joinKeys` (fact columns + the dim payload)
+    * and [[refreshJoinView]] keeps it current from BOTH tables'
+    * row-level change feeds without rescanning either after bootstrap.
+    *
+    * The maintenance rule is one unified affected-set re-derivation:
+    *  - `ids`  = fact ids touched by the fact feed window (any insert
+    *    or delete — updates are delete+insert pairs, so churn folds in)
+    *  - `K`    = join keys touched by the dim feed window (a dim
+    *    update/delete/insert invalidates every MV row of that key —
+    *    including fact rows that previously had NO match and now do,
+    *    which pure delta-join algebra gets wrong for late-arriving
+    *    dim keys)
+    *  - MV rows with `factId ∈ ids OR joinKey ∈ K` are removed by file
+    *    surgery (only files HOLDING one are rewritten — the
+    *    refreshAggregate probe), and
+    *    `fact_now[id ∈ ids ∨ key ∈ K] ⋈ dim_now` re-derives their
+    *    replacements from CURRENT state — no ordering games over
+    *    multi-version churn windows, the end state is definitionally
+    *    right.
+    *
+    * Cost is O(delta): both affected sets are bounded by the feed
+    * windows; when small (≤1024) they collect to IN-literals so the
+    * fact probe file-prunes through stats/bloom (cluster the fact on
+    * `factId` or the join key to make that bite at 100 TB), larger
+    * sets fall back to semi-joins. Both source versions ride the MV
+    * commit (`mv.sourceVersion`/`mv.joinDimVersion`), so a crashed
+    * refresh replays exactly-once like the aggregate MV. The dim side
+    * must be key-unique — verified on the DELTA keys each refresh
+    * (bounded), and on the whole dim at bootstrap (it is being
+    * full-scanned anyway). Base rewrites the feeds cannot describe →
+    * throw; `full = true` re-bootstraps. */
+  def refreshJoinView(fact: String, dim: String, mv: String,
+      joinKeys: Seq[String], factId: String,
+      full: Boolean = false, bootstrapFiles: Int = 0): Warehouse.JoinMvRefresh = {
+    require(database.isEmpty, "refreshJoinView applies to path-mode tables only")
+    require(joinKeys.nonEmpty, "refreshJoinView needs join key columns")
+    val factSc = tableSchema(fact)
+    val dimSc = tableSchema(dim)
+    (joinKeys :+ factId).foreach(c => require(factSc.fieldNames.contains(c),
+      s"refreshJoinView: $fact has no column $c"))
+    joinKeys.foreach(c => require(dimSc.fieldNames.contains(c),
+      s"refreshJoinView: $dim has no column $c"))
+    val dimPayload = dimSc.fieldNames.filterNot(joinKeys.contains).toSeq
+    val overlap = dimPayload.filter(factSc.fieldNames.contains)
+    require(overlap.isEmpty,
+      s"refreshJoinView: dim payload ${overlap.mkString(",")} collides " +
+        s"with fact columns — rename or project the dim first")
+    def joined(f: DataFrame, d: DataFrame): DataFrame =
+      f.join(d, joinKeys, "inner")
+        .select((factSc.fieldNames.toSeq ++ dimPayload).map(col): _*)
+    def requireUniqueKeys(d: DataFrame, what: String): Unit = {
+      val dup = d.groupBy(joinKeys.map(col): _*)
+        .agg(count(lit(1)).as("c")).filter(col("c") > 1).limit(1).collect()
+      require(dup.isEmpty,
+        s"refreshJoinView: $dim is not key-unique on " +
+          s"(${joinKeys.mkString(",")}) over $what — a join view needs " +
+          "an FK target, not a fan-out")
+    }
+    val (curFv, factFiles, _) = currentManifestFull(fact).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshJoinView: $fact has no committed snapshot"))
+    val (curDv, dimFiles, _) = currentManifestFull(dim).getOrElse(
+      throw new IllegalArgumentException(
+        s"refreshJoinView: $dim has no committed snapshot"))
+    val mvMeta0 = currentManifestFull(mv).map(_._3).getOrElse(Map.empty)
+    mvMeta0.get(MvBaseMeta).foreach(b => require(b == fact,
+      s"refreshJoinView: $mv tracks fact $b, not $fact"))
+    mvMeta0.get(MvDimMeta).foreach(b => require(b == dim,
+      s"refreshJoinView: $mv tracks dim $b, not $dim"))
+    val lastFv = mvMeta0.get(MvVerMeta).map(_.toLong)
+    val lastDv = mvMeta0.get(MvDimVerMeta).map(_.toLong)
+    val stamp = Map(MvBaseMeta -> fact, MvVerMeta -> curFv.toString,
+      MvDimMeta -> dim, MvDimVerMeta -> curDv.toString)
+    if (!full && lastFv.contains(curFv) && lastDv.contains(curDv))
+      Warehouse.JoinMvRefresh(curFv, curFv, curDv, curDv, 0L, 0L, 0,
+        bootstrapped = false)
+    else if (full || lastFv.isEmpty || lastDv.isEmpty) {
+      val dimNow = fromFiles(dim, dimFiles.map(_.path), dimSc)
+      requireUniqueKeys(dimNow, "the full dim")
+      val mv0 = joined(fromFiles(fact, factFiles.map(_.path), factSc), dimNow)
+      save(mv, if (bootstrapFiles > 0)
+        mv0.repartition(bootstrapFiles, joinKeys.map(col): _*) else mv0)
+      withCommitLock(mv) {
+        commitManifest(mv, currentManifest(mv).map(_._2).getOrElse(Nil),
+          stamp, op = "mv-join-refresh")
+      }
+      Warehouse.JoinMvRefresh(0L, curFv, 0L, curDv, -1L, -1L, 0,
+        bootstrapped = true)
+    } else withCommitLock(mv) {
+      val ids = tableChangesRows(fact, lastFv.get, curFv)
+        .select(col(factId)).distinct().localCheckpoint()
+      val keysD = tableChangesRows(dim, lastDv.get, curDv)
+        .select(joinKeys.map(col): _*).distinct().localCheckpoint()
+      val nIds = ids.count(); val nKeys = keysD.count()
+      val (mvFiles, mvMeta) = currentManifestFull(mv) match {
+        case Some((_, fs, m)) => (fs, m)
+        case None => throw new IllegalStateException(
+          s"refreshJoinView: $mv lost its snapshot")
+      }
+      if (nIds == 0 && nKeys == 0) {
+        commitManifest(mv, mvFiles, stamp, op = "mv-join-refresh")
+        Warehouse.JoinMvRefresh(lastFv.get, curFv, lastDv.get, curDv,
+          0L, 0L, 0, bootstrapped = false)
+      } else {
+        val dimNow = fromFiles(dim, dimFiles.map(_.path), dimSc)
+        if (nKeys > 0)
+          requireUniqueKeys(dimNow.join(keysD, joinKeys, "left_semi"),
+            "the delta keys")
+        // the affected-row predicate, in two strengths: bounded sets
+        // become IN-literals (manifest stats/bloom file-prune the fact
+        // and MV probes — the 100 TB lane for trickle CDC), big ones
+        // stay distributed marker-joins. Markers, not union+distinct:
+        // the sets are key-distinct so a left join cannot fan out, and
+        // multiplicity of duplicate-id fact rows is preserved.
+        val inline = nIds <= 1024 && nKeys <= 1024 && joinKeys.size == 1
+        val inlineCond: Option[(org.apache.spark.sql.Column,
+            org.apache.spark.sql.Column) => org.apache.spark.sql.Column] =
+          if (!inline) None
+          else {
+            val idVals = ids.collect().map(_.get(0)).toSeq
+            val keyVals = keysD.collect().map(_.get(0)).toSeq
+            Some((idC: org.apache.spark.sql.Column,
+                keyC: org.apache.spark.sql.Column) =>
+              (if (idVals.isEmpty) lit(false) else idC.isin(idVals: _*)) ||
+                (if (keyVals.isEmpty) lit(false)
+                 else keyC.isin(keyVals: _*)))
+          }
+        def split(df: DataFrame): (DataFrame, DataFrame) = inlineCond match {
+          case Some(cond) =>
+            val c = cond(col(factId), col(joinKeys.head))
+            (df.filter(c), df.filter(!c))
+          case None =>
+            val marked = df
+              .join(ids.withColumn("__hitI", lit(1)), Seq(factId), "left")
+              .join(keysD.withColumn("__hitK", lit(1)), joinKeys, "left")
+            (marked.filter(col("__hitI").isNotNull ||
+                col("__hitK").isNotNull).drop("__hitI", "__hitK"),
+              marked.filter(col("__hitI").isNull &&
+                col("__hitK").isNull).drop("__hitI", "__hitK"))
+        }
+        def affected(df: DataFrame): DataFrame = split(df)._1
+        val factNow = fromFiles(fact, factFiles.map(_.path), factSc)
+        val fresh = joined(affected(factNow), dimNow).localCheckpoint()
+        // MV file surgery: rewrite only files HOLDING an affected row
+        val mvSc = metaSchema(mvMeta).getOrElse(tableSchema(mv))
+        val parts = partitionColsOf(mv)
+        val mvPaths = mvFiles.map(_.path)
+        val probeSrc =
+          if (format == "parquet")
+            fromFiles(mv, mvPaths, mvSc, withPos = true)
+              .select(((joinKeys :+ factId).map(col) :+
+                col(DvFileCol).as("__file")): _*)
+          else fromFiles(mv, mvPaths, mvSc)
+            .select(((joinKeys :+ factId).map(col) :+
+              input_file_name().as("__file")): _*)
+        val probe = affected(probeSrc)
+          .select("__file").distinct().collect()
+        val relOf = mvPaths.map(p => normalizedRel(mv, p) -> p).toMap
+        val touched: Set[String] = probe.map { r =>
+          val uri = r.getString(r.length - 1)
+          (if (format == "parquet") relOf.get(uri)
+           else manifestPathOf(mv, mvPaths, uri)).getOrElse(
+            throw new IllegalStateException(
+              s"refreshJoinView: cannot resolve probed file $uri"))
+        }.toSet
+        val keptMinus = split(fromFiles(mv, touched.toSeq, mvSc))._2
+        val rewritten = stageWrite(mv,
+          clustered(mv, keptMinus.unionByName(fresh), parts), parts)
+        val untouched = mvFiles.filterNot(f => touched.contains(f.path))
+        commitManifest(mv, untouched ++ rewritten, stamp,
+          op = "mv-join-refresh")
+        Warehouse.JoinMvRefresh(lastFv.get, curFv, lastDv.get, curDv,
+          nIds, nKeys, touched.size, bootstrapped = false)
+      }
+    }
+  }
+
   /** Re-declare the table's layout (cluster columns, z-order, bloom
     * columns) and rewrite the data to match — the OPTIMIZE/recluster
     * command. The new spec commits with the compaction rewrite, so
@@ -3137,6 +3319,39 @@ class Warehouse(val spark: SparkSession, basePath: String,
       colMapOpt = Some(colMapOf(vMeta)),
       dvByOpt = Some(files.iterator.flatMap(f =>
         f.dv.map(f.path -> _)).toMap))
+  }
+
+  /** Consistent multi-table snapshot — the READ-side complement of
+    * [[transaction]]: pinned DataFrames over a version cut in which
+    * every cross-table transaction is either fully visible or fully
+    * absent. A naive loop of `table(n)` reads can straddle a commit
+    * landing between two of its reads (fact post-batch, dim
+    * pre-batch — exactly the torn join a report must never compute);
+    * this resolves all heads, re-resolves, and retries until two
+    * consecutive passes agree — the optimistic read-only-transaction
+    * protocol, O(tables) head probes per pass, no locks held, writers
+    * never blocked. The returned frames are [[tableAt]]-pinned: later
+    * commits and vacuums (within retention) cannot change what they
+    * read. */
+  def snapshotTables(names: Seq[String],
+      maxRetries: Int = 10): Map[String, DataFrame] = {
+    require(database.isEmpty, "snapshotTables applies to path-mode tables only")
+    require(names.nonEmpty, "snapshotTables: no tables")
+    def heads(): Seq[(String, Long)] =
+      names.map(n => n -> tableVersions(n).lastOption.getOrElse(
+        throw new IllegalArgumentException(
+          s"snapshotTables: $n has no committed snapshot")))
+    var cut = heads()
+    var settled = false
+    var tries = 0
+    while (!settled && tries < maxRetries) {
+      val again = heads()
+      if (again == cut) settled = true else { cut = again; tries += 1 }
+    }
+    if (!settled) throw new IllegalStateException(
+      s"snapshotTables: heads kept moving after $maxRetries retries — " +
+        "commit rate exceeds the optimistic read window")
+    cut.map { case (n, v) => n -> tableAt(n, v) }.toMap
   }
 
   /** Explicit-version surfaces (time travel, restore, clone) must not
@@ -3336,6 +3551,94 @@ class Warehouse(val spark: SparkSession, basePath: String,
     if (counts.forall(_.isDefined))
       Some(counts.flatten.sum - files.flatMap(_.dv).map(_.rows).sum)
     else None
+  }
+
+  /** MIN/MAX + COUNT(*) answered from manifest metadata — the
+    * aggregate-pushdown twin of [[countRows]]: `SELECT min(c), max(c),
+    * count(*) FROM t` is a fold over the per-file stats the manifest
+    * already carries, O(files) driver work with ZERO data files opened.
+    * At 100 TB that is the difference between a full-table scan and a
+    * manifest read — the same trick Delta/Iceberg pull for
+    * metadata-only aggregates.
+    *
+    * Exactness over convenience, in both directions the stats can lie:
+    *  - a file carrying a DELETION VECTOR is rescanned (its per-file
+    *    min/max may belong to deleted rows) — only those files; the
+    *    scan row and the metadata row merge in one final fold. DVs are
+    *    a small fraction by construction (the rewrite policies bound
+    *    them), so the scan side stays O(delta).
+    *  - a clean file MISSING a stat entry for a requested column makes
+    *    the whole answer None — indistinguishable between "predates
+    *    analysis" and "all-null in that column" (collectStats omits
+    *    null-extreme entries), and only the first is skippable. None
+    *    means "scan is the only honest answer", exactly countRows'
+    *    contract.
+    *
+    * Result: ONE row — `min_<c>`, `max_<c>` per requested column (typed
+    * as the column) and `cnt`. With no DV'd files the plan is a
+    * LocalRelation — no FileScan anywhere (spec-asserted). Columns must
+    * be declared stats/cluster columns ([[statsBy]] /
+    * `ANALYZE TABLE … FOR COLUMNS`). */
+  def statsAggregate(name: String, cols: Seq[String]): Option[DataFrame] = {
+    require(database.isEmpty, "statsAggregate applies to path-mode tables only")
+    require(cols.nonEmpty, "statsAggregate: no columns requested")
+    val (_, files, meta) = currentManifestFull(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"statsAggregate: $name has no committed snapshot"))
+    val sc = metaSchema(meta).getOrElse(tableSchema(name))
+    val types = sc.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c),
+      s"statsAggregate: $name has no column $c"))
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    // fold min-of-mins / max-of-maxs over the clean files' typed stats;
+    // any unparseable or missing entry poisons the whole answer (None)
+    val folded: Option[Seq[(String, Option[Any], Option[Any])]] =
+      cols.foldLeft(Option(Seq.empty[(String, Option[Any], Option[Any])])) {
+        case (accOpt, c) => accOpt.flatMap { acc =>
+          val dt = types(c)
+          val parsed = clean.map(f => f.stats.get(c).flatMap {
+            case (mn, mx) => for {
+              lo <- statValue(dt, mn); hi <- statValue(dt, mx)
+            } yield (lo, hi)
+          })
+          if (!parsed.forall(_.isDefined)) None
+          else {
+            val vs = parsed.flatten
+            def pick(sel: ((Any, Any)) => Any, keepHi: Boolean) =
+              vs.map(sel).reduceOption((a, b) =>
+                if ((statOrder(a, b) > 0) == keepHi) a else b)
+            Some(acc :+ ((c, pick(_._1, keepHi = false),
+              pick(_._2, keepHi = true))))
+          }
+        }
+      }
+    val cleanCnt: Option[Long] = {
+      val ns = clean.map(_.stats.get(RowsKey).map(_._1.toLong))
+      if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
+    }
+    for { mm <- folded; n <- cleanCnt } yield {
+      val metaRow = spark.range(1).select(
+        mm.flatMap { case (c, lo, hi) =>
+          def tl(v: Option[Any]) =
+            v.map(lit).getOrElse(lit(null)).cast(types(c))
+          Seq(tl(lo).as(s"min_$c"), tl(hi).as(s"max_$c"))
+        } :+ lit(n).as("cnt"): _*)
+      if (dvd.isEmpty) metaRow
+      else {
+        // DV'd files only: fromFiles applies their deletion vectors,
+        // so the scan's extremes/count describe LIVE rows exactly
+        val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+        val scanRow = fromFiles(name, dvd.map(_.path), sc)
+          .agg(scanAggs.head, scanAggs.tail: _*)
+        val mergeAggs = cols.flatMap(c =>
+          Seq(min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"))) :+
+          sum(col("cnt")).cast("long").as("cnt")
+        metaRow.unionByName(scanRow)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+      }
+    }
   }
 
   /** One-stop table inspection (the DESCRIBE DETAIL payload): current
@@ -4220,6 +4523,57 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  /** Typed parse of a rendered stat string — the inverse of
+    * [[statString]] for types whose rendering round-trips exactly.
+    * Timestamps DO participate here (unlike [[statCompare]]'s
+    * lexicographic lane): `java.sql.Timestamp.valueOf` parses the
+    * varying fraction widths `Timestamp.toString` emits back to the
+    * exact instant, so comparing PARSED values is sound where
+    * comparing the strings is not — but ONLY under a fixed-offset JVM
+    * zone (UTC, the deployment default): in a DST zone the fall-back
+    * hour's wall-clock strings name two instants and valueOf picks
+    * one, so timestamps honestly refuse there (None → the caller
+    * scans). */
+  private def statValue(dt: org.apache.spark.sql.types.DataType,
+      s: String): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (s == null) None
+    else dt match {
+      case ByteType => s.toByteOption
+      case ShortType => s.toShortOption
+      case IntegerType => s.toIntOption
+      case LongType => s.toLongOption
+      case FloatType => scala.util.Try(s.toFloat).toOption
+      case DoubleType => scala.util.Try(s.toDouble).toOption
+      case _: DecimalType =>
+        scala.util.Try(new java.math.BigDecimal(s)).toOption
+      case StringType => Some(s)
+      case DateType => scala.util.Try(java.sql.Date.valueOf(s)).toOption
+      case TimestampType if s.endsWith("Z") =>
+        // java8 datetime API sessions collect Instants; ISO-Z parses
+        // back to the exact instant under any JVM zone
+        scala.util.Try(java.time.Instant.parse(s)).toOption
+      case TimestampType
+          if java.time.ZoneId.systemDefault().getRules.isFixedOffset =>
+        // legacy-API sessions collect java.sql.Timestamp; normalize to
+        // Instant so mixed-era stats order under ONE class
+        scala.util.Try(java.sql.Timestamp.valueOf(s).toInstant).toOption
+      case TimestampNTZType =>
+        // NTZ stats render as LocalDateTime.toString (ISO, seconds and
+        // fraction elided when zero) — zone-free, always exact
+        scala.util.Try(java.time.LocalDateTime.parse(s)).toOption
+      case _ => None
+    }
+  }
+
+  /** Orders two [[statValue]]-produced values. Every type statValue
+    * emits is Comparable against its own kind (boxed primitives,
+    * String, BigDecimal, Date, Timestamp — Timestamp.compareTo is
+    * nanos-exact); float/double NaN sorts largest, matching Spark's
+    * min/max ordering. */
+  private def statOrder(a: Any, b: Any): Int =
+    a.asInstanceOf[Comparable[Any]].compareTo(b)
+
   /** Table metadata persisted beside the data so a NEW Warehouse
     * instance over an existing basePath (the cross-job incremental
     * scenario) appends with the original partition layout and reads
@@ -4646,6 +5000,14 @@ object Warehouse {
     * and MV files rewritten. */
   final case class MvRefresh(fromVersion: Long, toVersion: Long,
       keysChanged: Long, filesRewritten: Int, bootstrapped: Boolean)
+
+  /** Outcome of a [[Warehouse.refreshJoinView]]: the two base-version
+    * windows applied, affected fact ids / dim keys (−1 on bootstrap),
+    * and MV files rewritten. */
+  final case class JoinMvRefresh(fromFactVersion: Long,
+      toFactVersion: Long, fromDimVersion: Long, toDimVersion: Long,
+      factIdsChanged: Long, dimKeysChanged: Long, filesRewritten: Int,
+      bootstrapped: Boolean)
 
   /** A declared row-level CHECK constraint (see
     * [[Warehouse.addCheck]]): violation = predicate FALSE, disposition

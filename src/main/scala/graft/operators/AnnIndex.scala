@@ -152,14 +152,25 @@ object AnnIndex {
     * deletion-request queue). Returns rows removed. */
   def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "remove: empty id list")
-    wh.transaction(Seq(s"${idx}_codes", s"${idx}_gone")) {
-      val spark0 = wh.table(s"${idx}_gone").sparkSession
-      import spark0.implicits._
-      wh.append(s"${idx}_gone",
-        ids.distinct.toDF("vec_id")
-          .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti"))
-      wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
-    }
+    wh.transaction(tables(idx))(removeBody(wh, idx, ids))
+  }
+
+  /** The index's backing tables moved by maintenance ops (see
+    * [[TextIndex.tables]]); codebooks are frozen state and never move
+    * on remove. */
+  private[operators] def tables(idx: String): Seq[String] =
+    Seq(s"${idx}_codes", s"${idx}_gone")
+
+  /** [[remove]]'s body without the transaction wrapper — for callers
+    * composing into a wider atomic unit ([[Forget.forgetDocs]]). */
+  private[operators] def removeBody(wh: Warehouse, idx: String,
+      ids: Seq[Long]): Long = {
+    val spark0 = wh.table(s"${idx}_gone").sparkSession
+    import spark0.implicits._
+    wh.append(s"${idx}_gone",
+      ids.distinct.toDF("vec_id")
+        .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti"))
+    wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
   }
 
   /** Hybrid retrieval over the STORED indexes — e14's composition

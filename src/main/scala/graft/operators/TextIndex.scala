@@ -128,7 +128,10 @@ object TextIndex {
     }
   }
 
-  private def tables(idx: String): Seq[String] =
+  /** The index's five backing tables — the unit every maintenance
+    * op moves atomically (and what [[Forget.forgetDocs]] folds into
+    * its own wider transaction). */
+  private[operators] def tables(idx: String): Seq[String] =
     Seq(s"${idx}_postings", s"${idx}_doclen", s"${idx}_df",
       s"${idx}_stats", s"${idx}_gone")
 
@@ -144,7 +147,16 @@ object TextIndex {
     * Returns docs removed. */
   def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "remove: empty id list")
-    wh.transaction(tables(idx)) {
+    wh.transaction(tables(idx))(removeBody(wh, idx, ids))
+  }
+
+  /** [[remove]]'s body without the transaction wrapper — for callers
+    * composing the un-index into a WIDER atomic unit
+    * ([[Forget.forgetDocs]]); the caller's transaction must declare
+    * [[tables]]. */
+  private[operators] def removeBody(wh: Warehouse, idx: String,
+      ids: Seq[Long]): Long = {
+    {
       val doomed = wh.table(s"${idx}_doclen")
         .filter(col("doc_id").isin(ids: _*))
         .localCheckpoint() // bounded by |ids|

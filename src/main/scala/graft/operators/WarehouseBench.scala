@@ -56,6 +56,9 @@ object WarehouseBench {
       w.save("lineitem_b",
         T.lineitem(s, d).repartitionByRange(8, col("l_shipdate")),
         clusterBy = Seq("l_shipdate"))
+      // declared stats on the b4 aggregate columns: one re-analyze at
+      // setup, then min/max/count answer from the manifest forever
+      w.statsBy("lineitem_b", Seq("l_orderkey", "l_extendedprice"))
       w
     })
 
@@ -77,6 +80,38 @@ object WarehouseBench {
        |FROM lineitem
        |WHERE l_shipdate >= TIMESTAMP '$lo' AND l_shipdate <= TIMESTAMP '$hi'
        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** The two appended fact rows — literals shared with [[i4Oracle]]. */
+  private val i4Appends = Seq(
+    (9000001L, 7L, "O", 111.11, "1998-06-01 00:00:00", "1-URGENT"),
+    (9000002L, 8L, "F", 222.22, "1998-06-02 00:00:00", "2-HIGH"))
+
+  private val i4Oracle = {
+    val appends = i4Appends.map { case (ok, ck, st, tp, ts, pr) =>
+      s"SELECT $ok AS o_orderkey, $ck AS o_custkey, '$st' AS o_orderstatus, " +
+        s"$tp AS o_totalprice, TIMESTAMP '$ts' AS o_orderdate, " +
+        s"'$pr' AS o_orderpriority"
+    }.mkString(" UNION ALL ")
+    s"""WITH f AS (
+       |  SELECT * FROM orders WHERE o_orderkey % 97 <> 0
+       |  UNION ALL $appends
+       |), d AS (
+       |  SELECT c_custkey AS o_custkey,
+       |    CASE WHEN c_custkey = 7 THEN 'FORGOTTEN'
+       |         ELSE c_mktsegment END AS c_mktsegment
+       |  FROM customer)
+       |SELECT c_mktsegment, count(*) AS cnt,
+       |  ${sqlDsum("o_totalprice")} AS sum_price
+       |FROM f JOIN d USING (o_custkey)
+       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+  }
+
+  private val b4Oracle =
+    """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+      |  min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
+      |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
+      |  count(*) AS cnt
+      |FROM lineitem""".stripMargin
 
   val all: Seq[Q] = Seq(
     Q("b1_probe_raw", Some(oracle), (s, d) => probe(T.lineitem(s, d))),
@@ -109,7 +144,52 @@ object WarehouseBench {
     // partition-pruned scan + bounded re-rank — round over round.
     Q("b3_ann_wh", None, (s, d) =>
       AnnIndex.query(annIndexed(s, d), "ann_b", T.embeddings(s, d),
-        queryId = 0L))
+        queryId = 0L)),
+
+    // b4 — AGGREGATE-PUSHDOWN twins: the same min/max/count answered
+    // by a full scan (raw) and from manifest metadata alone (wh —
+    // statsAggregate; the plan is a LocalRelation, zero files opened,
+    // spec-asserted). At 100 TB the raw side reads the table; the wh
+    // side reads the manifest. Both carry the same DuckDB oracle, so
+    // the metadata fold is hash-checked cross-engine — the per-file
+    // stat strings must round-trip every extreme exactly (timestamps
+    // included) for this row to stay green.
+    Q("b4_minmax_raw", Some(b4Oracle), (s, d) =>
+      T.lineitem(s, d).agg(
+        min(col("l_orderkey")).as("min_ok"),
+        max(col("l_orderkey")).as("max_ok"),
+        min(col("l_extendedprice")).as("min_px"),
+        max(col("l_extendedprice")).as("max_px"),
+        min(col("l_shipdate")).as("min_sd"),
+        max(col("l_shipdate")).as("max_sd"),
+        count(lit(1)).as("cnt"))),
+    Q("b4_minmax_wh", Some(b4Oracle), (s, d) =>
+      warehouse(s, d).statsAggregate("lineitem_b",
+          Seq("l_orderkey", "l_extendedprice", "l_shipdate"))
+        .getOrElse(throw new IllegalStateException(
+          "b4: lineitem_b stats must answer — setup declares them"))
+        .select(col("min_l_orderkey").as("min_ok"),
+          col("max_l_orderkey").as("max_ok"),
+          col("min_l_extendedprice").as("min_px"),
+          col("max_l_extendedprice").as("max_px"),
+          col("min_l_shipdate").as("min_sd"),
+          col("max_l_shipdate").as("max_sd"),
+          col("cnt"))),
+
+    // I4 — incrementally-maintained JOIN view, end state oracle-checked:
+    // bootstrap orders⋈customer, then drive a delta batch through the
+    // warehouse (predicate DELETE, dim UPDATE, fact APPEND) and refresh
+    // from the row-level change feeds. The MV's aggregate must equal
+    // DuckDB's from-scratch join over the same mutations — the
+    // maintenance algebra (affected ids ∪ affected dim keys, file
+    // surgery, exactly-once version stamps) is hash-checked
+    // cross-engine, not just spec-asserted.
+    Q("i4_join_mv", Some(i4Oracle), (s, d) =>
+      joinMv(s, d).table("orders_mv")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("cnt"),
+          dsum(col("o_totalprice")).as("sum_price"))
+        .orderBy("c_mktsegment"))
   )
 
   // one memoizer shape for every serving-path warehouse: keyed per
@@ -138,4 +218,36 @@ object WarehouseBench {
   private def annIndexed(s: SparkSession, d: String): Warehouse =
     memoized(annCache, "graft_annbench")(
       w => AnnIndex.build(w, "ann_b", T.embeddings(s, d)))(s, d)
+
+  // ── i4: the join-MV lifecycle (bootstrap → mutate → refresh) ──────
+  private val mvCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def joinMv(s: SparkSession, d: String): Warehouse =
+    memoized(mvCache, "graft_jmvbench") { w =>
+      import s.implicits._
+      w.save("orders_f", T.orders(s, d)
+        .repartitionByRange(4, col("o_orderkey")),
+        clusterBy = Seq("o_orderkey"))
+      w.save("customer_d", T.customer(s, d)
+        .withColumnRenamed("c_custkey", "o_custkey").coalesce(1))
+      w.refreshJoinView("orders_f", "customer_d", "orders_mv",
+        Seq("o_custkey"), "o_orderkey", bootstrapFiles = 4)
+      // the delta batch: predicate delete + dim update + fact append
+      w.delete("orders_f", col("o_orderkey") % 97 === 0)
+      w.update("customer_d", col("o_custkey") === 7L,
+        Map("c_mktsegment" -> lit("FORGOTTEN")))
+      w.append("orders_f", i4Appends
+        .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+          "o_totalprice", "ts", "o_orderpriority")
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderstatus"), col("o_totalprice"),
+          // the source parquet is tz-free µs → Spark reads NTZ; the
+          // appended literal must match that physical type
+          col("ts").cast("timestamp_ntz").as("o_orderdate"),
+          col("o_orderpriority")))
+      w.refreshJoinView("orders_f", "customer_d", "orders_mv",
+        Seq("o_custkey"), "o_orderkey")
+    }(s, d)
+
 }

@@ -23,6 +23,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
   *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, REFRESH … FROM
   *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
+  *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata-only min/max + rows
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
   *
@@ -110,6 +111,12 @@ object GraftSqlParser {
   private val Pruning =
     ("""(?is)^\s*DESCRIBE\s+PRUNING\s+([\w]+)""" +
       """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  // metadata-only aggregate introspection: per-column min/max + the
+  // exact row count from manifest stats (statsAggregate — throws when
+  // a scan is the only honest answer)
+  private val DescStats =
+    ("""(?is)^\s*DESCRIBE\s+STATS\s+([\w]+)""" +
+      """\s*\(([^)]*)\)\s*;?\s*$""").r
   // retrieval-index DDL: SEARCH = the TextIndex inverted index,
   // VECTOR = the AnnIndex IVF-PQ index; both build FROM a bound table
   // and maintain incrementally via REFRESH
@@ -447,6 +454,25 @@ object GraftSqlParser {
               val r = wh.compactWhere(table, expr(where))
               Seq(Row("OK", r.filesCompacted.toLong))
             }
+          }
+        }
+      case DescStats(table, colList) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("column" -> StringType,
+            "min" -> StringType, "max" -> StringType)) { _ =>
+            val cs = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val df = wh.statsAggregate(table, cs).getOrElse(
+              throw new IllegalStateException(
+                s"DESCRIBE STATS: manifest stats cannot answer exactly " +
+                  s"for $table(${cs.mkString(", ")}) — a file lacks " +
+                  "stats for a requested column; ANALYZE TABLE … FOR " +
+                  "COLUMNS it, or scan"))
+            val r = df.first()
+            cs.map(c => Row(c,
+              Option(r.getAs[Any](s"min_$c")).map(String.valueOf).orNull,
+              Option(r.getAs[Any](s"max_$c")).map(String.valueOf).orNull)) :+
+              Row("__rows", r.getAs[Long]("cnt").toString,
+                r.getAs[Long]("cnt").toString)
           }
         }
       case Pruning(table, where) =>

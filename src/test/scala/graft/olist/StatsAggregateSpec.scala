@@ -1,0 +1,150 @@
+package graft.olist
+
+import graft.SparkTestSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Metadata-only aggregates ([[Warehouse.statsAggregate]]): MIN/MAX +
+  * COUNT(*) folded from the manifest's per-file stats — zero data
+  * files opened on a clean table, DV'd files (and only those)
+  * rescanned, honest None when any file lacks a requested stat.
+  */
+class StatsAggregateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  test("clean table: exact min/max/count with NO file scan in the plan") {
+    val dir = tmp("wh_sagg")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(10000)
+      .select(col("id").as("k"), (col("id") * 7 % 997).as("v"),
+        concat(lit("s"), lpad(col("id").cast("string"), 5, "0")).as("s"))
+      .repartitionByRange(6, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v", "s"))
+    val got = wh.statsAggregate("t", Seq("k", "v", "s")).get
+    // the whole answer folds driver-side: LocalRelation, no FileScan
+    assert(!got.queryExecution.executedPlan.toString.contains("Scan "),
+      "clean-table statsAggregate must not plan a file scan")
+    val r = got.collect()(0)
+    assert(r.getAs[Long]("min_k") == 0L && r.getAs[Long]("max_k") == 9999L)
+    assert(r.getAs[Long]("min_v") == 0L)
+    assert(r.getAs[Long]("max_v") ==
+      (0L until 10000L).map(_ * 7 % 997).max)
+    assert(r.getAs[String]("min_s") == "s00000")
+    assert(r.getAs[String]("max_s") == "s09999")
+    assert(r.getAs[Long]("cnt") == 10000L)
+  }
+
+  test("timestamp stats round-trip exactly (fractional seconds included)") {
+    val dir = tmp("wh_sagg_ts")
+    val wh = new Warehouse(spark, dir)
+    import spark.implicits._
+    val rows = Seq(
+      (1L, java.sql.Timestamp.valueOf("1998-03-05 04:05:06.123456")),
+      (2L, java.sql.Timestamp.valueOf("1995-01-01 00:00:00.5")),
+      (3L, java.sql.Timestamp.valueOf("2001-12-31 23:59:59")),
+      (4L, java.sql.Timestamp.valueOf("1999-06-15 12:00:00.000001")))
+    wh.save("t", rows.toDF("k", "ts").repartition(2, col("k")),
+      clusterBy = Seq("ts"))
+    val r = wh.statsAggregate("t", Seq("ts")).get.collect()(0)
+    assert(r.getAs[java.sql.Timestamp]("min_ts") ==
+      java.sql.Timestamp.valueOf("1995-01-01 00:00:00.5"))
+    assert(r.getAs[java.sql.Timestamp]("max_ts") ==
+      java.sql.Timestamp.valueOf("2001-12-31 23:59:59"))
+    assert(r.getAs[Long]("cnt") == 4L)
+  }
+
+  test("TIMESTAMP_NTZ stats answer too (the pyarrow-parquet lane)") {
+    // the driver's testdata carries timestamp[us] without tz →
+    // Spark 4 reads TIMESTAMP_NTZ and stats render LocalDateTime ISO
+    val dir = tmp("wh_sagg_ntz")
+    val wh = new Warehouse(spark, dir)
+    val li = graft.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    wh.save("t", li.repartitionByRange(4, col("l_shipdate")),
+      clusterBy = Seq("l_shipdate"))
+    val r = wh.statsAggregate("t", Seq("l_shipdate")).get.collect()(0)
+    val want = li.agg(min("l_shipdate"), max("l_shipdate"),
+      count(lit(1))).collect()(0)
+    assert(r.getAs[Any]("min_l_shipdate") == want.getAs[Any](0))
+    assert(r.getAs[Any]("max_l_shipdate") == want.getAs[Any](1))
+    assert(r.getAs[Long]("cnt") == want.getAs[Long](2))
+  }
+
+  test("DV'd files rescan — and ONLY they do; extremes follow live rows") {
+    val dir = tmp("wh_sagg_dv")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(1000)
+      .select(col("id").as("k"), (col("id") * 2).as("v"))
+      .repartitionByRange(5, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    // point-delete the global max row (k=999) — takes the DV path, so
+    // its file's manifest stats now overstate the max
+    val del = wh.delete("t", col("k") === 999L)
+    assert(del.filesDv == 1, s"expected a DV point delete, got $del")
+    val agg = wh.statsAggregate("t", Seq("k", "v")).get
+    // exactly one DATA file (the DV'd one) is rescanned, the other four
+    // fold from metadata — pre-adaptive sparkPlan shows the scans (the
+    // executed plan hides them inside AQE), and the DV sidecar's own
+    // tiny read (_dv/…) is not a data-file rescan
+    val scans = agg.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+        f.relation.location.inputFiles.filterNot(_.contains("_dv/"))
+    }.flatten
+    assert(scans.length == 1, s"expected 1 rescanned file, planned $scans")
+    val r = agg.collect()(0)
+    assert(r.getAs[Long]("min_k") == 0L && r.getAs[Long]("max_k") == 998L)
+    assert(r.getAs[Long]("max_v") == 1996L)
+    assert(r.getAs[Long]("cnt") == 999L)
+  }
+
+  test("honest None when a file lacks stats for a requested column") {
+    val dir = tmp("wh_sagg_none")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(100).select(col("id").as("k"), col("id").as("v"))
+    wh.save("t", df.coalesce(1)) // no clusterBy/statsBy: no col stats
+    assert(wh.statsAggregate("t", Seq("v")).isEmpty)
+    // declaring stats afterward re-analyzes and the answer appears
+    wh.statsBy("t", Seq("v"))
+    val r = wh.statsAggregate("t", Seq("v")).get.collect()(0)
+    assert(r.getAs[Long]("min_v") == 0L && r.getAs[Long]("max_v") == 99L)
+  }
+
+  test("unknown column refuses; empty column list refuses") {
+    val dir = tmp("wh_sagg_req")
+    val wh = new Warehouse(spark, dir)
+    wh.save("t", spark.range(10).select(col("id").as("k")).coalesce(1),
+      clusterBy = Seq("k"))
+    intercept[IllegalArgumentException] {
+      wh.statsAggregate("t", Seq("nope"))
+    }
+    intercept[IllegalArgumentException] {
+      wh.statsAggregate("t", Nil)
+    }
+  }
+
+  test("SQL surface: DESCRIBE STATS t (cols)") {
+    val dir = tmp("wh_sagg_sql")
+    val s2 = spark
+    val wh = new Warehouse(s2, dir).enableSql()
+    wh.save("t", s2.range(500)
+      .select(col("id").as("k"), (col("id") % 9).as("v"))
+      .repartitionByRange(3, col("k")), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val rows = s2.sql("DESCRIBE STATS t (k, v)").collect()
+    val byCol = rows.map(r => r.getString(0) ->
+      (r.getString(1), r.getString(2))).toMap
+    assert(byCol("k") == (("0", "499")))
+    assert(byCol("v") == (("0", "8")))
+    assert(byCol("__rows") == (("500", "500")))
+    // un-analyzed column → loud refusal, not a silent wrong answer
+    val ex = intercept[Exception] {
+      s2.sql("DESCRIBE STATS t (nope)").collect()
+    }
+    assert(ex.getMessage.contains("nope") ||
+      ex.getCause != null && ex.getCause.getMessage.contains("nope"))
+  }
+}

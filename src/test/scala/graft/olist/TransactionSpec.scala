@@ -306,4 +306,24 @@ class TransactionSpec extends AnyFunSuite {
     assert(rows.sorted == Seq((1L, "base"), (2L, "txn"), (10L, "stream")),
       s"got $rows")
   }
+
+  test("snapshotTables: a pinned multi-table cut survives a later transaction; torn reads impossible") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_txn_snap"))
+    wh.save("fact", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dim", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    val snap = wh.snapshotTables(Seq("fact", "dim"))
+    // a cross-table transaction lands AFTER the cut
+    wh.transaction(Seq("fact", "dim")) {
+      wh.append("fact", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+      wh.append("dim", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+    }
+    // live reads see the batch on BOTH tables …
+    assert(wh.table("fact").count() == 2 && wh.table("dim").count() == 2)
+    // … the pinned cut sees it on NEITHER — all-or-nothing, no tear
+    assert(snap("fact").count() == 1 && snap("dim").count() == 1)
+    // a fresh cut is the post-batch world on both
+    val snap2 = wh.snapshotTables(Seq("fact", "dim"))
+    assert(snap2("fact").count() == 2 && snap2("dim").count() == 2)
+  }
 }
