@@ -572,8 +572,65 @@ object TextAnalysis {
         val w = trainHashedClassifier(docs, plantedConcept(col("text")),
           iters = 30, lr = 2.0)
         scoreWithWeights(docs, col("text"), w).orderBy("doc_id")
-      })
+      }),
+
+    // T22 — exact PHRASE counting, the scan form: per doc, how many
+    // times the token sequence occurs (the operator behind phrase
+    // search, n-gram contamination probes, and boilerplate detection).
+    // One map-side pass: a position-window filter over the token
+    // array, codegen'd, no explode, no shuffle beyond the final sort.
+    // The stored positional index answers the same query from postings
+    // alone (TextIndex.phraseQuery — b5_phrase_wh twin; spec asserts
+    // index ≡ scan).
+    Q("t22_phrase_count", Some(phraseOracleSql(phraseQueryTerms)),
+      (s, d) => phraseCounts(T.documents(s, d), phraseQueryTerms))
   )
+
+  /** The fixed literal phrase t22/b5 count — present ~30× at sf0.01. */
+  lazy val phraseQueryTerms: Seq[String] = Seq("hash", "join")
+
+  /** Per-doc exact phrase occurrence counts over (doc_id, text, …):
+    * `filter` over the window start positions, each testing the next
+    * |phrase| tokens — pure array arithmetic on the tokenized text.
+    * Docs with zero occurrences are absent (phrase-match semantics,
+    * and what keeps the result delta-sized on a big corpus). */
+  def phraseCounts(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseCounts: empty phrase")
+    val ts = tokens(lower(col("text")))
+    val n = phrase.size
+    val hits = filter(sequence(lit(1), size(ts) - (n - 1)),
+      i => phrase.zipWithIndex.map { case (w, j) =>
+        element_at(ts, i + j) === w
+      }.reduce(_ && _))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        // sequence(1, k) DESCENDS when k < 1 — guard short docs to an
+        // honest zero instead of phantom windows
+        when(size(ts) >= n, size(hits)).otherwise(0)
+          .cast("long").as("phrase_cnt"))
+      .filter(col("phrase_cnt") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[phraseCounts]] — same window predicate over
+    * the same tokenizer; `range(a,b)` is empty when b ≤ a, so short
+    * docs need no guard there. */
+  def phraseOracleSql(phrase: Seq[String]): String = {
+    val conds = phrase.zipWithIndex.map { case (w, j) =>
+      s"ts[i + $j] = '${w.replace("'", "''")}'"
+    }.mkString(" AND ")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id,
+       |    cast(len(list_filter(range(1, len(ts) - ${phrase.size - 2}),
+       |      i -> $conds)) AS BIGINT) AS phrase_cnt
+       |  FROM t)
+       |SELECT doc_id, phrase_cnt FROM c
+       |WHERE phrase_cnt > 0 ORDER BY doc_id""".stripMargin
+  }
 
   /** The linear concept t19 trains against: a fixed integer-weighted
     * combination of token counts, so separability is by construction. */

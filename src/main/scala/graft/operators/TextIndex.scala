@@ -11,7 +11,8 @@ import org.apache.spark.sql.functions._
   * This stores the classic search-engine decomposition as ordinary
   * warehouse tables and keeps it current incrementally:
   *
-  *   `<idx>_postings` (term, doc_id, tf, dl)  term-clustered + term
+  *   `<idx>_postings` (term, doc_id, tf, dl, pos)  term-clustered +
+  *                     term
   *                     bloom sketches — a query's `term IN (…)` scan
   *                     file-skips to the handful of files holding its
   *                     terms' postings (dl is denormalized in, so
@@ -38,17 +39,25 @@ import org.apache.spark.sql.functions._
   */
 object TextIndex {
 
-  /** Per-(doc, term) postings with the doc length carried along —
-    * tf/dl from the same tokenizer as [[TextAnalysis.bm25TopK]]. */
+  /** Per-(doc, term) POSITIONAL postings with the doc length carried
+    * along — tf/dl from the same tokenizer as
+    * [[TextAnalysis.bm25TopK]], plus the term's ascending token
+    * positions (`pos`). Positions are what turn a bag-of-words index
+    * into a search engine: phrase and proximity queries resolve from
+    * the index alone ([[phraseQuery]]), never re-reading text. The
+    * classic space trade (Lucene's default is positional too): the
+    * pos arrays roughly double the postings bytes; tf stays
+    * denormalized so BM25 scoring still reads no array. */
   private def analyzed(docs: DataFrame): DataFrame =
     docs
       .filter(col("text").isNotNull) // un-tokenizable: not indexable
       .select(col("doc_id"),
         TextAnalysis.tokens(lower(col("text"))).as("ts"))
       .select(col("doc_id"), size(col("ts")).cast("long").as("dl"),
-        explode(col("ts")).as("term"))
+        posexplode(col("ts")).as(Seq("p", "term")))
       .groupBy("doc_id", "dl", "term")
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"),
+        sort_array(collect_list(col("p"))).as("pos"))
 
   /** Tokenize + invert `docs` (doc_id, text, …) into the four index
     * tables. `nFiles` range-splits the postings by term so each file
@@ -62,7 +71,7 @@ object TextIndex {
     val post = analyzed(docs.dropDuplicates("doc_id"))
       .localCheckpoint() // feeds all the tables
     wh.save(s"${idx}_postings",
-      post.select("term", "doc_id", "tf", "dl")
+      post.select("term", "doc_id", "tf", "dl", "pos")
         .repartitionByRange(nFiles, col("term")),
       clusterBy = Seq("term"), bloomBy = Seq("term"))
     wh.save(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
@@ -109,7 +118,7 @@ object TextIndex {
       // to preclude (readers see all four updates or none)
       wh.transaction(tables(idx)) {
         wh.append(s"${idx}_postings",
-          post.select("term", "doc_id", "tf", "dl"))
+          post.select("term", "doc_id", "tf", "dl", "pos"))
         wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
         // additive df SEGMENT append (the LSM trade): O(delta vocab)
         // written, nothing rewritten — the query sums segments per
@@ -240,5 +249,44 @@ object TextIndex {
         round(TextAnalysis.bm25ScoreExpr(terms.size), 6).as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** PHRASE search over the stored positional index — per doc, how
+    * many times the exact token sequence occurs. The classic postings
+    * intersection: pull each phrase term's position list for the
+    * candidate docs (`term IN (…)` file-skips like BM25's read), shift
+    * term i's positions left by i, and the occurrences are the
+    * intersection of the shifted lists — all array arithmetic in one
+    * per-doc fold, no text read, no re-tokenize. Duplicate phrase
+    * terms work (the same list intersects its own shift: "table
+    * table" = positions p with p+1 also present). Returns
+    * (doc_id, phrase_cnt > 0), matching [[TextAnalysis.phraseCounts]]
+    * row-for-row — the spec asserts index ≡ scan. */
+  def phraseQuery(wh: Warehouse, idx: String,
+      phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseQuery: empty phrase")
+    val matched = wh.table(s"${idx}_postings")
+      .filter(col("term").isin(phrase.distinct: _*))
+    // one row per (doc, distinct term): pin each term's position list
+    // into a fixed column; a doc missing ANY phrase term drops (the
+    // inner-join semantics of phrase match)
+    val lists = phrase.distinct.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("pos")), ignoreNulls = true)
+        .as(s"__p$i")
+    }
+    val byDoc = matched.groupBy("doc_id").agg(lists.head, lists.tail: _*)
+      .filter(phrase.distinct.indices
+        .map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+    val slot = phrase.distinct.zipWithIndex.toMap
+    val shifted = phrase.zipWithIndex.map { case (t, i) =>
+      if (i == 0) col(s"__p${slot(t)}")
+      else transform(col(s"__p${slot(t)}"), x => x - i)
+    }
+    byDoc
+      .select(col("doc_id"),
+        size(shifted.reduce(array_intersect)).cast("long")
+          .as("phrase_cnt"))
+      .filter(col("phrase_cnt") > 0)
+      .orderBy("doc_id")
   }
 }

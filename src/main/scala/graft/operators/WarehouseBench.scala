@@ -176,6 +176,16 @@ object WarehouseBench {
           col("max_l_shipdate").as("max_sd"),
           col("cnt"))),
 
+    // b5 — PHRASE search served from the stored POSITIONAL index:
+    // t22's scan recomputes token windows per query; the index answers
+    // from its terms' postings alone (position-list intersection,
+    // term-pruned read). Same DuckDB oracle as t22 — the stored
+    // positions are hash-checked cross-engine.
+    Q("b5_phrase_wh", Some(TextAnalysis.phraseOracleSql(
+        TextAnalysis.phraseQueryTerms)),
+      (s, d) => TextIndex.phraseQuery(textIndexed(s, d), "ti_b",
+        TextAnalysis.phraseQueryTerms)),
+
     // I4 — incrementally-maintained JOIN view, end state oracle-checked:
     // bootstrap orders⋈customer, then drive a delta batch through the
     // warehouse (predicate DELETE, dim UPDATE, fact APPEND) and refresh

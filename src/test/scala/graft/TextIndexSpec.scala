@@ -218,4 +218,21 @@ class TextIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(2))).toSeq
     assert(a == b)
   }
+
+  test("phrase search: positional index equals the scan form, duplicate terms included") {
+    val wh = new Warehouse(spark, tmp("ti_phrase"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    for (phrase <- Seq(Seq("hash", "join"), Seq("table", "table"),
+        Seq("fast"), Seq("key", "agg", "row"))) {
+      val scan = TextAnalysis.phraseCounts(docs, phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val idx = TextIndex.phraseQuery(wh, "ti", phrase)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(idx == scan, s"phrase $phrase diverged:\nscan=$scan\nidx =$idx")
+    }
+    // a phrase that never occurs yields no rows from either path
+    assert(TextIndex.phraseQuery(wh, "ti",
+      Seq("hash", "hash", "hash", "hash", "hash")).count() == 0)
+  }
 }
