@@ -3845,6 +3845,29 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
       .start()
 
+  /** [[streamInto]] with CONTINUOUS join-view maintenance: each
+    * micro-batch lands in the fact table exactly-once, then
+    * [[refreshJoinView]] advances the MV from the feeds in the same
+    * foreachBatch turn — so the denormalized view trails ingestion by
+    * at most one trigger. Crash-safe by construction, no extra state:
+    * the append is batchId-fenced, and the refresh is idempotent over
+    * VERSION windows (a crash between append and refresh just means
+    * the next batch's refresh covers two versions). Dim-side changes
+    * land through normal writes and are picked up by the same
+    * refresh calls. */
+  def streamIntoJoinView(fact: String, dim: String, mv: String,
+      joinKeys: Seq[String], factId: String, stream: DataFrame,
+      checkpoint: String, streamId: String = "stream")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        appendStreamBatch(fact, batch, id, streamId)
+        refreshJoinView(fact, dim, mv, joinKeys, factId); ()
+      }
+      .start()
+
   // ----- version-manifest commit log (path mode) --------------------
   //
   // The minimal transactional core of a table format: a table's current

@@ -583,7 +583,16 @@ object TextAnalysis {
     // alone (TextIndex.phraseQuery — b5_phrase_wh twin; spec asserts
     // index ≡ scan).
     Q("t22_phrase_count", Some(phraseOracleSql(phraseQueryTerms)),
-      (s, d) => phraseCounts(T.documents(s, d), phraseQueryTerms))
+      (s, d) => phraseCounts(T.documents(s, d), phraseQueryTerms)),
+
+    // T23 — proximity counting (`a NEAR/w b`), the scan form; the
+    // stored positional index answers it via position-list arithmetic
+    // in b6_near_wh (same oracle), and the spec asserts index ≡ scan.
+    Q("t23_near_count",
+      Some(nearOracleSql(nearQueryTerms._1, nearQueryTerms._2,
+        nearQueryTerms._3)),
+      (s, d) => nearCounts(T.documents(s, d), nearQueryTerms._1,
+        nearQueryTerms._2, nearQueryTerms._3))
   )
 
   /** The fixed literal phrase t22/b5 count — present ~30× at sf0.01. */
@@ -610,6 +619,50 @@ object TextAnalysis {
           .cast("long").as("phrase_cnt"))
       .filter(col("phrase_cnt") > 0)
       .orderBy("doc_id")
+  }
+
+  /** The fixed NEAR probe t23/b6 count: "scan" within 5 tokens of
+    * "filter" — frequent enough to hit at every sf. */
+  lazy val nearQueryTerms: (String, String, Int) = ("scan", "filter", 5)
+
+  /** Per-doc PROXIMITY counts — `a NEAR/w b`: how many occurrences of
+    * `a` have an occurrence of `b` within `w` token positions (the
+    * classic NEAR operator; `a == b` counts distinct-position
+    * neighbors). Map-side: both position lists derive from one token
+    * array, the count is a nested array filter — no explode, no
+    * shuffle. Docs with zero hits are absent. */
+  def nearCounts(docs: DataFrame, a: String, b: String,
+      w: Int): DataFrame = {
+    val ts = tokens(lower(col("text")))
+    def positionsOf(t: String) =
+      filter(sequence(lit(1), size(ts)), i => element_at(ts, i) === t)
+    val pa = positionsOf(a); val pb = positionsOf(b)
+    val cnt = size(filter(pa, i =>
+      exists(pb, j => j =!= i && abs(j - i) <= w)))
+    docs.filter(col("text").isNotNull)
+      .select(col("doc_id"),
+        when(size(ts) >= 1, cnt).otherwise(0).cast("long").as("near_cnt"))
+      .filter(col("near_cnt") > 0)
+      .orderBy("doc_id")
+  }
+
+  /** DuckDB rendering of [[nearCounts]]. */
+  def nearOracleSql(a: String, b: String, w: Int): String = {
+    def esc(s: String) = s.replace("'", "''")
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
+       |  FROM documents WHERE text IS NOT NULL),
+       |c AS (
+       |  SELECT doc_id, cast(len(list_filter(
+       |      list_filter(range(1, len(ts) + 1), i -> ts[i] = '${esc(a)}'),
+       |      i -> len(list_filter(
+       |        list_filter(range(1, len(ts) + 1), j -> ts[j] = '${esc(b)}'),
+       |        j -> j <> i AND abs(j - i) <= $w)) > 0)) AS BIGINT)
+       |    AS near_cnt
+       |  FROM t)
+       |SELECT doc_id, near_cnt FROM c
+       |WHERE near_cnt > 0 ORDER BY doc_id""".stripMargin
   }
 
   /** DuckDB rendering of [[phraseCounts]] — same window predicate over

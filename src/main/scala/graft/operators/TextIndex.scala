@@ -289,4 +289,31 @@ object TextIndex {
       .filter(col("phrase_cnt") > 0)
       .orderBy("doc_id")
   }
+
+  /** PROXIMITY search (`a NEAR/w b`) over the stored positional
+    * index — the [[phraseQuery]] machinery with a windowed existence
+    * test instead of exact adjacency: pull both terms' position
+    * lists per candidate doc (term-pruned read), count `a` positions
+    * with a distinct `b` position within `w`. Matches
+    * [[TextAnalysis.nearCounts]] row-for-row. */
+  def nearQuery(wh: Warehouse, idx: String, a: String, b: String,
+      w: Int): DataFrame = {
+    val matched = wh.table(s"${idx}_postings")
+      .filter(col("term").isin(Seq(a, b).distinct: _*))
+    val lists = Seq(a, b).distinct.zipWithIndex.map { case (t, i) =>
+      first(when(col("term") === t, col("pos")), ignoreNulls = true)
+        .as(s"__p$i")
+    }
+    val byDoc = matched.groupBy("doc_id").agg(lists.head, lists.tail: _*)
+      .filter(Seq(a, b).distinct.indices
+        .map(i => col(s"__p$i").isNotNull).reduce(_ && _))
+    val slot = Seq(a, b).distinct.zipWithIndex.toMap
+    val pa = col(s"__p${slot(a)}"); val pb = col(s"__p${slot(b)}")
+    byDoc
+      .select(col("doc_id"),
+        size(filter(pa, i => exists(pb, j =>
+          j =!= i && abs(j - i) <= w))).cast("long").as("near_cnt"))
+      .filter(col("near_cnt") > 0)
+      .orderBy("doc_id")
+  }
 }

@@ -186,6 +186,14 @@ object WarehouseBench {
       (s, d) => TextIndex.phraseQuery(textIndexed(s, d), "ti_b",
         TextAnalysis.phraseQueryTerms)),
 
+    // b6 — NEAR/proximity twin of b5 over the same stored positions
+    Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(
+        TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
+        TextAnalysis.nearQueryTerms._3)),
+      (s, d) => TextIndex.nearQuery(textIndexed(s, d), "ti_b",
+        TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
+        TextAnalysis.nearQueryTerms._3)),
+
     // I4 — incrementally-maintained JOIN view, end state oracle-checked:
     // bootstrap orders⋈customer, then drive a delta batch through the
     // warehouse (predicate DELETE, dim UPDATE, fact APPEND) and refresh

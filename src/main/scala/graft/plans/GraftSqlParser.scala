@@ -24,6 +24,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, REFRESH … FROM
   *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
   *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata-only min/max + rows
+  *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
   *
@@ -120,6 +121,12 @@ object GraftSqlParser {
   // retrieval-index DDL: SEARCH = the TextIndex inverted index,
   // VECTOR = the AnnIndex IVF-PQ index; both build FROM a bound table
   // and maintain incrementally via REFRESH
+  // incrementally-maintained JOIN view: one statement bootstraps or
+  // refreshes (refreshJoinView decides from the MV's version stamps)
+  private val RefreshJoinMv =
+    ("""(?is)^\s*REFRESH\s+JOIN\s+VIEW\s+([\w]+)\s+FROM\s+([\w]+)""" +
+      """\s+JOIN\s+([\w]+)\s+USING\s*\(([^)]*)\)\s+ID\s+([\w]+)""" +
+      """\s*;?\s*$""").r
   private val CreateIdx =
     ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR)\s+INDEX\s+([\w]+)""" +
       """\s+ON\s+([\w]+)\s*;?\s*$""").r
@@ -481,6 +488,18 @@ object GraftSqlParser {
             "files_total" -> LongType)) { _ =>
             val (c, t) = wh.pruningPreviewFor(table, expr(where))
             Seq(Row(c.toLong, t.toLong))
+          }
+        }
+      case RefreshJoinMv(mv, fact, dim, keyList, idCol) =>
+        boundTable(session, fact).map { wh =>
+          cmd(session, attrs("status" -> StringType,
+            "fact_ids" -> LongType, "dim_keys" -> LongType,
+            "files_rewritten" -> LongType)) { _ =>
+            val ks = keyList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+            val r = wh.refreshJoinView(fact, dim, mv, ks, idCol)
+            Seq(Row(if (r.bootstrapped) "BOOTSTRAPPED" else "OK",
+              r.factIdsChanged, r.dimKeysChanged,
+              r.filesRewritten.toLong))
           }
         }
       case CreateIdx(kind, idx, src) =>

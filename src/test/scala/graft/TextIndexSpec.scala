@@ -235,4 +235,19 @@ class TextIndexSpec extends AnyFunSuite {
     assert(TextIndex.phraseQuery(wh, "ti",
       Seq("hash", "hash", "hash", "hash", "hash")).count() == 0)
   }
+
+  test("NEAR search: positional index equals the scan form") {
+    val wh = new Warehouse(spark, tmp("ti_near"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    for ((a, b, w) <- Seq(("scan", "filter", 5), ("hash", "join", 1),
+        ("table", "table", 3))) {
+      val scan = TextAnalysis.nearCounts(docs, a, b, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      val idx = TextIndex.nearQuery(wh, "ti", a, b, w)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(idx == scan, s"NEAR($a,$b,$w) diverged:\nscan=$scan\nidx =$idx")
+      assert(scan.nonEmpty || a == "zzz")
+    }
+  }
 }

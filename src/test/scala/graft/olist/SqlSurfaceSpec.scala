@@ -476,4 +476,23 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val (pt, _) = counts("DESCRIBE PRUNING t WHERE k IN (5, 70001)")
     assert(pt <= 2, s"IN-list admitted $pt of 8")
   }
+
+  test("REFRESH JOIN VIEW bootstraps and refreshes the join MV from SQL") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_sql_jmv")).enableSql()
+    wh.save("factj", Seq((1L, 0L, 10L), (2L, 1L, 20L))
+      .toDF("id", "k", "v").coalesce(1))
+    wh.save("dimj", Seq((0L, "a"), (1L, "b")).toDF("k", "name").coalesce(1))
+    val boot = spark.sql(
+      "REFRESH JOIN VIEW mvj FROM factj JOIN dimj USING (k) ID id")
+      .collect()(0)
+    assert(boot.getString(0) == "BOOTSTRAPPED")
+    assert(wh.table("mvj").count() == 2)
+    wh.append("factj", Seq((3L, 1L, 30L)).toDF("id", "k", "v"))
+    val r = spark.sql(
+      "REFRESH JOIN VIEW mvj FROM factj JOIN dimj USING (k) ID id")
+      .collect()(0)
+    assert(r.getString(0) == "OK" && r.getLong(1) == 1L)
+    assert(wh.table("mvj").count() == 3)
+  }
 }
