@@ -3579,8 +3579,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * LocalRelation — no FileScan anywhere (spec-asserted). Columns must
     * be declared stats/cluster columns ([[statsBy]] /
     * `ANALYZE TABLE … FOR COLUMNS`). */
-  def statsAggregate(name: String, cols: Seq[String]): Option[DataFrame] = {
+  def statsAggregate(name: String, cols0: Seq[String]): Option[DataFrame] = {
     require(database.isEmpty, "statsAggregate applies to path-mode tables only")
+    val cols = cols0.distinct // duplicate requests would collide column names
     require(cols.nonEmpty, "statsAggregate: no columns requested")
     val (_, files, meta) = currentManifestFull(name).getOrElse(
       throw new IllegalArgumentException(

@@ -592,7 +592,36 @@ object TextAnalysis {
       Some(nearOracleSql(nearQueryTerms._1, nearQueryTerms._2,
         nearQueryTerms._3)),
       (s, d) => nearCounts(T.documents(s, d), nearQueryTerms._1,
-        nearQueryTerms._2, nearQueryTerms._3))
+        nearQueryTerms._2, nearQueryTerms._3)),
+
+    // T24 — collocation mining: the corpus-wide top-k adjacent word
+    // pairs (the statistic behind stop-phrase lists, boilerplate
+    // detection, and tokenizer-merge candidates — t20's round-1 pair
+    // table, surfaced as an operator). Map-side pair explode (a zip of
+    // the token array against its own tail — no self-join), ONE
+    // count shuffle, TakeOrderedAndProject for the top-k.
+    Q("t24_bigram_topk",
+      Some("""WITH t AS (
+             |  SELECT regexp_split_to_array(trim(lower(text)), '\s+') AS ts
+             |  FROM documents WHERE text IS NOT NULL),
+             |p AS (
+             |  SELECT unnest(list_zip(ts[1:len(ts)-1], ts[2:len(ts)])) AS b
+             |  FROM t)
+             |SELECT b[1] AS w1, b[2] AS w2,
+             |  count(*) AS cnt
+             |FROM p GROUP BY 1, 2
+             |ORDER BY cnt DESC, w1, w2 LIMIT 20""".stripMargin),
+      (s, d) => {
+        val ts = tokens(lower(col("text")))
+        T.documents(s, d).filter(col("text").isNotNull)
+          .select(explode(arrays_zip(
+            slice(ts, lit(1), size(ts) - 1),
+            slice(ts, lit(2), size(ts) - 1))).as("b"))
+          .select(col("b.0").as("w1"), col("b.1").as("w2"))
+          .groupBy("w1", "w2").agg(count(lit(1)).as("cnt"))
+          .orderBy(col("cnt").desc, col("w1"), col("w2"))
+          .limit(20)
+      })
   )
 
   /** The fixed literal phrase t22/b5 count — present ~30× at sf0.01. */
