@@ -3123,8 +3123,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
       val dimNow = fromFiles(dim, dimFiles.map(_.path), dimSc)
       requireUniqueKeys(dimNow, "the full dim")
       val mv0 = joined(fromFiles(fact, factFiles.map(_.path), factSc), dimNow)
+      // RANGE-lay the view out by factId and cluster on it: fact-side
+      // churn (the dominant CDC shape — appends land in the id tail,
+      // deletes cluster in id ranges) then touches a file or two, and
+      // the manifest's factId stats let the refresh prune its probe
+      // to candidate files instead of scanning the view
       save(mv, if (bootstrapFiles > 0)
-        mv0.repartition(bootstrapFiles, joinKeys.map(col): _*) else mv0)
+        mv0.repartitionByRange(bootstrapFiles, col(factId)) else mv0,
+        clusterBy = (factId +: joinKeys).distinct)
       withCommitLock(mv) {
         commitManifest(mv, currentManifest(mv).map(_._2).getOrElse(Nil),
           stamp, op = "mv-join-refresh")
@@ -3158,21 +3164,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
         // the sets are key-distinct so a left join cannot fan out, and
         // multiplicity of duplicate-id fact rows is preserved.
         val inline = nIds <= 1024 && nKeys <= 1024 && joinKeys.size == 1
-        val inlineCond: Option[(org.apache.spark.sql.Column,
-            org.apache.spark.sql.Column) => org.apache.spark.sql.Column] =
+        val inlineVals: Option[(Seq[Any], Seq[Any])] =
           if (!inline) None
-          else {
-            val idVals = ids.collect().map(_.get(0)).toSeq
-            val keyVals = keysD.collect().map(_.get(0)).toSeq
-            Some((idC: org.apache.spark.sql.Column,
-                keyC: org.apache.spark.sql.Column) =>
-              (if (idVals.isEmpty) lit(false) else idC.isin(idVals: _*)) ||
+          else Some((ids.collect().map(_.get(0)).toSeq,
+            keysD.collect().map(_.get(0)).toSeq))
+        def split(df: DataFrame): (DataFrame, DataFrame) = inlineVals match {
+          case Some((idVals, keyVals)) =>
+            val c =
+              (if (idVals.isEmpty) lit(false)
+               else col(factId).isin(idVals: _*)) ||
                 (if (keyVals.isEmpty) lit(false)
-                 else keyC.isin(keyVals: _*)))
-          }
-        def split(df: DataFrame): (DataFrame, DataFrame) = inlineCond match {
-          case Some(cond) =>
-            val c = cond(col(factId), col(joinKeys.head))
+                 else col(joinKeys.head).isin(keyVals: _*))
             (df.filter(c), df.filter(!c))
           case None =>
             val marked = df
@@ -3184,30 +3186,56 @@ class Warehouse(val spark: SparkSession, basePath: String,
                 col("__hitK").isNull).drop("__hitI", "__hitK"))
         }
         def affected(df: DataFrame): DataFrame = split(df)._1
-        val factNow = fromFiles(fact, factFiles.map(_.path), factSc)
+        // bounded-delta lane: manifest stats/blooms prune BOTH scans to
+        // files that can hold an affected row — the union of each
+        // conjunct's candidate set (conservative: a file with no stats
+        // for the column is kept). On an id-clustered fact and the
+        // factId-range MV layout this is what makes a trickle refresh
+        // O(delta) instead of O(view): the probe opens candidate
+        // files, not the table.
+        def candidateFiles(files: Seq[Warehouse.DataFile],
+            sc: org.apache.spark.sql.types.StructType)
+            : Seq[Warehouse.DataFile] = inlineVals match {
+          case Some((idVals, keyVals)) =>
+            val byId = if (idVals.isEmpty) Nil
+              else candidatesWith(files, sc, Nil, Seq((factId, idVals)))
+            val byKey = if (keyVals.isEmpty) Nil
+              else candidatesWith(files, sc, Nil,
+                Seq((joinKeys.head, keyVals)))
+            (byId ++ byKey).distinct
+          case None => files
+        }
+        val factNow = fromFiles(fact,
+          candidateFiles(factFiles, factSc).map(_.path), factSc)
         val fresh = joined(affected(factNow), dimNow).localCheckpoint()
         // MV file surgery: rewrite only files HOLDING an affected row
         val mvSc = metaSchema(mvMeta).getOrElse(tableSchema(mv))
         val parts = partitionColsOf(mv)
-        val mvPaths = mvFiles.map(_.path)
-        val probeSrc =
-          if (format == "parquet")
-            fromFiles(mv, mvPaths, mvSc, withPos = true)
+        val mvPaths = candidateFiles(mvFiles, mvSc).map(_.path)
+        // an empty candidate set (no view file can hold an affected
+        // row — e.g. a late dim key no view row carries yet) means no
+        // surgery; the empty-relation fallback also has no metadata
+        // column to probe
+        val touched: Set[String] = if (mvPaths.isEmpty) Set.empty else {
+          val probeSrc =
+            if (format == "parquet")
+              fromFiles(mv, mvPaths, mvSc, withPos = true)
+                .select(((joinKeys :+ factId).map(col) :+
+                  col(DvFileCol).as("__file")): _*)
+            else fromFiles(mv, mvPaths, mvSc)
               .select(((joinKeys :+ factId).map(col) :+
-                col(DvFileCol).as("__file")): _*)
-          else fromFiles(mv, mvPaths, mvSc)
-            .select(((joinKeys :+ factId).map(col) :+
-              input_file_name().as("__file")): _*)
-        val probe = affected(probeSrc)
-          .select("__file").distinct().collect()
-        val relOf = mvPaths.map(p => normalizedRel(mv, p) -> p).toMap
-        val touched: Set[String] = probe.map { r =>
-          val uri = r.getString(r.length - 1)
-          (if (format == "parquet") relOf.get(uri)
-           else manifestPathOf(mv, mvPaths, uri)).getOrElse(
-            throw new IllegalStateException(
-              s"refreshJoinView: cannot resolve probed file $uri"))
-        }.toSet
+                input_file_name().as("__file")): _*)
+          val probe = affected(probeSrc)
+            .select("__file").distinct().collect()
+          val relOf = mvPaths.map(p => normalizedRel(mv, p) -> p).toMap
+          probe.map { r =>
+            val uri = r.getString(r.length - 1)
+            (if (format == "parquet") relOf.get(uri)
+             else manifestPathOf(mv, mvPaths, uri)).getOrElse(
+              throw new IllegalStateException(
+                s"refreshJoinView: cannot resolve probed file $uri"))
+          }.toSet
+        }
         val keptMinus = split(fromFiles(mv, touched.toSeq, mvSc))._2
         val rewritten = stageWrite(mv,
           clustered(mv, keptMinus.unionByName(fresh), parts), parts)
