@@ -3670,6 +3670,130 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  /** [[statsAggregate]] GROUPED BY PARTITION COLUMNS — exact because a
+    * data file belongs to exactly ONE partition directory, so per-file
+    * stats fold cleanly within each group: `SELECT p, min(c), max(c),
+    * count(*) GROUP BY p` answers from the manifest + the k=v path
+    * segments with zero data files opened (DV'd files rescan and merge
+    * per group, like the ungrouped form). None when any clean file
+    * lacks a requested stat OR predates the partition layout (mixed
+    * layouts after partition evolution: the un-partitioned files carry
+    * no group value — a scan is the only honest answer). */
+  def statsAggregateBy(name: String, groupCols: Seq[String],
+      cols0: Seq[String]): Option[DataFrame] = {
+    require(database.isEmpty, "statsAggregateBy applies to path-mode tables only")
+    val cols = cols0.distinct
+    require(groupCols.nonEmpty && cols.nonEmpty,
+      "statsAggregateBy: empty group or aggregate column list")
+    val parts = partitionColsOf(name)
+    groupCols.foreach(g => require(parts.contains(g),
+      s"statsAggregateBy: $g is not a partition column of $name " +
+        s"(partitioned by ${parts.mkString(",")}) — only partition " +
+        "groups are exactly derivable from per-file stats"))
+    val (_, files, meta) = currentManifestFull(name).getOrElse(
+      throw new IllegalArgumentException(
+        s"statsAggregateBy: $name has no committed snapshot"))
+    val sc = metaSchema(meta).getOrElse(tableSchema(name))
+    val types = sc.map(f => f.name -> f.dataType).toMap
+    cols.foreach(c => require(types.contains(c),
+      s"statsAggregateBy: $name has no column $c"))
+    // k=v path segments → typed group values (Hive-style escaping)
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    def groupOf(path: String): Option[Seq[Any]] = {
+      val kv = path.split("/").dropRight(1).flatMap { seg =>
+        val eq = seg.indexOf('=')
+        if (eq <= 0) None else Some(seg.substring(0, eq) ->
+          unescape(seg.substring(eq + 1)))
+      }.toMap
+      // missing segment = pre-evolution file, unparseable value =
+      // untyped rendering → either way not derivable from metadata
+      val vs: Seq[Option[Any]] = groupCols.map { g =>
+        kv.get(g) match {
+          case None => None
+          case Some("__HIVE_DEFAULT_PARTITION__") => Some(null)
+          case Some(raw) => statValue(types(g), raw)
+        }
+      }
+      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+    }
+    val (dvd, clean) = files.partition(_.dv.isDefined)
+    val grouped: Option[Map[Seq[Any], Seq[Warehouse.DataFile]]] = {
+      val gs = clean.map(f => groupOf(f.path).map(_ -> f))
+      if (gs.forall(_.isDefined))
+        Some(gs.flatten.groupBy(_._1).map { case (k, v) =>
+          k -> v.map(_._2) })
+      else None
+    }
+    val folded: Option[Seq[org.apache.spark.sql.Row]] = grouped.flatMap {
+      byGroup =>
+        val rows = byGroup.toSeq.map { case (gvals, gfiles) =>
+          val mm = cols.foldLeft(
+            Option(Seq.empty[(Option[Any], Option[Any])])) {
+            case (accOpt, c) => accOpt.flatMap { acc =>
+              val dt = types(c)
+              val parsed = gfiles.map(f => f.stats.get(c).flatMap {
+                case (mn, mx) => for {
+                  lo <- statValue(dt, mn); hi <- statValue(dt, mx)
+                } yield (lo, hi)
+              })
+              if (!parsed.forall(_.isDefined)) None
+              else {
+                val vs = parsed.flatten
+                def pick(sel: ((Any, Any)) => Any, hi: Boolean) =
+                  vs.map(sel).reduceOption((a, b) =>
+                    if ((statOrder(a, b) > 0) == hi) a else b)
+                Some(acc :+ ((pick(_._1, hi = false),
+                  pick(_._2, hi = true))))
+              }
+            }
+          }
+          val ns = gfiles.map(_.stats.get(RowsKey).map(_._1.toLong))
+          for { m <- mm; if ns.forall(_.isDefined) } yield
+            org.apache.spark.sql.Row.fromSeq(gvals ++
+              m.flatMap { case (lo, hi) =>
+                Seq(lo.orNull, hi.orNull) } :+ ns.flatten.sum)
+        }
+        if (rows.forall(_.isDefined)) Some(rows.flatten) else None
+    }
+    folded.map { rows =>
+      import org.apache.spark.sql.types._
+      val schema = StructType(
+        groupCols.map(g => StructField(g, types(g))) ++
+          cols.flatMap(c => Seq(StructField(s"min_$c", types(c)),
+            StructField(s"max_$c", types(c)))) :+
+          StructField("cnt", LongType))
+      val metaRows = spark.createDataFrame(
+        new java.util.ArrayList[org.apache.spark.sql.Row](
+          scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+        schema)
+      if (dvd.isEmpty) metaRows
+      else {
+        val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
+          max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+        val scanRows = fromFiles(name, dvd.map(_.path), sc)
+          .groupBy(groupCols.map(col): _*)
+          .agg(scanAggs.head, scanAggs.tail: _*)
+        val mergeAggs = cols.flatMap(c =>
+          Seq(min(col(s"min_$c")).as(s"min_$c"),
+            max(col(s"max_$c")).as(s"max_$c"))) :+
+          sum(col("cnt")).cast("long").as("cnt")
+        metaRows.unionByName(scanRows)
+          .groupBy(groupCols.map(col): _*)
+          .agg(mergeAggs.head, mergeAggs.tail: _*)
+      }
+    }
+  }
+
   /** One-stop table inspection (the DESCRIBE DETAIL payload): current
     * version, file count, layout (partition/cluster/zorder/bloom
     * columns), declared checks, registered clones, and the tracked MV

@@ -59,6 +59,10 @@ object WarehouseBench {
       // declared stats on the b4 aggregate columns: one re-analyze at
       // setup, then min/max/count answer from the manifest forever
       w.statsBy("lineitem_b", Seq("l_orderkey", "l_extendedprice"))
+      // b7's partitioned twin: files sit in l_returnflag=… dirs, so
+      // GROUPED min/max/count folds per partition from metadata
+      w.save("lineitem_p", T.lineitem(s, d),
+        partitionBy = Seq("l_returnflag"), clusterBy = Seq("l_orderkey"))
       w
     })
 
@@ -105,6 +109,11 @@ object WarehouseBench {
        |FROM f JOIN d USING (o_custkey)
        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   }
+
+  private val b7Oracle =
+    """SELECT l_returnflag, min(l_orderkey) AS min_ok,
+      |  max(l_orderkey) AS max_ok, count(*) AS cnt
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
   private val b4Oracle =
     """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
@@ -185,6 +194,27 @@ object WarehouseBench {
         TextAnalysis.phraseQueryTerms)),
       (s, d) => TextIndex.phraseQuery(textIndexed(s, d), "ti_b",
         TextAnalysis.phraseQueryTerms)),
+
+    // b7 — PARTITION-GROUPED metadata aggregates: GROUP BY a partition
+    // column answered from the manifest + the k=v path segments alone
+    // (a file belongs to exactly one partition, so per-file stats fold
+    // cleanly per group). The raw twin runs the real grouped scan; the
+    // same DuckDB oracle hash-checks both.
+    Q("b7_minmax_by_raw", Some(b7Oracle), (s, d) =>
+      T.lineitem(s, d).groupBy("l_returnflag")
+        .agg(min(col("l_orderkey")).as("min_ok"),
+          max(col("l_orderkey")).as("max_ok"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag")),
+    Q("b7_minmax_by_wh", Some(b7Oracle), (s, d) =>
+      warehouse(s, d).statsAggregateBy("lineitem_p",
+          Seq("l_returnflag"), Seq("l_orderkey"))
+        .getOrElse(throw new IllegalStateException(
+          "b7: lineitem_p partition stats must answer"))
+        .select(col("l_returnflag"),
+          col("min_l_orderkey").as("min_ok"),
+          col("max_l_orderkey").as("max_ok"), col("cnt"))
+        .orderBy("l_returnflag")),
 
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(

@@ -147,4 +147,60 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("nope") ||
       ex.getCause != null && ex.getCause.getMessage.contains("nope"))
   }
+
+  test("statsAggregateBy: exact per-partition min/max/count, zero file scans") {
+    val dir = tmp("wh_saggby")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(9000)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("k"),
+        (col("id") * 3 % 101).as("v"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val got = wh.statsAggregateBy("t", Seq("p"), Seq("k", "v")).get
+    // the answer is a LocalTableScan (driver rows) — no FileSourceScan
+    assert(got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "clean grouped statsAggregateBy must not plan a file scan")
+    val want = df.groupBy("p").agg(min("k"), max("k"), min("v"),
+      max("v"), count(lit(1))).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    val res = got.collect().map(r => r.getAs[String]("p") ->
+      ((r.getAs[Long]("min_k"), r.getAs[Long]("max_k"),
+        r.getAs[Long]("min_v"), r.getAs[Long]("max_v"),
+        r.getAs[Long]("cnt")))).toMap
+    assert(res == want)
+  }
+
+  test("statsAggregateBy: DV'd files merge per group; non-partition group refuses") {
+    val dir = tmp("wh_saggby_dv")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(3000)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    // point-delete the max of partition "1" (id 2999) via the DV path
+    val del = wh.delete("t", col("k") === 2999L)
+    assert(del.filesDv >= 1, s"expected a DV delete, got $del")
+    val res = wh.statsAggregateBy("t", Seq("p"), Seq("k")).get
+      .collect().map(r => r.getAs[String]("p") ->
+        ((r.getAs[Long]("min_k"), r.getAs[Long]("max_k"),
+          r.getAs[Long]("cnt")))).toMap
+    assert(res("1") == ((1L, 2997L, 1499L)))
+    assert(res("0") == ((0L, 2998L, 1500L)))
+    intercept[IllegalArgumentException] {
+      wh.statsAggregateBy("t", Seq("k"), Seq("k"))
+    }
+  }
+
+  test("statsAggregateBy: mixed pre-evolution layout answers None") {
+    val dir = tmp("wh_saggby_mixed")
+    val wh = new Warehouse(spark, dir)
+    import spark.implicits._
+    wh.save("t", Seq((1L, "a"), (2L, "b")).toDF("k", "p").coalesce(1),
+      clusterBy = Seq("k"))
+    wh.repartitionTable("t", Seq("p"))
+    wh.append("t", Seq((3L, "a")).toDF("k", "p"))
+    // the pre-evolution file has no p=… segment: not derivable
+    assert(wh.statsAggregateBy("t", Seq("p"), Seq("k")).isEmpty)
+  }
 }
