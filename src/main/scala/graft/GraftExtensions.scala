@@ -17,6 +17,10 @@ import graft.functions.{MinHashSigs, VectorAvg, VectorFunctions}
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectResolutionRule(_ => graft.plans.DateKeyJoinRewrite)
+    // SELECT min/max/count FROM dw_t answered from the manifest alone
+    // when provably exact (see MetadataAggRewrite's contract)
+    ext.injectResolutionRule(session =>
+      graft.plans.MetadataAggRewrite(session))
     // SQL maintenance surface (DELETE/UPDATE/VACUUM/OPTIMIZE/DESCRIBE
     // HISTORY/CLONE over warehouse tables); unmatched statements
     // delegate to Spark's own parser untouched

@@ -3619,32 +3619,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
     cols.foreach(c => require(types.contains(c),
       s"statsAggregate: $name has no column $c"))
     val (dvd, clean) = files.partition(_.dv.isDefined)
-    // fold min-of-mins / max-of-maxs over the clean files' typed stats;
-    // any unparseable or missing entry poisons the whole answer (None)
-    val folded: Option[Seq[(String, Option[Any], Option[Any])]] =
-      cols.foldLeft(Option(Seq.empty[(String, Option[Any], Option[Any])])) {
-        case (accOpt, c) => accOpt.flatMap { acc =>
-          val dt = types(c)
-          val parsed = clean.map(f => f.stats.get(c).flatMap {
-            case (mn, mx) => for {
-              lo <- statValue(dt, mn); hi <- statValue(dt, mx)
-            } yield (lo, hi)
-          })
-          if (!parsed.forall(_.isDefined)) None
-          else {
-            val vs = parsed.flatten
-            def pick(sel: ((Any, Any)) => Any, keepHi: Boolean) =
-              vs.map(sel).reduceOption((a, b) =>
-                if ((statOrder(a, b) > 0) == keepHi) a else b)
-            Some(acc :+ ((c, pick(_._1, keepHi = false),
-              pick(_._2, keepHi = true))))
-          }
-        }
-      }
-    val cleanCnt: Option[Long] = {
-      val ns = clean.map(_.stats.get(RowsKey).map(_._1.toLong))
-      if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
-    }
+    val folded = foldStats(clean, types, cols)
+    val cleanCnt = foldRowCount(clean)
     for { mm <- folded; n <- cleanCnt } yield {
       val metaRow = spark.range(1).select(
         mm.flatMap { case (c, lo, hi) =>
@@ -3669,6 +3645,130 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
     }
   }
+
+  /** Fold min-of-mins / max-of-maxs over typed per-file stats; any
+    * unparseable or missing entry poisons the whole answer (None —
+    * the honest direction). Shared by the ungrouped, grouped, and
+    * Catalyst-rule forms of the metadata aggregate. */
+  private def foldStats(fs: Seq[Warehouse.DataFile],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      cols: Seq[String])
+      : Option[Seq[(String, Option[Any], Option[Any])]] =
+    cols.foldLeft(Option(Seq.empty[(String, Option[Any], Option[Any])])) {
+      case (accOpt, c) => accOpt.flatMap { acc =>
+        val dt = types(c)
+        val parsed = fs.map(f => f.stats.get(c).flatMap {
+          case (mn, mx) => for {
+            lo <- statValue(dt, mn); hi <- statValue(dt, mx)
+          } yield (lo, hi)
+        })
+        if (!parsed.forall(_.isDefined)) None
+        else {
+          val vs = parsed.flatten
+          def pick(sel: ((Any, Any)) => Any, keepHi: Boolean) =
+            vs.map(sel).reduceOption((a, b) =>
+              if ((statOrder(a, b) > 0) == keepHi) a else b)
+          Some(acc :+ ((c, pick(_._1, keepHi = false),
+            pick(_._2, keepHi = true))))
+        }
+      }
+    }
+
+  private def foldRowCount(fs: Seq[Warehouse.DataFile]): Option[Long] = {
+    val ns = fs.map(_.stats.get(RowsKey).map(_._1.toLong))
+    if (ns.forall(_.isDefined)) Some(ns.flatten.sum) else None
+  }
+
+  /** The raw material for the Catalyst metadata-aggregate rewrite
+    * ([[graft.plans.MetadataAggRewrite]]): the current snapshot's file
+    * list, column types, and partition columns. The rule does its own
+    * file selection (partition-predicate WHERE) and grouping
+    * driver-side, then folds through [[metadataAggFold]]. */
+  private[graft] def metadataAggSnapshot(name: String)
+      : Option[(Seq[Warehouse.DataFile],
+          Map[String, org.apache.spark.sql.types.DataType], Seq[String])] =
+    if (database.nonEmpty) None
+    else currentManifestFull(name).flatMap { case (_, files, meta) =>
+      // manifest stats key PHYSICAL column names; after a rename or a
+      // drop-and-re-add, a logical name could silently hit a DIFFERENT
+      // column's stats — any column mapping disqualifies the fold
+      if (colMapOf(meta).nonEmpty || droppedOf(meta).nonEmpty) None
+      else {
+        val sc = metaSchema(meta).getOrElse(tableSchema(name))
+        Some((files, sc.map(f => f.name -> f.dataType).toMap,
+          partitionColsOf(name)))
+      }
+    }
+
+  /** Typed partition values of one snapshot file, for the rewrite's
+    * driver-side Filter eval / GROUP BY — None when not derivable. */
+  private[graft] def filePartitionValues(f: Warehouse.DataFile,
+      cols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[Any]] =
+    partitionValuesOf(f.path, cols, types)
+
+  /** Fold a chosen file subset to (per-column (lo, hi), exact count).
+    * MIN/MAX (`cols` non-empty) refuse deletion vectors — a deleted row
+    * may BE the extreme and an analysis rule must not run a scan to
+    * find out. COUNT alone stays exact THROUGH DVs: the manifest knows
+    * each sidecar's cardinality, so n = Σ file rows − Σ dv rows. Any
+    * file missing a requested stat poisons the whole fold (None). */
+  private[graft] def metadataAggFold(fs: Seq[Warehouse.DataFile],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      cols: Seq[String])
+      : Option[(Seq[(String, Option[Any], Option[Any])], Long)] = {
+    if (!cols.forall(types.contains)) return None
+    if (cols.nonEmpty && fs.exists(_.dv.isDefined)) return None
+    for {
+      folded <- foldStats(fs, types, cols)
+      n <- foldRowCount(fs)
+    } yield (folded, n - fs.flatMap(_.dv).map(_.rows).sum)
+  }
+
+  /** Typed partition values parsed from a file's k=v path segments —
+    * None when a segment is missing (pre-evolution file) or a value
+    * does not round-trip under the column's type. */
+  private def partitionValuesOf(path: String, groupCols: Seq[String],
+      types: Map[String, org.apache.spark.sql.types.DataType])
+      : Option[Seq[Any]] = {
+    def unescape(s: String): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i < s.length) {
+        if (s.charAt(i) == '%' && i + 2 < s.length) {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } else { sb.append(s.charAt(i)); i += 1 }
+      }
+      sb.toString
+    }
+    val kv = path.split("/").dropRight(1).flatMap { seg =>
+      val eq = seg.indexOf('=')
+      if (eq <= 0) None else Some(seg.substring(0, eq) ->
+        unescape(seg.substring(eq + 1)))
+    }.toMap
+    val vs: Seq[Option[Any]] = groupCols.map { g =>
+      kv.get(g) match {
+        case None => None
+        case Some("__HIVE_DEFAULT_PARTITION__") => Some(null)
+        case Some(raw) => statValue(types(g), raw)
+      }
+    }
+    if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
+  }
+
+  /** The current snapshot's qualified file URI strings — data files
+    * AND deletion-vector sidecars, clone-aware. The identity
+    * [[graft.plans.MetadataAggRewrite]] compares against the leaf
+    * FileIndexes of a `dw_` view's plan to prove the view it is
+    * rewriting IS the current snapshot (a DV-carrying table's view is
+    * the anti-join plan, whose leaves scan both sets). */
+  private[graft] def currentDataPaths(name: String): Set[String] =
+    currentManifest(name).map(_._2.flatMap(f =>
+      f.path +: f.dv.map(_.path).toSeq).map(p =>
+        qualifiedPath(s"$basePath/${normalizedRel(name, p)}").toString)
+      .toSet).getOrElse(Set.empty)
 
   /** [[statsAggregate]] GROUPED BY PARTITION COLUMNS — exact because a
     * data file belongs to exactly ONE partition directory, so per-file
@@ -3697,38 +3797,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val types = sc.map(f => f.name -> f.dataType).toMap
     cols.foreach(c => require(types.contains(c),
       s"statsAggregateBy: $name has no column $c"))
-    // k=v path segments → typed group values (Hive-style escaping)
-    def unescape(s: String): String = {
-      val sb = new StringBuilder
-      var i = 0
-      while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } else { sb.append(s.charAt(i)); i += 1 }
-      }
-      sb.toString
-    }
-    def groupOf(path: String): Option[Seq[Any]] = {
-      val kv = path.split("/").dropRight(1).flatMap { seg =>
-        val eq = seg.indexOf('=')
-        if (eq <= 0) None else Some(seg.substring(0, eq) ->
-          unescape(seg.substring(eq + 1)))
-      }.toMap
-      // missing segment = pre-evolution file, unparseable value =
-      // untyped rendering → either way not derivable from metadata
-      val vs: Seq[Option[Any]] = groupCols.map { g =>
-        kv.get(g) match {
-          case None => None
-          case Some("__HIVE_DEFAULT_PARTITION__") => Some(null)
-          case Some(raw) => statValue(types(g), raw)
-        }
-      }
-      if (vs.exists(_.isEmpty)) None else Some(vs.map(_.get))
-    }
     val (dvd, clean) = files.partition(_.dv.isDefined)
     val grouped: Option[Map[Seq[Any], Seq[Warehouse.DataFile]]] = {
-      val gs = clean.map(f => groupOf(f.path).map(_ -> f))
+      val gs = clean.map(f =>
+        partitionValuesOf(f.path, groupCols, types).map(_ -> f))
       if (gs.forall(_.isDefined))
         Some(gs.flatten.groupBy(_._1).map { case (k, v) =>
           k -> v.map(_._2) })
@@ -3737,31 +3809,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val folded: Option[Seq[org.apache.spark.sql.Row]] = grouped.flatMap {
       byGroup =>
         val rows = byGroup.toSeq.map { case (gvals, gfiles) =>
-          val mm = cols.foldLeft(
-            Option(Seq.empty[(Option[Any], Option[Any])])) {
-            case (accOpt, c) => accOpt.flatMap { acc =>
-              val dt = types(c)
-              val parsed = gfiles.map(f => f.stats.get(c).flatMap {
-                case (mn, mx) => for {
-                  lo <- statValue(dt, mn); hi <- statValue(dt, mx)
-                } yield (lo, hi)
-              })
-              if (!parsed.forall(_.isDefined)) None
-              else {
-                val vs = parsed.flatten
-                def pick(sel: ((Any, Any)) => Any, hi: Boolean) =
-                  vs.map(sel).reduceOption((a, b) =>
-                    if ((statOrder(a, b) > 0) == hi) a else b)
-                Some(acc :+ ((pick(_._1, hi = false),
-                  pick(_._2, hi = true))))
-              }
-            }
-          }
-          val ns = gfiles.map(_.stats.get(RowsKey).map(_._1.toLong))
-          for { m <- mm; if ns.forall(_.isDefined) } yield
-            org.apache.spark.sql.Row.fromSeq(gvals ++
-              m.flatMap { case (lo, hi) =>
-                Seq(lo.orNull, hi.orNull) } :+ ns.flatten.sum)
+          for {
+            m <- foldStats(gfiles, types, cols)
+            n <- foldRowCount(gfiles)
+          } yield org.apache.spark.sql.Row.fromSeq(gvals ++
+            m.flatMap { case (_, lo, hi) =>
+              Seq(lo.orNull, hi.orNull) } :+ n)
         }
         if (rows.forall(_.isDefined)) Some(rows.flatten) else None
     }

@@ -72,6 +72,12 @@ object GraftSqlParser {
       name: String): Option[graft.olist.Warehouse] =
     Option(registry.get(session)).filter(_.hasTable(name))
 
+  /** The session's bound warehouse, if any — the lookup
+    * [[MetadataAggRewrite]] resolves `dw_<t>` views through. */
+  private[plans] def boundFor(
+      session: SparkSession): Option[graft.olist.Warehouse] =
+    Option(registry.get(session))
+
   private val Delete =
     """(?is)^\s*DELETE\s+FROM\s+([\w]+)\s+WHERE\s+(.+?)\s*;?\s*$""".r
   // body = VALUES (...) or SELECT ... — anything the delegate can parse

@@ -1,0 +1,225 @@
+package graft.plans
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.CatalystTypeConverters
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.aggregate._
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+
+/** Metadata-only aggregate REWRITE — the automatic form of
+  * [[graft.olist.Warehouse.statsAggregate]]: a plain-SQL
+  * `SELECT min(k), max(k), count(*) FROM dw_t [WHERE <partition pred>]
+  * [GROUP BY <partition cols>]` over a bound warehouse view becomes a
+  * [[LocalRelation]] of values folded from the manifest — the query
+  * never touches a data file. The same move Spark's own
+  * `OptimizeMetadataOnlyQuery` makes for partition keys and Delta
+  * makes for its stats, here driven by the graft manifest.
+  *
+  * Fires ONLY when the rewrite is provably the same answer:
+  *  - the child is the `dw_<t>` view (optionally under ONE Filter),
+  *    and the leaf FileIndexes of the registered plan — the bare
+  *    relation for a clean table, the DV anti-join's two scans for a
+  *    DV-carrying one — together list EXACTLY the current snapshot's
+  *    data + sidecar files (a stale registration from another
+  *    process's commit, or any other plan transformation between view
+  *    and aggregate, disqualifies); tables under a column mapping
+  *    (rename / drop-and-re-add) refuse at the snapshot step — their
+  *    stats key physical names;
+  *  - a WHERE clause references ONLY partition columns, is
+  *    deterministic, and carries no subquery — then it is evaluated
+  *    DRIVER-SIDE per file against the file's typed partition values
+  *    with Catalyst's own `eval` (every row of a file shares its
+  *    partition values, so file-level selection is exact, and reusing
+  *    eval means the rewrite cannot disagree with the scan on
+  *    predicate semantics — no re-implementation to drift);
+  *  - MIN/MAX require the selected files to carry NO deletion vectors
+  *    (a deleted row may be the extreme; an analysis rule must not run
+  *    jobs) and stats for every referenced column. COUNT(*) alone
+  *    stays exact THROUGH DVs — the manifest knows each sidecar's
+  *    cardinality, so n = Σ file rows − Σ dv rows
+  *    ([[graft.olist.Warehouse.metadataAggFold]]);
+  *  - every aggregate is a bare `min`/`max` over a column or
+  *    `count(*)`/`count(1)` — no DISTINCT, no FILTER, nothing else
+  *    (`count(col)` skips nulls; stats cannot see them — stays a
+  *    scan);
+  *  - grouping, when present, is on attribute references over
+  *    partition columns — the manifest groups those exactly.
+  *
+  * `graft.metadataAgg.enabled=false` turns the rewrite off. The
+  * replacement keeps the Aggregate's own output attributes (same
+  * exprIds), so parents re-resolve nothing. */
+case class MetadataAggRewrite(session: SparkSession)
+    extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (!session.conf.get("graft.metadataAgg.enabled", "true").toBoolean)
+      plan
+    else plan.transformUp {
+      case agg @ Aggregate(_, _, child, _) if agg.resolved =>
+        val (cond, src) = child match {
+          case Filter(c, s) => (Some(c), s)
+          case s => (None, s)
+        }
+        (src match {
+          case SubqueryAlias(ident, body)
+              if ident.name.startsWith("dw_") =>
+            // temp-view resolution wraps the registered plan in a View
+            // node; the registered plan is the warehouse's own read —
+            // a bare relation for a clean table, the DV anti-join plan
+            // for a table carrying deletion vectors
+            val bare = body match {
+              case v: View => v.child
+              case b => b
+            }
+            rewrite(agg, cond, ident.name.stripPrefix("dw_"), bare)
+          case _ => None
+        }).getOrElse(agg)
+    }
+
+  // one classified output column of the Aggregate
+  private sealed trait Out
+  private case class GroupVal(idx: Int) extends Out
+  private case class MinOf(c: String) extends Out
+  private case class MaxOf(c: String) extends Out
+  private case object Cnt extends Out
+
+  private def rewrite(agg: Aggregate, cond: Option[Expression],
+      table: String, body: LogicalPlan): Option[LogicalPlan] = {
+    val groupAttrs: Option[Seq[AttributeReference]] = {
+      val as = agg.groupingExpressions.map {
+        case a: AttributeReference => Some(a)
+        case _ => None
+      }
+      if (as.forall(_.isDefined)) Some(as.flatten) else None
+    }
+    def classify(gs: Seq[AttributeReference]): Option[Seq[Out]] = {
+      val outs = agg.aggregateExpressions.map {
+        case a: AttributeReference =>
+          val i = gs.indexWhere(_.exprId == a.exprId)
+          if (i >= 0) Some(GroupVal(i)) else None
+        case Alias(AggregateExpression(f, _, false, None, _), _) =>
+          f match {
+            case Min(c: AttributeReference) => Some(MinOf(c.name))
+            case Max(c: AttributeReference) => Some(MaxOf(c.name))
+            case Count(Seq(Literal(1, _))) => Some(Cnt)
+            case _ => None
+          }
+        case _ => None
+      }
+      if (outs.forall(_.isDefined)) Some(outs.flatten) else None
+    }
+    // every leaf of the registered view's plan must be a file
+    // relation, and together they must list EXACTLY the current
+    // snapshot's files — data AND dv sidecars (both sides through
+    // Hadoop Path so file:/// and file:/ agree). A stale registration
+    // from another process's commit, or any shape the warehouse never
+    // registers, fails the set equality and keeps the scan.
+    val leafFiles: Option[Set[String]] = {
+      val ls = body.collectLeaves().map {
+        case lr: LogicalRelation => lr.relation match {
+          case h: HadoopFsRelation => Some(h.location.inputFiles.toSeq)
+          case _ => None
+        }
+        case _ => None
+      }
+      if (ls.isEmpty || !ls.forall(_.isDefined)) None
+      else Some(ls.flatten.flatten.map(f =>
+        new org.apache.hadoop.fs.Path(f).toString).toSet)
+    }
+    for {
+      wh <- GraftSqlParser.boundFor(session)
+      if wh.hasTable(table)
+      lf <- leafFiles
+      if lf == wh.currentDataPaths(table).map(f =>
+        new org.apache.hadoop.fs.Path(f).toString)
+      gs <- groupAttrs
+      outs <- classify(gs)
+      snap <- wh.metadataAggSnapshot(table)
+      (files, types, pcols) = snap
+      if gs.forall(g => pcols.contains(g.name))
+      cols = outs.collect { case MinOf(c) => c; case MaxOf(c) => c }.distinct
+      kept <- selectFiles(wh, cond, files, types, pcols)
+      rows <- if (gs.isEmpty) {
+        wh.metadataAggFold(kept, types, cols).map { case (folded, n) =>
+          Seq(values(outs, Nil, folded, n))
+        }
+      } else {
+        val gvs = kept.map(f =>
+          wh.filePartitionValues(f, gs.map(_.name), types).map(_ -> f))
+        if (!gvs.forall(_.isDefined)) None
+        else {
+          val grouped = gvs.flatten.groupBy(_._1).toSeq.map {
+            case (gvals, gfs) =>
+              wh.metadataAggFold(gfs.map(_._2), types, cols)
+                .map { case (folded, n) => values(outs, gvals, folded, n) }
+          }
+          if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None
+        }
+      }
+    } yield {
+      val out = agg.aggregateExpressions.map(_.toAttribute)
+      val converters = out.map(a =>
+        CatalystTypeConverters.createToCatalystConverter(a.dataType))
+      LocalRelation(out, rows.map(r =>
+        InternalRow.fromSeq(r.zip(converters).map {
+          case (v, conv) => if (v == null) null else conv(v)
+        })))
+    }
+  }
+
+  /** The file subset a WHERE clause keeps — Some(all) with no clause;
+    * None (no rewrite) unless the predicate is a deterministic,
+    * subquery-free expression over partition columns only, evaluable
+    * per file on its typed partition values. A null/false eval drops
+    * the file, exactly Filter's row semantics lifted to the file grain
+    * (sound because every row of the file shares those values). */
+  private def selectFiles(wh: graft.olist.Warehouse,
+      cond: Option[Expression], files: Seq[graft.olist.Warehouse.DataFile],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      pcols: Seq[String])
+      : Option[Seq[graft.olist.Warehouse.DataFile]] = cond match {
+    case None => Some(files)
+    case Some(c) =>
+      val refs: Seq[Attribute] = c.references.toSeq
+      val ok = c.deterministic &&
+        refs.forall(a => pcols.contains(a.name)) &&
+        c.find(_.isInstanceOf[PlanExpression[_]]).isEmpty
+      if (!ok) None
+      else {
+        val bound = BindReferences.bindReference(c, refs)
+        val convs = refs.map(a =>
+          CatalystTypeConverters.createToCatalystConverter(a.dataType))
+        // an eval the interpreter cannot run (exotic expression, a
+        // value that trips it) must fall back to the scan, not fail
+        // the query at analysis
+        scala.util.Try {
+          val keep = files.map { f =>
+            wh.filePartitionValues(f, refs.map(_.name), types).map { vs =>
+              val row = InternalRow.fromSeq(vs.zip(convs).map {
+                case (v, cv) => if (v == null) null else cv(v)
+              })
+              bound.eval(row) == true
+            }
+          }
+          if (!keep.forall(_.isDefined)) None
+          else Some(files.zip(keep).collect { case (f, Some(true)) => f })
+        }.toOption.flatten
+      }
+  }
+
+  private def values(outs: Seq[Out], gvals: Seq[Any],
+      folded: Seq[(String, Option[Any], Option[Any])],
+      n: Long): Seq[Any] = {
+    val lo = folded.map { case (c, l, _) => c -> l.orNull }.toMap
+    val hi = folded.map { case (c, _, h) => c -> h.orNull }.toMap
+    outs.map {
+      case GroupVal(i) => gvals(i)
+      case MinOf(c) => lo(c)
+      case MaxOf(c) => hi(c)
+      case Cnt => n
+    }
+  }
+}

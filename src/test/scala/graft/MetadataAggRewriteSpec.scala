@@ -1,0 +1,179 @@
+package graft
+
+import graft.olist.Warehouse
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The metadata-aggregate Catalyst rule: plain SQL min/max/count over
+  * a `dw_` view plans as a LocalRelation (zero file reads) when
+  * provably exact, and STAYS a scan in every disqualifying case —
+  * with the answer identical either way.
+  */
+class MetadataAggRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(prefix: String): String =
+    java.nio.file.Files.createTempDirectory(prefix).toString
+
+  private def fileScans(df: org.apache.spark.sql.DataFrame): Int =
+    df.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.size
+
+  test("SELECT min/max/count FROM dw_t plans as LocalRelation, answer exact") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg")).enableSql()
+    val df = spark.range(5000)
+      .select(col("id").as("k"), (col("id") % 7).as("v"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val q = spark.sql(
+      "SELECT min(k) AS a, max(k) AS b, count(*) AS c, max(v) AS d FROM dw_t")
+    assert(fileScans(q) == 0, "metadata aggregate must not scan:\n" +
+      q.queryExecution.sparkPlan)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 4999L &&
+      r.getLong(2) == 5000L && r.getLong(3) == 6L)
+  }
+
+  test("GROUP BY a partition column also rewrites; values match the scan") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_p")).enableSql()
+    val df = spark.range(6000)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    val q = spark.sql(
+      "SELECT p, min(k) AS lo, max(k) AS hi, count(*) AS n " +
+        "FROM dw_t GROUP BY p")
+    assert(fileScans(q) == 0, "grouped metadata aggregate must not scan")
+    val got = q.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val want = df.groupBy("p")
+      .agg(min("k"), max("k"), count(lit(1))).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+  }
+
+  test("disqualifiers keep the scan — and the scan stays correct") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_no")).enableSql()
+    val df = spark.range(1000)
+      .select(col("id").as("k"), (col("id") % 5).as("v"),
+        when(col("id") % 2 === 0, col("id")).as("nv"))
+      .repartitionByRange(3, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    // avg is not derivable → scan
+    val q1 = spark.sql("SELECT min(k) AS a, avg(k) AS m FROM dw_t")
+    assert(fileScans(q1) > 0)
+    assert(q1.collect()(0).getLong(0) == 0L)
+    // count(col) skips nulls the stats cannot see → scan, right answer
+    val q2 = spark.sql("SELECT count(nv) AS c FROM dw_t")
+    assert(fileScans(q2) > 0)
+    assert(q2.collect()(0).getLong(0) == 500L)
+    // a WHERE clause interposes a Filter → scan
+    val q3 = spark.sql("SELECT min(k) AS a FROM dw_t WHERE k > 10")
+    assert(fileScans(q3) > 0)
+    assert(q3.collect()(0).getLong(0) == 11L)
+    // column without declared stats → scan (v has none here)
+    val q4 = spark.sql("SELECT min(v) AS a FROM dw_t")
+    assert(fileScans(q4) > 0)
+    assert(q4.collect()(0).getLong(0) == 0L)
+    // conf off → scan even when derivable
+    spark.conf.set("graft.metadataAgg.enabled", "false")
+    try {
+      val q5 = spark.sql("SELECT min(k) AS a FROM dw_t")
+      assert(fileScans(q5) > 0)
+      assert(q5.collect()(0).getLong(0) == 0L)
+    } finally spark.conf.set("graft.metadataAgg.enabled", "true")
+  }
+
+  test("WHERE on partition columns folds driver-side; mixed predicates stay scans") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_w")).enableSql()
+    val df = spark.range(9000)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    // equality predicate — the bread-and-butter partition probe
+    val q1 = spark.sql(
+      "SELECT min(k) AS lo, max(k) AS hi, count(*) AS n FROM dw_t WHERE p = '1'")
+    assert(fileScans(q1) == 0, "partition-equality WHERE must fold:\n" +
+      q1.queryExecution.sparkPlan)
+    val want1 = df.filter(col("p") === "1")
+      .agg(min("k"), max("k"), count(lit(1))).collect()(0)
+    val r1 = q1.collect()(0)
+    assert((r1.getLong(0), r1.getLong(1), r1.getLong(2)) ==
+      ((want1.getLong(0), want1.getLong(1), want1.getLong(2))))
+    // IN-list + GROUP BY compose; Catalyst eval decides membership
+    val q2 = spark.sql(
+      "SELECT p, count(*) AS n FROM dw_t WHERE p IN ('0', '2') GROUP BY p")
+    assert(fileScans(q2) == 0)
+    assert(q2.collect().map(r => r.getString(0) -> r.getLong(1)).toMap ==
+      Map("0" -> 3000L, "2" -> 3000L))
+    // a predicate selecting NOTHING yields SQL's empty-input shape:
+    // one all-null/zero row ungrouped, zero rows grouped
+    val q3 = spark.sql(
+      "SELECT min(k) AS lo, count(*) AS n FROM dw_t WHERE p = 'zz'")
+    assert(fileScans(q3) == 0)
+    val r3 = q3.collect()(0)
+    assert(r3.isNullAt(0) && r3.getLong(1) == 0L)
+    assert(spark.sql(
+      "SELECT p, count(*) AS n FROM dw_t WHERE p = 'zz' GROUP BY p")
+      .collect().isEmpty)
+    // a predicate touching a DATA column cannot fold — scan, exact
+    val q4 = spark.sql(
+      "SELECT count(*) AS n FROM dw_t WHERE p = '1' AND k > 100")
+    assert(fileScans(q4) > 0)
+    assert(q4.collect()(0).getLong(0) ==
+      df.filter(col("p") === "1" && col("k") > 100).count())
+  }
+
+  test("count(*) alone stays metadata-exact through deletion vectors") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_dvc")).enableSql()
+    val df = spark.range(3000).select(col("id").as("k"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    val del = wh.delete("t", col("k") >= 2995L)
+    assert(del.filesDv >= 1)
+    // the manifest knows each sidecar's cardinality: Σrows − Σdv
+    val q = spark.sql("SELECT count(*) AS c FROM dw_t")
+    assert(fileScans(q) == 0, "count-only must fold through DVs:\n" +
+      q.queryExecution.sparkPlan)
+    assert(q.collect()(0).getLong(0) == 2995L)
+    // …but a min/max alongside cannot (the deleted row may be the
+    // extreme) — the mixed query stays a scan and stays right
+    val q2 = spark.sql("SELECT max(k) AS a, count(*) AS c FROM dw_t")
+    assert(fileScans(q2) > 0)
+    val r2 = q2.collect()(0)
+    assert(r2.getLong(0) == 2994L && r2.getLong(1) == 2995L)
+  }
+
+  test("deletion vectors disqualify; rewrite returns after compaction") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_dv")).enableSql()
+    val df = spark.range(2000).select(col("id").as("k"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    val del = wh.delete("t", col("k") === 1999L)
+    assert(del.filesDv >= 1)
+    val q = spark.sql("SELECT max(k) AS a, count(*) AS c FROM dw_t")
+    assert(fileScans(q) > 0, "DV'd table must stay a scan")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 1998L && r.getLong(1) == 1999L)
+    // compaction folds the DV away → the rewrite fires again
+    wh.compact("t")
+    val q2 = spark.sql("SELECT max(k) AS a, count(*) AS c FROM dw_t")
+    assert(fileScans(q2) == 0, "post-compaction the metadata answers")
+    val r2 = q2.collect()(0)
+    assert(r2.getLong(0) == 1998L && r2.getLong(1) == 1999L)
+  }
+
+  test("commits keep the rewrite current (view re-points per commit)") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_fresh")).enableSql()
+    import spark.implicits._
+    wh.save("t", Seq(1L, 2L, 3L).toDF("k").coalesce(1), clusterBy = Seq("k"))
+    assert(spark.sql("SELECT max(k) AS a FROM dw_t")
+      .collect()(0).getLong(0) == 3L)
+    wh.append("t", Seq(99L).toDF("k"))
+    val q = spark.sql("SELECT max(k) AS a, count(*) AS c FROM dw_t")
+    assert(fileScans(q) == 0)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 99L && r.getLong(1) == 4L)
+  }
+}
