@@ -36,9 +36,10 @@ object Bench {
     // index, and the stored IVF-PQ probe (index builds memoized —
     // median-of-3 discards the build run)
     "b2_bm25_raw", "b2_bm25_wh", "b3_ann_wh",
-    // metadata-only aggregate (manifest fold — near-zero read cost)
-    // and phrase search from the stored positional index
-    "b4_minmax_wh", "b5_phrase_wh"
+    // metadata-only aggregate (manifest fold — near-zero read cost),
+    // its plain-SQL Catalyst-rule twin, and phrase search from the
+    // stored positional index
+    "b4_minmax_wh", "b8_sql_minmax_wh", "b5_phrase_wh"
   ).filter(SparkEntry.queries.contains)
 
   def main(args: Array[String]): Unit = {

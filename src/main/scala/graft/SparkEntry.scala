@@ -18,7 +18,8 @@ object SparkEntry {
       operators.Bpe.all ++
       operators.Dedup.all ++ operators.Similarity.all ++
       operators.Multimodal.all ++ operators.Temporal.all ++
-      operators.Sampling.all ++ operators.WarehouseBench.all ++
+      operators.Sampling.all ++ operators.Graph.all ++
+      operators.WarehouseBench.all ++
       streaming.EventStream.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */

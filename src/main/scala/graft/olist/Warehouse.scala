@@ -2692,18 +2692,33 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private def groupPruner(name: String, group: Seq[String],
       statsBy: Map[String, DataFile],
       phys: org.apache.spark.sql.types.StructType)
-      : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])])
+      : (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])],
+          Seq[(String, Boolean)])
         => (String => Boolean) = {
     lazy val byAbs: Map[String, DataFile] = group.iterator.flatMap { f =>
       statsBy.get(f).map(df =>
         qualifiedPath(s"$basePath/${normalizedRel(name, f)}").toUri.getPath -> df)
     }.toMap
-    (triples, inSets) => {
+    (triples, inSets, nulls) => {
       val ranges = triples.map { case (c, lo, hi) => ColRange(c, lo, hi) }
-      if (ranges.isEmpty && inSets.isEmpty) _ => true
+      if (ranges.isEmpty && inSets.isEmpty && nulls.isEmpty) _ => true
       else {
-        val ok = candidatesWith(byAbs.values.toSeq, phys, ranges, inSets)
-          .map(_.path).toSet
+        // nullness admission from the "__nn_" stats: IS NULL skips a
+        // file whose every row is non-null (nn == rows), IS NOT NULL
+        // one whose every row is null (nn == 0). Removing rows via a
+        // DV cannot ADD nulls or non-nulls, so both skips stay sound
+        // on DV-carrying files; unknown stats always admit.
+        def nullOk(f: DataFile): Boolean = nulls.forall {
+          case (c, true) =>
+            val provablyNoNulls = (for {
+              nn <- nonNullOf(f, c)
+              rows <- f.stats.get(RowsKey).flatMap(_._1.toLongOption)
+            } yield nn == rows).getOrElse(false)
+            !provablyNoNulls
+          case (c, false) => !nonNullOf(f, c).contains(0L)
+        }
+        val ok = candidatesWith(byAbs.values.toSeq.filter(nullOk), phys,
+          ranges, inSets).map(_.path).toSet
         abs => byAbs.get(abs).forall(df => ok(df.path))
       }
     }
@@ -3142,6 +3157,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
         .select(col(factId)).distinct().localCheckpoint()
       val keysD = tableChangesRows(dim, lastDv.get, curDv)
         .select(joinKeys.map(col): _*).distinct().localCheckpoint()
+      // a NULL id can never be matched back — neither IN-literals nor
+      // the marker join hit NULL — so its old view row would go
+      // silently stale; refuse loudly instead (delta-sized probe)
+      require(ids.filter(col(factId).isNull).limit(1).collect().isEmpty,
+        s"refreshJoinView: the $fact delta contains a NULL $factId — " +
+          "a join view needs a non-null fact id to re-derive by")
       val nIds = ids.count(); val nKeys = keysD.count()
       val (mvFiles, mvMeta) = currentManifestFull(mv) match {
         case Some((_, fs, m)) => (fs, m)
@@ -3175,7 +3196,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
                else col(factId).isin(idVals: _*)) ||
                 (if (keyVals.isEmpty) lit(false)
                  else col(joinKeys.head).isin(keyVals: _*))
-            (df.filter(c), df.filter(!c))
+            // a NULL factId makes `c` NULL: filter(c) AND filter(!c)
+            // would BOTH drop the row — the null-id view row must land
+            // in the kept side (the marker-join lane's behavior)
+            val hit = coalesce(c, lit(false))
+            (df.filter(hit), df.filter(!hit))
           case None =>
             val marked = df
               .join(ids.withColumn("__hitI", lit(1)), Seq(factId), "left")
@@ -3648,7 +3673,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
 
   /** Fold min-of-mins / max-of-maxs over typed per-file stats; any
     * unparseable or missing entry poisons the whole answer (None —
-    * the honest direction). Shared by the ungrouped, grouped, and
+    * the honest direction) — EXCEPT a file whose non-null count for
+    * the column is 0: min/max are legitimately absent there (nulls
+    * never contribute to an extreme), so the file contributes nothing
+    * instead of poisoning. Shared by the ungrouped, grouped, and
     * Catalyst-rule forms of the metadata aggregate. */
   private def foldStats(fs: Seq[Warehouse.DataFile],
       types: Map[String, org.apache.spark.sql.types.DataType],
@@ -3657,14 +3685,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
     cols.foldLeft(Option(Seq.empty[(String, Option[Any], Option[Any])])) {
       case (accOpt, c) => accOpt.flatMap { acc =>
         val dt = types(c)
-        val parsed = fs.map(f => f.stats.get(c).flatMap {
-          case (mn, mx) => for {
-            lo <- statValue(dt, mn); hi <- statValue(dt, mx)
-          } yield (lo, hi)
-        })
+        val parsed: Seq[Option[Seq[(Any, Any)]]] = fs.map { f =>
+          f.stats.get(c) match {
+            case Some((mn, mx)) => for {
+              lo <- statValue(dt, mn); hi <- statValue(dt, mx)
+            } yield Seq((lo, hi))
+            case None if nonNullOf(f, c).contains(0L) => Some(Nil)
+            case None => None
+          }
+        }
         if (!parsed.forall(_.isDefined)) None
         else {
-          val vs = parsed.flatten
+          val vs = parsed.flatten.flatten
           def pick(sel: ((Any, Any)) => Any, keepHi: Boolean) =
             vs.map(sel).reduceOption((a, b) =>
               if ((statOrder(a, b) > 0) == keepHi) a else b)
@@ -3708,22 +3740,35 @@ class Warehouse(val spark: SparkSession, basePath: String,
       : Option[Seq[Any]] =
     partitionValuesOf(f.path, cols, types)
 
-  /** Fold a chosen file subset to (per-column (lo, hi), exact count).
-    * MIN/MAX (`cols` non-empty) refuse deletion vectors — a deleted row
-    * may BE the extreme and an analysis rule must not run a scan to
-    * find out. COUNT alone stays exact THROUGH DVs: the manifest knows
-    * each sidecar's cardinality, so n = Σ file rows − Σ dv rows. Any
-    * file missing a requested stat poisons the whole fold (None). */
+  /** Fold a chosen file subset to (per-column (lo, hi), per-column
+    * non-null count, exact row count). MIN/MAX (`cols`) and
+    * `count(col)` (`cntCols`) refuse deletion vectors — a deleted row
+    * may BE the extreme / may or may not be null, and an analysis rule
+    * must not run a scan to find out. COUNT(*) alone stays exact
+    * THROUGH DVs: the manifest knows each sidecar's cardinality, so
+    * n = Σ file rows − Σ dv rows. Any file missing a requested stat
+    * poisons the whole fold (None). */
   private[graft] def metadataAggFold(fs: Seq[Warehouse.DataFile],
       types: Map[String, org.apache.spark.sql.types.DataType],
-      cols: Seq[String])
-      : Option[(Seq[(String, Option[Any], Option[Any])], Long)] = {
-    if (!cols.forall(types.contains)) return None
-    if (cols.nonEmpty && fs.exists(_.dv.isDefined)) return None
+      cols: Seq[String], cntCols: Seq[String] = Nil)
+      : Option[(Seq[(String, Option[Any], Option[Any])],
+          Map[String, Long], Long)] = {
+    if (!(cols ++ cntCols).forall(types.contains)) return None
+    if ((cols.nonEmpty || cntCols.nonEmpty) && fs.exists(_.dv.isDefined))
+      return None
+    val cnts: Option[Map[String, Long]] =
+      cntCols.foldLeft(Option(Map.empty[String, Long])) { case (acc, c) =>
+        acc.flatMap { m =>
+          val per = fs.map(nonNullOf(_, c))
+          if (per.forall(_.isDefined)) Some(m + (c -> per.flatten.sum))
+          else None
+        }
+      }
     for {
       folded <- foldStats(fs, types, cols)
+      cn <- cnts
       n <- foldRowCount(fs)
-    } yield (folded, n - fs.flatMap(_.dv).map(_.rows).sum)
+    } yield (folded, cn, n - fs.flatMap(_.dv).map(_.rows).sum)
   }
 
   /** Typed partition values parsed from a file's k=v path segments —
@@ -4157,6 +4202,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
   /** Pseudo stat column carrying each file's row count; no real column
     * is named like this, so [[candidates]] never consults it. */
   private val RowsKey = "__rows"
+  /** Pseudo stat key carrying a column's per-file NON-NULL count
+    * (`"__nn_<col>" -> (n, n)`, the RowsKey rendering). Min/max stats
+    * cannot see nulls: this is what distinguishes "no stats" from
+    * "all null", folds `count(col)` from metadata, and skips files for
+    * `IS [NOT] NULL` predicates. */
+  private def nonNullKey(c: String) = s"__nn_$c"
+  private def nonNullOf(f: Warehouse.DataFile, c: String): Option[Long] =
+    f.stats.get(nonNullKey(c)).flatMap(_._1.toLongOption)
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -4663,7 +4716,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
       val aggs = Seq(count(lit(1)).as("__nrows")) ++
         statCols.flatMap(c =>
-          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"))) ++
+          Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
+            count(col(c)).as(s"__c_$c"))) ++
         bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c")) ++
         ndvCols.map(c =>
           hll_sketch_agg(sketchable(c), lit(ndvLgK)).as(s"__h_$c"))
@@ -4678,7 +4732,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
           val mn = statString(row.getAs[Any](s"__mn_$c"))
           val mx = statString(row.getAs[Any](s"__mx_$c"))
           if (mn == null || mx == null) None else Some(c -> (mn, mx))
-        }.toMap + (RowsKey -> (n, n))
+        }.toMap ++ statCols.map { c =>
+          // the non-null count rides unconditionally — zero is exactly
+          // the "all null, min/max legitimately absent" marker
+          val cn = row.getAs[Long](s"__c_$c").toString
+          nonNullKey(c) -> (cn, cn)
+        } + (RowsKey -> (n, n))
         val bf = bCols.flatMap { c =>
           Option(row.getAs[Array[Byte]](s"__bf_$c")).map(b =>
             c -> java.util.Base64.getEncoder.encodeToString(b))

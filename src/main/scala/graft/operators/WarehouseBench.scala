@@ -185,6 +185,23 @@ object WarehouseBench {
           col("max_l_shipdate").as("max_sd"),
           col("cnt"))),
 
+    // b8 — b4's PLAIN-SQL form: the same min/max/count written as
+    // ordinary SELECT over the dw_ view and folded by the Catalyst
+    // MetadataAggRewrite rule (no API call; the plan is a
+    // LocalRelation, zero files opened). Re-binds the bench warehouse
+    // each run — the session has ONE SQL binding slot and other lanes
+    // may claim it — so the rewrite provably serves this lane; shares
+    // b4's DuckDB oracle, so the rule's fold is hash-checked
+    // cross-engine alongside the API path's.
+    Q("b8_sql_minmax_wh", Some(b4Oracle), (s, d) => {
+      warehouse(s, d).enableSql()
+      s.sql("""SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
+              |  min(l_extendedprice) AS min_px,
+              |  max(l_extendedprice) AS max_px,
+              |  min(l_shipdate) AS min_sd, max(l_shipdate) AS max_sd,
+              |  count(*) AS cnt FROM dw_lineitem_b""".stripMargin)
+    }),
+
     // b5 — PHRASE search served from the stored POSITIONAL index:
     // t22's scan recomputes token windows per query; the index answers
     // from its terms' postings alone (position-list intersection,

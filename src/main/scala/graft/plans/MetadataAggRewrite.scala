@@ -41,10 +41,12 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    stays exact THROUGH DVs — the manifest knows each sidecar's
   *    cardinality, so n = Σ file rows − Σ dv rows
   *    ([[graft.olist.Warehouse.metadataAggFold]]);
-  *  - every aggregate is a bare `min`/`max` over a column or
-  *    `count(*)`/`count(1)` — no DISTINCT, no FILTER, nothing else
-  *    (`count(col)` skips nulls; stats cannot see them — stays a
-  *    scan);
+  *  - every aggregate is a bare `min`/`max`/`count` over a column or
+  *    `count(*)`/`count(1)` — no DISTINCT, no FILTER, nothing else.
+  *    `count(col)` folds from the per-file NON-NULL counts
+  *    (`"__nn_<col>"` stats) when every selected file carries them —
+  *    a pre-stats file disqualifies (min/max stats alone cannot see
+  *    nulls);
   *  - grouping, when present, is on attribute references over
   *    partition columns — the manifest groups those exactly.
   *
@@ -85,6 +87,7 @@ case class MetadataAggRewrite(session: SparkSession)
   private case class MinOf(c: String) extends Out
   private case class MaxOf(c: String) extends Out
   private case object Cnt extends Out
+  private case class CntOf(c: String) extends Out
 
   private def rewrite(agg: Aggregate, cond: Option[Expression],
       table: String, body: LogicalPlan): Option[LogicalPlan] = {
@@ -105,6 +108,9 @@ case class MetadataAggRewrite(session: SparkSession)
             case Min(c: AttributeReference) => Some(MinOf(c.name))
             case Max(c: AttributeReference) => Some(MaxOf(c.name))
             case Count(Seq(Literal(1, _))) => Some(Cnt)
+            // count(col) = the column's non-null count — folds from
+            // the per-file "__nn_" stats when every file carries them
+            case Count(Seq(c: AttributeReference)) => Some(CntOf(c.name))
             case _ => None
           }
         case _ => None
@@ -141,10 +147,11 @@ case class MetadataAggRewrite(session: SparkSession)
       (files, types, pcols) = snap
       if gs.forall(g => pcols.contains(g.name))
       cols = outs.collect { case MinOf(c) => c; case MaxOf(c) => c }.distinct
+      cntCols = outs.collect { case CntOf(c) => c }.distinct
       kept <- selectFiles(wh, cond, files, types, pcols)
       rows <- if (gs.isEmpty) {
-        wh.metadataAggFold(kept, types, cols).map { case (folded, n) =>
-          Seq(values(outs, Nil, folded, n))
+        wh.metadataAggFold(kept, types, cols, cntCols).map {
+          case (folded, cnts, n) => Seq(values(outs, Nil, folded, cnts, n))
         }
       } else {
         val gvs = kept.map(f =>
@@ -153,8 +160,9 @@ case class MetadataAggRewrite(session: SparkSession)
         else {
           val grouped = gvs.flatten.groupBy(_._1).toSeq.map {
             case (gvals, gfs) =>
-              wh.metadataAggFold(gfs.map(_._2), types, cols)
-                .map { case (folded, n) => values(outs, gvals, folded, n) }
+              wh.metadataAggFold(gfs.map(_._2), types, cols, cntCols)
+                .map { case (folded, cnts, n) =>
+                  values(outs, gvals, folded, cnts, n) }
           }
           if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None
         }
@@ -212,7 +220,7 @@ case class MetadataAggRewrite(session: SparkSession)
 
   private def values(outs: Seq[Out], gvals: Seq[Any],
       folded: Seq[(String, Option[Any], Option[Any])],
-      n: Long): Seq[Any] = {
+      cnts: Map[String, Long], n: Long): Seq[Any] = {
     val lo = folded.map { case (c, l, _) => c -> l.orNull }.toMap
     val hi = folded.map { case (c, _, h) => c -> h.orNull }.toMap
     outs.map {
@@ -220,6 +228,7 @@ case class MetadataAggRewrite(session: SparkSession)
       case MinOf(c) => lo(c)
       case MaxOf(c) => hi(c)
       case Cnt => n
+      case CntOf(c) => cnts(c)
     }
   }
 }

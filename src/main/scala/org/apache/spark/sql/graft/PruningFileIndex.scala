@@ -34,7 +34,8 @@ class PruningFileIndex(
     leafPaths: Seq[Path],
     options: Map[String, String],
     fullSchema: StructType,
-    prune: (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])])
+    prune: (Seq[(String, Option[Any], Option[Any])], Seq[(String, Seq[Any])],
+        Seq[(String, Boolean)])
       => (String => Boolean))
   extends InMemoryFileIndex(
     PruningFileIndex.classic(session), leafPaths, options, Some(fullSchema)) {
@@ -49,10 +50,11 @@ class PruningFileIndex(
     val total = base.iterator.map(_.files.size).sum
     val ranges = PruningFileIndex.impliedRanges(dataFilters)
     val inSets = PruningFileIndex.impliedInSets(dataFilters)
-    if (ranges.isEmpty && inSets.isEmpty) {
+    val nulls = PruningFileIndex.impliedNullness(dataFilters)
+    if (ranges.isEmpty && inSets.isEmpty && nulls.isEmpty) {
       lastListing = Some((total, total)); base
     } else {
-      val admit = prune(ranges, inSets)
+      val admit = prune(ranges, inSets, nulls)
       val pruned = base.map { pd =>
         PartitionDirectory(pd.values,
           pd.files.filter(f => admit(f.getPath.toUri.getPath)))
@@ -106,6 +108,27 @@ object PruningFileIndex {
       case GreaterThanOrEqual(l: Literal, a: Attribute) => rng(a, l, lo = false, hi = true)
       case LessThan(l: Literal, a: Attribute) => rng(a, l, lo = true, hi = false)
       case LessThanOrEqual(l: Literal, a: Attribute) => rng(a, l, lo = true, hi = false)
+      // LIKE 'p%' (the optimizer rewrites it to StartsWith): every
+      // match lies in [p, p.init ++ (last+1)) — the prefix-successor
+      // range Delta/Iceberg prune on. The successor bound is emitted
+      // only when the last char is a plain BMP character below the
+      // surrogate block: there +1 is monotone in UTF-16, UTF-8 byte,
+      // AND code-point order alike, so the bound holds under whichever
+      // order produced the stats. Inclusive upper is looser than the
+      // true strict bound — sound. An empty prefix matches everything
+      // (no range); an un-incrementable last char keeps only the
+      // lower bound.
+      case StartsWith(a: Attribute, l: Literal)
+          if a.dataType == org.apache.spark.sql.types.StringType &&
+            l.value != null =>
+        val p = l.value.toString
+        if (p.isEmpty) Nil
+        else {
+          val last = p.charAt(p.length - 1)
+          val hi = if (last >= 0xD7FF.toChar) None
+            else Some(p.substring(0, p.length - 1) + (last + 1).toChar)
+          Seq((a.name, Some(p), hi))
+        }
       case _ => Nil
     }
     filters.flatMap(walk)
@@ -169,6 +192,29 @@ object PruningFileIndex {
           val vs = raw.filter(_ != null).flatMap(ext(_, a))
           if (vs.isEmpty || vs.size > maxValues) Nil else Seq((a.name, vs))
         }
+      case _ => Nil
+    }
+    filters.flatMap(walk)
+  }
+
+  /** Nullness constraints implied by analyzed filters — (column,
+    * wantNull) top-level conjuncts: `c IS NULL` admits only files with
+    * at least one null in c, `c IS NOT NULL` only files with at least
+    * one non-null. The latter fires far beyond explicit user SQL: the
+    * analyzer adds `isnotnull(c)` under every null-intolerant
+    * predicate on c, so any comparison filter auto-skips files that
+    * are ALL null in that column (sparse/late-added columns). The
+    * per-file test consumes the manifest's "__nn_" non-null counts;
+    * files without them are always admitted. */
+  def impliedNullness(filters: Seq[Expression]): Seq[(String, Boolean)] = {
+    def walk(e: Expression): Seq[(String, Boolean)] = e match {
+      case And(x, y) => walk(x) ++ walk(y)
+      case IsNull(a: Attribute) => Seq((a.name, true))
+      case IsNotNull(a: Attribute) => Seq((a.name, false))
+      case EqualNullSafe(a: Attribute, l: Literal) if l.value == null =>
+        Seq((a.name, true))
+      case EqualNullSafe(l: Literal, a: Attribute) if l.value == null =>
+        Seq((a.name, true))
       case _ => Nil
     }
     filters.flatMap(walk)

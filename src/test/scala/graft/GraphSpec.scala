@@ -1,0 +1,52 @@
+package graft
+
+import graft.operators.Graph
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Fixed-point PageRank: hand-computed iterations on a star graph,
+  * bit-reproducibility under re-partitioning, parallel-edge weight
+  * accumulation, and dangling-receiver behavior. */
+class GraphSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ranks(edges: Seq[(Long, Long, Long)], iters: Int,
+      parts: Int = 1): Map[Long, Long] = {
+    import spark.implicits._
+    Graph.pageRankFixed(
+      edges.toDF("src", "dst", "w").repartition(parts), iters)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  // leaves 1..4 → center 0, center → leaf 1
+  private val star = Seq((1L, 0L, 1L), (2L, 0L, 1L), (3L, 0L, 1L),
+    (4L, 0L, 1L), (0L, 1L, 1L))
+
+  test("star graph matches the hand-computed fixed-point iterations") {
+    // iter 1: center absorbs 4×1e9 → 0.15e9 + 0.85·4e9 = 3.55e9;
+    // leaf 1 gets the center's 1e9 → exactly 1e9; leaves 2-4 get base
+    assert(ranks(star, 1) == Map(0L -> 3550000000L, 1L -> 1000000000L,
+      2L -> 150000000L, 3L -> 150000000L, 4L -> 150000000L))
+    // iter 2, every step exact integer arithmetic:
+    //   center: s = 1e9 + 3·150e6 = 1.45e9 → 150e6 + (85·1.45e9)//100
+    //   leaf 1: s = 3.55e9          → 150e6 + (85·3.55e9)//100
+    assert(ranks(star, 2) == Map(0L -> 1382500000L, 1L -> 3167500000L,
+      2L -> 150000000L, 3L -> 150000000L, 4L -> 150000000L))
+  }
+
+  test("bit-identical under any partitioning; zero iterations = uniform") {
+    assert(ranks(star, 3, parts = 1) == ranks(star, 3, parts = 7))
+    assert(ranks(star, 0).values.toSet == Set(1000000000L))
+  }
+
+  test("parallel edges add weight; a dangling receiver still accumulates") {
+    // 1 → 2 twice (w 1 and 2) and 1 → 3 (w 1): wout = 4, so node 2
+    // draws 3/4 of node 1's rank, node 3 draws 1/4; both are dangling
+    // (no out-edges) and simply absorb
+    val g = Seq((1L, 2L, 1L), (1L, 2L, 2L), (1L, 3L, 1L))
+    val r = ranks(g, 1)
+    assert(r(2L) == 150000000L + 85L * (750000000L) / 100L)
+    assert(r(3L) == 150000000L + 85L * (250000000L) / 100L)
+    assert(r(1L) == 150000000L)
+  }
+}

@@ -125,6 +125,40 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
       df.filter(col("p") === "1" && col("k") > 100).count())
   }
 
+  test("count(col) folds from non-null counts; all-null partitions don't poison min/max") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_nn")).enableSql()
+    val df = spark.range(4000).select(
+      (col("id") % 4).cast("string").as("p"), col("id").as("k"),
+      when(col("id") % 4 =!= 0, col("id") * 2).as("v"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val q = spark.sql(
+      "SELECT count(v) AS cv, count(*) AS n, min(v) AS lo, max(v) AS hi FROM dw_t")
+    assert(fileScans(q) == 0, "count(col) over stats columns must fold:\n" +
+      q.queryExecution.sparkPlan)
+    val want = df.agg(count(col("v")), count(lit(1)), min("v"), max("v"))
+      .collect()(0)
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2), want.getLong(3))))
+    // grouped: the all-null partition reports 0, not a poisoned plan
+    val q2 = spark.sql("SELECT p, count(v) AS cv FROM dw_t GROUP BY p")
+    assert(fileScans(q2) == 0)
+    assert(q2.collect().map(r2 => r2.getString(0) -> r2.getLong(1)).toMap ==
+      Map("0" -> 0L, "1" -> 1000L, "2" -> 1000L, "3" -> 1000L))
+    // a column with NO nn stats (never declared) keeps the scan
+    val q3 = spark.sql("SELECT count(k) AS ck FROM dw_t")
+    // k IS a cluster column, so it carries nn stats — use a synthetic
+    // un-stat'd table for the negative instead
+    assert(q3.collect()(0).getLong(0) == 4000L)
+    val wh2 = new Warehouse(spark, tmp("wh_mdagg_nn2")).enableSql()
+    wh2.save("u", spark.range(100).select(col("id").as("a"),
+      col("id").as("b")), clusterBy = Seq("a"))
+    val q4 = spark.sql("SELECT count(b) AS cb FROM dw_u")
+    assert(fileScans(q4) > 0, "un-stat'd column must stay a scan")
+    assert(q4.collect()(0).getLong(0) == 100L)
+  }
+
   test("count(*) alone stays metadata-exact through deletion vectors") {
     val wh = new Warehouse(spark, tmp("wh_mdagg_dvc")).enableSql()
     val df = spark.range(3000).select(col("id").as("k"))

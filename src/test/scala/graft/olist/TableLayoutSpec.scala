@@ -1159,6 +1159,56 @@ class TableLayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.bloom.items")
   }
 
+  test("auto skipping: IS NULL / IS NOT NULL prune from non-null-count stats") {
+    val wh = new Warehouse(spark, tmp("wh_autoskip_null"))
+    // 8 EXACT 10000-row slices (range's own partitioning, no re-range
+    // whose sampled boundaries could straddle 20000); v is ENTIRELY
+    // null in the two low files and never null elsewhere — the
+    // sparse-column shape
+    val df = spark.range(0, 80000, 1, 8).select(col("id").as("k"),
+      when(col("id") >= 20000, col("id")).as("v"))
+    wh.save("t", df)
+    wh.statsBy("t", Seq("v"))
+    val qNull = spark.sql("SELECT count(*) AS c FROM dw_t WHERE v IS NULL")
+    assert(qNull.collect()(0).getLong(0) == 20000L)
+    assert(filesRead(qNull) == 2,
+      s"IS NULL should open only the all-null files: ${filesRead(qNull)}/8")
+    val qNot = spark.sql("SELECT count(k) AS c FROM dw_t WHERE v IS NOT NULL")
+    assert(qNot.collect()(0).getLong(0) == 60000L)
+    assert(filesRead(qNot) == 6,
+      s"IS NOT NULL should skip the all-null files: ${filesRead(qNot)}/6")
+    // the analyzer's implicit isnotnull under a comparison composes
+    // with range admission: all-null files carry NO min/max for v (the
+    // range test must keep them) — the nn=0 stat is what skips them
+    val qEq = spark.sql("SELECT k FROM dw_t WHERE v = 25000")
+    assert(qEq.collect().map(_.getLong(0)).toSeq == Seq(25000L))
+    assert(filesRead(qEq) == 1,
+      s"point lookup on the sparse column read ${filesRead(qEq)}/8 files")
+  }
+
+  test("auto skipping: LIKE-prefix predicates prune via string stats") {
+    val wh = new Warehouse(spark, tmp("wh_autoskip_like"))
+    // 8 exact slices; s is zero-padded so lexicographic order == id
+    // order and each file holds one disjoint prefix band
+    val df = spark.range(0, 80000, 1, 8).select(
+      concat(lit("k"), lpad(col("id").cast("string"), 5, "0")).as("s"),
+      col("id").as("v"))
+    wh.save("t", df)
+    wh.statsBy("t", Seq("s"))
+    val q = spark.sql("SELECT count(*) AS c FROM dw_t WHERE s LIKE 'k0%'")
+    assert(q.collect()(0).getLong(0) == 10000L)
+    assert(filesRead(q) == 1,
+      s"prefix band spans one file: read ${filesRead(q)}/8")
+    // a prefix matching nothing reads nothing
+    val q0 = spark.sql("SELECT count(*) AS c FROM dw_t WHERE s LIKE 'z%'")
+    assert(q0.collect()(0).getLong(0) == 0L)
+    assert(filesRead(q0) == 0, s"absent prefix read ${filesRead(q0)} files")
+    // non-prefix LIKE cannot derive a range — full read, exact answer
+    val qc = spark.sql("SELECT count(*) AS c FROM dw_t WHERE s LIKE '%42'")
+    assert(qc.collect()(0).getLong(0) == 800L)
+    assert(filesRead(qc) == 8)
+  }
+
   test("auto skipping: IN-lists and OR-of-equalities prune via stats and blooms") {
     val dir = tmp("wh_autoskip_in")
     val wh = new Warehouse(spark, dir)
