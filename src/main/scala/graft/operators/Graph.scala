@@ -35,7 +35,8 @@ object Graph {
   /** Unnormalized weighted PageRank (the Pregel convention: ranks
     * start at `scale` ≡ 1.0 and sum to ~N·scale), damping 0.85, in
     * exact fixed-point integer arithmetic. `edges` must carry
-    * (src, dst, w) with positive integer weights; parallel edges are
+    * (src, dst, w) with positive integer weights; node keys may be any
+    * equatable type (numeric ids, domain strings). Parallel edges are
     * legal (their weights add through `wout` and the per-edge
     * contribution). Dangling nodes (no out-edges) keep receiving but
     * leak their own mass — the standard simplified variant; the
@@ -43,15 +44,22 @@ object Graph {
   def pageRankFixed(edges: DataFrame, iters: Int,
       scale: Long = 1000000000L): DataFrame = {
     require(iters >= 0, s"pageRankFixed: negative iterations $iters")
-    val e = edges.select(col("src").cast("long").as("src"),
-      col("dst").cast("long").as("dst"), col("w").cast("long").as("w"))
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val wout = e.groupBy("src").agg(sum(col("w")).as("wout"))
-    val ew = e.join(wout, "src")
+    // materialize the (edges ⋈ out-weight) working set ONCE when
+    // iterating — otherwise every iteration's final plan re-executes
+    // the full edge-derivation subtree (the GraphX/Pregel convention:
+    // an iterative algorithm pins its edges, then loops)
+    val e0 = edges.select(col("src"), col("dst"),
+      col("w").cast("long").as("w"))
+    val wout = e0.groupBy("src").agg(sum(col("w")).as("wout"))
+    val ew = {
+      val j = e0.join(wout, "src")
+      if (iters > 1) j.localCheckpoint() else j
+    }
+    val nodes = ew.select(col("src").as("node"))
+      .unionByName(ew.select(col("dst").as("node"))).distinct()
     val base = scale * 15L / 100L
     var rank = nodes.select(col("node"), lit(scale).as("pr"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ew.join(rank.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"),
           expr("(pr * w) DIV wout").as("c"))
@@ -59,6 +67,8 @@ object Graph {
       rank = nodes.join(s, Seq("node"), "left")
         .select(col("node"),
           (lit(base) + expr("(85 * coalesce(s, 0)) DIV 100")).as("pr"))
+      // node-sized lineage cap for deep iteration counts
+      if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank
   }
@@ -82,7 +92,10 @@ object Graph {
 
   private val iters = 3
 
-  private def g1Oracle: String = {
+  /** The unrolled fixed-point iterations, shared by every lane's
+    * oracle — the SQL twin of [[pageRankFixed]]'s loop over whatever
+    * `edges` CTE precedes it. */
+  private def prSql(edgesCte: String): String = {
     def step(i: Int): String =
       s"""r$i AS (
          |  SELECT n.node,
@@ -93,21 +106,75 @@ object Graph {
          |  LEFT JOIN wout w2 ON w2.src = e.src
          |  LEFT JOIN r${i - 1} r ON r.node = e.src
          |  GROUP BY n.node)""".stripMargin
-    s"""WITH edges AS (
-       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
-       |  FROM lineitem
-       |  JOIN orders ON l_orderkey = o_orderkey
-       |  JOIN customer ON o_custkey = c_custkey
-       |  JOIN supplier ON l_suppkey = s_suppkey
-       |  GROUP BY 1, 2
-       |), wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
+    s"""WITH $edgesCte,
+       |wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
        |${(1 to iters).map(step).mkString(",\n")}
        |SELECT node, pr FROM r$iters ORDER BY node""".stripMargin
   }
 
+  private def g1Oracle: String = prSql(
+    """edges AS (
+      |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  GROUP BY 1, 2
+      |)""".stripMargin)
+
+  /** Grams a source-overlap edge may ride on appear in at most this
+    * many sources: ubiquitous shingles (boilerplate every domain
+    * carries) pair every source with every other — quadratic edge
+    * volume with zero signal. Dropping them is the standard stop-gram
+    * move and what bounds the self-join fan-out at web scale. */
+  private val maxGramSources = 8
+
+  /** The corpus-native graph: sources (domains) linked by how many
+    * distinct word-8-grams their documents share — the d10 digest
+    * machinery pointed at domain similarity. Only 16-byte digests
+    * shuffle; the per-gram fan-out is bounded by [[maxGramSources]]. */
+  private def sourceEdges(s: org.apache.spark.sql.SparkSession,
+      d: String): DataFrame = {
+    val ex = T.documents(s, d)
+      .select(col("source"), split(trim(col("text")), "\\s+").as("ts"))
+      .filter(size(col("ts")) >= 8)
+      .select(col("source"), explode(Dedup.shingles(col("ts"), 8)).as("g"))
+      .select(col("source"), md5(col("g")).as("h"))
+      .distinct()
+    val rare = ex.groupBy("h")
+      .agg(count(lit(1)).as("ns")) // ex is (source, h)-distinct
+      .filter(col("ns") <= maxGramSources).select("h")
+    val exb = ex.join(rare, Seq("h"))
+    exb.as("a").join(exb.as("b"), "h")
+      .filter(col("a.source") =!= col("b.source"))
+      .groupBy(col("a.source").as("src"), col("b.source").as("dst"))
+      .agg(count(lit(1)).as("w"))
+  }
+
+  private def g2Oracle: String = prSql(
+    s"""g AS (
+       |  SELECT source,
+       |    list_distinct(list_transform(range(1, len(ts) - 6),
+       |                  i -> array_to_string(ts[i:i+7], ' '))) AS gs
+       |  FROM (SELECT source, regexp_split_to_array(trim(text), '\\s+') AS ts
+       |        FROM documents) WHERE len(ts) >= 8),
+       |ex AS (SELECT DISTINCT source, md5(unnest(gs)) AS h FROM g),
+       |rare AS (SELECT h FROM ex GROUP BY h HAVING count(*) <= $maxGramSources),
+       |exb AS (SELECT ex.source, ex.h FROM ex JOIN rare USING (h)),
+       |edges AS (
+       |  SELECT a.source AS src, b.source AS dst, count(*) AS w
+       |  FROM exb a JOIN exb b ON a.h = b.h AND a.source <> b.source
+       |  GROUP BY 1, 2)""".stripMargin)
+
   val all: Seq[Q] = Seq(
     Q("g1_nation_pagerank", Some(g1Oracle), (s, d) =>
-      pageRankFixed(tradeEdges(s, d), iters).orderBy("node")))
+      pageRankFixed(tradeEdges(s, d), iters).orderBy("node")),
+    // g2 — the domain-quality prior on the corpus itself: PageRank
+    // over the source-overlap graph. Sources sharing no (rare) gram
+    // with anyone have no row — a curation stage treats absence as
+    // neutral, not as zero.
+    Q("g2_source_pagerank", Some(g2Oracle), (s, d) =>
+      pageRankFixed(sourceEdges(s, d), iters).orderBy("node")))
 }

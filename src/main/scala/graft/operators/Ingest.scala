@@ -1,0 +1,75 @@
+package graft.operators
+
+import graft.olist.Warehouse
+import org.apache.spark.sql.{DataFrame, Dataset, Row}
+import org.apache.spark.sql.functions._
+
+/** Transactional searchable-corpus ingest — the composition that turns
+  * the individual pieces (exactly-once streaming append, inverted-index
+  * refresh, ANN-index refresh, cross-table transactions) into the thing
+  * a retrieval platform actually runs: documents stream in, and EVERY
+  * micro-batch lands the base table, the BM25 index, and the vector
+  * index under ONE commit marker. A reader at any instant sees a base
+  * table and indexes that agree — never a doc that is searchable but
+  * unfetchable, or fetchable but invisible to search.
+  *
+  * Exactly-once under replay comes from layering two mechanisms that
+  * are each already tested alone:
+  *  - the base append is batchId-fenced ([[Warehouse.appendStreamBatch]]
+  *    commits the high-water mark WITH the batch — and inside the
+  *    transaction the mark rides the same marker, so a rollback takes
+  *    the mark with it and a retry re-drives the whole batch);
+  *  - the index refreshes are anti-join idempotent (a replayed doc is
+  *    already in the membership list → no-op), so the landed=false
+  *    replay path can skip them without looking.
+  *
+  * Scale shape per batch: O(batch) tokenize/encode work, O(delta
+  * vocab) df segments, one marker rename. Nothing corpus-sized moves.
+  * The base table is APPEND-only here (dedup/upsert is a modeling
+  * choice — compose [[Warehouse.streamMergeInto]] yourself if doc_ids
+  * must upsert); the indexes stay singular regardless via their
+  * anti-joins. */
+object Ingest {
+
+  /** One micro-batch, atomically: base append + text-index advance +
+    * ANN advance (vectors ride the batch as an `embedding` column,
+    * keyed by doc_id). Returns true iff the batch landed (false = a
+    * replay of the last committed batch — every structure already
+    * holds it). Crash anywhere inside → the single marker never
+    * lands, every staged version rolls back, and the stream re-drives
+    * the batch from its un-advanced checkpoint. */
+  def ingestBatch(wh: Warehouse, table: String, batch: DataFrame,
+      batchId: Long, textIdx: Option[String] = None,
+      annIdx: Option[String] = None,
+      streamId: String = "ingest"): Boolean = {
+    val names = (Seq(table) ++ textIdx.toSeq.flatMap(TextIndex.tables)
+      ++ annIdx.toSeq.flatMap(AnnIndex.tables)).distinct
+    wh.transaction(names) {
+      val landed = wh.appendStreamBatch(table, batch, batchId, streamId)
+      if (landed) {
+        textIdx.foreach(i => TextIndex.refreshBody(wh, i, batch))
+        annIdx.foreach(i => AnnIndex.refresh(wh, i,
+          batch.select(col("doc_id").as("vec_id"), col("embedding"))))
+      }
+      landed
+    }
+  }
+
+  /** Drive a streaming frame of documents (doc_id, text, …[, embedding])
+    * through [[ingestBatch]] — base + indexes advance together, one
+    * transaction per trigger. Bootstrap the indexes first
+    * ([[TextIndex.build]] accepts an empty frame; [[AnnIndex.build]]
+    * needs a real seed batch to train its codebooks). */
+  def streamIndexed(wh: Warehouse, table: String, docs: DataFrame,
+      checkpoint: String, textIdx: Option[String] = None,
+      annIdx: Option[String] = None, streamId: String = "ingest")
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (b: Dataset[Row], id: Long) =>
+        ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, streamId)
+        ()
+      }
+      .start()
+}

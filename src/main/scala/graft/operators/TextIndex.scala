@@ -103,38 +103,54 @@ object TextIndex {
     * stats row. df and stats stay EXACT, so incremental ≡ from-scratch
     * build, bit-for-bit. Returns docs added. */
   def refresh(wh: Warehouse, idx: String, docs: DataFrame): Long = {
-    val have = wh.table(s"${idx}_doclen").select("doc_id")
-    val delta = docs.filter(col("text").isNotNull)
-      .join(have, Seq("doc_id"), "left_anti")
+    val delta = deltaOf(wh, idx, docs)
+    if (delta.isEmpty) 0L
+    // the four tables move ATOMICALLY: a crash between the postings
+    // append and the df/stats rewrite would otherwise leave scores
+    // computed from stats that disagree with the postings — exactly
+    // the torn state the cross-table transaction machinery exists
+    // to preclude (readers see all four updates or none)
+    else wh.transaction(tables(idx))(appendDelta(wh, idx, delta, docs))
+  }
+
+  /** [[refresh]]'s body without the transaction wrapper — for callers
+    * composing the index advance into a WIDER atomic unit
+    * ([[Ingest.ingestBatch]]); the caller's transaction must declare
+    * [[tables]]. Own-reads make the in-transaction delta discovery see
+    * the caller's earlier in-transaction commits. */
+  private[operators] def refreshBody(wh: Warehouse, idx: String,
+      docs: DataFrame): Long = {
+    val delta = deltaOf(wh, idx, docs)
+    if (delta.isEmpty) 0L else appendDelta(wh, idx, delta, docs)
+  }
+
+  private def deltaOf(wh: Warehouse, idx: String,
+      docs: DataFrame): DataFrame =
+    docs.filter(col("text").isNotNull)
+      .join(wh.table(s"${idx}_doclen").select("doc_id"),
+        Seq("doc_id"), "left_anti")
       .join(wh.table(s"${idx}_gone"), Seq("doc_id"), "left_anti")
       .dropDuplicates("doc_id")
-    if (delta.isEmpty) 0L
-    else {
-      val post = analyzed(delta).localCheckpoint() // delta-sized
-      // the four tables move ATOMICALLY: a crash between the postings
-      // append and the df/stats rewrite would otherwise leave scores
-      // computed from stats that disagree with the postings — exactly
-      // the torn state the cross-table transaction machinery exists
-      // to preclude (readers see all four updates or none)
-      wh.transaction(tables(idx)) {
-        wh.append(s"${idx}_postings",
-          post.select("term", "doc_id", "tf", "dl", "pos"))
-        wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
-        // additive df SEGMENT append (the LSM trade): O(delta vocab)
-        // written, nothing rewritten — the query sums segments per
-        // term, and OPTIMIZE SMALL folds old segments when they
-        // accumulate. A full-outer fold + rewrite here would be
-        // O(vocab) per refresh, the one remaining corpus-shaped cost.
-        wh.append(s"${idx}_df",
-          post.groupBy("term").agg(count(lit(1)).as("df")))
-        val d = post.select("doc_id", "dl").distinct()
-          .agg(count(lit(1)), sum("dl")).first()
-        val old = wh.table(s"${idx}_stats").first()
-        wh.save(s"${idx}_stats", statsFrame(docs,
-          old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
-        d.getLong(0)
-      }
-    }
+
+  private def appendDelta(wh: Warehouse, idx: String,
+      delta: DataFrame, docs: DataFrame): Long = {
+    val post = analyzed(delta).localCheckpoint() // delta-sized
+    wh.append(s"${idx}_postings",
+      post.select("term", "doc_id", "tf", "dl", "pos"))
+    wh.append(s"${idx}_doclen", post.select("doc_id", "dl").distinct())
+    // additive df SEGMENT append (the LSM trade): O(delta vocab)
+    // written, nothing rewritten — the query sums segments per
+    // term, and OPTIMIZE SMALL folds old segments when they
+    // accumulate. A full-outer fold + rewrite here would be
+    // O(vocab) per refresh, the one remaining corpus-shaped cost.
+    wh.append(s"${idx}_df",
+      post.groupBy("term").agg(count(lit(1)).as("df")))
+    val d = post.select("doc_id", "dl").distinct()
+      .agg(count(lit(1)), sum("dl")).first()
+    val old = wh.table(s"${idx}_stats").first()
+    wh.save(s"${idx}_stats", statsFrame(docs,
+      old.getLong(0) + d.getLong(0), old.getLong(1) + d.getLong(1)))
+    d.getLong(0)
   }
 
   /** The index's five backing tables — the unit every maintenance

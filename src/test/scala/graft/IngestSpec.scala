@@ -1,0 +1,138 @@
+package graft
+
+import graft.olist.Warehouse
+import graft.operators.{AnnIndex, Ingest, TextAnalysis, TextIndex}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Transactional searchable-corpus ingest ([[graft.operators.Ingest]]):
+  * each micro-batch advances base table + BM25 index + ANN index under
+  * ONE commit marker. The invariant worth the machinery: at every
+  * observable instant the STORED index reproduces the scan over the
+  * base table bit-for-bit — search and fetch can never disagree. */
+class IngestSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sf = "/root/testdata/sf0.001"
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  /** The first 50 documents with their embeddings, driver-side. */
+  private lazy val corpus: Seq[(Long, String, Seq[Float])] = {
+    val d = Tables.documents(spark, sf).select("doc_id", "text")
+      .filter(col("doc_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val e = Tables.embeddings(spark, sf).select("vec_id", "embedding")
+      .filter(col("vec_id") < 50).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    (0L until 50L).map(i => (i, d(i), e(i)))
+  }
+  private def seed = corpus.take(30)
+  private def b1 = corpus.slice(30, 40)
+  private def b2 = corpus.slice(40, 50)
+
+  private def frame(rows: Seq[(Long, String, Seq[Float])]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text", "embedding")
+      .withColumn("embedding", col("embedding").cast("array<float>"))
+  }
+
+  /** Bootstrap: base table + both indexes over the seed corpus. */
+  private def bootstrap(p: String): Warehouse = {
+    val wh = new Warehouse(spark, tmp(p))
+    wh.save("docs", frame(seed))
+    TextIndex.build(wh, "ti", frame(seed))
+    AnnIndex.build(wh, "ann",
+      frame(seed).select(col("doc_id").as("vec_id"), col("embedding")),
+      nCells = 4, m = 4, k = 8)
+    wh
+  }
+
+  /** Stored BM25 == base-table scan, bit-for-bit (the TextIndexSpec
+    * comparison: positive-score prefix, (doc_id, dl, score)). */
+  private def consistent(wh: Warehouse): Unit = {
+    val terms = TextAnalysis.bm25Query
+    val scan = TextAnalysis.bm25TopK(wh.table("docs"), terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .filter(_._3 > 0.0).toSeq
+    val stored = TextIndex.query(wh, "ti", terms, 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(scan == stored,
+      s"stored BM25 must equal the base-table scan:\n$scan\n$stored")
+  }
+
+  test("streaming ingest advances base + both indexes per trigger, consistently") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = bootstrap("ingest_stream")
+    consistent(wh)
+    val src = MemoryStream[(Long, String, Seq[Float])]
+    val q = Ingest.streamIndexed(wh, "docs",
+      src.toDF().toDF("doc_id", "text", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      tmp("ingest_ckpt"), textIdx = Some("ti"), annIdx = Some("ann"))
+    try {
+      src.addData(b1: _*); q.processAllAvailable()
+      assert(wh.countRows("docs").contains(40L))
+      consistent(wh)
+      src.addData(b2: _*); q.processAllAvailable()
+      assert(wh.countRows("docs").contains(50L))
+      consistent(wh)
+      // a vector streamed in the SECOND batch is immediately probe-able
+      // and ranks itself first (exact re-rank; cosine self-sim = 1)
+      val top = AnnIndex.query(wh, "ann", frame(corpus)
+        .select(col("doc_id").as("vec_id"), col("embedding")),
+        queryId = 45L, topK = 3).collect()
+      assert(top.nonEmpty && top.head.getLong(0) == 45L,
+        s"streamed vector must be its own nearest neighbor: " +
+          top.map(_.getLong(0)).toSeq)
+    } finally q.stop()
+  }
+
+  test("replayed batch is a no-op everywhere; a rewound batchId refuses") {
+    val wh = bootstrap("ingest_replay")
+    assert(Ingest.ingestBatch(wh, "docs", frame(b1), 0L,
+      Some("ti"), Some("ann")))
+    val counts = () => (wh.countRows("docs"),
+      wh.table("ti_doclen").count(), wh.table("ann_codes").count(),
+      wh.table("ti_stats").first().getLong(0))
+    val before = counts()
+    assert(before == ((Some(40L), 40L, 40L, 40L)))
+    // the at-least-once replay: same batchId → false, nothing moves
+    assert(!Ingest.ingestBatch(wh, "docs", frame(b1), 0L,
+      Some("ti"), Some("ann")))
+    assert(counts() == before)
+    // a batchId BELOW the mark is a checkpoint reset — loud refusal
+    intercept[IllegalStateException] {
+      Ingest.ingestBatch(wh, "docs", frame(b1), -1L,
+        Some("ti"), Some("ann"))
+    }
+    assert(counts() == before)
+    consistent(wh)
+  }
+
+  test("a mid-batch failure rolls everything back; the retry lands exactly once") {
+    val wh = bootstrap("ingest_atomic")
+    // the ANN leg throws (no embedding column) AFTER the base append
+    // and the text-index advance have staged — one marker means the
+    // reader-visible world never moves
+    intercept[Exception] {
+      Ingest.ingestBatch(wh, "docs", frame(b1).drop("embedding"), 0L,
+        Some("ti"), Some("ann"))
+    }
+    assert(wh.countRows("docs").contains(30L))
+    assert(wh.table("ti_doclen").count() == 30L)
+    assert(wh.table("ti_stats").first().getLong(0) == 30L)
+    assert(wh.table("ann_codes").count() == 30L)
+    consistent(wh)
+    // the stream would re-drive the SAME batchId after the failure —
+    // it lands exactly once, all structures agree
+    assert(Ingest.ingestBatch(wh, "docs", frame(b1), 0L,
+      Some("ti"), Some("ann")))
+    assert(wh.countRows("docs").contains(40L))
+    assert(wh.table("ann_codes").count() == 40L)
+    consistent(wh)
+  }
+}
