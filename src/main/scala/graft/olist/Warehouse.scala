@@ -1684,7 +1684,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // predicate itself
       val cands = candidatesWith(files, sc,
         hint ++ derivedRanges(predicate, sc),
-        derivedInSets(predicate, sc)).map(_.path)
+        derivedInSets(predicate, sc),
+        derivedNullness(predicate, sc)).map(_.path)
       val matched: Map[String, (Long, Long)] = probeMatches(
         "delete", name, cands, sc,
         agg = Seq(count(lit(1)).as("__total"),
@@ -1939,7 +1940,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
         }: _*)
       val cands = candidatesWith(files, sc,
         hint ++ derivedRanges(predicate, sc),
-        derivedInSets(predicate, sc)).map(_.path)
+        derivedInSets(predicate, sc),
+        derivedNullness(predicate, sc)).map(_.path)
       val matched: Map[String, (Long, Long)] = probeMatches(
         "update", name, cands, sc,
         agg = Seq(count(lit(1)).as("__total"),
@@ -2703,22 +2705,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       val ranges = triples.map { case (c, lo, hi) => ColRange(c, lo, hi) }
       if (ranges.isEmpty && inSets.isEmpty && nulls.isEmpty) _ => true
       else {
-        // nullness admission from the "__nn_" stats: IS NULL skips a
-        // file whose every row is non-null (nn == rows), IS NOT NULL
-        // one whose every row is null (nn == 0). Removing rows via a
-        // DV cannot ADD nulls or non-nulls, so both skips stay sound
-        // on DV-carrying files; unknown stats always admit.
-        def nullOk(f: DataFile): Boolean = nulls.forall {
-          case (c, true) =>
-            val provablyNoNulls = (for {
-              nn <- nonNullOf(f, c)
-              rows <- f.stats.get(RowsKey).flatMap(_._1.toLongOption)
-            } yield nn == rows).getOrElse(false)
-            !provablyNoNulls
-          case (c, false) => !nonNullOf(f, c).contains(0L)
-        }
-        val ok = candidatesWith(byAbs.values.toSeq.filter(nullOk), phys,
-          ranges, inSets).map(_.path).toSet
+        val ok = candidatesWith(byAbs.values.toSeq, phys,
+          ranges, inSets, nulls).map(_.path).toSet
         abs => byAbs.get(abs).forall(df => ok(df.path))
       }
     }
@@ -4965,7 +4953,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       case Some((_, files, meta)) =>
         val sc = metaSchema(meta).getOrElse(tableSchema(name))
         (candidatesWith(files, sc, derivedRanges(predicate, sc),
-          derivedInSets(predicate, sc)).size, files.size)
+          derivedInSets(predicate, sc),
+          derivedNullness(predicate, sc)).size, files.size)
       case None => (0, 0)
     }
   }
@@ -5099,6 +5088,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
     }
   }
 
+  /** Nullness conjuncts provably implied by a DELETE/UPDATE predicate
+    * (`col.isNull` / `col.isNotNull` / their SQL-text forms), filtered
+    * to declared columns — consumed against the per-file "__nn_"
+    * stats by [[candidatesWith]]. */
+  private[olist] def derivedNullness(pred: org.apache.spark.sql.Column,
+      schema: org.apache.spark.sql.types.StructType)
+      : Seq[(String, Boolean)] =
+    org.apache.spark.sql.GraftColumnShim.impliedNullness(pred)
+      .filter { case (c, _) => schema.fieldNames.contains(c) }
+
   /** [[candidates]] extended with IN-list conjuncts: for each
     * (column, values) pair a file survives when ANY value's
     * point-range admits it (stats contain + bloom might-contain) —
@@ -5107,11 +5106,31 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * thousand files × a long IN list the per-pair base64 decode would
     * dominate the listing. Bounded work: |values| ≤ the walker's cap
     * × files, each test O(1). */
+  /** Nullness admission from the "__nn_" stats: IS NULL skips a file
+    * whose every row is non-null (nn == rows), IS NOT NULL one whose
+    * every row is null (nn == 0). Removing rows via a DV cannot ADD
+    * nulls or non-nulls, so both skips stay sound on DV-carrying
+    * files; unknown stats always admit. Shared by the automatic read
+    * path ([[groupPruner]]) and the predicate probes. */
+  private def nullAdmits(f: DataFile, c: String, wantNull: Boolean): Boolean =
+    if (wantNull) {
+      val provablyNoNulls = (for {
+        nn <- nonNullOf(f, c)
+        rows <- f.stats.get(RowsKey).flatMap(_._1.toLongOption)
+      } yield nn == rows).getOrElse(false)
+      !provablyNoNulls
+    } else !nonNullOf(f, c).contains(0L)
+
   private def candidatesWith(files: Seq[DataFile],
       schema: org.apache.spark.sql.types.StructType,
       ranges: Seq[ColRange],
-      inSets: Seq[(String, Seq[Any])]): Seq[DataFile] = {
-    val base = candidates(files, schema, ranges)
+      inSets: Seq[(String, Seq[Any])],
+      nulls: Seq[(String, Boolean)] = Nil): Seq[DataFile] = {
+    val admitted =
+      if (nulls.isEmpty) files
+      else files.filter(f => nulls.forall { case (c, wn) =>
+        nullAdmits(f, c, wn) })
+    val base = candidates(admitted, schema, ranges)
     if (inSets.isEmpty) base
     else {
       val types = schema.map(f => f.name -> f.dataType).toMap

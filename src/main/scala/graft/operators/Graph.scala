@@ -168,6 +168,22 @@ object Graph {
        |  FROM exb a JOIN exb b ON a.h = b.h AND a.source <> b.source
        |  GROUP BY 1, 2)""".stripMargin)
 
+  /** The domain-prior gate a curation pipeline composes with
+    * [[sourceEdges]]+[[pageRankFixed]] (or any (node, pr) frame):
+    * keep documents whose source's rank clears `minPr`; sources
+    * ABSENT from the rank frame are neutral — kept — because absence
+    * means "shared no rare gram with anyone", which is evidence of
+    * independence, not of low quality. The rank frame is node-sized
+    * (one row per domain) and broadcasts; the decision is an exact
+    * integer comparison, no float boundary. */
+  def sourceRankGate(docs: DataFrame, ranks: DataFrame,
+      minPr: Long): DataFrame =
+    docs.join(
+      broadcast(ranks.select(col("node").as("source"), col("pr"))),
+      Seq("source"), "left")
+      .filter(col("pr").isNull || col("pr") >= minPr)
+      .drop("pr")
+
   val all: Seq[Q] = Seq(
     Q("g1_nation_pagerank", Some(g1Oracle), (s, d) =>
       pageRankFixed(tradeEdges(s, d), iters).orderBy("node")),

@@ -43,6 +43,20 @@ object GraftColumnShim {
       }
     e match {
       case And(x, y) => catRanges(x) ++ catRanges(y)
+      case StartsWith(a, l: Literal) =>
+        catName(a).toSeq.flatMap(c =>
+          extLit(l).toSeq.flatMap(v => prefixRange(c, v)))
+      // the parser yields Like (the optimizer's LIKE→StartsWith
+      // rewrite hasn't run on this unresolved tree): a pattern that is
+      // literal-text-then-% — no other wildcard, no escape char — IS a
+      // prefix match
+      case Like(a, l: Literal, esc) =>
+        extLit(l) match {
+          case Some(p: String) if p.length > 1 && p.endsWith("%") &&
+              !p.init.exists(ch => ch == '%' || ch == '_' || ch == esc) =>
+            catName(a).toSeq.flatMap(c => prefixRange(c, p.init))
+          case _ => Nil
+        }
       case EqualTo(a, l: Literal) => rng(a, l, lo = true, hi = true)
       case EqualTo(l: Literal, a) => rng(a, l, lo = true, hi = true)
       case EqualNullSafe(a, l: Literal) if l.value != null =>
@@ -57,6 +71,36 @@ object GraftColumnShim {
       case GreaterThanOrEqual(l: Literal, a) => rng(a, l, lo = false, hi = true)
       case LessThan(l: Literal, a) => rng(a, l, lo = true, hi = false)
       case LessThanOrEqual(l: Literal, a) => rng(a, l, lo = true, hi = false)
+      case _ => Nil
+    }
+  }
+
+  /** `LIKE 'p%'` as the prefix-successor range [p, p.init+(last+1)] —
+    * see PruningFileIndex.impliedRanges for the soundness argument
+    * (bound emitted only below the surrogate block, where UTF-16,
+    * UTF-8 byte, and code-point orders agree; inclusive upper is
+    * looser than the true strict bound). */
+  private def prefixRange(c: String,
+      v: Any): Seq[(String, Option[Any], Option[Any])] = v match {
+    case p: String if p.nonEmpty =>
+      val last = p.charAt(p.length - 1)
+      val hi = if (last >= 0xD7FF.toChar) None
+        else Some(p.substring(0, p.length - 1) + (last + 1).toChar)
+      Seq((c, Some(p), hi))
+    case _ => Nil
+  }
+
+  private def catNullness(e: catalyst.expressions.Expression)
+      : Seq[(String, Boolean)] = {
+    import catalyst.expressions._
+    e match {
+      case And(x, y) => catNullness(x) ++ catNullness(y)
+      case IsNull(a) => catName(a).map(_ -> true).toSeq
+      case IsNotNull(a) => catName(a).map(_ -> false).toSeq
+      case EqualNullSafe(a, l: Literal) if l.value == null =>
+        catName(a).map(_ -> true).toSeq
+      case EqualNullSafe(l: Literal, a) if l.value == null =>
+        catName(a).map(_ -> true).toSeq
       case _ => Nil
     }
   }
@@ -131,6 +175,9 @@ object GraftColumnShim {
           (f.functionName.toLowerCase(java.util.Locale.ROOT),
             f.arguments) match {
             case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+            case ("startswith", Seq(a, b)) =>
+              (for { cn <- name(a); v <- litOf(b) }
+                yield prefixRange(cn, v)).getOrElse(Nil)
             case (op, Seq(a, b)) =>
               (name(a), litOf(b), name(b), litOf(a)) match {
                 case (Some(cn), Some(v), _, _) => bound(op, cn, v, flipped = false)
@@ -141,6 +188,31 @@ object GraftColumnShim {
           }
         case other => parsedSql(other).toSeq.flatMap(catRanges)
       }
+    walk(c.node)
+  }
+
+  /** Nullness constraints implied by the predicate: top-level
+    * `col.isNull` / `col.isNotNull` conjuncts (and their SQL-text
+    * forms) as (column, wantNull) pairs — the admission test consumes
+    * the manifest's per-file non-null counts. Anything else
+    * contributes nothing, the safe direction. */
+  def impliedNullness(c: Column): Seq[(String, Boolean)] = {
+    import org.apache.spark.sql.internal._
+    def name(n: ColumnNode): Option[String] = n match {
+      case a: UnresolvedAttribute => Some(a.nameParts.last)
+      case _ => None
+    }
+    def walk(n: ColumnNode): Seq[(String, Boolean)] = n match {
+      case f: UnresolvedFunction =>
+        (f.functionName.toLowerCase(java.util.Locale.ROOT),
+          f.arguments) match {
+          case ("and", Seq(l, r)) => walk(l) ++ walk(r)
+          case ("isnull", Seq(a)) => name(a).map(_ -> true).toSeq
+          case ("isnotnull", Seq(a)) => name(a).map(_ -> false).toSeq
+          case _ => Nil
+        }
+      case other => parsedSql(other).toSeq.flatMap(catNullness)
+    }
     walk(c.node)
   }
 

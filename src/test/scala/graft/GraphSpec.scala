@@ -39,6 +39,19 @@ class GraphSpec extends AnyFunSuite {
     assert(ranks(star, 0).values.toSet == Set(1000000000L))
   }
 
+  test("sourceRankGate: below drops, at-or-above keeps, absent is neutral") {
+    import spark.implicits._
+    val docs = Seq((1L, "sA"), (2L, "sA"), (3L, "sB"), (4L, "sC"))
+      .toDF("doc_id", "source")
+    // sC has no rank row — it shared no rare gram with anyone
+    val ranks = Seq(("sA", 900000000L), ("sB", 100000000L))
+      .toDF("node", "pr")
+    val kept = graft.operators.Graph
+      .sourceRankGate(docs, ranks, minPr = 500000000L)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 4L), s"got $kept")
+  }
+
   test("parallel edges add weight; a dangling receiver still accumulates") {
     // 1 → 2 twice (w 1 and 2) and 1 → 3 (w 1): wout = 4, so node 2
     // draws 3/4 of node 1's rank, node 3 draws 1/4; both are dangling

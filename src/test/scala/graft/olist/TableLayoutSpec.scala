@@ -1298,6 +1298,38 @@ class TableLayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("delete/update: IS NULL and LIKE-prefix predicates bound the probe") {
+    withoutDv {
+      val wh = new Warehouse(spark, tmp("wh_del_null"))
+      // 4 exact slices; v null ONLY in slice 0; s zero-padded so each
+      // slice is one disjoint string-prefix band
+      val df = spark.range(0, 4000, 1, 4).select(
+        col("id").as("k"),
+        when(col("id") >= 1000, col("id")).as("v"),
+        concat(lit("p"), lpad(col("id").cast("string"), 4, "0")).as("s"))
+      wh.save("t", df)
+      wh.statsBy("t", Seq("v", "s"))
+      // nullness probe: only the all-null-v file can hold a match
+      val res = wh.delete("t", col("v").isNull && col("k") < 10)
+      assert(res.rowsDeleted == 10, res.toString)
+      assert(res.filesRewritten == 1 && res.filesUntouched == 3,
+        s"IS NULL probe must open one file: $res")
+      // prefix probe (Column API startsWith): one band file rewrites
+      val ur = wh.update("t", col("s").startsWith("p35"),
+        Map("v" -> lit(-1L)))
+      assert(ur.rowsUpdated == 100 && ur.filesRewritten == 1, ur.toString)
+      assert(wh.table("t").filter(col("v") === -1L).count() == 100)
+      // DESCRIBE PRUNING parity, Column AND SQL-text lanes; a
+      // non-prefix pattern derives nothing — all files admitted
+      val (allAdmitted, total) =
+        wh.pruningPreviewFor("t", expr("s LIKE '%35'"))
+      assert(allAdmitted == total && total >= 4)
+      assert(wh.pruningPreviewFor("t", col("v").isNull) == ((1, total)))
+      assert(wh.pruningPreviewFor("t", expr("v IS NULL")) == ((1, total)))
+      assert(wh.pruningPreviewFor("t", expr("s LIKE 'p35%'"))._1 <= 2)
+    }
+  }
+
   test("auto skipping: partition pruning and stats pruning compose in one read") {
     val dir = tmp("wh_autoskip_part")
     val wh = new Warehouse(spark, dir)
