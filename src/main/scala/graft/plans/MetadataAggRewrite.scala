@@ -56,10 +56,21 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
 case class MetadataAggRewrite(session: SparkSession)
     extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan =
+  override def apply(plan: LogicalPlan): LogicalPlan = {
     if (!session.conf.get("graft.metadataAgg.enabled", "true").toBoolean)
-      plan
-    else plan.transformUp {
+      return plan
+    // Rewrite only once the WHOLE plan is resolved. An Aggregate under
+    // a not-yet-resolved HAVING / ORDER-BY-aggregate still changes
+    // shape: ResolveAggregateFunctions pushes the outer condition's
+    // aggregates INTO it before turning the wrapper into a plain
+    // Filter/Sort — rewriting first would strand `Filter(count(1) > …)`
+    // over a LocalRelation and fail analysis. The analyzer's
+    // fixed-point loop re-runs every resolution rule after the plan
+    // settles, so the fold still happens — one pass later, on the
+    // final Aggregate (asserted: HAVING + ORDER BY queries plan with
+    // zero file scans).
+    if (!plan.resolved) return plan
+    plan.transformUp {
       case agg @ Aggregate(_, _, child, _) if agg.resolved =>
         val (cond, src) = child match {
           case Filter(c, s) => (Some(c), s)
@@ -80,6 +91,7 @@ case class MetadataAggRewrite(session: SparkSession)
           case _ => None
         }).getOrElse(agg)
     }
+  }
 
   // one classified output column of the Aggregate
   private sealed trait Out

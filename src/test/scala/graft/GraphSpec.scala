@@ -52,6 +52,37 @@ class GraphSpec extends AnyFunSuite {
     assert(kept == Set(1L, 2L, 4L), s"got $kept")
   }
 
+  test("g2 composition: corpus ranks gate documents deterministically") {
+    import graft.operators.Graph
+    val sf = "/root/testdata/sf0.001"
+    val docs = Tables.documents(spark, sf)
+    val edges = {
+      // the g2 derivation through the public lane entry
+      val q = graft.SparkEntry.queries("g2_source_pagerank")
+      q(spark, sf)
+    }
+    val ranks = edges.collect()
+    assert(ranks.nonEmpty, "the synthetic corpus must link some sources")
+    // determinism under re-run (fresh plan, same integers)
+    val again = graft.SparkEntry.queries("g2_source_pagerank")(spark, sf)
+      .collect()
+    assert(ranks.map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getString(0), r.getLong(1))).toSeq)
+    // gating at the median rank keeps every doc of clearing sources
+    // plus every doc of absent sources — exact set accounting
+    val sorted = ranks.map(_.getLong(1)).sorted
+    val minPr = sorted(sorted.length / 2)
+    val clears = ranks.filter(_.getLong(1) >= minPr).map(_.getString(0)).toSet
+    val ranked = ranks.map(_.getString(0)).toSet
+    val kept = Graph.sourceRankGate(docs,
+      graft.SparkEntry.queries("g2_source_pagerank")(spark, sf)
+        .withColumnRenamed("node", "node"), minPr)
+    val expected = docs.collect().count(r =>
+      !ranked.contains(r.getAs[String]("source")) ||
+        clears.contains(r.getAs[String]("source")))
+    assert(kept.count() == expected)
+  }
+
   test("parallel edges add weight; a dangling receiver still accumulates") {
     // 1 → 2 twice (w 1 and 2) and 1 → 3 (w 1): wout = 4, so node 2
     // draws 3/4 of node 1's rank, node 3 draws 1/4; both are dangling

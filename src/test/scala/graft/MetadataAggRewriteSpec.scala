@@ -198,6 +198,29 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     assert(r2.getLong(0) == 1998L && r2.getLong(1) == 1999L)
   }
 
+  test("HAVING and ORDER BY compose above the folded aggregate") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_having")).enableSql()
+    val df = spark.range(6000)
+      .select((col("id") % 3).cast("string").as("p"), col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    // the rewrite replaces only the Aggregate; the parent Filter
+    // (HAVING) and Sort run over the LocalRelation
+    val q = spark.sql(
+      "SELECT p, max(k) AS hi, count(*) AS n FROM dw_t " +
+        "GROUP BY p HAVING count(*) > 0 ORDER BY p DESC")
+    assert(fileScans(q) == 0, "HAVING must not defeat the fold:\n" +
+      q.queryExecution.sparkPlan)
+    val got = q.collect()
+    assert(got.map(_.getString(0)).toSeq == Seq("2", "1", "0"))
+    assert(got.map(_.getLong(2)).forall(_ == 2000L))
+    // ORDER BY an aggregate resolves through the same
+    // push-into-Aggregate mechanism — must also fold, one pass later
+    val q2 = spark.sql(
+      "SELECT p, min(k) AS lo FROM dw_t GROUP BY p ORDER BY count(*), p")
+    assert(fileScans(q2) == 0, "ORDER BY count(*) must not defeat the fold")
+    assert(q2.collect().length == 3)
+  }
+
   test("commits keep the rewrite current (view re-points per commit)") {
     val wh = new Warehouse(spark, tmp("wh_mdagg_fresh")).enableSql()
     import spark.implicits._
