@@ -221,6 +221,20 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     assert(q2.collect().length == 3)
   }
 
+  test("the DataFrame API over spark.table(dw_t) folds like the SQL form") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_api")).enableSql()
+    val df = spark.range(3000).select(col("id").as("k"))
+      .repartitionByRange(3, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    val q = spark.table("dw_t")
+      .agg(min("k").as("lo"), max("k").as("hi"), count(lit(1)).as("n"))
+    assert(fileScans(q) == 0, "the API path resolves through the same " +
+      "view alias — it must fold:\n" + q.queryExecution.sparkPlan)
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 0L && r.getLong(1) == 2999L &&
+      r.getLong(2) == 3000L)
+  }
+
   test("commits keep the rewrite current (view re-points per commit)") {
     val wh = new Warehouse(spark, tmp("wh_mdagg_fresh")).enableSql()
     import spark.implicits._
