@@ -65,7 +65,9 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     val q1 = spark.sql("SELECT min(k) AS a, avg(k) AS m FROM dw_t")
     assert(fileScans(q1) > 0)
     assert(q1.collect()(0).getLong(0) == 0L)
-    // count(col) skips nulls the stats cannot see → scan, right answer
+    // count(col) over a column with NO declared stats (nv carries no
+    // "__nn_" entry) → scan, right answer; the positive fold case
+    // lives in the count(col) test below
     val q2 = spark.sql("SELECT count(nv) AS c FROM dw_t")
     assert(fileScans(q2) > 0)
     assert(q2.collect()(0).getLong(0) == 500L)
