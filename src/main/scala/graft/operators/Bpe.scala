@@ -54,8 +54,9 @@ object Bpe {
 
   /** One word → its wrapped initial symbol string (chars + EndMark).
     * Words containing the sentinel bytes themselves are not
-    * representable; [[wordFreqs]] filters them (never seen in text,
-    * but a hostile byte must not corrupt symbol boundaries). */
+    * representable; every tokenization lane (training AND encode)
+    * strips the sentinels from the text first (never seen in real
+    * text, but a hostile byte must not corrupt symbol boundaries). */
   def wrapWord(w: Column): Column =
     concat(regexp_replace(w, "(.)", Open + "$1" + Close),
       lit(wrapped(EndMark)))
@@ -70,13 +71,21 @@ object Bpe {
   def applyMerge(s: Column, a: String, b: String): Column =
     replace(s, lit(wrapped(a) + wrapped(b)), lit(wrapped(a + b)))
 
+  /** The shared tokenization lane: sentinel bytes stripped (so a
+    * hostile / cannot fabricate a symbol boundary), then
+    * lowercased whitespace words. Training, [[encode]] and
+    * [[encodeLarge]] all tokenize through here so they agree on every
+    * input, hostile or not. */
+  private def cleanTokens(text: Column): Column =
+    TextAnalysis.tokens(translate(lower(text), Open + Close, ""))
+
   /** (word, n) frequency table the trainer runs on: lowercased
-    * whitespace words, sentinel-byte words dropped, capped to the
+    * whitespace words (sentinel bytes stripped), capped to the
     * `maxWords` most frequent (n DESC, word ASC — deterministic). */
   def wordFreqs(docs: DataFrame, maxWords: Int): DataFrame =
     docs.filter(col("text").isNotNull)
-      .select(explode(TextAnalysis.tokens(lower(col("text")))).as("word"))
-      .filter(!col("word").contains(Open) && !col("word").contains(Close))
+      .select(explode(cleanTokens(col("text"))).as("word"))
+      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(maxWords)
 

@@ -310,6 +310,9 @@ object Sampling {
     // own tokens, first/last window by integer division, n_seqs the
     // difference — no float anywhere.
     Q("sp10_pack",
+      // DuckDB's windowed sum(BIGINT) yields HUGEINT, which pandas
+      // renders as float and breaks the driver's value hash (the a15
+      // trap) — every derived column is CAST back to BIGINT.
       Some("""WITH toks AS (
              |  SELECT doc_id, lang,
              |    cast(len(regexp_split_to_array(trim(text), '\s+')) as bigint) AS n_tokens,
@@ -317,13 +320,13 @@ object Sampling {
              |  FROM documents),
              |packed AS (
              |  SELECT doc_id, lang, n_tokens,
-             |    sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
-             |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS start_tok
+             |    cast(sum(n_tokens) OVER (PARTITION BY lang ORDER BY h, doc_id
+             |                        ROWS UNBOUNDED PRECEDING) - n_tokens AS BIGINT) AS start_tok
              |  FROM toks)
              |SELECT doc_id, lang, n_tokens, start_tok,
-             |  start_tok // 2048 AS first_seq,
-             |  (start_tok + n_tokens - 1) // 2048 AS last_seq,
-             |  (start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS n_seqs
+             |  cast(start_tok // 2048 AS BIGINT) AS first_seq,
+             |  cast((start_tok + n_tokens - 1) // 2048 AS BIGINT) AS last_seq,
+             |  cast((start_tok + n_tokens - 1) // 2048 - start_tok // 2048 + 1 AS BIGINT) AS n_seqs
              |FROM packed ORDER BY doc_id""".stripMargin),
       (s, d) => packSequences(T.documents(s, d), col("lang"), 2048)
         .orderBy("doc_id"))
