@@ -3765,12 +3765,20 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private def partitionValuesOf(path: String, groupCols: Seq[String],
       types: Map[String, org.apache.spark.sql.types.DataType])
       : Option[Seq[Any]] = {
+    // TOTAL: a `%` not followed by two hex digits stays verbatim. A
+    // foreign-written directory like `x=100%` must disqualify the
+    // group (value fails the type round-trip) or parse as its literal
+    // self — never throw at ANALYSIS time; MetadataAggRewrite's
+    // contract is "disqualify, never fail" (MetadataAggRewriteSpec
+    // pins it on a malformed on-disk layout).
+    def hex(c: Char): Int = Character.digit(c, 16)
     def unescape(s: String): String = {
       val sb = new StringBuilder
       var i = 0
       while (i < s.length) {
-        if (s.charAt(i) == '%' && i + 2 < s.length) {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+        if (s.charAt(i) == '%' && i + 2 < s.length &&
+            hex(s.charAt(i + 1)) >= 0 && hex(s.charAt(i + 2)) >= 0) {
+          sb.append(((hex(s.charAt(i + 1)) << 4) | hex(s.charAt(i + 2))).toChar)
           i += 3
         } else { sb.append(s.charAt(i)); i += 1 }
       }

@@ -27,12 +27,17 @@ import org.apache.spark.sql.functions._
   * even though it is 20 chained folds deep.
   *
   * Scale shape:
-  *  - TRAINING never touches the corpus after one aggregation: it
-  *    runs on the WORD-FREQUENCY table (distinct words + counts —
-  *    Zipf-bounded, further capped to the `maxWords` most frequent),
-  *    re-checkpointed per round so each of the `nMerges` rounds is
-  *    one bounded groupBy + a 1-row collect. The merge table itself
-  *    is tiny (`nMerges` rows) forever.
+  *  - TRAINING touches the corpus exactly once: one distributed
+  *    aggregation builds the (word, freq) table — Zipf-bounded,
+  *    capped to the `maxWords` most frequent, so ≤100k rows by
+  *    construction — which is then collected ONCE and the merge loop
+  *    runs entirely in driver memory with incrementally-maintained
+  *    pair statistics (a lazy max-heap + per-pair affected-word
+  *    index, the classic subword-nmt structure). A 32k-merge
+  *    production vocabulary is seconds of driver CPU, not 64k Spark
+  *    jobs. [[trainDistributed]] keeps the original
+  *    one-Spark-round-per-merge lane as a cross-check; BpeSpec
+  *    asserts the two produce identical merge sequences.
   *  - ENCODING is one map-side projection: wrap → `nMerges` chained
   *    codegen'd `replace`s → unwrap. No shuffle, no UDF, no state.
   *    That expression chain is the right form for bounded merge
@@ -52,11 +57,12 @@ object Bpe {
 
   private def wrapped(a: String): String = Open + a + Close
 
-  /** One word → its wrapped initial symbol string (chars + EndMark).
+  /** One word → its wrapped initial symbol string (code points +
+    * EndMark; Java regex `.` and DuckDB RE2 `.` both match one CODE
+    * POINT, so a surrogate pair wraps as ONE symbol in both engines).
     * Words containing the sentinel bytes themselves are not
-    * representable; every tokenization lane (training AND encode)
-    * strips the sentinels from the text first (never seen in real
-    * text, but a hostile byte must not corrupt symbol boundaries). */
+    * representable; every tokenization lane (training AND both encode
+    * forms) goes through [[cleanTokens]], which strips them first. */
   def wrapWord(w: Column): Column =
     concat(regexp_replace(w, "(.)", Open + "$1" + Close),
       lit(wrapped(EndMark)))
@@ -72,12 +78,15 @@ object Bpe {
     replace(s, lit(wrapped(a) + wrapped(b)), lit(wrapped(a + b)))
 
   /** The shared tokenization lane: sentinel bytes stripped (so a
-    * hostile / cannot fabricate a symbol boundary), then
-    * lowercased whitespace words. Training, [[encode]] and
+    * hostile \u001E/\u001F cannot fabricate a symbol boundary), then
+    * lowercased whitespace words, empty strings dropped (whitespace-
+    * only text must tokenize to NOTHING, not to [""]). Training
+    * ([[wordFreqs]]), [[encode]] (via [[subwordsExpr]]) and
     * [[encodeLarge]] all tokenize through here so they agree on every
-    * input, hostile or not. */
+    * input, hostile or degenerate or not — BpeSpec pins it. */
   private def cleanTokens(text: Column): Column =
-    TextAnalysis.tokens(translate(lower(text), Open + Close, ""))
+    filter(TextAnalysis.tokens(translate(lower(text), Open + Close, "")),
+      _ =!= "")
 
   /** (word, n) frequency table the trainer runs on: lowercased
     * whitespace words (sentinel bytes stripped), capped to the
@@ -85,12 +94,11 @@ object Bpe {
   def wordFreqs(docs: DataFrame, maxWords: Int): DataFrame =
     docs.filter(col("text").isNotNull)
       .select(explode(cleanTokens(col("text"))).as("word"))
-      .filter(col("word") =!= "")
       .groupBy("word").agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("word")).limit(maxWords)
 
   /** Adjacent symbol pairs of each word, weighted by the word's
-    * frequency — the per-round statistic. */
+    * frequency — the per-round statistic of the distributed lane. */
   private def pairCounts(words: DataFrame): DataFrame = {
     val sym = symbols(col("w"))
     words
@@ -101,12 +109,180 @@ object Bpe {
       .groupBy("a", "b").agg(sum("n").as("c"))
   }
 
-  /** Train `nMerges` ranked merges from the corpus: per round, count
-    * adjacent pairs over the (re-checkpointed, bounded) word table,
-    * pick the most frequent (c DESC, a ASC, b ASC — fully
-    * deterministic), fold it into every word, repeat. Stops early
-    * when no pair remains. Driver work per round: one 1-row collect. */
+  /** Code-point comparison — identical to Spark's UTF8String binary
+    * (UTF-8 byte) order, which `orderBy` on strings uses. Java's
+    * `String.compareTo` is UTF-16 code-UNIT order and disagrees on
+    * supplementary characters vs U+E000..U+FFFF, so the driver-side
+    * tie-break must not use it or [[train]] and [[trainDistributed]]
+    * could diverge on non-BMP vocabularies. */
+  private[operators] def cpCompare(x: String, y: String): Int = {
+    var i = 0; var j = 0
+    while (i < x.length && j < y.length) {
+      val cx = x.codePointAt(i); val cy = y.codePointAt(j)
+      if (cx != cy) return Integer.compare(cx, cy)
+      i += Character.charCount(cx); j += Character.charCount(cy)
+    }
+    Integer.compare(x.length - i, y.length - j)
+  }
+
+  /** Heap entry: pair (a,b) at the count it had when pushed. Stale
+    * entries (count has since changed) are discarded lazily at pop. */
+  private final case class PQE(c: Long, a: String, b: String)
+  private val pqOrd: Ordering[PQE] = new Ordering[PQE] {
+    def compare(x: PQE, y: PQE): Int = {
+      val c0 = java.lang.Long.compare(x.c, y.c)
+      if (c0 != 0) c0
+      else {
+        val a0 = cpCompare(y.a, x.a) // smaller a = higher priority
+        if (a0 != 0) a0 else cpCompare(y.b, x.b)
+      }
+    }
+  }
+
+  /** One word → its initial symbol array: code points + EndMark
+    * (code POINTS, matching the expression lane's per-code-point
+    * regex wrap — a surrogate pair is one symbol, never two). */
+  private[operators] def initialSymbols(w: String): Array[String] = {
+    val b = Array.newBuilder[String]
+    var i = 0
+    while (i < w.length) {
+      val cp = w.codePointAt(i)
+      b += new String(Character.toChars(cp))
+      i += Character.charCount(cp)
+    }
+    b += EndMark
+    b.result()
+  }
+
+  /** The greedy left-to-right single-merge pass on a symbol array —
+    * the in-memory twin of [[applyMerge]]'s `replace`. */
+  private[operators] def mergePass(sym: Array[String], a: String,
+      b: String): Array[String] = {
+    val out = Array.newBuilder[String]
+    var i = 0
+    while (i < sym.length) {
+      if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
+        out += (a + b); i += 2 // greedy: consume both, scan on
+      } else { out += sym(i); i += 1 }
+    }
+    out.result()
+  }
+
+  private def hasPair(sym: Array[String], a: String, b: String): Boolean = {
+    var i = 0
+    while (i + 1 < sym.length) {
+      if (sym(i) == a && sym(i + 1) == b) return true
+      i += 1
+    }
+    false
+  }
+
+  /** Train `nMerges` ranked merges from the corpus. The corpus is
+    * touched exactly once ([[wordFreqs]]: one distributed groupBy,
+    * capped to `maxWords` rows); the merge loop itself runs in driver
+    * memory over that bounded table via [[trainInMemory]]. Fully
+    * deterministic: best pair by (count DESC, a ASC, b ASC) in UTF-8
+    * byte order, the same order the distributed cross-check lane's
+    * `orderBy` uses. Stops early when no pair remains. */
   def train(docs: DataFrame, nMerges: Int,
+      maxWords: Int = 100000): Seq[(String, String)] = {
+    val rows = wordFreqs(docs, maxWords).collect()
+    trainInMemory(rows.map(r => initialSymbols(r.getString(0))),
+      rows.map(_.getLong(1)), nMerges)
+  }
+
+  /** The in-memory merge loop with incrementally-maintained pair
+    * statistics — the structure every production BPE trainer uses
+    * (subword-nmt's get_pair_statistics/replace_pair/prune):
+    *  - `counts`: live pair → weighted count;
+    *  - `heap`: lazy max-heap of (count, a, b) — every count CHANGE
+    *    pushes a fresh entry, pops discard entries whose count no
+    *    longer matches `counts`, so the top is always current;
+    *  - `where`: pair → bitset of word indices that contained it when
+    *    last counted (may be stale; re-checked with [[hasPair]]).
+    * Per merge round the work is proportional to the words that
+    * actually CONTAIN the best pair, not the vocabulary — 32k merges
+    * over a 100k-word table is seconds (timed in BpeSpec). */
+  private[operators] def trainInMemory(words: Array[Array[String]],
+      freq: Array[Long], nMerges: Int): Seq[(String, String)] = {
+    val counts = new java.util.HashMap[(String, String), Long]()
+    val where = new java.util.HashMap[(String, String), java.util.BitSet]()
+    val heap = scala.collection.mutable.PriorityQueue.empty[PQE](pqOrd)
+
+    def note(p: (String, String), idx: Int): Unit =
+      where.computeIfAbsent(p, _ => new java.util.BitSet()).set(idx)
+
+    // initial statistics: one pass, one heap entry per distinct pair
+    var i = 0
+    while (i < words.length) {
+      val w = words(i); val f = freq(i)
+      var j = 0
+      while (j + 1 < w.length) {
+        val p = (w(j), w(j + 1))
+        counts.merge(p, f, java.lang.Long.sum)
+        note(p, i)
+        j += 1
+      }
+      i += 1
+    }
+    counts.forEach((p, c) => heap.enqueue(PQE(c, p._1, p._2)))
+
+    def bump(p: (String, String), d: Long): Unit = {
+      val nc = counts.getOrDefault(p, 0L) + d
+      if (nc <= 0L) counts.remove(p)
+      else { counts.put(p, nc); heap.enqueue(PQE(nc, p._1, p._2)) }
+    }
+
+    val merges = Seq.newBuilder[(String, String)]
+    var m = 0
+    var done = false
+    while (m < nMerges && !done) {
+      var best: PQE = null
+      while (best == null && heap.nonEmpty) {
+        val e = heap.dequeue()
+        if (counts.getOrDefault((e.a, e.b), 0L) == e.c) best = e
+      }
+      if (best == null) done = true
+      else {
+        val (a, b) = (best.a, best.b)
+        merges += ((a, b))
+        val idxs = where.remove((a, b))
+        if (idxs != null) {
+          var k = idxs.nextSetBit(0)
+          while (k >= 0) {
+            val w = words(k)
+            if (hasPair(w, a, b)) { // `where` may be stale — verify
+              val f = freq(k)
+              var j = 0
+              while (j + 1 < w.length) { bump((w(j), w(j + 1)), -f); j += 1 }
+              val nw = mergePass(w, a, b)
+              words(k) = nw
+              j = 0
+              while (j + 1 < nw.length) {
+                val p = (nw(j), nw(j + 1))
+                bump(p, f); note(p, k)
+                j += 1
+              }
+            }
+            k = idxs.nextSetBit(k + 1)
+          }
+        }
+        // all occurrences merged: the pair's count must now be zero
+        counts.remove((a, b))
+      }
+      m += 1
+    }
+    merges.result()
+  }
+
+  /** The original one-Spark-round-per-merge trainer, kept as the
+    * distributed CROSS-CHECK of [[train]] (BpeSpec asserts identical
+    * merge sequences): per round, count adjacent pairs over the
+    * re-checkpointed bounded word table, pick the most frequent
+    * (c DESC, a ASC, b ASC), fold it into every word, repeat. Not the
+    * production path — a 32k-merge vocabulary would be ~64k Spark
+    * jobs for driver-memory-sized work. */
+  private[graft] def trainDistributed(docs: DataFrame, nMerges: Int,
       maxWords: Int = 100000): Seq[(String, String)] = {
     var words = wordFreqs(docs, maxWords)
       .select(wrapWord(col("word")).as("w"), col("n"))
@@ -132,12 +308,13 @@ object Bpe {
   }
 
   /** Whole-document encode as ONE string expression: wrap every
-    * word, join with spaces (a space between wraps blocks cross-word
-    * merges by construction), chain the merges, unwrap. Returns the
-    * space-joined subword sequence. */
+    * word (tokenized through [[cleanTokens]] — same lane as
+    * training), join with spaces (a space between wraps blocks
+    * cross-word merges by construction), chain the merges, unwrap.
+    * Returns the space-joined subword sequence. */
   def subwordsExpr(text: Column, merges: Seq[(String, String)]): Column = {
     val doc0 = array_join(
-      transform(TextAnalysis.tokens(lower(text)), wrapWord(_)), " ")
+      transform(cleanTokens(text), wrapWord(_)), " ")
     val merged = merges.foldLeft(doc0) {
       case (s, (a, b)) => applyMerge(s, a, b)
     }
@@ -147,29 +324,32 @@ object Bpe {
       java.util.regex.Pattern.quote(Close + Open), " "), Open + Close, "")
   }
 
-  /** Per-doc BPE tokenization: (doc_id, n_subwords, subwords). */
+  /** Per-doc BPE tokenization: (doc_id, n_subwords, subwords).
+    * Empty/whitespace-only text encodes to ZERO subwords (not a bare
+    * EndMark) — matching [[encodeLarge]] and training, which see no
+    * words there either. */
   def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
     val sub = subwordsExpr(col("text"), merges)
     docs.filter(col("text").isNotNull)
       .select(col("doc_id"),
-        (size(split(sub, " "))).cast("long").as("n_subwords"),
+        when(sub === "", lit(0L))
+          .otherwise(size(split(sub, " ")).cast("long")).as("n_subwords"),
         sub.as("subwords"))
   }
 
   /** The production-vocabulary encoder: same semantics as
-    * [[encode]], but merges apply per WORD in rank order inside
-    * `mapPartitions` — a 50k-merge table cannot be a 50k-deep
-    * expression chain. The broadcast-size merge list rides the
-    * closure; a per-partition word→subwords memo-cache (bounded)
-    * makes the Zipf-heavy common case one lookup. */
+    * [[encode]] (same [[cleanTokens]] lane), but merges apply per
+    * WORD in rank order inside `mapPartitions` — a 50k-merge table
+    * cannot be a 50k-deep expression chain. The broadcast-size merge
+    * list rides the closure; a per-partition word→subwords memo-cache
+    * (bounded) makes the Zipf-heavy common case one lookup. */
   def encodeLarge(docs: DataFrame,
       merges: Seq[(String, String)]): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     val ms = merges.toArray
     docs.filter(col("text").isNotNull)
-      .select(col("doc_id"),
-        TextAnalysis.tokens(lower(col("text"))).as("ws"))
+      .select(col("doc_id"), cleanTokens(col("text")).as("ws"))
       .as[(Long, Seq[String])]
       .mapPartitions { it =>
         val cache = new java.util.HashMap[String, Seq[String]]()
@@ -188,24 +368,16 @@ object Bpe {
       .toDF("doc_id", "n_subwords", "subwords")
   }
 
-  /** Reference single-word encode: chars + EndMark, then each merge
-    * in RANK order applied greedily left-to-right (equivalent to the
-    * lowest-rank-present priority form — a merge is only ever enabled
-    * by EARLIER-rank merges, so one ordered pass settles the word). */
+  /** Reference single-word encode: code points + EndMark, then each
+    * merge in RANK order applied greedily left-to-right (equivalent
+    * to the lowest-rank-present priority form — a merge is only ever
+    * enabled by EARLIER-rank merges, so one ordered pass settles the
+    * word). */
   private[operators] def encodeWord(w: String,
       merges: Array[(String, String)]): Seq[String] = {
-    var sym = (w.map(_.toString) :+ EndMark).toArray
+    var sym = initialSymbols(w)
     merges.foreach { case (a, b) =>
-      if (sym.length > 1) {
-        val out = Array.newBuilder[String]
-        var i = 0
-        while (i < sym.length) {
-          if (i + 1 < sym.length && sym(i) == a && sym(i + 1) == b) {
-            out += (a + b); i += 2 // greedy: consume both, scan on
-          } else { out += sym(i); i += 1 }
-        }
-        sym = out.result()
-      }
+      if (sym.length > 1) sym = mergePass(sym, a, b)
     }
     sym.toIndexedSeq
   }
@@ -222,8 +394,9 @@ object Bpe {
     ("scan", EndMark), ("e", "r"), ("s", "t"), ("h", "a"))
 
   /** DuckDB rendering of [[subwordsExpr]] under [[fixedMerges]] —
-    * the same wrap → replace-chain → unwrap, `chr(30)/chr(31)`
-    * sentinels, so both engines compute identical subword strings. */
+    * the same strip-sentinels → split → drop-empties → wrap →
+    * replace-chain → unwrap, `chr(30)/chr(31)` sentinels, so both
+    * engines compute identical subword strings. */
   def encodeOracleSql(merges: Seq[(String, String)]): String = {
     // NB: the outer template below is ALSO stripMargin'd, so no line
     // of this inner fragment may BEGIN with `|` — a leading `||`
@@ -232,7 +405,9 @@ object Bpe {
     def wrapSql(s: String) = s"chr(30)||'${lit(s)}'||chr(31)"
     val doc0 =
       """array_to_string(list_transform(
-        |    regexp_split_to_array(trim(lower(text)), '\s+'),
+        |    list_filter(regexp_split_to_array(
+        |      trim(replace(replace(lower(text), chr(30), ''),
+        |        chr(31), '')), '\s+'), w -> w <> ''),
         |    w -> regexp_replace(w, '(.)', chr(30)||'\1'||chr(31), 'g') ||
         |    chr(30)||'</w>'||chr(31)), ' ')""".stripMargin
     val chained = merges.foldLeft(doc0) { case (s, (a, b)) =>
@@ -244,7 +419,9 @@ object Bpe {
        |      chr(31)||chr(30), ' '), chr(30), ''), chr(31), '') AS subwords
        |  FROM documents WHERE text IS NOT NULL)
        |SELECT doc_id,
-       |  cast(len(string_split(subwords, ' ')) AS BIGINT) AS n_subwords,
+       |  CASE WHEN subwords = '' THEN 0
+       |    ELSE cast(len(string_split(subwords, ' ')) AS BIGINT)
+       |  END AS n_subwords,
        |  subwords
        |FROM enc ORDER BY doc_id""".stripMargin
   }
@@ -254,8 +431,8 @@ object Bpe {
     // from the corpus word frequencies. Sequential by nature (merge k
     // depends on the table after merge k-1), so not SQL-expressible as
     // one query → rows-only here; BpeSpec pins the exact merge
-    // sequence on the classic hand-computable corpus and the
-    // determinism of the tie-break.
+    // sequence on the classic hand-computable corpus, the determinism
+    // of the tie-break, and train ≡ trainDistributed.
     Q("t20_bpe_train", None, (s, d) => {
       import s.implicits._
       train(T.documents(s, d), nMerges = 25)
@@ -267,8 +444,8 @@ object Bpe {
 
     // T21 — BPE ENCODE, oracle-checked cross-engine: the frozen
     // 20-merge vocabulary applies as a replace-chain in BOTH engines
-    // (identical wrap/sentinel/unwrap rendering), so the full subword
-    // STRING of every document hash-matches — not just counts.
+    // (identical strip/wrap/sentinel/unwrap rendering), so the full
+    // subword STRING of every document hash-matches — not just counts.
     Q("t21_bpe_encode", Some(encodeOracleSql(fixedMerges)),
       (s, d) => encode(T.documents(s, d), fixedMerges).orderBy("doc_id"))
   )

@@ -131,6 +131,15 @@ object Similarity {
   private val QUERY_ID = 0L
   private val TOP_K = 10
 
+  /** The exact brute-force cosine top-k in DuckDB (e1's oracle) —
+    * shared with WarehouseBench's b3_ann_full_wh, where a FULL IVF-PQ
+    * probe + all-admitting overquery must reproduce it bit-for-bit. */
+  private[operators] def exactCosineTopKSql(queryId: Long = QUERY_ID,
+      topK: Int = TOP_K): String =
+    s"""WITH ${cosineCte(queryId)}
+       |SELECT vec_id, cosine FROM cs
+       |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
+
   /** Broadcast the query vector as a 1-row frame (never .collect()). */
   private def withQueryVec(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)
@@ -606,10 +615,7 @@ object Similarity {
 
   val all: Seq[Q] = Seq(
     // E1 — brute-force cosine top-k (the exactness baseline)
-    Q("e1_cosine_topk",
-      Some(s"""WITH ${cosineCte(QUERY_ID)}
-              |SELECT vec_id, cosine FROM cs
-              |ORDER BY cosine DESC, vec_id LIMIT $TOP_K""".stripMargin),
+    Q("e1_cosine_topk", Some(exactCosineTopKSql()),
       (s, d) => withQueryVec(s, d)
         .select(col("vec_id"),
           round(VectorFunctions.dotExact(col("embedding"), col("qe")) /

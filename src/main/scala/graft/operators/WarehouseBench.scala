@@ -155,6 +155,22 @@ object WarehouseBench {
       AnnIndex.query(annIndexed(s, d), "ann_b", T.embeddings(s, d),
         queryId = 0L)),
 
+    // b3f — the stored-ANN read path HASH-CHECKED cross-engine: under
+    // a FULL probe (nProbe = every coarse cell) with overquery·topK ≥
+    // corpus size, the ADC stage admits every stored code row and the
+    // exact re-rank IS the brute-force top-k — independent of codebook
+    // quality (AnnIndexSpec's "exact under full probe" invariant). So
+    // the whole serving stack — coarse-cell ranking, `cell IN (…)`
+    // partition-pruned codes scan, ADC lookup, bounded exact re-rank —
+    // must reproduce DuckDB's exact-decimal cosine top-10 (e1's
+    // oracle) bit-for-bit, through the STORED tables. b3_ann_wh stays
+    // as the timed PROBED lane (the approximate production shape).
+    // overquery 200 → 2000 admitted candidates, ≥ the embeddings table
+    // at every testdata scale (500 at sf0.01, 2000 at sf0.1).
+    Q("b3_ann_full_wh", Some(Similarity.exactCosineTopKSql()), (s, d) =>
+      AnnIndex.query(annIndexed(s, d), "ann_b", T.embeddings(s, d),
+        queryId = 0L, topK = 10, overquery = 200, nProbe = 8)),
+
     // b4 — AGGREGATE-PUSHDOWN twins: the same min/max/count answered
     // by a full scan (raw) and from manifest metadata alone (wh —
     // statsAggregate; the plan is a LocalRelation, zero files opened,

@@ -165,7 +165,11 @@ case class MetadataAggRewrite(session: SparkSession)
         wh.metadataAggFold(kept, types, cols, cntCols).map {
           case (folded, cnts, n) => Seq(values(outs, Nil, folded, cnts, n))
         }
-      } else {
+      } else scala.util.Try {
+        // Try: "disqualify, never fail" — a foreign-written partition
+        // directory that trips value parsing must degrade to the scan,
+        // not throw at analysis (unescape is total, but this lane must
+        // stay safe against any future parse edge, like selectFiles)
         val gvs = kept.map(f =>
           wh.filePartitionValues(f, gs.map(_.name), types).map(_ -> f))
         if (!gvs.forall(_.isDefined)) None
@@ -178,7 +182,7 @@ case class MetadataAggRewrite(session: SparkSession)
           }
           if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None
         }
-      }
+      }.toOption.flatten
     } yield {
       val out = agg.aggregateExpressions.map(_.toAttribute)
       val converters = out.map(a =>

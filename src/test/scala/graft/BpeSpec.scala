@@ -40,6 +40,93 @@ class BpeSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("in-memory training ≡ the distributed cross-check lane") {
+    // same corpus, both lanes, deep enough to run past the obvious
+    // prefix — the incremental heap/index bookkeeping must reproduce
+    // the per-round recount exactly, ties included
+    val inMem = Bpe.train(classic, nMerges = 12)
+    val dist = Bpe.trainDistributed(classic, nMerges = 12)
+    assert(inMem == dist)
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(Bpe.train(docs, nMerges = 10) ==
+      Bpe.trainDistributed(docs, nMerges = 10))
+  }
+
+  test("a 1k+ merge vocabulary trains in seconds, not Spark jobs") {
+    import spark.implicits._
+    // 3000 distinct length-10 words: every word must collapse to its
+    // own final symbol, so >1200 productive merges exist by counting
+    val rnd = new scala.util.Random(42)
+    val words = (0 until 3000).map { _ =>
+      (0 until 10).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }.distinct
+    val docs = words.grouped(100).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }
+      .toSeq.toDF("doc_id", "text")
+    val t0 = System.nanoTime()
+    val merges = Bpe.train(docs, nMerges = 1200)
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(merges.size == 1200, s"pair supply ran dry at ${merges.size}")
+    assert(secs < 30.0, f"1200 merges took $secs%.1f s — the merge " +
+      "loop must be driver-memory incremental, not one job per round")
+  }
+
+  test("hostile sentinel bytes: training, encode and encodeLarge agree") {
+    import spark.implicits._
+    // \u001E/\u001F inside text must strip BEFORE tokenization in
+    // EVERY lane — a fabricated symbol boundary in any one of them
+    // would diverge from the other two
+    val hostile = Seq((1L, "lo\u001Ew low\u001F \u001E\u001Fnewest"))
+      .toDF("doc_id", "text")
+    val clean = Seq((1L, "low low newest")).toDF("doc_id", "text")
+    val merges = Seq(("l", "o"), ("lo", "w"), ("low", Bpe.EndMark))
+    val eh = Bpe.encode(hostile, merges).collect()(0)
+    val ec = Bpe.encode(clean, merges).collect()(0)
+    assert(eh.getString(2) == ec.getString(2))
+    assert(eh.getLong(1) == ec.getLong(1))
+    val lh = Bpe.encodeLarge(hostile, merges).collect()(0)
+    assert(lh.getString(2) == ec.getString(2))
+    assert(lh.getLong(1) == ec.getLong(1))
+    // training tokenizes identically: same word-frequency table
+    val wfH = Bpe.wordFreqs(hostile, 100).orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val wfC = Bpe.wordFreqs(clean, 100).orderBy("word").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(wfH == wfC && wfH.nonEmpty)
+  }
+
+  test("empty and whitespace-only text: zero subwords in both lanes") {
+    import spark.implicits._
+    val docs = Seq((1L, ""), (2L, "   \t "), (3L, "low"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("l", "o"))
+    val a = Bpe.encode(docs, merges).orderBy("doc_id").collect()
+    val b = Bpe.encodeLarge(docs, merges).orderBy("doc_id").collect()
+    Seq(a, b).foreach { r =>
+      assert(r(0).getLong(1) == 0L && r(0).getString(2) == "")
+      assert(r(1).getLong(1) == 0L && r(1).getString(2) == "")
+      assert(r(2).getLong(1) == 3L) // l o w</w> → lo w </w> (no merge to low)
+    }
+    // and training sees no word there either
+    assert(Bpe.wordFreqs(docs.filter($"doc_id" < 3), 10).count() == 0)
+  }
+
+  test("non-BMP text: surrogate pairs are ONE symbol in both encoders") {
+    import spark.implicits._
+    // 😀 (U+1F600) is two UTF-16 chars; a char-based split would turn
+    // it into two half-symbols and diverge from the regex lane
+    val docs = Seq((1L, "😀😀a a😀b"))
+      .toDF("doc_id", "text")
+    val merges = Seq(("😀", "😀"), ("a", Bpe.EndMark))
+    val a = Bpe.encode(docs, merges).collect()(0)
+    val b = Bpe.encodeLarge(docs, merges).collect()(0)
+    assert(a.getString(2) == b.getString(2),
+      s"expression='${a.getString(2)}' mapPartitions='${b.getString(2)}'")
+    assert(a.getLong(1) == b.getLong(1))
+    // the emoji-pair merge fired (one symbol 😀😀, not four halves)
+    assert(a.getString(2).startsWith("😀😀 "))
+  }
+
   test("encode: greedy left-to-right, EndMark distinct from in-word chars") {
     import spark.implicits._
     val docs = Seq((1L, "aaaa aaa low lowest")).toDF("doc_id", "text")

@@ -237,6 +237,128 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
       r.getLong(2) == 3000L)
   }
 
+  test("a foreign malformed %-segment partition dir degrades, never fails") {
+    val root = tmp("wh_mdagg_foreign")
+    val wh = new Warehouse(spark, root).enableSql()
+    val df = spark.range(600).select(
+      when(col("id") % 2 === 0, "a").otherwise("b").as("p"),
+      col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    // forge the FOREIGN layout this engine never writes: a partition
+    // value escaped as `%` + non-hex. Physically rename p=a → p=a%zq
+    // and rewrite the committed records to match — exactly what an
+    // external writer with different escaping rules leaves behind.
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    val all = java.nio.file.Files.walk(base).iterator().asScala.toList
+    all.foreach { f =>
+      if (java.nio.file.Files.isRegularFile(f) &&
+          (f.toString.endsWith(".manifest") || f.toString.endsWith(".delta"))) {
+        val txt = java.nio.file.Files.readString(f)
+        if (txt.contains("p=a/")) {
+          java.nio.file.Files.writeString(f, txt.replace("p=a/", "p=a%zq/"))
+          // drop the Hadoop checksum sidecar the edit invalidated
+          val crc = f.resolveSibling("." + f.getFileName + ".crc")
+          java.nio.file.Files.deleteIfExists(crc)
+        }
+      }
+    }
+    val dirs = all.filter(d => java.nio.file.Files.isDirectory(d) &&
+      d.getFileName.toString == "p=a")
+    assert(dirs.nonEmpty, "test setup: expected a p=a partition directory")
+    dirs.foreach(d =>
+      java.nio.file.Files.move(d, d.resolveSibling("p=a%zq")))
+    // the writing instance caches its parsed manifest and its dw_ view
+    // lists pre-forgery paths — read the foreign layout the way a real
+    // reader would: a fresh instance over the directory, view refreshed
+    val rdr = new Warehouse(spark, root).enableSql()
+    rdr.refreshTable("t")
+    // the old parser threw NumberFormatException HERE, at analysis —
+    // the contract is "disqualify or parse verbatim, never fail", and
+    // either way the answer must equal the real scan's
+    val sql = "SELECT p, min(k) AS lo, count(*) AS n FROM dw_t GROUP BY p"
+    val got = spark.sql(sql).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+    spark.conf.set("graft.metadataAgg.enabled", "false")
+    val want =
+      try spark.sql(sql).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1)
+      finally spark.conf.set("graft.metadataAgg.enabled", "true")
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_._3).sum == 600L)
+  }
+
+  test("property: random layouts × aggregates — rewrite ≡ scan, fires iff eligible") {
+    val rnd = new scala.util.Random(20260814L)
+    def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.toSeq.map(String.valueOf).mkString("|"))
+        .sorted.toSeq
+    for (trial <- 0 until 8) {
+      val wh = new Warehouse(spark, tmp(s"wh_mdagg_fz$trial")).enableSql()
+      val t = s"fz$trial"
+      val nRows = 500 + rnd.nextInt(2500)
+      val nPart = 1 + rnd.nextInt(4)
+      val nullMod = 2 + rnd.nextInt(5)
+      val partitioned = rnd.nextBoolean()
+      val df = spark.range(nRows).select(
+        (col("id") % nPart).cast("string").as("p"),
+        col("id").as("k"),
+        when(col("id") % nullMod =!= 0, col("id") * 3).as("v"))
+      if (partitioned)
+        wh.save(t, df.repartition(1 + rnd.nextInt(4)),
+          partitionBy = Seq("p"), clusterBy = Seq("k"))
+      else
+        wh.save(t, df.repartitionByRange(1 + rnd.nextInt(4), col("k")),
+          clusterBy = Seq("k"))
+      val vStats = rnd.nextBoolean()
+      if (vStats) wh.statsBy(t, Seq("v"))
+      if (rnd.nextBoolean()) {
+        import spark.implicits._
+        wh.append(t, Seq(("0", nRows.toLong + 1L, null.asInstanceOf[java.lang.Long]))
+          .toDF("p", "k", "v").select(col("p"), col("k"),
+            col("v").cast("long")))
+      }
+      var hasDv = false
+      if (rnd.nextBoolean()) {
+        hasDv = wh.delete(t, col("k") === (nRows / 2).toLong).filesDv >= 1
+        if (hasDv && rnd.nextBoolean()) { wh.compact(t); hasDv = false }
+      }
+      // (query, eligible: Some(expected-to-fold) | None(don't assert))
+      val pool: Seq[(String, Option[Boolean])] = Seq(
+        (s"SELECT min(k) AS a, max(k) AS b, count(*) AS c FROM dw_$t",
+          Some(!hasDv)),
+        (s"SELECT count(*) AS c FROM dw_$t", Some(true)),
+        (s"SELECT avg(k) AS m FROM dw_$t", Some(false)),
+        (s"SELECT min(v) AS a, max(v) AS b FROM dw_$t",
+          Some(vStats && !hasDv)),
+        (s"SELECT count(v) AS c FROM dw_$t", Some(vStats && !hasDv)),
+        (s"SELECT min(k) AS a FROM dw_$t WHERE k > 100", Some(false))) ++
+        (if (partitioned) Seq(
+          (s"SELECT p, min(k) AS lo, max(k) AS hi, count(*) AS n " +
+            s"FROM dw_$t GROUP BY p", Some(!hasDv)),
+          (s"SELECT min(k) AS lo, count(*) AS n FROM dw_$t WHERE p = '0'",
+            Some(!hasDv)),
+          (s"SELECT p, count(*) AS n FROM dw_$t " +
+            s"WHERE p IN ('0','2') GROUP BY p", Some(true)))
+         else Nil)
+      for ((sql, eligible) <- pool) {
+        val q = spark.sql(sql)
+        val fired = fileScans(q) == 0
+        eligible.foreach(e => assert(fired == e,
+          s"trial $trial (partitioned=$partitioned vStats=$vStats " +
+            s"hasDv=$hasDv): expected fold=$e got fold=$fired for: $sql\n" +
+            q.queryExecution.sparkPlan))
+        val got = rows(q)
+        spark.conf.set("graft.metadataAgg.enabled", "false")
+        val want =
+          try rows(spark.sql(sql))
+          finally spark.conf.set("graft.metadataAgg.enabled", "true")
+        assert(got == want,
+          s"trial $trial: rewrite ≠ scan for: $sql\ngot  $got\nwant $want")
+      }
+    }
+  }
+
   test("commits keep the rewrite current (view re-points per commit)") {
     val wh = new Warehouse(spark, tmp("wh_mdagg_fresh")).enableSql()
     import spark.implicits._
