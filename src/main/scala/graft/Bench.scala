@@ -42,9 +42,57 @@ object Bench {
     "b4_minmax_wh", "b8_sql_minmax_wh", "b5_phrase_wh"
   ).filter(SparkEntry.queries.contains)
 
+  /** The ATTRIBUTION lane: the same headline queries in a VANILLA
+    * session (no GraftExtensions — no injected analyzer/optimizer
+    * rules, no custom parser). Its numbers separate the two causes a
+    * round-over-round swing can have: if the graft lane moves and this
+    * lane moves WITH it, the cause is environmental (host noise, JVM,
+    * IO); if the graft lane moves alone, a graft rule changed cost.
+    * One warm-up run (uncounted — it also pays the memoized
+    * warehouse/index setup some b-queries amortize), one timed run:
+    * this is a differential indicator, not a benchmark, and it must
+    * stay cheap. Queries whose ANSWER needs an injected rule (b8's
+    * SQL metadata fold) still RUN here — through the plain scan, which
+    * is itself the informative comparison. Disable with
+    * SPARK_GRAFT_BENCH_VANILLA=0. */
+  private def vanillaLane(sfDir: String, cpus: String): Seq[(String, Double)] = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .appName("graft-bench-vanilla")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Tables.lineitem(spark, sfDir).count()
+    val out = headline.map { name =>
+      val fn = SparkEntry.queries(name)
+      val t =
+        try {
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          val t0 = System.nanoTime()
+          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+          (System.nanoTime() - t0) / 1e9
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] vanilla $name failed: ${e.getMessage}")
+          0.0
+        }
+      (name, t)
+    }
+    spark.stop()
+    out
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // the vanilla lane runs FIRST, in its own session and context, so
+    // the graft lane's numbers stay directly comparable to prior
+    // rounds' (same warm-up position, same JVM phase)
+    val vanilla =
+      if (sys.env.get("SPARK_GRAFT_BENCH_VANILLA").contains("0")) Nil
+      else vanillaLane(sfDir, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions) // native fns available in SQL
@@ -101,9 +149,13 @@ object Bench {
     val errs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalMin = results.map(_._3).sum
+    // third reading: the no-extensions attribution lane (see
+    // vanillaLane) — swings that track it are environmental, swings
+    // that don't are graft-rule cost
+    val qsVan = render(vanilla)
     // a failed query makes the line loudly non-comparable instead of
     // silently shrinking the total
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -173,6 +173,143 @@ object AnnIndex {
     wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
   }
 
+  /** Exact brute-force cosine top-k for EVERY probe query in ONE
+    * corpus pass — the ground-truth half of [[recallProbe]]. Per
+    * partition: a bounded top-k heap per query (Q·k state, the query
+    * vectors broadcast); each partition emits its Q·k candidates, the
+    * final merge groups Q ways over Q·k·partitions skinny rows. The
+    * corpus is scanned exactly once regardless of |queryIds| — a
+    * per-query TakeOrdered loop would pay |queryIds| full scans. */
+  private def exactTopKAll(source: DataFrame, queryIds: Seq[Long],
+      topK: Int): Map[Long, Set[Long]] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val base = source
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])]
+    val qSet = queryIds.toSet
+    val qvs: Array[(Long, Array[Double], Double)] = base
+      .filter(r => qSet.contains(r._1)).collect()
+      .sortBy(_._1)
+      .map { case (id, v) =>
+        val a = v.toArray
+        (id, a, math.sqrt(a.map(x => x * x).sum))
+      }
+    require(qvs.length == qSet.size,
+      s"recallProbe: ${qSet.size - qvs.length} query ids not in source")
+    // worst-first ordering for the bounded min-heap: a kept candidate
+    // loses to one with higher cosine, or equal cosine and smaller id
+    val worstFirst: Ordering[(Double, Long)] = Ordering.by {
+      case (cos, id) => (-cos, id)
+    }
+    val bc = spark.sparkContext.broadcast(qvs)
+    val cand = base.mapPartitions { it =>
+      val qs = bc.value
+      val heaps = Array.fill(qs.length)(
+        scala.collection.mutable.PriorityQueue.empty[(Double, Long)](
+          worstFirst))
+      it.foreach { case (id, emb) =>
+        val e = emb.toArray
+        var n2 = 0.0
+        var i = 0
+        while (i < e.length) { n2 += e(i) * e(i); i += 1 }
+        val en = math.sqrt(n2)
+        var qi = 0
+        while (qi < qs.length) {
+          val (_, qv, qn) = qs(qi)
+          var dot = 0.0
+          i = 0
+          while (i < e.length) { dot += e(i) * qv(i); i += 1 }
+          val cos = dot / (en * qn)
+          val h = heaps(qi)
+          if (h.size < topK) h.enqueue((cos, id))
+          else if (worstFirst.lt((cos, id), h.head)) {
+            h.dequeue(); h.enqueue((cos, id))
+          }
+          qi += 1
+        }
+      }
+      heaps.iterator.zipWithIndex.flatMap { case (h, qi) =>
+        h.iterator.map { case (cos, id) => (qi, id, cos) }
+      }
+    }
+    cand.groupByKey(_._1)
+      .flatMapGroups { (qi, rows) =>
+        rows.toSeq.sortBy { case (_, id, cos) => (-cos, id) }
+          .take(topK).map { case (_, id, _) => (qi, id) }.iterator
+      }
+      .collect()
+      .groupBy(_._1)
+      .map { case (qi, ids) => bc.value(qi)._1 -> ids.map(_._2).toSet }
+  }
+
+  /** A deterministic query sample for [[recallProbe]]: the n smallest
+    * vec_id hashes — layout- and run-independent, biased toward
+    * nothing. */
+  def probeQueryIds(source: DataFrame, n: Int): Seq[Long] =
+    source.select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(n).collect().map(_.getLong(0)).toSeq
+
+  /** Measured recall@k of the STORED index under its real serving
+    * parameters, against the exact ranking — the drift metric. The
+    * codebooks are frozen by design ([[build]]); as the corpus
+    * distribution shifts away from the training sample, cells stop
+    * partitioning the data and ADC stops discriminating, and recall
+    * decays SILENTLY (the exact re-rank keeps every answer it sees
+    * correct — it just sees the wrong candidates). This probe is the
+    * maintenance-time number that makes the decay visible: sampled
+    * query set (bounded), exact ground truth for ALL queries from ONE
+    * corpus pass ([[exactTopKAll]] — a scheduled maintenance job, not
+    * a serving-path call), the stored side through the real serving
+    * probe per query, mean overlap/k. When it sags below the SLO,
+    * [[retrain]]. */
+  def recallProbe(wh: Warehouse, idx: String, source: DataFrame,
+      queryIds: Seq[Long], topK: Int = 10, overquery: Int = 5,
+      nProbe: Int = 3): Double = {
+    require(queryIds.nonEmpty, "recallProbe: empty query sample")
+    val exact = exactTopKAll(source, queryIds, topK)
+    val per = queryIds.map { qid =>
+      val got = query(wh, idx, source, qid, topK, overquery, nProbe)
+        .select("vec_id").collect().map(_.getLong(0)).toSet
+      (got intersect exact(qid)).size.toDouble / topK
+    }
+    per.sum / per.size
+  }
+
+  /** Retrain the index on the CURRENT distribution and swap it in
+    * atomically: fresh bounded [[Similarity.trainingSample]] → new
+    * coarse + PQ codebooks → ONE shuffle-free re-encode pass over the
+    * live corpus (tombstoned ids stay out) → all three tables commit
+    * in one cross-table transaction, so a concurrent reader sees
+    * either the old index or the new one, never codes encoded under
+    * one codebook probed through another. Tombstones carry forward
+    * untouched — a remove() survives retraining. Returns the number
+    * of vectors indexed. */
+  def retrain(wh: Warehouse, idx: String, source: DataFrame,
+      nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
+    val live = source.dropDuplicates("vec_id")
+      .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti")
+    require(!live.isEmpty,
+      "retrain: no live vectors — an index with nothing left to serve " +
+        "should be dropped, not retrained")
+    val unit = l2Normalized(live)
+    val sample = trainingSample(unit,
+      math.max(defaultSampleN(1, nCells), defaultSampleN(m, k)))
+    val coarse = pqTrain(sample, m = 1, k = nCells, iters = 3)
+      .localCheckpoint()
+    val codebook = pqTrain(sample, m = m, k = k, iters = 6)
+      .localCheckpoint()
+    val codes = encode(unit, coarse, codebook, m, dimOf(unit))
+    wh.transaction(Seq(s"${idx}_coarse", s"${idx}_codebook",
+        s"${idx}_codes")) {
+      wh.save(s"${idx}_coarse", coarse)
+      wh.save(s"${idx}_codebook", codebook)
+      wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
+    }
+    wh.countRows(s"${idx}_codes")
+      .getOrElse(wh.table(s"${idx}_codes").count())
+  }
+
   /** Hybrid retrieval over the STORED indexes — e14's composition
     * served from infrastructure instead of per-query corpus scans: the
     * sparse lane probes [[TextIndex]] (term-pruned postings), the

@@ -41,36 +41,82 @@ object Graph {
     * contribution). Dangling nodes (no out-edges) keep receiving but
     * leak their own mass — the standard simplified variant; the
     * ranking among connected nodes is unaffected at curation depth. */
-  def pageRankFixed(edges: DataFrame, iters: Int,
-      scale: Long = 1000000000L): DataFrame = {
-    require(iters >= 0, s"pageRankFixed: negative iterations $iters")
-    // materialize the (edges ⋈ out-weight) working set ONCE when
-    // iterating — otherwise every iteration's final plan re-executes
-    // the full edge-derivation subtree (the GraphX/Pregel convention:
-    // an iterative algorithm pins its edges, then loops)
+  /** The pinned working set every PageRank lane iterates on:
+    * (edges ⋈ out-weight) — materialized ONCE (the GraphX/Pregel
+    * convention: an iterative algorithm pins its edges, then loops) —
+    * plus the node set and the damping floor. */
+  private final case class PrCtx(ew: DataFrame, nodes: DataFrame,
+      base: Long)
+
+  private def prSetup(edges: DataFrame, scale: Long,
+      pin: Boolean): PrCtx = {
     val e0 = edges.select(col("src"), col("dst"),
       col("w").cast("long").as("w"))
     val wout = e0.groupBy("src").agg(sum(col("w")).as("wout"))
-    val ew = {
-      val j = e0.join(wout, "src")
-      if (iters > 1) j.localCheckpoint() else j
-    }
+    val j = e0.join(wout, "src")
+    val ew = if (pin) j.localCheckpoint() else j
     val nodes = ew.select(col("src").as("node"))
       .unionByName(ew.select(col("dst").as("node"))).distinct()
-    val base = scale * 15L / 100L
-    var rank = nodes.select(col("node"), lit(scale).as("pr"))
+    PrCtx(ew, nodes, scale * 15L / 100L)
+  }
+
+  /** One exact fixed-point iteration: one shuffle of the node-sized
+    * rank table to the edge key, one node-keyed aggregation. */
+  private def prStep(ctx: PrCtx, rank: DataFrame): DataFrame = {
+    val contrib = ctx.ew
+      .join(rank.withColumnRenamed("node", "src"), "src")
+      .select(col("dst").as("node"),
+        expr("(pr * w) DIV wout").as("c"))
+    val s = contrib.groupBy("node").agg(sum(col("c")).as("s"))
+    ctx.nodes.join(s, Seq("node"), "left")
+      .select(col("node"),
+        (lit(ctx.base) + expr("(85 * coalesce(s, 0)) DIV 100")).as("pr"))
+  }
+
+  def pageRankFixed(edges: DataFrame, iters: Int,
+      scale: Long = 1000000000L): DataFrame = {
+    require(iters >= 0, s"pageRankFixed: negative iterations $iters")
+    val ctx = prSetup(edges, scale, pin = iters > 1)
+    var rank = ctx.nodes.select(col("node"), lit(scale).as("pr"))
     for (i <- 1 to iters) {
-      val contrib = ew.join(rank.withColumnRenamed("node", "src"), "src")
-        .select(col("dst").as("node"),
-          expr("(pr * w) DIV wout").as("c"))
-      val s = contrib.groupBy("node").agg(sum(col("c")).as("s"))
-      rank = nodes.join(s, Seq("node"), "left")
-        .select(col("node"),
-          (lit(base) + expr("(85 * coalesce(s, 0)) DIV 100")).as("pr"))
+      rank = prStep(ctx, rank)
       // node-sized lineage cap for deep iteration counts
       if (i % 3 == 0 && i < iters) rank = rank.localCheckpoint()
     }
     rank
+  }
+
+  /** CONVERGENCE mode: iterate [[pageRankFixed]]'s exact step until no
+    * node's rank moves more than `tolUnits` (1e-9 rank units) in a
+    * round, or `maxIters` is hit. Because ranks are exact integers the
+    * test is exact too — `tolUnits = 0` is a true fixed point, not a
+    * float-epsilon approximation, and the returned frame is
+    * bit-identical to `pageRankFixed(edges, itersRun)` (GraphSpec
+    * asserts it). Per round: the step's shuffle + aggregation, ONE
+    * 1-row max-delta collect, and a node-sized localCheckpoint (the
+    * rank frame is referenced twice — delta and next step — and
+    * lineage must stay capped at arbitrary depth). Returns
+    * (ranks, itersRun). */
+  def pageRankConverged(edges: DataFrame, tolUnits: Long = 1000L,
+      maxIters: Int = 50,
+      scale: Long = 1000000000L): (DataFrame, Int) = {
+    require(tolUnits >= 0 && maxIters >= 1,
+      s"pageRankConverged: tolUnits=$tolUnits maxIters=$maxIters")
+    val ctx = prSetup(edges, scale, pin = true)
+    var rank = ctx.nodes.select(col("node"), lit(scale).as("pr"))
+      .localCheckpoint()
+    var i = 0
+    var delta = Long.MaxValue
+    while (i < maxIters && delta > tolUnits) {
+      val next = prStep(ctx, rank).localCheckpoint()
+      val d = rank.withColumnRenamed("pr", "prev")
+        .join(next, "node")
+        .agg(max(abs(col("pr") - col("prev")))).first()
+      delta = if (d.isNullAt(0)) 0L else d.getLong(0) // empty graph
+      rank = next
+      i += 1
+    }
+    (rank, i)
   }
 
   /** The bundled lane's graph: nation-level trade edges derived from
@@ -91,11 +137,14 @@ object Graph {
       .agg(count(lit(1)).as("w"))
 
   private val iters = 3
+  /** g3's depth: past every lineage-cap boundary (caps land at 3, 6,
+    * 9) — the proof the loop composes beyond toy unrolls. */
+  private val deepIters = 10
 
   /** The unrolled fixed-point iterations, shared by every lane's
     * oracle — the SQL twin of [[pageRankFixed]]'s loop over whatever
     * `edges` CTE precedes it. */
-  private def prSql(edgesCte: String): String = {
+  private def prSql(edgesCte: String, n: Int = iters): String = {
     def step(i: Int): String =
       s"""r$i AS (
          |  SELECT n.node,
@@ -110,11 +159,11 @@ object Graph {
        |wout AS (SELECT src, sum(w) AS wout FROM edges GROUP BY 1),
        |nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
        |r0 AS (SELECT node, CAST(1000000000 AS BIGINT) AS pr FROM nodes),
-       |${(1 to iters).map(step).mkString(",\n")}
-       |SELECT node, pr FROM r$iters ORDER BY node""".stripMargin
+       |${(1 to n).map(step).mkString(",\n")}
+       |SELECT node, pr FROM r$n ORDER BY node""".stripMargin
   }
 
-  private def g1Oracle: String = prSql(
+  private val g1EdgesCte =
     """edges AS (
       |  SELECT s_nationkey AS src, c_nationkey AS dst, count(*) AS w
       |  FROM lineitem
@@ -122,7 +171,9 @@ object Graph {
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN supplier ON l_suppkey = s_suppkey
       |  GROUP BY 1, 2
-      |)""".stripMargin)
+      |)""".stripMargin
+
+  private def g1Oracle: String = prSql(g1EdgesCte)
 
   /** Grams a source-overlap edge may ride on appear in at most this
     * many sources: ubiquitous shingles (boilerplate every domain
@@ -192,5 +243,13 @@ object Graph {
     // with anyone have no row — a curation stage treats absence as
     // neutral, not as zero.
     Q("g2_source_pagerank", Some(g2Oracle), (s, d) =>
-      pageRankFixed(sourceEdges(s, d), iters).orderBy("node")))
+      pageRankFixed(sourceEdges(s, d), iters).orderBy("node")),
+    // g3 — g1's graph at DEEP unroll (10 rounds): the iteration
+    // crosses every lineage-cap checkpoint boundary and the oracle
+    // replays all 10 rounds in exact `//` arithmetic, so the
+    // hash-check proves the capped loop COMPOSES — truncation,
+    // damping, and checkpoint placement drift nowhere past toy depth.
+    Q("g3_nation_pagerank_deep", Some(prSql(g1EdgesCte, deepIters)),
+      (s, d) => pageRankFixed(tradeEdges(s, d), deepIters)
+        .orderBy("node")))
 }

@@ -169,7 +169,12 @@ case class MetadataAggRewrite(session: SparkSession)
         // Try: "disqualify, never fail" — a foreign-written partition
         // directory that trips value parsing must degrade to the scan,
         // not throw at analysis (unescape is total, but this lane must
-        // stay safe against any future parse edge, like selectFiles)
+        // stay safe against any future parse edge, like selectFiles).
+        // Grouped emission leans on the writer's no-zero-row-files
+        // invariant (EmptyFileCommitSpec): a group whose kept files
+        // all had zero rows would emit a row a real scan would not —
+        // such files never reach a manifest, so every group here has
+        // at least one live row behind it.
         val gvs = kept.map(f =>
           wh.filePartitionValues(f, gs.map(_.name), types).map(_ -> f))
         if (!gvs.forall(_.isDefined)) None

@@ -223,4 +223,45 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.query(wh, "ann", emb, queryId = 0L)
       .collect().map(_.getLong(0)).toSeq == top2)
   }
+
+  test("drift: recall decays under corpus turnover; retrain ≡ rebuild restores it; tombstones survive") {
+    val wh = new Warehouse(spark, tmp("ann_drift"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    // complete corpus turnover into a distribution the frozen
+    // codebooks never saw (a nonlinear warp — the new wave's subspace
+    // geometry no longer matches the trained centroids): the new wave
+    // lands via refresh, the old wave is forgotten via remove. The
+    // exact re-rank keeps every ANSWER correct; what decays silently
+    // is WHICH candidates the cells + codes surface — recallProbe is
+    // the number that makes that visible.
+    val shifted = emb.select((col("vec_id") + 10000L).as("vec_id"),
+      transform(col("embedding"),
+        x => greatest(x, lit(0.0)) + lit(0.05)).as("embedding"),
+      col("label"))
+    assert(AnnIndex.refresh(wh, "ann", shifted) == emb.count())
+    val oldIds = emb.select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(AnnIndex.remove(wh, "ann", oldIds) == oldIds.size.toLong)
+    val qids = AnnIndex.probeQueryIds(shifted, 10)
+    val before = AnnIndex.recallProbe(wh, "ann", shifted, qids)
+    // a removed vector must stay out through the retrain
+    val victim = shifted.select("vec_id")
+      .filter(!col("vec_id").isin(qids: _*)).first().getLong(0)
+    AnnIndex.remove(wh, "ann", Seq(victim))
+    assert(AnnIndex.retrain(wh, "ann", shifted) == shifted.count() - 1)
+    val after = AnnIndex.recallProbe(wh, "ann", shifted, qids)
+    assert(after >= 0.55 && after >= before + 0.1,
+      s"retrain must materially restore recall: before=$before after=$after")
+    // retrain IS a rebuild, atomically swapped: a from-scratch index
+    // over the same live set measures the IDENTICAL recall (the
+    // deterministic sample/train/encode path makes this exact)
+    val wh2 = new Warehouse(spark, tmp("ann_drift_ref"))
+    AnnIndex.build(wh2, "ann", shifted.filter(col("vec_id") =!= victim))
+    val fresh = AnnIndex.recallProbe(wh2, "ann", shifted, qids)
+    assert(after == fresh,
+      s"retrain ≠ rebuild: retrained=$after fresh=$fresh")
+    assert(wh.table("ann_codes")
+      .filter(col("vec_id") === victim).count() == 0,
+      "retrain resurrected a tombstoned vector")
+  }
 }

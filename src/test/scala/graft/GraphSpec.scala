@@ -83,6 +83,39 @@ class GraphSpec extends AnyFunSuite {
     assert(kept.count() == expected)
   }
 
+  test("convergence mode: exact fixed point, ≡ the unrolled loop at its own depth") {
+    import spark.implicits._
+    val edges = star.toDF("src", "dst", "w")
+    // damping 0.85 contracts ~15% per round, so this tolerance takes
+    // the loop well past every lineage-cap boundary (≈18 rounds)
+    // without the spec paying for a 1e-9-tight fixed point
+    val tol = 200000000L
+    val (conv, n) = Graph.pageRankConverged(edges, tolUnits = tol,
+      maxIters = 60)
+    assert(n >= 10 && n < 60, s"expected genuine deep iteration, ran $n")
+    val got = conv.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // bit-identical to the plain unroll at the depth convergence chose
+    assert(got == ranks(star, n), s"converged ≠ unrolled at depth $n")
+    // converged means converged: one more exact step moves no node by
+    // more than the tolerance
+    val step = ranks(star, n + 1)
+    assert(got.forall { case (k, v) => math.abs(step(k) - v) <= tol },
+      s"fixed point not reached: $got vs $step")
+    // deep unrolls stay exact across lineage-cap boundaries: depth 10
+    // equals depth 9 advanced one step (associativity of the loop),
+    // computed through different checkpoint placements
+    val r9 = ranks(star, 9); val r10 = ranks(star, 10)
+    val manual = {
+      // one exact step from r9, computed in driver arithmetic
+      val wout = star.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val sums = star.groupBy(_._2).view.mapValues(_.map { case (s, _, w) =>
+        r9(s) * w / wout(s) }.sum).toMap
+      r9.keys.map(k => k ->
+        (150000000L + 85L * sums.getOrElse(k, 0L) / 100L)).toMap
+    }
+    assert(r10 == manual)
+  }
+
   test("parallel edges add weight; a dangling receiver still accumulates") {
     // 1 → 2 twice (w 1 and 2) and 1 → 3 (w 1): wout = 4, so node 2
     // draws 3/4 of node 1's rank, node 3 draws 1/4; both are dangling

@@ -229,4 +229,59 @@ class TextAnalysisSpec extends AnyFunSuite {
       iters = 30, lr = 2.0)
     assert(w.toSeq == w2.toSeq)
   }
+
+  test("classifier training is sample-bounded: pinned set, no source rescans, held-out floor") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val label = TextAnalysis.plantedConcept(col("text"))
+    // the pinned training set is checkpoint-backed: iterating over it
+    // scans materialized blocks, never the parquet source again
+    val prep = TextAnalysis.classifierTrainingSet(docs, label, sampleN = 100)
+    assert(prep.count() == 100)
+    val scans = prep.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      "training iterations must scan the pinned sample, not the corpus:\n" +
+        prep.queryExecution.executedPlan)
+    // a sampleN cap ≥ corpus leaves the weights exactly unchanged
+    // (gradients are order-independent exact longs) — the t19 row's
+    // stability guarantee
+    val full = TextAnalysis.trainHashedClassifier(docs, label,
+      iters = 10, lr = 2.0, sampleN = 0)
+    val capped = TextAnalysis.trainHashedClassifier(docs, label,
+      iters = 10, lr = 2.0, sampleN = 1000000)
+    assert(full.toSeq == capped.toSeq)
+    // sampled = full-batch over the SAME explicit sample: the cap is a
+    // row bound, not a different algorithm
+    val explicit = docs
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id")).limit(300)
+    val wS = TextAnalysis.trainHashedClassifier(docs, label,
+      iters = 10, lr = 2.0, sampleN = 300)
+    val wE = TextAnalysis.trainHashedClassifier(explicit, label,
+      iters = 10, lr = 2.0, sampleN = 0)
+    assert(wS.toSeq == wE.toSeq)
+    // held-out quality: a fully-trained 300-doc sample model must
+    // still recover the planted concept on the 200 docs it never saw
+    val heldOut = docs.join(explicit.select("doc_id"), Seq("doc_id"),
+      "left_anti")
+    val n = heldOut.count()
+    assert(n > 0)
+    def heldOutAcc(w: Array[Double]): Double =
+      TextAnalysis.scoreWithWeights(heldOut, col("text"), w)
+        .join(heldOut.select(col("doc_id"), label.cast("int").as("y")),
+          "doc_id")
+        .filter(col("keep") === col("y")).count().toDouble / n
+    val accSampled = heldOutAcc(TextAnalysis.trainHashedClassifier(
+      docs, label, iters = 30, lr = 2.0, sampleN = 300))
+    val accFull = heldOutAcc(TextAnalysis.trainHashedClassifier(
+      docs, label, iters = 30, lr = 2.0, sampleN = 0))
+    // the claim sampling must defend: a bounded sample's model stays
+    // close to the full-corpus model on unseen docs and well above
+    // chance. (At this corpus a 300-doc sample is only 60% of the
+    // data, so SOME gap is genuine; at 100 TB the 100k default cap
+    // dwarfs what GD needs, and the exact-equality assertion above
+    // pins that a cap ≥ corpus changes nothing at all.)
+    assert(accSampled >= accFull - 0.15 && accSampled >= 0.75,
+      s"held-out: sampled=$accSampled full-batch=$accFull")
+  }
 }
