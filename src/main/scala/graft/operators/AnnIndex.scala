@@ -276,6 +276,27 @@ object AnnIndex {
     per.sum / per.size
   }
 
+  /** The scheduled-maintenance composition over [[recallProbe]] and
+    * [[retrain]]: probe recall on the deterministic
+    * [[probeQueryIds]] sample; when it sags below `slo`, retrain and
+    * re-probe the SAME query set. Returns (probed recall, post-retrain
+    * recall — None when the index was healthy). One probe is one
+    * corpus pass + |sample| serving probes; a triggered retrain is one
+    * bounded sample train + one encode pass — all scheduled-job
+    * shaped, nothing serving-path. */
+  def maintain(wh: Warehouse, idx: String, source: DataFrame,
+      slo: Double = 0.8, sampleQueries: Int = 20, topK: Int = 10,
+      overquery: Int = 5, nProbe: Int = 3): (Double, Option[Double]) = {
+    val qids = probeQueryIds(source, sampleQueries)
+    val before = recallProbe(wh, idx, source, qids, topK, overquery, nProbe)
+    if (before >= slo) (before, None)
+    else {
+      retrain(wh, idx, source)
+      (before,
+        Some(recallProbe(wh, idx, source, qids, topK, overquery, nProbe)))
+    }
+  }
+
   /** Retrain the index on the CURRENT distribution and swap it in
     * atomically: fresh bounded [[Similarity.trainingSample]] → new
     * coarse + PQ codebooks → ONE shuffle-free re-encode pass over the

@@ -263,5 +263,15 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(wh.table("ann_codes")
       .filter(col("vec_id") === victim).count() == 0,
       "retrain resurrected a tombstoned vector")
+    // the scheduled-maintenance composition: a below-SLO probe
+    // retrains (idempotent here — the codebooks re-derive from the
+    // same live set, so recall lands exactly where it is); a healthy
+    // probe leaves the index alone
+    val (pb, pr) = AnnIndex.maintain(wh, "ann", shifted,
+      slo = after + 0.01, sampleQueries = 10)
+    assert(pb == after && pr.contains(after), s"got ($pb, $pr)")
+    val (hb, hr) = AnnIndex.maintain(wh, "ann", shifted,
+      slo = after - 0.01, sampleQueries = 10)
+    assert(hb == after && hr.isEmpty, s"got ($hb, $hr)")
   }
 }
