@@ -561,8 +561,143 @@ object Dedup {
             when(col("shared_grams") * 20 > col("n_grams"), 1).otherwise(0)
               .as("drop_doc"))
           .orderBy("doc_id")
-      })
+      }),
+
+    // D18 — FUZZY benchmark decontamination (see [[fuzzyContamination]]):
+    // d10 catches verbatim 8-gram leakage; this catches the paraphrase
+    // tier — training docs whose token SET is Jaccard-near an eval doc
+    // after edits that break every verbatim gram. LSH bands (4×4 over a
+    // 16-wide md5 minwise family — permissive where d4's 2×8 is
+    // selective, a contamination screen wants recall) discover
+    // candidates with the bench side BROADCAST, exact Jaccard verifies
+    // only candidates. Both engines restrict to the identical candidate
+    // set, so the LSH recall bound can't split the hash.
+    Q("d18_fuzzy_contamination", {
+      val k = 16; val bands = 4; val rows = k / bands
+      val sigs = (0 until k).map(i => s"min(md5('$i:'||tk)) AS s$i")
+        .mkString(",\n  ")
+      val bandList = (0 until bands)
+        .map(b => "md5(" +
+          (0 until rows).map(r => s"s${b * rows + r}").mkString("||") + ")")
+        .mkString("[", ", ", "]")
+      Some(s"""WITH tok18 AS (SELECT doc_id, source,
+              |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tk
+              |  FROM documents),
+              |sig AS (SELECT doc_id, source, $sigs FROM tok18 GROUP BY doc_id, source),
+              |band AS (SELECT doc_id, source, unnest(list_distinct($bandList)) AS bh FROM sig),
+              |cand AS (SELECT DISTINCT t.doc_id AS tid, b.doc_id AS bid
+              |         FROM band t JOIN band b ON t.bh = b.bh
+              |         WHERE t.source <> 'src0' AND b.source = 'src0'),
+              |sz AS (SELECT doc_id, count(*) AS n FROM tok18 GROUP BY doc_id),
+              |inter AS (SELECT c.tid, c.bid, count(*) AS i
+              |          FROM cand c
+              |          JOIN tok18 t1 ON t1.doc_id = c.tid
+              |          JOIN tok18 t2 ON t2.doc_id = c.bid AND t2.tk = t1.tk
+              |          GROUP BY c.tid, c.bid),
+              |j AS (SELECT i.tid, cast(i.i as double) / (sa.n + sb.n - i.i) AS jacc
+              |      FROM inter i JOIN sz sa ON sa.doc_id = i.tid
+              |                   JOIN sz sb ON sb.doc_id = i.bid
+              |      WHERE cast(i.i as double) / (sa.n + sb.n - i.i) >= 0.5)
+              |SELECT tid AS doc_id, max(jacc) AS max_jacc,
+              |       count(*) AS n_bench_dups
+              |FROM j GROUP BY tid ORDER BY doc_id""".stripMargin)
+      },
+      (s, d) => fuzzyContamination(T.documents(s, d)))
   )
+
+  /** Map-side (id, band_hash) rows — the shared front half of every
+    * LSH lane: per-row fused MinHash signature over the distinct
+    * unigram token set, grouped into `bands` md5 band hashes,
+    * deduplicated per row (array_distinct BEFORE the explode, so a
+    * doc whose band hashes collide with themselves never becomes its
+    * own prior) and exploded. No shuffle; shuffle width downstream is
+    * 2 slim columns regardless of document length. */
+  private[graft] def bandedIds(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0, "signature width must divide evenly into bands")
+    val rows = k / bands
+    docs.select(col(idCol).as("id"), tokenSet(col(textCol)).as("tks"))
+      .select(col("id"), graft.functions.VectorFunctions.minhashSigs(
+        docs.sparkSession, col("tks"), k).as("sigs"))
+      .select(col("id"), explode(array_distinct(bandHashes(
+        (1 to k).map(i => element_at(col("sigs"), i)), rows))).as("bh"))
+  }
+
+  /** LSH keep-first dedup ASSIGNMENT — the batch form of the
+    * streaming near-dedup ([[graft.streaming.DocStream]]): every doc
+    * gets `dup_of` = the smallest doc id sharing ≥1 LSH band bucket
+    * with it (null → first of its neighborhood, keep=1). Unlike
+    * [[minHashLshPairs]] this never enumerates pairs: per bucket the
+    * "smallest earlier id" is a running-min WINDOW over the bucket's
+    * ids — O(bucket·log bucket) sort work instead of O(bucket²)
+    * candidates, so a boilerplate-heavy hot bucket needs no skew cap.
+    * One hash shuffle on the band key + one on the doc id; only
+    * (id, 16-byte band hash) rows ever move. Dropped docs stay
+    * visible as priors (dup_of chains through removed docs — the
+    * transitive-neighborhood policy a keep-first dedup wants, and the
+    * one a per-bucket min can answer without sequential recursion). */
+  def lshDedupAssign(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("bh").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bandedIds(docs, idCol, textCol, k, bands)
+      .select(col("id"), min("id").over(w).as("prior"))
+      .groupBy("id").agg(min("prior").as("dup_of"))
+      .select(col("id").as(idCol), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+      .orderBy(idCol)
+  }
+
+  /** Fuzzy benchmark decontamination — the MinHash complement to
+    * d10's exact shared-8-gram lookup: a training doc is contaminated
+    * when its token SET is near-identical (Jaccard ≥ threshold) to
+    * some eval doc, even where paraphrase-level edits break every
+    * verbatim 8-gram. Candidates come from an LSH band join with the
+    * BENCH side broadcast (an eval suite is thousands of docs; the
+    * training corpus is the 100 TB side and stays map-side through
+    * candidate discovery), then exact Jaccard verifies only the
+    * candidate pairs — bench token sets broadcast again, train sets
+    * join the (small) candidate list. Returns one row per
+    * contaminated training doc: (doc_id, max_jacc, n_bench_dups).
+    * Recall is the LSH bound (a pair below the band-collision curve
+    * can be missed) — identical on both engines since candidates are
+    * restricted identically. */
+  def fuzzyContamination(docs: DataFrame, benchSource: String = "src0",
+      k: Int = 16, bands: Int = 4, threshold: Double = 0.5): DataFrame = {
+    require(k % bands == 0, "signature width must divide evenly into bands")
+    val rows = k / bands
+    val toks = docs.select(col("doc_id"), col("source"),
+      tokenSet(col("text")).as("tks"))
+    // source rides the map-side banding projection — no join back
+    val banded = toks
+      .select(col("doc_id"), col("source"),
+        graft.functions.VectorFunctions.minhashSigs(
+          docs.sparkSession, col("tks"), k).as("sigs"))
+      .select(col("doc_id"), col("source"),
+        explode(array_distinct(bandHashes(
+          (1 to k).map(i => element_at(col("sigs"), i)), rows))).as("bh"))
+    val bench = banded.filter(col("source") === benchSource)
+      .select(col("doc_id").as("bid"), col("bh"))
+    val train = banded.filter(col("source") =!= benchSource)
+      .select(col("doc_id").as("tid"), col("bh"))
+    val cand = train.join(broadcast(bench), Seq("bh"))
+      .select("tid", "bid").distinct()
+    val btoks = toks.filter(col("source") === benchSource)
+      .select(col("doc_id").as("bid"), col("tks").as("btks"))
+    val ttoks = toks.filter(col("source") =!= benchSource)
+      .select(col("doc_id").as("tid"), col("tks").as("ttks"))
+    cand.join(ttoks, Seq("tid")).join(broadcast(btoks), Seq("bid"))
+      .select(col("tid"), col("bid"),
+        (size(array_intersect(col("ttks"), col("btks"))).cast("double") /
+          size(array_union(col("ttks"), col("btks")))).as("jacc"))
+      .filter(col("jacc") >= threshold)
+      .groupBy("tid")
+      .agg(max("jacc").as("max_jacc"),
+        count(lit(1)).cast("long").as("n_bench_dups"))
+      .select(col("tid").as("doc_id"), col("max_jacc"), col("n_bench_dups"))
+      .orderBy("doc_id")
+  }
 
   /** Library API behind d13: per-document verbatim-span statistics.
     * A document's text is windowed into `window`-token shingles; a

@@ -999,6 +999,38 @@ object Similarity {
           .limit(TOP_K)
       }),
 
+    // E12-full — the b3_ann_full_wh trick applied to the PURE-PQ lane:
+    // a candidate pool covering the whole corpus makes the exact
+    // re-rank independent of what the ADC stage ranked, so the result
+    // IS the exact cosine top-k and e1's DuckDB oracle hash-checks the
+    // entire pqTrain → pqCodes → pqRank → re-rank machinery end to end
+    // (codebook quality can't save a broken encode/ADC/rank pipe —
+    // any wrong code, lookup, or join key drops a true-top-k id from
+    // the pool and the hash diverges). e12_pq_topk stays the honest
+    // 5×TOP_K production shape with its recall-floor spec.
+    Q("e12_pq_full_rerank", Some(exactCosineTopKSql()),
+      (s, d) => {
+        val emb = T.embeddings(s, d)
+        val unit = l2Normalized(emb)
+        val cents = pqTrain(trainingSample(unit, defaultSampleN(8, 16)),
+          iters = 6).localCheckpoint()
+        val codes = pqCodes(unit, cents)
+        val q = unit.filter(col("vec_id") === QUERY_ID)
+          .select("embedding").first().getSeq[Double](0)
+        // ADC pool = every encoded row: the rank stage must still
+        // score ALL codes (a silently-dropped row would shrink the
+        // pool and show up as a missing candidate here)
+        val n = codes.count().toInt
+        val cands = pqRank(codes, cents, q, topK = n)
+        withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(TOP_K)
+      }),
+
     // E13 — IVF-PQ, the full production composition (see [[annIvfPq]]):
     // e7's coarse cells bound the scan to 1/k of the corpus, e12's
     // stored codes rank it 32× smaller than float32, exact re-rank

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import graft.operators.Dedup
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Continuous LSH near-deduplication of a DOCUMENT stream — the
+  * streaming form of [[Dedup.lshDedupAssign]] and the near-dup
+  * counterpart of `EventStream.dedupStream`'s exact
+  * dropDuplicatesWithinWatermark: an ingest pipeline that must admit
+  * each arriving document exactly once, flagged against EVERYTHING
+  * seen so far, without re-scanning history.
+  *
+  * Shape: the map-side MinHash banding ([[Dedup.bandedIds]] — fused
+  * per-row signatures, no shuffle) fans each doc into `bands` slim
+  * (id, band_hash) rows; ONE stateful operator keyed by band hash
+  * keeps the minimum doc id ever seen in that bucket — 8 bytes of
+  * state per live bucket, independent of document text size and of
+  * how many docs the bucket absorbed. A doc's verdict is then a
+  * BATCH-LOCAL fold (all of a doc's band rows ride the micro-batch it
+  * arrived in), so [[nearDupAssignments]] runs inside the sink's
+  * foreachBatch with no second stateful stage.
+  *
+  * Semantics (same as the batch form): dup_of = smallest earlier doc
+  * id sharing ≥1 band bucket; dropped docs still count as priors
+  * (the transitive-neighborhood keep-first policy — and the ONLY
+  * per-bucket policy an 8-byte state can answer). "Earlier" is
+  * arrival order, ties within a micro-batch broken by ascending id;
+  * a stream delivered in id order therefore converges to exactly
+  * [[Dedup.lshDedupAssign]] (asserted in StreamingSpec), while
+  * out-of-order delivery degrades gracefully to first-arrival-wins —
+  * a late-arriving smaller id is kept alongside the earlier winner,
+  * never retroactively dropped (also asserted).
+  *
+  * State never expires (NoTimeout): dedup-against-all-history is the
+  * contract, and the state table is one long per DISTINCT band hash —
+  * at 100 TB that is the corpus's band-bucket count (≪ doc count ×
+  * bands after collisions), stored in the state backend, not the
+  * executors' heap. A retention-windowed variant would swap in
+  * ProcessingTimeTimeout and re-admit after expiry.
+  */
+object DocStream {
+
+  /** Stage 1 (the stateful pass): streaming (doc_id, text) →
+    * (id, prior) per band row, `prior` = smallest doc id this band
+    * bucket has seen before this row (null for a fresh bucket).
+    * Runs identically on a BATCH frame (state starts empty, one
+    * "micro-batch" — Spark executes flatMapGroupsWithState in batch
+    * queries too), which is how st7's oracle row renders the exact
+    * operator the continuous query runs. */
+  def nearDupBandPriors(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 16, bands: Int = 4): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.bandedIds(docs, idCol, textCol, k, bands)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (_: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          // ascending-id order inside the batch = the batch form's
+          // window order; the array is ONE bucket's ids in ONE
+          // micro-batch — the hot-bucket bound is batch-sized, and
+          // the state written back stays 8 bytes regardless
+          val ids = it.map(_._1).toArray.sorted
+          var mn = if (state.exists) state.get else Long.MaxValue
+          val out = ids.map { id =>
+            val p = if (mn < id) Some(mn) else None
+            if (id < mn) mn = id
+            (id, p)
+          }
+          if (mn != Long.MaxValue) state.update(mn)
+          out.iterator
+      }
+      .toDF("id", "prior")
+  }
+
+  /** Stage 2 (batch-local, runs inside foreachBatch): fold a doc's
+    * band priors into its verdict — dup_of = min prior across its
+    * bands (null-skipping min: any collided band convicts), keep=1
+    * iff no band had a prior. */
+  def nearDupAssignments(bandPriors: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    bandPriors.groupBy(col("id"))
+      .agg(min(col("prior")).as("dup_of"))
+      .select(col("id").as(idCol), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+}

@@ -345,4 +345,70 @@ class PropertySpec extends AnyFunSuite {
     assert(ops.head == "save" && ops.toSet == Set("save", "delete", "append"))
     assert(wh1.tableVersions("t") == Seq(1L, 2L, 3L))
   }
+
+  private def assignTriples(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getLong(0),
+      if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2))).toSet
+
+  test("lshDedupAssign: exact dups convict to the group min; window form ≡ the stateful batch rendering; layout-independent") {
+    import spark.implicits._
+    val txtA = "alpha beta gamma delta epsilon zeta eta theta"
+    val txtB = "omicron pi rho sigma tau upsilon phi chi"
+    val docs = Seq(
+      (1L, txtA), (2L, txtA), (7L, txtA),          // exact-dup group → min 1
+      (5L, txtB), (11L, txtB),                     // exact-dup group → min 5
+      (9L, "unrelated content entirely disjoint from both groups")
+    ).toDF("doc_id", "text")
+    val got = assignTriples(operators.Dedup.lshDedupAssign(docs))
+    val byId = got.map(t => t._1 -> t).toMap
+    // the global min id can never have a prior
+    assert(byId(1L) == ((1L, None, 1)))
+    // identical texts share EVERY band: conviction is certain, and the
+    // prior is exactly the group's min (cross-group collisions could
+    // only lower it further — these token sets are disjoint)
+    assert(byId(2L)._2.contains(1L) && byId(2L)._3 == 0)
+    assert(byId(7L)._2.contains(1L) && byId(7L)._3 == 0)
+    assert(byId(11L)._2.contains(5L) && byId(11L)._3 == 0)
+    // keep=1 ⟺ dup_of null, everywhere
+    assert(got.forall(t => (t._3 == 1) == t._2.isEmpty))
+    // the stateful operator batch-rendered (st7's Q lane) agrees with
+    // the window form, on the toy set and on the real table
+    def streamForm(df: org.apache.spark.sql.DataFrame) =
+      assignTriples(streaming.DocStream.nearDupAssignments(
+        streaming.DocStream.nearDupBandPriors(df)))
+    assert(streamForm(docs) == got)
+    val real = Tables.documents(spark, "/root/testdata/sf0.001")
+    assert(streamForm(real) ==
+      assignTriples(operators.Dedup.lshDedupAssign(real)))
+    // partition layout cannot change the assignment
+    assert(assignTriples(operators.Dedup.lshDedupAssign(
+      docs.repartition(7))) == got)
+  }
+
+  test("fuzzyContamination: token-set near-copy of a bench doc caught (where exact grams fail), disjoint doc clean, bench side broadcast") {
+    import spark.implicits._
+    val bench = "the quick brown fox jumps over the lazy dog today"
+    val docs = Seq(
+      (100L, "src0", bench),
+      // same token SET, permuted order: every verbatim 8-gram breaks
+      // (d10 would miss it) but Jaccard = 1.0 and every minhash
+      // signature matches — conviction is certain, not probabilistic
+      (200L, "src1", "dog lazy the over jumps fox brown quick today"),
+      (300L, "src1", "entirely unrelated text about spark engines and parquet files"),
+      (400L, "src0", "another benchmark document with its own words")
+    ).toDF("doc_id", "source", "text")
+    val got = operators.Dedup.fuzzyContamination(docs)
+    val rows = got.collect().map(r =>
+      (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+    assert(rows == List((200L, 1.0, 1L)), s"got $rows")
+    // the eval side must broadcast — the training corpus is the
+    // 100 TB side and may never be the build side
+    val plan = got.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), "bench side not broadcast")
+    // every reported doc is a train doc at or above the threshold
+    val real = operators.Dedup.fuzzyContamination(
+      Tables.documents(spark, "/root/testdata/sf0.001"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(real.nonEmpty && real.forall(_._2 >= 0.5))
+  }
 }

@@ -511,4 +511,82 @@ class StreamingSpec extends AnyFunSuite {
       assert(got() == Set((10L, Some(20L)), (11L, None)), got().toString)
     } finally q.stop()
   }
+
+  test("st7: streaming near-dedup converges to the batch rendering, with cross-batch convictions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    val source = MemoryStream[(Long, String)]
+    val f = source.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Int)]
+    val q = DocStream.nearDupBandPriors(f).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val a = DocStream.nearDupAssignments(b).collect().map(r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+        out.synchronized { out ++= a }
+        ()
+      }.start()
+    try {
+      // id-ordered delivery in three micro-batches: the stream must
+      // converge to EXACTLY the batch assignment — cross-batch dups
+      // convicted by state, not by re-scanning history
+      val (b1, rest) = docs.splitAt(docs.length / 3)
+      val (b2, b3) = rest.splitAt(rest.length / 2)
+      Seq(b1, b2, b3).foreach { b =>
+        source.addData(b.toIndexedSeq: _*); q.processAllAvailable()
+      }
+      val want = operators.Dedup.lshDedupAssign(Tables.documents(spark, sf))
+        .collect().map(r => (r.getLong(0),
+          if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2))).toSet
+      assert(out.toSet == want,
+        s"stream ${out.size} rows vs batch ${want.size}")
+      // at least one doc from a later batch was convicted by a
+      // batch-1 prior (the state actually crossed micro-batches)
+      val b1max = b1.last._1
+      assert(out.exists { case (id, p, _) =>
+        id > b1max && p.exists(_ <= b1max) },
+        "no cross-batch conviction observed")
+      // every doc emitted exactly once
+      assert(out.map(_._1).distinct.size == out.size)
+    } finally q.stop()
+  }
+
+  test("st7: out-of-order arrival is first-arrival-wins — a late smaller id is kept, never retroactively dropped") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val txt = "kappa lambda mu nu xi omicron pi rho"
+    val source = MemoryStream[(Long, String)]
+    val f = source.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Int)]
+    val q = DocStream.nearDupBandPriors(f).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val a = DocStream.nearDupAssignments(b).collect().map(r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+        out.synchronized { out ++= a }
+        ()
+      }.start()
+    try {
+      source.addData((5L, txt)); q.processAllAvailable()
+      source.addData((1L, txt)); q.processAllAvailable()
+      source.addData((7L, txt)); q.processAllAvailable()
+      val byId = out.map(t => t._1 -> t).toMap
+      // 5 arrived first into fresh buckets: kept
+      assert(byId(5L) == ((5L, None, 1)))
+      // 1 arrives later but is SMALLER than everything in state — no
+      // prior qualifies (prior must be < id), so it is kept too: the
+      // already-admitted 5 is never retracted, and 1 is not its dup
+      assert(byId(1L) == ((1L, None, 1)))
+      // 7 is convicted by the now-minimal state entry 1
+      assert(byId(7L) == ((7L, Some(1L), 0)))
+    } finally q.stop()
+  }
 }
