@@ -39,7 +39,10 @@ object Bench {
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index
-    "b4_minmax_wh", "b8_sql_minmax_wh", "b5_phrase_wh"
+    "b4_minmax_wh", "b8_sql_minmax_wh", "b5_phrase_wh",
+    // dedup-gate serving twins: full LSH recompute vs the stored
+    // near-dup index (bucket-min segment read, batch bands broadcast)
+    "b9_neardup_raw", "b9_neardup_wh"
   ).filter(SparkEntry.queries.contains)
 
   /** The ATTRIBUTION lane: the same headline queries in a VANILLA

@@ -649,6 +649,36 @@ object Dedup {
       .orderBy(idCol)
   }
 
+  /** DuckDB rendering of [[lshDedupAssign]] — shared by st7's
+    * streaming oracle row and b9's stored-index twins. `where`
+    * restricts which docs get a VERDICT row (the `a` side); the prior
+    * side stays unrestricted — a filtered batch is still judged
+    * against the whole corpus, exactly like a stored-index read. */
+  def lshAssignOracleSql(k: Int = 16, bands: Int = 4,
+      where: String = ""): String = {
+    require(k % bands == 0, "signature width must divide evenly into bands")
+    val rows = k / bands
+    val sigs = (0 until k).map(i => s"min(md5('$i:'||tk)) AS s$i")
+      .mkString(",\n  ")
+    val bandList = (0 until bands)
+      .map(b => "md5(" +
+        (0 until rows).map(r => s"s${b * rows + r}").mkString("||") + ")")
+      .mkString("[", ", ", "]")
+    val filt = if (where.isEmpty) "" else s"\n       WHERE $where"
+    s"""WITH tok7 AS (SELECT doc_id,
+       |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tk
+       |  FROM documents),
+       |sig AS (SELECT doc_id, $sigs FROM tok7 GROUP BY doc_id),
+       |band AS (SELECT doc_id, unnest(list_distinct($bandList)) AS bh FROM sig),
+       |pr AS (SELECT a.doc_id, min(b.doc_id) AS dup_of
+       |       FROM band a LEFT JOIN band b
+       |         ON a.bh = b.bh AND b.doc_id < a.doc_id$filt
+       |       GROUP BY a.doc_id)
+       |SELECT doc_id, dup_of,
+       |       CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS keep
+       |FROM pr ORDER BY doc_id""".stripMargin
+  }
+
   /** Fuzzy benchmark decontamination — the MinHash complement to
     * d10's exact shared-8-gram lookup: a training doc is contaminated
     * when its token SET is near-identical (Jaccard ≥ threshold) to

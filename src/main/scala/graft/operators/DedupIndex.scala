@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.olist.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Warehouse-maintained NEAR-DUP index — the identity-retrieval third
+  * of the stored-index family ([[TextIndex]] = sparse terms,
+  * [[AnnIndex]] = dense vectors, this = near-duplicate identity): the
+  * ingest dedup GATE. `Dedup.lshDedupAssign` is the right shape for a
+  * one-shot batch sweep and the wrong one for admission control — a
+  * 100 TB corpus cannot re-MinHash itself every time a delivery batch
+  * asks "which of these have we already got?". This stores the LSH
+  * neighborhood structure as ordinary warehouse tables and keeps it
+  * current in O(delta):
+  *
+  *   `<idx>_bands`    (doc_id, bh)   ground-truth band membership —
+  *                    drives admit's anti-join and the remove lane's
+  *                    bucket recomputation; bh-range-clustered + bloom
+  *   `<idx>_buckets`  (bh, min_id)   the serving cache as LSM-style
+  *                    SEGMENTS (the [[TextIndex]] df precedent):
+  *                    admit APPENDS one min row per delta bucket —
+  *                    nothing rewritten — and a reader folds segments
+  *                    with a null-skipping min; [[optimize]] collapses
+  *                    accumulated segments. bh-clustered + bloomed so
+  *                    a small batch's `bh IN (…)` probe file-skips.
+  *   `<idx>_gone`     (doc_id)       removal tombstones — a remove()d
+  *                    doc cannot be resurrected by a later admit whose
+  *                    source still carries it
+  *   `<idx>_meta`     (k, bands)     the FROZEN banding parameters
+  *                    (the codebook analogue): every later batch must
+  *                    band exactly like the build or verdicts are
+  *                    meaningless, so they are read from the index,
+  *                    never passed by callers.
+  *
+  * Verdict semantics are exactly [[Dedup.lshDedupAssign]]'s: dup_of =
+  * the smallest doc id sharing ≥1 band bucket (strictly smaller —
+  * stored state naturally includes the doc itself once admitted), and
+  * dropped docs keep counting as priors (the transitive keep-first
+  * policy, and the only one an 8-byte bucket min can answer). Like
+  * BM25 — and unlike the ANN index's frozen-codebook drift — there is
+  * no trained state beyond the banding params, so an incrementally
+  * admitted index folds to EXACTLY the buckets of a from-scratch
+  * build (asserted bit-for-bit in DedupIndexSpec).
+  *
+  * Serving reads never shuffle the index: the query batch's bands
+  * BROADCAST onto the (possibly `bh IN`-pruned) segment scan, partial
+  * mins fold map-side, and the only exchange is delta-sized (doc_id,
+  * partial-min) rows. Single-maintainer contract as
+  * [[TextIndex.refresh]].
+  */
+object DedupIndex {
+
+  /** The index's moving tables — the unit every maintenance op swaps
+    * atomically (`_meta` is write-once at build and excluded). */
+  def tables(idx: String): Seq[String] =
+    Seq(s"${idx}_bands", s"${idx}_buckets", s"${idx}_gone")
+
+  private def banded(docs: DataFrame, k: Int, bands: Int): DataFrame =
+    Dedup.bandedIds(docs, "doc_id", "text", k, bands)
+      .select(col("id").as("doc_id"), col("bh"))
+
+  private def params(wh: Warehouse, idx: String): (Int, Int) = {
+    val r = wh.table(s"${idx}_meta").first()
+    (r.getInt(0), r.getInt(1))
+  }
+
+  /** Build the index over `docs`. Returns docs indexed. */
+  def build(wh: Warehouse, idx: String, docs: DataFrame,
+      k: Int = 16, bands: Int = 4, nFiles: Int = 8): Long = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val b = banded(docs.dropDuplicates("doc_id"), k, bands)
+      .localCheckpoint() // feeds bands, buckets, and the count
+    wh.save(s"${idx}_bands", b.repartitionByRange(nFiles, col("bh")),
+      clusterBy = Seq("bh"), bloomBy = Seq("bh"))
+    wh.save(s"${idx}_buckets",
+      b.groupBy("bh").agg(min("doc_id").as("min_id"))
+        .repartitionByRange(nFiles, col("bh")),
+      clusterBy = Seq("bh"), bloomBy = Seq("bh"))
+    wh.save(s"${idx}_gone", b.select("doc_id").limit(0))
+    wh.save(s"${idx}_meta", Seq((k, bands)).toDF("k", "bands"))
+    b.select("doc_id").distinct().count()
+  }
+
+  /** The (possibly pruned) bucket-min segment scan for a query batch:
+    * when the batch touches ≤ `maxInList` distinct buckets, an
+    * explicit `bh IN (…)` lets the manifest's range+bloom stats skip
+    * to the handful of files holding them (the [[TextIndex]] term-
+    * probe shape); a big batch reads the segments flat — still only
+    * (bh, min_id) pairs, never the corpus text. */
+  private def prunedSegments(wh: Warehouse, idx: String, qb: DataFrame,
+      maxInList: Int): DataFrame = {
+    val segs = wh.table(s"${idx}_buckets")
+    val bhs = qb.select("bh").distinct().limit(maxInList + 1)
+      .collect().map(_.getString(0))
+    if (bhs.length <= maxInList) segs.filter(col("bh").isin(bhs.toSeq: _*))
+    else segs
+  }
+
+  /** Read-only dup check of a candidate batch against the INDEXED
+    * corpus (the serving lane — "which of these do we already have?"):
+    * one row per distinct query doc, (doc_id, dup_of, keep), judged
+    * against stored state only (no intra-batch comparison — use
+    * [[admit]] to also commit the batch). On docs that are themselves
+    * indexed this reproduces [[Dedup.lshDedupAssign]] exactly (the
+    * stored bucket min ≤ own id, and strictness excludes self). */
+  def verdicts(wh: Warehouse, idx: String, docs: DataFrame,
+      maxInList: Int = 1024): DataFrame = {
+    val (k, nb) = params(wh, idx)
+    val qb = banded(docs.dropDuplicates("doc_id"), k, nb).localCheckpoint()
+    val hits = prunedSegments(wh, idx, qb, maxInList)
+      .join(broadcast(qb), Seq("bh")) // index side streams, batch builds
+      .groupBy("doc_id")
+      .agg(min(when(col("min_id") < col("doc_id"), col("min_id")))
+        .as("dup_of"))
+    qb.select("doc_id").distinct()
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+  }
+
+  /** The ingest GATE: judge every not-yet-seen doc of `docs` against
+    * the stored corpus AND its own batch (intra-batch priors via the
+    * st7 window — ties broken by ascending id), then commit the
+    * batch's bands + one bucket-min segment atomically. Returns the
+    * fresh docs' verdicts (already-admitted and tombstoned docs are
+    * skipped — a replayed batch returns empty and commits NOTHING, so
+    * at-least-once delivery composes to exactly-once admission, the
+    * [[AnnIndex.streamRefresh]] argument). */
+  def admit(wh: Warehouse, idx: String, docs: DataFrame,
+      maxInList: Int = 1024): DataFrame = {
+    val (k, nb) = params(wh, idx)
+    val fresh = docs.dropDuplicates("doc_id")
+      .join(wh.table(s"${idx}_bands").select("doc_id"),
+        Seq("doc_id"), "left_anti")
+      .join(wh.table(s"${idx}_gone"), Seq("doc_id"), "left_anti")
+    val qb = banded(fresh, k, nb).localCheckpoint() // delta-sized
+    val w = Window.partitionBy("bh").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val intra = qb.select(col("doc_id"),
+      min("doc_id").over(w).as("prior"))
+    val stored = prunedSegments(wh, idx, qb, maxInList)
+      .join(broadcast(qb), Seq("bh"))
+      .select(col("doc_id"),
+        when(col("min_id") < col("doc_id"), col("min_id")).as("prior"))
+    val verdict = intra.unionByName(stored)
+      .groupBy("doc_id").agg(min("prior").as("dup_of"))
+      .select(col("doc_id"), col("dup_of"),
+        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+      .localCheckpoint() // pinned BEFORE the state advances under it
+    if (!qb.isEmpty) wh.transaction(tables(idx)) {
+      wh.append(s"${idx}_bands", qb)
+      wh.append(s"${idx}_buckets",
+        qb.groupBy("bh").agg(min("doc_id").as("min_id")))
+    }
+    verdict
+  }
+
+  /** Un-index documents (the right-to-be-forgotten lane): DV-deletes
+    * their band rows, tombstones the ids, and RECOMPUTES the affected
+    * buckets' mins from the surviving membership — a removed doc may
+    * BE a bucket's min, and without recomputation it would keep
+    * convicting future arrivals from beyond the grave. O(|ids| ×
+    * bands) buckets touched; everything moves in one cross-table
+    * transaction. Returns docs removed. */
+  def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
+    require(ids.nonEmpty, "remove: empty id list")
+    wh.transaction(tables(idx)) {
+      val doomed = wh.table(s"${idx}_bands")
+        .filter(col("doc_id").isin(ids: _*)).localCheckpoint()
+      val spark0 = doomed.sparkSession
+      import spark0.implicits._
+      wh.append(s"${idx}_gone", ids.distinct.toDF("doc_id")
+        .join(wh.table(s"${idx}_gone"), Seq("doc_id"), "left_anti"))
+      val bhs = doomed.select("bh").distinct().as[String].collect().toSeq
+      val n = doomed.select("doc_id").distinct().count()
+      if (bhs.nonEmpty) {
+        // survivors computed from the PRE-delete snapshot (minus the
+        // doomed ids) so nothing depends on in-transaction read order
+        val survivors = wh.table(s"${idx}_bands")
+          .filter(col("bh").isin(bhs: _*) && !col("doc_id").isin(ids: _*))
+          .groupBy("bh").agg(min("doc_id").as("min_id"))
+          .localCheckpoint()
+        wh.delete(s"${idx}_bands", col("doc_id").isin(ids: _*))
+        wh.delete(s"${idx}_buckets", col("bh").isin(bhs: _*))
+        wh.append(s"${idx}_buckets", survivors)
+      }
+      n
+    }
+  }
+
+  /** Fold accumulated bucket-min segments back to one row per bucket
+    * and restore the range clustering — the OPTIMIZE for this index
+    * (cf. [[TextIndex]]'s df segment fold). Idempotent. */
+  def optimize(wh: Warehouse, idx: String, nFiles: Int = 8): Unit =
+    wh.transaction(Seq(s"${idx}_buckets")) {
+      wh.save(s"${idx}_buckets",
+        wh.table(s"${idx}_buckets")
+          .groupBy("bh").agg(min("min_id").as("min_id"))
+          .repartitionByRange(nFiles, col("bh")),
+        clusterBy = Seq("bh"), bloomBy = Seq("bh"))
+    }
+}

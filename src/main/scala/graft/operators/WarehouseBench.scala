@@ -270,8 +270,40 @@ object WarehouseBench {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("cnt"),
           dsum(col("o_totalprice")).as("sum_price"))
-        .orderBy("c_mktsegment"))
+        .orderBy("c_mktsegment")),
+
+    // b9 — the DEDUP-GATE serving twins: "which of this batch have we
+    // already got?" answered by re-running the whole LSH sweep (raw —
+    // re-MinHashes every corpus document per question) vs a read of
+    // the stored DedupIndex (wh — the batch's bands broadcast onto the
+    // bh-pruned bucket-min segments; the corpus text is never touched
+    // again). The batch is the upper-id half of the corpus, judged
+    // against everything — both lanes carry the same DuckDB oracle, so
+    // the STORED bucket mins are hash-checked cross-engine end to end.
+    Q("b9_neardup_raw", Some(Dedup.lshAssignOracleSql(
+        where = "a.doc_id > (SELECT max(doc_id) // 2 FROM documents)")),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val split = docs.agg(max("doc_id")).first().getLong(0) / 2
+        Dedup.lshDedupAssign(docs)
+          .filter(col("doc_id") > split).orderBy("doc_id")
+      }),
+    Q("b9_neardup_wh", Some(Dedup.lshAssignOracleSql(
+        where = "a.doc_id > (SELECT max(doc_id) // 2 FROM documents)")),
+      (s, d) => {
+        val docs = T.documents(s, d)
+        val split = docs.agg(max("doc_id")).first().getLong(0) / 2
+        DedupIndex.verdicts(dedupIndexed(s, d), "di_b",
+          docs.filter(col("doc_id") > split)).orderBy("doc_id")
+      })
   )
+
+  private val diCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def dedupIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(diCache, "graft_dibench")(
+      w => DedupIndex.build(w, "di_b", T.documents(s, d)))(s, d)
 
   // one memoizer shape for every serving-path warehouse: keyed per
   // (session, sf dir) — see the cache comment above — with the setup

@@ -498,27 +498,8 @@ object EventStream {
     // query runs); StreamingSpec drives the same operator across real
     // MemoryStream micro-batches and asserts convergence to this
     // rendering plus first-arrival-wins under out-of-order delivery.
-    Q("st7_stream_neardup", {
-      val k = 16; val bands = 4; val rows = k / bands
-      val sigs = (0 until k).map(i => s"min(md5('$i:'||tk)) AS s$i")
-        .mkString(",\n  ")
-      val bandList = (0 until bands)
-        .map(b => "md5(" +
-          (0 until rows).map(r => s"s${b * rows + r}").mkString("||") + ")")
-        .mkString("[", ", ", "]")
-      Some(s"""WITH tok7 AS (SELECT doc_id,
-              |    unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tk
-              |  FROM documents),
-              |sig AS (SELECT doc_id, $sigs FROM tok7 GROUP BY doc_id),
-              |band AS (SELECT doc_id, unnest(list_distinct($bandList)) AS bh FROM sig),
-              |pr AS (SELECT a.doc_id, min(b.doc_id) AS dup_of
-              |       FROM band a LEFT JOIN band b
-              |         ON a.bh = b.bh AND b.doc_id < a.doc_id
-              |       GROUP BY a.doc_id)
-              |SELECT doc_id, dup_of,
-              |       CASE WHEN dup_of IS NULL THEN 1 ELSE 0 END AS keep
-              |FROM pr ORDER BY doc_id""".stripMargin)
-      },
+    Q("st7_stream_neardup",
+      Some(graft.operators.Dedup.lshAssignOracleSql()),
       (s, d) => DocStream.nearDupAssignments(
         DocStream.nearDupBandPriors(T.documents(s, d)))
         .orderBy("doc_id"))
