@@ -277,22 +277,25 @@ object WarehouseBench {
     // re-MinHashes every corpus document per question) vs a read of
     // the stored DedupIndex (wh — the batch's bands broadcast onto the
     // bh-pruned bucket-min segments; the corpus text is never touched
-    // again). The batch is the upper-id half of the corpus, judged
-    // against everything — both lanes carry the same DuckDB oracle, so
-    // the STORED bucket mins are hash-checked cross-engine end to end.
+    // again). The batch is the SERVING shape — the 100 top-id docs, a
+    // delivery-batch-sized probe under the bh-IN file-skip cap —
+    // judged against everything; the raw lane's cost stays
+    // corpus-sized however small the question is, which IS the
+    // contrast the index exists for. Both lanes carry the same DuckDB
+    // oracle, so the STORED bucket mins are hash-checked cross-engine.
     Q("b9_neardup_raw", Some(Dedup.lshAssignOracleSql(
-        where = "a.doc_id > (SELECT max(doc_id) // 2 FROM documents)")),
+        where = "a.doc_id > (SELECT max(doc_id) - 100 FROM documents)")),
       (s, d) => {
         val docs = T.documents(s, d)
-        val split = docs.agg(max("doc_id")).first().getLong(0) / 2
+        val split = docs.agg(max("doc_id")).first().getLong(0) - 100
         Dedup.lshDedupAssign(docs)
           .filter(col("doc_id") > split).orderBy("doc_id")
       }),
     Q("b9_neardup_wh", Some(Dedup.lshAssignOracleSql(
-        where = "a.doc_id > (SELECT max(doc_id) // 2 FROM documents)")),
+        where = "a.doc_id > (SELECT max(doc_id) - 100 FROM documents)")),
       (s, d) => {
         val docs = T.documents(s, d)
-        val split = docs.agg(max("doc_id")).first().getLong(0) / 2
+        val split = docs.agg(max("doc_id")).first().getLong(0) - 100
         DedupIndex.verdicts(dedupIndexed(s, d), "di_b",
           docs.filter(col("doc_id") > split)).orderBy("doc_id")
       })
