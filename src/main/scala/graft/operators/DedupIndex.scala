@@ -131,6 +131,33 @@ object DedupIndex {
     * [[AnnIndex.streamRefresh]] argument). */
   def admit(wh: Warehouse, idx: String, docs: DataFrame,
       maxInList: Int = 1024): DataFrame = {
+    val (qb, verdict) = gateVerdict(wh, idx, docs, maxInList)
+    if (!qb.isEmpty) wh.transaction(tables(idx))(commitBatch(wh, idx, qb))
+    verdict
+  }
+
+  /** [[admit]] without the transaction wrapper — for callers composing
+    * the gate into a WIDER atomic unit ([[Ingest.ingestBatch]]); the
+    * caller's transaction must declare [[tables]]. */
+  private[operators] def admitBody(wh: Warehouse, idx: String,
+      docs: DataFrame, maxInList: Int = 1024): DataFrame = {
+    val (qb, verdict) = gateVerdict(wh, idx, docs, maxInList)
+    if (!qb.isEmpty) commitBatch(wh, idx, qb)
+    verdict
+  }
+
+  private def commitBatch(wh: Warehouse, idx: String,
+      qb: DataFrame): Unit = {
+    wh.append(s"${idx}_bands", qb)
+    wh.append(s"${idx}_buckets",
+      qb.groupBy("bh").agg(min("doc_id").as("min_id")))
+  }
+
+  /** The gate computation shared by [[admit]]/[[admitBody]]: fresh
+    * docs' bands (pinned) and their verdicts (pinned BEFORE the state
+    * advances under them). */
+  private def gateVerdict(wh: Warehouse, idx: String, docs: DataFrame,
+      maxInList: Int): (DataFrame, DataFrame) = {
     val (k, nb) = params(wh, idx)
     val fresh = docs.dropDuplicates("doc_id")
       .join(wh.table(s"${idx}_bands").select("doc_id"),
@@ -149,13 +176,8 @@ object DedupIndex {
       .groupBy("doc_id").agg(min("prior").as("dup_of"))
       .select(col("doc_id"), col("dup_of"),
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
-      .localCheckpoint() // pinned BEFORE the state advances under it
-    if (!qb.isEmpty) wh.transaction(tables(idx)) {
-      wh.append(s"${idx}_bands", qb)
-      wh.append(s"${idx}_buckets",
-        qb.groupBy("bh").agg(min("doc_id").as("min_id")))
-    }
-    verdict
+      .localCheckpoint()
+    (qb, verdict)
   }
 
   /** Un-index documents (the right-to-be-forgotten lane): DV-deletes
@@ -167,7 +189,16 @@ object DedupIndex {
     * transaction. Returns docs removed. */
   def remove(wh: Warehouse, idx: String, ids: Seq[Long]): Long = {
     require(ids.nonEmpty, "remove: empty id list")
-    wh.transaction(tables(idx)) {
+    wh.transaction(tables(idx))(removeBody(wh, idx, ids))
+  }
+
+  /** [[remove]]'s body without the transaction wrapper — for callers
+    * composing the un-index into a WIDER atomic unit
+    * ([[Forget.forgetDocs]]); the caller's transaction must declare
+    * [[tables]]. */
+  private[operators] def removeBody(wh: Warehouse, idx: String,
+      ids: Seq[Long]): Long = {
+    {
       val doomed = wh.table(s"${idx}_bands")
         .filter(col("doc_id").isin(ids: _*)).localCheckpoint()
       val spark0 = doomed.sparkSession

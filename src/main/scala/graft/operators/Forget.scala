@@ -26,7 +26,8 @@ object Forget {
 
   /** Per-structure erasure counts of one [[forgetDocs]] run. */
   final case class ForgetResult(baseRows: Long,
-      textIndexDocs: Map[String, Long], annIndexVecs: Map[String, Long])
+      textIndexDocs: Map[String, Long], annIndexVecs: Map[String, Long],
+      dedupIndexDocs: Map[String, Long] = Map.empty)
 
   /** Erase `ids` from `table` (matched on `idCol`) and un-index them
     * from the named [[TextIndex]]es and [[AnnIndex]]es, atomically.
@@ -34,10 +35,12 @@ object Forget {
     * convention: embeddings carry their document's id). */
   def forgetDocs(wh: Warehouse, table: String, ids: Seq[Long],
       textIdx: Seq[String] = Nil, annIdx: Seq[String] = Nil,
+      dedupIdx: Seq[String] = Nil,
       idCol: String = "doc_id"): ForgetResult = {
     require(ids.nonEmpty, "forgetDocs: empty id list")
     val names = (Seq(table) ++ textIdx.flatMap(TextIndex.tables)
-      ++ annIdx.flatMap(AnnIndex.tables)).distinct
+      ++ annIdx.flatMap(AnnIndex.tables)
+      ++ dedupIdx.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
       // derived structures first, base last — the order is invisible
       // (one commit point) but keeps partial-failure debris harmless
@@ -47,8 +50,13 @@ object Forget {
         i -> TextIndex.removeBody(wh, i, ids)).toMap
       val ai = annIdx.map(i =>
         i -> AnnIndex.removeBody(wh, i, ids)).toMap
+      // the dedup GATE's memory is derived from the doc's text too —
+      // an erasure that leaves its band membership behind would keep
+      // convicting lookalikes on the forgotten doc's behalf
+      val di = dedupIdx.map(i =>
+        i -> DedupIndex.removeBody(wh, i, ids)).toMap
       val base = wh.delete(table, col(idCol).isin(ids: _*)).rowsDeleted
-      ForgetResult(base, ti, ai)
+      ForgetResult(base, ti, ai, di)
     }
   }
 }

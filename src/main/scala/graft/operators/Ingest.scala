@@ -31,25 +31,47 @@ import org.apache.spark.sql.functions._
   * anti-joins. */
 object Ingest {
 
-  /** One micro-batch, atomically: base append + text-index advance +
-    * ANN advance (vectors ride the batch as an `embedding` column,
-    * keyed by doc_id). Returns true iff the batch landed (false = a
-    * replay of the last committed batch — every structure already
-    * holds it). Crash anywhere inside → the single marker never
-    * lands, every staged version rolls back, and the stream re-drives
-    * the batch from its un-advanced checkpoint. */
+  /** One micro-batch, atomically: dedup GATE (optional) + base append
+    * + text-index advance + ANN advance (vectors ride the batch as an
+    * `embedding` column, keyed by doc_id). Returns true iff the batch
+    * landed (false = a replay of the last committed batch — every
+    * structure already holds it). Crash anywhere inside → the single
+    * marker never lands, every staged version rolls back (the gate's
+    * band/bucket advances included), and the stream re-drives the
+    * batch from its un-advanced checkpoint.
+    *
+    * With `dedupIdx` set, each batch doc is judged against everything
+    * the gate has ever seen ([[DedupIndex.admitBody]] — stored bucket
+    * mins + intra-batch priors) and only keep verdicts reach the base
+    * table and the indexes; dropped near-dups still enter the GATE's
+    * memory (they convict future arrivals — the transitive keep-first
+    * policy) but never become corpus. The gate's anti-join doubles as
+    * the replay guard: a replayed batch's docs are already in the
+    * band membership, so the gate commits nothing and the batchId
+    * fence settles the rest. */
   def ingestBatch(wh: Warehouse, table: String, batch: DataFrame,
       batchId: Long, textIdx: Option[String] = None,
       annIdx: Option[String] = None,
+      dedupIdx: Option[String] = None,
       streamId: String = "ingest"): Boolean = {
     val names = (Seq(table) ++ textIdx.toSeq.flatMap(TextIndex.tables)
-      ++ annIdx.toSeq.flatMap(AnnIndex.tables)).distinct
+      ++ annIdx.toSeq.flatMap(AnnIndex.tables)
+      ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
-      val landed = wh.appendStreamBatch(table, batch, batchId, streamId)
+      val kept = dedupIdx match {
+        case Some(i) =>
+          val v = DedupIndex.admitBody(wh, i, batch)
+          // verdicts are delta-sized and pinned — the semi-join keeps
+          // only first-of-their-neighborhood docs, in batch row order
+          batch.join(broadcast(v.filter(col("keep") === 1)
+            .select("doc_id")), Seq("doc_id"), "left_semi")
+        case None => batch
+      }
+      val landed = wh.appendStreamBatch(table, kept, batchId, streamId)
       if (landed) {
-        textIdx.foreach(i => TextIndex.refreshBody(wh, i, batch))
+        textIdx.foreach(i => TextIndex.refreshBody(wh, i, kept))
         annIdx.foreach(i => AnnIndex.refresh(wh, i,
-          batch.select(col("doc_id").as("vec_id"), col("embedding"))))
+          kept.select(col("doc_id").as("vec_id"), col("embedding"))))
       }
       landed
     }
@@ -62,13 +84,15 @@ object Ingest {
     * needs a real seed batch to train its codebooks). */
   def streamIndexed(wh: Warehouse, table: String, docs: DataFrame,
       checkpoint: String, textIdx: Option[String] = None,
-      annIdx: Option[String] = None, streamId: String = "ingest")
+      annIdx: Option[String] = None, dedupIdx: Option[String] = None,
+      streamId: String = "ingest")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, streamId)
+        ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, dedupIdx,
+          streamId)
         ()
       }
       .start()

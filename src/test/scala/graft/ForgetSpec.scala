@@ -95,4 +95,38 @@ class ForgetSpec extends AnyFunSuite {
       .filter(col("doc_id").isin(ids: _*)).count()
     assert(doclen == ids.size, "ti membership must be untouched")
   }
+
+  test("forget erases the dedup gate's memory too — a forgotten doc stops convicting lookalikes") {
+    import graft.operators.DedupIndex
+    val (wh, _) = fixture()
+    val docs = Tables.documents(spark, sf)
+    DedupIndex.build(wh, "di", docs)
+    // victim: the corpus min-id doc — a bucket min everywhere it
+    // lands, so its ghost would convict every future lookalike
+    val victim = docs.agg(min("doc_id")).first().getLong(0)
+    val vtext = docs.filter(col("doc_id") === victim)
+      .select("text").first().getString(0)
+    val spark0 = spark; import spark0.implicits._
+    val lookalike = Seq((900000L, vtext)).toDF("doc_id", "text")
+    val r = Forget.forgetDocs(wh, "docs", Seq(victim),
+      textIdx = Seq("ti"), annIdx = Seq("ann"), dedupIdx = Seq("di"))
+    assert(r.baseRows == 1L && r.dedupIndexDocs("di") == 1L)
+    assert(wh.table("di_bands")
+      .filter(col("doc_id") === victim).isEmpty)
+    // the lookalike's verdict must come from the SURVIVORS only —
+    // identical to an index that never held the victim
+    val whRef = new Warehouse(spark, tmp("forget_di_ref"))
+    DedupIndex.build(whRef, "di",
+      docs.filter(col("doc_id") =!= victim))
+    val got = DedupIndex.verdicts(wh, "di", lookalike).collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)), x.getInt(2)))
+    val want = DedupIndex.verdicts(whRef, "di", lookalike).collect()
+      .map(x => (x.getLong(0),
+        if (x.isNullAt(1)) None else Some(x.getLong(1)), x.getInt(2)))
+    assert(got.sameElements(want),
+      s"ghost conviction: ${got.toSeq} vs ${want.toSeq}")
+    assert(got.forall(_._2 != Some(victim)),
+      "forgotten doc still named as dup_of")
+  }
 }

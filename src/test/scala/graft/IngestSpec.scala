@@ -135,4 +135,49 @@ class IngestSpec extends AnyFunSuite {
     assert(wh.table("ann_codes").count() == 40L)
     consistent(wh)
   }
+
+  test("gated ingest: near-dups of anything ever seen — stored corpus, own batch, or earlier DROPPED docs — never become corpus; every structure stays consistent") {
+    import graft.operators.DedupIndex
+    val wh = bootstrap("ingest_gated")
+    DedupIndex.build(wh, "di", frame(seed))
+    val emb = corpus(5)._3
+    val fresh = "uniquesauce quorval zintrap melkovar dresnip oblarn"
+    // 1000 = verbatim copy of an already-stored doc; 1001 = genuinely
+    // new; 1002 = exact in-batch dup of 1001
+    val g1 = Seq((1000L, corpus(5)._2, emb), (1001L, fresh, emb),
+      (1002L, fresh, emb))
+    assert(Ingest.ingestBatch(wh, "docs", frame(g1), 0L,
+      Some("ti"), Some("ann"), Some("di")))
+    assert(wh.countRows("docs").contains(31L),
+      "only the first-of-its-neighborhood doc may land")
+    assert(wh.table("docs").filter(col("doc_id") === 1001L).count() == 1)
+    assert(wh.table("docs")
+      .filter(col("doc_id").isin(1000L, 1002L)).isEmpty)
+    // the indexes hold exactly the base table — search, fetch, and
+    // vector lanes agree about what the corpus IS
+    assert(wh.table("ti_doclen").count() == 31L)
+    assert(wh.table("ann_codes").count() == 31L)
+    consistent(wh)
+    // dropped docs still entered the GATE's memory…
+    assert(wh.table("di_bands").select("doc_id").distinct()
+      .filter(col("doc_id").isin(1000L, 1002L)).count() == 2)
+    // …so a later copy of a doc that never LANDED is still convicted
+    // (the transitive keep-first policy, now across micro-batches)
+    assert(Ingest.ingestBatch(wh, "docs",
+      frame(Seq((1003L, fresh, emb))), 1L,
+      Some("ti"), Some("ann"), Some("di")))
+    assert(wh.countRows("docs").contains(31L))
+    assert(wh.table("ti_doclen").count() == 31L)
+    assert(wh.table("ann_codes").count() == 31L)
+    consistent(wh)
+    // replayed gated batch: nothing moves anywhere, gate included
+    val vers = (DedupIndex.tables("di") ++ Seq("docs", "ti_doclen"))
+      .map(t => t -> wh.tableVersions(t))
+    assert(!Ingest.ingestBatch(wh, "docs",
+      frame(Seq((1003L, fresh, emb))), 1L,
+      Some("ti"), Some("ann"), Some("di")))
+    vers.foreach { case (t, v) =>
+      assert(wh.tableVersions(t) == v, s"replay advanced $t")
+    }
+  }
 }
