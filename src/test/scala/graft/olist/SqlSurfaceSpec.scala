@@ -454,6 +454,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(v2.head.getLong(1) == 100L)
     assert(graft.operators.AnnIndex
       .query(wh, "ann", emb, queryId = 0L).count() == 10)
+    // dedup-gate lane: CREATE builds the band/bucket tables, REFRESH
+    // admits (= judges + records) only the not-yet-seen docs
+    val g = spark.sql("CREATE DEDUP INDEX di ON docs").collect()
+    assert(g.head.getString(0) == "OK" &&
+      g.head.getLong(1) == docs.count())
+    val g2 = spark.sql("REFRESH DEDUP INDEX di FROM docs").collect()
+    assert(g2.head.getLong(1) == 0L, "replayed source must judge 0 fresh docs")
+    assert(graft.operators.DedupIndex.verdicts(wh, "di", docs).count()
+      == docs.count())
   }
 
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
