@@ -42,7 +42,10 @@ object Bench {
     "b4_minmax_wh", "b8_sql_minmax_wh", "b5_phrase_wh",
     // dedup-gate serving twins: full LSH recompute vs the stored
     // near-dup index (bucket-min segment read, batch bands broadcast)
-    "b9_neardup_raw", "b9_neardup_wh"
+    "b9_neardup_raw", "b9_neardup_wh",
+    // token-ledger twins: per-source sum/count by grouped scan vs
+    // folded from the manifest's exact per-file sums (SQL rewrite)
+    "b10_ledger_raw", "b10_ledger_wh"
   ).filter(SparkEntry.queries.contains)
 
   /** The ATTRIBUTION lane: the same headline queries in a VANILLA

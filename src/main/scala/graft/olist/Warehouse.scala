@@ -3759,6 +3759,48 @@ class Warehouse(val spark: SparkSession, basePath: String,
     } yield (folded, cn, n - fs.flatMap(_.dv).map(_.rows).sum)
   }
 
+  /** Fold the per-file exact SUM stats ([[sumKey]]) of a file subset
+    * to a per-column total — the metadata lane behind
+    * `SELECT sum(<integral col>)` (MetadataAggRewrite / the b10 token
+    * ledger). Semantics match Spark's `Sum` over integral inputs
+    * exactly: nulls never contribute, a column with ZERO non-null rows
+    * across the subset sums to SQL NULL, and the output is LongType —
+    * a BigInt total outside Long range disqualifies (None) so the
+    * overflow surfaces through the real scan (ANSI error / try_sum
+    * null), never through a silently-wrapped metadata answer.
+    * Disqualifies like min/max on: any non-integral column, any file
+    * carrying a deletion vector (the deleted rows' values are baked
+    * into the stored sum), or any file missing the stat with a
+    * non-zero (or unknown) non-null count — pre-stats files keep the
+    * scan. */
+  private[graft] def metadataSumFold(fs: Seq[Warehouse.DataFile],
+      types: Map[String, org.apache.spark.sql.types.DataType],
+      sumCols: Seq[String]): Option[Map[String, Any]] = {
+    if (sumCols.isEmpty) return Some(Map.empty)
+    if (!sumCols.forall(c => types.get(c).exists(integralType))) return None
+    if (fs.exists(_.dv.isDefined)) return None
+    sumCols.foldLeft(Option(Map.empty[String, Any])) { case (acc, c) =>
+      acc.flatMap { m =>
+        val per: Seq[Option[(BigInt, Long)]] = fs.map { f =>
+          (sumOf(f, c), nonNullOf(f, c)) match {
+            case (Some(s), Some(nn)) => Some((s, nn))
+            case (None, Some(0L)) => Some((BigInt(0), 0L))
+            case _ => None
+          }
+        }
+        if (!per.forall(_.isDefined)) None
+        else {
+          val flat = per.flatten
+          val nn = flat.map(_._2).sum
+          val tot = flat.map(_._1).sum
+          if (nn == 0L) Some(m + (c -> null))
+          else if (tot.isValidLong) Some(m + (c -> tot.toLong))
+          else None
+        }
+      }
+    }
+  }
+
   /** Typed partition values parsed from a file's k=v path segments —
     * None when a segment is missing (pre-evolution file) or a value
     * does not round-trip under the column's type. */
@@ -4206,6 +4248,26 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private def nonNullKey(c: String) = s"__nn_$c"
   private def nonNullOf(f: Warehouse.DataFile, c: String): Option[Long] =
     f.stats.get(nonNullKey(c)).flatMap(_._1.toLongOption)
+  /** Pseudo stat key carrying a column's per-file exact SUM
+    * (`"__sum_<col>" -> (s, s)`, RowsKey rendering) — INTEGRAL stat
+    * columns only. Collected as DECIMAL(38,0) so the per-file value
+    * can never overflow however wide the file; folded driver-side as
+    * BigInt, so `SELECT sum(tokens)` — the token-budget ledger every
+    * training-data pipeline keeps — answers from the manifest without
+    * opening a file ([[metadataSumFold]], MetadataAggRewrite). A file
+    * whose column is all-null carries no entry (sum over no values is
+    * the additive identity; `__nn_ == 0` marks it, same convention as
+    * min/max). Floating-point columns are deliberately NOT summed:
+    * double addition is order-dependent, so a metadata fold could not
+    * promise the scan's exact bits. */
+  private def sumKey(c: String) = s"__sum_$c"
+  private def sumOf(f: Warehouse.DataFile, c: String): Option[BigInt] =
+    f.stats.get(sumKey(c)).flatMap(s =>
+      scala.util.Try(BigInt(s._1)).toOption)
+  private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  }
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
   /** Reserved column name carrying the transient z-value during writes. */
@@ -4710,10 +4772,16 @@ class Warehouse(val spark: SparkSession, basePath: String,
           case _ => xxhash64(col(c))
         }
       }
+      // exact per-file SUM for the integral stat columns — rides the
+      // same single stats pass; DECIMAL(38,0) accumulation so no file,
+      // however large, can overflow its own sum (see [[sumKey]])
+      val sumCols = statCols.filter(c => integralType(schema(c).dataType))
       val aggs = Seq(count(lit(1)).as("__nrows")) ++
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
             count(col(c)).as(s"__c_$c"))) ++
+        sumCols.map(c => sum(col(c).cast(
+          org.apache.spark.sql.types.DecimalType(38, 0))).as(s"__sm_$c")) ++
         bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c")) ++
         ndvCols.map(c =>
           hll_sketch_agg(sketchable(c), lit(ndvLgK)).as(s"__h_$c"))
@@ -4733,6 +4801,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
           // the "all null, min/max legitimately absent" marker
           val cn = row.getAs[Long](s"__c_$c").toString
           nonNullKey(c) -> (cn, cn)
+        } ++ sumCols.flatMap { c =>
+          // all-null file → SQL sum is null → no entry (nn==0 marks it)
+          Option(row.getAs[java.math.BigDecimal](s"__sm_$c")).map { s =>
+            val v = s.toBigInteger.toString
+            sumKey(c) -> (v, v)
+          }
         } + (RowsKey -> (n, n))
         val bf = bCols.flatMap { c =>
           Option(row.getAs[Array[Byte]](s"__bf_$c")).map(b =>

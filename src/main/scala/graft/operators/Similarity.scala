@@ -1039,6 +1039,24 @@ object Similarity {
     // ranking, like e9/e12.
     Q("e13_ivf_pq_topk", None, (s, d) => annIvfPq(s, d, topK = TOP_K)),
 
+    // E13-full — the full-probe exactness trick (b3_ann_full_wh /
+    // e12_pq_full_rerank) applied to the COMPOSED IVF-PQ lane: probing
+    // every coarse cell (nProbe = nCells) with an ADC pool ≥ corpus
+    // size makes the exact re-rank independent of both quantizers, so
+    // the result IS the exact cosine top-k and e1's DuckDB oracle
+    // hash-checks the whole composition — coarse k-means assignment,
+    // the one-pass cell+code projection, cell-IN pruning, ADC ranking,
+    // bounded re-rank. A wrong cell code silently dropping rows, a
+    // broken IN-filter, or a mis-keyed codes join each shrinks the
+    // pool and diverges the hash. e13_ivf_pq_topk stays the honest
+    // probed production shape with its recall-floor spec.
+    Q("e13_ivf_pq_full", Some(exactCosineTopKSql()),
+      (s, d) => {
+        val n = T.embeddings(s, d).count().toInt
+        annIvfPq(s, d, topK = TOP_K,
+          overquery = (n + TOP_K - 1) / TOP_K, nProbe = 8)
+      }),
+
     // D16 — SemDeDup semantic deduplication (rows-only: the Lloyd
     // codebook is not SQL-expressible; SimilaritySpec pins the banded
     // path ≡ a naive within-cluster crossJoin reference and planted-

@@ -63,6 +63,13 @@ object WarehouseBench {
       // GROUPED min/max/count folds per partition from metadata
       w.save("lineitem_p", T.lineitem(s, d),
         partitionBy = Seq("l_returnflag"), clusterBy = Seq("l_orderkey"))
+      // b10's token ledger: documents partitioned by source with the
+      // size column declared for stats, so per-source sum/count — the
+      // per-domain token-budget accounting every training-data
+      // pipeline keeps — folds from the manifest's exact per-file sums
+      w.save("documents_p", T.documents(s, d),
+        partitionBy = Seq("source"), clusterBy = Seq("doc_id"))
+      w.statsBy("documents_p", Seq("n_chars"))
       w
     })
 
@@ -114,6 +121,13 @@ object WarehouseBench {
     """SELECT l_returnflag, min(l_orderkey) AS min_ok,
       |  max(l_orderkey) AS max_ok, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  // DuckDB sums BIGINT into HUGEINT — the a15/sp10 trap; Spark's
+  // sum(long) is LongType, so the oracle pins BIGINT explicitly
+  private val b10Oracle =
+    """SELECT source, CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+      |  count(*) AS cnt, count(n_chars) AS nn
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
   private val b4Oracle =
     """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
@@ -248,6 +262,30 @@ object WarehouseBench {
           col("min_l_orderkey").as("min_ok"),
           col("max_l_orderkey").as("max_ok"), col("cnt"))
         .orderBy("l_returnflag")),
+
+    // b10 — the TOKEN-LEDGER twins: per-source size/count accounting
+    // ("how many chars/docs does each domain contribute to the
+    // mixture?") answered by a full grouped scan (raw) vs folded
+    // entirely from the manifest's exact per-file DECIMAL(38,0) sums
+    // (wh — plain SQL over the dw_ view, MetadataAggRewrite turns the
+    // Aggregate into a LocalRelation; zero data files opened,
+    // spec-asserted in MetadataAggRewriteSpec). At 100 TB the raw side
+    // re-reads the corpus per budget question; the wh side reads the
+    // manifest — and stays EXACT through appends because per-file sums
+    // fold additively, unlike a cached approximate ledger. Both lanes
+    // carry the same DuckDB oracle, so the sum fold is hash-checked
+    // cross-engine (the HUGEINT cast included).
+    Q("b10_ledger_raw", Some(b10Oracle), (s, d) =>
+      T.documents(s, d).groupBy("source")
+        .agg(sum(col("n_chars")).as("sum_chars"),
+          count(lit(1)).as("cnt"), count(col("n_chars")).as("nn"))
+        .orderBy("source")),
+    Q("b10_ledger_wh", Some(b10Oracle), (s, d) => {
+      warehouse(s, d).enableSql()
+      s.sql("""SELECT source, sum(n_chars) AS sum_chars, count(*) AS cnt,
+              |  count(n_chars) AS nn
+              |FROM dw_documents_p GROUP BY source ORDER BY source""".stripMargin)
+    }),
 
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(

@@ -41,12 +41,15 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    stays exact THROUGH DVs — the manifest knows each sidecar's
   *    cardinality, so n = Σ file rows − Σ dv rows
   *    ([[graft.olist.Warehouse.metadataAggFold]]);
-  *  - every aggregate is a bare `min`/`max`/`count` over a column or
-  *    `count(*)`/`count(1)` — no DISTINCT, no FILTER, nothing else.
-  *    `count(col)` folds from the per-file NON-NULL counts
-  *    (`"__nn_<col>"` stats) when every selected file carries them —
-  *    a pre-stats file disqualifies (min/max stats alone cannot see
-  *    nulls);
+  *  - every aggregate is a bare `min`/`max`/`count`/`sum` over a
+  *    column or `count(*)`/`count(1)` — no DISTINCT, no FILTER,
+  *    nothing else. `count(col)` folds from the per-file NON-NULL
+  *    counts (`"__nn_<col>"` stats) when every selected file carries
+  *    them — a pre-stats file disqualifies (min/max stats alone cannot
+  *    see nulls). `sum(col)` folds from the per-file exact sums
+  *    (`"__sum_<col>"`, integral stat columns only) under the same
+  *    no-DV rule, and only when the exact total fits LongType — the
+  *    token-budget ledger lane ([[graft.olist.Warehouse.metadataSumFold]]);
   *  - grouping, when present, is on attribute references over
   *    partition columns — the manifest groups those exactly.
   *
@@ -100,6 +103,7 @@ case class MetadataAggRewrite(session: SparkSession)
   private case class MaxOf(c: String) extends Out
   private case object Cnt extends Out
   private case class CntOf(c: String) extends Out
+  private case class SumOf(c: String) extends Out
 
   private def rewrite(agg: Aggregate, cond: Option[Expression],
       table: String, body: LogicalPlan): Option[LogicalPlan] = {
@@ -123,6 +127,13 @@ case class MetadataAggRewrite(session: SparkSession)
             // count(col) = the column's non-null count — folds from
             // the per-file "__nn_" stats when every file carries them
             case Count(Seq(c: AttributeReference)) => Some(CntOf(c.name))
+            // sum(col) folds from the per-file exact "__sum_" stats —
+            // integral stat columns only; metadataSumFold disqualifies
+            // everything else (doubles, missing stats, DVs, overflow).
+            // Any eval mode is fine: the fold only ever answers when
+            // the exact total fits LongType, where ANSI, LEGACY and
+            // TRY sums all agree.
+            case Sum(c: AttributeReference, _) => Some(SumOf(c.name))
             case _ => None
           }
         case _ => None
@@ -160,11 +171,13 @@ case class MetadataAggRewrite(session: SparkSession)
       if gs.forall(g => pcols.contains(g.name))
       cols = outs.collect { case MinOf(c) => c; case MaxOf(c) => c }.distinct
       cntCols = outs.collect { case CntOf(c) => c }.distinct
+      sumCols = outs.collect { case SumOf(c) => c }.distinct
       kept <- selectFiles(wh, cond, files, types, pcols)
       rows <- if (gs.isEmpty) {
-        wh.metadataAggFold(kept, types, cols, cntCols).map {
-          case (folded, cnts, n) => Seq(values(outs, Nil, folded, cnts, n))
-        }
+        for {
+          (folded, cnts, n) <- wh.metadataAggFold(kept, types, cols, cntCols)
+          sums <- wh.metadataSumFold(kept, types, sumCols)
+        } yield Seq(values(outs, Nil, folded, cnts, sums, n))
       } else scala.util.Try {
         // Try: "disqualify, never fail" — a foreign-written partition
         // directory that trips value parsing must degrade to the scan,
@@ -181,9 +194,11 @@ case class MetadataAggRewrite(session: SparkSession)
         else {
           val grouped = gvs.flatten.groupBy(_._1).toSeq.map {
             case (gvals, gfs) =>
-              wh.metadataAggFold(gfs.map(_._2), types, cols, cntCols)
-                .map { case (folded, cnts, n) =>
-                  values(outs, gvals, folded, cnts, n) }
+              for {
+                (folded, cnts, n) <-
+                  wh.metadataAggFold(gfs.map(_._2), types, cols, cntCols)
+                sums <- wh.metadataSumFold(gfs.map(_._2), types, sumCols)
+              } yield values(outs, gvals, folded, cnts, sums, n)
           }
           if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None
         }
@@ -241,7 +256,7 @@ case class MetadataAggRewrite(session: SparkSession)
 
   private def values(outs: Seq[Out], gvals: Seq[Any],
       folded: Seq[(String, Option[Any], Option[Any])],
-      cnts: Map[String, Long], n: Long): Seq[Any] = {
+      cnts: Map[String, Long], sums: Map[String, Any], n: Long): Seq[Any] = {
     val lo = folded.map { case (c, l, _) => c -> l.orNull }.toMap
     val hi = folded.map { case (c, _, h) => c -> h.orNull }.toMap
     outs.map {
@@ -250,6 +265,7 @@ case class MetadataAggRewrite(session: SparkSession)
       case MaxOf(c) => hi(c)
       case Cnt => n
       case CntOf(c) => cnts(c)
+      case SumOf(c) => sums(c)
     }
   }
 }

@@ -161,6 +161,117 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     assert(q4.collect()(0).getLong(0) == 100L)
   }
 
+  test("sum(col) folds from per-file exact sums — the token-ledger lane") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_sum")).enableSql()
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("p"), col("id").as("k"),
+      when(col("id") % 7 =!= 0, col("id") * 11).as("v"),
+      (col("id") % 100).cast("double").as("d"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    // ungrouped: sum over a nullable stats column, alongside the other
+    // foldable aggregates — nulls never contribute, exactly the scan
+    val q = spark.sql(
+      "SELECT sum(v) AS sv, sum(k) AS sk, count(v) AS cv, count(*) AS n FROM dw_t")
+    assert(fileScans(q) == 0, "sum over stats columns must fold:\n" +
+      q.queryExecution.sparkPlan)
+    val want = df.agg(sum("v"), sum("k"), count(col("v")), count(lit(1)))
+      .collect()(0)
+    val r = q.collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((want.getLong(0), want.getLong(1), want.getLong(2), want.getLong(3))))
+    // grouped by the partition column — the per-source token budget
+    val q2 = spark.sql("SELECT p, sum(v) AS sv, count(*) AS n " +
+      "FROM dw_t GROUP BY p")
+    assert(fileScans(q2) == 0, "grouped sum must fold")
+    val got2 = q2.collect().map(r2 =>
+      r2.getString(0) -> ((r2.getLong(1), r2.getLong(2)))).toMap
+    val want2 = df.groupBy("p").agg(sum("v"), count(lit(1))).collect()
+      .map(r2 => r2.getString(0) -> ((r2.getLong(1), r2.getLong(2)))).toMap
+    assert(got2 == want2)
+    // a DOUBLE column never folds (order-dependent addition) — scan
+    val q3 = spark.sql("SELECT sum(d) AS sd FROM dw_t")
+    assert(fileScans(q3) > 0, "sum(double) must stay a scan")
+    // un-stat'd column → scan, right answer
+    val wh2 = new Warehouse(spark, tmp("wh_mdagg_sum2")).enableSql()
+    wh2.save("u", spark.range(100).select(col("id").as("a"),
+      col("id").as("b")), clusterBy = Seq("a"))
+    val q4 = spark.sql("SELECT sum(b) AS sb FROM dw_u")
+    assert(fileScans(q4) > 0, "un-stat'd column must stay a scan")
+    assert(q4.collect()(0).getLong(0) == 4950L)
+    // sum DISTINCT is a different aggregate — never rewritten
+    val q5 = spark.sql("SELECT sum(DISTINCT a) AS s FROM dw_u")
+    assert(fileScans(q5) > 0)
+    assert(q5.collect()(0).getLong(0) == 4950L)
+  }
+
+  test("sum: all-null columns yield SQL NULL; overflow keeps the scan") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_sumnull")).enableSql()
+    import spark.implicits._
+    // partition '0' is ALL null in v — its files carry no __sum_ entry
+    // and must contribute the additive identity, not poison the fold
+    val df = spark.range(900).select(
+      (col("id") % 3).cast("string").as("p"), col("id").as("k"),
+      when(col("p") =!= "0", col("id")).as("v"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val q = spark.sql("SELECT p, sum(v) AS sv FROM dw_t GROUP BY p")
+    assert(fileScans(q) == 0, "all-null groups must not poison the fold")
+    val got = q.collect().map(r => r.getString(0) ->
+      (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    val want = df.groupBy("p").agg(sum("v")).collect().map(r =>
+      r.getString(0) ->
+        (if (r.isNullAt(1)) null else java.lang.Long.valueOf(r.getLong(1)))).toMap
+    assert(got == want)
+    assert(got("0") == null, "an all-null group sums to SQL NULL")
+    // a ZERO-non-null table overall also answers NULL from metadata
+    val wh2 = new Warehouse(spark, tmp("wh_mdagg_sumnull2")).enableSql()
+    wh2.save("z", spark.range(50).select(col("id").as("k"),
+      lit(null).cast("long").as("v")), clusterBy = Seq("k"))
+    wh2.statsBy("z", Seq("v"))
+    val qz = spark.sql("SELECT sum(v) AS sv, count(*) AS n FROM dw_z")
+    assert(fileScans(qz) == 0)
+    val rz = qz.collect()(0)
+    assert(rz.isNullAt(0) && rz.getLong(1) == 50L)
+    // a total beyond LongType disqualifies — the overflow must surface
+    // through the real scan's ANSI semantics, never a wrapped fold
+    val wh3 = new Warehouse(spark, tmp("wh_mdagg_sumovf")).enableSql()
+    wh3.save("o", Seq(Long.MaxValue, Long.MaxValue).toDF("v")
+      .withColumn("k", lit(1L)).repartition(2), clusterBy = Seq("k"))
+    wh3.statsBy("o", Seq("v"))
+    val qo = spark.sql("SELECT sum(v) AS sv FROM dw_o")
+    assert(fileScans(qo) > 0, "overflowing total must keep the scan:\n" +
+      qo.queryExecution.sparkPlan)
+    // …while a same-table max still folds (the stats themselves are fine)
+    val qm = spark.sql("SELECT max(v) AS mv FROM dw_o")
+    assert(fileScans(qm) == 0)
+    assert(qm.collect()(0).getLong(0) == Long.MaxValue)
+  }
+
+  test("sum: deletion vectors disqualify; appends stay additive") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_sumdv")).enableSql()
+    val df = spark.range(1000).select(col("id").as("k"))
+      .repartitionByRange(3, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    // appends fold additively — the ledger stays exact through growth
+    import spark.implicits._
+    wh.append("t", Seq(100000L, 200000L).toDF("k"))
+    val q = spark.sql("SELECT sum(k) AS s, count(*) AS n FROM dw_t")
+    assert(fileScans(q) == 0, "append must keep the sum foldable")
+    val r = q.collect()(0)
+    assert(r.getLong(0) == 499500L + 300000L && r.getLong(1) == 1002L)
+    // a DV'd file's stored sum includes the deleted row — scan
+    assert(wh.delete("t", col("k") === 500L).filesDv >= 1)
+    val q2 = spark.sql("SELECT sum(k) AS s FROM dw_t")
+    assert(fileScans(q2) > 0, "DV'd table must stay a scan for sum")
+    assert(q2.collect()(0).getLong(0) == 499500L + 300000L - 500L)
+    // compaction folds the DV away → the ledger answers again
+    wh.compact("t")
+    val q3 = spark.sql("SELECT sum(k) AS s FROM dw_t")
+    assert(fileScans(q3) == 0, "post-compaction the sum folds again")
+    assert(q3.collect()(0).getLong(0) == 499500L + 300000L - 500L)
+  }
+
   test("count(*) alone stays metadata-exact through deletion vectors") {
     val wh = new Warehouse(spark, tmp("wh_mdagg_dvc")).enableSql()
     val df = spark.range(3000).select(col("id").as("k"))
@@ -332,10 +443,15 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
         (s"SELECT min(v) AS a, max(v) AS b FROM dw_$t",
           Some(vStats && !hasDv)),
         (s"SELECT count(v) AS c FROM dw_$t", Some(vStats && !hasDv)),
+        (s"SELECT sum(v) AS s, count(v) AS c FROM dw_$t",
+          Some(vStats && !hasDv)),
+        (s"SELECT sum(k) AS s FROM dw_$t", Some(!hasDv)),
         (s"SELECT min(k) AS a FROM dw_$t WHERE k > 100", Some(false))) ++
         (if (partitioned) Seq(
           (s"SELECT p, min(k) AS lo, max(k) AS hi, count(*) AS n " +
             s"FROM dw_$t GROUP BY p", Some(!hasDv)),
+          (s"SELECT p, sum(v) AS sv, sum(k) AS sk FROM dw_$t GROUP BY p",
+            Some(vStats && !hasDv)),
           (s"SELECT min(k) AS lo, count(*) AS n FROM dw_$t WHERE p = '0'",
             Some(!hasDv)),
           (s"SELECT p, count(*) AS n FROM dw_$t " +
