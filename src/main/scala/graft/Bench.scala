@@ -45,7 +45,10 @@ object Bench {
     "b9_neardup_raw", "b9_neardup_wh",
     // token-ledger twins: per-source sum/count by grouped scan vs
     // folded from the manifest's exact per-file sums (SQL rewrite)
-    "b10_ledger_raw", "b10_ledger_wh"
+    "b10_ledger_raw", "b10_ledger_wh",
+    // decontamination-firewall twins: per-question suite re-shingle vs
+    // the stored gram digests (batch grams broadcast, digests stream)
+    "b11_contam_raw", "b11_contam_wh"
   ).filter(SparkEntry.queries.contains)
 
   /** The ATTRIBUTION lane: the same headline queries in a VANILLA

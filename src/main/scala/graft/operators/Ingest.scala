@@ -48,24 +48,40 @@ object Ingest {
     * policy) but never become corpus. The gate's anti-join doubles as
     * the replay guard: a replayed batch's docs are already in the
     * band membership, so the gate commits nothing and the batchId
-    * fence settles the rest. */
+    * fence settles the rest.
+    *
+    * With `contamIdx` set, the [[ContamGate]] benchmark firewall runs
+    * FIRST: docs sharing any word-8-gram with the stored eval suite
+    * drop before the dedup gate ever sees them — a contaminated doc
+    * must not become a near-dup prior that later convicts its CLEAN
+    * paraphrase (the gate's memory should describe the corpus, not
+    * the rejects). The firewall is read-only (its gram table is not
+    * part of this transaction), so it adds no atomicity surface. */
   def ingestBatch(wh: Warehouse, table: String, batch: DataFrame,
       batchId: Long, textIdx: Option[String] = None,
       annIdx: Option[String] = None,
       dedupIdx: Option[String] = None,
+      contamIdx: Option[String] = None,
       streamId: String = "ingest"): Boolean = {
     val names = (Seq(table) ++ textIdx.toSeq.flatMap(TextIndex.tables)
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
+      val clean = contamIdx match {
+        case Some(i) =>
+          batch.join(broadcast(ContamGate.verdicts(wh, i, batch)
+            .filter(col("keep") === 1).select("doc_id")),
+            Seq("doc_id"), "left_semi")
+        case None => batch
+      }
       val kept = dedupIdx match {
         case Some(i) =>
-          val v = DedupIndex.admitBody(wh, i, batch)
+          val v = DedupIndex.admitBody(wh, i, clean)
           // verdicts are delta-sized and pinned — the semi-join keeps
           // only first-of-their-neighborhood docs, in batch row order
-          batch.join(broadcast(v.filter(col("keep") === 1)
+          clean.join(broadcast(v.filter(col("keep") === 1)
             .select("doc_id")), Seq("doc_id"), "left_semi")
-        case None => batch
+        case None => clean
       }
       val landed = wh.appendStreamBatch(table, kept, batchId, streamId)
       if (landed) {
@@ -85,6 +101,7 @@ object Ingest {
   def streamIndexed(wh: Warehouse, table: String, docs: DataFrame,
       checkpoint: String, textIdx: Option[String] = None,
       annIdx: Option[String] = None, dedupIdx: Option[String] = None,
+      contamIdx: Option[String] = None,
       streamId: String = "ingest")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -92,7 +109,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, dedupIdx,
-          streamId)
+          contamIdx, streamId)
         ()
       }
       .start()

@@ -485,6 +485,29 @@ object Similarity {
       .limit(topK)
   }
 
+  /** Cluster-balanced DIVERSITY sampling (sp11): keep at most `cap`
+    * vectors per hyperplane-LSH bucket — the coreset move behind
+    * cluster-then-uniform data selection (dense regions of embedding
+    * space contribute a bounded number of examples; sparse regions
+    * keep everything), as one shuffle on the bucket key. Bucket
+    * assignment is [[bucketOf]]'s per-row fused pass (no training, no
+    * iteration — unlike k-means coresets the whole selection is
+    * deterministic and cross-engine checkable); within a bucket the
+    * kept `cap` are the smallest md5-hash ids, so membership is a pure
+    * function of (vec_id, cap) — re-runs and backfills agree. Returns
+    * (vec_id, bucket, rk, kept); filter `kept = 1` to apply. */
+  def diversitySample(emb: DataFrame, cap: Int): DataFrame = {
+    val s = emb.sparkSession
+    val key = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    val rk = row_number()
+      .over(Window.partitionBy("bucket").orderBy(key.asc, col("vec_id").asc))
+    emb.select(col("vec_id"),
+        bucketOf(s, col("embedding")).as("bucket"))
+      .withColumn("rk", rk)
+      .withColumn("kept", when(col("rk") <= cap, 1).otherwise(0))
+  }
+
   /** Embedding near-duplicate pairs (d1 < d2, cosine ≥ 0.2): candidates
     * only from shared LSH buckets, exact-decimal cosine verification.
     * Shared by d7 (pair listing) and d8 (component resolution).
@@ -630,6 +653,25 @@ object Similarity {
               |SELECT vec_id, bucket FROM bkt ORDER BY vec_id""".stripMargin),
       (s, d) => T.embeddings(s, d)
         .select(col("vec_id"), bucketOf(s, col("embedding")).as("bucket"))
+        .orderBy("vec_id")),
+
+    // SP11 — cluster-balanced diversity sampling: e2's deterministic
+    // buckets stand in for the clustering, sp9's smallest-hash cap
+    // bounds each bucket's contribution — the whole coreset selection
+    // is a pure function of the corpus, so unlike k-means-based
+    // selection it is DuckDB-hash-checked end to end (bucket
+    // assignment on the exact-decimal tier + the same md5 rank key).
+    Q("sp11_diversity_sample",
+      Some(s"""WITH $bucketCtes
+              |SELECT vec_id, bucket, rk,
+              |  CASE WHEN rk <= 2 THEN 1 ELSE 0 END AS kept
+              |FROM (SELECT vec_id, bucket,
+              |        row_number() OVER (PARTITION BY bucket
+              |          ORDER BY ('0x' || substr(md5(cast(vec_id AS varchar)), 1, 8))::BIGINT,
+              |            vec_id) AS rk
+              |      FROM bkt)
+              |ORDER BY vec_id""".stripMargin),
+      (s, d) => diversitySample(T.embeddings(s, d), cap = 2)
         .orderBy("vec_id")),
 
     // E3 — ANN: probe ONLY the query vector's bucket, exact cosine on

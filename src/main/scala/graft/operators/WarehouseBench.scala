@@ -122,6 +122,28 @@ object WarehouseBench {
       |  max(l_orderkey) AS max_ok, count(*) AS cnt
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  // b11: the last-100-doc batch judged against the src0 eval suite —
+  // shared-gram counts exactly d10's, plus the firewall's keep flag
+  private val b11Oracle =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    md5(unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+      |                i -> array_to_string(ts[i:i+7], ' '))))) AS h
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(text), '\s+') AS ts
+      |        FROM documents) WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT h FROM g WHERE source = 'src0'),
+      |batch AS (SELECT doc_id FROM documents
+      |          WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents)),
+      |hits AS (SELECT g.doc_id, count(*) AS shared_grams
+      |         FROM g JOIN bench USING (h) JOIN batch USING (doc_id)
+      |         GROUP BY g.doc_id)
+      |SELECT b.doc_id,
+      |  CAST(coalesce(h.shared_grams, 0) AS BIGINT) AS shared_grams,
+      |  CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS keep
+      |FROM batch b LEFT JOIN hits h USING (doc_id)
+      |ORDER BY doc_id""".stripMargin
+
   // DuckDB sums BIGINT into HUGEINT — the a15/sp10 trap; Spark's
   // sum(long) is LongType, so the oracle pins BIGINT explicitly
   private val b10Oracle =
@@ -287,6 +309,44 @@ object WarehouseBench {
               |FROM dw_documents_p GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // b11 — the DECONTAMINATION-FIREWALL serving twins: "is this
+    // delivery batch clean of the eval suite?" answered by recomputing
+    // the suite's grams per question (raw — re-shingles the src0 docs
+    // every time) vs a read of the stored [[ContamGate]] digests (wh —
+    // the batch's grams broadcast onto the stored 16-byte digest scan;
+    // no benchmark text touched at serving, ever). Same batch shape as
+    // b9 (the 100 top-id docs); both lanes carry the same DuckDB
+    // oracle, so the stored digests are hash-checked cross-engine.
+    Q("b11_contam_raw", Some(b11Oracle), (s, d) => {
+      val docs = T.documents(s, d)
+      val split = docs.agg(max("doc_id")).first().getLong(0) - 100
+      val ex = docs
+        .select(col("doc_id"), col("source"),
+          org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")
+            .as("ts"))
+        .filter(size(col("ts")) >= 8)
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.shingles(col("ts"), 8)).as("g"))
+        .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
+        .distinct()
+      val bench = ex.filter(col("source") === "src0").select("h").distinct()
+      val batch = docs.filter(col("doc_id") > split).select("doc_id")
+      val hits = ex.join(batch, Seq("doc_id"), "left_semi")
+        .join(broadcast(bench), Seq("h"))
+        .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+      batch.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
+          when(col("shared_grams").isNull, 1).otherwise(0).as("keep"))
+        .orderBy("doc_id")
+    }),
+    Q("b11_contam_wh", Some(b11Oracle), (s, d) => {
+      val docs = T.documents(s, d)
+      val split = docs.agg(max("doc_id")).first().getLong(0) - 100
+      ContamGate.verdicts(contamIndexed(s, d), "cg_b",
+        docs.filter(col("doc_id") > split)).orderBy("doc_id")
+    }),
+
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(
         TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
@@ -345,6 +405,14 @@ object WarehouseBench {
   private def dedupIndexed(s: SparkSession, d: String): Warehouse =
     memoized(diCache, "graft_dibench")(
       w => DedupIndex.build(w, "di_b", T.documents(s, d)))(s, d)
+
+  private val cgCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def contamIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(cgCache, "graft_cgbench")(
+      w => ContamGate.build(w, "cg_b",
+        T.documents(s, d).filter(col("source") === "src0")))(s, d)
 
   // one memoizer shape for every serving-path warehouse: keyed per
   // (session, sf dir) — see the cache comment above — with the setup

@@ -21,7 +21,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("VACUUM t RETAIN 3 VERSIONS")
   *   spark.sql("OPTIMIZE t")
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
-  *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, DEDUP, REFRESH … FROM
+  *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, DEDUP, CONTAM, REFRESH … FROM
   *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
   *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata-only min/max + rows
   *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
@@ -134,10 +134,10 @@ object GraftSqlParser {
       """\s+JOIN\s+([\w]+)\s+USING\s*\(([^)]*)\)\s+ID\s+([\w]+)""" +
       """\s*;?\s*$""").r
   private val CreateIdx =
-    ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR|DEDUP)\s+INDEX\s+([\w]+)""" +
+    ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
       """\s+ON\s+([\w]+)\s*;?\s*$""").r
   private val RefreshIdx =
-    ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP)\s+INDEX\s+([\w]+)""" +
+    ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
       """\s+FROM\s+([\w]+)\s*;?\s*$""").r
   private val Clone =
     """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
@@ -517,6 +517,8 @@ object GraftSqlParser {
                   graft.operators.TextIndex.build(wh, idx, wh.table(src))
                 else if (kind.equalsIgnoreCase("DEDUP"))
                   graft.operators.DedupIndex.build(wh, idx, wh.table(src))
+                else if (kind.equalsIgnoreCase("CONTAM"))
+                  graft.operators.ContamGate.build(wh, idx, wh.table(src))
                 else
                   graft.operators.AnnIndex.build(wh, idx, wh.table(src))
               Seq(Row("OK", n))
@@ -534,6 +536,10 @@ object GraftSqlParser {
                   // not-yet-seen docs; rows = fresh docs judged
                   graft.operators.DedupIndex.admit(wh, idx, wh.table(src))
                     .count()
+                else if (kind.equalsIgnoreCase("CONTAM"))
+                  // a new benchmark version: only unseen gram digests
+                  // append; rows = grams added (replay = 0)
+                  graft.operators.ContamGate.refresh(wh, idx, wh.table(src))
                 else
                   graft.operators.AnnIndex.refresh(wh, idx, wh.table(src))
               Seq(Row("OK", n))

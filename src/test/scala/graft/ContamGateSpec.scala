@@ -1,0 +1,121 @@
+package graft
+
+import graft.olist.Warehouse
+import graft.operators.{ContamGate, Dedup, DedupIndex, Ingest}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The stored benchmark-decontamination gate
+  * ([[graft.operators.ContamGate]]): suite grams digested once,
+  * delivery batches judged against the 16-byte digests alone — and the
+  * firewall position in [[Ingest.ingestBatch]]: contaminated docs drop
+  * BEFORE the dedup gate ever sees them. */
+class ContamGateSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def tmp(p: String): String =
+    java.nio.file.Files.createTempDirectory(p).toString
+
+  private val gram8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+  private val filler =
+    (1 to 40).map(i => s"w$i").mkString(" ")
+  // the suite gets its OWN padding — a batch doc sharing `filler` with
+  // a bench doc would be genuinely contaminated through the padding
+  private val benchPad =
+    (1 to 40).map(i => s"b$i").mkString(" ")
+
+  private def df(rows: Seq[(Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("verdicts: shared-gram counts and keep flags match a from-scratch sweep") {
+    val wh = new Warehouse(spark, tmp("cg_verdicts"))
+    val bench = df(Seq(
+      (900L, s"$gram8 $benchPad"),
+      (901L, "india juliet kilo lima mike november oscar papa quebec")))
+    assert(ContamGate.build(wh, "cg", bench) > 0)
+    val batch = df(Seq(
+      (1L, s"leading tokens $gram8 trailing tokens here now"), // hits
+      (2L, s"totally clean $filler"),                          // clean
+      (3L, "too short to gram"),                               // <8 tokens
+      (4L, s"$gram8 $gram8 x")))                               // dup grams count once
+    val got = ContamGate.verdicts(wh, "cg", batch)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    // doc 1 embeds the 8-gram once → exactly 1 shared (its other
+    // windows straddle the seam and match nothing); doc 4 repeats the
+    // gram but per-doc digests are DISTINCT → still 1
+    assert(got == Seq((1L, 1L, 0), (2L, 0L, 1), (3L, 0L, 1), (4L, 1L, 0)),
+      s"got $got")
+  }
+
+  test("refresh: replay adds nothing; a new benchmark version arms the gate") {
+    val wh = new Warehouse(spark, tmp("cg_refresh"))
+    val v1 = df(Seq((900L, s"$gram8 $benchPad")))
+    ContamGate.build(wh, "cg", v1)
+    assert(ContamGate.refresh(wh, "cg", v1) == 0L,
+      "replaying the same suite must add zero grams")
+    val newGram = "romeo sierra tango uniform victor whiskey xray yankee"
+    val doc = df(Seq((5L, s"prefix $newGram suffix words go here too")))
+    assert(ContamGate.verdicts(wh, "cg", doc).first().getInt(2) == 1,
+      "not yet armed")
+    assert(ContamGate.refresh(wh, "cg",
+      df(Seq((902L, s"$newGram and some more benchmark words")))) > 0L)
+    assert(ContamGate.verdicts(wh, "cg", doc).first().getInt(2) == 0,
+      "the new version's grams must convict")
+    // the suite's own docs judge as contaminated against themselves
+    assert(ContamGate.verdicts(wh, "cg", v1).first().getInt(2) == 0)
+  }
+
+  test("ingest firewall: contaminated docs never reach base, indexes, or the dedup gate's memory") {
+    val wh = new Warehouse(spark, tmp("cg_ingest"))
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
+    wh.save("docs", df(Seq((0L, s"seed document $filler"))))
+    DedupIndex.build(wh, "di", wh.table("docs"))
+    // batch 1: one clean doc + one contaminated doc
+    val contaminated = 11L
+    val b1 = df(Seq(
+      (10L, "a perfectly clean document with plenty of original words"),
+      (contaminated, s"stolen benchmark span $gram8 hidden in plain text")))
+    assert(Ingest.ingestBatch(wh, "docs", b1, batchId = 1L,
+      dedupIdx = Some("di"), contamIdx = Some("cg")))
+    val ids = wh.table("docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 10L), s"contaminated doc must not land: $ids")
+    // the firewall runs FIRST: the reject is absent from the dedup
+    // gate's band memory, so it can never convict a future clean doc
+    val banded = wh.table("di_bands").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!banded.contains(contaminated),
+      "a contaminated doc must not become a near-dup prior")
+    // replay of the same batch: no-op everywhere (batchId fence)
+    assert(!Ingest.ingestBatch(wh, "docs", b1, batchId = 1L,
+      dedupIdx = Some("di"), contamIdx = Some("cg")))
+    assert(wh.countRows("docs").contains(2L))
+  }
+
+  test("scale shape: verdicts broadcast the batch, never the stored grams") {
+    val wh = new Warehouse(spark, tmp("cg_plan"))
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
+    val exec = ContamGate.verdicts(wh, "cg",
+      df(Seq((1L, s"x $gram8 y z and some more filler words here"))))
+      .queryExecution.sparkPlan
+    // the stored gram table (the suite-sized side) must stream through
+    // the probe: no file scan may sit under a broadcast exchange
+    val broadcastScans = exec.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    }.flatten
+    assert(broadcastScans.isEmpty,
+      s"stored digests must never broadcast:\n$exec")
+    // …and the digests ARE read from files (the gate serves from disk,
+    // not a recompute)
+    val scans = exec.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.nonEmpty, s"the stored digests are read from files:\n$exec")
+  }
+}

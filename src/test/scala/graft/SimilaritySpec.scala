@@ -321,6 +321,33 @@ class SimilaritySpec extends AnyFunSuite {
       s"got=${got.map(_.getLong(0)).toSet}")
   }
 
+  test("diversity sample: per-bucket cap honored, sparse buckets keep everything, membership deterministic") {
+    import graft.operators.Similarity
+    val emb = Tables.embeddings(spark, sf)
+    val got = Similarity.diversitySample(emb, cap = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getInt(3)))
+    assert(got.length == emb.count(), "one verdict per vector")
+    val byBucket = got.groupBy(_._2)
+    // never more than cap kept per bucket; a bucket at-or-under cap
+    // keeps ALL its members (sparse regions are never thinned)
+    byBucket.foreach { case (b, rows) =>
+      val kept = rows.count(_._4 == 1)
+      assert(kept <= 2, s"bucket $b kept $kept > cap")
+      if (rows.length <= 2) assert(kept == rows.length,
+        s"sparse bucket $b must keep everything")
+      else assert(kept == 2, s"dense bucket $b must keep exactly cap")
+    }
+    // membership is a pure function of the corpus: a re-run agrees
+    val again = Similarity.diversitySample(emb, cap = 2).collect()
+      .map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got.forall(r => again(r._1) == r._4))
+    // …and survives a different input layout (the window key includes
+    // the id tie-break, so partitioning cannot reorder equal hashes)
+    val shuffled = Similarity.diversitySample(emb.repartition(7), cap = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3))).toMap
+    assert(got.forall(r => shuffled(r._1) == r._4))
+  }
+
   test("semdedup: banded within-cluster path equals the naive crossJoin reference") {
     import graft.operators.Similarity
     val emb = Tables.embeddings(spark, sf)

@@ -463,6 +463,17 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(g2.head.getLong(1) == 0L, "replayed source must judge 0 fresh docs")
     assert(graft.operators.DedupIndex.verdicts(wh, "di", docs).count()
       == docs.count())
+    // decontamination-firewall lane: CREATE digests the suite's grams,
+    // REFRESH appends only a NEW benchmark version's unseen digests
+    wh.save("bench", docs.filter(col("doc_id") < 10))
+    val c = spark.sql("CREATE CONTAM INDEX cg ON bench").collect()
+    assert(c.head.getString(0) == "OK" && c.head.getLong(1) > 0L)
+    val c2 = spark.sql("REFRESH CONTAM INDEX cg FROM bench").collect()
+    assert(c2.head.getLong(1) == 0L, "replayed suite must add 0 grams")
+    // the suite's own docs convict against the stored digests
+    assert(graft.operators.ContamGate
+      .verdicts(wh, "cg", docs.filter(col("doc_id") < 10))
+      .filter(col("keep") === 1).count() == 0L)
   }
 
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
