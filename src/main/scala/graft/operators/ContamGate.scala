@@ -84,11 +84,14 @@ object ContamGate {
     * digest; the verdicts are identical either way. */
   def verdicts(wh: Warehouse, idx: String, batch: DataFrame,
       maxBroadcastDocs: Long = 100000L): DataFrame = {
-    val docs = batch.dropDuplicates("doc_id")
+    // pin the slim batch once: its grams, the join-side choice, and
+    // the verdict frame all reuse it instead of re-scanning the source
+    // (the DedupIndex.verdicts precedent)
+    val docs = batch.select("doc_id", "text").dropDuplicates("doc_id")
+      .localCheckpoint()
     val bg = grams(docs)
     val stored = wh.table(s"${idx}_grams")
-    val hits = (if (docs.limit((maxBroadcastDocs + 1).toInt)
-          .count() <= maxBroadcastDocs)
+    val hits = (if (docs.count() <= maxBroadcastDocs)
         stored.join(broadcast(bg), Seq("h")) // stored streams, batch builds
       else stored.join(bg, Seq("h")))
       .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
