@@ -50,15 +50,13 @@ object Curate {
     val input = docs.count()
 
     // 1 — quality gate: the t2 closed-form signal (length saturation ×
-    // stopword density), computed in one projection over the scan
+    // stopword density), computed in one projection over the scan —
+    // the SHARED expression ([[TextAnalysis.qualityExpr]]), so this
+    // stage, the t2 oracle row, and the ingest gate agree by identity
     val scored = docs
       .withColumn("n_tokens",
         size(TextAnalysis.tokens(col("text"))).cast("long"))
-      .withColumn("quality",
-        least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-          least(lit(1.0), lit(5.0) *
-            TextAnalysis.wordHits(col("text"), TextAnalysis.enWords) /
-            col("n_tokens")) * 0.5)
+      .withColumn("quality", TextAnalysis.qualityExpr(col("text")))
     val qualified = scored.filter(col("quality") >= minQuality)
     val nQuality = qualified.count()
 

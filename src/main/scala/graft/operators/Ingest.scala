@@ -51,28 +51,41 @@ object Ingest {
     * fence settles the rest.
     *
     * With `contamIdx` set, the [[ContamGate]] benchmark firewall runs
-    * FIRST: docs sharing any word-8-gram with the stored eval suite
-    * drop before the dedup gate ever sees them — a contaminated doc
+    * docs sharing any word-8-gram with the stored eval suite out
+    * before the dedup gate ever sees them — a contaminated doc
     * must not become a near-dup prior that later convicts its CLEAN
     * paraphrase (the gate's memory should describe the corpus, not
     * the rejects). The firewall is read-only (its gram table is not
-    * part of this transaction), so it adds no atomicity surface. */
+    * part of this transaction), so it adds no atomicity surface.
+    *
+    * With `minQuality` set, the stateless t2 quality gate
+    * ([[TextAnalysis.qualityExpr]] — Curate's stage-1 signal) runs
+    * FIRST of all: a pure map-side projection, so the cheapest gate
+    * sheds load before any gate that joins stored state. Gate order
+    * is cheapest-first: quality (projection) → contamination (stored
+    * digest probe) → near-dup (stored bands + own-batch window). */
   def ingestBatch(wh: Warehouse, table: String, batch: DataFrame,
       batchId: Long, textIdx: Option[String] = None,
       annIdx: Option[String] = None,
       dedupIdx: Option[String] = None,
       contamIdx: Option[String] = None,
+      minQuality: Option[Double] = None,
       streamId: String = "ingest"): Boolean = {
     val names = (Seq(table) ++ textIdx.toSeq.flatMap(TextIndex.tables)
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
+      val qualified = minQuality match {
+        case Some(q) =>
+          batch.filter(TextAnalysis.qualityExpr(col("text")) >= q)
+        case None => batch
+      }
       val clean = contamIdx match {
         case Some(i) =>
-          batch.join(broadcast(ContamGate.verdicts(wh, i, batch)
+          qualified.join(broadcast(ContamGate.verdicts(wh, i, qualified)
             .filter(col("keep") === 1).select("doc_id")),
             Seq("doc_id"), "left_semi")
-        case None => batch
+        case None => qualified
       }
       val kept = dedupIdx match {
         case Some(i) =>
@@ -102,6 +115,7 @@ object Ingest {
       checkpoint: String, textIdx: Option[String] = None,
       annIdx: Option[String] = None, dedupIdx: Option[String] = None,
       contamIdx: Option[String] = None,
+      minQuality: Option[Double] = None,
       streamId: String = "ingest")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -109,7 +123,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, dedupIdx,
-          contamIdx, streamId)
+          contamIdx, minQuality, streamId)
         ()
       }
       .start()

@@ -34,6 +34,16 @@ object TextAnalysis {
   def fingerprint(text: Column): Column =
     md5(lower(regexp_replace(trim(text), "\\s+", " ")))
 
+  /** The t2 closed-form quality signal (length saturation × stopword
+    * density), 0..1 — one pure projection, shared by the t2 oracle row,
+    * [[Curate.curate]]'s quality stage, and the [[Ingest]] quality
+    * gate so they can never disagree on what "quality" means. */
+  def qualityExpr(text: Column): Column = {
+    val nTokens = size(tokens(text)).cast("long")
+    least(lit(1.0), nTokens / 50.0) * 0.5 +
+      least(lit(1.0), lit(5.0) * wordHits(text, enWords) / nTokens) * 0.5
+  }
+
   // PII patterns — RE2-safe (no lookarounds/backrefs) so DuckDB's RE2
   // and Java's regex agree match-for-match. Applied in a fixed order
   // (email → IPv4 → phone) on both engines.

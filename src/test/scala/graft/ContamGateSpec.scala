@@ -95,6 +95,37 @@ class ContamGateSpec extends AnyFunSuite {
     assert(wh.countRows("docs").contains(2L))
   }
 
+  test("ingest funnel order: the stateless quality gate sheds junk before any stored gate") {
+    val wh = new Warehouse(spark, tmp("cg_quality"))
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
+    wh.save("docs", df(Seq((0L,
+      "the quality of a document and the density of its stopwords " +
+        "decide whether a gate keeps it in the corpus or not"))))
+    DedupIndex.build(wh, "di", wh.table("docs"))
+    val junk = 21L
+    val b = df(Seq(
+      (20L, "the curated corpus keeps a document when the text is " +
+        "long enough and the stopword share of a normal sentence"),
+      (junk, "zzz qqq xxx")))
+    assert(Ingest.ingestBatch(wh, "docs", b, batchId = 1L,
+      dedupIdx = Some("di"), contamIdx = Some("cg"),
+      minQuality = Some(0.3)))
+    val ids = wh.table("docs").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(ids == Set(0L, 20L), s"junk must not land: $ids")
+    // quality runs FIRST: the reject never reached the dedup gate
+    val banded = wh.table("di_bands").select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    assert(!banded.contains(junk),
+      "a quality reject must not become a near-dup prior")
+    // the gate agrees with the t2 signal by construction: re-scoring
+    // the survivor clears the same threshold the gate applied
+    val q = wh.table("docs").filter(col("doc_id") === 20L)
+      .select(graft.operators.TextAnalysis.qualityExpr(col("text")))
+      .first().getDouble(0)
+    assert(q >= 0.3)
+  }
+
   test("scale shape: verdicts broadcast the batch, never the stored grams") {
     val wh = new Warehouse(spark, tmp("cg_plan"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
