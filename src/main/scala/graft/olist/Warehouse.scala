@@ -3619,8 +3619,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * as the column) and `cnt`. With no DV'd files the plan is a
     * LocalRelation — no FileScan anywhere (spec-asserted). Columns must
     * be declared stats/cluster columns ([[statsBy]] /
-    * `ANALYZE TABLE … FOR COLUMNS`). */
-  def statsAggregate(name: String, cols0: Seq[String]): Option[DataFrame] = {
+    * `ANALYZE TABLE … FOR COLUMNS`).
+    *
+    * With `withSums` each requested INTEGRAL column also answers
+    * `sum_<c>` (LongType, SQL null semantics) from the per-file exact
+    * sums — the API twin of the SQL rewrite's token-ledger lane; a
+    * non-integral request, a pre-sum-stats file, or a total beyond
+    * LongType makes the whole answer None, the usual honest direction.
+    * DV'd files rescan and their live-row sums merge exactly (sums
+    * fold additively — the same one-scan-row shape as min/max). */
+  def statsAggregate(name: String, cols0: Seq[String],
+      withSums: Boolean = false): Option[DataFrame] = {
     require(database.isEmpty, "statsAggregate applies to path-mode tables only")
     val cols = cols0.distinct // duplicate requests would collide column names
     require(cols.nonEmpty, "statsAggregate: no columns requested")
@@ -3634,24 +3643,35 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val (dvd, clean) = files.partition(_.dv.isDefined)
     val folded = foldStats(clean, types, cols)
     val cleanCnt = foldRowCount(clean)
-    for { mm <- folded; n <- cleanCnt } yield {
+    val sumCols = if (withSums) cols else Nil
+    val sums = metadataSumFold(clean, types, sumCols)
+    for { mm <- folded; n <- cleanCnt; sm <- sums } yield {
       val metaRow = spark.range(1).select(
         mm.flatMap { case (c, lo, hi) =>
           def tl(v: Option[Any]) =
             v.map(lit).getOrElse(lit(null)).cast(types(c))
           Seq(tl(lo).as(s"min_$c"), tl(hi).as(s"max_$c"))
-        } :+ lit(n).as("cnt"): _*)
+        } ++ sumCols.map(c =>
+          (sm(c) match {
+            case null => lit(null)
+            case v: Long => lit(v)
+          }).cast("long").as(s"sum_$c"))
+          :+ lit(n).as("cnt"): _*)
       if (dvd.isEmpty) metaRow
       else {
         // DV'd files only: fromFiles applies their deletion vectors,
         // so the scan's extremes/count describe LIVE rows exactly
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+          max(col(c)).as(s"max_$c"))) ++
+          sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+          count(lit(1)).as("cnt")
         val scanRow = fromFiles(name, dvd.map(_.path), sc)
           .agg(scanAggs.head, scanAggs.tail: _*)
         val mergeAggs = cols.flatMap(c =>
           Seq(min(col(s"min_$c")).as(s"min_$c"),
-            max(col(s"max_$c")).as(s"max_$c"))) :+
+            max(col(s"max_$c")).as(s"max_$c"))) ++
+          sumCols.map(c =>
+            sum(col(s"sum_$c")).cast("long").as(s"sum_$c")) :+
           sum(col("cnt")).cast("long").as("cnt")
         metaRow.unionByName(scanRow)
           .agg(mergeAggs.head, mergeAggs.tail: _*)

@@ -23,7 +23,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
   *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, DEDUP, CONTAM, REFRESH … FROM
   *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
-  *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata-only min/max + rows
+  *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata min/max + sums + rows
   *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
@@ -474,7 +474,11 @@ object GraftSqlParser {
           cmd(session, attrs("column" -> StringType,
             "min" -> StringType, "max" -> StringType)) { _ =>
             val cs = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            val df = wh.statsAggregate(table, cs).getOrElse(
+            // sums when the manifest can answer them (integral columns
+            // with sum stats); otherwise the classic min/max-only form
+            val withSums = wh.statsAggregate(table, cs, withSums = true)
+            val df = withSums
+              .orElse(wh.statsAggregate(table, cs)).getOrElse(
               throw new IllegalStateException(
                 s"DESCRIBE STATS: manifest stats cannot answer exactly " +
                   s"for $table(${cs.mkString(", ")}) — a file lacks " +
@@ -483,7 +487,12 @@ object GraftSqlParser {
             val r = df.first()
             cs.map(c => Row(c,
               Option(r.getAs[Any](s"min_$c")).map(String.valueOf).orNull,
-              Option(r.getAs[Any](s"max_$c")).map(String.valueOf).orNull)) :+
+              Option(r.getAs[Any](s"max_$c")).map(String.valueOf).orNull)) ++
+              (if (withSums.isDefined) cs.map { c =>
+                val s = Option(r.getAs[Any](s"sum_$c"))
+                  .map(String.valueOf).orNull
+                Row(s"__sum_$c", s, s)
+              } else Nil) :+
               Row("__rows", r.getAs[Long]("cnt").toString,
                 r.getAs[Long]("cnt").toString)
           }

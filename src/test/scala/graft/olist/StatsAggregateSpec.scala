@@ -113,6 +113,52 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(r.getAs[Long]("min_v") == 0L && r.getAs[Long]("max_v") == 99L)
   }
 
+  test("withSums: exact metadata sums, DV rescan merges, non-integral refuses") {
+    val dir = tmp("wh_sagg_sum")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(1000).select(col("id").as("k"),
+      when(col("id") % 5 =!= 0, col("id") * 3).as("v"),
+      col("id").cast("string").as("s"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v", "s"))
+    val r = wh.statsAggregate("t", Seq("k", "v"), withSums = true).get
+    // clean table: still a pure LocalRelation plan
+    assert(!r.queryExecution.executedPlan.toString.contains("Scan "),
+      "clean-table sums must not plan a file scan")
+    val want = df.agg(sum("k"), sum("v")).collect()(0)
+    val row = r.collect()(0)
+    assert(row.getAs[Long]("sum_k") == want.getLong(0))
+    assert(row.getAs[Long]("sum_v") == want.getLong(1))
+    assert(row.getAs[Long]("cnt") == 1000L)
+    // a string column cannot sum — the whole request refuses (None)
+    assert(wh.statsAggregate("t", Seq("s"), withSums = true).isEmpty)
+    // …while the min/max-only form still answers for it
+    assert(wh.statsAggregate("t", Seq("s")).isDefined)
+    // DV'd files rescan; live-row sums merge exactly
+    wh.delete("t", col("k") === 10L)
+    val r2 = wh.statsAggregate("t", Seq("k"), withSums = true).get.collect()(0)
+    assert(r2.getAs[Long]("sum_k") == (0L until 1000L).sum - 10L)
+    assert(r2.getAs[Long]("cnt") == 999L)
+  }
+
+  test("SQL surface: DESCRIBE STATS includes __sum_ rows when the manifest can answer them") {
+    val dir = tmp("wh_sagg_sql_sum")
+    val wh = new Warehouse(spark, dir).enableSql()
+    wh.save("t", spark.range(300)
+      .select(col("id").as("k"), (col("id") % 9).as("v"))
+      .repartitionByRange(3, col("k")), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val rows = spark.sql("DESCRIBE STATS t (k, v)").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(rows("k") == (("0", "299")))
+    assert(rows("__sum_k") == (((0L until 300L).sum.toString,
+      (0L until 300L).sum.toString)))
+    assert(rows("__sum_v")._1 ==
+      (0L until 300L).map(_ % 9).sum.toString)
+    assert(rows("__rows") == (("300", "300")))
+  }
+
   test("unknown column refuses; empty column list refuses") {
     val dir = tmp("wh_sagg_req")
     val wh = new Warehouse(spark, dir)
