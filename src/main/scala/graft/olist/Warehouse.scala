@@ -3624,10 +3624,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * With `withSums` each requested INTEGRAL column also answers
     * `sum_<c>` (LongType, SQL null semantics) from the per-file exact
     * sums — the API twin of the SQL rewrite's token-ledger lane; a
-    * non-integral request, a pre-sum-stats file, or a total beyond
-    * LongType makes the whole answer None, the usual honest direction.
-    * DV'd files rescan and their live-row sums merge exactly (sums
-    * fold additively — the same one-scan-row shape as min/max). */
+    * non-integral request, a pre-sum-stats file, or a clean-file total
+    * beyond LongType makes the whole answer None, the usual honest
+    * direction. DV'd files rescan and their live-row sums merge
+    * exactly (sums fold additively — the same one-scan-row shape as
+    * min/max); the scan and merge accumulate in DECIMAL(38,0) with one
+    * final LongType cast, so a merged total beyond Long RAISES under
+    * ANSI instead of wrapping — never a silently-wrong ledger. */
   def statsAggregate(name: String, cols0: Seq[String],
       withSums: Boolean = false): Option[DataFrame] = {
     require(database.isEmpty, "statsAggregate applies to path-mode tables only")
@@ -3661,9 +3664,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
       else {
         // DV'd files only: fromFiles applies their deletion vectors,
         // so the scan's extremes/count describe LIVE rows exactly
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
-          sumCols.map(c => sum(col(c)).as(s"sum_$c")) :+
+          // DECIMAL accumulation: a DV'd file's live rows can never
+          // overflow their own scan sum, whatever the column holds
+          sumCols.map(c => sum(col(c).cast(dec38)).as(s"sum_$c")) :+
           count(lit(1)).as("cnt")
         val scanRow = fromFiles(name, dvd.map(_.path), sc)
           .agg(scanAggs.head, scanAggs.tail: _*)
@@ -3671,7 +3677,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
           Seq(min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c"))) ++
           sumCols.map(c =>
-            sum(col(s"sum_$c")).cast("long").as(s"sum_$c")) :+
+            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c")) :+
           sum(col("cnt")).cast("long").as("cnt")
         metaRow.unionByName(scanRow)
           .agg(mergeAggs.head, mergeAggs.tail: _*)

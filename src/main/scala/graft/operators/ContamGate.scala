@@ -38,8 +38,13 @@ import org.apache.spark.sql.functions._
 object ContamGate {
 
   /** The gate's one table (build/refresh swap it atomically through
-    * the ordinary commit path). */
-  def tables(idx: String): Seq[String] = Seq(s"${idx}_grams")
+    * the ordinary commit path) — the family-consistent composition
+    * surface ([[TextIndex.tables]]/[[AnnIndex.tables]]/
+    * [[DedupIndex.tables]]): a maintenance job that vacuums or
+    * snapshots "everything behind index X" enumerates through here. */
+  def tables(idx: String): Seq[String] = Seq(gramsTable(idx))
+
+  private def gramsTable(idx: String): String = s"${idx}_grams"
 
   /** (doc_id, h): each doc's distinct word-8-gram digests — shared by
     * the build (suite side) and verdicts (batch side), so the two
@@ -56,7 +61,7 @@ object ContamGate {
   def build(wh: Warehouse, idx: String, bench: DataFrame,
       nFiles: Int = 4): Long = {
     val g = grams(bench).select("h").distinct().localCheckpoint()
-    wh.save(s"${idx}_grams", g.repartitionByRange(nFiles, col("h")),
+    wh.save(gramsTable(idx), g.repartitionByRange(nFiles, col("h")),
       clusterBy = Seq("h"))
     g.count()
   }
@@ -66,36 +71,39 @@ object ContamGate {
     * same suite is a no-op). Returns grams added. */
   def refresh(wh: Warehouse, idx: String, bench: DataFrame): Long = {
     val fresh = grams(bench).select("h").distinct()
-      .join(wh.table(s"${idx}_grams"), Seq("h"), "left_anti")
+      .join(wh.table(gramsTable(idx)), Seq("h"), "left_anti")
       .localCheckpoint()
     val n = fresh.count()
-    if (n > 0) wh.append(s"${idx}_grams", fresh)
+    if (n > 0) wh.append(gramsTable(idx), fresh)
     n
   }
 
   /** Judge a delivery batch against the stored suite: one row per
-    * distinct batch doc — (doc_id, shared_grams, keep), keep = 1 iff
-    * the doc shares ZERO 8-grams with the suite. The batch's digests
-    * broadcast onto the stored gram scan (the suite is bounded by
-    * construction; the batch is delivery-sized), so the only exchange
-    * is the batch-sized hit counts. A BACKFILL-sized batch (more rows
-    * than `maxBroadcastDocs`) would overflow the broadcast — it takes
-    * the plain hash join instead, both sides shuffling on the 16-byte
-    * digest; the verdicts are identical either way. */
+    * distinct batch doc_id — (doc_id, shared_grams, keep), keep = 1
+    * iff NO row carrying that id shares an 8-gram with the suite (a
+    * batch with two texts under one id is judged on the UNION of
+    * their grams — the conservative reading; a firewall must not let
+    * a contaminated variant ride in behind a clean one). The batch's
+    * digests broadcast onto the stored gram scan (the suite is
+    * bounded by construction; the batch is delivery-sized), so the
+    * only exchange is the batch-sized hit counts. The broadcast guard
+    * counts GRAM rows, not docs — a batch of long documents fans out
+    * to tokens−7 grams each; past `maxBroadcastGrams` (default 1M ≈
+    * tens of MB of 16-byte digests) the plain hash join takes over,
+    * both sides shuffling on the digest; verdicts identical either
+    * way. */
   def verdicts(wh: Warehouse, idx: String, batch: DataFrame,
-      maxBroadcastDocs: Long = 100000L): DataFrame = {
-    // pin the slim batch once: its grams, the join-side choice, and
-    // the verdict frame all reuse it instead of re-scanning the source
-    // (the DedupIndex.verdicts precedent)
-    val docs = batch.select("doc_id", "text").dropDuplicates("doc_id")
-      .localCheckpoint()
-    val bg = grams(docs)
-    val stored = wh.table(s"${idx}_grams")
-    val hits = (if (docs.count() <= maxBroadcastDocs)
+      maxBroadcastGrams: Long = 1000000L): DataFrame = {
+    // pin the slim batch's digests once: the join-side choice, the
+    // probe, and the verdict frame all reuse them instead of
+    // re-scanning the source (the DedupIndex.verdicts precedent)
+    val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+    val stored = wh.table(gramsTable(idx))
+    val hits = (if (bg.count() <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h")) // stored streams, batch builds
       else stored.join(bg, Seq("h")))
       .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
-    docs.select("doc_id")
+    batch.select("doc_id").distinct()
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),

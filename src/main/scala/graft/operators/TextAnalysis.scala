@@ -104,13 +104,13 @@ object TextAnalysis {
              |ORDER BY doc_id""".stripMargin),
       (s, d) => {
         val docs = T.documents(s, d)
-        val base = docs.select(col("doc_id"),
-          size(tokens(col("text"))).cast("long").as("n_tokens"),
-          wordHits(col("text"), enWords).as("stop_cnt"))
-        base.select(col("doc_id"), col("n_tokens"), col("stop_cnt"),
-          (least(lit(1.0), col("n_tokens") / 50.0) * 0.5 +
-            least(lit(1.0), lit(5.0) * col("stop_cnt") / col("n_tokens")) * 0.5)
-            .as("quality"))
+        // quality comes from the SHARED expression (qualityExpr), so
+        // this oracle row, Curate's stage 1, and the ingest gate are
+        // the same formula by identity, not by parallel maintenance
+        docs.select(col("doc_id"),
+            size(tokens(col("text"))).cast("long").as("n_tokens"),
+            wordHits(col("text"), enWords).as("stop_cnt"),
+            qualityExpr(col("text")).as("quality"))
           .orderBy("doc_id")
       }),
 

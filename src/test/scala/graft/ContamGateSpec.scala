@@ -48,6 +48,18 @@ class ContamGateSpec extends AnyFunSuite {
     // gram but per-doc digests are DISTINCT → still 1
     assert(got == Seq((1L, 1L, 0), (2L, 0L, 1), (3L, 0L, 1), (4L, 1L, 0)),
       s"got $got")
+    // the build landed exactly the gate's declared tables
+    assert(ContamGate.tables("cg").forall(wh.hasTable))
+    // a duplicated doc_id is judged on the UNION of its variants'
+    // grams: a contaminated variant must convict the id even when a
+    // clean variant rides in the same batch (a firewall cannot let
+    // row order decide)
+    val dup = df(Seq(
+      (7L, s"totally clean variant $filler"),
+      (7L, s"stolen span $gram8 in the other variant of the same doc")))
+    val v7 = ContamGate.verdicts(wh, "cg", dup).collect()
+    assert(v7.length == 1 && v7.head.getInt(2) == 0,
+      s"union-of-variants must convict: ${v7.toSeq}")
   }
 
   test("refresh: replay adds nothing; a new benchmark version arms the gate") {
