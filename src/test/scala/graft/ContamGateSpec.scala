@@ -138,6 +138,49 @@ class ContamGateSpec extends AnyFunSuite {
     assert(q >= 0.3)
   }
 
+  test("streaming funnel: quality + contamination + dedup gates under a live MemoryStream, exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = new Warehouse(spark, tmp("cg_stream"))
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
+    val seedText = s"seed document that reads like a normal sentence $filler"
+    wh.save("docs", df(Seq((0L, seedText))))
+    DedupIndex.build(wh, "di", wh.table("docs"))
+    val src = MemoryStream[(Long, String)]
+    val q = Ingest.streamIndexed(wh, "docs",
+      src.toDF().toDF("doc_id", "text"), tmp("cg_ckpt"),
+      dedupIdx = Some("di"), contamIdx = Some("cg"),
+      minQuality = Some(0.2))
+    try {
+      // batch 1: a clean keeper (its OWN padding — sharing `filler`
+      // with the seed would make it a genuine near-dup), a quality
+      // reject, a contaminated doc
+      val keeperPad = (1 to 40).map(i => s"c$i").mkString(" ")
+      src.addData(
+        (30L, "a clean document with the usual amount of original " +
+          s"words and ordinary structure $keeperPad more"),
+        (31L, "zz"),
+        (32L, s"stolen $gram8 wrapped in otherwise the normal text"))
+      q.processAllAvailable()
+      // batch 2: a verbatim copy of the batch-1 keeper — the dedup
+      // gate convicts it from stored state laid down by batch 1
+      src.addData((40L, "a clean document with the usual amount of " +
+        s"original words and ordinary structure $keeperPad more"))
+      q.processAllAvailable()
+      val ids = wh.table("docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == Set(0L, 30L),
+        s"only the seed and the batch-1 keeper may land: $ids")
+      // the rejects never entered the gate's memory (quality and
+      // contamination run before it), the keeper did
+      val banded = wh.table("di_bands").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(banded.contains(30L) && !banded.contains(31L) &&
+        !banded.contains(32L))
+    } finally q.stop()
+  }
+
   test("scale shape: verdicts broadcast the batch, never the stored grams") {
     val wh = new Warehouse(spark, tmp("cg_plan"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
