@@ -502,4 +502,36 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(!exchanges.exists(e => e.contains("term") || e.contains("text")),
       s"strings crossed an exchange:\n${exchanges.mkString("\n")}")
   }
+
+  test("b10_ledger_wh: the token ledger plans as a LocalRelation — zero file scans") {
+    val p = SparkEntry.queries("b10_ledger_wh")(spark, sf).queryExecution
+    val scans = p.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"the metadata sum fold must not open a file:\n${p.sparkPlan}")
+    assert(p.sparkPlan.toString.contains("LocalTableScan"), p.sparkPlan)
+  }
+
+  test("sp11_diversity_sample: one shuffle on the bucket key, no global window") {
+    val p = plan("sp11_diversity_sample")
+    // the per-bucket rank partitions by bucket — a missing partition
+    // spec would collapse the corpus onto one task
+    assert(!p.contains("SinglePartition"),
+      s"diversity rank must not single-partition:\n$p")
+    assert(p.contains("Window"), p)
+  }
+
+  test("b11_contam_wh: the stored gram table never broadcasts (batch digests build, suite streams)") {
+    val exec = SparkEntry.queries("b11_contam_wh")(spark, sf)
+      .queryExecution.sparkPlan
+    val broadcastScans = exec.collect {
+      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+        b.collectLeaves().collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+        }
+    }.flatten
+    assert(broadcastScans.isEmpty,
+      s"suite-sized side must never broadcast:\n$exec")
+  }
 }
