@@ -3887,9 +3887,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * per group, like the ungrouped form). None when any clean file
     * lacks a requested stat OR predates the partition layout (mixed
     * layouts after partition evolution: the un-partitioned files carry
-    * no group value — a scan is the only honest answer). */
+    * no group value — a scan is the only honest answer). `withSums`
+    * adds `sum_<c>` per integral requested column under
+    * [[statsAggregate]]'s contract — the per-GROUP token ledger. */
   def statsAggregateBy(name: String, groupCols: Seq[String],
-      cols0: Seq[String]): Option[DataFrame] = {
+      cols0: Seq[String], withSums: Boolean = false): Option[DataFrame] = {
     require(database.isEmpty, "statsAggregateBy applies to path-mode tables only")
     val cols = cols0.distinct
     require(groupCols.nonEmpty && cols.nonEmpty,
@@ -3915,15 +3917,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
           k -> v.map(_._2) })
       else None
     }
+    val sumCols = if (withSums) cols else Nil
     val folded: Option[Seq[org.apache.spark.sql.Row]] = grouped.flatMap {
       byGroup =>
         val rows = byGroup.toSeq.map { case (gvals, gfiles) =>
           for {
             m <- foldStats(gfiles, types, cols)
+            sm <- metadataSumFold(gfiles, types, sumCols)
             n <- foldRowCount(gfiles)
           } yield org.apache.spark.sql.Row.fromSeq(gvals ++
             m.flatMap { case (_, lo, hi) =>
-              Seq(lo.orNull, hi.orNull) } :+ n)
+              Seq(lo.orNull, hi.orNull) } ++
+            sumCols.map(sm(_)) :+ n)
         }
         if (rows.forall(_.isDefined)) Some(rows.flatten) else None
     }
@@ -3932,7 +3937,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
       val schema = StructType(
         groupCols.map(g => StructField(g, types(g))) ++
           cols.flatMap(c => Seq(StructField(s"min_$c", types(c)),
-            StructField(s"max_$c", types(c)))) :+
+            StructField(s"max_$c", types(c)))) ++
+          sumCols.map(c => StructField(s"sum_$c", LongType)) :+
           StructField("cnt", LongType))
       val metaRows = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -3940,14 +3946,21 @@ class Warehouse(val spark: SparkSession, basePath: String,
         schema)
       if (dvd.isEmpty) metaRows
       else {
+        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
-          max(col(c)).as(s"max_$c"))) :+ count(lit(1)).as("cnt")
+          max(col(c)).as(s"max_$c"))) ++
+          sumCols.map(c => sum(col(c).cast(dec38)).as(s"sum_$c")) :+
+          count(lit(1)).as("cnt")
         val scanRows = fromFiles(name, dvd.map(_.path), sc)
           .groupBy(groupCols.map(col): _*)
           .agg(scanAggs.head, scanAggs.tail: _*)
         val mergeAggs = cols.flatMap(c =>
           Seq(min(col(s"min_$c")).as(s"min_$c"),
-            max(col(s"max_$c")).as(s"max_$c"))) :+
+            max(col(s"max_$c")).as(s"max_$c"))) ++
+          // DECIMAL merge + one final cast: beyond-Long totals RAISE
+          // under ANSI instead of wrapping ([[statsAggregate]])
+          sumCols.map(c =>
+            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c")) :+
           sum(col("cnt")).cast("long").as("cnt")
         metaRows.unionByName(scanRows)
           .groupBy(groupCols.map(col): _*)

@@ -238,6 +238,31 @@ class StatsAggregateSpec extends AnyFunSuite {
     }
   }
 
+  test("statsAggregateBy withSums: the per-group token ledger, exact through DV merges") {
+    val dir = tmp("wh_saggby_sum")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(2000)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("k"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    val clean = wh.statsAggregateBy("t", Seq("p"), Seq("k"),
+      withSums = true).get
+    assert(clean.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "clean grouped sums must not plan a file scan")
+    val want = df.groupBy("p").agg(sum("k")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(clean.collect().map(r =>
+      r.getAs[String]("p") -> r.getAs[Long]("sum_k")).toMap == want)
+    // DV the even partition's max; its group re-sums live rows exactly
+    assert(wh.delete("t", col("k") === 1998L).filesDv >= 1)
+    val res = wh.statsAggregateBy("t", Seq("p"), Seq("k"),
+      withSums = true).get.collect().map(r =>
+        r.getAs[String]("p") -> ((r.getAs[Long]("sum_k"),
+          r.getAs[Long]("cnt")))).toMap
+    assert(res("0") == ((want("0") - 1998L, 999L)))
+    assert(res("1") == ((want("1"), 1000L)))
+  }
+
   test("statsAggregateBy: mixed pre-evolution layout answers None") {
     val dir = tmp("wh_saggby_mixed")
     val wh = new Warehouse(spark, dir)
