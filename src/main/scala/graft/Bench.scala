@@ -64,7 +64,8 @@ object Bench {
     * SQL metadata fold) still RUN here — through the plain scan, which
     * is itself the informative comparison. Disable with
     * SPARK_GRAFT_BENCH_VANILLA=0. */
-  private def vanillaLane(sfDir: String, cpus: String): Seq[(String, Double)] = {
+  private def vanillaLane(sfDir: String, cpus: String)
+      : (Seq[(String, Double)], Seq[String]) = {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .appName("graft-bench-vanilla")
@@ -75,22 +76,25 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     Tables.lineitem(spark, sfDir).count()
-    val out = headline.map { name =>
+    val failed = scala.collection.mutable.ArrayBuffer.empty[String]
+    val out = headline.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val t =
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          val t0 = System.nanoTime()
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          (System.nanoTime() - t0) / 1e9
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] vanilla $name failed: ${e.getMessage}")
-          0.0
-        }
-      (name, t)
+      // a failed query is EXCLUDED from the timing map and reported in
+      // its own errors list — a 0.0 entry would silently shrink the
+      // attribution lane and read as a speedup
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((name, (System.nanoTime() - t0) / 1e9))
+      } catch { case e: Throwable =>
+        failed += name
+        System.err.println(s"[bench] vanilla $name failed: ${e.getMessage}")
+        None
+      }
     }
     spark.stop()
-    out
+    (out, failed.toSeq)
   }
 
   def main(args: Array[String]): Unit = {
@@ -99,8 +103,9 @@ object Bench {
     // the vanilla lane runs FIRST, in its own session and context, so
     // the graft lane's numbers stay directly comparable to prior
     // rounds' (same warm-up position, same JVM phase)
-    val vanilla =
-      if (sys.env.get("SPARK_GRAFT_BENCH_VANILLA").contains("0")) Nil
+    val (vanilla, vanillaFailed) =
+      if (sys.env.get("SPARK_GRAFT_BENCH_VANILLA").contains("0"))
+        (Nil, Nil)
       else vanillaLane(sfDir, cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -162,9 +167,10 @@ object Bench {
     // vanillaLane) — swings that track it are environmental, swings
     // that don't are graft-rule cost
     val qsVan = render(vanilla)
+    val errsVan = vanillaFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a failed query makes the line loudly non-comparable instead of
-    // silently shrinking the total
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
+    // silently shrinking the total — in BOTH lanes
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"errors_vanilla":$errsVan,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

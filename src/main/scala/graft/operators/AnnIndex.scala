@@ -34,6 +34,14 @@ import org.apache.spark.sql.functions._
   *   `<idx>_coarse`   (sub=0, cid, c: array<double>)   nCells rows
   *   `<idx>_codebook` (sub, cid, c: array<double>)     m·k rows
   *   `<idx>_codes`    (vec_id, cell, codes) partitioned by cell
+  *   `<idx>_meta`     (n_cells, m, k) — the FROZEN geometry (the
+  *                    [[DedupIndex]] `_meta` precedent): retrain /
+  *                    maintain / any scheduled job reads the shape
+  *                    FROM the index, never from caller defaults, so
+  *                    an index built with non-default geometry can
+  *                    never be silently re-shaped to 8/8/16 by a
+  *                    maintenance run. Explicit params that disagree
+  *                    with the stored geometry refuse loudly.
   */
 object AnnIndex {
 
@@ -76,9 +84,29 @@ object AnnIndex {
     // right-to-be-forgotten tombstones: ids remove()d stay out even
     // when later refresh sources still carry them
     wh.save(s"${idx}_gone", source.select("vec_id").limit(0))
+    // freeze the geometry: every later retrain reads it from here
+    val spark0 = source.sparkSession
+    import spark0.implicits._
+    wh.save(s"${idx}_meta",
+      Seq((nCells, m, k)).toDF("n_cells", "m", "k"))
     wh.countRows(s"${idx}_codes")
       .getOrElse(wh.table(s"${idx}_codes").count())
   }
+
+  /** The index's frozen (nCells, m, k), read from `<idx>_meta`; a
+    * pre-meta index (built before the geometry freeze) derives the
+    * same three numbers from the stored codebooks — the shape is fully
+    * determined by what build wrote, never by caller defaults. */
+  def geometry(wh: Warehouse, idx: String): (Int, Int, Int) =
+    if (wh.hasTable(s"${idx}_meta")) {
+      val r = wh.table(s"${idx}_meta").select("n_cells", "m", "k").first()
+      (r.getInt(0), r.getInt(1), r.getInt(2))
+    } else {
+      val nCells = wh.table(s"${idx}_coarse").count().toInt
+      val km = wh.table(s"${idx}_codebook")
+        .agg(max(col("sub")), countDistinct(col("cid"))).first()
+      (nCells, km.getInt(0) + 1, km.getLong(1).toInt)
+    }
 
   private def dimOf(unit: DataFrame): Int =
     unit.select(size(col("embedding"))).first().getInt(0)
@@ -243,11 +271,25 @@ object AnnIndex {
       .map { case (qi, ids) => bc.value(qi)._1 -> ids.map(_._2).toSet }
   }
 
+  /** The corpus the index is supposed to serve: `source` minus the
+    * removal tombstones. Every probe-side derivation (query sample,
+    * exact ground truth, retrain's live set) goes through here — a
+    * tombstoned vector the index correctly excludes must not enter
+    * the ground truth either, or measured recall deflates permanently
+    * after removals and [[maintain]] retrains on every run without
+    * ever reaching the SLO. */
+  private def liveSource(wh: Warehouse, idx: String,
+      source: DataFrame): DataFrame =
+    source.dropDuplicates("vec_id")
+      .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti")
+
   /** A deterministic query sample for [[recallProbe]]: the n smallest
-    * vec_id hashes — layout- and run-independent, biased toward
-    * nothing. */
-  def probeQueryIds(source: DataFrame, n: Int): Seq[Long] =
-    source.select(col("vec_id")).orderBy(xxhash64(col("vec_id")), col("vec_id"))
+    * vec_id hashes among LIVE (non-tombstoned) vectors — layout- and
+    * run-independent, biased toward nothing. */
+  def probeQueryIds(wh: Warehouse, idx: String, source: DataFrame,
+      n: Int): Seq[Long] =
+    liveSource(wh, idx, source).select(col("vec_id"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
       .limit(n).collect().map(_.getLong(0)).toSeq
 
   /** Measured recall@k of the STORED index under its real serving
@@ -267,9 +309,12 @@ object AnnIndex {
       queryIds: Seq[Long], topK: Int = 10, overquery: Int = 5,
       nProbe: Int = 3): Double = {
     require(queryIds.nonEmpty, "recallProbe: empty query sample")
-    val exact = exactTopKAll(source, queryIds, topK)
+    // ground truth over the LIVE set only: the index (correctly)
+    // excludes tombstoned vectors, so the exact ranking must too
+    val live = liveSource(wh, idx, source).localCheckpoint()
+    val exact = exactTopKAll(live, queryIds, topK)
     val per = queryIds.map { qid =>
-      val got = query(wh, idx, source, qid, topK, overquery, nProbe)
+      val got = query(wh, idx, live, qid, topK, overquery, nProbe)
         .select("vec_id").collect().map(_.getLong(0)).toSet
       (got intersect exact(qid)).size.toDouble / topK
     }
@@ -287,7 +332,7 @@ object AnnIndex {
   def maintain(wh: Warehouse, idx: String, source: DataFrame,
       slo: Double = 0.8, sampleQueries: Int = 20, topK: Int = 10,
       overquery: Int = 5, nProbe: Int = 3): (Double, Option[Double]) = {
-    val qids = probeQueryIds(source, sampleQueries)
+    val qids = probeQueryIds(wh, idx, source, sampleQueries)
     val before = recallProbe(wh, idx, source, qids, topK, overquery, nProbe)
     if (before >= slo) (before, None)
     else {
@@ -304,12 +349,34 @@ object AnnIndex {
     * in one cross-table transaction, so a concurrent reader sees
     * either the old index or the new one, never codes encoded under
     * one codebook probed through another. Tombstones carry forward
-    * untouched — a remove() survives retraining. Returns the number
-    * of vectors indexed. */
+    * untouched — a remove() survives retraining. Geometry is FROZEN:
+    * (nCells, m, k) are read from `<idx>_meta` ([[geometry]]), never
+    * taken as caller defaults — a scheduled [[maintain]] can refresh
+    * the codebooks but can never re-shape the index. Returns the
+    * number of vectors indexed. */
+  def retrain(wh: Warehouse, idx: String, source: DataFrame): Long = {
+    val (nCells, m, k) = geometry(wh, idx)
+    retrainAs(wh, idx, source, nCells, m, k)
+  }
+
+  /** [[retrain]] with explicit geometry — ACCEPTED only when it equals
+    * the index's frozen shape (a belt-and-braces caller restating what
+    * it built); anything else refuses loudly. Re-shaping is a new
+    * index: drop and [[build]]. */
   def retrain(wh: Warehouse, idx: String, source: DataFrame,
-      nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
-    val live = source.dropDuplicates("vec_id")
-      .join(wh.table(s"${idx}_gone"), Seq("vec_id"), "left_anti")
+      nCells: Int, m: Int, k: Int): Long = {
+    val g = geometry(wh, idx)
+    require(g == ((nCells, m, k)),
+      s"retrain($idx): explicit geometry (nCells=$nCells, m=$m, k=$k) " +
+        s"disagrees with the index's frozen (nCells=${g._1}, m=${g._2}, " +
+        s"k=${g._3}) — geometry is fixed at build; to re-shape, drop " +
+        "the index and build a new one")
+    retrainAs(wh, idx, source, nCells, m, k)
+  }
+
+  private def retrainAs(wh: Warehouse, idx: String, source: DataFrame,
+      nCells: Int, m: Int, k: Int): Long = {
+    val live = liveSource(wh, idx, source)
     require(!live.isEmpty,
       "retrain: no live vectors — an index with nothing left to serve " +
         "should be dropped, not retrained")

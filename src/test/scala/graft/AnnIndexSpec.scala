@@ -242,9 +242,12 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(AnnIndex.refresh(wh, "ann", shifted) == emb.count())
     val oldIds = emb.select("vec_id").collect().map(_.getLong(0)).toSeq
     assert(AnnIndex.remove(wh, "ann", oldIds) == oldIds.size.toLong)
-    val qids = AnnIndex.probeQueryIds(shifted, 10)
+    val qids = AnnIndex.probeQueryIds(wh, "ann", shifted, 10)
     val before = AnnIndex.recallProbe(wh, "ann", shifted, qids)
-    // a removed vector must stay out through the retrain
+    // a removed vector must stay out through the retrain — and out of
+    // the probe's GROUND TRUTH: recallProbe measures the index against
+    // the live corpus, so the tombstoned victim deflates nothing even
+    // though the source frame still carries it
     val victim = shifted.select("vec_id")
       .filter(!col("vec_id").isin(qids: _*)).first().getLong(0)
     AnnIndex.remove(wh, "ann", Seq(victim))
@@ -254,10 +257,13 @@ class AnnIndexSpec extends AnyFunSuite {
       s"retrain must materially restore recall: before=$before after=$after")
     // retrain IS a rebuild, atomically swapped: a from-scratch index
     // over the same live set measures the IDENTICAL recall (the
-    // deterministic sample/train/encode path makes this exact)
+    // deterministic sample/train/encode path makes this exact). wh2
+    // has no tombstones, so its live set is pinned by filtering the
+    // source — the same corpus wh's gone-anti-join derives.
     val wh2 = new Warehouse(spark, tmp("ann_drift_ref"))
     AnnIndex.build(wh2, "ann", shifted.filter(col("vec_id") =!= victim))
-    val fresh = AnnIndex.recallProbe(wh2, "ann", shifted, qids)
+    val fresh = AnnIndex.recallProbe(wh2, "ann",
+      shifted.filter(col("vec_id") =!= victim), qids)
     assert(after == fresh,
       s"retrain ≠ rebuild: retrained=$after fresh=$fresh")
     assert(wh.table("ann_codes")
@@ -273,5 +279,36 @@ class AnnIndexSpec extends AnyFunSuite {
     val (hb, hr) = AnnIndex.maintain(wh, "ann", shifted,
       slo = after - 0.01, sampleQueries = 10)
     assert(hb == after && hr.isEmpty, s"got ($hb, $hr)")
+  }
+
+  test("geometry is frozen in _meta: maintain/retrain preserve a non-default shape; mismatched explicit params refuse") {
+    val wh = new Warehouse(spark, tmp("ann_geo"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb, nCells = 16, m = 4, k = 8)
+    def shape(): (Long, Int, Long) = {
+      val km = wh.table("ann_codebook")
+        .agg(max(col("sub")), countDistinct(col("cid"))).first()
+      (wh.table("ann_coarse").count(), km.getInt(0) + 1, km.getLong(1))
+    }
+    assert(AnnIndex.geometry(wh, "ann") == ((16, 4, 8)))
+    assert(shape() == ((16L, 4, 8L)))
+    // a scheduled maintenance run that triggers a retrain (slo above
+    // any achievable recall) must rebuild the codebooks AT THE FROZEN
+    // SHAPE — the default-params re-shape this test exists to forbid
+    AnnIndex.maintain(wh, "ann", emb, slo = 1.01, sampleQueries = 5)
+    assert(shape() == ((16L, 4, 8L)),
+      "maintain re-shaped a non-default index to defaults")
+    assert(AnnIndex.geometry(wh, "ann") == ((16, 4, 8)))
+    // plain retrain: same invariant, and the index still serves
+    AnnIndex.retrain(wh, "ann", emb)
+    assert(shape() == ((16L, 4, 8L)))
+    assert(AnnIndex.query(wh, "ann", emb, queryId = 0L).count() == 10)
+    // explicit params that agree are accepted; any disagreement refuses
+    AnnIndex.retrain(wh, "ann", emb, nCells = 16, m = 4, k = 8)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.retrain(wh, "ann", emb, nCells = 8, m = 8, k = 16)
+    }
+    assert(e.getMessage.contains("frozen"))
+    assert(shape() == ((16L, 4, 8L)))
   }
 }
