@@ -605,26 +605,39 @@ object Similarity {
     // vectors themselves are never pinned.
     val assigned = semanticAssign(emb, nClusters)
       .select("vec_id", "cluster", "d2c").localCheckpoint()
-    val unit = l2Normalized(emb)
+    // unit vectors: dot IS cosine
+    survivorsWithin(assigned, l2Normalized(emb),
+      (v1, v2) => round(VectorFunctions.dotExact(v1, v2), 12),
+      tau, maxCluster)
+  }
+
+  /** SemDeDup's pair-discovery + diversity-rule core, shared by the
+    * trained ([[semanticDedup]]) and pinned-centroid
+    * ([[semanticDedupFixed]]) lanes: within-cluster candidate pairs
+    * through [[Skew.boundedSelfPairs]] (EXACT all-pairs, hot-cluster
+    * task layout bounded), vectors joined back onto the slim pair set
+    * only, similar pairs (`cosineOf` ≥ tau) resolved by the paper's
+    * diversity rule — the pair's loser is the vector CLOSER to its
+    * centroid (smaller d2c), ties to the larger vec_id. Returns
+    * (vec_id, cluster, kept) ordered by vec_id. */
+  private def survivorsWithin(assigned: DataFrame, vecs: DataFrame,
+      cosineOf: (Column, Column) => Column, tau: Double,
+      maxCluster: Int): DataFrame = {
     val cand = Skew.boundedSelfPairs(
       assigned.select("cluster", "vec_id"), "cluster", "vec_id", maxCluster)
     // vectors join back onto candidate pairs only — embeddings are
     // never replicated through the pair enumeration (d7's shape)
     val sim = cand
-      .join(unit.select(col("vec_id").as("d1"), col("embedding").as("v1")),
+      .join(vecs.select(col("vec_id").as("d1"), col("embedding").as("v1")),
         Seq("d1"))
-      .join(unit.select(col("vec_id").as("d2"), col("embedding").as("v2")),
+      .join(vecs.select(col("vec_id").as("d2"), col("embedding").as("v2")),
         Seq("d2"))
       .join(assigned.select(col("vec_id").as("d1"), col("d2c").as("c1")),
         Seq("d1"))
       .join(assigned.select(col("vec_id").as("d2"), col("d2c").as("c2")),
         Seq("d2"))
-      // unit vectors: dot IS cosine
-      .withColumn("cosine",
-        round(VectorFunctions.dotExact(col("v1"), col("v2")), 12))
+      .withColumn("cosine", cosineOf(col("v1"), col("v2")))
       .filter(col("cosine") >= tau)
-    // the pair's loser = the vector CLOSER to its centroid (smaller
-    // exact d2), ties to the larger vec_id
     val losers = sim.select(
       when(col("c1") < col("c2") ||
         (col("c1") === col("c2") && col("d1") > col("d2")), col("d1"))
@@ -634,6 +647,110 @@ object Similarity {
       .select(col("vec_id"), col("cluster"),
         when(col("dropFlag").isNotNull, 0).otherwise(1).as("kept"))
       .orderBy("vec_id")
+  }
+
+  /** Deterministic PINNED centroids for the hash-checked SemDeDup lane:
+    * exact binary fractions (k/16, k ∈ [-8, 8]) from a fixed integer
+    * recurrence — representable exactly as doubles, as short decimal
+    * literals, and as DuckDB VALUES, so both engines hold bit-identical
+    * centroid coordinates. */
+  private[operators] def fixedCentroids(nClusters: Int = 4,
+      dim: Int = DIM): Seq[Seq[Double]] =
+    (0 until nClusters).map(cid => (0 until dim).map(j =>
+      (((cid * 29 + j * 13) % 17) - 8) / 16.0))
+
+  /** [[semanticAssign]] with the centroids PINNED as literals — the
+    * exactness tier that makes d16 cross-engine checkable (the
+    * [[bucketOfExact]] / e12 full-probe precedent): with the Lloyd
+    * training replaced by fixed centroids, assignment is a pure
+    * function of the corpus, and every distance is assembled from
+    * order-independent exact-decimal dots (d2 = (x·x + c·c) − 2·x·c,
+    * each dot a DECIMAL(38,20) sum cast to double) so DuckDB replays
+    * it bit-for-bit. Raw embeddings — cosine in the pair stage
+    * normalizes exactly, like d7. Returns (vec_id, cluster, d2c). */
+  def semanticAssignFixed(emb: DataFrame,
+      cents: Seq[Seq[Double]]): DataFrame = {
+    val xx = VectorFunctions.dotExact(col("embedding"), col("embedding"))
+    val near = array_min(array(cents.zipWithIndex.map { case (c, cid) =>
+      // c·c is a sum of 64 multiples of 1/256 bounded by 16 — exact in
+      // double arithmetic, so this Scala-side constant equals the SQL
+      // rendering of the same literal
+      val cc = c.map(x => x * x).sum
+      val xc = VectorFunctions.dotExact(col("embedding"),
+        array(c.map(lit): _*))
+      struct(((xx + lit(cc)) - lit(2.0) * xc).as("d2"),
+        lit(cid).as("cid"))
+    }: _*))
+    emb.select(col("vec_id"),
+      near.getField("cid").cast("int").as("cluster"),
+      near.getField("d2").as("d2c"))
+  }
+
+  /** d16's SemDeDup through PINNED centroids, end-to-end
+    * hash-checkable: the same assign → boundedSelfPairs →
+    * diversity-rule path as [[semanticDedup]], with the one
+    * non-SQL-expressible stage (Lloyd) replaced by [[fixedCentroids]]
+    * literals. Cosine on the raw vectors via the exact d7 formula. */
+  def semanticDedupFixed(emb: DataFrame, tau: Double = 0.3,
+      maxCluster: Int = 4096): DataFrame = {
+    val assigned = semanticAssignFixed(emb, fixedCentroids())
+      .localCheckpoint()
+    survivorsWithin(assigned, emb.select("vec_id", "embedding"),
+      (v1, v2) => round(VectorFunctions.dotExact(v1, v2) /
+        (VectorFunctions.normExact(v1) * VectorFunctions.normExact(v2)),
+        12),
+      tau, maxCluster)
+  }
+
+  /** DuckDB rendering of [[semanticDedupFixed]]. */
+  private def semanticDedupFixedSql(tau: Double): String = {
+    val cents = fixedCentroids()
+    val centValues = (for {
+      (c, cid) <- cents.zipWithIndex
+      (v, j) <- c.zipWithIndex
+    } yield s"($cid,${j + 1},$v)").mkString(", ")
+    val ccValues = cents.zipWithIndex.map { case (c, cid) =>
+      s"($cid,${c.map(x => x * x).sum})"
+    }.mkString(", ")
+    s"""WITH cents(cid, j, v) AS (VALUES $centValues),
+       |ccs(cid, cc) AS (VALUES $ccValues),
+       |ex AS (SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+       |              unnest(range(1, len(embedding) + 1)) AS j
+       |       FROM embeddings),
+       |xx AS (SELECT vec_id,
+       |         cast(sum(cast(x * x as decimal(38,20))) as double) AS xx
+       |       FROM ex GROUP BY vec_id),
+       |xc AS (SELECT e.vec_id, c.cid,
+       |         cast(sum(cast(e.x * c.v as decimal(38,20))) as double) AS xc
+       |       FROM ex e JOIN cents c ON c.j = e.j GROUP BY e.vec_id, c.cid),
+       |d2 AS (SELECT x.vec_id, c.cid, (x.xx + s.cc) - 2.0 * c.xc AS d2
+       |       FROM xc c JOIN xx x ON x.vec_id = c.vec_id
+       |       JOIN ccs s ON s.cid = c.cid),
+       |asg AS (SELECT vec_id, cid AS cluster, d2 AS d2c
+       |        FROM (SELECT vec_id, cid, d2, row_number()
+       |                OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rk
+       |              FROM d2) WHERE rk = 1),
+       |cand AS (SELECT a.vec_id AS d1, b.vec_id AS d2x,
+       |                a.d2c AS c1, b.d2c AS c2
+       |         FROM asg a JOIN asg b
+       |           ON a.cluster = b.cluster AND a.vec_id < b.vec_id),
+       |px AS (SELECT c.d1, c.d2x, e1.x AS x1, e2.x AS x2
+       |       FROM cand c JOIN ex e1 ON e1.vec_id = c.d1
+       |       JOIN ex e2 ON e2.vec_id = c.d2x AND e2.j = e1.j),
+       |sums AS (SELECT d1, d2x,
+       |           cast(sum(cast(x1 * x2 as decimal(38,20))) as double) AS dot,
+       |           cast(sum(cast(x1 * x1 as decimal(38,20))) as double) AS na,
+       |           cast(sum(cast(x2 * x2 as decimal(38,20))) as double) AS nb
+       |         FROM px GROUP BY d1, d2x),
+       |sim AS (SELECT s.d1, s.d2x, c.c1, c.c2 FROM sums s
+       |        JOIN cand c ON c.d1 = s.d1 AND c.d2x = s.d2x
+       |        WHERE round(dot / (sqrt(na) * sqrt(nb)), 12) >= $tau),
+       |losers AS (SELECT DISTINCT CASE WHEN c1 < c2 OR (c1 = c2 AND d1 > d2x)
+       |                  THEN d1 ELSE d2x END AS vec_id FROM sim)
+       |SELECT a.vec_id, CAST(a.cluster AS INT) AS cluster,
+       |  CASE WHEN l.vec_id IS NULL THEN 1 ELSE 0 END AS kept
+       |FROM asg a LEFT JOIN losers l ON l.vec_id = a.vec_id
+       |ORDER BY a.vec_id""".stripMargin
   }
 
   val all: Seq[Q] = Seq(
@@ -1107,6 +1224,17 @@ object Similarity {
     // use the default 0.95.
     Q("d16_semantic_dedup", None,
       (s, d) => semanticDedup(T.embeddings(s, d), tau = 0.3)),
+
+    // D16f — SemDeDup HASH-CHECKED: the trained lane above stays
+    // rows-only (a Lloyd codebook is not SQL-expressible), but with
+    // the centroids pinned as literals the ENTIRE pipeline — argmin
+    // assignment, within-cluster pair discovery, the
+    // farther-from-centroid survivor rule — is a pure function DuckDB
+    // replays bit-for-bit (the t21 fixedMerges / e12 full-probe
+    // pattern). Same code path as d16: semanticAssignFixed feeds the
+    // shared survivorsWithin core.
+    Q("d16_semdedup_fixed", Some(semanticDedupFixedSql(0.3)),
+      (s, d) => semanticDedupFixed(T.embeddings(s, d), tau = 0.3)),
 
     // E14 — hybrid retrieval: BM25 (t18's sparse lane) ∪ dense cosine
     // (e1's lane), fused by reciprocal-rank fusion (Cormack et al.'s
