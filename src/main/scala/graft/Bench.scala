@@ -46,6 +46,9 @@ object Bench {
     // token-ledger twins: per-source sum/count by grouped scan vs
     // folded from the manifest's exact per-file sums (SQL rewrite)
     "b10_ledger_raw", "b10_ledger_wh",
+    // mean-ledger twins: per-source avg by grouped scan vs the
+    // metadata fold's sum/nn division (SQL rewrite, zero files opened)
+    "b12_avg_raw", "b12_avg_wh",
     // decontamination-firewall twins: per-question suite re-shingle vs
     // the stored gram digests (batch grams broadcast, digests stream)
     "b11_contam_raw", "b11_contam_wh"

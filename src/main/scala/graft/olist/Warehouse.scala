@@ -3630,9 +3630,20 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * exactly (sums fold additively — the same one-scan-row shape as
     * min/max); the scan and merge accumulate in DECIMAL(38,0) with one
     * final LongType cast, so a merged total beyond Long RAISES under
-    * ANSI instead of wrapping — never a silently-wrong ledger. */
+    * ANSI instead of wrapping — never a silently-wrong ledger.
+    *
+    * With `withAvgs` each requested INTEGRAL column also answers
+    * `avg_<c>` (DoubleType, SQL null semantics — NULL over zero
+    * non-null rows) = the exact folded sum over the exact non-null
+    * count, both from stats the manifest already carries; the one
+    * double division happens at the very end, so the answer is the
+    * correctly-rounded mean, never an accumulation artifact. The
+    * "mean doc length per source" ledger question stops paying a
+    * scan. Same disqualifiers as sums, plus any clean file missing
+    * its non-null count. */
   def statsAggregate(name: String, cols0: Seq[String],
-      withSums: Boolean = false): Option[DataFrame] = {
+      withSums: Boolean = false, withAvgs: Boolean = false)
+      : Option[DataFrame] = {
     require(database.isEmpty, "statsAggregate applies to path-mode tables only")
     val cols = cols0.distinct // duplicate requests would collide column names
     require(cols.nonEmpty, "statsAggregate: no columns requested")
@@ -3646,44 +3657,89 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val (dvd, clean) = files.partition(_.dv.isDefined)
     val folded = foldStats(clean, types, cols)
     val cleanCnt = foldRowCount(clean)
-    val sumCols = if (withSums) cols else Nil
+    val sumCols = if (withSums || withAvgs) cols else Nil
+    val avgCols = if (withAvgs) cols else Nil
     val sums = metadataSumFold(clean, types, sumCols)
-    for { mm <- folded; n <- cleanCnt; sm <- sums } yield {
+    val nns = foldNonNull(clean, avgCols)
+    for { mm <- folded; n <- cleanCnt; sm <- sums; nn <- nns } yield {
+      def sumLit(c: String) = sm(c) match {
+        case null => lit(null)
+        case v: Long => lit(v)
+      }
+      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
       val metaRow = spark.range(1).select(
         mm.flatMap { case (c, lo, hi) =>
           def tl(v: Option[Any]) =
             v.map(lit).getOrElse(lit(null)).cast(types(c))
           Seq(tl(lo).as(s"min_$c"), tl(hi).as(s"max_$c"))
-        } ++ sumCols.map(c =>
-          (sm(c) match {
-            case null => lit(null)
-            case v: Long => lit(v)
-          }).cast("long").as(s"sum_$c"))
+        } ++ (if (withSums) cols.map(c =>
+          sumLit(c).cast("long").as(s"sum_$c")) else Nil) ++
+          (if (dvd.isEmpty)
+            // no DVs: the mean settles here — one double division
+            avgCols.map(c => (sm(c) match {
+              case null => lit(null)
+              case v: Long => lit(v.toDouble / nn(c))
+            }).cast("double").as(s"avg_$c"))
+          else
+            // DV'd files in play: carry the exact ingredients through
+            // the merge, divide after
+            avgCols.flatMap(c => Seq(
+              sumLit(c).cast(dec38).as(s"__sum_$c"),
+              lit(nn(c)).as(s"__nn_$c"))))
           :+ lit(n).as("cnt"): _*)
       if (dvd.isEmpty) metaRow
       else {
         // DV'd files only: fromFiles applies their deletion vectors,
         // so the scan's extremes/count describe LIVE rows exactly
-        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
           // DECIMAL accumulation: a DV'd file's live rows can never
           // overflow their own scan sum, whatever the column holds
-          sumCols.map(c => sum(col(c).cast(dec38)).as(s"sum_$c")) :+
+          (if (withSums) cols.map(c =>
+            sum(col(c).cast(dec38)).as(s"sum_$c")) else Nil) ++
+          avgCols.flatMap(c => Seq(
+            sum(col(c).cast(dec38)).as(s"__sum_$c"),
+            count(col(c)).as(s"__nn_$c"))) :+
           count(lit(1)).as("cnt")
         val scanRow = fromFiles(name, dvd.map(_.path), sc)
           .agg(scanAggs.head, scanAggs.tail: _*)
         val mergeAggs = cols.flatMap(c =>
           Seq(min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c"))) ++
-          sumCols.map(c =>
-            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c")) :+
+          (if (withSums) cols.map(c =>
+            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c"))
+          else Nil) ++
+          avgCols.flatMap(c => Seq(
+            sum(col(s"__sum_$c").cast(dec38)).as(s"__sum_$c"),
+            sum(col(s"__nn_$c")).cast("long").as(s"__nn_$c"))) :+
           sum(col("cnt")).cast("long").as("cnt")
-        metaRow.unionByName(scanRow)
+        val merged = metaRow.unionByName(scanRow)
           .agg(mergeAggs.head, mergeAggs.tail: _*)
+        // exact merged sum / exact merged count, ONE final division
+        merged.select(
+          cols.flatMap(c =>
+            Seq(col(s"min_$c"), col(s"max_$c"))) ++
+            (if (withSums) cols.map(c => col(s"sum_$c")) else Nil) ++
+            avgCols.map(c =>
+              when(col(s"__sum_$c").isNull, lit(null))
+                .otherwise(col(s"__sum_$c").cast("double") /
+                  col(s"__nn_$c")).as(s"avg_$c")) :+
+            col("cnt"): _*)
       }
     }
   }
+
+  /** Per-column non-null counts over a clean-file subset — the avg
+    * denominators; any file missing a count poisons the answer. */
+  private def foldNonNull(fs: Seq[Warehouse.DataFile],
+      cols: Seq[String]): Option[Map[String, Long]] =
+    cols.foldLeft(Option(Map.empty[String, Long])) { case (acc, c) =>
+      acc.flatMap { m =>
+        val per = fs.map(nonNullOf(_, c))
+        if (per.forall(_.isDefined)) Some(m + (c -> per.flatten.sum))
+        else None
+      }
+    }
 
   /** Fold min-of-mins / max-of-maxs over typed per-file stats; any
     * unparseable or missing entry poisons the whole answer (None —
@@ -3889,9 +3945,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * layouts after partition evolution: the un-partitioned files carry
     * no group value — a scan is the only honest answer). `withSums`
     * adds `sum_<c>` per integral requested column under
-    * [[statsAggregate]]'s contract — the per-GROUP token ledger. */
+    * [[statsAggregate]]'s contract — the per-GROUP token ledger.
+    * `withAvgs` adds `avg_<c>` (exact sum / exact non-null count,
+    * one final double division per group) under the same contract —
+    * the per-group mean ledger. */
   def statsAggregateBy(name: String, groupCols: Seq[String],
-      cols0: Seq[String], withSums: Boolean = false): Option[DataFrame] = {
+      cols0: Seq[String], withSums: Boolean = false,
+      withAvgs: Boolean = false): Option[DataFrame] = {
     require(database.isEmpty, "statsAggregateBy applies to path-mode tables only")
     val cols = cols0.distinct
     require(groupCols.nonEmpty && cols.nonEmpty,
@@ -3917,28 +3977,48 @@ class Warehouse(val spark: SparkSession, basePath: String,
           k -> v.map(_._2) })
       else None
     }
-    val sumCols = if (withSums) cols else Nil
+    val sumCols = if (withSums || withAvgs) cols else Nil
+    val avgCols = if (withAvgs) cols else Nil
     val folded: Option[Seq[org.apache.spark.sql.Row]] = grouped.flatMap {
       byGroup =>
         val rows = byGroup.toSeq.map { case (gvals, gfiles) =>
           for {
             m <- foldStats(gfiles, types, cols)
             sm <- metadataSumFold(gfiles, types, sumCols)
+            nn <- foldNonNull(gfiles, avgCols)
             n <- foldRowCount(gfiles)
           } yield org.apache.spark.sql.Row.fromSeq(gvals ++
             m.flatMap { case (_, lo, hi) =>
               Seq(lo.orNull, hi.orNull) } ++
-            sumCols.map(sm(_)) :+ n)
+            (if (withSums) sumCols.map(sm(_)) else Nil) ++
+            // with DVs in play, carry the exact ingredients instead of
+            // a settled mean — the merge divides once at the end
+            (if (dvd.isEmpty)
+              avgCols.map(c => sm(c) match {
+                case null => null
+                case v: Long => v.toDouble / nn(c)
+              })
+            else avgCols.flatMap(c => Seq(sm(c) match {
+              case null => null
+              case v: Long => BigDecimal(v)
+            }, nn(c)))) :+ n)
         }
         if (rows.forall(_.isDefined)) Some(rows.flatten) else None
     }
     folded.map { rows =>
       import org.apache.spark.sql.types._
+      val dec38 = DecimalType(38, 0)
       val schema = StructType(
         groupCols.map(g => StructField(g, types(g))) ++
           cols.flatMap(c => Seq(StructField(s"min_$c", types(c)),
             StructField(s"max_$c", types(c)))) ++
-          sumCols.map(c => StructField(s"sum_$c", LongType)) :+
+          (if (withSums) cols.map(c => StructField(s"sum_$c", LongType))
+          else Nil) ++
+          (if (dvd.isEmpty)
+            avgCols.map(c => StructField(s"avg_$c", DoubleType))
+          else avgCols.flatMap(c =>
+            Seq(StructField(s"__sum_$c", dec38),
+              StructField(s"__nn_$c", LongType)))) :+
           StructField("cnt", LongType))
       val metaRows = spark.createDataFrame(
         new java.util.ArrayList[org.apache.spark.sql.Row](
@@ -3946,10 +4026,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
         schema)
       if (dvd.isEmpty) metaRows
       else {
-        val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
-          sumCols.map(c => sum(col(c).cast(dec38)).as(s"sum_$c")) :+
+          (if (withSums) cols.map(c =>
+            sum(col(c).cast(dec38)).as(s"sum_$c")) else Nil) ++
+          avgCols.flatMap(c => Seq(
+            sum(col(c).cast(dec38)).as(s"__sum_$c"),
+            count(col(c)).as(s"__nn_$c"))) :+
           count(lit(1)).as("cnt")
         val scanRows = fromFiles(name, dvd.map(_.path), sc)
           .groupBy(groupCols.map(col): _*)
@@ -3959,12 +4042,25 @@ class Warehouse(val spark: SparkSession, basePath: String,
             max(col(s"max_$c")).as(s"max_$c"))) ++
           // DECIMAL merge + one final cast: beyond-Long totals RAISE
           // under ANSI instead of wrapping ([[statsAggregate]])
-          sumCols.map(c =>
-            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c")) :+
+          (if (withSums) cols.map(c =>
+            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c"))
+          else Nil) ++
+          avgCols.flatMap(c => Seq(
+            sum(col(s"__sum_$c").cast(dec38)).as(s"__sum_$c"),
+            sum(col(s"__nn_$c")).cast("long").as(s"__nn_$c"))) :+
           sum(col("cnt")).cast("long").as("cnt")
-        metaRows.unionByName(scanRows)
+        val merged = metaRows.unionByName(scanRows)
           .groupBy(groupCols.map(col): _*)
           .agg(mergeAggs.head, mergeAggs.tail: _*)
+        merged.select(
+          groupCols.map(col) ++
+            cols.flatMap(c => Seq(col(s"min_$c"), col(s"max_$c"))) ++
+            (if (withSums) cols.map(c => col(s"sum_$c")) else Nil) ++
+            avgCols.map(c =>
+              when(col(s"__sum_$c").isNull, lit(null))
+                .otherwise(col(s"__sum_$c").cast("double") /
+                  col(s"__nn_$c")).as(s"avg_$c")) :+
+            col("cnt"): _*)
       }
     }
   }
@@ -4121,6 +4217,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * two queries share a streamId — that is an error, not a silent
     * skip (silence there would discard all data forever). Returns true
     * iff the batch landed (false = duplicate replay). */
+  /** The committed batchId high-water mark for (name, streamId) — the
+    * fence [[appendStreamBatch]] enforces, exposed so a COMPOSED ingest
+    * path ([[graft.operators.Ingest.ingestBatch]]) can settle a
+    * fenced-out batch BEFORE any stateful gate stages its appends: a
+    * stale batchId carrying genuinely unseen doc_ids (a restart driven
+    * from an old checkpoint) must not commit gate memory for docs that
+    * will never land in the base table. */
+  def streamHighWaterMark(name: String,
+      streamId: String = "stream"): Option[Long] =
+    currentManifestFull(name)
+      .flatMap(_._3.get(s"watermark.$streamId")).map(_.toLong)
+
   def appendStreamBatch(name: String, df: DataFrame, batchId: Long,
       streamId: String = "stream"): Boolean = {
     require(database.isEmpty, "appendStreamBatch applies to path-mode tables only")

@@ -14,10 +14,17 @@ import org.apache.spark.sql.functions._
   * suite fixed for months, so its word-8-gram digests are computed
   * ONCE and stored:
   *
-  *   `<idx>_grams`  (h)  the suite's distinct md5 word-8-gram digests,
-  *                  range-clustered on `h` — 16 bytes per gram, no
-  *                  benchmark text ever stored (the gate can be shared
-  *                  with partners who must not see the suite itself).
+  *   `<idx>_grams`  (suite, h)  the suite's distinct md5 word-8-gram
+  *                  digests, TAGGED with the suite that contributed
+  *                  them and range-clustered on `h` — 16 bytes per
+  *                  gram, no benchmark text ever stored (the gate can
+  *                  be shared with partners who must not see the suite
+  *                  itself). The suite tag is the RETIREMENT handle: a
+  *                  deprecated benchmark's digests can be dropped
+  *                  ([[retire]]) without holding the suite text or
+  *                  rebuilding the gate, and a gram two suites share
+  *                  survives the retirement of one because each
+  *                  LIVE suite carries its own row for it.
   *
   * Serving shape ([[verdicts]]): the BATCH's distinct digests build
   * the broadcast side and the stored gram table streams past them —
@@ -46,6 +53,10 @@ object ContamGate {
 
   private def gramsTable(idx: String): String = s"${idx}_grams"
 
+  /** The default suite tag — single-suite deployments never need to
+    * name one. */
+  val DefaultSuite = "suite0"
+
   /** (doc_id, h): each doc's distinct word-8-gram digests — shared by
     * the build (suite side) and verdicts (batch side), so the two
     * can never disagree on tokenization. */
@@ -56,53 +67,79 @@ object ContamGate {
       .select(col("doc_id"), md5(col("g")).as("h"))
       .distinct()
 
-  /** Build the gate from the benchmark suite. Returns distinct grams
-    * stored. */
+  /** Build the gate from the benchmark suite, tagged `suite`. Returns
+    * distinct grams stored. */
   def build(wh: Warehouse, idx: String, bench: DataFrame,
-      nFiles: Int = 4): Long = {
-    val g = grams(bench).select("h").distinct().localCheckpoint()
+      suite: String = DefaultSuite, nFiles: Int = 4): Long = {
+    val g = grams(bench).select(lit(suite).as("suite"), col("h"))
+      .distinct().localCheckpoint()
     wh.save(gramsTable(idx), g.repartitionByRange(nFiles, col("h")),
       clusterBy = Seq("h"))
     g.count()
   }
 
-  /** Admit a NEW benchmark version into the gate: only digests the
-    * stored table does not already hold are appended (replaying the
-    * same suite is a no-op). Returns grams added. */
-  def refresh(wh: Warehouse, idx: String, bench: DataFrame): Long = {
-    val fresh = grams(bench).select("h").distinct()
-      .join(wh.table(gramsTable(idx)), Seq("h"), "left_anti")
+  /** Admit a benchmark (a new version, or a whole new suite) into the
+    * gate under `suite`: only (suite, h) rows the stored table does
+    * not already hold are appended — replaying the same suite is a
+    * no-op, and a gram ANOTHER suite already contributed still gains
+    * this suite's own row (each live suite must carry its full digest
+    * set, or retiring one suite could silently disarm another — see
+    * [[retire]]). Returns gram rows added. */
+  def refresh(wh: Warehouse, idx: String, bench: DataFrame,
+      suite: String = DefaultSuite): Long = {
+    val fresh = grams(bench).select(lit(suite).as("suite"), col("h"))
+      .distinct()
+      .join(wh.table(gramsTable(idx)), Seq("suite", "h"), "left_anti")
       .localCheckpoint()
     val n = fresh.count()
     if (n > 0) wh.append(gramsTable(idx), fresh)
     n
   }
 
-  /** Judge a delivery batch against the stored suite: one row per
+  /** Drop a deprecated suite from the gate: every gram row tagged
+    * `suite` DV-deletes; digests a still-live suite shares keep
+    * convicting through that suite's own rows, so retirement can never
+    * disarm a live benchmark. Needs neither the suite text nor a
+    * rebuild — the tag on the stored rows is the whole handle.
+    * Returns gram rows dropped. */
+  def retire(wh: Warehouse, idx: String, suite: String): Long =
+    wh.delete(gramsTable(idx), col("suite") === suite).rowsDeleted
+
+  /** The suites currently arming the gate, with their gram counts —
+    * the inventory a retirement decision reads. */
+  def suites(wh: Warehouse, idx: String): DataFrame =
+    wh.table(gramsTable(idx)).groupBy("suite")
+      .agg(count(lit(1)).as("grams")).orderBy("suite")
+
+  /** Judge a delivery batch against the stored suites: one row per
     * distinct batch doc_id — (doc_id, shared_grams, keep), keep = 1
-    * iff NO row carrying that id shares an 8-gram with the suite (a
-    * batch with two texts under one id is judged on the UNION of
+    * iff NO row carrying that id shares an 8-gram with ANY live suite
+    * (a batch with two texts under one id is judged on the UNION of
     * their grams — the conservative reading; a firewall must not let
-    * a contaminated variant ride in behind a clean one). The batch's
-    * digests broadcast onto the stored gram scan (the suite is
-    * bounded by construction; the batch is delivery-sized), so the
-    * only exchange is the batch-sized hit counts. The broadcast guard
-    * counts GRAM rows, not docs — a batch of long documents fans out
-    * to tokens−7 grams each; past `maxBroadcastGrams` (default 1M ≈
-    * tens of MB of 16-byte digests) the plain hash join takes over,
-    * both sides shuffling on the digest; verdicts identical either
-    * way. */
+    * a contaminated variant ride in behind a clean one).
+    * `shared_grams` counts DISTINCT shared digests, so a gram that
+    * two suites both carry convicts once — identical to the
+    * pre-versioned gate and to d10's sweep. The batch's digests
+    * broadcast onto the stored gram scan (the suites are bounded by
+    * construction; the batch is delivery-sized), so the only exchange
+    * is the batch-sized hit counts. The broadcast guard counts GRAM
+    * rows, not docs — a batch of long documents fans out to tokens−7
+    * grams each; past `maxBroadcastGrams` (default 1M ≈ tens of MB of
+    * 16-byte digests) the plain hash join takes over, both sides
+    * shuffling on the digest; verdicts identical either way. */
   def verdicts(wh: Warehouse, idx: String, batch: DataFrame,
       maxBroadcastGrams: Long = 1000000L): DataFrame = {
     // pin the slim batch's digests once: the join-side choice, the
     // probe, and the verdict frame all reuse them instead of
     // re-scanning the source (the DedupIndex.verdicts precedent)
     val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
-    val stored = wh.table(gramsTable(idx))
+    val stored = wh.table(gramsTable(idx)).select("h")
     val hits = (if (bg.count() <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h")) // stored streams, batch builds
       else stored.join(bg, Seq("h")))
-      .groupBy("doc_id").agg(count(lit(1)).as("shared_grams"))
+      // DISTINCT digests: a multi-suite gram must convict once, not
+      // once per suite carrying it
+      .groupBy("doc_id").agg(countDistinct(col("h")).as("shared_grams"))
     batch.select("doc_id").distinct()
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),

@@ -63,7 +63,25 @@ object Ingest {
     * FIRST of all: a pure map-side projection, so the cheapest gate
     * sheds load before any gate that joins stored state. Gate order
     * is cheapest-first: quality (projection) → contamination (stored
-    * digest probe) → near-dup (stored bands + own-batch window). */
+    * digest probe) → near-dup (stored bands + own-batch window).
+    *
+    * Fence-first: the stream's committed high-water mark is checked
+    * BEFORE any gate runs ([[Warehouse.streamHighWaterMark]]) — a
+    * replay of the last committed batch returns false without
+    * touching the gates, and a batchId BELOW the mark refuses loudly
+    * (checkpoint reset / shared streamId — [[appendStreamBatch]]'s
+    * contract). Without the pre-check, a stale batch carrying
+    * genuinely unseen doc_ids would commit dedup-gate band memory for
+    * docs that never land, permanently convicting their future
+    * legitimate deliveries.
+    *
+    * Every landed batch also appends ONE row to the ADMISSION LEDGER
+    * `<table>_ingest_log` — (batch_id, stream_id, n_in, quality_drops,
+    * contam_drops, dup_drops, landed) — INSIDE the same transaction
+    * marker: a rolled-back batch leaves no ledger row, a replay writes
+    * none. Per-gate drop counts are the drift signal a production
+    * pipeline monitors — a contamination spike IS how a benchmark
+    * leaking into a crawl surfaces. */
   def ingestBatch(wh: Warehouse, table: String, batch: DataFrame,
       batchId: Long, textIdx: Option[String] = None,
       annIdx: Option[String] = None,
@@ -71,7 +89,17 @@ object Ingest {
       contamIdx: Option[String] = None,
       minQuality: Option[Double] = None,
       streamId: String = "ingest"): Boolean = {
-    val names = (Seq(table) ++ textIdx.toSeq.flatMap(TextIndex.tables)
+    // settle fenced-out batches before any gate stages state
+    val mark = wh.streamHighWaterMark(table, streamId)
+    if (mark.contains(batchId)) return false
+    if (mark.exists(batchId < _))
+      throw new IllegalStateException(
+        s"ingestBatch($table, streamId=$streamId): batchId $batchId is " +
+          s"below the committed mark ${mark.get} — stream checkpoint was " +
+          "reset or two queries share this streamId; use a fresh streamId")
+    val log = ledgerTable(table)
+    val names = (Seq(table, log)
+      ++ textIdx.toSeq.flatMap(TextIndex.tables)
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
@@ -96,15 +124,37 @@ object Ingest {
             .select("doc_id")), Seq("doc_id"), "left_semi")
         case None => clean
       }
+      // the ledger counts DISTINCT doc ids per stage (the grain the
+      // gates judge at); a skipped gate recounts nothing
+      val nIn = batch.select("doc_id").distinct().count()
+      val nQual =
+        if (minQuality.isEmpty) nIn
+        else qualified.select("doc_id").distinct().count()
+      val nClean =
+        if (contamIdx.isEmpty) nQual
+        else clean.select("doc_id").distinct().count()
+      val nKept =
+        if (dedupIdx.isEmpty) nClean
+        else kept.select("doc_id").distinct().count()
       val landed = wh.appendStreamBatch(table, kept, batchId, streamId)
       if (landed) {
         textIdx.foreach(i => TextIndex.refreshBody(wh, i, kept))
         annIdx.foreach(i => AnnIndex.refresh(wh, i,
           kept.select(col("doc_id").as("vec_id"), col("embedding"))))
+        val spark0 = batch.sparkSession
+        import spark0.implicits._
+        val row = Seq((batchId, streamId, nIn, nIn - nQual,
+          nQual - nClean, nClean - nKept, nKept))
+          .toDF("batch_id", "stream_id", "n_in", "quality_drops",
+            "contam_drops", "dup_drops", "landed")
+        if (wh.hasTable(log)) wh.append(log, row) else wh.save(log, row)
       }
       landed
     }
   }
+
+  /** The admission ledger behind `table` — one row per landed batch. */
+  def ledgerTable(table: String): String = s"${table}_ingest_log"
 
   /** Drive a streaming frame of documents (doc_id, text, …[, embedding])
     * through [[ingestBatch]] — base + indexes advance together, one

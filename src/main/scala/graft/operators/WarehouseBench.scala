@@ -151,6 +151,14 @@ object WarehouseBench {
       |  count(*) AS cnt, count(n_chars) AS nn
       |FROM documents GROUP BY source ORDER BY source""".stripMargin
 
+  // b12: per-source MEAN doc size — exact at this scale on every
+  // engine (integral sums ≪ 2^53, so double accumulation is exact and
+  // the one final division lands on the identical double in Spark,
+  // DuckDB, and the metadata fold)
+  private val b12Oracle =
+    """SELECT source, avg(n_chars) AS avg_chars, count(n_chars) AS nn
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
   private val b4Oracle =
     """SELECT min(l_orderkey) AS min_ok, max(l_orderkey) AS max_ok,
       |  min(l_extendedprice) AS min_px, max(l_extendedprice) AS max_px,
@@ -306,6 +314,23 @@ object WarehouseBench {
       warehouse(s, d).enableSql()
       s.sql("""SELECT source, sum(n_chars) AS sum_chars, count(*) AS cnt,
               |  count(n_chars) AS nn
+              |FROM dw_documents_p GROUP BY source ORDER BY source""".stripMargin)
+    }),
+
+    // b12 — the MEAN-LEDGER twins: "mean doc length per source"
+    // answered by a grouped scan (raw) vs avg folded from the
+    // manifest's exact per-file sums and non-null counts (wh — the
+    // MetadataAggRewrite avg lane; plans as a LocalRelation, zero
+    // files opened, PlanQualitySpec-asserted). Both lanes carry the
+    // same DuckDB oracle, so the fold is hash-checked cross-engine.
+    Q("b12_avg_raw", Some(b12Oracle), (s, d) =>
+      T.documents(s, d).groupBy("source")
+        .agg(avg(col("n_chars")).as("avg_chars"),
+          count(col("n_chars")).as("nn"))
+        .orderBy("source")),
+    Q("b12_avg_wh", Some(b12Oracle), (s, d) => {
+      warehouse(s, d).enableSql()
+      s.sql("""SELECT source, avg(n_chars) AS avg_chars, count(n_chars) AS nn
               |FROM dw_documents_p GROUP BY source ORDER BY source""".stripMargin)
     }),
 

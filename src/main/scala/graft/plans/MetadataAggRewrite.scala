@@ -41,7 +41,7 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    stays exact THROUGH DVs — the manifest knows each sidecar's
   *    cardinality, so n = Σ file rows − Σ dv rows
   *    ([[graft.olist.Warehouse.metadataAggFold]]);
-  *  - every aggregate is a bare `min`/`max`/`count`/`sum` over a
+  *  - every aggregate is a bare `min`/`max`/`count`/`sum`/`avg` over a
   *    column or `count(*)`/`count(1)` — no DISTINCT, no FILTER,
   *    nothing else. `count(col)` folds from the per-file NON-NULL
   *    counts (`"__nn_<col>"` stats) when every selected file carries
@@ -49,7 +49,11 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    see nulls). `sum(col)` folds from the per-file exact sums
   *    (`"__sum_<col>"`, integral stat columns only) under the same
   *    no-DV rule, and only when the exact total fits LongType — the
-  *    token-budget ledger lane ([[graft.olist.Warehouse.metadataSumFold]]);
+  *    token-budget ledger lane ([[graft.olist.Warehouse.metadataSumFold]]).
+  *    `avg(col)` = exact-sum / non-null-count, under the sum lane's
+  *    disqualifiers plus an exactness bound (|sum| ≤ 2^53, where the
+  *    scan's own double accumulation is exact in any order — the fold
+  *    can never disagree with the scan it replaces);
   *  - grouping, when present, is on attribute references over
   *    partition columns — the manifest groups those exactly.
   *
@@ -104,6 +108,15 @@ case class MetadataAggRewrite(session: SparkSession)
   private case object Cnt extends Out
   private case class CntOf(c: String) extends Out
   private case class SumOf(c: String) extends Out
+  private case class AvgOf(c: String) extends Out
+
+  // avg folds as exact-sum / non-null-count only while the exact total
+  // is ≤ 2^53: there every partial double accumulation a scan could
+  // perform is exact too, so the fold, the scan, and DuckDB's
+  // accumulator all land on the identical double. Beyond that, double
+  // summation order starts to matter and the scan is the only honest
+  // answer.
+  private val MaxExactDouble = 1L << 53
 
   private def rewrite(agg: Aggregate, cond: Option[Expression],
       table: String, body: LogicalPlan): Option[LogicalPlan] = {
@@ -134,6 +147,10 @@ case class MetadataAggRewrite(session: SparkSession)
             // the exact total fits LongType, where ANSI, LEGACY and
             // TRY sums all agree.
             case Sum(c: AttributeReference, _) => Some(SumOf(c.name))
+            // avg(col) = sum/cnt — both ingredients fold exactly (the
+            // "__sum_"/"__nn_" stats), under the sum lane's
+            // disqualifiers plus the ≤2^53 exactness bound
+            case Average(c: AttributeReference, _) => Some(AvgOf(c.name))
             case _ => None
           }
         case _ => None
@@ -170,13 +187,20 @@ case class MetadataAggRewrite(session: SparkSession)
       (files, types, pcols) = snap
       if gs.forall(g => pcols.contains(g.name))
       cols = outs.collect { case MinOf(c) => c; case MaxOf(c) => c }.distinct
-      cntCols = outs.collect { case CntOf(c) => c }.distinct
-      sumCols = outs.collect { case SumOf(c) => c }.distinct
+      avgCols = outs.collect { case AvgOf(c) => c }.distinct
+      // avg needs both the exact sum and the non-null count: ride the
+      // existing folds by requesting its columns in both lanes
+      cntCols = (outs.collect { case CntOf(c) => c } ++ avgCols).distinct
+      sumCols = (outs.collect { case SumOf(c) => c } ++ avgCols).distinct
       kept <- selectFiles(wh, cond, files, types, pcols)
+      avgExact = (sums: Map[String, Any]) => avgCols.forall(c =>
+        sums(c) == null ||
+          math.abs(sums(c).asInstanceOf[Long]) <= MaxExactDouble)
       rows <- if (gs.isEmpty) {
         for {
           (folded, cnts, n) <- wh.metadataAggFold(kept, types, cols, cntCols)
           sums <- wh.metadataSumFold(kept, types, sumCols)
+          if avgExact(sums)
         } yield Seq(values(outs, Nil, folded, cnts, sums, n))
       } else scala.util.Try {
         // Try: "disqualify, never fail" — a foreign-written partition
@@ -198,6 +222,7 @@ case class MetadataAggRewrite(session: SparkSession)
                 (folded, cnts, n) <-
                   wh.metadataAggFold(gfs.map(_._2), types, cols, cntCols)
                 sums <- wh.metadataSumFold(gfs.map(_._2), types, sumCols)
+                if avgExact(sums)
               } yield values(outs, gvals, folded, cnts, sums, n)
           }
           if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None
@@ -266,6 +291,12 @@ case class MetadataAggRewrite(session: SparkSession)
       case Cnt => n
       case CntOf(c) => cnts(c)
       case SumOf(c) => sums(c)
+      // SQL avg over an all-null (or empty) group is NULL — the sum
+      // lane already renders that case as null
+      case AvgOf(c) => sums(c) match {
+        case null => null
+        case v: Long => v.toDouble / cnts(c)
+      }
     }
   }
 }

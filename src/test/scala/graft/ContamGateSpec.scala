@@ -80,6 +80,46 @@ class ContamGateSpec extends AnyFunSuite {
     assert(ContamGate.verdicts(wh, "cg", v1).first().getInt(2) == 0)
   }
 
+  test("retire: a deprecated suite stops convicting; grams shared with a live suite keep convicting") {
+    val wh = new Warehouse(spark, tmp("cg_retire"))
+    val sharedGram =
+      "sierra tango uniform victor whiskey xray yankee zulu"
+    // suite A: its exclusive gram + the shared gram (two bench docs)
+    ContamGate.build(wh, "cg", df(Seq(
+      (900L, s"$gram8 $benchPad"),
+      (901L, s"$sharedGram $benchPad"))), suite = "mmlu_v1")
+    // suite B contributes the shared gram too — its own row, even
+    // though A already stored that digest
+    val addedB = ContamGate.refresh(wh, "cg",
+      df(Seq((950L, s"$sharedGram and some extra benchmark words"))),
+      suite = "gsm_v2")
+    assert(addedB > 0L,
+      "a live suite must carry its own rows for shared grams")
+    val inv = ContamGate.suites(wh, "cg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(inv.keySet == Set("mmlu_v1", "gsm_v2"), inv.toString)
+    val viaA = df(Seq((1L, s"stolen span $gram8 in training text here")))
+    val viaShared = df(Seq((2L, s"stolen span $sharedGram in text here")))
+    assert(ContamGate.verdicts(wh, "cg", viaA).first().getInt(2) == 0)
+    assert(ContamGate.verdicts(wh, "cg", viaShared).first().getInt(2) == 0)
+    // retire A: its exclusive gram disarms, the shared one survives
+    // through B's row — no suite text needed, no rebuild
+    assert(ContamGate.retire(wh, "cg", "mmlu_v1") > 0L)
+    assert(ContamGate.verdicts(wh, "cg", viaA).first().getInt(2) == 1,
+      "a retired suite must stop convicting")
+    assert(ContamGate.verdicts(wh, "cg", viaShared).first().getInt(2) == 0,
+      "a gram shared with a live suite must keep convicting")
+    assert(ContamGate.suites(wh, "cg").collect()
+      .map(_.getString(0)).toSeq == Seq("gsm_v2"))
+    // a multi-suite gram convicts ONCE: shared_grams counts distinct
+    // digests (re-arm A and check the count stays 1)
+    ContamGate.refresh(wh, "cg",
+      df(Seq((901L, s"$sharedGram $benchPad"))), suite = "mmlu_v2")
+    val v = ContamGate.verdicts(wh, "cg", viaShared).first()
+    assert(v.getLong(1) == 1L && v.getInt(2) == 0,
+      s"a two-suite gram must count once: ${v.toSeq}")
+  }
+
   test("ingest firewall: contaminated docs never reach base, indexes, or the dedup gate's memory") {
     val wh = new Warehouse(spark, tmp("cg_ingest"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))

@@ -180,4 +180,65 @@ class IngestSpec extends AnyFunSuite {
       assert(wh.tableVersions(t) == v, s"replay advanced $t")
     }
   }
+
+  test("admission ledger: per-gate drop counts ≡ gate verdicts; rollbacks/replays write none; fenced-out batches never touch gate memory") {
+    import graft.operators.{ContamGate, DedupIndex}
+    import spark.implicits._
+    val wh = bootstrap("ingest_ledger")
+    DedupIndex.build(wh, "di", frame(seed))
+    val gram8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    ContamGate.build(wh, "cg",
+      Seq((900L, s"$gram8 " + (1 to 40).map(i => s"b$i").mkString(" ")))
+        .toDF("doc_id", "text"))
+    val emb = corpus(5)._3
+    val fresh = "a genuinely new document with the usual structure " +
+      "and plenty of ordinary words uniquesauce quorval zintrap"
+    // one stored-dup, one keeper, its in-batch dup, one quality
+    // reject, one contaminated doc — every gate drops something
+    val g1 = Seq(
+      (1000L, corpus(5)._2, emb), (1001L, fresh, emb),
+      (1002L, fresh, emb), (1004L, "zz", emb),
+      (1005L, s"stolen $gram8 wrapped in otherwise the normal text", emb))
+    def gates(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Ingest.ingestBatch(wh, "docs", b, id, Some("ti"), Some("ann"),
+        dedupIdx = Some("di"), contamIdx = Some("cg"),
+        minQuality = Some(0.2))
+    assert(gates(frame(g1), 0L))
+    def ledger() = wh.table(Ingest.ledgerTable("docs"))
+      .orderBy("batch_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
+    assert(ledger() == Seq((0L, 5L, 1L, 1L, 2L, 1L)),
+      s"ledger ≠ gate verdicts: ${ledger()}")
+    assert(wh.countRows("docs").contains(31L))
+    // a replay writes no ledger row (and advances nothing)
+    assert(!gates(frame(g1), 0L))
+    assert(ledger().size == 1)
+    // a rolled-back batch (ANN leg throws: no embedding) leaves no row
+    val followUp = "a completely different follow-up document about " +
+      "other topics carrying its own words blargfizz cromulent xanthic"
+    intercept[Exception] {
+      gates(frame(Seq((1010L, followUp, emb))).drop("embedding"), 1L)
+    }
+    assert(ledger().size == 1)
+    // the retry of the same batchId lands with its own row
+    assert(gates(frame(Seq((1010L, followUp, emb))), 1L))
+    assert(ledger() == Seq((0L, 5L, 1L, 1L, 2L, 1L),
+      (1L, 1L, 0L, 0L, 0L, 1L)), s"got ${ledger()}")
+    // the ADVICE scenario: a restart driven from an OLD checkpoint
+    // re-delivers the committed batchId carrying genuinely unseen
+    // doc_ids — the fence settles it BEFORE any gate stages state, so
+    // the unseen ids never enter the dedup gate's band memory (they
+    // would otherwise convict their future legitimate deliveries)
+    val stale = frame(Seq((2000L,
+      "an unseen document arriving under a stale batch identifier " +
+        "with plenty of perfectly ordinary words", emb)))
+    assert(!gates(stale, 1L))
+    assert(wh.table("di_bands").filter(col("doc_id") === 2000L).isEmpty,
+      "a fenced-out batch committed gate memory")
+    assert(ledger().size == 2)
+    // …and its later legitimate delivery (next batchId) is admitted
+    assert(gates(stale, 2L))
+    assert(wh.table("docs").filter(col("doc_id") === 2000L).count() == 1)
+  }
 }

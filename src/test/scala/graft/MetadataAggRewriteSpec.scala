@@ -61,8 +61,8 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
         when(col("id") % 2 === 0, col("id")).as("nv"))
       .repartitionByRange(3, col("k"))
     wh.save("t", df, clusterBy = Seq("k"))
-    // avg is not derivable → scan
-    val q1 = spark.sql("SELECT min(k) AS a, avg(k) AS m FROM dw_t")
+    // avg over a column with no declared sum/nn stats → scan
+    val q1 = spark.sql("SELECT min(k) AS a, avg(nv) AS m FROM dw_t")
     assert(fileScans(q1) > 0)
     assert(q1.collect()(0).getLong(0) == 0L)
     // count(col) over a column with NO declared stats (nv carries no
@@ -203,6 +203,55 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     val q5 = spark.sql("SELECT sum(DISTINCT a) AS s FROM dw_u")
     assert(fileScans(q5) > 0)
     assert(q5.collect()(0).getLong(0) == 4950L)
+  }
+
+  test("avg(col) folds as exact-sum / non-null-count — the mean-ledger lane") {
+    val wh = new Warehouse(spark, tmp("wh_mdagg_avg")).enableSql()
+    val df = spark.range(5000).select(
+      (col("id") % 3).cast("string").as("p"), col("id").as("k"),
+      when(col("id") % 7 =!= 0, col("id") * 11).as("v"),
+      (col("id") % 100).cast("double").as("d"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    // ungrouped: avg over a nullable stats column alongside its
+    // ingredients — the division denominator is the NON-NULL count
+    val q = spark.sql(
+      "SELECT avg(v) AS av, avg(k) AS ak, sum(v) AS sv, count(*) AS n FROM dw_t")
+    assert(fileScans(q) == 0, "avg over stats columns must fold:\n" +
+      q.queryExecution.sparkPlan)
+    val want = df.agg(avg("v"), avg("k"), sum("v"), count(lit(1)))
+      .collect()(0)
+    val r = q.collect()(0)
+    assert((r.getDouble(0), r.getDouble(1), r.getLong(2), r.getLong(3)) ==
+      ((want.getDouble(0), want.getDouble(1), want.getLong(2),
+        want.getLong(3))))
+    // grouped by the partition column — mean doc length per source
+    val q2 = spark.sql("SELECT p, avg(v) AS av FROM dw_t GROUP BY p")
+    assert(fileScans(q2) == 0, "grouped avg must fold")
+    val got2 = q2.collect().map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+    val want2 = df.groupBy("p").agg(avg("v")).collect()
+      .map(r2 => r2.getString(0) -> r2.getDouble(1)).toMap
+    assert(got2 == want2)
+    // a DOUBLE column never folds (the sum lane's disqualifier) — scan
+    val q3 = spark.sql("SELECT avg(d) AS ad FROM dw_t")
+    assert(fileScans(q3) > 0, "avg(double) must stay a scan")
+    // an all-null column answers SQL NULL from metadata
+    val wh2 = new Warehouse(spark, tmp("wh_mdagg_avgnull")).enableSql()
+    wh2.save("z", spark.range(50).select(col("id").as("k"),
+      lit(null).cast("long").as("v")), clusterBy = Seq("k"))
+    wh2.statsBy("z", Seq("v"))
+    val qz = spark.sql("SELECT avg(v) AS av FROM dw_z")
+    assert(fileScans(qz) == 0)
+    assert(qz.collect()(0).isNullAt(0), "avg over zero non-null rows is NULL")
+    // DVs disqualify avg like sum (the stored ingredients include the
+    // deleted rows) — scan, right answer
+    val wh3 = new Warehouse(spark, tmp("wh_mdagg_avgdv")).enableSql()
+    wh3.save("t", spark.range(1000).select(col("id").as("k"))
+      .repartitionByRange(3, col("k")), clusterBy = Seq("k"))
+    assert(wh3.delete("t", col("k") === 999L).filesDv >= 1)
+    val qd = spark.sql("SELECT avg(k) AS ak FROM dw_t")
+    assert(fileScans(qd) > 0, "DV'd table must stay a scan for avg")
+    assert(qd.collect()(0).getDouble(0) == (499500.0 - 999.0) / 999.0)
   }
 
   test("sum: all-null columns yield SQL NULL; overflow keeps the scan") {
@@ -439,7 +488,9 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
         (s"SELECT min(k) AS a, max(k) AS b, count(*) AS c FROM dw_$t",
           Some(!hasDv)),
         (s"SELECT count(*) AS c FROM dw_$t", Some(true)),
-        (s"SELECT avg(k) AS m FROM dw_$t", Some(false)),
+        (s"SELECT avg(k) AS m FROM dw_$t", Some(!hasDv)),
+        (s"SELECT avg(v) AS m, avg(k) AS mk FROM dw_$t",
+          Some(vStats && !hasDv)),
         (s"SELECT min(v) AS a, max(v) AS b FROM dw_$t",
           Some(vStats && !hasDv)),
         (s"SELECT count(v) AS c FROM dw_$t", Some(vStats && !hasDv)),
@@ -451,6 +502,8 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
           (s"SELECT p, min(k) AS lo, max(k) AS hi, count(*) AS n " +
             s"FROM dw_$t GROUP BY p", Some(!hasDv)),
           (s"SELECT p, sum(v) AS sv, sum(k) AS sk FROM dw_$t GROUP BY p",
+            Some(vStats && !hasDv)),
+          (s"SELECT p, avg(v) AS av FROM dw_$t GROUP BY p",
             Some(vStats && !hasDv)),
           (s"SELECT min(k) AS lo, count(*) AS n FROM dw_$t WHERE p = '0'",
             Some(!hasDv)),

@@ -513,6 +513,16 @@ class PlanQualitySpec extends AnyFunSuite {
     assert(p.sparkPlan.toString.contains("LocalTableScan"), p.sparkPlan)
   }
 
+  test("b12_avg_wh: the mean ledger plans as a LocalRelation — zero file scans") {
+    val p = SparkEntry.queries("b12_avg_wh")(spark, sf).queryExecution
+    val scans = p.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.isEmpty,
+      s"the metadata avg fold must not open a file:\n${p.sparkPlan}")
+    assert(p.sparkPlan.toString.contains("LocalTableScan"), p.sparkPlan)
+  }
+
   test("sp11_diversity_sample: one shuffle on the bucket key, no global window") {
     val p = plan("sp11_diversity_sample")
     // the per-bucket rank partitions by bucket — a missing partition

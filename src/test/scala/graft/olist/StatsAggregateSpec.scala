@@ -142,6 +142,74 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(r2.getAs[Long]("cnt") == 999L)
   }
 
+  test("withAvgs: exact-sum/non-null-count means, NULL over all-null, DV rescan merges") {
+    val dir = tmp("wh_sagg_avg")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(1000).select(col("id").as("k"),
+      when(col("id") % 5 =!= 0, col("id") * 3).as("v"),
+      col("id").cast("string").as("s"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v", "s"))
+    val r = wh.statsAggregate("t", Seq("k", "v"), withAvgs = true).get
+    assert(!r.queryExecution.executedPlan.toString.contains("Scan "),
+      "clean-table avgs must not plan a file scan")
+    val want = df.agg(avg("k"), avg("v")).collect()(0)
+    val row = r.collect()(0)
+    // denominators differ: avg_k over all rows, avg_v over non-nulls
+    assert(row.getAs[Double]("avg_k") == want.getDouble(0))
+    assert(row.getAs[Double]("avg_v") == want.getDouble(1))
+    // a string column cannot average — the whole request refuses
+    assert(wh.statsAggregate("t", Seq("s"), withAvgs = true).isEmpty)
+    // an all-null column answers SQL NULL, not a poisoned request
+    val wh2 = new Warehouse(spark, tmp("wh_sagg_avgnull"))
+    wh2.save("z", spark.range(40).select(col("id").as("k"),
+      lit(null).cast("long").as("v")).coalesce(1), clusterBy = Seq("k"))
+    wh2.statsBy("z", Seq("v"))
+    val rz = wh2.statsAggregate("z", Seq("v"), withAvgs = true).get
+      .collect()(0)
+    assert(rz.isNullAt(rz.fieldIndex("avg_v")))
+    // DV'd files rescan; the mean re-derives from merged exact
+    // ingredients (sum and non-null count), one final division
+    wh.delete("t", col("k") === 10L)
+    val r2 = wh.statsAggregate("t", Seq("k"), withSums = true,
+      withAvgs = true).get.collect()(0)
+    val liveSum = (0L until 1000L).sum - 10L
+    assert(r2.getAs[Long]("sum_k") == liveSum)
+    assert(r2.getAs[Double]("avg_k") == liveSum.toDouble / 999L)
+    assert(r2.getAs[Long]("cnt") == 999L)
+  }
+
+  test("statsAggregateBy withAvgs: the per-group mean ledger, exact through DV merges") {
+    val dir = tmp("wh_saggby_avg")
+    val wh = new Warehouse(spark, dir)
+    val df = spark.range(2000)
+      .select((col("id") % 2).cast("string").as("p"), col("id").as("k"),
+        when(col("id") % 3 =!= 0, col("id") * 7).as("v"))
+    wh.save("t", df, partitionBy = Seq("p"), clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("v"))
+    val clean = wh.statsAggregateBy("t", Seq("p"), Seq("k", "v"),
+      withAvgs = true).get
+    assert(clean.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "clean grouped avgs must not plan a file scan")
+    def wantMap() = df.groupBy("p").agg(avg("k"), avg("v")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(clean.collect().map(r => r.getAs[String]("p") ->
+      ((r.getAs[Double]("avg_k"), r.getAs[Double]("avg_v")))).toMap
+      == wantMap())
+    // DV one partition's row; its group merges scan + metadata
+    // ingredients and divides once — exactly the live mean
+    assert(wh.delete("t", col("k") === 1998L).filesDv >= 1)
+    val live = df.filter(col("k") =!= 1998L)
+    val want2 = live.groupBy("p").agg(avg("k"), avg("v")).collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    val res = wh.statsAggregateBy("t", Seq("p"), Seq("k", "v"),
+      withAvgs = true).get.collect().map(r => r.getAs[String]("p") ->
+        ((r.getAs[Double]("avg_k"), r.getAs[Double]("avg_v")))).toMap
+    assert(res == want2)
+  }
+
   test("SQL surface: DESCRIBE STATS includes __sum_ rows when the manifest can answer them") {
     val dir = tmp("wh_sagg_sql_sum")
     val wh = new Warehouse(spark, dir).enableSql()
