@@ -47,6 +47,85 @@ object Curate {
       maxDupSpanFraction: Option[Double] = None,
       maxPerSource: Option[(String, Int)] = None)
       : (DataFrame, Report) = {
+    // the sweep stages: banded-pair components (canonical = component
+    // min) for near-dup, a fresh gram sweep of benchDocs for
+    // decontamination
+    val nearLosers = (in: DataFrame) => {
+      val pairs = Dedup.minHashLshPairs(in, "doc_id", "text",
+        k = k, bands = bands, threshold = jaccard)
+      Dedup.connectedComponents(pairs.select("d1", "d2"))
+        .filter(col("id") =!= col("comp"))
+        .select(col("id").as("doc_id"))
+    }
+    val dirtyIds = (in: DataFrame) => {
+      def grams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = df
+        .select((cols :+ split(trim(col("text")), "\\s+").as("ts")): _*)
+        .filter(size(col("ts")) >= 8)
+        .select((cols :+ explode(Dedup.shingles(col("ts"), 8)).as("g")): _*)
+        .select((cols :+ md5(col("g")).as("h")): _*)
+      val benchGrams = grams(benchDocs, Nil).distinct()
+      grams(in, Seq(col("doc_id")))
+        .join(broadcast(benchGrams), Seq("h"))
+        .select("doc_id").distinct()
+    }
+    pipeline(docs, nearLosers, dirtyIds, minQuality, tokensPerShard,
+      blocklist, rebalanceBy, maxDupSpanFraction, maxPerSource)
+  }
+
+  /** [[curate]] with the two STORED-STATE stages routed through the
+    * warehouse gates instead of from-scratch sweeps — so batch
+    * curation and streaming admission ([[Ingest.ingestBatch]]) read
+    * the SAME verdicts and can never drift on what "contaminated" or
+    * "already seen" means:
+    *
+    *  - decontamination probes [[ContamGate]]'s stored digests
+    *    (identical gram semantics to the sweep by construction — the
+    *    gate stores exactly the sweep's md5 word-8-grams, so the
+    *    dirty set is equal when the gate holds the same suites);
+    *  - near-dup reads [[DedupIndex]] verdicts — the keep-first
+    *    bucket-min policy (`Dedup.lshDedupAssign`), the admission
+    *    gate's own rule. NOTE the POLICY difference from the sweep
+    *    form: curate() resolves dup components to their canonical
+    *    minimum (a doc connected only through intermediaries still
+    *    drops); the gate convicts only docs sharing a bucket with a
+    *    SMALLER id directly. On pairwise dup structure the two agree
+    *    exactly (CurateSpec pins the agreement end-to-end); on CHAINS
+    *    (a~b~c, a!~c) the gate can keep a middle doc the component
+    *    rule drops — choose by policy, not by accident.
+    *
+    * The index must hold (at least) the docs being curated — the
+    * normal state when the corpus was admitted through the gate.
+    * Every stateless stage is the shared [[pipeline]] body, so the
+    * two forms cannot diverge anywhere else. */
+  def curateStored(wh: graft.olist.Warehouse, docs: DataFrame,
+      contamIdx: String, dedupIdx: String,
+      minQuality: Double = 0.3, tokensPerShard: Long = 4096L,
+      blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None,
+      maxDupSpanFraction: Option[Double] = None,
+      maxPerSource: Option[(String, Int)] = None)
+      : (DataFrame, Report) = {
+    val nearLosers = (in: DataFrame) =>
+      DedupIndex.verdicts(wh, dedupIdx, in)
+        .filter(col("keep") === 0).select("doc_id")
+    val dirtyIds = (in: DataFrame) =>
+      ContamGate.verdicts(wh, contamIdx, in)
+        .filter(col("keep") === 0).select("doc_id")
+    pipeline(docs, nearLosers, dirtyIds, minQuality, tokensPerShard,
+      blocklist, rebalanceBy, maxDupSpanFraction, maxPerSource)
+  }
+
+  /** The shared stage body: everything but the two pluggable
+    * stored-state stages (near-dup loser set, contaminated id set) is
+    * identical between [[curate]] and [[curateStored]] by
+    * construction. */
+  private def pipeline(docs: DataFrame,
+      nearLosers: DataFrame => DataFrame,
+      dirtyIds: DataFrame => DataFrame,
+      minQuality: Double, tokensPerShard: Long,
+      blocklist: Seq[String], rebalanceBy: Option[String],
+      maxDupSpanFraction: Option[Double],
+      maxPerSource: Option[(String, Int)])
+      : (DataFrame, Report) = {
     val input = docs.count()
 
     // 1 — quality gate: the t2 closed-form signal (length saturation ×
@@ -80,14 +159,9 @@ object Curate {
       .filter(col("rk") === 1).drop("rk", "fp")
     val nExact = exactKeep.count()
 
-    // 3 — near dedup: banded MinHash pairs (hot buckets bounded) →
-    // connected components → canonical survivor (the component label
-    // IS the minimum id, so survivors are the rows whose id equals it)
-    val pairs = Dedup.minHashLshPairs(exactKeep, "doc_id", "text",
-      k = k, bands = bands, threshold = jaccard)
-    val comps = Dedup.connectedComponents(pairs.select("d1", "d2"))
-    val losers = comps.filter(col("id") =!= col("comp"))
-      .select(col("id").as("doc_id"))
+    // 3 — near dedup: the pluggable loser set (sweep components or
+    // stored-gate verdicts), anti-joined off the exact-dedup survivors
+    val losers = nearLosers(exactKeep)
     val nearKeep = exactKeep.join(losers, Seq("doc_id"), "left_anti")
     val nNear = nearKeep.count()
 
@@ -111,18 +185,9 @@ object Curate {
     }
     val nSpan = if (maxDupSpanFraction.isEmpty) nNear else spanKept.count()
 
-    // 4 — decontamination: drop any document sharing a word-8-gram
-    // with the benchmark set (d10 shape: md5 the grams BEFORE the
-    // join, broadcast the small bench side)
-    def grams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = df
-      .select((cols :+ split(trim(col("text")), "\\s+").as("ts")): _*)
-      .filter(size(col("ts")) >= 8)
-      .select((cols :+ explode(Dedup.shingles(col("ts"), 8)).as("g")): _*)
-      .select((cols :+ md5(col("g")).as("h")): _*)
-    val benchGrams = grams(benchDocs, Nil).distinct()
-    val dirty = grams(spanKept, Seq(col("doc_id")))
-      .join(broadcast(benchGrams), Seq("h"))
-      .select("doc_id").distinct()
+    // 4 — decontamination: the pluggable dirty set (fresh gram sweep
+    // or the stored ContamGate digests — identical gram semantics)
+    val dirty = dirtyIds(spanKept)
     val clean = spanKept.join(dirty, Seq("doc_id"), "left_anti")
     val nClean = clean.count()
 

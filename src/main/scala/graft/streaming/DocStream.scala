@@ -37,8 +37,9 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * contract, and the state table is one long per DISTINCT band hash —
   * at 100 TB that is the corpus's band-bucket count (≪ doc count ×
   * bands after collisions), stored in the state backend, not the
-  * executors' heap. A retention-windowed variant would swap in
-  * ProcessingTimeTimeout and re-admit after expiry.
+  * executors' heap. The retention-windowed variant
+  * ([[nearDupBandPriorsWithTTL]]) swaps in ProcessingTimeTimeout and
+  * re-admits after expiry.
   */
 object DocStream {
 
@@ -72,6 +73,60 @@ object DocStream {
           }
           if (mn != Long.MaxValue) state.update(mn)
           out.iterator
+      }
+      .toDF("id", "prior")
+  }
+
+  /** [[nearDupBandPriors]] with RETENTION: a band bucket's memory
+    * expires `ttlMs` after its last arrival (ProcessingTimeTimeout),
+    * so a document delivered after everything in its neighborhood
+    * aged out is admitted as fresh — the policy for streams where
+    * being a near-dup of LAST MONTH's content is fine (news crawl
+    * re-ingestion, rolling-window feeds), and the state-size story
+    * changes from corpus-lifetime buckets to live-window buckets.
+    * Every arrival in a bucket RESETS its clock (the min id carries
+    * forward), so a continuously-hot neighborhood never forgets its
+    * winner; only genuinely idle buckets expire. Semantics otherwise
+    * identical to the NoTimeout form — the timed-out invocation emits
+    * nothing and just drops the 8-byte state.
+    *
+    * Execution note: with ProcessingTimeTimeout the engine considers
+    * another micro-batch ALWAYS warranted (pending timeouts must get a
+    * chance to fire), so under the default trigger the query cycles
+    * continuously and `processAllAvailable` never settles — deploy
+    * with a ProcessingTime interval trigger sized well under the TTL,
+    * and poll the sink in tests (StreamingSpec does). */
+  def nearDupBandPriorsWithTTL(docs: DataFrame, ttlMs: Long,
+      idCol: String = "doc_id", textCol: String = "text",
+      k: Int = 16, bands: Int = 4): DataFrame = {
+    require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    Dedup.bandedIds(docs, idCol, textCol, k, bands)
+      .as[(Long, String)]
+      .groupByKey(_._2)
+      .flatMapGroupsWithState[Long, (Long, Option[Long])](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (_: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
+          if (state.hasTimedOut) {
+            // the bucket went idle past its TTL: forget the winner;
+            // the next arrival starts a fresh neighborhood
+            state.remove()
+            Iterator.empty
+          } else {
+            val ids = it.map(_._1).toArray.sorted
+            var mn = if (state.exists) state.get else Long.MaxValue
+            val out = ids.map { id =>
+              val p = if (mn < id) Some(mn) else None
+              if (id < mn) mn = id
+              (id, p)
+            }
+            if (mn != Long.MaxValue) {
+              state.update(mn)
+              state.setTimeoutDuration(ttlMs)
+            }
+            out.iterator
+          }
       }
       .toDF("id", "prior")
   }

@@ -107,6 +107,50 @@ class CurateSpec extends AnyFunSuite {
     assert(out2.select("doc_id").as[Long].collect().toSet.contains(21L))
   }
 
+  test("curateStored: the gate-backed form equals the sweep form — survivors, report, and output") {
+    import spark.implicits._
+    import graft.operators.{ContamGate, DedupIndex}
+    import graft.olist.Warehouse
+    // the CurateSpec corpus shape: clean docs, an exact copy, a
+    // PAIRWISE near copy (on pairwise dup structure the component
+    // canonical and the bucket-min keep-first policies agree — the
+    // chain case where they diverge is documented in the scaladoc),
+    // junk, and one contaminated doc
+    val base = (1L to 30L).map(i => (i, sentence(i.toInt, 60)))
+    val exactCopies = Seq((101L, sentence(5, 60)))
+    val nearCopy = Seq((201L, sentence(7, 60) + " tiny extra tail"))
+    val junk = Seq((301L, "short"))
+    val benchText = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val contaminated = Seq((401L,
+      sentence(9, 30) + " " + benchText + " " + sentence(10, 30)))
+    val docs = (base ++ exactCopies ++ nearCopy ++ junk ++ contaminated)
+      .toDF("doc_id", "text")
+    val bench = Seq((9001L, benchText)).toDF("doc_id", "text")
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("curate_stored").toString)
+    // the state a gated ingest would hold: the suite's digests and the
+    // admitted corpus's band structure
+    ContamGate.build(wh, "cg", bench)
+    DedupIndex.build(wh, "di", docs)
+    val (outS, repS) = Curate.curateStored(wh, docs, "cg", "di",
+      minQuality = 0.3, tokensPerShard = 500L)
+    val (outW, repW) = Curate.curate(docs, bench, minQuality = 0.3,
+      tokensPerShard = 500L)
+    assert(repS == repW, s"stored $repS ≠ sweep $repW")
+    val idsS = outS.select("doc_id").as[Long].collect().toSet
+    val idsW = outW.select("doc_id").as[Long].collect().toSet
+    assert(idsS == idsW, s"survivor sets diverge: ${idsS diff idsW} / ${idsW diff idsS}")
+    // identical split/shard assignments too — the stages downstream of
+    // the gates are the same body by construction
+    assert(outS.select("doc_id", "split", "shard").exceptAll(
+      outW.select("doc_id", "split", "shard")).count() == 0)
+    // and the expected verdicts hold: copy, near-copy, junk, and the
+    // contaminated doc are all out; their canonicals are in
+    assert(idsS.contains(5L) && !idsS.contains(101L))
+    assert(idsS.contains(7L) && !idsS.contains(201L))
+    assert(!idsS.contains(301L) && !idsS.contains(401L))
+  }
+
   test("curate runs over the real documents table, rebalanced by language") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // held-out bench = one source, train = the rest (the d10 framing)

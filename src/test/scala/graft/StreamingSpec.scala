@@ -589,4 +589,66 @@ class StreamingSpec extends AnyFunSuite {
       assert(byId(7L) == ((7L, Some(1L), 0)))
     } finally q.stop()
   }
+
+  test("st7 retention: an idle bucket expires after its TTL and the neighborhood re-admits; a live bucket never forgets") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.streaming.DocStream
+    import spark.implicits._
+    implicit val sq = spark.sqlContext
+    val txt = "sigma tau upsilon phi chi psi omega aleph"
+    val hotTxt = "bet gimel dalet he vav zayin het tet"
+    val source = MemoryStream[(Long, String)]
+    val f = source.toDF().toDF("doc_id", "text")
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Option[Long], Int)]
+    // ProcessingTimeTimeout makes the engine run micro-batches
+    // CONTINUOUSLY (shouldRunAnotherBatch is always true — how pending
+    // timeouts get a chance to fire), so processAllAvailable never
+    // settles on this query: the test POLLS the sink instead. TTL and
+    // cadences are 10×-margined: hot re-arrivals every ~0.5 s against
+    // a 5 s TTL; the idle lane goes quiet for ~7 s.
+    val q = DocStream.nearDupBandPriorsWithTTL(f, ttlMs = 5000L).writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        val a = DocStream.nearDupAssignments(b).collect().map(r =>
+          (r.getLong(0),
+            if (r.isNullAt(1)) None else Some(r.getLong(1)), r.getInt(2)))
+        out.synchronized { out ++= a }
+        ()
+      }.start()
+    def seen(ids: Long*): Boolean =
+      out.synchronized(ids.forall(i => out.exists(_._1 == i)))
+    def waitFor(ids: Long*): Unit = {
+      val deadline = System.currentTimeMillis() + 120000L
+      while (!seen(ids: _*) && System.currentTimeMillis() < deadline)
+        Thread.sleep(100L)
+      assert(seen(ids: _*), s"rows for ${ids.toSeq} never arrived")
+    }
+    try {
+      source.addData((10L, txt), (100L, hotTxt)); waitFor(10L, 100L)
+      // within the window a near-dup is convicted as usual
+      source.addData((20L, txt), (101L, hotTxt)); waitFor(20L, 101L)
+      // the txt lane now goes IDLE past its TTL while the hot lane
+      // keeps arriving well inside it (clock resets on every arrival)
+      (0 until 14).foreach { i =>
+        Thread.sleep(500L)
+        source.addData((110L + i, hotTxt))
+      }
+      waitFor(110L to 123L: _*)
+      // the idle neighborhood expired: 30 is admitted as FRESH even
+      // though 10/20 entered the same buckets earlier
+      source.addData((30L, txt), (130L, hotTxt)); waitFor(30L, 130L)
+      val byId = out.synchronized(out.map(t => t._1 -> t).toMap)
+      assert(byId(10L) == ((10L, None, 1)))
+      assert(byId(20L) == ((20L, Some(10L), 0)),
+        "within-TTL near-dup must still convict")
+      assert(byId(30L) == ((30L, None, 1)),
+        s"an expired neighborhood must re-admit: ${byId(30L)}")
+      // the continuously-hot bucket never forgot its winner: every
+      // arrival across the whole run is still convicted by 100
+      ((101L +: (110L to 123L)) :+ 130L).foreach { id =>
+        assert(byId(id) == ((id, Some(100L), 0)),
+          s"a live bucket's clock must reset on arrival: ${byId(id)}")
+      }
+    } finally q.stop()
+  }
 }
