@@ -114,6 +114,32 @@ object Curate {
       blocklist, rebalanceBy, maxDupSpanFraction, maxPerSource)
   }
 
+  /** The corpus DATA CARD from the manifest alone — the release
+    * documentation numbers (docs, token sum, mean tokens, mixture
+    * weight per group): one [[graft.olist.Warehouse.statsAggregateBy]]
+    * call with sums + avgs, so on a clean table partitioned by
+    * `groupCol` with `tokenCol` stats declared, the whole card folds
+    * from per-file metadata with ZERO data files opened. Mixture
+    * weight = the group's token share (exact longs into one double
+    * division). None when the manifest cannot answer exactly — the
+    * scan is then the honest path, not a silently-stale card. */
+  def dataCard(wh: graft.olist.Warehouse, table: String,
+      groupCol: String, tokenCol: String): Option[DataFrame] =
+    wh.statsAggregateBy(table, Seq(groupCol), Seq(tokenCol),
+      withSums = true, withAvgs = true).map { agg =>
+      val slim = agg.select(col(groupCol), col("cnt").as("docs"),
+        col(s"sum_$tokenCol").as("tokens"),
+        col(s"avg_$tokenCol").as("mean_tokens"))
+      // the card is groups-sized (a LocalRelation on the clean path) —
+      // the share denominator joins back as one broadcast row
+      val total = slim.agg(sum(col("tokens")).as("__total"))
+      slim.crossJoin(broadcast(total))
+        .select(col(groupCol), col("docs"), col("tokens"),
+          col("mean_tokens"),
+          (col("tokens").cast("double") / col("__total")).as("weight"))
+        .orderBy(groupCol)
+    }
+
   /** The shared stage body: everything but the two pluggable
     * stored-state stages (near-dup loser set, contaminated id set) is
     * identical between [[curate]] and [[curateStored]] by

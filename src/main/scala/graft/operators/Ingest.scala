@@ -156,6 +156,14 @@ object Ingest {
   /** The admission ledger behind `table` — one row per landed batch. */
   def ledgerTable(table: String): String = s"${table}_ingest_log"
 
+  /** The admission ledger as a frame, batch-ordered — the gate-drift
+    * monitor's read path (empty before the first landed batch). */
+  def ledger(wh: Warehouse, table: String): DataFrame = {
+    require(wh.hasTable(ledgerTable(table)),
+      s"ledger: no landed batches yet for $table")
+    wh.table(ledgerTable(table)).orderBy("stream_id", "batch_id")
+  }
+
   /** Drive a streaming frame of documents (doc_id, text, …[, embedding])
     * through [[ingestBatch]] — base + indexes advance together, one
     * transaction per trigger. Bootstrap the indexes first

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("VACUUM t RETAIN 3 VERSIONS")
   *   spark.sql("OPTIMIZE t")
   *   spark.sql("OPTIMIZE t SMALL TARGET 100000 MIN 50000")
-  *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, DEDUP, CONTAM, REFRESH … FROM
+  *   spark.sql("CREATE SEARCH INDEX ti ON docs")   // + VECTOR, DEDUP, CONTAM [SUITE 's'], REFRESH … FROM
+  *   spark.sql("ALTER CONTAM INDEX cg RETIRE SUITE 'mmlu_v1'")
   *   spark.sql("DESCRIBE PRUNING t WHERE k = 42")   // files admitted / total
   *   spark.sql("DESCRIBE STATS t (k, v)")   // metadata min/max + sums + rows
   *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
@@ -135,10 +136,16 @@ object GraftSqlParser {
       """\s*;?\s*$""").r
   private val CreateIdx =
     ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
-      """\s+ON\s+([\w]+)\s*;?\s*$""").r
+      """\s+ON\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
   private val RefreshIdx =
     ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
-      """\s+FROM\s+([\w]+)\s*;?\s*$""").r
+      """\s+FROM\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
+  // the decontamination gate's retirement lane: drop one benchmark
+  // suite's digests from the stored gate (grams a live suite shares
+  // survive through that suite's own rows)
+  private val RetireSuite =
+    ("""(?is)^\s*ALTER\s+CONTAM\s+INDEX\s+([\w]+)""" +
+      """\s+RETIRE\s+SUITE\s+'([^']*)'\s*;?\s*$""").r
   private val Clone =
     """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
   // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
@@ -517,26 +524,32 @@ object GraftSqlParser {
               r.filesRewritten.toLong))
           }
         }
-      case CreateIdx(kind, idx, src) =>
+      case CreateIdx(kind, idx, src, suite) =>
         boundTable(session, src).map { wh =>
           cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
             _ =>
+              require(suite == null || kind.equalsIgnoreCase("CONTAM"),
+                s"SUITE applies to CONTAM indexes only, not $kind")
               val n =
                 if (kind.equalsIgnoreCase("SEARCH"))
                   graft.operators.TextIndex.build(wh, idx, wh.table(src))
                 else if (kind.equalsIgnoreCase("DEDUP"))
                   graft.operators.DedupIndex.build(wh, idx, wh.table(src))
                 else if (kind.equalsIgnoreCase("CONTAM"))
-                  graft.operators.ContamGate.build(wh, idx, wh.table(src))
+                  graft.operators.ContamGate.build(wh, idx, wh.table(src),
+                    suite = Option(suite)
+                      .getOrElse(graft.operators.ContamGate.DefaultSuite))
                 else
                   graft.operators.AnnIndex.build(wh, idx, wh.table(src))
               Seq(Row("OK", n))
           }
         }
-      case RefreshIdx(kind, idx, src) =>
+      case RefreshIdx(kind, idx, src, suite) =>
         boundTable(session, src).map { wh =>
           cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
             _ =>
+              require(suite == null || kind.equalsIgnoreCase("CONTAM"),
+                s"SUITE applies to CONTAM indexes only, not $kind")
               val n =
                 if (kind.equalsIgnoreCase("SEARCH"))
                   graft.operators.TextIndex.refresh(wh, idx, wh.table(src))
@@ -546,12 +559,24 @@ object GraftSqlParser {
                   graft.operators.DedupIndex.admit(wh, idx, wh.table(src))
                     .count()
                 else if (kind.equalsIgnoreCase("CONTAM"))
-                  // a new benchmark version: only unseen gram digests
-                  // append; rows = grams added (replay = 0)
-                  graft.operators.ContamGate.refresh(wh, idx, wh.table(src))
+                  // a new benchmark version/suite: only unseen
+                  // (suite, gram) rows append; rows = grams added
+                  graft.operators.ContamGate.refresh(wh, idx, wh.table(src),
+                    suite = Option(suite)
+                      .getOrElse(graft.operators.ContamGate.DefaultSuite))
                 else
                   graft.operators.AnnIndex.refresh(wh, idx, wh.table(src))
               Seq(Row("OK", n))
+          }
+        }
+      case RetireSuite(idx, suite) =>
+        // bind through the gate's own gram table — retirement names no
+        // source table
+        boundTable(session, s"${idx}_grams").map { wh =>
+          cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
+            _ =>
+              Seq(Row("OK",
+                graft.operators.ContamGate.retire(wh, idx, suite)))
           }
         }
       case History(table) =>

@@ -151,6 +151,42 @@ class CurateSpec extends AnyFunSuite {
     assert(!idsS.contains(301L) && !idsS.contains(401L))
   }
 
+  test("dataCard: docs/tokens/mean/weight per source fold from the manifest — zero file scans") {
+    import graft.olist.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("curate_card").toString)
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    wh.save("docs_p", docs, partitionBy = Seq("source"),
+      clusterBy = Seq("doc_id"))
+    wh.statsBy("docs_p", Seq("n_chars"))
+    val card = Curate.dataCard(wh, "docs_p", "source", "n_chars").get
+    assert(card.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.isEmpty, "the data card must not open a data file:\n" +
+      card.queryExecution.sparkPlan)
+    val got = card.collect().map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    val agg = docs.groupBy("source")
+      .agg(count(lit(1)).as("docs"), sum("n_chars").as("tokens"),
+        avg("n_chars").as("mean")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3)))).toMap
+    val total = agg.values.map(_._2).sum
+    assert(got.keySet == agg.keySet)
+    got.foreach { case (s, (d, t, m, w)) =>
+      val (wd, wt, wm) = agg(s)
+      assert((d, t, m) == ((wd, wt, wm)), s"card row for $s diverged")
+      assert(w == t.toDouble / total, s"weight for $s diverged")
+    }
+    assert(math.abs(got.values.map(_._4).sum - 1.0) < 1e-12)
+    // an un-stat'd token column cannot answer exactly → None, not a
+    // stale card
+    val wh2 = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("curate_card2").toString)
+    wh2.save("plain", docs.limit(50), partitionBy = Seq("source"))
+    assert(Curate.dataCard(wh2, "plain", "source", "n_chars").isEmpty)
+  }
+
   test("curate runs over the real documents table, rebalanced by language") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
     // held-out bench = one source, train = the rest (the d10 framing)

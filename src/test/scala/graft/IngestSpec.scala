@@ -204,8 +204,7 @@ class IngestSpec extends AnyFunSuite {
         dedupIdx = Some("di"), contamIdx = Some("cg"),
         minQuality = Some(0.2))
     assert(gates(frame(g1), 0L))
-    def ledger() = wh.table(Ingest.ledgerTable("docs"))
-      .orderBy("batch_id").collect()
+    def ledger() = Ingest.ledger(wh, "docs").collect()
       .map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6))).toSeq
     assert(ledger() == Seq((0L, 5L, 1L, 1L, 2L, 1L)),

@@ -474,6 +474,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(graft.operators.ContamGate
       .verdicts(wh, "cg", docs.filter(col("doc_id") < 10))
       .filter(col("keep") === 1).count() == 0L)
+    // suite-tagged admission + retirement: a second suite arms under
+    // its own tag; retiring it disarms ONLY its exclusive digests
+    import spark.implicits._
+    val v2doc = Seq((9100L,
+      "quornic blatherskite vexilla mordune zephyrantha cromlech " +
+        "ulotrichous nabirye ostraka gwennol")).toDF("doc_id", "text")
+    wh.save("bench2", v2doc)
+    val c3 = spark
+      .sql("REFRESH CONTAM INDEX cg FROM bench2 SUITE 'v2'").collect()
+    assert(c3.head.getLong(1) > 0L)
+    assert(graft.operators.ContamGate.verdicts(wh, "cg", v2doc)
+      .filter(col("keep") === 1).count() == 0L, "v2 must be armed")
+    val c4 = spark
+      .sql("ALTER CONTAM INDEX cg RETIRE SUITE 'v2'").collect()
+    assert(c4.head.getString(0) == "OK" && c4.head.getLong(1) > 0L)
+    assert(graft.operators.ContamGate.verdicts(wh, "cg", v2doc)
+      .filter(col("keep") === 0).count() == 0L,
+      "a retired suite must stop convicting")
+    // the original (default-suite) digests still convict
+    assert(graft.operators.ContamGate
+      .verdicts(wh, "cg", docs.filter(col("doc_id") < 10))
+      .filter(col("keep") === 1).count() == 0L)
+    // SUITE on a non-CONTAM kind refuses loudly
+    intercept[Exception] {
+      spark.sql("CREATE SEARCH INDEX ti2 ON bench SUITE 'x'").collect()
+    }
   }
 
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
