@@ -30,6 +30,20 @@ object Sampling {
     when(b < 90, "train").when(b < 95, "val").otherwise("test")
   }
 
+  /** Epoch `epoch`'s deterministic permutation prefix: the first `n`
+    * rows of the corpus under md5("<epoch>:<id>") order — a pure
+    * function of (epoch, id), so the permutation is identical on any
+    * cluster layout and after any restart, and DISTINCT epochs give
+    * decorrelated orders (md5 avalanche on the seed prefix) — the
+    * multi-epoch data-ordering contract a training loop needs. Plans
+    * as TakeOrderedAndProject (per-partition top-n + bounded merge),
+    * never a global sort. */
+  def epochShuffle(df: org.apache.spark.sql.DataFrame, idCol: String,
+      epoch: Int, n: Int): org.apache.spark.sql.DataFrame =
+    df.select(col(idCol),
+      md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))).as("h"))
+      .orderBy("h").limit(n)
+
   /** DuckDB rendering of [[hashBucket]] (oracle side). */
   def bucketSql(idExpr: String, buckets: Int = 100): String =
     s"(('0x' || substr(md5(cast($idExpr as varchar)), 1, 8))::BIGINT % $buckets)"
@@ -141,6 +155,21 @@ object Sampling {
         .select(col("o_orderkey"),
           md5(col("o_orderkey").cast("string")).as("h"))
         .orderBy("h").limit(1000)),
+
+    // SP12 — multi-EPOCH deterministic shuffle: each training epoch
+    // needs its OWN reproducible permutation (reusing one order feeds
+    // the model the identical batch sequence every epoch; true random
+    // breaks resume/replay). Seeding sp5's hash with the epoch number
+    // gives a FAMILY of layout-independent permutations — a pure
+    // function of (epoch, id), so epoch N's order reproduces
+    // bit-for-bit on any cluster after any restart, and distinct
+    // epochs decorrelate (md5 avalanche). Same TakeOrderedAndProject
+    // shape as sp5 — no global sort at any size.
+    Q("sp12_epoch_shuffle",
+      Some("""SELECT o_orderkey, md5('2:' || cast(o_orderkey as varchar)) AS h
+             |FROM orders ORDER BY h LIMIT 1000""".stripMargin),
+      (s, d) => epochShuffle(T.orders(s, d), "o_orderkey",
+        epoch = 2, n = 1000)),
 
     // SP6 — per-user TEMPORAL holdout split: each user's last ~20% of
     // events (by event time, event_id tie-break) become holdout, the

@@ -19,6 +19,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(a.values.toSet == Set("train", "val", "test"))
   }
 
+  test("epochShuffle: per-epoch permutations reproduce exactly and decorrelate across epochs") {
+    val orders = Tables.orders(spark, sf)
+    def prefix(epoch: Int): Seq[Long] =
+      Sampling.epochShuffle(orders, "o_orderkey", epoch, 200)
+        .collect().map(_.getLong(0)).toSeq
+    val e1 = prefix(1)
+    // reproducible: same epoch, different physical order → same sequence
+    val e1b = Sampling.epochShuffle(orders.orderBy(desc("o_orderkey")),
+      "o_orderkey", 1, 200).collect().map(_.getLong(0)).toSeq
+    assert(e1 == e1b, "epoch order must be layout-independent")
+    // decorrelated: a different epoch is a genuinely different
+    // permutation (md5 avalanche) — tiny prefix overlap, never equal
+    val e2 = prefix(2)
+    assert(e1 != e2)
+    assert((e1.toSet intersect e2.toSet).size < e1.size / 2,
+      "epochs must decorrelate, not just rotate")
+    // the order-by-hash prefix plans bounded (TakeOrderedAndProject),
+    // never a global sort — sp5's scale shape
+    val plan = Sampling.epochShuffle(orders, "o_orderkey", 3, 200)
+      .queryExecution.sparkPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("split proportions are near 90/5/5 and partition the corpus") {
     val counts = SparkEntry.queries("sp1_hash_split")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
