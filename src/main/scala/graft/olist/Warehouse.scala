@@ -3635,12 +3635,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * With `withAvgs` each requested INTEGRAL column also answers
     * `avg_<c>` (DoubleType, SQL null semantics — NULL over zero
     * non-null rows) = the exact folded sum over the exact non-null
-    * count, both from stats the manifest already carries; the one
-    * double division happens at the very end, so the answer is the
-    * correctly-rounded mean, never an accumulation artifact. The
-    * "mean doc length per source" ledger question stops paying a
-    * scan. Same disqualifiers as sums, plus any clean file missing
-    * its non-null count. */
+    * count, ONE division at the very end — no per-row accumulation
+    * artifacts (while |sum| ≤ 2^53 the result is the correctly
+    * rounded mean; beyond that the sum's own double conversion rounds
+    * once first — still exact-ingredient arithmetic, never
+    * order-dependent). The "mean doc length per source" ledger
+    * question stops paying a scan. Same disqualifiers as sums, plus
+    * any clean file missing its non-null count. */
   def statsAggregate(name: String, cols0: Seq[String],
       withSums: Boolean = false, withAvgs: Boolean = false)
       : Option[DataFrame] = {

@@ -310,15 +310,21 @@ object AnnIndex {
       nProbe: Int = 3): Double = {
     require(queryIds.nonEmpty, "recallProbe: empty query sample")
     // ground truth over the LIVE set only: the index (correctly)
-    // excludes tombstoned vectors, so the exact ranking must too
+    // excludes tombstoned vectors, so the exact ranking must too.
+    // The pin is corpus-sized (ground truth + |queryIds| probes all
+    // read it) and this runs from SCHEDULED maintenance — release it
+    // before returning or periodic maintain() calls accumulate
+    // corpus-sized checkpoint blocks in executor storage.
     val live = liveSource(wh, idx, source).localCheckpoint()
-    val exact = exactTopKAll(live, queryIds, topK)
-    val per = queryIds.map { qid =>
-      val got = query(wh, idx, live, qid, topK, overquery, nProbe)
-        .select("vec_id").collect().map(_.getLong(0)).toSet
-      (got intersect exact(qid)).size.toDouble / topK
-    }
-    per.sum / per.size
+    try {
+      val exact = exactTopKAll(live, queryIds, topK)
+      val per = queryIds.map { qid =>
+        val got = query(wh, idx, live, qid, topK, overquery, nProbe)
+          .select("vec_id").collect().map(_.getLong(0)).toSet
+        (got intersect exact(qid)).size.toDouble / topK
+      }
+      per.sum / per.size
+    } finally { live.unpersist(); () }
   }
 
   /** The scheduled-maintenance composition over [[recallProbe]] and

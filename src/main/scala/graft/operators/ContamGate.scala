@@ -57,10 +57,33 @@ object ContamGate {
     * name one. */
   val DefaultSuite = "suite0"
 
+  /** One-time in-place migration of a gate written BEFORE suite
+    * tagging (schema: `h` only): rewrite the gram table with every
+    * digest under [[DefaultSuite]]. The digests carry over verbatim —
+    * no benchmark text needed, which matters because the gate's owner
+    * may not hold any. No-op on an already-tagged gate. */
+  private def migrateIfLegacy(wh: Warehouse, idx: String): Unit = {
+    val t = wh.table(gramsTable(idx))
+    if (!t.columns.contains("suite"))
+      wh.save(gramsTable(idx),
+        t.select(lit(DefaultSuite).as("suite"), col("h")),
+        clusterBy = Seq("h"))
+  }
+
+  /** The stored grams through the suite lens: a legacy (untagged)
+    * gate reads as [[DefaultSuite]] rows, so read-only surfaces keep
+    * working without the write-path migration. */
+  private def storedGrams(wh: Warehouse, idx: String): DataFrame = {
+    val t = wh.table(gramsTable(idx))
+    if (t.columns.contains("suite")) t
+    else t.select(lit(DefaultSuite).as("suite"), col("h"))
+  }
+
   /** (doc_id, h): each doc's distinct word-8-gram digests — shared by
-    * the build (suite side) and verdicts (batch side), so the two
-    * can never disagree on tokenization. */
-  private def grams(docs: DataFrame): DataFrame =
+    * the build (suite side), verdicts (batch side), and
+    * [[Curate.curate]]'s sweep, so none of them can disagree on
+    * tokenization. */
+  private[operators] def grams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 8)
       .select(col("doc_id"), explode(Dedup.shingles(col("ts"), 8)).as("g"))
@@ -87,6 +110,7 @@ object ContamGate {
     * [[retire]]). Returns gram rows added. */
   def refresh(wh: Warehouse, idx: String, bench: DataFrame,
       suite: String = DefaultSuite): Long = {
+    migrateIfLegacy(wh, idx) // pre-tagging gates gain the suite column
     val fresh = grams(bench).select(lit(suite).as("suite"), col("h"))
       .distinct()
       .join(wh.table(gramsTable(idx)), Seq("suite", "h"), "left_anti")
@@ -102,13 +126,16 @@ object ContamGate {
     * disarm a live benchmark. Needs neither the suite text nor a
     * rebuild — the tag on the stored rows is the whole handle.
     * Returns gram rows dropped. */
-  def retire(wh: Warehouse, idx: String, suite: String): Long =
+  def retire(wh: Warehouse, idx: String, suite: String): Long = {
+    migrateIfLegacy(wh, idx) // a legacy gate's grams retire as DefaultSuite
     wh.delete(gramsTable(idx), col("suite") === suite).rowsDeleted
+  }
 
   /** The suites currently arming the gate, with their gram counts —
-    * the inventory a retirement decision reads. */
+    * the inventory a retirement decision reads (a legacy gate reads
+    * as one [[DefaultSuite]] entry). */
   def suites(wh: Warehouse, idx: String): DataFrame =
-    wh.table(gramsTable(idx)).groupBy("suite")
+    storedGrams(wh, idx).groupBy("suite")
       .agg(count(lit(1)).as("grams")).orderBy("suite")
 
   /** Judge a delivery batch against the stored suites: one row per

@@ -57,14 +57,13 @@ object Curate {
         .filter(col("id") =!= col("comp"))
         .select(col("id").as("doc_id"))
     }
+    // the gram pipeline IS ContamGate's (one shared definition, so the
+    // sweep and the stored gate can never drift on tokenization —
+    // curateStored's equality contract is structural, not coincidental)
     val dirtyIds = (in: DataFrame) => {
-      def grams(df: DataFrame, cols: Seq[org.apache.spark.sql.Column]) = df
-        .select((cols :+ split(trim(col("text")), "\\s+").as("ts")): _*)
-        .filter(size(col("ts")) >= 8)
-        .select((cols :+ explode(Dedup.shingles(col("ts"), 8)).as("g")): _*)
-        .select((cols :+ md5(col("g")).as("h")): _*)
-      val benchGrams = grams(benchDocs, Nil).distinct()
-      grams(in, Seq(col("doc_id")))
+      val benchGrams = ContamGate.grams(benchDocs.select("doc_id", "text"))
+        .select("h").distinct()
+      ContamGate.grams(in.select("doc_id", "text"))
         .join(broadcast(benchGrams), Seq("h"))
         .select("doc_id").distinct()
     }

@@ -103,9 +103,16 @@ object Ingest {
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
     wh.transaction(names) {
+      // each ARMED gate's output pins (batch-sized): the ledger
+      // counts, the base append, and BOTH index refreshes read the
+      // surviving rows — without the pin the gate chain (quality
+      // filter + two verdict joins) re-executes per consumer, ~5×
+      // per trigger. A skipped gate adds no pin: its stage IS the
+      // previous frame.
       val qualified = minQuality match {
         case Some(q) =>
           batch.filter(TextAnalysis.qualityExpr(col("text")) >= q)
+            .localCheckpoint()
         case None => batch
       }
       val clean = contamIdx match {
@@ -113,6 +120,7 @@ object Ingest {
           qualified.join(broadcast(ContamGate.verdicts(wh, i, qualified)
             .filter(col("keep") === 1).select("doc_id")),
             Seq("doc_id"), "left_semi")
+            .localCheckpoint()
         case None => qualified
       }
       val kept = dedupIdx match {
@@ -122,6 +130,7 @@ object Ingest {
           // only first-of-their-neighborhood docs, in batch row order
           clean.join(broadcast(v.filter(col("keep") === 1)
             .select("doc_id")), Seq("doc_id"), "left_semi")
+            .localCheckpoint()
         case None => clean
       }
       // the ledger counts DISTINCT doc ids per stage (the grain the
@@ -157,12 +166,18 @@ object Ingest {
   def ledgerTable(table: String): String = s"${table}_ingest_log"
 
   /** The admission ledger as a frame, batch-ordered — the gate-drift
-    * monitor's read path (empty before the first landed batch). */
-  def ledger(wh: Warehouse, table: String): DataFrame = {
-    require(wh.hasTable(ledgerTable(table)),
-      s"ledger: no landed batches yet for $table")
-    wh.table(ledgerTable(table)).orderBy("stream_id", "batch_id")
-  }
+    * monitor's read path. EMPTY (correct schema, zero rows) before
+    * the first landed batch, so a monitor can attach before the
+    * pipeline's first trigger without crashing. */
+  def ledger(wh: Warehouse, table: String): DataFrame =
+    if (wh.hasTable(ledgerTable(table)))
+      wh.table(ledgerTable(table)).orderBy("stream_id", "batch_id")
+    else {
+      import wh.spark.implicits._
+      Seq.empty[(Long, String, Long, Long, Long, Long, Long)]
+        .toDF("batch_id", "stream_id", "n_in", "quality_drops",
+          "contam_drops", "dup_drops", "landed")
+    }
 
   /** Drive a streaming frame of documents (doc_id, text, …[, embedding])
     * through [[ingestBatch]] — base + indexes advance together, one

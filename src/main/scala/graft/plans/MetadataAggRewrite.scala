@@ -51,9 +51,10 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    no-DV rule, and only when the exact total fits LongType — the
   *    token-budget ledger lane ([[graft.olist.Warehouse.metadataSumFold]]).
   *    `avg(col)` = exact-sum / non-null-count, under the sum lane's
-  *    disqualifiers plus an exactness bound (|sum| ≤ 2^53, where the
-  *    scan's own double accumulation is exact in any order — the fold
-  *    can never disagree with the scan it replaces);
+  *    disqualifiers plus an exactness bound (n·max|value| ≤ 2^53 from
+  *    the same stats, so every partial sum the scan's double
+  *    accumulator could form is exact in any order — the fold can
+  *    never disagree with the scan it replaces);
   *  - grouping, when present, is on attribute references over
   *    partition columns — the manifest groups those exactly.
   *
@@ -110,13 +111,24 @@ case class MetadataAggRewrite(session: SparkSession)
   private case class SumOf(c: String) extends Out
   private case class AvgOf(c: String) extends Out
 
-  // avg folds as exact-sum / non-null-count only while the exact total
-  // is ≤ 2^53: there every partial double accumulation a scan could
-  // perform is exact too, so the fold, the scan, and DuckDB's
-  // accumulator all land on the identical double. Beyond that, double
-  // summation order starts to matter and the scan is the only honest
-  // answer.
+  // avg folds as exact-sum / non-null-count only while n·max|value|
+  // ≤ 2^53 (n and the extremes from the same stats the fold reads):
+  // then EVERY partial sum the scan's double accumulator could form —
+  // in any order, any sign mix — is an integer within 2^53, so every
+  // addition is exact and the fold, the scan, and DuckDB all land on
+  // the identical double. Bounding only the TOTAL would not do it
+  // (two huge opposite values cancel to a small total while their
+  // running partial already rounded). Beyond the bound the scan is
+  // the only honest answer.
   private val MaxExactDouble = 1L << 53
+
+  private def intAbs(v: Any): Option[BigInt] = v match {
+    case b: Byte => Some(BigInt(b).abs)
+    case s: Short => Some(BigInt(s).abs)
+    case i: Int => Some(BigInt(i).abs)
+    case l: Long => Some(BigInt(l).abs)
+    case _ => None
+  }
 
   private def rewrite(agg: Aggregate, cond: Option[Expression],
       table: String, body: LogicalPlan): Option[LogicalPlan] = {
@@ -186,21 +198,32 @@ case class MetadataAggRewrite(session: SparkSession)
       snap <- wh.metadataAggSnapshot(table)
       (files, types, pcols) = snap
       if gs.forall(g => pcols.contains(g.name))
-      cols = outs.collect { case MinOf(c) => c; case MaxOf(c) => c }.distinct
       avgCols = outs.collect { case AvgOf(c) => c }.distinct
-      // avg needs both the exact sum and the non-null count: ride the
-      // existing folds by requesting its columns in both lanes
+      // avg needs the exact sum, the non-null count, AND the extremes
+      // (for the every-partial-is-exact bound): ride the existing
+      // folds by requesting its columns in all three lanes
+      cols = (outs.collect { case MinOf(c) => c; case MaxOf(c) => c }
+        ++ avgCols).distinct
       cntCols = (outs.collect { case CntOf(c) => c } ++ avgCols).distinct
       sumCols = (outs.collect { case SumOf(c) => c } ++ avgCols).distinct
       kept <- selectFiles(wh, cond, files, types, pcols)
-      avgExact = (sums: Map[String, Any]) => avgCols.forall(c =>
-        sums(c) == null ||
-          math.abs(sums(c).asInstanceOf[Long]) <= MaxExactDouble)
+      avgExact = (folded: Seq[(String, Option[Any], Option[Any])],
+          cnts: Map[String, Long], sums: Map[String, Any]) =>
+        avgCols.forall(c => sums(c) == null ||
+          folded.collectFirst { case (`c`, lo, hi) => (lo, hi) }.exists {
+            case (Some(a), Some(b)) =>
+              (intAbs(a), intAbs(b)) match {
+                case (Some(x), Some(y)) =>
+                  BigInt(cnts(c)) * x.max(y) <= MaxExactDouble
+                case _ => false
+              }
+            case _ => false
+          })
       rows <- if (gs.isEmpty) {
         for {
           (folded, cnts, n) <- wh.metadataAggFold(kept, types, cols, cntCols)
           sums <- wh.metadataSumFold(kept, types, sumCols)
-          if avgExact(sums)
+          if avgExact(folded, cnts, sums)
         } yield Seq(values(outs, Nil, folded, cnts, sums, n))
       } else scala.util.Try {
         // Try: "disqualify, never fail" — a foreign-written partition
@@ -222,7 +245,7 @@ case class MetadataAggRewrite(session: SparkSession)
                 (folded, cnts, n) <-
                   wh.metadataAggFold(gfs.map(_._2), types, cols, cntCols)
                 sums <- wh.metadataSumFold(gfs.map(_._2), types, sumCols)
-                if avgExact(sums)
+                if avgExact(folded, cnts, sums)
               } yield values(outs, gvals, folded, cnts, sums, n)
           }
           if (grouped.forall(_.isDefined)) Some(grouped.flatten) else None

@@ -51,28 +51,49 @@ object DocStream {
     * queries too), which is how st7's oracle row renders the exact
     * operator the continuous query runs. */
   def nearDupBandPriors(docs: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text", k: Int = 16, bands: Int = 4): DataFrame = {
+      textCol: String = "text", k: Int = 16, bands: Int = 4): DataFrame =
+    bandPriorsStateful(docs, idCol, textCol, k, bands,
+      GroupStateTimeout.NoTimeout(), afterUpdate = _ => ())
+
+  /** The ONE stateful min-id body both retention policies run —
+    * NoTimeout and TTL differ only in the timeout configuration and
+    * what happens to a freshly-updated state's clock, so the prior
+    * semantics provably cannot diverge between them. */
+  private def bandPriorsStateful(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, bands: Int,
+      timeoutConf: GroupStateTimeout,
+      afterUpdate: GroupState[Long] => Unit): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     Dedup.bandedIds(docs, idCol, textCol, k, bands)
       .as[(Long, String)]
       .groupByKey(_._2)
       .flatMapGroupsWithState[Long, (Long, Option[Long])](
-        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        OutputMode.Append(), timeoutConf) {
         (_: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
-          // ascending-id order inside the batch = the batch form's
-          // window order; the array is ONE bucket's ids in ONE
-          // micro-batch — the hot-bucket bound is batch-sized, and
-          // the state written back stays 8 bytes regardless
-          val ids = it.map(_._1).toArray.sorted
-          var mn = if (state.exists) state.get else Long.MaxValue
-          val out = ids.map { id =>
-            val p = if (mn < id) Some(mn) else None
-            if (id < mn) mn = id
-            (id, p)
+          if (state.hasTimedOut) {
+            // (TTL mode only) the bucket went idle past its TTL:
+            // forget the winner; the next arrival starts fresh
+            state.remove()
+            Iterator.empty
+          } else {
+            // ascending-id order inside the batch = the batch form's
+            // window order; the array is ONE bucket's ids in ONE
+            // micro-batch — the hot-bucket bound is batch-sized, and
+            // the state written back stays 8 bytes regardless
+            val ids = it.map(_._1).toArray.sorted
+            var mn = if (state.exists) state.get else Long.MaxValue
+            val out = ids.map { id =>
+              val p = if (mn < id) Some(mn) else None
+              if (id < mn) mn = id
+              (id, p)
+            }
+            if (mn != Long.MaxValue) {
+              state.update(mn)
+              afterUpdate(state)
+            }
+            out.iterator
           }
-          if (mn != Long.MaxValue) state.update(mn)
-          out.iterator
       }
       .toDF("id", "prior")
   }
@@ -100,35 +121,9 @@ object DocStream {
       idCol: String = "doc_id", textCol: String = "text",
       k: Int = 16, bands: Int = 4): DataFrame = {
     require(ttlMs > 0, s"ttlMs must be positive, got $ttlMs")
-    val spark = docs.sparkSession
-    import spark.implicits._
-    Dedup.bandedIds(docs, idCol, textCol, k, bands)
-      .as[(Long, String)]
-      .groupByKey(_._2)
-      .flatMapGroupsWithState[Long, (Long, Option[Long])](
-        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
-        (_: String, it: Iterator[(Long, String)], state: GroupState[Long]) =>
-          if (state.hasTimedOut) {
-            // the bucket went idle past its TTL: forget the winner;
-            // the next arrival starts a fresh neighborhood
-            state.remove()
-            Iterator.empty
-          } else {
-            val ids = it.map(_._1).toArray.sorted
-            var mn = if (state.exists) state.get else Long.MaxValue
-            val out = ids.map { id =>
-              val p = if (mn < id) Some(mn) else None
-              if (id < mn) mn = id
-              (id, p)
-            }
-            if (mn != Long.MaxValue) {
-              state.update(mn)
-              state.setTimeoutDuration(ttlMs)
-            }
-            out.iterator
-          }
-      }
-      .toDF("id", "prior")
+    bandPriorsStateful(docs, idCol, textCol, k, bands,
+      GroupStateTimeout.ProcessingTimeTimeout(),
+      afterUpdate = _.setTimeoutDuration(ttlMs))
   }
 
   /** Stage 2 (batch-local, runs inside foreachBatch): fold a doc's

@@ -120,6 +120,38 @@ class ContamGateSpec extends AnyFunSuite {
       s"a two-suite gram must count once: ${v.toSeq}")
   }
 
+  test("legacy untagged gate: verdicts/suites read it; refresh/retire migrate it in place — no suite text needed") {
+    val wh = new Warehouse(spark, tmp("cg_legacy"))
+    // forge the PRE-suite-tagging layout: build a tagged gate, then
+    // rewrite its gram table with the h column only (what a round-12
+    // deployment holds on disk)
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
+    wh.save("cg_grams", wh.table("cg_grams").select("h")
+      .localCheckpoint(), clusterBy = Seq("h"))
+    assert(!wh.table("cg_grams").columns.contains("suite"))
+    val hit = df(Seq((1L, s"stolen $gram8 inside training text here")))
+    // read-only surfaces work on the legacy schema as-is
+    assert(ContamGate.verdicts(wh, "cg", hit).first().getInt(2) == 0)
+    assert(ContamGate.suites(wh, "cg").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+      .map(_._1) == Seq(ContamGate.DefaultSuite))
+    // refresh migrates in place (digests carry over — the gate owner
+    // may hold no benchmark text) and the new suite arms
+    val newGram = "romeo sierra tango uniform victor whiskey xray yankee"
+    assert(ContamGate.refresh(wh, "cg",
+      df(Seq((950L, s"$newGram plus other benchmark words here"))),
+      suite = "v2") > 0L)
+    assert(wh.table("cg_grams").columns.contains("suite"))
+    assert(ContamGate.verdicts(wh, "cg", hit).first().getInt(2) == 0,
+      "migration must not drop the legacy digests")
+    val hit2 = df(Seq((2L, s"stolen $newGram inside training text too")))
+    assert(ContamGate.verdicts(wh, "cg", hit2).first().getInt(2) == 0)
+    // the legacy digests retire under DefaultSuite; v2 stays armed
+    assert(ContamGate.retire(wh, "cg", ContamGate.DefaultSuite) > 0L)
+    assert(ContamGate.verdicts(wh, "cg", hit).first().getInt(2) == 1)
+    assert(ContamGate.verdicts(wh, "cg", hit2).first().getInt(2) == 0)
+  }
+
   test("ingest firewall: contaminated docs never reach base, indexes, or the dedup gate's memory") {
     val wh = new Warehouse(spark, tmp("cg_ingest"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))

@@ -252,6 +252,24 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
     val qd = spark.sql("SELECT avg(k) AS ak FROM dw_t")
     assert(fileScans(qd) > 0, "DV'd table must stay a scan for avg")
     assert(qd.collect()(0).getDouble(0) == (499500.0 - 999.0) / 999.0)
+    // values whose PARTIAL sums exceed 2^53 disqualify even though the
+    // TOTAL is tiny (1): the scan's double accumulator already rounded
+    // 2^53+1 away, so a fold from the exact sum would CHANGE the
+    // answer — the bound is n·max|value|, not |total|
+    import spark.implicits._
+    val wh4 = new Warehouse(spark, tmp("wh_mdagg_avghuge")).enableSql()
+    wh4.save("h", Seq((1L << 53) + 1L, -(1L << 53)).toDF("v")
+      .withColumn("k", lit(1L)).coalesce(1), clusterBy = Seq("k"))
+    wh4.statsBy("h", Seq("v"))
+    val qh = spark.sql("SELECT avg(v) AS av FROM dw_h")
+    assert(fileScans(qh) > 0,
+      "beyond-2^53 values must keep the scan for avg:\n" +
+        qh.queryExecution.sparkPlan)
+    // …while sum(v) still folds (the exact total fits Long — the sum
+    // lane's own contract, where the scan is exact-Long too)
+    val qs = spark.sql("SELECT sum(v) AS sv FROM dw_h")
+    assert(fileScans(qs) == 0)
+    assert(qs.collect()(0).getLong(0) == 1L)
   }
 
   test("sum: all-null columns yield SQL NULL; overflow keeps the scan") {
