@@ -240,4 +240,72 @@ class IngestSpec extends AnyFunSuite {
     assert(gates(stale, 2L))
     assert(wh.table("docs").filter(col("doc_id") === 2000L).count() == 1)
   }
+
+  test("property: id-sorted batch splits — the landed set is invariant of batching; the ledger conserves per batch") {
+    import graft.operators.{ContamGate, DedupIndex}
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val gram8 = "alpha bravo charlie delta echo foxtrot golf hotel"
+    def s(seed: Int): String = (0 until 30).map(j => s"p${seed}w$j")
+      .mkString("the ", " of the ", " and to in a")
+    // a pool whose per-gate verdicts are known by construction
+    val pool: Seq[(Long, String)] =
+      (0 until 8).map(i => (1000L + i, s(i))) ++ Seq(
+        (1008L, s(0)),                    // exact dup of 1000
+        (1009L, s(3) + " tiny extra"),    // near dup of 1003
+        (1010L, "zz"),                    // quality reject
+        (1011L, s"stolen $gram8 wrapped in otherwise the normal text"),
+        (1012L, s(12)),
+        (1013L, s(12)),                   // exact dup of 1012
+        (1014L, "qq xx"),                 // quality reject
+        // same proven-quality shape as 1011 (contam gate runs FIRST,
+        // so their mutual similarity never reaches the dedup gate)
+        (1015L, s"stolen $gram8 wrapped in otherwise the usual text"))
+    val expectLanded = ((1000L to 1007L) :+ 1012L).toSet
+    val seed = Seq((0L, "seed corpus document with entirely its own " +
+      "vocabulary and a perfectly ordinary sentence shape"))
+    // with ids ascending ACROSS batches, first-arrival-wins ≡ the
+    // ascending-id keep-first policy, so any id-sorted split must
+    // land the identical set — batching is an implementation detail,
+    // not a semantics knob
+    for (trial <- 0 until 4) {
+      val wh = new Warehouse(spark, tmp(s"ingest_prop$trial"))
+      wh.save("docs", seed.toDF("doc_id", "text"))
+      DedupIndex.build(wh, "di", wh.table("docs"))
+      ContamGate.build(wh, "cg",
+        Seq((900L, s"$gram8 " + (1 to 40).map(i => s"b$i").mkString(" ")))
+          .toDF("doc_id", "text"))
+      val k = 1 + rnd.nextInt(4)
+      // k-1 random cut points over the id-sorted pool
+      val cuts = Seq.fill(k - 1)(rnd.nextInt(pool.size + 1)).sorted
+      val batches = (Seq(0) ++ cuts ++ Seq(pool.size)).sliding(2).map {
+        case Seq(a, b) => pool.slice(a, b)
+      }.toSeq
+      batches.zipWithIndex.foreach { case (b, i) =>
+        val landed = Ingest.ingestBatch(wh, "docs",
+          b.toDF("doc_id", "text"), i.toLong,
+          dedupIdx = Some("di"), contamIdx = Some("cg"),
+          minQuality = Some(0.2))
+        assert(landed || b.isEmpty,
+          s"trial $trial: a non-empty fresh batch must land")
+      }
+      val ids = wh.table("docs").select("doc_id").collect()
+        .map(_.getLong(0)).toSet
+      assert(ids == expectLanded + 0L,
+        s"trial $trial (k=$k, cuts=$cuts): landed $ids")
+      // ledger conservation: every landed batch's row balances, and
+      // the landed column sums to the docs that actually arrived
+      val led = Ingest.ledger(wh, "docs").collect()
+      led.foreach { r =>
+        assert(r.getLong(2) - r.getLong(3) - r.getLong(4) - r.getLong(5)
+          == r.getLong(6), s"trial $trial: unbalanced ledger row $r")
+      }
+      assert(led.map(_.getLong(6)).sum == expectLanded.size.toLong,
+        s"trial $trial: ledger landed ≠ corpus growth")
+      assert(led.map(_.getLong(3)).sum == 2L &&
+        led.map(_.getLong(4)).sum == 2L &&
+        led.map(_.getLong(5)).sum == 3L,
+        s"trial $trial: per-gate totals off: ${led.toSeq}")
+    }
+  }
 }
