@@ -481,9 +481,11 @@ object GraftSqlParser {
           cmd(session, attrs("column" -> StringType,
             "min" -> StringType, "max" -> StringType)) { _ =>
             val cs = colList.split(",").map(_.trim).filter(_.nonEmpty).toSeq
-            // sums when the manifest can answer them (integral columns
-            // with sum stats); otherwise the classic min/max-only form
-            val withSums = wh.statsAggregate(table, cs, withSums = true)
+            // sums + avgs when the manifest can answer them (integral
+            // columns with sum/nn stats); otherwise the classic
+            // min/max-only form
+            val withSums = wh.statsAggregate(table, cs,
+              withSums = true, withAvgs = true)
             val df = withSums
               .orElse(wh.statsAggregate(table, cs)).getOrElse(
               throw new IllegalStateException(
@@ -495,10 +497,12 @@ object GraftSqlParser {
             cs.map(c => Row(c,
               Option(r.getAs[Any](s"min_$c")).map(String.valueOf).orNull,
               Option(r.getAs[Any](s"max_$c")).map(String.valueOf).orNull)) ++
-              (if (withSums.isDefined) cs.map { c =>
+              (if (withSums.isDefined) cs.flatMap { c =>
                 val s = Option(r.getAs[Any](s"sum_$c"))
                   .map(String.valueOf).orNull
-                Row(s"__sum_$c", s, s)
+                val a = Option(r.getAs[Any](s"avg_$c"))
+                  .map(String.valueOf).orNull
+                Seq(Row(s"__sum_$c", s, s), Row(s"__avg_$c", a, a))
               } else Nil) :+
               Row("__rows", r.getAs[Long]("cnt").toString,
                 r.getAs[Long]("cnt").toString)

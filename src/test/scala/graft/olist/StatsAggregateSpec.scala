@@ -224,6 +224,11 @@ class StatsAggregateSpec extends AnyFunSuite {
       (0L until 300L).sum.toString)))
     assert(rows("__sum_v")._1 ==
       (0L until 300L).map(_ % 9).sum.toString)
+    // the avg lane rides the same stats: __avg_ rows appear alongside
+    assert(rows("__avg_k")._1 ==
+      ((0L until 300L).sum.toDouble / 300).toString)
+    assert(rows("__avg_v")._1 ==
+      ((0L until 300L).map(_ % 9).sum.toDouble / 300).toString)
     assert(rows("__rows") == (("300", "300")))
   }
 
