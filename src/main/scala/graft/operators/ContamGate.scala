@@ -91,9 +91,21 @@ object ContamGate {
       .distinct()
 
   /** Build the gate from the benchmark suite, tagged `suite`. Returns
-    * distinct grams stored. */
+    * distinct grams stored.
+    *
+    * REFUSES when `<idx>_grams` already exists (unless `overwrite`):
+    * under the multi-suite model a re-build would silently destroy
+    * every OTHER live suite's digests — a silent disarm of the
+    * decontamination firewall. Suite management is additive
+    * ([[refresh]]) and subtractive ([[retire]]); a whole-gate rebuild
+    * is the explicit-flag exception, not a default. */
   def build(wh: Warehouse, idx: String, bench: DataFrame,
-      suite: String = DefaultSuite, nFiles: Int = 4): Long = {
+      suite: String = DefaultSuite, nFiles: Int = 4,
+      overwrite: Boolean = false): Long = {
+    require(overwrite || !wh.hasTable(gramsTable(idx)),
+      s"ContamGate.build($idx): gate already exists — build would drop " +
+        "every live suite's digests. Use refresh to add a suite, retire " +
+        "to drop one, or pass overwrite = true to rebuild deliberately")
     val g = grams(bench).select(lit(suite).as("suite"), col("h"))
       .distinct().localCheckpoint()
     wh.save(gramsTable(idx), g.repartitionByRange(nFiles, col("h")),

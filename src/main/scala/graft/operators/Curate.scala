@@ -135,7 +135,12 @@ object Curate {
       slim.crossJoin(broadcast(total))
         .select(col(groupCol), col("docs"), col("tokens"),
           col("mean_tokens"),
-          (col("tokens").cast("double") / col("__total")).as("weight"))
+          // a corpus whose token sums are all zero has no defined
+          // mixture — weight is explicitly null there, rather than a
+          // divide-by-zero null-or-ANSI-error depending on session mode
+          when(col("__total") === 0, lit(null).cast("double"))
+            .otherwise(col("tokens").cast("double") / col("__total"))
+            .as("weight"))
         .orderBy(groupCol)
     }
 

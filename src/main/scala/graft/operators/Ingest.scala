@@ -102,7 +102,14 @@ object Ingest {
       ++ textIdx.toSeq.flatMap(TextIndex.tables)
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
-    wh.transaction(names) {
+    // every batch-sized frame pinned below is released in the finally:
+    // a long-running stream otherwise accumulates checkpoint blocks in
+    // executor storage until the ContextCleaner happens to GC them
+    val pins = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    def pin(df: DataFrame): DataFrame = {
+      val p = df.localCheckpoint(); pins += p; p
+    }
+    try wh.transaction(names) {
       // each ARMED gate's output pins (batch-sized): the ledger
       // counts, the base append, and BOTH index refreshes read the
       // surviving rows — without the pin the gate chain (quality
@@ -111,55 +118,88 @@ object Ingest {
       // previous frame.
       val qualified = minQuality match {
         case Some(q) =>
-          batch.filter(TextAnalysis.qualityExpr(col("text")) >= q)
-            .localCheckpoint()
+          pin(batch.filter(TextAnalysis.qualityExpr(col("text")) >= q))
         case None => batch
       }
-      val clean = contamIdx match {
-        case Some(i) =>
-          qualified.join(broadcast(ContamGate.verdicts(wh, i, qualified)
-            .filter(col("keep") === 1).select("doc_id")),
-            Seq("doc_id"), "left_semi")
-            .localCheckpoint()
+      // each gate's VERDICT frame is pinned too: the stage semi-join
+      // and the ledger's (judged, kept) aggregate both read it — one
+      // bounded agg over a batch-sized pinned frame replaces the
+      // per-stage distinct-count jobs the ledger used to schedule
+      val contamV = contamIdx.map(i =>
+        pin(ContamGate.verdicts(wh, i, qualified)))
+      val clean = contamV match {
+        case Some(v) =>
+          pin(qualified.join(broadcast(v.filter(col("keep") === 1)
+            .select("doc_id")), Seq("doc_id"), "left_semi"))
         case None => qualified
       }
-      val kept = dedupIdx match {
-        case Some(i) =>
-          val v = DedupIndex.admitBody(wh, i, clean)
+      // admitBody pins its verdict internally (it must settle BEFORE
+      // the gate state advances); no second pin needed here
+      val dedupV = dedupIdx.map(i => DedupIndex.admitBody(wh, i, clean))
+      val kept = dedupV match {
+        case Some(v) =>
           // verdicts are delta-sized and pinned — the semi-join keeps
           // only first-of-their-neighborhood docs, in batch row order
-          clean.join(broadcast(v.filter(col("keep") === 1)
-            .select("doc_id")), Seq("doc_id"), "left_semi")
-            .localCheckpoint()
+          pin(clean.join(broadcast(v.filter(col("keep") === 1)
+            .select("doc_id")), Seq("doc_id"), "left_semi"))
         case None => clean
       }
       // the ledger counts DISTINCT doc ids per stage (the grain the
-      // gates judge at); a skipped gate recounts nothing
-      val nIn = batch.select("doc_id").distinct().count()
-      val nQual =
-        if (minQuality.isEmpty) nIn
-        else qualified.select("doc_id").distinct().count()
-      val nClean =
-        if (contamIdx.isEmpty) nQual
-        else clean.select("doc_id").distinct().count()
-      val nKept =
-        if (dedupIdx.isEmpty) nClean
-        else kept.select("doc_id").distinct().count()
-      val landed = wh.appendStreamBatch(table, kept, batchId, streamId)
-      if (landed) {
-        textIdx.foreach(i => TextIndex.refreshBody(wh, i, kept))
-        annIdx.foreach(i => AnnIndex.refresh(wh, i,
-          kept.select(col("doc_id").as("vec_id"), col("embedding"))))
-        val spark0 = batch.sparkSession
-        import spark0.implicits._
-        val row = Seq((batchId, streamId, nIn, nIn - nQual,
-          nQual - nClean, nClean - nKept, nKept))
-          .toDF("batch_id", "stream_id", "n_in", "quality_drops",
-            "contam_drops", "dup_drops", "landed")
-        if (wh.hasTable(log)) wh.append(log, row) else wh.save(log, row)
+      // gates judge at). ONE aggregate per ARMED stage: the quality
+      // gate folds (in, passed) from the raw batch in one job; each
+      // verdict gate reads (judged, kept) off its own pinned verdict
+      // frame — a verdict row is one distinct doc by construction, so
+      // count/sum replace the distinct-count jobs. Unarmed stages
+      // stitch from their neighbors: the contam gate judges every
+      // distinct surviving doc, so its judged count IS the previous
+      // stage's survivor count. The DEDUP verdict cannot stitch
+      // upward — it judges only FRESH docs (already-admitted ids are
+      // anti-joined away before judging, and their silent drop is
+      // exactly what dup_drops must record), so only its KEPT count
+      // is used.
+      def verdictCounts(v: DataFrame): (Long, Long) = {
+        val r = v.agg(count(lit(1)), sum(col("keep"))).first()
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      landed
-    }
+      val qualCounts: Option[(Long, Long)] = minQuality.map { q =>
+        val r = batch.agg(countDistinct(col("doc_id")),
+          countDistinct(when(TextAnalysis.qualityExpr(col("text")) >= q,
+            col("doc_id")))).first()
+        (r.getLong(0), r.getLong(1))
+      }
+      val contamCounts = contamV.map(verdictCounts)
+      val nQual = qualCounts.map(_._2)
+        .orElse(contamCounts.map(_._1)) // contam judged = quality kept
+        .getOrElse(batch.select("doc_id").distinct().count())
+      val nIn = qualCounts.map(_._1).getOrElse(nQual)
+      val nClean = contamCounts.map(_._2).getOrElse(nQual)
+      val nKept = dedupV.map(v => verdictCounts(v)._2).getOrElse(nClean)
+      val landed = wh.appendStreamBatch(table, kept, batchId, streamId)
+      if (!landed)
+        // the fence pre-check at the top already settled legitimate
+        // replays — reaching here means a concurrent writer sharing
+        // this streamId advanced the mark BETWEEN the pre-check and
+        // the under-lock re-check. Returning false would still commit
+        // the transaction, landing the dedup gate's staged band
+        // appends as memory for docs that never reach the base table
+        // (the poisoned-band scenario the fence exists to prevent);
+        // throwing rolls every staged version back.
+        throw new IllegalStateException(
+          s"ingestBatch($table, streamId=$streamId): batchId $batchId " +
+            "was committed concurrently after the fence pre-check — " +
+            "two writers share this streamId; rolled back")
+      textIdx.foreach(i => TextIndex.refreshBody(wh, i, kept))
+      annIdx.foreach(i => AnnIndex.refresh(wh, i,
+        kept.select(col("doc_id").as("vec_id"), col("embedding"))))
+      val spark0 = batch.sparkSession
+      import spark0.implicits._
+      val row = Seq((batchId, streamId, nIn, nIn - nQual,
+        nQual - nClean, nClean - nKept, nKept))
+        .toDF("batch_id", "stream_id", "n_in", "quality_drops",
+          "contam_drops", "dup_drops", "landed")
+      if (wh.hasTable(log)) wh.append(log, row) else wh.save(log, row)
+      true
+    } finally { pins.foreach(_.unpersist()); () }
   }
 
   /** The admission ledger behind `table` — one row per landed batch. */

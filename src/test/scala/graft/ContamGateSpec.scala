@@ -80,6 +80,28 @@ class ContamGateSpec extends AnyFunSuite {
     assert(ContamGate.verdicts(wh, "cg", v1).first().getInt(2) == 0)
   }
 
+  test("build: refuses over an existing gate unless overwrite — a rebuild must not silently disarm live suites") {
+    val wh = new Warehouse(spark, tmp("cg_rebuild"))
+    ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))),
+      suite = "mmlu_v1")
+    val other = df(Seq(
+      (950L, "sierra tango uniform victor whiskey xray yankee zulu")))
+    val e = intercept[IllegalArgumentException] {
+      ContamGate.build(wh, "cg", other, suite = "gsm_v2")
+    }
+    assert(e.getMessage.contains("refresh"),
+      s"refusal must direct callers to refresh/retire: ${e.getMessage}")
+    // the refused build touched nothing: suite A still arms the gate
+    val hit = df(Seq((1L, s"x $gram8 y")))
+    assert(ContamGate.verdicts(wh, "cg", hit).first().getInt(2) == 0,
+      "suite must survive a refused rebuild")
+    // the explicit flag is the deliberate path — and it really rebuilds
+    assert(ContamGate.build(wh, "cg", other, suite = "gsm_v2",
+      overwrite = true) > 0L)
+    assert(ContamGate.verdicts(wh, "cg", hit).first().getInt(2) == 1,
+      "an overwrite rebuild replaces the suites")
+  }
+
   test("retire: a deprecated suite stops convicting; grams shared with a live suite keep convicting") {
     val wh = new Warehouse(spark, tmp("cg_retire"))
     val sharedGram =
