@@ -318,10 +318,16 @@ object AnnIndex {
     val live = liveSource(wh, idx, source).localCheckpoint()
     try {
       val exact = exactTopKAll(live, queryIds, topK)
+      // ONE batched serving pass for ALL sampled queries ([[queryBatch]])
+      // — the probe's job count is O(1) in |queryIds|, where the old
+      // per-query loop scheduled ~2 driver jobs per sampled query
+      val got = queryBatch(wh, idx, live, queryIds, topK, overquery, nProbe)
+        .select("query_id", "vec_id").collect()
+        .groupBy(_.getLong(0))
+        .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
       val per = queryIds.map { qid =>
-        val got = query(wh, idx, live, qid, topK, overquery, nProbe)
-          .select("vec_id").collect().map(_.getLong(0)).toSet
-        (got intersect exact(qid)).size.toDouble / topK
+        (got.getOrElse(qid, Set.empty) intersect exact(qid)).size.toDouble /
+          topK
       }
       per.sum / per.size
     } finally { live.unpersist(); () }
@@ -485,5 +491,134 @@ object AnnIndex {
             VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** [[query]] for N queries in ONE distributed pass — the serving
+    * shape a retrieval service (and the scheduled [[recallProbe]])
+    * actually needs: a per-query driver loop schedules |queries| jobs
+    * and reads the probed cells |queries| times; this batches the whole
+    * set so the job count is O(1) in |queryIds|.
+    *
+    * Per-query semantics are IDENTICAL to [[query]] by construction —
+    * every per-query ingredient (probed cells, ADC distance table, the
+    * round-6 ADC sum, the overquery·topK cut under (adc, vec_id), the
+    * round-12 exact-cosine re-rank under (cosine desc, vec_id)) is the
+    * same arithmetic in the same fold order; AnnIndexSpec pins
+    * queryBatch ≡ the query loop row-for-row.
+    *
+    * Scale shape: the query vectors, their probe lists, and their ADC
+    * tables are all driver-computed from BOUNDED reads (|queries| rows
+    * collected once; coarse = nCells rows; codebook = m·k rows) and
+    * broadcast; the codes table is scanned ONCE, partition-pruned to
+    * the UNION of all queries' probed cells (`cell IN (…)` at the
+    * manifest), and each code row fans out only to the queries probing
+    * its cell. The ADC top-k is a TWO-LEVEL cut — first within
+    * (query, hash-salt) groups, then per query over ≤ salts·overquery·
+    * topK survivors — so no single task ever sorts a full query's
+    * candidate set (the per-group-top-k shape that survives 100 TB;
+    * top-N under a total order is partition-stable, so the two-level
+    * cut selects exactly the global top-N). The exact re-rank touches
+    * ≤ |queries|·overquery·topK float vectors.
+    *
+    * Returns (query_id, vec_id, cosine), topK rows per query, ordered
+    * by (query_id, cosine desc, vec_id). */
+  def queryBatch(wh: Warehouse, idx: String, source: DataFrame,
+      queryIds: Seq[Long], topK: Int = 10, overquery: Int = 5,
+      nProbe: Int = 3, filter: Option[org.apache.spark.sql.Column] = None,
+      saltParts: Int = 32): DataFrame = {
+    require(queryIds.nonEmpty, "queryBatch: empty query id list")
+    val ids = queryIds.distinct
+    val spark = source.sparkSession
+    import spark.implicits._
+    // the N query vectors, normalized — one bounded collect
+    val unit = l2Normalized(source)
+    val qvs: Map[Long, Array[Double]] = unit
+      .filter(col("vec_id").isin(ids: _*))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    require(qvs.size == ids.size,
+      s"queryBatch: ${ids.size - qvs.size} query ids not in source")
+    // driver-side sequential-fold L2 — the same IEEE operation order as
+    // the l2sq Column (zip_with + left-fold aggregate), so the probed
+    // cells and ADC tables below are bit-identical to query()'s
+    def l2sqD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    val coarseC = collectCents(wh.table(s"${idx}_coarse"))
+      .map { case (_, cid, c) => (cid, c.toArray) }
+    val cbRows = collectCents(wh.table(s"${idx}_codebook"))
+    val m = cbRows.map(_._1).max + 1
+    val k = cbRows.map(_._2).distinct.length
+    val dsub = cbRows.head._3.size
+    // per query: nProbe nearest coarse cells (tie-break (d2, cid) —
+    // query()'s orderBy) and the m·k ADC distance table
+    val qrows: Seq[(Long, Seq[Int], Seq[Double], Seq[Double])] =
+      ids.map { qid =>
+        val q = qvs(qid)
+        val probed = coarseC
+          .map { case (cid, c) => (l2sqD(q, c), cid) }
+          .sortBy { case (d2, cid) => (d2, cid) }
+          .take(nProbe).map(_._2).toSeq
+        val flat = Array.fill(m * k)(Double.MaxValue)
+        cbRows.foreach { case (s0, cid, c) =>
+          flat(s0 * k + cid) = l2sqD(
+            java.util.Arrays.copyOfRange(q, s0 * dsub, (s0 + 1) * dsub),
+            c.toArray)
+        }
+        (qid, probed, flat.toSeq, q.toSeq)
+      }
+    // (query_id, cell) probe membership + the per-query ADC table; the
+    // query vectors ride along for the re-rank join — all broadcast
+    val qprobe = qrows
+      .flatMap { case (qid, cells, tbl, _) => cells.map(c => (qid, c, tbl)) }
+      .toDF("query_id", "cell", "tbl")
+    val qvecs = qrows.map { case (qid, _, _, q) => (qid, q) }
+      .toDF("query_id", "qe")
+    // ONE partition-pruned scan over the union of every query's cells
+    val allCells = qrows.flatMap(_._2).distinct
+    val probedCodes = wh.table(s"${idx}_codes")
+      .filter(col("cell").isin(allCells: _*))
+      .select("vec_id", "cell", "codes")
+    val admissible = filter match {
+      case None => probedCodes
+      case Some(pred) => probedCodes.join(
+        source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
+    }
+    // ADC per (query, candidate): the same round-6 table-lookup sum as
+    // pqRank, with the table a broadcast column instead of a literal
+    val scored = admissible.join(broadcast(qprobe), Seq("cell"))
+      .select(col("query_id"), col("vec_id"),
+        round(aggregate(
+          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+            (c, s0) => element_at(col("tbl"), s0 * k + c.cast("int") + 1)),
+          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+    // two-level overquery·topK cut per query under (adc, vec_id)
+    import org.apache.spark.sql.expressions.Window
+    val oq = overquery * topK
+    val lvl1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")),
+        lit(saltParts)))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val lvl2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("adc").asc, col("vec_id").asc)
+    val cands = scored
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= oq)
+      .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= oq)
+      .select("query_id", "vec_id")
+    // exact re-rank: ≤ |queries|·oq candidate vectors, query vectors
+    // broadcast — the same round-12 cosine as query()
+    val wFinal = Window.partitionBy(col("query_id"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+    source.join(broadcast(cands), "vec_id")
+      .join(broadcast(qvecs), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .withColumn("rk", row_number().over(wFinal))
+      .filter(col("rk") <= topK).drop("rk")
+      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
   }
 }

@@ -140,6 +140,34 @@ object Similarity {
        |SELECT vec_id, cosine FROM cs
        |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
 
+  /** The BATCH form of [[exactCosineTopKSql]]: per-query exact cosine
+    * top-k for every id in `queryIds`, one (query_id, vec_id, cosine)
+    * row set — the oracle [[graft.operators.AnnIndex.queryBatch]] must
+    * reproduce bit-for-bit under a full probe (b3_ann_batch_full_wh).
+    * Same decimal-exact dot/norm arithmetic and round-12 as the
+    * single-query form; ranks break ties on vec_id like the Spark
+    * side's (cosine desc, vec_id) window. */
+  private[operators] def exactCosineTopKBatchSql(queryIds: Seq[Long],
+      topK: Int = TOP_K): String =
+    s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qe
+       |           FROM embeddings
+       |           WHERE vec_id IN (${queryIds.mkString(", ")})),
+       |zp AS (SELECT q.query_id, e.vec_id,
+       |              unnest(e.embedding)::DOUBLE AS x,
+       |              unnest(q.qe)::DOUBLE AS y
+       |       FROM embeddings e CROSS JOIN q),
+       |cs AS (SELECT query_id, vec_id,
+       |         round(cast(sum(cast(x * y as decimal(38,20))) as double) /
+       |         (sqrt(cast(sum(cast(x * x as decimal(38,20))) as double)) *
+       |          sqrt(cast(sum(cast(y * y as decimal(38,20))) as double))), 12) AS cosine
+       |       FROM zp GROUP BY query_id, vec_id),
+       |rk AS (SELECT query_id, vec_id, cosine,
+       |         row_number() OVER (PARTITION BY query_id
+       |                            ORDER BY cosine DESC, vec_id) AS rn
+       |       FROM cs)
+       |SELECT query_id, vec_id, cosine FROM rk WHERE rn <= $topK
+       |ORDER BY query_id, cosine DESC, vec_id""".stripMargin
+
   /** Broadcast the query vector as a 1-row frame (never .collect()). */
   private def withQueryVec(s: SparkSession, d: String): DataFrame = {
     val e = T.embeddings(s, d)

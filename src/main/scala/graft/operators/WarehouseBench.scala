@@ -215,6 +215,28 @@ object WarehouseBench {
       AnnIndex.query(annIndexed(s, d), "ann_b", T.embeddings(s, d),
         queryId = 0L, topK = 10, overquery = 200, nProbe = 8)),
 
+    // b3b — BATCHED stored-ANN serving: 16 queries answered in ONE
+    // distributed pass (query vectors + probe lists + ADC tables
+    // broadcast, codes scanned once over the union of probed cells,
+    // two-level per-query top-k). Rows-only like b3_ann_wh (probed =
+    // approximate); the timed contrast is per-call driver-loop cost vs
+    // one job for the whole set — the retrieval-service shape.
+    Q("b3_ann_batch_wh", None, (s, d) =>
+      AnnIndex.queryBatch(annIndexed(s, d), "ann_b", T.embeddings(s, d),
+        queryIds = 0L until 16L)),
+
+    // b3c — the batched path HASH-CHECKED cross-engine, b3f's logic
+    // lifted to N queries: under a full probe with all-admitting
+    // overquery, queryBatch must reproduce DuckDB's per-query exact
+    // cosine top-10 bit-for-bit through the stored tables — per-query
+    // ADC tables, the two-level (adc, vec_id) cut, the round-12
+    // re-rank, and the (cosine desc, vec_id) tie-break all included.
+    Q("b3_ann_batch_full_wh",
+      Some(Similarity.exactCosineTopKBatchSql(Seq(0L, 1L, 2L))), (s, d) =>
+      AnnIndex.queryBatch(annIndexed(s, d), "ann_b", T.embeddings(s, d),
+        queryIds = Seq(0L, 1L, 2L), topK = 10, overquery = 200,
+        nProbe = 8)),
+
     // b4 — AGGREGATE-PUSHDOWN twins: the same min/max/count answered
     // by a full scan (raw) and from manifest metadata alone (wh —
     // statsAggregate; the plan is a LocalRelation, zero files opened,

@@ -311,4 +311,73 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(e.getMessage.contains("frozen"))
     assert(shape() == ((16L, 4, 8L)))
   }
+
+  test("queryBatch ≡ the per-query loop row-for-row, filtered search included") {
+    val wh = new Warehouse(spark, tmp("ann_batch"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val qids = Seq(0L, 7L, 13L, 42L, 111L)
+    def loop(filter: Option[org.apache.spark.sql.Column])
+        : Seq[(Long, Long, Double)] =
+      qids.flatMap { qid =>
+        AnnIndex.query(wh, "ann", emb, qid, filter = filter)
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }
+    def batch(filter: Option[org.apache.spark.sql.Column])
+        : Seq[(Long, Long, Double)] =
+      AnnIndex.queryBatch(wh, "ann", emb, qids, filter = filter)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    // row-for-row INCLUDING per-query order: same cells probed, same
+    // round-6 ADC cut, same round-12 cosine, same tie-breaks
+    assert(batch(None) == loop(None), "unfiltered batch ≠ query loop")
+    val pred = Some(col("vec_id") % 3 === 0)
+    assert(batch(pred) == loop(pred), "filtered batch ≠ query loop")
+  }
+
+  test("recallProbe schedules O(1) jobs in sampleQueries (the batched probe path)") {
+    val wh = new Warehouse(spark, tmp("ann_probejobs"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    // count ONLY this thread's jobs via a job group — the suite may
+    // share the session with concurrently-running suites
+    def jobsDuring(tag: String)(body: => Unit): Int = {
+      val n = new java.util.concurrent.atomic.AtomicInteger(0)
+      val l = new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          if (Option(j.properties)
+              .flatMap(p => Option(p.getProperty("spark.jobGroup.id")))
+              .contains(tag)) { n.incrementAndGet(); () }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        spark.sparkContext.setJobGroup(tag, tag)
+        body
+        spark.sparkContext.clearJobGroup()
+        // the listener bus is async — wait for the count to settle
+        var last = -1
+        var stable = 0
+        while (stable < 3) {
+          Thread.sleep(100)
+          val cur = n.get()
+          if (cur == last) stable += 1 else { stable = 0; last = cur }
+        }
+        n.get()
+      } finally {
+        spark.sparkContext.removeSparkListener(l)
+        spark.sparkContext.clearJobGroup()
+      }
+    }
+    def probe(nq: Int): Double = {
+      val qids = AnnIndex.probeQueryIds(wh, "ann", emb, nq)
+      AnnIndex.recallProbe(wh, "ann", emb, qids)
+    }
+    val j2 = jobsDuring("probe2")(probe(2))
+    val j10 = jobsDuring("probe10")(probe(10))
+    // 5× the queries must not mean 5× the jobs — small slack for AQE
+    // stage-count variance on the larger collect
+    assert(j10 <= j2 + 3,
+      s"recallProbe job count grows with sampleQueries: 2→$j2, 10→$j10")
+  }
 }
