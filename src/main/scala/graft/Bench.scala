@@ -49,6 +49,9 @@ object Bench {
     // mean-ledger twins: per-source avg by grouped scan vs the
     // metadata fold's sum/nn division (SQL rewrite, zero files opened)
     "b12_avg_raw", "b12_avg_wh",
+    // decimal-ledger twins: per-source fixed-point sum/mean by grouped
+    // scan vs the manifest's exact per-file DECIMAL sums (API fold)
+    "b14_ledger_dec_raw", "b14_ledger_dec_wh",
     // decontamination-firewall twins: per-question suite re-shingle vs
     // the stored gram digests (batch grams broadcast, digests stream)
     "b11_contam_raw", "b11_contam_wh"

@@ -3621,24 +3621,29 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * be declared stats/cluster columns ([[statsBy]] /
     * `ANALYZE TABLE … FOR COLUMNS`).
     *
-    * With `withSums` each requested INTEGRAL column also answers
-    * `sum_<c>` (LongType, SQL null semantics) from the per-file exact
-    * sums — the API twin of the SQL rewrite's token-ledger lane; a
-    * non-integral request, a pre-sum-stats file, or a clean-file total
-    * beyond LongType makes the whole answer None, the usual honest
+    * With `withSums` each requested INTEGRAL or DECIMAL column also
+    * answers `sum_<c>` (LongType for integrals, decimal(min(38, p+10),
+    * s) — Spark's own Sum result type — for decimal(p, s); SQL null
+    * semantics) from the per-file exact sums — the API twin of the SQL
+    * rewrite's token-ledger lane; a float/double request (whose
+    * addition is order-dependent — no metadata fold can promise the
+    * scan's bits), a pre-sum-stats file, or a clean-file total beyond
+    * the answer type makes the whole answer None, the usual honest
     * direction. DV'd files rescan and their live-row sums merge
     * exactly (sums fold additively — the same one-scan-row shape as
-    * min/max); the scan and merge accumulate in DECIMAL(38,0) with one
-    * final LongType cast, so a merged total beyond Long RAISES under
-    * ANSI instead of wrapping — never a silently-wrong ledger.
+    * min/max); the scan and merge accumulate in DECIMAL(38, column
+    * scale) with one final cast to the answer type, so a merged total
+    * beyond it RAISES under ANSI instead of wrapping — never a
+    * silently-wrong ledger.
     *
-    * With `withAvgs` each requested INTEGRAL column also answers
-    * `avg_<c>` (DoubleType, SQL null semantics — NULL over zero
-    * non-null rows) = the exact folded sum over the exact non-null
-    * count, ONE division at the very end — no per-row accumulation
-    * artifacts (while |sum| ≤ 2^53 the result is the correctly
-    * rounded mean; beyond that the sum's own double conversion rounds
-    * once first — still exact-ingredient arithmetic, never
+    * With `withAvgs` each requested INTEGRAL or DECIMAL column also
+    * answers `avg_<c>` (DoubleType, SQL null semantics — NULL over
+    * zero non-null rows) = the exact folded sum over the exact
+    * non-null count, ONE division at the very end — no per-row
+    * accumulation artifacts (for integrals while |sum| ≤ 2^53 the
+    * result is the correctly rounded mean; beyond that — and for
+    * decimal sums — the exact sum's own double conversion rounds once
+    * first, then divides: still exact-ingredient arithmetic, never
     * order-dependent). The "mean doc length per source" ledger
     * question stops paying a scan. Same disqualifiers as sums, plus
     * any clean file missing its non-null count. */
@@ -3666,26 +3671,31 @@ class Warehouse(val spark: SparkSession, basePath: String,
       def sumLit(c: String) = sm(c) match {
         case null => lit(null)
         case v: Long => lit(v)
+        case v: java.math.BigDecimal => lit(v)
       }
-      val dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+      def acc(c: String) = sumAccType(types(c))
       val metaRow = spark.range(1).select(
         mm.flatMap { case (c, lo, hi) =>
           def tl(v: Option[Any]) =
             v.map(lit).getOrElse(lit(null)).cast(types(c))
           Seq(tl(lo).as(s"min_$c"), tl(hi).as(s"max_$c"))
         } ++ (if (withSums) cols.map(c =>
-          sumLit(c).cast("long").as(s"sum_$c")) else Nil) ++
+          sumLit(c).cast(sumResultType(types(c))).as(s"sum_$c")) else Nil) ++
           (if (dvd.isEmpty)
             // no DVs: the mean settles here — one double division
+            // (decimal sums round to double ONCE, then divide — the
+            // same two steps the DV-merge lane's cast/divide performs)
             avgCols.map(c => (sm(c) match {
               case null => lit(null)
               case v: Long => lit(v.toDouble / nn(c))
+              case v: java.math.BigDecimal =>
+                lit(v.doubleValue() / nn(c))
             }).cast("double").as(s"avg_$c"))
           else
             // DV'd files in play: carry the exact ingredients through
             // the merge, divide after
             avgCols.flatMap(c => Seq(
-              sumLit(c).cast(dec38).as(s"__sum_$c"),
+              sumLit(c).cast(acc(c)).as(s"__sum_$c"),
               lit(nn(c)).as(s"__nn_$c"))))
           :+ lit(n).as("cnt"): _*)
       if (dvd.isEmpty) metaRow
@@ -3694,12 +3704,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
         // so the scan's extremes/count describe LIVE rows exactly
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
-          // DECIMAL accumulation: a DV'd file's live rows can never
-          // overflow their own scan sum, whatever the column holds
+          // DECIMAL accumulation at the column's own scale: a DV'd
+          // file's live rows can never overflow their own scan sum
           (if (withSums) cols.map(c =>
-            sum(col(c).cast(dec38)).as(s"sum_$c")) else Nil) ++
+            sum(col(c).cast(acc(c))).as(s"sum_$c")) else Nil) ++
           avgCols.flatMap(c => Seq(
-            sum(col(c).cast(dec38)).as(s"__sum_$c"),
+            sum(col(c).cast(acc(c))).as(s"__sum_$c"),
             count(col(c)).as(s"__nn_$c"))) :+
           count(lit(1)).as("cnt")
         val scanRow = fromFiles(name, dvd.map(_.path), sc)
@@ -3708,10 +3718,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
           Seq(min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c"))) ++
           (if (withSums) cols.map(c =>
-            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c"))
+            sum(col(s"sum_$c").cast(acc(c)))
+              .cast(sumResultType(types(c))).as(s"sum_$c"))
           else Nil) ++
           avgCols.flatMap(c => Seq(
-            sum(col(s"__sum_$c").cast(dec38)).as(s"__sum_$c"),
+            sum(col(s"__sum_$c").cast(acc(c))).as(s"__sum_$c"),
             sum(col(s"__nn_$c")).cast("long").as(s"__nn_$c"))) :+
           sum(col("cnt")).cast("long").as("cnt")
         val merged = metaRow.unionByName(scanRow)
@@ -3860,25 +3871,55 @@ class Warehouse(val spark: SparkSession, basePath: String,
       types: Map[String, org.apache.spark.sql.types.DataType],
       sumCols: Seq[String]): Option[Map[String, Any]] = {
     if (sumCols.isEmpty) return Some(Map.empty)
-    if (!sumCols.forall(c => types.get(c).exists(integralType))) return None
+    if (!sumCols.forall(c => types.get(c).exists(exactSumType))) return None
     if (fs.exists(_.dv.isDefined)) return None
     sumCols.foldLeft(Option(Map.empty[String, Any])) { case (acc, c) =>
       acc.flatMap { m =>
-        val per: Seq[Option[(BigInt, Long)]] = fs.map { f =>
-          (sumOf(f, c), nonNullOf(f, c)) match {
-            case (Some(s), Some(nn)) => Some((s, nn))
-            case (None, Some(0L)) => Some((BigInt(0), 0L))
-            case _ => None
-          }
-        }
-        if (!per.forall(_.isDefined)) None
-        else {
-          val flat = per.flatten
-          val nn = flat.map(_._2).sum
-          val tot = flat.map(_._1).sum
-          if (nn == 0L) Some(m + (c -> null))
-          else if (tot.isValidLong) Some(m + (c -> tot.toLong))
-          else None
+        types(c) match {
+          case d: org.apache.spark.sql.types.DecimalType =>
+            // decimal lane: fixed-scale addition is exact; the total
+            // answers as Spark's Sum result type decimal(p+10, s) —
+            // a total that would overflow it disqualifies so the scan
+            // surfaces the overflow (ANSI error / null), never a
+            // silently-rescaled metadata answer
+            val per: Seq[Option[(java.math.BigDecimal, Long)]] = fs.map { f =>
+              (sumDecOf(f, c), nonNullOf(f, c)) match {
+                case (Some(s), Some(nn)) => Some((s, nn))
+                case (None, Some(0L)) =>
+                  Some((java.math.BigDecimal.ZERO, 0L))
+                case _ => None
+              }
+            }
+            if (!per.forall(_.isDefined)) None
+            else {
+              val flat = per.flatten
+              val nn = flat.map(_._2).sum
+              val tot = flat.map(_._1)
+                .foldLeft(java.math.BigDecimal.ZERO)(_.add(_))
+                .setScale(d.scale)
+              val rp = math.min(38, d.precision + 10)
+              if (nn == 0L) Some(m + (c -> null))
+              else if (org.apache.spark.sql.types.Decimal(tot)
+                  .changePrecision(rp, d.scale)) Some(m + (c -> tot))
+              else None
+            }
+          case _ =>
+            val per: Seq[Option[(BigInt, Long)]] = fs.map { f =>
+              (sumOf(f, c), nonNullOf(f, c)) match {
+                case (Some(s), Some(nn)) => Some((s, nn))
+                case (None, Some(0L)) => Some((BigInt(0), 0L))
+                case _ => None
+              }
+            }
+            if (!per.forall(_.isDefined)) None
+            else {
+              val flat = per.flatten
+              val nn = flat.map(_._2).sum
+              val tot = flat.map(_._1).sum
+              if (nn == 0L) Some(m + (c -> null))
+              else if (tot.isValidLong) Some(m + (c -> tot.toLong))
+              else None
+            }
         }
       }
     }
@@ -3945,7 +3986,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * lacks a requested stat OR predates the partition layout (mixed
     * layouts after partition evolution: the un-partitioned files carry
     * no group value — a scan is the only honest answer). `withSums`
-    * adds `sum_<c>` per integral requested column under
+    * adds `sum_<c>` per integral or decimal requested column under
     * [[statsAggregate]]'s contract — the per-GROUP token ledger.
     * `withAvgs` adds `avg_<c>` (exact sum / exact non-null count,
     * one final double division per group) under the same contract —
@@ -3998,27 +4039,30 @@ class Warehouse(val spark: SparkSession, basePath: String,
               avgCols.map(c => sm(c) match {
                 case null => null
                 case v: Long => v.toDouble / nn(c)
+                case v: java.math.BigDecimal => v.doubleValue() / nn(c)
               })
             else avgCols.flatMap(c => Seq(sm(c) match {
               case null => null
               case v: Long => BigDecimal(v)
+              case v: java.math.BigDecimal => BigDecimal(v)
             }, nn(c)))) :+ n)
         }
         if (rows.forall(_.isDefined)) Some(rows.flatten) else None
     }
     folded.map { rows =>
       import org.apache.spark.sql.types._
-      val dec38 = DecimalType(38, 0)
+      def acc(c: String) = sumAccType(types(c))
       val schema = StructType(
         groupCols.map(g => StructField(g, types(g))) ++
           cols.flatMap(c => Seq(StructField(s"min_$c", types(c)),
             StructField(s"max_$c", types(c)))) ++
-          (if (withSums) cols.map(c => StructField(s"sum_$c", LongType))
+          (if (withSums) cols.map(c =>
+            StructField(s"sum_$c", sumResultType(types(c))))
           else Nil) ++
           (if (dvd.isEmpty)
             avgCols.map(c => StructField(s"avg_$c", DoubleType))
           else avgCols.flatMap(c =>
-            Seq(StructField(s"__sum_$c", dec38),
+            Seq(StructField(s"__sum_$c", acc(c)),
               StructField(s"__nn_$c", LongType)))) :+
           StructField("cnt", LongType))
       val metaRows = spark.createDataFrame(
@@ -4030,9 +4074,9 @@ class Warehouse(val spark: SparkSession, basePath: String,
         val scanAggs = cols.flatMap(c => Seq(min(col(c)).as(s"min_$c"),
           max(col(c)).as(s"max_$c"))) ++
           (if (withSums) cols.map(c =>
-            sum(col(c).cast(dec38)).as(s"sum_$c")) else Nil) ++
+            sum(col(c).cast(acc(c))).as(s"sum_$c")) else Nil) ++
           avgCols.flatMap(c => Seq(
-            sum(col(c).cast(dec38)).as(s"__sum_$c"),
+            sum(col(c).cast(acc(c))).as(s"__sum_$c"),
             count(col(c)).as(s"__nn_$c"))) :+
           count(lit(1)).as("cnt")
         val scanRows = fromFiles(name, dvd.map(_.path), sc)
@@ -4041,13 +4085,15 @@ class Warehouse(val spark: SparkSession, basePath: String,
         val mergeAggs = cols.flatMap(c =>
           Seq(min(col(s"min_$c")).as(s"min_$c"),
             max(col(s"max_$c")).as(s"max_$c"))) ++
-          // DECIMAL merge + one final cast: beyond-Long totals RAISE
-          // under ANSI instead of wrapping ([[statsAggregate]])
+          // DECIMAL merge + one final cast to the answer type:
+          // beyond-range totals RAISE under ANSI instead of wrapping
+          // ([[statsAggregate]])
           (if (withSums) cols.map(c =>
-            sum(col(s"sum_$c").cast(dec38)).cast("long").as(s"sum_$c"))
+            sum(col(s"sum_$c").cast(acc(c)))
+              .cast(sumResultType(types(c))).as(s"sum_$c"))
           else Nil) ++
           avgCols.flatMap(c => Seq(
-            sum(col(s"__sum_$c").cast(dec38)).as(s"__sum_$c"),
+            sum(col(s"__sum_$c").cast(acc(c))).as(s"__sum_$c"),
             sum(col(s"__nn_$c")).cast("long").as(s"__nn_$c"))) :+
           sum(col("cnt")).cast("long").as("cnt")
         val merged = metaRows.unionByName(scanRows)
@@ -4412,9 +4458,40 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private def sumOf(f: Warehouse.DataFile, c: String): Option[BigInt] =
     f.stats.get(sumKey(c)).flatMap(s =>
       scala.util.Try(BigInt(s._1)).toOption)
+  private def sumDecOf(f: Warehouse.DataFile,
+      c: String): Option[java.math.BigDecimal] =
+    f.stats.get(sumKey(c)).flatMap(s =>
+      scala.util.Try(new java.math.BigDecimal(s._1)).toOption)
   private def integralType(dt: org.apache.spark.sql.types.DataType): Boolean = {
     import org.apache.spark.sql.types._
     dt == ByteType || dt == ShortType || dt == IntegerType || dt == LongType
+  }
+  /** Columns whose per-file sums fold EXACTLY: integrals (BigInt) and
+    * decimals (fixed-scale addition is exact and order-independent).
+    * Floats/doubles stay out — their addition is order-dependent, so a
+    * metadata fold could never promise the scan's bits. */
+  private def exactSumType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case _: org.apache.spark.sql.types.DecimalType => true
+      case other => integralType(other)
+    }
+  /** The metadata sum's ANSWER type — Spark's own Sum result type, so
+    * the fold can stand in for the scan: LongType for integrals,
+    * DecimalType(min(38, p+10), s) for decimal(p, s). */
+  private[graft] def sumResultType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DataType = dt match {
+    case d: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.DecimalType(
+        math.min(38, d.precision + 10), d.scale)
+    case _ => org.apache.spark.sql.types.LongType
+  }
+  /** Widest no-overflow accumulator for a column's scan-side sums: the
+    * column's own scale at precision 38. */
+  private def sumAccType(dt: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.DecimalType = dt match {
+    case d: org.apache.spark.sql.types.DecimalType =>
+      org.apache.spark.sql.types.DecimalType(38, d.scale)
+    case _ => org.apache.spark.sql.types.DecimalType(38, 0)
   }
   private val LinearKind = "linear"
   private val ZOrderKind = "zorder"
@@ -4920,16 +4997,17 @@ class Warehouse(val spark: SparkSession, basePath: String,
           case _ => xxhash64(col(c))
         }
       }
-      // exact per-file SUM for the integral stat columns — rides the
-      // same single stats pass; DECIMAL(38,0) accumulation so no file,
-      // however large, can overflow its own sum (see [[sumKey]])
-      val sumCols = statCols.filter(c => integralType(schema(c).dataType))
+      // exact per-file SUM for the integral AND decimal stat columns —
+      // rides the same single stats pass; DECIMAL(38, column scale)
+      // accumulation so no file, however large, can overflow its own
+      // sum (see [[sumKey]])
+      val sumCols = statCols.filter(c => exactSumType(schema(c).dataType))
       val aggs = Seq(count(lit(1)).as("__nrows")) ++
         statCols.flatMap(c =>
           Seq(min(col(c)).as(s"__mn_$c"), max(col(c)).as(s"__mx_$c"),
             count(col(c)).as(s"__c_$c"))) ++
-        sumCols.map(c => sum(col(c).cast(
-          org.apache.spark.sql.types.DecimalType(38, 0))).as(s"__sm_$c")) ++
+        sumCols.map(c =>
+          sum(col(c).cast(sumAccType(schema(c).dataType))).as(s"__sm_$c")) ++
         bCols.map(c => bloomAgg(xxhash64(col(c))).as(s"__bf_$c")) ++
         ndvCols.map(c =>
           hll_sketch_agg(sketchable(c), lit(ndvLgK)).as(s"__h_$c"))
@@ -4950,9 +5028,12 @@ class Warehouse(val spark: SparkSession, basePath: String,
           val cn = row.getAs[Long](s"__c_$c").toString
           nonNullKey(c) -> (cn, cn)
         } ++ sumCols.flatMap { c =>
-          // all-null file → SQL sum is null → no entry (nn==0 marks it)
+          // all-null file → SQL sum is null → no entry (nn==0 marks it).
+          // toPlainString: scale-0 sums render as the bare integer
+          // (byte-identical to the pre-decimal format), decimal sums
+          // keep their fixed scale, never scientific notation
           Option(row.getAs[java.math.BigDecimal](s"__sm_$c")).map { s =>
-            val v = s.toBigInteger.toString
+            val v = s.toPlainString
             sumKey(c) -> (v, v)
           }
         } + (RowsKey -> (n, n))

@@ -185,4 +185,31 @@ object ContamGate {
         coalesce(col("shared_grams"), lit(0L)).as("shared_grams"),
         when(col("shared_grams").isNull, 1).otherwise(0).as("keep"))
   }
+
+  /** The per-suite BLAME lens over the same probe: (doc_id, suite,
+    * shared_grams) — one row per (convicted doc, convicting suite),
+    * counting that suite's own shared digests. [[verdicts]] answers
+    * keep/drop; this answers the production triage question a
+    * multi-suite gate creates ("WHICH benchmark leaked into this
+    * crawl?") — a contamination spike in the ingest ledger traces to
+    * its suite here, and a [[retire]] decision can check what a
+    * suite's rows are still convicting. Clean docs have no row (join
+    * [[verdicts]] for the keep set). A doc two suites convict shows
+    * BOTH rows — per-suite counts deliberately do NOT dedup a shared
+    * gram across suites (each suite's count is its own evidence),
+    * while [[verdicts]] keeps counting distinct digests so the
+    * keep/drop boundary is unchanged. Same scale shape as verdicts:
+    * batch digests broadcast (same gram-volume guard), stored grams
+    * stream, only (doc, suite) counts exchange. */
+  def verdictsBySuite(wh: Warehouse, idx: String, batch: DataFrame,
+      maxBroadcastGrams: Long = 1000000L): DataFrame = {
+    val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+    val stored = storedGrams(wh, idx)
+    (if (bg.count() <= maxBroadcastGrams)
+        stored.join(broadcast(bg), Seq("h"))
+      else stored.join(bg, Seq("h")))
+      .groupBy("doc_id", "suite")
+      .agg(countDistinct(col("h")).as("shared_grams"))
+      .orderBy("doc_id", "suite")
+  }
 }

@@ -90,7 +90,16 @@ object Curate {
     *    SMALLER id directly. On pairwise dup structure the two agree
     *    exactly (CurateSpec pins the agreement end-to-end); on CHAINS
     *    (a~b~c, a!~c) the gate can keep a middle doc the component
-    *    rule drops — choose by policy, not by accident.
+    *    rule drops — choose by policy, not by accident:
+    *    `resolveComponents = true` switches the stored path to the
+    *    sweep's transitive-closure rule by running connected
+    *    components over the gate's full convicting edge set
+    *    ([[DedupIndex.convictingPairs]] — per bucket the stored min
+    *    is a star over the members, same connectivity as the clique)
+    *    and dropping every non-canonical member. Note the remaining
+    *    deliberate difference: the gate judges against EVERYTHING
+    *    indexed, the sweep only within the curated survivors — equal
+    *    when the index holds exactly the curated corpus.
     *
     * The index must hold (at least) the docs being curated — the
     * normal state when the corpus was admitted through the gate.
@@ -101,10 +110,16 @@ object Curate {
       minQuality: Double = 0.3, tokensPerShard: Long = 4096L,
       blocklist: Seq[String] = Nil, rebalanceBy: Option[String] = None,
       maxDupSpanFraction: Option[Double] = None,
-      maxPerSource: Option[(String, Int)] = None)
+      maxPerSource: Option[(String, Int)] = None,
+      resolveComponents: Boolean = false)
       : (DataFrame, Report) = {
     val nearLosers = (in: DataFrame) =>
-      DedupIndex.verdicts(wh, dedupIdx, in)
+      if (resolveComponents)
+        Dedup.connectedComponents(
+          DedupIndex.convictingPairs(wh, dedupIdx, in))
+          .filter(col("id") =!= col("comp"))
+          .select(col("id").as("doc_id"))
+      else DedupIndex.verdicts(wh, dedupIdx, in)
         .filter(col("keep") === 0).select("doc_id")
     val dirtyIds = (in: DataFrame) =>
       ContamGate.verdicts(wh, contamIdx, in)

@@ -121,6 +121,26 @@ object DedupIndex {
         when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
   }
 
+  /** ALL convicting (bucket min, doc) pairs for the batch — the
+    * pre-collapse edge set behind [[verdicts]] (which folds to the
+    * single smallest `dup_of`). Per shared bucket the stored minimum
+    * connects every member (a star over the bucket, which has exactly
+    * the clique's connectivity), so connected components over these
+    * edges reproduce the SWEEP's transitive-closure dup structure —
+    * the ingredient [[Curate.curateStored]]'s component policy needs.
+    * Returns distinct (d1 = convicting min, d2 = doc, d1 < d2); same
+    * bh-pruned digests-only read path as verdicts. */
+  def convictingPairs(wh: Warehouse, idx: String, docs: DataFrame,
+      maxInList: Int = 1024): DataFrame = {
+    val (k, nb) = params(wh, idx)
+    val qb = banded(docs.dropDuplicates("doc_id"), k, nb).localCheckpoint()
+    prunedSegments(wh, idx, qb, maxInList)
+      .join(broadcast(qb), Seq("bh"))
+      .filter(col("min_id") < col("doc_id"))
+      .select(col("min_id").as("d1"), col("doc_id").as("d2"))
+      .distinct()
+  }
+
   /** The ingest GATE: judge every not-yet-seen doc of `docs` against
     * the stored corpus AND its own batch (intra-batch priors via the
     * st7 window — ties broken by ascending id), then commit the

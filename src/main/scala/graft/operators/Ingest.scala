@@ -199,8 +199,29 @@ object Ingest {
           "contam_drops", "dup_drops", "landed")
       if (wh.hasTable(log)) wh.append(log, row) else wh.save(log, row)
       true
-    } finally { pins.foreach(_.unpersist()); () }
+    } finally {
+      pins.foreach(_.unpersist())
+      // ledger hygiene, OUTSIDE the transaction (a maintenance rewrite,
+      // not part of the batch's atomicity): a year of micro-batches is
+      // ~100k one-row appends — without folding, 100k files for a
+      // 100k-row table. Size-tiered: files at/above LedgerFileRows are
+      // sealed and never rewritten again, so the amortized rewrite cost
+      // per trigger is O(LedgerFileRows / LedgerCompactMinFiles) rows —
+      // constant, not O(ledger).
+      if (wh.hasTable(log) &&
+          wh.describeDetail(log).toMap.get("numFiles")
+            .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
+        wh.compactSmall(log, LedgerFileRows, LedgerFileRows); ()
+      }
+    }
   }
+
+  /** Fold the ledger's small files once this many accumulate. */
+  private val LedgerCompactMinFiles = 16
+
+  /** Ledger files at/above this many rows are sealed (never rewritten
+    * by the per-trigger fold). */
+  private val LedgerFileRows = 4096L
 
   /** The admission ledger behind `table` — one row per landed batch. */
   def ledgerTable(table: String): String = s"${table}_ingest_log"

@@ -44,6 +44,38 @@ object Sampling {
       md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))).as("h"))
       .orderBy("h").limit(n)
 
+  /** The FULL-ROW sharded form of [[epochShuffle]] — what the training
+    * loop's dataloader actually consumes: every row of `df` placed in
+    * epoch `epoch`'s deterministic permutation, cut into `nShards`
+    * hash-RANGE shards with an explicit within-shard position. Shard
+    * boundaries are contiguous ranges of the epoch hash, so
+    * concatenating shards 0..n-1 (each read in `pos` order) replays
+    * the EXACT global permutation — yet nothing ever globally sorts:
+    * shard membership is a pure closed-form function of (epoch, id)
+    * (first 8 hex of the hash scaled by nShards — NOT
+    * repartitionByRange, whose sampled boundaries change with layout
+    * and would un-reproduce shard membership), and `pos` is one
+    * row_number window hash-partitioned by shard — one exchange on the
+    * shard key, per-shard local sorts, each bounded by corpus/nShards
+    * (pick nShards for the shard-file size you want; the plan is
+    * asserted global-Sort-free in SamplingSpec). Composes with sp10's
+    * packing downstream. Returns df.* + (h, shard, pos). */
+  def epochShards(df: org.apache.spark.sql.DataFrame, idCol: String,
+      epoch: Int, nShards: Int): org.apache.spark.sql.DataFrame = {
+    require(nShards > 0, s"epochShards: nShards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    // first 32 hash bits scaled to [0, nShards) — exact integer
+    // arithmetic (≤ 2^32·nShards ≪ 2^63), bit-identical cross-engine
+    df.withColumn("h",
+        md5(concat(lit(s"$epoch:"), col(idCol).cast("string"))))
+      .withColumn("__p", conv(substring(col("h"), 1, 8), 16, 10)
+        .cast("long"))
+      .withColumn("shard", expr(s"(__p * $nShards) div 4294967296"))
+      .drop("__p")
+      .withColumn("pos", row_number().over(
+        Window.partitionBy("shard").orderBy(col("h"), col(idCol))))
+  }
+
   /** DuckDB rendering of [[hashBucket]] (oracle side). */
   def bucketSql(idExpr: String, buckets: Int = 100): String =
     s"(('0x' || substr(md5(cast($idExpr as varchar)), 1, 8))::BIGINT % $buckets)"
@@ -170,6 +202,34 @@ object Sampling {
              |FROM orders ORDER BY h LIMIT 1000""".stripMargin),
       (s, d) => epochShuffle(T.orders(s, d), "o_orderkey",
         epoch = 2, n = 1000)),
+
+    // SP13 — FULL-ROW sharded epoch stream: sp12 gave the permutation
+    // PREFIX; the training loop's real consumer wants every row, in
+    // epoch order, cut into shard files it can read independently.
+    // Shards are contiguous hash ranges (closed-form from the first
+    // 32 hash bits — a pure function of (epoch, id), unlike sampled
+    // range boundaries), so (shard, pos) lexicographic order IS the
+    // global permutation with no global sort anywhere: one exchange
+    // on the shard key, per-shard row_number. Both engines replay the
+    // assignment and the within-shard order bit-for-bit.
+    Q("sp13_epoch_shards",
+      Some("""WITH t AS (
+             |  SELECT o_orderkey, o_custkey,
+             |    md5('2:' || cast(o_orderkey as varchar)) AS h
+             |  FROM orders),
+             |s AS (
+             |  SELECT o_orderkey, o_custkey, h,
+             |    cast((('0x' || substr(h, 1, 8))::BIGINT * 8) // 4294967296
+             |      AS BIGINT) AS shard
+             |  FROM t)
+             |SELECT o_orderkey, o_custkey, h, shard,
+             |  row_number() OVER (PARTITION BY shard
+             |                     ORDER BY h, o_orderkey) AS pos
+             |FROM s ORDER BY shard, pos""".stripMargin),
+      (s, d) => epochShards(T.orders(s, d)
+          .select("o_orderkey", "o_custkey"), "o_orderkey",
+          epoch = 2, nShards = 8)
+        .orderBy("shard", "pos")),
 
     // SP6 — per-user TEMPORAL holdout split: each user's last ~20% of
     // events (by event time, event_id tie-break) become holdout, the

@@ -70,6 +70,14 @@ object WarehouseBench {
       w.save("documents_p", T.documents(s, d),
         partitionBy = Seq("source"), clusterBy = Seq("doc_id"))
       w.statsBy("documents_p", Seq("n_chars"))
+      // b14's DECIMAL ledger: a fixed-point price column (the billing/
+      // cost-accounting shape) whose per-file sums fold exactly like
+      // the integral ones — decimal addition is order-independent
+      w.save("documents_dec", T.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          expr("cast(n_chars * 0.25 as decimal(12,2))").as("price")),
+        partitionBy = Seq("source"), clusterBy = Seq("doc_id"))
+      w.statsBy("documents_dec", Seq("price"))
       w
     })
 
@@ -143,6 +151,41 @@ object WarehouseBench {
       |  CASE WHEN h.doc_id IS NULL THEN 1 ELSE 0 END AS keep
       |FROM batch b LEFT JOIN hits h USING (doc_id)
       |ORDER BY doc_id""".stripMargin
+
+  // b14: the DECIMAL twin of b10/b12 — per-source sum and mean of a
+  // fixed-point price column. Both lanes settle to DOUBLE at the very
+  // end (one exact-decimal sum, one rounding cast, one division — the
+  // identical arithmetic in Spark, the metadata fold, and DuckDB; the
+  // sums here are ≤2^53·0.25 so even the double rendering is exact)
+  private val b14Oracle =
+    """SELECT source,
+      |  cast(sum(cast(n_chars * 0.25 as decimal(12,2))) as double)
+      |    AS sum_price,
+      |  cast(sum(cast(n_chars * 0.25 as decimal(12,2))) as double)
+      |    / count(n_chars) AS avg_price,
+      |  count(n_chars) AS nn
+      |FROM documents GROUP BY source ORDER BY source""".stripMargin
+
+  // b13: the batch's per-(doc, suite) shared-digest counts against a
+  // two-suite gate — src0's and src1's grams each tagged as their own
+  // suite; a doc sharing grams with both shows BOTH rows
+  private val b13Oracle =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    md5(unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+      |                i -> array_to_string(ts[i:i+7], ' '))))) AS h
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(text), '\s+') AS ts
+      |        FROM documents) WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT source AS suite, h FROM g
+      |          WHERE source IN ('src0', 'src1')),
+      |batch AS (SELECT doc_id FROM documents
+      |          WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents))
+      |SELECT g.doc_id, bench.suite,
+      |  CAST(count(DISTINCT g.h) AS BIGINT) AS shared_grams
+      |FROM g JOIN bench USING (h) JOIN batch USING (doc_id)
+      |GROUP BY g.doc_id, bench.suite
+      |ORDER BY doc_id, suite""".stripMargin
 
   // DuckDB sums BIGINT into HUGEINT — the a15/sp10 trap; Spark's
   // sum(long) is LongType, so the oracle pins BIGINT explicitly
@@ -356,6 +399,35 @@ object WarehouseBench {
               |FROM dw_documents_p GROUP BY source ORDER BY source""".stripMargin)
     }),
 
+    // b14 — the DECIMAL-LEDGER twins: per-source sum/mean of a
+    // fixed-point price column, by grouped scan (raw) vs folded from
+    // the manifest's exact per-file DECIMAL sums (wh —
+    // statsAggregateBy; the fold answers in Spark's own Sum result
+    // type decimal(22,2), then both lanes settle to double for the
+    // cross-engine hash). The cost-accounting question ("what does
+    // each source's data cost?") joins the token ledger in never
+    // paying a scan.
+    Q("b14_ledger_dec_raw", Some(b14Oracle), (s, d) =>
+      T.documents(s, d)
+        .select(col("source"),
+          expr("cast(n_chars * 0.25 as decimal(12,2))").as("price"),
+          col("n_chars"))
+        .groupBy("source")
+        .agg(sum(col("price")).cast("double").as("sum_price"),
+          (sum(col("price")).cast("double") / count(col("n_chars")))
+            .as("avg_price"),
+          count(col("n_chars")).as("nn"))
+        .orderBy("source")),
+    Q("b14_ledger_dec_wh", Some(b14Oracle), (s, d) =>
+      warehouse(s, d).statsAggregateBy("documents_dec", Seq("source"),
+          Seq("price"), withSums = true, withAvgs = true)
+        .getOrElse(throw new IllegalStateException(
+          "b14: documents_dec decimal sums must answer — setup declares them"))
+        .select(col("source"),
+          col("sum_price").cast("double").as("sum_price"),
+          col("avg_price").as("avg_price"), col("cnt").as("nn"))
+        .orderBy("source")),
+
     // b11 — the DECONTAMINATION-FIREWALL serving twins: "is this
     // delivery batch clean of the eval suite?" answered by recomputing
     // the suite's grams per question (raw — re-shingles the src0 docs
@@ -392,6 +464,20 @@ object WarehouseBench {
       val split = docs.agg(max("doc_id")).first().getLong(0) - 100
       ContamGate.verdicts(contamIndexed(s, d), "cg_b",
         docs.filter(col("doc_id") > split)).orderBy("doc_id")
+    }),
+
+    // b13 — per-suite contamination BLAME, hash-checked cross-engine:
+    // the same delivery batch judged against a TWO-suite gate (src0
+    // and src1 ingested as separate suites), with verdictsBySuite
+    // attributing each convicted doc to the suite(s) whose digests it
+    // shares — the triage lens a multi-suite firewall needs ("which
+    // benchmark leaked into this crawl?"). DuckDB replays the
+    // per-(doc, suite) distinct-digest counts exactly.
+    Q("b13_contam_suite_wh", Some(b13Oracle), (s, d) => {
+      val docs = T.documents(s, d)
+      val split = docs.agg(max("doc_id")).first().getLong(0) - 100
+      ContamGate.verdictsBySuite(contamIndexed2(s, d), "cg_b2",
+        docs.filter(col("doc_id") > split))
     }),
 
     // b6 — NEAR/proximity twin of b5 over the same stored positions
@@ -460,6 +546,22 @@ object WarehouseBench {
     memoized(cgCache, "graft_cgbench")(
       w => ContamGate.build(w, "cg_b",
         T.documents(s, d).filter(col("source") === "src0")))(s, d)
+
+  // b13's two-suite gate: src0 and src1 each ingested under their own
+  // suite tag (build + refresh — the additive multi-suite lifecycle)
+  private val cg2Cache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def contamIndexed2(s: SparkSession, d: String): Warehouse =
+    memoized(cg2Cache, "graft_cg2bench") { w =>
+      ContamGate.build(w, "cg_b2",
+        T.documents(s, d).filter(col("source") === "src0"),
+        suite = "src0")
+      ContamGate.refresh(w, "cg_b2",
+        T.documents(s, d).filter(col("source") === "src1"),
+        suite = "src1")
+      ()
+    }(s, d)
 
   // one memoizer shape for every serving-path warehouse: keyed per
   // (session, sf dir) — see the cache comment above — with the setup

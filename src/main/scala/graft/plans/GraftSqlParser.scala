@@ -164,6 +164,11 @@ object GraftSqlParser {
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([\w]+)\s*;?\s*$""".r
   private val Detail =
     """(?is)^\s*DESCRIBE\s+DETAIL\s+([\w]+)\s*;?\s*$""".r
+  // the ingest admission ledger behind a streamed table — one row per
+  // landed batch, the gate-drift monitor's SQL read path (empty with
+  // the correct schema before the first landed batch)
+  private val IngestLog =
+    """(?is)^\s*DESCRIBE\s+INGEST\s+LOG\s+([\w]+)\s*;?\s*$""".r
   // cross-instance freshness: commits made HERE re-point dw_<name>
   // automatically (commitManifest), but another process's commits are
   // only picked up when something re-reads the manifest — REFRESH is
@@ -612,6 +617,15 @@ object GraftSqlParser {
         boundTable(session, table).map { wh =>
           cmd(session, attrs("key" -> StringType, "value" -> StringType)) {
             _ => wh.describeDetail(table).map { case (k, v) => Row(k, v) }
+          }
+        }
+      case IngestLog(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("batch_id" -> LongType,
+            "stream_id" -> StringType, "n_in" -> LongType,
+            "quality_drops" -> LongType, "contam_drops" -> LongType,
+            "dup_drops" -> LongType, "landed" -> LongType)) { _ =>
+            graft.operators.Ingest.ledger(wh, table).collect().toSeq
           }
         }
       case Refresh(table) =>

@@ -47,14 +47,18 @@ import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRela
   *    counts (`"__nn_<col>"` stats) when every selected file carries
   *    them — a pre-stats file disqualifies (min/max stats alone cannot
   *    see nulls). `sum(col)` folds from the per-file exact sums
-  *    (`"__sum_<col>"`, integral stat columns only) under the same
-  *    no-DV rule, and only when the exact total fits LongType — the
-  *    token-budget ledger lane ([[graft.olist.Warehouse.metadataSumFold]]).
-  *    `avg(col)` = exact-sum / non-null-count, under the sum lane's
-  *    disqualifiers plus an exactness bound (n·max|value| ≤ 2^53 from
-  *    the same stats, so every partial sum the scan's double
-  *    accumulator could form is exact in any order — the fold can
-  *    never disagree with the scan it replaces);
+  *    (`"__sum_<col>"`, integral AND decimal stat columns — both add
+  *    exactly) under the same no-DV rule, and only when the exact
+  *    total fits the scan's own Sum result type (LongType for
+  *    integrals, decimal(p+10, s) for decimals) — the token-budget
+  *    ledger lane ([[graft.olist.Warehouse.metadataSumFold]]).
+  *    `avg(col)` = exact-sum / non-null-count, INTEGRAL columns only,
+  *    under the sum lane's disqualifiers plus an exactness bound
+  *    (n·max|value| ≤ 2^53 from the same stats, so every partial sum
+  *    the scan's double accumulator could form is exact in any order —
+  *    the fold can never disagree with the scan it replaces; a decimal
+  *    avg's plan type is decimal with its own division rounding, so it
+  *    keeps the scan — the `intAbs` guard below disqualifies it);
   *  - grouping, when present, is on attribute references over
   *    partition columns — the manifest groups those exactly.
   *

@@ -80,6 +80,45 @@ class ContamGateSpec extends AnyFunSuite {
     assert(ContamGate.verdicts(wh, "cg", v1).first().getInt(2) == 0)
   }
 
+  test("verdictsBySuite: per-(doc, suite) blame — a doc two suites convict shows both rows; verdicts unchanged") {
+    val wh = new Warehouse(spark, tmp("cg_blame"))
+    val sharedGram =
+      "sierra tango uniform victor whiskey xray yankee zulu"
+    ContamGate.build(wh, "cg",
+      df(Seq((900L, s"$gram8 $benchPad"),
+        (901L, s"$sharedGram $benchPad"))), suite = "mmlu_v1")
+    ContamGate.refresh(wh, "cg",
+      df(Seq((950L, s"$sharedGram and some extra benchmark words"))),
+      suite = "gsm_v2")
+    val batch = df(Seq(
+      (1L, s"x $gram8 y"),            // mmlu_v1 only
+      (2L, s"x $sharedGram y"),       // BOTH suites (one shared digest)
+      (3L, s"totally clean $filler"), // no row in the blame lens
+      (4L, s"$gram8 $sharedGram")))   // mmlu twice-ish, gsm once
+    val blame = ContamGate.verdictsBySuite(wh, "cg", batch).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(blame.keySet == Set((1L, "mmlu_v1"), (2L, "mmlu_v1"),
+      (2L, "gsm_v2"), (4L, "mmlu_v1"), (4L, "gsm_v2")),
+      s"blame rows: $blame")
+    assert(blame((1L, "mmlu_v1")) == 1L)
+    // doc 2's one contaminated gram blames BOTH carrying suites…
+    assert(blame((2L, "mmlu_v1")) == 1L && blame((2L, "gsm_v2")) == 1L)
+    // …while the keep/drop lens still counts it ONCE (distinct digests)
+    val v = ContamGate.verdicts(wh, "cg", batch).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    assert(v(2L) == ((1L, 0)) && v(3L) == ((0L, 1)), s"verdicts: $v")
+    // doc 4 straddles the suites: per-suite counts are each suite's own
+    // evidence and may sum past the distinct total
+    assert(blame((4L, "mmlu_v1")) >= 1L && blame((4L, "gsm_v2")) >= 1L)
+    assert(v(4L)._2 == 0)
+    // retiring a suite removes its blame rows; the shared gram still
+    // blames (and convicts through) the live suite
+    ContamGate.retire(wh, "cg", "mmlu_v1")
+    val after = ContamGate.verdictsBySuite(wh, "cg", batch).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(after == Set((2L, "gsm_v2"), (4L, "gsm_v2")), s"$after")
+  }
+
   test("build: refuses over an existing gate unless overwrite — a rebuild must not silently disarm live suites") {
     val wh = new Warehouse(spark, tmp("cg_rebuild"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))),

@@ -151,6 +151,45 @@ class CurateSpec extends AnyFunSuite {
     assert(!idsS.contains(301L) && !idsS.contains(401L))
   }
 
+  test("curateStored chain policy: bucket-min keeps a chain end the component rule drops; resolveComponents reproduces the sweep's closure") {
+    import spark.implicits._
+    import graft.operators.{ContamGate, DedupIndex}
+    import graft.olist.Warehouse
+    // a genuine MinHash band chain X ~ Y ~ Z with X !~ Z (verified
+    // fixture: Y holds the union of X's and Z's content words, so each
+    // end shares a band with the middle but the ends share none).
+    // Ids make the policies diverge: Y = 10 is convicted by both ends;
+    // Z = 5's only shared bucket has min 5 (itself), so the DIRECT
+    // bucket-min rule keeps it — while the transitive component
+    // {1, 5, 10} resolves to canonical 1 and drops it.
+    def sent(words: Seq[String]): String =
+      words.mkString("the ", " of the ", " and to in a end")
+    val xw = (0 until 40).map(i => s"c0x$i")
+    val zw = (0 until 40).map(i => s"c0z$i")
+    val chain = Seq(
+      (1L, sent(xw)), (10L, sent(xw ++ zw)), (5L, sent(zw)))
+    val fillers = Seq(
+      (20L, sent((0 until 40).map(i => s"f20w$i"))),
+      (21L, sent((0 until 40).map(i => s"f21w$i"))))
+    val docs = (chain ++ fillers).toDF("doc_id", "text")
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("curate_chain").toString)
+    ContamGate.build(wh, "cg",
+      Seq((9001L, "alpha beta gamma delta epsilon zeta eta theta iota"))
+        .toDF("doc_id", "text"))
+    DedupIndex.build(wh, "di", docs)
+    def survivors(resolve: Boolean): Set[Long] =
+      Curate.curateStored(wh, docs, "cg", "di", minQuality = 0.3,
+          resolveComponents = resolve)
+        ._1.select("doc_id").as[Long].collect().toSet
+    val gate = survivors(resolve = false)
+    val comp = survivors(resolve = true)
+    assert(gate == Set(1L, 5L, 20L, 21L),
+      s"bucket-min policy must keep the un-convicted chain end: $gate")
+    assert(comp == Set(1L, 20L, 21L),
+      s"component policy must drop the whole chain to its canonical: $comp")
+  }
+
   test("dataCard: docs/tokens/mean/weight per source fold from the manifest — zero file scans") {
     import graft.olist.Warehouse
     val wh = new Warehouse(spark,

@@ -241,6 +241,30 @@ class IngestSpec extends AnyFunSuite {
     assert(wh.table("docs").filter(col("doc_id") === 2000L).count() == 1)
   }
 
+  test("ledger hygiene: many one-row batches fold — file count stays bounded, rows and content conserved") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("ingest_hygiene"))
+    def doc(i: Long) = (i, s"document number $i with the usual " +
+      "ordinary words of the corpus and then some more of them")
+    wh.save("d2", Seq(doc(0L)).toDF("doc_id", "text"))
+    val n = 24
+    (1 to n).foreach { i =>
+      assert(Ingest.ingestBatch(wh, "d2",
+        Seq(doc(i.toLong)).toDF("doc_id", "text"), i.toLong))
+    }
+    val log = Ingest.ledgerTable("d2")
+    val files = wh.describeDetail(log).toMap.apply("numFiles").toInt
+    // without folding this is n files; the size-tiered fold keeps it
+    // at (since-last-fold) + sealed — the 100k-batch year must not
+    // mean 100k files
+    assert(files <= 10, s"$n one-row batches left $files ledger files")
+    // folding is a rewrite, never a loss: every batch's row survives
+    val rows = Ingest.ledger(wh, "d2").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(6))).toSeq
+    assert(rows == (1 to n).map(i => (i.toLong, 1L, 1L)),
+      s"ledger content diverged after folding: $rows")
+  }
+
   test("property: id-sorted batch splits — the landed set is invariant of batching; the ledger conserves per batch") {
     import graft.operators.{ContamGate, DedupIndex}
     import spark.implicits._

@@ -42,6 +42,43 @@ class SamplingSpec extends AnyFunSuite {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("epochShards: concatenating shards replays the global permutation; membership is layout-stable; no global sort") {
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val es = Sampling.epochShards(orders, "o_orderkey",
+      epoch = 2, nShards = 8)
+    val rows = es.collect()
+      .map(r => (r.getLong(3), r.getInt(4), r.getString(2), r.getLong(0)))
+    // shard ids live in [0, 8); within-shard positions are 1..|shard|
+    assert(rows.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    rows.groupBy(_._1).foreach { case (s, g) =>
+      assert(g.map(_._2).sorted.toSeq == (1 to g.size),
+        s"shard $s positions not contiguous")
+    }
+    // (shard, pos) lexicographic order IS the global (h, id) order —
+    // the dataloader reads shard files in sequence and replays the
+    // exact epoch permutation sp12 defines
+    val byShardPos = rows.sortBy(t => (t._1, t._2)).map(t => (t._3, t._4))
+    val global = rows.sortBy(t => (t._3, t._4)).map(t => (t._3, t._4))
+    assert(byShardPos.toSeq == global.toSeq,
+      "shard concatenation must equal the global permutation")
+    // membership is a pure function of (epoch, id): a different
+    // physical layout assigns identical (shard, pos)
+    val re = Sampling.epochShards(orders.orderBy(desc("o_orderkey")),
+      "o_orderkey", epoch = 2, nShards = 8)
+      .select("o_orderkey", "shard", "pos").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2)))).toMap
+    val first = rows.map(t => t._4 -> ((t._1, t._2))).toMap
+    assert(re == first, "shard/pos must be layout-independent")
+    // scale shape: one hash exchange on the shard key, per-shard local
+    // sorts — NO global Sort anywhere in the executed plan (sampled
+    // range boundaries would also un-reproduce membership)
+    es.write.format("noop").mode("overwrite").save()
+    val sorts = es.queryExecution.executedPlan.collect {
+      case s: org.apache.spark.sql.execution.SortExec if s.global => s
+    }
+    assert(sorts.isEmpty, s"global sort in epochShards plan:\n$sorts")
+  }
+
   test("split proportions are near 90/5/5 and partition the corpus") {
     val counts = SparkEntry.queries("sp1_hash_split")(spark, sf)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap

@@ -541,4 +541,29 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(r.getString(0) == "OK" && r.getLong(1) == 1L)
     assert(wh.table("mvj").count() == 3)
   }
+
+  test("DESCRIBE INGEST LOG surfaces the admission ledger from SQL") {
+    import spark.implicits._
+    val dir = tmp("wh_sql_ingestlog")
+    val wh = new Warehouse(spark, dir).enableSql()
+    def doc(i: Long) = (i, s"a perfectly ordinary document number $i " +
+      "with the usual words of the corpus and a few more of them")
+    wh.save("dl", Seq(doc(0L)).toDF("doc_id", "text"))
+    // before the first landed batch: empty, correct schema (the
+    // monitor can attach before the pipeline's first trigger)
+    val empty = spark.sql("DESCRIBE INGEST LOG dl")
+    assert(empty.columns.toSeq == Seq("batch_id", "stream_id", "n_in",
+      "quality_drops", "contam_drops", "dup_drops", "landed"))
+    assert(empty.count() == 0)
+    assert(graft.operators.Ingest.ingestBatch(wh, "dl",
+      Seq(doc(1L)).toDF("doc_id", "text"), 1L, minQuality = Some(0.1)))
+    assert(graft.operators.Ingest.ingestBatch(wh, "dl",
+      Seq(doc(2L), (3L, "zz")).toDF("doc_id", "text"), 2L,
+      minQuality = Some(0.1)))
+    val rows = spark.sql("DESCRIBE INGEST LOG dl").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(6)))
+      .toSeq
+    assert(rows == Seq((1L, 1L, 0L, 1L), (2L, 2L, 1L, 1L)),
+      s"SQL ledger rows: $rows")
+  }
 }

@@ -210,6 +210,65 @@ class StatsAggregateSpec extends AnyFunSuite {
     assert(res == want2)
   }
 
+  test("DECIMAL columns: exact metadata sums in the scan's own type; doubles disqualify to the scan") {
+    val dir = tmp("wh_sagg_dec")
+    val wh = new Warehouse(spark, dir).enableSql()
+    val df = spark.range(1000).select(col("id").as("k"),
+      when(col("id") % 5 =!= 0,
+        expr("cast(id * 0.25 as decimal(12,2))")).as("p"),
+      (col("id").cast("double") / 8).as("dbl"))
+      .repartitionByRange(4, col("k"))
+    wh.save("t", df, clusterBy = Seq("k"))
+    wh.statsBy("t", Seq("p", "dbl"))
+    // clean table: the decimal sum folds with zero file scans, in
+    // Spark's own Sum result type decimal(12+10, 2), bit-equal to the
+    // scan's exact decimal sum; the mean = double(exact sum)/nn
+    val r = wh.statsAggregate("t", Seq("p"), withSums = true,
+      withAvgs = true).get
+    assert(!r.queryExecution.executedPlan.toString.contains("Scan "),
+      "clean-table decimal sums must not plan a file scan")
+    val want = df.agg(sum("p"), count(col("p"))).collect()(0)
+    val row = r.collect()(0)
+    assert(row.schema("sum_p").dataType ==
+      org.apache.spark.sql.types.DecimalType(22, 2))
+    assert(row.getDecimal(row.fieldIndex("sum_p")) == want.getDecimal(0))
+    assert(row.getAs[Double]("avg_p") ==
+      want.getDecimal(0).doubleValue() / want.getLong(1))
+    // the directed disqualification: a DOUBLE column's sum/avg keeps
+    // the scan — float addition is order-dependent, no metadata fold
+    // can promise the scan's bits
+    assert(wh.statsAggregate("t", Seq("dbl"), withSums = true).isEmpty)
+    assert(wh.statsAggregate("t", Seq("dbl"), withAvgs = true).isEmpty)
+    // …and through the SQL rewrite: sum(decimal) folds to a
+    // LocalRelation, sum(double) keeps its FileScan.
+    // sparkPlan, not executedPlan: AQE wraps the latter and hides the
+    // scans until execution (the MetadataAggRewriteSpec helper's shape)
+    def scans(q: String): Int =
+      spark.sql(q).queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }.size
+    assert(scans("SELECT sum(p) AS s FROM dw_t") == 0,
+      "SQL sum(decimal) must fold from the manifest")
+    assert(spark.sql("SELECT sum(p) AS s FROM dw_t").collect()(0)
+      .getDecimal(0) == want.getDecimal(0))
+    assert(scans("SELECT sum(dbl) AS s FROM dw_t") > 0,
+      "SQL sum(double) must disqualify to the scan")
+    assert(scans("SELECT avg(p) AS a FROM dw_t") > 0,
+      "SQL avg(decimal) keeps the scan — its plan type divides in decimal")
+    // DV'd files rescan; the decimal merge stays exact (and the SQL
+    // fold now honestly keeps the scan — DVs bake deleted rows into
+    // the stored sums)
+    wh.delete("t", col("k") === 11L) // a non-null p row drops
+    val r2 = wh.statsAggregate("t", Seq("p"), withSums = true,
+      withAvgs = true).get.collect()(0)
+    val want2 = wh.table("t").agg(sum("p"), count(col("p"))).collect()(0)
+    assert(r2.getDecimal(r2.fieldIndex("sum_p")) == want2.getDecimal(0))
+    assert(r2.getAs[Double]("avg_p") ==
+      want2.getDecimal(0).doubleValue() / want2.getLong(1))
+    assert(scans("SELECT sum(p) AS s FROM dw_t") > 0,
+      "a DV'd snapshot's SQL sum must keep the scan")
+  }
+
   test("SQL surface: DESCRIBE STATS includes __sum_ rows when the manifest can answer them") {
     val dir = tmp("wh_sagg_sql_sum")
     val wh = new Warehouse(spark, dir).enableSql()
