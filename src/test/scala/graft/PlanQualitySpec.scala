@@ -503,6 +503,32 @@ class PlanQualitySpec extends AnyFunSuite {
       s"strings crossed an exchange:\n${exchanges.mkString("\n")}")
   }
 
+  test("b3_ann_batch_wh: one pruned codes scan serves all 16 queries; no float vector crosses an exchange") {
+    val qe = SparkEntry.queries("b3_ann_batch_wh")(spark, sf).queryExecution
+    // sparkPlan, not executedPlan — AQE wraps the latter and hides the
+    // scan nodes from collect until execution
+    val p = qe.sparkPlan.toString
+    assert(!p.contains("CartesianProduct"), p)
+    // exactly TWO parquet scans serve the whole batch: the codes table
+    // once (pruned to the union of every query's probed cells — not
+    // once per query) and the source embeddings once for the bounded
+    // re-rank set
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2, s"expected 2 scans, got ${scans.size}:\n$p")
+    assert(scans.exists(_.partitionFilters.exists(_.toString.contains("cell"))),
+      s"the codes scan must carry the probed-cell partition pruning:\n$p")
+    // the per-(query, candidate) cut shuffles only skinny
+    // (query_id, vec_id, adc) rows; the ADC tables ride a broadcast
+    // and the float vectors never enter an exchange (the re-rank join
+    // broadcasts the bounded candidate ids INTO the embedding scan)
+    val exchanges = p.linesIterator
+      .filter(l => l.contains("Exchange") && !l.contains("Broadcast")).toSeq
+    assert(!exchanges.exists(e => e.contains("embedding") || e.contains("qe#")),
+      s"a float vector crossed a shuffle:\n${exchanges.mkString("\n")}")
+  }
+
   test("b10_ledger_wh: the token ledger plans as a LocalRelation — zero file scans") {
     val p = SparkEntry.queries("b10_ledger_wh")(spark, sf).queryExecution
     val scans = p.sparkPlan.collect {
