@@ -35,7 +35,8 @@ object Bench {
     // retrieval SERVING twins: scan-time BM25 vs the stored inverted
     // index, and the stored IVF-PQ probe (index builds memoized —
     // median-of-3 discards the build run)
-    "b2_bm25_raw", "b2_bm25_wh", "b3_ann_wh", "b3_ann_batch_wh",
+    "b2_bm25_raw", "b2_bm25_wh", "b2_bm25_batch_wh",
+    "b3_ann_wh", "b3_ann_batch_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

@@ -437,6 +437,48 @@ object AnnIndex {
         col("r1").as("cos_rank"), col("rrf"))
   }
 
+  /** [[hybridQuery]] for N queries in ONE pass per lane — the full
+    * retrieval-service shape: the sparse lane is one batched BM25 over
+    * the stored inverted index ([[TextIndex.queryBatch]] — one
+    * term-pruned postings scan for every query's terms), the dense
+    * lane is one batched IVF-PQ probe ([[queryBatch]] — one
+    * cell-pruned codes scan), and the fusion is [[Similarity.rrfFuse]]
+    * lifted per query: full-outer on (query_id, id), rrf = Σ
+    * 1/(60+rank) with absent ranks contributing exactly 0 (the same
+    * coalesce fold, same addition order), top-k per query by
+    * (rrf desc, id) over ≤ 2·pool rows per query. Per-query rows are
+    * identical to the [[hybridQuery]] loop's (AnnIndexSpec pins it).
+    * Each query pairs its own terms with its own query vector
+    * (`queries` = (queryId, terms)). */
+  def hybridQueryBatch(wh: Warehouse, annIdx: String, textIdx: String,
+      source: DataFrame, queries: Seq[(Long, Seq[String])],
+      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
+      nProbe: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sparse = TextIndex.queryBatch(wh, textIdx, queries, pool)
+      .withColumn("r0", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("score").desc, col("doc_id"))))
+      .select(col("query_id"), col("doc_id").as("id"), col("r0"))
+    val dense = queryBatch(wh, annIdx, source, queries.map(_._1),
+        topK = pool, overquery = overquery, nProbe = nProbe)
+      .withColumn("r1", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cosine").desc, col("vec_id"))))
+      .select(col("query_id"), col("vec_id").as("id"), col("r1"))
+    // rrfFuse's fold, per query: coalesce-to-zero reciprocal ranks
+    // summed in lane order — identical arithmetic, grouped by query
+    val rrf = (coalesce(lit(1.0) / (lit(60) + col("r0")), lit(0.0)) +
+      coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))).as("rrf")
+    val wTop = Window.partitionBy("query_id")
+      .orderBy(col("rrf").desc, col("id").asc)
+    sparse.join(dense, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"), col("r0"), col("r1"), rrf)
+      .withColumn("rk", row_number().over(wTop))
+      .filter(col("rk") <= topK).drop("rk")
+      .select(col("query_id"), col("id").as("doc_id"),
+        col("r0").as("bm25_rank"), col("r1").as("cos_rank"), col("rrf"))
+      .orderBy(col("query_id").asc, col("rrf").desc, col("doc_id").asc)
+  }
+
   /** IVF-PQ probe over the STORED index: nProbe nearest coarse cells
     * (codebook-bounded read), `cell IN (probed)` partition-prunes the
     * codes table at the manifest, ADC ranks the surviving codes, and

@@ -208,11 +208,18 @@ object Ingest {
       // sealed and never rewritten again, so the amortized rewrite cost
       // per trigger is O(LedgerFileRows / LedgerCompactMinFiles) rows —
       // constant, not O(ledger).
-      if (wh.hasTable(log) &&
-          wh.describeDetail(log).toMap.get("numFiles")
-            .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
-        wh.compactSmall(log, LedgerFileRows, LedgerFileRows); ()
+      // Try-guarded: this runs on the exception path too, and a
+      // maintenance hiccup (lock contention, concurrent commit) must
+      // never MASK the transaction's own failure — or fail a batch
+      // that already committed
+      scala.util.Try {
+        if (wh.hasTable(log) &&
+            wh.describeDetail(log).toMap.get("numFiles")
+              .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
+          wh.compactSmall(log, LedgerFileRows, LedgerFileRows); ()
+        }
       }
+      ()
     }
   }
 

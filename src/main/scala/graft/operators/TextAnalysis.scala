@@ -893,6 +893,20 @@ object TextAnalysis {
        |ORDER BY score DESC, doc_id LIMIT $k""".stripMargin
   }
 
+  /** The BATCH form of [[bm25OracleSql]]: each query's top-k with a
+    * query_id tag, UNION ALL'd — the oracle
+    * [[graft.operators.TextIndex.queryBatch]] must reproduce (same
+    * per-query arithmetic, outer order (query_id, score desc, doc)).
+    * NOTE the positive-prefix caveat: the scan ranks zero-score docs
+    * too, so every query here must have ≥ k positive matches (the
+    * b2_bm25_wh condition, per query). */
+  def bm25BatchOracleSql(queries: Seq[(Long, Seq[String])],
+      k: Int): String =
+    queries.map { case (qid, ts) =>
+      s"SELECT $qid AS query_id, * FROM (\n${bm25OracleSql(ts, k)}\n)"
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY query_id, score DESC, doc_id")
+
   /** The five t15 rule flags (1/0) over a text column, in board order.
     * Repeated subtrees (the token split) are deduplicated by
     * whole-stage codegen's subexpression elimination — one projection,

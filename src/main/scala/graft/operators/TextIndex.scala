@@ -267,6 +267,83 @@ object TextIndex {
       .limit(k)
   }
 
+  /** [[query]] for N queries in ONE distributed pass — the sparse twin
+    * of [[AnnIndex.queryBatch]]: a retrieval service answering per
+    * query pays |queries| driver-scheduled jobs and |queries| postings
+    * reads through the loop; this batches the whole set. ONE
+    * term-pruned postings scan over the UNION of every query's terms,
+    * the per-(query, term) df literals broadcast, per-term BM25
+    * contributions summed per (query, doc) in TERM-INDEX ORDER (an
+    * array_sort + sequential fold — the identical IEEE addition order
+    * to [[TextAnalysis.bm25ScoreExpr]]'s fixed-column reduce, so
+    * per-query scores are bit-equal to [[query]]'s; absent terms
+    * contribute exactly 0.0, which is additively inert here because
+    * every BM25 term contribution is ≥ 0), then a two-level salted
+    * top-k per query under (score desc, doc_id) — no single task
+    * sorts a full query's candidate set. `docFilter` applies to the
+    * whole batch (the allowlist semantics of [[query]]).
+    * Returns (query_id, doc_id, dl, score), k rows per query. */
+  def queryBatch(wh: Warehouse, idx: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      docFilter: Option[DataFrame] = None,
+      saltParts: Int = 32): DataFrame = {
+    require(queries.nonEmpty, "queryBatch: empty query list")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "queryBatch: duplicate query_id")
+    val spark = wh.spark
+    import spark.implicits._
+    val st = wh.table(s"${idx}_stats").first()
+    val allTerms = queries.flatMap(_._2).distinct
+    val dfs = wh.table(s"${idx}_df")
+      .filter(col("term").isin(allTerms: _*))
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // (query_id, term-index, term, df) — broadcast; ti preserves each
+    // query's term order so the score fold adds in query()'s order
+    val qterms = queries.flatMap { case (qid, terms) =>
+      terms.zipWithIndex.map { case (t, i) =>
+        (qid, i, t, dfs.getOrElse(t, 0L))
+      }
+    }.toDF("query_id", "ti", "term", "df")
+    val base = wh.table(s"${idx}_postings")
+      .filter(col("term").isin(allTerms: _*))
+    val matched = docFilter match {
+      case None => base
+      case Some(allow) =>
+        base.join(allow.select("doc_id"), Seq("doc_id"), "left_semi")
+    }
+    // LSM segments: a (term, doc) may span several postings rows —
+    // fold tf first (long addition, order-free), like query()'s pivot
+    val tfAgg = matched.groupBy("term", "doc_id", "dl")
+      .agg(sum(col("tf")).as("tf"))
+    // the per-term contribution — bm25ScoreExpr's termScore verbatim,
+    // with df a broadcast column instead of a pivoted literal
+    val avgdl = lit(st.getLong(1)).cast("double") / lit(st.getLong(0))
+    val lenNorm = lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl") / avgdl))
+    val contrib = tfAgg.join(broadcast(qterms), Seq("term"))
+      .select(col("query_id"), col("doc_id"), col("dl"), col("ti"),
+        (log((lit(2) * lit(st.getLong(0)) + 2).cast("double") /
+          (lit(2) * col("df") + 1)) *
+          ((col("tf") * lit(2.2)) / (col("tf") + lenNorm))).as("c"))
+    val scored = contrib.groupBy("query_id", "doc_id", "dl")
+      .agg(round(aggregate(
+        array_sort(collect_list(struct(col("ti"), col("c")))),
+        lit(0.0), (acc, x) => acc + x.getField("c")), 6).as("score"))
+    import org.apache.spark.sql.expressions.Window
+    val lvl1 = Window
+      .partitionBy(col("query_id"), pmod(xxhash64(col("doc_id")),
+        lit(saltParts)))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val lvl2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("score").desc, col("doc_id").asc)
+    scored
+      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
+      .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= k)
+      .select("query_id", "doc_id", "dl", "score")
+      .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
+  }
+
   /** PHRASE search over the stored positional index — per doc, how
     * many times the exact token sequence occurs. The classic postings
     * intersection: pull each phrase term's position list for the

@@ -45,6 +45,13 @@ object WarehouseBench {
   private val lo = "1998-01-01 00:00:00"
   private val hi = "1998-12-31 23:59:59"
 
+  /** b2b's query set — subsets/reorders of the standard bm25Query, so
+    * every query has ≥10 positive matches at every testdata sf. */
+  private val b2BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (1L, TextAnalysis.bm25Query),
+    (2L, Seq(TextAnalysis.bm25Query(1), TextAnalysis.bm25Query.head)),
+    (3L, Seq(TextAnalysis.bm25Query.last)))
+
   private def warehouse(s: SparkSession, d: String): Warehouse =
     cache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files
@@ -232,6 +239,17 @@ object WarehouseBench {
         TextAnalysis.bm25Query, 10)),
       (s, d) => TextIndex.query(textIndexed(s, d), "ti_b",
         TextAnalysis.bm25Query, 10)),
+
+    // b2b — BATCHED BM25 serving, hash-checked: three queries (the
+    // standard one, a reordered two-term subset, a single-term one)
+    // answered by ONE term-pruned postings scan + per-query
+    // term-index-ordered score folds; DuckDB replays each query's t18
+    // arithmetic and the batch must match all three top-10s
+    // bit-for-bit, per-query order included.
+    Q("b2_bm25_batch_wh",
+      Some(TextAnalysis.bm25BatchOracleSql(b2BatchQueries, 10)),
+      (s, d) => TextIndex.queryBatch(textIndexed(s, d), "ti_b",
+        b2BatchQueries, 10)),
 
     // b3 — the ANN serving twin: e4's native brute-force cosine vs the
     // stored IVF-PQ probe (cell-pruned codes + ADC + exact re-rank).

@@ -191,6 +191,31 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == expect, s"got=$got\nexpect=$expect")
   }
 
+  test("hybridQueryBatch ≡ the hybridQuery loop row-for-row") {
+    val wh = new Warehouse(spark, tmp("ann_hyb_batch"))
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    operators.TextIndex.build(wh, "ti", docs)
+    val queries = Seq(
+      (0L, operators.TextAnalysis.bm25Query),
+      (7L, Seq(operators.TextAnalysis.bm25Query.head, "data")),
+      (42L, Seq("data")))
+    val loop = queries.flatMap { case (qid, ts) =>
+      AnnIndex.hybridQuery(wh, "ann", "ti", emb, ts, qid, topK = 10)
+        .collect().map(r => (qid, r.getLong(0),
+          Option(r.get(1)).map(_.toString).orNull,
+          Option(r.get(2)).map(_.toString).orNull, r.getDouble(3)))
+    }
+    val batch = AnnIndex.hybridQueryBatch(wh, "ann", "ti", emb, queries,
+        topK = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull, r.getDouble(4))).toSeq
+    assert(batch == loop,
+      s"hybrid batch ≠ per-query loop:\nbatch=$batch\nloop =$loop")
+  }
+
   test("remove: DV-deleted vectors vanish from probes; untouched code files byte-identical") {
     val whDir = tmp("ann_rm")
     val wh = new Warehouse(spark, whDir)

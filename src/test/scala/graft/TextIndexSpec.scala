@@ -35,6 +35,38 @@ class TextIndexSpec extends AnyFunSuite {
       s"stored-index scores diverged:\nscan  =$scan\nstored=$stored")
   }
 
+  test("queryBatch ≡ the per-query loop row-for-row: distinct term lists, shared terms, absent terms, filtered") {
+    val wh = new Warehouse(spark, tmp("ti_batch"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    // three queries: the standard one, an overlapping two-term one,
+    // and one carrying a term absent from the corpus (df = 0 — its
+    // contribution must be exactly zero, not a poisoned score)
+    val queries = Seq(
+      (1L, terms),
+      (2L, Seq(terms.head, "data")),
+      (3L, Seq("data", "zzz_nonexistent_term")))
+    def loop(filter: Option[org.apache.spark.sql.DataFrame])
+        : Seq[(Long, Long, Long, Double)] =
+      queries.flatMap { case (qid, ts) =>
+        TextIndex.query(wh, "ti", ts, 20, docFilter = filter)
+          .collect()
+          .map(r => (qid, r.getLong(0), r.getLong(1), r.getDouble(2)))
+      }
+    def batch(filter: Option[org.apache.spark.sql.DataFrame])
+        : Seq[(Long, Long, Long, Double)] =
+      TextIndex.queryBatch(wh, "ti", queries, 20, docFilter = filter)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3))).toSeq
+    // row-for-row INCLUDING per-query order and the round-6 scores —
+    // the term-index-ordered fold must reproduce the pivoted reduce's
+    // IEEE addition order exactly
+    assert(batch(None) == loop(None), "unfiltered batch ≠ query loop")
+    val allow = Some(docs.filter(col("doc_id") % 2 === 0))
+    assert(batch(allow) == loop(allow), "filtered batch ≠ query loop")
+  }
+
   test("refresh is exact: incrementally-maintained index answers identically to a from-scratch build") {
     val wh = new Warehouse(spark, tmp("ti2"))
     val whFull = new Warehouse(spark, tmp("ti2f"))
