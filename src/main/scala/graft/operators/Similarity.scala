@@ -1322,6 +1322,44 @@ object Similarity {
     * a plain val declared after `all` would still be 0 there.) */
   private lazy val RRF_POOL = 50
 
+  /** The BATCH hybrid-retrieval oracle — e14's fusion SQL lifted to N
+    * (queryId, terms) pairs and aimed at the STORED-index lanes:
+    * the sparse rank list is the POSITIVE-score BM25 prefix (the
+    * inverted index only holds matching docs — `WHERE score > 0`
+    * renders that restriction; identical whenever ≥pool docs match),
+    * the dense list is the exact cosine top-pool (what the stored
+    * IVF-PQ lane returns under a full probe with all-admitting
+    * overquery — the b3_ann_full_wh argument), and the fusion is the
+    * same coalesce fold in the same lane order. The oracle
+    * [[graft.operators.AnnIndex.hybridQueryBatch]] must reproduce
+    * per-query top-k bit-for-bit (b15_hybrid_batch_full_wh). */
+  private[operators] def hybridBatchOracleSql(
+      queries: Seq[(Long, Seq[String])], topK: Int,
+      pool: Int = RRF_POOL): String =
+    queries.map { case (qid, ts) =>
+      s"""SELECT $qid AS query_id, * FROM (
+         |WITH ${cosineCte(qid)},
+         |sr AS (SELECT doc_id,
+         |         cast(row_number() OVER (ORDER BY score DESC, doc_id)
+         |           AS INT) AS r
+         |       FROM (SELECT * FROM (${TextAnalysis.bm25OracleSql(ts, pool)})
+         |             WHERE score > 0)),
+         |dr AS (SELECT vec_id,
+         |         cast(row_number() OVER (ORDER BY cosine DESC, vec_id)
+         |           AS INT) AS r
+         |       FROM (SELECT vec_id, cosine FROM cs
+         |             ORDER BY cosine DESC, vec_id LIMIT $pool))
+         |SELECT coalesce(s.doc_id, d.vec_id) AS doc_id,
+         |  s.r AS bm25_rank, d.r AS cos_rank,
+         |  (coalesce(cast(1.0 AS DOUBLE)/(60 + s.r), cast(0.0 AS DOUBLE)) +
+         |   coalesce(cast(1.0 AS DOUBLE)/(60 + d.r), cast(0.0 AS DOUBLE)))
+         |    AS rrf
+         |FROM sr s FULL JOIN dr d ON s.doc_id = d.vec_id
+         |ORDER BY rrf DESC, doc_id LIMIT $topK
+         |)""".stripMargin
+    }.mkString("SELECT * FROM (\n", "\nUNION ALL\n",
+      "\n) ORDER BY query_id, rrf DESC, doc_id")
+
   /** Reciprocal-rank fusion over N ranked candidate lists. Each input
     * is a 2-column frame (id, 1-based rank) ALREADY truncated to its
     * pool — so every join here is over pool-bounded row counts (the

@@ -52,6 +52,13 @@ object WarehouseBench {
     (2L, Seq(TextAnalysis.bm25Query(1), TextAnalysis.bm25Query.head)),
     (3L, Seq(TextAnalysis.bm25Query.last)))
 
+  /** b15's hybrid query set — ids must exist in `embeddings` (the
+    * dense lane's query vectors) at every testdata sf. */
+  private val b15BatchQueries: Seq[(Long, Seq[String])] = Seq(
+    (0L, TextAnalysis.bm25Query),
+    (7L, Seq(TextAnalysis.bm25Query(1), TextAnalysis.bm25Query.head)),
+    (42L, Seq(TextAnalysis.bm25Query.last)))
+
   private def warehouse(s: SparkSession, d: String): Warehouse =
     cache.getOrElseUpdate((s, d), {
       val dir = java.nio.file.Files
@@ -297,6 +304,25 @@ object WarehouseBench {
       AnnIndex.queryBatch(annIndexed(s, d), "ann_b", T.embeddings(s, d),
         queryIds = Seq(0L, 1L, 2L), topK = 10, overquery = 200,
         nProbe = 8)),
+
+    // b15 — BATCHED HYBRID retrieval, both flavors over the SAME
+    // dual-index warehouse. The probed lane is the timed serving shape
+    // (3 hybrid queries: one postings scan + one codes scan + pool-
+    // bounded fusions — rows-only, the dense lane is approximate). The
+    // full lane is the HASH-CHECKED one: a full probe + all-admitting
+    // overquery make the dense lane exact, the sparse lane is exact
+    // always, so the ENTIRE stack — postings read, per-query BM25
+    // folds, coarse probe, pruned codes scan, ADC, re-rank, per-query
+    // RRF fusion — must reproduce DuckDB's three fused top-10s
+    // bit-for-bit.
+    Q("b15_hybrid_batch_wh", None, (s, d) =>
+      AnnIndex.hybridQueryBatch(hybridIndexed(s, d), "annh_b", "tih_b",
+        T.embeddings(s, d), b15BatchQueries)),
+    Q("b15_hybrid_batch_full_wh",
+      Some(Similarity.hybridBatchOracleSql(b15BatchQueries, 10)),
+      (s, d) => AnnIndex.hybridQueryBatch(hybridIndexed(s, d), "annh_b",
+        "tih_b", T.embeddings(s, d), b15BatchQueries,
+        topK = 10, pool = 50, overquery = 200, nProbe = 8)),
 
     // b4 — AGGREGATE-PUSHDOWN twins: the same min/max/count answered
     // by a full scan (raw) and from manifest metadata alone (wh —
@@ -607,6 +633,18 @@ object WarehouseBench {
   private def annIndexed(s: SparkSession, d: String): Warehouse =
     memoized(annCache, "graft_annbench")(
       w => AnnIndex.build(w, "ann_b", T.embeddings(s, d)))(s, d)
+
+  // b15's dual-index warehouse: the hybrid lanes need BOTH stored
+  // indexes behind one warehouse
+  private val hybCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  private def hybridIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(hybCache, "graft_hybbench") { w =>
+      AnnIndex.build(w, "annh_b", T.embeddings(s, d))
+      TextIndex.build(w, "tih_b", T.documents(s, d))
+      ()
+    }(s, d)
 
   // ── i4: the join-MV lifecycle (bootstrap → mutate → refresh) ──────
   private val mvCache = scala.collection.concurrent.TrieMap
