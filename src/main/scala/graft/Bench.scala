@@ -36,7 +36,8 @@ object Bench {
     // index, and the stored IVF-PQ probe (index builds memoized —
     // median-of-3 discards the build run)
     "b2_bm25_raw", "b2_bm25_wh", "b2_bm25_batch_wh",
-    "b3_ann_wh", "b3_ann_batch_wh", "b15_hybrid_batch_wh",
+    "b3_ann_wh", "b3_ann_batch_wh", "b15_hybrid_wh",
+    "b15_hybrid_batch_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

@@ -315,6 +315,11 @@ object WarehouseBench {
     // folds, coarse probe, pruned codes scan, ADC, re-rank, per-query
     // RRF fusion — must reproduce DuckDB's three fused top-10s
     // bit-for-bit.
+    // the single-query stored-hybrid lane: the per-call cost the batch
+    // lane amortizes — read b15_hybrid_batch_wh against 3× this number
+    Q("b15_hybrid_wh", None, (s, d) =>
+      AnnIndex.hybridQuery(hybridIndexed(s, d), "annh_b", "tih_b",
+        T.embeddings(s, d), TextAnalysis.bm25Query, queryId = 0L)),
     Q("b15_hybrid_batch_wh", None, (s, d) =>
       AnnIndex.hybridQueryBatch(hybridIndexed(s, d), "annh_b", "tih_b",
         T.embeddings(s, d), b15BatchQueries)),
