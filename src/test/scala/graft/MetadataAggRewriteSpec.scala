@@ -481,7 +481,12 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
       val df = spark.range(nRows).select(
         (col("id") % nPart).cast("string").as("p"),
         col("id").as("k"),
-        when(col("id") % nullMod =!= 0, col("id") * 3).as("v"))
+        when(col("id") % nullMod =!= 0, col("id") * 3).as("v"),
+        // the round-14 decimal lane rides the same pool: a fixed-point
+        // column with its own null pattern
+        when(col("id") % (nullMod + 1) =!= 0,
+          org.apache.spark.sql.functions.expr(
+            "cast(id * 0.25 as decimal(12,2))")).as("d"))
       if (partitioned)
         wh.save(t, df.repartition(1 + rnd.nextInt(4)),
           partitionBy = Seq("p"), clusterBy = Seq("k"))
@@ -490,11 +495,14 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
           clusterBy = Seq("k"))
       val vStats = rnd.nextBoolean()
       if (vStats) wh.statsBy(t, Seq("v"))
+      val dStats = rnd.nextBoolean()
+      if (dStats) wh.statsBy(t, Seq("d"))
       if (rnd.nextBoolean()) {
         import spark.implicits._
         wh.append(t, Seq(("0", nRows.toLong + 1L, null.asInstanceOf[java.lang.Long]))
           .toDF("p", "k", "v").select(col("p"), col("k"),
-            col("v").cast("long")))
+            col("v").cast("long"),
+            lit(null).cast("decimal(12,2)").as("d")))
       }
       var hasDv = false
       if (rnd.nextBoolean()) {
@@ -515,12 +523,20 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
         (s"SELECT sum(v) AS s, count(v) AS c FROM dw_$t",
           Some(vStats && !hasDv)),
         (s"SELECT sum(k) AS s FROM dw_$t", Some(!hasDv)),
+        // decimal sums fold (exact fixed-scale addition); decimal AVG
+        // never folds — its plan type divides in decimal
+        (s"SELECT sum(d) AS sd FROM dw_$t", Some(dStats && !hasDv)),
+        (s"SELECT min(d) AS a, max(d) AS b FROM dw_$t",
+          Some(dStats && !hasDv)),
+        (s"SELECT avg(d) AS ad FROM dw_$t", Some(false)),
         (s"SELECT min(k) AS a FROM dw_$t WHERE k > 100", Some(false))) ++
         (if (partitioned) Seq(
           (s"SELECT p, min(k) AS lo, max(k) AS hi, count(*) AS n " +
             s"FROM dw_$t GROUP BY p", Some(!hasDv)),
           (s"SELECT p, sum(v) AS sv, sum(k) AS sk FROM dw_$t GROUP BY p",
             Some(vStats && !hasDv)),
+          (s"SELECT p, sum(d) AS sd FROM dw_$t GROUP BY p",
+            Some(dStats && !hasDv)),
           (s"SELECT p, avg(v) AS av FROM dw_$t GROUP BY p",
             Some(vStats && !hasDv)),
           (s"SELECT min(k) AS lo, count(*) AS n FROM dw_$t WHERE p = '0'",
@@ -533,6 +549,7 @@ class MetadataAggRewriteSpec extends AnyFunSuite {
         val fired = fileScans(q) == 0
         eligible.foreach(e => assert(fired == e,
           s"trial $trial (partitioned=$partitioned vStats=$vStats " +
+            s"dStats=$dStats " +
             s"hasDv=$hasDv): expected fold=$e got fold=$fired for: $sql\n" +
             q.queryExecution.sparkPlan))
         val got = rows(q)
