@@ -290,6 +290,9 @@ object TextIndex {
     require(queries.nonEmpty, "queryBatch: empty query list")
     require(queries.map(_._1).distinct.size == queries.size,
       "queryBatch: duplicate query_id")
+    require(queries.forall(_._2.nonEmpty),
+      "queryBatch: a query with no terms (it would silently return " +
+        "nothing; the single-query form refuses it too)")
     val spark = wh.spark
     import spark.implicits._
     val st = wh.table(s"${idx}_stats").first()
