@@ -116,9 +116,22 @@ object Ingest {
       // filter + two verdict joins) re-executes per consumer, ~5×
       // per trigger. A skipped gate adds no pin: its stage IS the
       // previous frame.
-      val qualified = minQuality match {
-        case Some(q) =>
-          pin(batch.filter(TextAnalysis.qualityExpr(col("text")) >= q))
+      //
+      // The quality gate is ONE pass: the pinned frame carries the
+      // verdict as a flag column, so the stage filter AND the ledger's
+      // (in, passed) counts both read the pin — qualityExpr evaluates
+      // once per row per trigger, not once for the filter and again
+      // for the counts.
+      val flagged = minQuality.map { q =>
+        require(!batch.columns.contains("__q_ok"),
+          "ingestBatch: batch already has a __q_ok column — it collides " +
+            "with the quality gate's verdict flag; rename upstream")
+        pin(batch.withColumn("__q_ok",
+          TextAnalysis.qualityExpr(col("text")) >= q))
+      }
+      val qualified = flagged match {
+        // a cheap flag filter over the pinned frame — no second pin
+        case Some(f) => f.filter(col("__q_ok")).drop("__q_ok")
         case None => batch
       }
       // each gate's VERDICT frame is pinned too: the stage semi-join
@@ -161,10 +174,9 @@ object Ingest {
         val r = v.agg(count(lit(1)), sum(col("keep"))).first()
         (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
       }
-      val qualCounts: Option[(Long, Long)] = minQuality.map { q =>
-        val r = batch.agg(countDistinct(col("doc_id")),
-          countDistinct(when(TextAnalysis.qualityExpr(col("text")) >= q,
-            col("doc_id")))).first()
+      val qualCounts: Option[(Long, Long)] = flagged.map { f =>
+        val r = f.agg(countDistinct(col("doc_id")),
+          countDistinct(when(col("__q_ok"), col("doc_id")))).first()
         (r.getLong(0), r.getLong(1))
       }
       val contamCounts = contamV.map(verdictCounts)

@@ -5,13 +5,14 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads are opaque
-  * `binary` columns with typed metadata. IMAGE decode is REAL — the
-  * JDK ships PNG/BMP/GIF codecs (`javax.imageio`), so
-  * [[decodeImage]] reads actual rasters: width/height/channels/mean
-  * sample from the bytes, round-trip-tested against synthetically
-  * encoded images. Codecs the JVM lacks (audio/video) keep the
-  * clearly-marked deterministic stub (`decodeStub`) for the pipeline
-  * shape. Everything Spark-side is shared and tested either way: the
+  * `binary` columns with typed metadata. Decode is REAL for all three
+  * kinds: the JDK ships PNG/BMP/GIF codecs (`javax.imageio`) behind
+  * [[decodeImage]], WAV parsing (`javax.sound.sampled`) behind the
+  * mm6 audio-frame lane, and the Y4M video container parses from
+  * bytes behind mm7 — each round-trip-tested against synthetically
+  * encoded payloads. `decodeStub` remains only as the explicitly-fake
+  * template for payload kinds with no JVM codec (it backs no query
+  * lane). Everything Spark-side is shared and tested either way: the
   * binary schema, the batched per-partition processing shape (the
   * Scala analogue of mapInPandas: one iterator in, one iterator out,
   * no per-row setup cost), partitioning, and frame-sampling

@@ -63,6 +63,14 @@ object Sampling {
   def epochShards(df: org.apache.spark.sql.DataFrame, idCol: String,
       epoch: Int, nShards: Int): org.apache.spark.sql.DataFrame = {
     require(nShards > 0, s"epochShards: nShards must be positive")
+    // withColumn REPLACES a same-named input column silently — an input
+    // already carrying one of the outputs (or the temp) would lose it
+    // without error; refuse loudly (the repo-wide convention)
+    val clash = df.columns.toSet
+      .intersect(Set("h", "shard", "pos", "__p"))
+    require(clash.isEmpty,
+      s"epochShards: input already has column(s) ${clash.mkString(", ")} " +
+        "— they collide with the (h, shard, pos) outputs; rename upstream")
     import org.apache.spark.sql.expressions.Window
     // first 32 hash bits scaled to [0, nShards) — exact integer
     // arithmetic (≤ 2^32·nShards ≪ 2^63), bit-identical cross-engine

@@ -620,13 +620,12 @@ object GraftSqlParser {
           }
         }
       case IngestLog(table) =>
+        // the ledger is an UNBOUNDED table (one row per landed batch) —
+        // hand SQL its logical plan directly so the read stays a
+        // distributed scan; a collect()-backed command row-set would
+        // materialize a year of batches on the driver
         boundTable(session, table).map { wh =>
-          cmd(session, attrs("batch_id" -> LongType,
-            "stream_id" -> StringType, "n_in" -> LongType,
-            "quality_drops" -> LongType, "contam_drops" -> LongType,
-            "dup_drops" -> LongType, "landed" -> LongType)) { _ =>
-            graft.operators.Ingest.ledger(wh, table).collect().toSeq
-          }
+          graft.operators.Ingest.ledger(wh, table).queryExecution.logical
         }
       case Refresh(table) =>
         boundTable(session, table).map { wh =>
