@@ -38,6 +38,9 @@ object Bench {
     "b2_bm25_raw", "b2_bm25_wh", "b2_bm25_batch_wh",
     "b3_ann_wh", "b3_ann_batch_wh", "b15_hybrid_wh",
     "b15_hybrid_batch_wh",
+    // round-15 literal serving lanes: query-by-text BM25 and
+    // query-by-vector ANN (full probe — the hash-checked path)
+    "b2_bm25_text_wh", "b3_ann_vec_full_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

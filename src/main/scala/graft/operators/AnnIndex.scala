@@ -189,6 +189,21 @@ object AnnIndex {
   private[operators] def tables(idx: String): Seq[String] =
     Seq(s"${idx}_codes", s"${idx}_gone")
 
+  /** The three tables a PROBE reads — the unit [[Warehouse
+    * .snapshotTables]] pins per serving call, so one query can never
+    * ADC-rank codes from one commit through a codebook from another
+    * ([[retrain]] swaps all three atomically; three independent
+    * `table()` reads could straddle that swap). */
+  private[graft] def servingTables(idx: String): Seq[String] =
+    Seq(s"${idx}_coarse", s"${idx}_codebook", s"${idx}_codes")
+
+  /** One pinned read surface over [[servingTables]]. */
+  private[operators] def servingSnapshot(wh: Warehouse,
+      idx: String): String => DataFrame = {
+    val snap = wh.snapshotTables(servingTables(idx))
+    snap(_)
+  }
+
   /** [[remove]]'s body without the transaction wrapper — for callers
     * composing into a wider atomic unit ([[Forget.forgetDocs]]). */
   private[operators] def removeBody(wh: Warehouse, idx: String,
@@ -418,17 +433,37 @@ object AnnIndex {
     * Every corpus-sized structure involved is pre-built and
     * incrementally maintained; a query touches its terms' postings
     * files, its probe cells' code files, and ≤ 2·pool fusion rows. */
+  /** One snapshot cut pinning BOTH indexes' serving tables — the
+    * hybrid paths' read surface: a query racing an [[Ingest
+    * .ingestBatch]] commit must never fuse a post-commit sparse lane
+    * with a pre-commit dense lane (each lane alone was already
+    * coherent; the CROSS-index cut is what this adds). */
+  private def hybridSnapshot(wh: Warehouse, annIdx: String,
+      textIdx: String): String => DataFrame = {
+    val snap = wh.snapshotTables(
+      servingTables(annIdx) ++ TextIndex.servingTables(textIdx))
+    snap(_)
+  }
+
   def hybridQuery(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, terms: Seq[String], queryId: Long,
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
       nProbe: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sparse = TextIndex.query(wh, textIdx, terms, pool)
+    val read = hybridSnapshot(wh, annIdx, textIdx)
+    val sparse = TextIndex.queryOn(read, textIdx, terms, pool)
       .withColumn("r", row_number()
         .over(Window.orderBy(col("score").desc, col("doc_id"))))
       .select("doc_id", "r")
-    val dense = query(wh, annIdx, source, queryId,
-      topK = pool, overquery = overquery, nProbe = nProbe)
+    // the dense lane inline against the same pinned cut (the id-form
+    // query vector still comes from `source` — the stored-row shape;
+    // the literal form is [[hybridQueryVecBatch]])
+    val unit = l2Normalized(source)
+    val q = unit.filter(col("vec_id") === queryId)
+      .select("embedding").first().getSeq[Double](0).toArray
+    val dense = vecBatchCore(read, annIdx, source, Seq(queryId -> q),
+        topK = pool, overquery = overquery, nProbe = nProbe,
+        filter = None, saltParts = 32)
       .withColumn("r", row_number()
         .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
       .select("vec_id", "r")
@@ -453,19 +488,80 @@ object AnnIndex {
   def hybridQueryBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, Seq[String])],
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
+      nProbe: Int = 3): DataFrame =
+    hybridQueryBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
+      textIdx, source, queries, topK, pool, overquery, nProbe)
+
+  /** [[hybridQueryBatch]] against an explicit read surface — the seam
+    * the snapshot-consistency spec uses to DEMONSTRATE the torn fusion
+    * an unpinned read pair would produce (and that the public path,
+    * which always passes one [[hybridSnapshot]] cut, precludes). */
+  private[graft] def hybridQueryBatchOn(read: String => DataFrame,
+      annIdx: String, textIdx: String, source: DataFrame,
+      queries: Seq[(Long, Seq[String])], topK: Int = 10, pool: Int = 50,
+      overquery: Int = 5, nProbe: Int = 3): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, queries,
+      pool)
+    // the dense lane's query vectors from `source` (the id form); the
+    // codes/codebook reads ride the same pinned cut as the sparse lane
+    val ids = queries.map(_._1).distinct
+    val byId: Map[Long, Array[Double]] = l2Normalized(source)
+      .filter(col("vec_id").isin(ids: _*))
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    require(byId.size == ids.size,
+      s"hybridQueryBatch: ${ids.size - byId.size} query ids not in source")
+    val dense = vecBatchCore(read, annIdx, source,
+      ids.map(id => id -> byId(id)), topK = pool, overquery = overquery,
+      nProbe = nProbe, filter = None, saltParts = 32)
+    fuseBatch(sparse, dense, topK)
+  }
+
+  /** [[hybridQueryBatch]] for LITERAL queries — the full
+    * retrieval-service front door: each query arrives as (query_id,
+    * raw query TEXT, raw query VECTOR). The sparse lane tokenizes the
+    * text through the index's own tokenizer ([[TextIndex
+    * .tokenizeQueries]] — a LocalRelation, no corpus read); the dense
+    * lane normalizes the vector through the index's own normalizer
+    * ([[normalizedQueryVecs]] — same); both lanes read ONE pinned
+    * snapshot cut across all six serving tables, and the fusion is
+    * [[hybridQueryBatch]]'s verbatim. A literal query equal to a
+    * stored row reproduces the id form bit-for-bit (spec-pinned). */
+  def hybridQueryVecBatch(wh: Warehouse, annIdx: String, textIdx: String,
+      source: DataFrame, queries: Seq[(Long, String, Seq[Double])],
+      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
       nProbe: Int = 3): DataFrame = {
+    require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
+    val read = hybridSnapshot(wh, annIdx, textIdx)
+    val spark = source.sparkSession
+    val terms = TextIndex.tokenizeQueries(spark,
+      queries.map { case (qid, text, _) => (qid, text) })
+    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, terms, pool)
+    val dense = vecBatchCore(read, annIdx, source,
+      normalizedQueryVecs(spark,
+        queries.map { case (qid, _, v) => (qid, v) }),
+      topK = pool, overquery = overquery, nProbe = nProbe,
+      filter = None, saltParts = 32)
+    fuseBatch(sparse, dense, topK)
+  }
+
+  /** The per-query RRF fusion both batch hybrids share: rrfFuse's fold
+    * lifted per query — coalesce-to-zero reciprocal ranks summed in
+    * lane order (identical arithmetic to [[Similarity.rrfFuse]]),
+    * top-k per query under (rrf desc, id) over ≤ 2·pool rows/query. */
+  private def fuseBatch(sparseScored: DataFrame, denseScored: DataFrame,
+      topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sparse = TextIndex.queryBatch(wh, textIdx, queries, pool)
+    val sparse = sparseScored
       .withColumn("r0", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("score").desc, col("doc_id"))))
       .select(col("query_id"), col("doc_id").as("id"), col("r0"))
-    val dense = queryBatch(wh, annIdx, source, queries.map(_._1),
-        topK = pool, overquery = overquery, nProbe = nProbe)
+    val dense = denseScored
       .withColumn("r1", row_number().over(Window.partitionBy("query_id")
         .orderBy(col("cosine").desc, col("vec_id"))))
       .select(col("query_id"), col("vec_id").as("id"), col("r1"))
-    // rrfFuse's fold, per query: coalesce-to-zero reciprocal ranks
-    // summed in lane order — identical arithmetic, grouped by query
     val rrf = (coalesce(lit(1.0) / (lit(60) + col("r0")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))).as("rrf")
     val wTop = Window.partitionBy("query_id")
@@ -498,12 +594,14 @@ object AnnIndex {
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
       topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // one snapshot cut pins coarse+codebook+codes for the whole probe
+    val read = servingSnapshot(wh, idx)
     val unit = l2Normalized(source)
     val q = unit.filter(col("vec_id") === queryId)
       .select("embedding").first().getSeq[Double](0)
     val qlit = array(q.map(lit): _*)
-    val coarse = wh.table(s"${idx}_coarse")
-    val codebook = wh.table(s"${idx}_codebook")
+    val coarse = read(s"${idx}_coarse")
+    val codebook = read(s"${idx}_codebook")
     // one bounded read answers both codebook dimensions — the serving
     // path should not pay two driver jobs over the same m·k rows
     val km = codebook.agg(countDistinct(col("cid")), max(col("sub"))).first()
@@ -512,7 +610,7 @@ object AnnIndex {
     val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
       .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
       .collect().map(_.getInt(0)).toSeq
-    val probedCodes = wh.table(s"${idx}_codes")
+    val probedCodes = read(s"${idx}_codes")
       .filter(col("cell").isin(probed: _*))
       .select("vec_id", "codes")
     val admissible = filter match {
@@ -574,12 +672,82 @@ object AnnIndex {
     import spark.implicits._
     // the N query vectors, normalized — one bounded collect
     val unit = l2Normalized(source)
-    val qvs: Map[Long, Array[Double]] = unit
+    val byId: Map[Long, Array[Double]] = unit
       .filter(col("vec_id").isin(ids: _*))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, v) => id -> v.toArray }.toMap
-    require(qvs.size == ids.size,
-      s"queryBatch: ${ids.size - qvs.size} query ids not in source")
+    require(byId.size == ids.size,
+      s"queryBatch: ${ids.size - byId.size} query ids not in source")
+    vecBatchCore(servingSnapshot(wh, idx), idx, source,
+      ids.map(id => id -> byId(id)), topK, overquery, nProbe, filter,
+      saltParts)
+  }
+
+  /** [[queryBatch]] for LITERAL query vectors — the retrieval-service
+    * front door: a live query is an UNSEEN embedding by definition,
+    * and the id form cannot ask the index anything the corpus doesn't
+    * already contain (and pays a corpus scan just to fetch the query
+    * vectors it does). `queries` = (query_id, raw embedding); each
+    * vector L2-normalizes through the SAME [[Similarity.l2Normalized]]
+    * Column expression the index applies to stored rows — evaluated
+    * over a |queries|-row LOCAL frame ([[normalizedQueryFrame]], a
+    * LocalRelation: plan-asserted scan-free), so a literal vector that
+    * equals a stored row produces the id form's answer bit-for-bit
+    * (AnnIndexSpec pins it). `source` is read ONLY for the bounded
+    * exact re-rank (≤ |queries|·overquery·topK float vectors). */
+  def queryVecBatch(wh: Warehouse, idx: String, source: DataFrame,
+      queries: Seq[(Long, Seq[Double])], topK: Int = 10,
+      overquery: Int = 5, nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      saltParts: Int = 32): DataFrame = {
+    vecBatchCore(servingSnapshot(wh, idx), idx, source,
+      normalizedQueryVecs(source.sparkSession, queries), topK, overquery,
+      nProbe, filter, saltParts)
+  }
+
+  /** Literal query vectors normalized EXACTLY as the index normalizes
+    * stored rows: the [[Similarity.l2Normalized]] expression over a
+    * bounded local frame — same decimal-exact norm, same IEEE division,
+    * no corpus read anywhere in the derivation. */
+  private[graft] def normalizedQueryVecs(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Seq[Double])]): Seq[(Long, Array[Double])] = {
+    require(queries.nonEmpty, "queryVecBatch: empty query list")
+    require(queries.map(_._1).distinct.size == queries.size,
+      "queryVecBatch: duplicate query_id")
+    val dims = queries.map(_._2.size).distinct
+    require(dims.size == 1 && dims.head > 0,
+      s"queryVecBatch: query vectors must share one positive " +
+        s"dimension, got ${dims.mkString(", ")}")
+    import spark.implicits._
+    val byId = normalizedQueryFrame(spark, queries)
+      .as[(Long, Seq[Double])].collect()
+      .map { case (id, v) => id -> v.toArray }.toMap
+    queries.map { case (qid, _) => qid -> byId(qid) }
+  }
+
+  /** The normalization plan itself, exposed for the scan-free plan
+    * assertion: a LocalRelation projection, never a table read. */
+  private[graft] def normalizedQueryFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, Seq[Double])]): DataFrame = {
+    import spark.implicits._
+    l2Normalized(queries.toDF("vec_id", "embedding"))
+  }
+
+  /** The shared batched-probe core: per-query probe lists and ADC
+    * tables driver-computed from the PINNED coarse/codebook reads and
+    * broadcast; ONE cell-pruned codes scan; two-level salted top-k;
+    * bounded exact re-rank against `source`. `qvs` is ordered and
+    * already L2-normalized (both entry forms normalize through the
+    * same expression). */
+  private def vecBatchCore(read: String => DataFrame, idx: String,
+      source: DataFrame, qvs: Seq[(Long, Array[Double])], topK: Int,
+      overquery: Int, nProbe: Int,
+      filter: Option[org.apache.spark.sql.Column],
+      saltParts: Int): DataFrame = {
+    val spark = source.sparkSession
+    import spark.implicits._
     // driver-side sequential-fold L2 — the same IEEE operation order as
     // the l2sq Column (zip_with + left-fold aggregate), so the probed
     // cells and ADC tables below are bit-identical to query()'s
@@ -588,17 +756,21 @@ object AnnIndex {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val coarseC = collectCents(wh.table(s"${idx}_coarse"))
+    val coarseC = collectCents(read(s"${idx}_coarse"))
       .map { case (_, cid, c) => (cid, c.toArray) }
-    val cbRows = collectCents(wh.table(s"${idx}_codebook"))
+    val cbRows = collectCents(read(s"${idx}_codebook"))
     val m = cbRows.map(_._1).max + 1
     val k = cbRows.map(_._2).distinct.length
     val dsub = cbRows.head._3.size
+    qvs.foreach { case (qid, q) =>
+      require(q.length == m * dsub,
+        s"query $qid: vector dimension ${q.length} != index dimension " +
+          s"${m * dsub}")
+    }
     // per query: nProbe nearest coarse cells (tie-break (d2, cid) —
     // query()'s orderBy) and the m·k ADC distance table
     val qrows: Seq[(Long, Seq[Int], Seq[Double], Seq[Double])] =
-      ids.map { qid =>
-        val q = qvs(qid)
+      qvs.map { case (qid, q) =>
         val probed = coarseC
           .map { case (cid, c) => (l2sqD(q, c), cid) }
           .sortBy { case (d2, cid) => (d2, cid) }
@@ -611,16 +783,22 @@ object AnnIndex {
         }
         (qid, probed, flat.toSeq, q.toSeq)
       }
-    // (query_id, cell) probe membership + the per-query ADC table; the
-    // query vectors ride along for the re-rank join — all broadcast
-    val qprobe = qrows
-      .flatMap { case (qid, cells, tbl, _) => cells.map(c => (qid, c, tbl)) }
-      .toDF("query_id", "cell", "tbl")
+    // probe membership is a SKINNY (query_id, cell) frame and each
+    // query's m·k ADC table broadcasts ONCE keyed by query_id — not
+    // once per probed cell (nProbe× the bytes for nothing; at
+    // service-scale batches the duplicated form needlessly approaches
+    // broadcast limits). The query vectors ride a third skinny frame
+    // for the re-rank join.
+    val qcells = qrows
+      .flatMap { case (qid, cells, _, _) => cells.map(c => (qid, c)) }
+      .toDF("query_id", "cell")
+    val qtbls = qrows.map { case (qid, _, tbl, _) => (qid, tbl) }
+      .toDF("query_id", "tbl")
     val qvecs = qrows.map { case (qid, _, _, q) => (qid, q) }
       .toDF("query_id", "qe")
     // ONE partition-pruned scan over the union of every query's cells
     val allCells = qrows.flatMap(_._2).distinct
-    val probedCodes = wh.table(s"${idx}_codes")
+    val probedCodes = read(s"${idx}_codes")
       .filter(col("cell").isin(allCells: _*))
       .select("vec_id", "cell", "codes")
     val admissible = filter match {
@@ -630,7 +808,8 @@ object AnnIndex {
     }
     // ADC per (query, candidate): the same round-6 table-lookup sum as
     // pqRank, with the table a broadcast column instead of a literal
-    val scored = admissible.join(broadcast(qprobe), Seq("cell"))
+    val scored = admissible.join(broadcast(qcells), Seq("cell"))
+      .join(broadcast(qtbls), Seq("query_id"))
       .select(col("query_id"), col("vec_id"),
         round(aggregate(
           zip_with(col("codes"), sequence(lit(0), lit(m - 1)),

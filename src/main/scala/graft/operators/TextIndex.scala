@@ -217,20 +217,49 @@ object TextIndex {
     }
   }
 
+  /** The three tables a QUERY reads — the unit [[Warehouse
+    * .snapshotTables]] pins per serving call, so one query can never
+    * score postings from one commit against df/stats from another
+    * (the torn read a concurrent [[refresh]] would otherwise allow:
+    * all four tables move atomically at commit, but three independent
+    * `table()` calls can straddle that commit). */
+  private[graft] def servingTables(idx: String): Seq[String] =
+    Seq(s"${idx}_postings", s"${idx}_df", s"${idx}_stats")
+
+  /** One pinned read surface over [[servingTables]]: `read(name)` is
+    * the version-pinned frame from a single consistent cut. */
+  private[operators] def servingSnapshot(wh: Warehouse,
+      idx: String): String => DataFrame = {
+    val snap = wh.snapshotTables(servingTables(idx))
+    snap(_)
+  }
+
   /** BM25 top-k over the STORED index: `term IN (…)` file-skips the
     * postings scan (term-range stats + bloom admission), the ≤|terms|
     * df rows and the 1-row stats collect as literals, per-doc term
     * scores pivot into FIXED-ORDER columns, and
     * [[TextAnalysis.bm25ScoreExpr]] reproduces t18's arithmetic
     * bit-for-bit. One shuffle (the per-doc pivot over matched postings
-    * only); documents matching no term score 0 and are absent. */
+    * only); documents matching no term score 0 and are absent.
+    *
+    * SNAPSHOT-CONSISTENT: the postings/df/stats reads are pinned to
+    * one version cut ([[servingSnapshot]]) — a refresh committing
+    * mid-query can never mix its postings with the pre-commit stats. */
   def query(wh: Warehouse, idx: String, terms: Seq[String],
-      k: Int, docFilter: Option[DataFrame] = None): DataFrame = {
-    val st = wh.table(s"${idx}_stats").first()
+      k: Int, docFilter: Option[DataFrame] = None): DataFrame =
+    queryOn(servingSnapshot(wh, idx), idx, terms, k, docFilter)
+
+  /** [[query]] against an externally-pinned read surface — the seam
+    * [[AnnIndex.hybridQuery]] uses to put BOTH indexes' tables under
+    * ONE snapshot cut. */
+  private[graft] def queryOn(read: String => DataFrame, idx: String,
+      terms: Seq[String], k: Int,
+      docFilter: Option[DataFrame] = None): DataFrame = {
+    val st = read(s"${idx}_stats").first()
     // segment sum per query term: ≤|terms| distinct terms' rows read
     // (term-pruned like the postings), summed here — a term whose
     // segments net to ≤0 no longer exists
-    val dfs = wh.table(s"${idx}_df")
+    val dfs = read(s"${idx}_df")
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
@@ -242,7 +271,7 @@ object TextIndex {
     // Corpus statistics stay GLOBAL (df/N describe the corpus, not the
     // slice — the standard filtered-search semantics: same scores,
     // restricted candidates).
-    val base = wh.table(s"${idx}_postings")
+    val base = read(s"${idx}_postings")
       .filter(col("term").isin(terms: _*))
     val matched = docFilter match {
       case None => base
@@ -282,8 +311,71 @@ object TextIndex {
     * top-k per query under (score desc, doc_id) — no single task
     * sorts a full query's candidate set. `docFilter` applies to the
     * whole batch (the allowlist semantics of [[query]]).
-    * Returns (query_id, doc_id, dl, score), k rows per query. */
+    * Snapshot-consistent like [[query]] (one pinned cut over
+    * postings/df/stats). Returns (query_id, doc_id, dl, score), k
+    * rows per query. */
   def queryBatch(wh: Warehouse, idx: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      docFilter: Option[DataFrame] = None,
+      saltParts: Int = 32): DataFrame =
+    queryBatchOn(servingSnapshot(wh, idx), wh.spark, idx, queries, k,
+      docFilter, saltParts)
+
+  /** [[queryBatch]] for RAW QUERY STRINGS — the retrieval-service
+    * front door: a live query arrives as text, not as a pre-tokenized
+    * term list, and it must go through the SAME tokenizer the index
+    * was built with ([[TextAnalysis.tokens]] over lowercased text —
+    * [[analyzed]]'s exact expression) or scoring silently diverges on
+    * any text the two tokenizations split differently. The
+    * tokenization runs the shared Column expression over a
+    * |queries|-row LOCAL frame (a LocalRelation — no corpus table is
+    * touched to derive the terms; [[tokenizeQueries]]); a query whose
+    * text tokenizes to nothing refuses loudly like the term form. */
+  def queryTextBatch(wh: Warehouse, idx: String,
+      queries: Seq[(Long, String)], k: Int,
+      docFilter: Option[DataFrame] = None,
+      saltParts: Int = 32): DataFrame =
+    queryBatch(wh, idx, tokenizeQueries(wh.spark, queries), k,
+      docFilter, saltParts)
+
+  /** (query_id, tokens) for raw query strings through the INDEX's own
+    * tokenizer — the identical `tokens(lower(text))` Column [[analyzed]]
+    * indexes documents with, evaluated over a bounded LOCAL frame
+    * (plan-asserted scan-free in TextIndexSpec). */
+  private[graft] def tokenizeQueries(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, String)]): Seq[(Long, Seq[String])] = {
+    require(queries.nonEmpty, "queryTextBatch: empty query list")
+    import spark.implicits._
+    val byId = tokenizedFrame(spark, queries)
+      .as[(Long, Seq[String])].collect().toMap
+    queries.map { case (qid, _) =>
+      val ts = byId(qid)
+      // a blank query splits to [""] — no real term; refuse loudly
+      // like the term form (it would silently return nothing)
+      require(ts.exists(_.nonEmpty),
+        s"queryTextBatch: query $qid tokenizes to no terms (it would " +
+          "silently return nothing; the term form refuses it too)")
+      (qid, ts)
+    }
+  }
+
+  /** The tokenization plan itself, exposed for the scan-free plan
+    * assertion: a LocalRelation projection, never a table read. */
+  private[graft] def tokenizedFrame(
+      spark: org.apache.spark.sql.SparkSession,
+      queries: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    queries.toDF("query_id", "qtext")
+      .select(col("query_id"),
+        TextAnalysis.tokens(lower(col("qtext"))).as("ts"))
+  }
+
+  /** [[queryBatch]] against an externally-pinned read surface (the
+    * [[AnnIndex.hybridQueryBatch]] seam — both indexes under ONE
+    * snapshot cut). */
+  private[graft] def queryBatchOn(read: String => DataFrame,
+      spark: org.apache.spark.sql.SparkSession, idx: String,
       queries: Seq[(Long, Seq[String])], k: Int,
       docFilter: Option[DataFrame] = None,
       saltParts: Int = 32): DataFrame = {
@@ -293,11 +385,10 @@ object TextIndex {
     require(queries.forall(_._2.nonEmpty),
       "queryBatch: a query with no terms (it would silently return " +
         "nothing; the single-query form refuses it too)")
-    val spark = wh.spark
     import spark.implicits._
-    val st = wh.table(s"${idx}_stats").first()
+    val st = read(s"${idx}_stats").first()
     val allTerms = queries.flatMap(_._2).distinct
-    val dfs = wh.table(s"${idx}_df")
+    val dfs = read(s"${idx}_df")
       .filter(col("term").isin(allTerms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
@@ -309,7 +400,7 @@ object TextIndex {
         (qid, i, t, dfs.getOrElse(t, 0L))
       }
     }.toDF("query_id", "ti", "term", "df")
-    val base = wh.table(s"${idx}_postings")
+    val base = read(s"${idx}_postings")
       .filter(col("term").isin(allTerms: _*))
     val matched = docFilter match {
       case None => base

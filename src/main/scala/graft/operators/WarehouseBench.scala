@@ -258,6 +258,18 @@ object WarehouseBench {
       (s, d) => TextIndex.queryBatch(textIndexed(s, d), "ti_b",
         b2BatchQueries, 10)),
 
+    // b2t — QUERY-BY-TEXT serving, hash-checked: the same three
+    // queries arrive as RAW STRINGS (the search-box shape) and
+    // tokenize through the index's own analyzer over a LocalRelation
+    // (no table read derives the terms — plan-asserted in
+    // TextIndexSpec); scores and per-query order must still match
+    // DuckDB's replay of each query's t18 arithmetic bit-for-bit.
+    Q("b2_bm25_text_wh",
+      Some(TextAnalysis.bm25BatchOracleSql(b2BatchQueries, 10)),
+      (s, d) => TextIndex.queryTextBatch(textIndexed(s, d), "ti_b",
+        b2BatchQueries.map { case (qid, ts) => (qid, ts.mkString(" ")) },
+        10)),
+
     // b3 — the ANN serving twin: e4's native brute-force cosine vs the
     // stored IVF-PQ probe (cell-pruned codes + ADC + exact re-rank).
     // Rows-only (approximate ranking, recall floors spec-asserted in
@@ -305,6 +317,28 @@ object WarehouseBench {
         queryIds = Seq(0L, 1L, 2L), topK = 10, overquery = 200,
         nProbe = 8)),
 
+    // b3v — QUERY-BY-VECTOR serving, hash-checked cross-engine: the
+    // same three queries arrive as LITERAL vectors (the retrieval-
+    // service shape — a live query is an unseen embedding; here the
+    // literals happen to equal stored rows so DuckDB's exact per-query
+    // cosine top-10 is the oracle). The query-vector derivation is a
+    // LocalRelation (plan-asserted in AnnIndexSpec): no corpus scan
+    // buys the query side; the full probe + all-admitting overquery
+    // make the served ranking exact, so the entire literal path —
+    // local normalize, driver ADC tables, pruned codes scan, two-level
+    // cut, re-rank — must reproduce the oracle bit-for-bit.
+    Q("b3_ann_vec_full_wh",
+      Some(Similarity.exactCosineTopKBatchSql(Seq(0L, 1L, 2L))), (s, d) => {
+      val raw = T.embeddings(s, d)
+        .filter(col("vec_id").isin(0L, 1L, 2L))
+        .select(col("vec_id"), col("embedding").cast("array<double>"))
+        .collect()
+        .map(r => r.getLong(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
+      AnnIndex.queryVecBatch(annIndexed(s, d), "ann_b",
+        T.embeddings(s, d), Seq(0L, 1L, 2L).map(id => id -> raw(id)),
+        topK = 10, overquery = 200, nProbe = 8)
+    }),
+
     // b15 — BATCHED HYBRID retrieval, both flavors over the SAME
     // dual-index warehouse. The probed lane is the timed serving shape
     // (3 hybrid queries: one postings scan + one codes scan + pool-
@@ -328,6 +362,30 @@ object WarehouseBench {
       (s, d) => AnnIndex.hybridQueryBatch(hybridIndexed(s, d), "annh_b",
         "tih_b", T.embeddings(s, d), b15BatchQueries,
         topK = 10, pool = 50, overquery = 200, nProbe = 8)),
+
+    // b15v — the FULL literal front door, hash-checked: each query
+    // arrives as (id, raw TEXT, raw VECTOR) — the sparse lane
+    // tokenizes through the index's analyzer, the dense lane
+    // normalizes through the index's normalizer, both over
+    // LocalRelations, both lanes under ONE snapshot cut — and the
+    // fused per-query top-10 must reproduce DuckDB's replay of the
+    // whole composition bit-for-bit (the literals equal stored rows,
+    // so b15's oracle applies unchanged).
+    Q("b15_hybrid_vec_full_wh",
+      Some(Similarity.hybridBatchOracleSql(b15BatchQueries, 10)),
+      (s, d) => {
+        val raw = T.embeddings(s, d)
+          .filter(col("vec_id").isin(b15BatchQueries.map(_._1): _*))
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect()
+          .map(r => r.getLong(0) -> (r.getSeq[Double](1): Seq[Double]))
+          .toMap
+        AnnIndex.hybridQueryVecBatch(hybridIndexed(s, d), "annh_b",
+          "tih_b", T.embeddings(s, d),
+          b15BatchQueries.map { case (qid, ts) =>
+            (qid, ts.mkString(" "), raw(qid)) },
+          topK = 10, pool = 50, overquery = 200, nProbe = 8)
+      }),
 
     // b4 — AGGREGATE-PUSHDOWN twins: the same min/max/count answered
     // by a full scan (raw) and from manifest metadata alone (wh —

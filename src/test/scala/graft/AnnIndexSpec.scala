@@ -405,4 +405,154 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(j10 <= j2 + 3,
       s"recallProbe job count grows with sampleQueries: 2→$j2, 10→$j10")
   }
+
+  test("queryVecBatch: literal vectors ≡ the id form bit-for-bit; the query-vector derivation never scans a table") {
+    val wh = new Warehouse(spark, tmp("ann_vec"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val ids = Seq(0L, 7L, 42L)
+    // literal queries = the RAW stored vectors, widened float→double
+    // (exact) — the caller-supplied shape; normalization happens
+    // INSIDE through the same l2Normalized expression the id form uses
+    val raw = emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val queries = ids.map(id => id -> raw(id))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val byId = rows(AnnIndex.queryBatch(wh, "ann", emb, ids))
+    val byVec = rows(AnnIndex.queryVecBatch(wh, "ann", emb, queries))
+    assert(byVec == byId,
+      s"literal ≠ id form:\nvec=$byVec\nid =$byId")
+    // an UNSEEN vector (no stored row) is served: exact under a full
+    // probe — the brute-force cosine of the SAME normalized query
+    val unseen = raw(0L).zip(raw(7L)).map { case (a, b) => (a + b) / 2 }
+    val gotU = rows(AnnIndex.queryVecBatch(wh, "ann", emb,
+      Seq(999L -> unseen), topK = 10, overquery = 200, nProbe = 8))
+    val qn = AnnIndex.normalizedQueryVecs(spark, Seq(999L -> unseen))
+      .head._2
+    import graft.functions.VectorFunctions
+    val qlit = array(qn.toSeq.map(lit): _*)
+    val exactU = emb
+      .select(lit(999L).as("query_id"), col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), qlit) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(qlit)), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+    assert(gotU == rows(exactU),
+      s"unseen-vector full probe ≠ exact:\ngot=$gotU\nexp=${rows(exactU)}")
+    // the query-vector derivation is a LocalRelation projection — no
+    // corpus (or any) table is scanned to produce the query side
+    val dScans = AnnIndex.normalizedQueryFrame(spark, queries)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(dScans.isEmpty,
+      s"query normalization scanned a file:\n$dScans")
+    // the result plan reads exactly TWO tables: the cell-pruned codes
+    // scan and the bounded re-rank against source
+    val qe = AnnIndex.queryVecBatch(wh, "ann", emb, queries)
+      .queryExecution
+    val scans = qe.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }
+    assert(scans.size == 2,
+      s"expected codes + re-rank scans only, got ${scans.size}:\n" +
+        qe.sparkPlan)
+    assert(scans.exists(_.partitionFilters.exists(
+        _.toString.contains("cell"))),
+      s"codes scan lost its cell partition pruning:\n${qe.sparkPlan}")
+  }
+
+  test("hybridQueryVecBatch: literal (text, vector) queries ≡ the id+terms form; tokenization is the index's own") {
+    val wh = new Warehouse(spark, tmp("ann_hyb_vec"))
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    operators.TextIndex.build(wh, "ti", docs)
+    val termQueries = Seq(
+      (0L, operators.TextAnalysis.bm25Query),
+      (7L, Seq(operators.TextAnalysis.bm25Query.head, "data")),
+      (42L, Seq("data")))
+    val raw = emb.filter(col("vec_id").isin(0L, 7L, 42L))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    // the literal form: query TEXT (whitespace-joined terms tokenize
+    // back to exactly the term list — the index's own tokenizer) and
+    // the raw query vector
+    val litQueries = termQueries.map { case (qid, ts) =>
+      (qid, ts.mkString(" "), raw(qid))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull, r.getDouble(4))).toSeq
+    val byId = rows(AnnIndex.hybridQueryBatch(wh, "ann", "ti", emb,
+      termQueries, topK = 10))
+    val byLit = rows(AnnIndex.hybridQueryVecBatch(wh, "ann", "ti", emb,
+      litQueries, topK = 10))
+    assert(byLit == byId,
+      s"literal hybrid ≠ id form:\nlit=$byLit\nid =$byId")
+    // a blank query text refuses loudly (it would silently return
+    // nothing through the sparse lane)
+    val e = intercept[IllegalArgumentException] {
+      AnnIndex.hybridQueryVecBatch(wh, "ann", "ti", emb,
+        Seq((1L, "   ", raw(0L))))
+    }
+    assert(e.getMessage.contains("tokenizes to no terms"))
+  }
+
+  test("hybrid serving is snapshot-consistent: one cut pins both lanes; a torn read pair is observably wrong") {
+    val wh = new Warehouse(spark, tmp("ann_hyb_snap"))
+    val spark0 = spark
+    import spark0.implicits._
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    operators.TextIndex.build(wh, "ti", docs)
+    val queries = Seq((0L, operators.TextAnalysis.bm25Query))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.toString).orNull,
+        Option(r.get(3)).map(_.toString).orNull, r.getDouble(4))).toSeq
+    // the pinned pre-commit versions of every serving table
+    val preVersions = (AnnIndex.servingTables("ann") ++
+      operators.TextIndex.servingTables("ti"))
+      .map(n => n -> wh.tableVersions(n).last).toMap
+    val pre = rows(AnnIndex.hybridQueryBatch(wh, "ann", "ti", emb,
+      queries, topK = 10))
+    // commit a dual-lane advance that changes BOTH lanes' answers:
+    // new docs stuffed with the query terms top the BM25 ranking, and
+    // a right-to-be-forgotten remove DV-deletes two of the dense
+    // lane's top candidates (visible through the codes table alone)
+    val terms = operators.TextAnalysis.bm25Query.mkString(" ")
+    val newDocs = (1 to 5).map(i =>
+      (900000L + i, s"$terms $terms $terms extra$i")).toDF("doc_id", "text")
+    operators.TextIndex.refresh(wh, "ti", newDocs)
+    AnnIndex.remove(wh, "ann", Seq(17L, 225L))
+    val post = rows(AnnIndex.hybridQueryBatch(wh, "ann", "ti", emb,
+      queries, topK = 10))
+    assert(post != pre,
+      "the dual commit was supposed to change the fused answer")
+    // TORN read pair — post-commit sparse, pre-commit dense (exactly
+    // what two independent table() calls straddling the commit read):
+    // differs from BOTH coherent answers, so the tear is observable,
+    // not hypothetical
+    val head: String => org.apache.spark.sql.DataFrame = wh.table(_)
+    val torn: String => org.apache.spark.sql.DataFrame = n =>
+      if (n.startsWith("ann_")) wh.tableAt(n, preVersions(n)) else head(n)
+    val tornRows = rows(AnnIndex.hybridQueryBatchOn(torn, "ann", "ti",
+      emb, queries, topK = 10))
+    assert(tornRows != pre && tornRows != post,
+      s"expected the torn fusion to differ from both coherent answers:\n" +
+        s"torn=$tornRows\npre =$pre\npost=$post")
+    // and the pinned pre-commit cut replays the pre-commit answer
+    val pinned: String => org.apache.spark.sql.DataFrame = n =>
+      wh.tableAt(n, preVersions(n))
+    assert(rows(AnnIndex.hybridQueryBatchOn(pinned, "ann", "ti", emb,
+      queries, topK = 10)) == pre)
+  }
 }

@@ -282,4 +282,39 @@ class TextIndexSpec extends AnyFunSuite {
       assert(scan.nonEmpty || a == "zzz")
     }
   }
+
+  test("queryTextBatch: raw query strings ≡ the term form through the index's own tokenizer; blank text refuses") {
+    val wh = new Warehouse(spark, tmp("ti_text"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    val termQueries = Seq(
+      (1L, terms),
+      (2L, Seq(terms(1), terms.head)),
+      (3L, Seq(terms.last)))
+    // text = whitespace-joined terms: the index tokenizer (whitespace
+    // split of lowercased trimmed text) recovers exactly the term list
+    // — INCLUDING when the caller's casing differs
+    val textQueries = termQueries.map { case (qid, ts) =>
+      (qid, ts.mkString("  ").toUpperCase + " ")
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    val byTerms = rows(TextIndex.queryBatch(wh, "ti", termQueries, 10))
+    val byText = rows(TextIndex.queryTextBatch(wh, "ti", textQueries, 10))
+    assert(byText == byTerms,
+      s"text form ≠ term form:\ntext=$byText\nterm=$byTerms")
+    // the tokenization is a LocalRelation projection — no table read
+    // anywhere in the query-term derivation
+    val dScans = TextIndex.tokenizedFrame(spark, textQueries)
+      .queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+      }
+    assert(dScans.isEmpty, s"tokenization scanned a file:\n$dScans")
+    // a blank query refuses loudly, like the term form's empty-list
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.queryTextBatch(wh, "ti", Seq((9L, "   ")), 10)
+    }
+    assert(e.getMessage.contains("tokenizes to no terms"))
+  }
 }
