@@ -83,7 +83,7 @@ object ContamGate {
     * the build (suite side), verdicts (batch side), and
     * [[Curate.curate]]'s sweep, so none of them can disagree on
     * tokenization. */
-  private[operators] def grams(docs: DataFrame): DataFrame =
+  private[graft] def grams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 8)
       .select(col("doc_id"), explode(Dedup.shingles(col("ts"), 8)).as("g"))
@@ -167,13 +167,36 @@ object ContamGate {
     * 16-byte digests) the plain hash join takes over, both sides
     * shuffling on the digest; verdicts identical either way. */
   def verdicts(wh: Warehouse, idx: String, batch: DataFrame,
-      maxBroadcastGrams: Long = 1000000L): DataFrame = {
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     // pin the slim batch's digests once: the join-side choice, the
     // probe, and the verdict frame all reuse them instead of
-    // re-scanning the source (the DedupIndex.verdicts precedent)
+    // re-scanning the source (the DedupIndex.verdicts precedent).
+    // The gram pin is RELEASED before returning: the bounded verdict
+    // frame (one row per batch doc) is materialized into its own pin,
+    // so a long-lived monitor calling this per trigger accumulates
+    // verdict-row-sized blocks (ContextCleaner-collected once the
+    // frame is dropped), never gram-sized ones. Callers inside a
+    // pinned pipeline ([[Ingest.ingestBatch]]) use [[verdictsOn]] with
+    // their own gram pin instead — one gram derivation per trigger.
     val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+    try verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
+      .localCheckpoint()
+    finally { bg.unpersist(); () }
+  }
+
+  /** The broadcast-side row guard [[verdicts]]/[[verdictsBySuite]]
+    * apply by default (~tens of MB of 16-byte digests). */
+  val DefaultMaxBroadcastGrams = 1000000L
+
+  /** [[verdicts]] from an EXTERNALLY-pinned batch-gram frame `bg`
+    * (= [[grams]] of the batch, `nGrams` its count): the shared-pass
+    * seam — a caller that also runs the [[blameOn]] lens derives the
+    * grams ONCE per trigger and manages the pin itself. */
+  private[graft] def verdictsOn(wh: Warehouse, idx: String,
+      batch: DataFrame, bg: DataFrame, nGrams: Long,
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     val stored = wh.table(gramsTable(idx)).select("h")
-    val hits = (if (bg.count() <= maxBroadcastGrams)
+    val hits = (if (nGrams <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h")) // stored streams, batch builds
       else stored.join(bg, Seq("h")))
       // DISTINCT digests: a multi-suite gram must convict once, not
@@ -202,10 +225,24 @@ object ContamGate {
     * batch digests broadcast (same gram-volume guard), stored grams
     * stream, only (doc, suite) counts exchange. */
   def verdictsBySuite(wh: Warehouse, idx: String, batch: DataFrame,
-      maxBroadcastGrams: Long = 1000000L): DataFrame = {
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
+    // same pin discipline as [[verdicts]]: gram pin released, bounded
+    // blame frame pinned in its place
     val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+    try blameOn(wh, idx, bg, bg.count(), maxBroadcastGrams)
+      .localCheckpoint()
+    finally { bg.unpersist(); () }
+  }
+
+  /** [[verdictsBySuite]] from an externally-pinned gram frame — the
+    * shared-pass twin of [[verdictsOn]]: [[Ingest.ingestBatch]]'s
+    * blame-enabled trigger runs verdicts AND blame off ONE gram
+    * derivation. */
+  private[graft] def blameOn(wh: Warehouse, idx: String, bg: DataFrame,
+      nGrams: Long,
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     val stored = storedGrams(wh, idx)
-    (if (bg.count() <= maxBroadcastGrams)
+    (if (nGrams <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h"))
       else stored.join(bg, Seq("h")))
       .groupBy("doc_id", "suite")

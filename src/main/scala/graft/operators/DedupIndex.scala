@@ -109,16 +109,23 @@ object DedupIndex {
   def verdicts(wh: Warehouse, idx: String, docs: DataFrame,
       maxInList: Int = 1024): DataFrame = {
     val (k, nb) = params(wh, idx)
+    // the band pin is RELEASED before returning (the bounded verdict
+    // frame — one row per batch doc — is pinned in its place), so a
+    // long-lived monitor calling this per trigger accumulates
+    // verdict-row blocks, never MinHash-band-sized ones
     val qb = banded(docs.dropDuplicates("doc_id"), k, nb).localCheckpoint()
-    val hits = prunedSegments(wh, idx, qb, maxInList)
-      .join(broadcast(qb), Seq("bh")) // index side streams, batch builds
-      .groupBy("doc_id")
-      .agg(min(when(col("min_id") < col("doc_id"), col("min_id")))
-        .as("dup_of"))
-    qb.select("doc_id").distinct()
-      .join(hits, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("dup_of"),
-        when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+    try {
+      val hits = prunedSegments(wh, idx, qb, maxInList)
+        .join(broadcast(qb), Seq("bh")) // index side streams, batch builds
+        .groupBy("doc_id")
+        .agg(min(when(col("min_id") < col("doc_id"), col("min_id")))
+          .as("dup_of"))
+      qb.select("doc_id").distinct()
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("dup_of"),
+          when(col("dup_of").isNull, 1).otherwise(0).as("keep"))
+        .localCheckpoint()
+    } finally { qb.unpersist(); () }
   }
 
   /** ALL convicting (bucket min, doc) pairs for the batch — the
@@ -133,12 +140,16 @@ object DedupIndex {
   def convictingPairs(wh: Warehouse, idx: String, docs: DataFrame,
       maxInList: Int = 1024): DataFrame = {
     val (k, nb) = params(wh, idx)
+    // same pin discipline as [[verdicts]]: band pin released, the
+    // bounded pair set pinned in its place
     val qb = banded(docs.dropDuplicates("doc_id"), k, nb).localCheckpoint()
-    prunedSegments(wh, idx, qb, maxInList)
+    try prunedSegments(wh, idx, qb, maxInList)
       .join(broadcast(qb), Seq("bh"))
       .filter(col("min_id") < col("doc_id"))
       .select(col("min_id").as("d1"), col("doc_id").as("d2"))
       .distinct()
+      .localCheckpoint()
+    finally { qb.unpersist(); () }
   }
 
   /** The ingest GATE: judge every not-yet-seen doc of `docs` against

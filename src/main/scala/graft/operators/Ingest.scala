@@ -88,6 +88,7 @@ object Ingest {
       dedupIdx: Option[String] = None,
       contamIdx: Option[String] = None,
       minQuality: Option[Double] = None,
+      blameSuites: Boolean = false,
       streamId: String = "ingest"): Boolean = {
     // settle fenced-out batches before any gate stages state
     val mark = wh.streamHighWaterMark(table, streamId)
@@ -97,8 +98,12 @@ object Ingest {
         s"ingestBatch($table, streamId=$streamId): batchId $batchId is " +
           s"below the committed mark ${mark.get} — stream checkpoint was " +
           "reset or two queries share this streamId; use a fresh streamId")
+    require(!blameSuites || contamIdx.nonEmpty,
+      "ingestBatch: blameSuites without contamIdx — there is no gate " +
+        "to attribute drops to")
     val log = ledgerTable(table)
-    val names = (Seq(table, log)
+    val blame = if (blameSuites) Seq(blameTable(table)) else Nil
+    val names = (Seq(table, log) ++ blame
       ++ textIdx.toSeq.flatMap(TextIndex.tables)
       ++ annIdx.toSeq.flatMap(AnnIndex.tables)
       ++ dedupIdx.toSeq.flatMap(DedupIndex.tables)).distinct
@@ -137,9 +142,15 @@ object Ingest {
       // each gate's VERDICT frame is pinned too: the stage semi-join
       // and the ledger's (judged, kept) aggregate both read it — one
       // bounded agg over a batch-sized pinned frame replaces the
-      // per-stage distinct-count jobs the ledger used to schedule
+      // per-stage distinct-count jobs the ledger used to schedule.
+      // ONE gram derivation feeds the verdict AND (when enabled) the
+      // per-suite blame lens — the shared-pass seam; the gram pin
+      // rides this trigger's pin ledger like every other stage frame.
+      val bg = contamIdx.map(_ =>
+        pin(ContamGate.grams(qualified.select("doc_id", "text"))))
+      val nGrams = bg.map(_.count())
       val contamV = contamIdx.map(i =>
-        pin(ContamGate.verdicts(wh, i, qualified)))
+        pin(ContamGate.verdictsOn(wh, i, qualified, bg.get, nGrams.get)))
       val clean = contamV match {
         case Some(v) =>
           pin(qualified.join(broadcast(v.filter(col("keep") === 1)
@@ -210,6 +221,24 @@ object Ingest {
         .toDF("batch_id", "stream_id", "n_in", "quality_drops",
           "contam_drops", "dup_drops", "landed")
       if (wh.hasTable(log)) wh.append(log, row) else wh.save(log, row)
+      // suite BLAME rows, riding the same transaction marker: one
+      // (batch_id, stream_id, suite, drops) row per suite that
+      // convicted ≥1 doc this trigger — the triage answer ("WHICH
+      // benchmark leaked?") recorded at ingest time, when the batch
+      // still exists to be judged; a later re-judge may be impossible.
+      // Off the SAME pinned gram frame as the verdict (one derivation);
+      // a doc two suites convict counts in BOTH rows (per-suite
+      // evidence — the verdictsBySuite semantics), so blame sums can
+      // exceed contam_drops by design.
+      if (blameSuites) contamIdx.foreach { i =>
+        val br = ContamGate.blameOn(wh, i, bg.get, nGrams.get)
+          .groupBy("suite")
+          .agg(countDistinct(col("doc_id")).as("drops"))
+          .select(lit(batchId).as("batch_id"),
+            lit(streamId).as("stream_id"), col("suite"), col("drops"))
+        val bt = blameTable(table)
+        if (wh.hasTable(bt)) wh.append(bt, br) else wh.save(bt, br)
+      }
       true
     } finally {
       pins.foreach(_.unpersist())
@@ -245,6 +274,22 @@ object Ingest {
   /** The admission ledger behind `table` — one row per landed batch. */
   def ledgerTable(table: String): String = s"${table}_ingest_log"
 
+  /** The suite-blame ledger behind `table` — one row per (landed
+    * batch, convicting suite), written only by blame-enabled triggers. */
+  def blameTable(table: String): String = s"${table}_ingest_blame"
+
+  /** The suite-blame ledger as a frame, (stream, batch, suite)-ordered
+    * — empty with the correct schema before the first blame-enabled
+    * landed batch, like [[ledger]]. */
+  def blameLedger(wh: Warehouse, table: String): DataFrame =
+    if (wh.hasTable(blameTable(table)))
+      wh.table(blameTable(table)).orderBy("stream_id", "batch_id", "suite")
+    else {
+      import wh.spark.implicits._
+      Seq.empty[(Long, String, String, Long)]
+        .toDF("batch_id", "stream_id", "suite", "drops")
+    }
+
   /** The admission ledger as a frame, batch-ordered — the gate-drift
     * monitor's read path. EMPTY (correct schema, zero rows) before
     * the first landed batch, so a monitor can attach before the
@@ -269,6 +314,7 @@ object Ingest {
       annIdx: Option[String] = None, dedupIdx: Option[String] = None,
       contamIdx: Option[String] = None,
       minQuality: Option[Double] = None,
+      blameSuites: Boolean = false,
       streamId: String = "ingest")
       : org.apache.spark.sql.streaming.StreamingQuery =
     docs.writeStream
@@ -276,7 +322,7 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
         ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, dedupIdx,
-          contamIdx, minQuality, streamId)
+          contamIdx, minQuality, blameSuites, streamId)
         ()
       }
       .start()

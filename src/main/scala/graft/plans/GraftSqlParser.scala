@@ -169,6 +169,10 @@ object GraftSqlParser {
   // the correct schema before the first landed batch)
   private val IngestLog =
     """(?is)^\s*DESCRIBE\s+INGEST\s+LOG\s+([\w]+)\s*;?\s*$""".r
+  // the per-suite BLAME ledger behind a blame-enabled ingest stream —
+  // one row per (landed batch, convicting suite)
+  private val IngestBlame =
+    """(?is)^\s*DESCRIBE\s+INGEST\s+LOG\s+([\w]+)\s+BLAME\s*;?\s*$""".r
   // cross-instance freshness: commits made HERE re-point dw_<name>
   // automatically (commitManifest), but another process's commits are
   // only picked up when something re-reads the manifest — REFRESH is
@@ -626,6 +630,11 @@ object GraftSqlParser {
         // materialize a year of batches on the driver
         boundTable(session, table).map { wh =>
           graft.operators.Ingest.ledger(wh, table).queryExecution.logical
+        }
+      case IngestBlame(table) =>
+        boundTable(session, table).map { wh =>
+          graft.operators.Ingest.blameLedger(wh, table)
+            .queryExecution.logical
         }
       case Refresh(table) =>
         boundTable(session, table).map { wh =>

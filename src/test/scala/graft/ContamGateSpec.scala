@@ -317,8 +317,13 @@ class ContamGateSpec extends AnyFunSuite {
   test("scale shape: verdicts broadcast the batch, never the stored grams") {
     val wh = new Warehouse(spark, tmp("cg_plan"))
     ContamGate.build(wh, "cg", df(Seq((900L, s"$gram8 $benchPad"))))
-    val exec = ContamGate.verdicts(wh, "cg",
-      df(Seq((1L, s"x $gram8 y z and some more filler words here"))))
+    // the public verdicts() returns its bounded frame PINNED (pin
+    // hygiene), which hides the join plan — assert on the internal
+    // core the pin wraps (the exact plan the ingest path runs)
+    val batch = df(Seq((1L, s"x $gram8 y z and some more filler words here")))
+    val bg = ContamGate.grams(batch.select("doc_id", "text"))
+      .localCheckpoint()
+    val exec = ContamGate.verdictsOn(wh, "cg", batch, bg, bg.count())
       .queryExecution.sparkPlan
     // the stored gram table (the suite-sized side) must stream through
     // the probe: no file scan may sit under a broadcast exchange

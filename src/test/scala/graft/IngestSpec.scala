@@ -241,6 +241,70 @@ class IngestSpec extends AnyFunSuite {
     assert(wh.table("docs").filter(col("doc_id") === 2000L).count() == 1)
   }
 
+  test("suite blame ledger: per-suite drops ≡ verdictsBySuite; replays and rollbacks write none; SQL surfaces it") {
+    import graft.operators.{ContamGate, DedupIndex}
+    import spark.implicits._
+    val wh = bootstrap("ingest_blame")
+    DedupIndex.build(wh, "di", frame(seed))
+    // two suites with disjoint 8-gram signatures
+    val gA = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val gB = "india juliet kilo lima mike november oscar papa"
+    ContamGate.build(wh, "cg",
+      Seq((900L, s"$gA " + (1 to 40).map(i => s"a$i").mkString(" ")))
+        .toDF("doc_id", "text"), suite = "suiteA")
+    ContamGate.refresh(wh, "cg",
+      Seq((901L, s"$gB " + (1 to 40).map(i => s"b$i").mkString(" ")))
+        .toDF("doc_id", "text"), suite = "suiteB")
+    val emb = corpus(5)._3
+    // one doc per suite, one BOTH suites convict, one clean
+    val batch = frame(Seq(
+      (1000L, s"leaked $gA wrapped in otherwise quite usual text", emb),
+      (1001L, s"leaked $gB wrapped in otherwise quite usual text", emb),
+      (1002L, s"doubly leaked $gA and then also $gB in one text", emb),
+      (1003L, "a perfectly clean document with plenty of ordinary " +
+        "words uniquesauce zorbal quanth", emb)))
+    // the expectation straight from the public blame lens: the ledger
+    // must record exactly what verdictsBySuite attributes
+    val expect = ContamGate.verdictsBySuite(wh, "cg", batch)
+      .groupBy("suite").agg(countDistinct(col("doc_id")).as("drops"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(expect == Map("suiteA" -> 2L, "suiteB" -> 2L), s"$expect")
+    def gates(b: org.apache.spark.sql.DataFrame, id: Long) =
+      Ingest.ingestBatch(wh, "docs", b, id, Some("ti"), Some("ann"),
+        dedupIdx = Some("di"), contamIdx = Some("cg"),
+        minQuality = Some(0.2), blameSuites = true)
+    assert(gates(batch, 0L))
+    def blame() = Ingest.blameLedger(wh, "docs").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(blame() == Seq((0L, "suiteA", 2L), (0L, "suiteB", 2L)),
+      s"blame ledger ≠ gate attribution: ${blame()}")
+    // the main ledger's contam_drops stays DISTINCT-doc counting (3
+    // convicted docs), while blame sums per-suite evidence (2 + 2) —
+    // a doubly-convicted doc counts in both suites by design
+    val led = Ingest.ledger(wh, "docs").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(led == Seq((0L, 3L)), s"ledger: $led")
+    // a replay writes no blame rows
+    assert(!gates(batch, 0L))
+    assert(blame().size == 2)
+    // a rolled-back batch (ANN leg throws: no embedding) leaves none
+    intercept[Exception] {
+      gates(frame(Seq((1010L, "another fine document with plenty of " +
+        "perfectly ordinary words cromulent blargfizz", emb)))
+        .drop("embedding"), 1L)
+    }
+    assert(blame().size == 2)
+    // a clean landed batch appends ZERO blame rows (no suite convicted)
+    assert(gates(frame(Seq((1010L, "another fine document with plenty " +
+      "of perfectly ordinary words cromulent blargfizz", emb))), 1L))
+    assert(blame().size == 2)
+    // the SQL read path
+    wh.enableSql()
+    val sqlRows = spark.sql("DESCRIBE INGEST LOG docs BLAME").collect()
+      .map(r => (r.getLong(0), r.getString(2), r.getLong(3))).toSeq
+    assert(sqlRows == blame(), s"SQL blame surface diverged: $sqlRows")
+  }
+
   test("ledger hygiene: many one-row batches fold — file count stays bounded, rows and content conserved") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("ingest_hygiene"))

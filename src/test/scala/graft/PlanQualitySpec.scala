@@ -559,15 +559,33 @@ class PlanQualitySpec extends AnyFunSuite {
   }
 
   test("b11_contam_wh: the stored gram table never broadcasts (batch digests build, suite streams)") {
-    val exec = SparkEntry.queries("b11_contam_wh")(spark, sf)
-      .queryExecution.sparkPlan
-    val broadcastScans = exec.collect {
-      case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
-        b.collectLeaves().collect {
-          case f: org.apache.spark.sql.execution.FileSourceScanExec => f
-        }
-    }.flatten
-    assert(broadcastScans.isEmpty,
-      s"suite-sized side must never broadcast:\n$exec")
+    // the public verdicts() returns its bounded frame PINNED (the pin-
+    // hygiene contract), which hides the join plan — assert on the
+    // internal core the pin wraps, exactly as the ingest path runs it
+    import graft.operators.ContamGate
+    import graft.olist.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("pq_cg").toString)
+    val docs = Tables.documents(spark, sf)
+    ContamGate.build(wh, "cg_pq",
+      docs.filter(org.apache.spark.sql.functions.col("source") === "src0"))
+    val batch = docs.limit(100)
+    val bg = ContamGate.grams(batch.select("doc_id", "text"))
+      .localCheckpoint()
+    try {
+      val exec = ContamGate.verdictsOn(wh, "cg_pq", batch, bg, bg.count())
+        .queryExecution.sparkPlan
+      val broadcastScans = exec.collect {
+        case b: org.apache.spark.sql.execution.exchange.BroadcastExchangeExec =>
+          b.collectLeaves().collect {
+            case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+          }
+      }.flatten
+      // the gram-table scan (16-byte digest rows, file name carries the
+      // table dir) must stream, never build a broadcast side
+      assert(broadcastScans.forall(s =>
+          !s.toString.contains("cg_pq_grams")),
+        s"suite-sized side must never broadcast:\n$exec")
+    } finally { bg.unpersist(); () }
   }
 }
