@@ -216,6 +216,14 @@ object AnnIndex {
     wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
   }
 
+  /** MAINTENANCE: fold removal tombstones whose vector the CURRENT
+    * base `source` no longer carries — the [[TextIndex.foldTombstones]]
+    * twin (see there; same dead-guard argument, same bounded-state
+    * goal). Returns tombstones dropped. */
+  def foldTombstones(wh: Warehouse, idx: String,
+      source: DataFrame): Long =
+    IndexMaintenance.foldGone(wh, s"${idx}_gone", "vec_id", source)
+
   /** Exact brute-force cosine top-k for EVERY probe query in ONE
     * corpus pass — the ground-truth half of [[recallProbe]]. Per
     * partition: a bounded top-k heap per query (Q·k state, the query

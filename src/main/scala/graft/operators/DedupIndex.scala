@@ -211,6 +211,16 @@ object DedupIndex {
     (qb, verdict)
   }
 
+  /** MAINTENANCE: fold removal tombstones whose doc the CURRENT base
+    * `source` no longer carries — the [[TextIndex.foldTombstones]]
+    * twin (same dead-guard argument: once the base dropped the doc, no
+    * admit/refresh source can resurrect it, and the tombstone only
+    * bloats the gate's freshness anti-join). Returns tombstones
+    * dropped. */
+  def foldTombstones(wh: Warehouse, idx: String,
+      source: DataFrame): Long =
+    IndexMaintenance.foldGone(wh, s"${idx}_gone", "doc_id", source)
+
   /** Un-index documents (the right-to-be-forgotten lane): DV-deletes
     * their band rows, tombstones the ids, and RECOMPUTES the affected
     * buckets' mins from the surviving membership — a removed doc may

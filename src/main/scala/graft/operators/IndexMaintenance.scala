@@ -1,0 +1,55 @@
+package graft.operators
+
+import graft.olist.Warehouse
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+/** Shared maintenance for the stored indexes' removal-tombstone
+  * tables (`<idx>_gone` in [[TextIndex]], [[AnnIndex]],
+  * [[DedupIndex]]).
+  *
+  * A tombstone's ONLY job is the resurrection guard: after a
+  * right-to-be-forgotten [[TextIndex.remove]] (et al.), the next
+  * refresh's source may still carry the removed doc — the anti-join
+  * against `_gone` is what keeps it out. But once the BASE data
+  * itself no longer carries the id, the guard protects nothing, and
+  * without a fold the tombstone list grows monotonically: a year of
+  * deletion traffic makes every refresh's anti-join (and every gate's
+  * freshness probe) scan a year of dead ids forever. [[foldGone]] is
+  * the bounded-state answer: drop exactly the tombstones whose id is
+  * absent from the current source — the ones that can no longer be
+  * resurrected — and keep the rest.
+  *
+  * Scale shape: one anti-join of the tombstone list against the
+  * source's id column (ids only — the source's payload columns are
+  * never read), one rewrite of the tombstone table, O(live
+  * tombstones) rows written. The rewrite commits atomically through
+  * the ordinary manifest swap; a crash leaves the previous complete
+  * tombstone list, never a partial one (the safe direction — an
+  * unfolded tombstone is wasted bytes, a LOST one is a resurrection).
+  */
+private[operators] object IndexMaintenance {
+
+  /** Drop tombstones in `goneTable` whose `idCol` no longer appears in
+    * `source`; keep (verbatim) those the source still carries. The
+    * surviving list is pinned before the overwrite so the rewrite
+    * never reads the table it is replacing. Returns tombstones
+    * dropped. */
+  def foldGone(wh: Warehouse, goneTable: String, idCol: String,
+      source: DataFrame): Long = {
+    val gone = wh.table(goneTable)
+    val before = gone.count()
+    if (before == 0) 0L
+    else {
+      val keep = gone
+        .join(source.select(idCol).distinct(), Seq(idCol), "left_semi")
+        .localCheckpoint() // bounded by live tombstones; pinned so the
+                           // save below never reads its own target
+      try {
+        val after = keep.count()
+        if (after < before) wh.save(goneTable, keep)
+        before - after
+      } finally { keep.unpersist(); () }
+    }
+  }
+}

@@ -84,6 +84,30 @@ object Sampling {
         Window.partitionBy("shard").orderBy(col("h"), col(idCol))))
   }
 
+  /** [[epochShards]] WRITTEN as shard files through the warehouse —
+    * what the training loop's dataloader actually mounts: a table
+    * PARTITIONED BY shard (shard k is its own directory, readable
+    * independently) with exactly ONE file per shard whose row order IS
+    * `pos` — so a sequential read of shard k's file streams epoch
+    * `epoch`'s permutation slice with no sort at read time, and
+    * concatenating shards 0..n-1 replays the exact global permutation.
+    * The write needs no global sort either: [[epochShards]]'s window
+    * already hash-partitions by shard (each shard lands wholly in one
+    * task, rows (shard, pos)-sorted), and the save's `clusterBy(pos)`
+    * is a sort WITHIN partitions — one exchange total, the shard one.
+    * Per-file min/max stats on `pos` let a range read (`pos BETWEEN`)
+    * skip row groups — the mid-epoch-resume read shape. Composes with
+    * sp10: pack first ([[packSequences]]), then shard the packed frame
+    * — the spec pins the composition. Returns rows written. */
+  def writeEpochShards(wh: graft.olist.Warehouse, table: String,
+      df: org.apache.spark.sql.DataFrame, idCol: String, epoch: Int,
+      nShards: Int): Long = {
+    val shards = epochShards(df, idCol, epoch, nShards)
+    wh.save(table, shards, partitionBy = Seq("shard"),
+      clusterBy = Seq("pos"))
+    wh.countRows(table).getOrElse(wh.table(table).count())
+  }
+
   /** DuckDB rendering of [[hashBucket]] (oracle side). */
   def bucketSql(idExpr: String, buckets: Int = 100): String =
     s"(('0x' || substr(md5(cast($idExpr as varchar)), 1, 8))::BIGINT % $buckets)"

@@ -234,6 +234,20 @@ object TextIndex {
     snap(_)
   }
 
+  /** MAINTENANCE: fold removal tombstones whose doc the CURRENT base
+    * `source` no longer carries — the resurrection guard they provided
+    * is dead (a refresh from this source cannot re-index the doc), and
+    * without folding a year of right-to-be-forgotten traffic makes
+    * every refresh's anti-join scan a year of dead ids forever.
+    * Tombstones whose doc the source STILL carries survive verbatim
+    * (the guard is live: the next refresh would resurrect them).
+    * Run it from the same scheduled maintenance that OPTIMIZEs the
+    * index. Returns tombstones dropped ([[IndexMaintenance.foldGone]]).
+    */
+  def foldTombstones(wh: Warehouse, idx: String,
+      source: DataFrame): Long =
+    IndexMaintenance.foldGone(wh, s"${idx}_gone", "doc_id", source)
+
   /** BM25 top-k over the STORED index: `term IN (…)` file-skips the
     * postings scan (term-range stats + bloom admission), the ≤|terms|
     * df rows and the 1-row stats collect as literals, per-doc term

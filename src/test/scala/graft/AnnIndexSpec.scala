@@ -555,4 +555,27 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(rows(AnnIndex.hybridQueryBatchOn(pinned, "ann", "ti", emb,
       queries, topK = 10)) == pre)
   }
+
+  test("foldTombstones: dead guards fold, refresh still cannot resurrect, probes unaffected") {
+    val wh = new Warehouse(spark, tmp("ann_fold"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    AnnIndex.remove(wh, "ann", Seq(5L, 6L))
+    assert(wh.table("ann_gone").count() == 2)
+    // both still in the source: nothing folds, refresh stays a no-op
+    assert(AnnIndex.foldTombstones(wh, "ann", emb) == 0)
+    assert(AnnIndex.refresh(wh, "ann", emb) == 0)
+    // the base forgets vec 5 -> its guard folds; 6's survives
+    val shrunk = emb.filter(col("vec_id") =!= 5L)
+    assert(AnnIndex.foldTombstones(wh, "ann", shrunk) == 1)
+    assert(wh.table("ann_gone").collect().map(_.getLong(0)).toSeq
+      == Seq(6L))
+    assert(AnnIndex.refresh(wh, "ann", shrunk) == 0)
+    assert(wh.table("ann_codes")
+      .filter(col("vec_id").isin(5L, 6L)).isEmpty)
+    // a probe never returns either
+    val got = AnnIndex.query(wh, "ann", emb, queryId = 0L, topK = 10,
+      overquery = 200, nProbe = 8).collect().map(_.getLong(0)).toSet
+    assert(!got.contains(5L) && !got.contains(6L))
+  }
 }

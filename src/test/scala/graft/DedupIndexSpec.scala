@@ -106,4 +106,24 @@ class DedupIndexSpec extends AnyFunSuite {
       s"bucket probe read $few of $total files")
     assert(all == total)
   }
+
+  test("foldTombstones: dead guards fold, admit still cannot resurrect") {
+    val wh = new Warehouse(spark, tmp("di_fold"))
+    val docs = Tables.documents(spark, sf)
+    DedupIndex.build(wh, "di", docs)
+    DedupIndex.remove(wh, "di", Seq(7L, 8L))
+    assert(wh.table("di_gone").count() == 2)
+    // both still in the source: live guards, nothing folds
+    assert(DedupIndex.foldTombstones(wh, "di", docs) == 0)
+    // the base forgets doc 7 -> its guard folds; 8's survives
+    val shrunk = docs.filter(col("doc_id") =!= 7L)
+    assert(DedupIndex.foldTombstones(wh, "di", shrunk) == 1)
+    assert(wh.table("di_gone").collect().map(_.getLong(0)).toSeq
+      == Seq(8L))
+    // an admit over the shrunk source re-judges neither: 7 is absent,
+    // 8 is tombstoned — the gate's membership stays shrunk
+    assert(DedupIndex.admit(wh, "di", shrunk).isEmpty)
+    assert(wh.table("di_bands")
+      .filter(col("doc_id").isin(7L, 8L)).isEmpty)
+  }
 }

@@ -253,4 +253,60 @@ class SamplingSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(3)).toMap
     assert(got.view.mapValues(_._3).toMap == again)
   }
+
+  test("writeEpochShards: one file per shard, pos-ordered within files; concatenated shards replay the permutation; pack-then-shard composes") {
+    import graft.olist.Warehouse
+    val wh = new Warehouse(spark,
+      java.nio.file.Files.createTempDirectory("ep_shards").toString)
+    val orders = Tables.orders(spark, sf).select("o_orderkey", "o_custkey")
+    val nShards = 8
+    val n = Sampling.writeEpochShards(wh, "ep2", orders, "o_orderkey",
+      epoch = 2, nShards = nShards)
+    assert(n == orders.count())
+    // every shard directory holds EXACTLY one file — the dataloader
+    // reads shard k as one sequential stream
+    val byShard = wh.table("ep2")
+      .select(col("shard"), input_file_name().as("f")).distinct()
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct).toMap
+    assert(byShard.keySet == (0L until nShards.toLong).toSet,
+      s"expected $nShards shards, got ${byShard.keySet}")
+    byShard.foreach { case (sh, fs) =>
+      assert(fs.size == 1, s"shard $sh split across ${fs.size} files")
+    }
+    // within-file ROW ORDER is pos: read each file raw (no sort) and
+    // assert ascending — the read-time no-sort contract
+    byShard.foreach { case (sh, fs) =>
+      val pos = spark.read.parquet(fs.head).select("pos")
+        .collect().map(_.getInt(0)).toSeq
+      assert(pos == pos.sorted,
+        s"shard $sh file rows not in pos order: ${pos.take(20)}")
+      assert(pos.head == 1, s"shard $sh does not start at pos 1")
+    }
+    // concatenating shards 0..n-1 (each in pos order) replays the
+    // global (h, id) permutation exactly
+    val replay = wh.table("ep2").orderBy("shard", "pos")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    val global = orders
+      .select(col("o_orderkey"),
+        md5(concat(lit("2:"), col("o_orderkey").cast("string"))).as("h"))
+      .orderBy("h", "o_orderkey")
+      .select("o_orderkey").collect().map(_.getLong(0)).toSeq
+    assert(replay == global, "shard concatenation is not the permutation")
+    // pack-then-shard: sp10's packed frame shards with its placement
+    // columns intact — the composed training-data layout
+    val packed = Sampling.packSequences(
+      Tables.documents(spark, sf), col("lang"), 2048)
+    val np = Sampling.writeEpochShards(wh, "ep_packed", packed, "doc_id",
+      epoch = 1, nShards = 4)
+    assert(np == packed.count())
+    val back = wh.table("ep_packed")
+      .select("doc_id", "start_tok", "first_seq", "n_seqs")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    val want = packed.select("doc_id", "start_tok", "first_seq", "n_seqs")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    assert(back == want, "packing columns did not survive the shard write")
+  }
 }

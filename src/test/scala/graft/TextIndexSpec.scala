@@ -317,4 +317,36 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(e.getMessage.contains("tokenizes to no terms"))
   }
+
+  test("foldTombstones: dead guards fold, live ones survive; refresh still cannot resurrect; count bounded across cycles") {
+    val wh = new Warehouse(spark, tmp("ti_fold"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs)
+    // remove two docs; the source still carries BOTH -> guards live
+    TextIndex.remove(wh, "ti", Seq(3L, 4L))
+    assert(wh.table("ti_gone").count() == 2)
+    assert(TextIndex.foldTombstones(wh, "ti", docs) == 0)
+    assert(wh.table("ti_gone").count() == 2)
+    assert(TextIndex.refresh(wh, "ti", docs) == 0) // guard works
+    // the base forgets doc 3 -> its guard is dead; doc 4's stays
+    val shrunk = docs.filter(col("doc_id") =!= 3L)
+    assert(TextIndex.foldTombstones(wh, "ti", shrunk) == 1)
+    assert(wh.table("ti_gone").collect().map(_.getLong(0)).toSeq
+      == Seq(4L))
+    // refresh from the shrunk source resurrects NEITHER: 3 is absent
+    // from the source, 4 is still tombstoned
+    assert(TextIndex.refresh(wh, "ti", shrunk) == 0)
+    assert(wh.table("ti_doclen")
+      .filter(col("doc_id").isin(3L, 4L)).isEmpty)
+    // bounded state across N remove -> base-drop -> fold cycles: the
+    // tombstone list never accumulates dead guards
+    var src = shrunk
+    for (id <- Seq(10L, 11L, 12L, 13L)) {
+      TextIndex.remove(wh, "ti", Seq(id))
+      src = src.filter(col("doc_id") =!= id)
+      TextIndex.foldTombstones(wh, "ti", src)
+    }
+    assert(wh.table("ti_gone").count() == 1,
+      "tombstones accumulated across remove/fold cycles")
+  }
 }
