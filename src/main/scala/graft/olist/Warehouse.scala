@@ -4926,10 +4926,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
       }
     }
     fs.delete(stage, true)
-    // drop the shared staging parent when this was its last transaction
-    val stageParent = stage.getParent
-    if (fs.exists(stageParent) && fs.listStatus(stageParent).isEmpty)
-      fs.delete(stageParent, false)
+    // the shared `_graft_stage` parent is deliberately NOT cleaned up:
+    // an empty-check-then-delete races a concurrent writer's mkdirs
+    // under the same parent — the delete can fail ("not empty", the
+    // local FS throws) or, worse, WIN and yank the ancestor out from
+    // under the other writer's in-flight FileOutputCommitter. Each
+    // transaction's own uuid'd stage dir is removed above; the one
+    // empty parent directory that remains costs nothing.
     collectStats(name, moved.toSeq, df.schema)
   }
 
