@@ -197,8 +197,12 @@ object AnnIndex {
   private[graft] def servingTables(idx: String): Seq[String] =
     Seq(s"${idx}_coarse", s"${idx}_codebook", s"${idx}_codes")
 
-  /** One pinned read surface over [[servingTables]]. */
-  private[operators] def servingSnapshot(wh: Warehouse,
+  /** One pinned read surface over [[servingTables]] — PUBLIC for the
+    * same amortization contract as [[TextIndex.servingSnapshot]]: a
+    * serving deployment holds ONE cut across many
+    * [[queryVecBatchOn]] calls and refreshes it on its own staleness
+    * cadence (a pinned cut is version-exact forever). */
+  def servingSnapshot(wh: Warehouse,
       idx: String): String => DataFrame = {
     val snap = wh.snapshotTables(servingTables(idx))
     snap(_)
@@ -446,7 +450,7 @@ object AnnIndex {
     * .ingestBatch]] commit must never fuse a post-commit sparse lane
     * with a pre-commit dense lane (each lane alone was already
     * coherent; the CROSS-index cut is what this adds). */
-  private def hybridSnapshot(wh: Warehouse, annIdx: String,
+  def hybridSnapshot(wh: Warehouse, annIdx: String,
       textIdx: String): String => DataFrame = {
     val snap = wh.snapshotTables(
       servingTables(annIdx) ++ TextIndex.servingTables(textIdx))
@@ -504,7 +508,7 @@ object AnnIndex {
     * the snapshot-consistency spec uses to DEMONSTRATE the torn fusion
     * an unpinned read pair would produce (and that the public path,
     * which always passes one [[hybridSnapshot]] cut, precludes). */
-  private[graft] def hybridQueryBatchOn(read: String => DataFrame,
+  def hybridQueryBatchOn(read: String => DataFrame,
       annIdx: String, textIdx: String, source: DataFrame,
       queries: Seq[(Long, Seq[String])], topK: Int = 10, pool: Int = 50,
       overquery: Int = 5, nProbe: Int = 3): DataFrame = {
@@ -540,9 +544,19 @@ object AnnIndex {
   def hybridQueryVecBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, String, Seq[Double])],
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
+      nProbe: Int = 3): DataFrame =
+    hybridQueryVecBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
+      textIdx, source, queries, topK, pool, overquery, nProbe)
+
+  /** [[hybridQueryVecBatch]] against an externally-pinned read surface
+    * (hold one [[hybridSnapshot]] across many calls — the serving
+    * amortization path). */
+  def hybridQueryVecBatchOn(read: String => DataFrame, annIdx: String,
+      textIdx: String, source: DataFrame,
+      queries: Seq[(Long, String, Seq[Double])],
+      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
       nProbe: Int = 3): DataFrame = {
     require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
-    val read = hybridSnapshot(wh, annIdx, textIdx)
     val spark = source.sparkSession
     val terms = TextIndex.tokenizeQueries(spark,
       queries.map { case (qid, text, _) => (qid, text) })
@@ -707,11 +721,22 @@ object AnnIndex {
       queries: Seq[(Long, Seq[Double])], topK: Int = 10,
       overquery: Int = 5, nProbe: Int = 3,
       filter: Option[org.apache.spark.sql.Column] = None,
-      saltParts: Int = 32): DataFrame = {
-    vecBatchCore(servingSnapshot(wh, idx), idx, source,
+      saltParts: Int = 32): DataFrame =
+    queryVecBatchOn(servingSnapshot(wh, idx), idx, source, queries,
+      topK, overquery, nProbe, filter, saltParts)
+
+  /** [[queryVecBatch]] against an externally-pinned read surface — a
+    * serving deployment holds ONE [[servingSnapshot]] across many
+    * calls (the cut is version-exact forever; refresh it on your own
+    * staleness cadence) instead of paying the head probes per call. */
+  def queryVecBatchOn(read: String => DataFrame, idx: String,
+      source: DataFrame, queries: Seq[(Long, Seq[Double])],
+      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      saltParts: Int = 32): DataFrame =
+    vecBatchCore(read, idx, source,
       normalizedQueryVecs(source.sparkSession, queries), topK, overquery,
       nProbe, filter, saltParts)
-  }
 
   /** Literal query vectors normalized EXACTLY as the index normalizes
     * stored rows: the [[Similarity.l2Normalized]] expression over a

@@ -227,8 +227,14 @@ object TextIndex {
     Seq(s"${idx}_postings", s"${idx}_df", s"${idx}_stats")
 
   /** One pinned read surface over [[servingTables]]: `read(name)` is
-    * the version-pinned frame from a single consistent cut. */
-  private[operators] def servingSnapshot(wh: Warehouse,
+    * the version-pinned frame from a single consistent cut. PUBLIC so
+    * a serving deployment can amortize the per-call head probes: hold
+    * ONE cut across many [[queryOn]]/[[queryBatchOn]] calls (a pinned
+    * cut is version-exact and stays valid indefinitely — commits after
+    * the cut are invisible to it by design; refresh the cut on your
+    * own staleness cadence). The convenience forms ([[query]],
+    * [[queryBatch]], [[queryTextBatch]]) take a fresh cut per call. */
+  def servingSnapshot(wh: Warehouse,
       idx: String): String => DataFrame = {
     val snap = wh.snapshotTables(servingTables(idx))
     snap(_)
@@ -265,8 +271,9 @@ object TextIndex {
 
   /** [[query]] against an externally-pinned read surface — the seam
     * [[AnnIndex.hybridQuery]] uses to put BOTH indexes' tables under
-    * ONE snapshot cut. */
-  private[graft] def queryOn(read: String => DataFrame, idx: String,
+    * ONE snapshot cut, and the amortization path for a serving
+    * deployment holding one [[servingSnapshot]] across many calls. */
+  def queryOn(read: String => DataFrame, idx: String,
       terms: Seq[String], k: Int,
       docFilter: Option[DataFrame] = None): DataFrame = {
     val st = read(s"${idx}_stats").first()
@@ -387,8 +394,8 @@ object TextIndex {
 
   /** [[queryBatch]] against an externally-pinned read surface (the
     * [[AnnIndex.hybridQueryBatch]] seam — both indexes under ONE
-    * snapshot cut). */
-  private[graft] def queryBatchOn(read: String => DataFrame,
+    * snapshot cut; also the [[servingSnapshot]] amortization path). */
+  def queryBatchOn(read: String => DataFrame,
       spark: org.apache.spark.sql.SparkSession, idx: String,
       queries: Seq[(Long, Seq[String])], k: Int,
       docFilter: Option[DataFrame] = None,

@@ -140,6 +140,24 @@ object GraftSqlParser {
   private val RefreshIdx =
     ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
       """\s+FROM\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
+  // retrieval-index SERVING from SQL — the literal front door: the
+  // query arrives as a raw string / a literal vector (a live query is
+  // unseen by definition), goes through the index's OWN tokenizer /
+  // normalizer, and the read is one pinned snapshot cut. Returned as
+  // a logical plan (distributed scan), never a collected command.
+  private val SearchIdx =
+    ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+FOR\s+'([^']*)'""" +
+      """\s+TOP\s+(\d+)\s*;?\s*$""").r
+  private val VectorSearchId =
+    ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
+      """\s+NEAREST\s+ID\s+(\d+)\s+TOP\s+(\d+)\s*;?\s*$""").r
+  private val VectorSearch =
+    ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)\s*;?\s*$""").r
+  private val HybridSearch =
+    ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
+      """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -581,6 +599,36 @@ object GraftSqlParser {
                   graft.operators.AnnIndex.refresh(wh, idx, wh.table(src))
               Seq(Row("OK", n))
           }
+        }
+      case SearchIdx(idx, text, k) =>
+        // bind through the index's own postings table — serving names
+        // no source table (scores come from the stored decomposition)
+        boundTable(session, s"${idx}_postings").map { wh =>
+          graft.operators.TextIndex.queryTextBatch(wh, idx,
+              Seq((0L, text)), k.toInt)
+            .drop("query_id").queryExecution.logical
+        }
+      case VectorSearchId(idx, src, id, k) =>
+        boundTable(session, src).map { wh =>
+          graft.operators.AnnIndex.query(wh, idx, wh.table(src),
+            id.toLong, topK = k.toInt).queryExecution.logical
+        }
+      case VectorSearch(idx, src, vec, k) =>
+        boundTable(session, src).map { wh =>
+          val v: Seq[Double] = vec.split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
+              Seq((0L, v)), topK = k.toInt)
+            .drop("query_id").queryExecution.logical
+        }
+      case HybridSearch(annIdx, textIdx, src, text, vec, k) =>
+        boundTable(session, src).map { wh =>
+          val v: Seq[Double] = vec.split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
+              textIdx, wh.table(src), Seq((0L, text, v)),
+              topK = k.toInt)
+            .drop("query_id").queryExecution.logical
         }
       case RetireSuite(idx, suite) =>
         // bind through the gate's own gram table — retirement names no

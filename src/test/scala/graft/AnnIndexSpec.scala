@@ -578,4 +578,31 @@ class AnnIndexSpec extends AnyFunSuite {
       overquery = 200, nProbe = 8).collect().map(_.getLong(0)).toSet
     assert(!got.contains(5L) && !got.contains(6L))
   }
+
+  test("a held serving cut is version-exact across commits; fresh calls see them") {
+    val wh = new Warehouse(spark, tmp("ann_cut"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val raw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // a service holds ONE cut across many calls (amortizing the head
+    // probes); the cut is version-pinned, so answers are stable even
+    // while maintenance commits land
+    val cut = AnnIndex.servingSnapshot(wh, "ann")
+    def served() = rows(AnnIndex.queryVecBatchOn(cut, "ann", emb,
+      Seq((0L, raw)), topK = 10, overquery = 200, nProbe = 8))
+    val a1 = served()
+    val victim = a1(1)._2
+    AnnIndex.remove(wh, "ann", Seq(victim))
+    assert(served() == a1,
+      "a held cut must replay its pinned version after a commit")
+    // a FRESH cut (the convenience form) sees the removal
+    val fresh = rows(AnnIndex.queryVecBatch(wh, "ann", emb,
+      Seq((0L, raw)), topK = 10, overquery = 200, nProbe = 8))
+    assert(!fresh.map(_._2).contains(victim) && fresh != a1)
+  }
 }

@@ -502,6 +502,61 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("SEARCH / VECTOR SEARCH / HYBRID SEARCH: the literal serving front door from SQL ≡ the API paths") {
+    val dir = tmp("sql_serve")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs)
+    wh.save("vectors", emb)
+    spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    spark.sql("CREATE VECTOR INDEX ann ON vectors").collect()
+    val text = graft.operators.TextAnalysis.bm25Query.mkString(" ")
+    // SEARCH INDEX … FOR '<raw text>': tokenizes through the index's
+    // analyzer, answers from the stored decomposition
+    val gotS = spark.sql(s"SEARCH INDEX ti FOR '$text' TOP 10")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val apiS = graft.operators.TextIndex
+      .queryTextBatch(wh, "ti", Seq((0L, text)), 10).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(gotS == apiS, s"SQL search ≠ API:\n$gotS\n$apiS")
+    assert(gotS.size == 10)
+    // VECTOR SEARCH … NEAREST (literal): double literals round-trip
+    // exactly through toString, so SQL ≡ queryVecBatch bit-for-bit
+    val raw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val vecLit = raw.mkString(", ")
+    val gotV = spark
+      .sql(s"VECTOR SEARCH ann ON vectors NEAREST ($vecLit) TOP 10")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiV = graft.operators.AnnIndex
+      .queryVecBatch(wh, "ann", emb, Seq((0L, raw))).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotV == apiV, s"SQL vector search ≠ API:\n$gotV\n$apiV")
+    // the stored-row form: NEAREST ID ≡ AnnIndex.query
+    val gotI = spark
+      .sql("VECTOR SEARCH ann ON vectors NEAREST ID 0 TOP 10")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiI = graft.operators.AnnIndex
+      .query(wh, "ann", wh.table("vectors"), queryId = 0L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotI == apiI)
+    // HYBRID SEARCH: text through the analyzer + vector through the
+    // normalizer, one snapshot cut, RRF fusion ≡ hybridQueryVecBatch
+    val gotH = spark.sql(s"HYBRID SEARCH ann, ti ON vectors " +
+        s"FOR '$text' NEAREST ($vecLit) TOP 10")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val apiH = graft.operators.AnnIndex
+      .hybridQueryVecBatch(wh, "ann", "ti", emb,
+        Seq((0L, text, raw)), topK = 10).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(gotH == apiH, s"SQL hybrid ≠ API:\n$gotH\n$apiH")
+  }
+
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
     import spark.implicits._
     val dir = tmp("sql_prune_desc")
