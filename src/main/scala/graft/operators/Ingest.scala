@@ -254,10 +254,14 @@ object Ingest {
       // never MASK the transaction's own failure — or fail a batch
       // that already committed
       scala.util.Try {
-        if (wh.hasTable(log) &&
-            wh.describeDetail(log).toMap.get("numFiles")
-              .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
-          wh.compactSmall(log, LedgerFileRows, LedgerFileRows); ()
+        // the blame ledger appends per blame-enabled trigger too —
+        // same fold, same sealing tier
+        Seq(log, blameTable(table)).foreach { t =>
+          if (wh.hasTable(t) &&
+              wh.describeDetail(t).toMap.get("numFiles")
+                .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
+            wh.compactSmall(t, LedgerFileRows, LedgerFileRows); ()
+          }
         }
       }
       ()

@@ -605,4 +605,35 @@ class AnnIndexSpec extends AnyFunSuite {
       Seq((0L, raw)), topK = 10, overquery = 200, nProbe = 8))
     assert(!fresh.map(_._2).contains(victim) && fresh != a1)
   }
+
+  test("property: random unseen literal vectors, full probe ≡ exact brute force (seeded sweep)") {
+    val wh = new Warehouse(spark, tmp("ann_vecprop"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val dim = emb.select(size(col("embedding"))).first().getInt(0)
+    val rnd = new scala.util.Random(151515L)
+    val queries = (0 until 5).map { i =>
+      (1000L + i) -> Seq.fill(dim)(rnd.nextDouble() * 2 - 1)
+    }
+    import graft.functions.VectorFunctions
+    val got = AnnIndex.queryVecBatch(wh, "ann", emb, queries,
+        topK = 10, overquery = 200, nProbe = 8)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val exact = queries.flatMap { case (qid, _) =>
+      // the reference ranks against the SAME normalized vector the
+      // serving path derives — apples to apples at round-12
+      val qn = AnnIndex.normalizedQueryVecs(spark, Seq(queries.find(_._1 == qid).get)).head._2
+      val qlit = array(qn.toSeq.map(lit): _*)
+      emb.select(lit(qid).as("query_id"), col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), qlit) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(qlit)), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+        .collect().map(r =>
+          (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    }
+    assert(got == exact,
+      s"random literal sweep diverged:\ngot=$got\nexp=$exact")
+  }
 }
