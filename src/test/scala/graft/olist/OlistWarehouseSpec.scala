@@ -193,10 +193,15 @@ class OlistWarehouseSpec extends AnyFunSuite {
     wh2.vacuum("conversions_fact")
     assert(wh2.table("conversions_fact").count() == convRows)
     import scala.jdk.CollectionConverters._
-    val leftovers = java.nio.file.Files.list(java.nio.file.Paths.get(dir))
-      .iterator().asScala.map(_.getFileName.toString)
-      .filter(n => n.contains("_graft_stage")).toSeq
-    assert(leftovers.isEmpty, s"staging dirs left behind: $leftovers")
+    // the shared _graft_stage PARENT is deliberately kept (deleting it
+    // races a concurrent writer's mkdirs — see stageWrite); real
+    // staging debris is anything INSIDE it after the writes settle
+    val stageDir = java.nio.file.Paths.get(dir, "_graft_stage")
+    val leftovers =
+      if (!java.nio.file.Files.exists(stageDir)) Seq.empty[String]
+      else java.nio.file.Files.list(stageDir)
+        .iterator().asScala.map(_.getFileName.toString).toSeq
+    assert(leftovers.isEmpty, s"staging debris left behind: $leftovers")
   }
 
   test("snapshot isolation: a reader pinned before compaction sees the old snapshot, never partial") {
