@@ -220,6 +220,22 @@ object AnnIndex {
     wh.delete(s"${idx}_codes", col("vec_id").isin(ids: _*)).rowsDeleted
   }
 
+  /** Index inventory from the manifest + the frozen geometry — the
+    * ops surface behind `DESCRIBE VECTOR INDEX`: vector and tombstone
+    * cardinalities fold from per-file row counts (DV-aware), the
+    * shape from `<idx>_meta`; no codes file is opened. */
+  def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
+    def rows(t: String) =
+      wh.countRows(t).map(_.toString).getOrElse("unknown")
+    val (nCells, m, k) = geometry(wh, idx)
+    Seq(
+      "n_cells" -> nCells.toString,
+      "m" -> m.toString,
+      "k" -> k.toString,
+      "vectors" -> rows(s"${idx}_codes"),
+      "tombstones" -> rows(s"${idx}_gone"))
+  }
+
   /** MAINTENANCE: fold removal tombstones whose vector the CURRENT
     * base `source` no longer carries — the [[TextIndex.foldTombstones]]
     * twin (see there; same dead-guard argument, same bounded-state

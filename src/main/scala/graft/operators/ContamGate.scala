@@ -150,6 +150,19 @@ object ContamGate {
     storedGrams(wh, idx).groupBy("suite")
       .agg(count(lit(1)).as("grams")).orderBy("suite")
 
+  /** Gate inventory — gram-row cardinality from the manifest
+    * (DV-aware, so retirements subtract) plus the live-suite count
+    * (one bounded pass over the 16-byte digest table — suite-sized by
+    * construction). The ops surface behind `DESCRIBE CONTAM INDEX`;
+    * per-suite detail is [[suites]]. */
+  def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
+    val gramRows = wh.countRows(gramsTable(idx))
+      .map(_.toString).getOrElse("unknown")
+    Seq(
+      "gram_rows" -> gramRows,
+      "suites" -> suites(wh, idx).count().toString)
+  }
+
   /** Judge a delivery batch against the stored suites: one row per
     * distinct batch doc_id — (doc_id, shared_grams, keep), keep = 1
     * iff NO row carrying that id shares an 8-gram with ANY live suite

@@ -211,6 +211,20 @@ object DedupIndex {
     (qb, verdict)
   }
 
+  /** Gate inventory from the manifest + frozen banding params — the
+    * ops surface behind `DESCRIBE DEDUP INDEX`; no band file opened. */
+  def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
+    def rows(t: String) =
+      wh.countRows(t).map(_.toString).getOrElse("unknown")
+    val (k, bands) = params(wh, idx)
+    Seq(
+      "minhash_k" -> k.toString,
+      "bands" -> bands.toString,
+      "band_rows" -> rows(s"${idx}_bands"),
+      "bucket_segment_rows" -> rows(s"${idx}_buckets"),
+      "tombstones" -> rows(s"${idx}_gone"))
+  }
+
   /** MAINTENANCE: fold removal tombstones whose doc the CURRENT base
     * `source` no longer carries — the [[TextIndex.foldTombstones]]
     * twin (same dead-guard argument: once the base dropped the doc, no

@@ -254,6 +254,24 @@ object TextIndex {
       source: DataFrame): Long =
     IndexMaintenance.foldGone(wh, s"${idx}_gone", "doc_id", source)
 
+  /** Index inventory, answered from the manifest and the 1-row stats
+    * table — the ops surface behind `DESCRIBE SEARCH INDEX`: doc and
+    * postings cardinalities are per-file row counts the manifest
+    * already carries (DV-aware — removals subtract), so no postings
+    * file is ever opened. Tombstone count is the [[foldTombstones]]
+    * trigger signal. */
+  def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
+    def rows(t: String) =
+      wh.countRows(t).map(_.toString).getOrElse("unknown")
+    val st = wh.table(s"${idx}_stats").first()
+    Seq(
+      "docs" -> st.getLong(0).toString,
+      "sum_doc_len" -> st.getLong(1).toString,
+      "postings_rows" -> rows(s"${idx}_postings"),
+      "df_segment_rows" -> rows(s"${idx}_df"),
+      "tombstones" -> rows(s"${idx}_gone"))
+  }
+
   /** BM25 top-k over the STORED index: `term IN (…)` file-skips the
     * postings scan (term-range stats + bloom admission), the ≤|terms|
     * df rows and the 1-row stats collect as literals, per-doc term

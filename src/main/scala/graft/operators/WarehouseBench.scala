@@ -201,6 +201,27 @@ object WarehouseBench {
       |GROUP BY g.doc_id, bench.suite
       |ORDER BY doc_id, suite""".stripMargin
 
+  // b16: the per-suite DROP COUNTS the blame-enabled ingest ledger
+  // records — countDistinct(doc) per convicting suite over the same
+  // two-suite gate as b13 (a doubly-convicted doc counts in BOTH
+  // suites; the sums may exceed the distinct-doc contam_drops)
+  private val b16Oracle =
+    """WITH g AS (
+      |  SELECT doc_id, source,
+      |    md5(unnest(list_distinct(list_transform(range(1, len(ts) - 6),
+      |                i -> array_to_string(ts[i:i+7], ' '))))) AS h
+      |  FROM (SELECT doc_id, source,
+      |          regexp_split_to_array(trim(text), '\s+') AS ts
+      |        FROM documents) WHERE len(ts) >= 8),
+      |bench AS (SELECT DISTINCT source AS suite, h FROM g
+      |          WHERE source IN ('src0', 'src1')),
+      |batch AS (SELECT doc_id FROM documents
+      |          WHERE doc_id > (SELECT max(doc_id) - 100 FROM documents))
+      |SELECT bench.suite,
+      |  CAST(count(DISTINCT g.doc_id) AS BIGINT) AS drops
+      |FROM g JOIN bench USING (h) JOIN batch USING (doc_id)
+      |GROUP BY bench.suite ORDER BY bench.suite""".stripMargin
+
   // DuckDB sums BIGINT into HUGEINT — the a15/sp10 trap; Spark's
   // sum(long) is LongType, so the oracle pins BIGINT explicitly
   private val b10Oracle =
@@ -585,6 +606,20 @@ object WarehouseBench {
       val split = docs.agg(max("doc_id")).first().getLong(0) - 100
       ContamGate.verdictsBySuite(contamIndexed2(s, d), "cg_b2",
         docs.filter(col("doc_id") > split))
+    }),
+
+    // b16 — the BLAME-LEDGER aggregation, hash-checked: the exact
+    // per-suite drop counts ingestBatch(blameSuites = true) records —
+    // countDistinct(doc) per convicting suite off the same stored
+    // two-suite gate; DuckDB replays the whole attribution.
+    Q("b16_blame_agg_wh", Some(b16Oracle), (s, d) => {
+      val docs = T.documents(s, d)
+      val split = docs.agg(max("doc_id")).first().getLong(0) - 100
+      ContamGate.verdictsBySuite(contamIndexed2(s, d), "cg_b2",
+          docs.filter(col("doc_id") > split))
+        .groupBy("suite")
+        .agg(countDistinct(col("doc_id")).as("drops"))
+        .orderBy("suite")
     }),
 
     // b6 — NEAR/proximity twin of b5 over the same stored positions

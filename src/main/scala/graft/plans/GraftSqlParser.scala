@@ -140,6 +140,11 @@ object GraftSqlParser {
   private val RefreshIdx =
     ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
       """\s+FROM\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
+  // index inventory: cardinalities from manifest row counts
+  // (DV-aware) + the frozen params — no index data file opened
+  private val DescIdx =
+    ("""(?is)^\s*DESCRIBE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX""" +
+      """\s+([\w]+)\s*;?\s*$""").r
   // retrieval-index SERVING from SQL — the literal front door: the
   // query arrives as a raw string / a literal vector (a live query is
   // unseen by definition), goes through the index's OWN tokenizer /
@@ -598,6 +603,28 @@ object GraftSqlParser {
                 else
                   graft.operators.AnnIndex.refresh(wh, idx, wh.table(src))
               Seq(Row("OK", n))
+          }
+        }
+      case DescIdx(kind, idx) =>
+        // bind through each family's anchor table (serving DDL names
+        // no source table)
+        val anchor =
+          if (kind.equalsIgnoreCase("SEARCH")) s"${idx}_postings"
+          else if (kind.equalsIgnoreCase("DEDUP")) s"${idx}_bands"
+          else if (kind.equalsIgnoreCase("CONTAM")) s"${idx}_grams"
+          else s"${idx}_codes"
+        boundTable(session, anchor).map { wh =>
+          cmd(session, attrs("key" -> StringType, "value" -> StringType)) {
+            _ =>
+              val kv =
+                if (kind.equalsIgnoreCase("SEARCH"))
+                  graft.operators.TextIndex.describe(wh, idx)
+                else if (kind.equalsIgnoreCase("DEDUP"))
+                  graft.operators.DedupIndex.describe(wh, idx)
+                else if (kind.equalsIgnoreCase("CONTAM"))
+                  graft.operators.ContamGate.describe(wh, idx)
+                else graft.operators.AnnIndex.describe(wh, idx)
+              kv.map { case (k0, v0) => Row(k0, v0) }
           }
         }
       case SearchIdx(idx, text, k) =>

@@ -502,6 +502,39 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("DESCRIBE SEARCH/VECTOR/DEDUP/CONTAM INDEX: manifest-backed inventory, DV-aware after removals") {
+    val dir = tmp("sql_descidx")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs)
+    wh.save("vectors", emb)
+    spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    spark.sql("CREATE VECTOR INDEX ann ON vectors").collect()
+    spark.sql("CREATE DEDUP INDEX di ON docs").collect()
+    spark.sql("CREATE CONTAM INDEX cg ON docs").collect()
+    def kv(sql: String): Map[String, String] =
+      spark.sql(sql).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    val ti = kv("DESCRIBE SEARCH INDEX ti")
+    assert(ti("docs") == docs.count().toString &&
+      ti("tombstones") == "0" && ti("postings_rows").toLong > 0)
+    val ann = kv("DESCRIBE VECTOR INDEX ann")
+    assert(ann("vectors") == emb.count().toString &&
+      ann("n_cells") == "8" && ann("m") == "8" && ann("k") == "16")
+    val di = kv("DESCRIBE DEDUP INDEX di")
+    assert(di("band_rows").toLong > 0 && di("minhash_k") == "16")
+    val cg = kv("DESCRIBE CONTAM INDEX cg")
+    assert(cg("gram_rows").toLong > 0 && cg("suites") == "1")
+    // removals show up: tombstones count, cardinalities subtract
+    // through the deletion vectors — no file rewritten, none opened
+    graft.operators.AnnIndex.remove(wh, "ann", Seq(5L, 6L, 7L))
+    val ann2 = kv("DESCRIBE VECTOR INDEX ann")
+    assert(ann2("tombstones") == "3" &&
+      ann2("vectors") == (emb.count() - 3).toString)
+  }
+
   test("SEARCH / VECTOR SEARCH / HYBRID SEARCH: the literal serving front door from SQL ≡ the API paths") {
     val dir = tmp("sql_serve")
     val wh = new Warehouse(spark, dir)
