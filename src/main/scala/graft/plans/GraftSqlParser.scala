@@ -153,6 +153,17 @@ object GraftSqlParser {
   private val SearchIdx =
     ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+FOR\s+'([^']*)'""" +
       """\s+TOP\s+(\d+)\s*;?\s*$""").r
+  // FILTERED search (the production retrieval pattern): the named
+  // table's rows satisfying WHERE become the doc allowlist / the
+  // admissible-candidate predicate — applied INSIDE the probe, so k
+  // fills with qualifying results (post-filtering would under-fill)
+  private val SearchIdxFiltered =
+    ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+ON\s+([\w]+)""" +
+      """\s+FOR\s+'([^']*)'\s+TOP\s+(\d+)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+  private val VectorSearchFiltered =
+    ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   private val VectorSearchId =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+NEAREST\s+ID\s+(\d+)\s+TOP\s+(\d+)\s*;?\s*$""").r
@@ -633,6 +644,21 @@ object GraftSqlParser {
         boundTable(session, s"${idx}_postings").map { wh =>
           graft.operators.TextIndex.queryTextBatch(wh, idx,
               Seq((0L, text)), k.toInt)
+            .drop("query_id").queryExecution.logical
+        }
+      case SearchIdxFiltered(idx, src, text, k, pred) =>
+        boundTable(session, src).map { wh =>
+          graft.operators.TextIndex.queryTextBatch(wh, idx,
+              Seq((0L, text)), k.toInt,
+              docFilter = Some(wh.table(src).filter(expr(pred))))
+            .drop("query_id").queryExecution.logical
+        }
+      case VectorSearchFiltered(idx, src, vec, k, pred) =>
+        boundTable(session, src).map { wh =>
+          val v: Seq[Double] = vec.split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
+              Seq((0L, v)), topK = k.toInt, filter = Some(expr(pred)))
             .drop("query_id").queryExecution.logical
         }
       case VectorSearchId(idx, src, id, k) =>

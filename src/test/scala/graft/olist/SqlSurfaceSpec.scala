@@ -588,6 +588,32 @@ class SqlSurfaceSpec extends AnyFunSuite {
         Seq((0L, text, raw)), topK = 10).drop("query_id")
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(gotH == apiH, s"SQL hybrid ≠ API:\n$gotH\n$apiH")
+    // FILTERED forms: the WHERE predicate restricts candidates INSIDE
+    // the probe (k fills with qualifying results, predicate honored)
+    val evenDocs = docs.filter(col("doc_id") % 2 === 0)
+    val gotSF = spark.sql(s"SEARCH INDEX ti ON docs FOR '$text' " +
+        "TOP 10 WHERE doc_id % 2 = 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    val apiSF = graft.operators.TextIndex
+      .queryTextBatch(wh, "ti", Seq((0L, text)), 10,
+        docFilter = Some(evenDocs)).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq
+    assert(gotSF == apiSF && gotSF.size == 10 &&
+      gotSF.forall(_._1 % 2 == 0))
+    val gotVF = spark.sql(s"VECTOR SEARCH ann ON vectors " +
+        s"NEAREST ($vecLit) TOP 10 WHERE label = 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val apiVF = graft.operators.AnnIndex
+      .queryVecBatch(wh, "ann", emb, Seq((0L, raw)),
+        filter = Some(col("label") === 3)).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(gotVF == apiVF && gotVF.size == 10)
+    val labeled = emb.filter(col("label") === 3)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(gotVF.forall(r => labeled.contains(r._1)),
+      "a filtered vector result escaped the predicate")
   }
 
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
