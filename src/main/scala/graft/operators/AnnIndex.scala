@@ -516,9 +516,10 @@ object AnnIndex {
   def hybridQueryBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, Seq[String])],
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3): DataFrame =
+      nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     hybridQueryBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
-      textIdx, source, queries, topK, pool, overquery, nProbe)
+      textIdx, source, queries, topK, pool, overquery, nProbe, filter)
 
   /** [[hybridQueryBatch]] against an explicit read surface — the seam
     * the snapshot-consistency spec uses to DEMONSTRATE the torn fusion
@@ -527,11 +528,12 @@ object AnnIndex {
   def hybridQueryBatchOn(read: String => DataFrame,
       annIdx: String, textIdx: String, source: DataFrame,
       queries: Seq[(Long, Seq[String])], topK: Int = 10, pool: Int = 50,
-      overquery: Int = 5, nProbe: Int = 3): DataFrame = {
+      overquery: Int = 5, nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
     val sparse = TextIndex.queryBatchOn(read, spark, textIdx, queries,
-      pool)
+      pool, docFilter = hybridAllow(source, filter))
     // the dense lane's query vectors from `source` (the id form); the
     // codes/codebook reads ride the same pinned cut as the sparse lane
     val ids = queries.map(_._1).distinct
@@ -543,9 +545,21 @@ object AnnIndex {
       s"hybridQueryBatch: ${ids.size - byId.size} query ids not in source")
     val dense = vecBatchCore(read, annIdx, source,
       ids.map(id => id -> byId(id)), topK = pool, overquery = overquery,
-      nProbe = nProbe, filter = None, saltParts = 32)
+      nProbe = nProbe, filter = filter, saltParts = 32)
     fuseBatch(sparse, dense, topK)
   }
+
+  /** FILTERED hybrid retrieval's sparse-lane allowlist: the same
+    * predicate the dense lane applies inside its probe, reduced to a
+    * doc_id allowlist over `source` (doc ids and vector ids coincide
+    * in the hybrid composition — the fusion joins on them). Both lanes
+    * restrict BEFORE ranking, so the fused top-k fills with qualifying
+    * docs; corpus statistics stay global (the standard filtered-search
+    * semantics both single-index paths already implement). */
+  private def hybridAllow(source: DataFrame,
+      filter: Option[org.apache.spark.sql.Column]): Option[DataFrame] =
+    filter.map(pred =>
+      source.filter(pred).select(col("vec_id").as("doc_id")))
 
   /** [[hybridQueryBatch]] for LITERAL queries — the full
     * retrieval-service front door: each query arrives as (query_id,
@@ -560,9 +574,10 @@ object AnnIndex {
   def hybridQueryVecBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, String, Seq[Double])],
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3): DataFrame =
+      nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     hybridQueryVecBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
-      textIdx, source, queries, topK, pool, overquery, nProbe)
+      textIdx, source, queries, topK, pool, overquery, nProbe, filter)
 
   /** [[hybridQueryVecBatch]] against an externally-pinned read surface
     * (hold one [[hybridSnapshot]] across many calls — the serving
@@ -571,17 +586,19 @@ object AnnIndex {
       textIdx: String, source: DataFrame,
       queries: Seq[(Long, String, Seq[Double])],
       topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3): DataFrame = {
+      nProbe: Int = 3,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
     val spark = source.sparkSession
     val terms = TextIndex.tokenizeQueries(spark,
       queries.map { case (qid, text, _) => (qid, text) })
-    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, terms, pool)
+    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, terms,
+      pool, docFilter = hybridAllow(source, filter))
     val dense = vecBatchCore(read, annIdx, source,
       normalizedQueryVecs(spark,
         queries.map { case (qid, _, v) => (qid, v) }),
       topK = pool, overquery = overquery, nProbe = nProbe,
-      filter = None, saltParts = 32)
+      filter = filter, saltParts = 32)
     fuseBatch(sparse, dense, topK)
   }
 

@@ -174,6 +174,11 @@ object GraftSqlParser {
     ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
       """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)\s*;?\s*$""").r
+  private val HybridSearchFiltered =
+    ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
+      """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
+      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -681,6 +686,15 @@ object GraftSqlParser {
           graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
               textIdx, wh.table(src), Seq((0L, text, v)),
               topK = k.toInt)
+            .drop("query_id").queryExecution.logical
+        }
+      case HybridSearchFiltered(annIdx, textIdx, src, text, vec, k, pred) =>
+        boundTable(session, src).map { wh =>
+          val v: Seq[Double] = vec.split(",").map(_.trim)
+            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
+              textIdx, wh.table(src), Seq((0L, text, v)),
+              topK = k.toInt, filter = Some(expr(pred)))
             .drop("query_id").queryExecution.logical
         }
       case RetireSuite(idx, suite) =>

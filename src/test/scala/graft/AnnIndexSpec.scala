@@ -636,4 +636,53 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got == exact,
       s"random literal sweep diverged:\ngot=$got\nexp=$exact")
   }
+
+  test("filtered hybrid retrieval: both lanes restrict inside their probes; fused top-k ≡ filtered scan-time fusion") {
+    import org.apache.spark.sql.expressions.Window
+    val wh = new Warehouse(spark, tmp("ann_hyb_filt"))
+    val docs = Tables.documents(spark, sf)
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    operators.TextIndex.build(wh, "ti", docs)
+    val terms = operators.TextAnalysis.bm25Query
+    val text = terms.mkString(" ")
+    val raw0 = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val pred = col("label") === 3
+    val allowed = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    val got = AnnIndex.hybridQueryVecBatch(wh, "ann", "ti", emb,
+        Seq((0L, text, raw0)), topK = 10, pool = 50, overquery = 200,
+        nProbe = 8, filter = Some(pred))
+      .collect().map(r => (r.getLong(1), r.getDouble(4))).toSeq
+    assert(got.nonEmpty && got.forall(r => allowed.contains(r._1)),
+      s"a fused result escaped the predicate: $got")
+    // reference: the SAME fusion over scan-time FILTERED lanes —
+    // sparse = global-stats BM25 restricted to allowed ids (the
+    // filtered-search semantics), dense = brute-force filtered cosine
+    // (exact under the full probe)
+    val sparse = operators.TextAnalysis.bm25TopK(docs, terms, 100000)
+      .filter(col("score") > 0.0)
+      .filter(col("doc_id").isInCollection(allowed))
+      .orderBy(col("score").desc, col("doc_id")).limit(50)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select("doc_id", "r")
+    import graft.functions.VectorFunctions
+    val qn = AnnIndex.normalizedQueryVecs(spark, Seq(0L -> raw0)).head._2
+    val qlit = array(qn.toSeq.map(lit): _*)
+    val dense = emb.filter(pred)
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), qlit) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(qlit)), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(50)
+      .withColumn("r", row_number()
+        .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
+      .select("vec_id", "r")
+    val expect = Similarity.rrfFuse(Seq(sparse, dense), k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(got == expect, s"filtered fusion diverged:\ngot=$got\nexp=$expect")
+  }
 }

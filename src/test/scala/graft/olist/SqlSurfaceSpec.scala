@@ -614,6 +614,15 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(gotVF.forall(r => labeled.contains(r._1)),
       "a filtered vector result escaped the predicate")
+    val gotHF = spark.sql(s"HYBRID SEARCH ann, ti ON vectors " +
+        s"FOR '$text' NEAREST ($vecLit) TOP 10 WHERE label = 3")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    val apiHF = graft.operators.AnnIndex
+      .hybridQueryVecBatch(wh, "ann", "ti", emb,
+        Seq((0L, text, raw)), topK = 10,
+        filter = Some(col("label") === 3)).drop("query_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
+    assert(gotHF == apiHF && gotHF.forall(r => labeled.contains(r._1)))
   }
 
   test("DESCRIBE PRUNING reports manifest-level file admission for range and IN predicates") {
