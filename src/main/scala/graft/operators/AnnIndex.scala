@@ -465,7 +465,16 @@ object AnnIndex {
     * hybrid paths' read surface: a query racing an [[Ingest
     * .ingestBatch]] commit must never fuse a post-commit sparse lane
     * with a pre-commit dense lane (each lane alone was already
-    * coherent; the CROSS-index cut is what this adds). */
+    * coherent; the CROSS-index cut is what this adds).
+    *
+    * BOUNDARY: the cut covers the INDEXES' tables. The caller-provided
+    * `source` frame (the re-rank's float vectors, the id form's query
+    * fetch, a filter's allowlist) is whatever the caller passed — a
+    * raw parquet scan, or the live base table. For base-table
+    * consistency too, pass a pinned frame (`wh.snapshotTables(Seq(
+    * base))(base)` / `wh.tableAt`) as `source`; a live frame risks
+    * the re-rank dropping a candidate a concurrent base delete
+    * removed (an underfilled, not wrong, top-k). */
   def hybridSnapshot(wh: Warehouse, annIdx: String,
       textIdx: String): String => DataFrame = {
     val snap = wh.snapshotTables(
@@ -536,15 +545,10 @@ object AnnIndex {
       pool, docFilter = hybridAllow(source, filter))
     // the dense lane's query vectors from `source` (the id form); the
     // codes/codebook reads ride the same pinned cut as the sparse lane
-    val ids = queries.map(_._1).distinct
-    val byId: Map[Long, Array[Double]] = l2Normalized(source)
-      .filter(col("vec_id").isin(ids: _*))
-      .as[(Long, Seq[Double])].collect()
-      .map { case (id, v) => id -> v.toArray }.toMap
-    require(byId.size == ids.size,
-      s"hybridQueryBatch: ${ids.size - byId.size} query ids not in source")
     val dense = vecBatchCore(read, annIdx, source,
-      ids.map(id => id -> byId(id)), topK = pool, overquery = overquery,
+      fetchQueryVecs(source, queries.map(_._1).distinct,
+        "hybridQueryBatch"),
+      topK = pool, overquery = overquery,
       nProbe = nProbe, filter = filter, saltParts = 32)
     fuseBatch(sparse, dense, topK)
   }
@@ -725,17 +729,26 @@ object AnnIndex {
     val ids = queryIds.distinct
     val spark = source.sparkSession
     import spark.implicits._
-    // the N query vectors, normalized — one bounded collect
-    val unit = l2Normalized(source)
-    val byId: Map[Long, Array[Double]] = unit
+    vecBatchCore(servingSnapshot(wh, idx), idx, source,
+      fetchQueryVecs(source, ids, "queryBatch"), topK, overquery,
+      nProbe, filter, saltParts)
+  }
+
+  /** The id form's query-vector fetch — the N stored rows, normalized,
+    * in id order (ONE bounded collect); missing ids refuse loudly.
+    * Shared by [[queryBatch]] and [[hybridQueryBatchOn]] so the two
+    * front doors can never diverge on the fetch or its validation. */
+  private def fetchQueryVecs(source: DataFrame, ids: Seq[Long],
+      caller: String): Seq[(Long, Array[Double])] = {
+    val spark = source.sparkSession
+    import spark.implicits._
+    val byId: Map[Long, Array[Double]] = l2Normalized(source)
       .filter(col("vec_id").isin(ids: _*))
       .as[(Long, Seq[Double])].collect()
       .map { case (id, v) => id -> v.toArray }.toMap
     require(byId.size == ids.size,
-      s"queryBatch: ${ids.size - byId.size} query ids not in source")
-    vecBatchCore(servingSnapshot(wh, idx), idx, source,
-      ids.map(id => id -> byId(id)), topK, overquery, nProbe, filter,
-      saltParts)
+      s"$caller: ${ids.size - byId.size} query ids not in source")
+    ids.map(id => id -> byId(id))
   }
 
   /** [[queryBatch]] for LITERAL query vectors — the retrieval-service
@@ -785,6 +798,17 @@ object AnnIndex {
     require(dims.size == 1 && dims.head > 0,
       s"queryVecBatch: query vectors must share one positive " +
         s"dimension, got ${dims.mkString(", ")}")
+    // refuse loudly what cosine cannot answer: a non-finite component
+    // poisons every distance, and the zero vector normalizes to NaN
+    // (0/0) — both would otherwise return topK rows of NaN scores in
+    // arbitrary id order, silent garbage from a serving surface
+    queries.foreach { case (qid, v) =>
+      require(v.forall(x => java.lang.Double.isFinite(x)),
+        s"queryVecBatch: query $qid has a non-finite component")
+      require(v.exists(_ != 0.0),
+        s"queryVecBatch: query $qid is the zero vector — cosine is " +
+          "undefined; there is no meaningful nearest-neighbor answer")
+    }
     import spark.implicits._
     val byId = normalizedQueryFrame(spark, queries)
       .as[(Long, Seq[Double])].collect()

@@ -191,6 +191,10 @@ object ContamGate {
     // frame is dropped), never gram-sized ones. Callers inside a
     // pinned pipeline ([[Ingest.ingestBatch]]) use [[verdictsOn]] with
     // their own gram pin instead — one gram derivation per trigger.
+    // CORPUS-scale callers ([[Curate.curateStored]]'s sweep) pin one
+    // row per corpus doc here — still strictly smaller than the
+    // gram-sized (tokens×16B) pin this replaced, and released when
+    // the sweep's frame goes out of scope.
     val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
     try verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
       .localCheckpoint()

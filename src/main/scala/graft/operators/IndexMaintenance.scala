@@ -33,23 +33,31 @@ private[operators] object IndexMaintenance {
   /** Drop tombstones in `goneTable` whose `idCol` no longer appears in
     * `source`; keep (verbatim) those the source still carries. The
     * surviving list is pinned before the overwrite so the rewrite
-    * never reads the table it is replacing. Returns tombstones
-    * dropped. */
+    * never reads the table it is replacing.
+    *
+    * The whole read-modify-write runs inside ONE transaction over the
+    * tombstone table: its table lock serializes against a concurrent
+    * `remove()` (whose own transaction declares the same table), so a
+    * tombstone appended between the survivor pin and the overwrite can
+    * never be clobbered — a lost tombstone would be a silent
+    * resurrection path, the one direction this maintenance must never
+    * fail in. Returns tombstones dropped. */
   def foldGone(wh: Warehouse, goneTable: String, idCol: String,
-      source: DataFrame): Long = {
-    val gone = wh.table(goneTable)
-    val before = gone.count()
-    if (before == 0) 0L
-    else {
-      val keep = gone
-        .join(source.select(idCol).distinct(), Seq(idCol), "left_semi")
-        .localCheckpoint() // bounded by live tombstones; pinned so the
-                           // save below never reads its own target
-      try {
-        val after = keep.count()
-        if (after < before) wh.save(goneTable, keep)
-        before - after
-      } finally { keep.unpersist(); () }
+      source: DataFrame): Long =
+    wh.transaction(Seq(goneTable)) {
+      val gone = wh.table(goneTable)
+      val before = gone.count()
+      if (before == 0) 0L
+      else {
+        val keep = gone
+          .join(source.select(idCol).distinct(), Seq(idCol), "left_semi")
+          .localCheckpoint() // bounded by live tombstones; pinned so the
+                             // save below never reads its own target
+        try {
+          val after = keep.count()
+          if (after < before) wh.save(goneTable, keep)
+          before - after
+        } finally { keep.unpersist(); () }
+      }
     }
-  }
 }

@@ -270,6 +270,11 @@ object GraftSqlParser {
 
   private val Assign = """(?s)^\s*([\w]+)\s*=(.+)$""".r
 
+  /** A literal vector's components — shared by every VECTOR/HYBRID
+    * SEARCH case so the SQL surfaces cannot diverge on the syntax. */
+  private def parseVec(vec: String): Seq[Double] =
+    vec.split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+
   private def cmd(session: SparkSession, out: Seq[Attribute])(
       f: SparkSession => Seq[Row]): LogicalPlan =
     GraftMaintenanceCommand(out)(f)
@@ -660,8 +665,7 @@ object GraftSqlParser {
         }
       case VectorSearchFiltered(idx, src, vec, k, pred) =>
         boundTable(session, src).map { wh =>
-          val v: Seq[Double] = vec.split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          val v = parseVec(vec)
           graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
               Seq((0L, v)), topK = k.toInt, filter = Some(expr(pred)))
             .drop("query_id").queryExecution.logical
@@ -673,16 +677,14 @@ object GraftSqlParser {
         }
       case VectorSearch(idx, src, vec, k) =>
         boundTable(session, src).map { wh =>
-          val v: Seq[Double] = vec.split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          val v = parseVec(vec)
           graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
               Seq((0L, v)), topK = k.toInt)
             .drop("query_id").queryExecution.logical
         }
       case HybridSearch(annIdx, textIdx, src, text, vec, k) =>
         boundTable(session, src).map { wh =>
-          val v: Seq[Double] = vec.split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          val v = parseVec(vec)
           graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
               textIdx, wh.table(src), Seq((0L, text, v)),
               topK = k.toInt)
@@ -690,8 +692,7 @@ object GraftSqlParser {
         }
       case HybridSearchFiltered(annIdx, textIdx, src, text, vec, k, pred) =>
         boundTable(session, src).map { wh =>
-          val v: Seq[Double] = vec.split(",").map(_.trim)
-            .filter(_.nonEmpty).map(_.toDouble).toSeq
+          val v = parseVec(vec)
           graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
               textIdx, wh.table(src), Seq((0L, text, v)),
               topK = k.toInt, filter = Some(expr(pred)))

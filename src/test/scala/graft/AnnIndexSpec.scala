@@ -464,6 +464,20 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(scans.exists(_.partitionFilters.exists(
         _.toString.contains("cell"))),
       s"codes scan lost its cell partition pruning:\n${qe.sparkPlan}")
+    // degenerate literals refuse loudly instead of returning NaN
+    // garbage: the zero vector (0/0 normalization) and non-finite
+    // components (poisoned distances)
+    val dim = raw(0L).size
+    val eZero = intercept[IllegalArgumentException] {
+      AnnIndex.queryVecBatch(wh, "ann", emb,
+        Seq(1L -> Seq.fill(dim)(0.0)))
+    }
+    assert(eZero.getMessage.contains("zero vector"))
+    val eNan = intercept[IllegalArgumentException] {
+      AnnIndex.queryVecBatch(wh, "ann", emb,
+        Seq(1L -> (Double.NaN +: Seq.fill(dim - 1)(1.0))))
+    }
+    assert(eNan.getMessage.contains("non-finite"))
   }
 
   test("hybridQueryVecBatch: literal (text, vector) queries ≡ the id+terms form; tokenization is the index's own") {
