@@ -41,6 +41,11 @@ object Bench {
     // round-15 literal serving lanes: query-by-text BM25 and
     // query-by-vector ANN (full probe — the hash-checked path)
     "b2_bm25_text_wh", "b3_ann_vec_full_wh",
+    // round-15 maintenance lane: BM25 through an index that lived a
+    // full lifecycle (incremental build-out, remove, OPTIMIZE — df
+    // fold + debris pack + tombstone fold); read against b2_bm25_wh —
+    // a maintained index must not serve slower than a fresh build
+    "b17_optimized_bm25_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

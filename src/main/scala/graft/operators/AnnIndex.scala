@@ -233,7 +233,35 @@ object AnnIndex {
       "m" -> m.toString,
       "k" -> k.toString,
       "vectors" -> rows(s"${idx}_codes"),
+      "codes_files" -> wh.describeDetail(s"${idx}_codes").toMap
+        .getOrElse("numFiles", "unknown"),
       "tombstones" -> rows(s"${idx}_gone"))
+  }
+
+  /** MAINTENANCE — this index's OPTIMIZE: every [[refresh]] appends
+    * its delta encoded across ALL cells, which the partitioned write
+    * lands as one small file per (touched cell, refresh) — a year of
+    * micro-deltas makes a probed cell open hundreds of files for a
+    * handful of rows each, and the probe's cost drifts from
+    * O(probed rows) toward O(open syscalls).
+    * [[Warehouse.compactSmall]] bin-packs each cell-partition's small
+    * files into ~`targetRows`-row outputs — O(debris bytes), sealed
+    * files byte-identical, the `cell=…` directory layout (and with it
+    * the manifest partition pruning every probe rides) untouched.
+    * When `source` is given, [[foldTombstones]] drops dead
+    * resurrection guards in the same pass. Neither step changes any
+    * probe's answer (codes rows are only re-binned, never recoded);
+    * each commits through its own atomic manifest swap, so a crash
+    * between them leaves a fully consistent index. Trigger signals:
+    * [[describe]]'s `codes_files` and `tombstones`. */
+  def optimize(wh: Warehouse, idx: String,
+      targetRows: Long = 1L << 20, minFileRows: Long = 1L << 16,
+      source: Option[DataFrame] = None): Seq[(String, Long)] = {
+    val codes = wh.compactSmall(s"${idx}_codes", targetRows, minFileRows)
+    val gone = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
+    Seq(
+      "codes_files_compacted" -> codes.filesCompacted.toLong,
+      "tombstones_dropped" -> gone)
   }
 
   /** MAINTENANCE: fold removal tombstones whose vector the CURRENT

@@ -160,7 +160,24 @@ object ContamGate {
       .map(_.toString).getOrElse("unknown")
     Seq(
       "gram_rows" -> gramRows,
+      "gram_files" -> wh.describeDetail(gramsTable(idx)).toMap
+        .getOrElse("numFiles", "unknown"),
       "suites" -> suites(wh, idx).count().toString)
+  }
+
+  /** MAINTENANCE — the gate's OPTIMIZE: every [[refresh]] (a new
+    * suite, or a new version of one) appends its delta digests as new
+    * small files, and a [[retire]]d suite's DV-hollowed files linger;
+    * [[Warehouse.compactSmall]] bin-packs only files under
+    * `minFileRows` LIVE rows (so retirement debris folds too) and
+    * re-establishes the digest clustering inside each rewritten file
+    * — O(debris), sealed files byte-identical, verdicts unchanged.
+    * Trigger signal: [[describe]]'s `gram_files`. */
+  def optimize(wh: Warehouse, idx: String,
+      targetRows: Long = 1L << 20,
+      minFileRows: Long = 1L << 16): Seq[(String, Long)] = {
+    val r = wh.compactSmall(gramsTable(idx), targetRows, minFileRows)
+    Seq("gram_files_compacted" -> r.filesCompacted.toLong)
   }
 
   /** Judge a delivery batch against the stored suites: one row per

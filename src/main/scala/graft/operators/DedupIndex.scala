@@ -216,12 +216,16 @@ object DedupIndex {
   def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
     def rows(t: String) =
       wh.countRows(t).map(_.toString).getOrElse("unknown")
+    def files(t: String) = wh.describeDetail(t).toMap
+      .getOrElse("numFiles", "unknown")
     val (k, bands) = params(wh, idx)
     Seq(
       "minhash_k" -> k.toString,
       "bands" -> bands.toString,
       "band_rows" -> rows(s"${idx}_bands"),
+      "band_files" -> files(s"${idx}_bands"),
       "bucket_segment_rows" -> rows(s"${idx}_buckets"),
+      "bucket_segment_files" -> files(s"${idx}_buckets"),
       "tombstones" -> rows(s"${idx}_gone"))
   }
 
@@ -277,15 +281,43 @@ object DedupIndex {
     }
   }
 
-  /** Fold accumulated bucket-min segments back to one row per bucket
-    * and restore the range clustering — the OPTIMIZE for this index
-    * (cf. [[TextIndex]]'s df segment fold). Idempotent. */
-  def optimize(wh: Warehouse, idx: String, nFiles: Int = 8): Unit =
-    wh.transaction(Seq(s"${idx}_buckets")) {
-      wh.save(s"${idx}_buckets",
-        wh.table(s"${idx}_buckets")
+  /** MAINTENANCE — this index's OPTIMIZE, three independent atomic
+    * steps none of which changes any verdict (cf.
+    * [[TextIndex.optimize]]):
+    *
+    *   1. BUCKET SEGMENT FOLD: accumulated bucket-min segments back
+    *      to one row per bucket, range clustering restored — a reader
+    *      folds segments with min either way, so the fold's output
+    *      answers identically. Idempotent.
+    *   2. BAND DEBRIS PACK: every [[admit]] appends its batch's bands
+    *      as new small files; [[Warehouse.compactSmall]] bin-packs
+    *      only files under `minFileRows` live rows and re-establishes
+    *      the bh clustering + bloom inside each — O(debris), sealed
+    *      files byte-identical.
+    *   3. TOMBSTONE FOLD (when `source` is given):
+    *      [[foldTombstones]].
+    *
+    * Trigger signals: [[describe]]'s `*_files`,
+    * `bucket_segment_rows`, and `tombstones`. Returns per-step
+    * counters. */
+  def optimize(wh: Warehouse, idx: String, nFiles: Int = 8,
+      targetRows: Long = 1L << 20, minFileRows: Long = 1L << 16,
+      source: Option[DataFrame] = None): Seq[(String, Long)] = {
+    val bkT = s"${idx}_buckets"
+    val segsBefore = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
+    wh.transaction(Seq(bkT)) {
+      wh.save(bkT,
+        wh.table(bkT)
           .groupBy("bh").agg(min("min_id").as("min_id"))
           .repartitionByRange(nFiles, col("bh")),
         clusterBy = Seq("bh"), bloomBy = Seq("bh"))
     }
+    val segsAfter = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
+    val bands = wh.compactSmall(s"${idx}_bands", targetRows, minFileRows)
+    val gone = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
+    Seq(
+      "bucket_segments_folded" -> (segsBefore - segsAfter),
+      "band_files_compacted" -> bands.filesCompacted.toLong,
+      "tombstones_dropped" -> gone)
+  }
 }

@@ -27,6 +27,18 @@ import org.apache.spark.sql.functions.col
   * the ordinary manifest swap; a crash leaves the previous complete
   * tombstone list, never a partial one (the safe direction — an
   * unfolded tombstone is wasted bytes, a LOST one is a resurrection).
+  *
+  * CALLER CONTRACT — `source` must be the index's REFRESH SOURCE:
+  * the frame (or a superset of every frame) future refresh/admit
+  * calls will be driven from. The dead-guard judgment is only sound
+  * against what can actually arrive later. In a STREAMING ingest
+  * composition the refresh source is future deliveries — NOT the
+  * base table (after a [[Forget.forgetDocs]] the base no longer
+  * carries the forgotten doc, so a base-sourced fold would drop its
+  * guard and the next replayed delivery would silently resurrect
+  * it); fold a stream's tombstones only against an upstream
+  * retention boundary the caller can assert, which is why
+  * [[Ingest.optimize]] deliberately folds none.
   */
 private[operators] object IndexMaintenance {
 

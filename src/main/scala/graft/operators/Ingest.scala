@@ -308,6 +308,56 @@ object Ingest {
           "contam_drops", "dup_drops", "landed")
     }
 
+  /** Scheduled MAINTENANCE for an ingest stream's whole storage
+    * footprint — one call folds what a long-running stream
+    * accumulates: the base table's per-trigger small files
+    * ([[Warehouse.compactSmall]]) and each configured index family's
+    * segment folds + debris packs ([[TextIndex.optimize]] /
+    * [[AnnIndex.optimize]] / [[DedupIndex.optimize]] /
+    * [[ContamGate.optimize]]). The admission ledgers already ride the
+    * per-trigger size-tiered fold; this is the companion the indexes
+    * and the base need, run on a maintenance cadence (hourly/daily),
+    * never per trigger — the df fold is O(live vocab), maintenance-
+    * priced, not trigger-priced. Every step is individually atomic
+    * and answer-preserving; a crash between steps leaves every
+    * structure consistent.
+    *
+    * TOMBSTONES ARE DELIBERATELY NOT FOLDED HERE. The fold's
+    * dead-guard judgment needs the index's REFRESH SOURCE (the frame
+    * future refreshes derive from); in the streaming composition that
+    * source is future deliveries — unknowable, and NOT the base
+    * table. Worse, after a [[Forget.forgetDocs]] the base no longer
+    * carries the forgotten doc, so a base-sourced fold would judge
+    * its guard dead and drop it — and the next delivery replaying the
+    * doc would silently resurrect it into base and indexes. Fold a
+    * stream's tombstones only against an upstream retention boundary
+    * the caller can actually assert ("the crawler never re-delivers
+    * docs older than X"), via the per-index foldTombstones.
+    *
+    * Single-maintainer contract: schedule between triggers (or from
+    * the stream's own foreachBatch cadence, which serializes
+    * naturally); do not race a live trigger. Returns per-step
+    * counters, index-qualified. */
+  def optimize(wh: Warehouse, table: String,
+      textIdx: Option[String] = None, annIdx: Option[String] = None,
+      dedupIdx: Option[String] = None, contamIdx: Option[String] = None,
+      targetRows: Long = 1L << 20,
+      minFileRows: Long = 1L << 16): Seq[(String, Long)] = {
+    val base = wh.compactSmall(table, targetRows, minFileRows)
+    def tagged(i: String, kv: Seq[(String, Long)]) =
+      kv.filterNot(_._1 == "tombstones_dropped")
+        .map { case (k, v) => s"$i.$k" -> v }
+    Seq(s"$table.files_compacted" -> base.filesCompacted.toLong) ++
+      textIdx.toSeq.flatMap(i => tagged(i, TextIndex.optimize(wh, i,
+        targetRows = targetRows, minFileRows = minFileRows))) ++
+      annIdx.toSeq.flatMap(i => tagged(i, AnnIndex.optimize(wh, i,
+        targetRows, minFileRows))) ++
+      dedupIdx.toSeq.flatMap(i => tagged(i, DedupIndex.optimize(wh, i,
+        targetRows = targetRows, minFileRows = minFileRows))) ++
+      contamIdx.toSeq.flatMap(i => tagged(i, ContamGate.optimize(wh, i,
+        targetRows, minFileRows)))
+  }
+
   /** Drive a streaming frame of documents (doc_id, text, …[, embedding])
     * through [[ingestBatch]] — base + indexes advance together, one
     * transaction per trigger. Bootstrap the indexes first

@@ -864,7 +864,15 @@ object TextAnalysis {
   /** DuckDB rendering of [[bm25TopK]] over `documents` — the same
     * expression shapes in the same order, so every double operation is
     * IEEE-identical and round(6) only has libm-ln ulps to absorb. */
-  def bm25OracleSql(terms: Seq[String], k: Int): String = {
+  def bm25OracleSql(terms: Seq[String], k: Int,
+      excludeIds: Seq[Long] = Nil): String = {
+    // excludeIds: recompute over the corpus MINUS these docs — n,
+    // sum_dl, and every df shrink with them, so this is the oracle
+    // for an index that has remove()d them (the b17 lane)
+    val from =
+      if (excludeIds.isEmpty) "documents"
+      else s"(SELECT * FROM documents WHERE doc_id NOT IN " +
+        s"(${excludeIds.mkString(", ")}))"
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"cast(len(list_filter(ts, x -> x = '$t')) AS BIGINT) AS tf$i"
     }.mkString(",\n    ")
@@ -882,7 +890,7 @@ object TextAnalysis {
        |    $tfCols
        |  FROM (SELECT doc_id,
        |          regexp_split_to_array(trim(lower(text)), '\\s+') AS ts
-       |        FROM documents)),
+       |        FROM $from)),
        |stats AS (
        |  SELECT cast(count(*) AS BIGINT) AS n,
        |    cast(sum(dl) AS BIGINT) AS sum_dl,

@@ -259,17 +259,89 @@ object TextIndex {
     * postings cardinalities are per-file row counts the manifest
     * already carries (DV-aware — removals subtract), so no postings
     * file is ever opened. Tombstone count is the [[foldTombstones]]
-    * trigger signal. */
+    * trigger signal; the `*_files` counts (manifest file-list sizes)
+    * are [[optimize]]'s — every refresh appends small delta files and
+    * df segments, and these numbers growing is the signal the debris
+    * pack and the df major fold answer. */
   def describe(wh: Warehouse, idx: String): Seq[(String, String)] = {
     def rows(t: String) =
       wh.countRows(t).map(_.toString).getOrElse("unknown")
+    def files(t: String) = wh.describeDetail(t).toMap
+      .getOrElse("numFiles", "unknown")
     val st = wh.table(s"${idx}_stats").first()
     Seq(
       "docs" -> st.getLong(0).toString,
       "sum_doc_len" -> st.getLong(1).toString,
       "postings_rows" -> rows(s"${idx}_postings"),
+      "postings_files" -> files(s"${idx}_postings"),
       "df_segment_rows" -> rows(s"${idx}_df"),
+      "df_segment_files" -> files(s"${idx}_df"),
       "tombstones" -> rows(s"${idx}_gone"))
+  }
+
+  /** MAINTENANCE — this index's OPTIMIZE, run from the same scheduled
+    * job that compacts the base tables. Three independent, each
+    * individually atomic steps, none of which changes any query's
+    * answer:
+    *
+    *   1. df MAJOR FOLD (the LSM compaction the segment design
+    *      defers): [[refresh]] appends one additive segment row per
+    *      delta term and [[remove]] appends negative ones, so
+    *      `<idx>_df` grows by O(delta vocab) per maintenance event
+    *      FOREVER without this; the fold rewrites it to ONE row per
+    *      live term (net df > 0), range-split + term-clustered +
+    *      bloomed exactly like [[build]]'s layout. A query sums its
+    *      terms' segments either way — the fold's input and output
+    *      sum identically per term — so scores are unchanged
+    *      (spec-asserted bit-for-bit, and hash-checked cross-engine
+    *      in the b17 lane). Skipped when already folded: equal
+    *      row counts imply every term has exactly one (positive)
+    *      segment — a lone negative segment cannot exist, remove only
+    *      appends negatives where positives already do.
+    *   2. POSTINGS/DOCLEN DEBRIS PACK: every refresh appends its
+    *      delta as new small files; [[Warehouse.compactSmall]]
+    *      bin-packs only files under `minFileRows` live rows into
+    *      ~`targetRows`-row outputs and re-establishes the term
+    *      clustering + bloom sketches inside each rewritten file —
+    *      O(debris bytes), a pure function of the accumulated deltas,
+    *      never of the index; sealed files stay byte-identical.
+    *   3. TOMBSTONE FOLD (when `source` is given): [[foldTombstones]]
+    *      against the current base corpus.
+    *
+    * Crash safety between steps: each commits through its own
+    * manifest swap, and the index answers every query identically
+    * after any prefix of the three — there is no cross-step
+    * invariant, which is why this is NOT one transaction (and why a
+    * scheduler can safely re-run it; every step is idempotent).
+    * Trigger signals: [[describe]]'s `*_files`, `df_segment_rows` vs
+    * live vocab, and `tombstones`. Returns per-step counters. */
+  def optimize(wh: Warehouse, idx: String, nFiles: Int = 8,
+      targetRows: Long = 1L << 20, minFileRows: Long = 1L << 16,
+      source: Option[DataFrame] = None): Seq[(String, Long)] = {
+    val dfT = s"${idx}_df"
+    val segsBefore = wh.countRows(dfT).getOrElse(wh.table(dfT).count())
+    // pinned: the overwrite below replaces the very table this reads
+    val folded = wh.table(dfT)
+      .groupBy("term").agg(sum(col("df")).as("df"))
+      .filter(col("df") > 0)
+      .localCheckpoint()
+    val segsAfter =
+      try {
+        val n = folded.count()
+        if (n < segsBefore) wh.transaction(Seq(dfT)) {
+          wh.save(dfT, folded.repartitionByRange(nFiles, col("term")),
+            clusterBy = Seq("term"), bloomBy = Seq("term"))
+        }
+        n
+      } finally { folded.unpersist(); () }
+    val post = wh.compactSmall(s"${idx}_postings", targetRows, minFileRows)
+    val dlen = wh.compactSmall(s"${idx}_doclen", targetRows, minFileRows)
+    val goneDropped = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
+    Seq(
+      "df_segments_folded" -> (segsBefore - segsAfter),
+      "postings_files_compacted" -> post.filesCompacted.toLong,
+      "doclen_files_compacted" -> dlen.filesCompacted.toLong,
+      "tombstones_dropped" -> goneDropped)
   }
 
   /** BM25 top-k over the STORED index: `term IN (…)` file-skips the

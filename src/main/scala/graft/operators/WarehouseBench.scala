@@ -622,6 +622,23 @@ object WarehouseBench {
         .orderBy("suite")
     }),
 
+    // b17 — the MAINTAINED index, hash-checked end-to-end: build on a
+    // quarter of the corpus, three incremental refreshes, a remove,
+    // then OPTIMIZE (the df LSM major fold + postings/doclen debris
+    // pack + tombstone fold against a base that still carries the
+    // removed docs, so the tombstones correctly SURVIVE) — and the
+    // optimized index must still reproduce DuckDB's from-scratch BM25
+    // over the surviving corpus bit-for-bit. This is the lane that
+    // hash-checks the whole maintenance lifecycle cross-engine: if the
+    // fold ever lost a segment, double-counted a df, resurrected a
+    // removed doc, or the debris pack dropped a postings row, this
+    // row goes red.
+    Q("b17_optimized_bm25_wh",
+      Some(TextAnalysis.bm25OracleSql(TextAnalysis.bm25Query, 10,
+        excludeIds = b17Removed)),
+      (s, d) => TextIndex.query(optimizedIndexed(s, d), "ti_o",
+        TextAnalysis.bm25Query, 10)),
+
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(
         TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
@@ -727,6 +744,35 @@ object WarehouseBench {
   private def textIndexed(s: SparkSession, d: String): Warehouse =
     memoized(tiCache, "graft_tibench")(
       w => TextIndex.build(w, "ti_b", T.documents(s, d)))(s, d)
+
+  /** b17's removed doc ids — present at every testdata sf (they index
+    * in the r=3 refresh below: 3 % 4 = 7 % 4 = 3). Shared with the
+    * oracle's exclusion list. A def, not a val: the lane list above
+    * references it during object init. */
+  private def b17Removed = Seq(3L, 7L)
+
+  private val optCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  /** b17's maintained index: incremental build-out (a quarter per
+    * step, each refresh's anti-join re-screening the already-indexed
+    * residues), a right-to-be-forgotten remove, then the full
+    * OPTIMIZE. The tombstone fold runs against the FULL corpus — it
+    * still carries the removed docs, so their guards are live and
+    * must survive (and the lane's oracle proves they kept the docs
+    * out). */
+  private def optimizedIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(optCache, "graft_optbench") { w =>
+      val docs = T.documents(s, d)
+      TextIndex.build(w, "ti_o", docs.filter(col("doc_id") % 4 === 0))
+      (1 to 3).foreach { r =>
+        TextIndex.refresh(w, "ti_o", docs.filter(col("doc_id") % 4 <= r))
+        ()
+      }
+      TextIndex.remove(w, "ti_o", b17Removed)
+      TextIndex.optimize(w, "ti_o", source = Some(docs))
+      ()
+    }(s, d)
 
   private def annIndexed(s: SparkSession, d: String): Warehouse =
     memoized(annCache, "graft_annbench")(

@@ -145,6 +145,13 @@ object GraftSqlParser {
   private val DescIdx =
     ("""(?is)^\s*DESCRIBE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX""" +
       """\s+([\w]+)\s*;?\s*$""").r
+  // index maintenance: fold accumulated LSM segments (df / bucket
+  // mins), bin-pack refresh/admit debris files, and (with ON) fold
+  // dead removal tombstones against the named base table — each
+  // family's optimize(); answers are provably unchanged
+  private val OptimizeIdx =
+    ("""(?is)^\s*OPTIMIZE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX""" +
+      """\s+([\w]+)(?:\s+ON\s+([\w]+))?\s*;?\s*$""").r
   // retrieval-index SERVING from SQL — the literal front door: the
   // query arrives as a raw string / a literal vector (a live query is
   // unseen by definition), goes through the index's OWN tokenizer /
@@ -646,6 +653,39 @@ object GraftSqlParser {
                   graft.operators.ContamGate.describe(wh, idx)
                 else graft.operators.AnnIndex.describe(wh, idx)
               kv.map { case (k0, v0) => Row(k0, v0) }
+          }
+        }
+      case OptimizeIdx(kind, idx, src) =>
+        val anchor =
+          if (kind.equalsIgnoreCase("SEARCH")) s"${idx}_postings"
+          else if (kind.equalsIgnoreCase("DEDUP")) s"${idx}_bands"
+          else if (kind.equalsIgnoreCase("CONTAM")) s"${idx}_grams"
+          else s"${idx}_codes"
+        boundTable(session, anchor).map { wh =>
+          cmd(session, attrs("metric" -> StringType,
+              "value" -> org.apache.spark.sql.types.LongType)) { _ =>
+            val source = Option(src).map { t =>
+              require(wh.hasTable(t),
+                s"OPTIMIZE $kind INDEX $idx ON $t: no such table in " +
+                  "this index's warehouse — the tombstone fold needs " +
+                  "the index's own base table")
+              wh.table(t)
+            }
+            require(source.isEmpty || !kind.equalsIgnoreCase("CONTAM"),
+              "OPTIMIZE CONTAM INDEX takes no ON table — the gate has " +
+                "no removal tombstones (suites retire, docs don't)")
+            val kv =
+              if (kind.equalsIgnoreCase("SEARCH"))
+                graft.operators.TextIndex.optimize(wh, idx,
+                  source = source)
+              else if (kind.equalsIgnoreCase("DEDUP"))
+                graft.operators.DedupIndex.optimize(wh, idx,
+                  source = source)
+              else if (kind.equalsIgnoreCase("CONTAM"))
+                graft.operators.ContamGate.optimize(wh, idx)
+              else graft.operators.AnnIndex.optimize(wh, idx,
+                source = source)
+            kv.map { case (k0, v0) => Row(k0, v0) }
           }
         }
       case SearchIdx(idx, text, k) =>

@@ -699,4 +699,43 @@ class AnnIndexSpec extends AnyFunSuite {
       .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq
     assert(got == expect, s"filtered fusion diverged:\ngot=$got\nexp=$expect")
   }
+
+  test("optimize: per-cell debris pack + tombstone fold; probes byte-identical; cell pruning survives") {
+    val wh = new Warehouse(spark, tmp("ann_opt"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb.filter(col("vec_id") < 400))
+    // micro-deltas: each refresh appends one small file per touched
+    // cell — the accumulation optimize exists to fold
+    Seq(450L, 800L, 1200L, 2000L).foreach { hi =>
+      AnnIndex.refresh(wh, "ann", emb.filter(col("vec_id") < hi)); ()
+    }
+    AnnIndex.remove(wh, "ann", Seq(5L))
+    def files() = AnnIndex.describe(wh, "ann").toMap
+      .apply("codes_files").toInt
+    val f0 = files()
+    val queries = Seq(0L, 7L, 42L)
+    val before = AnnIndex.queryBatch(wh, "ann", emb, queries)
+      .collect().toSeq
+    // source still carries vec 5 -> its guard survives the fold
+    val r = AnnIndex.optimize(wh, "ann", source = Some(emb)).toMap
+    assert(r("codes_files_compacted") > 0L, "no debris packed")
+    assert(r("tombstones_dropped") == 0L)
+    assert(files() < f0, s"codes files did not shrink: $f0 -> ${files()}")
+    assert(AnnIndex.queryBatch(wh, "ann", emb, queries)
+      .collect().toSeq == before, "optimize changed probe answers")
+    // the cell=… layout (and the probe's partition pruning) survives:
+    // every packed file still lives under exactly one cell directory
+    val cell0 = wh.table("ann_codes").select("cell").first().getInt(0)
+    val inCell = wh.table("ann_codes").filter(col("cell") === cell0)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(inCell.nonEmpty && inCell.forall(_.contains(s"cell=$cell0")),
+      "debris pack broke the cell partition layout")
+    // removal still effective after the pack + fold
+    assert(AnnIndex.refresh(wh, "ann", emb) ==
+      emb.filter(col("vec_id") >= 2000L).count(),
+      "refresh after optimize mis-sized its delta")
+    assert(wh.table("ann_codes").filter(col("vec_id") === 5L).isEmpty,
+      "optimize resurrected a removed vector")
+  }
 }

@@ -62,8 +62,16 @@ class DedupIndexSpec extends AnyFunSuite {
     pre.foreach { case (t, v) =>
       assert(wh.tableVersions(t) == v, s"replay advanced $t")
     }
-    // optimize folds segments without changing answers
-    DedupIndex.optimize(wh, "di")
+    // optimize folds segments + packs band debris without changing
+    // answers; its counters account for both exactly
+    val segsBefore = wh.table("di_buckets").count()
+    val distinctBh = wh.table("di_buckets").select("bh").distinct().count()
+    val bandFiles0 = DedupIndex.describe(wh, "di").toMap.apply("band_files").toInt
+    val opt = DedupIndex.optimize(wh, "di", source = Some(docs)).toMap
+    assert(opt("bucket_segments_folded") == segsBefore - distinctBh)
+    assert(opt("tombstones_dropped") == 0L)
+    assert(DedupIndex.describe(wh, "di").toMap.apply("band_files").toInt
+      < bandFiles0, "band debris pack bought nothing")
     assert(wh.table("di_buckets").groupBy("bh")
       .agg(count(lit(1)).as("n")).filter(col("n") > 1).isEmpty)
     assert(triples(DedupIndex.verdicts(wh, "di", docs)) == want)

@@ -396,4 +396,46 @@ class IngestSpec extends AnyFunSuite {
         s"trial $trial: per-gate totals off: ${led.toSeq}")
     }
   }
+
+  test("Ingest.optimize: one maintenance call folds the stream's whole footprint; answers unchanged; tombstones untouched") {
+    val wh = bootstrap("ingest_opt")
+    // two landed triggers leave per-trigger debris in base + indexes
+    assert(Ingest.ingestBatch(wh, "docs", frame(b1), 1L,
+      textIdx = Some("ti"), annIdx = Some("ann")))
+    assert(Ingest.ingestBatch(wh, "docs", frame(b2), 2L,
+      textIdx = Some("ti"), annIdx = Some("ann")))
+    // a forgotten doc: its guards must survive ANY maintenance —
+    // the next delivery may replay it
+    graft.operators.Forget.forgetDocs(wh, "docs", Seq(35L),
+      textIdx = Seq("ti"), annIdx = Seq("ann"))
+    consistent(wh)
+    val baseFiles0 = wh.describeDetail("docs").toMap.apply("numFiles").toInt
+    val terms = TextAnalysis.bm25Query
+    val before = TextIndex.query(wh, "ti", terms, 50).collect().toSeq
+    val r = Ingest.optimize(wh, "docs", textIdx = Some("ti"),
+      annIdx = Some("ann")).toMap
+    assert(r("docs.files_compacted") > 0L &&
+      wh.describeDetail("docs").toMap.apply("numFiles").toInt < baseFiles0,
+      s"base debris not folded: $r")
+    assert(r.contains("ti.df_segments_folded") &&
+      r("ti.df_segments_folded") > 0L, s"df segments not folded: $r")
+    assert(r.contains("ann.codes_files_compacted"))
+    // NO tombstone key and NO tombstone movement: the stream's guards
+    // are not foldable against the base (the resurrection argument)
+    assert(!r.keys.exists(_.endsWith("tombstones_dropped")))
+    assert(wh.table("ti_gone").count() == 1L &&
+      wh.table("ann_gone").count() == 1L,
+      "Ingest.optimize touched right-to-be-forgotten guards")
+    // answers byte-identical and stored ≡ scan still holds (the
+    // replay-resurrection guard itself is pinned per-index in
+    // TextIndexSpec/AnnIndexSpec — what matters HERE is that the
+    // stream's maintenance left it armed)
+    assert(TextIndex.query(wh, "ti", terms, 50).collect().toSeq == before)
+    consistent(wh)
+    // the batchId fence rode the base compaction: a replay of the
+    // last committed trigger is still a no-op, not a double-land
+    assert(!Ingest.ingestBatch(wh, "docs", frame(b2), 2L,
+      textIdx = Some("ti"), annIdx = Some("ann")),
+      "base compaction lost the stream high-water mark")
+  }
 }

@@ -349,4 +349,58 @@ class TextIndexSpec extends AnyFunSuite {
     assert(wh.table("ti_gone").count() == 1,
       "tombstones accumulated across remove/fold cycles")
   }
+
+  test("optimize: df major fold + debris pack + tombstone fold; answers byte-identical; ≡ from-scratch build on the surviving corpus") {
+    val wh = new Warehouse(spark, tmp("ti_opt"))
+    val docs = Tables.documents(spark, sf)
+    // the b17 lifecycle: incremental build-out, then a removal
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") % 4 === 0))
+    (1 to 3).foreach { r =>
+      TextIndex.refresh(wh, "ti", docs.filter(col("doc_id") % 4 <= r))
+      ()
+    }
+    TextIndex.remove(wh, "ti", Seq(3L, 7L))
+    def desc() = TextIndex.describe(wh, "ti").toMap
+    val d0 = desc()
+    // segments really accumulated: more df rows than live terms
+    val liveTerms = wh.table("ti_df").groupBy("term")
+      .agg(sum("df").as("df")).filter(col("df") > 0).count()
+    assert(d0("df_segment_rows").toLong > liveTerms,
+      "fixture produced no df segments — the fold has nothing to prove")
+    val before = TextIndex.query(wh, "ti", terms, 30).collect().toSeq
+    val beforeBatch = TextIndex.queryBatch(wh, "ti",
+      Seq((1L, terms), (2L, Seq(terms.head))), 20).collect().toSeq
+    // source = the FULL corpus (still carries 3 and 7): guards live
+    val r1 = TextIndex.optimize(wh, "ti", source = Some(docs)).toMap
+    assert(r1("df_segments_folded") ==
+      d0("df_segment_rows").toLong - liveTerms)
+    assert(r1("tombstones_dropped") == 0L)
+    val d1 = desc()
+    assert(d1("df_segment_rows").toLong == liveTerms)
+    assert(d1("postings_files").toInt < d0("postings_files").toInt,
+      s"debris pack bought nothing: ${d0("postings_files")} -> " +
+        d1("postings_files"))
+    assert(d1("tombstones") == "2")
+    // answers byte-identical through both serving paths
+    assert(TextIndex.query(wh, "ti", terms, 30).collect().toSeq
+      == before, "optimize changed single-query answers")
+    assert(TextIndex.queryBatch(wh, "ti",
+      Seq((1L, terms), (2L, Seq(terms.head))), 20).collect().toSeq
+      == beforeBatch, "optimize changed batch answers")
+    // removal still effective: a refresh from the full corpus
+    // resurrects nothing
+    assert(TextIndex.refresh(wh, "ti", docs) == 0L)
+    // idempotent: a second run folds nothing and rewrites nothing
+    val dfDetail0 = wh.describeDetail("ti_df").toMap.apply("version")
+    val r2 = TextIndex.optimize(wh, "ti", source = Some(docs)).toMap
+    assert(r2("df_segments_folded") == 0L)
+    assert(wh.describeDetail("ti_df").toMap.apply("version") == dfDetail0,
+      "an already-folded df table was rewritten anyway")
+    // the maintained index ≡ a from-scratch build on the survivors
+    val whRef = new Warehouse(spark, tmp("ti_optref"))
+    TextIndex.build(whRef, "ti", docs.filter(!col("doc_id").isin(3L, 7L)))
+    assert(TextIndex.query(wh, "ti", terms, 30).collect().toSeq ==
+      TextIndex.query(whRef, "ti", terms, 30).collect().toSeq,
+      "maintained index diverged from a from-scratch build")
+  }
 }

@@ -535,6 +535,49 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ann2("vectors") == (emb.count() - 3).toString)
   }
 
+  test("OPTIMIZE <kind> INDEX: SQL maintenance — segments fold, debris packs, answers unchanged; CONTAM refuses ON") {
+    val dir = tmp("sql_optidx")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs.filter(col("doc_id") < 300))
+    wh.save("vectors", emb)
+    spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    spark.sql("CREATE VECTOR INDEX ann ON vectors").collect()
+    spark.sql("CREATE DEDUP INDEX di ON docs").collect()
+    spark.sql("CREATE CONTAM INDEX cg ON docs").collect()
+    // grow every index incrementally so there is debris to fold
+    wh.append("docs", docs.filter(col("doc_id") >= 300))
+    spark.sql("REFRESH SEARCH INDEX ti FROM docs").collect()
+    spark.sql("REFRESH DEDUP INDEX di FROM docs").collect()
+    spark.sql("REFRESH CONTAM INDEX cg FROM docs SUITE 'v2'").collect()
+    graft.operators.TextIndex.remove(wh, "ti", Seq(3L))
+    val q = "SEARCH INDEX ti FOR 'vector stream merge' TOP 10"
+    val before = spark.sql(q).collect().toSeq
+    assert(before.nonEmpty, "fixture query must match documents")
+    def opt(sql: String): Map[String, Long] =
+      spark.sql(sql).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val ti = opt("OPTIMIZE SEARCH INDEX ti ON docs")
+    assert(ti("df_segments_folded") > 0L &&
+      ti("postings_files_compacted") > 0L)
+    assert(ti("tombstones_dropped") == 0L,
+      "docs still carries doc 3 — its guard must survive")
+    assert(spark.sql(q).collect().toSeq == before,
+      "SQL OPTIMIZE changed search answers")
+    val ann = opt("OPTIMIZE VECTOR INDEX ann")
+    assert(ann.contains("codes_files_compacted"))
+    val di = opt("OPTIMIZE DEDUP INDEX di ON docs")
+    assert(di.contains("bucket_segments_folded"))
+    val cg = opt("OPTIMIZE CONTAM INDEX cg")
+    assert(cg("gram_files_compacted") > 0L,
+      "the v2 suite refresh left gram debris to pack")
+    intercept[Exception] {
+      spark.sql("OPTIMIZE CONTAM INDEX cg ON docs").collect()
+    }
+  }
+
   test("SEARCH / VECTOR SEARCH / HYBRID SEARCH: the literal serving front door from SQL ≡ the API paths") {
     val dir = tmp("sql_serve")
     val wh = new Warehouse(spark, dir)
