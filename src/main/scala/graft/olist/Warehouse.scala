@@ -3395,6 +3395,71 @@ class Warehouse(val spark: SparkSession, basePath: String,
     cut.map { case (n, v) => n -> tableAt(n, v) }.toMap
   }
 
+  /** [[snapshotTables]] AS OF a past instant — the reproducibility
+    * read ("what did these tables jointly say at T?"): each table
+    * resolves to its latest commit at or before `ts`
+    * ([[tableAtTime]]'s rule), and the cut is then VERIFIED whole
+    * against every cross-table transaction any of these tables ever
+    * committed under — a transaction's member versions carry their
+    * own wall-clock stamps, so an instant falling INSIDE a
+    * transaction's commit window would naively include its writes in
+    * some tables and not others (exactly the torn read the live
+    * [[snapshotTables]] precludes by construction). Such an instant
+    * REFUSES loudly rather than serving a cut no live reader could
+    * ever have seen; pick an instant outside the window (per-version
+    * timestamps are in DESCRIBE HISTORY, and commit windows are
+    * milliseconds wide). Cost: one meta-block read per retained
+    * version per table — the audit/debug path's price, not a serving
+    * path. Vacuum truncates how far back this can reach (retention
+    * policy, as everywhere). */
+  def snapshotTablesAt(names: Seq[String],
+      ts: java.time.Instant): Map[String, DataFrame] = {
+    require(database.isEmpty,
+      "snapshotTablesAt applies to path-mode tables only")
+    require(names.nonEmpty, "snapshotTablesAt: no tables")
+    def stampOf(n: String, v: Long): Option[java.time.Instant] =
+      metaOfVersion(n, v).get(TimeMeta)
+        .flatMap(s => scala.util.Try(java.time.Instant.parse(s)).toOption)
+    val resolved: Map[String, Long] = names.map { n =>
+      val versions = tableVersions(n)
+      require(versions.nonEmpty,
+        s"snapshotTablesAt: $n has no committed snapshot")
+      val at = versions.reverse
+        .find(v => stampOf(n, v).exists(!_.isAfter(ts)))
+        .getOrElse(throw new IllegalArgumentException(
+          s"snapshotTablesAt: $n has no version committed at or " +
+            s"before $ts"))
+      n -> at
+    }.toMap
+    // whole-transaction check: for each txn id tagged anywhere in
+    // these tables' histories, the cut must sit entirely at-or-above
+    // that txn's versions (included) or entirely below (excluded) in
+    // EVERY member table — per-table version spans included
+    val txnSpan: Map[String, Map[String, (Long, Long)]] = names.map { n =>
+      n -> tableVersions(n)
+        .flatMap(v => metaOfVersion(n, v).get(TxnMeta).map(_ -> v))
+        .groupBy(_._1)
+        .map { case (t, vs) =>
+          t -> (vs.map(_._2).min, vs.map(_._2).max)
+        }
+    }.toMap
+    txnSpan.values.flatMap(_.keys).toSet[String].foreach { t =>
+      val members = names.filter(n => txnSpan(n).contains(t))
+      val states = members.map { n =>
+        val (lo, hi) = txnSpan(n)(t)
+        if (resolved(n) >= hi) "included"
+        else if (resolved(n) < lo) "excluded"
+        else "split"
+      }.toSet
+      require(states == Set("included") || states == Set("excluded"),
+        s"snapshotTablesAt: $ts falls inside cross-table transaction " +
+          s"$t's commit window over ${members.mkString(", ")} — the " +
+          "cut would tear it; pick an instant outside the window " +
+          "(per-version timestamps: DESCRIBE HISTORY)")
+    }
+    resolved.map { case (n, v) => n -> tableAt(n, v) }
+  }
+
   /** Explicit-version surfaces (time travel, restore, clone) must not
     * resolve a version an uncommitted cross-table transaction
     * committed — tableVersions hides the tagged tail, but a caller

@@ -208,6 +208,18 @@ object AnnIndex {
     snap(_)
   }
 
+  /** REPRODUCIBLE serving — [[TextIndex.servingSnapshotAt]]'s dense
+    * twin: the probe surface AS OF a past instant, whole-transaction
+    * verified ([[Warehouse.snapshotTablesAt]] — a [[retrain]]'s three
+    * commits can never be torn by an instant inside their window; it
+    * refuses instead). Feed to [[queryVecBatchOn]] to re-ask
+    * yesterday's index yesterday's question. */
+  def servingSnapshotAt(wh: Warehouse, idx: String,
+      ts: java.time.Instant): String => DataFrame = {
+    val snap = wh.snapshotTablesAt(servingTables(idx), ts)
+    snap(_)
+  }
+
   /** [[remove]]'s body without the transaction wrapper — for callers
     * composing into a wider atomic unit ([[Forget.forgetDocs]]). */
   private[operators] def removeBody(wh: Warehouse, idx: String,
@@ -507,6 +519,18 @@ object AnnIndex {
       textIdx: String): String => DataFrame = {
     val snap = wh.snapshotTables(
       servingTables(annIdx) ++ TextIndex.servingTables(textIdx))
+    snap(_)
+  }
+
+  /** [[hybridSnapshot]] AS OF a past instant — both indexes' seven
+    * serving tables resolved to one whole-transaction-verified
+    * historical cut ([[Warehouse.snapshotTablesAt]]); feed to
+    * [[hybridQueryVecBatchOn]] to reproduce a past fused answer
+    * exactly. */
+  def hybridSnapshotAt(wh: Warehouse, annIdx: String, textIdx: String,
+      ts: java.time.Instant): String => DataFrame = {
+    val snap = wh.snapshotTablesAt(
+      servingTables(annIdx) ++ TextIndex.servingTables(textIdx), ts)
     snap(_)
   }
 

@@ -305,18 +305,30 @@ object DedupIndex {
       source: Option[DataFrame] = None): Seq[(String, Long)] = {
     val bkT = s"${idx}_buckets"
     val segsBefore = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
-    wh.transaction(Seq(bkT)) {
-      wh.save(bkT,
-        wh.table(bkT)
-          .groupBy("bh").agg(min("min_id").as("min_id"))
-          .repartitionByRange(nFiles, col("bh")),
-        clusterBy = Seq("bh"), bloomBy = Seq("bh"))
-    }
-    val segsAfter = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
+    // pinned: the overwrite below replaces the very table this reads.
+    // The fold is skipped when already folded (equal counts mean one
+    // row per bucket — segments only ever ADD rows per bucket), so a
+    // scheduled re-run never rewrites the O(buckets) table for
+    // nothing; the debris pack below still folds small bucket files
+    // an admit appended since.
+    val folded = wh.table(bkT)
+      .groupBy("bh").agg(min("min_id").as("min_id"))
+      .localCheckpoint()
+    val segsAfter =
+      try {
+        val n = folded.count()
+        if (n < segsBefore) wh.transaction(Seq(bkT)) {
+          wh.save(bkT, folded.repartitionByRange(nFiles, col("bh")),
+            clusterBy = Seq("bh"), bloomBy = Seq("bh"))
+        }
+        n
+      } finally { folded.unpersist(); () }
+    val buckets = wh.compactSmall(bkT, targetRows, minFileRows)
     val bands = wh.compactSmall(s"${idx}_bands", targetRows, minFileRows)
     val gone = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
     Seq(
       "bucket_segments_folded" -> (segsBefore - segsAfter),
+      "bucket_files_compacted" -> buckets.filesCompacted.toLong,
       "band_files_compacted" -> bands.filesCompacted.toLong,
       "tombstones_dropped" -> gone)
   }

@@ -240,6 +240,24 @@ object TextIndex {
     snap(_)
   }
 
+  /** REPRODUCIBLE serving: the index's read surface AS OF a past
+    * instant — "what did this index answer yesterday at 14:07?" is a
+    * question every served-result incident eventually asks, and the
+    * live tables cannot answer it once a refresh lands. The cut is
+    * [[Warehouse.snapshotTablesAt]]: per-table time travel VERIFIED
+    * whole against every cross-table transaction (a refresh's four
+    * commits land milliseconds apart; an instant inside that window
+    * refuses loudly rather than scoring post-commit postings against
+    * pre-commit stats — a state no live reader ever saw). Pass the
+    * result anywhere a `…On` form takes a read surface
+    * ([[queryOn]], [[queryBatchOn]]); vacuum retention bounds the
+    * reach back. */
+  def servingSnapshotAt(wh: Warehouse, idx: String,
+      ts: java.time.Instant): String => DataFrame = {
+    val snap = wh.snapshotTablesAt(servingTables(idx), ts)
+    snap(_)
+  }
+
   /** MAINTENANCE: fold removal tombstones whose doc the CURRENT base
     * `source` no longer carries — the resurrection guard they provided
     * is dead (a refresh from this source cannot re-index the doc), and

@@ -403,4 +403,26 @@ class TextIndexSpec extends AnyFunSuite {
       TextIndex.query(whRef, "ti", terms, 30).collect().toSeq,
       "maintained index diverged from a from-scratch build")
   }
+
+  test("servingSnapshotAt: a past answer reproduces exactly; commits after the instant are invisible") {
+    val wh = new Warehouse(spark, tmp("ti_asof"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") < 250))
+    val past = TextIndex.query(wh, "ti", terms, 20).collect().toSeq
+    Thread.sleep(20)
+    val t1 = java.time.Instant.now()
+    Thread.sleep(20)
+    TextIndex.refresh(wh, "ti", docs)
+    val now = TextIndex.query(wh, "ti", terms, 20).collect().toSeq
+    assert(now != past,
+      "fixture: the refresh must change the served answer")
+    // the incident question — "what did the index answer at t1?" —
+    // replays bit-for-bit through the historical cut, even though
+    // the live index has moved on
+    val replay = TextIndex.queryOn(
+      TextIndex.servingSnapshotAt(wh, "ti", t1), "ti", terms, 20)
+      .collect().toSeq
+    assert(replay == past,
+      "historical serving cut failed to reproduce the past answer")
+  }
 }

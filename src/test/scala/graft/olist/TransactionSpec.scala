@@ -326,4 +326,43 @@ class TransactionSpec extends AnyFunSuite {
     val snap2 = wh.snapshotTables(Seq("fact", "dim"))
     assert(snap2("fact").count() == 2 && snap2("dim").count() == 2)
   }
+
+  test("snapshotTablesAt: a historical cut is whole-transaction verified; an instant inside a commit window refuses") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_txn_snapat"))
+    wh.save("fct", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("dm", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    Thread.sleep(20)
+    val t1 = java.time.Instant.now()
+    Thread.sleep(20)
+    // a cross-table transaction whose member commits land at
+    // measurably different wall-clock instants — the window the
+    // tear check must detect
+    wh.transaction(Seq("fct", "dm")) {
+      wh.append("fct", Seq((2L, 20L)).toDF("k", "v").coalesce(1))
+      Thread.sleep(80)
+      wh.append("dm", Seq((2L, "b")).toDF("k", "name").coalesce(1))
+    }
+    // at t1 (before the transaction): the old world on BOTH tables
+    val s1 = wh.snapshotTablesAt(Seq("fct", "dm"), t1)
+    assert(s1("fct").count() == 1 && s1("dm").count() == 1)
+    // now: the post-transaction world on both
+    val s2 = wh.snapshotTablesAt(Seq("fct", "dm"),
+      java.time.Instant.now())
+    assert(s2("fct").count() == 2 && s2("dm").count() == 2)
+    // an instant INSIDE the window — at fct's commit stamp, before
+    // dm's — would include the transaction on fct only: refused
+    val fctStamp = java.time.Instant
+      .parse(wh.history("fct").last.committedAt)
+    val dmStamp = java.time.Instant
+      .parse(wh.history("dm").last.committedAt)
+    assert(fctStamp.isBefore(dmStamp), "fixture needs a real window")
+    val torn = intercept[IllegalArgumentException] {
+      wh.snapshotTablesAt(Seq("fct", "dm"), fctStamp)
+    }
+    assert(torn.getMessage.contains("commit window"), torn.getMessage)
+    // a single-table read at the same instant is fine (no tear
+    // possible with one member in the cut… of a one-table list)
+    assert(wh.snapshotTablesAt(Seq("fct"), fctStamp)("fct").count() == 2)
+  }
 }
