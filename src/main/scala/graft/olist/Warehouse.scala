@@ -3417,18 +3417,28 @@ class Warehouse(val spark: SparkSession, basePath: String,
     require(database.isEmpty,
       "snapshotTablesAt applies to path-mode tables only")
     require(names.nonEmpty, "snapshotTablesAt: no tables")
-    def stampOf(n: String, v: Long): Option[java.time.Instant] =
-      metaOfVersion(n, v).get(TimeMeta)
-        .flatMap(s => scala.util.Try(java.time.Instant.parse(s)).toOption)
+    // ONE meta-block read per retained version per table: the same
+    // pass collects the commit stamp (for the time resolution) and
+    // the txn tag (for the tear check) — on object storage each read
+    // is a round trip, so the two consumers share it
+    val metas: Map[String, Seq[(Long, Option[java.time.Instant],
+        Option[String])]] = names.map { n =>
+      n -> tableVersions(n).map { v =>
+        val m = metaOfVersion(n, v)
+        (v,
+          m.get(TimeMeta).flatMap(s =>
+            scala.util.Try(java.time.Instant.parse(s)).toOption),
+          m.get(TxnMeta))
+      }
+    }.toMap
     val resolved: Map[String, Long] = names.map { n =>
-      val versions = tableVersions(n)
-      require(versions.nonEmpty,
+      require(metas(n).nonEmpty,
         s"snapshotTablesAt: $n has no committed snapshot")
-      val at = versions.reverse
-        .find(v => stampOf(n, v).exists(!_.isAfter(ts)))
+      val at = metas(n).reverse
+        .find { case (_, stamp, _) => stamp.exists(!_.isAfter(ts)) }
         .getOrElse(throw new IllegalArgumentException(
           s"snapshotTablesAt: $n has no version committed at or " +
-            s"before $ts"))
+            s"before $ts"))._1
       n -> at
     }.toMap
     // whole-transaction check: for each txn id tagged anywhere in
@@ -3436,8 +3446,8 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // that txn's versions (included) or entirely below (excluded) in
     // EVERY member table — per-table version spans included
     val txnSpan: Map[String, Map[String, (Long, Long)]] = names.map { n =>
-      n -> tableVersions(n)
-        .flatMap(v => metaOfVersion(n, v).get(TxnMeta).map(_ -> v))
+      n -> metas(n)
+        .flatMap { case (v, _, tid) => tid.map(_ -> v) }
         .groupBy(_._1)
         .map { case (t, vs) =>
           t -> (vs.map(_._2).min, vs.map(_._2).max)

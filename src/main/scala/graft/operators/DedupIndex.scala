@@ -304,31 +304,39 @@ object DedupIndex {
       targetRows: Long = 1L << 20, minFileRows: Long = 1L << 16,
       source: Option[DataFrame] = None): Seq[(String, Long)] = {
     val bkT = s"${idx}_buckets"
-    val segsBefore = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
-    // pinned: the overwrite below replaces the very table this reads.
-    // The fold is skipped when already folded (equal counts mean one
-    // row per bucket — segments only ever ADD rows per bucket), so a
-    // scheduled re-run never rewrites the O(buckets) table for
-    // nothing; the debris pack below still folds small bucket files
-    // an admit appended since.
-    val folded = wh.table(bkT)
-      .groupBy("bh").agg(min("min_id").as("min_id"))
-      .localCheckpoint()
-    val segsAfter =
+    def bkFiles(): Int = wh.describeDetail(bkT).toMap
+      .get("numFiles").flatMap(_.toIntOption).getOrElse(0)
+    // the WHOLE read-fold-overwrite inside one transaction over the
+    // bucket table (the [[TextIndex.optimize]] df discipline): the
+    // table lock serializes against a concurrent admit/remove — a
+    // bucket-min segment committed between the fold's read and its
+    // overwrite erased would let that batch's duplicates re-admit
+    // later, and a remove()'s recomputed survivor min clobbered from
+    // a stale pin would resurrect a forgotten doc's id as a bucket
+    // min. Rewrite fires on foldable segments OR debris files beyond
+    // the fold layout (all-new-bucket admits add files without
+    // duplicate segments); output is always the build's range-split
+    // layout; an already-folded, already-packed table is rewritten by
+    // neither trigger (idempotent re-runs).
+    val (segsBefore, segsAfter, bkPacked) = wh.transaction(Seq(bkT)) {
+      val before = wh.countRows(bkT).getOrElse(wh.table(bkT).count())
+      val filesBefore = bkFiles()
+      val folded = wh.table(bkT)
+        .groupBy("bh").agg(min("min_id").as("min_id"))
+        .localCheckpoint() // pinned: the save replaces its own input
       try {
         val n = folded.count()
-        if (n < segsBefore) wh.transaction(Seq(bkT)) {
+        if (n < before || filesBefore > nFiles)
           wh.save(bkT, folded.repartitionByRange(nFiles, col("bh")),
             clusterBy = Seq("bh"), bloomBy = Seq("bh"))
-        }
-        n
+        (before, n, math.max(0, filesBefore - bkFiles()))
       } finally { folded.unpersist(); () }
-    val buckets = wh.compactSmall(bkT, targetRows, minFileRows)
+    }
     val bands = wh.compactSmall(s"${idx}_bands", targetRows, minFileRows)
     val gone = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
     Seq(
       "bucket_segments_folded" -> (segsBefore - segsAfter),
-      "bucket_files_compacted" -> buckets.filesCompacted.toLong,
+      "bucket_files_compacted" -> bkPacked.toLong,
       "band_files_compacted" -> bands.filesCompacted.toLong,
       "tombstones_dropped" -> gone)
   }

@@ -337,26 +337,42 @@ object TextIndex {
       targetRows: Long = 1L << 20, minFileRows: Long = 1L << 16,
       source: Option[DataFrame] = None): Seq[(String, Long)] = {
     val dfT = s"${idx}_df"
-    val segsBefore = wh.countRows(dfT).getOrElse(wh.table(dfT).count())
-    // pinned: the overwrite below replaces the very table this reads
-    val folded = wh.table(dfT)
-      .groupBy("term").agg(sum(col("df")).as("df"))
-      .filter(col("df") > 0)
-      .localCheckpoint()
-    val segsAfter =
+    def dfFiles(): Int = wh.describeDetail(dfT).toMap
+      .get("numFiles").flatMap(_.toIntOption).getOrElse(0)
+    // the WHOLE read-fold-overwrite runs inside one transaction over
+    // the df table (the [[IndexMaintenance.foldGone]] discipline): its
+    // table lock serializes against a concurrent refresh/remove (whose
+    // transactions declare the same table), so a segment committed
+    // between the fold's read and its overwrite can never be erased —
+    // a lost NEGATIVE segment would leave a removed doc's terms with
+    // inflated df forever, silently. The rewrite fires when segments
+    // fold OR when debris files accumulated beyond the fold layout
+    // (single-segment-per-term refreshes — disjoint-vocab batches —
+    // add files without adding foldable segments); either way the
+    // output is the build's range-split term-clustered layout, never
+    // a hash-mixed pack, and an already-folded already-packed table
+    // is rewritten by NEITHER trigger (idempotence, spec-pinned).
+    val (segsBefore, segsAfter, dfPacked) = wh.transaction(Seq(dfT)) {
+      val before = wh.countRows(dfT).getOrElse(wh.table(dfT).count())
+      val filesBefore = dfFiles()
+      val folded = wh.table(dfT)
+        .groupBy("term").agg(sum(col("df")).as("df"))
+        .filter(col("df") > 0)
+        .localCheckpoint() // pinned: the save replaces its own input
       try {
         val n = folded.count()
-        if (n < segsBefore) wh.transaction(Seq(dfT)) {
+        if (n < before || filesBefore > nFiles)
           wh.save(dfT, folded.repartitionByRange(nFiles, col("term")),
             clusterBy = Seq("term"), bloomBy = Seq("term"))
-        }
-        n
+        (before, n, math.max(0, filesBefore - dfFiles()))
       } finally { folded.unpersist(); () }
+    }
     val post = wh.compactSmall(s"${idx}_postings", targetRows, minFileRows)
     val dlen = wh.compactSmall(s"${idx}_doclen", targetRows, minFileRows)
     val goneDropped = source.map(foldTombstones(wh, idx, _)).getOrElse(0L)
     Seq(
       "df_segments_folded" -> (segsBefore - segsAfter),
+      "df_files_compacted" -> dfPacked.toLong,
       "postings_files_compacted" -> post.filesCompacted.toLong,
       "doclen_files_compacted" -> dlen.filesCompacted.toLong,
       "tombstones_dropped" -> goneDropped)

@@ -664,16 +664,23 @@ object GraftSqlParser {
         boundTable(session, anchor).map { wh =>
           cmd(session, attrs("metric" -> StringType,
               "value" -> org.apache.spark.sql.types.LongType)) { _ =>
-            val source = Option(src).map { t =>
-              require(wh.hasTable(t),
-                s"OPTIMIZE $kind INDEX $idx ON $t: no such table in " +
-                  "this index's warehouse — the tombstone fold needs " +
-                  "the index's own base table")
-              wh.table(t)
-            }
-            require(source.isEmpty || !kind.equalsIgnoreCase("CONTAM"),
+            // CONTAM refusal FIRST: the right error regardless of
+            // whether the named table exists
+            require(src == null || !kind.equalsIgnoreCase("CONTAM"),
               "OPTIMIZE CONTAM INDEX takes no ON table — the gate has " +
                 "no removal tombstones (suites retire, docs don't)")
+            val source = Option(src).map { t =>
+              // existence is checkable here; SEMANTICS are the
+              // caller's (IndexMaintenance.foldGone's contract): the
+              // ON table must be the index's REFRESH SOURCE — for a
+              // stream-fed index whose deliveries are the source,
+              // folding against any mere table silently disarms
+              // right-to-be-forgotten guards
+              require(wh.hasTable(t),
+                s"OPTIMIZE $kind INDEX $idx ON $t: no such table in " +
+                  "this index's warehouse")
+              wh.table(t)
+            }
             val kv =
               if (kind.equalsIgnoreCase("SEARCH"))
                 graft.operators.TextIndex.optimize(wh, idx,
