@@ -157,9 +157,17 @@ object GraftSqlParser {
   // unseen by definition), goes through the index's OWN tokenizer /
   // normalizer, and the read is one pinned snapshot cut. Returned as
   // a logical plan (distributed scan), never a collected command.
+  // the serving statements take an optional TIMESTAMP AS OF — the
+  // reproducible-serving read ("what did the index answer at T?"):
+  // the cut is snapshotTablesAt (whole-transaction verified; an
+  // instant inside a refresh's commit window refuses loudly), with
+  // the source table joined into the cut where the statement names
+  // one, so a stream-fed base + index advanced under one marker can
+  // never be torn across the AS OF read either
   private val SearchIdx =
     ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+FOR\s+'([^']*)'""" +
-      """\s+TOP\s+(\d+)\s*;?\s*$""").r
+      """\s+TOP\s+(\d+)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   // FILTERED search (the production retrieval pattern): the named
   // table's rows satisfying WHERE become the doc allowlist / the
   // admissible-candidate predicate — applied INSIDE the probe, so k
@@ -176,11 +184,13 @@ object GraftSqlParser {
       """\s+NEAREST\s+ID\s+(\d+)\s+TOP\s+(\d+)\s*;?\s*$""").r
   private val VectorSearch =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
-      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)\s*;?\s*$""").r
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val HybridSearch =
     ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
       """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
-      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)\s*;?\s*$""").r
+      """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val HybridSearchFiltered =
     ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
       """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
@@ -695,12 +705,18 @@ object GraftSqlParser {
             kv.map { case (k0, v0) => Row(k0, v0) }
           }
         }
-      case SearchIdx(idx, text, k) =>
+      case SearchIdx(idx, text, k, asOf) =>
         // bind through the index's own postings table — serving names
         // no source table (scores come from the stored decomposition)
         boundTable(session, s"${idx}_postings").map { wh =>
-          graft.operators.TextIndex.queryTextBatch(wh, idx,
-              Seq((0L, text)), k.toInt)
+          val read =
+            if (asOf == null)
+              graft.operators.TextIndex.servingSnapshot(wh, idx)
+            else graft.operators.TextIndex.servingSnapshotAt(wh, idx,
+              parseInstant(asOf))
+          graft.operators.TextIndex.queryBatchOn(read, session, idx,
+              graft.operators.TextIndex.tokenizeQueries(session,
+                Seq((0L, text))), k.toInt)
             .drop("query_id").queryExecution.logical
         }
       case SearchIdxFiltered(idx, src, text, k, pred) =>
@@ -722,20 +738,45 @@ object GraftSqlParser {
           graft.operators.AnnIndex.query(wh, idx, wh.table(src),
             id.toLong, topK = k.toInt).queryExecution.logical
         }
-      case VectorSearch(idx, src, vec, k) =>
+      case VectorSearch(idx, src, vec, k, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
-          graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
-              Seq((0L, v)), topK = k.toInt)
-            .drop("query_id").queryExecution.logical
+          val out =
+            if (asOf == null)
+              graft.operators.AnnIndex.queryVecBatch(wh, idx,
+                wh.table(src), Seq((0L, v)), topK = k.toInt)
+            else {
+              // ONE historical cut over index + source: the re-rank's
+              // float vectors come from the same instant as the codes
+              // (a stream-fed base and its index advance under one
+              // marker — the joint cut is tear-checked across both)
+              val snap = wh.snapshotTablesAt(
+                graft.operators.AnnIndex.servingTables(idx) :+ src,
+                parseInstant(asOf))
+              graft.operators.AnnIndex.queryVecBatchOn(snap(_), idx,
+                snap(src), Seq((0L, v)), topK = k.toInt)
+            }
+          out.drop("query_id").queryExecution.logical
         }
-      case HybridSearch(annIdx, textIdx, src, text, vec, k) =>
+      case HybridSearch(annIdx, textIdx, src, text, vec, k, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
-          graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
-              textIdx, wh.table(src), Seq((0L, text, v)),
-              topK = k.toInt)
-            .drop("query_id").queryExecution.logical
+          val out =
+            if (asOf == null)
+              graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
+                textIdx, wh.table(src), Seq((0L, text, v)),
+                topK = k.toInt)
+            else {
+              val snap = wh.snapshotTablesAt(
+                (graft.operators.AnnIndex.servingTables(annIdx) ++
+                  graft.operators.TextIndex.servingTables(textIdx))
+                  :+ src,
+                parseInstant(asOf))
+              graft.operators.AnnIndex.hybridQueryVecBatchOn(snap(_),
+                annIdx, textIdx, snap(src), Seq((0L, text, v)),
+                topK = k.toInt)
+            }
+          out.drop("query_id").queryExecution.logical
         }
       case HybridSearchFiltered(annIdx, textIdx, src, text, vec, k, pred) =>
         boundTable(session, src).map { wh =>

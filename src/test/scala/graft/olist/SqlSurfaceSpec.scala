@@ -535,6 +535,56 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ann2("vectors") == (emb.count() - 3).toString)
   }
 
+  test("serving TIMESTAMP AS OF: a past answer replays exactly through SQL; an instant inside a refresh window refuses") {
+    val dir = tmp("sql_asof")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs.filter(col("doc_id") < 300))
+    wh.save("vectors", emb.filter(col("vec_id") < 300))
+    spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    spark.sql("CREATE VECTOR INDEX ann ON vectors").collect()
+    val qS = "SEARCH INDEX ti FOR 'vector stream merge' TOP 10"
+    val v = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>")).first()
+      .getSeq[Double](0).mkString(", ")
+    val qV = s"VECTOR SEARCH ann ON vectors NEAREST ($v) TOP 5"
+    val qH = s"HYBRID SEARCH ann, ti ON vectors FOR 'vector stream' " +
+      s"NEAREST ($v) TOP 5"
+    val pastS = spark.sql(qS).collect().toSeq
+    val pastV = spark.sql(qV).collect().toSeq
+    val pastH = spark.sql(qH).collect().toSeq
+    Thread.sleep(20)
+    val t1 = java.time.Instant.now()
+    Thread.sleep(20)
+    // the corpus grows (new docs AND new vectors), both indexes move
+    wh.append("docs", docs.filter(col("doc_id") >= 300))
+    wh.append("vectors", emb.filter(col("vec_id") >= 300))
+    spark.sql("REFRESH SEARCH INDEX ti FROM docs").collect()
+    spark.sql("REFRESH VECTOR INDEX ann FROM vectors").collect()
+    assert(spark.sql(qS).collect().toSeq != pastS,
+      "fixture: the refresh must change the live search answer")
+    // AS OF t1 replays every past answer bit-for-bit
+    def asOf(q: String) = spark.sql(s"$q TIMESTAMP AS OF '$t1'")
+      .collect().toSeq
+    assert(asOf(qS) == pastS, "SEARCH AS OF diverged from the past")
+    assert(asOf(qV) == pastV, "VECTOR AS OF diverged from the past")
+    assert(asOf(qH) == pastH, "HYBRID AS OF diverged from the past")
+    // an instant inside the index refresh's commit window refuses
+    // loudly (whole-transaction verification): pick the FIRST of the
+    // SERVING tables' post-refresh commit stamps — the later ones
+    // land after it, so a cut there would tear the transaction
+    val stamps = Seq("ti_postings", "ti_df", "ti_stats")
+      .map(t => java.time.Instant.parse(wh.history(t).last.committedAt))
+    if (stamps.distinct.size > 1) {
+      val torn = intercept[Exception] {
+        spark.sql(s"$qS TIMESTAMP AS OF '${stamps.min}'").collect()
+      }
+      assert(torn.getMessage.contains("commit window"), torn.getMessage)
+    }
+  }
+
   test("OPTIMIZE <kind> INDEX: SQL maintenance — segments fold, debris packs, answers unchanged; CONTAM refuses ON") {
     val dir = tmp("sql_optidx")
     val wh = new Warehouse(spark, dir)
