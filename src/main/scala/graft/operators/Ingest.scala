@@ -362,22 +362,48 @@ object Ingest {
     * through [[ingestBatch]] — base + indexes advance together, one
     * transaction per trigger. Bootstrap the indexes first
     * ([[TextIndex.build]] accepts an empty frame; [[AnnIndex.build]]
-    * needs a real seed batch to train its codebooks). */
+    * needs a real seed batch to train its codebooks).
+    *
+    * `optimizeEvery = Some(n)`: run [[optimize]] after every n-th
+    * LANDED trigger, from inside foreachBatch — the one place the
+    * single-maintainer contract is satisfied by construction
+    * (triggers serialize, so maintenance can never race a live
+    * ingest on the same index). The cadence trades steady-state file
+    * counts against per-n-triggers maintenance cost (the df fold is
+    * O(live vocab)); without it, debris grows one small file per
+    * table per trigger forever ([[MaintScale]]'s measured drift).
+    * Try-guarded like the ledger fold: a maintenance hiccup must
+    * never fail a batch that already committed. Replays and
+    * rollbacks don't advance the cadence counter. */
   def streamIndexed(wh: Warehouse, table: String, docs: DataFrame,
       checkpoint: String, textIdx: Option[String] = None,
       annIdx: Option[String] = None, dedupIdx: Option[String] = None,
       contamIdx: Option[String] = None,
       minQuality: Option[Double] = None,
       blameSuites: Boolean = false,
-      streamId: String = "ingest")
-      : org.apache.spark.sql.streaming.StreamingQuery =
+      streamId: String = "ingest",
+      optimizeEvery: Option[Int] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(optimizeEvery.forall(_ > 0),
+      "streamIndexed: optimizeEvery must be positive")
+    val landedCount = new java.util.concurrent.atomic.AtomicLong(0L)
     docs.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (b: Dataset[Row], id: Long) =>
-        ingestBatch(wh, table, b.toDF(), id, textIdx, annIdx, dedupIdx,
-          contamIdx, minQuality, blameSuites, streamId)
+        val landed = ingestBatch(wh, table, b.toDF(), id, textIdx,
+          annIdx, dedupIdx, contamIdx, minQuality, blameSuites,
+          streamId)
+        optimizeEvery.foreach { n =>
+          if (landed && landedCount.incrementAndGet() % n == 0) {
+            scala.util.Try {
+              optimize(wh, table, textIdx, annIdx, dedupIdx, contamIdx)
+            }
+            ()
+          }
+        }
         ()
       }
       .start()
+  }
 }

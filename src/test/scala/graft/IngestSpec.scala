@@ -438,4 +438,39 @@ class IngestSpec extends AnyFunSuite {
       textIdx = Some("ti"), annIdx = Some("ann")),
       "base compaction lost the stream high-water mark")
   }
+
+  test("streamIndexed(optimizeEvery): in-stream maintenance keeps the footprint bounded; consistency holds throughout") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val wh = bootstrap("ingest_optevery")
+    val src = MemoryStream[(Long, String, Seq[Float])]
+    val q = Ingest.streamIndexed(wh, "docs",
+      src.toDF().toDF("doc_id", "text", "embedding")
+        .withColumn("embedding", col("embedding").cast("array<float>")),
+      tmp("ingest_oe_ckpt"), textIdx = Some("ti"), annIdx = Some("ann"),
+      optimizeEvery = Some(2))
+    try {
+      // four one-doc triggers: maintenance fires after the 2nd and
+      // 4th landed batches, INSIDE foreachBatch (trigger-serialized —
+      // the single-maintainer contract by construction)
+      corpus.slice(30, 34).foreach { row =>
+        src.addData(row); q.processAllAvailable()
+      }
+      assert(wh.countRows("docs").contains(34L))
+      consistent(wh)
+      // the 4th trigger's optimize just ran: df is folded to one row
+      // per live term and the per-trigger file debris is packed
+      val segs = wh.table("ti_df").count()
+      val live = wh.table("ti_df").select("term").distinct().count()
+      assert(segs == live,
+        s"df segments not folded by the in-stream optimize: $segs rows " +
+          s"for $live terms")
+      def files(t: String) = wh.describeDetail(t).toMap
+        .apply("numFiles").toInt
+      assert(files("docs") <= 2 && files("ti_postings") <= 2,
+        s"debris not packed: docs=${files("docs")} " +
+          s"postings=${files("ti_postings")}")
+    } finally q.stop()
+  }
 }
