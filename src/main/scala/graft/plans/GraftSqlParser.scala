@@ -134,9 +134,15 @@ object GraftSqlParser {
     ("""(?is)^\s*REFRESH\s+JOIN\s+VIEW\s+([\w]+)\s+FROM\s+([\w]+)""" +
       """\s+JOIN\s+([\w]+)\s+USING\s*\(([^)]*)\)\s+ID\s+([\w]+)""" +
       """\s*;?\s*$""").r
+  // WITH (k = v, …) carries build-time shape: the VECTOR geometry
+  // (n_cells, m, k) is FROZEN at build — without a SQL spelling an
+  // SQL-built index is stuck with the 8/8/16 defaults, which is the
+  // wrong shape for any serious corpus — and SEARCH/DEDUP take their
+  // layout/banding params the same way
   private val CreateIdx =
     ("""(?is)^\s*CREATE\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
-      """\s+ON\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
+      """\s+ON\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?""" +
+      """(?:\s+WITH\s*\(([^)]*)\))?\s*;?\s*$""").r
   private val RefreshIdx =
     ("""(?is)^\s*REFRESH\s+(SEARCH|VECTOR|DEDUP|CONTAM)\s+INDEX\s+([\w]+)""" +
       """\s+FROM\s+([\w]+)(?:\s+SUITE\s+'([^']*)')?\s*;?\s*$""").r
@@ -598,23 +604,58 @@ object GraftSqlParser {
               r.filesRewritten.toLong))
           }
         }
-      case CreateIdx(kind, idx, src, suite) =>
+      case CreateIdx(kind, idx, src, suite, withOpts) =>
         boundTable(session, src).map { wh =>
           cmd(session, attrs("status" -> StringType, "rows" -> LongType)) {
             _ =>
               require(suite == null || kind.equalsIgnoreCase("CONTAM"),
                 s"SUITE applies to CONTAM indexes only, not $kind")
+              // WITH (k = v, …): each family accepts ONLY its own
+              // build params; an unknown key refuses loudly (a typo'd
+              // n_cells silently falling back to 8 would freeze the
+              // wrong geometry forever)
+              val opts: Map[String, Int] = Option(withOpts)
+                .map(_.split(",").iterator.map(_.trim)
+                  .filter(_.nonEmpty).map { kv =>
+                    val parts = kv.split("=").map(_.trim)
+                    require(parts.length == 2 && parts(1).toIntOption
+                        .exists(_ > 0),
+                      s"CREATE $kind INDEX: malformed WITH option " +
+                        s"'$kv' — expected key = positiveInt")
+                    parts(0).toLowerCase -> parts(1).toInt
+                  }.toMap)
+                .getOrElse(Map.empty)
+              def only(allowed: String*): Unit = {
+                val bad = opts.keySet -- allowed.toSet
+                require(bad.isEmpty,
+                  s"CREATE $kind INDEX: unknown WITH option(s) " +
+                    s"${bad.mkString(", ")} — $kind accepts " +
+                    s"${allowed.mkString(", ")}")
+              }
               val n =
-                if (kind.equalsIgnoreCase("SEARCH"))
-                  graft.operators.TextIndex.build(wh, idx, wh.table(src))
-                else if (kind.equalsIgnoreCase("DEDUP"))
-                  graft.operators.DedupIndex.build(wh, idx, wh.table(src))
-                else if (kind.equalsIgnoreCase("CONTAM"))
+                if (kind.equalsIgnoreCase("SEARCH")) {
+                  only("n_files")
+                  graft.operators.TextIndex.build(wh, idx, wh.table(src),
+                    nFiles = opts.getOrElse("n_files", 8))
+                } else if (kind.equalsIgnoreCase("DEDUP")) {
+                  only("k", "bands", "n_files")
+                  graft.operators.DedupIndex.build(wh, idx, wh.table(src),
+                    k = opts.getOrElse("k", 16),
+                    bands = opts.getOrElse("bands", 4),
+                    nFiles = opts.getOrElse("n_files", 8))
+                } else if (kind.equalsIgnoreCase("CONTAM")) {
+                  only("n_files")
                   graft.operators.ContamGate.build(wh, idx, wh.table(src),
                     suite = Option(suite)
-                      .getOrElse(graft.operators.ContamGate.DefaultSuite))
-                else
-                  graft.operators.AnnIndex.build(wh, idx, wh.table(src))
+                      .getOrElse(graft.operators.ContamGate.DefaultSuite),
+                    nFiles = opts.getOrElse("n_files", 4))
+                } else {
+                  only("n_cells", "m", "k")
+                  graft.operators.AnnIndex.build(wh, idx, wh.table(src),
+                    nCells = opts.getOrElse("n_cells", 8),
+                    m = opts.getOrElse("m", 8),
+                    k = opts.getOrElse("k", 16))
+                }
               Seq(Row("OK", n))
           }
         }

@@ -535,6 +535,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
       ann2("vectors") == (emb.count() - 3).toString)
   }
 
+  test("CREATE <kind> INDEX WITH (...): build params from SQL, frozen into the index; unknown keys refuse") {
+    val dir = tmp("sql_withopts")
+    val wh = new Warehouse(spark, dir)
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs)
+    wh.save("vectors", emb)
+    def kv(sql: String): Map[String, String] =
+      spark.sql(sql).collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+    spark.sql(
+      "CREATE VECTOR INDEX ann4 ON vectors WITH (n_cells = 4, m = 4, k = 8)")
+      .collect()
+    val ann = kv("DESCRIBE VECTOR INDEX ann4")
+    assert(ann("n_cells") == "4" && ann("m") == "4" && ann("k") == "8",
+      s"geometry not taken from WITH: $ann")
+    spark.sql("CREATE DEDUP INDEX di8 ON docs WITH (k = 8, bands = 2)")
+      .collect()
+    val di = kv("DESCRIBE DEDUP INDEX di8")
+    assert(di("minhash_k") == "8" && di("bands") == "2", s"$di")
+    // a typo'd key must refuse loudly, never freeze defaults silently
+    intercept[Exception] {
+      spark.sql("CREATE VECTOR INDEX bad ON vectors WITH (cells = 4)")
+        .collect()
+    }
+    intercept[Exception] {
+      spark.sql("CREATE SEARCH INDEX badt ON docs WITH (n_files = 0)")
+        .collect()
+    }
+    // the frozen-geometry contract holds for SQL-built indexes too:
+    // maintenance reads the shape from _meta, never defaults
+    assert(graft.operators.AnnIndex.geometry(wh, "ann4") == ((4, 4, 8)))
+  }
+
   test("serving TIMESTAMP AS OF: a past answer replays exactly through SQL; an instant inside a refresh window refuses") {
     val dir = tmp("sql_asof")
     val wh = new Warehouse(spark, dir)
