@@ -180,14 +180,17 @@ object GraftSqlParser {
   // fills with qualifying results (post-filtering would under-fill)
   private val SearchIdxFiltered =
     ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+ON\s+([\w]+)""" +
-      """\s+FOR\s+'([^']*)'\s+TOP\s+(\d+)\s+WHERE\s+(.+?)\s*;?\s*$""").r
+      """\s+FOR\s+'([^']*)'\s+TOP\s+(\d+)\s+WHERE\s+(.+?)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val VectorSearchFiltered =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
-      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+      """\s+WHERE\s+(.+?)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val VectorSearchId =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
-      """\s+NEAREST\s+ID\s+(\d+)\s+TOP\s+(\d+)\s*;?\s*$""").r
+      """\s+NEAREST\s+ID\s+(\d+)\s+TOP\s+(\d+)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val VectorSearch =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
@@ -201,7 +204,8 @@ object GraftSqlParser {
     ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
       """\s+ON\s+([\w]+)\s+FOR\s+'([^']*)'""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
-      """\s+WHERE\s+(.+?)\s*;?\s*$""").r
+      """\s+WHERE\s+(.+?)""" +
+      """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -760,24 +764,69 @@ object GraftSqlParser {
                 Seq((0L, text))), k.toInt)
             .drop("query_id").queryExecution.logical
         }
-      case SearchIdxFiltered(idx, src, text, k, pred) =>
+      case SearchIdxFiltered(idx, src, text, k, pred, asOf) =>
         boundTable(session, src).map { wh =>
-          graft.operators.TextIndex.queryTextBatch(wh, idx,
-              Seq((0L, text)), k.toInt,
-              docFilter = Some(wh.table(src).filter(expr(pred))))
-            .drop("query_id").queryExecution.logical
+          val out =
+            if (asOf == null)
+              graft.operators.TextIndex.queryTextBatch(wh, idx,
+                Seq((0L, text)), k.toInt,
+                docFilter = Some(wh.table(src).filter(expr(pred))))
+            else {
+              // the allowlist evaluates against the SAME instant's
+              // source rows — replaying a filtered query needs the
+              // filter's world frozen too
+              val snap = wh.snapshotTablesAt(
+                graft.operators.TextIndex.servingTables(idx) :+ src,
+                parseInstant(asOf))
+              graft.operators.TextIndex.queryBatchOn(snap(_), session,
+                idx, graft.operators.TextIndex.tokenizeQueries(session,
+                  Seq((0L, text))), k.toInt,
+                docFilter = Some(snap(src).filter(expr(pred))))
+            }
+          out.drop("query_id").queryExecution.logical
         }
-      case VectorSearchFiltered(idx, src, vec, k, pred) =>
+      case VectorSearchFiltered(idx, src, vec, k, pred, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
-          graft.operators.AnnIndex.queryVecBatch(wh, idx, wh.table(src),
-              Seq((0L, v)), topK = k.toInt, filter = Some(expr(pred)))
-            .drop("query_id").queryExecution.logical
+          val out =
+            if (asOf == null)
+              graft.operators.AnnIndex.queryVecBatch(wh, idx,
+                wh.table(src), Seq((0L, v)), topK = k.toInt,
+                filter = Some(expr(pred)))
+            else {
+              val snap = wh.snapshotTablesAt(
+                graft.operators.AnnIndex.servingTables(idx) :+ src,
+                parseInstant(asOf))
+              graft.operators.AnnIndex.queryVecBatchOn(snap(_), idx,
+                snap(src), Seq((0L, v)), topK = k.toInt,
+                filter = Some(expr(pred)))
+            }
+          out.drop("query_id").queryExecution.logical
         }
-      case VectorSearchId(idx, src, id, k) =>
+      case VectorSearchId(idx, src, id, k, asOf) =>
         boundTable(session, src).map { wh =>
-          graft.operators.AnnIndex.query(wh, idx, wh.table(src),
-            id.toLong, topK = k.toInt).queryExecution.logical
+          if (asOf == null)
+            graft.operators.AnnIndex.query(wh, idx, wh.table(src),
+              id.toLong, topK = k.toInt).queryExecution.logical
+          else {
+            // the stored-row form AS OF: the query VECTOR itself comes
+            // from the historical source (the row may have changed or
+            // vanished since), then rides the literal path — which the
+            // specs pin bit-equal to the id form
+            val snap = wh.snapshotTablesAt(
+              graft.operators.AnnIndex.servingTables(idx) :+ src,
+              parseInstant(asOf))
+            val rows = snap(src).filter(expr(s"vec_id = ${id.toLong}"))
+              .selectExpr("cast(embedding as array<double>)")
+              .collect()
+            require(rows.nonEmpty,
+              s"VECTOR SEARCH NEAREST ID $id AS OF: no such vec_id in " +
+                s"$src at that instant")
+            graft.operators.AnnIndex.queryVecBatchOn(snap(_), idx,
+                snap(src), Seq((id.toLong, rows.head.getSeq[Double](0))),
+                topK = k.toInt)
+              .drop("query_id").queryExecution.logical
+          }
         }
       case VectorSearch(idx, src, vec, k, asOf) =>
         boundTable(session, src).map { wh =>
@@ -819,13 +868,26 @@ object GraftSqlParser {
             }
           out.drop("query_id").queryExecution.logical
         }
-      case HybridSearchFiltered(annIdx, textIdx, src, text, vec, k, pred) =>
+      case HybridSearchFiltered(annIdx, textIdx, src, text, vec, k,
+          pred, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
-          graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
-              textIdx, wh.table(src), Seq((0L, text, v)),
-              topK = k.toInt, filter = Some(expr(pred)))
-            .drop("query_id").queryExecution.logical
+          val out =
+            if (asOf == null)
+              graft.operators.AnnIndex.hybridQueryVecBatch(wh, annIdx,
+                textIdx, wh.table(src), Seq((0L, text, v)),
+                topK = k.toInt, filter = Some(expr(pred)))
+            else {
+              val snap = wh.snapshotTablesAt(
+                (graft.operators.AnnIndex.servingTables(annIdx) ++
+                  graft.operators.TextIndex.servingTables(textIdx))
+                  :+ src,
+                parseInstant(asOf))
+              graft.operators.AnnIndex.hybridQueryVecBatchOn(snap(_),
+                annIdx, textIdx, snap(src), Seq((0L, text, v)),
+                topK = k.toInt, filter = Some(expr(pred)))
+            }
+          out.drop("query_id").queryExecution.logical
         }
       case RetireSuite(idx, suite) =>
         // bind through the gate's own gram table — retirement names no

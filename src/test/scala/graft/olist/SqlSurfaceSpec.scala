@@ -587,9 +587,14 @@ class SqlSurfaceSpec extends AnyFunSuite {
     val qV = s"VECTOR SEARCH ann ON vectors NEAREST ($v) TOP 5"
     val qH = s"HYBRID SEARCH ann, ti ON vectors FOR 'vector stream' " +
       s"NEAREST ($v) TOP 5"
+    val qVF = s"VECTOR SEARCH ann ON vectors NEAREST ($v) TOP 5 " +
+      "WHERE label = 3"
+    val qI = "VECTOR SEARCH ann ON vectors NEAREST ID 0 TOP 5"
     val pastS = spark.sql(qS).collect().toSeq
     val pastV = spark.sql(qV).collect().toSeq
     val pastH = spark.sql(qH).collect().toSeq
+    val pastVF = spark.sql(qVF).collect().toSeq
+    val pastI = spark.sql(qI).collect().toSeq
     Thread.sleep(20)
     val t1 = java.time.Instant.now()
     Thread.sleep(20)
@@ -606,6 +611,11 @@ class SqlSurfaceSpec extends AnyFunSuite {
     assert(asOf(qS) == pastS, "SEARCH AS OF diverged from the past")
     assert(asOf(qV) == pastV, "VECTOR AS OF diverged from the past")
     assert(asOf(qH) == pastH, "HYBRID AS OF diverged from the past")
+    // the FILTERED form replays with the filter's world frozen too,
+    // and the stored-row form fetches its query vector from the
+    // historical source
+    assert(asOf(qVF) == pastVF, "filtered AS OF diverged")
+    assert(asOf(qI) == pastI, "NEAREST ID AS OF diverged")
     // an instant inside the index refresh's commit window refuses
     // loudly (whole-transaction verification): pick the FIRST of the
     // SERVING tables' post-refresh commit stamps — the later ones
