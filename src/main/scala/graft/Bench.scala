@@ -46,6 +46,12 @@ object Bench {
     // fold + debris pack + tombstone fold); read against b2_bm25_wh —
     // a maintained index must not serve slower than a fresh build
     "b17_optimized_bm25_wh",
+    // round-16 maintenance lane: b17's vector twin — a FULL probe
+    // through an ANN index that lived the same lifecycle (incremental
+    // build-out, remove, OPTIMIZE codes pack + tombstone fold),
+    // hash-checked against brute-force cosine over the surviving
+    // corpus; read against b3_ann_vec_full_wh's fresh-index full probe
+    "b18_optimized_ann_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index
@@ -186,7 +192,22 @@ object Bench {
     val errsVan = vanillaFailed.map("\"" + _ + "\"").mkString("[", ",", "]")
     // a failed query makes the line loudly non-comparable instead of
     // silently shrinking the total — in BOTH lanes
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"errors_vanilla":$errsVan,"runs_per_query":$runsPer,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"errors_vanilla":$errsVan,"runs_per_query":$runsPer,"sf":"$sfDir"}"""
+    println(line)
+    // the same line as a stable file artifact: stdout capture can
+    // truncate a long tail mid-lane, which silently drops the
+    // extensions block from the record — the file always carries every
+    // lane parseable. Best-effort: the stdout line is the contract.
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(sys.env.getOrElse(
+          "SPARK_GRAFT_BENCH_OUT", "BENCH_full.json")),
+        (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      ()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] BENCH_full.json write failed: " +
+        e.getMessage)
+    }
     spark.stop()
   }
 }

@@ -699,9 +699,16 @@ object AnnIndex {
     * cells' codes BEFORE the ADC top-k — so the k results all satisfy
     * the predicate rather than being filtered away after the fact
     * (post-filtering returns < k whenever the predicate is selective).
-    * Only ids cross the allowlist join; with a selective predicate
-    * raise nProbe — matching vectors may live outside the query's
-    * nearest cells. */
+    * Only ids cross the allowlist join. When the allowlist-restricted
+    * probed cells hold fewer than topK candidates the probe
+    * AUTO-WIDENS — the probe prefix doubles along the query's full
+    * best-first cell ranking (one additional cell-pruned codes scan
+    * per widening round) until k fills or every cell is probed, so a
+    * selective predicate can never silently under-fill k; fewer than k
+    * rows now means fewer than k matches EXIST. The unfiltered plan is
+    * untouched, and a filtered probe whose initial cells already fill
+    * k pays no extra scan (the candidate cut is materialized once and
+    * reused by the re-rank). */
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
       topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
@@ -718,19 +725,39 @@ object AnnIndex {
     val km = codebook.agg(countDistinct(col("cid")), max(col("sub"))).first()
     val k = km.getLong(0).toInt
     val m = km.getInt(1) + 1
-    val probed = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
-      .orderBy(col("d2").asc, col("cid").asc).limit(nProbe)
+    // the FULL best-first cell ranking (nCells rows, one bounded
+    // collect) — nProbe takes its prefix; widening takes a longer one
+    val ranked = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
+      .orderBy(col("d2").asc, col("cid").asc)
       .collect().map(_.getInt(0)).toSeq
-    val probedCodes = read(s"${idx}_codes")
-      .filter(col("cell").isin(probed: _*))
-      .select("vec_id", "codes")
-    val admissible = filter match {
-      case None => probedCodes
-      case Some(pred) => probedCodes.join(
-        source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
+    val nCells = ranked.length
+    def candsAt(p: Int): DataFrame = {
+      val probedCodes = read(s"${idx}_codes")
+        .filter(col("cell").isin(ranked.take(p): _*))
+        .select("vec_id", "codes")
+      val admissible = filter match {
+        case None => probedCodes
+        case Some(pred) => probedCodes.join(
+          source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
+      }
+      pqRank(admissible, codebook, q, m = m, k = k,
+        topK = overquery * topK)
     }
-    val cands = pqRank(admissible,
-      codebook, q, m = m, k = k, topK = overquery * topK)
+    val cands = filter match {
+      case None => candsAt(math.min(nProbe, nCells))
+      case Some(_) =>
+        // auto-widen: the materialized cut's row count IS the fill
+        // check (≥ topK candidates ⇔ the probed allowlist held ≥ topK —
+        // the cut keeps overquery·topK ≥ topK), so the filled-first
+        // case costs exactly the one scan the probe pays anyway
+        var p = math.min(nProbe, nCells)
+        var c = candsAt(p).localCheckpoint()
+        while (c.count() < topK && p < nCells) {
+          p = math.min(nCells, p * 2)
+          c = candsAt(p).localCheckpoint()
+        }
+        c
+    }
     // the query vector was already collected once (q) — re-rank against
     // it as a literal array rather than re-deriving a one-row frame and
     // paying a second collect + broadcast join on the serving path
@@ -909,67 +936,111 @@ object AnnIndex {
         s"query $qid: vector dimension ${q.length} != index dimension " +
           s"${m * dsub}")
     }
-    // per query: nProbe nearest coarse cells (tie-break (d2, cid) —
-    // query()'s orderBy) and the m·k ADC distance table
+    // per query: the FULL best-first cell ranking (tie-break (d2, cid)
+    // — query()'s orderBy; nProbe takes its prefix, auto-widening a
+    // longer one) and the m·k ADC distance table
     val qrows: Seq[(Long, Seq[Int], Seq[Double], Seq[Double])] =
       qvs.map { case (qid, q) =>
-        val probed = coarseC
+        val ranked = coarseC
           .map { case (cid, c) => (l2sqD(q, c), cid) }
           .sortBy { case (d2, cid) => (d2, cid) }
-          .take(nProbe).map(_._2).toSeq
+          .map(_._2).toSeq
         val flat = Array.fill(m * k)(Double.MaxValue)
         cbRows.foreach { case (s0, cid, c) =>
           flat(s0 * k + cid) = l2sqD(
             java.util.Arrays.copyOfRange(q, s0 * dsub, (s0 + 1) * dsub),
             c.toArray)
         }
-        (qid, probed, flat.toSeq, q.toSeq)
+        (qid, ranked, flat.toSeq, q.toSeq)
       }
-    // probe membership is a SKINNY (query_id, cell) frame and each
-    // query's m·k ADC table broadcasts ONCE keyed by query_id — not
-    // once per probed cell (nProbe× the bytes for nothing; at
+    val nCells = coarseC.length
+    val rankedById = qrows.map(r => r._1 -> r._2).toMap
+    // each query's m·k ADC table broadcasts ONCE keyed by query_id —
+    // not once per probed cell (nProbe× the bytes for nothing; at
     // service-scale batches the duplicated form needlessly approaches
-    // broadcast limits). The query vectors ride a third skinny frame
+    // broadcast limits). The query vectors ride a second skinny frame
     // for the re-rank join.
-    val qcells = qrows
-      .flatMap { case (qid, cells, _, _) => cells.map(c => (qid, c)) }
-      .toDF("query_id", "cell")
     val qtbls = qrows.map { case (qid, _, tbl, _) => (qid, tbl) }
       .toDF("query_id", "tbl")
     val qvecs = qrows.map { case (qid, _, _, q) => (qid, q) }
       .toDF("query_id", "qe")
-    // ONE partition-pruned scan over the union of every query's cells
-    val allCells = qrows.flatMap(_._2).distinct
-    val probedCodes = read(s"${idx}_codes")
-      .filter(col("cell").isin(allCells: _*))
-      .select("vec_id", "cell", "codes")
-    val admissible = filter match {
-      case None => probedCodes
-      case Some(pred) => probedCodes.join(
-        source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
-    }
-    // ADC per (query, candidate): the same round-6 table-lookup sum as
-    // pqRank, with the table a broadcast column instead of a literal
-    val scored = admissible.join(broadcast(qcells), Seq("cell"))
-      .join(broadcast(qtbls), Seq("query_id"))
-      .select(col("query_id"), col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s0) => element_at(col("tbl"), s0 * k + c.cast("int") + 1)),
-          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
-    // two-level overquery·topK cut per query under (adc, vec_id)
     import org.apache.spark.sql.expressions.Window
     val oq = overquery * topK
-    val lvl1 = Window
-      .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")),
-        lit(saltParts)))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    val lvl2 = Window.partitionBy(col("query_id"))
-      .orderBy(col("adc").asc, col("vec_id").asc)
-    val cands = scored
-      .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= oq)
-      .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= oq)
-      .select("query_id", "vec_id")
+    // one scoring round for `probe` = (query_id, its probed cells):
+    // ONE partition-pruned scan over the union of the round's cells
+    // (probe membership a SKINNY broadcast (query_id, cell) frame),
+    // allowlist semi-join, broadcast-ADC scoring (the same round-6
+    // table-lookup sum as pqRank, the table a broadcast column instead
+    // of a literal), then the two-level overquery·topK cut per query
+    // under (adc, vec_id)
+    def candsFor(probe: Seq[(Long, Seq[Int])]): DataFrame = {
+      val qcells = probe
+        .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
+        .toDF("query_id", "cell")
+      val allCells = probe.flatMap(_._2).distinct
+      val probedCodes = read(s"${idx}_codes")
+        .filter(col("cell").isin(allCells: _*))
+        .select("vec_id", "cell", "codes")
+      val admissible = filter match {
+        case None => probedCodes
+        case Some(pred) => probedCodes.join(
+          source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
+      }
+      val scored = admissible.join(broadcast(qcells), Seq("cell"))
+        .join(broadcast(qtbls), Seq("query_id"))
+        .select(col("query_id"), col("vec_id"),
+          round(aggregate(
+            zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+              (c, s0) => element_at(col("tbl"), s0 * k + c.cast("int") + 1)),
+            lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+      val lvl1 = Window
+        .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")),
+          lit(saltParts)))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      val lvl2 = Window.partitionBy(col("query_id"))
+        .orderBy(col("adc").asc, col("vec_id").asc)
+      scored
+        .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= oq)
+        .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= oq)
+        .select("query_id", "vec_id")
+    }
+    val cands = filter match {
+      case None =>
+        candsFor(qvs.map { case (qid, _) =>
+          qid -> rankedById(qid).take(math.min(nProbe, nCells)) })
+      case Some(_) =>
+        // AUTO-WIDEN per query: the materialized cut's per-query row
+        // count IS the fill check (≥ topK rows ⇔ the probed allowlist
+        // held ≥ topK — the cut keeps oq ≥ topK per query), so a batch
+        // whose every query fills at nProbe pays exactly the one codes
+        // scan it pays anyway. Under-filled queries double their probe
+        // prefix and re-score TOGETHER — one pruned codes scan per
+        // widening round for the whole deficient set; each query's
+        // final round is identical to a one-shot probe at its widened
+        // nProbe, so query ≡ queryBatch survives widening by
+        // construction, and < topK rows back now means < topK matches
+        // EXIST.
+        var probeN: Map[Long, Int] =
+          qvs.map(_._1 -> math.min(nProbe, nCells)).toMap
+        var pending: Seq[Long] = qvs.map(_._1)
+        var settled: List[DataFrame] = Nil
+        while (pending.nonEmpty) {
+          val round = candsFor(
+            pending.map(qid => qid -> rankedById(qid).take(probeN(qid))))
+            .localCheckpoint()
+          val counts = round.groupBy("query_id").count().collect()
+            .map(r => r.getLong(0) -> r.getLong(1)).toMap
+          val (full, under) = pending.partition(qid =>
+            counts.getOrElse(qid, 0L) >= topK || probeN(qid) >= nCells)
+          if (full.nonEmpty)
+            settled ::= (if (under.isEmpty) round
+              else round.filter(col("query_id").isin(full: _*)))
+          pending = under
+          probeN = probeN ++ under.map(qid =>
+            qid -> math.min(nCells, probeN(qid) * 2))
+        }
+        settled.reduce(_ union _)
+    }
     // exact re-rank: ≤ |queries|·oq candidate vectors, query vectors
     // broadcast — the same round-12 cosine as query()
     val wFinal = Window.partitionBy(col("query_id"))

@@ -252,8 +252,13 @@ object Ingest {
       // Try-guarded: this runs on the exception path too, and a
       // maintenance hiccup (lock contention, concurrent commit) must
       // never MASK the transaction's own failure — or fail a batch
-      // that already committed
-      scala.util.Try {
+      // that already committed. A FAILED fold is recorded in the
+      // maintenance ledger (success is routine and stays silent —
+      // one maint row per trigger would out-write the ledger it
+      // folds), so repeated failures surface in
+      // `DESCRIBE INGEST LOG t MAINT` instead of vanishing.
+      val foldT0 = System.currentTimeMillis()
+      val fold = scala.util.Try {
         // the blame ledger appends per blame-enabled trigger too —
         // same fold, same sealing tier
         Seq(log, blameTable(table)).foreach { t =>
@@ -263,6 +268,12 @@ object Ingest {
             wh.compactSmall(t, LedgerFileRows, LedgerFileRows); ()
           }
         }
+      }
+      fold.failed.foreach { e =>
+        System.err.println(
+          s"[graft] ledger fold failed for $table: ${e.getMessage}")
+        recordMaint(wh, table, "ledger_fold", foldT0, Nil,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
       }
       ()
     }
@@ -281,6 +292,84 @@ object Ingest {
   /** The suite-blame ledger behind `table` — one row per (landed
     * batch, convicting suite), written only by blame-enabled triggers. */
   def blameTable(table: String): String = s"${table}_ingest_blame"
+
+  /** The maintenance ledger behind `table` — one row per recorded
+    * maintenance attempt (scheduled [[optimize]] runs, failed ledger
+    * folds): (op, started_at, duration_ms, detail, error). `error`
+    * NULL = success, `detail` = the per-step counters. This is what
+    * makes a PERSISTENTLY failing scheduled optimize observable — the
+    * stream must keep committing through maintenance hiccups (a
+    * committed batch can never be failed retroactively), but the
+    * swallowed exception used to go nowhere, which meant debris
+    * growing without bound with zero signal (exactly the drift
+    * [[MaintScale]] measures). SQL: `DESCRIBE INGEST LOG t MAINT`. */
+  def maintTable(table: String): String = s"${table}_maint"
+
+  /** The maintenance ledger as a frame, time-ordered — empty with the
+    * correct schema before the first recorded attempt, like
+    * [[ledger]]. */
+  def maintLedger(wh: Warehouse, table: String): DataFrame =
+    if (wh.hasTable(maintTable(table)))
+      wh.table(maintTable(table)).orderBy("started_at", "op")
+    else {
+      import wh.spark.implicits._
+      Seq.empty[(String, java.sql.Timestamp, Long, String, String)]
+        .toDF("op", "started_at", "duration_ms", "detail", "error")
+    }
+
+  /** Append one maintenance-outcome row. Best-effort BY DESIGN: the
+    * recorder runs on paths that must never fail their host (a stream
+    * trigger's finally, the post-commit optimize cadence), so its own
+    * failure degrades to a stderr line — but unlike the old bare Try,
+    * a failure of the RECORDED operation has already been captured as
+    * the row content, not discarded. */
+  private def recordMaint(wh: Warehouse, table: String, op: String,
+      startedMs: Long, counters: Seq[(String, Long)],
+      error: Option[String]): Unit = {
+    val res = scala.util.Try {
+      val spark0 = wh.spark
+      import spark0.implicits._
+      val row = Seq((op, new java.sql.Timestamp(startedMs),
+        System.currentTimeMillis() - startedMs,
+        counters.map { case (k, v) => s"$k=$v" }.mkString(" "),
+        error.orNull))
+        .toDF("op", "started_at", "duration_ms", "detail", "error")
+      val t = maintTable(table)
+      if (wh.hasTable(t)) wh.append(t, row) else wh.save(t, row)
+    }
+    res.failed.foreach(e => System.err.println(
+      s"[graft] maint ledger append failed for $table/$op: " +
+        s"${e.getMessage}"))
+  }
+
+  /** [[optimize]] with its outcome recorded in the [[maintTable]]
+    * ledger — the SCHEDULED path's entry ([[streamIndexed]]'s
+    * optimizeEvery cadence): success lands a row carrying duration +
+    * the per-step counters; failure lands an ERROR row and returns Nil
+    * INSTEAD OF THROWING. The no-throw side is the stream-safety
+    * contract (a maintenance hiccup must never fail a batch that
+    * already committed); the error row is what keeps a persistent
+    * failure from being invisible — the on-call query is
+    * `DESCRIBE INGEST LOG t MAINT` filtered to `error IS NOT NULL`. */
+  def optimizeLogged(wh: Warehouse, table: String,
+      textIdx: Option[String] = None, annIdx: Option[String] = None,
+      dedupIdx: Option[String] = None, contamIdx: Option[String] = None,
+      targetRows: Long = 1L << 20,
+      minFileRows: Long = 1L << 16): Seq[(String, Long)] = {
+    val t0 = System.currentTimeMillis()
+    scala.util.Try(optimize(wh, table, textIdx, annIdx, dedupIdx,
+        contamIdx, targetRows, minFileRows)) match {
+      case scala.util.Success(counters) =>
+        recordMaint(wh, table, "optimize", t0, counters, None)
+        counters
+      case scala.util.Failure(e) =>
+        System.err.println(
+          s"[graft] scheduled optimize failed for $table: ${e.getMessage}")
+        recordMaint(wh, table, "optimize", t0, Nil,
+          Some(s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+        Nil
+    }
+  }
 
   /** The suite-blame ledger as a frame, (stream, batch, suite)-ordered
     * — empty with the correct schema before the first blame-enabled
@@ -372,9 +461,13 @@ object Ingest {
     * counts against per-n-triggers maintenance cost (the df fold is
     * O(live vocab)); without it, debris grows one small file per
     * table per trigger forever ([[MaintScale]]'s measured drift).
-    * Try-guarded like the ledger fold: a maintenance hiccup must
-    * never fail a batch that already committed. Replays and
-    * rollbacks don't advance the cadence counter. */
+    * Runs through [[optimizeLogged]]: a maintenance hiccup must never
+    * fail a batch that already committed, but every attempt — success
+    * counters or the error — lands in the [[maintTable]] ledger, so a
+    * persistently failing in-stream optimize is observable
+    * (`DESCRIBE INGEST LOG t MAINT`) instead of silently growing
+    * debris. Replays and rollbacks don't advance the cadence
+    * counter. */
   def streamIndexed(wh: Warehouse, table: String, docs: DataFrame,
       checkpoint: String, textIdx: Option[String] = None,
       annIdx: Option[String] = None, dedupIdx: Option[String] = None,
@@ -396,9 +489,8 @@ object Ingest {
           streamId)
         optimizeEvery.foreach { n =>
           if (landed && landedCount.incrementAndGet() % n == 0) {
-            scala.util.Try {
-              optimize(wh, table, textIdx, annIdx, dedupIdx, contamIdx)
-            }
+            optimizeLogged(wh, table, textIdx, annIdx, dedupIdx,
+              contamIdx)
             ()
           }
         }

@@ -117,26 +117,35 @@ object Similarity {
   /** Exact cosine between every vector and the query vector (vec_id=q)
     * as an oracle CTE producing (vec_id, cosine). Embeddings are
     * unit-norm but we still normalize — exactly, on both engines. */
-  private def cosineCte(q: Long): String =
+  private def cosineCte(q: Long, excludeIds: Seq[Long] = Nil): String = {
+    // excludeIds: rank over the corpus MINUS these vectors — the
+    // oracle for an index that has remove()d them (the b18 lane);
+    // cosine carries no corpus-global statistics, so exclusion is
+    // pure candidate filtering
+    val ex =
+      if (excludeIds.isEmpty) ""
+      else s" WHERE e.vec_id NOT IN (${excludeIds.mkString(", ")})"
     s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $q),
        |zp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
        |              unnest(q.qe)::DOUBLE AS y
-       |       FROM embeddings e CROSS JOIN qv q),
+       |       FROM embeddings e CROSS JOIN qv q$ex),
        |cs AS (SELECT vec_id,
        |         round(cast(sum(cast(x * y as decimal(38,20))) as double) /
        |         (sqrt(cast(sum(cast(x * x as decimal(38,20))) as double)) *
        |          sqrt(cast(sum(cast(y * y as decimal(38,20))) as double))), 12) AS cosine
        |       FROM zp GROUP BY vec_id)""".stripMargin
+  }
 
   private val QUERY_ID = 0L
   private val TOP_K = 10
 
   /** The exact brute-force cosine top-k in DuckDB (e1's oracle) —
-    * shared with WarehouseBench's b3_ann_full_wh, where a FULL IVF-PQ
+    * shared with WarehouseBench's b3_ann_full_wh (and, with
+    * `excludeIds`, b18's maintained-index lane), where a FULL IVF-PQ
     * probe + all-admitting overquery must reproduce it bit-for-bit. */
   private[operators] def exactCosineTopKSql(queryId: Long = QUERY_ID,
-      topK: Int = TOP_K): String =
-    s"""WITH ${cosineCte(queryId)}
+      topK: Int = TOP_K, excludeIds: Seq[Long] = Nil): String =
+    s"""WITH ${cosineCte(queryId, excludeIds)}
        |SELECT vec_id, cosine FROM cs
        |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
 

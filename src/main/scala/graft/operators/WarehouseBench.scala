@@ -639,6 +639,26 @@ object WarehouseBench {
       (s, d) => TextIndex.query(optimizedIndexed(s, d), "ti_o",
         TextAnalysis.bm25Query, 10)),
 
+    // b18 — b17's VECTOR twin: the maintained ANN index hash-checked
+    // end-to-end. Build on a quarter of the corpus, three incremental
+    // refreshes (each anti-join re-screening the already-encoded
+    // residues), a right-to-be-forgotten remove, then OPTIMIZE (the
+    // per-cell codes debris pack + the tombstone fold against a base
+    // that still carries the removed vectors, so the guards correctly
+    // SURVIVE) — and a FULL probe with all-admitting overquery through
+    // the optimized index must still reproduce DuckDB's brute-force
+    // cosine top-10 over the SURVIVING corpus bit-for-bit (the
+    // full-probe trick makes the check codebook-independent, exactly
+    // like b3_ann_full_wh — the quarter-trained codebooks affect
+    // candidate order, never the exact re-rank's verdict). A code row
+    // lost in the pack, a resurrected vector, or a cell directory
+    // broken by the compaction goes red here.
+    Q("b18_optimized_ann_wh",
+      Some(Similarity.exactCosineTopKSql(excludeIds = b18Removed)),
+      (s, d) => AnnIndex.query(optimizedAnnIndexed(s, d), "ann_o",
+        T.embeddings(s, d), queryId = 0L, topK = 10, overquery = 200,
+        nProbe = 8)),
+
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(
         TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
@@ -777,6 +797,33 @@ object WarehouseBench {
   private def annIndexed(s: SparkSession, d: String): Warehouse =
     memoized(annCache, "graft_annbench")(
       w => AnnIndex.build(w, "ann_b", T.embeddings(s, d)))(s, d)
+
+  /** b18's removed vector ids — present at every testdata sf, indexed
+    * in the final (r = 3) refresh like b17's docs (3 % 4 = 7 % 4 = 3);
+    * shared with the oracle's exclusion list. */
+  private def b18Removed = Seq(3L, 7L)
+
+  private val optAnnCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  /** b18's maintained ANN index — [[optimizedIndexed]]'s vector twin:
+    * incremental build-out (a quarter per step), a remove, then the
+    * full OPTIMIZE. The tombstone fold runs against the FULL corpus —
+    * it still carries the removed vectors, so their guards are live
+    * and must survive (the lane's oracle proves they kept the vectors
+    * out of the probe). */
+  private def optimizedAnnIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(optAnnCache, "graft_optannbench") { w =>
+      val emb = T.embeddings(s, d)
+      AnnIndex.build(w, "ann_o", emb.filter(col("vec_id") % 4 === 0))
+      (1 to 3).foreach { r =>
+        AnnIndex.refresh(w, "ann_o", emb.filter(col("vec_id") % 4 <= r))
+        ()
+      }
+      AnnIndex.remove(w, "ann_o", b18Removed)
+      AnnIndex.optimize(w, "ann_o", source = Some(emb))
+      ()
+    }(s, d)
 
   // b15's dual-index warehouse: the hybrid lanes need BOTH stored
   // indexes behind one warehouse

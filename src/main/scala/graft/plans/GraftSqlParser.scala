@@ -206,6 +206,18 @@ object GraftSqlParser {
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
       """\s+WHERE\s+(.+?)""" +
       """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
+  // drift ops from SQL — the 3am surface: measured recall of the
+  // stored vector index under its real serving parameters (the number
+  // that decays silently as the corpus drifts off the frozen
+  // codebooks), and the retrain lever, threshold-gated or
+  // unconditional. ON names the index's refresh source (recall needs
+  // the exact ground truth, retrain the live corpus).
+  private val DescRecall =
+    ("""(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+([\w]+)\s+RECALL""" +
+      """\s+ON\s+([\w]+)\s*;?\s*$""").r
+  private val RetrainIdx =
+    ("""(?is)^\s*ALTER\s+VECTOR\s+INDEX\s+([\w]+)\s+RETRAIN""" +
+      """\s+ON\s+([\w]+)(?:\s+THRESHOLD\s+([0-9.]+))?\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -239,6 +251,11 @@ object GraftSqlParser {
   // one row per (landed batch, convicting suite)
   private val IngestBlame =
     """(?is)^\s*DESCRIBE\s+INGEST\s+LOG\s+([\w]+)\s+BLAME\s*;?\s*$""".r
+  // the MAINTENANCE ledger behind an ingest stream — one row per
+  // recorded maintenance attempt (scheduled optimize outcome, failed
+  // ledger fold); `error IS NOT NULL` is the on-call filter
+  private val IngestMaint =
+    """(?is)^\s*DESCRIBE\s+INGEST\s+LOG\s+([\w]+)\s+MAINT\s*;?\s*$""".r
   // cross-instance freshness: commits made HERE re-point dw_<name>
   // automatically (commitManifest), but another process's commits are
   // only picked up when something re-reads the manifest — REFRESH is
@@ -315,11 +332,31 @@ object GraftSqlParser {
   private val TimestampAsOf =
     """(?i)\b([\w]+)\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)'""".r
 
+  /** Non-ISO fallback pattern: 'yyyy-MM-dd HH:mm:ss[.f…]' (the
+    * java.sql.Timestamp shape, minus its JVM-default-timezone trap). */
+  private val FallbackTs = new java.time.format.DateTimeFormatterBuilder()
+    .appendPattern("yyyy-MM-dd HH:mm:ss")
+    .optionalStart()
+    .appendFraction(java.time.temporal.ChronoField.NANO_OF_SECOND,
+      1, 9, true)
+    .optionalEnd()
+    .toFormatter
+
   private def parseInstant(s: String): java.time.Instant =
-    scala.util.Try(java.time.Instant.parse(s)).getOrElse(
-      java.sql.Timestamp.valueOf(
+    scala.util.Try(java.time.Instant.parse(s)).getOrElse {
+      // zoneless fallback forms resolve in the SESSION timezone
+      // (spark.sql.session.timeZone), not the JVM default — a
+      // reproducibility read ('TIMESTAMP AS OF') must name the same
+      // instant on every host, or the same statement replays a
+      // different index hours away from the intended cut
+      val zone = java.time.ZoneId.of(
+        org.apache.spark.sql.internal.SQLConf.get.sessionLocalTimeZone)
+      val norm =
         if (s.contains(" ") || s.contains("T")) s.replace("T", " ")
-        else s + " 00:00:00").toInstant)
+        else s + " 00:00:00"
+      java.time.LocalDateTime.parse(norm, FallbackTs)
+        .atZone(zone).toInstant
+    }
 
   /** Spans of `s` that are string literals (single- or double-quoted,
     * with `''`/backslash escapes), backtick-quoted identifiers, `--`
@@ -734,6 +771,23 @@ object GraftSqlParser {
               require(wh.hasTable(t),
                 s"OPTIMIZE $kind INDEX $idx ON $t: no such table in " +
                   "this index's warehouse")
+              // …and the one stream-fed shape that IS detectable
+              // refuses loudly: a table with an ingest ledger is fed
+              // by deliveries, so the table is NOT the refresh source
+              // — after a Forget the doc is gone from it, the fold
+              // would judge its guard dead, and the next replayed
+              // delivery would silently resurrect the forgotten doc
+              // (exactly the hazard Ingest.optimize refuses; SQL made
+              // it one typo away)
+              require(!wh.hasTable(
+                  graft.operators.Ingest.ledgerTable(t)),
+                s"OPTIMIZE $kind INDEX $idx ON $t: $t is a stream-fed " +
+                  "ingest table (it has an ingest ledger) — its future " +
+                  "deliveries, not the table, are this index's refresh " +
+                  "source, so folding tombstones against it would let " +
+                  "a replayed delivery resurrect forgotten docs. Fold " +
+                  "against an upstream retention boundary via the " +
+                  "API's foldTombstones instead")
               wh.table(t)
             }
             val kv =
@@ -748,6 +802,53 @@ object GraftSqlParser {
               else graft.operators.AnnIndex.optimize(wh, idx,
                 source = source)
             kv.map { case (k0, v0) => Row(k0, v0) }
+          }
+        }
+      case DescRecall(idx, src) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("key" -> StringType,
+              "value" -> StringType)) { _ =>
+            // the API twin verbatim: deterministic 20-query sample
+            // ([[AnnIndex.probeQueryIds]]) probed under the real
+            // serving defaults against the exact one-pass ground
+            // truth — plus the SLO inputs, so the on-call reader sees
+            // WHAT was measured, not just the number
+            val source = wh.table(src)
+            val qids = graft.operators.AnnIndex
+              .probeQueryIds(wh, idx, source, 20)
+            val r = graft.operators.AnnIndex
+              .recallProbe(wh, idx, source, qids)
+            Seq(Row("recall", f"$r%.4f"),
+              Row("sample_queries", qids.size.toString),
+              Row("top_k", "10"), Row("overquery", "5"),
+              Row("n_probe", "3"))
+          }
+        }
+      case RetrainIdx(idx, src, thr) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("key" -> StringType,
+              "value" -> StringType)) { _ =>
+            val source = wh.table(src)
+            Option(thr) match {
+              case None =>
+                // unconditional: retrain on the current distribution,
+                // frozen geometry, atomic three-table swap
+                val n = graft.operators.AnnIndex.retrain(wh, idx, source)
+                Seq(Row("retrained", "true"), Row("vectors", n.toString))
+              case Some(t) =>
+                // threshold-gated: maintain()'s probe-then-retrain —
+                // measure first, retrain only below the SLO, re-probe
+                // the SAME query sample after
+                val slo = t.toDouble
+                require(slo > 0.0 && slo <= 1.0,
+                  s"ALTER VECTOR INDEX $idx RETRAIN: THRESHOLD $t must " +
+                    "be a recall fraction in (0, 1]")
+                val (before, after) = graft.operators.AnnIndex
+                  .maintain(wh, idx, source, slo = slo)
+                Seq(Row("recall_before", f"$before%.4f"),
+                  Row("retrained", after.nonEmpty.toString)) ++
+                  after.map(a => Row("recall_after", f"$a%.4f"))
+            }
           }
         }
       case SearchIdx(idx, text, k, asOf) =>
@@ -941,6 +1042,11 @@ object GraftSqlParser {
       case IngestBlame(table) =>
         boundTable(session, table).map { wh =>
           graft.operators.Ingest.blameLedger(wh, table)
+            .queryExecution.logical
+        }
+      case IngestMaint(table) =>
+        boundTable(session, table).map { wh =>
+          graft.operators.Ingest.maintLedger(wh, table)
             .queryExecution.logical
         }
       case Refresh(table) =>

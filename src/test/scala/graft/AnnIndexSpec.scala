@@ -142,6 +142,61 @@ class AnnIndexSpec extends AnyFunSuite {
     assert(got.toSeq == brute.toSeq, s"got=${got.toSeq} brute=${brute.toSeq}")
   }
 
+  test("filtered search auto-widens: qualifiers outside the nProbe nearest cells still fill k; fewer matches than k exhausts every cell and returns them all") {
+    val wh = new Warehouse(spark, tmp("ann_widen"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    // a 2%-selective predicate — exactly 10 qualifying vectors at
+    // sf0.001, scattered across cells, so the single nearest cell
+    // nProbe = 1 probes cannot hold them all: the pre-widening
+    // behavior returned < k here with no signal
+    val pred = col("vec_id") % 50 === 0
+    val allow = emb.filter(pred).select("vec_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(allow.size == 10)
+    val cellOf = wh.table("ann_codes").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(allow.groupBy(cellOf).map(_._2.size).max < 10,
+      "premise: no single cell may hold every qualifier")
+    val got = AnnIndex.query(wh, "ann", emb, queryId = 0L, topK = 10,
+      nProbe = 1, filter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.length == 10,
+      s"auto-widening must fill k: got ${got.length}")
+    // widening stops only once every qualifier is inside the probed
+    // cells (only 10 exist), and 10 ≤ overquery·topK admits them all —
+    // the answer IS the brute-force filtered ranking
+    import graft.functions.VectorFunctions
+    val qe = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").as("qe"))
+    val brute = emb.filter(pred).crossJoin(broadcast(qe))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == brute.toSeq, s"got=${got.toSeq} brute=${brute.toSeq}")
+    // the batch form widens per query to the identical answers
+    val batch = AnnIndex.queryBatch(wh, "ann", emb, Seq(0L, 1L),
+      topK = 10, nProbe = 1, filter = Some(pred))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    Seq(0L, 1L).foreach { qid =>
+      val single = AnnIndex.query(wh, "ann", emb, qid, topK = 10,
+        nProbe = 1, filter = Some(pred))
+        .collect().map(r => (qid, r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch.filter(_._1 == qid).toSeq == single,
+        s"batch diverged from the widened single probe for query $qid")
+    }
+    // fewer matches than k: widening exhausts every cell and returns
+    // ALL of them — a short result now MEANS the matches don't exist
+    val five = AnnIndex.query(wh, "ann", emb, queryId = 0L, topK = 10,
+      nProbe = 1, filter = Some(col("vec_id") % 100 === 0))
+      .collect().map(_.getLong(0))
+    assert(five.length == 5 && five.toSet ==
+      Set(0L, 100L, 200L, 300L, 400L), five.mkString(", "))
+  }
+
   test("refresh dedups within one batch: a replayed id landing twice appends a single code row") {
     val wh = new Warehouse(spark, tmp("ann_idx5"))
     val emb = Tables.embeddings(spark, sf)

@@ -471,6 +471,48 @@ class IngestSpec extends AnyFunSuite {
       assert(files("docs") <= 2 && files("ti_postings") <= 2,
         s"debris not packed: docs=${files("docs")} " +
           s"postings=${files("ti_postings")}")
+      // every scheduled attempt is in the maintenance ledger: two
+      // optimize rows (after triggers 2 and 4), each a success carrying
+      // duration + the per-step counters — the observability the old
+      // silent Try lacked
+      val maint = Ingest.maintLedger(wh, "docs").collect()
+      assert(maint.length == 2, s"expected 2 maint rows, got " +
+        s"${maint.map(_.toString).mkString("; ")}")
+      assert(maint.forall(r => r.getString(0) == "optimize" &&
+        r.isNullAt(4) && r.getString(3).contains("docs.files_compacted=")),
+        maint.map(_.toString).mkString("; "))
     } finally q.stop()
+  }
+
+  test("optimizeLogged: a failing maintenance attempt lands an ERROR row and does NOT throw (the stream-safety contract); SQL surfaces the ledger") {
+    val wh = bootstrap("ingest_maint")
+    // success: counters land in the row's detail
+    assert(Ingest.optimizeLogged(wh, "docs", textIdx = Some("ti"))
+      .nonEmpty)
+    // failure: a maintenance target that cannot be optimized (the
+    // index doesn't exist) — the persistent-failure shape. The call
+    // must RETURN, not throw: streamIndexed runs this verbatim inside
+    // foreachBatch after the batch committed, so a throw here would
+    // fail a committed batch — and the stream only keeps committing
+    // because this contract holds
+    assert(Ingest.optimizeLogged(wh, "docs", textIdx = Some("no_such"))
+      .isEmpty)
+    val led = Ingest.maintLedger(wh, "docs").collect()
+    assert(led.length == 2, led.map(_.toString).mkString("; "))
+    val ok = led.filter(_.isNullAt(4))
+    val err = led.filterNot(_.isNullAt(4))
+    assert(ok.length == 1 && err.length == 1)
+    assert(ok.head.getString(0) == "optimize" &&
+      ok.head.getString(3).contains("ti.df_segments_folded="),
+      ok.head.toString)
+    assert(err.head.getString(0) == "optimize" &&
+      err.head.getString(4).nonEmpty, err.head.toString)
+    assert(err.head.getLong(2) >= 0L) // duration recorded on failure too
+    // the on-call read path: DESCRIBE INGEST LOG docs MAINT
+    wh.enableSql()
+    val viaSql = spark.sql(
+      "DESCRIBE INGEST LOG docs MAINT").collect()
+    assert(viaSql.length == 2 &&
+      viaSql.count(!_.isNullAt(4)) == 1, viaSql.mkString("; "))
   }
 }

@@ -671,6 +671,20 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[Exception] {
       spark.sql("OPTIMIZE CONTAM INDEX cg ON docs").collect()
     }
+    // a STREAM-FED base table refuses as an ON target: once docs has
+    // an ingest ledger, its future deliveries — not the table — are
+    // the index's refresh source, and a fold against the table would
+    // let a replayed delivery resurrect forgotten docs (the
+    // Ingest.optimize hazard, one typo away in SQL)
+    import spark.implicits._
+    wh.save("docs_ingest_log",
+      Seq((1L, "ingest", 1L, 0L, 0L, 0L, 1L))
+        .toDF("batch_id", "stream_id", "n_in", "quality_drops",
+          "contam_drops", "dup_drops", "landed"))
+    val fed = intercept[Exception] {
+      spark.sql("OPTIMIZE SEARCH INDEX ti ON docs").collect()
+    }
+    assert(fed.getMessage.contains("stream-fed"), fed.getMessage)
   }
 
   test("SEARCH / VECTOR SEARCH / HYBRID SEARCH: the literal serving front door from SQL ≡ the API paths") {
@@ -826,5 +840,90 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .toSeq
     assert(rows == Seq((1L, 1L, 0L, 1L), (2L, 2L, 1L, 1L)),
       s"SQL ledger rows: $rows")
+  }
+
+  test("DESCRIBE VECTOR INDEX … RECALL / ALTER VECTOR INDEX … RETRAIN: the drift ops from SQL ≡ their API twins") {
+    import graft.operators.AnnIndex
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    // twin warehouses, identically built (build/refresh/retrain are
+    // deterministic) — retrain MUTATES, so the SQL path and the API
+    // path each judge their own copy and the outputs must agree
+    def mk(p: String): Warehouse = {
+      val wh = new Warehouse(spark, tmp(p))
+      wh.save("vectors", emb.filter(col("vec_id") < 400))
+      AnnIndex.build(wh, "ann", wh.table("vectors"),
+        nCells = 4, m = 4, k = 8)
+      wh.append("vectors", emb.filter(col("vec_id") >= 400))
+      AnnIndex.refresh(wh, "ann", wh.table("vectors"))
+      wh
+    }
+    val whSql = mk("sql_drift_a")
+    val whApi = mk("sql_drift_b")
+    whSql.enableSql()
+    // DESCRIBE … RECALL ≡ recallProbe over the deterministic
+    // 20-query sample, SLO inputs included
+    val kv = spark.sql("DESCRIBE VECTOR INDEX ann RECALL ON vectors")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val qids = AnnIndex.probeQueryIds(whApi, "ann",
+      whApi.table("vectors"), 20)
+    val apiRecall = AnnIndex.recallProbe(whApi, "ann",
+      whApi.table("vectors"), qids)
+    assert(kv("recall") == f"$apiRecall%.4f",
+      s"SQL recall ${kv("recall")} ≠ API $apiRecall")
+    assert(kv("sample_queries") == "20" && kv("top_k") == "10" &&
+      kv("overquery") == "5" && kv("n_probe") == "3", kv.toString)
+    // THRESHOLD form ≡ maintain(): probe, retrain only below the SLO,
+    // re-probe the same sample — same decision, same numbers, on twins
+    val (before, after) = AnnIndex.maintain(whApi, "ann",
+      whApi.table("vectors"), slo = 1.0)
+    val ret = spark.sql(
+        "ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 1.0")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(ret("recall_before") == f"$before%.4f", ret.toString)
+    assert(ret("retrained") == after.nonEmpty.toString, ret.toString)
+    after.foreach(a =>
+      assert(ret("recall_after") == f"$a%.4f", ret.toString))
+    // unconditional form ≡ retrain(): frozen geometry, full re-encode
+    val un = spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(un("retrained") == "true" && un("vectors") == "500",
+      un.toString)
+    val g = AnnIndex.geometry(whSql, "ann")
+    assert(g == ((4, 4, 8)), s"SQL retrain re-shaped the index: $g")
+    // a nonsense threshold refuses loudly
+    intercept[Exception] {
+      spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 1.5")
+        .collect()
+    }
+  }
+
+  test("zoneless TIMESTAMP AS OF resolves in the SESSION timezone, not the JVM default") {
+    val wh = new Warehouse(spark, tmp("sql_asof_tz"))
+    wh.enableSql()
+    val docs = graft.Tables.documents(spark, "/root/testdata/sf0.001")
+    wh.save("docs", docs.filter(col("doc_id") < 100))
+    spark.sql("CREATE SEARCH INDEX ti ON docs").collect()
+    val q = "SEARCH INDEX ti FOR 'vector stream merge' TOP 5"
+    val live = spark.sql(q).collect().toSeq
+    assert(live.nonEmpty)
+    // render NOW as a zoneless local string in a zone 12h BEHIND the
+    // session's UTC: interpreted in the session zone it names "now"
+    // (a valid cut, at/after every commit); interpreted in the JVM
+    // default (UTC — the old java.sql.Timestamp.valueOf behavior) it
+    // names 12 hours AGO, before any version exists, and the read
+    // refuses. The statement succeeding IS the timezone assertion.
+    val zone = "Etc/GMT+12" // = UTC-12 (POSIX sign convention)
+    val prev = spark.conf.get("spark.sql.session.timeZone")
+    try {
+      spark.conf.set("spark.sql.session.timeZone", zone)
+      val local = java.time.LocalDateTime
+        .ofInstant(java.time.Instant.now().plusSeconds(2),
+          java.time.ZoneId.of(zone))
+        .format(java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))
+      val got = spark.sql(s"$q TIMESTAMP AS OF '$local'").collect().toSeq
+      assert(got == live,
+        "session-zone AS OF must resolve to the live cut")
+    } finally spark.conf.set("spark.sql.session.timeZone", prev)
   }
 }
