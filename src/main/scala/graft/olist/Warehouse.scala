@@ -2332,6 +2332,19 @@ class Warehouse(val spark: SparkSession, basePath: String,
     *    corrupt a commit that later becomes visible. A crash-abandoned
     *    tail holds its files only until the next locked writer heals
     *    the records — then they reclaim normally. */
+  /** The versions a retention sweep keeps fully readable: the newest
+    * `keepVersions` PLUS every registered pin ([[pinVersion]] — held
+    * serving cuts), sorted so `head` is the sweep floor. Shared by
+    * [[vacuum]] and [[vacuumPreview]] so the preview can never
+    * disagree with the sweep. A pin naming a no-longer-retained
+    * version (possible only if it was registered against different
+    * retention earlier) is ignored rather than resurrecting nothing. */
+  private def vacuumKeptVersions(name: String, versions: Seq[Long],
+      keepVersions: Int): Seq[Long] =
+    (versions.takeRight(keepVersions) ++
+      pinnedVersions(name).values.filter(versions.contains))
+      .distinct.sorted
+
   private def vacuumKeepSet(name: String, visibleVersions: Seq[Long],
       kept: Seq[Long]): Set[String] = {
     val cloneKeep: Set[String] = currentManifestFull(name)
@@ -2373,7 +2386,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
     val fs = metaFs
     currentManifest(name).foreach { _ =>
       val versions = tableVersions(name)
-      val kept = versions.takeRight(keepVersions)
+      val kept = vacuumKeptVersions(name, versions, keepVersions)
       val keep = vacuumKeepSet(name, versions, kept)
       val cutoff = System.currentTimeMillis - graceMs
       val root = qualifiedPath(s"$basePath/$name")
@@ -2395,38 +2408,49 @@ class Warehouse(val spark: SparkSession, basePath: String,
           if (!fs.listFiles(d.getPath, true).hasNext) fs.delete(d.getPath, true)
         }
       }
-      // only sweep BELOW the retention floor: a commit landing
+      // only sweep BELOW the retention-window floor: a commit landing
       // concurrently creates a version ABOVE it, which a not-in-kept
-      // predicate would have deleted — monotonic comparison can't
-      val floor = kept.head
-      // the floor version (and every kept delta above it) must stay
-      // resolvable after its ancestor records die: materialize a full
-      // checkpoint manifest AT the floor first if it only has a delta
+      // predicate would have deleted — monotonic comparison can't.
+      // Pinned versions BELOW the window (held serving cuts) are
+      // spared individually; everything else below the floor loses
+      // its record too, so a stale unpinned cut fails LOUDLY at
+      // re-resolution ("older than retention") instead of resolving a
+      // record whose files are gone and dangling at scan time.
+      val winFloor = versions.takeRight(keepVersions).head
+      // every version that must stay resolvable after its ancestor
+      // records die — the window floor and each below-window pin —
+      // needs a full checkpoint manifest first if it only has a delta
       // record. Idempotent — a lost rename just means another vacuum
       // (or the original commit) already published it.
-      if (!fs.exists(manifestPath(name, floor))) {
-        val (fFiles, fMeta) = stateAt(name, floor)
-        writeRecord(txnDir(name), manifestPath(name, floor),
-          (metaLines(fMeta) ++ fFiles.map(encodeFile)).mkString("\n"))
+      val anchors = (kept.filter(_ < winFloor) :+ winFloor).distinct
+      anchors.foreach { av =>
+        if (!fs.exists(manifestPath(name, av))) {
+          val (aFiles, aMeta) = stateAt(name, av)
+          writeRecord(txnDir(name), manifestPath(name, av),
+            (metaLines(aMeta) ++ aFiles.map(encodeFile)).mkString("\n"))
+        }
       }
-      // The record sweep destroys the floor's ancestors, so it may only
-      // run once the checkpoint is DURABLY published: a transiently
-      // failed rename (not already-exists — writeRecord is idempotent
-      // there) would otherwise leave floor..head permanently
-      // unresolvable. Skipping is safe — the data-file sweep above
-      // already ran, and the next vacuum retries the checkpoint.
-      if (fs.exists(manifestPath(name, floor))) {
+      // The record sweep destroys the anchors' ancestors, so it may
+      // only run once EVERY checkpoint is DURABLY published: a
+      // transiently failed rename (not already-exists — writeRecord is
+      // idempotent there) would otherwise leave kept versions
+      // permanently unresolvable. Skipping is safe — the data-file
+      // sweep above already ran, and the next vacuum retries the
+      // checkpoints.
+      if (anchors.forall(av => fs.exists(manifestPath(name, av)))) {
         fs.listStatus(txnDir(name)).foreach { st =>
           val doomedVer = st.getPath.getName match {
             case ManifestName(ver) => Some(ver.toLong)
             case DeltaName(ver) => Some(ver.toLong)
             case _ => None
           }
-          doomedVer.filter(_ < floor).foreach { ver =>
-            fs.delete(st.getPath, false)
-            // the version's row-level change files share its lifecycle
-            fs.delete(changesDir(name, ver), true)
-          }
+          doomedVer
+            .filter(v => v < winFloor && !kept.contains(v))
+            .foreach { ver =>
+              fs.delete(st.getPath, false)
+              // the version's row-level change files share its lifecycle
+              fs.delete(changesDir(name, ver), true)
+            }
         }
       }
     }
@@ -3347,6 +3371,22 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * needs ("which snapshot did run X train on?"). */
   def tableAt(name: String, version: Long): DataFrame = {
     require(database.isEmpty, "tableAt applies to path-mode tables only")
+    // a version vacuum reaped must fail HERE with the real diagnosis,
+    // not as a missing-record parse error (or worse, resolve through
+    // a stale chain): a held-but-unpinned serving cut re-resolving
+    // after a retention sweep is the expected caller
+    val retained = logVersions(name)
+    if (!retained.contains(version)) {
+      if (retained.lastOption.exists(version <= _))
+        throw new IllegalArgumentException(
+          s"tableAt: version $version of $name is not retained " +
+            s"(retained: ${retained.mkString(", ")}) — vacuum reaped " +
+            "it; shield held serving cuts with holdSnapshot/pinVersion")
+      else
+        throw new IllegalArgumentException(
+          s"tableAt: $name has no committed version $version " +
+            s"(latest: ${retained.lastOption.getOrElse("none")})")
+    }
     val (files, vMeta) = stateAt(name, version)
     requireVisible("tableAt", name, version, vMeta)
     // read the OLD version with the schema AND column mapping it was
@@ -3375,7 +3415,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * commits and vacuums (within retention) cannot change what they
     * read. */
   def snapshotTables(names: Seq[String],
-      maxRetries: Int = 10): Map[String, DataFrame] = {
+      maxRetries: Int = 10): Map[String, DataFrame] =
+    snapshotVersions(names, maxRetries)
+      .map { case (n, v) => n -> tableAt(n, v) }
+
+  /** The version cut [[snapshotTables]] pins, without the readers —
+    * the seam [[holdSnapshot]] needs the raw versions through. */
+  def snapshotVersions(names: Seq[String],
+      maxRetries: Int = 10): Map[String, Long] = {
     require(database.isEmpty, "snapshotTables applies to path-mode tables only")
     require(names.nonEmpty, "snapshotTables: no tables")
     def heads(): Seq[(String, Long)] =
@@ -3392,7 +3439,86 @@ class Warehouse(val spark: SparkSession, basePath: String,
     if (!settled) throw new IllegalStateException(
       s"snapshotTables: heads kept moving after $maxRetries retries — " +
         "commit rate exceeds the optimistic read window")
-    cut.map { case (n, v) => n -> tableAt(n, v) }.toMap
+    cut.toMap
+  }
+
+  /** Current pins on `name` — holder → the version vacuum must keep
+    * fully readable. */
+  def pinnedVersions(name: String): Map[String, Long] =
+    currentManifestFull(name).map(_._3).getOrElse(Map.empty)
+      .getOrElse(PinsMeta, "").split(",").filter(_.nonEmpty)
+      .map { kv =>
+        val Array(h, v) = kv.split("=", 2)
+        h -> v.toLong
+      }.toMap
+
+  /** Register `holder`'s pin on `version` of `name`: until released,
+    * [[vacuum]] treats the pinned version as a kept snapshot — its
+    * files survive the sweep AND its commit record survives the
+    * record truncation, so a held serving cut stays version-exact
+    * readable for as long as it is held (the clone registry's
+    * mechanism at version grain). A holder re-pinning replaces its
+    * previous pin (the refresh-the-cut cadence); a pin rides the
+    * manifest, so it survives process restarts — release it
+    * ([[unpinVersion]]) or it shields retention forever. Refuses a
+    * version that is not currently retained: a cut that already fell
+    * off retention cannot be resurrected by pinning. */
+  def pinVersion(name: String, version: Long, holder: String): Unit = {
+    require(database.isEmpty, "pinVersion applies to path-mode tables only")
+    require(holder.nonEmpty && !holder.exists(c => c == ',' || c == '='),
+      s"pinVersion: holder '$holder' must be non-empty without ',' or '='")
+    withCommitLock(name) {
+      val (_, fs0, _) = currentManifestFull(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"pinVersion: $name has no committed snapshot"))
+      require(tableVersions(name).contains(version),
+        s"pinVersion: version $version of $name is not retained " +
+          "(vacuumed, or never committed) — a cut must be pinned " +
+          "while it is still readable")
+      // prev metadata carries forward through commitManifest; only
+      // the pins key changes
+      val pins = pinnedVersions(name) + (holder -> version)
+      commitManifest(name, fs0,
+        Map(PinsMeta -> pins.map { case (h, v) => s"$h=$v" }
+          .mkString(",")), op = "pin")
+    }
+  }
+
+  /** Release `holder`'s pin on `name` (no-op when none is held). */
+  def unpinVersion(name: String, holder: String): Unit = {
+    require(database.isEmpty, "unpinVersion applies to path-mode tables only")
+    withCommitLock(name) {
+      currentManifestFull(name).foreach { case (_, fs0, _) =>
+        val pins = pinnedVersions(name)
+        if (pins.contains(holder))
+          commitManifest(name, fs0,
+            Map(PinsMeta -> (pins - holder)
+              .map { case (h, v) => s"$h=$v" }.mkString(",")),
+            op = "unpin")
+      }
+    }
+  }
+
+  /** A held serving cut with a VACUUM SHIELD — the deployment pattern
+    * the serving snapshots recommend (hold ONE cut across many
+    * queries, refresh on your own staleness cadence), made safe to
+    * hold across retention sweeps: resolves one consistent cut
+    * ([[snapshotTables]]'s protocol), registers `holder`'s pin on
+    * every member version, and only then builds the pinned readers —
+    * so from registration on, [[vacuum]] keeps each member version
+    * fully readable however old the cut grows. Returns (readers,
+    * release); ALWAYS release when the cut is retired — an abandoned
+    * holder shields retention forever (re-holding with the same
+    * holder name replaces the pins, the refresh cadence's shape). A
+    * vacuum that already reaped a member version between resolution
+    * and pinning refuses loudly (pinVersion's retention check) —
+    * never a dangling reader. */
+  def holdSnapshot(names: Seq[String], holder: String)
+      : (Map[String, DataFrame], () => Unit) = {
+    val cut = snapshotVersions(names)
+    cut.foreach { case (n, v) => pinVersion(n, v, holder) }
+    (cut.map { case (n, v) => n -> tableAt(n, v) },
+      () => names.foreach(n => unpinVersion(n, holder)))
   }
 
   /** [[snapshotTables]] AS OF a past instant — the reproducibility
@@ -3421,13 +3547,24 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // pass collects the commit stamp (for the time resolution) and
     // the txn tag (for the tear check) — on object storage each read
     // is a round trip, so the two consumers share it
-    val metas: Map[String, Seq[(Long, Option[java.time.Instant],
+    val metas: Map[String, Seq[(Long, java.time.Instant,
         Option[String])]] = names.map { n =>
       n -> tableVersions(n).map { v =>
         val m = metaOfVersion(n, v)
+        // a missing or unparsable commit stamp THROWS rather than
+        // being skipped: skipping would silently resolve to an OLDER
+        // version than the true latest-at-or-before — a quiet
+        // wrong-answer path on metadata corruption, on the one
+        // surface whose whole point is reproducibility
+        val stamp = m.getOrElse(TimeMeta, throw new IllegalStateException(
+          s"snapshotTablesAt: version $v of $n has no commit stamp — " +
+            "metadata is corrupt; refusing to time-resolve over it"))
         (v,
-          m.get(TimeMeta).flatMap(s =>
-            scala.util.Try(java.time.Instant.parse(s)).toOption),
+          scala.util.Try(java.time.Instant.parse(stamp)).getOrElse(
+            throw new IllegalStateException(
+              s"snapshotTablesAt: version $v of $n has an unparsable " +
+                s"commit stamp '$stamp' — metadata is corrupt; " +
+                "refusing to time-resolve over it")),
           m.get(TxnMeta))
       }
     }.toMap
@@ -3435,12 +3572,28 @@ class Warehouse(val spark: SparkSession, basePath: String,
       require(metas(n).nonEmpty,
         s"snapshotTablesAt: $n has no committed snapshot")
       val at = metas(n).reverse
-        .find { case (_, stamp, _) => stamp.exists(!_.isAfter(ts)) }
+        .find { case (_, stamp, _) => !stamp.isAfter(ts) }
         .getOrElse(throw new IllegalArgumentException(
           s"snapshotTablesAt: $n has no version committed at or " +
             s"before $ts"))._1
       n -> at
     }.toMap
+    // the whole-transaction check below sees only RETAINED history:
+    // once vacuum has reaped a member table's txn-tagged versions,
+    // that table silently leaves the txn's member set, and an instant
+    // inside the commit window could pass verification and serve a
+    // genuinely torn cut. The dangerous resolution is exactly "at a
+    // truncated table's retention horizon" (any later resolution has
+    // the surviving tags it needs) — refuse it.
+    names.foreach { n =>
+      val oldest = metas(n).head._1
+      if (resolved(n) == oldest && oldest > 1L)
+        throw new IllegalArgumentException(
+          s"snapshotTablesAt: $ts resolves $n at its retention " +
+            s"horizon (version $oldest; earlier history vacuumed) — " +
+            "whole-transaction verification cannot see reaped txn " +
+            "tags there; pick a later instant or extend retention")
+    }
     // whole-transaction check: for each txn id tagged anywhere in
     // these tables' histories, the cut must sit entirely at-or-above
     // that txn's versions (included) or entirely below (excluded) in
@@ -3522,7 +3675,7 @@ class Warehouse(val spark: SparkSession, basePath: String,
       case None => Nil
       case Some(_) =>
         val versions = tableVersions(name)
-        val kept = versions.takeRight(keepVersions)
+        val kept = vacuumKeptVersions(name, versions, keepVersions)
         val keep = vacuumKeepSet(name, versions, kept)
         val cutoff = System.currentTimeMillis - graceMs
         val root = qualifiedPath(s"$basePath/$name")
@@ -3538,11 +3691,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
               (graceMs <= 0 || st.getModificationTime < cutoff)) doomed += rel
           }
         }
-        val floor = kept.head
-        val records = versions.filter(_ < floor).flatMap { v =>
-          Seq(deltaPath(name, v), manifestPath(name, v))
-            .filter(fs.exists).map(p => s"_graft_meta/txn/$name/${p.getName}")
-        }
+        val winFloor = versions.takeRight(keepVersions).head
+        val records = versions
+          .filter(v => v < winFloor && !kept.contains(v)).flatMap { v =>
+            Seq(deltaPath(name, v), manifestPath(name, v))
+              .filter(fs.exists)
+              .map(p => s"_graft_meta/txn/$name/${p.getName}")
+          }
         (doomed.toSeq ++ records).sorted
     }
   }
@@ -4463,6 +4618,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
   private val RowsMeta = "rows"
   private val ChecksMeta = "checks"
   private val ClonesMeta = "clones"
+  /** Vacuum-shielded version pins (`holder=version,…`) — the held
+    * serving-cut registry ([[pinVersion]]): vacuum keeps every pinned
+    * version fully readable (files AND records), the clone registry's
+    * shape at version grain. */
+  private val PinsMeta = "pins"
   /** Cross-table transaction id a version was committed under; the
     * version is invisible until `_graft_meta/_txn/<id>.committed`
     * exists (see [[transaction]]). Never carried forward: untagged

@@ -208,6 +208,26 @@ object AnnIndex {
     snap(_)
   }
 
+  /** [[servingSnapshot]] with a VACUUM SHIELD ([[Warehouse
+    * .holdSnapshot]] — [[TextIndex.servingSnapshotHeld]]'s dense
+    * twin): pins the cut's member versions under `holder` until the
+    * returned release runs, so a cut held across retention sweeps
+    * stays fully readable. Always release a retired cut. */
+  def servingSnapshotHeld(wh: Warehouse, idx: String,
+      holder: String): (String => DataFrame, () => Unit) = {
+    val (snap, release) = wh.holdSnapshot(servingTables(idx), holder)
+    (snap(_), release)
+  }
+
+  /** [[hybridSnapshot]] with a VACUUM SHIELD — both indexes' serving
+    * tables pinned as one held cut. */
+  def hybridSnapshotHeld(wh: Warehouse, annIdx: String, textIdx: String,
+      holder: String): (String => DataFrame, () => Unit) = {
+    val (snap, release) = wh.holdSnapshot(
+      servingTables(annIdx) ++ TextIndex.servingTables(textIdx), holder)
+    (snap(_), release)
+  }
+
   /** REPRODUCIBLE serving — [[TextIndex.servingSnapshotAt]]'s dense
     * twin: the probe surface AS OF a past instant, whole-transaction
     * verified ([[Warehouse.snapshotTablesAt]] — a [[retrain]]'s three

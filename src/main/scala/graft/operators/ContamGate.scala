@@ -197,26 +197,38 @@ object ContamGate {
     * 16-byte digests) the plain hash join takes over, both sides
     * shuffling on the digest; verdicts identical either way. */
   def verdicts(wh: Warehouse, idx: String, batch: DataFrame,
-      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
-    // pin the slim batch's digests once: the join-side choice, the
-    // probe, and the verdict frame all reuse them instead of
-    // re-scanning the source (the DedupIndex.verdicts precedent).
-    // The gram pin is RELEASED before returning: the bounded verdict
-    // frame (one row per batch doc) is materialized into its own pin,
-    // so a long-lived monitor calling this per trigger accumulates
-    // verdict-row-sized blocks (ContextCleaner-collected once the
-    // frame is dropped), never gram-sized ones. Callers inside a
-    // pinned pipeline ([[Ingest.ingestBatch]]) use [[verdictsOn]] with
-    // their own gram pin instead — one gram derivation per trigger.
-    // CORPUS-scale callers ([[Curate.curateStored]]'s sweep) pin one
-    // row per corpus doc here — still strictly smaller than the
-    // gram-sized (tokens×16B) pin this replaced, and released when
-    // the sweep's frame goes out of scope.
-    val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
-    try verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
-      .localCheckpoint()
-    finally { bg.unpersist(); () }
-  }
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams,
+      materialize: Boolean = false): DataFrame =
+    if (materialize) {
+      // MONITOR shape (opt-in): pin the batch's digests once, settle
+      // the verdict frame EAGERLY into its own bounded pin (one row
+      // per batch doc), release the gram pin before returning. A
+      // long-lived monitor that holds verdict frames across triggers,
+      // or a caller that consumes the frame repeatedly
+      // ([[Curate.curateStored]]'s corpus sweep — its verdict pin is
+      // still strictly smaller than the gram-sized tokens×16B pin it
+      // replaced), accumulates only verdict-row-sized blocks
+      // (ContextCleaner-collected once the frame drops), never
+      // gram-sized ones. Callers inside a pinned pipeline
+      // ([[Ingest.ingestBatch]]) use [[verdictsOn]] with their own
+      // gram pin instead — one gram derivation per trigger.
+      val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+      try verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
+        .localCheckpoint()
+      finally { bg.unpersist(); () }
+    } else {
+      // SERVING shape (default): fully lazy, ZERO pins — a one-shot
+      // consumer ("is this delivery clean?") evaluates the frame
+      // exactly once and must not pay an up-front materialization +
+      // checkpoint write it never amortizes (the r15 eager form put
+      // the gate lane ABOVE its recompute-everything raw twin at
+      // sf0.1). Cost shape: the gram derivation runs twice — once
+      // here for the broadcast guard's count, once when the consumer
+      // evaluates — both cheap map-side tokenize+digest passes over a
+      // delivery-sized batch; nothing persists either way.
+      val bg = grams(batch.select("doc_id", "text"))
+      verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
+    }
 
   /** The broadcast-side row guard [[verdicts]]/[[verdictsBySuite]]
     * apply by default (~tens of MB of 16-byte digests). */
@@ -259,14 +271,20 @@ object ContamGate {
     * batch digests broadcast (same gram-volume guard), stored grams
     * stream, only (doc, suite) counts exchange. */
   def verdictsBySuite(wh: Warehouse, idx: String, batch: DataFrame,
-      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
-    // same pin discipline as [[verdicts]]: gram pin released, bounded
-    // blame frame pinned in its place
-    val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
-    try blameOn(wh, idx, bg, bg.count(), maxBroadcastGrams)
-      .localCheckpoint()
-    finally { bg.unpersist(); () }
-  }
+      maxBroadcastGrams: Long = DefaultMaxBroadcastGrams,
+      materialize: Boolean = false): DataFrame =
+    if (materialize) {
+      // same opt-in pin discipline as [[verdicts]]: gram pin
+      // released, bounded blame frame pinned in its place
+      val bg = grams(batch.select("doc_id", "text")).localCheckpoint()
+      try blameOn(wh, idx, bg, bg.count(), maxBroadcastGrams)
+        .localCheckpoint()
+      finally { bg.unpersist(); () }
+    } else {
+      // serving default: lazy, zero pins ([[verdicts]]'s rationale)
+      val bg = grams(batch.select("doc_id", "text"))
+      blameOn(wh, idx, bg, bg.count(), maxBroadcastGrams)
+    }
 
   /** [[verdictsBySuite]] from an externally-pinned gram frame — the
     * shared-pass twin of [[verdictsOn]]: [[Ingest.ingestBatch]]'s

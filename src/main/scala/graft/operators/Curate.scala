@@ -122,7 +122,11 @@ object Curate {
       else DedupIndex.verdicts(wh, dedupIdx, in)
         .filter(col("keep") === 0).select("doc_id")
     val dirtyIds = (in: DataFrame) =>
-      ContamGate.verdicts(wh, contamIdx, in)
+      // materialize: the sweep is corpus-scale and the pipeline may
+      // consume the verdict set more than once — the eager bounded
+      // pin (one row per corpus doc) beats re-deriving corpus grams
+      // per consumer, and is released when the frame drops
+      ContamGate.verdicts(wh, contamIdx, in, materialize = true)
         .filter(col("keep") === 0).select("doc_id")
     pipeline(docs, nearLosers, dirtyIds, minQuality, tokensPerShard,
       blocklist, rebalanceBy, maxDupSpanFraction, maxPerSource)

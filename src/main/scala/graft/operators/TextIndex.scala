@@ -233,11 +233,29 @@ object TextIndex {
     * cut is version-exact and stays valid indefinitely — commits after
     * the cut are invisible to it by design; refresh the cut on your
     * own staleness cadence). The convenience forms ([[query]],
-    * [[queryBatch]], [[queryTextBatch]]) take a fresh cut per call. */
+    * [[queryBatch]], [[queryTextBatch]]) take a fresh cut per call.
+    *
+    * RETENTION: this cut is NOT vacuum-shielded — a `vacuum` whose
+    * retention window passes the cut reaps its files, and
+    * re-resolution fails loudly ("not retained"). A deployment that
+    * holds cuts across maintenance windows wants
+    * [[servingSnapshotHeld]]. */
   def servingSnapshot(wh: Warehouse,
       idx: String): String => DataFrame = {
     val snap = wh.snapshotTables(servingTables(idx))
     snap(_)
+  }
+
+  /** [[servingSnapshot]] with a VACUUM SHIELD
+    * ([[Warehouse.holdSnapshot]]): the cut's member versions are
+    * pinned under `holder` until the returned release runs, so
+    * retention sweeps keep the cut fully readable however long it is
+    * held. ALWAYS release a retired cut (re-holding under the same
+    * holder replaces the pins — the refresh cadence's shape). */
+  def servingSnapshotHeld(wh: Warehouse, idx: String,
+      holder: String): (String => DataFrame, () => Unit) = {
+    val (snap, release) = wh.holdSnapshot(servingTables(idx), holder)
+    (snap(_), release)
   }
 
   /** REPRODUCIBLE serving: the index's read surface AS OF a past

@@ -484,6 +484,87 @@ class IngestSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("property: a second-instance reader racing the ingest stream only ever sees committed batch boundaries — search ≡ fetch at every cut") {
+    // the cross-instance end-to-end of the in-process race spec: one
+    // Warehouse instance drives ingestBatch transactions (base + BOTH
+    // indexes under one marker), a SECOND instance over the same
+    // directory concurrently takes serving cuts on a randomized
+    // cadence. Every cut must be coherent with SOME committed batch:
+    // its doc count is exactly a batch boundary (never a torn
+    // intermediate), the stored BM25 through the cut reproduces the
+    // scan over the cut's OWN base table bit-for-bit, and the vector
+    // index at the cut covers exactly the cut's docs. This exercises
+    // the lock/marker machinery across instances — the reader shares
+    // no in-memory state with the writer, only the manifest log.
+    val dir = tmp("ingest_race")
+    val whW = { // bootstrap through the writer's instance
+      val wh = new Warehouse(spark, dir)
+      wh.save("docs", frame(seed))
+      TextIndex.build(wh, "ti", frame(seed))
+      AnnIndex.build(wh, "ann",
+        frame(seed).select(col("doc_id").as("vec_id"), col("embedding")),
+        nCells = 4, m = 4, k = 8)
+      wh
+    }
+    val whR = new Warehouse(spark, dir)
+    val batches = (0 until 4).map(i => corpus.slice(30 + i * 5, 35 + i * 5))
+    val boundaries = (0 to 4).map(i => 30L + i * 5).toSet
+    val failures = new java.util.concurrent.ConcurrentLinkedQueue[String]
+    @volatile var writing = true
+    val rnd = new scala.util.Random(41)
+    val writer = new Thread(() => {
+      try batches.zipWithIndex.foreach { case (b, i) =>
+        Thread.sleep(rnd.nextInt(120).toLong)
+        assert(Ingest.ingestBatch(whW, "docs", frame(b), i.toLong,
+          textIdx = Some("ti"), annIdx = Some("ann")))
+      } catch { case e: Throwable =>
+        failures.add(s"writer: ${e.getMessage}")
+      } finally writing = false
+    })
+    val reader = new Thread(() => {
+      val r2 = new scala.util.Random(42)
+      try {
+        var rounds = 0
+        while ((writing || rounds < 2) && rounds < 30) {
+          Thread.sleep(r2.nextInt(80).toLong)
+          val cutMap = whR.snapshotTables(Seq("docs") ++
+            TextIndex.servingTables("ti") :+ "ann_codes")
+          val cut: String => org.apache.spark.sql.DataFrame = cutMap(_)
+          val n = cut("docs").count()
+          if (!boundaries.contains(n))
+            failures.add(s"torn cut: $n docs is no batch boundary")
+          // search ≡ fetch AT THE CUT: the stored index reproduces
+          // the scan over the cut's own base table
+          val scan = TextAnalysis.bm25TopK(cut("docs"),
+              TextAnalysis.bm25Query, 50)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .filter(_._3 > 0.0).toSeq
+          val stored = TextIndex.queryOn(cut, "ti",
+              TextAnalysis.bm25Query, 50)
+            .collect()
+            .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+            .toSeq
+          if (scan != stored)
+            failures.add(s"cut at $n docs: stored BM25 ≠ scan")
+          // the vector index at the cut covers exactly the cut's docs
+          val coded = cut("ann_codes").count()
+          if (coded != n)
+            failures.add(s"cut at $n docs has $coded code rows")
+          rounds += 1
+        }
+      } catch { case e: Throwable =>
+        failures.add(s"reader: ${e.getMessage}")
+      }
+    })
+    writer.start(); reader.start()
+    writer.join(120000); reader.join(120000)
+    assert(failures.isEmpty,
+      failures.toArray.mkString("; "))
+    assert(whW.countRows("docs").contains(50L))
+    consistent(whR) // final state coherent through the reader instance
+  }
+
   test("optimizeLogged: a failing maintenance attempt lands an ERROR row and does NOT throw (the stream-safety contract); SQL surfaces the ledger") {
     val wh = bootstrap("ingest_maint")
     // success: counters land in the row's detail

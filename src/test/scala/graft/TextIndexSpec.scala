@@ -425,4 +425,34 @@ class TextIndexSpec extends AnyFunSuite {
     assert(replay == past,
       "historical serving cut failed to reproduce the past answer")
   }
+
+  test("servingSnapshotHeld: a held cut serves correctly ACROSS vacuum; release reclaims and a stale re-hold of the reaped cut is loud") {
+    val wh = new Warehouse(spark, tmp("ti_held"))
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") < 250))
+    val (held, release) = TextIndex.servingSnapshotHeld(wh, "ti", "svc")
+    val past = TextIndex.queryOn(held, "ti", terms, 20).collect().toSeq
+    // the index moves on: refresh appends, optimize REWRITES the df
+    // and postings files — the held versions' storage is exactly what
+    // an unshielded vacuum would reap
+    TextIndex.refresh(wh, "ti", docs)
+    TextIndex.optimize(wh, "ti")
+    TextIndex.servingTables("ti").foreach(t => wh.vacuum(t, 0L, 1))
+    // the held cut still answers — version-exact, through reaped-
+    // for-everyone-else storage the pin kept alive
+    assert(TextIndex.queryOn(held, "ti", terms, 20).collect().toSeq
+      == past, "held cut diverged after vacuum")
+    // fresh cuts see the refreshed index, untouched by the shield
+    assert(TextIndex.query(wh, "ti", terms, 20).collect().toSeq != past)
+    release()
+    TextIndex.servingTables("ti").foreach { t =>
+      assert(wh.pinnedVersions(t).isEmpty, s"$t still pinned")
+      wh.vacuum(t, 0L, 1)
+    }
+    // the reaped versions now refuse loudly at re-resolution
+    val stale = intercept[IllegalArgumentException] {
+      wh.tableAt("ti_df", 1L)
+    }
+    assert(stale.getMessage.contains("not retained"), stale.getMessage)
+  }
 }

@@ -70,6 +70,65 @@ class CloneSpec extends AnyFunSuite {
     assert(wh2.table("fork").count() == 3901)
   }
 
+  test("held serving cuts survive vacuum: holdSnapshot pins member versions; a released stale cut refuses loudly, never dangles") {
+    import spark.implicits._
+    val dir = tmp("wh_heldcut")
+    val wh = new Warehouse(spark, dir)
+    def save(rows: Int): Unit = {
+      wh.save("t", spark.range(rows).select(col("id").as("k"),
+        (col("id") % 7).as("v")).coalesce(2))
+      wh.save("u", spark.range(rows / 10).select(col("id").as("k"))
+        .coalesce(1))
+    }
+    save(100) // both tables at v1
+    // hold ONE cut across both tables (the serving amortization
+    // pattern), then churn: every save rewrites every file, so the
+    // held versions' files are exactly what an unshielded vacuum reaps
+    val (cut, release) = wh.holdSnapshot(Seq("t", "u"), "svc")
+    val heldRows = cut("t").count()
+    val heldSum = cut("t").agg(sum("v")).first().getLong(0)
+    (1 to 3).foreach(i => save(100 + i * 10))
+    // the preview agrees with the shield before anything is deleted
+    assert(wh.pinnedVersions("t") == Map("svc" -> 1L))
+    val preview = wh.vacuumPreview("t", 0L, 1)
+    val v1Files = wh.tableAt("t", 1L).inputFiles.map(f =>
+      f.substring(f.lastIndexOf("/t/") + 3)).toSeq
+    assert(v1Files.forall(f => !preview.contains(f)),
+      s"preview would reap pinned files: $preview")
+    wh.vacuum("t", 0L, 1)
+    wh.vacuum("u", 0L, 1)
+    // (a) continued correct serving: the held frames keep answering,
+    // and a REBUILT reader over the pinned version answers identically
+    // — version-exact, not a dangling-file read
+    assert(cut("t").count() == heldRows)
+    assert(cut("t").agg(sum("v")).first().getLong(0) == heldSum)
+    assert(wh.tableAt("t", 1L).count() == heldRows)
+    assert(wh.tableAt("u", 1L).count() == heldRows / 10)
+    // live reads see the churned head, untouched by the shield
+    assert(wh.table("t").count() == 130)
+    // release: the next sweep reclaims the cut, and (b) a stale
+    // re-resolution fails LOUDLY with the retention diagnosis
+    release()
+    assert(wh.pinnedVersions("t").isEmpty &&
+      wh.pinnedVersions("u").isEmpty)
+    wh.vacuum("t", 0L, 1)
+    val stale = intercept[IllegalArgumentException] {
+      wh.tableAt("t", 1L)
+    }
+    assert(stale.getMessage.contains("not retained") &&
+      stale.getMessage.contains("holdSnapshot"), stale.getMessage)
+    // the shield was surgical: releasing actually freed the storage
+    val left = dataFilesUnder(s"$dir/t")
+    assert(v1Files.forall(f => !left.exists(_.endsWith(f))),
+      s"released cut's files survived: $left")
+    // re-pinning a reaped version refuses — a dead cut cannot be
+    // resurrected into the registry
+    val gone = intercept[IllegalArgumentException] {
+      wh.pinVersion("t", 1L, "svc2")
+    }
+    assert(gone.getMessage.contains("not retained"), gone.getMessage)
+  }
+
   test("clone at a historical version; clone of a clone re-registers owners") {
     import spark.implicits._
     val dir = tmp("wh_clone2")
