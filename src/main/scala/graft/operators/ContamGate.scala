@@ -217,17 +217,21 @@ object ContamGate {
         .localCheckpoint()
       finally { bg.unpersist(); () }
     } else {
-      // SERVING shape (default): fully lazy, ZERO pins — a one-shot
-      // consumer ("is this delivery clean?") evaluates the frame
-      // exactly once and must not pay an up-front materialization +
-      // checkpoint write it never amortizes (the r15 eager form put
-      // the gate lane ABOVE its recompute-everything raw twin at
-      // sf0.1). Cost shape: the gram derivation runs twice — once
-      // here for the broadcast guard's count, once when the consumer
-      // evaluates — both cheap map-side tokenize+digest passes over a
-      // delivery-sized batch; nothing persists either way.
-      val bg = grams(batch.select("doc_id", "text"))
-      verdictsOn(wh, idx, batch, bg, bg.count(), maxBroadcastGrams)
+      // SERVING shape (default): fully lazy, ZERO pins, ONE gram
+      // derivation — a one-shot consumer ("is this delivery clean?")
+      // evaluates the frame exactly once and must not pay an up-front
+      // materialization + checkpoint write it never amortizes (the
+      // r15 eager form put the gate lane ABOVE its
+      // recompute-everything raw twin at sf0.1), nor a SECOND gram
+      // pass just to size the first for the broadcast guard. The
+      // join side is AQE's runtime decision instead: a
+      // delivery-sized digest set converts to broadcast from its
+      // MEASURED size, and an unexpectedly gram-heavy batch degrades
+      // to a shuffle join rather than an executor OOM — the same
+      // protection the count guard bought, for free.
+      verdictTail(batch,
+        wh.table(gramsTable(idx)).select("h")
+          .join(grams(batch.select("doc_id", "text")), Seq("h")))
     }
 
   /** The broadcast-side row guard [[verdicts]]/[[verdictsBySuite]]
@@ -242,11 +246,20 @@ object ContamGate {
       batch: DataFrame, bg: DataFrame, nGrams: Long,
       maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     val stored = wh.table(gramsTable(idx)).select("h")
-    val hits = (if (nGrams <= maxBroadcastGrams)
+    verdictTail(batch,
+      if (nGrams <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h")) // stored streams, batch builds
       else stored.join(bg, Seq("h")))
-      // DISTINCT digests: a multi-suite gram must convict once, not
-      // once per suite carrying it
+  }
+
+  /** The verdict shape over an already-joined (doc_id, h) hit frame —
+    * shared by every join-side strategy (explicit broadcast off a
+    * pinned count, AQE-decided on the lazy path) so they cannot
+    * diverge on semantics. DISTINCT digests: a multi-suite gram must
+    * convict once, not once per suite carrying it. */
+  private def verdictTail(batch: DataFrame, joined: DataFrame)
+      : DataFrame = {
+    val hits = joined
       .groupBy("doc_id").agg(countDistinct(col("h")).as("shared_grams"))
     batch.select("doc_id").distinct()
       .join(hits, Seq("doc_id"), "left")
@@ -281,9 +294,10 @@ object ContamGate {
         .localCheckpoint()
       finally { bg.unpersist(); () }
     } else {
-      // serving default: lazy, zero pins ([[verdicts]]'s rationale)
-      val bg = grams(batch.select("doc_id", "text"))
-      blameOn(wh, idx, bg, bg.count(), maxBroadcastGrams)
+      // serving default: lazy, zero pins, one gram derivation,
+      // AQE-decided join side ([[verdicts]]'s rationale)
+      blameTail(storedGrams(wh, idx)
+        .join(grams(batch.select("doc_id", "text")), Seq("h")))
     }
 
   /** [[verdictsBySuite]] from an externally-pinned gram frame — the
@@ -294,11 +308,17 @@ object ContamGate {
       nGrams: Long,
       maxBroadcastGrams: Long = DefaultMaxBroadcastGrams): DataFrame = {
     val stored = storedGrams(wh, idx)
-    (if (nGrams <= maxBroadcastGrams)
+    blameTail(
+      if (nGrams <= maxBroadcastGrams)
         stored.join(broadcast(bg), Seq("h"))
       else stored.join(bg, Seq("h")))
+  }
+
+  /** The blame shape over an already-joined hit frame — [[verdictTail]]'s
+    * per-suite twin, shared by both join-side strategies. */
+  private def blameTail(joined: DataFrame): DataFrame =
+    joined
       .groupBy("doc_id", "suite")
       .agg(countDistinct(col("h")).as("shared_grams"))
       .orderBy("doc_id", "suite")
-  }
 }

@@ -28,6 +28,9 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
+  *   spark.sql("PIN TABLE t VERSION 4 AS 'svc'")   // vacuum shield; UNPIN TABLE t AS 'svc'; DESCRIBE PINS t
+  *   spark.sql("DESCRIBE VECTOR INDEX ann RECALL ON vectors")   // drift ops
+  *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 0.8")
   *
   * A statement only binds to the warehouse when the named table has a
   * committed snapshot there — otherwise it delegates, so catalog
@@ -226,6 +229,18 @@ object GraftSqlParser {
       """\s+RETIRE\s+SUITE\s+'([^']*)'\s*;?\s*$""").r
   private val Clone =
     """(?is)^\s*CLONE\s+([\w]+)\s+AS\s+([\w]+)(?:\s+VERSION\s+(\d+))?\s*;?\s*$""".r
+  // the held-serving-cut registry from SQL: PIN shields one version
+  // against vacuum under a named holder (files AND commit record
+  // survive retention sweeps until UNPIN); DESCRIBE PINS is the
+  // inventory a retention decision reads ("who is holding my
+  // storage?")
+  private val Pin =
+    ("""(?is)^\s*PIN\s+TABLE\s+([\w]+)\s+VERSION\s+(\d+)""" +
+      """\s+AS\s+'([^']+)'\s*;?\s*$""").r
+  private val Unpin =
+    """(?is)^\s*UNPIN\s+TABLE\s+([\w]+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
+  private val DescPins =
+    """(?is)^\s*DESCRIBE\s+PINS\s+([\w]+)\s*;?\s*$""".r
   // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
   // equality conjuncts of the ON clause
   private val Merge =
@@ -1017,6 +1032,28 @@ object GraftSqlParser {
           cmd(session, attrs("status" -> StringType)) { _ =>
             wh.cloneTable(src, dst, Option(version).map(_.toLong))
             Seq(Row("OK"))
+          }
+        }
+      case Pin(table, version, holder) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.pinVersion(table, version.toLong, holder)
+            Seq(Row("OK"))
+          }
+        }
+      case Unpin(table, holder) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("status" -> StringType)) { _ =>
+            wh.unpinVersion(table, holder)
+            Seq(Row("OK"))
+          }
+        }
+      case DescPins(table) =>
+        boundTable(session, table).map { wh =>
+          cmd(session, attrs("holder" -> StringType,
+              "version" -> org.apache.spark.sql.types.LongType)) { _ =>
+            wh.pinnedVersions(table).toSeq.sortBy(_._1)
+              .map { case (h, v) => Row(h, v) }
           }
         }
       case Drop(table) =>

@@ -897,6 +897,30 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("PIN TABLE / UNPIN TABLE / DESCRIBE PINS: the vacuum shield from SQL") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("sql_pins"))
+    wh.enableSql()
+    wh.save("t", spark.range(50).select(col("id").as("k")).coalesce(1))
+    val heldSum = wh.table("t").agg(sum("k")).first().getLong(0)
+    assert(spark.sql("PIN TABLE t VERSION 1 AS 'svc'").collect()
+      .head.getString(0) == "OK")
+    // churn + sweep: without the pin, v1's files and record are gone
+    (1 to 2).foreach(i => wh.save("t",
+      spark.range(50 + i).select(col("id").as("k")).coalesce(1)))
+    wh.vacuum("t", 0L, 1)
+    val pins = spark.sql("DESCRIBE PINS t").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(pins == Seq(("svc", 1L)), pins.toString)
+    assert(wh.tableAt("t", 1L).agg(sum("k")).first().getLong(0)
+      == heldSum, "pinned version must stay readable across vacuum")
+    assert(spark.sql("UNPIN TABLE t AS 'svc'").collect()
+      .head.getString(0) == "OK")
+    assert(spark.sql("DESCRIBE PINS t").collect().isEmpty)
+    wh.vacuum("t", 0L, 1)
+    intercept[IllegalArgumentException](wh.tableAt("t", 1L))
+  }
+
   test("zoneless TIMESTAMP AS OF resolves in the SESSION timezone, not the JVM default") {
     val wh = new Warehouse(spark, tmp("sql_asof_tz"))
     wh.enableSql()
