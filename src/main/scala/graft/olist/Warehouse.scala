@@ -3778,6 +3778,15 @@ class Warehouse(val spark: SparkSession, basePath: String,
       require(holdouts.isEmpty,
         s"dropTable: clones still reference $name's files: " +
           s"${holdouts.mkString(", ")} — drop or compact them first")
+      // a held serving cut dies with its table: refuse while pins are
+      // registered (the clone rule's version-grain sibling) — the
+      // holder releases first, or the drop is a conscious override
+      // after unpinning, never a silent kill of a live cut
+      val pinned = pinnedVersions(name)
+      require(pinned.isEmpty,
+        s"dropTable: held serving cuts still pin $name " +
+          s"(${pinned.map { case (h, v) => s"$h→v$v" }.mkString(", ")})" +
+          " — release them (unpinVersion / UNPIN TABLE) first")
       // a dropped CLONE deregisters from every owner it referenced, so
       // owners' registries (walked by their vacuums) don't accumulate
       // dead entries

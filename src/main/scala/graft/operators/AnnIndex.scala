@@ -240,6 +240,25 @@ object AnnIndex {
     snap(_)
   }
 
+  /** The next probe-prefix length after an under-filled filtered
+    * round: at least double, at most every cell, and jumped
+    * PROPORTIONALLY when the observed admissible density says
+    * doubling would still starve — candidates scale ~linearly with
+    * probed cells under a roughly uniform allowlist, so
+    * p·topK·2/count (the 2 is the safety factor for non-uniformity)
+    * usually fills in ONE extra round where pure doubling takes
+    * log₂(nCells/p). Every round is a codes scan: at corpus scale
+    * the scans dominate (fewer rounds = the win), at toy scale the
+    * per-round job overhead does (same conclusion). Shared verbatim
+    * by [[query]] and the batch core so their widening schedules —
+    * and therefore their answers — cannot diverge. */
+  private def widenTo(p: Int, count: Long, topK: Int,
+      nCells: Int): Int = {
+    val proportional =
+      math.ceil(p.toDouble * topK * 2.0 / math.max(count, 1L).toDouble)
+    math.min(nCells.toDouble, math.max(2.0 * p, proportional)).toInt
+  }
+
   /** [[remove]]'s body without the transaction wrapper — for callers
     * composing into a wider atomic unit ([[Forget.forgetDocs]]). */
   private[operators] def removeBody(wh: Warehouse, idx: String,
@@ -721,9 +740,11 @@ object AnnIndex {
     * (post-filtering returns < k whenever the predicate is selective).
     * Only ids cross the allowlist join. When the allowlist-restricted
     * probed cells hold fewer than topK candidates the probe
-    * AUTO-WIDENS — the probe prefix doubles along the query's full
-    * best-first cell ranking (one additional cell-pruned codes scan
-    * per widening round) until k fills or every cell is probed, so a
+    * AUTO-WIDENS — the probe prefix grows along the query's full
+    * best-first cell ranking ([[widenTo]]: at least doubling,
+    * jumped proportionally from the observed admissible density; one
+    * additional cell-pruned codes scan per widening round, usually
+    * one round total) until k fills or every cell is probed, so a
     * selective predicate can never silently under-fill k; fewer than k
     * rows now means fewer than k matches EXIST. The unfiltered plan is
     * untouched, and a filtered probe whose initial cells already fill
@@ -751,30 +772,43 @@ object AnnIndex {
       .orderBy(col("d2").asc, col("cid").asc)
       .collect().map(_.getInt(0)).toSeq
     val nCells = ranked.length
-    def candsAt(p: Int): DataFrame = {
+    def candsAt(p: Int, allow: Option[DataFrame]): DataFrame = {
       val probedCodes = read(s"${idx}_codes")
         .filter(col("cell").isin(ranked.take(p): _*))
         .select("vec_id", "codes")
-      val admissible = filter match {
-        case None => probedCodes
-        case Some(pred) => probedCodes.join(
+      val admissible = (filter, allow) match {
+        case (None, _) => probedCodes
+        // widening rounds semi-join the PINNED id list — the
+        // predicate's source scan ran once, not once per round
+        case (_, Some(a)) =>
+          probedCodes.join(a, Seq("vec_id"), "left_semi")
+        case (Some(pred), None) => probedCodes.join(
           source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
       }
       pqRank(admissible, codebook, q, m = m, k = k,
         topK = overquery * topK)
     }
     val cands = filter match {
-      case None => candsAt(math.min(nProbe, nCells))
-      case Some(_) =>
+      case None => candsAt(math.min(nProbe, nCells), None)
+      case Some(pred) =>
         // auto-widen: the materialized cut's row count IS the fill
         // check (≥ topK candidates ⇔ the probed allowlist held ≥ topK —
         // the cut keeps overquery·topK ≥ topK), so the filled-first
         // case costs exactly the one scan the probe pays anyway
         var p = math.min(nProbe, nCells)
-        var c = candsAt(p).localCheckpoint()
-        while (c.count() < topK && p < nCells) {
-          p = math.min(nCells, p * 2)
-          c = candsAt(p).localCheckpoint()
+        var c = candsAt(p, None).localCheckpoint()
+        var n = c.count()
+        if (n < topK && p < nCells) {
+          // widening begins: materialize the allowlist ONCE (ids
+          // only — 8 bytes/row) so every further round is a pruned
+          // codes scan against pinned ids, not a fresh source scan
+          val allow = source.filter(pred).select("vec_id")
+            .localCheckpoint()
+          try while (n < topK && p < nCells) {
+            p = widenTo(p, n, topK, nCells)
+            c = candsAt(p, Some(allow)).localCheckpoint()
+            n = c.count()
+          } finally { allow.unpersist(); () }
         }
         c
     }
@@ -993,7 +1027,8 @@ object AnnIndex {
     // table-lookup sum as pqRank, the table a broadcast column instead
     // of a literal), then the two-level overquery·topK cut per query
     // under (adc, vec_id)
-    def candsFor(probe: Seq[(Long, Seq[Int])]): DataFrame = {
+    def candsFor(probe: Seq[(Long, Seq[Int])],
+        allow: Option[DataFrame]): DataFrame = {
       val qcells = probe
         .flatMap { case (qid, cells) => cells.map(c => (qid, c)) }
         .toDF("query_id", "cell")
@@ -1001,9 +1036,13 @@ object AnnIndex {
       val probedCodes = read(s"${idx}_codes")
         .filter(col("cell").isin(allCells: _*))
         .select("vec_id", "cell", "codes")
-      val admissible = filter match {
-        case None => probedCodes
-        case Some(pred) => probedCodes.join(
+      val admissible = (filter, allow) match {
+        case (None, _) => probedCodes
+        // widening rounds semi-join the PINNED id list — the
+        // predicate's source scan ran once, not once per round
+        case (_, Some(a)) =>
+          probedCodes.join(a, Seq("vec_id"), "left_semi")
+        case (Some(pred), None) => probedCodes.join(
           source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
       }
       val scored = admissible.join(broadcast(qcells), Seq("cell"))
@@ -1027,38 +1066,46 @@ object AnnIndex {
     val cands = filter match {
       case None =>
         candsFor(qvs.map { case (qid, _) =>
-          qid -> rankedById(qid).take(math.min(nProbe, nCells)) })
-      case Some(_) =>
+          qid -> rankedById(qid).take(math.min(nProbe, nCells)) }, None)
+      case Some(pred) =>
         // AUTO-WIDEN per query: the materialized cut's per-query row
         // count IS the fill check (≥ topK rows ⇔ the probed allowlist
         // held ≥ topK — the cut keeps oq ≥ topK per query), so a batch
         // whose every query fills at nProbe pays exactly the one codes
-        // scan it pays anyway. Under-filled queries double their probe
-        // prefix and re-score TOGETHER — one pruned codes scan per
-        // widening round for the whole deficient set; each query's
-        // final round is identical to a one-shot probe at its widened
-        // nProbe, so query ≡ queryBatch survives widening by
-        // construction, and < topK rows back now means < topK matches
-        // EXIST.
+        // scan it pays anyway. Under-filled queries widen their probe
+        // prefix ([[widenTo]]) and re-score TOGETHER — one pruned
+        // codes scan per widening round for the whole deficient set,
+        // against the allowlist PINNED once when widening begins;
+        // each query's final round is identical to a one-shot probe
+        // at its widened nProbe, so query ≡ queryBatch survives
+        // widening by construction, and < topK rows back now means
+        // < topK matches EXIST.
         var probeN: Map[Long, Int] =
           qvs.map(_._1 -> math.min(nProbe, nCells)).toMap
         var pending: Seq[Long] = qvs.map(_._1)
         var settled: List[DataFrame] = Nil
-        while (pending.nonEmpty) {
-          val round = candsFor(
-            pending.map(qid => qid -> rankedById(qid).take(probeN(qid))))
-            .localCheckpoint()
-          val counts = round.groupBy("query_id").count().collect()
-            .map(r => r.getLong(0) -> r.getLong(1)).toMap
-          val (full, under) = pending.partition(qid =>
-            counts.getOrElse(qid, 0L) >= topK || probeN(qid) >= nCells)
-          if (full.nonEmpty)
-            settled ::= (if (under.isEmpty) round
-              else round.filter(col("query_id").isin(full: _*)))
-          pending = under
-          probeN = probeN ++ under.map(qid =>
-            qid -> math.min(nCells, probeN(qid) * 2))
-        }
+        var allow: Option[DataFrame] = None
+        try {
+          while (pending.nonEmpty) {
+            val round = candsFor(
+              pending.map(qid => qid -> rankedById(qid).take(probeN(qid))),
+              allow).localCheckpoint()
+            val counts = round.groupBy("query_id").count().collect()
+              .map(r => r.getLong(0) -> r.getLong(1)).toMap
+            val (full, under) = pending.partition(qid =>
+              counts.getOrElse(qid, 0L) >= topK || probeN(qid) >= nCells)
+            if (full.nonEmpty)
+              settled ::= (if (under.isEmpty) round
+                else round.filter(col("query_id").isin(full: _*)))
+            pending = under
+            probeN = probeN ++ under.map(qid =>
+              qid -> widenTo(probeN(qid), counts.getOrElse(qid, 0L),
+                topK, nCells))
+            if (pending.nonEmpty && allow.isEmpty)
+              allow = Some(source.filter(pred).select("vec_id")
+                .localCheckpoint())
+          }
+        } finally { allow.foreach(_.unpersist()); () }
         settled.reduce(_ union _)
     }
     // exact re-rank: ≤ |queries|·oq candidate vectors, query vectors

@@ -106,6 +106,10 @@ class CloneSpec extends AnyFunSuite {
     assert(wh.tableAt("u", 1L).count() == heldRows / 10)
     // live reads see the churned head, untouched by the shield
     assert(wh.table("t").count() == 130)
+    // a held cut also blocks dropTable (the clone rule's sibling):
+    // the holder must release before the table can die
+    val held = intercept[IllegalArgumentException] { wh.dropTable("u") }
+    assert(held.getMessage.contains("pin"), held.getMessage)
     // release: the next sweep reclaims the cut, and (b) a stale
     // re-resolution fails LOUDLY with the retention diagnosis
     release()
