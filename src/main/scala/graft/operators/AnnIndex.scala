@@ -746,10 +746,14 @@ object AnnIndex {
     * additional cell-pruned codes scan per widening round, usually
     * one round total) until k fills or every cell is probed, so a
     * selective predicate can never silently under-fill k; fewer than k
-    * rows now means fewer than k matches EXIST. The unfiltered plan is
-    * untouched, and a filtered probe whose initial cells already fill
-    * k pays no extra scan (the candidate cut is materialized once and
-    * reused by the re-rank). */
+    * rows now means fewer than k matches EXIST. Widening preserves
+    * the probe's APPROXIMATE ranking: it stops once k qualifiers sit
+    * inside the probed cells, and (exactly like the unfiltered probe)
+    * a qualifier outside them can still outrank — raise nProbe for
+    * higher filtered recall; a full probe is exact. The unfiltered
+    * plan is untouched, and a filtered probe whose initial cells
+    * already fill k pays no extra scan (the candidate cut is
+    * materialized once and reused by the re-rank). */
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
       topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {

@@ -180,7 +180,11 @@ object GraftSqlParser {
   // FILTERED search (the production retrieval pattern): the named
   // table's rows satisfying WHERE become the doc allowlist / the
   // admissible-candidate predicate — applied INSIDE the probe, so k
-  // fills with qualifying results (post-filtering would under-fill)
+  // fills with qualifying results (post-filtering would under-fill).
+  // The vector forms AUTO-WIDEN (AnnIndex.widenTo): a selective WHERE
+  // whose matches live outside the nearest cells probes wider until k
+  // fills or cells exhaust — fewer than k rows back means fewer than
+  // k matches exist
   private val SearchIdxFiltered =
     ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+FOR\s+'([^']*)'\s+TOP\s+(\d+)\s+WHERE\s+(.+?)""" +

@@ -197,6 +197,62 @@ class AnnIndexSpec extends AnyFunSuite {
       Set(0L, 100L, 200L, 300L, 400L), five.mkString(", "))
   }
 
+  test("property: random selective predicates fill min(k, matches) under widening, all qualifying, scores ordered; full probe ≡ brute-force filtered ranking — seeded sweep") {
+    import graft.functions.VectorFunctions
+    val wh = new Warehouse(spark, tmp("ann_widen_prop"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb)
+    val qids = Seq(0L, 7L)
+    val qvecs = emb.filter(col("vec_id").isin(qids: _*))
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getSeq[Double](1): Seq[Double])).toMap
+    val rnd = new scala.util.Random(1234)
+    // moduli give 5–18 qualifiers at sf0.001 (500 vectors) — every
+    // predicate is selective enough to defeat a 1-cell probe. The
+    // contract under test is the widening's: exactly min(k, matches)
+    // rows, every one qualifying, scores non-increasing — NOT exact
+    // top-k (widening preserves the probe's IVF-approximate ranking:
+    // it stops once k qualifiers are inside the probed cells, and a
+    // qualifier outside them can still outrank — the same recall
+    // trade the unfiltered probe makes). The FULL-probe form is where
+    // exactness is owed, and it must equal brute force.
+    Seq(29, 37, 53, 83, 101).foreach { m =>
+      val r = rnd.nextInt(m)
+      val pred = col("vec_id") % m === r
+      val want = emb.filter(pred).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val got = AnnIndex.queryVecBatch(wh, "ann", emb,
+        qids.map(q => q -> qvecs(q)), topK = 10, nProbe = 1,
+        filter = Some(pred))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      val full = AnnIndex.queryVecBatch(wh, "ann", emb,
+        qids.map(q => q -> qvecs(q)), topK = 10, nProbe = 8,
+        overquery = 50, filter = Some(pred))
+        .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+      qids.foreach { q =>
+        val mine = got.filter(_._1 == q).map(x => (x._2, x._3)).toSeq
+        assert(mine.length == math.min(10, want.size),
+          s"m=$m r=$r q=$q: ${mine.length} rows for ${want.size} matches")
+        assert(mine.forall(x => want.contains(x._1)),
+          s"m=$m r=$r q=$q: a result escaped the predicate")
+        assert(mine.map(_._2) == mine.map(_._2).sorted.reverse,
+          s"m=$m r=$r q=$q: scores not non-increasing")
+        val brute = emb.filter(pred).crossJoin(broadcast(
+            emb.filter(col("vec_id") === q)
+              .select(col("embedding").as("qe"))))
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+          .collect().map(x => (x.getLong(0), x.getDouble(1))).toSeq
+        val fullQ = full.filter(_._1 == q).map(x => (x._2, x._3)).toSeq
+        assert(fullQ == brute, s"m=$m r=$r q=$q:\n$fullQ\n$brute")
+      }
+    }
+  }
+
   test("refresh dedups within one batch: a replayed id landing twice appends a single code row") {
     val wh = new Warehouse(spark, tmp("ann_idx5"))
     val emb = Tables.embeddings(spark, sf)
