@@ -193,7 +193,6 @@ object Bench {
     // a failed query makes the line loudly non-comparable instead of
     // silently shrinking the total — in BOTH lanes
     val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"value_min":${f"$totalMin%.3f"},"queries_min":$qsMin,"queries_vanilla":$qsVan,"errors":$errs,"errors_vanilla":$errsVan,"runs_per_query":$runsPer,"sf":"$sfDir"}"""
-    println(line)
     // the same line as a stable file artifact: stdout capture can
     // truncate a long tail mid-lane, which silently drops the
     // extensions block from the record — the file always carries every
@@ -208,6 +207,11 @@ object Bench {
       System.err.println(s"[bench] BENCH_full.json write failed: " +
         e.getMessage)
     }
+    // the JSON line is the VERY LAST stdout of the process: Spark's
+    // shutdown already ran, so no late log line can land after it and
+    // push it out of a bounded tail capture — the per-round artifact
+    // parses from the tail's final line without reconstruction
     spark.stop()
+    println(line)
   }
 }

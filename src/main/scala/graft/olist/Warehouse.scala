@@ -39,6 +39,13 @@ class Warehouse(val spark: SparkSession, basePath: String,
 
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[Warehouse])
 
+  /** Whether this warehouse commits through the path-mode version
+    * manifest (true) or the session catalog (false) — the surfaces
+    * that ride the manifest (time travel, pins, vacuum, transactions)
+    * exist only in path mode, and the SQL layer reads this to refuse
+    * them with a real diagnosis instead of a generic require. */
+  def isPathMode: Boolean = database.isEmpty
+
   require(Seq("parquet", "orc", "json", "csv").contains(format),
     s"unsupported warehouse format: $format")
 
@@ -188,6 +195,40 @@ class Warehouse(val spark: SparkSession, basePath: String,
       } else Thread.sleep(50)
     }
     throw new IllegalStateException("unreachable")
+  }
+
+  /** Non-blocking table-lock attempt: Some(token) iff the lock was
+    * free RIGHT NOW — no waiting, no stale takeover. For maintenance
+    * that must never block a live writer (vacuum's record sweep): on
+    * contention the caller defers to its next run instead of queuing
+    * behind an open transaction. */
+  private def tryTableLock(name: String): Option[String] = {
+    val fs = metaFs
+    fs.mkdirs(txnDir(name))
+    val token = java.util.UUID.randomUUID.toString
+    if (tryCreateExclusive(fs, lockPath(name),
+        token.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+      Some(token)
+    else None
+  }
+
+  /** Runs `body` under the table lock IF it is immediately available
+    * (or already held by this thread's open transaction over `name`);
+    * returns false without running otherwise. The vacuum sweeps ride
+    * this: airtight against concurrent pin commits when they run,
+    * never blocking the writer path when they don't. */
+  private def withTryLock(name: String)(body: => Unit): Boolean = {
+    val tx = txnState.get()
+    if (tx != null && tx.tables.contains(name)) { body; true }
+    else commitLocks.computeIfAbsent(name, _ => new Object).synchronized {
+      tryTableLock(name) match {
+        case Some(token) =>
+          val beat = startHeartbeat(name)
+          try { body; true }
+          finally { beat.cancel(); releaseTableLock(name, token) }
+        case None => false
+      }
+    }
   }
 
   /** Deletes the lock only if we still own it — if a (mis-sized)
@@ -2340,10 +2381,45 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * version (possible only if it was registered against different
     * retention earlier) is ignored rather than resurrecting nothing. */
   private def vacuumKeptVersions(name: String, versions: Seq[Long],
-      keepVersions: Int): Seq[Long] =
+      keepVersions: Int): Seq[Long] = {
+    // EXPIRED leases don't shield: the sweep ignores them (and vacuum
+    // removes them loudly — sweepExpiredPins), so preview and sweep
+    // agree on what an expired pin no longer protects
+    val now = System.currentTimeMillis
     (versions.takeRight(keepVersions) ++
-      pinnedVersions(name).values.filter(versions.contains))
+      pinDetails(name).filterNot(_.expired(now))
+        .map(_.version).filter(versions.contains))
       .distinct.sorted
+  }
+
+  /** Remove pins whose lease has lapsed, with a LOUD `pin-expired`
+    * history op — the crashed-holder escape hatch: a leased pin whose
+    * holder stopped heartbeating ([[refreshPin]]) stops shielding
+    * retention at the next vacuum instead of forever. Lease-less pins
+    * are never swept (explicit-release contract). */
+  private def sweepExpiredPins(name: String): Unit = {
+    // lock-free pre-check: the common case (no expired pins) must not
+    // touch the lock at all — vacuum runs beside live writers
+    if (pinDetails(name).exists(_.expired(System.currentTimeMillis))) {
+      val ran = withTryLock(name) {
+        currentManifestFull(name).foreach { case (_, fs0, _) =>
+          val now = System.currentTimeMillis
+          val (dead, live) = pinDetails(name).partition(_.expired(now))
+          if (dead.nonEmpty) {
+            log.warn(s"vacuum($name): sweeping expired pins " +
+              dead.map(p => s"${p.holder}→v${p.version}").mkString(", "))
+            commitManifest(name, fs0, Map(PinsMeta -> encodePins(live)),
+              op = "pin-expired")
+          }
+        }
+      }
+      // contended (an open transaction holds the table): defer — the
+      // keep-set already ignores expired pins, so nothing dangles; the
+      // registry entry folds at the next uncontended vacuum
+      if (!ran) log.info(s"vacuum($name): lock contended — expired-pin " +
+        "sweep deferred to the next vacuum")
+    }
+  }
 
   private def vacuumKeepSet(name: String, visibleVersions: Seq[Long],
       kept: Seq[Long]): Set[String] = {
@@ -2385,6 +2461,10 @@ class Warehouse(val spark: SparkSession, basePath: String,
     require(keepVersions >= 1, "vacuum must keep at least the current version")
     val fs = metaFs
     currentManifest(name).foreach { _ =>
+      // lapsed leases leave the registry FIRST (loud `pin-expired`
+      // commit), so the keep-set below never resurrects a crashed
+      // holder's shield
+      sweepExpiredPins(name)
       val versions = tableVersions(name)
       val kept = vacuumKeptVersions(name, versions, keepVersions)
       val keep = vacuumKeepSet(name, versions, kept)
@@ -2416,43 +2496,59 @@ class Warehouse(val spark: SparkSession, basePath: String,
       // its record too, so a stale unpinned cut fails LOUDLY at
       // re-resolution ("older than retention") instead of resolving a
       // record whose files are gone and dangling at scan time.
-      val winFloor = versions.takeRight(keepVersions).head
-      // every version that must stay resolvable after its ancestor
-      // records die — the window floor and each below-window pin —
-      // needs a full checkpoint manifest first if it only has a delta
-      // record. Idempotent — a lost rename just means another vacuum
-      // (or the original commit) already published it.
-      val anchors = (kept.filter(_ < winFloor) :+ winFloor).distinct
-      anchors.foreach { av =>
-        if (!fs.exists(manifestPath(name, av))) {
-          val (aFiles, aMeta) = stateAt(name, av)
-          writeRecord(txnDir(name), manifestPath(name, av),
-            (metaLines(aMeta) ++ aFiles.map(encodeFile)).mkString("\n"))
-        }
-      }
-      // The record sweep destroys the anchors' ancestors, so it may
-      // only run once EVERY checkpoint is DURABLY published: a
-      // transiently failed rename (not already-exists — writeRecord is
-      // idempotent there) would otherwise leave kept versions
-      // permanently unresolvable. Skipping is safe — the data-file
-      // sweep above already ran, and the next vacuum retries the
-      // checkpoints.
-      if (anchors.forall(av => fs.exists(manifestPath(name, av)))) {
-        fs.listStatus(txnDir(name)).foreach { st =>
-          val doomedVer = st.getPath.getName match {
-            case ManifestName(ver) => Some(ver.toLong)
-            case DeltaName(ver) => Some(ver.toLong)
-            case _ => None
+      // The RECORD sweep runs under the table lock IF it is free, with
+      // pins (and heads) RE-READ: a pin that committed after the
+      // keep-set computation above but before this sweep (holdSnapshot
+      // racing retention) must be honored here — the data-file sweep
+      // is grace-mitigated, but reaping a freshly-pinned version's
+      // commit record would leave the held cut permanently
+      // unresolvable. TRY-lock, not blocking: vacuum must keep running
+      // beside an open transaction (the tagged-tail test's contract) —
+      // on contention the record sweep defers to the next vacuum (the
+      // data files are already reclaimed; records are metadata-sized).
+      val sweepRan = withTryLock(name) {
+        val versions2 = tableVersions(name)
+        val kept2 = vacuumKeptVersions(name, versions2, keepVersions)
+        val winFloor = versions2.takeRight(keepVersions).head
+        // every version that must stay resolvable after its ancestor
+        // records die — the window floor and each below-window pin —
+        // needs a full checkpoint manifest first if it only has a delta
+        // record. Idempotent — a lost rename just means another vacuum
+        // (or the original commit) already published it.
+        val anchors = (kept2.filter(_ < winFloor) :+ winFloor).distinct
+        anchors.foreach { av =>
+          if (!fs.exists(manifestPath(name, av))) {
+            val (aFiles, aMeta) = stateAt(name, av)
+            writeRecord(txnDir(name), manifestPath(name, av),
+              (metaLines(aMeta) ++ aFiles.map(encodeFile)).mkString("\n"))
           }
-          doomedVer
-            .filter(v => v < winFloor && !kept.contains(v))
-            .foreach { ver =>
-              fs.delete(st.getPath, false)
-              // the version's row-level change files share its lifecycle
-              fs.delete(changesDir(name, ver), true)
+        }
+        // The record sweep destroys the anchors' ancestors, so it may
+        // only run once EVERY checkpoint is DURABLY published: a
+        // transiently failed rename (not already-exists — writeRecord is
+        // idempotent there) would otherwise leave kept versions
+        // permanently unresolvable. Skipping is safe — the data-file
+        // sweep above already ran, and the next vacuum retries the
+        // checkpoints.
+        if (anchors.forall(av => fs.exists(manifestPath(name, av)))) {
+          fs.listStatus(txnDir(name)).foreach { st =>
+            val doomedVer = st.getPath.getName match {
+              case ManifestName(ver) => Some(ver.toLong)
+              case DeltaName(ver) => Some(ver.toLong)
+              case _ => None
             }
+            doomedVer
+              .filter(v => v < winFloor && !kept2.contains(v))
+              .foreach { ver =>
+                fs.delete(st.getPath, false)
+                // the version's row-level change files share its lifecycle
+                fs.delete(changesDir(name, ver), true)
+              }
+          }
         }
       }
+      if (!sweepRan) log.info(s"vacuum($name): lock contended — " +
+        "record sweep deferred to the next vacuum")
     }
   }
 
@@ -3443,14 +3539,44 @@ class Warehouse(val spark: SparkSession, basePath: String,
   }
 
   /** Current pins on `name` — holder → the version vacuum must keep
-    * fully readable. */
+    * fully readable (expired leases included; [[pinDetails]] carries
+    * the lease state). */
   def pinnedVersions(name: String): Map[String, Long] =
+    pinDetails(name).map(p => p.holder -> p.version).toMap
+
+  /** Current pins on `name` with their registration stamps and leases
+    * — the `DESCRIBE PINS` read: age tells a retention decision WHICH
+    * holder is stale, and an expired lease marks the pin sweepable
+    * (the next [[vacuum]] removes it with a loud `pin-expired`
+    * history op). Pins written before the stamp era parse with no
+    * stamp (age unknown, never expire — the legacy conservative
+    * default). */
+  def pinDetails(name: String): Seq[Warehouse.PinInfo] =
     currentManifestFull(name).map(_._3).getOrElse(Map.empty)
-      .getOrElse(PinsMeta, "").split(",").filter(_.nonEmpty)
+      .getOrElse(PinsMeta, "").split(",").filter(_.nonEmpty).toSeq
       .map { kv =>
-        val Array(h, v) = kv.split("=", 2)
-        h -> v.toLong
-      }.toMap
+        val Array(h, rest) = kv.split("=", 2)
+        rest.split(":") match {
+          case Array(v) => Warehouse.PinInfo(h, v.toLong, None, None)
+          case Array(v, at) =>
+            Warehouse.PinInfo(h, v.toLong, Some(at.toLong), None)
+          case Array(v, at, lease) =>
+            Warehouse.PinInfo(h, v.toLong, Some(at.toLong),
+              Some(lease.toLong))
+          case _ => throw new IllegalStateException(
+            s"pinDetails: unparsable pin entry '$kv' on $name")
+        }
+      }
+
+  private def encodePins(pins: Seq[Warehouse.PinInfo]): String =
+    pins.map { p =>
+      val tail = (p.pinnedAtMs, p.leaseMs) match {
+        case (Some(at), Some(l)) => s":$at:$l"
+        case (Some(at), None) => s":$at"
+        case _ => ""
+      }
+      s"${p.holder}=${p.version}$tail"
+    }.mkString(",")
 
   /** Register `holder`'s pin on `version` of `name`: until released,
     * [[vacuum]] treats the pinned version as a kept snapshot — its
@@ -3463,10 +3589,14 @@ class Warehouse(val spark: SparkSession, basePath: String,
     * ([[unpinVersion]]) or it shields retention forever. Refuses a
     * version that is not currently retained: a cut that already fell
     * off retention cannot be resurrected by pinning. */
-  def pinVersion(name: String, version: Long, holder: String): Unit = {
+  def pinVersion(name: String, version: Long, holder: String,
+      leaseMs: Option[Long] = None): Unit = {
     require(database.isEmpty, "pinVersion applies to path-mode tables only")
-    require(holder.nonEmpty && !holder.exists(c => c == ',' || c == '='),
-      s"pinVersion: holder '$holder' must be non-empty without ',' or '='")
+    require(holder.nonEmpty &&
+      !holder.exists(c => c == ',' || c == '=' || c == ':'),
+      s"pinVersion: holder '$holder' must be non-empty without " +
+        "',', '=' or ':'")
+    require(leaseMs.forall(_ > 0), "pinVersion: leaseMs must be positive")
     withCommitLock(name) {
       val (_, fs0, _) = currentManifestFull(name).getOrElse(
         throw new IllegalArgumentException(
@@ -3476,11 +3606,39 @@ class Warehouse(val spark: SparkSession, basePath: String,
           "(vacuumed, or never committed) — a cut must be pinned " +
           "while it is still readable")
       // prev metadata carries forward through commitManifest; only
-      // the pins key changes
-      val pins = pinnedVersions(name) + (holder -> version)
+      // the pins key changes. A re-pin under the same holder replaces
+      // its previous entry (the refresh-the-cut cadence).
+      val pins = pinDetails(name).filterNot(_.holder == holder) :+
+        Warehouse.PinInfo(holder, version,
+          Some(System.currentTimeMillis), leaseMs)
       commitManifest(name, fs0,
-        Map(PinsMeta -> pins.map { case (h, v) => s"$h=$v" }
-          .mkString(",")), op = "pin")
+        Map(PinsMeta -> encodePins(pins)), op = "pin")
+    }
+  }
+
+  /** Heartbeat `holder`'s pin on `name`: re-stamp pinned-at (the lease
+    * window restarts), keeping version and lease. A LIVE holder calls
+    * this on a cadence comfortably under its lease; a pin that is
+    * GONE refuses loudly — the holder just learned its lease expired
+    * and a vacuum swept the cut (re-resolve and re-hold; the cut's
+    * files may already be reclaimed). */
+  def refreshPin(name: String, holder: String): Unit = {
+    require(database.isEmpty, "refreshPin applies to path-mode tables only")
+    withCommitLock(name) {
+      val (_, fs0, _) = currentManifestFull(name).getOrElse(
+        throw new IllegalArgumentException(
+          s"refreshPin: $name has no committed snapshot"))
+      val pins = pinDetails(name)
+      val mine = pins.find(_.holder == holder).getOrElse(
+        throw new IllegalStateException(
+          s"refreshPin: $holder holds no pin on $name — its lease " +
+            "expired and a vacuum swept it (or it was never " +
+            "registered); the held cut is no longer shielded — " +
+            "re-resolve and re-hold"))
+      commitManifest(name, fs0,
+        Map(PinsMeta -> encodePins(pins.filterNot(_.holder == holder) :+
+          mine.copy(pinnedAtMs = Some(System.currentTimeMillis)))),
+        op = "pin")
     }
   }
 
@@ -3489,11 +3647,11 @@ class Warehouse(val spark: SparkSession, basePath: String,
     require(database.isEmpty, "unpinVersion applies to path-mode tables only")
     withCommitLock(name) {
       currentManifestFull(name).foreach { case (_, fs0, _) =>
-        val pins = pinnedVersions(name)
-        if (pins.contains(holder))
+        val pins = pinDetails(name)
+        if (pins.exists(_.holder == holder))
           commitManifest(name, fs0,
-            Map(PinsMeta -> (pins - holder)
-              .map { case (h, v) => s"$h=$v" }.mkString(",")),
+            Map(PinsMeta ->
+              encodePins(pins.filterNot(_.holder == holder))),
             op = "unpin")
       }
     }
@@ -3516,8 +3674,49 @@ class Warehouse(val spark: SparkSession, basePath: String,
   def holdSnapshot(names: Seq[String], holder: String)
       : (Map[String, DataFrame], () => Unit) = {
     val cut = snapshotVersions(names)
-    cut.foreach { case (n, v) => pinVersion(n, v, holder) }
+    // pin member-by-member, UNWINDING on failure: if a later member's
+    // pin refuses (a vacuum reaped its version between resolution and
+    // pinning — the documented loud path), pins already committed on
+    // earlier members must not be orphaned — an abandoned pin shields
+    // retention forever with no holder alive to release it
+    val pinned = scala.collection.mutable.ListBuffer.empty[String]
+    try cut.foreach { case (n, v) =>
+      pinVersion(n, v, holder); pinned += n
+    } catch {
+      case e: Throwable =>
+        pinned.foreach(n =>
+          scala.util.Try(unpinVersion(n, holder)))
+        throw e
+    }
     (cut.map { case (n, v) => n -> tableAt(n, v) },
+      () => names.foreach(n => unpinVersion(n, holder)))
+  }
+
+  /** [[holdSnapshot]] with a LEASE — the crash-safe deployment shape:
+    * every member pin carries `leaseMs`, so a holder that dies without
+    * releasing stops shielding retention once the lease lapses (the
+    * next [[vacuum]] sweeps the pins with a loud `pin-expired` op and
+    * reclaims the cut). A LIVE holder keeps the cut alive indefinitely
+    * by calling the returned `heartbeat` on a cadence comfortably
+    * under the lease (the commit lock's mtime-refresh pattern, at
+    * version-pin grain) — each beat re-stamps every member pin;
+    * a beat AFTER expiry+sweep throws [[refreshPin]]'s diagnosis (the
+    * cut is gone; re-resolve and re-hold). Returns (readers,
+    * heartbeat, release). */
+  def holdSnapshotLeased(names: Seq[String], holder: String,
+      leaseMs: Long): (Map[String, DataFrame], () => Unit, () => Unit) = {
+    require(leaseMs > 0, "holdSnapshotLeased: leaseMs must be positive")
+    val cut = snapshotVersions(names)
+    val pinned = scala.collection.mutable.ListBuffer.empty[String]
+    try cut.foreach { case (n, v) =>
+      pinVersion(n, v, holder, Some(leaseMs)); pinned += n
+    } catch {
+      case e: Throwable =>
+        pinned.foreach(n => scala.util.Try(unpinVersion(n, holder)))
+        throw e
+    }
+    (cut.map { case (n, v) => n -> tableAt(n, v) },
+      () => names.foreach(n => refreshPin(n, holder)),
       () => names.foreach(n => unpinVersion(n, holder)))
   }
 
@@ -3584,10 +3783,20 @@ class Warehouse(val spark: SparkSession, basePath: String,
     // inside the commit window could pass verification and serve a
     // genuinely torn cut. The dangerous resolution is exactly "at a
     // truncated table's retention horizon" (any later resolution has
-    // the surviving tags it needs) — refuse it.
-    names.foreach { n =>
+    // the surviving tags it needs) — refuse it, EXCEPT where a tear is
+    // structurally impossible:
+    //  - a single-table cut has no second table to disagree with;
+    //  - a table resolved at its NEWEST version includes every
+    //    transaction's effects on it entirely (all of any txn's
+    //    versions of this table are <= the head), so it can never be
+    //    the split/excluded side of a tear — and under the DEFAULT
+    //    vacuum retention (keepVersions = 1) the head IS the horizon,
+    //    which would otherwise permanently disable AS-OF on every
+    //    default-retention table.
+    if (names.size > 1) names.foreach { n =>
       val oldest = metas(n).head._1
-      if (resolved(n) == oldest && oldest > 1L)
+      val newest = metas(n).last._1
+      if (resolved(n) == oldest && oldest > 1L && resolved(n) != newest)
         throw new IllegalArgumentException(
           s"snapshotTablesAt: $ts resolves $n at its retention " +
             s"horizon (version $oldest; earlier history vacuumed) — " +
@@ -3778,14 +3987,18 @@ class Warehouse(val spark: SparkSession, basePath: String,
       require(holdouts.isEmpty,
         s"dropTable: clones still reference $name's files: " +
           s"${holdouts.mkString(", ")} — drop or compact them first")
-      // a held serving cut dies with its table: refuse while pins are
-      // registered (the clone rule's version-grain sibling) — the
+      // a held serving cut dies with its table: refuse while LIVE pins
+      // are registered (the clone rule's version-grain sibling) — the
       // holder releases first, or the drop is a conscious override
-      // after unpinning, never a silent kill of a live cut
-      val pinned = pinnedVersions(name)
+      // after unpinning, never a silent kill of a live cut. An EXPIRED
+      // lease doesn't block: its holder is gone by contract (the next
+      // vacuum would sweep it anyway).
+      val pinned = pinDetails(name)
+        .filterNot(_.expired(System.currentTimeMillis))
       require(pinned.isEmpty,
         s"dropTable: held serving cuts still pin $name " +
-          s"(${pinned.map { case (h, v) => s"$h→v$v" }.mkString(", ")})" +
+          s"(${pinned.map(p => s"${p.holder}→v${p.version}")
+            .mkString(", ")})" +
           " — release them (unpinVersion / UNPIN TABLE) first")
       // a dropped CLONE deregisters from every owner it referenced, so
       // owners' registries (walked by their vacuums) don't accumulate
@@ -5809,6 +6022,21 @@ class Warehouse(val spark: SparkSession, basePath: String,
 }
 
 object Warehouse {
+  /** One registered version pin ([[Warehouse.pinVersion]]): `holder`'s
+    * shield on `version`. `pinnedAtMs` is the registration (or last
+    * [[Warehouse.refreshPin]] heartbeat) wall-clock stamp — None only
+    * for pins written before the stamp era. `leaseMs` bounds how long
+    * the pin survives without a heartbeat: past `pinnedAtMs + leaseMs`
+    * the pin is EXPIRED — the next [[Warehouse.vacuum]] sweeps it with
+    * a loud `pin-expired` history op, so a crashed holder cannot
+    * shield retention forever. A lease-less pin never expires (the
+    * explicit-release contract). */
+  final case class PinInfo(holder: String, version: Long,
+      pinnedAtMs: Option[Long], leaseMs: Option[Long]) {
+    def expired(nowMs: Long): Boolean =
+      leaseMs.exists(l => pinnedAtMs.exists(at => nowMs > at + l))
+  }
+
   /** One committed data file: manifest-relative path plus optional
     * per-column (min, max) stats on the table's cluster columns,
     * per-column bloom filters (base64 of Spark's sketch format) on the

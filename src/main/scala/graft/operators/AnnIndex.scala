@@ -48,6 +48,14 @@ object AnnIndex {
   import Similarity.{codesCol, collectCents, l2sq, l2Normalized,
     trainingSample, defaultSampleN, pqTrain, pqRank}
 
+  /** The serving defaults, as NAMED constants: every probe signature
+    * below defaults to these, and the SQL surface (`DESCRIBE VECTOR
+    * INDEX … RECALL`) echoes the SAME values it passed — one source of
+    * truth, so the reported parameters are always the measured ones. */
+  val DefaultTopK = 10
+  val DefaultOverquery = 5
+  val DefaultNProbe = 3
+
   /** Encode cell + codes for `unit` (L2-normalized vectors) in one
     * shuffle-free projection pass against stored codebooks. `dim`
     * comes from the caller (corpus at build, CODEBOOK at refresh — so
@@ -256,7 +264,12 @@ object AnnIndex {
       nCells: Int): Int = {
     val proportional =
       math.ceil(p.toDouble * topK * 2.0 / math.max(count, 1L).toDouble)
-    math.min(nCells.toDouble, math.max(2.0 * p, proportional)).toInt
+    // strictly monotonic even from a degenerate p (the entry points
+    // require nProbe >= 1, but the loop must still TERMINATE if a
+    // zero ever reaches it — max(p+1) guarantees progress toward the
+    // nCells cap instead of spinning at 0)
+    math.min(nCells.toDouble,
+      math.max(p + 1.0, math.max(2.0 * p, proportional))).toInt
   }
 
   /** [[remove]]'s body without the transaction wrapper — for callers
@@ -428,8 +441,8 @@ object AnnIndex {
     * probe per query, mean overlap/k. When it sags below the SLO,
     * [[retrain]]. */
   def recallProbe(wh: Warehouse, idx: String, source: DataFrame,
-      queryIds: Seq[Long], topK: Int = 10, overquery: Int = 5,
-      nProbe: Int = 3): Double = {
+      queryIds: Seq[Long], topK: Int = DefaultTopK, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe): Double = {
     require(queryIds.nonEmpty, "recallProbe: empty query sample")
     // ground truth over the LIVE set only: the index (correctly)
     // excludes tombstoned vectors, so the exact ranking must too.
@@ -464,8 +477,8 @@ object AnnIndex {
     * bounded sample train + one encode pass — all scheduled-job
     * shaped, nothing serving-path. */
   def maintain(wh: Warehouse, idx: String, source: DataFrame,
-      slo: Double = 0.8, sampleQueries: Int = 20, topK: Int = 10,
-      overquery: Int = 5, nProbe: Int = 3): (Double, Option[Double]) = {
+      slo: Double = 0.8, sampleQueries: Int = 20, topK: Int = DefaultTopK,
+      overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe): (Double, Option[Double]) = {
     val qids = probeQueryIds(wh, idx, source, sampleQueries)
     val before = recallProbe(wh, idx, source, qids, topK, overquery, nProbe)
     if (before >= slo) (before, None)
@@ -575,8 +588,8 @@ object AnnIndex {
 
   def hybridQuery(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, terms: Seq[String], queryId: Long,
-      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3): DataFrame = {
+      topK: Int = DefaultTopK, pool: Int = 50, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val read = hybridSnapshot(wh, annIdx, textIdx)
     val sparse = TextIndex.queryOn(read, textIdx, terms, pool)
@@ -615,8 +628,8 @@ object AnnIndex {
     * (`queries` = (queryId, terms)). */
   def hybridQueryBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, Seq[String])],
-      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3,
+      topK: Int = DefaultTopK, pool: Int = 50, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     hybridQueryBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
       textIdx, source, queries, topK, pool, overquery, nProbe, filter)
@@ -627,8 +640,8 @@ object AnnIndex {
     * which always passes one [[hybridSnapshot]] cut, precludes). */
   def hybridQueryBatchOn(read: String => DataFrame,
       annIdx: String, textIdx: String, source: DataFrame,
-      queries: Seq[(Long, Seq[String])], topK: Int = 10, pool: Int = 50,
-      overquery: Int = 5, nProbe: Int = 3,
+      queries: Seq[(Long, Seq[String])], topK: Int = DefaultTopK, pool: Int = 50,
+      overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
@@ -668,8 +681,8 @@ object AnnIndex {
     * stored row reproduces the id form bit-for-bit (spec-pinned). */
   def hybridQueryVecBatch(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, queries: Seq[(Long, String, Seq[Double])],
-      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3,
+      topK: Int = DefaultTopK, pool: Int = 50, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame =
     hybridQueryVecBatchOn(hybridSnapshot(wh, annIdx, textIdx), annIdx,
       textIdx, source, queries, topK, pool, overquery, nProbe, filter)
@@ -680,8 +693,8 @@ object AnnIndex {
   def hybridQueryVecBatchOn(read: String => DataFrame, annIdx: String,
       textIdx: String, source: DataFrame,
       queries: Seq[(Long, String, Seq[Double])],
-      topK: Int = 10, pool: Int = 50, overquery: Int = 5,
-      nProbe: Int = 3,
+      topK: Int = DefaultTopK, pool: Int = 50, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
     val spark = source.sparkSession
@@ -755,8 +768,11 @@ object AnnIndex {
     * already fill k pays no extra scan (the candidate cut is
     * materialized once and reused by the re-rank). */
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
-      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
+      topK: Int = DefaultTopK, overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    require(nProbe >= 1,
+      s"query: nProbe must be >= 1 (got $nProbe) — a zero-cell probe " +
+        "answers nothing and the widening loop needs a seed")
     // one snapshot cut pins coarse+codebook+codes for the whole probe
     val read = servingSnapshot(wh, idx)
     val unit = l2Normalized(source)
@@ -859,8 +875,8 @@ object AnnIndex {
     * Returns (query_id, vec_id, cosine), topK rows per query, ordered
     * by (query_id, cosine desc, vec_id). */
   def queryBatch(wh: Warehouse, idx: String, source: DataFrame,
-      queryIds: Seq[Long], topK: Int = 10, overquery: Int = 5,
-      nProbe: Int = 3, filter: Option[org.apache.spark.sql.Column] = None,
+      queryIds: Seq[Long], topK: Int = DefaultTopK, overquery: Int = DefaultOverquery,
+      nProbe: Int = DefaultNProbe, filter: Option[org.apache.spark.sql.Column] = None,
       saltParts: Int = 32): DataFrame = {
     require(queryIds.nonEmpty, "queryBatch: empty query id list")
     val ids = queryIds.distinct
@@ -901,8 +917,8 @@ object AnnIndex {
     * (AnnIndexSpec pins it). `source` is read ONLY for the bounded
     * exact re-rank (≤ |queries|·overquery·topK float vectors). */
   def queryVecBatch(wh: Warehouse, idx: String, source: DataFrame,
-      queries: Seq[(Long, Seq[Double])], topK: Int = 10,
-      overquery: Int = 5, nProbe: Int = 3,
+      queries: Seq[(Long, Seq[Double])], topK: Int = DefaultTopK,
+      overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None,
       saltParts: Int = 32): DataFrame =
     queryVecBatchOn(servingSnapshot(wh, idx), idx, source, queries,
@@ -914,7 +930,7 @@ object AnnIndex {
     * staleness cadence) instead of paying the head probes per call. */
   def queryVecBatchOn(read: String => DataFrame, idx: String,
       source: DataFrame, queries: Seq[(Long, Seq[Double])],
-      topK: Int = 10, overquery: Int = 5, nProbe: Int = 3,
+      topK: Int = DefaultTopK, overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe,
       filter: Option[org.apache.spark.sql.Column] = None,
       saltParts: Int = 32): DataFrame =
     vecBatchCore(read, idx, source,
@@ -973,6 +989,9 @@ object AnnIndex {
       overquery: Int, nProbe: Int,
       filter: Option[org.apache.spark.sql.Column],
       saltParts: Int): DataFrame = {
+    require(nProbe >= 1,
+      s"queryBatch: nProbe must be >= 1 (got $nProbe) — a zero-cell " +
+        "probe answers nothing and the widening loop needs a seed")
     val spark = source.sparkSession
     import spark.implicits._
     // driver-side sequential-fold L2 — the same IEEE operation order as

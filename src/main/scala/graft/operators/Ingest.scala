@@ -307,25 +307,61 @@ object Ingest {
 
   /** The maintenance ledger as a frame, time-ordered — empty with the
     * correct schema before the first recorded attempt, like
-    * [[ledger]]. */
-  def maintLedger(wh: Warehouse, table: String): DataFrame =
-    if (wh.hasTable(maintTable(table)))
-      wh.table(maintTable(table)).orderBy("started_at", "op")
-    else {
-      import wh.spark.implicits._
-      Seq.empty[(String, java.sql.Timestamp, Long, String, String)]
+    * [[ledger]]. When the RECORDER ITSELF has failed in this process
+    * ([[recordMaint]]'s own append throwing — the one failure the
+    * ledger cannot record in itself), a synthetic `maint_recorder`
+    * row carries the process-local failure count, so `DESCRIBE INGEST
+    * LOG t MAINT` surfaces even the recorder's blind spot instead of
+    * leaving it on stderr alone. */
+  def maintLedger(wh: Warehouse, table: String): DataFrame = {
+    import wh.spark.implicits._
+    val stored =
+      if (wh.hasTable(maintTable(table))) wh.table(maintTable(table))
+      else Seq.empty[(String, java.sql.Timestamp, Long, String, String)]
         .toDF("op", "started_at", "duration_ms", "detail", "error")
-    }
+    val failures = Option(maintAppendFailures.get(failureKey(wh, table)))
+      .map(_.get).getOrElse(0L)
+    val all =
+      if (failures == 0L) stored
+      else stored.unionByName(Seq((
+        "maint_recorder",
+        new java.sql.Timestamp(System.currentTimeMillis()), 0L,
+        s"append_failures=$failures",
+        s"maint ledger appends failed $failures time(s) in this " +
+          "process — rows for those attempts are MISSING below; " +
+          "see the driver's stderr for each cause"))
+        .toDF("op", "started_at", "duration_ms", "detail", "error"))
+    all.orderBy("started_at", "op")
+  }
+
+  /** [[recordMaint]]'s own append failures, per maint table —
+    * process-local BY NATURE (a failure to write the ledger cannot be
+    * counted in the ledger); [[maintLedger]] folds the count into its
+    * output as a synthetic row. */
+  private val maintAppendFailures =
+    new java.util.concurrent.ConcurrentHashMap[String,
+      java.util.concurrent.atomic.AtomicLong]()
+
+  /** Counter key: per (warehouse instance, table) — two warehouses
+    * sharing a table NAME (test fixtures, multi-tenant paths) must not
+    * see each other's recorder failures. */
+  private def failureKey(wh: Warehouse, table: String): String =
+    s"${System.identityHashCode(wh)}:${maintTable(table)}"
 
   /** Append one maintenance-outcome row. Best-effort BY DESIGN: the
     * recorder runs on paths that must never fail their host (a stream
     * trigger's finally, the post-commit optimize cadence), so its own
-    * failure degrades to a stderr line — but unlike the old bare Try,
-    * a failure of the RECORDED operation has already been captured as
-    * the row content, not discarded. */
+    * failure degrades to a stderr line PLUS a process-local counter
+    * [[maintLedger]] surfaces — observable, never host-fatal. The
+    * ledger rides the ingest ledger's size-tiered fold
+    * ([[LedgerFileRows]]/[[LedgerCompactMinFiles]]): one row per
+    * scheduled optimize would otherwise accumulate one FILE per
+    * optimize forever — debris on the ledger of the operation that
+    * exists to fold debris. */
   private def recordMaint(wh: Warehouse, table: String, op: String,
       startedMs: Long, counters: Seq[(String, Long)],
       error: Option[String]): Unit = {
+    val t = maintTable(table)
     val res = scala.util.Try {
       val spark0 = wh.spark
       import spark0.implicits._
@@ -334,12 +370,28 @@ object Ingest {
         counters.map { case (k, v) => s"$k=$v" }.mkString(" "),
         error.orNull))
         .toDF("op", "started_at", "duration_ms", "detail", "error")
-      val t = maintTable(table)
       if (wh.hasTable(t)) wh.append(t, row) else wh.save(t, row)
     }
-    res.failed.foreach(e => System.err.println(
-      s"[graft] maint ledger append failed for $table/$op: " +
-        s"${e.getMessage}"))
+    res.failed.foreach { e =>
+      maintAppendFailures
+        .computeIfAbsent(failureKey(wh, table),
+          _ => new java.util.concurrent.atomic.AtomicLong(0L))
+        .incrementAndGet()
+      System.err.println(
+        s"[graft] maint ledger append failed for $table/$op: " +
+          s"${e.getMessage}")
+    }
+    // the maint ledger's own fold — same sealing tier as the ingest
+    // ledger, so N scheduled optimizes leave O(1) live files. Its own
+    // Try: a fold hiccup is not an append failure and must not count
+    // as one (nor fail the host).
+    if (res.isSuccess) scala.util.Try {
+      if (wh.describeDetail(t).toMap.get("numFiles")
+          .flatMap(_.toIntOption).exists(_ >= LedgerCompactMinFiles)) {
+        wh.compactSmall(t, LedgerFileRows, LedgerFileRows); ()
+      }
+    }.failed.foreach(e => System.err.println(
+      s"[graft] maint ledger fold failed for $table: ${e.getMessage}"))
   }
 
   /** [[optimize]] with its outcome recorded in the [[maintTable]]

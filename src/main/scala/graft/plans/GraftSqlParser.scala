@@ -28,7 +28,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("REFRESH JOIN VIEW mv FROM fact JOIN dim USING (k) ID id")
   *   spark.sql("DESCRIBE HISTORY t")
   *   spark.sql("CLONE t AS t2 [VERSION 4]")
-  *   spark.sql("PIN TABLE t VERSION 4 AS 'svc'")   // vacuum shield; UNPIN TABLE t AS 'svc'; DESCRIBE PINS t
+  *   spark.sql("PIN TABLE t VERSION 4 AS 'svc' [LEASE ms]")   // vacuum shield; UNPIN TABLE t AS 'svc'; DESCRIBE PINS t
   *   spark.sql("DESCRIBE VECTOR INDEX ann RECALL ON vectors")   // drift ops
   *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 0.8")
   *
@@ -75,6 +75,30 @@ object GraftSqlParser {
   private def boundTable(session: SparkSession,
       name: String): Option[graft.olist.Warehouse] =
     Option(registry.get(session)).filter(_.hasTable(name))
+
+  /** Pin ops are a PATH-MODE surface (the vacuum shield rides the
+    * version manifest; a catalog-mode table has no manifest and no
+    * graft vacuum to shield against) — refuse with the real diagnosis
+    * instead of pinVersion's generic require. */
+  private def requirePathMode(wh: graft.olist.Warehouse,
+      stmt: String): Unit =
+    require(wh.isPathMode,
+      s"$stmt: pin operations apply to path-mode tables only — a " +
+        "catalog-mode table commits through the session catalog, has " +
+        "no version manifest, and is never swept by the graft vacuum, " +
+        "so there is nothing for a pin to shield; use the catalog's " +
+        "own retention controls")
+
+  /** Binding for PIN/UNPIN/DESCRIBE PINS: a path-mode warehouse binds
+    * through the named table as usual; a CATALOG-MODE warehouse binds
+    * unconditionally — `hasTable` is false there by construction, so
+    * without this the statement would fall through to Spark's grammar
+    * and die as a PARSE_SYNTAX_ERROR instead of [[requirePathMode]]'s
+    * diagnosis. */
+  private def boundPinTarget(session: SparkSession,
+      name: String): Option[graft.olist.Warehouse] =
+    Option(registry.get(session))
+      .filter(wh => wh.hasTable(name) || !wh.isPathMode)
 
   /** The session's bound warehouse, if any — the lookup
     * [[MetadataAggRewrite]] resolves `dw_<t>` views through. */
@@ -240,7 +264,7 @@ object GraftSqlParser {
   // storage?")
   private val Pin =
     ("""(?is)^\s*PIN\s+TABLE\s+([\w]+)\s+VERSION\s+(\d+)""" +
-      """\s+AS\s+'([^']+)'\s*;?\s*$""").r
+      """\s+AS\s+'([^']+)'(?:\s+LEASE\s+(\d+))?\s*;?\s*$""").r
   private val Unpin =
     """(?is)^\s*UNPIN\s+TABLE\s+([\w]+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
   private val DescPins =
@@ -835,12 +859,18 @@ object GraftSqlParser {
             val source = wh.table(src)
             val qids = graft.operators.AnnIndex
               .probeQueryIds(wh, idx, source, 20)
+            // pass the serving constants EXPLICITLY and echo those same
+            // values — the reported parameters are the measured ones by
+            // construction, not literals that must mirror a default
+            val (tk, oq, np) = (graft.operators.AnnIndex.DefaultTopK,
+              graft.operators.AnnIndex.DefaultOverquery,
+              graft.operators.AnnIndex.DefaultNProbe)
             val r = graft.operators.AnnIndex
-              .recallProbe(wh, idx, source, qids)
+              .recallProbe(wh, idx, source, qids, tk, oq, np)
             Seq(Row("recall", f"$r%.4f"),
               Row("sample_queries", qids.size.toString),
-              Row("top_k", "10"), Row("overquery", "5"),
-              Row("n_probe", "3"))
+              Row("top_k", tk.toString), Row("overquery", oq.toString),
+              Row("n_probe", np.toString))
           }
         }
       case RetrainIdx(idx, src, thr) =>
@@ -1038,26 +1068,40 @@ object GraftSqlParser {
             Seq(Row("OK"))
           }
         }
-      case Pin(table, version, holder) =>
-        boundTable(session, table).map { wh =>
+      case Pin(table, version, holder, lease) =>
+        boundPinTarget(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
-            wh.pinVersion(table, version.toLong, holder)
+            requirePathMode(wh, s"PIN TABLE $table")
+            wh.pinVersion(table, version.toLong, holder,
+              Option(lease).map(_.toLong))
             Seq(Row("OK"))
           }
         }
       case Unpin(table, holder) =>
-        boundTable(session, table).map { wh =>
+        boundPinTarget(session, table).map { wh =>
           cmd(session, attrs("status" -> StringType)) { _ =>
+            requirePathMode(wh, s"UNPIN TABLE $table")
             wh.unpinVersion(table, holder)
             Seq(Row("OK"))
           }
         }
       case DescPins(table) =>
-        boundTable(session, table).map { wh =>
+        boundPinTarget(session, table).map { wh =>
           cmd(session, attrs("holder" -> StringType,
-              "version" -> org.apache.spark.sql.types.LongType)) { _ =>
-            wh.pinnedVersions(table).toSeq.sortBy(_._1)
-              .map { case (h, v) => Row(h, v) }
+              "version" -> org.apache.spark.sql.types.LongType,
+              "pinned_at" -> StringType, "age_ms" -> LongType,
+              "lease_ms" -> LongType, "expired" -> StringType)) { _ =>
+            requirePathMode(wh, s"DESCRIBE PINS $table")
+            val now = System.currentTimeMillis
+            wh.pinDetails(table).sortBy(_.holder).map { p =>
+              Row(p.holder, p.version,
+                p.pinnedAtMs.map(ms =>
+                  java.time.Instant.ofEpochMilli(ms).toString)
+                  .getOrElse("unknown"),
+                p.pinnedAtMs.map(now - _).getOrElse(-1L),
+                p.leaseMs.getOrElse(-1L),
+                p.expired(now).toString)
+            }
           }
         }
       case Drop(table) =>

@@ -38,6 +38,21 @@ class AnnIndexSpec extends AnyFunSuite {
       s"stored-index recall too low: exact=$exact got=$got")
   }
 
+  test("nProbe must be >= 1: a zero-cell probe refuses loudly instead of spinning or answering nothing") {
+    val wh = new Warehouse(spark, tmp("ann_np0"))
+    val emb = Tables.embeddings(spark, sf).filter(col("vec_id") < 100)
+    AnnIndex.build(wh, "ann", emb, nCells = 4, m = 4, k = 8)
+    val e1 = intercept[IllegalArgumentException] {
+      AnnIndex.query(wh, "ann", emb, queryId = 0L, nProbe = 0,
+        filter = Some(col("vec_id") % 2 === 0))
+    }
+    assert(e1.getMessage.contains("nProbe"), e1.getMessage)
+    val e2 = intercept[IllegalArgumentException] {
+      AnnIndex.queryBatch(wh, "ann", emb, Seq(0L), nProbe = 0)
+    }
+    assert(e2.getMessage.contains("nProbe"), e2.getMessage)
+  }
+
   test("refresh: encodes only the delta with the frozen codebook; incremental ≡ batch encode; idempotent") {
     val wh = new Warehouse(spark, tmp("ann_idx2"))
     val emb = Tables.embeddings(spark, sf)

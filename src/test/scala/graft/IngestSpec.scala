@@ -596,4 +596,55 @@ class IngestSpec extends AnyFunSuite {
     assert(viaSql.length == 2 &&
       viaSql.count(!_.isNullAt(4)) == 1, viaSql.mkString("; "))
   }
+
+  test("maint ledger rides the size-tiered fold: N recorded attempts leave O(1) files, rows intact") {
+    val wh = bootstrap("ingest_maint_fold")
+    // 20 recorded attempts (> the 16-file fold trigger): the failure
+    // path is the cheap one — each lands one error row
+    val n = 20
+    (1 to n).foreach { _ =>
+      assert(Ingest.optimizeLogged(wh, "docs",
+        textIdx = Some("no_such_idx")).isEmpty)
+    }
+    val led = Ingest.maintLedger(wh, "docs").collect()
+    assert(led.length == n, s"rows must be conserved: ${led.length}")
+    assert(led.forall(!_.isNullAt(4)), "every attempt was an error row")
+    // the ledger of the debris-folding operation must not itself be
+    // debris: one row per attempt would otherwise be one FILE per
+    // attempt forever
+    val files = wh.describeDetail(Ingest.maintTable("docs"))
+      .toMap[String, String].apply("numFiles").toInt
+    assert(files < 16,
+      s"maint ledger accumulated $files files for $n attempts — " +
+        "the fold never ran")
+  }
+
+  test("the RECORDER's own failure is visible in DESCRIBE INGEST LOG MAINT, not just stderr") {
+    val dir = tmp("ingest_maint_rec")
+    val wh = new Warehouse(spark, dir)
+    wh.save("docs", frame(seed))
+    TextIndex.build(wh, "ti", frame(seed))
+    // force recordMaint's append to fail: a regular FILE squats on the
+    // maint table's directory path, so the ledger write itself throws
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, Ingest.maintTable("docs")),
+      "squatter".getBytes)
+    // the host operation survives (counters returned), the recorder
+    // fails silently to stderr — and COUNTS it
+    assert(Ingest.optimizeLogged(wh, "docs", textIdx = Some("ti"))
+      .nonEmpty)
+    val led = Ingest.maintLedger(wh, "docs").collect()
+    val rec = led.filter(_.getString(0) == "maint_recorder")
+    assert(rec.length == 1, led.mkString("; "))
+    assert(rec.head.getString(3).contains("append_failures=1"),
+      rec.head.toString)
+    assert(!rec.head.isNullAt(4) &&
+      rec.head.getString(4).contains("MISSING"), rec.head.toString)
+    // the on-call SQL read surfaces the same synthetic row
+    wh.enableSql()
+    val viaSql = spark.sql("DESCRIBE INGEST LOG docs MAINT").collect()
+    assert(viaSql.exists(r => r.getString(0) == "maint_recorder" &&
+      r.getString(3).contains("append_failures=1")),
+      viaSql.mkString("; "))
+  }
 }

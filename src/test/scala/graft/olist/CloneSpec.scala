@@ -133,6 +133,62 @@ class CloneSpec extends AnyFunSuite {
     assert(gone.getMessage.contains("not retained"), gone.getMessage)
   }
 
+  test("pin leases: a crashed holder's lease expires and vacuum reclaims LOUDLY; a live holder's heartbeat keeps the cut alive indefinitely") {
+    import spark.implicits._
+    val dir = tmp("wh_leases")
+    val wh = new Warehouse(spark, dir)
+    def save(rows: Int): Unit =
+      wh.save("t", spark.range(rows).select(col("id").as("k"),
+        (col("id") % 7).as("v")).coalesce(2))
+    save(100) // v1
+    // a LIVE holder with a generous lease, heartbeating
+    val (cut, heartbeat, release) =
+      wh.holdSnapshotLeased(Seq("t"), "live-svc", leaseMs = 60000L)
+    val heldSum = cut("t").agg(sum("v")).first().getLong(0)
+    // a CRASHED holder: a tiny lease, never refreshed again
+    wh.pinVersion("t", 1L, "dead-svc", Some(1L))
+    val before = wh.pinDetails("t")
+    assert(before.map(_.holder).toSet == Set("live-svc", "dead-svc"))
+    assert(before.forall(_.pinnedAtMs.nonEmpty),
+      "every new pin carries its registration stamp")
+    Thread.sleep(20) // dead-svc's 1 ms lease lapses
+    // heartbeat re-stamps the live pin (DESCRIBE PINS age restarts)
+    val at0 = before.find(_.holder == "live-svc").get.pinnedAtMs.get
+    heartbeat()
+    val at1 = wh.pinDetails("t").find(_.holder == "live-svc")
+      .get.pinnedAtMs.get
+    assert(at1 > at0, "heartbeat must re-stamp pinned-at")
+    (1 to 3).foreach(i => save(100 + i * 10))
+    wh.vacuum("t", 0L, 1)
+    // the expired pin was swept with a LOUD history op; the live one
+    // survived and still shields v1
+    assert(wh.pinDetails("t").map(_.holder) == Seq("live-svc"))
+    assert(wh.history("t").exists(_.op == "pin-expired"),
+      wh.history("t").map(_.op).mkString(", "))
+    assert(cut("t").agg(sum("v")).first().getLong(0) == heldSum)
+    assert(wh.tableAt("t", 1L).agg(sum("v")).first().getLong(0)
+      == heldSum)
+    // the dead holder coming back learns its cut is GONE — refreshPin
+    // refuses with the re-resolve diagnosis instead of silently
+    // re-registering nothing
+    val lost = intercept[IllegalStateException] {
+      wh.refreshPin("t", "dead-svc")
+    }
+    assert(lost.getMessage.contains("expired"), lost.getMessage)
+    // a further heartbeat + sweep cycle: the live cut stays readable
+    // for as long as the holder beats (indefinite survival)
+    heartbeat()
+    wh.vacuum("t", 0L, 1)
+    assert(wh.tableAt("t", 1L).count() == 100)
+    // release: the next sweep reclaims, and the stale read is loud
+    release()
+    wh.vacuum("t", 0L, 1)
+    val stale = intercept[IllegalArgumentException] {
+      wh.tableAt("t", 1L)
+    }
+    assert(stale.getMessage.contains("not retained"), stale.getMessage)
+  }
+
   test("clone at a historical version; clone of a clone re-registers owners") {
     import spark.implicits._
     val dir = tmp("wh_clone2")

@@ -921,6 +921,37 @@ class SqlSurfaceSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](wh.tableAt("t", 1L))
   }
 
+  test("PIN TABLE … LEASE from SQL; DESCRIBE PINS shows age + lease + expiry; catalog-mode pin ops refuse with the path-mode diagnosis") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("sql_pins_lease"))
+    wh.enableSql()
+    wh.save("tl", spark.range(10).select(col("id").as("k")).coalesce(1))
+    assert(spark.sql("PIN TABLE tl VERSION 1 AS 'svc' LEASE 60000")
+      .collect().head.getString(0) == "OK")
+    val row = spark.sql("DESCRIBE PINS tl").collect().head
+    assert(row.getString(0) == "svc" && row.getLong(1) == 1L)
+    assert(row.getString(2) != "unknown", "pinned_at must be stamped")
+    assert(row.getLong(3) >= 0L, "age_ms must be derivable")
+    assert(row.getLong(4) == 60000L, row.toString)
+    assert(row.getString(5) == "false", "a fresh lease is not expired")
+    spark.sql("UNPIN TABLE tl AS 'svc'").collect()
+    // catalog-mode: the vacuum shield has nothing to shield — the SQL
+    // surface says WHY instead of a generic require
+    val db = "sql_pins_cat_db"
+    val whc = new Warehouse(spark, tmp("sql_pins_cat"),
+      "parquet", database = Some(db))
+    whc.enableSql()
+    whc.save("tc", spark.range(5).select(col("id").as("k")).coalesce(1))
+    val refused = intercept[Exception] {
+      spark.sql("PIN TABLE tc VERSION 1 AS 'svc'").collect()
+    }
+    assert(refused.getMessage.contains("path-mode") &&
+      refused.getMessage.contains("catalog"), refused.getMessage)
+    // rebind the path-mode warehouse for any later tests sharing the
+    // session registry
+    wh.enableSql()
+  }
+
   test("zoneless TIMESTAMP AS OF resolves in the SESSION timezone, not the JVM default") {
     val wh = new Warehouse(spark, tmp("sql_asof_tz"))
     wh.enableSql()

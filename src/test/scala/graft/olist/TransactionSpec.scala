@@ -365,4 +365,41 @@ class TransactionSpec extends AnyFunSuite {
     // possible with one member in the cut… of a one-table list)
     assert(wh.snapshotTablesAt(Seq("fct"), fctStamp)("fct").count() == 2)
   }
+
+  test("snapshotTablesAt under default retention: a head resolution is never refused; the horizon guard fires only where a tear could hide") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("wh_txn_snapat_vac"))
+    // u FIRST: every later t-resolution instant must find a u version
+    // at or before it
+    wh.save("u", Seq((1L, "a")).toDF("k", "name").coalesce(1))
+    wh.save("t", Seq((1L, 10L)).toDF("k", "v").coalesce(1))
+    wh.save("t", Seq((1L, 10L), (2L, 20L)).toDF("k", "v").coalesce(1))
+    // DEFAULT vacuum = keepVersions 1: t retains exactly its head
+    // (v2), which is therefore ALSO its retention horizon. Every
+    // instant resolves t there — the refusal used to fire on ALL of
+    // them, permanently disabling AS-OF on a default-retention table.
+    wh.vacuum("t")
+    Thread.sleep(10)
+    val now = java.time.Instant.now()
+    // multi-table cut: t resolves at its NEWEST version — every
+    // transaction's effects on t are fully included, no tear can hide
+    val cut = wh.snapshotTablesAt(Seq("t", "u"), now)
+    assert(cut("t").count() == 2 && cut("u").count() == 1)
+    // single-table cut: no second table to disagree with — resolves
+    // even at a non-head horizon
+    assert(wh.snapshotTablesAt(Seq("t"), now)("t").count() == 2)
+    // the guard still fires where it must: a multi-table instant
+    // resolving t at a vacuumed horizon that is NOT the head (reaped
+    // txn tags below, later commits above — the hideable-tear shape)
+    wh.save("t",
+      Seq((1L, 10L), (2L, 20L), (3L, 30L)).toDF("k", "v").coalesce(1))
+    val midStamp = java.time.Instant
+      .parse(wh.history("t").takeRight(2).head.committedAt)
+    wh.vacuum("t", 0L, 2) // retains v2 (horizon, > 1) and v3 (head)
+    val refused = intercept[IllegalArgumentException] {
+      wh.snapshotTablesAt(Seq("t", "u"), midStamp)
+    }
+    assert(refused.getMessage.contains("retention horizon"),
+      refused.getMessage)
+  }
 }
