@@ -52,6 +52,11 @@ object Bench {
     // hash-checked against brute-force cosine over the surviving
     // corpus; read against b3_ann_vec_full_wh's fresh-index full probe
     "b18_optimized_ann_wh",
+    // round-17 lanes: EXACT adaptive serving (cell-bound terminated —
+    // brute-force-equal ranking without a full probe) and the
+    // geometry-evolution lifecycle (retrainAs 4 → 16 cells, full
+    // probe through the re-shaped index)
+    "b19_exact_ann_wh", "b20_reshaped_ann_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

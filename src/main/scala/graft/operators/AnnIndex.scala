@@ -31,17 +31,28 @@ import org.apache.spark.sql.functions._
   * rebuild, which is still one sample + one pass.
   *
   * Table layout for index `idx`:
-  *   `<idx>_coarse`   (sub=0, cid, c: array<double>)   nCells rows
+  *   `<idx>_coarse`   (sub=0, cid, c: array<double>, radius) nCells
+  *                    rows — `radius` is each cell's max L2 distance
+  *                    from its centroid over the UNIT members it has
+  *                    ever held (an upper bound that build/retrain set
+  *                    exactly, refresh only GROWS, and remove never
+  *                    shrinks — conservative, so the exact-search
+  *                    bound below stays sound through any history)
   *   `<idx>_codebook` (sub, cid, c: array<double>)     m·k rows
   *   `<idx>_codes`    (vec_id, cell, codes) partitioned by cell
-  *   `<idx>_meta`     (n_cells, m, k) — the FROZEN geometry (the
+  *   `<idx>_meta`     (n_cells, m, k) — the index's geometry (the
   *                    [[DedupIndex]] `_meta` precedent): retrain /
   *                    maintain / any scheduled job reads the shape
   *                    FROM the index, never from caller defaults, so
   *                    an index built with non-default geometry can
   *                    never be silently re-shaped to 8/8/16 by a
   *                    maintenance run. Explicit params that disagree
-  *                    with the stored geometry refuse loudly.
+  *                    with the stored geometry refuse loudly on
+  *                    [[retrain]]; DELIBERATE re-shaping is
+  *                    [[retrainAs]] — retrain is already a full
+  *                    re-encode, the one moment a geometry change is
+  *                    free — which commits the new shape atomically
+  *                    with the new coarse/codebook/codes.
   */
 object AnnIndex {
 
@@ -68,14 +79,38 @@ object AnnIndex {
       codesCol(collectCents(codebook), m, dim).as("codes"))
   }
 
+  /** Per-cell radius: each cell's max L2 distance from its centroid
+    * over the UNIT vectors assigned to it — the exact-search bound's
+    * input (`codes` supplies the assignment, `unit` the vectors, the
+    * broadcast centroids the reference point). One groupBy over the
+    * encoded rows; at refresh it runs over the DELTA only. */
+  private def cellRadii(unit: DataFrame, codes: DataFrame,
+      coarse: DataFrame): DataFrame =
+    codes.select("vec_id", "cell")
+      .join(unit, "vec_id")
+      .join(broadcast(coarse.select(col("cid").as("cell"), col("c"))),
+        "cell")
+      .groupBy("cell")
+      .agg(max(sqrt(l2sq(col("embedding"), col("c")))).as("radius"))
+
+  /** The coarse table's persisted shape: centroids + per-cell radius
+    * (0.0 for a cell with no members yet). */
+  private def coarseWithRadii(coarse: DataFrame,
+      radii: DataFrame): DataFrame =
+    coarse.select("sub", "cid", "c")
+      .join(radii.withColumnRenamed("cell", "cid"), Seq("cid"), "left")
+      .select(col("sub"), col("cid"), col("c"),
+        coalesce(col("radius"), lit(0.0)).as("radius"))
+
   /** Train both quantizers on one bounded deterministic sample of
     * `source` (vec_id, embedding), encode the corpus once, and persist
-    * all three tables. Returns the number of vectors indexed. */
+    * all index tables. Returns the number of vectors indexed. */
   def build(wh: Warehouse, idx: String, source: DataFrame,
       nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
     require(!source.isEmpty,
       "build: empty source — the codebooks train on data; bootstrap an " +
         "ANN index from its first real batch, not from nothing")
+    requireGeometry(idx, nCells, m, k)
     // within-batch dedup (refresh's contract): a duplicated vec_id
     // would store duplicate code rows and surface twice in a top-k
     val unit = l2Normalized(source.dropDuplicates("vec_id"))
@@ -85,20 +120,37 @@ object AnnIndex {
       .localCheckpoint()
     val codebook = pqTrain(sample, m = m, k = k, iters = 6)
       .localCheckpoint()
-    wh.save(s"${idx}_coarse", coarse)
     wh.save(s"${idx}_codebook", codebook)
     val codes = encode(unit, coarse, codebook, m, dimOf(unit))
     wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
+    // per-cell radii off the stored codes (one bounded agg pass —
+    // build-time priced), persisted ON the coarse table so every
+    // serving cut pins centroids and bounds together
+    wh.save(s"${idx}_coarse", coarseWithRadii(coarse,
+      cellRadii(unit, wh.table(s"${idx}_codes"), coarse)))
     // right-to-be-forgotten tombstones: ids remove()d stay out even
     // when later refresh sources still carry them
     wh.save(s"${idx}_gone", source.select("vec_id").limit(0))
-    // freeze the geometry: every later retrain reads it from here
+    // record the geometry: every later retrain reads it from here
     val spark0 = source.sparkSession
     import spark0.implicits._
     wh.save(s"${idx}_meta",
       Seq((nCells, m, k)).toDF("n_cells", "m", "k"))
     wh.countRows(s"${idx}_codes")
       .getOrElse(wh.table(s"${idx}_codes").count())
+  }
+
+  /** Geometry bounds shared by [[build]] and [[retrainAs]]: cell and
+    * codebook ids travel as one-byte codes ([[Similarity.codesCol]]
+    * casts to byte), so both counts cap at 127. */
+  private def requireGeometry(idx: String, nCells: Int, m: Int,
+      k: Int): Unit = {
+    require(nCells >= 1 && nCells <= 127,
+      s"$idx: nCells must be in [1, 127] (cells travel as one-byte " +
+        s"codes), got $nCells")
+    require(m >= 1, s"$idx: m must be >= 1, got $m")
+    require(k >= 1 && k <= 127,
+      s"$idx: k must be in [1, 127] (codes are one byte), got $k")
   }
 
   /** The index's frozen (nCells, m, k), read from `<idx>_meta`; a
@@ -151,9 +203,41 @@ object AnnIndex {
         (r.getInt(0) + 1, r.getInt(1))
       }
       val before = wh.countRows(s"${idx}_codes").getOrElse(0L)
-      wh.append(s"${idx}_codes", encode(l2Normalized(delta),
-        wh.table(s"${idx}_coarse"), codebook, m, m * dsub))
-      wh.countRows(s"${idx}_codes").getOrElse(before) - before
+      val coarse = wh.table(s"${idx}_coarse")
+      val unit = l2Normalized(delta)
+      // the encode feeds BOTH the append and the radius growth — pin
+      // it once (delta-sized) instead of projecting twice
+      val enc = encode(unit, coarse, codebook, m, m * dsub)
+        .localCheckpoint()
+      try {
+        // radius FIRST, codes second — the crash-safe order: a grown
+        // radius without its vectors is merely conservative (the exact
+        // probe reads a few extra cells), while landed vectors beyond
+        // a stale radius would let the exact bound prune a cell that
+        // holds a closer match — a silent wrong answer. Both commits
+        // ride ONE marker inside [[Ingest.ingestBatch]]'s transaction;
+        // standalone refreshes get the safe order instead.
+        // A pre-radius index (legacy coarse without the column) skips
+        // the update — exact mode refuses there until a retrain.
+        if (coarse.columns.contains("radius")) {
+          val grown = cellRadii(unit, enc, coarse)
+            .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          val stored = coarse.select("cid", "radius").collect()
+            .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+          if (grown.exists { case (c0, r0) =>
+              r0 > stored.getOrElse(c0, 0.0) }) {
+            val rlit = map(grown.flatMap { case (c0, r0) =>
+              Seq(lit(c0), lit(r0)) }.toSeq: _*)
+            wh.save(s"${idx}_coarse",
+              coarse.select(col("sub"), col("cid"), col("c"),
+                greatest(col("radius"),
+                  coalesce(element_at(rlit, col("cid")), lit(0.0)))
+                  .as("radius")))
+          }
+        }
+        wh.append(s"${idx}_codes", enc)
+        wh.countRows(s"${idx}_codes").getOrElse(before) - before
+      } finally { enc.unpersist(); () }
     }
   }
 
@@ -191,11 +275,14 @@ object AnnIndex {
     wh.transaction(tables(idx))(removeBody(wh, idx, ids))
   }
 
-  /** The index's backing tables moved by maintenance ops (see
-    * [[TextIndex.tables]]); codebooks are frozen state and never move
-    * on remove. */
+  /** The index's backing tables moved by maintenance/refresh ops (see
+    * [[TextIndex.tables]]): codes + tombstones, plus coarse — whose
+    * radius column [[refresh]] grows when a delta extends a cell — so
+    * a transaction composing a refresh declares everything it may
+    * commit. The codebook is frozen state and never moves outside
+    * retrain. */
   private[operators] def tables(idx: String): Seq[String] =
-    Seq(s"${idx}_codes", s"${idx}_gone")
+    Seq(s"${idx}_codes", s"${idx}_gone", s"${idx}_coarse")
 
   /** The three tables a PROBE reads — the unit [[Warehouse
     * .snapshotTables]] pins per serving call, so one query can never
@@ -299,7 +386,12 @@ object AnnIndex {
       "vectors" -> rows(s"${idx}_codes"),
       "codes_files" -> wh.describeDetail(s"${idx}_codes").toMap
         .getOrElse("numFiles", "unknown"),
-      "tombstones" -> rows(s"${idx}_gone"))
+      "tombstones" -> rows(s"${idx}_gone"),
+      // whether EXACT-mode serving is available (per-cell radii stored
+      // on the coarse table — false only for a pre-radius legacy
+      // index, until its next retrain)
+      "exact_capable" -> wh.table(s"${idx}_coarse").columns
+        .contains("radius").toString)
   }
 
   /** MAINTENANCE — this index's OPTIMIZE: every [[refresh]] appends
@@ -507,22 +599,39 @@ object AnnIndex {
   }
 
   /** [[retrain]] with explicit geometry — ACCEPTED only when it equals
-    * the index's frozen shape (a belt-and-braces caller restating what
-    * it built); anything else refuses loudly. Re-shaping is a new
-    * index: drop and [[build]]. */
+    * the index's recorded shape (a belt-and-braces caller restating
+    * what it built); anything else refuses loudly. DELIBERATE
+    * re-shaping is [[retrainAs]]. */
   def retrain(wh: Warehouse, idx: String, source: DataFrame,
       nCells: Int, m: Int, k: Int): Long = {
     val g = geometry(wh, idx)
     require(g == ((nCells, m, k)),
       s"retrain($idx): explicit geometry (nCells=$nCells, m=$m, k=$k) " +
-        s"disagrees with the index's frozen (nCells=${g._1}, m=${g._2}, " +
-        s"k=${g._3}) — geometry is fixed at build; to re-shape, drop " +
-        "the index and build a new one")
+        s"disagrees with the index's recorded (nCells=${g._1}, " +
+        s"m=${g._2}, k=${g._3}) — a scheduled retrain never re-shapes; " +
+        "to deliberately re-shape at retrain, call retrainAs (SQL: " +
+        "ALTER VECTOR INDEX … RETRAIN … WITH (n_cells = …))")
     retrainAs(wh, idx, source, nCells, m, k)
   }
 
-  private def retrainAs(wh: Warehouse, idx: String, source: DataFrame,
+  /** GEOMETRY EVOLUTION: retrain the index with a NEW (nCells, m, k).
+    * Retrain is already a full re-encode — the one moment a geometry
+    * change costs nothing extra — so an index outgrown by its corpus
+    * (a fixed cell count means per-cell rows, and with them probe
+    * cost, grow LINEARLY with the corpus forever) re-shapes here
+    * instead of drop-and-recreate, which would sever the tombstone
+    * and serving continuity the index family guarantees. The new
+    * geometry + coarse (with fresh radii) + codebook + codes + meta
+    * commit in ONE cross-table transaction: a concurrent reader (or a
+    * held serving cut) sees the old shape or the new one whole, never
+    * codes encoded under one codebook probed through another — and
+    * tombstones carry forward untouched (a remove() survives any
+    * number of re-shapes). `m` must divide the embedding dimension,
+    * and nCells/k cap at 127 (one-byte codes). Returns the number of
+    * vectors indexed. */
+  def retrainAs(wh: Warehouse, idx: String, source: DataFrame,
       nCells: Int, m: Int, k: Int): Long = {
+    requireGeometry(idx, nCells, m, k)
     val live = liveSource(wh, idx, source)
     require(!live.isEmpty,
       "retrain: no live vectors — an index with nothing left to serve " +
@@ -535,14 +644,53 @@ object AnnIndex {
     val codebook = pqTrain(sample, m = m, k = k, iters = 6)
       .localCheckpoint()
     val codes = encode(unit, coarse, codebook, m, dimOf(unit))
+    val spark0 = source.sparkSession
+    import spark0.implicits._
     wh.transaction(Seq(s"${idx}_coarse", s"${idx}_codebook",
-        s"${idx}_codes")) {
-      wh.save(s"${idx}_coarse", coarse)
+        s"${idx}_codes", s"${idx}_meta")) {
       wh.save(s"${idx}_codebook", codebook)
       wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
+      // radii over the freshly staged codes (the transaction reads its
+      // own uncommitted writes) — exact radii, not carried-forward
+      // upper bounds: retrain is the moment conservatism resets
+      wh.save(s"${idx}_coarse", coarseWithRadii(coarse,
+        cellRadii(unit, wh.table(s"${idx}_codes"), coarse)))
+      // a pre-meta (legacy) index gains its meta table here — retrain
+      // MIGRATES it into the recorded-geometry era
+      wh.save(s"${idx}_meta",
+        Seq((nCells, m, k)).toDF("n_cells", "m", "k"))
     }
     wh.countRows(s"${idx}_codes")
       .getOrElse(wh.table(s"${idx}_codes").count())
+  }
+
+  /** The geometry-drift auto rule ([[maintain]]'s shape-health twin):
+    * when any cell's row count exceeds `maxCellRows` — the signal that
+    * the corpus outgrew the cell count and probe cost is drifting from
+    * O(k · cell) toward O(corpus) — re-shape via [[retrainAs]] to a
+    * cell count that puts the MEAN cell at half the bound (headroom,
+    * so steady growth doesn't re-trigger immediately), capped at 127.
+    * One groupBy over the codes table's skinny columns per check —
+    * scheduled-maintenance priced. Returns Some((newNCells, vectors))
+    * when a resize ran, None when the shape is healthy. */
+  def autoResize(wh: Warehouse, idx: String, source: DataFrame,
+      maxCellRows: Long): Option[(Int, Long)] = {
+    require(maxCellRows >= 1, "autoResize: maxCellRows must be >= 1")
+    val agg = wh.table(s"${idx}_codes").groupBy("cell").count()
+      .agg(max(col("count")), sum(col("count"))).first()
+    if (agg.isNullAt(0)) None // empty index: nothing to re-shape
+    else {
+      val maxRows = agg.getLong(0)
+      val total = agg.getLong(1)
+      if (maxRows <= maxCellRows) None
+      else {
+        val (nc0, m, k) = geometry(wh, idx)
+        val ncNew = math.min(127L, math.max(nc0 + 1L,
+          math.ceil(total.toDouble /
+            math.max(maxCellRows / 2, 1L).toDouble).toLong)).toInt
+        Some((ncNew, retrainAs(wh, idx, source, ncNew, m, k)))
+      }
+    }
   }
 
   /** Hybrid retrieval over the STORED indexes — e14's composition
@@ -769,7 +917,8 @@ object AnnIndex {
     * materialized once and reused by the re-rank). */
   def query(wh: Warehouse, idx: String, source: DataFrame, queryId: Long,
       topK: Int = DefaultTopK, overquery: Int = DefaultOverquery, nProbe: Int = DefaultNProbe,
-      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+      filter: Option[org.apache.spark.sql.Column] = None,
+      exact: Boolean = false): DataFrame = {
     require(nProbe >= 1,
       s"query: nProbe must be >= 1 (got $nProbe) — a zero-cell probe " +
         "answers nothing and the widening loop needs a seed")
@@ -778,6 +927,9 @@ object AnnIndex {
     val unit = l2Normalized(source)
     val q = unit.filter(col("vec_id") === queryId)
       .select("embedding").first().getSeq[Double](0)
+    if (exact)
+      return exactCore(read, idx, source, q.toArray, topK, filter,
+        nProbe)._1
     val qlit = array(q.map(lit): _*)
     val coarse = read(s"${idx}_coarse")
     val codebook = read(s"${idx}_codebook")
@@ -843,6 +995,130 @@ object AnnIndex {
             VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(topK)
+  }
+
+  /** EXACT top-k for a literal query vector — the IVF escape hatch for
+    * callers who need brute-force-equal ranking (filtered or not) at
+    * adaptive cost instead of pinning nProbe = nCells: probe cells
+    * best-first by their LOWER BOUND (centroid distance − stored
+    * radius, the triangle inequality on the unit sphere), rank the
+    * probed members by exact cosine, and STOP once every unprobed
+    * cell's bound exceeds the k-th candidate's exact distance — no
+    * unprobed vector can then enter the top-k. On clustered data the
+    * probe terminates after a few cells; the worst case converges to
+    * the full probe only when the data demands it. Requires the
+    * radius column ([[build]]/[[retrainAs]] write it; a legacy index
+    * refuses until retrained). SQL: `VECTOR SEARCH … EXACT`. */
+  def queryVecExact(wh: Warehouse, idx: String, source: DataFrame,
+      query: Seq[Double], topK: Int = DefaultTopK,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      nProbe: Int = DefaultNProbe): DataFrame =
+    queryVecExactOn(servingSnapshot(wh, idx), idx, source, query, topK,
+      filter, nProbe)
+
+  /** [[queryVecExact]] against an externally-pinned read surface (a
+    * held serving cut, or an AS-OF historical cut). */
+  def queryVecExactOn(read: String => DataFrame, idx: String,
+      source: DataFrame, query: Seq[Double], topK: Int = DefaultTopK,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      nProbe: Int = DefaultNProbe): DataFrame =
+    exactCore(read, idx, source,
+      normalizedQueryVecs(source.sparkSession,
+        Seq((0L, query))).head._2, topK, filter, nProbe)._1
+
+  /** Distance slack on the exact-search stop rule: an unprobed cell
+    * whose bound is within this of the k-th distance is probed rather
+    * than trusted — absorbs the float error between the bound
+    * arithmetic (unit-sphere L2) and the re-rank cosine (raw vectors,
+    * rounded to 12 decimals). Over-probing is cheap and always sound;
+    * under-probing would be a silent wrong answer. */
+  private val BoundEps = 1e-6
+
+  /** The exact-search core: returns (topK frame, cells probed). The
+    * result frame is a LOCAL relation of ≤ topK rows (the loop already
+    * collected them to test the stop bound) — no recomputation at
+    * consumption, and the probe statistics are exposed for the spec
+    * that asserts fewer-than-all cells were read. */
+  private[graft] def exactCore(read: String => DataFrame, idx: String,
+      source: DataFrame, q: Array[Double], topK: Int,
+      filter: Option[org.apache.spark.sql.Column],
+      nProbe: Int): (DataFrame, Int) = {
+    require(topK >= 1, s"exact search: topK must be >= 1, got $topK")
+    require(nProbe >= 1, s"exact search: nProbe must be >= 1, got $nProbe")
+    val spark = source.sparkSession
+    import spark.implicits._
+    val coarse = read(s"${idx}_coarse")
+    require(coarse.columns.contains("radius"),
+      s"exact search: index '$idx' has no per-cell radii (built before " +
+        "the radius column) — retrain it (ALTER VECTOR INDEX … " +
+        "RETRAIN) to enable EXACT mode")
+    def l2sqD(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+      s
+    }
+    // (cid, lower bound) best-first: no member of a cell can sit
+    // closer to q than dist(q, centroid) − radius — all unit vectors,
+    // L2 is a metric, the standard IVF bound
+    val cells = coarse.select("cid", "c", "radius").collect().map { r =>
+      val c = r.getAs[scala.collection.Seq[Double]]("c").toArray
+      require(c.length == q.length,
+        s"exact search: query dimension ${q.length} != index " +
+          s"dimension ${c.length}")
+      (r.getAs[Int]("cid"),
+        math.max(0.0, math.sqrt(l2sqD(q, c)) - r.getAs[Double]("radius")))
+    }.sortBy { case (cid, b) => (b, cid) }
+    val nCells = cells.length
+    val qlit = array(q.toSeq.map(lit): _*)
+    // filtered exact: the allowlist materializes ONCE (ids only), like
+    // the widening probe's
+    val allow = filter.map(pred =>
+      source.filter(pred).select("vec_id").localCheckpoint())
+    try {
+      // exact cosine over the probed prefix's (qualifying) members —
+      // the honest price of exactness: float vectors of probed cells
+      // are read, but ONLY probed cells (partition-pruned), and the
+      // loop widens best-first so most queries stop after a few
+      def topAt(p: Int): Array[(Long, Double)] = {
+        val probed = read(s"${idx}_codes")
+          .filter(col("cell").isin(cells.take(p).map(_._1).toSeq: _*))
+          .select("vec_id")
+        val admissible = allow match {
+          case Some(a) => probed.join(a, Seq("vec_id"), "left_semi")
+          case None => probed
+        }
+        source.join(admissible, "vec_id")
+          .withColumn("qe", qlit)
+          .select(col("vec_id"),
+            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+              (VectorFunctions.normExact(col("embedding")) *
+                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          .orderBy(col("cosine").desc, col("vec_id").asc)
+          .limit(topK)
+          .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      }
+      var p = math.min(math.max(1, nProbe), nCells)
+      var top = topAt(p)
+      var settled = false
+      while (!settled) {
+        // k-th candidate's exact distance from its cosine: unit
+        // vectors, ‖q−v‖² = 2 − 2·cos
+        val dk =
+          if (top.length < topK) Double.PositiveInfinity
+          else math.sqrt(math.max(0.0, 2.0 - 2.0 * top.last._2))
+        val nextBound =
+          if (p < nCells) cells(p)._2 else Double.PositiveInfinity
+        // settle when every unprobed cell bounds out — or when there
+        // is nothing left to probe (fewer than k matches EXIST: both
+        // dk and nextBound are infinite there, and ∞ > ∞ is false)
+        if (p >= nCells || nextBound > dk + BoundEps) settled = true
+        else {
+          p = math.min(nCells, math.max(p + 1, 2 * p))
+          top = topAt(p)
+        }
+      }
+      (top.toSeq.toDF("vec_id", "cosine"), p)
+    } finally { allow.foreach(_.unpersist()); () }
   }
 
   /** [[query]] for N queries in ONE distributed pass — the serving

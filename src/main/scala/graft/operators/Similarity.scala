@@ -117,14 +117,20 @@ object Similarity {
   /** Exact cosine between every vector and the query vector (vec_id=q)
     * as an oracle CTE producing (vec_id, cosine). Embeddings are
     * unit-norm but we still normalize — exactly, on both engines. */
-  private def cosineCte(q: Long, excludeIds: Seq[Long] = Nil): String = {
+  private def cosineCte(q: Long, excludeIds: Seq[Long] = Nil,
+      whereSql: Option[String] = None): String = {
     // excludeIds: rank over the corpus MINUS these vectors — the
     // oracle for an index that has remove()d them (the b18 lane);
     // cosine carries no corpus-global statistics, so exclusion is
-    // pure candidate filtering
+    // pure candidate filtering. whereSql: an additional admissibility
+    // predicate over e.* — the FILTERED-search oracle (b19's exact
+    // lane): restrict BEFORE ranking, like the engine's probes do.
+    val conds =
+      (if (excludeIds.isEmpty) Nil
+       else Seq(s"e.vec_id NOT IN (${excludeIds.mkString(", ")})")) ++
+        whereSql.toSeq
     val ex =
-      if (excludeIds.isEmpty) ""
-      else s" WHERE e.vec_id NOT IN (${excludeIds.mkString(", ")})"
+      if (conds.isEmpty) "" else conds.mkString(" WHERE ", " AND ", "")
     s"""qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = $q),
        |zp AS (SELECT e.vec_id, unnest(e.embedding)::DOUBLE AS x,
        |              unnest(q.qe)::DOUBLE AS y
@@ -144,8 +150,9 @@ object Similarity {
     * `excludeIds`, b18's maintained-index lane), where a FULL IVF-PQ
     * probe + all-admitting overquery must reproduce it bit-for-bit. */
   private[operators] def exactCosineTopKSql(queryId: Long = QUERY_ID,
-      topK: Int = TOP_K, excludeIds: Seq[Long] = Nil): String =
-    s"""WITH ${cosineCte(queryId, excludeIds)}
+      topK: Int = TOP_K, excludeIds: Seq[Long] = Nil,
+      whereSql: Option[String] = None): String =
+    s"""WITH ${cosineCte(queryId, excludeIds, whereSql)}
        |SELECT vec_id, cosine FROM cs
        |ORDER BY cosine DESC, vec_id LIMIT $topK""".stripMargin
 

@@ -659,6 +659,38 @@ object WarehouseBench {
         T.embeddings(s, d), queryId = 0L, topK = 10, overquery = 200,
         nProbe = 8)),
 
+    // b19 — EXACT adaptive serving, hash-checked: the cell-bound
+    // terminated search (probe cells best-first by centroid-distance −
+    // stored radius, stop when every unprobed cell bounds past the
+    // k-th exact distance) must reproduce DuckDB's brute-force cosine
+    // top-10 bit-for-bit — WITHOUT the full-probe crutch b3f leans on:
+    // the adaptive stop itself is what this lane hash-checks. The
+    // filtered twin restricts both engines BEFORE ranking (the
+    // filtered-search semantics every probe here implements).
+    Q("b19_exact_ann_wh", Some(Similarity.exactCosineTopKSql()),
+      (s, d) => AnnIndex.query(annIndexed(s, d), "ann_b",
+        T.embeddings(s, d), queryId = 0L, topK = 10, exact = true)),
+    Q("b19_exact_filtered_wh",
+      Some(Similarity.exactCosineTopKSql(
+        whereSql = Some("e.vec_id % 3 = 0"))),
+      (s, d) => AnnIndex.query(annIndexed(s, d), "ann_b",
+        T.embeddings(s, d), queryId = 0L, topK = 10,
+        filter = Some(col("vec_id") % 3 === 0), exact = true)),
+
+    // b20 — GEOMETRY EVOLUTION, hash-checked end-to-end (b18's trick
+    // on the re-shape lifecycle): build SMALL (4 cells on a quarter of
+    // the corpus), refresh to full, remove, then retrainAs to 16 cells
+    // — and a FULL probe through the RE-SHAPED index must still
+    // reproduce DuckDB's brute-force cosine over the surviving corpus
+    // bit-for-bit. A tombstone lost in the re-shape, a code row
+    // encoded under the wrong codebook, or a torn three-table swap
+    // goes red here.
+    Q("b20_reshaped_ann_wh",
+      Some(Similarity.exactCosineTopKSql(excludeIds = b18Removed)),
+      (s, d) => AnnIndex.query(reshapedAnnIndexed(s, d), "ann_g",
+        T.embeddings(s, d), queryId = 0L, topK = 10, overquery = 200,
+        nProbe = 16)),
+
     // b6 — NEAR/proximity twin of b5 over the same stored positions
     Q("b6_near_wh", Some(TextAnalysis.nearOracleSql(
         TextAnalysis.nearQueryTerms._1, TextAnalysis.nearQueryTerms._2,
@@ -822,6 +854,29 @@ object WarehouseBench {
       }
       AnnIndex.remove(w, "ann_o", b18Removed)
       AnnIndex.optimize(w, "ann_o", source = Some(emb))
+      ()
+    }(s, d)
+
+  private val reshapeCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  /** b20's re-shaped ANN index — the geometry-evolution lifecycle:
+    * built at 4 cells on a quarter of the corpus (the shape a small
+    * early corpus deserves), grown to full via refreshes, a remove,
+    * then [[AnnIndex.retrainAs]] to 16 cells — the atomic re-cell an
+    * index outgrown by its corpus takes instead of drop-and-recreate.
+    * The lane's full probe proves answers survived the re-shape. */
+  private def reshapedAnnIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(reshapeCache, "graft_reshapebench") { w =>
+      val emb = T.embeddings(s, d)
+      AnnIndex.build(w, "ann_g", emb.filter(col("vec_id") % 4 === 0),
+        nCells = 4)
+      (1 to 3).foreach { r =>
+        AnnIndex.refresh(w, "ann_g", emb.filter(col("vec_id") % 4 <= r))
+        ()
+      }
+      AnnIndex.remove(w, "ann_g", b18Removed)
+      AnnIndex.retrainAs(w, "ann_g", emb, nCells = 16, m = 8, k = 16)
       ()
     }(s, d)
 

@@ -31,6 +31,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("PIN TABLE t VERSION 4 AS 'svc' [LEASE ms]")   // vacuum shield; UNPIN TABLE t AS 'svc'; DESCRIBE PINS t
   *   spark.sql("DESCRIBE VECTOR INDEX ann RECALL ON vectors")   // drift ops
   *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 0.8")
+  *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors WITH (n_cells = 32)")  // geometry evolution
+  *   spark.sql("VECTOR SEARCH ann ON vectors NEAREST (0.1, …) TOP 10 EXACT")     // brute-force-equal ranking
   *
   * A statement only binds to the warehouse when the named table has a
   * committed snapshot there — otherwise it delegates, so catalog
@@ -213,10 +215,14 @@ object GraftSqlParser {
     ("""(?is)^\s*SEARCH\s+INDEX\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+FOR\s+'([^']*)'\s+TOP\s+(\d+)\s+WHERE\s+(.+?)""" +
       """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
+  // the vector forms take an optional EXACT: brute-force-equal ranking
+  // at adaptive cost (cell-bound termination — AnnIndex.queryVecExact)
+  // instead of the approximate probe
   private val VectorSearchFiltered =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
       """\s+WHERE\s+(.+?)""" +
+      """(?:\s+(EXACT))?""" +
       """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val VectorSearchId =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
@@ -225,6 +231,7 @@ object GraftSqlParser {
   private val VectorSearch =
     ("""(?is)^\s*VECTOR\s+SEARCH\s+([\w]+)\s+ON\s+([\w]+)""" +
       """\s+NEAREST\s*\(([^)]*)\)\s+TOP\s+(\d+)""" +
+      """(?:\s+(EXACT))?""" +
       """(?:\s+TIMESTAMP\s+AS\s+OF\s+'([^']+)')?\s*;?\s*$""").r
   private val HybridSearch =
     ("""(?is)^\s*HYBRID\s+SEARCH\s+([\w]+)\s*,\s*([\w]+)""" +
@@ -246,9 +253,14 @@ object GraftSqlParser {
   private val DescRecall =
     ("""(?is)^\s*DESCRIBE\s+VECTOR\s+INDEX\s+([\w]+)\s+RECALL""" +
       """\s+ON\s+([\w]+)\s*;?\s*$""").r
+  // RETRAIN takes an optional WITH (…) geometry: the deliberate
+  // re-shape lane (AnnIndex.retrainAs) — retrain is already a full
+  // re-encode, the one moment a geometry change is free. Unlisted
+  // keys keep the index's recorded values.
   private val RetrainIdx =
     ("""(?is)^\s*ALTER\s+VECTOR\s+INDEX\s+([\w]+)\s+RETRAIN""" +
-      """\s+ON\s+([\w]+)(?:\s+THRESHOLD\s+([0-9.]+))?\s*;?\s*$""").r
+      """\s+ON\s+([\w]+)(?:\s+THRESHOLD\s+([0-9.]+))?""" +
+      """(?:\s+WITH\s*\(([^)]*)\))?\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -873,15 +885,45 @@ object GraftSqlParser {
               Row("n_probe", np.toString))
           }
         }
-      case RetrainIdx(idx, src, thr) =>
+      case RetrainIdx(idx, src, thr, withGeom) =>
         boundTable(session, src).map { wh =>
           cmd(session, attrs("key" -> StringType,
               "value" -> StringType)) { _ =>
             val source = wh.table(src)
-            Option(thr) match {
+            require(thr == null || withGeom == null,
+              s"ALTER VECTOR INDEX $idx RETRAIN: THRESHOLD and WITH " +
+                "cannot combine — a threshold-gated retrain is the " +
+                "scheduled drift lane (recorded geometry by contract); " +
+                "a re-shape is a deliberate, unconditional act")
+            Option(withGeom).map { w =>
+              // deliberate re-shape: WITH (n_cells = …, m = …, k = …);
+              // unlisted keys keep the index's recorded values
+              val kv = w.split(",").map(_.trim).filter(_.nonEmpty)
+                .map { e =>
+                  val parts = e.split("=", 2).map(_.trim)
+                  require(parts.length == 2 && parts(1).toIntOption.nonEmpty,
+                    s"ALTER VECTOR INDEX $idx RETRAIN WITH: unparsable " +
+                      s"entry '$e' (expected key = int)")
+                  parts(0).toLowerCase -> parts(1).toInt
+                }.toMap
+              val unknown = kv.keySet -- Set("n_cells", "m", "k")
+              require(unknown.isEmpty,
+                s"ALTER VECTOR INDEX $idx RETRAIN WITH: unknown " +
+                  s"geometry key(s) ${unknown.mkString(", ")} — " +
+                  "supported: n_cells, m, k")
+              val (nc0, m0, k0) = graft.operators.AnnIndex
+                .geometry(wh, idx)
+              val (nc, m, k) = (kv.getOrElse("n_cells", nc0),
+                kv.getOrElse("m", m0), kv.getOrElse("k", k0))
+              val n = graft.operators.AnnIndex
+                .retrainAs(wh, idx, source, nc, m, k)
+              Seq(Row("retrained", "true"),
+                Row("n_cells", nc.toString), Row("m", m.toString),
+                Row("k", k.toString), Row("vectors", n.toString))
+            }.getOrElse(Option(thr) match {
               case None =>
                 // unconditional: retrain on the current distribution,
-                // frozen geometry, atomic three-table swap
+                // recorded geometry, atomic swap
                 val n = graft.operators.AnnIndex.retrain(wh, idx, source)
                 Seq(Row("retrained", "true"), Row("vectors", n.toString))
               case Some(t) =>
@@ -897,7 +939,7 @@ object GraftSqlParser {
                 Seq(Row("recall_before", f"$before%.4f"),
                   Row("retrained", after.nonEmpty.toString)) ++
                   after.map(a => Row("recall_after", f"$a%.4f"))
-            }
+            })
           }
         }
       case SearchIdx(idx, text, k, asOf) =>
@@ -935,14 +977,30 @@ object GraftSqlParser {
             }
           out.drop("query_id").queryExecution.logical
         }
-      case VectorSearchFiltered(idx, src, vec, k, pred, asOf) =>
+      case VectorSearchFiltered(idx, src, vec, k, pred, exact, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
           val out =
-            if (asOf == null)
+            if (exact != null) {
+              // EXACT: brute-force-equal filtered ranking, cell-bound
+              // adaptive probe (AnnIndex.queryVecExact)
+              if (asOf == null)
+                graft.operators.AnnIndex.queryVecExact(wh, idx,
+                  wh.table(src), v, topK = k.toInt,
+                  filter = Some(expr(pred)))
+              else {
+                val snap = wh.snapshotTablesAt(
+                  graft.operators.AnnIndex.servingTables(idx) :+ src,
+                  parseInstant(asOf))
+                graft.operators.AnnIndex.queryVecExactOn(snap(_), idx,
+                  snap(src), v, topK = k.toInt,
+                  filter = Some(expr(pred)))
+              }
+            } else if (asOf == null)
               graft.operators.AnnIndex.queryVecBatch(wh, idx,
                 wh.table(src), Seq((0L, v)), topK = k.toInt,
                 filter = Some(expr(pred)))
+                .drop("query_id")
             else {
               val snap = wh.snapshotTablesAt(
                 graft.operators.AnnIndex.servingTables(idx) :+ src,
@@ -950,8 +1008,9 @@ object GraftSqlParser {
               graft.operators.AnnIndex.queryVecBatchOn(snap(_), idx,
                 snap(src), Seq((0L, v)), topK = k.toInt,
                 filter = Some(expr(pred)))
+                .drop("query_id")
             }
-          out.drop("query_id").queryExecution.logical
+          out.queryExecution.logical
         }
       case VectorSearchId(idx, src, id, k, asOf) =>
         boundTable(session, src).map { wh =>
@@ -978,13 +1037,25 @@ object GraftSqlParser {
               .drop("query_id").queryExecution.logical
           }
         }
-      case VectorSearch(idx, src, vec, k, asOf) =>
+      case VectorSearch(idx, src, vec, k, exact, asOf) =>
         boundTable(session, src).map { wh =>
           val v = parseVec(vec)
           val out =
-            if (asOf == null)
+            if (exact != null) {
+              if (asOf == null)
+                graft.operators.AnnIndex.queryVecExact(wh, idx,
+                  wh.table(src), v, topK = k.toInt)
+              else {
+                val snap = wh.snapshotTablesAt(
+                  graft.operators.AnnIndex.servingTables(idx) :+ src,
+                  parseInstant(asOf))
+                graft.operators.AnnIndex.queryVecExactOn(snap(_), idx,
+                  snap(src), v, topK = k.toInt)
+              }
+            } else if (asOf == null)
               graft.operators.AnnIndex.queryVecBatch(wh, idx,
                 wh.table(src), Seq((0L, v)), topK = k.toInt)
+                .drop("query_id")
             else {
               // ONE historical cut over index + source: the re-rank's
               // float vectors come from the same instant as the codes
@@ -995,8 +1066,9 @@ object GraftSqlParser {
                 parseInstant(asOf))
               graft.operators.AnnIndex.queryVecBatchOn(snap(_), idx,
                 snap(src), Seq((0L, v)), topK = k.toInt)
+                .drop("query_id")
             }
-          out.drop("query_id").queryExecution.logical
+          out.queryExecution.logical
         }
       case HybridSearch(annIdx, textIdx, src, text, vec, k, asOf) =>
         boundTable(session, src).map { wh =>

@@ -459,7 +459,8 @@ class AnnIndexSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException] {
       AnnIndex.retrain(wh, "ann", emb, nCells = 8, m = 8, k = 16)
     }
-    assert(e.getMessage.contains("frozen"))
+    // the refusal points the caller at the DELIBERATE re-shape lane
+    assert(e.getMessage.contains("retrainAs"))
     assert(shape() == ((16L, 4, 8L)))
   }
 
@@ -863,5 +864,203 @@ class AnnIndexSpec extends AnyFunSuite {
       "refresh after optimize mis-sized its delta")
     assert(wh.table("ann_codes").filter(col("vec_id") === 5L).isEmpty,
       "optimize resurrected a removed vector")
+  }
+
+  // ----- round-17: geometry evolution + exact cell-bound search ------
+
+  /** Clustered synthetic corpus for the exact-search sweep: `nClusters`
+    * tight clusters of `per` unit-ish vectors each (seeded jitter), so
+    * the IVF cells are genuinely separable and the cell bound can
+    * terminate early — real pruning, not a fixture accident. */
+  private def clustered(nClusters: Int, per: Int, dim: Int,
+      jitter: Double, seed: Long) = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(seed)
+    val centers = Array.fill(nClusters, dim)(rnd.nextGaussian())
+    (0 until nClusters * per).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong,
+        c.map(x => x + jitter * rnd.nextGaussian()).toSeq)
+    }.toDF("vec_id", "embedding")
+  }
+
+  test("retrainAs: geometry evolves at retrain — corpus grown far past the built shape re-cells atomically; tombstones and held cuts survive; full-probe answers identical") {
+    val wh = new Warehouse(spark, tmp("ann_reshape"))
+    val emb = Tables.embeddings(spark, sf)
+    // built SMALL: 4 cells over 50 vectors…
+    AnnIndex.build(wh, "ann", emb.filter(col("vec_id") < 50),
+      nCells = 4, m = 4, k = 8)
+    // …then the corpus grows 10×: per-cell rows (and probe cost) now
+    // scale with the corpus — the shape the index was built for is gone
+    AnnIndex.refresh(wh, "ann", emb)
+    // a removal that must survive the re-shape
+    AnnIndex.remove(wh, "ann", Seq(5L))
+    val liveIds = emb.filter(col("vec_id") =!= 5L)
+    def fullProbe(nProbe: Int): Seq[(Long, Double)] =
+      AnnIndex.query(wh, "ann", liveIds, queryId = 0L, topK = 10,
+        overquery = 50, nProbe = nProbe)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val before = fullProbe(4) // full probe under the OLD geometry
+    // a serving cut held ACROSS the re-shape: it pinned the old three
+    // tables and must keep answering the old way
+    val (held, release) = AnnIndex.servingSnapshotHeld(wh, "ann", "svc")
+    val qv = liveIds.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val heldBefore = AnnIndex.queryVecBatchOn(held, "ann", liveIds,
+      Seq((0L, qv)), topK = 10, overquery = 50, nProbe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+    // THE re-shape: 4 → 16 cells, same m/k, one atomic transaction
+    assert(AnnIndex.retrainAs(wh, "ann", emb, nCells = 16, m = 4, k = 8)
+      == emb.count() - 1)
+    assert(AnnIndex.geometry(wh, "ann") == ((16, 4, 8)))
+    assert(wh.table("ann_coarse").count() == 16)
+    // full probe under the NEW geometry: identical exact answers
+    assert(fullProbe(16) == before,
+      "re-shape changed the full-probe (exact) answer")
+    // the held cut still serves the OLD index, version-exact
+    assert(AnnIndex.queryVecBatchOn(held, "ann", liveIds,
+      Seq((0L, qv)), topK = 10, overquery = 50, nProbe = 4)
+      .collect().map(r => (r.getLong(1), r.getDouble(2))).toSeq
+      == heldBefore, "held cut torn by the re-shape")
+    release()
+    // the tombstone carried forward: 5 stays out of codes and probes
+    assert(wh.table("ann_codes").filter(col("vec_id") === 5L).isEmpty)
+    assert(AnnIndex.refresh(wh, "ann", emb) == 0L,
+      "re-shape dropped the tombstone: refresh resurrected removed ids")
+    // the scheduled lane still refuses to re-shape (recorded geometry)
+    val frozen = intercept[IllegalArgumentException] {
+      AnnIndex.retrain(wh, "ann", emb, nCells = 32, m = 4, k = 8)
+    }
+    assert(frozen.getMessage.contains("retrainAs"), frozen.getMessage)
+  }
+
+  test("autoResize: an oversized cell triggers geometry growth; a healthy shape is a no-op") {
+    val wh = new Warehouse(spark, tmp("ann_autoresize"))
+    val emb = Tables.embeddings(spark, sf)
+    AnnIndex.build(wh, "ann", emb, nCells = 4, m = 4, k = 8)
+    // healthy: 500 vectors over 4 cells, bound of 1000 — no resize
+    assert(AnnIndex.autoResize(wh, "ann", emb, maxCellRows = 1000L)
+      .isEmpty)
+    // oversized: some cell holds > 60 rows (500/4 ≥ 125 on average);
+    // target mean = bound/2 = 30 → ceil(500/30) = 17 cells
+    val resized = AnnIndex.autoResize(wh, "ann", emb, maxCellRows = 60L)
+    assert(resized.exists(_._1 == 17), s"got $resized")
+    assert(AnnIndex.geometry(wh, "ann") == ((17, 4, 8)))
+    // no cell exceeds… the trigger? Lloyd makes no balance promise, but
+    // the RE-CHECK must at least see the max shrink below 500
+    val again = AnnIndex.autoResize(wh, "ann", emb, maxCellRows = 1000L)
+    assert(again.isEmpty)
+  }
+
+  test("exact search: cell-bound termination ≡ brute-force ranking bit-for-bit, probing FEWER cells than nCells on clustered data; filtered and unfiltered — seeded sweep") {
+    import graft.functions.VectorFunctions
+    val wh = new Warehouse(spark, tmp("ann_exact"))
+    val emb = clustered(nClusters = 8, per = 60, dim = 32,
+      jitter = 0.05, seed = 42).localCheckpoint()
+    AnnIndex.build(wh, "ann", emb, nCells = 8, m = 4, k = 16)
+    val read = AnnIndex.servingSnapshot(wh, "ann")
+    def brute(pred: Option[org.apache.spark.sql.Column],
+        q: Seq[Double]): Seq[(Long, Double)] = {
+      val base = pred.map(emb.filter).getOrElse(emb)
+      base.withColumn("qe", array(q.map(lit): _*))
+        .select(col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    var prunedSomewhere = false
+    (1 to 6).foreach { i =>
+      // a query near a random stored vector (clustered ⇒ near a center)
+      val qid = rnd.nextInt(480).toLong
+      val qRaw = emb.filter(col("vec_id") === qid)
+        .select(col("embedding").cast("array<double>"))
+        .first().getSeq[Double](0)
+      val q = graft.operators.AnnIndex
+        .normalizedQueryVecs(spark, Seq((0L, qRaw))).head._2
+      val pred =
+        if (i % 2 == 0) Some(col("vec_id") % 3 === i % 3) else None
+      val (got, cellsProbed) = AnnIndex.exactCore(read, "ann", emb,
+        q, topK = 10, filter = pred, nProbe = 3)
+      val gotRows = got.collect()
+        .map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(gotRows == brute(pred, qRaw.map(_.toDouble)),
+        s"round $i (qid=$qid, filtered=${pred.nonEmpty}): exact " +
+          s"diverged from brute force")
+      if (cellsProbed < 8) prunedSomewhere = true
+    }
+    assert(prunedSomewhere,
+      "exact search never terminated early on clustered data — the " +
+        "cell bound is not pruning")
+    // the public surfaces agree with the core
+    val qRaw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    assert(AnnIndex.queryVecExact(wh, "ann", emb, qRaw, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == brute(None, qRaw))
+    assert(AnnIndex.query(wh, "ann", emb, queryId = 0L, topK = 10,
+      exact = true)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == brute(None, qRaw))
+  }
+
+  test("exact search stays exact through refresh (radius grows with the delta) and under fewer-than-k matches; a pre-radius index refuses") {
+    val wh = new Warehouse(spark, tmp("ann_exact_refresh"))
+    val emb = clustered(nClusters = 4, per = 50, dim = 16,
+      jitter = 0.02, seed = 11).localCheckpoint()
+    // build on HALF, then refresh with the rest at WIDER jitter: the
+    // deltas land in existing cells but extend past the built radii —
+    // exactly the case a stale bound would get wrong
+    val spread = clustered(nClusters = 4, per = 50, dim = 16,
+      jitter = 0.4, seed = 12)
+      .select((col("vec_id") + 200L).as("vec_id"), col("embedding"))
+      .localCheckpoint()
+    AnnIndex.build(wh, "ann", emb, nCells = 4, m = 4, k = 8)
+    val all = emb.union(spread).localCheckpoint()
+    AnnIndex.refresh(wh, "ann", all)
+    import graft.functions.VectorFunctions
+    def brute(base: org.apache.spark.sql.DataFrame,
+        q: Seq[Double], k: Int): Seq[(Long, Double)] =
+      base.withColumn("qe", array(q.map(lit): _*))
+        .select(col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(k)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // a query sitting ON a spread (post-refresh) vector: the true
+    // nearest neighbors include deltas beyond the built radius
+    val qRaw = all.filter(col("vec_id") === 210L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    assert(AnnIndex.queryVecExact(wh, "ann", all, qRaw, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == brute(all, qRaw, 10),
+      "exact search went stale after refresh — radius did not grow")
+    // fewer than k matches: a needle predicate returns ALL matches
+    val pred = col("vec_id") % 97 === 0
+    val want = all.filter(pred).count()
+    assert(want < 10, "fixture: needle predicate too permissive")
+    val got = AnnIndex.queryVecExact(wh, "ann", all, qRaw, topK = 10,
+      filter = Some(pred)).collect()
+    assert(got.length == want,
+      s"exact filtered returned ${got.length} of $want matches")
+    // a legacy (pre-radius) index refuses EXACT loudly
+    wh.save("ann_coarse",
+      wh.table("ann_coarse").drop("radius"))
+    val legacy = intercept[IllegalArgumentException] {
+      AnnIndex.queryVecExact(wh, "ann", all, qRaw, topK = 10).collect()
+    }
+    assert(legacy.getMessage.contains("radius"), legacy.getMessage)
+    // describe() reports the capability honestly both ways
+    assert(AnnIndex.describe(wh, "ann")
+      .toMap[String, String].apply("exact_capable") == "false")
+    AnnIndex.retrainAs(wh, "ann", all, 4, 4, 8)
+    assert(AnnIndex.describe(wh, "ann")
+      .toMap[String, String].apply("exact_capable") == "true")
   }
 }

@@ -897,6 +897,67 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
   }
 
+  test("ALTER VECTOR INDEX … RETRAIN WITH: geometry evolution from SQL; VECTOR SEARCH … EXACT ≡ brute-force ranking") {
+    import graft.operators.AnnIndex
+    import graft.functions.VectorFunctions
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val wh = new Warehouse(spark, tmp("sql_reshape"))
+    wh.enableSql()
+    wh.save("vectors", emb)
+    AnnIndex.build(wh, "ann", wh.table("vectors"),
+      nCells = 4, m = 4, k = 8)
+    // the deliberate re-shape lane: unlisted keys keep recorded values
+    val out = spark.sql(
+        "ALTER VECTOR INDEX ann RETRAIN ON vectors WITH (n_cells = 16)")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out("retrained") == "true" && out("n_cells") == "16" &&
+      out("m") == "4" && out("k") == "8", out.toString)
+    assert(AnnIndex.geometry(wh, "ann") == ((16, 4, 8)))
+    // THRESHOLD + WITH cannot combine (scheduled lane never re-shapes)
+    val mixed = intercept[Exception] {
+      spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors " +
+        "THRESHOLD 0.9 WITH (n_cells = 8)").collect()
+    }
+    assert(mixed.getMessage.contains("cannot combine"), mixed.getMessage)
+    // unknown geometry keys refuse
+    val bad = intercept[Exception] {
+      spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors " +
+        "WITH (cells = 8)").collect()
+    }
+    assert(bad.getMessage.contains("unknown"), bad.getMessage)
+    // EXACT serving ≡ brute force, plain and filtered
+    val q = emb.filter(col("vec_id") === 3L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val lit0 = q.mkString(", ")
+    def brute(pred: Option[String]): Seq[(Long, Double)] = {
+      val base = pred.map(p => wh.table("vectors").filter(expr(p)))
+        .getOrElse(wh.table("vectors"))
+      base.withColumn("qe", array(q.map(lit): _*))
+        .select(col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    }
+    val exactRows = spark.sql(
+        s"VECTOR SEARCH ann ON vectors NEAREST ($lit0) TOP 5 EXACT")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exactRows == brute(None),
+      s"SQL EXACT diverged:\n$exactRows\n${brute(None)}")
+    val exactFiltered = spark.sql(
+        s"VECTOR SEARCH ann ON vectors NEAREST ($lit0) TOP 5 " +
+          "WHERE vec_id % 2 = 0 EXACT")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exactFiltered == brute(Some("vec_id % 2 = 0")),
+      s"SQL filtered EXACT diverged")
+    // without EXACT the statement still parses to the approximate probe
+    assert(spark.sql(
+      s"VECTOR SEARCH ann ON vectors NEAREST ($lit0) TOP 5")
+      .collect().length == 5)
+  }
+
   test("PIN TABLE / UNPIN TABLE / DESCRIBE PINS: the vacuum shield from SQL") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("sql_pins"))
