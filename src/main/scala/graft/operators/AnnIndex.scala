@@ -56,7 +56,7 @@ import org.apache.spark.sql.functions._
   */
 object AnnIndex {
 
-  import Similarity.{codesCol, collectCents, l2sq, l2Normalized,
+  import Similarity.{codesCol, cellCol, collectCents, l2sq, l2Normalized,
     trainingSample, defaultSampleN, pqTrain, pqRank}
 
   /** The serving defaults, as NAMED constants: every probe signature
@@ -74,8 +74,7 @@ object AnnIndex {
   private def encode(unit: DataFrame, coarse: DataFrame,
       codebook: DataFrame, m: Int, dim: Int): DataFrame = {
     unit.select(col("vec_id"),
-      element_at(codesCol(collectCents(coarse), 1, dim), 1)
-        .cast("int").as("cell"),
+      cellCol(collectCents(coarse), dim).as("cell"),
       codesCol(collectCents(codebook), m, dim).as("codes"))
   }
 
@@ -140,14 +139,23 @@ object AnnIndex {
       .getOrElse(wh.table(s"${idx}_codes").count())
   }
 
-  /** Geometry bounds shared by [[build]] and [[retrainAs]]: cell and
-    * codebook ids travel as one-byte codes ([[Similarity.codesCol]]
-    * casts to byte), so both counts cap at 127. */
+  /** Geometry bounds shared by [[build]] and [[retrainAs]]. The PQ
+    * codebook size `k` caps at 127 (codes are stored as one-byte
+    * arrays — the 32× compression a 100 TB corpus scans). The CELL
+    * count does NOT share that cap ([[Similarity.cellCol]] assigns an
+    * INT — beyond 127 cells the centroid table travels as one literal
+    * value, still a shuffle-free projection): the √N rule puts a
+    * 1 B-vector corpus at tens of thousands of cells, and freezing
+    * nCells at a byte would make every cell corpus-proportional. The
+    * 65 536 bound keeps the coarse table driver-collectable (probe
+    * ranking, exact-search bounds and the widening loop all argsort
+    * nCells rows of dim doubles on the driver — 65 536 × 1 024 dims ×
+    * 8 B ≈ 0.5 GB, the ceiling of comfortable). */
   private def requireGeometry(idx: String, nCells: Int, m: Int,
       k: Int): Unit = {
-    require(nCells >= 1 && nCells <= 127,
-      s"$idx: nCells must be in [1, 127] (cells travel as one-byte " +
-        s"codes), got $nCells")
+    require(nCells >= 1 && nCells <= 65536,
+      s"$idx: nCells must be in [1, 65536] (the coarse table is " +
+        s"driver-collected at probe time), got $nCells")
     require(m >= 1, s"$idx: m must be >= 1, got $m")
     require(k >= 1 && k <= 127,
       s"$idx: k must be in [1, 127] (codes are one byte), got $k")
@@ -226,8 +234,11 @@ object AnnIndex {
             .map(r => r.getInt(0) -> r.getDouble(1)).toMap
           if (grown.exists { case (c0, r0) =>
               r0 > stored.getOrElse(c0, 0.0) }) {
-            val rlit = map(grown.flatMap { case (c0, r0) =>
-              Seq(lit(c0), lit(r0)) }.toSeq: _*)
+            // ONE literal map value (not 2·|cells| expression nodes):
+            // a wide delta can touch every cell, and the lifted cell
+            // cap (65 536) would make a per-entry literal tree
+            // uncompilable
+            val rlit = typedLit(grown)
             wh.save(s"${idx}_coarse",
               coarse.select(col("sub"), col("cid"), col("c"),
                 greatest(col("radius"),
@@ -627,7 +638,7 @@ object AnnIndex {
     * codes encoded under one codebook probed through another — and
     * tombstones carry forward untouched (a remove() survives any
     * number of re-shapes). `m` must divide the embedding dimension,
-    * and nCells/k cap at 127 (one-byte codes). Returns the number of
+    * and (nCells, k) respect [[requireGeometry]]. Returns the number of
     * vectors indexed. */
   def retrainAs(wh: Warehouse, idx: String, source: DataFrame,
       nCells: Int, m: Int, k: Int): Long = {
@@ -669,7 +680,8 @@ object AnnIndex {
     * the corpus outgrew the cell count and probe cost is drifting from
     * O(k · cell) toward O(corpus) — re-shape via [[retrainAs]] to a
     * cell count that puts the MEAN cell at half the bound (headroom,
-    * so steady growth doesn't re-trigger immediately), capped at 127.
+    * so steady growth doesn't re-trigger immediately), capped at the
+    * geometry bound (65 536 — [[requireGeometry]]).
     * One groupBy over the codes table's skinny columns per check —
     * scheduled-maintenance priced. Returns Some((newNCells, vectors))
     * when a resize ran, None when the shape is healthy. */
@@ -685,7 +697,7 @@ object AnnIndex {
       if (maxRows <= maxCellRows) None
       else {
         val (nc0, m, k) = geometry(wh, idx)
-        val ncNew = math.min(127L, math.max(nc0 + 1L,
+        val ncNew = math.min(65536L, math.max(nc0 + 1L,
           math.ceil(total.toDouble /
             math.max(maxCellRows / 2, 1L).toDouble).toLong)).toInt
         Some((ncNew, retrainAs(wh, idx, source, ncNew, m, k)))
@@ -1025,6 +1037,35 @@ object AnnIndex {
     exactCore(read, idx, source,
       normalizedQueryVecs(source.sparkSession,
         Seq((0L, query))).head._2, topK, filter, nProbe)._1
+
+  /** [[queryVecExact]] for a BATCH of literal queries over ONE pinned
+    * snapshot: each query's probe terminates at ITS OWN cell bound
+    * (adaptivity is per-query — a query inside a tight cluster stops
+    * after one cell while an outlier widens), so this is a driver
+    * loop over [[exactCore]], not one fused job: exactness needs the
+    * k-th distance OBSERVED before the next widening decision, which
+    * is inherently sequential per query — but the snapshot cut, the
+    * coarse collect and the allowlist shape are shared, and each
+    * query's result is a bounded local relation. For throughput-first
+    * batch serving use [[queryVecBatch]] (one distributed pass,
+    * IVF-approximate). Returns (query_id, vec_id, cosine), ≤ topK
+    * rows per query, ordered by (query_id, cosine desc, vec_id). */
+  def queryVecBatchExact(wh: Warehouse, idx: String, source: DataFrame,
+      queries: Seq[(Long, Seq[Double])], topK: Int = DefaultTopK,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      nProbe: Int = DefaultNProbe): DataFrame = {
+    require(queries.nonEmpty, "queryVecBatchExact: empty query list")
+    val spark = source.sparkSession
+    import spark.implicits._
+    val read = servingSnapshot(wh, idx)
+    normalizedQueryVecs(spark, queries)
+      .flatMap { case (qid, q) =>
+        exactCore(read, idx, source, q, topK, filter, nProbe)._1
+          .collect().map(r => (qid, r.getLong(0), r.getDouble(1)))
+      }
+      .toDF("query_id", "vec_id", "cosine")
+      .orderBy(col("query_id"), col("cosine").desc, col("vec_id"))
+  }
 
   /** Distance slack on the exact-search stop rule: an unprobed cell
     * whose bound is within this of the k-th distance is probed rather

@@ -430,6 +430,40 @@ object Similarity {
     }: _*)
   }
 
+  /** The IVF CELL assignment as a pure projection Column — an INT, not
+    * a byte: the cell id is a partition key, not a stored code, so it
+    * must not inherit [[codesCol]]'s one-byte cap (127 cells over a
+    * 1 B-vector corpus is 8 M rows per cell — probe cost drifts toward
+    * O(corpus); the √N rule wants thousands of cells at 100 TB). Two
+    * representations of the same argmin, switched on cell count:
+    *  - ≤ 127 cells: [[codesCol]]'s literal-struct `array_min` shape
+    *    (one expression node per centroid — the proven whole-stage-
+    *    codegen form, and bit-identical to every index built before
+    *    the cap was lifted, since the byte cast was lossless there);
+    *  - beyond 127: the centroid table becomes ONE literal VALUE (a
+    *    `typedLit` array of (cid, centroid) structs — thousands of
+    *    cells stay a single Literal node instead of an expression tree
+    *    codegen cannot compile), folded with `least` over (d2, cid)
+    *    structs — the SAME lexicographic tie-break as `array_min`.
+    * Both paths: shuffle-free, join-free, NO UDF. */
+  private[operators] def cellCol(cents: Array[(Int, Int, Seq[Double])],
+      dim: Int): Column = {
+    val sorted = cents.filter(_._1 == 0).sortBy(_._2)
+    if (sorted.length <= 127)
+      element_at(codesCol(cents, 1, dim), 1).cast("int")
+    else {
+      val sv = transform(slice(col("embedding"), 1, dim), _.cast("double"))
+      val table = typedLit(sorted.map { case (_, cid, c) =>
+        (cid, c) }.toSeq)
+      aggregate(table,
+        struct(lit(Double.MaxValue).as("d2"), lit(-1).as("cid")),
+        (acc, e) => least(acc,
+          struct(l2sq(sv, e.getField("_2")).as("d2"),
+            e.getField("_1").as("cid"))))
+        .getField("cid")
+    }
+  }
+
   private[operators] def collectCents(cents: DataFrame): Array[(Int, Int, Seq[Double])] =
     cents.collect().map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
       r.getAs[scala.collection.Seq[Double]]("c").toVector: Seq[Double]))

@@ -1006,6 +1006,17 @@ class AnnIndexSpec extends AnyFunSuite {
       exact = true)
       .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
       == brute(None, qRaw))
+    // the BATCH surface: one shared cut, per-query adaptive stops —
+    // each query's block equals its own brute force
+    val q2Raw = emb.filter(col("vec_id") === 100L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val batch = AnnIndex.queryVecBatchExact(wh, "ann", emb,
+      Seq((7L, qRaw), (8L, q2Raw)), topK = 10).collect()
+    assert(batch.filter(_.getLong(0) == 7L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq == brute(None, qRaw))
+    assert(batch.filter(_.getLong(0) == 8L)
+      .map(r => (r.getLong(1), r.getDouble(2))).toSeq == brute(None, q2Raw))
   }
 
   test("exact search stays exact through refresh (radius grows with the delta) and under fewer-than-k matches; a pre-radius index refuses") {
@@ -1062,5 +1073,72 @@ class AnnIndexSpec extends AnyFunSuite {
     AnnIndex.retrainAs(wh, "ann", all, 4, 4, 8)
     assert(AnnIndex.describe(wh, "ann")
       .toMap[String, String].apply("exact_capable") == "true")
+  }
+
+  test("beyond the byte: retrainAs across the 127-cell boundary — the single-literal argmin assigns cells bit-identically to a driver brute force; exact serving unchanged; geometry bounds refuse") {
+    import graft.functions.VectorFunctions
+    val wh = new Warehouse(spark, tmp("ann_big"))
+    val emb = Tables.embeddings(spark, sf) // 500 vectors
+    AnnIndex.build(wh, "ann", emb, nCells = 8, m = 4, k = 8)
+    // the corpus "outgrew" 8 cells: re-shape PAST the one-byte cap —
+    // cells are partition keys (int), not stored codes, so the √N
+    // rule's thousands-of-cells regime must be reachable
+    AnnIndex.retrainAs(wh, "ann", emb, nCells = 150, m = 4, k = 8)
+    assert(AnnIndex.geometry(wh, "ann") == ((150, 4, 8)))
+    assert(wh.table("ann_coarse").count() == 150)
+    val stored = wh.table("ann_codes").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // the lifted cap is actually exercised: members land in cells a
+    // byte could not name
+    assert(stored.values.max > 127,
+      s"no cell beyond 127 was populated (max=${stored.values.max})")
+    // reference assignment, driver-side: the SAME unit vectors the
+    // encode saw (collected from l2Normalized — identical doubles),
+    // the stored centroids, sequential (x−y)² fold in array order and
+    // the (d2, cid) lexicographic tie-break — bit-for-bit the
+    // projection's arithmetic, computed independently of Catalyst
+    val cents = wh.table("ann_coarse").select("cid", "c").collect()
+      .map(r => (r.getInt(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+      .sortBy(_._1)
+    val units = Similarity.l2Normalized(emb)
+      .collect().map(r => (r.getLong(0),
+        r.getAs[scala.collection.Seq[Double]](1).toArray))
+    units.foreach { case (id, v) =>
+      var bd = Double.MaxValue; var bc = -1
+      cents.foreach { case (cid, c) =>
+        var s = 0.0; var i = 0
+        while (i < v.length) { val d = v(i) - c(i); s += d * d; i += 1 }
+        if (s < bd || (s == bd && cid < bc)) { bd = s; bc = cid }
+      }
+      assert(stored(id) == bc,
+        s"vec $id: stored cell ${stored(id)} != reference argmin $bc")
+    }
+    // exact serving over the re-shaped index still equals brute force
+    val qRaw = emb.filter(col("vec_id") === 0L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    val brute = emb.withColumn("qe", array(qRaw.map(lit): _*))
+      .select(col("vec_id"),
+        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+          (VectorFunctions.normExact(col("embedding")) *
+            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+      .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(AnnIndex.queryVecExact(wh, "ann", emb, qRaw, topK = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      == brute)
+    // and the probed (approximate) surface still fills k
+    assert(AnnIndex.query(wh, "ann", emb, queryId = 0L).count() == 10)
+    // geometry bounds: the coarse table must stay driver-collectable,
+    // and PQ codes stay one byte
+    val eCells = intercept[IllegalArgumentException] {
+      AnnIndex.build(wh, "ann2", emb, nCells = 65537, m = 4, k = 8)
+    }
+    assert(eCells.getMessage.contains("65536"), eCells.getMessage)
+    val eK = intercept[IllegalArgumentException] {
+      AnnIndex.build(wh, "ann2", emb, nCells = 8, m = 4, k = 128)
+    }
+    assert(eK.getMessage.contains("one byte"), eK.getMessage)
   }
 }
