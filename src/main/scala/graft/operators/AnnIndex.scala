@@ -402,7 +402,21 @@ object AnnIndex {
       // on the coarse table — false only for a pre-radius legacy
       // index, until its next retrain)
       "exact_capable" -> wh.table(s"${idx}_coarse").columns
-        .contains("radius").toString)
+        .contains("radius").toString) ++ {
+      // shape health — the numbers a retention/maintenance decision
+      // reads before scheduling [[autoResize]]: a max far above the
+      // mean means ONE hot cell is dragging probe cost (re-shape or
+      // re-train); max ≈ mean ≫ target means the corpus outgrew the
+      // cell count uniformly. One groupBy over the codes table's
+      // skinny (cell) column — describe-priced, no vectors read.
+      val agg = wh.table(s"${idx}_codes").groupBy("cell").count()
+        .agg(max(col("count")), avg(col("count"))).first()
+      if (agg.isNullAt(0)) Seq(
+        "max_cell_rows" -> "0", "mean_cell_rows" -> "0")
+      else Seq(
+        "max_cell_rows" -> agg.getLong(0).toString,
+        "mean_cell_rows" -> f"${agg.getDouble(1)}%.1f")
+    }
   }
 
   /** MAINTENANCE — this index's OPTIMIZE: every [[refresh]] appends

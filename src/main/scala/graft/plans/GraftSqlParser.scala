@@ -32,6 +32,7 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("DESCRIBE VECTOR INDEX ann RECALL ON vectors")   // drift ops
   *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors THRESHOLD 0.8")
   *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors WITH (n_cells = 32)")  // geometry evolution
+  *   spark.sql("ALTER VECTOR INDEX ann AUTORESIZE ON vectors MAX_CELL_ROWS 100000")  // shape-health auto rule
   *   spark.sql("VECTOR SEARCH ann ON vectors NEAREST (0.1, …) TOP 10 EXACT")     // brute-force-equal ranking
   *
   * A statement only binds to the warehouse when the named table has a
@@ -261,6 +262,12 @@ object GraftSqlParser {
     ("""(?is)^\s*ALTER\s+VECTOR\s+INDEX\s+([\w]+)\s+RETRAIN""" +
       """\s+ON\s+([\w]+)(?:\s+THRESHOLD\s+([0-9.]+))?""" +
       """(?:\s+WITH\s*\(([^)]*)\))?\s*;?\s*$""").r
+  // the geometry-drift auto rule from SQL (AnnIndex.autoResize):
+  // re-shape ONLY when a cell exceeds the row bound — the scheduled
+  // shape-health twin of THRESHOLD's recall gate
+  private val AutoResizeIdx =
+    ("""(?is)^\s*ALTER\s+VECTOR\s+INDEX\s+([\w]+)\s+AUTORESIZE""" +
+      """\s+ON\s+([\w]+)\s+MAX_CELL_ROWS\s+(\d+)\s*;?\s*$""").r
   // the decontamination gate's retirement lane: drop one benchmark
   // suite's digests from the stored gate (grams a live suite shares
   // survive through that suite's own rows)
@@ -883,6 +890,19 @@ object GraftSqlParser {
               Row("sample_queries", qids.size.toString),
               Row("top_k", tk.toString), Row("overquery", oq.toString),
               Row("n_probe", np.toString))
+          }
+        }
+      case AutoResizeIdx(idx, src, maxRows) =>
+        boundTable(session, src).map { wh =>
+          cmd(session, attrs("key" -> StringType,
+              "value" -> StringType)) { _ =>
+            val r = graft.operators.AnnIndex.autoResize(wh, idx,
+              wh.table(src), maxRows.toLong)
+            Seq(Row("resized", r.nonEmpty.toString)) ++
+              r.toSeq.flatMap { case (nc, n) =>
+                Seq(Row("n_cells", nc.toString),
+                  Row("vectors", n.toString))
+              }
           }
         }
       case RetrainIdx(idx, src, thr, withGeom) =>

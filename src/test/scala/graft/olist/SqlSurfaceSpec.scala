@@ -958,6 +958,41 @@ class SqlSurfaceSpec extends AnyFunSuite {
       .collect().length == 5)
   }
 
+  test("ALTER VECTOR INDEX … AUTORESIZE: the shape-health rule from SQL — healthy no-op, oversized cell re-shapes; DESCRIBE VECTOR INDEX reports cell stats") {
+    import graft.operators.AnnIndex
+    val emb = graft.Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val wh = new Warehouse(spark, tmp("sql_autoresize"))
+    wh.enableSql()
+    wh.save("vectors", emb)
+    AnnIndex.build(wh, "ann", wh.table("vectors"),
+      nCells = 4, m = 4, k = 8)
+    // healthy shape: no-op, reported as such
+    val noop = spark.sql(
+        "ALTER VECTOR INDEX ann AUTORESIZE ON vectors MAX_CELL_ROWS 1000")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(noop == Map("resized" -> "false"), noop.toString)
+    assert(AnnIndex.geometry(wh, "ann")._1 == 4)
+    // shape health is visible BEFORE the rule fires: 500 vectors over
+    // 4 cells — some cell must exceed the mean, and the max exceeds
+    // the 60-row bound the resize below uses
+    val desc = spark.sql("DESCRIBE VECTOR INDEX ann")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(desc("max_cell_rows").toLong > 60L, desc.toString)
+    assert(desc("mean_cell_rows").toDouble == 125.0, desc.toString)
+    // an oversized cell triggers the re-shape (same rule as
+    // AnnIndex.autoResize: mean cell lands at half the bound)
+    val grown = spark.sql(
+        "ALTER VECTOR INDEX ann AUTORESIZE ON vectors MAX_CELL_ROWS 60")
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(grown("resized") == "true", grown.toString)
+    assert(grown("n_cells").toInt > 4, grown.toString)
+    assert(grown("vectors") == "500", grown.toString)
+    assert(AnnIndex.geometry(wh, "ann")._1 == grown("n_cells").toInt)
+    // the re-shaped index still serves
+    assert(AnnIndex.query(wh, "ann", wh.table("vectors"), queryId = 0L)
+      .count() == 10)
+  }
+
   test("PIN TABLE / UNPIN TABLE / DESCRIBE PINS: the vacuum shield from SQL") {
     import spark.implicits._
     val wh = new Warehouse(spark, tmp("sql_pins"))
