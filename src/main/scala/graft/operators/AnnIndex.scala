@@ -39,7 +39,15 @@ import org.apache.spark.sql.functions._
   *                    shrinks — conservative, so the exact-search
   *                    bound below stays sound through any history)
   *   `<idx>_codebook` (sub, cid, c: array<double>)     m·k rows
-  *   `<idx>_codes`    (vec_id, cell, codes) partitioned by cell
+  *   `<idx>_codes`    (vec_id, cell, codes[, vec]) partitioned by
+  *                    cell — `vec` (the raw source embedding,
+  *                    verbatim) only when built with
+  *                    `storeVectors = true`: the IVF-flat trade that
+  *                    lets EXACT search read raw vectors cell-pruned
+  *                    instead of re-scanning the source (the ranking
+  *                    scan still reads only the one-byte codes —
+  *                    column pruning keeps the fat column unread
+  *                    there)
   *   `<idx>_meta`     (n_cells, m, k) — the index's geometry (the
   *                    [[DedupIndex]] `_meta` precedent): retrain /
   *                    maintain / any scheduled job reads the shape
@@ -92,6 +100,25 @@ object AnnIndex {
       .groupBy("cell")
       .agg(max(sqrt(l2sq(col("embedding"), col("c")))).as("radius"))
 
+  /** Attach the RAW source embedding (column `vec`, verbatim — the
+    * exact re-rank's arithmetic must be bit-identical whether the
+    * vector comes from the stored column or a source join) to encoded
+    * rows, when the index stores vectors. The join is delta-sized at
+    * refresh, corpus-sized at build — both one pass. */
+  private def withStoredVec(enc: DataFrame, source: DataFrame,
+      store: Boolean): DataFrame =
+    if (!store) enc
+    else enc.join(
+      source.dropDuplicates("vec_id")
+        .select(col("vec_id"), col("embedding").as("vec")),
+      "vec_id")
+
+  /** Whether `idx` stores raw member vectors ([[build]]'s
+    * `storeVectors`) — declared by the codes table itself, so legacy
+    * indexes and refresh/retrain derive it with no meta migration. */
+  def storesVectors(wh: Warehouse, idx: String): Boolean =
+    wh.table(s"${idx}_codes").columns.contains("vec")
+
   /** The coarse table's persisted shape: centroids + per-cell radius
     * (0.0 for a cell with no members yet). */
   private def coarseWithRadii(coarse: DataFrame,
@@ -103,9 +130,22 @@ object AnnIndex {
 
   /** Train both quantizers on one bounded deterministic sample of
     * `source` (vec_id, embedding), encode the corpus once, and persist
-    * all index tables. Returns the number of vectors indexed. */
+    * all index tables. Returns the number of vectors indexed.
+    *
+    * `storeVectors = true` additionally stores each member's RAW
+    * source embedding in the codes table (column `vec`) — the
+    * IVF-flat trade: rows grow by dim floats (the 32× PQ compression
+    * is kept for the RANKING scan; the raw column is only read by the
+    * exact re-rank), and in exchange EXACT search reads raw vectors
+    * CELL-PRUNED from the probed partitions instead of re-scanning
+    * the source corpus per query — at 100 TB that is the difference
+    * between O(probed cells) and O(corpus) I/O for every exact query.
+    * The column rides the codes rows through every lifecycle op
+    * (refresh append, remove's DV delete, OPTIMIZE's pack, retrainAs)
+    * for free — one table, no new maintenance surface. */
   def build(wh: Warehouse, idx: String, source: DataFrame,
-      nCells: Int = 8, m: Int = 8, k: Int = 16): Long = {
+      nCells: Int = 8, m: Int = 8, k: Int = 16,
+      storeVectors: Boolean = false): Long = {
     require(!source.isEmpty,
       "build: empty source — the codebooks train on data; bootstrap an " +
         "ANN index from its first real batch, not from nothing")
@@ -120,7 +160,9 @@ object AnnIndex {
     val codebook = pqTrain(sample, m = m, k = k, iters = 6)
       .localCheckpoint()
     wh.save(s"${idx}_codebook", codebook)
-    val codes = encode(unit, coarse, codebook, m, dimOf(unit))
+    val codes = withStoredVec(
+      encode(unit, coarse, codebook, m, dimOf(unit)),
+      source, storeVectors)
     wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
     // per-cell radii off the stored codes (one bounded agg pass —
     // build-time priced), persisted ON the coarse table so every
@@ -246,7 +288,10 @@ object AnnIndex {
                   .as("radius")))
           }
         }
-        wh.append(s"${idx}_codes", enc)
+        // a vector-storing index keeps its raw column through refresh
+        // (delta-sized join; the appended schema matches the stored one)
+        wh.append(s"${idx}_codes",
+          withStoredVec(enc, delta, storesVectors(wh, idx)))
         wh.countRows(s"${idx}_codes").getOrElse(before) - before
       } finally { enc.unpersist(); () }
     }
@@ -402,7 +447,10 @@ object AnnIndex {
       // on the coarse table — false only for a pre-radius legacy
       // index, until its next retrain)
       "exact_capable" -> wh.table(s"${idx}_coarse").columns
-        .contains("radius").toString) ++ {
+        .contains("radius").toString,
+      // whether exact search reads raw vectors cell-pruned from the
+      // codes table (the IVF-flat trade) or joins back to the source
+      "stores_vectors" -> storesVectors(wh, idx).toString) ++ {
       // shape health — the numbers a retention/maintenance decision
       // reads before scheduling [[autoResize]]: a max far above the
       // mean means ONE hot cell is dragging probe cost (re-shape or
@@ -668,7 +716,11 @@ object AnnIndex {
       .localCheckpoint()
     val codebook = pqTrain(sample, m = m, k = k, iters = 6)
       .localCheckpoint()
-    val codes = encode(unit, coarse, codebook, m, dimOf(unit))
+    // a vector-storing index STAYS one across a re-shape (derived from
+    // the table being replaced, read before the transaction swaps it)
+    val codes = withStoredVec(
+      encode(unit, coarse, codebook, m, dimOf(unit)),
+      live, storesVectors(wh, idx))
     val spark0 = source.sparkSession
     import spark0.implicits._
     wh.transaction(Seq(s"${idx}_coarse", s"${idx}_codebook",
@@ -1133,16 +1185,27 @@ object AnnIndex {
       // exact cosine over the probed prefix's (qualifying) members —
       // the honest price of exactness: float vectors of probed cells
       // are read, but ONLY probed cells (partition-pruned), and the
-      // loop widens best-first so most queries stop after a few
+      // loop widens best-first so most queries stop after a few.
+      // A vector-storing index ([[build]]'s storeVectors) reads the
+      // raw vectors FROM the probed partitions — zero source I/O for
+      // an unfiltered exact query (the scale path: O(probed cells),
+      // not O(corpus)); a codes-only index joins the probed ids back
+      // to the source. Both compute the SAME arithmetic on the SAME
+      // raw values — the stored column is the source embedding
+      // verbatim — so the ranking is bit-identical either way.
+      val stored = read(s"${idx}_codes").columns.contains("vec")
       def topAt(p: Int): Array[(Long, Double)] = {
         val probed = read(s"${idx}_codes")
           .filter(col("cell").isin(cells.take(p).map(_._1).toSeq: _*))
-          .select("vec_id")
+        val probedVecs =
+          if (stored) probed.select(col("vec_id"),
+            col("vec").as("embedding"))
+          else probed.select("vec_id")
         val admissible = allow match {
-          case Some(a) => probed.join(a, Seq("vec_id"), "left_semi")
-          case None => probed
+          case Some(a) => probedVecs.join(a, Seq("vec_id"), "left_semi")
+          case None => probedVecs
         }
-        source.join(admissible, "vec_id")
+        (if (stored) admissible else source.join(admissible, "vec_id"))
           .withColumn("qe", qlit)
           .select(col("vec_id"),
             round(VectorFunctions.dotExact(col("embedding"), col("qe")) /

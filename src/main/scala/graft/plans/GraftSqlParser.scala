@@ -753,11 +753,15 @@ object GraftSqlParser {
                       .getOrElse(graft.operators.ContamGate.DefaultSuite),
                     nFiles = opts.getOrElse("n_files", 4))
                 } else {
-                  only("n_cells", "m", "k")
+                  // store_vectors = 1: the IVF-flat trade — raw member
+                  // vectors ride the codes rows, so EXACT search reads
+                  // them cell-pruned instead of re-scanning the source
+                  only("n_cells", "m", "k", "store_vectors")
                   graft.operators.AnnIndex.build(wh, idx, wh.table(src),
                     nCells = opts.getOrElse("n_cells", 8),
                     m = opts.getOrElse("m", 8),
-                    k = opts.getOrElse("k", 16))
+                    k = opts.getOrElse("k", 16),
+                    storeVectors = opts.getOrElse("store_vectors", 0) != 0)
                 }
               Seq(Row("OK", n))
           }

@@ -1075,6 +1075,64 @@ class AnnIndexSpec extends AnyFunSuite {
       .toMap[String, String].apply("exact_capable") == "true")
   }
 
+  test("storeVectors: exact search reads raw vectors cell-pruned — bit-identical to the source-join path through build, refresh, remove and retrainAs") {
+    import graft.functions.VectorFunctions
+    val emb = clustered(nClusters = 6, per = 50, dim = 16,
+      jitter = 0.05, seed = 31).localCheckpoint()
+    val first = emb.filter(col("vec_id") < 200)
+    // twin indexes, same data + geometry (training is deterministic,
+    // so cells/codebooks agree): one stores raw vectors, one does not
+    val whV = new Warehouse(spark, tmp("ann_vecs"))
+    val whP = new Warehouse(spark, tmp("ann_plain"))
+    AnnIndex.build(whV, "ann", first, nCells = 6, m = 4, k = 8,
+      storeVectors = true)
+    AnnIndex.build(whP, "ann", first, nCells = 6, m = 4, k = 8)
+    assert(AnnIndex.storesVectors(whV, "ann"))
+    assert(!AnnIndex.storesVectors(whP, "ann"))
+    assert(AnnIndex.describe(whV, "ann")
+      .toMap[String, String].apply("stores_vectors") == "true")
+    val qRaw = emb.filter(col("vec_id") === 5L)
+      .select(col("embedding").cast("array<double>"))
+      .first().getSeq[Double](0)
+    def exactOf(wh: Warehouse, src: org.apache.spark.sql.DataFrame,
+        pred: Option[org.apache.spark.sql.Column] = None) =
+      AnnIndex.queryVecExact(wh, "ann", src, qRaw, topK = 10,
+        filter = pred)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    def brute(base: org.apache.spark.sql.DataFrame) =
+      base.withColumn("qe", array(qRaw.map(lit): _*))
+        .select(col("vec_id"),
+          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
+            (VectorFunctions.normExact(col("embedding")) *
+              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // the stored column is the source embedding VERBATIM, so the two
+    // read paths compute identical arithmetic — and both equal brute
+    assert(exactOf(whV, first) == brute(first))
+    assert(exactOf(whV, first) == exactOf(whP, first))
+    // filtered: the allowlist still comes from the source predicate
+    val pred = Some(col("vec_id") % 3 === 0)
+    assert(exactOf(whV, first, pred)
+      == exactOf(whP, first, pred))
+    // refresh carries the column (delta-sized join) and stays exact
+    assert(AnnIndex.refresh(whV, "ann", emb) == 100L)
+    assert(AnnIndex.storesVectors(whV, "ann"))
+    assert(exactOf(whV, emb) == brute(emb))
+    // remove: DV-deleted rows leave the exact result (the raw column
+    // rides the same rows)
+    val gone = exactOf(whV, emb).head._1
+    AnnIndex.remove(whV, "ann", Seq(gone))
+    assert(!exactOf(whV, emb).exists(_._1 == gone))
+    assert(exactOf(whV, emb)
+      == brute(emb.filter(col("vec_id") =!= gone)))
+    // retrainAs preserves the storing property across a re-shape
+    AnnIndex.retrainAs(whV, "ann", emb, nCells = 12, m = 4, k = 8)
+    assert(AnnIndex.storesVectors(whV, "ann"))
+    assert(exactOf(whV, emb)
+      == brute(emb.filter(col("vec_id") =!= gone)))
+  }
+
   test("beyond the byte: retrainAs across the 127-cell boundary — the single-literal argmin assigns cells bit-identically to a driver brute force; exact serving unchanged; geometry bounds refuse") {
     import graft.functions.VectorFunctions
     val wh = new Warehouse(spark, tmp("ann_big"))
