@@ -56,7 +56,7 @@ object Bench {
     // brute-force-equal ranking without a full probe) and the
     // geometry-evolution lifecycle (retrainAs 4 → 16 cells, full
     // probe through the re-shaped index)
-    "b19_exact_ann_wh", "b20_reshaped_ann_wh",
+    "b19_exact_ann_wh", "b20_reshaped_ann_wh", "b21_vec_exact_ann_wh",
     // metadata-only aggregate (manifest fold — near-zero read cost),
     // its plain-SQL Catalyst-rule twin, and phrase search from the
     // stored positional index

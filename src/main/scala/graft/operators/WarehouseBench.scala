@@ -677,6 +677,18 @@ object WarehouseBench {
         T.embeddings(s, d), queryId = 0L, topK = 10,
         filter = Some(col("vec_id") % 3 === 0), exact = true)),
 
+    // b21 — the STORED-VECTOR exact read path, hash-checked: a
+    // vector-storing index (build storeVectors + a refresh that must
+    // carry the raw column) serves EXACT from the probed partitions'
+    // OWN raw vectors — zero source I/O — and must still reproduce
+    // DuckDB's brute-force cosine bit-for-bit. A vec column dropped
+    // by refresh, a stale raw value, or a stored/source arithmetic
+    // drift goes red here (b19 cannot catch those: it reads the
+    // source).
+    Q("b21_vec_exact_ann_wh", Some(Similarity.exactCosineTopKSql()),
+      (s, d) => AnnIndex.query(vecAnnIndexed(s, d), "ann_v",
+        T.embeddings(s, d), queryId = 0L, topK = 10, exact = true)),
+
     // b20 — GEOMETRY EVOLUTION, hash-checked end-to-end (b18's trick
     // on the re-shape lifecycle): build SMALL (4 cells on a quarter of
     // the corpus), refresh to full, remove, then retrainAs to 16 cells
@@ -829,6 +841,21 @@ object WarehouseBench {
   private def annIndexed(s: SparkSession, d: String): Warehouse =
     memoized(annCache, "graft_annbench")(
       w => AnnIndex.build(w, "ann_b", T.embeddings(s, d)))(s, d)
+
+  private val vecAnnCache = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), Warehouse]
+
+  /** b21's vector-storing index: built on half the corpus, refreshed
+    * to full — the refresh leg is the point (it must CARRY the raw
+    * column, not just build-time writes). */
+  private def vecAnnIndexed(s: SparkSession, d: String): Warehouse =
+    memoized(vecAnnCache, "graft_vecannbench") { w =>
+      val emb = T.embeddings(s, d)
+      AnnIndex.build(w, "ann_v", emb.filter(col("vec_id") % 2 === 0),
+        storeVectors = true)
+      AnnIndex.refresh(w, "ann_v", emb)
+      ()
+    }(s, d)
 
   /** b18's removed vector ids — present at every testdata sf, indexed
     * in the final (r = 3) refresh like b17's docs (3 % 4 = 7 % 4 = 3);
