@@ -1480,10 +1480,13 @@ object AnnIndex {
         .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= oq)
         .select("query_id", "vec_id")
     }
-    val cands = filter match {
+    val (cands, probedAll) = filter match {
       case None =>
-        candsFor(qvs.map { case (qid, _) =>
-          qid -> rankedById(qid).take(math.min(nProbe, nCells)) }, None)
+        val pn = math.min(nProbe, nCells)
+        (candsFor(qvs.map { case (qid, _) =>
+          qid -> rankedById(qid).take(pn) }, None),
+          qvs.flatMap { case (qid, _) => rankedById(qid).take(pn) }
+            .distinct)
       case Some(pred) =>
         // AUTO-WIDEN per query: the materialized cut's per-query row
         // count IS the fill check (≥ topK rows ⇔ the probed allowlist
@@ -1523,13 +1526,27 @@ object AnnIndex {
                 .localCheckpoint())
           }
         } finally { allow.foreach(_.unpersist()); () }
-        settled.reduce(_ union _)
+        (settled.reduce(_ union _),
+          qvs.flatMap { case (qid, _) =>
+            rankedById(qid).take(probeN(qid)) }.distinct)
     }
     // exact re-rank: ≤ |queries|·oq candidate vectors, query vectors
-    // broadcast — the same round-12 cosine as query()
+    // broadcast — the same round-12 cosine as query(). A
+    // vector-storing index reads the candidates' raw vectors from the
+    // PROBED partitions (every candidate came from one), so the whole
+    // batch serves from the index alone — the source corpus is not
+    // scanned at all on the unfiltered path (a plain index broadcasts
+    // the bounded candidate set against a full source scan instead).
+    // Same raw values either way — the ranking is bit-identical.
+    val vecSrc =
+      if (read(s"${idx}_codes").columns.contains("vec"))
+        read(s"${idx}_codes")
+          .filter(col("cell").isin(probedAll: _*))
+          .select(col("vec_id"), col("vec").as("embedding"))
+      else source
     val wFinal = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    source.join(broadcast(cands), "vec_id")
+    vecSrc.join(broadcast(cands), "vec_id")
       .join(broadcast(qvecs), "query_id")
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.dotExact(col("embedding"), col("qe")) /

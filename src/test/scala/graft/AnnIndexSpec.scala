@@ -1115,6 +1115,18 @@ class AnnIndexSpec extends AnyFunSuite {
     val pred = Some(col("vec_id") % 3 === 0)
     assert(exactOf(whV, first, pred)
       == exactOf(whP, first, pred))
+    // the APPROXIMATE batch path also serves from the index alone on
+    // a vector-storing index (candidates' raw vectors come from the
+    // probed partitions, not a source scan) — bit-identical to the
+    // plain twin's source-join re-rank, filtered and unfiltered
+    def batchOf(wh: Warehouse,
+        pred: Option[org.apache.spark.sql.Column]) =
+      AnnIndex.queryVecBatch(wh, "ann", first,
+        Seq((0L, qRaw), (1L, qRaw.map(-_))), topK = 5, filter = pred)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSeq
+    assert(batchOf(whV, None) == batchOf(whP, None))
+    assert(batchOf(whV, pred) == batchOf(whP, pred))
     // refresh carries the column (delta-sized join) and stays exact
     assert(AnnIndex.refresh(whV, "ann", emb) == 100L)
     assert(AnnIndex.storesVectors(whV, "ann"))
