@@ -3871,6 +3871,278 @@ class Warehouse(val spark: SparkSession, basePath: String,
     tableAt(name, at)
   }
 
+  /** Read-only consistency audit — the warehouse fsck. Every other
+    * observability surface reports what the system DID (history, the
+    * ingest/maintenance ledgers, DESCRIBE PINS); this one asks whether
+    * what is on disk still MATCHES what the log claims, so corruption
+    * is a finding on a report instead of a FileNotFound (or a silently
+    * short count) in some later query. Checks, each one row per
+    * finding plus an `ok` summary row when a category is clean:
+    *
+    *  - `log_chain`: every retained version still reconstructs from
+    *    its delta/checkpoint records (a reaped or unparsable record is
+    *    per-version `error`);
+    *  - `data_files` / `dv_sidecars`: every file (and deletion-vector
+    *    sidecar) named by the HEAD snapshot and by every live pinned
+    *    version exists on the filesystem — the versions a reader can
+    *    actually be serving from right now;
+    *  - `orphan_files`: files under the table directory that NO
+    *    retained version, clone, pin, or pending transaction tail
+    *    references (`warn` — crashed-write debris; vacuum ignores
+    *    untracked files, so they persist until noticed);
+    *  - `pins`: a pin naming a no-longer-retained version is `error`
+    *    (the held cut is already unreadable); an expired lease is
+    *    `warn` (the next vacuum sweeps it);
+    *  - with `deep = true`, two Spark jobs verify CONTENT against the
+    *    manifest's own bookkeeping: each head data file's physical row
+    *    count against its recorded `__rows` stat (a swapped or
+    *    truncated file fails even though it exists), and each DV
+    *    sidecar's per-file position count against the manifest's
+    *    `DvRef.rows` (parquet/orc only — csv/json counts are not
+    *    self-describing enough to assert bit-certainty).
+    *
+    * Returns (check, status ok|warn|error, subject, detail), errors
+    * first. Read-only: commits nothing, never mutates the log.
+    * `graceMs` bounds the orphan check the way vacuum's grace bounds
+    * its sweep: a writer renames staged files into the table directory
+    * moments before its manifest commit, so an audit racing live
+    * writers should ignore files younger than the stage-to-commit gap
+    * (`lockStaleMs` is the same sound default); zero suits a quiesced
+    * table. SQL: `AUDIT TABLE t [DEEP]`. */
+  def audit(name: String, deep: Boolean = false,
+      graceMs: Long = 0L): DataFrame = {
+    require(database.isEmpty, "audit applies to path-mode tables only")
+    import spark.implicits._
+    val fs = metaFs
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    def ok(check: String, detail: String): Unit =
+      out += ((check, "ok", "", detail))
+    def warnF(check: String, subject: String, detail: String): Unit =
+      out += ((check, "warn", subject, detail))
+    def errF(check: String, subject: String, detail: String): Unit =
+      out += ((check, "error", subject, detail))
+    val versions = tableVersions(name)
+    if (versions.isEmpty)
+      errF("log_chain", name, "no committed snapshot")
+    else {
+      // 1. the log chain: every retained version reconstructs
+      var chainBad = 0
+      val states = versions.flatMap { v =>
+        try Some(v -> stateAt(name, v)._1)
+        catch {
+          case scala.util.control.NonFatal(e) =>
+            chainBad += 1
+            errF("log_chain", s"v$v",
+              s"version does not reconstruct: ${e.getMessage}")
+            None
+        }
+      }.toMap
+      if (chainBad == 0)
+        ok("log_chain", s"${versions.length} retained versions reconstruct")
+      val head = versions.last
+      val now = System.currentTimeMillis
+      val pins = pinDetails(name)
+      // 2. existence, on the versions a reader can be serving from NOW:
+      // the head plus every live pinned cut
+      val auditVs = (Seq(head) ++ pins.filterNot(_.expired(now))
+        .map(_.version).filter(states.contains)).distinct.sorted
+      var missing = 0
+      auditVs.foreach { v =>
+        states.get(v).toSeq.flatten.foreach { f =>
+          if (!fs.exists(qualifiedPath(
+            s"$basePath/${normalizedRel(name, f.path)}"))) {
+            missing += 1
+            errF("data_files", s"v$v:${f.path}",
+              "manifest references a missing data file")
+          }
+          f.dv.foreach { d =>
+            if (!fs.exists(qualifiedPath(
+              s"$basePath/${normalizedRel(name, d.path)}"))) {
+              missing += 1
+              errF("dv_sidecars", s"v$v:${d.path}",
+                "manifest references a missing deletion-vector sidecar")
+            }
+          }
+        }
+      }
+      if (missing == 0)
+        ok("data_files", s"every file of ${auditVs.length} audited " +
+          "versions (head + live pins) exists")
+      // 3. orphans: under the table dir but in NO retained version's
+      // keep set (the union vacuum itself preserves — so these are
+      // files vacuum would never delete AND no reader can reach)
+      val keep = vacuumKeepSet(name, versions,
+        vacuumKeptVersions(name, versions, versions.length))
+      val root = qualifiedPath(s"$basePath/$name")
+      var orphans = 0
+      if (fs.exists(root)) {
+        val cutoff = now - graceMs
+        val it = fs.listFiles(root, true)
+        while (it.hasNext) {
+          val st = it.next()
+          val f = st.getPath
+          val rel = relativeTo(root, f)
+          if (!keep.contains(rel) && !f.getName.startsWith("_") &&
+            !f.getName.startsWith(".") &&
+            (graceMs <= 0 || st.getModificationTime < cutoff)) {
+            orphans += 1
+            warnF("orphan_files", rel,
+              "file is referenced by no retained version, clone, pin " +
+                "or pending transaction — crashed-write debris")
+          }
+        }
+      }
+      if (orphans == 0)
+        ok("orphan_files", "no untracked files under the table directory")
+      // 4. pins
+      var pinBad = 0
+      pins.foreach { p =>
+        if (!versions.contains(p.version)) {
+          pinBad += 1
+          errF("pins", p.holder, s"pin names version ${p.version}, " +
+            "which is no longer retained — the held cut is unreadable")
+        } else if (p.expired(now)) {
+          pinBad += 1
+          warnF("pins", p.holder, s"lease expired (pinned at " +
+            s"${p.pinnedAtMs.getOrElse(0L)}, lease ${p.leaseMs.getOrElse(0L)} ms) " +
+            "— the next vacuum sweeps it")
+        }
+      }
+      if (pinBad == 0)
+        ok("pins", if (pins.isEmpty) "no pins registered"
+        else s"${pins.length} pins name retained versions, no expired leases")
+      // 5. deep content checks (self-describing formats only)
+      if (deep && !Seq("parquet", "orc").contains(format))
+        warnF("row_stats", format,
+          "deep content checks need a self-describing format " +
+            "(parquet/orc) — skipped")
+      else if (deep) {
+        // an audit must read the DISK, not a cached listing: a file
+        // swapped behind the manifest's back changes size, and a stale
+        // FileStatus would turn the count check into a read crash
+        spark.catalog.refreshByPath(s"$basePath/$name")
+        def msgOf(e: Throwable): String =
+          Option(e.getMessage).getOrElse(e.toString).take(200)
+        val headFiles = states.getOrElse(head, Nil)
+        val withRows = headFiles.filter(_.stats.contains(RowsKey))
+        val skipped = headFiles.length - withRows.length
+        if (skipped > 0)
+          warnF("row_stats", s"$skipped files",
+            "no per-file row stat recorded (pre-stats files) — count " +
+              "check skipped for them")
+        if (withRows.nonEmpty) {
+          val cands = withRows.map(_.path)
+          def uriOf(f: Warehouse.DataFile) = qualifiedPath(
+            s"$basePath/${normalizedRel(name, f.path)}").toString
+          var bad = 0
+          val unreadable = scala.collection.mutable.Set.empty[String]
+          // one fused job over every head file; a single corrupt
+          // footer fails it, so the fallback re-reads per file and
+          // makes the CULPRIT the finding (paid only on an incident)
+          val actual: Map[String, Long] =
+            try spark.read.format(format).load(withRows.map(uriOf): _*)
+              .groupBy(input_file_name().as("f")).count()
+              .collect().flatMap(r =>
+                manifestPathOf(name, cands, r.getString(0))
+                  .map(_ -> r.getLong(1))).toMap
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                withRows.flatMap { f =>
+                  try Some(f.path ->
+                    spark.read.format(format).load(uriOf(f)).count())
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      bad += 1
+                      unreadable += f.path
+                      errF("row_stats", f.path,
+                        s"file unreadable: ${msgOf(e)}")
+                      None
+                  }
+                }.toMap
+            }
+          withRows.filterNot(f => unreadable.contains(f.path)).foreach { f =>
+            f.stats(RowsKey)._1.toLongOption match {
+              case None =>
+                bad += 1
+                errF("row_stats", f.path,
+                  s"unparsable row stat '${f.stats(RowsKey)._1}'")
+              case Some(recorded) =>
+                val phys = actual.getOrElse(f.path, 0L)
+                if (phys != recorded) {
+                  bad += 1
+                  errF("row_stats", f.path,
+                    s"manifest records $recorded rows, file holds $phys")
+                }
+            }
+          }
+          if (bad == 0)
+            ok("row_stats",
+              s"${withRows.length} files match their recorded row counts")
+        }
+        val dvFiles = headFiles.filter(_.dv.isDefined)
+        if (dvFiles.nonEmpty) {
+          // the count is scoped to each data file's OWN sidecar: a
+          // superseded sidecar another file still references can hold
+          // STALE rows for this file (writeDv carries positions
+          // forward), so a count fused across all sidecars would
+          // overcount — input_file_name keys each row to its sidecar
+          def sidecarUri(rel: String): String = qualifiedPath(
+            s"$basePath/${normalizedRel(name, rel)}").toUri.getPath
+          val sidecars = dvFiles.map(f => sidecarUri(f.dv.get.path))
+            .distinct.filter(p =>
+              fs.exists(new org.apache.hadoop.fs.Path(p)))
+          val badSidecars = scala.collection.mutable.Set.empty[String]
+          def countsOf(paths: Seq[String]): Map[(String, String), Long] =
+            spark.read.schema(DvSchema).parquet(paths: _*)
+              .groupBy(input_file_name().as("sc"), col("file")).count()
+              .collect().map { r =>
+                (new org.apache.hadoop.fs.Path(r.getString(0))
+                  .toUri.getPath, r.getString(1)) -> r.getLong(2)
+              }.toMap
+          var bad = 0
+          val counts: Map[(String, String), Long] =
+            if (sidecars.isEmpty) Map.empty
+            else try countsOf(sidecars)
+            catch {
+              case scala.util.control.NonFatal(_) =>
+                // same incident fallback: isolate the unreadable
+                // sidecar(s), keep auditing the rest
+                sidecars.flatMap { p =>
+                  try countsOf(Seq(p)).toSeq
+                  catch {
+                    case scala.util.control.NonFatal(e) =>
+                      bad += 1
+                      badSidecars += p
+                      errF("dv_rows", p,
+                        s"sidecar unreadable: ${msgOf(e)}")
+                      Nil
+                  }
+                }.toMap
+            }
+          dvFiles
+            .filterNot(f => badSidecars.contains(sidecarUri(f.dv.get.path)))
+            .foreach { f =>
+              val actual = counts.getOrElse(
+                (sidecarUri(f.dv.get.path), normalizedRel(name, f.path)), 0L)
+              if (actual != f.dv.get.rows) {
+                bad += 1
+                errF("dv_rows", f.path,
+                  s"manifest records ${f.dv.get.rows} deleted positions, " +
+                    s"sidecar holds $actual")
+              }
+            }
+          if (bad == 0)
+            ok("dv_rows", s"${dvFiles.length} DV-carrying files match " +
+              "their recorded position counts")
+        }
+      }
+    }
+    val sev = Map("error" -> 0, "warn" -> 1, "ok" -> 2)
+    out.sortBy(r => (sev(r._2), r._1, r._3)).toSeq
+      .toDF("check", "status", "subject", "detail")
+  }
+
   /** What [[vacuum]] would delete, without deleting it: the
     * table-dir-relative data files outside every kept snapshot (and
     * past the grace window) plus the log records below the retention

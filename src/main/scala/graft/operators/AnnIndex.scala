@@ -189,10 +189,13 @@ object AnnIndex {
     * value, still a shuffle-free projection): the √N rule puts a
     * 1 B-vector corpus at tens of thousands of cells, and freezing
     * nCells at a byte would make every cell corpus-proportional. The
-    * 65 536 bound keeps the coarse table driver-collectable (probe
-    * ranking, exact-search bounds and the widening loop all argsort
-    * nCells rows of dim doubles on the driver — 65 536 × 1 024 dims ×
-    * 8 B ≈ 0.5 GB, the ceiling of comfortable). */
+    * 65 536 bound keeps the per-query cell ranking driver-sortable:
+    * every serving path computes centroid distances IN SPARK (the
+    * l2sq column) and collects only per-cell SCALARS — (cid, d2) for
+    * the probes, (cid, bound) for exact search — so the driver cost
+    * is nCells × ~16 B per query regardless of embedding dimension
+    * (65 536 cells ≈ 1 MB); the centroid VECTORS reach the driver
+    * only on the write path (encode literals). */
   private def requireGeometry(idx: String, nCells: Int, m: Int,
       k: Int): Unit = {
     require(nCells >= 1 && nCells <= 65536,
@@ -465,6 +468,128 @@ object AnnIndex {
         "max_cell_rows" -> agg.getLong(0).toString,
         "mean_cell_rows" -> f"${agg.getDouble(1)}%.1f")
     }
+  }
+
+  /** Read-only index consistency audit — [[Warehouse.audit]]'s
+    * index-family twin ([[describe]] reports shape HEALTH; this
+    * asserts the INVARIANTS a correct index can never break, so a
+    * maintenance bug or a hand-edited table surfaces as a finding,
+    * not as a wrong top-k). One consistent snapshot cut across all
+    * index tables; every check is a bounded scan of skinny index
+    * columns (ids, cells, sizes) — no raw vectors are ranked:
+    *
+    *  - `geometry`: the recorded (nCells, m, k) match the actual
+    *    coarse row count and the codebook's (sub, cid) extent;
+    *  - `codes_shape`: every code array is exactly m bytes, and every
+    *    cell id resolves to a coarse centroid (an unknown cell is a
+    *    row no probe can ever reach);
+    *  - `tombstones`: codes ∩ gone = ∅ — [[removeBody]] deletes the
+    *    rows and [[refresh]] anti-joins the guard, so an id on both
+    *    sides means a REMOVED vector is being served;
+    *  - `radii`: per-cell exact-search bounds are present and
+    *    non-negative (a negative bound would break the best-first
+    *    stop rule's soundness);
+    *  - `stored_vectors`: on a vector-storing index, every stored raw
+    *    vector is non-null with the index dimension (exact serving
+    *    reads these verbatim — a short vector is a wrong cosine).
+    *
+    * Returns (check, status ok|error, subject, detail), errors first.
+    * SQL: `AUDIT VECTOR INDEX idx`. */
+  def audit(wh: Warehouse, idx: String): DataFrame = {
+    val names = (servingTables(idx) :+ s"${idx}_gone") ++
+      (if (wh.hasTable(s"${idx}_meta")) Seq(s"${idx}_meta") else Nil)
+    val snap = wh.snapshotTables(names)
+    val read: String => DataFrame = snap(_)
+    val spark = read(s"${idx}_codes").sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    def ok(check: String, detail: String): Unit =
+      out += ((check, "ok", "", detail))
+    def errF(check: String, subject: String, detail: String): Unit =
+      out += ((check, "error", subject, detail))
+    val (nCells, m, k) = geometry(wh, idx)
+    // 1. geometry vs actuals
+    val coarseN = read(s"${idx}_coarse").count()
+    val cb = read(s"${idx}_codebook")
+      .groupBy("sub").agg(countDistinct(col("cid")).as("kk"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    var geoBad = 0
+    if (coarseN != nCells) {
+      geoBad += 1
+      errF("geometry", "coarse",
+        s"recorded n_cells = $nCells, coarse table holds $coarseN")
+    }
+    if (cb.keySet != (0 until m).toSet) {
+      geoBad += 1
+      errF("geometry", "codebook",
+        s"recorded m = $m, codebook holds subspaces ${cb.keySet.toSeq.sorted}")
+    }
+    cb.filter(_._2 != k).foreach { case (sub, kk) =>
+      geoBad += 1
+      errF("geometry", s"sub=$sub",
+        s"recorded k = $k, codebook holds $kk centroids")
+    }
+    if (geoBad == 0)
+      ok("geometry", s"($nCells cells, m=$m, k=$k) matches the " +
+        "coarse and codebook tables")
+    // 2. codes shape + cell resolution (two skinny aggregates)
+    val codes = read(s"${idx}_codes")
+    val shp = codes.agg(count(lit(1)), min(size(col("codes"))),
+      max(size(col("codes")))).first()
+    val nCodes = shp.getLong(0)
+    var shapeBad = 0
+    if (nCodes > 0 && (shp.getInt(1) != m || shp.getInt(2) != m)) {
+      shapeBad += 1
+      errF("codes_shape", "codes",
+        s"code arrays span ${shp.getInt(1)}..${shp.getInt(2)} bytes, " +
+          s"geometry says $m")
+    }
+    val unknownCells = codes.select("cell").distinct()
+      .join(read(s"${idx}_coarse").select(col("cid").as("cell")),
+        Seq("cell"), "left_anti").count()
+    if (unknownCells > 0) {
+      shapeBad += 1
+      errF("codes_shape", "cells",
+        s"$unknownCells cell ids resolve to no coarse centroid — " +
+          "those rows are unreachable by any probe")
+    }
+    if (shapeBad == 0)
+      ok("codes_shape", s"$nCodes code rows are $m bytes in known cells")
+    // 3. the tombstone invariant
+    val served = codes.select("vec_id")
+      .join(read(s"${idx}_gone"), Seq("vec_id"), "left_semi").count()
+    if (served > 0)
+      errF("tombstones", "codes",
+        s"$served removed ids still hold code rows — removed vectors " +
+          "would be served")
+    else ok("tombstones", "no removed id holds a code row")
+    // 4. exact-search bounds
+    if (read(s"${idx}_coarse").columns.contains("radius")) {
+      val badR = read(s"${idx}_coarse")
+        .filter(col("radius").isNull || col("radius") < 0.0).count()
+      if (badR > 0)
+        errF("radii", "coarse",
+          s"$badR cells carry a null or negative radius — the exact " +
+            "stop bound is unsound there")
+      else ok("radii", "every cell carries a non-negative radius")
+    }
+    // 5. stored raw vectors
+    if (codes.columns.contains("vec")) {
+      val dsub = read(s"${idx}_codebook")
+        .select(size(col("c"))).first().getInt(0)
+      val dim = m * dsub
+      val badV = codes.filter(col("vec").isNull ||
+        size(col("vec")) =!= dim).count()
+      if (badV > 0)
+        errF("stored_vectors", "codes",
+          s"$badV stored vectors are null or not $dim-dimensional")
+      else ok("stored_vectors",
+        s"$nCodes stored vectors carry the index dimension ($dim)")
+    }
+    val sev = Map("error" -> 0, "ok" -> 1)
+    out.sortBy(r => (sev(r._2), r._1, r._3)).toSeq
+      .toDF("check", "status", "subject", "detail")
   }
 
   /** MAINTENANCE — this index's OPTIMIZE: every [[refresh]] appends
@@ -1159,24 +1284,30 @@ object AnnIndex {
       s"exact search: index '$idx' has no per-cell radii (built before " +
         "the radius column) — retrain it (ALTER VECTOR INDEX … " +
         "RETRAIN) to enable EXACT mode")
-    def l2sqD(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
-      while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
-      s
-    }
+    val qlit = array(q.toSeq.map(lit): _*)
     // (cid, lower bound) best-first: no member of a cell can sit
     // closer to q than dist(q, centroid) − radius — all unit vectors,
-    // L2 is a metric, the standard IVF bound
-    val cells = coarse.select("cid", "c", "radius").collect().map { r =>
-      val c = r.getAs[scala.collection.Seq[Double]]("c").toArray
-      require(c.length == q.length,
+    // L2 is a metric, the standard IVF bound. The distance arithmetic
+    // runs IN SPARK through the same l2sq column the probe ranking
+    // uses (left-fold aggregate — identical IEEE operation order to
+    // the old driver loop, so bounds are bit-equal) and the collect
+    // ships only per-cell SCALARS: the driver cost of exact serving is
+    // nCells × 16 B regardless of vector dimension, not nCells × dim
+    // doubles. The max(0, ·) clamp stays on the driver (math.max, the
+    // original arithmetic) so a −0.0 from Spark's greatest can never
+    // perturb the (bound, cid) sort.
+    val cellRows = coarse.select(col("cid"),
+        (sqrt(l2sq(qlit, col("c"))) - col("radius")).as("rawBound"),
+        size(col("c")).as("cdim")).collect()
+    cellRows.foreach { r =>
+      require(r.getAs[Int]("cdim") == q.length,
         s"exact search: query dimension ${q.length} != index " +
-          s"dimension ${c.length}")
-      (r.getAs[Int]("cid"),
-        math.max(0.0, math.sqrt(l2sqD(q, c)) - r.getAs[Double]("radius")))
-    }.sortBy { case (cid, b) => (b, cid) }
+          s"dimension ${r.getAs[Int]("cdim")}")
+    }
+    val cells = cellRows.map(r => (r.getAs[Int]("cid"),
+        math.max(0.0, r.getAs[Double]("rawBound"))))
+      .sortBy { case (cid, b) => (b, cid) }
     val nCells = cells.length
-    val qlit = array(q.toSeq.map(lit): _*)
     // filtered exact: the allowlist materializes ONCE (ids only), like
     // the widening probe's
     val allow = filter.map(pred =>
@@ -1388,16 +1519,14 @@ object AnnIndex {
         "probe answers nothing and the widening loop needs a seed")
     val spark = source.sparkSession
     import spark.implicits._
-    // driver-side sequential-fold L2 — the same IEEE operation order as
-    // the l2sq Column (zip_with + left-fold aggregate), so the probed
-    // cells and ADC tables below are bit-identical to query()'s
+    // driver-side sequential-fold L2 for the ADC tables — the same
+    // IEEE operation order as the l2sq Column (zip_with + left-fold
+    // aggregate), so the tables are bit-identical to pqRank's
     def l2sqD(a: Array[Double], b: Array[Double]): Double = {
       var s = 0.0; var i = 0
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val coarseC = collectCents(read(s"${idx}_coarse"))
-      .map { case (_, cid, c) => (cid, c.toArray) }
     val cbRows = collectCents(read(s"${idx}_codebook"))
     val m = cbRows.map(_._1).max + 1
     val k = cbRows.map(_._2).distinct.length
@@ -1407,33 +1536,49 @@ object AnnIndex {
         s"query $qid: vector dimension ${q.length} != index dimension " +
           s"${m * dsub}")
     }
-    // per query: the FULL best-first cell ranking (tie-break (d2, cid)
+    // per query, the FULL best-first cell ranking (tie-break (d2, cid)
     // — query()'s orderBy; nProbe takes its prefix, auto-widening a
-    // longer one) and the m·k ADC distance table
-    val qrows: Seq[(Long, Seq[Int], Seq[Double], Seq[Double])] =
+    // longer one), computed IN SPARK: one bounded job broadcasts the
+    // query vectors against the coarse table and scores them through
+    // the SAME l2sq column the single-query probe ranks with — the d2
+    // doubles, and with them the cell order, are bit-identical to
+    // query()'s by construction. The collect ships only |Q| · nCells
+    // (query_id, cid, d2) SCALAR rows: the batch path's driver bound
+    // no longer carries the centroid vectors, so it is independent of
+    // the embedding dimension.
+    val qset = qvs.toMap.toSeq
+    val qframe = qset.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qv")
+    val rankedById: Map[Long, Seq[Int]] =
+      read(s"${idx}_coarse").select(col("cid"), col("c"))
+        .crossJoin(broadcast(qframe))
+        .select(col("query_id"), col("cid"),
+          l2sq(col("qv"), col("c")).as("d2"))
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+        .groupBy(_._1)
+        .map { case (qid, rs) =>
+          qid -> rs.sortBy(t => (t._3, t._2)).map(_._2).toSeq }
+    val nCells = rankedById.headOption.map(_._2.length).getOrElse(0)
+    // the m·k ADC distance table per query (k·m scalars — bounded)
+    val qrows: Seq[(Long, Seq[Double], Seq[Double])] =
       qvs.map { case (qid, q) =>
-        val ranked = coarseC
-          .map { case (cid, c) => (l2sqD(q, c), cid) }
-          .sortBy { case (d2, cid) => (d2, cid) }
-          .map(_._2).toSeq
         val flat = Array.fill(m * k)(Double.MaxValue)
         cbRows.foreach { case (s0, cid, c) =>
           flat(s0 * k + cid) = l2sqD(
             java.util.Arrays.copyOfRange(q, s0 * dsub, (s0 + 1) * dsub),
             c.toArray)
         }
-        (qid, ranked, flat.toSeq, q.toSeq)
+        (qid, flat.toSeq, q.toSeq)
       }
-    val nCells = coarseC.length
-    val rankedById = qrows.map(r => r._1 -> r._2).toMap
     // each query's m·k ADC table broadcasts ONCE keyed by query_id —
     // not once per probed cell (nProbe× the bytes for nothing; at
     // service-scale batches the duplicated form needlessly approaches
     // broadcast limits). The query vectors ride a second skinny frame
     // for the re-rank join.
-    val qtbls = qrows.map { case (qid, _, tbl, _) => (qid, tbl) }
+    val qtbls = qrows.map { case (qid, tbl, _) => (qid, tbl) }
       .toDF("query_id", "tbl")
-    val qvecs = qrows.map { case (qid, _, _, q) => (qid, q) }
+    val qvecs = qrows.map { case (qid, _, q) => (qid, q) }
       .toDF("query_id", "qe")
     import org.apache.spark.sql.expressions.Window
     val oq = overquery * topK

@@ -315,6 +315,123 @@ object TextIndex {
       "tombstones" -> rows(s"${idx}_gone"))
   }
 
+  /** Read-only index consistency audit — [[AnnIndex.audit]]'s sparse
+    * twin. BM25 carries NO trained state: every derived table is an
+    * exact function of the postings, so unlike the ANN audit (whose
+    * recall is a drift metric, not an invariant) every check here is a
+    * hard equality — a failed row means maintenance corrupted the
+    * index, full stop. One consistent snapshot cut; every check is a
+    * skinny aggregate (terms, ids, counts — no text, no pos arrays
+    * beyond their length):
+    *
+    *  - `tombstones`: postings ∩ gone = ∅ ([[remove]] DV-deletes the
+    *    rows and [[refresh]] anti-joins the guard);
+    *  - `membership`: postings docs ≡ doclen docs, the denormalized
+    *    per-posting `dl` agrees with the membership row, Σtf per doc
+    *    equals its dl (every token is in exactly one posting), and
+    *    each posting's position array is exactly tf long;
+    *  - `stats`: the one-row (n, sum_dl) equals the membership
+    *    table's count and sum — the BM25 normalization inputs;
+    *  - `df_segments`: each term's folded additive df equals its
+    *    actual distinct-document count in the postings.
+    *
+    * Returns (check, status ok|error, subject, detail), errors first.
+    * SQL: `AUDIT SEARCH INDEX idx`. */
+  def audit(wh: Warehouse, idx: String): DataFrame = {
+    val snap = wh.snapshotTables(tables(idx))
+    val read: String => DataFrame = snap(_)
+    val spark = read(s"${idx}_postings").sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    def ok(check: String, detail: String): Unit =
+      out += ((check, "ok", "", detail))
+    def errF(check: String, subject: String, detail: String): Unit =
+      out += ((check, "error", subject, detail))
+    val postings = read(s"${idx}_postings")
+    val doclen = read(s"${idx}_doclen")
+    // 1. the tombstone invariant
+    val served = postings.select("doc_id").distinct()
+      .join(read(s"${idx}_gone"), Seq("doc_id"), "left_semi").count()
+    if (served > 0)
+      errF("tombstones", "postings",
+        s"$served removed docs still hold postings — removed documents " +
+          "would be served")
+    else ok("tombstones", "no removed doc holds a posting")
+    // 2. membership + denormalization, one aggregate over the join
+    val perDoc = postings.groupBy("doc_id").agg(
+      sum(col("tf")).as("tf_sum"),
+      min(col("dl")).as("dl_min"), max(col("dl")).as("dl_max"),
+      sum(when(size(col("pos")) =!= col("tf"), 1L).otherwise(0L))
+        .as("bad_pos"))
+    val j = perDoc.join(doclen.withColumnRenamed("dl", "mdl"),
+      Seq("doc_id"), "full_outer")
+    // every sum coalesces: an EMPTY index must audit clean, not NPE
+    val agg = j.agg(
+      coalesce(sum(when(col("mdl").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("tf_sum").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("tf_sum").isNotNull && col("mdl").isNotNull &&
+        (col("dl_min") =!= col("mdl") || col("dl_max") =!= col("mdl") ||
+          col("tf_sum") =!= col("mdl")), 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(coalesce(col("bad_pos"), lit(0L))), lit(0L)),
+      count(lit(1))).first()
+    val (noMember, noPostings, dlBad, posBad) =
+      (agg.getLong(0), agg.getLong(1), agg.getLong(2), agg.getLong(3))
+    if (noMember > 0)
+      errF("membership", "doclen",
+        s"$noMember docs hold postings but no membership row")
+    if (noPostings > 0)
+      errF("membership", "postings",
+        s"$noPostings membership rows have no postings")
+    if (dlBad > 0)
+      errF("membership", "dl",
+        s"$dlBad docs disagree between their denormalized dl, their " +
+          "membership dl, or their Σtf")
+    if (posBad > 0)
+      errF("membership", "pos",
+        s"$posBad postings carry a position array shorter or longer " +
+          "than their tf")
+    if (noMember + noPostings + dlBad + posBad == 0)
+      ok("membership", s"${agg.getLong(4)} docs consistent across " +
+        "postings, membership, and positions")
+    // 3. the one-row stats
+    val st = read(s"${idx}_stats").first()
+    val dlAgg = doclen.agg(count(lit(1)),
+      coalesce(sum(col("dl")), lit(0L))).first()
+    var statsBad = 0
+    if (st.getLong(0) != dlAgg.getLong(0)) {
+      statsBad += 1
+      errF("stats", "n", s"stats records n = ${st.getLong(0)}, " +
+        s"membership holds ${dlAgg.getLong(0)} docs")
+    }
+    if (st.getLong(1) != dlAgg.getLong(1)) {
+      statsBad += 1
+      errF("stats", "sum_dl", s"stats records sum_dl = ${st.getLong(1)}, " +
+        s"membership sums to ${dlAgg.getLong(1)}")
+    }
+    if (statsBad == 0)
+      ok("stats", s"(n = ${st.getLong(0)}, sum_dl = ${st.getLong(1)}) " +
+        "matches the membership table")
+    // 4. folded df ≡ actual distinct-doc counts (additive segments sum
+    // to zero for fully-removed terms — coalesce covers both absences)
+    val folded = read(s"${idx}_df").groupBy("term")
+      .agg(sum(col("df")).as("fdf"))
+    val actual = postings.groupBy("term")
+      .agg(countDistinct(col("doc_id")).as("adf"))
+    val dfBad = folded.join(actual, Seq("term"), "full_outer")
+      .filter(coalesce(col("fdf"), lit(0L)) =!=
+        coalesce(col("adf"), lit(0L))).count()
+    if (dfBad > 0)
+      errF("df_segments", "df",
+        s"$dfBad terms' folded df disagree with their actual " +
+          "distinct-document counts")
+    else ok("df_segments",
+      "every term's folded df equals its distinct-document count")
+    val sev = Map("error" -> 0, "ok" -> 1)
+    out.sortBy(r => (sev(r._2), r._1, r._3)).toSeq
+      .toDF("check", "status", "subject", "detail")
+  }
+
   /** MAINTENANCE — this index's OPTIMIZE, run from the same scheduled
     * job that compacts the base tables. Three independent, each
     * individually atomic steps, none of which changes any query's

@@ -34,6 +34,8 @@ import org.apache.spark.sql.types.{LongType, StringType}
   *   spark.sql("ALTER VECTOR INDEX ann RETRAIN ON vectors WITH (n_cells = 32)")  // geometry evolution
   *   spark.sql("ALTER VECTOR INDEX ann AUTORESIZE ON vectors MAX_CELL_ROWS 100000")  // shape-health auto rule
   *   spark.sql("VECTOR SEARCH ann ON vectors NEAREST (0.1, …) TOP 10 EXACT")     // brute-force-equal ranking
+  *   spark.sql("AUDIT TABLE t [DEEP]")            // the warehouse fsck
+  *   spark.sql("AUDIT VECTOR INDEX ann")          // index-invariant fsck (+ SEARCH)
   *
   * A statement only binds to the warehouse when the named table has a
   * committed snapshot there — otherwise it delegates, so catalog
@@ -288,6 +290,15 @@ object GraftSqlParser {
     """(?is)^\s*UNPIN\s+TABLE\s+([\w]+)\s+AS\s+'([^']+)'\s*;?\s*$""".r
   private val DescPins =
     """(?is)^\s*DESCRIBE\s+PINS\s+([\w]+)\s*;?\s*$""".r
+  // the warehouse fsck: does the disk still match what the log claims?
+  // DEEP additionally verifies physical row counts and DV position
+  // counts against the manifest's own bookkeeping (two Spark jobs)
+  private val Audit =
+    """(?is)^\s*AUDIT\s+TABLE\s+([\w]+)(\s+DEEP)?\s*;?\s*$""".r
+  // the stored-index invariants fsck (AnnIndex.audit /
+  // TextIndex.audit)
+  private val AuditIdx =
+    """(?is)^\s*AUDIT\s+(VECTOR|SEARCH)\s+INDEX\s+([\w]+)\s*;?\s*$""".r
   // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
   // equality conjuncts of the ON clause
   private val Merge =
@@ -791,6 +802,19 @@ object GraftSqlParser {
               Seq(Row("OK", n))
           }
         }
+      case AuditIdx(kind, idx) =>
+        val anchor = if (kind.equalsIgnoreCase("SEARCH"))
+          s"${idx}_postings" else s"${idx}_codes"
+        boundTable(session, anchor).map { wh =>
+          cmd(session, attrs("check" -> StringType,
+              "status" -> StringType, "subject" -> StringType,
+              "detail" -> StringType)) { _ =>
+            (if (kind.equalsIgnoreCase("SEARCH"))
+              graft.operators.TextIndex.audit(wh, idx)
+            else graft.operators.AnnIndex.audit(wh, idx))
+              .collect().toSeq
+          }
+        }
       case DescIdx(kind, idx) =>
         // bind through each family's anchor table (serving DDL names
         // no source table)
@@ -1179,6 +1203,15 @@ object GraftSqlParser {
             requirePathMode(wh, s"UNPIN TABLE $table")
             wh.unpinVersion(table, holder)
             Seq(Row("OK"))
+          }
+        }
+      case Audit(table, deep) =>
+        boundPinTarget(session, table).map { wh =>
+          cmd(session, attrs("check" -> StringType,
+              "status" -> StringType, "subject" -> StringType,
+              "detail" -> StringType)) { _ =>
+            requirePathMode(wh, s"AUDIT TABLE $table")
+            wh.audit(table, deep = deep != null).collect().toSeq
           }
         }
       case DescPins(table) =>

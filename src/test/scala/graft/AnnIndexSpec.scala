@@ -1211,4 +1211,59 @@ class AnnIndexSpec extends AnyFunSuite {
     }
     assert(eK.getMessage.contains("one byte"), eK.getMessage)
   }
+
+  test("audit: a maintained index is invariant-clean; an injected resurrection, unknown cell, and lost centroid each surface as a named error") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("ann_audit")).enableSql()
+    val emb = clustered(nClusters = 6, per = 50, dim = 16,
+      jitter = 0.05, seed = 47).localCheckpoint()
+    AnnIndex.build(wh, "ann", emb.filter(col("vec_id") < 200),
+      nCells = 6, m = 4, k = 8, storeVectors = true)
+    AnnIndex.refresh(wh, "ann", emb)
+    AnnIndex.remove(wh, "ann", Seq(7L, 8L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    val clean = rows(AnnIndex.audit(wh, "ann"))
+    assert(clean.nonEmpty && clean.forall(_._2 == "ok"), clean.toString)
+    assert(clean.map(_._1).toSet == Set("geometry", "codes_shape",
+      "tombstones", "radii", "stored_vectors"), clean.toString)
+    // SQL twin
+    val sql = spark.sql("AUDIT VECTOR INDEX ann").collect()
+    assert(sql.nonEmpty && sql.forall(_.getString(1) == "ok"),
+      sql.mkString(", "))
+
+    // a maintenance bug resurrects a removed id: its code row returns
+    // while the tombstone still stands. Inject from typed tuples —
+    // primitive-element Seq encoders carry containsNull = false, the
+    // committed array shape (a frame derived from the parquet READ
+    // would relax it to true and the append would refuse the retype —
+    // the alignment guard working as built)
+    val donorRow = wh.table("ann_codes").first()
+    // codes is committed with NULLABLE elements (codesCol builds it by
+    // expression), vec with non-null ones — box the former so both
+    // array shapes match the committed schema exactly
+    def inject(vecId: Long, cell: Int): Unit =
+      wh.append("ann_codes", Seq((vecId, cell,
+        donorRow.getAs[Seq[Byte]]("codes").toVector
+          .map(Byte.box): Seq[java.lang.Byte],
+        donorRow.getAs[Seq[Double]]("vec").toVector))
+        .toDF("vec_id", "cell", "codes", "vec"))
+    inject(7L, donorRow.getAs[Int]("cell"))
+    // and a row lands in a cell no centroid backs
+    inject(90001L, 9999)
+    // and one centroid is lost behind the meta's back
+    val someCid = wh.table("ann_coarse").select("cid").first().getInt(0)
+    wh.delete("ann_coarse", col("cid") === someCid)
+    val res = rows(AnnIndex.audit(wh, "ann"))
+    assert(res.exists(r => r._1 == "tombstones" && r._2 == "error" &&
+      r._4.contains("1 removed ids")), res.toString)
+    // the injected cell AND the lost centroid's cell are both unknown
+    assert(res.exists(r => r._1 == "codes_shape" && r._2 == "error" &&
+      r._4.contains("resolve to no coarse centroid")), res.toString)
+    assert(res.exists(r => r._1 == "geometry" && r._2 == "error" &&
+      r._3 == "coarse"), res.toString)
+    // errors sort first
+    assert(res.head._2 == "error", res.toString)
+  }
 }

@@ -455,4 +455,50 @@ class TextIndexSpec extends AnyFunSuite {
     }
     assert(stale.getMessage.contains("not retained"), stale.getMessage)
   }
+
+  test("audit: a maintained index is invariant-clean; a resurrected posting, an orphan posting, and a poisoned df segment each surface as a named error") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("ti_audit")).enableSql()
+    val docs = Tables.documents(spark, sf)
+    TextIndex.build(wh, "ti", docs.filter(col("doc_id") < 100))
+    TextIndex.refresh(wh, "ti", docs)
+    TextIndex.remove(wh, "ti", Seq(3L, 4L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    val clean = rows(TextIndex.audit(wh, "ti"))
+    assert(clean.nonEmpty && clean.forall(_._2 == "ok"), clean.toString)
+    assert(clean.map(_._1).toSet == Set("tombstones", "membership",
+      "stats", "df_segments"), clean.toString)
+    // SQL twin
+    val sql = spark.sql("AUDIT SEARCH INDEX ti").collect()
+    assert(sql.nonEmpty && sql.forall(_.getString(1) == "ok"),
+      sql.mkString(", "))
+
+    // a maintenance bug resurrects a removed doc's posting. Inject from
+    // typed tuples — primitive-element Seq encoders carry
+    // containsNull = false, the committed array shape (a frame derived
+    // from the parquet READ would relax it to true and the append
+    // would refuse the retype — the alignment guard working as built)
+    val donorRow = wh.table("ti_postings").first()
+    def inject(docId: Long): Unit =
+      wh.append("ti_postings", Seq((
+        donorRow.getAs[String]("term"), docId,
+        donorRow.getAs[Long]("tf"), donorRow.getAs[Long]("dl"),
+        donorRow.getAs[Seq[Int]]("pos").toVector))
+        .toDF("term", "doc_id", "tf", "dl", "pos"))
+    inject(3L)
+    // and writes a posting for a doc with no membership row
+    inject(90001L)
+    // and a df segment for a term nobody holds
+    wh.append("ti_df", Seq(("zzzghostterm", 5L)).toDF("term", "df"))
+    val res = rows(TextIndex.audit(wh, "ti"))
+    assert(res.exists(r => r._1 == "tombstones" && r._2 == "error" &&
+      r._4.contains("1 removed docs")), res.toString)
+    assert(res.exists(r => r._1 == "membership" && r._2 == "error" &&
+      r._3 == "doclen"), res.toString)
+    assert(res.exists(r => r._1 == "df_segments" && r._2 == "error"),
+      res.toString)
+    assert(res.head._2 == "error", res.toString)
+  }
 }
