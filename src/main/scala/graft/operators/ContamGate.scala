@@ -165,6 +165,47 @@ object ContamGate {
       "suites" -> suites(wh, idx).count().toString)
   }
 
+  /** Read-only gate consistency audit — the contamination firewall's
+    * member of the `AUDIT … INDEX` family. The gate is ONE table of
+    * (suite, h) digests, so its invariants are few but load-bearing:
+    *
+    *  - `digests`: no null suite tag or digest (a null digest row is
+    *    dead weight that can never match; a null suite cannot be
+    *    retired);
+    *  - `distinct`: (suite, h) rows are unique — [[refresh]] is
+    *    anti-join idempotent, so duplicates mean a broken advance;
+    *    verdicts survive them (countDistinct) but every duplicate
+    *    row streams past every future batch forever.
+    *
+    * Returns (check, status ok|error, subject, detail), errors first.
+    * SQL: `AUDIT CONTAM INDEX idx`. */
+  def audit(wh: Warehouse, idx: String): DataFrame = {
+    val g = storedGrams(wh, idx)
+    val spark = g.sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    val agg = g.agg(
+      coalesce(sum(when(col("suite").isNull || col("h").isNull, 1L)
+        .otherwise(0L)), lit(0L)),
+      count(lit(1))).first()
+    if (agg.getLong(0) > 0)
+      out += (("digests", "error", "grams",
+        s"${agg.getLong(0)} rows carry a null suite or digest"))
+    else out += (("digests", "ok", "",
+      s"${agg.getLong(1)} digest rows, none null"))
+    val dups = g.groupBy("suite", "h").count()
+      .filter(col("count") > 1).count()
+    if (dups > 0)
+      out += (("distinct", "error", "grams",
+        s"$dups (suite, digest) pairs appear more than once — the " +
+          "refresh anti-join is not holding"))
+    else out += (("distinct", "ok", "", "every (suite, digest) is unique"))
+    val sev = Map("error" -> 0, "ok" -> 1)
+    out.sortBy(r => (sev(r._2), r._1, r._3)).toSeq
+      .toDF("check", "status", "subject", "detail")
+  }
+
   /** MAINTENANCE — the gate's OPTIMIZE: every [[refresh]] (a new
     * suite, or a new version of one) appends its delta digests as new
     * small files, and a [[retire]]d suite's DV-hollowed files linger;

@@ -229,6 +229,92 @@ object DedupIndex {
       "tombstones" -> rows(s"${idx}_gone"))
   }
 
+  /** Read-only index consistency audit — [[AnnIndex.audit]]'s
+    * identity-retrieval sibling. Like BM25 (and unlike the ANN
+    * index's frozen-codebook drift) there is no trained state beyond
+    * the banding params, so every check is a hard equality over one
+    * consistent snapshot cut; each is a skinny aggregate (ids, band
+    * hashes — never text):
+    *
+    *  - `tombstones`: bands ∩ gone = ∅ ([[removeBody]] deletes the
+    *    rows and [[admit]] anti-joins the guard — an id on both sides
+    *    means a REMOVED doc still counts as a dedup prior);
+    *  - `buckets_fold`: the segment table's null-skipping per-bucket
+    *    min folds to EXACTLY the ground-truth min over the bands
+    *    table, bucket-for-bucket in both directions (a stale segment
+    *    surviving a remove's recompute, or a bucket the fold lost,
+    *    silently flips admit verdicts);
+    *  - `params`: the frozen (k, bands) are positive — every later
+    *    batch must band exactly like the build.
+    *
+    * Returns (check, status ok|error, subject, detail), errors first.
+    * SQL: `AUDIT DEDUP INDEX idx`. */
+  def audit(wh: Warehouse, idx: String): DataFrame = {
+    val names = tables(idx) ++
+      (if (wh.hasTable(s"${idx}_meta")) Seq(s"${idx}_meta") else Nil)
+    val snap = wh.snapshotTables(names)
+    val read: String => DataFrame = snap(_)
+    val spark = read(s"${idx}_bands").sparkSession
+    import spark.implicits._
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(String, String, String, String)]
+    def ok(check: String, detail: String): Unit =
+      out += ((check, "ok", "", detail))
+    def errF(check: String, subject: String, detail: String): Unit =
+      out += ((check, "error", subject, detail))
+    // 1. the tombstone invariant
+    val served = read(s"${idx}_bands").select("doc_id").distinct()
+      .join(read(s"${idx}_gone"), Seq("doc_id"), "left_semi").count()
+    if (served > 0)
+      errF("tombstones", "bands",
+        s"$served removed docs still hold band rows — removed docs " +
+          "would count as dedup priors")
+    else ok("tombstones", "no removed doc holds a band row")
+    // 2. segment fold ≡ ground truth, both directions, one aggregate
+    val truth = read(s"${idx}_bands").groupBy("bh")
+      .agg(min(col("doc_id")).as("t_min"))
+    val folded = read(s"${idx}_buckets").groupBy("bh")
+      .agg(min(col("min_id")).as("f_min"))
+    val agg = truth.join(folded, Seq("bh"), "full_outer").agg(
+      coalesce(sum(when(col("f_min").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("t_min").isNull, 1L).otherwise(0L)), lit(0L)),
+      coalesce(sum(when(col("t_min").isNotNull && col("f_min").isNotNull &&
+        col("t_min") =!= col("f_min"), 1L).otherwise(0L)), lit(0L)),
+      count(lit(1))).first()
+    var foldBad = 0
+    if (agg.getLong(0) > 0) {
+      foldBad += 1
+      errF("buckets_fold", "missing",
+        s"${agg.getLong(0)} buckets hold band rows but fold to no " +
+          "segment min — admits there would miss their prior")
+    }
+    if (agg.getLong(1) > 0) {
+      foldBad += 1
+      errF("buckets_fold", "stale",
+        s"${agg.getLong(1)} segment buckets have no band rows — a " +
+          "remove's recompute left stale mins that convict against " +
+          "ghosts")
+    }
+    if (agg.getLong(2) > 0) {
+      foldBad += 1
+      errF("buckets_fold", "wrong_min",
+        s"${agg.getLong(2)} buckets fold to a different min than the " +
+          "band ground truth")
+    }
+    if (foldBad == 0)
+      ok("buckets_fold", s"${agg.getLong(3)} buckets fold to their " +
+        "ground-truth mins exactly")
+    // 3. frozen banding params
+    val (k, bands) = params(wh, idx)
+    if (k >= 1 && bands >= 1)
+      ok("params", s"(k = $k, bands = $bands)")
+    else errF("params", "meta", s"non-positive banding params " +
+      s"(k = $k, bands = $bands)")
+    val sev = Map("error" -> 0, "ok" -> 1)
+    out.sortBy(r => (sev(r._2), r._1, r._3)).toSeq
+      .toDF("check", "status", "subject", "detail")
+  }
+
   /** MAINTENANCE: fold removal tombstones whose doc the CURRENT base
     * `source` no longer carries — the [[TextIndex.foldTombstones]]
     * twin (same dead-guard argument: once the base dropped the doc, no

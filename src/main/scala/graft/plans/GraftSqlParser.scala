@@ -295,10 +295,11 @@ object GraftSqlParser {
   // counts against the manifest's own bookkeeping (two Spark jobs)
   private val Audit =
     """(?is)^\s*AUDIT\s+TABLE\s+([\w]+)(\s+DEEP)?\s*;?\s*$""".r
-  // the stored-index invariants fsck (AnnIndex.audit /
-  // TextIndex.audit)
+  // the stored-index invariants fsck, one per family (AnnIndex /
+  // TextIndex / DedupIndex / ContamGate .audit)
   private val AuditIdx =
-    """(?is)^\s*AUDIT\s+(VECTOR|SEARCH)\s+INDEX\s+([\w]+)\s*;?\s*$""".r
+    ("""(?is)^\s*AUDIT\s+(VECTOR|SEARCH|DEDUP|CONTAM)\s+INDEX""" +
+      """\s+([\w]+)\s*;?\s*$""").r
   // the canonical upsert form (UPDATE SET * / INSERT *): keys are the
   // equality conjuncts of the ON clause
   private val Merge =
@@ -803,14 +804,21 @@ object GraftSqlParser {
           }
         }
       case AuditIdx(kind, idx) =>
-        val anchor = if (kind.equalsIgnoreCase("SEARCH"))
-          s"${idx}_postings" else s"${idx}_codes"
+        val anchor =
+          if (kind.equalsIgnoreCase("SEARCH")) s"${idx}_postings"
+          else if (kind.equalsIgnoreCase("DEDUP")) s"${idx}_bands"
+          else if (kind.equalsIgnoreCase("CONTAM")) s"${idx}_grams"
+          else s"${idx}_codes"
         boundTable(session, anchor).map { wh =>
           cmd(session, attrs("check" -> StringType,
               "status" -> StringType, "subject" -> StringType,
               "detail" -> StringType)) { _ =>
             (if (kind.equalsIgnoreCase("SEARCH"))
               graft.operators.TextIndex.audit(wh, idx)
+            else if (kind.equalsIgnoreCase("DEDUP"))
+              graft.operators.DedupIndex.audit(wh, idx)
+            else if (kind.equalsIgnoreCase("CONTAM"))
+              graft.operators.ContamGate.audit(wh, idx)
             else graft.operators.AnnIndex.audit(wh, idx))
               .collect().toSeq
           }

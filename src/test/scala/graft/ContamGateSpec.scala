@@ -342,4 +342,39 @@ class ContamGateSpec extends AnyFunSuite {
     }
     assert(scans.nonEmpty, s"the stored digests are read from files:\n$exec")
   }
+
+  test("audit: a maintained gate is invariant-clean; a duplicated digest and a null row each surface as a named error") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("cg_audit")).enableSql()
+    val bench = df(Seq((900L, s"$gram8 $benchPad")))
+    ContamGate.build(wh, "cg", bench, suite = "s1")
+    ContamGate.refresh(wh, "cg",
+      df(Seq((901L, s"other words make a new eight gram here $benchPad"))),
+      suite = "s2")
+    def rows(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    val clean = rows(ContamGate.audit(wh, "cg"))
+    assert(clean.nonEmpty && clean.forall(_._2 == "ok"), clean.toString)
+    assert(clean.map(_._1).toSet == Set("digests", "distinct"),
+      clean.toString)
+    val sql = spark.sql("AUDIT CONTAM INDEX cg").collect()
+    assert(sql.nonEmpty && sql.forall(_.getString(1) == "ok"),
+      sql.mkString(", "))
+
+    // a broken advance duplicates an existing (suite, digest) row,
+    // and a null digest sneaks in
+    val donor = wh.table("cg_grams").first()
+    wh.append("cg_grams", Seq(
+      (donor.getAs[String]("suite"), donor.getAs[String]("h")))
+      .toDF("suite", "h"))
+    wh.append("cg_grams",
+      Seq(("s1", null.asInstanceOf[String])).toDF("suite", "h"))
+    val res = rows(ContamGate.audit(wh, "cg"))
+    assert(res.exists(r => r._1 == "distinct" && r._2 == "error" &&
+      r._4.contains("1 (suite, digest)")), res.toString)
+    assert(res.exists(r => r._1 == "digests" && r._2 == "error" &&
+      r._4.contains("1 rows carry a null")), res.toString)
+    assert(res.head._2 == "error", res.toString)
+  }
 }

@@ -134,4 +134,37 @@ class DedupIndexSpec extends AnyFunSuite {
     assert(wh.table("di_bands")
       .filter(col("doc_id").isin(7L, 8L)).isEmpty)
   }
+
+  test("audit: a maintained index is invariant-clean; a resurrected band row and a stale segment each surface as a named error") {
+    import spark.implicits._
+    val wh = new Warehouse(spark, tmp("di_audit")).enableSql()
+    val docs = Tables.documents(spark, sf)
+    DedupIndex.build(wh, "di", docs.filter(col("doc_id") < 100))
+    DedupIndex.admit(wh, "di", docs.filter(col("doc_id") < 300))
+    DedupIndex.remove(wh, "di", Seq(5L, 6L))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1),
+        r.getString(2), r.getString(3))).toSeq
+    val clean = rows(DedupIndex.audit(wh, "di"))
+    assert(clean.nonEmpty && clean.forall(_._2 == "ok"), clean.toString)
+    assert(clean.map(_._1).toSet ==
+      Set("tombstones", "buckets_fold", "params"), clean.toString)
+    val sql = spark.sql("AUDIT DEDUP INDEX di").collect()
+    assert(sql.nonEmpty && sql.forall(_.getString(1) == "ok"),
+      sql.mkString(", "))
+
+    // a maintenance bug resurrects a removed doc's band row (its
+    // bucket min ALSO now disagrees with the fold — two findings)
+    val donorBh = wh.table("di_bands").select("bh").first().getString(0)
+    wh.append("di_bands", Seq((5L, donorBh)).toDF("doc_id", "bh"))
+    // and a stale segment survives for a bucket nobody banded
+    wh.append("di_buckets",
+      Seq(("zzzz_ghost_bucket", 17L)).toDF("bh", "min_id"))
+    val res = rows(DedupIndex.audit(wh, "di"))
+    assert(res.exists(r => r._1 == "tombstones" && r._2 == "error" &&
+      r._4.contains("1 removed docs")), res.toString)
+    assert(res.exists(r => r._1 == "buckets_fold" && r._2 == "error" &&
+      r._3 == "stale"), res.toString)
+    assert(res.head._2 == "error", res.toString)
+  }
 }
