@@ -1218,7 +1218,12 @@ object GraftSqlParser {
           cmd(session, attrs("check" -> StringType,
               "status" -> StringType, "subject" -> StringType,
               "detail" -> StringType)) { _ =>
-            requirePathMode(wh, s"AUDIT TABLE $table")
+            require(wh.isPathMode,
+              s"AUDIT TABLE $table: a catalog-mode table commits " +
+                "through the session catalog and has no version " +
+                "manifest — the fsck checks the disk against the " +
+                "manifest log; use the catalog's own consistency " +
+                "tooling")
             wh.audit(table, deep = deep != null).collect().toSeq
           }
         }

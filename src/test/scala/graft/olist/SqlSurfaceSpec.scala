@@ -1043,6 +1043,13 @@ class SqlSurfaceSpec extends AnyFunSuite {
     }
     assert(refused.getMessage.contains("path-mode") &&
       refused.getMessage.contains("catalog"), refused.getMessage)
+    // the fsck refuses with ITS OWN diagnosis (no manifest to audit
+    // against), not the pin message about shields
+    val refusedAudit = intercept[Exception] {
+      spark.sql("AUDIT TABLE tc").collect()
+    }
+    assert(refusedAudit.getMessage.contains("manifest") &&
+      refusedAudit.getMessage.contains("catalog"), refusedAudit.getMessage)
     // rebind the path-mode warehouse for any later tests sharing the
     // session registry
     wh.enableSql()
