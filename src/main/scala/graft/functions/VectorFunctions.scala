@@ -207,6 +207,14 @@ object VectorFunctions {
       reg.createOrReplaceTempFunction("lsh_bucket", lshBucketBuilder, "built-in"))
     ifMissing("minhash_sigs")(
       reg.createOrReplaceTempFunction("minhash_sigs", minhashSigsBuilder, "built-in"))
+    ifMissing("simhash32")(
+      reg.createOrReplaceTempFunction("simhash32",
+        exprs => SimHash32(exprs.head), "built-in"))
+  }
+
+  def simhash32(spark: SparkSession, toks: Column): Column = {
+    register(spark)
+    call_function("simhash32", toks)
   }
 
   /** Registry builder: k arrives as a foldable int literal. */

@@ -65,7 +65,7 @@ import org.apache.spark.sql.functions._
 object AnnIndex {
 
   import Similarity.{codesCol, cellCol, collectCents, l2sq, l2Normalized,
-    trainingSample, defaultSampleN, pqTrain, pqRank}
+    trainingSample, defaultSampleN, pqTrain}
 
   /** The serving defaults, as NAMED constants: every probe signature
     * below defaults to these, and the SQL surface (`DESCRIBE VECTOR
@@ -943,10 +943,14 @@ object AnnIndex {
       nProbe: Int = DefaultNProbe): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val read = hybridSnapshot(wh, annIdx, textIdx)
-    val sparse = TextIndex.queryOn(read, textIdx, terms, pool)
-      .withColumn("r", row_number()
-        .over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select("doc_id", "r")
+    // sparse lane on its own thread — its df/stats collect overlaps
+    // the dense lane's query-vector fetch (guide §2.6)
+    val sparseF = scala.concurrent.Future {
+      TextIndex.queryOn(read, textIdx, terms, pool)
+        .withColumn("r", row_number()
+          .over(Window.orderBy(col("score").desc, col("doc_id"))))
+        .select("doc_id", "r")
+    }(scala.concurrent.ExecutionContext.global)
     // the dense lane inline against the same pinned cut (the id-form
     // query vector still comes from `source` — the stored-row shape;
     // the literal form is [[hybridQueryVecBatch]])
@@ -959,6 +963,8 @@ object AnnIndex {
       .withColumn("r", row_number()
         .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
       .select("vec_id", "r")
+    val sparse = scala.concurrent.Await.result(sparseF,
+      scala.concurrent.duration.Duration.Inf)
     Similarity.rrfFuse(Seq(sparse, dense), k = topK)
       .select(col("id").as("doc_id"), col("r0").as("bm25_rank"),
         col("r1").as("cos_rank"), col("rrf"))
@@ -996,8 +1002,16 @@ object AnnIndex {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val spark = source.sparkSession
     import spark.implicits._
-    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, queries,
-      pool, docFilter = hybridAllow(source, filter))
+    // the two lanes are independent until the fusion, and EACH pays
+    // bounded driver collects (df/stats; codebook + cell ranking)
+    // before its distributed work — build them on two threads so the
+    // collects overlap instead of queueing (guide §2.6; job
+    // submission is thread-safe, and both lanes read the SAME pinned
+    // cut so concurrency cannot tear the snapshot)
+    val sparseF = scala.concurrent.Future {
+      TextIndex.queryBatchOn(read, spark, textIdx, queries,
+        pool, docFilter = hybridAllow(source, filter))
+    }(scala.concurrent.ExecutionContext.global)
     // the dense lane's query vectors from `source` (the id form); the
     // codes/codebook reads ride the same pinned cut as the sparse lane
     val dense = vecBatchCore(read, annIdx, source,
@@ -1005,6 +1019,8 @@ object AnnIndex {
         "hybridQueryBatch"),
       topK = pool, overquery = overquery,
       nProbe = nProbe, filter = filter, saltParts = 32)
+    val sparse = scala.concurrent.Await.result(sparseF,
+      scala.concurrent.duration.Duration.Inf)
     fuseBatch(sparse, dense, topK)
   }
 
@@ -1049,15 +1065,20 @@ object AnnIndex {
       filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
     val spark = source.sparkSession
-    val terms = TextIndex.tokenizeQueries(spark,
-      queries.map { case (qid, text, _) => (qid, text) })
-    val sparse = TextIndex.queryBatchOn(read, spark, textIdx, terms,
-      pool, docFilter = hybridAllow(source, filter))
+    // two-thread lane build — hybridQueryBatchOn's rationale (§2.6)
+    val sparseF = scala.concurrent.Future {
+      val terms = TextIndex.tokenizeQueries(spark,
+        queries.map { case (qid, text, _) => (qid, text) })
+      TextIndex.queryBatchOn(read, spark, textIdx, terms,
+        pool, docFilter = hybridAllow(source, filter))
+    }(scala.concurrent.ExecutionContext.global)
     val dense = vecBatchCore(read, annIdx, source,
       normalizedQueryVecs(spark,
         queries.map { case (qid, _, v) => (qid, v) }),
       topK = pool, overquery = overquery, nProbe = nProbe,
       filter = filter, saltParts = 32)
+    val sparse = scala.concurrent.Await.result(sparseF,
+      scala.concurrent.duration.Duration.Inf)
     fuseBatch(sparse, dense, topK)
   }
 
@@ -1136,16 +1157,33 @@ object AnnIndex {
     val qlit = array(q.map(lit): _*)
     val coarse = read(s"${idx}_coarse")
     val codebook = read(s"${idx}_codebook")
-    // one bounded read answers both codebook dimensions — the serving
-    // path should not pay two driver jobs over the same m·k rows
-    val km = codebook.agg(countDistinct(col("cid")), max(col("sub"))).first()
-    val k = km.getLong(0).toInt
-    val m = km.getInt(1) + 1
-    // the FULL best-first cell ranking (nCells rows, one bounded
-    // collect) — nProbe takes its prefix; widening takes a longer one
-    val ranked = coarse.select(col("cid"), l2sq(qlit, col("c")).as("d2"))
-      .orderBy(col("d2").asc, col("cid").asc)
-      .collect().map(_.getInt(0)).toSeq
+    // ONE bounded job answers the codebook dimensions, the full
+    // best-first cell ranking, AND the per-(sub, cid) ADC distance
+    // table (r17: these were three sequential driver round-trips —
+    // the km aggregate, the coarse ranking collect, and pqRank's own
+    // table collect; a tagged union over the two bounded tables ships
+    // the same scalars in one scheduling round. The l2sq columns, the
+    // (d2, cid) order, and the slice arithmetic are unchanged — the
+    // per-subspace slice length comes from size(c), which equals
+    // pqRank's dsub — so every double is bit-identical)
+    val merged = codebook
+      .select(lit(0).as("tag"), col("sub").as("a"),
+        col("cid").cast("int").as("b"),
+        l2sq(slice(qlit, col("sub") * size(col("c")) + 1,
+          size(col("c"))), col("c")).as("d2"))
+      .unionAll(coarse
+        .select(lit(1).as("tag"), col("cid").as("a"), lit(0).as("b"),
+          l2sq(qlit, col("c")).as("d2")))
+      .collect()
+    val cbPairs = merged.filter(_.getInt(0) == 0)
+    val k = cbPairs.map(_.getInt(2)).distinct.length
+    val m = cbPairs.map(_.getInt(1)).max + 1
+    val flat = Array.fill(m * k)(Double.MaxValue)
+    cbPairs.foreach(r => flat(r.getInt(1) * k + r.getInt(2)) = r.getDouble(3))
+    // nProbe takes the ranking's prefix; widening takes a longer one
+    val ranked = merged.filter(_.getInt(0) == 1)
+      .map(r => (r.getDouble(3), r.getInt(1)))
+      .sortBy(identity).map(_._2).toSeq
     val nCells = ranked.length
     def candsAt(p: Int, allow: Option[DataFrame]): DataFrame = {
       val probedCodes = read(s"${idx}_codes")
@@ -1160,7 +1198,7 @@ object AnnIndex {
         case (Some(pred), None) => probedCodes.join(
           source.filter(pred).select("vec_id"), Seq("vec_id"), "left_semi")
       }
-      pqRank(admissible, codebook, q, m = m, k = k,
+      Similarity.pqRankWith(admissible, flat, m = m, k = k,
         topK = overquery * topK)
     }
     val cands = filter match {
@@ -1189,8 +1227,15 @@ object AnnIndex {
     }
     // the query vector was already collected once (q) — re-rank against
     // it as a literal array rather than re-deriving a one-row frame and
-    // paying a second collect + broadcast join on the serving path
-    source.join(cands.select("vec_id"), "vec_id")
+    // paying a second collect + broadcast join on the serving path.
+    // repartition before the decimal fold: bounded candidate set,
+    // same rationale (explicit-count AQE note + static-bound
+    // condition) as the batch core's re-rank spread (r17)
+    val dp = source.sparkSession.sparkContext.defaultParallelism
+    val joined = source.join(cands.select("vec_id"), "vec_id")
+    (if (overquery.toLong * topK > 32L * dp)
+       joined.repartition(dp, col("vec_id"))
+     else joined)
       .withColumn("qe", qlit)
       .select(col("vec_id"),
         round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
@@ -1325,9 +1370,18 @@ object AnnIndex {
       // raw values — the stored column is the source embedding
       // verbatim — so the ranking is bit-identical either way.
       val stored = read(s"${idx}_codes").columns.contains("vec")
-      def topAt(p: Int): Array[(Long, Double)] = {
+      // top-k over ONE slice of the best-first cell order — each
+      // widening round reads only its DELTA cells (the r17 change:
+      // the old loop re-scanned every already-probed cell per round,
+      // so a search settling at p cells paid ~2p cell reads; cells
+      // are disjoint and the ranking is a per-row pure function, so
+      // topK(probed) = topK(topK(old slice) ∪ topK(delta slice)) —
+      // the driver merge below is exact, and at corpus scale the
+      // probed-partition I/O halves)
+      def topSlice(from: Int, until: Int): Array[(Long, Double)] = {
         val probed = read(s"${idx}_codes")
-          .filter(col("cell").isin(cells.take(p).map(_._1).toSeq: _*))
+          .filter(col("cell").isin(
+            cells.slice(from, until).map(_._1).toSeq: _*))
         val probedVecs =
           if (stored) probed.select(col("vec_id"),
             col("vec").as("embedding"))
@@ -1347,7 +1401,7 @@ object AnnIndex {
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
       }
       var p = math.min(math.max(1, nProbe), nCells)
-      var top = topAt(p)
+      var top = topSlice(0, p)
       var settled = false
       while (!settled) {
         // k-th candidate's exact distance from its cosine: unit
@@ -1362,8 +1416,12 @@ object AnnIndex {
         // dk and nextBound are infinite there, and ∞ > ∞ is false)
         if (p >= nCells || nextBound > dk + BoundEps) settled = true
         else {
-          p = math.min(nCells, math.max(p + 1, 2 * p))
-          top = topAt(p)
+          val np = math.min(nCells, math.max(p + 1, 2 * p))
+          // merge under the final (cosine desc, vec_id asc) order —
+          // cells are disjoint, so no candidate appears twice
+          top = (top ++ topSlice(p, np))
+            .sortBy { case (id, cos) => (-cos, id) }.take(topK)
+          p = np
         }
       }
       (top.toSeq.toDF("vec_id", "cosine"), p)
@@ -1527,7 +1585,36 @@ object AnnIndex {
       while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
       s
     }
-    val cbRows = collectCents(read(s"${idx}_codebook"))
+    // per query, the FULL best-first cell ranking (tie-break (d2, cid)
+    // — query()'s orderBy; nProbe takes its prefix, auto-widening a
+    // longer one), computed IN SPARK: the query vectors broadcast
+    // against the coarse table and score through the SAME l2sq column
+    // the single-query probe ranks with — the d2 doubles, and with
+    // them the cell order, are bit-identical to query()'s by
+    // construction. The collect ships only |Q| · nCells (query_id,
+    // cid, d2) SCALAR rows plus the m·k codebook centroids the driver
+    // ADC tables need anyway — and it ships them in ONE job (r17: the
+    // codebook collect and the ranking collect were two sequential
+    // driver round-trips over two bounded tables; a tagged union
+    // answers both in one scheduling round, same reads, same
+    // arithmetic).
+    val qset = qvs.toMap.toSeq
+    val qframe = qset.map { case (qid, q) => (qid, q.toSeq) }
+      .toDF("query_id", "qv")
+    val merged = read(s"${idx}_codebook")
+      .select(lit(0).as("tag"), col("sub"), col("cid").cast("int").as("cid"),
+        col("c"), lit(0.0).as("d2"), lit(0L).as("query_id"))
+      .unionAll(read(s"${idx}_coarse")
+        .crossJoin(broadcast(qframe))
+        .select(lit(1).as("tag"), lit(0).as("sub"),
+          col("cid").cast("int").as("cid"),
+          lit(null).cast("array<double>").as("c"),
+          l2sq(col("qv"), col("c")).as("d2"), col("query_id")))
+      .collect()
+    val cbRows: Array[(Int, Int, Seq[Double])] = merged
+      .filter(_.getInt(0) == 0)
+      .map(r => (r.getAs[Int]("sub"), r.getAs[Int]("cid"),
+        r.getAs[scala.collection.Seq[Double]]("c").toVector: Seq[Double]))
     val m = cbRows.map(_._1).max + 1
     val k = cbRows.map(_._2).distinct.length
     val dsub = cbRows.head._3.size
@@ -1536,29 +1623,13 @@ object AnnIndex {
         s"query $qid: vector dimension ${q.length} != index dimension " +
           s"${m * dsub}")
     }
-    // per query, the FULL best-first cell ranking (tie-break (d2, cid)
-    // — query()'s orderBy; nProbe takes its prefix, auto-widening a
-    // longer one), computed IN SPARK: one bounded job broadcasts the
-    // query vectors against the coarse table and scores them through
-    // the SAME l2sq column the single-query probe ranks with — the d2
-    // doubles, and with them the cell order, are bit-identical to
-    // query()'s by construction. The collect ships only |Q| · nCells
-    // (query_id, cid, d2) SCALAR rows: the batch path's driver bound
-    // no longer carries the centroid vectors, so it is independent of
-    // the embedding dimension.
-    val qset = qvs.toMap.toSeq
-    val qframe = qset.map { case (qid, q) => (qid, q.toSeq) }
-      .toDF("query_id", "qv")
-    val rankedById: Map[Long, Seq[Int]] =
-      read(s"${idx}_coarse").select(col("cid"), col("c"))
-        .crossJoin(broadcast(qframe))
-        .select(col("query_id"), col("cid"),
-          l2sq(col("qv"), col("c")).as("d2"))
-        .collect()
-        .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
-        .groupBy(_._1)
-        .map { case (qid, rs) =>
-          qid -> rs.sortBy(t => (t._3, t._2)).map(_._2).toSeq }
+    val rankedById: Map[Long, Seq[Int]] = merged
+      .filter(_.getInt(0) == 1)
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("cid"),
+        r.getAs[Double]("d2")))
+      .groupBy(_._1)
+      .map { case (qid, rs) =>
+        qid -> rs.sortBy(t => (t._3, t._2)).map(_._2).toSeq }
     val nCells = rankedById.headOption.map(_._2.length).getOrElse(0)
     // the m·k ADC distance table per query (k·m scalars — bounded)
     val qrows: Seq[(Long, Seq[Double], Seq[Double])] =
@@ -1691,8 +1762,27 @@ object AnnIndex {
       else source
     val wFinal = Window.partitionBy(col("query_id"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
-    vecSrc.join(broadcast(cands), "vec_id")
-      .join(broadcast(qvecs), "query_id")
+    // spread the exact-decimal re-rank (r17): the candidate set is
+    // BOUNDED (≤ |queries|·overquery·topK rows by construction, so
+    // the exchange is bounded at any corpus size) but its scan
+    // parallelism is whatever the joined file split gave — at bench
+    // scale ONE task ran every DECIMAL(38,20) fold serially, the
+    // lane's single biggest job. Hash-spreading by the output keys is
+    // deterministic; the per-row cosine and all downstream (window,
+    // order) are key-determined, so results are unchanged. The
+    // partition count is EXPLICIT (defaultParallelism — core count at
+    // any scale): a bare column repartition is AQE-coalesced back to
+    // one tiny partition, re-serializing the very fold this spreads.
+    // CONDITIONAL on the static bound: below ~32 rows/core the fold
+    // is milliseconds and the extra stage costs more than it saves.
+    val rerankBound = qvs.size.toLong * oq
+    val spreadIf = (df: DataFrame) =>
+      if (rerankBound > 32L * spark.sparkContext.defaultParallelism)
+        df.repartition(spark.sparkContext.defaultParallelism,
+          col("query_id"), col("vec_id"))
+      else df
+    spreadIf(vecSrc.join(broadcast(cands), "vec_id")
+      .join(broadcast(qvecs), "query_id"))
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
           (VectorFunctions.normExact(col("embedding")) *

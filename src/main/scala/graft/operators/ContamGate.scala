@@ -84,11 +84,14 @@ object ContamGate {
     * [[Curate.curate]]'s sweep, so none of them can disagree on
     * tokenization. */
   private[graft] def grams(docs: DataFrame): DataFrame =
+    // per-doc dedup is ROW-LOCAL (Dedup.sortedGramDigests /
+    // adjacentDistinct): the old explode-then-distinct() paid a full
+    // digest-volume Exchange to dedup grams that never left their own
+    // row (r17, guide §2.4). The digest set per doc is identical.
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"), explode(Dedup.shingles(col("ts"), 8)).as("g"))
-      .select(col("doc_id"), md5(col("g")).as("h"))
-      .distinct()
+      .select(col("doc_id"), Dedup.sortedGramDigests(col("ts"), 8).as("shs"))
+      .select(col("doc_id"), explode(Dedup.adjacentDistinct(col("shs"))).as("h"))
 
   /** Build the gate from the benchmark suite, tagged `suite`. Returns
     * distinct grams stored.

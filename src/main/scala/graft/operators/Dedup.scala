@@ -34,6 +34,28 @@ object Dedup {
     transform(sequence(lit(1), size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(o => element_at(toks, i + o)): _*))
 
+  /** A doc's md5 word-n-gram digests, SORTED — the first half of the
+    * row-local gram dedup ([[adjacentDistinct]] is the second). All of
+    * one document's grams live in the single row they explode from, so
+    * a corpus-wide `distinct()` dedups nothing a per-row pass cannot —
+    * yet it costs the pipeline's largest Exchange (every digest row
+    * shuffles). Sorting the digest array once per row (O(g log g)
+    * comparisons) and dropping adjacent repeats removes that shuffle
+    * outright; `array_distinct` is deliberately NOT used — its string
+    * path is a quadratic per-row scan. The digest SET per doc is
+    * identical to explode-then-distinct, so every downstream join and
+    * count is unchanged. */
+  def sortedGramDigests(toks: Column, n: Int): Column =
+    array_sort(transform(shingles(toks, n), g => md5(g)))
+
+  /** Adjacent-repeat filter over a SORTED array — `sorted` MUST be a
+    * materialized attribute (select [[sortedGramDigests]] into its own
+    * column first): a composite expression here would re-evaluate per
+    * element inside the lambda, the same trap as inlining `split` into
+    * the shingle lambda. */
+  def adjacentDistinct(sorted: Column): Column =
+    filter(sorted, (x, i) => i === 0 || x =!= element_at(sorted, i))
+
   /** MinHash signature value for seed `i`: lexicographic min of
     * md5("i:" + element). */
   def minhashSig(elems: Column, i: Int): Column =
@@ -43,10 +65,9 @@ object Dedup {
   def bandHashes(sigCols: Seq[Column], rows: Int): Column =
     array(sigCols.grouped(rows).map(g => md5(concat(g: _*))).toSeq: _*)
 
-  /** 32-bit SimHash of a weighted token multiset (hv = first 8 md5 hex
-    * chars as int; bit j set iff the weighted ±1 vote sum is positive). */
-  private def tokenHash(tk: Column): Column =
-    conv(substring(md5(tk), 1, 8), 16, 10).cast("long")
+  // (The 32-bit SimHash hv — first 8 md5 hex chars as int, bit j set
+  // iff the weighted ±1 vote sum is positive — lives in the fused
+  // native [[graft.functions.SimHash32]] since r17.)
 
   // ---------------------------------------------------------------
   private val K_SIG = 8    // d3: 3-gram signature width
@@ -242,19 +263,20 @@ object Dedup {
               |FROM bits ORDER BY doc_id""".stripMargin)
       },
       (s, d) => {
-        val docs = T.documents(s, d)
-        val weighted = docs
-          .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tk"))
-          .groupBy("doc_id", "tk").agg(count(lit(1)).as("w"))
-          .select(col("doc_id"), col("w"), tokenHash(col("tk")).as("hv"))
-        val bitCols = (0 until 32).map(j =>
-          sum(when(shiftright(col("hv"), j).bitwiseAND(1) === 1, col("w"))
-            .otherwise(-col("w"))).as(s"b$j"))
-        val assembled = (0 until 32)
-          .map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _)
-        weighted.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-          .select(col("doc_id"), assembled.cast("long").as("simhash"))
+        // ROW-LOCAL simhash (r17): the old explode → groupBy(doc, tk)
+        // → groupBy(doc) shape shuffled every token occurrence through
+        // TWO Exchanges to compute votes that are occurrence-additive
+        // anyway (Σ_token w·(±1) ≡ Σ_occurrence ±1 — long arithmetic,
+        // bit-identical). The fused native [[graft.functions.SimHash32]]
+        // (the MinHashSigs treatment) computes the whole signature in
+        // one codegen'd pass per row — zero pre-sort shuffles. The
+        // isNotNull filter reproduces the old explode semantics (a
+        // null text exploded to no rows, dropping the doc).
+        T.documents(s, d)
+          .filter(col("text").isNotNull)
+          .select(col("doc_id"),
+            graft.functions.VectorFunctions.simhash32(s,
+              split(trim(col("text")), "\\s+")).as("simhash"))
           .orderBy("doc_id")
       }),
 
@@ -390,16 +412,19 @@ object Dedup {
         // inlining `split(...)` into the shingle lambda re-evaluates
         // the regex split inside every element_at — 8 splits per gram
         // position per row (measured 15.6 s → ~1 s at sf0.1). Per-doc
-        // gram dedup happens after hashing, on slim digests through
-        // the hash aggregate, never via quadratic array_distinct.
+        // gram dedup is ROW-LOCAL ([[sortedGramDigests]]/
+        // [[adjacentDistinct]]): a doc's grams never leave their row
+        // before the explode, so the old corpus-wide distinct()
+        // shuffled every digest to dedup what a per-row sorted pass
+        // already settles — r17 drops that Exchange (guide §2.4).
         val ex = T.documents(s, d)
           .select(col("doc_id"), col("source"),
             split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 8)
           .select(col("doc_id"), col("source"),
-            explode(shingles(col("ts"), 8)).as("gram"))
-          .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
-          .distinct()
+            sortedGramDigests(col("ts"), 8).as("shs"))
+          .select(col("doc_id"), col("source"),
+            explode(adjacentDistinct(col("shs"))).as("h"))
         val bench = ex.filter(col("source") === "src0").select("h").distinct()
         val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
         train.join(broadcast(bench), Seq("h"))
@@ -540,14 +565,17 @@ object Dedup {
              |    AS drop_doc
              |FROM st ORDER BY doc_id""".stripMargin),
       (s, d) => {
+        // row-local gram dedup — d10's rationale (the corpus-wide
+        // distinct() Exchange dedups nothing a per-row sorted pass
+        // cannot; r17, guide §2.4)
         val ex = T.documents(s, d)
           .select(col("doc_id"), col("source"),
             split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 8)
           .select(col("doc_id"), col("source"),
-            explode(shingles(col("ts"), 8)).as("gram"))
-          .select(col("doc_id"), col("source"), md5(col("gram")).as("h"))
-          .distinct()
+            sortedGramDigests(col("ts"), 8).as("shs"))
+          .select(col("doc_id"), col("source"),
+            explode(adjacentDistinct(col("shs"))).as("h"))
         val bench = ex.filter(col("source") === "src0").select("h").distinct()
         val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
         train.join(broadcast(bench.withColumn("__b", lit(1))), Seq("h"), "left")

@@ -489,6 +489,14 @@ object Relational {
 
     // J10 — star probe: fact ⋈ dims (reference: Olist DW.sql:232-234).
     // customer/orders broadcast at dim scale; lineitem is the fact.
+    // The dim chain carries an EXPLICIT broadcast hint (r17): the
+    // planner's post-join size estimate inflates customer⋈orders past
+    // the fact's pruned 3-column projection and it broadcast the FACT
+    // (a 600k-row driver-built hash relation per run, and the side
+    // that grows without bound) — guide §3.1's "estimates are often
+    // badly wrong after joins; hint the side you know is small". The
+    // hinted side is smaller by construction (one row per ORDER,
+    // two narrow columns, vs one per line item).
     Q("j10_star",
       Some(s"""SELECT c_mktsegment,
               |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
@@ -497,8 +505,8 @@ object Relational {
               |JOIN orders ON o_custkey = c_custkey
               |JOIN lineitem ON l_orderkey = o_orderkey
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-      (s, d) => T.customer(s, d)
-        .join(T.orders(s, d), col("o_custkey") === col("c_custkey"))
+      (s, d) => broadcast(T.customer(s, d)
+          .join(T.orders(s, d), col("o_custkey") === col("c_custkey")))
         .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("c_mktsegment")
         .agg(dsum(col("l_extendedprice") * (lit(1) - col("l_discount")), 6).as("revenue"),
@@ -516,9 +524,14 @@ object Relational {
               |JOIN supplier ON s_nationkey = n_nationkey
               |JOIN lineitem ON l_suppkey = s_suppkey
               |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
-      (s, d) => T.region(s, d)
-        .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
-        .join(T.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
+      // the dim chain (region⋈nation⋈supplier — 1/60 of the fact's
+      // rows by construction) carries an explicit broadcast hint: the
+      // planner's twice-joined estimate inflated it past lineitem's
+      // pruned projection and broadcast the FACT (r17; guide §3.1 —
+      // same misestimate and fix as j10_star)
+      (s, d) => broadcast(T.region(s, d)
+          .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+          .join(T.supplier(s, d), col("s_nationkey") === col("n_nationkey")))
         .join(T.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))
         .groupBy("r_name", "n_name")
         .agg(dsum(col("l_extendedprice")).as("total_price"), count(lit(1)).as("n_items"))

@@ -496,6 +496,16 @@ object Similarity {
         r.getAs[Double]("d2")))
     val flat = Array.fill(m * k)(Double.MaxValue)
     table.foreach { case (s0, c0, d) => flat(s0 * k + c0) = d }
+    pqRankWith(codes, flat, m, k, topK)
+  }
+
+  /** [[pqRank]] over a PRECOMPUTED flat ADC table (m·k doubles, slot
+    * s0·k + cid) — the seam for callers that ship the table inside an
+    * already-paid bounded collect ([[AnnIndex.query]]'s merged probe
+    * job, r17) instead of paying pqRank's own. The scoring fold is
+    * pqRank's verbatim, so the adc doubles are bit-identical. */
+  private[operators] def pqRankWith(codes: DataFrame, flat: Array[Double],
+      m: Int, k: Int, topK: Int): DataFrame = {
     val tlit = array(flat.toSeq.map(lit): _*)
     codes
       .select(col("vec_id"),

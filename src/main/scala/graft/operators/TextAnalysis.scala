@@ -823,14 +823,24 @@ object TextAnalysis {
 
   /** BM25 top-k retrieval over any (doc_id, text, …) frame for a fixed
     * literal query. k1=1.2, b=0.75 (the Lucene defaults). Stats pass +
-    * scoring pass, both map-side; the stats row broadcasts. */
+    * scoring pass, both map-side; the stats row broadcasts.
+    *
+    * The tokenized per-doc frame (`base`: doc_id, dl, tf0…tfN−1 — a
+    * handful of longs per doc) is materialized ONCE via localCheckpoint
+    * and feeds BOTH the stats aggregate and the scoring pass: the lazy
+    * form re-tokenized the whole corpus twice because the stats row
+    * must exist before scoring can broadcast it (r17 — the tokenize is
+    * the dominant cost of the scan-time lane; at scale the
+    * materialization is narrow per-doc longs, a fraction of the text
+    * it replaces re-reading). Recomputed per call — nothing persists
+    * across invocations. */
   def bm25TopK(docs: DataFrame, terms: Seq[String], k: Int): DataFrame = {
     val ts = tokens(lower(col("text")))
     val base = docs.select(
       col("doc_id") +: size(ts).cast("long").as("dl") +:
         terms.zipWithIndex.map { case (t, i) =>
           size(filter(ts, x => x === t)).cast("long").as(s"tf$i")
-        }: _*)
+        }: _*).localCheckpoint()
     val stats = base.agg(
       count(lit(1)).as("n"),
       sum(col("dl")).as("sum_dl") +:

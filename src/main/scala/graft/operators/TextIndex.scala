@@ -535,15 +535,23 @@ object TextIndex {
   def queryOn(read: String => DataFrame, idx: String,
       terms: Seq[String], k: Int,
       docFilter: Option[DataFrame] = None): DataFrame = {
-    val st = read(s"${idx}_stats").first()
     // segment sum per query term: ≤|terms| distinct terms' rows read
     // (term-pruned like the postings), summed here — a term whose
-    // segments net to ≤0 no longer exists
-    val dfs = read(s"${idx}_df")
+    // segments net to ≤0 no longer exists. The 1-row stats table
+    // rides the SAME job (r17: stats first() + df collect were two
+    // sequential driver round-trips; a right-outer join against the
+    // always-one-row stats ships both in one scheduling round — the
+    // stats row survives even when no query term is indexed)
+    val stDfs = read(s"${idx}_df")
       .filter(col("term").isin(terms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .join(read(s"${idx}_stats"), lit(true), "right_outer")
+      .collect()
+    val st = org.apache.spark.sql.Row(
+      stDfs.head.getAs[Long]("n"), stDfs.head.getAs[Long]("sum_dl"))
+    val dfs = stDfs.filter(_.getAs[String]("term") != null)
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     // docFilter (filtered search, the AnnIndex.query(filter=…) twin):
     // a (doc_id, …) allowlist frame semi-joined onto the matched
     // postings BEFORE scoring, so the k results all satisfy it —
@@ -666,13 +674,20 @@ object TextIndex {
       "queryBatch: a query with no terms (it would silently return " +
         "nothing; the single-query form refuses it too)")
     import spark.implicits._
-    val st = read(s"${idx}_stats").first()
     val allTerms = queries.flatMap(_._2).distinct
-    val dfs = read(s"${idx}_df")
+    // one job ships the per-term df sums AND the 1-row stats (the
+    // right-outer trick queryOn uses — r17, one scheduling round
+    // instead of two)
+    val stDfs = read(s"${idx}_df")
       .filter(col("term").isin(allTerms: _*))
       .groupBy("term").agg(sum(col("df")).as("df"))
       .filter(col("df") > 0)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      .join(read(s"${idx}_stats"), lit(true), "right_outer")
+      .collect()
+    val st = org.apache.spark.sql.Row(
+      stDfs.head.getAs[Long]("n"), stDfs.head.getAs[Long]("sum_dl"))
+    val dfs = stDfs.filter(_.getAs[String]("term") != null)
+      .map(r => r.getAs[String]("term") -> r.getAs[Long]("df")).toMap
     // (query_id, term-index, term, df) — broadcast; ti preserves each
     // query's term order so the score fold adds in query()'s order
     val qterms = queries.flatMap { case (qid, terms) =>

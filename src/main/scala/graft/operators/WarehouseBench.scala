@@ -567,15 +567,18 @@ object WarehouseBench {
     Q("b11_contam_raw", Some(b11Oracle), (s, d) => {
       val docs = T.documents(s, d)
       val split = docs.agg(max("doc_id")).first().getLong(0) - 100
+      // row-local gram dedup (d10's rationale — the corpus-wide
+      // distinct() Exchange dedups nothing a per-row sorted pass
+      // cannot; r17, guide §2.4)
       val ex = docs
         .select(col("doc_id"), col("source"),
           org.apache.spark.sql.functions.split(trim(col("text")), "\\s+")
             .as("ts"))
         .filter(size(col("ts")) >= 8)
         .select(col("doc_id"), col("source"),
-          explode(Dedup.shingles(col("ts"), 8)).as("g"))
-        .select(col("doc_id"), col("source"), md5(col("g")).as("h"))
-        .distinct()
+          Dedup.sortedGramDigests(col("ts"), 8).as("shs"))
+        .select(col("doc_id"), col("source"),
+          explode(Dedup.adjacentDistinct(col("shs"))).as("h"))
       val bench = ex.filter(col("source") === "src0").select("h").distinct()
       val batch = docs.filter(col("doc_id") > split).select("doc_id")
       val hits = ex.join(batch, Seq("doc_id"), "left_semi")

@@ -91,8 +91,15 @@ class AuditSpec extends AnyFunSuite {
     val sidecar = java.nio.file.Files.walk(
       java.nio.file.Paths.get(s"$dir/t/_dv")).iterator()
     import scala.jdk.CollectionConverters._
+    // the MANIFEST-referenced sidecar specifically: when an earlier
+    // suite leaves a checksumming LocalFileSystem in the Hadoop FS
+    // cache, a `.dv-….parquet.crc` twin sits beside it and a bare
+    // "first regular file" walk can delete THAT instead — the audit
+    // then rightly reports nothing and the test goes red only in
+    // full-suite order
     val dv = sidecar.asScala.find(f =>
-      java.nio.file.Files.isRegularFile(f)).get
+      java.nio.file.Files.isRegularFile(f) &&
+        f.getFileName.toString.endsWith(".parquet")).get
     java.nio.file.Files.delete(dv)
     val res = rows(wh.audit("t"))
     assert(res.exists(r => r._1 == "data_files" && r._2 == "error" &&
