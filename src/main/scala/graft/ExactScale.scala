@@ -83,9 +83,7 @@ object ExactScale {
     def brute(q: Seq[Double]): Seq[(Long, Double)] =
       emb.withColumn("qe", array(q.map(lit): _*))
         .select(col("vec_id"),
-          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-            (VectorFunctions.normExact(col("embedding")) *
-              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc).limit(10)
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
 

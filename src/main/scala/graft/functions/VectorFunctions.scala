@@ -209,7 +209,16 @@ object VectorFunctions {
       reg.createOrReplaceTempFunction("minhash_sigs", minhashSigsBuilder, "built-in"))
     ifMissing("simhash32")(
       reg.createOrReplaceTempFunction("simhash32",
-        exprs => SimHash32(exprs.head), "built-in"))
+        simhash32Builder, "built-in"))
+  }
+
+  /** Shared arity-checked builder — the temp-function registration and
+    * GraftExtensions must behave identically (a stray extra argument
+    * errors instead of being silently ignored). */
+  def simhash32Builder(exprs: Seq[Expression]): Expression = {
+    require(exprs.length == 1,
+      s"simhash32 expects 1 argument, got ${exprs.length}")
+    SimHash32(exprs.head)
   }
 
   def simhash32(spark: SparkSession, toks: Column): Column = {
@@ -247,12 +256,45 @@ object VectorFunctions {
 
   // ---------------------------------------------------------------
   // Exact (order-independent) decimal variants for oracle parity.
+  // Since r18 the production forms are the fused native expressions
+  // (DotExactDec / CosineExactDec — one codegen'd loop per row); the
+  // zip_with/aggregate Column folds they replaced are kept below as
+  // the *Hof twins, exercised only by DecimalFoldParitySpec, which
+  // pins bit-identity between the two forms.
 
   private val DEC = DecimalType(38, 20)
 
+  private def expr(c: Column) =
+    org.apache.spark.sql.GraftColumnShim.expression(c)
+  private def toCol(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    org.apache.spark.sql.GraftColumnShim.column(e)
+
   /** Σ a_i*b_i with each product cast to DECIMAL(38,20) before an exact
-    * sum — identical on every engine regardless of accumulation order. */
+    * sum — identical on every engine regardless of accumulation order.
+    * Fused native ([[DotExactDec]]); bit-parity with [[dotExactHof]]. */
   def dotExact(a: Column, b: Column): Column =
+    toCol(DotExactDec(expr(a), expr(b)))
+
+  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+
+  /** dot/(‖a‖·‖b‖), all three decimal folds in ONE pass over the
+    * arrays ([[CosineExactDec]]); bit-parity with the composed form. */
+  def cosineExact(a: Column, b: Column): Column =
+    toCol(CosineExactDec(expr(a), expr(b)))
+
+  /** The PQ ADC table-lookup sum ([[AdcScore]]) — `tbl` may be a
+    * folded literal (single-query) or a per-row broadcast column
+    * (batch); bit-parity with the zip_with/element_at fold. */
+  def adcScore(codes: Column, tbl: Column, m: Int, k: Int): Column =
+    toCol(AdcScore(expr(codes), expr(tbl), m, k))
+
+  /** Sorted distinct md5 n-gram digests ([[GramDigests]]) — the fused
+    * form of Dedup.sortedGramDigests + adjacentDistinct. */
+  def gramDigests(toks: Column, n: Int): Column =
+    toCol(GramDigests(expr(toks), n))
+
+  /** The r17-and-earlier interpreted fold — parity oracle ONLY. */
+  private[graft] def dotExactHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") * y.cast("double")).cast(DEC)),
       lit(java.math.BigDecimal.ZERO).cast(DEC),
@@ -261,10 +303,10 @@ object VectorFunctions {
       // so the cast is exact)
       (acc, v) => (acc + v).cast(DEC)).cast("double")
 
-  def normExact(a: Column): Column = sqrt(dotExact(a, a))
+  private[graft] def normExactHof(a: Column): Column = sqrt(dotExactHof(a, a))
 
-  def cosineExact(a: Column, b: Column): Column =
-    dotExact(a, b) / (normExact(a) * normExact(b))
+  private[graft] def cosineExactHof(a: Column, b: Column): Column =
+    dotExactHof(a, b) / (normExactHof(a) * normExactHof(b))
 
   /** The matching DuckDB rendering (for oracle SQL generators):
     * cast(sum(cast(x*y as decimal(38,20))) as double) over positionally

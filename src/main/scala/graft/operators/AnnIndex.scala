@@ -1238,9 +1238,7 @@ object AnnIndex {
      else joined)
       .withColumn("qe", qlit)
       .select(col("vec_id"),
-        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-          (VectorFunctions.normExact(col("embedding")) *
-            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(topK)
   }
@@ -1393,9 +1391,7 @@ object AnnIndex {
         (if (stored) admissible else source.join(admissible, "vec_id"))
           .withColumn("qe", qlit)
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(topK)
           .collect().map(r => (r.getLong(0), r.getDouble(1)))
@@ -1681,10 +1677,11 @@ object AnnIndex {
       val scored = admissible.join(broadcast(qcells), Seq("cell"))
         .join(broadcast(qtbls), Seq("query_id"))
         .select(col("query_id"), col("vec_id"),
-          round(aggregate(
-            zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-              (c, s0) => element_at(col("tbl"), s0 * k + c.cast("int") + 1)),
-            lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+          // fused native ADC sum (r18) — bit-parity with the
+          // zip_with/element_at fold; the broadcast per-row table
+          // column replaces pqRankWith's literal, same arithmetic
+          round(VectorFunctions.adcScore(col("codes"), col("tbl"), m, k),
+            6).as("adc"))
       val lvl1 = Window
         .partitionBy(col("query_id"), pmod(xxhash64(col("vec_id")),
           lit(saltParts)))
@@ -1784,9 +1781,7 @@ object AnnIndex {
     spreadIf(vecSrc.join(broadcast(cands), "vec_id")
       .join(broadcast(qvecs), "query_id"))
       .select(col("query_id"), col("vec_id"),
-        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-          (VectorFunctions.normExact(col("embedding")) *
-            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
       .withColumn("rk", row_number().over(wFinal))
       .filter(col("rk") <= topK).drop("rk")
       .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)

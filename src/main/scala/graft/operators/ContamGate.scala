@@ -90,8 +90,8 @@ object ContamGate {
     // row (r17, guide §2.4). The digest set per doc is identical.
     docs.select(col("doc_id"), split(trim(col("text")), "\\s+").as("ts"))
       .filter(size(col("ts")) >= 8)
-      .select(col("doc_id"), Dedup.sortedGramDigests(col("ts"), 8).as("shs"))
-      .select(col("doc_id"), explode(Dedup.adjacentDistinct(col("shs"))).as("h"))
+      .select(col("doc_id"), explode(graft.functions.VectorFunctions
+        .gramDigests(col("ts"), 8)).as("h"))
 
   /** Build the gate from the benchmark suite, tagged `suite`. Returns
     * distinct grams stored.

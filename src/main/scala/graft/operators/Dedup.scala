@@ -422,9 +422,8 @@ object Dedup {
             split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 8)
           .select(col("doc_id"), col("source"),
-            sortedGramDigests(col("ts"), 8).as("shs"))
-          .select(col("doc_id"), col("source"),
-            explode(adjacentDistinct(col("shs"))).as("h"))
+            explode(graft.functions.VectorFunctions
+              .gramDigests(col("ts"), 8)).as("h"))
         val bench = ex.filter(col("source") === "src0").select("h").distinct()
         val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
         train.join(broadcast(bench), Seq("h"))
@@ -573,9 +572,8 @@ object Dedup {
             split(trim(col("text")), "\\s+").as("ts"))
           .filter(size(col("ts")) >= 8)
           .select(col("doc_id"), col("source"),
-            sortedGramDigests(col("ts"), 8).as("shs"))
-          .select(col("doc_id"), col("source"),
-            explode(adjacentDistinct(col("shs"))).as("h"))
+            explode(graft.functions.VectorFunctions
+              .gramDigests(col("ts"), 8)).as("h"))
         val bench = ex.filter(col("source") === "src0").select("h").distinct()
         val train = ex.filter(col("source") =!= "src0").select("doc_id", "h")
         train.join(broadcast(bench.withColumn("__b", lit(1))), Seq("h"), "left")

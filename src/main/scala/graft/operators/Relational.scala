@@ -27,6 +27,29 @@ object Relational {
 
   import graft.Num.{dsum, davg, sqlDsum, sqlDavg}
 
+  /** Build-side hint for a star join's dim chain whose row count is
+    * SMALLER than the fact by construction but NOT bounded (it grows
+    * with scale factor — r17's unconditional `broadcast()` was a scale
+    * cliff: Spark honors the hint regardless of size, so past driver
+    * memory / the 8 GB-512M-row broadcast cap the query would fail
+    * outright instead of falling back). The gate is a COMPUTED size
+    * bound, not an estimate-after-joins (those are the very
+    * misestimates that made the planner broadcast the fact): the sum
+    * of the chain's LEAF scan statistics — actual file bytes, known
+    * before any join math — must stay under 256 MB of input, which
+    * keeps the built hash relation comfortably inside a single
+    * executor/driver budget at any realistic row width. Past the
+    * bound the SAME side carries a SHUFFLE_HASH hint instead: the
+    * per-partition hash build of the provably smaller side — no
+    * broadcast cliff, and still never a fact-side build. */
+  private def dimJoinHint(dims: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val leafBytes = dims.queryExecution.optimizedPlan.collectLeaves()
+      .map(l => BigInt(l.stats.sizeInBytes.toString)).sum
+    if (leafBytes <= BigInt(256L * 1024 * 1024)) broadcast(dims)
+    else dims.hint("shuffle_hash")
+  }
+
   val all: Seq[Q] = Seq(
     // ----------------------------------------------------------------
     // S2 — table scan with projection (column pruning reaches parquet)
@@ -489,14 +512,19 @@ object Relational {
 
     // J10 — star probe: fact ⋈ dims (reference: Olist DW.sql:232-234).
     // customer/orders broadcast at dim scale; lineitem is the fact.
-    // The dim chain carries an EXPLICIT broadcast hint (r17): the
+    // The dim chain carries an explicit build-side hint (r17/r18): the
     // planner's post-join size estimate inflates customer⋈orders past
     // the fact's pruned 3-column projection and it broadcast the FACT
     // (a 600k-row driver-built hash relation per run, and the side
     // that grows without bound) — guide §3.1's "estimates are often
     // badly wrong after joins; hint the side you know is small". The
-    // hinted side is smaller by construction (one row per ORDER,
-    // two narrow columns, vs one per line item).
+    // hinted side is SMALLER by construction (one row per ORDER, two
+    // narrow columns, vs one per line item) but NOT bounded — it grows
+    // with scale factor — so the broadcast is GATED on the dim chain's
+    // measured scan bytes ([[dimJoinHint]], r18): past the bound the
+    // same side carries a SHUFFLE_HASH hint instead (per-partition
+    // build of the provably-smaller side — no 8 GB/driver-memory
+    // cliff, and still never a fact broadcast).
     Q("j10_star",
       Some(s"""SELECT c_mktsegment,
               |  ${sqlDsum("l_extendedprice * (1 - l_discount)", 6)} AS revenue,
@@ -505,7 +533,7 @@ object Relational {
               |JOIN orders ON o_custkey = c_custkey
               |JOIN lineitem ON l_orderkey = o_orderkey
               |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin),
-      (s, d) => broadcast(T.customer(s, d)
+      (s, d) => dimJoinHint(T.customer(s, d)
           .join(T.orders(s, d), col("o_custkey") === col("c_custkey")))
         .join(T.lineitem(s, d), col("l_orderkey") === col("o_orderkey"))
         .groupBy("c_mktsegment")
@@ -525,11 +553,12 @@ object Relational {
               |JOIN lineitem ON l_suppkey = s_suppkey
               |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin),
       // the dim chain (region⋈nation⋈supplier — 1/60 of the fact's
-      // rows by construction) carries an explicit broadcast hint: the
+      // rows by construction) carries an explicit build-side hint: the
       // planner's twice-joined estimate inflated it past lineitem's
       // pruned projection and broadcast the FACT (r17; guide §3.1 —
-      // same misestimate and fix as j10_star)
-      (s, d) => broadcast(T.region(s, d)
+      // same misestimate and fix as j10_star). supplier grows with
+      // scale, so the broadcast is gated like j10's ([[dimJoinHint]]).
+      (s, d) => dimJoinHint(T.region(s, d)
           .join(T.nation(s, d), col("n_regionkey") === col("r_regionkey"))
           .join(T.supplier(s, d), col("s_nationkey") === col("n_nationkey")))
         .join(T.lineitem(s, d), col("l_suppkey") === col("s_suppkey"))

@@ -315,9 +315,7 @@ object Similarity {
     val q = deq.filter(col("vec_id") === queryId).select(col("dq").as("qdq"))
     deq.crossJoin(broadcast(q))
       .select(col("vec_id"),
-        round(VectorFunctions.dotExact(col("dq"), col("qdq")) /
-          (VectorFunctions.normExact(col("dq")) *
-            VectorFunctions.normExact(col("qdq"))), 12).as("qcosine"))
+        round(VectorFunctions.cosineExact(col("dq"), col("qdq")), 12).as("qcosine"))
       .orderBy(col("qcosine").desc, col("vec_id").asc)
       .limit(k)
   }
@@ -334,10 +332,16 @@ object Similarity {
     * ADC distances rank by cosine — without this, varying vector norms
     * make L2-nearest ≠ cosine-nearest and ANN recall collapses. */
   def l2Normalized(emb: DataFrame): DataFrame =
-    emb.select(col("vec_id"),
-      transform(col("embedding"), x =>
-        x.cast("double") / VectorFunctions.normExact(col("embedding")))
-        .as("embedding"))
+    // the norm is hoisted into its own materialized column (r18): a
+    // norm written INSIDE the transform lambda re-evaluates the whole
+    // fold per ELEMENT (dim × per row — the lambda-CSE trap the
+    // sq8RankFromCodes comment documents); the division values are
+    // identical, the fold runs once per row
+    emb.select(col("vec_id"), col("embedding"),
+        VectorFunctions.normExact(col("embedding")).as("__nrm"))
+      .select(col("vec_id"),
+        transform(col("embedding"), x =>
+          x.cast("double") / col("__nrm")).as("embedding"))
 
   /** Codebook-training sample size: the classic ≈100 training points
     * per centroid across the `m` codebooks, floored at 10k — bounded
@@ -506,16 +510,28 @@ object Similarity {
     * pqRank's verbatim, so the adc doubles are bit-identical. */
   private[operators] def pqRankWith(codes: DataFrame, flat: Array[Double],
       m: Int, k: Int, topK: Int): DataFrame = {
-    val tlit = array(flat.toSeq.map(lit): _*)
+    // fused native ADC lookup sum (r18): bit-parity with the
+    // zip_with/element_at fold (DecimalFoldParitySpec), one expression
+    // node instead of the m·k-literal tree (planning time), zero
+    // interpreted HOF dispatch in the codes-scan inner loop. The table
+    // is ONE typed literal.
+    val tlit = typedlit(flat.toSeq)
     codes
       .select(col("vec_id"),
-        round(aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, s0) => element_at(tlit, s0 * k + c.cast("int") + 1)),
-          lit(0.0), (acc, v) => acc + v), 6).as("adc"))
+        round(VectorFunctions.adcScore(col("codes"), tlit, m, k), 6)
+          .as("adc"))
       .orderBy(col("adc").asc, col("vec_id").asc)
       .limit(topK)
   }
+
+  /** The r17-and-earlier HOF ADC fold — parity oracle ONLY
+    * (DecimalFoldParitySpec pins [[VectorFunctions.adcScore]] to it). */
+  private[graft] def adcScoreHof(codes: Column, tbl: Column,
+      m: Int, k: Int): Column =
+    aggregate(
+      zip_with(codes, sequence(lit(0), lit(m - 1)),
+        (c, s0) => element_at(tbl, s0 * k + c.cast("int") + 1)),
+      lit(0.0), (acc, v) => acc + v)
 
   /** IVF-PQ — the production ANN composition (e7's coarse cells ×
     * e12's product-quantized ranking): a coarse quantizer restricts
@@ -566,9 +582,7 @@ object Similarity {
       codebook, q, topK = overquery * topK)
     withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
       .select(col("vec_id"),
-        round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-          (VectorFunctions.normExact(col("embedding")) *
-            VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+        round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
       .orderBy(col("cosine").desc, col("vec_id").asc)
       .limit(topK)
   }
@@ -618,9 +632,7 @@ object Similarity {
       .join(withBucket.select(col("vec_id").as("d2"), col("embedding").as("v2")),
         Seq("d2"))
       .select(col("d1"), col("d2"),
-        round(VectorFunctions.dotExact(col("v1"), col("v2")) /
-          (VectorFunctions.normExact(col("v1")) *
-            VectorFunctions.normExact(col("v2"))), 12).as("cosine"))
+        round(VectorFunctions.cosineExact(col("v1"), col("v2")), 12).as("cosine"))
       .filter(col("cosine") >= 0.2)
   }
 
@@ -784,9 +796,7 @@ object Similarity {
     val assigned = semanticAssignFixed(emb, fixedCentroids())
       .localCheckpoint()
     survivorsWithin(assigned, emb.select("vec_id", "embedding"),
-      (v1, v2) => round(VectorFunctions.dotExact(v1, v2) /
-        (VectorFunctions.normExact(v1) * VectorFunctions.normExact(v2)),
-        12),
+      (v1, v2) => round(VectorFunctions.cosineExact(v1, v2), 12),
       tau, maxCluster)
   }
 
@@ -846,9 +856,7 @@ object Similarity {
     Q("e1_cosine_topk", Some(exactCosineTopKSql()),
       (s, d) => withQueryVec(s, d)
         .select(col("vec_id"),
-          round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-            (VectorFunctions.normExact(col("embedding")) *
-              VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+          round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
         .orderBy(col("cosine").desc, col("vec_id").asc)
         .limit(TOP_K)),
 
@@ -895,9 +903,7 @@ object Similarity {
         withBkt
           .filter(col("bucket") === bucketOf(s, col("qe")))
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"),
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"),
             col("bucket"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(5)
@@ -1083,9 +1089,7 @@ object Similarity {
           .orderBy(col("cosine").desc, col("vec_id").asc)
         bkt.join(broadcast(q), Seq("bucket"))
           .select(col("qid"), col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .withColumn("rn", row_number().over(w))
           .filter(col("rn") <= 3)
           .select("qid", "vec_id", "cosine")
@@ -1207,9 +1211,7 @@ object Similarity {
           .crossJoin(broadcast(emb.filter(col("vec_id") === QUERY_ID)
             .select(col("embedding").as("qe"))))
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       }),
@@ -1239,9 +1241,7 @@ object Similarity {
         val cands = pqRank(codes, cents, q, topK = 5 * TOP_K)
         withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       }),
@@ -1271,9 +1271,7 @@ object Similarity {
         val cands = pqRank(codes, cents, q, topK = n)
         withQueryVec(s, d).join(cands.select("vec_id"), "vec_id")
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc)
           .limit(TOP_K)
       }),
@@ -1364,9 +1362,7 @@ object Similarity {
           .select("doc_id", "r")
         val dense = withQueryVec(s, d)
           .select(col("vec_id"),
-            round(VectorFunctions.dotExact(col("embedding"), col("qe")) /
-              (VectorFunctions.normExact(col("embedding")) *
-                VectorFunctions.normExact(col("qe"))), 12).as("cosine"))
+            round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
           .orderBy(col("cosine").desc, col("vec_id").asc).limit(RRF_POOL)
           .withColumn("r", row_number()
             .over(Window.orderBy(col("cosine").desc, col("vec_id"))))

@@ -576,9 +576,8 @@ object WarehouseBench {
             .as("ts"))
         .filter(size(col("ts")) >= 8)
         .select(col("doc_id"), col("source"),
-          Dedup.sortedGramDigests(col("ts"), 8).as("shs"))
-        .select(col("doc_id"), col("source"),
-          explode(Dedup.adjacentDistinct(col("shs"))).as("h"))
+          explode(graft.functions.VectorFunctions
+            .gramDigests(col("ts"), 8)).as("h"))
       val bench = ex.filter(col("source") === "src0").select("h").distinct()
       val batch = docs.filter(col("doc_id") > split).select("doc_id")
       val hits = ex.join(batch, Seq("doc_id"), "left_semi")

@@ -12,6 +12,14 @@ object GraftColumnShim {
   def expression(c: Column): catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  /** The inverse bridge — wrap a catalyst Expression as a Column.
+    * Used by the fused native scoring expressions (DotExactDec /
+    * CosineExactDec / AdcScore / GramDigests), whose Column wrappers
+    * take plain Columns and so cannot go through the function-registry
+    * + call_function route without a SparkSession in scope. */
+  def column(e: catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   // ----- catalyst-tree walkers (the `expr("…")` lane) ----------------
   //
   // functions.expr wraps the raw SQL text in a SqlExpression node, so
