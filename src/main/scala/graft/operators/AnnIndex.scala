@@ -159,7 +159,15 @@ object AnnIndex {
       .localCheckpoint()
     val codebook = pqTrain(sample, m = m, k = k, iters = 6)
       .localCheckpoint()
-    wh.save(s"${idx}_codebook", codebook)
+    // codebook/coarse are GEOMETRY-bounded (m·k codebook rows, nCells
+    // coarse rows — independent of corpus size), but inherit the
+    // training computation's partitioning: saved as-is they spread a
+    // few hundred rows over ~2 dozen tiny files, and every serving
+    // probe's merged codebook∪ranking collect then schedules that many
+    // near-empty tasks (r18, guide §6.2/§5). One file each makes the
+    // bounded collect a couple of tasks at ANY corpus scale; rows are
+    // byte-identical.
+    wh.save(s"${idx}_codebook", codebook.coalesce(1))
     val codes = withStoredVec(
       encode(unit, coarse, codebook, m, dimOf(unit)),
       source, storeVectors)
@@ -168,7 +176,7 @@ object AnnIndex {
     // build-time priced), persisted ON the coarse table so every
     // serving cut pins centroids and bounds together
     wh.save(s"${idx}_coarse", coarseWithRadii(coarse,
-      cellRadii(unit, wh.table(s"${idx}_codes"), coarse)))
+      cellRadii(unit, wh.table(s"${idx}_codes"), coarse)).coalesce(1))
     // right-to-be-forgotten tombstones: ids remove()d stay out even
     // when later refresh sources still carry them
     wh.save(s"${idx}_gone", source.select("vec_id").limit(0))
@@ -850,13 +858,14 @@ object AnnIndex {
     import spark0.implicits._
     wh.transaction(Seq(s"${idx}_coarse", s"${idx}_codebook",
         s"${idx}_codes", s"${idx}_meta")) {
-      wh.save(s"${idx}_codebook", codebook)
+      // one file per bounded table — build's rationale (r18)
+      wh.save(s"${idx}_codebook", codebook.coalesce(1))
       wh.save(s"${idx}_codes", codes, partitionBy = Seq("cell"))
       // radii over the freshly staged codes (the transaction reads its
       // own uncommitted writes) — exact radii, not carried-forward
       // upper bounds: retrain is the moment conservatism resets
       wh.save(s"${idx}_coarse", coarseWithRadii(coarse,
-        cellRadii(unit, wh.table(s"${idx}_codes"), coarse)))
+        cellRadii(unit, wh.table(s"${idx}_codes"), coarse)).coalesce(1))
       // a pre-meta (legacy) index gains its meta table here — retrain
       // MIGRATES it into the recorded-geometry era
       wh.save(s"${idx}_meta",
@@ -937,6 +946,18 @@ object AnnIndex {
     snap(_)
   }
 
+  /** The hybrid lanes' side-thread harness (guide §2.6): the lane body
+    * runs eager driver collects, so it is marked `blocking` — the
+    * shared global pool grows a thread for it instead of starving its
+    * cores-sized capacity under concurrent hybrid serving calls — and
+    * the await is FINITE, so a wedged lane fails the call with a clear
+    * timeout instead of hanging the caller forever. */
+  private val SideLaneTimeout: scala.concurrent.duration.Duration =
+    scala.concurrent.duration.Duration(1, java.util.concurrent.TimeUnit.HOURS)
+  private def onSideThread[T](body: => T): scala.concurrent.Future[T] =
+    scala.concurrent.Future(scala.concurrent.blocking(body))(
+      scala.concurrent.ExecutionContext.global)
+
   def hybridQuery(wh: Warehouse, annIdx: String, textIdx: String,
       source: DataFrame, terms: Seq[String], queryId: Long,
       topK: Int = DefaultTopK, pool: Int = 50, overquery: Int = DefaultOverquery,
@@ -945,26 +966,26 @@ object AnnIndex {
     val read = hybridSnapshot(wh, annIdx, textIdx)
     // sparse lane on its own thread — its df/stats collect overlaps
     // the dense lane's query-vector fetch (guide §2.6)
-    val sparseF = scala.concurrent.Future {
+    val sparseF = onSideThread {
       TextIndex.queryOn(read, textIdx, terms, pool)
         .withColumn("r", row_number()
           .over(Window.orderBy(col("score").desc, col("doc_id"))))
         .select("doc_id", "r")
-    }(scala.concurrent.ExecutionContext.global)
+    }
     // the dense lane inline against the same pinned cut (the id-form
     // query vector still comes from `source` — the stored-row shape;
-    // the literal form is [[hybridQueryVecBatch]])
+    // the literal form is [[hybridQueryVecBatch]]). The ranked core's
+    // rk IS the global (cosine desc, vec_id) rank here — one query, so
+    // the per-query window was already the global one (r18: the
+    // re-window's range + single-partition Exchanges gone)
     val unit = l2Normalized(source)
     val q = unit.filter(col("vec_id") === queryId)
       .select("embedding").first().getSeq[Double](0).toArray
-    val dense = vecBatchCore(read, annIdx, source, Seq(queryId -> q),
+    val dense = vecBatchRanked(read, annIdx, source, Seq(queryId -> q),
         topK = pool, overquery = overquery, nProbe = nProbe,
         filter = None, saltParts = 32)
-      .withColumn("r", row_number()
-        .over(Window.orderBy(col("cosine").desc, col("vec_id"))))
-      .select("vec_id", "r")
-    val sparse = scala.concurrent.Await.result(sparseF,
-      scala.concurrent.duration.Duration.Inf)
+      .select(col("vec_id"), col("rk").as("r"))
+    val sparse = scala.concurrent.Await.result(sparseF, SideLaneTimeout)
     Similarity.rrfFuse(Seq(sparse, dense), k = topK)
       .select(col("id").as("doc_id"), col("r0").as("bm25_rank"),
         col("r1").as("cos_rank"), col("rrf"))
@@ -1008,19 +1029,18 @@ object AnnIndex {
     // collects overlap instead of queueing (guide §2.6; job
     // submission is thread-safe, and both lanes read the SAME pinned
     // cut so concurrency cannot tear the snapshot)
-    val sparseF = scala.concurrent.Future {
-      TextIndex.queryBatchOn(read, spark, textIdx, queries,
+    val sparseF = onSideThread {
+      TextIndex.queryBatchRankedOn(read, spark, textIdx, queries,
         pool, docFilter = hybridAllow(source, filter))
-    }(scala.concurrent.ExecutionContext.global)
+    }
     // the dense lane's query vectors from `source` (the id form); the
     // codes/codebook reads ride the same pinned cut as the sparse lane
-    val dense = vecBatchCore(read, annIdx, source,
+    val dense = vecBatchRanked(read, annIdx, source,
       fetchQueryVecs(source, queries.map(_._1).distinct,
         "hybridQueryBatch"),
       topK = pool, overquery = overquery,
       nProbe = nProbe, filter = filter, saltParts = 32)
-    val sparse = scala.concurrent.Await.result(sparseF,
-      scala.concurrent.duration.Duration.Inf)
+    val sparse = scala.concurrent.Await.result(sparseF, SideLaneTimeout)
     fuseBatch(sparse, dense, topK)
   }
 
@@ -1066,42 +1086,53 @@ object AnnIndex {
     require(queries.nonEmpty, "hybridQueryVecBatch: empty query list")
     val spark = source.sparkSession
     // two-thread lane build — hybridQueryBatchOn's rationale (§2.6)
-    val sparseF = scala.concurrent.Future {
+    val sparseF = onSideThread {
       val terms = TextIndex.tokenizeQueries(spark,
         queries.map { case (qid, text, _) => (qid, text) })
-      TextIndex.queryBatchOn(read, spark, textIdx, terms,
+      TextIndex.queryBatchRankedOn(read, spark, textIdx, terms,
         pool, docFilter = hybridAllow(source, filter))
-    }(scala.concurrent.ExecutionContext.global)
-    val dense = vecBatchCore(read, annIdx, source,
+    }
+    val dense = vecBatchRanked(read, annIdx, source,
       normalizedQueryVecs(spark,
         queries.map { case (qid, _, v) => (qid, v) }),
       topK = pool, overquery = overquery, nProbe = nProbe,
       filter = filter, saltParts = 32)
-    val sparse = scala.concurrent.Await.result(sparseF,
-      scala.concurrent.duration.Duration.Inf)
+    val sparse = scala.concurrent.Await.result(sparseF, SideLaneTimeout)
     fuseBatch(sparse, dense, topK)
   }
 
   /** The per-query RRF fusion both batch hybrids share: rrfFuse's fold
     * lifted per query — coalesce-to-zero reciprocal ranks summed in
     * lane order (identical arithmetic to [[Similarity.rrfFuse]]),
-    * top-k per query under (rrf desc, id) over ≤ 2·pool rows/query. */
-  private def fuseBatch(sparseScored: DataFrame, denseScored: DataFrame,
+    * top-k per query under (rrf desc, id) over ≤ 2·pool rows/query.
+    *
+    * Inputs are the lanes' RANK-KEEPING forms (r18): each lane already
+    * computed this exact per-query rank for its own top-k cut
+    * (row_number over (query_id | score desc, doc_id) resp. (query_id
+    * | cosine desc, vec_id), then filtered to the ≤pool prefix — a
+    * rank over the surviving prefix equals the rank it arrived with),
+    * so re-windowing here only re-derived known values through two
+    * extra Exchanges. The lane pairing itself is a UNION + one
+    * per-(query, id) aggregate rather than a full-outer join: each id
+    * appears at most once per lane, so min-over-lane-tagged rows IS
+    * the join's row (same r0/r1, nulls where a lane misses), for one
+    * Exchange instead of two plus the merge-join sorts (guide §2.1). */
+  private def fuseBatch(sparseRanked: DataFrame, denseRanked: DataFrame,
       topK: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val sparse = sparseScored
-      .withColumn("r0", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("score").desc, col("doc_id"))))
-      .select(col("query_id"), col("doc_id").as("id"), col("r0"))
-    val dense = denseScored
-      .withColumn("r1", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cosine").desc, col("vec_id"))))
-      .select(col("query_id"), col("vec_id").as("id"), col("r1"))
+    val sparse = sparseRanked.select(col("query_id"),
+      col("doc_id").as("id"), lit(0).as("lane"), col("r").as("rank"))
+    val dense = denseRanked.select(col("query_id"),
+      col("vec_id").as("id"), lit(1).as("lane"), col("rk").as("rank"))
+    val folded = sparse.unionByName(dense)
+      .groupBy("query_id", "id")
+      .agg(min(when(col("lane") === 0, col("rank"))).as("r0"),
+        min(when(col("lane") === 1, col("rank"))).as("r1"))
     val rrf = (coalesce(lit(1.0) / (lit(60) + col("r0")), lit(0.0)) +
       coalesce(lit(1.0) / (lit(60) + col("r1")), lit(0.0))).as("rrf")
     val wTop = Window.partitionBy("query_id")
       .orderBy(col("rrf").desc, col("id").asc)
-    sparse.join(dense, Seq("query_id", "id"), "full_outer")
+    folded
       .select(col("query_id"), col("id"), col("r0"), col("r1"), rrf)
       .withColumn("rk", row_number().over(wTop))
       .filter(col("rk") <= topK).drop("rk")
@@ -1414,9 +1445,14 @@ object AnnIndex {
         else {
           val np = math.min(nCells, math.max(p + 1, 2 * p))
           // merge under the final (cosine desc, vec_id asc) order —
-          // cells are disjoint, so no candidate appears twice
+          // cells are disjoint, so no candidate appears twice. The
+          // +0.0 normalizes -0.0 before negating: Scala's total order
+          // puts -0.0 < 0.0, so a bare -cos would order a ±0.0 cosine
+          // tie differently than the single-scan Spark orderBy this
+          // merge must reproduce exactly (which treats them equal and
+          // falls to the vec_id tiebreak)
           top = (top ++ topSlice(p, np))
-            .sortBy { case (id, cos) => (-cos, id) }.take(topK)
+            .sortBy { case (id, cos) => (-(cos + 0.0), id) }.take(topK)
           p = np
         }
       }
@@ -1563,7 +1599,7 @@ object AnnIndex {
     * bounded exact re-rank against `source`. `qvs` is ordered and
     * already L2-normalized (both entry forms normalize through the
     * same expression). */
-  private def vecBatchCore(read: String => DataFrame, idx: String,
+  private def vecBatchRanked(read: String => DataFrame, idx: String,
       source: DataFrame, qvs: Seq[(Long, Array[Double])], topK: Int,
       overquery: Int, nProbe: Int,
       filter: Option[org.apache.spark.sql.Column],
@@ -1783,7 +1819,24 @@ object AnnIndex {
       .select(col("query_id"), col("vec_id"),
         round(VectorFunctions.cosineExact(col("embedding"), col("qe")), 12).as("cosine"))
       .withColumn("rk", row_number().over(wFinal))
-      .filter(col("rk") <= topK).drop("rk")
-      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
+      .filter(col("rk") <= topK)
   }
+
+  /** [[vecBatchRanked]] in the public output contract: rank column
+    * dropped, rows presentation-ordered. The hybrid fusion paths stay
+    * on the ranked form — its `rk` IS the dense rank the fusion would
+    * otherwise recompute (row_number over the same (query_id |
+    * cosine desc, vec_id) window on the same ≤topK rows), and skipping
+    * this final global sort leaves the frame hash-partitioned by
+    * query_id for the fusion's consumers (r18, guide §2.1: two
+    * exchanges — range sort + re-window hash — per hybrid lane gone). */
+  private def vecBatchCore(read: String => DataFrame, idx: String,
+      source: DataFrame, qvs: Seq[(Long, Array[Double])], topK: Int,
+      overquery: Int, nProbe: Int,
+      filter: Option[org.apache.spark.sql.Column],
+      saltParts: Int): DataFrame =
+    vecBatchRanked(read, idx, source, qvs, topK, overquery, nProbe,
+      filter, saltParts)
+      .drop("rk")
+      .orderBy(col("query_id").asc, col("cosine").desc, col("vec_id").asc)
 }

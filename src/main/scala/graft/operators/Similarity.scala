@@ -1425,15 +1425,25 @@ object Similarity {
     * top-`k` by (rrf desc, id). */
   def rrfFuse(ranked: Seq[DataFrame], k: Int, c: Int = 60): DataFrame = {
     require(ranked.nonEmpty, "rrfFuse: need at least one ranked list")
-    val named = ranked.zipWithIndex.map { case (df, i) =>
-      df.select(col(df.columns(0)).as("id"), col(df.columns(1)).as(s"r$i"))
+    // UNION + one per-id aggregate instead of a chain of full-outer
+    // joins (r18): each id appears at most once per lane (the inputs
+    // are ranked lists), so min-over-the-lane's-tagged-rows IS the
+    // join's r_i — same values, same nulls where a lane misses an id —
+    // for ONE Exchange over ≤ N·pool rows instead of N-1 join
+    // exchanges plus their merge sorts (guide §2.1).
+    val tagged = ranked.zipWithIndex.map { case (df, i) =>
+      df.select(col(df.columns(0)).as("id"), lit(i).as("lane"),
+        col(df.columns(1)).as("rank"))
     }
-    val joined = named.reduce((a, b) => a.join(b, Seq("id"), "full_outer"))
-    val rrf = named.indices
+    val laneCols = ranked.indices.map(i =>
+      min(when(col("lane") === i, col("rank"))).as(s"r$i"))
+    val folded = tagged.reduce(_ unionByName _)
+      .groupBy("id").agg(laneCols.head, laneCols.tail: _*)
+    val rrf = ranked.indices
       .map(i => coalesce(lit(1.0) / (lit(c) + col(s"r$i")), lit(0.0)))
       .reduce(_ + _)
-    joined
-      .select(col("id") +: named.indices.map(i => col(s"r$i")) :+
+    folded
+      .select(col("id") +: ranked.indices.map(i => col(s"r$i")) :+
         rrf.as("rrf"): _*)
       .orderBy(col("rrf").desc, col("id").asc)
       .limit(k)

@@ -661,8 +661,11 @@ object TextIndex {
 
   /** [[queryBatch]] against an externally-pinned read surface (the
     * [[AnnIndex.hybridQueryBatch]] seam — both indexes under ONE
-    * snapshot cut; also the [[servingSnapshot]] amortization path). */
-  def queryBatchOn(read: String => DataFrame,
+    * snapshot cut; also the [[servingSnapshot]] amortization path),
+    * RANK-KEEPING form: returns (query_id, doc_id, dl, score, r) with
+    * `r` the per-query 1-based rank under (score desc, doc_id), rows
+    * unsorted. [[queryBatchOn]] wraps it into the public contract. */
+  private[operators] def queryBatchRankedOn(read: String => DataFrame,
       spark: org.apache.spark.sql.SparkSession, idx: String,
       queries: Seq[(Long, Seq[String])], k: Int,
       docFilter: Option[DataFrame] = None,
@@ -728,10 +731,25 @@ object TextIndex {
       .orderBy(col("score").desc, col("doc_id").asc)
     scored
       .withColumn("r1", row_number().over(lvl1)).filter(col("r1") <= k)
-      .withColumn("r2", row_number().over(lvl2)).filter(col("r2") <= k)
+      .withColumn("r", row_number().over(lvl2)).filter(col("r") <= k)
+      .select("query_id", "doc_id", "dl", "score", "r")
+  }
+
+  /** [[queryBatchRankedOn]] in the public output contract: rank
+    * column dropped, rows presentation-ordered. The hybrid fusion
+    * paths consume the ranked form directly — its `r` IS the sparse
+    * rank the fusion would otherwise recompute (row_number over the
+    * same (query_id | score desc, doc_id) window on the same ≤k rows
+    * — the level-2 cut's own ordering), and skipping this final sort
+    * leaves the frame hash-partitioned by query_id (r18). */
+  def queryBatchOn(read: String => DataFrame,
+      spark: org.apache.spark.sql.SparkSession, idx: String,
+      queries: Seq[(Long, Seq[String])], k: Int,
+      docFilter: Option[DataFrame] = None,
+      saltParts: Int = 32): DataFrame =
+    queryBatchRankedOn(read, spark, idx, queries, k, docFilter, saltParts)
       .select("query_id", "doc_id", "dl", "score")
       .orderBy(col("query_id").asc, col("score").desc, col("doc_id").asc)
-  }
 
   /** PHRASE search over the stored positional index — per doc, how
     * many times the exact token sequence occurs. The classic postings
