@@ -44,7 +44,10 @@ object Relational {
     * broadcast cliff, and still never a fact-side build. */
   private def dimJoinHint(dims: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val leafBytes = dims.queryExecution.optimizedPlan.collectLeaves()
+    // analyzed (not optimized) plan: leaf scan stats are the file
+    // sizes either way, and reading them off the analyzed tree skips
+    // a whole optimizer pass over the dim subplan on every call
+    val leafBytes = dims.queryExecution.analyzed.collectLeaves()
       .map(l => BigInt(l.stats.sizeInBytes.toString)).sum
     if (leafBytes <= BigInt(256L * 1024 * 1024)) broadcast(dims)
     else dims.hint("shuffle_hash")

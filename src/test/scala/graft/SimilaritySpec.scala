@@ -445,4 +445,23 @@ class SimilaritySpec extends AnyFunSuite {
     // k truncates after the fused sort
     assert(operators.Similarity.rrfFuse(Seq(a, b), k = 3).count() == 3)
   }
+
+  test("rrf fusion generalizes past two lists (the union-aggregate form)") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (11L, 2)).toDF("id", "r")
+    val b = Seq((11L, 1), (12L, 2)).toDF("id", "r")
+    val c = Seq((12L, 1), (10L, 2), (13L, 3)).toDF("id", "r")
+    val got = operators.Similarity.rrfFuse(Seq(a, b, c), k = 10)
+      .collect()
+      .map(r => (r.getLong(0),
+        ((0 to 2).map(i => if (r.isNullAt(i + 1)) -1 else r.getInt(i + 1)),
+          r.getDouble(4))))
+      .toMap
+    def s(r: Int) = 1.0 / (60 + r)
+    assert(got(10L) == ((Seq(1, -1, 2), s(1) + 0.0 + s(2))))
+    assert(got(11L) == ((Seq(2, 1, -1), s(2) + s(1) + 0.0)))
+    assert(got(12L) == ((Seq(-1, 2, 1), 0.0 + s(2) + s(1))))
+    assert(got(13L) == ((Seq(-1, -1, 3), 0.0 + 0.0 + s(3))))
+    assert(got.size == 4)
+  }
 }
